@@ -1,0 +1,29 @@
+"""PySpark-native CDC pipeline + analytics engine.
+
+A brand-new engine with the query/data-processing capabilities of the
+reference (`syhxz/flink-cdc-dsql-master`, an Apache Flink CDC fork with an
+Aurora DSQL sink), re-expressed idiomatically on Spark DataFrames, Spark
+SQL/Catalyst and Structured Streaming — plus LLM-data-pipeline operators
+(dedup, similarity search, text analysis, multimodal plumbing) designed
+for 100 TB scale.
+
+Layout
+------
+- ``types``        reference type lattice ↔ Spark types
+- ``schema``       TableId, Schema wrapper, versioned SchemaManager
+- ``events``       change-event model (op codes, changelog DataFrame shape)
+- ``merging``      least-common-type widening + schema merge (fan-in routes)
+- ``functions``    compat scalar functions (exact reference semantics)
+- ``exprs``        reference SQL dialect → Spark SQL rewrite
+- ``transform``    projection/filter transform rules (pre/post transform)
+- ``route``        TableIdRouter (fan-in / fan-out)
+- ``partitioning`` PK-hash partitioning + last-write-wins dedup
+- ``evolve``       runtime schema evolution behaviors
+- ``pipeline``     YAML → PipelineDef
+- ``compose``      PipelineDef → batch/streaming execution
+- ``sources``      values fixture, debezium/canal JSON, chunked JDBC
+- ``sinks``        JDBC upsert, kafka JSON envelopes, parquet-merge, values
+- ``operators``    dedup / similarity / text-analysis / sessionize / multimodal
+"""
+
+__version__ = "0.1.0"
