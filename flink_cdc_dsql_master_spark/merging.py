@@ -194,13 +194,17 @@ def is_type_compatible(current: T.StructField | None, upcoming: T.StructField) -
     """isDataTypeCompatible parity: can `upcoming` flow into `current` as-is?"""
     if current is None:
         return False
+    if upcoming.nullable and not current.nullable:
+        return False
     if current.dataType == upcoming.dataType:
         return True
     ck, uk = _kind(current), _kind(upcoming)
     if ck == _DECIMAL and isinstance(current.dataType, T.DecimalType):
         merged = merge_fields(current, upcoming)
         return merged.dataType == current.dataType
-    return ck in _MERGING_TREE[uk][1:] or (ck == uk)
+    # whole-tree contains check (SchemaMergingUtils.java:446-459); identity
+    # for equal dataTypes is already covered above
+    return ck in _MERGING_TREE[uk] or ck == uk
 
 
 def merge_schemas(current: Schema, upcoming: Schema) -> Schema:

@@ -68,7 +68,12 @@ class Selector:
 
     def __init__(self, pattern: str):
         self.pattern = pattern
-        parts = [p.replace("\\.", ".") for p in re.split(r"(?<!\\)\.", pattern)]
+        # RegExSplitterByDot parity: skip empty fragments, trim each part
+        parts = [
+            p.strip().replace("\\.", ".")
+            for p in re.split(r"(?<!\\)\.", pattern)
+            if p.strip()
+        ]
         if len(parts) > 3:
             raise ValueError(f"selector has more than 3 parts: {pattern!r}")
         self._parts = [re.compile(f"(?:{p})", re.IGNORECASE) for p in parts]

@@ -77,6 +77,15 @@ def parse_type(s: str) -> CdcType:
         inner = su[su.index("<") + 1 : su.rindex(">")]
         k, v = _split_top(inner)
         return CdcType("MAP", key=parse_type(k), value=parse_type(v))
+    if up.startswith("ROW<"):
+        inner = su[su.index("<") + 1 : su.rindex(">")]
+        fields = []
+        for part in _split_all_top(inner):
+            name, _, type_s = part.strip().partition(" ")
+            if not type_s:
+                raise ValueError(f"ROW field needs 'name type': {part!r}")
+            fields.append((name.strip("`"), parse_type(type_s)))
+        return CdcType("ROW", fields=tuple(fields))
     m = _TYPE_RE.match(su)
     if not m:
         raise ValueError(f"cannot parse type: {s!r}")
@@ -103,6 +112,21 @@ def _split_top(s: str) -> tuple[str, str]:
         elif ch == "," and depth == 0:
             return s[:i], s[i + 1 :]
     raise ValueError(f"expected two type args in {s!r}")
+
+
+def _split_all_top(s: str) -> list[str]:
+    """Split on top-level commas (depth-aware for nested <...>)."""
+    parts, depth, start = [], 0, 0
+    for i, ch in enumerate(s):
+        if ch == "<":
+            depth += 1
+        elif ch == ">":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
 
 
 def to_spark_type(t: CdcType) -> tuple[T.DataType, dict]:
