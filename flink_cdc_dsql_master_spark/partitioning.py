@@ -1,0 +1,103 @@
+"""PK-hash partitioning + per-key last-write-wins discipline.
+
+Reference counterparts:
+- ``RegularPrePartitionOperator.java:54`` (partitionBy :104-110): route each
+  DataChangeEvent to ``hash(tableId, pk values) % parallelism`` so one key
+  is always applied by one sink subtask, preserving per-key order.
+- ``DefaultDataChangeEventHashFunctionProvider.java:57-73``:
+  ``Objects.hash(tableId, op?, pk values) & 0x7FFFFFFF``.
+
+Spark design: within a micro-batch, per-key ordering is established by a
+sequence column (binlog position / LSN analog) instead of operator-arrival
+order — ``Window.partitionBy(pk).orderBy(desc(seq))`` + ``row_number() = 1``
+reduces the batch to one final image per key (last-write-wins), which an
+idempotent upsert applies atomically. Across batches, foreachBatch is a
+serial barrier, so no cross-batch race exists. ``repartition(n, pk)`` before
+the sink gives the same one-key-one-writer property as the reference's hash
+shuffle.
+
+Scale notes (100 TB): the window dedup is one hash shuffle on the PK — the
+minimum possible; AQE handles skewed keys (skew-join/partition splitting are
+enabled in session.py). ``bucket_expr`` uses a multiplicative/bit-mix hash
+expressed in pure Catalyst arithmetic so it is portable (oracle-checkable in
+any SQL engine) and stays inside whole-stage codegen; ``xxhash64`` is used
+for the non-portable fast path on arbitrary types.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F, Window
+
+from .events import OP_COLUMN, OP_DELETE, SEQ_COLUMN, UPSERT_OPS
+
+# Knuth multiplicative constant (2^32 / phi) — portable across SQL engines
+_KNUTH = 2654435761
+
+
+def bucket_expr(key: Column | str, num_buckets: int) -> Column:
+    """Deterministic, SQL-portable bucket for an integral key.
+
+    ``((key * 2654435761) mod 2^31) mod n`` — multiplicative hashing in plain
+    integer arithmetic (same result in Spark, DuckDB, Postgres), Catalyst-
+    codegen friendly. For composite/string keys use :func:`hash_bucket_expr`.
+    """
+    k = F.col(key) if isinstance(key, str) else key
+    # pre-mod keeps key * KNUTH < 2^62 (int64-safe for any input)
+    k31 = F.pmod(k.cast("long"), F.lit(2147483648))
+    mixed = F.pmod(k31 * F.lit(_KNUTH), F.lit(2147483648))
+    return F.pmod(mixed, F.lit(num_buckets)).cast("int")
+
+
+def hash_bucket_expr(keys: list[Column | str], num_buckets: int) -> Column:
+    """Fast-path bucket for arbitrary key tuples: xxhash64 & 0x7FFFFFFF mod n
+    (DefaultDataChangeEventHashFunctionProvider.java:57-73 analog)."""
+    cols = [F.col(k) if isinstance(k, str) else k for k in keys]
+    return F.pmod(
+        F.xxhash64(*cols).bitwiseAND(F.lit(0x7FFFFFFF)), F.lit(num_buckets)
+    ).cast("int")
+
+
+def repartition_by_key(df: DataFrame, primary_keys: list[str],
+                       num_partitions: int | None = None) -> DataFrame:
+    """One-key-one-writer partitioning before a sink (PrePartition parity)."""
+    cols = [F.col(c) for c in primary_keys]
+    if num_partitions:
+        return df.repartition(num_partitions, *cols)
+    return df.repartition(*cols)
+
+
+def last_write_wins(df: DataFrame, primary_keys: list[str],
+                    seq_col: str | None = None) -> DataFrame:
+    """Reduce a changelog batch to the final event per key.
+
+    Keeps the row with the highest sequence per PK (ties broken by op rank:
+    a delete after an upsert with the same seq wins — matches the
+    apply-in-order semantics of the reference sink). One shuffle on the PK.
+    """
+    seq = seq_col or (SEQ_COLUMN if SEQ_COLUMN in df.columns else None)
+    order = []
+    if seq is not None:
+        order.append(F.col(seq).desc())
+    order.append(F.when(F.col(OP_COLUMN) == OP_DELETE, 1).otherwise(0).desc())
+    w = Window.partitionBy(*[F.col(c) for c in primary_keys]).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def apply_changelog(df: DataFrame, primary_keys: list[str],
+                    seq_col: str | None = None) -> DataFrame:
+    """Materialize a changelog into its final table state.
+
+    last-write-wins per key, then drop keys whose final event is DELETE and
+    strip internal columns — the exact state an upsert sink would leave in
+    the target table. This is the batch-mode oracle of the reference's
+    ``INSERT .. ON CONFLICT DO UPDATE`` + DELETE sink
+    (DsqlBatchSinkFunction.java:121-180).
+    """
+    final = last_write_wins(df, primary_keys, seq_col)
+    final = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
+    drop = [c for c in (OP_COLUMN, SEQ_COLUMN, "__table_id") if c in final.columns]
+    return final.drop(*drop)

@@ -27,6 +27,9 @@ def get_spark(app_name: str = "flink_cdc_dsql_master_spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # reference semantics are permissive (casts return NULL when not
+        # viable, SystemFunctionUtils.java:48); Spark 4 defaults ANSI on
+        .config("spark.sql.ansi.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")

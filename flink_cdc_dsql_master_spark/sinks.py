@@ -1,0 +1,261 @@
+"""Sinks: JDBC/DSQL-style batch upsert, parquet merge, Kafka JSON envelopes.
+
+Reference counterparts:
+- ``DsqlBatchSinkFunction.java:72`` — the fork's centerpiece: buffers events
+  (batch-size 1000 / 30 s timer, :166-180), writes
+  ``INSERT … ON CONFLICT … DO UPDATE`` upserts (:121-122), retries with
+  exponential backoff (``DsqlRetryHelper.java``), deletes by PK.
+- ``DsqlSchemaMapper.java:194-213`` — type → DDL mapping (our
+  ``types.to_sql_ddl``).
+- Kafka sink envelopes: ``JsonSerializationType.java:26-32`` —
+  debezium-json and canal-json.
+
+Spark design: a changelog micro-batch is first reduced to one final event
+per key (``partitioning.last_write_wins`` — the reference achieves the same
+end state by applying the buffer in order), then:
+- upserts go through a DB-API connection per partition via
+  ``foreachPartition`` (executemany batches + exponential-backoff retry) —
+  batching is the micro-batch itself, parallelism is one connection per
+  partition exactly like the reference's one-connection-per-subtask;
+- deletes execute as ``DELETE WHERE (pk) IN (batch)``.
+The writer is tested against DuckDB (Postgres-compatible ON CONFLICT
+syntax); at 100 TB the same class pointed at a real Postgres/DSQL fleet
+shards naturally because the input is already PK-hash partitioned
+(one key never appears in two partitions).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, functions as F
+
+from .events import OP_COLUMN, OP_DELETE, SEQ_COLUMN, UPSERT_OPS
+from .partitioning import last_write_wins
+from .schema import Schema, TableId
+from .types import to_sql_ddl
+
+
+# ---------------------------------------------------------------------------
+# SQL generation (DsqlBatchSinkFunction / DsqlSchemaMapper parity)
+# ---------------------------------------------------------------------------
+
+def create_table_sql(table: str, schema: Schema) -> str:
+    cols = ", ".join(
+        f'"{f.name}" {to_sql_ddl(f)}'
+        + ("" if f.nullable else " NOT NULL")
+        for f in schema.struct.fields)
+    pk = ""
+    if schema.primary_keys:
+        pk = ", PRIMARY KEY (" + ", ".join(
+            f'"{k}"' for k in schema.primary_keys) + ")"
+    return f'CREATE TABLE IF NOT EXISTS {table} ({cols}{pk})'
+
+
+def upsert_sql(table: str, columns: list[str], primary_keys: list[str]) -> str:
+    """``INSERT .. ON CONFLICT (pk) DO UPDATE`` (DsqlBatchSinkFunction:121)."""
+    collist = ", ".join(f'"{c}"' for c in columns)
+    params = ", ".join("?" for _ in columns)
+    pklist = ", ".join(f'"{k}"' for k in primary_keys)
+    sets = ", ".join(
+        f'"{c}" = excluded."{c}"' for c in columns if c not in primary_keys)
+    if not sets:  # pure-PK table: nothing to update
+        return (f'INSERT INTO {table} ({collist}) VALUES ({params}) '
+                f'ON CONFLICT ({pklist}) DO NOTHING')
+    return (f'INSERT INTO {table} ({collist}) VALUES ({params}) '
+            f'ON CONFLICT ({pklist}) DO UPDATE SET {sets}')
+
+
+def delete_sql(table: str, primary_keys: list[str]) -> str:
+    cond = " AND ".join(f'"{k}" = ?' for k in primary_keys)
+    return f'DELETE FROM {table} WHERE {cond}'
+
+
+# ---------------------------------------------------------------------------
+# generic DB-API upsert writer
+# ---------------------------------------------------------------------------
+
+@dataclass
+class RetryPolicy:
+    """Exponential backoff (DsqlRetryHelper parity)."""
+
+    max_retries: int = 3
+    base_delay_s: float = 0.2
+    factor: float = 2.0
+
+    def run(self, fn):
+        attempt = 0
+        while True:
+            try:
+                return fn()
+            except Exception:
+                attempt += 1
+                if attempt > self.max_retries:
+                    raise
+                time.sleep(self.base_delay_s * self.factor ** (attempt - 1))
+
+
+class JdbcUpsertSink:
+    """Changelog → idempotent upsert into a DB-API target.
+
+    `conn_factory` must be a picklable zero-arg callable returning a DB-API
+    connection (executors call it once per partition). `batch_size` chunks
+    executemany calls (sink.batch-size parity, default 1000).
+    """
+
+    def __init__(self, conn_factory, table: str, schema: Schema,
+                 batch_size: int = 1000, retry: RetryPolicy | None = None,
+                 parallel: bool = True):
+        if not schema.primary_keys:
+            raise ValueError("upsert sink requires primary keys")
+        self.conn_factory = conn_factory
+        self.table = table
+        self.schema = schema
+        self.batch_size = batch_size
+        self.retry = retry or RetryPolicy()
+        self.parallel = parallel
+
+    def ensure_table(self) -> None:
+        conn = self.conn_factory()
+        try:
+            conn.execute(create_table_sql(self.table, self.schema))
+            if hasattr(conn, "commit"):
+                conn.commit()
+        finally:
+            conn.close()
+
+    def write_batch(self, df: DataFrame) -> None:
+        """Apply one changelog micro-batch (used from foreachBatch or batch
+        mode). Reduces to final-event-per-key first, then writes upserts and
+        deletes."""
+        pks = list(self.schema.primary_keys)
+        cols = [f.name for f in self.schema.struct.fields]
+        final = last_write_wins(df, pks) if OP_COLUMN in df.columns else df
+
+        sel = [F.col(c) for c in cols]
+        if OP_COLUMN in df.columns:
+            sel.append(F.col(OP_COLUMN))
+        final = final.select(*sel)
+
+        conn_factory = self.conn_factory
+        table, batch_size = self.table, self.batch_size
+        retry = self.retry
+        up_sql = upsert_sql(table, cols, pks)
+        del_sql = delete_sql(table, pks)
+        pk_idx = [cols.index(k) for k in pks]
+        has_op = OP_COLUMN in df.columns
+
+        def write_partition(rows):
+            rows = list(rows)
+            if not rows:
+                return
+            conn = conn_factory()
+            try:
+                ups, dels = [], []
+                for r in rows:
+                    vals = tuple(r[c] for c in cols)
+                    if has_op and r[OP_COLUMN] == OP_DELETE:
+                        dels.append(tuple(vals[i] for i in pk_idx))
+                    elif (not has_op) or r[OP_COLUMN] in UPSERT_OPS:
+                        ups.append(vals)
+                for i in range(0, len(ups), batch_size):
+                    chunk = ups[i : i + batch_size]
+                    retry.run(lambda: conn.executemany(up_sql, chunk))
+                for i in range(0, len(dels), batch_size):
+                    chunk = dels[i : i + batch_size]
+                    retry.run(lambda: conn.executemany(del_sql, chunk))
+                if hasattr(conn, "commit"):
+                    conn.commit()
+            finally:
+                conn.close()
+
+        if self.parallel:
+            final.foreachPartition(write_partition)
+        else:  # single-writer targets (e.g. duckdb file in tests)
+            write_partition(final.toLocalIterator())
+
+
+# ---------------------------------------------------------------------------
+# parquet merge sink (lakehouse MERGE INTO analog for the sandbox)
+# ---------------------------------------------------------------------------
+
+def merge_into_parquet(path: str, changelog: DataFrame,
+                       schema: Schema) -> None:
+    """Read-modify-write MERGE for a parquet target.
+
+    Semantics of Delta/Iceberg ``MERGE INTO`` (the reference's lake sinks):
+    final-image upserts replace matching PKs, final deletes drop them. At
+    scale this would be a real MERGE on a table format with file-level
+    pruning; the parquet variant keeps e2e tests hermetic.
+    """
+    spark = changelog.sparkSession
+    pks = list(schema.primary_keys)
+    final = last_write_wins(changelog, pks)
+    upserts = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
+    deletes = final.where(F.col(OP_COLUMN) == OP_DELETE)
+    drop_cols = [c for c in (OP_COLUMN, SEQ_COLUMN, "__table_id")
+                 if c in changelog.columns]
+    try:
+        cur = spark.read.parquet(path)
+        exists = True
+    except Exception:
+        exists = False
+    if exists:
+        changed_keys = final.select(*pks).distinct()
+        keep = cur.join(changed_keys, on=pks, how="left_anti")
+        out = keep.unionByName(upserts.drop(*drop_cols), allowMissingColumns=True)
+    else:
+        out = upserts.drop(*drop_cols)
+    _ = deletes  # deletes are realized by exclusion via changed_keys
+    out.persist()
+    out.count()
+    out.write.mode("overwrite").parquet(path)
+    out.unpersist()
+
+
+# ---------------------------------------------------------------------------
+# Kafka JSON envelopes (JsonSerializationType.java:26-32)
+# ---------------------------------------------------------------------------
+
+def debezium_json(df: DataFrame, table_id: TableId) -> DataFrame:
+    """Changelog → (key, value) debezium-json strings.
+
+    value = {"before":..., "after":..., "op": c|u|d, "source": {db, table}}
+    — the shape DebeziumJsonSerializationSchema emits.
+    """
+    data_cols = [c for c in df.columns
+                 if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id")]
+    payload = F.struct(*[F.col(c) for c in data_cols])
+    op = F.col(OP_COLUMN)
+    dbz_op = (F.when(op == "+I", "c").when(op == "+U", "u")
+              .when(op == "-U", "u").when(op == "-D", "d"))
+    value = F.to_json(F.struct(
+        F.when(op.isin("-U", "-D"), payload).alias("before"),
+        F.when(op.isin("+I", "+U"), payload).alias("after"),
+        dbz_op.alias("op"),
+        F.struct(
+            F.lit(table_id.schema_name).alias("db"),
+            F.lit(table_id.table).alias("table"),
+        ).alias("source"),
+    ))
+    key = F.to_json(payload)
+    return df.select(key.alias("key"), value.alias("value"))
+
+
+def canal_json(df: DataFrame, table_id: TableId) -> DataFrame:
+    """Changelog → canal-json: {"old": [...], "data": [...], "type": ...}."""
+    data_cols = [c for c in df.columns
+                 if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id")]
+    payload = F.struct(*[F.col(c) for c in data_cols])
+    op = F.col(OP_COLUMN)
+    ctype = (F.when(op == "+I", "INSERT").when(op.isin("-U", "+U"), "UPDATE")
+             .when(op == "-D", "DELETE"))
+    value = F.to_json(F.struct(
+        F.when(op == "-U", F.array(payload)).alias("old"),
+        F.when(op != "-U", F.array(payload)).alias("data"),
+        ctype.alias("type"),
+        F.lit(table_id.schema_name).alias("database"),
+        F.lit(table_id.table).alias("table"),
+    ))
+    return df.select(F.to_json(payload).alias("key"), value.alias("value"))

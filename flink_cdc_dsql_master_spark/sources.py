@@ -1,0 +1,208 @@
+"""Sources: chunked JDBC snapshot, Debezium/Canal JSON decode, and the
+snapshot→stream handoff.
+
+Reference counterparts:
+- ``JdbcSourceChunkSplitter.generateSplits`` (:109-349): split a table into
+  PK-range chunks; *evenly-sized* fast path when the key's distribution
+  factor is inside [0.05, 1000] (``calculateDistributionFactor`` :225-250,
+  factor = (max-min+1)/rowCount; bounds
+  ``MySqlDataSourceOptions.java:192-217``), else *unevenly-sized* chunks via
+  per-chunk ``splitEnd`` queries. ``SnapshotSplit`` carries
+  splitStart/splitEnd/highWatermark (meta/split/SnapshotSplit.java:35-57).
+- Debezium-JSON source decode (the Kafka pipeline wire format),
+  ``JsonSerializationType.java:26-32``.
+- Snapshot→stream handoff (``HybridSplitAssigner``): full snapshot, record
+  the log offset, then tail the log from that offset — DBLog-style.
+
+Spark design:
+- The chunk computation is a **driver-side bound calculation** feeding
+  ``spark.read.jdbc(partitionColumn, lowerBound, upperBound, numPartitions)``
+  — Spark's even-range JDBC partitioning is exactly the reference's
+  evenly-sized fast path; for skewed keys, ``uneven_bounds`` computes
+  quantile-based predicates (one query per chunk boundary, like the
+  reference's uneven path) passed as ``predicates=[...]``.
+- Debezium decode is ``from_json`` + the changelog flattening — all
+  Catalyst.
+- Handoff: batch-load the snapshot (chunked read), record the max offset,
+  then stream micro-batches filtered to ``offset > recorded`` — expressed
+  over any offset-carrying stream (file/kafka) in foreachBatch.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from .events import OP_COLUMN, SEQ_COLUMN
+
+# chunk-key even-distribution factor bounds (MySqlDataSourceOptions.java:192-217)
+EVEN_DISTRIBUTION_FACTOR_UPPER = 1000.0
+EVEN_DISTRIBUTION_FACTOR_LOWER = 0.05
+DEFAULT_CHUNK_SIZE = 8096  # scan.incremental.snapshot.chunk.size default
+
+
+@dataclass(frozen=True)
+class SnapshotSplit:
+    """One chunk of a table snapshot (SnapshotSplit.java:35-57 analog)."""
+
+    split_id: int
+    start: object | None  # None = unbounded low
+    end: object | None  # None = unbounded high
+
+    def predicate(self, col: str) -> str:
+        if self.start is None and self.end is None:
+            return "1=1"
+        if self.start is None:
+            return f"{col} < {self.end}"
+        if self.end is None:
+            return f"{col} >= {self.start}"
+        return f"{col} >= {self.start} AND {col} < {self.end}"
+
+
+def distribution_factor(min_v: float, max_v: float, row_count: int) -> float:
+    """(max - min + 1) / rowCount (JdbcSourceChunkSplitter.java:225-250)."""
+    if row_count == 0:
+        return float("inf")
+    return (max_v - min_v + 1.0) / row_count
+
+
+def split_evenly_sized_chunks(min_v: int, max_v: int, row_count: int,
+                              chunk_size: int = DEFAULT_CHUNK_SIZE
+                              ) -> list[SnapshotSplit]:
+    """Evenly-sized chunk bounds (splitEvenlySizedChunks :327-349): stride =
+    chunk_size * distribution_factor, half-open ranges, unbounded ends."""
+    if row_count <= chunk_size:
+        return [SnapshotSplit(0, None, None)]
+    factor = distribution_factor(min_v, max_v, row_count)
+    stride = max(int(chunk_size * factor), 1)
+    splits = []
+    start = None
+    nxt = min_v + stride
+    i = 0
+    while nxt <= max_v:
+        splits.append(SnapshotSplit(i, start, nxt))
+        start = nxt
+        nxt += stride
+        i += 1
+    splits.append(SnapshotSplit(i, start, None))
+    return splits
+
+
+def uneven_bounds(df: DataFrame, key: str, num_chunks: int,
+                  error: float = 0.001) -> list[SnapshotSplit]:
+    """Skew-aware chunk bounds from approxQuantile — the Spark analog of the
+    reference's per-chunk splitEnd queries (:200-249 uneven path), but one
+    pass instead of N queries. Use when the distribution factor is outside
+    the even bounds."""
+    if num_chunks <= 1:
+        return [SnapshotSplit(0, None, None)]
+    qs = [i / num_chunks for i in range(1, num_chunks)]
+    bounds = df.approxQuantile(key, qs, error)
+    uniq: list[float] = []
+    for b in bounds:
+        if not uniq or b > uniq[-1]:
+            uniq.append(b)
+    splits = []
+    prev = None
+    for i, b in enumerate(uniq):
+        splits.append(SnapshotSplit(i, prev, b))
+        prev = b
+    splits.append(SnapshotSplit(len(uniq), prev, None))
+    return splits
+
+
+def chunked_jdbc_read(spark: SparkSession, url: str, table: str, key: str,
+                      min_v: int, max_v: int, row_count: int,
+                      chunk_size: int = DEFAULT_CHUNK_SIZE,
+                      properties: dict | None = None) -> DataFrame:
+    """Parallel snapshot read with reference-parity chunking decision.
+
+    Even distribution (factor within bounds) → Spark's built-in range
+    partitioning (identical chunks to splitEvenlySizedChunks); uneven →
+    explicit per-chunk predicates.
+    """
+    factor = distribution_factor(min_v, max_v, row_count)
+    props = properties or {}
+    num = max(1, (row_count + chunk_size - 1) // chunk_size)
+    if EVEN_DISTRIBUTION_FACTOR_LOWER <= factor <= EVEN_DISTRIBUTION_FACTOR_UPPER:
+        return spark.read.jdbc(
+            url, table, column=key, lowerBound=min_v, upperBound=max_v + 1,
+            numPartitions=num, properties=props)
+    splits = split_evenly_sized_chunks(min_v, max_v, row_count, chunk_size)
+    preds = [s.predicate(key) for s in splits]
+    return spark.read.jdbc(url, table, predicates=preds, properties=props)
+
+
+# ---------------------------------------------------------------------------
+# Debezium / Canal JSON decode (Kafka pipeline wire format)
+# ---------------------------------------------------------------------------
+
+def decode_debezium_json(df: DataFrame, value_col: str,
+                         payload_schema: T.StructType,
+                         seq_col: str | None = None) -> DataFrame:
+    """(key, value) debezium-json strings → flattened changelog DataFrame.
+
+    op mapping: c/r → +I, u → +U (after image; the before image becomes a
+    -U row), d → -D (before image). Pure from_json + selects.
+    """
+    envelope = T.StructType([
+        T.StructField("before", payload_schema, True),
+        T.StructField("after", payload_schema, True),
+        T.StructField("op", T.StringType(), True),
+    ])
+    p = F.from_json(F.col(value_col), envelope)
+    base = df.withColumn("__dbz", p)
+    seq = F.col(seq_col) if seq_col else F.monotonically_increasing_id()
+
+    def flat(img, op):
+        cols = [F.col(f"__dbz.{img}.{f.name}").alias(f.name)
+                for f in payload_schema.fields]
+        return (base.where(F.col("__dbz.op").isin(*op))
+                .where(F.col(f"__dbz.{img}").isNotNull())
+                .select(*cols,
+                        F.when(F.col("__dbz.op").isin("c", "r"), "+I")
+                        .when(F.col("__dbz.op") == "u",
+                              "+U" if img == "after" else "-U")
+                        .otherwise("-D").alias(OP_COLUMN),
+                        seq.alias(SEQ_COLUMN)))
+
+    inserts = flat("after", ["c", "r"])
+    upd_after = flat("after", ["u"])
+    upd_before = flat("before", ["u"])
+    deletes = flat("before", ["d"])
+    return inserts.unionByName(upd_before).unionByName(upd_after) \
+        .unionByName(deletes)
+
+
+# ---------------------------------------------------------------------------
+# snapshot → stream handoff (HybridSplitAssigner analog)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class SnapshotStreamHandoff:
+    """Coordinates 'full snapshot, then log from recorded offset'.
+
+    1. ``snapshot()`` batch-loads the table and records the high watermark
+       (max offset currently in the log).
+    2. ``stream_filter()`` gives the predicate that drops log records at or
+       below the watermark, so the transition is exactly-once without
+       overlap — the DBLog watermark idea with foreachBatch as the barrier.
+    """
+
+    offset_col: str = SEQ_COLUMN
+    high_watermark: int | None = None
+
+    def snapshot(self, table_df: DataFrame, log_df: DataFrame | None = None
+                 ) -> DataFrame:
+        if log_df is not None:
+            row = log_df.agg(F.max(self.offset_col).alias("hw")).collect()[0]
+            self.high_watermark = row["hw"] if row["hw"] is not None else -1
+        else:
+            self.high_watermark = -1
+        return table_df
+
+    def stream_filter(self, log_df: DataFrame) -> DataFrame:
+        if self.high_watermark is None:
+            raise RuntimeError("call snapshot() before streaming")
+        return log_df.where(F.col(self.offset_col) > self.high_watermark)
