@@ -355,12 +355,11 @@ def get_embedding_udf(embed_fn=None, dim: int = 64):
     a seeded hash-derived unit vector per text (stable across runs and
     executors), so plumbing and downstream similarity ops are testable.
     """
-    import numpy as np
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("array<float>")
-    def get_embedding(texts: pd.Series) -> pd.Series:
+    def get_embedding(texts):
+        import numpy as np
+
         if embed_fn is not None:
             return embed_fn(texts)
 
@@ -375,17 +374,15 @@ def get_embedding_udf(embed_fn=None, dim: int = 64):
 
         return texts.map(fake)
 
-    return get_embedding
+    return pandas_udf(get_embedding, "array<float>")
 
 
 def ai_chat_predict_udf(chat_fn=None):
     """AI_CHAT_PREDICT(prompt) → string; deterministic echo fake without a
     client (prompt-hash tag), batched via Arrow like the embedding path."""
-    import pandas as pd
     from pyspark.sql.functions import pandas_udf
 
-    @pandas_udf("string")
-    def ai_chat_predict(prompts: pd.Series) -> pd.Series:
+    def ai_chat_predict(prompts):
         if chat_fn is not None:
             return chat_fn(prompts)
         import hashlib
@@ -394,4 +391,4 @@ def ai_chat_predict_udf(chat_fn=None):
             lambda p: None if p is None
             else f"[stub-reply:{hashlib.md5(p.encode()).hexdigest()[:8]}]")
 
-    return ai_chat_predict
+    return pandas_udf(ai_chat_predict, "string")

@@ -1,0 +1,929 @@
+"""Registered conformance queries + DuckDB oracle SQL.
+
+Every implemented operator from SURVEY.md §2 (plus the LLM-pipeline
+operators) gets a named query here; ``__spark_entry__.py`` exposes them to
+the driver, which runs each Spark query against the matching oracle SQL at
+sf0.01 (row-count + schema + order-insensitive value-hash).
+
+Conventions that make the hash comparison work:
+- every computed/aggregate column is aliased identically on both sides;
+- doubles that accumulate in different orders (sums/avgs) are rounded on
+  both sides (rounding a double at 2-6 decimals is tie-free in practice:
+  the binary value is never exactly at the .5 boundary);
+- counts are cast to BIGINT on both sides (DuckDB len()/SUM(int) widen);
+- Spark's double→int CAST truncates (reference parity) while DuckDB's
+  rounds, so oracles spell ``CAST(trunc(x) AS INT)``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from .compose import BatchComposer
+from .evolve import SchemaEvolver
+from .events import (
+    CreateTableEvent,
+    OP_COLUMN,
+    SEQ_COLUMN,
+)
+from .merging import coerce_dataframe
+from .operators import dedup, similarity, text
+from .partitioning import apply_changelog, bucket_expr, last_write_wins
+from .route import fan_in
+from .schema import Schema, TableId
+from .transform import TransformEngine, TransformRule
+
+QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLE: dict[str, str] = {}
+
+BENCH_QUERIES = [
+    "agg_pricing_summary",
+    "join_customer_orders",
+    "transform_projection_filter",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk",
+    "text_stats",
+    "cdc_apply_changelog",
+    "topk_orders_window",
+    "sessionize_events",
+]
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLE[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# transform engine (§2.3) — projection / filter / metadata / soft-delete
+# ---------------------------------------------------------------------------
+
+_CUST_TID = TableId.parse("tpch.public.customer")
+
+
+@_q(
+    "transform_projection_filter",
+    """
+    SELECT c_custkey, UPPER(c_name) AS name_upper, c_acctbal, c_mktsegment
+    FROM customer
+    WHERE c_acctbal > 1000.0 AND regexp_matches(c_mktsegment, 'AUTO.*')
+    """,
+)
+def transform_projection_filter(spark, sf_dir):
+    """Reference transform rule: projection + filter + regex-LIKE.
+
+    Parity: PostTransformOperator.java:128-420 + SystemFunctionUtils
+    LIKE-as-regex-find (:456-462).
+    """
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.customer",
+        projection=("c_custkey, UPPER(c_name) AS name_upper, c_acctbal, "
+                    "c_mktsegment"),
+        filter="c_acctbal > 1000.0 AND c_mktsegment LIKE 'AUTO.*'",
+    )])
+    return eng.apply(_t(spark, sf_dir, "customer"), _CUST_TID)
+
+
+@_q(
+    "transform_wildcard_computed",
+    """
+    SELECT *, ROUND(p_retailprice * 1.1, 2) AS price_taxed
+    FROM part WHERE p_size >= 10 AND p_size <= 40
+    """,
+)
+def transform_wildcard_computed(spark, sf_dir):
+    """Asterisk expansion + appended computed column + BETWEEN filter
+    (FlinkPipelineTransformITCase wildcard cases :1528/:1623)."""
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.part",
+        projection="*, ROUND(p_retailprice * 1.1, 2) AS price_taxed",
+        filter="p_size BETWEEN 10 AND 40",
+    )])
+    return eng.apply(_t(spark, sf_dir, "part"),
+                     TableId.parse("tpch.public.part"))
+
+
+@_q(
+    "transform_multi_rule_dispatch",
+    """
+    SELECT o_orderkey, o_totalprice,
+           CASE WHEN o_totalprice > 200000.0 THEN 'high' ELSE 'low' END AS tier
+    FROM orders
+    """,
+)
+def transform_multi_rule_dispatch(spark, sf_dir):
+    """First-filter-pass multi-rule dispatch
+    (PostTransformOperator.java:289-331)."""
+    eng = TransformEngine([
+        TransformRule(
+            r"tpch.public.orders",
+            projection="o_orderkey, o_totalprice, 'high' AS tier",
+            filter="o_totalprice > 200000.0",
+        ),
+        TransformRule(
+            r"tpch.public.orders",
+            projection="o_orderkey, o_totalprice, 'low' AS tier",
+        ),
+    ])
+    return eng.apply(_t(spark, sf_dir, "orders"),
+                     TableId.parse("tpch.public.orders"))
+
+
+@_q(
+    "transform_metadata_columns",
+    """
+    SELECT n_nationkey, n_name, 'tpch' AS ns, 'public' AS sch,
+           'nation' AS tbl
+    FROM nation
+    """,
+)
+def transform_metadata_columns(spark, sf_dir):
+    """Metadata columns __namespace_name__/__schema_name__/__table_name__
+    (MetadataColumns.java:28-40)."""
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.nation",
+        projection=("n_nationkey, n_name, __namespace_name__ AS ns, "
+                    "__schema_name__ AS sch, __table_name__ AS tbl"),
+    )])
+    return eng.apply(_t(spark, sf_dir, "nation"),
+                     TableId.parse("tpch.public.nation"))
+
+
+def _events_table(spark, sf_dir) -> DataFrame:
+    """events.parquet stores TIMESTAMP(NANOS) which Spark's vectorized
+    reader rejects; read nanos as long and rebuild a (micro) timestamp.
+    Set defensively at runtime so any caller-provided session works."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ev
+
+
+def _events_changelog(spark, sf_dir) -> DataFrame:
+    """events table → changelog: signup=+I, error=-D, others=+U; seq=event_id."""
+    ev = _events_table(spark, sf_dir)
+    op = (F.when(F.col("event_type") == "signup", "+I")
+          .when(F.col("event_type") == "error", "-D")
+          .otherwise("+U"))
+    return ev.withColumn(OP_COLUMN, op).withColumn(
+        SEQ_COLUMN, F.col("event_id"))
+
+
+_CHANGELOG_ORACLE_OP = ("CASE WHEN event_type = 'signup' THEN '+I' "
+                        "WHEN event_type = 'error' THEN '-D' "
+                        "ELSE '+U' END")
+
+
+@_q(
+    "transform_soft_delete",
+    f"""
+    SELECT event_id, event_type, {_CHANGELOG_ORACLE_OP} AS det
+    FROM events
+    """,
+)
+def transform_soft_delete(spark, sf_dir):
+    """SOFT_DELETE converter: -D becomes +I, projected __data_event_type__
+    keeps the original op (SoftDeleteConverter.java:40)."""
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.events",
+        projection="event_id, event_type, __data_event_type__ AS det",
+        converter_after_transform="SOFT_DELETE",
+    )])
+    out = eng.apply(_events_changelog(spark, sf_dir),
+                    TableId.parse("tpch.public.events"))
+    return out.drop(OP_COLUMN, SEQ_COLUMN)
+
+
+# ---------------------------------------------------------------------------
+# scalar-function families (§2.5) — reference semantics via exprs.py
+# ---------------------------------------------------------------------------
+
+@_q(
+    "fn_comparison_null_semantics",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal > 5000.0 THEN c_acctbal END AS nb
+    FROM customer
+    WHERE c_acctbal <= 5000.0 OR c_acctbal <> 9999.0
+    """,
+)
+def fn_comparison_null_semantics(spark, sf_dir):
+    """NULL→FALSE comparisons and <> NULL→TRUE
+    (SystemFunctionUtils.valueEquals:752, JaninoCompiler.java:265):
+    NULL nb rows survive `nb <> 9999` (TRUE) and `nb IS NULL` (TRUE)."""
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.customer",
+        projection=("c_custkey, CASE WHEN c_acctbal > 5000.0 THEN c_acctbal "
+                    "ELSE NULL END AS nb"),
+        filter="nb <> 9999.0 AND (nb > 2500.0 OR nb IS NULL)",
+    )])
+    return eng.apply(_t(spark, sf_dir, "customer"), _CUST_TID)
+
+
+@_q(
+    "fn_string",
+    """
+    SELECT p_partkey,
+           p_brand || '-' || p_type AS pb,
+           CAST(length(p_name) AS INT) AS nlen,
+           UPPER(p_name) AS un,
+           LOWER(p_brand) AS lb,
+           TRIM(p_name) AS tn,
+           regexp_replace(p_type, ' ', '_', 'g') AS pt,
+           substr(p_name, 1, 5) AS pfx
+    FROM part
+    """,
+)
+def fn_string(spark, sf_dir):
+    """CONCAT/CHAR_LENGTH/UPPER/LOWER/TRIM/REGEXP_REPLACE/SUBSTR
+    (SystemFunctionUtils.java:423-531; regexpReplace is global like Java
+    replaceAll)."""
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.part",
+        projection=("p_partkey, CONCAT(p_brand, '-', p_type) AS pb, "
+                    "CHAR_LENGTH(p_name) AS nlen, UPPER(p_name) AS un, "
+                    "LOWER(p_brand) AS lb, TRIM(p_name) AS tn, "
+                    "REGEXP_REPLACE(p_type, ' ', '_') AS pt, "
+                    "SUBSTR(p_name, 1, 5) AS pfx"),
+    )])
+    out = eng.apply(_t(spark, sf_dir, "part"),
+                    TableId.parse("tpch.public.part"))
+    return out.withColumn("nlen", F.col("nlen").cast("int"))
+
+
+@_q(
+    "fn_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(abs(l_discount - 0.05), 4) AS ad,
+           CAST(ceil(l_extendedprice / 1000.0) AS BIGINT) AS ce,
+           CAST(floor(l_extendedprice / 1000.0) AS BIGINT) AS fl,
+           ROUND(l_quantity / 2.0, 0) AS rq,
+           CAST(trunc(l_quantity) AS INT) % 7 AS qm
+    FROM lineitem
+    """,
+)
+def fn_arithmetic(spark, sf_dir):
+    """ABS/CEIL/FLOOR/ROUND/% (SystemFunctionUtils.java:534-742). Spark
+    CEIL/FLOOR return BIGINT; ROUND double HALF_UP == DuckDB half-away for
+    non-tie binary values."""
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.lineitem",
+        projection=("l_orderkey, l_linenumber, "
+                    "ROUND(ABS(l_discount - 0.05), 4) AS ad, "
+                    "CEIL(l_extendedprice / 1000.0) AS ce, "
+                    "FLOOR(l_extendedprice / 1000.0) AS fl, "
+                    "ROUND(l_quantity / 2.0, 0) AS rq, "
+                    "CAST(l_quantity AS INT) % 7 AS qm"),
+    )])
+    return eng.apply(_t(spark, sf_dir, "lineitem"),
+                     TableId.parse("tpch.public.lineitem"))
+
+
+@_q(
+    "fn_temporal",
+    """
+    SELECT o_orderkey,
+           strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS fmt,
+           CAST(epoch(o_orderdate) AS BIGINT) AS ut,
+           o_orderdate + INTERVAL 7 DAY AS plus7,
+           CAST(strftime(o_orderdate, '%Y') AS INT) AS yr
+    FROM orders
+    """,
+)
+def fn_temporal(spark, sf_dir):
+    """DATE_FORMAT (SimpleDateFormat patterns), UNIX_TIMESTAMP,
+    TIMESTAMPADD (SystemFunctionUtils.java:54-265)."""
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.orders",
+        projection=("o_orderkey, "
+                    "DATE_FORMAT(o_orderdate, 'yyyy-MM-dd HH:mm:ss') AS fmt, "
+                    "UNIX_TIMESTAMP(DATE_FORMAT(o_orderdate, "
+                    "'yyyy-MM-dd HH:mm:ss')) AS ut, "
+                    "TIMESTAMPADD(DAY, 7, o_orderdate) AS plus7, "
+                    "CAST(DATE_FORMAT(o_orderdate, 'yyyy') AS INT) AS yr"),
+    )])
+    return eng.apply(_t(spark, sf_dir, "orders"),
+                     TableId.parse("tpch.public.orders"))
+
+
+@_q(
+    "fn_conditional",
+    """
+    SELECT c_custkey,
+           CASE c_mktsegment WHEN 'BUILDING' THEN 'B'
+                WHEN 'AUTOMOBILE' THEN 'A' ELSE 'O' END AS seg_code,
+           COALESCE(NULL, c_name) AS nm,
+           CASE WHEN c_acctbal > 0.0 THEN 'pos' ELSE 'nonpos' END AS sgn
+    FROM customer
+    """,
+)
+def fn_conditional(spark, sf_dir):
+    """CASE (both forms) / COALESCE / IF
+    (TransformSqlOperatorTable.java:306-352)."""
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.customer",
+        projection=("c_custkey, "
+                    "CASE c_mktsegment WHEN 'BUILDING' THEN 'B' "
+                    "WHEN 'AUTOMOBILE' THEN 'A' ELSE 'O' END AS seg_code, "
+                    "COALESCE(NULL, c_name) AS nm, "
+                    "IF(c_acctbal > 0.0, 'pos', 'nonpos') AS sgn"),
+    )])
+    return eng.apply(_t(spark, sf_dir, "customer"), _CUST_TID)
+
+
+@_q(
+    "fn_cast",
+    """
+    SELECT p_partkey,
+           CAST(trunc(p_retailprice) AS INT) AS price_int,
+           CAST(substr(p_brand, 7, 2) AS INT) AS brand_num,
+           CAST(p_size AS VARCHAR) AS size_str,
+           CAST(CAST(p_retailprice AS DECIMAL(12,2)) AS DOUBLE) AS price_dec,
+           CAST(trunc(CAST(CAST(p_retailprice AS VARCHAR) AS DOUBLE)) AS INT)
+             AS roundtrip_int
+    FROM part
+    """,
+)
+def fn_cast(spark, sf_dir):
+    """Reference CASTs: truncate-toward-zero narrowing + string→double→int
+    fallback + null-on-failure (SystemFunctionUtils.java:765-1028).
+    DuckDB's double→int cast rounds, so the oracle spells trunc()."""
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.part",
+        projection=("p_partkey, "
+                    "CAST(p_retailprice AS INT) AS price_int, "
+                    "CAST(SUBSTR(p_brand, 7, 2) AS INT) AS brand_num, "
+                    "CAST(p_size AS STRING) AS size_str, "
+                    "CAST(CAST(p_retailprice AS DECIMAL(12, 2)) AS DOUBLE) "
+                    "AS price_dec, "
+                    "CAST(CAST(p_retailprice AS STRING) AS INT) "
+                    "AS roundtrip_int"),
+    )])
+    return eng.apply(_t(spark, sf_dir, "part"),
+                     TableId.parse("tpch.public.part"))
+
+
+# ---------------------------------------------------------------------------
+# CDC discipline (§2.2/§2.8): last-write-wins + changelog materialization
+# ---------------------------------------------------------------------------
+
+@_q(
+    "cdc_apply_changelog",
+    f"""
+    SELECT user_id, event_type, value, event_id AS last_seq
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM events
+    ) t
+    WHERE rn = 1 AND event_type <> 'error'
+    """,
+)
+def cdc_apply_changelog(spark, sf_dir):
+    """Changelog → final table state: last-write-wins per PK then drop
+    final deletes (DsqlBatchSinkFunction upsert+delete semantics,
+    RegularPrePartitionOperator per-key ordering)."""
+    cl = _events_changelog(spark, sf_dir).select(
+        "user_id", "event_type", "value",
+        F.col("event_id").alias("last_seq"), OP_COLUMN, SEQ_COLUMN)
+    return apply_changelog(cl, ["user_id"])
+
+
+@_q(
+    "cdc_last_write_wins",
+    """
+    SELECT user_id, event_id, event_type, value
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+)
+def cdc_last_write_wins(spark, sf_dir):
+    """Window last-write-wins reduction only (keeps final deletes)."""
+    cl = _events_changelog(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "value", OP_COLUMN, SEQ_COLUMN)
+    return last_write_wins(cl, ["user_id"]).drop(OP_COLUMN, SEQ_COLUMN)
+
+
+@_q(
+    "partition_bucket_distribution",
+    """
+    SELECT ((l_orderkey % 2147483648) * 2654435761 % 2147483648) % 32
+             AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY 1
+    """,
+)
+def partition_bucket_distribution(spark, sf_dir):
+    """Portable multiplicative PK-hash bucketing
+    (DefaultDataChangeEventHashFunctionProvider.java:57-73 analog) —
+    same arithmetic runs in any SQL engine, enabling cross-engine
+    verification of partition placement."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.withColumn("bucket", bucket_expr("l_orderkey", 32))
+            .groupBy("bucket").agg(F.count("*").alias("n")))
+
+
+# ---------------------------------------------------------------------------
+# routing / fan-in (§2.7) + schema evolution (§2.9)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "route_fan_in_merge",
+    """
+    SELECT acct_id, name, nationkey, acctbal, src FROM (
+      SELECT c_custkey AS acct_id, c_name AS name,
+             c_nationkey AS nationkey, c_acctbal AS acctbal,
+             'customer' AS src FROM customer
+      UNION ALL
+      SELECT s_suppkey, s_name, s_nationkey, s_acctbal, 'supplier'
+      FROM supplier)
+    """,
+)
+def route_fan_in_merge(spark, sf_dir):
+    """Fan-in route: two source tables → one sink with least-common-type
+    schema merge (TableIdRouter.java:76-108 +
+    SchemaMergingUtils.getLeastCommonType:462)."""
+    eng = TransformEngine([
+        TransformRule(
+            r"tpch.public.customer",
+            projection=("c_custkey AS acct_id, c_name AS name, "
+                        "c_nationkey AS nationkey, c_acctbal AS acctbal, "
+                        "__table_name__ AS src"),
+        ),
+        TransformRule(
+            r"tpch.public.supplier",
+            projection=("s_suppkey AS acct_id, s_name AS name, "
+                        "s_nationkey AS nationkey, s_acctbal AS acctbal, "
+                        "__table_name__ AS src"),
+        ),
+    ])
+    cust_tid = TableId.parse("tpch.public.customer")
+    supp_tid = TableId.parse("tpch.public.supplier")
+    c = eng.apply(_t(spark, sf_dir, "customer"), cust_tid)
+    s = eng.apply(_t(spark, sf_dir, "supplier"), supp_tid)
+    sc = Schema.of(c.schema, primary_keys=["acct_id"])
+    ss = Schema.of(s.schema, primary_keys=["acct_id"])
+    merged, _schema = fan_in([c, s], [sc, ss])
+    return merged
+
+
+@_q(
+    "evolve_add_column",
+    """
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    """,
+)
+def evolve_add_column(spark, sf_dir):
+    """Mid-stream AddColumn: batch 1 lacks c_acctbal, batch 2 carries it;
+    the evolver widens the registry schema and old rows coerce with NULL
+    fill (SchemaUtils.applySchemaChangeEvent + LENIENT,
+    SchemaDerivator.java:185-280)."""
+    full = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    batch1 = full.select("c_custkey", "c_name")
+    tid = TableId.parse("tpch.public.customer_evolve")
+
+    ev = SchemaEvolver()
+    ev.on_event(CreateTableEvent(
+        tid, Schema.of(batch1.schema, primary_keys=["c_custkey"])))
+    for drift in ev.infer_drift_events(
+            tid, Schema.of(full.schema, primary_keys=["c_custkey"])):
+        ev.on_event(drift)
+    target = ev.manager.latest_evolved(tid)
+    out1 = coerce_dataframe(batch1, target)
+    out2 = coerce_dataframe(full, target)
+    return out1.unionByName(out2)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators: dedup / similarity / text analysis
+# ---------------------------------------------------------------------------
+
+@_q(
+    "dedup_exact",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))
+        ORDER BY doc_id ASC) AS rn
+      FROM documents) t
+    WHERE rn = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    """Exact content dedup: one row per normalized text, smallest doc_id
+    wins. One shuffle on the content hash — the 100 TB-safe plan."""
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+_SHINGLE_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                'g')), ' ') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(w) - 2, 1) + 1),
+           i -> array_to_string(w[i:i+2], ' '))) AS shingles
+  FROM norm),
+ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+          FROM ex GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(COUNT(*) AS BIGINT) AS inter
+  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+"""
+
+
+@_q(
+    "dedup_ngram_jaccard",
+    _SHINGLE_SQL + """
+    SELECT id_a, id_b, ROUND(CAST(inter AS DOUBLE) /
+                             (sa.sz + sb.sz - inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    """EXACT n-gram Jaccard near-dup pairs — shingle-explode hash-join,
+    O(total shingles) shuffle, never O(N²)."""
+    out = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@_q("dedup_minhash_lsh")  # approximate banding → rows-only oracle
+def dedup_minhash_lsh(spark, sf_dir):
+    """Banded MinHash-LSH near-dup candidates verified by exact Jaccard.
+    Non-SQL-expressible (seeded hash family) → rows-only check; the exact
+    twin `dedup_ngram_jaccard` is the hash-checked oracle of record."""
+    out = dedup.minhash_lsh_pairs(
+        _t(spark, sf_dir, "documents"), threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@_q("dedup_simhash")  # seeded fingerprint → rows-only oracle
+def dedup_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (Hamming ≤ 3 via 4×16-bit pigeonhole
+    banding)."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+
+
+@_q("dedup_embedding_cosine")  # seeded hyperplanes → rows-only oracle
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup via random-hyperplane LSH bucket + exact cosine."""
+    out = dedup.embedding_cosine_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.99)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+_COS_SQL = """
+list_sum(list_transform(range(1, 65),
+  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+/ (sqrt(list_sum(list_transform(range(1, 65),
+    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
+ * sqrt(list_sum(list_transform(range(1, 65),
+    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
+"""
+
+
+@_q(
+    "similarity_topk",
+    f"""
+    SELECT query_id, nbr_id, ROUND(cosine, 6) AS cosine FROM (
+      SELECT q.query_id, e.vec_id AS nbr_id, {_COS_SQL} AS cosine
+      FROM embeddings e,
+           (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 5) q
+      WHERE e.vec_id <> q.query_id)
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id ASC) <= 10
+    """,
+)
+def similarity_topk(spark, sf_dir):
+    """Exact brute-force cosine top-k: corpus never shuffles, query block
+    broadcast, dot product in whole-stage codegen."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    out = similarity.cosine_topk(emb, q, k=10)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@_q("similarity_ivf")  # approximate (probes seeded centroids) → rows-only
+def similarity_ivf(spark, sf_dir):
+    """IVF-bucketed ANN top-k — the scale path: probes n_probe/n_cells of
+    the corpus instead of all of it."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    out = similarity.ivf_topk(emb, q, k=10)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+_TEXT_TOKENS_SQL = "string_split_regex(trim(text), '\\s+')"
+_STOPWORDS_SQL = ("['the','a','an','and','or','of','to','in','is','it',"
+                  "'that','for','on','as','with']")
+
+
+@_q(
+    "text_stats",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_TEXT_TOKENS_SQL}) END AS INT) AS n_tokens,
+             CAST(length(text) AS INT) AS n_chars_calc,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT) AS n_punct,
+             CAST(len(regexp_extract_all(text, '\\d')) AS INT) AS n_digit,
+             CAST(len(list_filter({_TEXT_TOKENS_SQL},
+                  w -> list_contains({_STOPWORDS_SQL}, lower(w))))
+                  AS INT) AS n_stop
+      FROM documents)
+    SELECT doc_id, n_tokens, n_chars_calc,
+      ROUND(CASE WHEN n_tokens > 0 THEN
+        CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens
+        ELSE 0.0 END, 6) AS avg_word_len,
+      ROUND(CASE WHEN n_chars_calc > 0 THEN
+        CAST(n_punct AS DOUBLE) / n_chars_calc ELSE 0.0 END, 6)
+        AS punct_ratio,
+      ROUND(CASE WHEN n_tokens > 0 THEN
+        CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END, 6)
+        AS stopword_ratio
+    FROM base
+    """,
+)
+def text_stats(spark, sf_dir):
+    """Quality features: token/char counts, word length, punct/stopword
+    ratios — all regexp/split built-ins, zero Python in the row path."""
+    out = text.quality_features(_t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id",
+        F.col("n_tokens").cast("int").alias("n_tokens"),
+        F.col("n_chars_calc").cast("int").alias("n_chars_calc"),
+        F.round("avg_word_len", 6).alias("avg_word_len"),
+        F.round("punct_ratio", 6).alias("punct_ratio"),
+        F.round("stopword_ratio", 6).alias("stopword_ratio"),
+    )
+
+
+_LANG_VALUES_SQL = """
+(VALUES ('de', ['der','die','und','ist','das']),
+        ('en', ['the','and','of','to','is']),
+        ('es', ['el','la','que','es','los']),
+        ('fr', ['le','la','et','est','les']),
+        ('zh', ['的','是','了','在','我'])) l(lang, markers)
+"""
+
+
+@_q(
+    "text_langid",
+    f"""
+    WITH w AS (
+      SELECT doc_id,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents),
+    scores AS (
+      SELECT doc_id, l.lang,
+             CAST(len(list_filter(ws, x -> list_contains(l.markers, x)))
+                  AS DOUBLE) / greatest(len(ws), 1) AS score
+      FROM w, {_LANG_VALUES_SQL}),
+    best AS (
+      SELECT doc_id, lang, score FROM scores
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, lang DESC) = 1)
+    SELECT doc_id, CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+    FROM best
+    """,
+)
+def text_langid(spark, sf_dir):
+    """Marker-stopword language ID (argmax over per-language hit shares,
+    ties → max lang code)."""
+    out = text.detect_language(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lang_pred")
+
+
+@_q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+      list_reduce(
+        list_prepend(CAST(0 AS BIGINT),
+          list_transform(
+            regexp_extract_all(
+              trim(regexp_replace(lower(text), '\\s+', ' ', 'g')), '.'),
+            c -> CAST(ascii(c) AS BIGINT))),
+        (acc, x) -> (acc * 257 + x) % 2147483647) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    """Polynomial rolling-hash document fingerprint — order-sensitive,
+    cross-engine reproducible (same base/modulus arithmetic)."""
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        text.rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@_q("multimodal_features")  # stubbed decode kernel → rows-only oracle
+def multimodal_features(spark, sf_dir):
+    """Multimodal plumbing: documents' text bytes as stand-in binary
+    payloads → Arrow-batched mapInPandas feature extraction (decode kernel
+    stubbed; the distributed plan is the real thing)."""
+    from .operators import multimodal
+
+    docs = _t(spark, sf_dir, "documents")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"))
+    feats = multimodal.extract_features(media, dim=8)
+    return feats.select(
+        "media_id", "decode_ok",
+        F.size("feature").alias("feature_dim"))
+
+
+@_q("ai_get_embedding")  # deterministic stub transport → rows-only oracle
+def ai_get_embedding(spark, sf_dir):
+    """GET_EMBEDDING as a batched pandas_udf
+    (OpenAIEmbeddingModel.java:57-84 shape; transport stubbed)."""
+    from .functions import get_embedding_udf
+
+    docs = _t(spark, sf_dir, "documents").limit(200)
+    emb = get_embedding_udf(dim=16)
+    out = docs.select("doc_id", emb(F.col("text")).alias("embedding"))
+    return out.select("doc_id", F.size("embedding").alias("dim"))
+
+
+# ---------------------------------------------------------------------------
+# analytics the reference lacks but Spark provides (SURVEY §2.6) — these are
+# also the bench headliners
+# ---------------------------------------------------------------------------
+
+@_q(
+    "agg_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)))
+             AS DOUBLE) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2)
+             AS sum_disc_price,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           CAST(COUNT(*) AS BIGINT) AS count_order
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def agg_pricing_summary(spark, sf_dir):
+    """TPC-H Q1-shaped pricing summary (map-side partial agg → one shuffle;
+    decimal sums are bit-exact cross-engine)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double").alias("sum_qty"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double").alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice")
+                          * (1 - F.col("l_discount"))), 2)
+            .alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_q(
+    "join_customer_orders",
+    """
+    SELECT c_mktsegment, ROUND(SUM(o_totalprice), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def join_customer_orders(spark, sf_dir):
+    """Broadcast dimension join: customer is the small side → no shuffle of
+    orders; verified in the plan (BroadcastHashJoin)."""
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(cust),
+                    orders.o_custkey == cust.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+             F.count("*").alias("n_orders"))
+    )
+
+
+@_q(
+    "topk_orders_window",
+    """
+    SELECT o_orderpriority, o_orderkey, o_totalprice FROM orders
+    QUALIFY row_number() OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_totalprice DESC,
+                                        o_orderkey ASC) <= 3
+    """,
+)
+def topk_orders_window(spark, sf_dir):
+    """Per-group top-k via window (deterministic tiebreak)."""
+    orders = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (orders.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= 3)
+            .select("o_orderpriority", "o_orderkey", "o_totalprice"))
+
+
+@_q(
+    "sessionize_events",
+    """
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, CAST(SUM(new_s) AS BIGINT) AS n_sessions,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM marked GROUP BY user_id
+    """,
+)
+def sessionize_events(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + cumulative flag,
+    one shuffle on user_id."""
+    ev = _events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1).otherwise(0)
+    return (ev.withColumn("new_s", new_s)
+            .groupBy("user_id")
+            .agg(F.sum("new_s").cast("long").alias("n_sessions"),
+                 F.count("*").alias("n_events")))
+
+
+# ---------------------------------------------------------------------------
+# YAML pipeline end-to-end (§2.10/§3.1)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "pipeline_yaml_e2e",
+    """
+    SELECT r_regionkey AS rk, UPPER(r_name) AS region_name FROM region
+    WHERE r_regionkey >= 1
+    """,
+)
+def pipeline_yaml_e2e(spark, sf_dir):
+    """Full YAML pipeline: parse → compose → transform → route → result
+    (CliFrontend/YamlPipelineDefinitionParser/FlinkPipelineComposer path)."""
+    from .pipeline import parse_pipeline_yaml
+
+    yaml_text = f"""
+source:
+  type: parquet
+  path: "{sf_dir}"
+  table-list: ["tpch.public.region"]
+sink:
+  type: values
+transform:
+  - source-table: tpch.public.region
+    projection: "r_regionkey AS rk, UPPER(r_name) AS region_name"
+    filter: "r_regionkey >= 1"
+route:
+  - source-table: tpch.public.region
+    sink-table: analytics.out.regions
+pipeline:
+  name: e2e-test
+"""
+    pipe = parse_pipeline_yaml(yaml_text)
+    composer = BatchComposer(spark, pipe)
+    result = composer.run()
+    out = result.tables[TableId.parse("analytics.out.regions")]
+    return out.select("rk", "region_name")

@@ -238,7 +238,7 @@ def debezium_json(df: DataFrame, table_id: TableId) -> DataFrame:
             F.lit(table_id.schema_name).alias("db"),
             F.lit(table_id.table).alias("table"),
         ).alias("source"),
-    ))
+    ), {"ignoreNullFields": "false"})
     key = F.to_json(payload)
     return df.select(key.alias("key"), value.alias("value"))
 
@@ -257,5 +257,5 @@ def canal_json(df: DataFrame, table_id: TableId) -> DataFrame:
         ctype.alias("type"),
         F.lit(table_id.schema_name).alias("database"),
         F.lit(table_id.table).alias("table"),
-    ))
+    ), {"ignoreNullFields": "false"})
     return df.select(F.to_json(payload).alias("key"), value.alias("value"))

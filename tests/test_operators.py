@@ -1,0 +1,173 @@
+"""LLM-pipeline operator tests: dedup, similarity, text, multimodal."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_dsql_master_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
+
+
+@pytest.fixture()
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (3, "the quick brown fox jumps over a lazy dog"),    # near dup
+        (4, "completely different content about spark engines"),
+        (5, "  The   quick brown fox jumps over the lazy dog "),  # norm dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_normalized(docs):
+    out = dedup.exact_dedup(docs)
+    ids = sorted(r["doc_id"] for r in out.collect())
+    assert ids == [1, 3, 4]  # 2 and 5 collapse into 1
+
+
+def test_minhash_finds_near_dup(docs):
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.5, num_hashes=32,
+                                    bands=16)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got and (1, 5) in got  # exact dups always collide
+    assert all(r["jaccard"] >= 0.5 for r in pairs.collect())
+
+
+def test_ngram_jaccard_exact_pairs(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.3)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0 and got[(1, 5)] == 1.0
+    # one word differs out of 9 → 3 of 7 shingles change → J = 4/10
+    assert got[(1, 3)] == pytest.approx(0.4)
+    assert (1, 4) not in got
+
+
+def test_simhash_hamming(docs):
+    pairs = dedup.simhash_pairs(docs, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in pairs.collect()}
+    assert got[(1, 2)] == 0 and got[(1, 5)] == 0
+
+
+def test_minhash_agrees_with_exact_jaccard(docs):
+    """MinHash estimate within tolerance of exact Jaccard on candidates."""
+    mh = {(r["id_a"], r["id_b"]): r["jaccard"]
+          for r in dedup.minhash_lsh_pairs(docs, threshold=0.1,
+                                           num_hashes=64, bands=32).collect()}
+    exact = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.ngram_jaccard_pairs(docs, threshold=0.1).collect()}
+    for pair, j in mh.items():
+        if pair in exact:
+            assert j == pytest.approx(exact[pair], abs=0.01)
+            # verification step IS exact jaccard, so equality expected
+
+
+@pytest.fixture()
+def vectors(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0, 0.0]),
+        (2, [0.99, 0.1, 0.0, 0.0]),
+        (3, [0.0, 1.0, 0.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_cosine_topk_ordering(vectors):
+    q = vectors.where(F.col("vec_id") == 1)
+    out = similarity.cosine_topk(vectors, q, k=3)
+    rows = out.orderBy(F.desc("cosine")).collect()
+    assert [r["nbr_id"] for r in rows] == [2, 3, 4]
+    assert rows[0]["cosine"] == pytest.approx(0.995, abs=1e-3)
+
+
+def test_embedding_dup_pairs(vectors):
+    pairs = dedup.embedding_cosine_dup_pairs(
+        vectors, threshold=0.95, bucket_bits=4, seed=1)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # 1 and 2 are near-identical; hyperplane bucket should group them
+    assert got == {(1, 2)} or (1, 2) in got
+
+
+def test_ivf_recalls_exact_neighbor(spark):
+    import random
+
+    rng = random.Random(0)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(64)]) for i in range(100)]
+    # plant a near-duplicate of vector 0
+    rows.append((100, [x + 0.01 for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 100)
+    out = similarity.ivf_topk(df, q, k=1, n_cells=8, n_probe=4)
+    assert out.collect()[0]["nbr_id"] == 0
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "one two three"), (2, ""), (3, "   ")],
+        "doc_id long, text string")
+    out = df.select("doc_id", text.token_count(F.col("text")).alias("n"))
+    got = {r["doc_id"]: r["n"] for r in out.collect()}
+    assert got == {1: 3, 2: 0, 3: 0}
+
+
+def test_quality_and_langid(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog of the house is in the garden"),
+         (2, "der hund und die katze ist das tier")],
+        "doc_id long, text string")
+    out = text.text_stats(df)
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[1]["lang_pred"] == "en"
+    assert rows[2]["lang_pred"] == "de"
+    assert 0.0 <= rows[1]["quality_score"] <= 1.0
+    assert rows[1]["stopword_ratio"] > 0.3
+
+
+def test_fingerprint_normalization_invariant(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "goodbye world")],
+        "doc_id long, text string")
+    out = df.select("doc_id",
+                    text.rolling_fingerprint(F.col("text")).alias("fp"))
+    got = {r["doc_id"]: r["fp"] for r in out.collect()}
+    assert got[1] == got[2] != got[3]
+
+
+def test_multimodal_plumbing(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"\xff\xd8\xff\xe0abc"), 2500),
+         (2, bytearray(b"\x89PNG\r\n"), 900),
+         (3, None, 1500)],
+        "media_id long, payload binary, duration_ms int")
+    meta = multimodal.attach_media_metadata(df)
+    mimes = {r["media_id"]: r["mime_sniffed"] for r in meta.collect()}
+    assert mimes[1] == "image/jpeg" and mimes[2] == "image/png"
+
+    feats = multimodal.extract_features(df, dim=8)
+    rows = {r["media_id"]: r for r in feats.collect()}
+    assert rows[1]["decode_ok"] and len(rows[1]["feature"]) == 8
+    assert not rows[3]["decode_ok"]
+
+    frames = multimodal.sample_frames(df.where(F.col("payload").isNotNull()))
+    n = {r["media_id"] for r in frames.collect()}
+    assert n == {1, 2}
+    assert frames.where(F.col("media_id") == 1).count() == 2  # 2500ms/1000
+
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image_stub(b"zz")
+
+
+def test_get_embedding_deterministic(spark):
+    from flink_cdc_dsql_master_spark.functions import get_embedding_udf
+
+    df = spark.createDataFrame([(1, "hello"), (2, "hello"), (3, "bye")],
+                               "id long, t string")
+    emb = get_embedding_udf(dim=8)
+    out = df.select("id", emb(F.col("t")).alias("e")).collect()
+    vals = {r["id"]: tuple(r["e"]) for r in out}
+    assert vals[1] == vals[2] != vals[3]
+    assert len(vals[1]) == 8

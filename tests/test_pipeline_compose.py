@@ -1,0 +1,124 @@
+"""YAML front-end + composer e2e tests (FlinkPipelineComposerITCase shape)."""
+
+import pytest
+
+from flink_cdc_dsql_master_spark.compose import BatchComposer, foreach_batch_writer
+from flink_cdc_dsql_master_spark.pipeline import (
+    PipelineDef,
+    SinkDef,
+    SourceDef,
+    parse_pipeline_yaml,
+)
+from flink_cdc_dsql_master_spark.schema import TableId
+from flink_cdc_dsql_master_spark.testing import (
+    EventScript,
+    single_split_single_table,
+    transform_table,
+)
+from flink_cdc_dsql_master_spark.transform import TransformRule
+from flink_cdc_dsql_master_spark.route import RouteRule
+
+T1 = "default_namespace.default_schema.table1"
+
+
+def test_yaml_parse_full_surface():
+    pipe = parse_pipeline_yaml("""
+source:
+  type: mysql
+  tables: "db.users"
+sink:
+  type: dsql
+  batch-size: 500
+transform:
+  - source-table: db.users
+    projection: "id, UPPER(name) AS name"
+    filter: "id > 0"
+    primary-keys: id
+    converter-after-transform: SOFT_DELETE
+route:
+  - source-table: db.users
+    sink-table: sink.public.users_v
+    replace-symbol: <>
+pipeline:
+  name: test-pipe
+  parallelism: 4
+  schema.change.behavior: EVOLVE
+""")
+    assert pipe.source.type == "mysql" and pipe.sink.type == "dsql"
+    assert pipe.transforms[0].primary_keys == ("id",)
+    assert pipe.routes[0].replace_symbol == "<>"
+    assert pipe.parallelism == 4
+    assert pipe.schema_change_behavior == "EVOLVE"
+
+
+def test_yaml_requires_source_and_sink():
+    with pytest.raises(ValueError):
+        parse_pipeline_yaml("pipeline:\n  name: x\n")
+
+
+def test_batch_composer_values_to_golden(spark):
+    script = transform_table()
+    pipe = PipelineDef(
+        source=SourceDef("values", {"script": script}),
+        sink=SinkDef("values"),
+        transforms=(TransformRule(
+            r"default_namespace.default_schema.\.*",
+            projection="id, UPPER(name) AS name, age",
+            filter="age > 10"),),
+    )
+    result = BatchComposer(spark, pipe).run()
+    tid = TableId.parse(T1)
+    golden = result.golden[tid.identifier()]
+    assert any("ALICE" in g for g in golden)
+    assert all("tableId=default_namespace.default_schema.table1" in g
+               for g in golden)
+
+
+def test_batch_composer_fan_in_route(spark):
+    script = EventScript()
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    s1 = Schema.of([("id", "INT NOT NULL"), ("v", "INT")], primary_keys=["id"])
+    s2 = Schema.of([("id", "BIGINT NOT NULL"), ("v", "DOUBLE")],
+                   primary_keys=["id"])
+    script.create_table("db.s.alpha", s1).insert("db.s.alpha", (1, 10))
+    script.create_table("db.s.beta", s2).insert("db.s.beta", (2, 2.5))
+    pipe = PipelineDef(
+        source=SourceDef("values", {"script": script}),
+        sink=SinkDef("values"),
+        routes=(RouteRule(r"db.s.\.*", "sink.s.merged"),),
+    )
+    result = BatchComposer(spark, pipe).run()
+    sink_tid = TableId.parse("sink.s.merged")
+    schema = result.schemas[sink_tid]
+    # least-common-type widening: INT+BIGINT → BIGINT, INT+DOUBLE → DOUBLE
+    assert schema.struct["id"].dataType.typeName() == "long"
+    assert schema.struct["v"].dataType.typeName() == "double"
+    vals = {(r["id"], r["v"]) for r in result.tables[sink_tid].collect()}
+    assert vals == {(1, 10.0), (2, 2.5)}
+
+
+def test_single_split_single_table_script(spark):
+    script = single_split_single_table()
+    df = script.to_changelog_df(spark, TableId.parse(T1))
+    assert df.count() == 6  # 3 inserts + update(before+after) + delete
+
+
+def test_foreach_batch_writer(spark):
+    captured = {}
+
+    def writer(tid, df, schema):
+        captured[tid.identifier()] = df.count()
+
+    pipe = PipelineDef(
+        source=SourceDef("values", {
+            "table": "db.s.stream", "primary-keys": ["id"]}),
+        sink=SinkDef("values"),
+        transforms=(TransformRule(r"db.s.\.*", filter="id > 1"),),
+        routes=(RouteRule(r"db.s.\.*", "out.s.t"),),
+    )
+    handle = foreach_batch_writer(pipe, writer, spark)
+    batch = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")],
+                                  "id int, v string")
+    handle(batch, 0)
+    assert captured == {"out.s.t": 2}
