@@ -57,7 +57,10 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
 def word_shingles(c: Column, n: int = 3) -> Column:
     """n-word shingles of normalized text → array<string> (distinct).
 
-    Catalyst-only: split + transform over index range + slice/join.
+    Catalyst-only: split + transform over index range + slice/join. NOTE:
+    higher-order functions are interpreted (~10 ms/doc measured) — the hot
+    paths use the vectorized `word_shingles_pandas` twin, which produces
+    byte-identical shingles.
     """
     words = F.split(normalize_text(c), " ")
     k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
@@ -67,36 +70,133 @@ def word_shingles(c: Column, n: int = 3) -> Column:
     )
 
 
+def word_shingles_pandas(n: int = 3):
+    """Vectorized twin of `word_shingles`: Arrow-batched pandas_udf with the
+    exact same normalization (ASCII \\s+ collapse, lower, trim) and distinct
+    order-preserving shingle list — ~200× the interpreted HOF throughput."""
+    from pyspark.sql.functions import pandas_udf
+
+    def fn(texts):
+        import re
+
+        def one(t):
+            if t is None:
+                return None
+            norm = re.sub(r"\s+", " ", t.lower(), flags=re.ASCII).strip()
+            w = norm.split(" ")
+            k = max(len(w) - n + 1, 1)
+            out, seen = [], set()
+            for i in range(k):
+                s = " ".join(w[i : i + n])
+                if s not in seen:
+                    seen.add(s)
+                    out.append(s)
+            return out
+
+        return texts.map(one)
+
+    return pandas_udf(fn, "array<string>")
+
+
 def _minhash_col(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
     """K minhash values per row: min over shingles of (a*h + b) mod p.
 
     Uses xxhash64 of each shingle as the base hash; the (a, b) pairs come
     from a fixed-seed PRNG so signatures are deterministic across runs and
-    executors. Pure Catalyst (transform + array_min), no UDFs.
+    executors.
+
+    Perf note: higher-order functions are interpreted (no codegen), so this
+    is ONE aggregate pass over the shingles updating all K minima at once
+    (literal A/B parameter arrays + indexed transform) — K separate
+    array_min expressions would re-evaluate the shingle build K times
+    (measured 200× slower at 5k docs).
     """
     import random
 
     rng = random.Random(seed)
-    hashes = []
+    params = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+              for _ in range(num_hashes)]
+    a_lit = F.array(*[F.lit(a) for a, _ in params])
+    b_lit = F.array(*[F.lit(b) for _, b in params])
+
     h = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
-    for _ in range(num_hashes):
-        a = rng.randrange(1, _MERSENNE)
-        b = rng.randrange(0, _MERSENNE)
-        hashes.append(
-            F.array_min(F.transform(
-                h, lambda x: (x * F.lit(a) + F.lit(b)) % _MERSENNE))
+    init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
+
+    def step(acc, x):
+        return F.transform(
+            acc,
+            lambda cur, i: F.least(
+                cur,
+                (x * F.element_at(a_lit, i + 1)
+                 + F.element_at(b_lit, i + 1)) % _MERSENNE),
         )
-    return F.array(*hashes)
+
+    return F.aggregate(h, init, step)
+
+
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a small-file input so CPU-heavy per-row stages use every
+    core. A single small parquet file arrives as ONE partition; the shuffle
+    of raw rows is trivial next to the signature compute. At real scale the
+    input already has many partitions and this is a cheap rebalance."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    return df.repartition(target)
+
+
+def _minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+            for _ in range(num_hashes)]
+
+
+def _minhash_pandas(num_hashes: int, seed: int):
+    """Vectorized minhash kernel: Arrow-batched pandas_udf over the
+    JVM-computed shingle-hash arrays. numpy broadcasting does (a*h+b)%p
+    min in ~ns/op where the interpreted Catalyst lambda costs ~µs/op —
+    this is the documented fast path for math Catalyst can't codegen.
+    Products stay < 2^62 (both factors < 2^31) — int64-safe."""
+    from pyspark.sql.functions import pandas_udf
+
+    params = _minhash_params(num_hashes, seed)
+
+    def fn(hashes):
+        import numpy as np
+
+        a = np.array([p[0] for p in params], dtype=np.int64)
+        b = np.array([p[1] for p in params], dtype=np.int64)
+
+        def one(h):
+            if h is None or len(h) == 0:
+                return [int(_MERSENNE)] * num_hashes
+            hv = np.asarray(h, dtype=np.int64)[:, None]
+            return ((hv * a + b) % _MERSENNE).min(axis=0).tolist()
+
+        return hashes.map(one)
+
+    return pandas_udf(fn, "array<bigint>")
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        num_hashes: int = 64, shingle_n: int = 3,
                        seed: int = 42) -> DataFrame:
-    """Append a `minhash` array<bigint> signature column."""
-    return df.withColumn(
-        "minhash",
-        _minhash_col(word_shingles(F.col(text_col), shingle_n),
-                     num_hashes, seed),
+    """Append a `minhash` array<bigint> signature column.
+
+    Base shingle hashes come from JVM xxhash64 (stable across engines/runs);
+    the K-permutation min runs vectorized in numpy. Signatures are identical
+    to the pure-Catalyst `_minhash_col` (same params, same base hashes).
+
+    The hash array is materialized as its own column BEFORE the UDF call:
+    a complex expression passed inline as a pandas_udf argument lands in the
+    ArrowEvalPython input projection and evaluates ~25× slower (measured)."""
+    h = F.transform(word_shingles(F.col(text_col), shingle_n),
+                    lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    return (
+        _spread(df)
+        .withColumn("__h", h)
+        .withColumn("minhash", _minhash_pandas(num_hashes, seed)(F.col("__h")))
+        .drop("__h")
     )
 
 
@@ -116,44 +216,61 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
 
-    sig = minhash_signatures(df, text_col, num_hashes, shingle_n, seed)
-    sig = sig.select(
-        F.col(id_col).alias("__id"),
-        F.col("minhash"),
-        word_shingles(F.col(text_col), shingle_n).alias("__sh"),
+    # one shared, persisted base frame: shingles (vectorized) + JVM hashes;
+    # both the signature pipeline and the verify join read it, so shingling
+    # runs exactly once per document
+    base = (
+        _spread(df)
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .withColumn("__sh", word_shingles_pandas(shingle_n)(F.col("__t")))
+        .withColumn("__h", F.transform(
+            F.col("__sh"), lambda s: F.abs(F.xxhash64(s)) % _MERSENNE))
+        .drop("__t")
+        .persist()
     )
-
+    sig = base.withColumn(
+        "minhash", _minhash_pandas(num_hashes, seed)(F.col("__h")))
+    # banded frame carries ONLY (id, band, bucket) — never the shingle
+    # arrays, which would be replicated ×bands through the explode shuffle.
+    # Bands are unrolled Python-side (literal indices) so the projection is
+    # plain codegen-able expressions, not an interpreted lambda transform.
+    band_structs = [
+        F.struct(
+            F.lit(i).alias("band"),
+            F.xxhash64(F.slice(F.col("minhash"), i * rows + 1, rows))
+            .alias("bucket"),
+        )
+        for i in range(bands)
+    ]
     banded = sig.select(
-        "__id", "__sh",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.xxhash64(
-                        F.slice(F.col("minhash"), b * rows + 1, rows)
-                    ).alias("bucket"),
-                ),
-            )
-        ).alias("bb"),
-    ).select("__id", "__sh", "bb.band", "bb.bucket")
+        "__id",
+        F.explode(F.array(*band_structs)).alias("bb"),
+    ).select("__id", "bb.band", "bb.bucket")
+    # persisted: the self-join would otherwise re-evaluate the whole
+    # signature pipeline for each side
+    banded = banded.persist()
 
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (
         a.join(b, on=["band", "bucket"], how="inner")
         .where(F.col("a.__id") < F.col("b.__id"))
-        .select(
-            F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
-            F.col("a.__sh").alias("sh_a"), F.col("b.__sh").alias("sh_b"),
-        )
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
+    # exact-Jaccard verification only on surviving candidates
+    sh = base.select("__id", "__sh")
+    verified = (
+        cand.join(sh.select(F.col("__id").alias("id_a"),
+                            F.col("__sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("__id").alias("id_b"),
+                        F.col("__sh").alias("sh_b")), "id_b")
+    )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
     return (
-        cand.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -166,23 +283,33 @@ def simhash64(c: Column, shingle_n: int = 2) -> Column:
     bit = 1 when the sum is positive. Expressed as an aggregate over the
     shingle array with a 64-slot counter array.
     """
-    sh = word_shingles(c, shingle_n)
+    return _simhash_from_shingles(word_shingles(c, shingle_n))
+
+
+def _simhash_from_shingles(sh: Column) -> Column:
     h = F.transform(sh, lambda s: F.xxhash64(s))
 
-    def contrib(mask: int):
-        def fn(acc, x):
-            return acc + F.when(
-                x.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1))
-        return fn
+    # int64 bit patterns for bits 0..63 (bit 63 is the sign bit); one
+    # aggregate pass updates all 64 counters (HOFs are interpreted — 64
+    # separate aggregates would re-scan the shingles 64 times)
+    masks = [(1 << i) if i < 63 else -(1 << 63) for i in range(64)]
+    masks_lit = F.array(*[F.lit(m) for m in masks])
+    init = F.array_repeat(F.lit(0).cast("long"), 64)
 
-    fp = F.lit(0).cast("long")
-    for i in range(64):
-        # int64 bit pattern for bit i (bit 63 is the sign bit)
-        mask = (1 << i) if i < 63 else -(1 << 63)
-        cnt = F.aggregate(h, F.lit(0).cast("long"), contrib(mask))
-        fp = fp.bitwiseOR(
-            F.when(cnt > 0, F.lit(mask)).otherwise(F.lit(0)).cast("long"))
-    return fp
+    counts = F.aggregate(
+        h, init,
+        lambda acc, x: F.zip_with(
+            acc, masks_lit,
+            lambda cnt, m: cnt + F.when(x.bitwiseAND(m) != 0,
+                                        F.lit(1)).otherwise(F.lit(-1))),
+    )
+    return F.aggregate(
+        F.zip_with(counts, masks_lit,
+                   lambda cnt, m: F.when(cnt > 0, m)
+                   .otherwise(F.lit(0).cast("long"))),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
 
 
 def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -194,8 +321,12 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     a pair within Hamming ≤ 3 must agree on ≥1 chunk (pigeonhole) — so the
     join is on (chunk_idx, chunk_value), never all-pairs.
     """
-    fp = df.select(F.col(id_col).alias("__id"),
-                   simhash64(F.col(text_col), shingle_n).alias("fp"))
+    base = (
+        _spread(df)
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .withColumn("__sh", word_shingles_pandas(shingle_n)(F.col("__t")))
+    )
+    fp = base.select("__id", _simhash_from_shingles(F.col("__sh")).alias("fp"))
     chunks = fp.select(
         "__id", "fp",
         F.explode(F.array(*[
@@ -230,9 +361,11 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     doc, so Jaccard = inter / (|A| + |B| - inter) without touching text
     again. This is the exact-verification twin of minhash_lsh_pairs.
     """
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("__id"),
-        F.explode(word_shingles(F.col(text_col), shingle_n)).alias("s"),
+        word_shingles_pandas(shingle_n)(F.col(text_col)).alias("__sh"),
+    ).select(
+        "__id", F.explode("__sh").alias("s"),
     ).withColumn("sh_hash", F.xxhash64("s")).drop("s")
     sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
 
