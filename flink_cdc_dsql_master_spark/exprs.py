@@ -234,48 +234,56 @@ class _Parser:
     def predicate(self) -> Node:
         n = self.add_expr()
         t = self.peek()
-        if t is None:
-            return n
-        if t.kind == "op" and t.text in ("=", "<>", "!=", ">", ">=", "<", "<="):
+        if t is not None and t.kind == "op" and t.text in (
+                "=", "<>", "!=", ">", ">=", "<", "<="):
             self.next()
             op = "<>" if t.text == "!=" else t.text
-            return Cmp(op, n, self.add_expr())
-        if t.kind == "kw" and t.text == "IS":
+            n = Cmp(op, n, self.add_expr())
+        else:
+            negated = False
+            if t is not None and t.kind == "kw" and t.text == "NOT":
+                nxt2 = (self.toks[self.i + 1]
+                        if self.i + 1 < len(self.toks) else None)
+                if nxt2 and nxt2.kind == "kw" and nxt2.text in (
+                        "BETWEEN", "IN", "LIKE"):
+                    self.next()
+                    negated = True
+                    t = self.peek()
+            if t is not None and t.kind == "kw" and t.text == "BETWEEN":
+                self.next()
+                lo = self.add_expr()
+                self.expect("kw", "AND")
+                hi = self.add_expr()
+                n = Between(n, lo, hi, negated)
+            elif t is not None and t.kind == "kw" and t.text == "IN":
+                self.next()
+                self.expect("op", "(")
+                items = [self.expr()]
+                while self.accept("op", ","):
+                    items.append(self.expr())
+                self.expect("op", ")")
+                n = InList(n, items, negated)
+            elif t is not None and t.kind == "kw" and t.text == "LIKE":
+                self.next()
+                n = LikeOp(n, self.add_expr(), negated)
+        # postfix IS [NOT] NULL/TRUE/FALSE chain — binds looser than the
+        # comparison, so `id = 3 IS FALSE` means `(id = 3) IS FALSE`
+        # (Calcite precedence; FlinkPipelineTransformITCase logical cases)
+        while True:
+            t = self.peek()
+            if t is None or not (t.kind == "kw" and t.text == "IS"):
+                return n
             self.next()
             negated = self.accept("kw", "NOT") is not None
             nxt = self.next()
             if nxt.kind == "kw" and nxt.text == "NULL":
-                return IsNull(n, negated)
-            if nxt.kind == "kw" and nxt.text in ("TRUE", "FALSE"):
+                n = IsNull(n, negated)
+            elif nxt.kind == "kw" and nxt.text in ("TRUE", "FALSE"):
                 val = nxt.text == "TRUE"
                 # Janino: IS NOT TRUE == IS FALSE, IS NOT FALSE == IS TRUE
-                return IsBool(n, (not val) if negated else val)
-            raise ValueError(f"unsupported IS {nxt.text}")
-        negated = False
-        if t.kind == "kw" and t.text == "NOT":
-            nxt2 = self.toks[self.i + 1] if self.i + 1 < len(self.toks) else None
-            if nxt2 and nxt2.kind == "kw" and nxt2.text in ("BETWEEN", "IN", "LIKE"):
-                self.next()
-                negated = True
-                t = self.peek()
-        if t and t.kind == "kw" and t.text == "BETWEEN":
-            self.next()
-            lo = self.add_expr()
-            self.expect("kw", "AND")
-            hi = self.add_expr()
-            return Between(n, lo, hi, negated)
-        if t and t.kind == "kw" and t.text == "IN":
-            self.next()
-            self.expect("op", "(")
-            items = [self.expr()]
-            while self.accept("op", ","):
-                items.append(self.expr())
-            self.expect("op", ")")
-            return InList(n, items, negated)
-        if t and t.kind == "kw" and t.text == "LIKE":
-            self.next()
-            return LikeOp(n, self.add_expr(), negated)
-        return n
+                n = IsBool(n, (not val) if negated else val)
+            else:
+                raise ValueError(f"unsupported IS {nxt.text}")
 
     def add_expr(self) -> Node:
         n = self.mul_expr()

@@ -62,6 +62,10 @@ def _q(name: str, oracle: str | None = None):
 
 
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    # reference cast semantics are null-on-failure (SystemFunctionUtils
+    # class doc :48); Spark 4 defaults ANSI on — set defensively so the
+    # compat rewrites behave identically under any caller-provided session
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     return spark.read.parquet(f"{sf_dir}/{table}.parquet")
 
 
@@ -596,9 +600,12 @@ def dedup_simhash(spark, sf_dir):
 
 @_q("dedup_embedding_cosine")  # seeded hyperplanes → rows-only oracle
 def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup via random-hyperplane LSH bucket + exact cosine."""
+    """Embedding near-dup via random-hyperplane LSH bucket + exact cosine.
+    Threshold -1 reports every bucket-collision pair with its exact cosine
+    (the synthetic vectors are random, so a 0.99 cut would return nothing —
+    the candidate generation + verify plumbing is what's under test)."""
     out = dedup.embedding_cosine_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=0.99)
+        _t(spark, sf_dir, "embeddings"), threshold=-1.0)
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
