@@ -493,7 +493,11 @@ def _render_cast(n: Cast) -> str:
         p, s = n.p1 or 10, n.p2 or 0
         return f"cast({x} as decimal({p},{s}))"
     if t == "BOOLEAN":
+        # castToBoolean (SystemFunctionUtils.java:772-795): numerics →
+        # non-zero, but STRING inputs go through Boolean.valueOf — so
+        # '12.13' is FALSE (testNumericCastingsWithTruncation golden)
         return (f"(CASE WHEN ({x}) IS NULL THEN cast(null as boolean)"
+                f" WHEN typeof({x}) = 'string' THEN lower({x}) = 'true'"
                 f" WHEN cast({x} as double) IS NOT NULL THEN cast({x} as double) != 0.0d"
                 f" ELSE lower(cast({x} as string)) = 'true' END)")
     if t == "TIMESTAMP":

@@ -169,13 +169,16 @@ def cast_to_integral(c: ColumnOrName, target: str) -> Column:
 
 
 def cast_to_boolean(c: ColumnOrName) -> Column:
-    """castToBoolean parity (:772-795): non-zero numerics → TRUE,
-    strings via Boolean.valueOf ('true' case-insensitive → TRUE, else FALSE).
+    """castToBoolean parity (:772-795): non-zero numerics → TRUE, strings
+    via Boolean.valueOf — 'true' case-insensitive → TRUE, anything else
+    (including numeric-looking strings) → FALSE.
     """
     c = _col(c)
     as_num = c.cast("double")
     return (
         F.when(c.isNull(), F.lit(None).cast("boolean"))
+        .when(F.expr(f"typeof({_sql_ref(c)})") == "string",
+              F.lower(c.cast("string")) == "true")
         .when(as_num.isNotNull(), as_num != 0.0)
         .otherwise(F.lower(c.cast("string")) == "true")
     )
