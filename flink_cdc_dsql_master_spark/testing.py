@@ -138,6 +138,28 @@ def transform_table(
     return s
 
 
+def multi_transform_tables(
+        ns: str = "default_namespace.default_schema") -> EventScript:
+    """The mytable1/mytable2 pair used across FlinkPipelineTransformITCase
+    (FIXTURES.md §1): inserts, an update with both images, and a delete."""
+    t1, t2 = f"{ns}.mytable1", f"{ns}.mytable2"
+    s1 = Schema.of(
+        [("id", "INT NOT NULL"), ("name", "STRING"), ("age", "INT")],
+        primary_keys=["id"])
+    s2 = Schema.of(
+        [("id", "BIGINT NOT NULL"), ("name", "VARCHAR(255)"),
+         ("age", "TINYINT"), ("description", "STRING")],
+        primary_keys=["id"])
+    s = EventScript()
+    s.create_table(t1, s1)
+    s.insert(t1, (1, "Alice", 18), (2, "Bob", 20))
+    s.update(t1, (2, "Bob", 20), (2, "Bob", 30))
+    s.create_table(t2, s2)
+    s.insert(t2, (3, "Carol", 15, "student"), (4, "Derrida", 25, "student"))
+    s.delete(t2, (4, "Derrida", 25, "student"))
+    return s
+
+
 class CollectSink:
     """Golden-string collector (ValuesDataSink parity)."""
 
