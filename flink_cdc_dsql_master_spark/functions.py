@@ -380,6 +380,15 @@ def get_embedding_udf(embed_fn=None, dim: int = 64):
     return pandas_udf(get_embedding, "array<float>")
 
 
+def register_model_functions(spark, embed_fn=None, chat_fn=None,
+                             dim: int = 64) -> None:
+    """Register GET_EMBEDDING / AI_CHAT_PREDICT so transform projection and
+    filter strings can call them (the reference binds them from YAML
+    ``pipeline.model`` definitions — ModelDef in pipeline.py)."""
+    spark.udf.register("get_embedding", get_embedding_udf(embed_fn, dim))
+    spark.udf.register("ai_chat_predict", ai_chat_predict_udf(chat_fn))
+
+
 def ai_chat_predict_udf(chat_fn=None):
     """AI_CHAT_PREDICT(prompt) → string; deterministic echo fake without a
     client (prompt-hash tag), batched via Arrow like the embedding path."""

@@ -81,3 +81,19 @@ def test_streaming_foreach_batch_e2e(spark, tmp_path):
     q.awaitTermination(120)
     assert seen and seen[0][0] == "db.s.stream"
     assert seen[0][1] == [(1, "A"), (2, "B")]
+
+
+def test_model_functions_in_transform(spark):
+    """GET_EMBEDDING / AI_CHAT_PREDICT callable from a projection string
+    (TransformSqlOperatorTable.java:355-385 + OpenAIEmbeddingModel shape)."""
+    from flink_cdc_dsql_master_spark.functions import register_model_functions
+
+    register_model_functions(spark, dim=8)
+    eng = TransformEngine([TransformRule(
+        r"d.s.docs",
+        projection=("id, GET_EMBEDDING(body) AS emb, "
+                    "AI_CHAT_PREDICT(body) AS reply"))])
+    df = spark.createDataFrame([(1, "hello world")], "id int, body string")
+    row = eng.apply(df, TableId.parse("d.s.docs")).collect()[0]
+    assert len(row["emb"]) == 8
+    assert row["reply"].startswith("[stub-reply:")
