@@ -66,6 +66,26 @@ def repartition_by_key(df: DataFrame, primary_keys: list[str],
     return df.repartition(*cols)
 
 
+def salt_keys(df: DataFrame, key: str, num_salts: int,
+              salt_col: str = "__salt") -> DataFrame:
+    """Append a deterministic salt (0..num_salts-1) derived from the row's
+    OTHER content via a random-ish spray, splitting one hot key across
+    `num_salts` reducers. Join the salted side against the small side
+    exploded ×num_salts (`explode_salts`). AQE's skew-join handles most
+    cases automatically; salting is the manual override for extreme keys.
+    """
+    return df.withColumn(
+        salt_col,
+        F.pmod(F.monotonically_increasing_id(), F.lit(num_salts)).cast("int"))
+
+
+def explode_salts(df: DataFrame, num_salts: int,
+                  salt_col: str = "__salt") -> DataFrame:
+    """Replicate the small side once per salt value for a salted join."""
+    return df.withColumn(
+        salt_col, F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1))))
+
+
 def last_write_wins(df: DataFrame, primary_keys: list[str],
                     seq_col: str | None = None) -> DataFrame:
     """Reduce a changelog batch to the final event per key.

@@ -171,3 +171,52 @@ def test_get_embedding_deterministic(spark):
     vals = {r["id"]: tuple(r["e"]) for r in out}
     assert vals[1] == vals[2] != vals[3]
     assert len(vals[1]) == 8
+
+
+def test_minhash_pandas_kernel_matches_catalyst(spark):
+    """The vectorized numpy minhash must equal the pure-Catalyst
+    `_minhash_col` bit-for-bit (same params, same xxhash64 base hashes)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely different words entirely here now")],
+        "doc_id long, text string")
+    jvm = df.withColumn(
+        "mh", dedup._minhash_col(
+            dedup.word_shingles(F.col("text"), 3), 16, seed=42))
+    h = F.transform(dedup.word_shingles(F.col("text"), 3),
+                    lambda s: F.abs(F.xxhash64(s)) % ((1 << 31) - 1))
+    pnd = (df.withColumn("__h", h)
+           .withColumn("mh", dedup._minhash_pandas(16, 42)(F.col("__h"))))
+    a = {r["doc_id"]: r["mh"] for r in jvm.collect()}
+    b = {r["doc_id"]: r["mh"] for r in pnd.collect()}
+    assert a == b
+
+
+def test_shingles_pandas_matches_catalyst(spark):
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "  The   quick BROWN fox  "), (2, "one"), (3, "a b")],
+        "doc_id long, text string")
+    cat = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", dedup.word_shingles(F.col("text"), 3).alias("s")).collect()}
+    pnd = {r["doc_id"]: r["s"] for r in df.select(
+        "doc_id", dedup.word_shingles_pandas(3)(F.col("text")).alias("s")
+    ).collect()}
+    assert cat == pnd
+
+
+def test_salting_helpers(spark):
+    from flink_cdc_dsql_master_spark.partitioning import (
+        explode_salts,
+        salt_keys,
+    )
+
+    big = spark.createDataFrame([(1, i) for i in range(100)], "k int, v int")
+    small = spark.createDataFrame([(1, "meta")], "k int, m string")
+    salted = salt_keys(big, "k", 4)
+    assert salted.select("__salt").distinct().count() <= 4
+    joined = salted.join(explode_salts(small, 4), on=["k", "__salt"])
+    assert joined.count() == 100  # every big row finds its small match
