@@ -896,6 +896,47 @@ def sessionize_events(spark, sf_dir):
                  F.count("*").alias("n_events")))
 
 
+@_q(
+    "agg_tumbling_window",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS ws,
+           event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 2) AS total
+    FROM events GROUP BY 1, 2
+    """,
+)
+def agg_tumbling_window(spark, sf_dir):
+    """Tumbling 1-hour event-time window aggregation (the streaming-native
+    shape: same code path under readStream+watermark; SURVEY §2.10 notes
+    the reference has no event-time windows at all — this is the Spark
+    capability surfaced as a first-class operator)."""
+    ev = _events_table(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total"))
+        .select(F.date_format("w.start", "yyyy-MM-dd HH:00:00").alias("ws"),
+                "event_type", "n", "total")
+    )
+
+
+@_q(
+    "agg_distinct_users",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS users,
+           CAST(COUNT(*) AS BIGINT) AS events
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_distinct_users(spark, sf_dir):
+    """Distinct aggregation (two-phase partial-agg plan; the
+    approx_count_distinct sketch variant is the 100 TB drop-in)."""
+    ev = _events_table(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("users"),
+        F.count("*").alias("events"))
+
+
 # ---------------------------------------------------------------------------
 # YAML pipeline end-to-end (§2.10/§3.1)
 # ---------------------------------------------------------------------------
