@@ -122,10 +122,41 @@ class BatchComposer:
             result.schemas[sink_tid] = merged_schema
             if self.sink_writer is not None:
                 self.sink_writer(sink_tid, merged_df, merged_schema)
-            elif self.pipeline.sink.type == "values":
-                result.golden[sink_tid.identifier()] = CollectSink.render(
-                    merged_df, sink_tid)
+            else:
+                self._default_sink(sink_tid, merged_df, merged_schema, result)
         return result
+
+    def _default_sink(self, sink_tid: TableId, df: DataFrame, schema: Schema,
+                      result: PipelineResult) -> None:
+        """Built-in sink types: values (golden collect), parquet (MERGE into
+        a per-table path), duckdb (INSERT..ON CONFLICT upsert)."""
+        sink = self.pipeline.sink
+        if sink.type == "values":
+            result.golden[sink_tid.identifier()] = CollectSink.render(
+                df, sink_tid)
+        elif sink.type == "parquet":
+            from .sinks import merge_into_parquet
+
+            base = sink.config["path"]
+            merge_into_parquet(f"{base}/{sink_tid.table}", df, schema)
+        elif sink.type == "duckdb":
+            from .sinks import JdbcUpsertSink
+
+            path = sink.config["path"]
+
+            def factory(p=path):
+                import duckdb
+
+                return duckdb.connect(p)
+
+            writer = JdbcUpsertSink(
+                factory, sink_tid.table, schema,
+                batch_size=int(sink.config.get("batch-size", 1000)),
+                parallel=False)  # duckdb: single writer
+            writer.ensure_table()
+            writer.write_batch(df)
+        else:
+            raise ValueError(f"unsupported sink type {sink.type!r}")
 
 
 def _data_struct(df: DataFrame):
