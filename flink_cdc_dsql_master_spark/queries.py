@@ -937,6 +937,50 @@ def agg_distinct_users(spark, sf_dir):
         F.count("*").alias("events"))
 
 
+@_q(
+    "json_extract_props",
+    """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k,
+           event_type
+    FROM events WHERE CAST(json_extract(props, '$.k') AS INT) > 50
+    """,
+)
+def json_extract_props(spark, sf_dir):
+    """JSON column extraction (the reference passes JSON through as a
+    source column type; a complete engine queries into it).
+    get_json_object is a Catalyst builtin — stays in codegen."""
+    ev = _events_table(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.select("event_id", k.alias("k"), "event_type")
+            .where(k > 50))
+
+
+@_q(
+    "set_ops_nations",
+    """
+    SELECT n_nationkey AS nk, 'both' AS tag FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      INTERSECT
+      SELECT DISTINCT s_nationkey FROM supplier)
+    UNION ALL
+    SELECT n_nationkey, 'customer_only' FROM (
+      SELECT DISTINCT c_nationkey AS n_nationkey FROM customer
+      EXCEPT
+      SELECT DISTINCT s_nationkey FROM supplier)
+    """,
+)
+def set_ops_nations(spark, sf_dir):
+    """Set operations (INTERSECT/EXCEPT/UNION) — absent from the reference
+    (SURVEY §2.6), first-class here."""
+    c = _t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nk")).distinct()
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nk")).distinct()
+    both = c.intersect(s).withColumn("tag", F.lit("both"))
+    only_c = c.exceptAll(s).withColumn("tag", F.lit("customer_only"))
+    return both.unionByName(only_c)
+
+
 # ---------------------------------------------------------------------------
 # YAML pipeline end-to-end (§2.10/§3.1)
 # ---------------------------------------------------------------------------
