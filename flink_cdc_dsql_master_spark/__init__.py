@@ -27,6 +27,7 @@ Layout
 - ``udf``          user-defined-function registry (reference lifecycle)
 - ``testing``      values-style scripted event fixtures + collect sink
 - ``operators``    dedup / similarity / text-analysis / multimodal
+- ``streaming``    stateful streaming ops (applyInPandasWithState)
 - ``queries``      registered conformance queries + DuckDB oracle SQL
 """
 

@@ -986,6 +986,50 @@ def set_ops_nations(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @_q(
+    "curation_pipeline",
+    f"""
+    WITH q AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_TEXT_TOKENS_SQL}) END AS INT) AS n_tokens,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS norm
+      FROM documents),
+    curated AS (
+      SELECT doc_id FROM (
+        SELECT q.doc_id,
+               row_number() OVER (PARTITION BY norm ORDER BY doc_id) AS rn
+        FROM q WHERE n_tokens >= 20) t
+      WHERE rn = 1),
+    vec AS (
+      SELECT e.vec_id, e.embedding FROM embeddings e
+      JOIN curated c ON c.doc_id = e.vec_id)
+    SELECT query_id, nbr_id, ROUND(cosine, 6) AS cosine FROM (
+      SELECT q.query_id, e.vec_id AS nbr_id, {_COS_SQL} AS cosine
+      FROM vec e,
+           (SELECT vec_id AS query_id, embedding AS qv FROM vec
+            WHERE vec_id < 3) q
+      WHERE e.vec_id <> q.query_id)
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id ASC) <= 5
+    """,
+)
+def curation_pipeline(spark, sf_dir):
+    """Flagship composite training-data pipeline: token-length quality
+    gate → exact dedup → join to embeddings → top-k similarity over the
+    curated corpus. Every stage is an engine operator; one broadcast, one
+    window shuffle, no driver materialization."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    gated = text.quality_features(docs).where(F.col("n_tokens") >= 20)
+    curated = dedup.exact_dedup(gated.select("doc_id", "text"))
+    vec = emb.join(F.broadcast(curated.select(
+        F.col("doc_id").alias("vec_id"))), "vec_id")
+    q = vec.where(F.col("vec_id") < 3)
+    out = similarity.cosine_topk(vec, q, k=5)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@_q(
     "pipeline_yaml_e2e",
     """
     SELECT r_regionkey AS rk, UPPER(r_name) AS region_name FROM region
