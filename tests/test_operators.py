@@ -220,3 +220,20 @@ def test_salting_helpers(spark):
     assert salted.select("__salt").distinct().count() <= 4
     joined = salted.join(explode_salts(small, 4), on=["k", "__salt"])
     assert joined.count() == 100  # every big row finds its small match
+
+
+def test_ivf_refined_centroids_recall(spark):
+    import random
+
+    rng = random.Random(1)
+    # two tight clusters far apart + a planted near-dup
+    rows = []
+    for i in range(50):
+        base = 1.0 if i % 2 == 0 else -1.0
+        rows.append((i, [base + rng.gauss(0, 0.05) for _ in range(8)]))
+    rows.append((100, [x + 0.001 for x in rows[0][1]]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = df.where(F.col("vec_id") == 100)
+    out = similarity.ivf_topk(df, q, k=1, n_cells=4, n_probe=1, dim=8,
+                              refine_iters=1)
+    assert out.collect()[0]["nbr_id"] == 0
