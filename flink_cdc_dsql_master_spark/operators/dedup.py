@@ -48,7 +48,7 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
     w = Window.partitionBy(F.xxhash64(norm), norm).orderBy(order)
     return (
-        df.withColumn("__rn", F.row_number().over(w))
+        _spread(df).withColumn("__rn", F.row_number().over(w))
         .where(F.col("__rn") == 1)
         .drop("__rn")
     )
@@ -317,25 +317,40 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
                   shingle_n: int = 2) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance ≤ max_hamming.
 
-    Candidate generation: band the 64-bit fingerprint into 4 16-bit chunks;
-    a pair within Hamming ≤ 3 must agree on ≥1 chunk (pigeonhole) — so the
-    join is on (chunk_idx, chunk_value), never all-pairs.
+    Candidate generation: band the 64-bit fingerprint into ``max_hamming+1``
+    chunks — a pair within Hamming ≤ d differs in ≤ d chunks, so by
+    pigeonhole it agrees on ≥1 of d+1 chunks. The join is on
+    (chunk_idx, chunk_value), never all-pairs. Recall is guaranteed for any
+    max_hamming ≤ 31 (below that each chunk keeps ≥2 bits); more chunks =
+    more candidates, so small distances stay cheap (d=3 → 4×16-bit chunks).
     """
+    n_chunks = max_hamming + 1
+    if not 1 <= n_chunks <= 32:
+        raise ValueError(
+            f"max_hamming must be in [0, 31], got {max_hamming}: banding "
+            f"needs max_hamming+1 chunks of >=2 bits from a 64-bit simhash")
+    width = 64 // n_chunks
     base = (
         _spread(df)
         .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .withColumn("__sh", word_shingles_pandas(shingle_n)(F.col("__t")))
     )
     fp = base.select("__id", _simhash_from_shingles(F.col("__sh")).alias("fp"))
+
+    def chunk_val(i: int):
+        shift = i * width
+        bits = 64 - shift if i == n_chunks - 1 else width
+        shifted = (F.shiftrightunsigned(F.col("fp"), shift) if shift
+                   else F.col("fp"))
+        if bits >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+
     chunks = fp.select(
         "__id", "fp",
         F.explode(F.array(*[
-            F.struct(
-                F.lit(i).alias("chunk"),
-                F.shiftrightunsigned(F.col("fp"), i * 16)
-                .bitwiseAND(F.lit(0xFFFF)).alias("val"),
-            )
-            for i in range(4)
+            F.struct(F.lit(i).alias("chunk"), chunk_val(i).alias("val"))
+            for i in range(n_chunks)
         ])).alias("cv"),
     ).select("__id", "fp", "cv.chunk", "cv.val")
 

@@ -98,7 +98,13 @@ def last_write_wins(df: DataFrame, primary_keys: list[str],
     order = []
     if seq is not None:
         order.append(F.col(seq).desc())
-    order.append(F.when(F.col(OP_COLUMN) == OP_DELETE, 1).otherwise(0).desc())
+    # Op-rank tie-break for equal seq (a -U/+U pair decoded from one log
+    # offset shares one seq): -D (2) > upsert images (1) > -U before-image
+    # (0), so the retraction can never shadow its own after-image.
+    order.append(
+        F.when(F.col(OP_COLUMN) == OP_DELETE, 2)
+        .when(F.col(OP_COLUMN).isin(*UPSERT_OPS), 1)
+        .otherwise(0).desc())
     w = Window.partitionBy(*[F.col(c) for c in primary_keys]).orderBy(*order)
     return (
         df.withColumn("__rn", F.row_number().over(w))

@@ -26,6 +26,8 @@ shards naturally because the input is already PK-hash partitioned
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 from dataclasses import dataclass
 
@@ -188,6 +190,12 @@ def merge_into_parquet(path: str, changelog: DataFrame,
     final-image upserts replace matching PKs, final deletes drop them. At
     scale this would be a real MERGE on a table format with file-level
     pruning; the parquet variant keeps e2e tests hermetic.
+
+    Crash safety: the merged result is written to a sibling temp directory
+    and swapped in with directory renames — the lazy plan never reads a
+    path that is being overwritten, so cache eviction / partition-loss
+    recompute can never observe a half-written target (the failure mode of
+    read-overwrite-same-path + persist()).
     """
     spark = changelog.sparkSession
     pks = list(schema.primary_keys)
@@ -208,10 +216,19 @@ def merge_into_parquet(path: str, changelog: DataFrame,
     else:
         out = upserts.drop(*drop_cols)
     _ = deletes  # deletes are realized by exclusion via changed_keys
-    out.persist()
-    out.count()
-    out.write.mode("overwrite").parquet(path)
-    out.unpersist()
+    local = path[7:] if path.startswith("file://") else path
+    tmp = local.rstrip("/") + ".__merge_tmp__"
+    old = local.rstrip("/") + ".__merge_old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.write.mode("overwrite").parquet(tmp)
+    # swap: target -> old, tmp -> target, drop old. Each step is a single
+    # directory rename; a crash between them leaves either the old or the
+    # new complete table on disk, never a mix.
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(local):
+        os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old, ignore_errors=True)
 
 
 # ---------------------------------------------------------------------------

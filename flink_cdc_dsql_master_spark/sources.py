@@ -129,7 +129,16 @@ def chunked_jdbc_read(spark: SparkSession, url: str, table: str, key: str,
         return spark.read.jdbc(
             url, table, column=key, lowerBound=min_v, upperBound=max_v + 1,
             numPartitions=num, properties=props)
-    splits = split_evenly_sized_chunks(min_v, max_v, row_count, chunk_size)
+    # Skewed keys (factor outside the even bounds): evenly-STRIDED ranges
+    # would put most rows in a few chunks. Mirror the reference's uneven
+    # splitter (JdbcSourceChunkSplitter.java:200-249, per-chunk splitEnd
+    # queries) with one preliminary key-only scan -> quantile bounds; the
+    # key scan itself ranges evenly, which is fine for a single column.
+    key_df = spark.read.jdbc(
+        url, f"(SELECT {key} FROM {table}) __keys", column=key,
+        lowerBound=min_v, upperBound=max_v + 1,
+        numPartitions=min(num, 64), properties=props)
+    splits = uneven_bounds(key_df, key, num)
     preds = [s.predicate(key) for s in splits]
     return spark.read.jdbc(url, table, predicates=preds, properties=props)
 
@@ -152,12 +161,21 @@ def decode_debezium_json(df: DataFrame, value_col: str,
         T.StructField("op", T.StringType(), True),
     ])
     p = F.from_json(F.col(value_col), envelope)
-    base = df.withColumn("__dbz", p)
-    seq = F.col(seq_col) if seq_col else F.monotonically_increasing_id()
+    # Assign the record sequence ONCE on the undivided frame: a
+    # monotonically_increasing_id evaluated per filtered branch would number
+    # c/u/d rows independently (not comparable across ops — a later delete
+    # could sort below an earlier insert). Both images of one update inherit
+    # the same record seq; the *2+1 / *2 bias ranks the after-image above
+    # its paired before-image so last_write_wins never keeps the retraction.
+    rec_seq = F.col(seq_col) if seq_col else F.monotonically_increasing_id()
+    base = df.withColumn("__dbz", p).withColumn("__rec_seq",
+                                                rec_seq.cast("long"))
 
     def flat(img, op):
         cols = [F.col(f"__dbz.{img}.{f.name}").alias(f.name)
                 for f in payload_schema.fields]
+        is_before = F.col("__dbz.op").eqNullSafe("u") & F.lit(img == "before")
+        seq = F.col("__rec_seq") * 2 + F.when(is_before, 0).otherwise(1)
         return (base.where(F.col("__dbz.op").isin(*op))
                 .where(F.col(f"__dbz.{img}").isNotNull())
                 .select(*cols,
