@@ -982,6 +982,486 @@ def set_ops_nations(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# logical functions (§2.5) — two-valued AND/OR/NOT + postfix IS
+# ---------------------------------------------------------------------------
+
+@_q(
+    "fn_logical",
+    """
+    WITH base AS (
+      SELECT c_custkey, c_mktsegment,
+             CASE WHEN c_acctbal > 5000.0 THEN c_acctbal END AS nb,
+             CASE WHEN c_custkey % 3 <> 0
+                  THEN COALESCE(c_acctbal > 0.0, FALSE) END AS nbool
+      FROM customer)
+    SELECT c_custkey,
+           (COALESCE(nb > 6000.0, FALSE)
+            AND COALESCE(c_custkey % 2 = 0, FALSE)) AS t_and,
+           (COALESCE(nb > 6000.0, FALSE)
+            OR COALESCE(c_mktsegment = 'BUILDING', FALSE)) AS t_or,
+           (NOT COALESCE(nb > 6000.0, FALSE)) AS t_not,
+           (nb IS NULL) AS t_isnull,
+           (nb IS NOT NULL) AS t_notnull,
+           (nbool IS NOT DISTINCT FROM TRUE) AS t_istrue,
+           (nbool IS NOT DISTINCT FROM FALSE) AS t_isfalse,
+           (nbool IS NOT DISTINCT FROM FALSE) AS t_isnottrue
+    FROM base
+    """,
+)
+def fn_logical(spark, sf_dir):
+    """Two-valued logical matrix (TransformSqlOperatorTable.java:114-122,
+    JaninoCompiler two-valued AND/OR/NOT): operands coalesce NULL→FALSE;
+    postfix IS TRUE/IS FALSE are null-safe (`<=>`); IS NOT TRUE rewrites to
+    IS FALSE (Janino parity, exprs.py:283)."""
+    pass1 = TransformEngine([TransformRule(
+        r"tpch.public.customer",
+        projection=("c_custkey, c_mktsegment, "
+                    "CASE WHEN c_acctbal > 5000.0 THEN c_acctbal "
+                    "ELSE NULL END AS nb, "
+                    "CASE WHEN c_custkey % 3 <> 0 THEN c_acctbal > 0.0 "
+                    "ELSE NULL END AS nbool"),
+    )])
+    pass2 = TransformEngine([TransformRule(
+        r"tpch.public.customer",
+        projection=("c_custkey, "
+                    "nb > 6000.0 AND c_custkey % 2 = 0 AS t_and, "
+                    "nb > 6000.0 OR c_mktsegment = 'BUILDING' AS t_or, "
+                    "NOT (nb > 6000.0) AS t_not, "
+                    "nb IS NULL AS t_isnull, "
+                    "nb IS NOT NULL AS t_notnull, "
+                    "nbool IS TRUE AS t_istrue, "
+                    "nbool IS FALSE AS t_isfalse, "
+                    "nbool IS NOT TRUE AS t_isnottrue"),
+    )])
+    mid = pass1.apply(_t(spark, sf_dir, "customer"), _CUST_TID)
+    return pass2.apply(mid, _CUST_TID)
+
+
+# ---------------------------------------------------------------------------
+# UDF registry (§2.5) — registered name callable inside transform strings
+# ---------------------------------------------------------------------------
+
+@_q(
+    "udf_registry_transform",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal >= 5000.0 THEN 'gold'
+                WHEN c_acctbal >= 0.0 THEN 'standard'
+                ELSE 'delinquent' END AS tier,
+           length(c_name) % 10 AS name_mod
+    FROM customer
+    """,
+)
+def udf_registry_transform(spark, sf_dir):
+    """UDF registry e2e (UserDefinedFunctionDescriptor.java:40-112): a
+    reference-shaped UserDefinedFunction subclass registered under its YAML
+    name, then invoked from a transform projection string via the
+    unknown-function passthrough (exprs.py:570)."""
+    from .udf import UserDefinedFunction, register_udf
+
+    class AcctTier(UserDefinedFunction):
+        return_type = "string"
+
+        def eval(self, b):
+            if b is None:
+                return None
+            if b >= 5000.0:
+                return "gold"
+            return "standard" if b >= 0.0 else "delinquent"
+
+    register_udf(spark, "acct_tier", AcctTier)
+    register_udf(spark, "name_mod",
+                 lambda s: None if s is None else len(s) % 10, "long")
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.customer",
+        projection=("c_custkey, ACCT_TIER(c_acctbal) AS tier, "
+                    "NAME_MOD(c_name) AS name_mod"),
+    )])
+    return eng.apply(_t(spark, sf_dir, "customer"), _CUST_TID)
+
+
+# ---------------------------------------------------------------------------
+# schema-evolution behaviors (§2.9) — LENIENT / EVOLVE / IGNORE, oracled
+# ---------------------------------------------------------------------------
+
+@_q(
+    "evolve_lenient_rename_drop",
+    """
+    SELECT c_custkey, c_name, c_acctbal, CAST(NULL AS VARCHAR) AS cust_name
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(NULL AS VARCHAR), CAST(NULL AS DOUBLE), c_name
+    FROM customer
+    """,
+)
+def evolve_lenient_rename_drop(spark, sf_dir):
+    """LENIENT behavior (SchemaDerivator.java:212-280): RENAME becomes
+    add-new-keep-old, DROP keeps the column nullable. Batch 1 (pre-DDL
+    shape) coerces with cust_name=NULL; batch 2 (post-rename/drop upstream
+    shape) coerces with the orphaned columns NULL-filled."""
+    from .events import DropColumnEvent, RenameColumnEvent
+
+    full = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    tid = TableId.parse("tpch.public.customer_lenient")
+    ev = SchemaEvolver()  # LENIENT default
+    ev.on_event(CreateTableEvent(
+        tid, Schema.of(full.schema, primary_keys=["c_custkey"])))
+    ev.on_event(RenameColumnEvent(tid, "c_name", "cust_name"))
+    ev.on_event(DropColumnEvent(tid, "c_acctbal"))
+    target = ev.manager.latest_evolved(tid)
+    batch2 = full.select("c_custkey", F.col("c_name").alias("cust_name"))
+    return coerce_dataframe(full, target).unionByName(
+        coerce_dataframe(batch2, target))
+
+
+@_q(
+    "evolve_alter_type_widen",
+    """
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey FROM customer
+    UNION ALL
+    SELECT c_custkey, CAST(c_nationkey AS BIGINT) FROM customer
+    """,
+)
+def evolve_alter_type_widen(spark, sf_dir):
+    """EVOLVE behavior + drift-inferred AlterColumnType: an incoming batch
+    carries c_nationkey as BIGINT; the merge lattice widens INT→BIGINT
+    (SchemaMergingUtils.getLeastCommonType:462) and the old batch coerces
+    up via Catalyst cast."""
+    from .evolve import SchemaChangeBehavior
+
+    base = _t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    widened = base.withColumn(
+        "c_nationkey", F.col("c_nationkey").cast("bigint"))
+    tid = TableId.parse("tpch.public.customer_widen")
+    ev = SchemaEvolver(behavior=SchemaChangeBehavior.EVOLVE)
+    ev.on_event(CreateTableEvent(
+        tid, Schema.of(base.schema, primary_keys=["c_custkey"])))
+    for drift in ev.infer_drift_events(
+            tid, Schema.of(widened.schema, primary_keys=["c_custkey"])):
+        ev.on_event(drift)
+    target = ev.manager.latest_evolved(tid)
+    return coerce_dataframe(base, target).unionByName(
+        coerce_dataframe(widened, target))
+
+
+@_q(
+    "evolve_ignore_behavior",
+    """
+    SELECT c_custkey, c_name FROM customer
+    """,
+)
+def evolve_ignore_behavior(spark, sf_dir):
+    """IGNORE behavior: only CreateTableEvents pass; a later AddColumn does
+    not evolve the sink schema, so wider batches project back down to v1
+    (SchemaDerivator.rewriteSchemaChangeEvents IGNORE arm)."""
+    from .events import AddColumnEvent
+    from .evolve import SchemaChangeBehavior
+
+    v1 = _t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    full = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    tid = TableId.parse("tpch.public.customer_ignore")
+    ev = SchemaEvolver(behavior=SchemaChangeBehavior.IGNORE)
+    ev.on_event(CreateTableEvent(
+        tid, Schema.of(v1.schema, primary_keys=["c_custkey"])))
+    ev.on_event(AddColumnEvent(tid, "c_acctbal", "DOUBLE"))
+    target = ev.manager.latest_evolved(tid)
+    return coerce_dataframe(full, target)
+
+
+@_q(
+    "schema_registry_versions",
+    """
+    SELECT * FROM (VALUES
+      (0, 0, 'c_custkey,c_name'),
+      (1, 1, 'c_custkey,c_name,c_acctbal'),
+      (2, 2, 'c_custkey,cust_name,c_acctbal'),
+      (3, 3, 'c_custkey,cust_name')
+    ) t(step, version, cols)
+    """,
+)
+def schema_registry_versions(spark, sf_dir):
+    """Versioned SchemaManager (§2.9): each applied event registers a new
+    original-schema version; the registry round-trips through its JSON
+    checkpoint form (SchemaManager snapshot parity)."""
+    from .events import AddColumnEvent, DropColumnEvent, RenameColumnEvent
+    from .evolve import SchemaChangeBehavior
+    from .schema import SchemaManager
+
+    tid = TableId.parse("tpch.public.versioned")
+    ev = SchemaEvolver(behavior=SchemaChangeBehavior.EVOLVE)
+    events = [
+        CreateTableEvent(tid, Schema.of(
+            [("c_custkey", "BIGINT NOT NULL"), ("c_name", "STRING")],
+            primary_keys=["c_custkey"])),
+        AddColumnEvent(tid, "c_acctbal", "DOUBLE"),
+        RenameColumnEvent(tid, "c_name", "cust_name"),
+        DropColumnEvent(tid, "c_acctbal"),
+    ]
+    rows = []
+    for step, e in enumerate(events):
+        ev.on_event(e)
+        # checkpoint round-trip must preserve the registry exactly
+        mgr = SchemaManager.from_json(ev.manager.to_json())
+        versions = mgr.original[tid]
+        latest = max(versions)
+        cols = ",".join(f.name for f in versions[latest].struct.fields)
+        rows.append((step, latest, cols))
+    return spark.createDataFrame(rows, "step int, version int, cols string")
+
+
+# ---------------------------------------------------------------------------
+# upsert sink replay (§2.2) — INSERT..ON CONFLICT + DELETE against DuckDB
+# ---------------------------------------------------------------------------
+
+@_q(
+    "sink_upsert_replay",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 5 = 0
+                THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS o_totalprice,
+           CASE WHEN o_orderkey % 5 = 0 THEN 'REPRICED'
+                ELSE o_orderpriority END AS o_orderpriority
+    FROM orders WHERE o_orderkey % 10 <> 3
+    """,
+)
+def sink_upsert_replay(spark, sf_dir):
+    """JdbcUpsertSink e2e (DsqlBatchSinkFunction.java:121-180): a changelog
+    of inserts, updates and deletes replays TWICE into a DuckDB file
+    (idempotency — the reference's effectively-once guarantee), and the
+    table read back IS the Spark-side result."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .sinks import JdbcUpsertSink
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+    schema = Schema.of(orders.schema, primary_keys=["o_orderkey"])
+    k = F.col("o_orderkey")
+    ins = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+           .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    upd = (orders.where(k % 5 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+           .withColumn("o_orderpriority", F.lit("REPRICED"))
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    dele = (orders.where(k % 10 == 3)
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(3).cast("long")))
+    cl = ins.unionByName(upd).unionByName(dele)
+
+    tmpdir = tempfile.mkdtemp(prefix="upsert_sink_")
+    path = os.path.join(tmpdir, "sink.duckdb")
+    sink = JdbcUpsertSink(lambda p=path: duckdb.connect(p), "orders_sink",
+                          schema, parallel=False)
+    sink.ensure_table()
+    sink.write_batch(cl)
+    sink.write_batch(cl)  # idempotent replay
+    con = duckdb.connect(path)
+    pdf = con.execute("SELECT * FROM orders_sink").df()
+    con.close()
+    return spark.createDataFrame(pdf[
+        ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]])
+
+
+# ---------------------------------------------------------------------------
+# chunked snapshot splitter (§2.1) — split arithmetic + predicate coverage
+# ---------------------------------------------------------------------------
+
+@_q(
+    "chunk_split_assignment",
+    """
+    WITH s AS (SELECT MIN(o_orderkey) AS mn, MAX(o_orderkey) AS mx,
+                      CAST(COUNT(*) AS BIGINT) AS cnt FROM orders),
+    p AS (SELECT mn, mx,
+                 GREATEST(CAST(FLOOR(1000 * ((mx - mn + 1.0) / cnt))
+                          AS BIGINT), 1) AS stride FROM s)
+    SELECT LEAST((o_orderkey - mn) // stride, (mx - mn) // stride)
+             AS split_id,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           MIN(o_orderkey) AS k_min, MAX(o_orderkey) AS k_max
+    FROM orders, p
+    GROUP BY 1
+    """,
+)
+def chunk_split_assignment(spark, sf_dir):
+    """Evenly-sized chunk splitter parity
+    (JdbcSourceChunkSplitter.splitEvenlySizedChunks:327-349): computes the
+    real SnapshotSplit bounds, then assigns every row through each split's
+    WHERE predicate — the oracle replays the stride arithmetic in SQL, so
+    chunk boundaries AND coverage (no row lost or double-assigned) are both
+    hash-checked."""
+    from functools import reduce
+
+    from .sources import split_evenly_sized_chunks
+
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    st = orders.agg(F.min("o_orderkey").alias("mn"),
+                    F.max("o_orderkey").alias("mx"),
+                    F.count("*").alias("cnt")).collect()[0]
+    splits = split_evenly_sized_chunks(
+        int(st["mn"]), int(st["mx"]), int(st["cnt"]), chunk_size=1000)
+    parts = [
+        orders.where(F.expr(s.predicate("o_orderkey")))
+        .select(F.lit(s.split_id).cast("long").alias("split_id"),
+                "o_orderkey")
+        for s in splits
+    ]
+    u = reduce(lambda a, b: a.unionByName(b), parts)
+    return u.groupBy("split_id").agg(
+        F.count("*").alias("n"),
+        F.min("o_orderkey").alias("k_min"),
+        F.max("o_orderkey").alias("k_max"))
+
+
+# ---------------------------------------------------------------------------
+# values source + collect sink (§2.1/§2.2) — golden event-set replay
+# ---------------------------------------------------------------------------
+
+@_q(
+    "values_source_golden",
+    """
+    SELECT * FROM (VALUES ('1', '1'), ('2', 'x')) t(col1, col2)
+    """,
+)
+def values_source_golden(spark, sf_dir):
+    """SINGLE_SPLIT_SINGLE_TABLE event set (ValuesDataSourceHelper.java:173)
+    through the changelog materializer: 3 inserts, an update (both images),
+    a delete — final state is the ValuesDatabase golden table."""
+    from .testing import single_split_single_table
+
+    script = single_split_single_table()
+    tid = script.table_ids()[0]
+    cl = script.to_changelog_df(spark, tid)
+    return apply_changelog(cl, ["col1"])
+
+
+# ---------------------------------------------------------------------------
+# Kafka envelopes (§2.2) — encode → decode round-trip + canal structure
+# ---------------------------------------------------------------------------
+
+def _customer_changelog(spark, sf_dir):
+    cust = _t(spark, sf_dir, "customer")
+    k = F.col("c_custkey")
+    op = (F.when(k % 7 == 0, "-D")
+          .when(k % 3 == 0, "+U")
+          .otherwise("+I"))
+    return cust.withColumn(OP_COLUMN, op).withColumn(
+        SEQ_COLUMN, k.cast("long"))
+
+
+_CUST_OP_SQL = ("CASE WHEN c_custkey % 7 = 0 THEN 'D' "
+                "WHEN c_custkey % 3 = 0 THEN 'U' ELSE 'I' END")
+
+
+@_q(
+    "envelope_debezium_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 0
+    """,
+)
+def envelope_debezium_roundtrip(spark, sf_dir):
+    """debezium-json encode → decode → apply round-trip
+    (JsonSerializationType.java:26-32 + the Kafka source decode path):
+    deletes stay deleted, upserts land, payload values survive the JSON
+    round-trip bit-exactly."""
+    from .sinks import debezium_json
+    from .sources import decode_debezium_json
+
+    cust = _t(spark, sf_dir, "customer")
+    cl = _customer_changelog(spark, sf_dir)
+    enc = debezium_json(cl, TableId.parse("tpch.public.customer"))
+    dec = decode_debezium_json(enc, "value", cust.schema)
+    return apply_changelog(dec, ["c_custkey"])
+
+
+@_q(
+    "envelope_canal_structure",
+    f"""
+    SELECT {_CUST_OP_SQL.replace("'D'", "'DELETE'")
+                        .replace("'U'", "'UPDATE'")
+                        .replace("'I'", "'INSERT'")} AS ctype,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+    GROUP BY 1
+    """,
+)
+def envelope_canal_structure(spark, sf_dir):
+    """canal-json envelope structure: type mapping and payload integrity
+    verified by parsing the emitted JSON back (get_json_object) and
+    aggregating the embedded keys."""
+    from .sinks import canal_json
+
+    cl = _customer_changelog(spark, sf_dir)
+    enc = canal_json(cl, TableId.parse("tpch.public.customer"))
+    ctype = F.get_json_object("value", "$.type").alias("ctype")
+    key_in_payload = F.coalesce(
+        F.get_json_object("value", "$.data[0].c_custkey"),
+        F.get_json_object("value", "$.old[0].c_custkey")).cast("long")
+    return (enc.select(ctype, key_in_payload.alias("k"))
+            .groupBy("ctype")
+            .agg(F.count("*").alias("n"),
+                 F.sum("k").alias("key_sum")))
+
+
+# ---------------------------------------------------------------------------
+# pre-transform pruning (§2.3) + snapshot→stream handoff (§2.1)
+# ---------------------------------------------------------------------------
+
+@_q(
+    "pre_transform_prune",
+    """
+    SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+    """,
+)
+def pre_transform_prune(spark, sf_dir):
+    """PreTransform column pruning (PreTransformOperator parity): the
+    pruned frame carries exactly the columns referenced by the rule's
+    projection + filter, before post-transform runs."""
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.orders",
+        projection="o_orderkey, o_totalprice",
+        filter="o_orderdate IS NOT NULL",
+    )])
+    return eng.prune(_t(spark, sf_dir, "orders"),
+                     TableId.parse("tpch.public.orders"))
+
+
+@_q(
+    "snapshot_stream_handoff",
+    """
+    WITH hw AS (SELECT MAX(event_id) AS h FROM events WHERE event_id % 2 = 0)
+    SELECT event_id, 'snapshot' AS phase FROM events WHERE event_id % 2 = 0
+    UNION ALL
+    SELECT event_id, 'stream' FROM events, hw WHERE event_id > hw.h
+    """,
+)
+def snapshot_stream_handoff(spark, sf_dir):
+    """Snapshot→stream handoff (HybridSplitAssigner / DBLog watermark):
+    snapshot() records the log high-watermark; stream_filter() admits only
+    log records strictly above it — no overlap, no gap."""
+    from .sources import SnapshotStreamHandoff
+
+    ev = _events_table(spark, sf_dir).select("event_id")
+    log0 = ev.where(F.col("event_id") % 2 == 0).withColumn(
+        SEQ_COLUMN, F.col("event_id").cast("long"))
+    h = SnapshotStreamHandoff()
+    snap = h.snapshot(log0.drop(SEQ_COLUMN), log0)
+    tail = h.stream_filter(
+        ev.withColumn(SEQ_COLUMN, F.col("event_id").cast("long")))
+    return (snap.withColumn("phase", F.lit("snapshot"))
+            .unionByName(tail.drop(SEQ_COLUMN)
+                         .withColumn("phase", F.lit("stream"))))
+
+
+# ---------------------------------------------------------------------------
 # YAML pipeline end-to-end (§2.10/§3.1)
 # ---------------------------------------------------------------------------
 
