@@ -168,7 +168,8 @@ def _data_struct(df: DataFrame):
 
 
 def foreach_batch_writer(pipeline: PipelineDef, sink_writer,
-                         spark: SparkSession):
+                         spark: SparkSession, on_schema_change=None,
+                         evolver: SchemaEvolver | None = None):
     """Build a ``foreachBatch`` function running the composed pipeline on
     each micro-batch of a single-table changelog stream.
 
@@ -182,18 +183,41 @@ def foreach_batch_writer(pipeline: PipelineDef, sink_writer,
     Effectively-once: checkpointLocation tracks offsets; the sink writer is
     an idempotent upsert, so replays converge (the same guarantee as the
     reference's upsert sink, DsqlBatchSinkFunction).
+
+    Schema evolution in the hot path (SchemaOperator.java:70,176-180 +
+    SchemaCoordinator.java:72,389-465): each micro-batch's post-transform
+    schema is diffed against the registry; drift (new columns, widened
+    types) becomes schema-change events applied under the pipeline's
+    ``schema.change.behavior`` policy, the batch is coerced into the
+    evolved sink schema, and ``on_schema_change(sink_tid, events, schema)``
+    fires so JDBC-style sinks can issue DDL before rows land. foreachBatch
+    is already a global synchronous barrier, so the reference's
+    FlushEvent/RPC coordination collapses into this call sequence.
     """
     engine = TransformEngine(list(pipeline.transforms))
     router = TableIdRouter(list(pipeline.routes))
     src_cfg = pipeline.source.config
     table = TableId.parse(src_cfg.get("table", "default.default.stream"))
     pks = list(src_cfg.get("primary-keys", []))
+    # Pass a pre-seeded evolver (SchemaManager.from_json of checkpointed
+    # registry state) to resume evolution across stream restarts — the
+    # SchemaCoordinator's checkpoint story (SchemaCoordinator snapshot).
+    evolver = evolver or SchemaEvolver(
+        behavior=SchemaChangeBehavior(pipeline.schema_change_behavior))
 
     def handle(df: DataFrame, batch_id: int) -> None:
         xdf = engine.apply(engine.prune(df, table), table)
-        schema = Schema.of(_data_struct(xdf), primary_keys=pks)
+        incoming = Schema.of(_data_struct(xdf), primary_keys=pks)
+        applied = list(evolver.infer_drift_events(table, incoming))
+        evolved = evolver.manager.latest_evolved(table)
+        for e in applied:
+            evolved = evolver.on_event(e)
+        schema = evolved if evolved is not None else incoming
+        out0 = coerce_dataframe(xdf, schema)
         for sink_tid in router.route(table):
-            out = xdf
+            if applied and on_schema_change is not None:
+                on_schema_change(sink_tid, applied, schema)
+            out = out0
             if schema.primary_keys:
                 out = repartition_by_key(out, list(schema.primary_keys))
             sink_writer(sink_tid, out, schema)

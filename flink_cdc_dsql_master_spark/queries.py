@@ -1341,6 +1341,56 @@ def values_source_golden(spark, sf_dir):
     return apply_changelog(cl, ["col1"])
 
 
+@_q(
+    "streaming_evolve_replay",
+    """
+    SELECT c_custkey, c_name, CAST(NULL AS DOUBLE) AS c_acctbal
+    FROM customer
+    UNION ALL
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    """,
+)
+def streaming_evolve_replay(spark, sf_dir):
+    """The streaming hot path's schema evolution (SchemaOperator.java:176):
+    two micro-batches replayed through the actual foreachBatch handler —
+    batch 2 carries a new column; the handler infers AddColumn drift,
+    evolves the registry, fires the sink DDL hook, and coerces both
+    batches into the widened schema."""
+    from .compose import foreach_batch_writer
+    from .pipeline import PipelineDef, SinkDef, SourceDef
+    from .route import RouteRule
+
+    full = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal")
+    batch1 = full.select("c_custkey", "c_name")
+
+    captured: list[DataFrame] = []
+    ddl: list[str] = []
+
+    def writer(tid, df, schema):
+        captured.append(df)
+
+    def on_ddl(tid, events, schema):
+        ddl.extend(type(e).__name__ for e in events)
+
+    pipe = PipelineDef(
+        source=SourceDef("values", {
+            "table": "tpch.public.customer_stream",
+            "primary-keys": ["c_custkey"]}),
+        sink=SinkDef("values"),
+        routes=(RouteRule(r"tpch.public.customer_stream",
+                          "analytics.out.customer"),),
+    )
+    handle = foreach_batch_writer(pipe, writer, spark, on_schema_change=on_ddl)
+    handle(batch1, 0)
+    handle(full, 1)
+    assert ddl == ["CreateTableEvent", "AddColumnEvent"], ddl
+    # batch 1 was written under the v1 schema; the sink-side ALTER widens
+    # it with NULLs — emulated here by the missing-column union, which is
+    # exactly what reading the evolved sink table back would produce
+    return captured[0].unionByName(captured[1], allowMissingColumns=True)
+
+
 # ---------------------------------------------------------------------------
 # Kafka envelopes (§2.2) — encode → decode round-trip + canal structure
 # ---------------------------------------------------------------------------

@@ -55,6 +55,38 @@ def create_table_sql(table: str, schema: Schema) -> str:
     return f'CREATE TABLE IF NOT EXISTS {table} ({cols}{pk})'
 
 
+def schema_change_ddl(table: str, events, schema: Schema) -> list[str]:
+    """DDL statements applying schema-change events to a JDBC target
+    (DsqlMetadataApplier / MetadataApplier parity). `schema` is the evolved
+    sink schema — the type source of truth for added/altered columns."""
+    from .events import (
+        AddColumnEvent,
+        AlterColumnTypeEvent,
+        CreateTableEvent,
+        DropColumnEvent,
+        RenameColumnEvent,
+    )
+
+    out = []
+    for e in events:
+        if isinstance(e, CreateTableEvent):
+            out.append(create_table_sql(table, schema))
+        elif isinstance(e, AddColumnEvent):
+            f = schema.field(e.name)
+            out.append(f'ALTER TABLE {table} ADD COLUMN IF NOT EXISTS '
+                       f'"{e.name}" {to_sql_ddl(f)}')
+        elif isinstance(e, RenameColumnEvent):
+            out.append(f'ALTER TABLE {table} RENAME COLUMN '
+                       f'"{e.old_name}" TO "{e.new_name}"')
+        elif isinstance(e, DropColumnEvent):
+            out.append(f'ALTER TABLE {table} DROP COLUMN IF EXISTS "{e.name}"')
+        elif isinstance(e, AlterColumnTypeEvent):
+            f = schema.field(e.name)
+            out.append(f'ALTER TABLE {table} ALTER COLUMN "{e.name}" '
+                       f'SET DATA TYPE {to_sql_ddl(f)}')
+    return out
+
+
 def upsert_sql(table: str, columns: list[str], primary_keys: list[str]) -> str:
     """``INSERT .. ON CONFLICT (pk) DO UPDATE`` (DsqlBatchSinkFunction:121)."""
     collist = ", ".join(f'"{c}"' for c in columns)
