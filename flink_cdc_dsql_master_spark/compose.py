@@ -167,6 +167,46 @@ def _data_struct(df: DataFrame):
         if f.name not in ("__op", "__table_id", "__seq")])
 
 
+def compose_changelog_stream(spark: SparkSession, pipeline: PipelineDef,
+                             checkpoint: str, sink_writer,
+                             on_schema_change=None, evolver=None,
+                             available_now: bool = True):
+    """Compose the full streaming pipeline over a Debezium changelog source:
+
+        readStream → decode_debezium_json → [prune → transform → evolve →
+          coerce → PK-repartition → sink]  (the bracket runs per micro-batch)
+
+    Source types: ``file-debezium`` (JSON-lines (value, offset) files — the
+    hermetic stand-in with the identical decode path) and
+    ``kafka-debezium`` (the real topic; needs the Kafka connector jar).
+    Source config: ``path``/``servers``+``topics``, ``schema`` (DDL string
+    of the payload), ``table``, ``primary-keys``.
+
+    Returns the started StreamingQuery. Effectively-once: the checkpoint
+    tracks source offsets; the upsert sink is idempotent; a restart with a
+    checkpointed ``evolver`` resumes mid-stream schema evolution.
+    """
+    from .sources import changelog_file_stream, kafka_changelog_stream
+
+    src = pipeline.source
+    payload = spark.createDataFrame([], src.config["schema"]).schema
+    if src.type == "file-debezium":
+        stream = changelog_file_stream(spark, src.config["path"], payload)
+    elif src.type == "kafka-debezium":
+        stream = kafka_changelog_stream(
+            spark, src.config["servers"], src.config["topics"], payload)
+    else:
+        raise ValueError(f"unsupported stream source type {src.type!r}")
+    handle = foreach_batch_writer(pipeline, sink_writer, spark,
+                                  on_schema_change=on_schema_change,
+                                  evolver=evolver)
+    w = (stream.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def foreach_batch_writer(pipeline: PipelineDef, sink_writer,
                          spark: SparkSession, on_schema_change=None,
                          evolver: SchemaEvolver | None = None):

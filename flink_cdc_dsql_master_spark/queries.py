@@ -1461,6 +1461,106 @@ def envelope_canal_structure(spark, sf_dir):
                  F.sum("k").alias("key_sum")))
 
 
+@_q(
+    "changelog_stream_pipeline",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) || '_U'
+                ELSE upper(c_name) END AS c_name,
+           c_acctbal
+    FROM customer WHERE c_custkey % 7 <> 0
+    """,
+)
+def changelog_stream_pipeline(spark, sf_dir):
+    """Full streaming pipeline over Debezium envelopes with a checkpointed
+    restart: run 1 streams the insert files, run 2 (same checkpoint)
+    streams updates + deletes — decode → transform → evolve → PK-partition
+    → idempotent upsert into DuckDB; the sink table read back is the
+    result. Covers the Kafka-source decode path (file-backed twin) and the
+    effectively-once checkpoint story (§2.1/§2.10)."""
+    import json
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .compose import compose_changelog_stream
+    from .pipeline import PipelineDef, SinkDef, SourceDef
+    from .route import RouteRule
+    from .sinks import JdbcUpsertSink, schema_change_ddl
+
+    rows = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal").collect()
+
+    base = tempfile.mkdtemp(prefix="changelog_stream_")
+    src, ckpt = os.path.join(base, "topic"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    def env(offset, before, after, op):
+        return json.dumps({"value": json.dumps(
+            {"before": before, "after": after, "op": op}), "offset": offset})
+
+    def payload(r, suffix=""):
+        return {"c_custkey": r["c_custkey"], "c_name": r["c_name"] + suffix,
+                "c_acctbal": r["c_acctbal"]}
+
+    with open(f"{src}/b1.json", "w") as f:
+        for r in rows:
+            f.write(env(r["c_custkey"] * 3, None, payload(r), "c") + "\n")
+
+    pipe = PipelineDef(
+        source=SourceDef("file-debezium", {
+            "path": src, "schema": "c_custkey bigint, c_name string, "
+                                   "c_acctbal double",
+            "table": "tpch.public.customer_cl",
+            "primary-keys": ["c_custkey"]}),
+        sink=SinkDef("duckdb"),
+        transforms=(TransformRule(
+            r"tpch.public.customer_cl",
+            projection="c_custkey, UPPER(c_name) AS c_name, c_acctbal"),),
+        routes=(RouteRule(r"tpch.public.customer_cl",
+                          "analytics.out.customer_cl"),),
+    )
+
+    def writer(tid, df, schema):
+        sink = JdbcUpsertSink(lambda p=db: duckdb.connect(p),
+                              tid.table, schema, parallel=False)
+        sink.write_batch(df)
+
+    def on_ddl(tid, events, schema):
+        con = duckdb.connect(db)
+        try:
+            for sql in schema_change_ddl(tid.table, events, schema):
+                con.execute(sql)
+            con.commit()
+        finally:
+            con.close()
+
+    q = compose_changelog_stream(spark, pipe, ckpt, writer,
+                                 on_schema_change=on_ddl)
+    q.awaitTermination(300)
+
+    with open(f"{src}/b2.json", "w") as f:
+        for r in rows:
+            k = r["c_custkey"]
+            if k % 3 == 0:
+                f.write(env(k * 3 + 1, payload(r), payload(r, "_u"), "u")
+                        + "\n")
+            if k % 7 == 0:
+                f.write(env(k * 3 + 2, payload(r, "_u" if k % 3 == 0 else ""),
+                            None, "d") + "\n")
+    q = compose_changelog_stream(spark, pipe, ckpt, writer,
+                                 on_schema_change=on_ddl)
+    q.awaitTermination(300)
+
+    con = duckdb.connect(db)
+    pdf = con.execute(
+        "SELECT c_custkey, c_name, c_acctbal FROM customer_cl").df()
+    con.close()
+    return spark.createDataFrame(pdf)
+
+
 # ---------------------------------------------------------------------------
 # pre-transform pruning (§2.3) + snapshot→stream handoff (§2.1)
 # ---------------------------------------------------------------------------

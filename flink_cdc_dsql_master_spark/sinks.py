@@ -264,8 +264,53 @@ def merge_into_parquet(path: str, changelog: DataFrame,
 
 
 # ---------------------------------------------------------------------------
-# Kafka JSON envelopes (JsonSerializationType.java:26-32)
+# Kafka JSON envelopes (JsonSerializationType.java:26-32) + partitioning
+# (flink-cdc-pipeline-connector-kafka/.../sink/PartitionStrategy.java)
 # ---------------------------------------------------------------------------
+
+PARTITION_ALL_TO_ZERO = "ALL_TO_ZERO"
+PARTITION_HASH_BY_KEY = "HASH_BY_KEY"
+
+
+def kafka_records(df: DataFrame, table_id: TableId,
+                  serialization: str = "debezium-json",
+                  partition_strategy: str = PARTITION_ALL_TO_ZERO,
+                  num_partitions: int = 1) -> DataFrame:
+    """Changelog → (key, value, partition) records for Spark's Kafka sink.
+
+    PartitionStrategy parity: ALL_TO_ZERO routes every record to partition
+    0 (global order preserved); HASH_BY_KEY hashes the serialized key so
+    one PK always lands in one partition (per-key order preserved, the
+    strategy that scales). Spark's Kafka writer honors an explicit
+    ``partition`` column, so this composes directly with
+    ``writeStream.format("kafka")``.
+    """
+    if serialization == "debezium-json":
+        enc = debezium_json(df, table_id)
+    elif serialization == "canal-json":
+        enc = canal_json(df, table_id)
+    else:
+        raise ValueError(f"unsupported serialization {serialization!r}")
+    if partition_strategy == PARTITION_ALL_TO_ZERO:
+        part = F.lit(0)
+    elif partition_strategy == PARTITION_HASH_BY_KEY:
+        part = F.pmod(
+            F.xxhash64(F.col("key")).bitwiseAND(F.lit(0x7FFFFFFF)),
+            F.lit(num_partitions))
+    else:
+        raise ValueError(
+            f"unsupported partition strategy {partition_strategy!r}")
+    return enc.withColumn("partition", part.cast("int"))
+
+
+def kafka_sink_stream(records: DataFrame, bootstrap_servers: str,
+                      topic: str, checkpoint: str):
+    """writeStream plan for the Kafka sink (needs the kafka connector jar;
+    plan construction is testable without one)."""
+    return (records.writeStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("topic", topic)
+            .option("checkpointLocation", checkpoint))
 
 def debezium_json(df: DataFrame, table_id: TableId) -> DataFrame:
     """Changelog → (key, value) debezium-json strings.

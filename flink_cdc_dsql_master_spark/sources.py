@@ -193,6 +193,44 @@ def decode_debezium_json(df: DataFrame, value_col: str,
         .unionByName(deletes)
 
 
+def changelog_file_stream(spark: SparkSession, path: str,
+                          payload_schema: T.StructType,
+                          envelope: str = "debezium-json") -> DataFrame:
+    """File-backed changelog stream — the sandbox stand-in for a Kafka
+    topic carrying Debezium envelopes. Each JSON-lines file holds
+    ``{"value": <envelope string>, "offset": <long>}`` records (exactly the
+    (value, offset) pair a Kafka record exposes); the decode path is the
+    same one the Kafka variant uses, so tests of this stream test that.
+    """
+    if envelope != "debezium-json":
+        raise ValueError(f"unsupported envelope {envelope!r}")
+    raw = spark.readStream.schema("value string, offset long").json(path)
+    return decode_debezium_json(raw, "value", payload_schema,
+                                seq_col="offset")
+
+
+def kafka_changelog_stream(spark: SparkSession, bootstrap_servers: str,
+                           topics: str, payload_schema: T.StructType,
+                           starting_offsets: str = "earliest") -> DataFrame:
+    """Kafka Debezium changelog stream (the reference's Kafka pipeline
+    source). Requires the spark-sql-kafka connector on the classpath (not
+    present in the hermetic sandbox — the decode path is identical to
+    ``changelog_file_stream``, which is what the test suite drives).
+
+    The Kafka record offset is the per-partition sequence — exactly the
+    binlog-position analog ``decode_debezium_json`` expects.
+    """
+    raw = (spark.readStream.format("kafka")
+           .option("kafka.bootstrap.servers", bootstrap_servers)
+           .option("subscribe", topics)
+           .option("startingOffsets", starting_offsets)
+           .load())
+    vals = raw.selectExpr("CAST(value AS STRING) AS value",
+                          "CAST(offset AS LONG) AS offset")
+    return decode_debezium_json(vals, "value", payload_schema,
+                                seq_col="offset")
+
+
 # ---------------------------------------------------------------------------
 # snapshot → stream handoff (HybridSplitAssigner analog)
 # ---------------------------------------------------------------------------
