@@ -419,6 +419,7 @@ _DIRECT_FUNCS = {
     "CURRENT_DATE": "current_date",
     # LLM operators (registered pandas_udfs, functions.py)
     "GET_EMBEDDING": "get_embedding", "AI_CHAT_PREDICT": "ai_chat_predict",
+    "AI_LANGCHAIN_PREDICT": "ai_langchain_predict",
 }
 
 _INTEGRAL_CASTS = {"TINYINT": "tinyint", "SMALLINT": "smallint",

@@ -345,62 +345,148 @@ def if_(cond: Column, a: ColumnOrName, b: ColumnOrName) -> Column:
 
 # ---------------------------------------------------------------------------
 # AI model functions (OpenAIEmbeddingModel.java:57-84 / OpenAIChatModel.java
-# :55-75). The container has no network/client libs, so the transport is
-# pluggable: pass `embed_fn`/`chat_fn` operating on pandas.Series batches.
-# The Spark-side shape (pandas_udf over Arrow batches, array<float> return)
-# is the real, scale-correct design — batched, vectorized, executor-side.
+# :55-75, TransformSqlOperatorTable.java:355-385 registers GET_EMBEDDING /
+# AI_CHAT_PREDICT / AI_LANGCHAIN_PREDICT). The Spark-side shape — pandas_udf
+# over Arrow batches, a pluggable batched transport with retry underneath —
+# is the real, scale-correct design: one executor-side HTTP round trip per
+# micro-batch chunk instead of the reference's per-row client call.
 # ---------------------------------------------------------------------------
 
-def get_embedding_udf(embed_fn=None, dim: int = 64):
-    """Build a pandas_udf for GET_EMBEDDING(text) → array<float>.
+class ModelTransport:
+    """Pluggable batched model-endpoint client.
 
-    Without a real client, `embed_fn=None` produces a deterministic fake:
-    a seeded hash-derived unit vector per text (stable across runs and
-    executors), so plumbing and downstream similarity ops are testable.
+    ``post(inputs: list) -> list`` is the single method a real client
+    implements (e.g. urllib against an OpenAI-compatible /embeddings or
+    /chat endpoint). The transport wraps every chunk in micro-batching
+    (``batch_size``, sink.batch-size analog) and exponential-backoff retry
+    (DsqlRetryHelper semantics applied to model calls). Runs inside the
+    pandas_udf on executors — construct it with picklable callables.
+    """
+
+    def __init__(self, post, batch_size: int = 64, retry=None):
+        from .sinks import RetryPolicy
+
+        self.post = post
+        self.batch_size = max(1, int(batch_size))
+        self.retry = retry or RetryPolicy()
+
+    def call(self, inputs: list) -> list:
+        out = []
+        for i in range(0, len(inputs), self.batch_size):
+            chunk = inputs[i : i + self.batch_size]
+            res = self.retry.run(lambda c=chunk: self.post(c))
+            if len(res) != len(chunk):
+                raise RuntimeError(
+                    f"model endpoint returned {len(res)} results for a "
+                    f"batch of {len(chunk)}")
+            out.extend(res)
+        return out
+
+
+def _stub_embed_post(dim: int):
+    """Deterministic fake /embeddings endpoint: md5-seeded unit vector per
+    text — stable across runs and executors."""
+    def post(texts):
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for t in texts:
+            if t is None:
+                out.append(None)
+                continue
+            seed = int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
+            v = np.random.default_rng(seed).standard_normal(dim)
+            out.append((v / np.linalg.norm(v)).astype("float32").tolist())
+        return out
+
+    return post
+
+
+def _stub_chat_post(tag: str = "stub-reply"):
+    """Deterministic fake /chat endpoint: prompt-hash echo. SQL-expressible
+    on purpose (md5 exists in DuckDB) so the full Arrow→transport→Arrow
+    path is oracle-checkable, not just rows-only."""
+    def post(prompts):
+        import hashlib
+
+        return [None if p is None
+                else f"[{tag}:{hashlib.md5(p.encode()).hexdigest()[:8]}]"
+                for p in prompts]
+
+    return post
+
+
+def get_embedding_udf(embed_fn=None, dim: int = 64, transport=None):
+    """pandas_udf for GET_EMBEDDING(text) → array<float>.
+
+    Resolution order: `transport` (a ModelTransport), else legacy
+    `embed_fn` (pandas.Series → pandas.Series), else the deterministic
+    stub transport — every path is Arrow-batched.
     """
     from pyspark.sql.functions import pandas_udf
 
     def get_embedding(texts):
-        import numpy as np
+        import pandas as pd
 
         if embed_fn is not None:
             return embed_fn(texts)
-
-        def fake(t):
-            if t is None:
-                return None
-            seed = int.from_bytes(
-                __import__("hashlib").md5(t.encode()).digest()[:4], "big")
-            rng = np.random.default_rng(seed)
-            v = rng.standard_normal(dim).astype("float32")
-            return (v / np.linalg.norm(v)).tolist()
-
-        return texts.map(fake)
+        t = transport or ModelTransport(_stub_embed_post(dim))
+        return pd.Series(t.call(texts.tolist()), index=texts.index)
 
     return pandas_udf(get_embedding, "array<float>")
 
 
-def register_model_functions(spark, embed_fn=None, chat_fn=None,
-                             dim: int = 64) -> None:
-    """Register GET_EMBEDDING / AI_CHAT_PREDICT so transform projection and
-    filter strings can call them (the reference binds them from YAML
-    ``pipeline.model`` definitions — ModelDef in pipeline.py)."""
-    spark.udf.register("get_embedding", get_embedding_udf(embed_fn, dim))
-    spark.udf.register("ai_chat_predict", ai_chat_predict_udf(chat_fn))
-
-
-def ai_chat_predict_udf(chat_fn=None):
-    """AI_CHAT_PREDICT(prompt) → string; deterministic echo fake without a
-    client (prompt-hash tag), batched via Arrow like the embedding path."""
+def ai_chat_predict_udf(chat_fn=None, transport=None):
+    """AI_CHAT_PREDICT(prompt) → string through the batched transport."""
     from pyspark.sql.functions import pandas_udf
 
     def ai_chat_predict(prompts):
+        import pandas as pd
+
         if chat_fn is not None:
             return chat_fn(prompts)
-        import hashlib
-
-        return prompts.map(
-            lambda p: None if p is None
-            else f"[stub-reply:{hashlib.md5(p.encode()).hexdigest()[:8]}]")
+        t = transport or ModelTransport(_stub_chat_post())
+        return pd.Series(t.call(prompts.tolist()), index=prompts.index)
 
     return pandas_udf(ai_chat_predict, "string")
+
+
+def ai_langchain_predict_udf(transport=None,
+                             template: str = "Summarize: {input}"):
+    """AI_LANGCHAIN_PREDICT(input) → string: a prompt template rendered
+    around the input, then one batched model call — the langchain
+    prompt-chain shape (TransformSqlOperatorTable.java:375-385) without the
+    framework dependency. The template travels with the UDF, so the chain
+    is defined at registration (YAML ``pipeline.model``) like the
+    reference's."""
+    from pyspark.sql.functions import pandas_udf
+
+    def ai_langchain_predict(inputs):
+        import pandas as pd
+
+        t = transport or ModelTransport(_stub_chat_post("lc"))
+        rendered = [None if x is None else template.replace("{input}", x)
+                    for x in inputs.tolist()]
+        return pd.Series(t.call(rendered), index=inputs.index)
+
+    return pandas_udf(ai_langchain_predict, "string")
+
+
+def register_model_functions(spark, embed_fn=None, chat_fn=None,
+                             dim: int = 64, embed_transport=None,
+                             chat_transport=None, langchain_transport=None,
+                             langchain_template: str = "Summarize: {input}"
+                             ) -> None:
+    """Register GET_EMBEDDING / AI_CHAT_PREDICT / AI_LANGCHAIN_PREDICT so
+    transform projection and filter strings can call them (the reference
+    binds them from YAML ``pipeline.model`` definitions — ModelDef in
+    pipeline.py)."""
+    spark.udf.register("get_embedding",
+                       get_embedding_udf(embed_fn, dim, embed_transport))
+    spark.udf.register("ai_chat_predict",
+                       ai_chat_predict_udf(chat_fn, chat_transport))
+    spark.udf.register(
+        "ai_langchain_predict",
+        ai_langchain_predict_udf(langchain_transport, langchain_template))

@@ -785,6 +785,54 @@ def ai_get_embedding(spark, sf_dir):
     return out.select("doc_id", F.size("embedding").alias("dim"))
 
 
+@_q(
+    "ai_chat_predict",
+    """
+    SELECT doc_id,
+           '[stub-reply:' || substr(md5(text), 1, 8) || ']' AS reply
+    FROM documents
+    """,
+)
+def ai_chat_predict(spark, sf_dir):
+    """AI_CHAT_PREDICT through the batched ModelTransport inside a
+    transform projection string (OpenAIChatModel.java:55-75 shape). The
+    deterministic stub endpoint is md5-based, so the whole
+    Arrow→transport→Arrow path hash-checks against DuckDB's md5 — a real
+    oracle row, not rows-only."""
+    from .functions import register_model_functions
+
+    register_model_functions(spark)
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.documents",
+        projection="doc_id, AI_CHAT_PREDICT(text) AS reply",
+    )])
+    return eng.apply(_t(spark, sf_dir, "documents"),
+                     TableId.parse("tpch.public.documents"))
+
+
+@_q(
+    "ai_langchain_predict",
+    """
+    SELECT doc_id,
+           '[lc:' || substr(md5('Summarize: ' || text), 1, 8) || ']' AS reply
+    FROM documents
+    """,
+)
+def ai_langchain_predict(spark, sf_dir):
+    """AI_LANGCHAIN_PREDICT: registration-time prompt template rendered
+    around each input, one batched transport call per Arrow chunk
+    (TransformSqlOperatorTable.java:375-385)."""
+    from .functions import register_model_functions
+
+    register_model_functions(spark)
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.documents",
+        projection="doc_id, AI_LANGCHAIN_PREDICT(text) AS reply",
+    )])
+    return eng.apply(_t(spark, sf_dir, "documents"),
+                     TableId.parse("tpch.public.documents"))
+
+
 # ---------------------------------------------------------------------------
 # analytics the reference lacks but Spark provides (SURVEY §2.6) — these are
 # also the bench headliners
