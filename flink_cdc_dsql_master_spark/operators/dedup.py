@@ -40,18 +40,19 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
     """Exact content dedup: keep one row per normalized text.
 
     Winner = smallest (or largest) id per group — deterministic, oracle-
-    checkable. Shuffle: one, on the content hash (not the text itself at
-    comparison time; the window key is the normalized text's 64-bit hash +
-    the text to disambiguate collisions).
+    checkable. Plan: ``min_by(struct(row), id)`` grouped by (xxhash64(norm),
+    norm) — a hash aggregate with MAP-SIDE partial combine, so the one
+    shuffle carries ~one row per distinct text per input partition (a
+    window/row_number formulation would shuffle every row AND sort each
+    group). The 64-bit hash leads the grouping key; the normalized text
+    rides along only to disambiguate hash collisions.
     """
-    norm = normalize_text(F.col(text_col))
-    order = F.col(id_col).asc() if keep == "min" else F.col(id_col).desc()
-    w = Window.partitionBy(F.xxhash64(norm), norm).orderBy(order)
-    return (
-        _spread(df).withColumn("__rn", F.row_number().over(w))
-        .where(F.col("__rn") == 1)
-        .drop("__rn")
-    )
+    pick = F.min_by if keep == "min" else F.max_by
+    data_cols = list(df.columns)
+    base = _spread(df).withColumn("__norm", normalize_text(F.col(text_col)))
+    won = (base.groupBy(F.xxhash64("__norm").alias("__h"), F.col("__norm"))
+           .agg(pick(F.struct(*data_cols), F.col(id_col)).alias("__w")))
+    return won.select("__w.*")
 
 
 def word_shingles(c: Column, n: int = 3) -> Column:

@@ -4,19 +4,26 @@ Two tiers, as a 100 TB engine needs both:
 
 - **brute-force top-k** (`cosine_topk`): exact; cost O(Q·N) dot products but
   fully distributed — the query set is broadcast (it's small), the corpus
-  never moves, and the per-row work is a Catalyst `aggregate` over the
-  zipped arrays inside whole-stage codegen. The global top-k per query is a
-  window over (query, similarity) — one shuffle of (query_id, doc_id, sim)
-  triples, never the vectors themselves.
+  never moves. Two kernels:
+  - ``kernel="hof"``: Catalyst `zip_with`/`aggregate`. NOTE: higher-order
+    functions are *interpreted* expressions (a lambda-invocation per
+    element, ~µs each), NOT whole-stage codegen — fine for small Q·N·dim,
+    wrong past the crossover.
+  - ``kernel="numpy"``: Arrow-batched `mapInPandas` over the corpus with
+    the normalized query matrix broadcast; each batch is one BLAS matmul
+    (B×dim @ dim×Q) and emits only its per-batch top-k candidates, so the
+    shuffle is Q·k rows per batch, never Q·N. This is the 100 TB path for
+    large Q — measured on local[32], N=2k, dim=64: Q=5 parity (~3s both,
+    fixed overhead), Q=100 HOF 4.3s vs numpy 0.75s, Q=1000 numpy 1.6s
+    (HOF extrapolates to ~40s). Crossover is Q≈10 (SCALE.md).
+  The global top-k per query is a window over (query, similarity) — one
+  shuffle of (query_id, nbr_id, sim) triples, never the vectors.
 - **IVF-style bucketed ANN** (`ivf_topk`): coarse-quantize the corpus to
   `n_cells` seeded random centroids (driver-side constants — no kmeans fit
   needed for a deterministic, trainable-later skeleton); probe only the
   `n_probe` nearest cells per query. Shuffle drops from O(Q·N) to
   O(Q·N·n_probe/n_cells). Same final window.
 - **random-hyperplane LSH** bucket util shared with dedup.
-
-Everything is Catalyst built-ins (`zip_with`, `aggregate`, `sqrt`) — the
-dot product compiles to a tight JVM loop; no Python in the row path.
 """
 
 from __future__ import annotations
@@ -24,7 +31,7 @@ from __future__ import annotations
 import math
 import random
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -45,14 +52,23 @@ def cosine_expr(a: Column, b: Column) -> Column:
 def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 id_col: str = "vec_id", vec_col: str = "embedding",
                 query_id_col: str = "vec_id",
-                query_vec_col: str = "embedding") -> DataFrame:
-    """Exact cosine top-k: (query_id, neighbor_id, cosine), k per query.
+                query_vec_col: str = "embedding",
+                kernel: str = "hof") -> DataFrame:
+    """Exact cosine top-k: (query_id, nbr_id, cosine), k per query.
 
-    The query side is broadcast — Catalyst turns the cross join into a
-    BroadcastNestedLoopJoin where each corpus partition scans the in-memory
-    query block; the corpus (the 100 TB side) never shuffles. Self-matches
-    (same id) are excluded.
+    The query side is broadcast (small); the corpus (the 100 TB side)
+    never shuffles. ``kernel="hof"`` scores with interpreted Catalyst
+    higher-order functions (no Python, but NOT codegen — see module doc);
+    ``kernel="numpy"`` scores each Arrow batch with one BLAS matmul and
+    pre-selects per-batch top-k, the right kernel once Q·N·dim is large.
+    Both kernels return the same rows (cosines agree to float64 rounding;
+    ranking ties are broken by nbr_id in both). Self-matches excluded.
     """
+    if kernel == "numpy":
+        return _cosine_topk_numpy(corpus, queries, k, id_col, vec_col,
+                                  query_id_col, query_vec_col)
+    if kernel != "hof":
+        raise ValueError(f"unknown kernel {kernel!r}")
     c = corpus.select(F.col(id_col).alias("nbr_id"),
                       F.col(vec_col).cast("array<double>").alias("cv"))
     q = queries.select(F.col(query_id_col).alias("query_id"),
@@ -61,6 +77,80 @@ def cosine_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         F.col("nbr_id") != F.col("query_id"))
     scored = joined.select(
         "query_id", "nbr_id", cosine_expr(F.col("qv"), F.col("cv")).alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )
+
+
+def _cosine_topk_numpy(corpus: DataFrame, queries: DataFrame, k: int,
+                       id_col: str, vec_col: str,
+                       query_id_col: str, query_vec_col: str) -> DataFrame:
+    """Arrow/BLAS kernel: queries collected to the driver (Q·dim floats — a
+    broadcast-sized table by definition of 'query block'), corpus streamed
+    through mapInPandas. Each batch emits ≤ Q·k candidate rows, so the
+    final window shuffles Q·k·n_batches rows — independent of corpus width.
+    """
+    import numpy as np
+
+    qrows = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(query_vec_col).cast("array<double>").alias("qv")).collect()
+    if not qrows:
+        empty = [
+            T.StructField("query_id",
+                          queries.schema[query_id_col].dataType),
+            T.StructField("nbr_id", corpus.schema[id_col].dataType),
+            T.StructField("cosine", T.DoubleType()),
+        ]
+        return corpus.sparkSession.createDataFrame([], T.StructType(empty))
+    qids = [r["query_id"] for r in qrows]
+    qmat = np.array([r["qv"] for r in qrows], dtype="float64")
+    qnorm = np.linalg.norm(qmat, axis=1)
+    qnorm[qnorm == 0.0] = 1.0
+    qmat = qmat / qnorm[:, None]
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, qmat))
+
+    out_schema = T.StructType([
+        T.StructField("query_id", queries.schema[query_id_col].dataType),
+        T.StructField("nbr_id", corpus.schema[id_col].dataType),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def score(batches):
+        import pandas as pd
+
+        ids, qm = bc.value
+        nq = len(ids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cmat = np.array(pdf["cv"].tolist(), dtype="float64")
+            cnorm = np.linalg.norm(cmat, axis=1)
+            cnorm[cnorm == 0.0] = 1.0
+            sims = (cmat / cnorm[:, None]) @ qm.T  # B×Q
+            nbrs = pdf["nbr_id"].to_numpy()
+            res_q, res_n, res_s = [], [], []
+            for j in range(nq):
+                col = sims[:, j]
+                mask = nbrs != ids[j]  # self-match exclusion
+                cand = np.flatnonzero(mask)
+                if len(cand) > k:
+                    part = cand[np.argpartition(-col[cand], k - 1)[:k]]
+                else:
+                    part = cand
+                res_q.extend([ids[j]] * len(part))
+                res_n.extend(nbrs[part].tolist())
+                res_s.extend(col[part].tolist())
+            yield pd.DataFrame(
+                {"query_id": res_q, "nbr_id": res_n, "cosine": res_s})
+
+    c = corpus.select(F.col(id_col).alias("nbr_id"),
+                      F.col(vec_col).cast("array<double>").alias("cv"))
+    scored = c.mapInPandas(score, out_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("nbr_id").asc())
     return (

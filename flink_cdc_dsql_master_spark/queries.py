@@ -45,6 +45,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "similarity_topk",
+    "similarity_topk_scaled",
     "text_stats",
     "cdc_apply_changelog",
     "topk_orders_window",
@@ -639,6 +640,39 @@ def similarity_topk(spark, sf_dir):
     q = emb.where(F.col("vec_id") < 5)
     out = similarity.cosine_topk(emb, q, k=10)
     return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@_q(
+    "similarity_topk_numpy",
+    f"""
+    SELECT query_id, nbr_id, ROUND(cosine, 6) AS cosine FROM (
+      SELECT q.query_id, e.vec_id AS nbr_id, {_COS_SQL} AS cosine
+      FROM embeddings e,
+           (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 5) q
+      WHERE e.vec_id <> q.query_id)
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id ASC) <= 10
+    """,
+)
+def similarity_topk_numpy(spark, sf_dir):
+    """The Arrow/BLAS corpus-side kernel for brute-force top-k — one
+    matmul per batch, per-batch top-k preselection. Same oracle as the
+    HOF kernel: both must be exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    out = similarity.cosine_topk(emb, q, k=10, kernel="numpy")
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@_q("similarity_topk_scaled")  # Q=1000: rows-only (DuckDB list-ops oracle
+def similarity_topk_scaled(spark, sf_dir):  # would dominate gate wall-time)
+    """Bench headliner for the large-Q regime: 1000 queries through the
+    numpy kernel — the regime where the interpreted-HOF kernel is past its
+    crossover (SCALE.md has the measured curve)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 1000)
+    return similarity.cosine_topk(emb, q, k=10, kernel="numpy")
 
 
 @_q("similarity_ivf")  # approximate (probes seeded centroids) → rows-only
