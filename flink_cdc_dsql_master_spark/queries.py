@@ -1293,6 +1293,30 @@ def schema_registry_versions(spark, sf_dir):
     return spark.createDataFrame(rows, "step int, version int, cols string")
 
 
+@_q(
+    "values_schema_evolution_replay",
+    """
+    SELECT * FROM (VALUES
+      ('1st', 4, 'Derrida'), ('2nd', 5, 'Eva'), ('4th', 7, 'Gem'),
+      ('5th', 8, 'Harry'), ('7th', 10, 'Julia'), ('8th', 11, 'Kella'),
+      ('10th', 13, 'Munroe'), ('11th', 14, 'Nein'),
+      (NULL, 1, 'Alice'), (NULL, 3, 'Colin')
+    ) t("rank", id, name)
+    """,
+)
+def values_schema_evolution_replay(spark, sf_dir):
+    """All seven schema-change event kinds through the evolver + values
+    database: the reference's generateSchemaEvolutionEvents script
+    (FlinkPipelineTransformITCase.java:2846-3010) — five stages of
+    add/alter/rename/drop with CRUD in each — replayed to its final table
+    state under EVOLVE."""
+    from .testing import replay_script, schema_evolution_events
+
+    db = replay_script(schema_evolution_events())
+    return spark.createDataFrame(
+        db.final_rows(), "rank string, id int, name string")
+
+
 # ---------------------------------------------------------------------------
 # upsert sink replay (§2.2) — INSERT..ON CONFLICT + DELETE against DuckDB
 # ---------------------------------------------------------------------------

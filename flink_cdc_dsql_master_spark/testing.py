@@ -56,6 +56,13 @@ class EventScript:
         self.events.append(CreateTableEvent(tid, schema))
         return self
 
+    def schema_change(self, event: SchemaChangeEvent) -> "EventScript":
+        """Append any schema-change event mid-script (the CUSTOM_SOURCE_EVENTS
+        shape of ValuesDataSourceHelper — data events after it must match the
+        changed upstream schema)."""
+        self.events.append(event)
+        return self
+
     def insert(self, table_id: str | TableId, *rows: tuple) -> "EventScript":
         return self._data(table_id, OP_INSERT, rows)
 
@@ -100,13 +107,19 @@ class EventScript:
         __seq is the script position — the binlog-position analog that
         downstream last-write-wins relies on.
         """
+        from pyspark.sql import types as T
+
         schema = self.schema_of(tid)
         rows = []
         for seq, e in enumerate(self.events):
             if isinstance(e, DataEvent) and e.table_id == tid:
                 rows.append(tuple(e.row) + (e.op, seq))
-        struct = schema.struct.add(OP_COLUMN, "string", False)
-        struct = struct.add(SEQ_COLUMN, "long", False)
+        # build a FRESH struct — StructType.add mutates in place, which
+        # would corrupt a Schema object shared across scripts/splits
+        struct = T.StructType(
+            list(schema.struct.fields)
+            + [T.StructField(OP_COLUMN, T.StringType(), False),
+               T.StructField(SEQ_COLUMN, T.LongType(), False)])
         return spark.createDataFrame(rows, struct)
 
 
@@ -158,6 +171,260 @@ def multi_transform_tables(
     s.insert(t2, (3, "Carol", 15, "student"), (4, "Derrida", 25, "student"))
     s.delete(t2, (4, "Derrida", 25, "student"))
     return s
+
+
+def single_split_single_table_with_default_value(
+        table: str = "default_namespace.default_schema.table1") -> EventScript:
+    """SINGLE_SPLIT_SINGLE_TABLE_WITH_DEFAULT_VALUE parity
+    (ValuesDataSourceHelper.java:267-289): the base set plus an AddColumn
+    carrying a default value and a rename of that column."""
+    from .events import AddColumnEvent, RenameColumnEvent
+
+    s = single_split_single_table(table)
+    tid = TableId.parse(table)
+    s.schema_change(AddColumnEvent(tid, "colWithDefault", "STRING",
+                                   default="flink"))
+    s.schema_change(RenameColumnEvent(tid, "colWithDefault",
+                                      "newColWithDefault"))
+    return s
+
+
+def multi_splits_single_table(
+        table: str = "default_namespace.default_schema.table1"
+        ) -> list[EventScript]:
+    """MULTI_SPLITS_SINGLE_TABLE parity (ValuesDataSourceHelper.java:416+):
+    four parallel splits of one table — three insert splits (1,2|3,4|5,6)
+    and a delete split (2,4,6). Returned as one script per split; union the
+    changelogs to simulate the parallel source."""
+    schema = Schema.of([("col1", "STRING"), ("col2", "STRING")],
+                       primary_keys=["col1"])
+    splits = []
+    for rows in (["1", "2"], ["3", "4"], ["5", "6"]):
+        s = EventScript().create_table(table, schema)
+        s.insert(table, *[(r, r) for r in rows])
+        splits.append(s)
+    d = EventScript().create_table(table, schema)
+    d.delete(table, ("2", "2"), ("4", "4"), ("6", "6"))
+    splits.append(d)
+    return splits
+
+
+def complex_column_name_table(
+        table: str = "default_namespace.default_schema.table1") -> EventScript:
+    """COMPLEX_COLUMN_NAME_TABLE parity (ValuesDataSourceHelper.java:693+):
+    hyphenated/keyword column names through create/insert/add/rename/drop."""
+    from .events import AddColumnEvent, DropColumnEvent, RenameColumnEvent
+
+    tid = TableId.parse(table)
+    schema = Schema.of(
+        [("class", "STRING"), ("foo-bar", "INT"), ("bar-foo", "INT")],
+        primary_keys=["class"])
+    s = EventScript()
+    s.create_table(table, schema)
+    s.insert(table, ("class0", 0, 0), ("class1", 1, 10), ("class2", 2, 100))
+    s.schema_change(AddColumnEvent(tid, "import-package", "STRING"))
+    s.schema_change(RenameColumnEvent(tid, "bar-foo", "bar-baz"))
+    s.schema_change(DropColumnEvent(tid, "bar-baz"))
+    s.delete(table, ("class1", 1, ""))
+    s.update(table, ("class2", 2, ""), ("class2", 2, "new Value"))
+    return s
+
+
+def schema_evolution_events(
+        table: str = "default_namespace.default_schema.mytable1"
+        ) -> EventScript:
+    """generateSchemaEvolutionEvents parity
+    (FlinkPipelineTransformITCase.java:2846-3010): five stages — initial
+    CRUD, AddColumn (rank FIRST, gender LAST), AlterColumnType (age→DOUBLE,
+    gender→INT, name→VARCHAR(17)), RenameColumn (gender→biological_sex,
+    age→toshi), DropColumn (biological_sex, toshi) — with inserts, an
+    update and a delete inside every stage."""
+    from .events import (
+        AddColumnEvent,
+        AlterColumnTypeEvent,
+        ColumnPosition,
+        DropColumnEvent,
+        RenameColumnEvent,
+    )
+
+    tid = TableId.parse(table)
+    s = EventScript()
+    v1 = Schema.of([("id", "INT"), ("name", "STRING"), ("age", "INT")],
+                   primary_keys=["id"])
+    s.create_table(table, v1)
+    s.insert(table, (1, "Alice", 21), (2, "Barcarolle", 22), (3, "Cecily", 23))
+    s.update(table, (3, "Cecily", 23), (3, "Colin", 24))
+    s.delete(table, (2, "Barcarolle", 22))
+
+    s.schema_change(AddColumnEvent(tid, "rank", "STRING",
+                                   ColumnPosition.FIRST))
+    s.schema_change(AddColumnEvent(tid, "gender", "TINYINT"))
+    s.insert(table, ("1st", 4, "Derrida", 24, 0), ("2nd", 5, "Eve", 25, 1))
+    s.update(table, ("2nd", 5, "Eve", 25, 1), ("2nd", 5, "Eva", 20, 2))
+    s.insert(table, ("3rd", 6, "Fiona", 26, 3))
+    s.delete(table, ("3rd", 6, "Fiona", 26, 3))
+
+    s.schema_change(AlterColumnTypeEvent(tid, "age", "DOUBLE"))
+    s.schema_change(AlterColumnTypeEvent(tid, "gender", "INT"))
+    s.schema_change(AlterColumnTypeEvent(tid, "name", "VARCHAR(17)"))
+    s.insert(table, ("4th", 7, "Gem", 19.0, -1), ("5th", 8, "Helen", 18.0, -2))
+    s.update(table, ("5th", 8, "Helen", 18.0, -2), ("5th", 8, "Harry", 18.0, -3))
+    s.insert(table, ("6th", 9, "IINA", 17.0, 0))
+    s.delete(table, ("6th", 9, "IINA", 17.0, 0))
+
+    s.schema_change(RenameColumnEvent(tid, "gender", "biological_sex"))
+    s.schema_change(RenameColumnEvent(tid, "age", "toshi"))
+    s.insert(table, ("7th", 10, "Julia", 24.0, 1), ("8th", 11, "Kalle", 23.0, 0))
+    s.update(table, ("8th", 11, "Kalle", 23.0, 0), ("8th", 11, "Kella", 18.0, 0))
+    s.insert(table, ("9th", 12, "Lynx", 17.0, 0))
+    s.delete(table, ("9th", 12, "Lynx", 17.0, 0))
+
+    s.schema_change(DropColumnEvent(tid, "biological_sex"))
+    s.schema_change(DropColumnEvent(tid, "toshi"))
+    s.insert(table, ("10th", 13, "Munroe"), ("11th", 14, "Neko"))
+    s.update(table, ("11th", 14, "Neko"), ("11th", 14, "Nein"))
+    s.insert(table, ("12th", 15, "Oops"))
+    s.delete(table, ("12th", 15, "Oops"))
+    return s
+
+
+class ValuesDatabase:
+    """In-memory evolving table (ValuesDatabase.java parity): applies data
+    events and evolved-schema transitions, and renders the reference-style
+    golden event stream.
+
+    Schema transitions are applied as a column diff between consecutive
+    evolved schemas (add → default/NULL fill, drop → discard, type change →
+    value cast); a RenameColumnEvent under an evolving behavior carries its
+    values over. Data-event rows are interpreted against the *upstream
+    original* schema of their stage, then projected into the evolved schema
+    (extra columns dropped, missing columns NULL) — exactly what the
+    coerce step does to the real frames.
+    """
+
+    def __init__(self) -> None:
+        self.schema: Schema | None = None
+        self.rows: dict[tuple, dict] = {}
+        self.golden: list[str] = []
+        self._pending_before: dict | None = None
+
+    # -- schema side --------------------------------------------------------
+
+    def apply_schema_transition(self, event: SchemaChangeEvent,
+                                new: Schema | None) -> None:
+        from .events import RenameColumnEvent
+
+        if new is None:
+            self.schema, self.rows = None, {}
+            return
+        old = self.schema
+        if old is not None:
+            if (isinstance(event, RenameColumnEvent)
+                    and not new.has_column(event.old_name)
+                    and new.has_column(event.new_name)):
+                for r in self.rows.values():
+                    if event.old_name in r:
+                        r[event.new_name] = r.pop(event.old_name)
+            default = getattr(event, "default", None)
+            for r in self.rows.values():
+                for f in new.struct.fields:
+                    if f.name not in r:
+                        r[f.name] = default if default is not None else None
+                    else:
+                        r[f.name] = _cast_py(r[f.name], f)
+                for k in list(r):
+                    if not new.has_column(k):
+                        del r[k]
+        self.schema = new
+        self.golden.append(self._render_schema_event(event, new))
+
+    # -- data side ----------------------------------------------------------
+
+    def apply_data_event(self, event: DataEvent, upstream: Schema) -> None:
+        assert self.schema is not None, "CreateTableEvent must come first"
+        names = [f.name for f in upstream.struct.fields]
+        raw = dict(zip(names, event.row))
+        row = {f.name: _cast_py(raw.get(f.name), f)
+               for f in self.schema.struct.fields}
+        pk = tuple(row.get(k) for k in (self.schema.primary_keys
+                                        or upstream.primary_keys))
+        tid = event.table_id.identifier()
+        vals = lambda r: ", ".join(_fmt(r[f.name])  # noqa: E731
+                                   for f in self.schema.struct.fields)
+        if event.op == OP_UPDATE_BEFORE:
+            self._pending_before = row
+            return
+        if event.op == OP_DELETE:
+            self.rows.pop(pk, None)
+            self.golden.append(
+                f"DataChangeEvent{{tableId={tid}, before=[{vals(row)}], "
+                f"after=[], op=DELETE}}")
+            return
+        if event.op == OP_UPDATE_AFTER:
+            before = self._pending_before or {}
+            self._pending_before = None
+            self.rows[pk] = row
+            self.golden.append(
+                f"DataChangeEvent{{tableId={tid}, before=[{vals(before)}], "
+                f"after=[{vals(row)}], op=UPDATE}}")
+            return
+        self.rows[pk] = row  # +I
+        self.golden.append(
+            f"DataChangeEvent{{tableId={tid}, before=[], "
+            f"after=[{vals(row)}], op=INSERT}}")
+
+    # -- rendering ----------------------------------------------------------
+
+    @staticmethod
+    def _render_schema_event(event: SchemaChangeEvent, new: Schema) -> str:
+        cols = ",".join(f"`{f.name}` {f.dataType.simpleString().upper()}"
+                        for f in new.struct.fields)
+        return (f"{type(event).__name__}{{tableId="
+                f"{event.table_id.identifier()}, columns={{{cols}}}, "
+                f"primaryKeys={','.join(new.primary_keys)}}}")
+
+    def final_rows(self) -> list[tuple]:
+        assert self.schema is not None
+        names = [f.name for f in self.schema.struct.fields]
+        return sorted(
+            (tuple(r[n] for n in names) for r in self.rows.values()),
+            key=lambda t: tuple((v is None, str(v)) for v in t))
+
+
+def _cast_py(v, f):
+    """Driver-side value cast mirroring coerce_dataframe's Catalyst casts."""
+    import pyspark.sql.types as T
+
+    if v is None:
+        return None
+    if isinstance(f.dataType, T.DoubleType) or isinstance(
+            f.dataType, T.FloatType):
+        return float(v)
+    if isinstance(f.dataType, (T.IntegerType, T.LongType, T.ShortType,
+                               T.ByteType)):
+        return int(v)
+    if isinstance(f.dataType, T.StringType):
+        return str(v)
+    return v
+
+
+def replay_script(script: EventScript, behavior=None) -> ValuesDatabase:
+    """Drive a mixed event script through SchemaEvolver + ValuesDatabase —
+    the driver-side analog of the reference's mini-cluster
+    source→SchemaOperator→ValuesDataSink loop, producing the golden event
+    stream and the final in-memory table."""
+    from .evolve import SchemaChangeBehavior, SchemaEvolver
+
+    ev = SchemaEvolver(behavior=behavior or SchemaChangeBehavior.EVOLVE)
+    db = ValuesDatabase()
+    for event in script.events:
+        if isinstance(event, SchemaChangeEvent):
+            new = ev.on_event(event)
+            db.apply_schema_transition(event, new)
+        else:
+            upstream = ev.manager.latest_original(event.table_id)
+            db.apply_data_event(event, upstream)
+    return db
 
 
 class CollectSink:

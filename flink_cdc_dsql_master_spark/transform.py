@@ -195,6 +195,17 @@ class TransformEngine:
 
         plans = []  # (final_cols, tmp_map, pred_column_or_None, rule)
         for idx, c in enumerate(matching):
+            # reference error parity (testTransformErrorMessage :2531):
+            # unknown columns fail fast with the SqlValidator message, and a
+            # projection must keep every declared primary key
+            aliases = ({i.alias for i in c.items
+                        if not i.is_star and i.expr_sql != f"`{i.alias}`"}
+                       if c.items is not None else set())
+            avail = set(source_cols) | set(METADATA_COLUMNS) | aliases
+            for ref in c.refs:
+                if ref not in avail:
+                    raise ValueError(
+                        f"Column '{ref}' not found in any table")
             tmp_map: dict[str, str] = {}
             if c.items is None:
                 final_cols = list(source_cols)
@@ -211,6 +222,11 @@ class TransformEngine:
                         work = work.withColumn(tmp, F.expr(item.expr_sql))
                         if item.alias not in final_cols:
                             final_cols.append(item.alias)
+            for k in c.rule.primary_keys:
+                if k not in final_cols:
+                    raise ValueError(
+                        f'Unable to find column "{k}" which is defined as '
+                        f'primary key')
             pred = None
             if c.filter_ast is not None:
                 fast = (_substitute(c.filter_ast, tmp_map)
