@@ -807,6 +807,56 @@ def multimodal_features(spark, sf_dir):
         F.size("feature").alias("feature_dim"))
 
 
+@_q(
+    "multimodal_real_decode",
+    """
+    SELECT doc_id AS media_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
+                ELSE 'image/ppm' END AS mime,
+           CASE WHEN doc_id % 2 = 0 THEN NULL
+                ELSE CAST(8 + doc_id % 5 AS INT) END AS width,
+           CASE WHEN doc_id % 2 = 0 THEN NULL
+                ELSE CAST(6 + doc_id % 3 AS INT) END AS height,
+           CASE WHEN doc_id % 2 = 0
+                THEN CAST(100 + (doc_id % 10) * 10 AS INT)
+                ELSE NULL END AS duration_ms,
+           32 AS feature_dim, TRUE AS decode_ok
+    FROM documents
+    """,
+)
+def multimodal_real_decode(spark, sf_dir):
+    """REAL multimodal decode, oracle-checked: per-row synthesized WAV
+    (even ids, parameterized duration) and P6 PPM (odd ids, parameterized
+    dims) payloads go through the magic-byte router — the decoded
+    duration/width/height must equal the synthesis parameters, proving the
+    stdlib-wave and numpy-PPM kernels actually parse the bytes (not a
+    hash fake)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.multimodal import (
+        describe_media,
+        synth_ppm_bytes,
+        synth_wav_bytes,
+    )
+
+    @pandas_udf("binary")
+    def synth(ids):
+        def make(i):
+            i = int(i)
+            if i % 2 == 0:
+                return synth_wav_bytes(200 + i % 100, 100 + (i % 10) * 10)
+            return synth_ppm_bytes(8 + i % 5, 6 + i % 3)
+
+        return ids.map(make)
+
+    docs = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("media_id"))
+    media = docs.withColumn("payload", synth("media_id"))
+    out = describe_media(media, dim=32)
+    return out.select("media_id", "mime", "width", "height", "duration_ms",
+                      F.size("feature").alias("feature_dim"), "decode_ok")
+
+
 @_q("ai_get_embedding")  # deterministic stub transport → rows-only oracle
 def ai_get_embedding(spark, sf_dir):
     """GET_EMBEDDING as a batched pandas_udf
