@@ -576,9 +576,35 @@ def _render_func(n: Func) -> str:
 # public API
 # ---------------------------------------------------------------------------
 
+def filter_sql(n: Node) -> str:
+    """Render a boolean in FILTER context, pushdown-friendly.
+
+    In a WHERE clause, NULL and FALSE both drop the row — so the reference's
+    null→FALSE comparisons are row-equivalent to BARE SQL comparisons, and
+    rendering them bare lets Catalyst push them into the parquet scan
+    (PushedFilters / partition pruning — the coalesce() wrapper the
+    projection context needs would block pushdown entirely). The forms
+    whose NULL behavior genuinely differs from three-valued SQL keep the
+    two-valued rendering: NOT (NULL must become TRUE, not drop), ``<>``
+    (null→TRUE keeps rows), negated BETWEEN/IN/LIKE, and postfix IS.
+    """
+    if isinstance(n, Bin) and n.op in ("AND", "OR"):
+        return f"({filter_sql(n.a)} {n.op} {filter_sql(n.b)})"
+    if isinstance(n, Cmp) and n.op in (">", ">=", "<", "<=", "="):
+        return f"(({_sql(n.a)}) {n.op} ({_sql(n.b)}))"
+    if isinstance(n, Between) and not n.negated:
+        return f"(({_sql(n.v)}) BETWEEN ({_sql(n.lo)}) AND ({_sql(n.hi)}))"
+    if isinstance(n, InList) and not n.negated:
+        items = ", ".join(_sql(i) for i in n.items)
+        return f"(({_sql(n.v)}) IN ({items}))"
+    if isinstance(n, LikeOp) and not n.negated:
+        return f"(({_sql(n.s)}) RLIKE ({_sql(n.pattern)}))"
+    return _bool(n)
+
+
 def rewrite_filter(s: str) -> str:
     """Reference filter expression → Spark SQL boolean expression."""
-    return _bool(parse_expr(s))
+    return filter_sql(parse_expr(s))
 
 
 def rewrite_expr(s: str) -> str:

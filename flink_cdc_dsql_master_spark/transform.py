@@ -42,6 +42,7 @@ from .exprs import (
     Ident,
     Node,
     ProjectionItem,
+    filter_sql,
     parse_expr,
     parse_projection,
     referenced_columns,
@@ -231,7 +232,10 @@ class TransformEngine:
             if c.filter_ast is not None:
                 fast = (_substitute(c.filter_ast, tmp_map)
                         if tmp_map else c.filter_ast)
-                pred = F.expr(_bool(fast))
+                # filter context: pushdown-friendly rendering (bare
+                # comparisons reach the parquet scan as PushedFilters);
+                # row-equivalent to the two-valued form — see filter_sql
+                pred = F.expr(filter_sql(fast))
             plans.append((final_cols, tmp_map, pred, c.rule))
 
         out: DataFrame | None = None
@@ -262,5 +266,9 @@ class TransformEngine:
                 out = out.unionByName(part)
             if pred is None:
                 break  # unconditional rule claims everything remaining
-            prior = pred if prior is None else (prior | pred)
+            # two-valued accumulator: a filter-context pred may be NULL for
+            # a row (dropped); the NEXT rule must still see "not matched"
+            # (TRUE after negation), so coalesce before negating
+            cp = F.coalesce(pred, F.lit(False))
+            prior = cp if prior is None else (prior | cp)
         return out

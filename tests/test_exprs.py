@@ -16,12 +16,18 @@ from flink_cdc_dsql_master_spark.exprs import (
 
 
 def test_comparison_null_false():
-    sql = rewrite_filter("a > 1")
+    # FILTER context: bare comparison (row-equivalent to null→FALSE, and
+    # pushdown-capable); PROJECTION context: explicit two-valued coalesce
+    assert rewrite_filter("a > 1") == "((`a`) > (1))"
+    sql = rewrite_expr("a > 1")
     assert "coalesce" in sql and "false" in sql
 
 
 def test_equals_null_semantics():
-    sql = rewrite_filter("a = b")
+    # filter: bare `=` (NULL comparisons drop rows either way)
+    assert rewrite_filter("a = b") == "((`a`) = (`b`))"
+    # projection: the valueEquals rendering must stay two-valued
+    sql = rewrite_expr("a = b")
     assert "IS NOT NULL" in sql and "<=>" in sql
 
 
@@ -36,9 +42,13 @@ def test_like_is_rlike():
 
 
 def test_between_and_in():
-    assert "coalesce" in rewrite_filter("v BETWEEN 1 AND 10")
+    # filter context: positive forms bare (pushdown); negated forms keep
+    # the two-valued rendering (NULL must become TRUE under the NOT)
+    assert rewrite_filter("v BETWEEN 1 AND 10") == \
+        "((`v`) BETWEEN (1) AND (10))"
     assert "IN (" in rewrite_filter("v IN (1, 2, 3)")
-    assert rewrite_filter("v NOT IN (1)").startswith("(NOT")
+    assert rewrite_filter("v NOT IN (1)").startswith("(NOT coalesce")
+    assert "coalesce" in rewrite_expr("v BETWEEN 1 AND 10")
 
 
 def test_two_valued_logic_wraps_bare_columns():

@@ -1,0 +1,93 @@
+"""Physical-plan audits: the SCALE.md claims, enforced.
+
+Each audit asserts the plan property that makes the operator scale —
+broadcast instead of shuffle, pushed filters, pruned read schemas, partial
+aggregation, bounded exchange counts — so a regression that silently
+changes the plan fails CI, not the 100 TB run.
+"""
+
+from flink_cdc_dsql_master_spark.queries import QUERIES
+
+
+def plan_of(df) -> str:
+    jvm = df.sparkSession._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "formatted")
+    return df._jdf.queryExecution().explainString(mode)
+
+
+def tree_of(plan: str) -> str:
+    """The operator tree only (formatted mode repeats node names in the
+    per-node detail section below — counting on the full text double-counts)."""
+    return plan.split("\n\n")[0]
+
+
+def test_dim_join_broadcasts(spark, sf_dir):
+    plan = plan_of(QUERIES["join_customer_orders"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact table never shuffles
+
+
+def test_projection_filter_pushdown(spark, sf_dir):
+    """Filter-context rendering must reach the scan: the two-valued
+    coalesce() wrapper would block pushdown entirely (fixed round 3)."""
+    plan = plan_of(QUERIES["transform_projection_filter"](spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed and "GreaterThan(c_acctbal,1000.0)" in pushed[0]
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "c_nationkey" not in read_schema[0]  # pruned
+
+
+def test_pre_transform_prune_read_schema(spark, sf_dir):
+    plan = plan_of(QUERIES["pre_transform_prune"](spark, sf_dir))
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read_schema
+    assert "o_orderkey" in read_schema[0]
+    assert "o_orderstatus" not in read_schema[0]  # never referenced
+
+
+def test_pricing_summary_partial_agg(spark, sf_dir):
+    plan = plan_of(QUERIES["agg_pricing_summary"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "partial_sum" in plan  # map-side combine before the shuffle
+    assert tree.count("Exchange") == 1
+
+
+def test_exact_dedup_partial_combine_no_sort_shuffle(spark, sf_dir):
+    plan = plan_of(QUERIES["dedup_exact"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "partial_min_by" in plan  # map-side combine
+    # one _spread repartition + one aggregate exchange, nothing else
+    assert tree.count("Exchange") <= 2
+    assert "Window" not in tree  # the row_number formulation is gone
+
+
+def test_similarity_topk_broadcasts_queries(spark, sf_dir):
+    plan = plan_of(QUERIES["similarity_topk"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    # the corpus side is never hash-exchanged before the join
+    tree = tree_of(plan)
+    join_pos = tree.find("BroadcastNestedLoopJoin")
+    assert "Exchange hashpartitioning" not in tree[:join_pos]
+
+
+def test_topk_window_single_shuffle(spark, sf_dir):
+    plan = plan_of(QUERIES["topk_orders_window"](spark, sf_dir))
+    assert tree_of(plan).count("Exchange") == 1  # the window hash shuffle
+
+
+def test_fn_queries_stay_jvm_side(spark, sf_dir):
+    """Scalar-function queries are pure Project/Filter: no shuffle, no
+    Python eval, inside whole-stage codegen."""
+    for name in ("fn_string", "fn_arithmetic", "fn_conditional", "fn_cast",
+                 "fn_logical"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        tree = tree_of(plan)
+        assert "Exchange" not in tree, name
+        assert "codegen id" in plan, name
+        assert "EvalPython" not in plan, name
+
+
+def test_changelog_apply_single_shuffle(spark, sf_dir):
+    plan = plan_of(QUERIES["cdc_apply_changelog"](spark, sf_dir))
+    assert tree_of(plan).count("Exchange") == 1  # one PK hash shuffle

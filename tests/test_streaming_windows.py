@@ -1,0 +1,90 @@
+"""Watermarked event-time tumbling windows over a real file stream with
+checkpointed restarts: in-watermark merging, late-data drop, append-mode
+exactly-once window emission. The reference has no event-time semantics at
+all (SURVEY §2.10) — this is the Spark-native capability surfaced."""
+
+from datetime import datetime
+
+from flink_cdc_dsql_master_spark.streaming import streaming_windowed_agg
+
+SCHEMA = "ts timestamp, value double"
+
+
+def _run(spark, src, ckpt, collected):
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = streaming_windowed_agg(stream, ts_col="ts", window="1 hour",
+                                 watermark="10 minutes")
+    q = (out.writeStream.outputMode("append")
+         .foreachBatch(lambda df, bid: collected.extend(df.collect()))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+
+def test_windowed_agg_watermark_and_late_data(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    collected = []
+
+    def ts(h, m, s=0):
+        return datetime(2024, 3, 1, h, m, s)
+
+    # batch 1: two rows in the 10:00 window, one at 11:30 that will push
+    # the watermark past the 10:00 window's end
+    spark.createDataFrame(
+        [(ts(10, 0, 10), 1.0), (ts(10, 0, 50), 2.0), (ts(11, 30), 5.0)],
+        SCHEMA).write.parquet(src)
+    _run(spark, src, ckpt, collected)
+
+    # batch 2 (restart, same checkpoint): a LATE row for the already-closed
+    # 10:00 window (watermark is 11:20 > 11:00) — must be dropped — and a
+    # 12:30 row that closes the 11:00 window
+    spark.createDataFrame(
+        [(ts(10, 0, 30), 100.0), (ts(12, 30), 7.0)],
+        SCHEMA).write.mode("append").parquet(src)
+    _run(spark, src, ckpt, collected)
+
+    # batch 3: advance the watermark far enough to flush the 12:00 window
+    spark.createDataFrame([(ts(14, 0), 9.0)], SCHEMA).write.mode(
+        "append").parquet(src)
+    _run(spark, src, ckpt, collected)
+
+    got = {r["window_start"].hour: (r["n"], r["total"]) for r in collected}
+    # 10:00 window emitted exactly once, WITHOUT the late 100.0 row
+    assert got[10] == (2, 3.0)
+    assert got[11] == (1, 5.0)
+    assert got[12] == (1, 7.0)
+    hours = [r["window_start"].hour for r in collected]
+    assert len(hours) == len(set(hours))  # append mode: one emission each
+
+
+def test_windowed_agg_keyed(spark, tmp_path):
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    collected = []
+    schema = "ts timestamp, k string, value double"
+    spark.createDataFrame(
+        [(datetime(2024, 3, 1, 9, 5), "a", 1.0),
+         (datetime(2024, 3, 1, 9, 6), "a", 2.0),
+         (datetime(2024, 3, 1, 9, 7), "b", 4.0),
+         (datetime(2024, 3, 1, 12, 0), "a", 0.0)],
+        schema).write.parquet(src)
+    stream = spark.readStream.schema(schema).parquet(src)
+    out = streaming_windowed_agg(stream, ts_col="ts", key_col="k",
+                                 window="1 hour", watermark="5 minutes")
+    q = (out.writeStream.outputMode("append")
+         .foreachBatch(lambda df, bid: collected.extend(df.collect()))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    # second pass to flush windows closed by the 12:00 row's watermark
+    spark.createDataFrame(
+        [(datetime(2024, 3, 1, 13, 0), "b", 0.0)],
+        schema).write.mode("append").parquet(src)
+    q = (out.writeStream.outputMode("append")
+         .foreachBatch(lambda df, bid: collected.extend(df.collect()))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["window_start"].hour, r["k"]): (r["n"], r["total"])
+           for r in collected}
+    assert got[(9, "a")] == (2, 3.0)
+    assert got[(9, "b")] == (1, 4.0)
