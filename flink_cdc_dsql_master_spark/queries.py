@@ -325,6 +325,49 @@ def fn_temporal(spark, sf_dir):
 
 
 @_q(
+    "fn_temporal_diff",
+    """
+    SELECT o_orderkey,
+           date_diff('day', o_orderdate, TIMESTAMP '1996-06-17 00:00:00')
+             AS dd,
+           date_diff('hour', o_orderdate, TIMESTAMP '1996-06-17 00:00:00')
+             AS dh,
+           strftime(to_timestamp(epoch(o_orderdate)) AT TIME ZONE 'UTC',
+                    '%Y-%m-%d %H:%M:%S') AS fu,
+           CAST(o_orderdate AS DATE) AS td,
+           CAST(o_orderdate AS TIMESTAMP) AS tts
+    FROM orders
+    """,
+)
+def fn_temporal_diff(spark, sf_dir):
+    """TIMESTAMPDIFF (SystemFunctionUtils.java:145-242, complete units —
+    midnight DATE inputs make Spark's complete-interval and DuckDB's
+    boundary-crossing definitions coincide), FROM_UNIXTIME (:82-88),
+    TO_DATE (:121-127), TO_TIMESTAMP (:129-143)."""
+    eng = TransformEngine([TransformRule(
+        r"tpch.public.orders",
+        projection=(
+            "o_orderkey, "
+            "TIMESTAMPDIFF(DAY, o_orderdate, "
+            "CAST('1996-06-17 00:00:00' AS TIMESTAMP)) AS dd, "
+            "TIMESTAMPDIFF(HOUR, o_orderdate, "
+            "CAST('1996-06-17 00:00:00' AS TIMESTAMP)) AS dh, "
+            "FROM_UNIXTIME(UNIX_TIMESTAMP(DATE_FORMAT(o_orderdate, "
+            "'yyyy-MM-dd HH:mm:ss'))) AS fu, "
+            "TO_DATE(DATE_FORMAT(o_orderdate, 'yyyy-MM-dd')) AS td, "
+            "TO_TIMESTAMP(DATE_FORMAT(o_orderdate, "
+            "'yyyy-MM-dd HH:mm:ss')) AS tts"),
+    )])
+    out = eng.apply(_t(spark, sf_dir, "orders"),
+                    TableId.parse("tpch.public.orders"))
+    # td stays a DATE through TO_DATE; compare as midnight timestamp (a
+    # pandas date object vs datetime64 would string-compare unequal)
+    return out.withColumn("dd", F.col("dd").cast("long")) \
+              .withColumn("dh", F.col("dh").cast("long")) \
+              .withColumn("td", F.col("td").cast("timestamp_ntz"))
+
+
+@_q(
     "fn_conditional",
     """
     SELECT c_custkey,
