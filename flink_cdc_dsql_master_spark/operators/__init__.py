@@ -4,13 +4,16 @@ These go beyond the reference's own surface (SURVEY §2.6: it has no joins/
 aggregations at all) — they are the operations a large-scale training-data
 pipeline needs, built Spark-first:
 
-- ``dedup``      exact + MinHash-LSH + SimHash + n-gram Jaccard near-dup
+- ``dedup``      exact + MinHash-LSH + SimHash + n-gram Jaccard near-dup,
+                 plus connected-component dup clustering
 - ``similarity`` brute-force and LSH/IVF-bucketed cosine top-k ANN
-- ``text``       language-ID, quality scores, token counts, fingerprints
+- ``text``       language-ID, quality scores, token counts, fingerprints,
+                 repetition (duplicate-n-gram) signals
+- ``sampling``   deterministic hash sampling + per-domain quotas
 - ``multimodal`` binary-column decode/feature plumbing (pandas-UDF shaped)
 
 Every operator is shuffle-partitioned (no driver materialization, no
 all-pairs joins) and stays in Catalyst built-ins where possible.
 """
 
-from . import dedup, multimodal, similarity, text  # noqa: F401
+from . import dedup, multimodal, sampling, similarity, text  # noqa: F401

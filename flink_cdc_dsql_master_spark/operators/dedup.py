@@ -404,6 +404,117 @@ def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
     )
 
 
+def dup_clusters(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
+                 max_iters: int = 30) -> DataFrame:
+    """Connected components over near-dup pairs → one cluster per dup group.
+
+    Returns (``id_col``, cluster_id, is_canonical): cluster_id = the
+    smallest id in the component (HashMin label propagation), canonical =
+    the single row whose id equals it. Docs in no pair are singleton
+    clusters of themselves. This is the step that turns pairwise dedup
+    output into an actionable keep/drop decision (transitive closure:
+    A~B, B~C ⇒ one cluster {A,B,C} even if A≁C directly).
+
+    Scale: each round is one hash-join edges⋈labels plus a groupBy-min —
+    O(E) shuffle rows, never adjacency materialization — and HashMin
+    converges in O(component diameter) rounds. Dup components are
+    near-cliques (diameter 2-3), so a handful of rounds; `max_iters`
+    bounds pathological chains (large-star/small-star would square-root
+    the rounds, not needed for dup graphs). Labels are localCheckpoint-ed
+    each round — iterative plans MUST truncate lineage or the nested
+    plan grows with the iteration count (a 12-round chain OOMs a 4 GB
+    driver on plan bookkeeping alone); on a real cluster with flaky
+    executors use `checkpoint()` to reliable storage instead. The driver
+    sees only the converged-count scalar per round.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    lab = (nodes.select(F.col(id_col).alias("node")).distinct()
+           .withColumn("label", F.col("node")).localCheckpoint())
+    for _ in range(max_iters):
+        nbr_min = (
+            edges.join(lab, edges["src"] == lab["node"])
+            .groupBy(F.col("dst").alias("nbr_node"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new = (
+            lab.join(nbr_min, lab["node"] == nbr_min["nbr_node"], "left")
+            .select(
+                F.col("node"),
+                F.col("label").alias("old"),
+                F.least(F.col("label"),
+                        F.coalesce(F.col("nbr_min"), F.col("label")))
+                .alias("label"),
+            ).localCheckpoint()
+        )
+        changed = new.where(F.col("old") != F.col("label")).count()
+        lab = new.select("node", "label")
+        if changed == 0:
+            break
+    edges.unpersist()
+    return lab.select(
+        F.col("node").alias(id_col),
+        F.col("label").alias("cluster_id"),
+        (F.col("label") == F.col("node")).alias("is_canonical"),
+    )
+
+
+def embedding_exact_pairs(df: DataFrame, id_col: str = "vec_id",
+                          vec_col: str = "embedding",
+                          threshold: float = 0.25) -> DataFrame:
+    """EXACT cosine-threshold pairs over an embedding column — the
+    hash-checked oracle twin of `embedding_cosine_dup_pairs`.
+
+    Scoring all pairs is inherently O(N²); the implementation makes the
+    CONSTANT small: the corpus streams through `mapInPandas` once (never
+    shuffles), the normalized matrix of the comparison block is a
+    broadcast, and each Arrow batch is one BLAS matmul emitting ONLY the
+    qualifying (id_a, id_b, cosine) triples — the shuffle is the match
+    count, not N². Use the LSH variant when N² scoring itself is
+    unaffordable; keep this as the recall oracle on samples.
+    """
+    import numpy as np
+    from pyspark.sql import types as T
+
+    rows = df.select(F.col(id_col).alias("bid"),
+                     F.col(vec_col).cast("array<double>").alias("bv")).collect()
+    ids = np.array([r["bid"] for r in rows])
+    mat = np.array([r["bv"] for r in rows], dtype="float64")
+    nrm = np.linalg.norm(mat, axis=1)
+    nrm[nrm == 0.0] = 1.0
+    mat = mat / nrm[:, None]
+    bc = df.sparkSession.sparkContext.broadcast((ids, mat))
+
+    out_schema = T.StructType([
+        T.StructField("id_a", df.schema[id_col].dataType),
+        T.StructField("id_b", df.schema[id_col].dataType),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+
+    def score(batches):
+        import pandas as pd
+
+        bids, bmat = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            amat = np.array(pdf["av"].tolist(), dtype="float64")
+            anrm = np.linalg.norm(amat, axis=1)
+            anrm[anrm == 0.0] = 1.0
+            sims = (amat / anrm[:, None]) @ bmat.T
+            aids = pdf["aid"].to_numpy()
+            ai, bi = np.nonzero(
+                (sims >= threshold) & (aids[:, None] < bids[None, :]))
+            yield pd.DataFrame({"id_a": aids[ai], "id_b": bids[bi],
+                                "cosine": sims[ai, bi]})
+
+    a = _spread(df).select(F.col(id_col).alias("aid"),
+                           F.col(vec_col).cast("array<double>").alias("av"))
+    return a.mapInPandas(score, out_schema)
+
+
 def embedding_cosine_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                                vec_col: str = "embedding",
                                threshold: float = 0.95,

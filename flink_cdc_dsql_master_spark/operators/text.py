@@ -90,6 +90,36 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
+def repetition_features(df: DataFrame, text_col: str = "text",
+                        n: int = 3) -> DataFrame:
+    """Gopher/C4-style repetition signal: the fraction of duplicate
+    word n-grams in a document (boilerplate and spam repeat themselves;
+    high dup_ngram_ratio is a standard drop rule in training-data
+    curation).
+
+    Appends n_ngrams (with repeats), n_distinct_ngrams, dup_ngram_ratio
+    = 1 - distinct/total, over the same lower/\\s+-collapsed
+    normalization as the dedup shinglers. Pure Catalyst expressions —
+    no shuffle, no Python; at 100 TB this is a map-only pass fused into
+    whatever scan feeds it.
+    """
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    words = F.split(norm, " ")
+    k = F.greatest(F.size(words) - F.lit(n - 1), F.lit(1))
+    grams = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.array_join(F.slice(words, i + 1, n), " "))
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return (
+        df.withColumn("n_ngrams", total.cast("int"))
+        .withColumn("n_distinct_ngrams", distinct.cast("int"))
+        .withColumn(
+            "dup_ngram_ratio",
+            F.round(F.lit(1.0) - distinct.cast("double") / total, 6))
+    )
+
+
 def lang_scores(c: Column) -> list[tuple[str, Column]]:
     """Per-language marker-hit share of tokens (the langid signal)."""
     words = F.split(F.trim(F.lower(c)), r"\s+")

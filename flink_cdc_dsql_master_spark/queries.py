@@ -29,7 +29,7 @@ from .events import (
     SEQ_COLUMN,
 )
 from .merging import coerce_dataframe
-from .operators import dedup, similarity, text
+from .operators import dedup, sampling, similarity, text
 from .partitioning import apply_changelog, bucket_expr, last_write_wins
 from .route import fan_in
 from .schema import Schema, TableId
@@ -583,8 +583,8 @@ def dedup_exact(spark, sf_dir):
     return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
 
 
-_SHINGLE_SQL = """
-WITH norm AS (
+_SHINGLE_CTES = """
+norm AS (
   SELECT doc_id,
          string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ',
                                                 'g')), ' ') AS w
@@ -605,6 +605,8 @@ inter AS (
   GROUP BY 1, 2)
 """
 
+_SHINGLE_SQL = "WITH " + _SHINGLE_CTES
+
 
 @_q(
     "dedup_ngram_jaccard",
@@ -623,6 +625,35 @@ def dedup_ngram_jaccard(spark, sf_dir):
     out = dedup.ngram_jaccard_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.5)
     return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@_q(
+    "dedup_clusters",
+    "WITH RECURSIVE " + _SHINGLE_CTES + """,
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node)
+    SELECT node AS doc_id, MIN(label) AS cluster_id,
+           MIN(label) = node AS is_canonical
+    FROM reach GROUP BY node
+    """,
+)
+def dedup_clusters(spark, sf_dir):
+    """Transitive dup clustering: n-gram-Jaccard pairs → connected
+    components (HashMin label propagation) → (doc_id, cluster_id,
+    is_canonical). The step that turns pairwise near-dup output into a
+    keep/drop decision; oracle = recursive-CTE reachability in DuckDB."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    return dedup.dup_clusters(pairs, docs, id_col="doc_id")
 
 
 @_q("dedup_minhash_lsh")  # approximate banding → rows-only oracle
@@ -653,14 +684,34 @@ def dedup_embedding_cosine(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
-_COS_SQL = """
-list_sum(list_transform(range(1, 65),
-  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-/ (sqrt(list_sum(list_transform(range(1, 65),
-    i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))))
- * sqrt(list_sum(list_transform(range(1, 65),
-    i -> CAST(q.qv[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))))
-"""
+def _cos_pair_sql(a: str, b: str) -> str:
+    """DuckDB cosine between two array<float> column refs, in double."""
+    sq = ("list_sum(list_transform(range(1, 65), "
+          "i -> CAST({v}[i] AS DOUBLE) * CAST({v}[i] AS DOUBLE)))")
+    dot = ("list_sum(list_transform(range(1, 65), "
+           f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
+    return (f"{dot} / (sqrt({sq.format(v=a)}) * sqrt({sq.format(v=b)}))")
+
+
+_COS_SQL = _cos_pair_sql("e.embedding", "q.qv")
+
+
+@_q(
+    "dedup_embedding_exact",
+    f"""
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {_cos_pair_sql('a.embedding', 'b.embedding')} AS cosine
+      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id)
+    WHERE cosine >= 0.25
+    """,
+)
+def dedup_embedding_exact(spark, sf_dir):
+    """EXACT cosine-threshold pairs (BLAS-batched, corpus-stationary) —
+    the hash-checked twin of the hyperplane-LSH variant."""
+    out = dedup.embedding_exact_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.25)
+    return out.withColumn("cosine", F.round("cosine", 6))
 
 
 @_q(
@@ -708,14 +759,27 @@ def similarity_topk_numpy(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
-@_q("similarity_topk_scaled")  # Q=1000: rows-only (DuckDB list-ops oracle
-def similarity_topk_scaled(spark, sf_dir):  # would dominate gate wall-time)
+@_q(
+    "similarity_topk_scaled",
+    f"""
+    SELECT query_id, nbr_id, ROUND(cosine, 6) AS cosine FROM (
+      SELECT q.query_id, e.vec_id AS nbr_id, {_COS_SQL} AS cosine
+      FROM embeddings e,
+           (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id < 1000) q
+      WHERE e.vec_id <> q.query_id)
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id ASC) <= 10
+    """,
+)
+def similarity_topk_scaled(spark, sf_dir):
     """Bench headliner for the large-Q regime: 1000 queries through the
     numpy kernel — the regime where the interpreted-HOF kernel is past its
     crossover (SCALE.md has the measured curve)."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 1000)
-    return similarity.cosine_topk(emb, q, k=10, kernel="numpy")
+    out = similarity.cosine_topk(emb, q, k=10, kernel="numpy")
+    return out.withColumn("cosine", F.round("cosine", 6))
 
 
 @_q("similarity_ivf")  # approximate (probes seeded centroids) → rows-only
@@ -831,6 +895,74 @@ def text_fingerprint(spark, sf_dir):
     return docs.select(
         "doc_id",
         text.rolling_fingerprint(F.col("text")).alias("fingerprint"))
+
+
+@_q(
+    "text_repetition",
+    """
+    WITH norm AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+',
+                                                    ' ', 'g')), ' ') AS w
+      FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(range(1, greatest(len(w) - 2, 1) + 1),
+                            i -> array_to_string(w[i:i+2], ' ')) AS grams
+      FROM norm)
+    SELECT doc_id,
+           CAST(len(grams) AS INT) AS n_ngrams,
+           CAST(len(list_distinct(grams)) AS INT) AS n_distinct_ngrams,
+           ROUND(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                       / len(grams), 6) AS dup_ngram_ratio
+    FROM g
+    """,
+)
+def text_repetition(spark, sf_dir):
+    """Gopher/C4-style repetition signal: duplicate word-3-gram fraction
+    per document — a standard boilerplate/spam drop rule. Map-only
+    Catalyst expressions."""
+    out = text.repetition_features(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "n_ngrams", "n_distinct_ngrams",
+                      "dup_ngram_ratio")
+
+
+@_q(
+    "sample_hash_rate",
+    """
+    SELECT doc_id, source FROM documents
+    WHERE substr(md5('s4' || CAST(doc_id AS VARCHAR)), 1, 4) < '2666'
+    """,
+)
+def sample_hash_rate(spark, sf_dir):
+    """Deterministic Bernoulli-by-hash sampling (rate 15%): a pure
+    pushdown filter — no shuffle, no RNG state, reproducible across
+    engines (md5 lowercase hex on both sides)."""
+    docs = _t(spark, sf_dir, "documents")
+    return sampling.hash_sample(docs, "doc_id", rate=0.15,
+                                salt="s4").select("doc_id", "source")
+
+
+@_q(
+    "sample_domain_quota",
+    """
+    SELECT source, doc_id, rn FROM (
+      SELECT source, doc_id,
+             CAST(row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5('q4' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS INT) AS rn
+      FROM documents) t
+    WHERE rn <= 50
+    """,
+)
+def sample_domain_quota(spark, sf_dir):
+    """Per-domain quota sampling (≤50 docs per source, hash-ordered):
+    the domain-balancing step of a curation pipeline — one window
+    shuffle on the domain key, deterministic run-over-run."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.domain_quota(docs, "source", "doc_id", 50, salt="q4")
+    return out.select("source", "doc_id", "rn")
 
 
 @_q("multimodal_features")  # stubbed decode kernel → rows-only oracle

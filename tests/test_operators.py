@@ -237,3 +237,98 @@ def test_ivf_refined_centroids_recall(spark):
     out = similarity.ivf_topk(df, q, k=1, n_cells=4, n_probe=1, dim=8,
                               refine_iters=1)
     assert out.collect()[0]["nbr_id"] == 0
+
+
+def test_dup_clusters_transitive(spark):
+    """A~B, B~C ⇒ {A,B,C} one cluster even without an A~C pair; untouched
+    nodes are singletons; canonical = min id."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "id_a long, id_b long")
+    nodes = spark.createDataFrame(
+        [(i,) for i in range(1, 8)], "doc_id long")
+    out = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in dedup.dup_clusters(pairs, nodes).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (4, True), 5: (5, True), 6: (5, False), 7: (7, True)}
+
+
+def test_dup_clusters_chain_converges(spark):
+    """A long path graph needs several HashMin rounds — the driver loop
+    must iterate to fixpoint, not stop after one round."""
+    n = 12
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(1, n + 1)],
+                                  "doc_id long")
+    out = dedup.dup_clusters(pairs, nodes).collect()
+    assert all(r["cluster_id"] == 1 for r in out)
+    assert sum(r["is_canonical"] for r in out) == 1
+
+
+def test_embedding_exact_pairs_brute_force(spark):
+    import itertools
+    import math
+
+    import random
+    rng = random.Random(0)
+    rows = [(i, [rng.gauss(0, 1) for _ in range(8)]) for i in range(10)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in dedup.embedding_exact_pairs(df, threshold=0.3).collect()}
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        return d / (math.sqrt(sum(x * x for x in a))
+                    * math.sqrt(sum(y * y for y in b)))
+
+    want = {(a, b): cos(va, vb)
+            for (a, va), (b, vb) in itertools.combinations(rows, 2)
+            if cos(va, vb) >= 0.3}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-12)
+
+
+def test_repetition_features(spark):
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),            # 3-grams: aba bab aba bab → dup 0.5
+         (2, "one two three four"),     # 2 distinct 3-grams, no repeats
+         (3, "word")],                  # <n words → 1 shingle (whole text)
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.repetition_features(df).collect()}
+    assert (out[1]["n_ngrams"], out[1]["n_distinct_ngrams"],
+            out[1]["dup_ngram_ratio"]) == (4, 2, 0.5)
+    assert out[2]["dup_ngram_ratio"] == 0.0
+    assert (out[3]["n_ngrams"], out[3]["dup_ngram_ratio"]) == (1, 0.0)
+
+
+def test_hash_sample_deterministic_and_rate(spark):
+    from flink_cdc_dsql_master_spark.operators import sampling
+
+    df = spark.range(0, 4000).withColumnRenamed("id", "k")
+    a = sorted(r["k"] for r in
+               sampling.hash_sample(df, "k", 0.25, salt="x").collect())
+    b = sorted(r["k"] for r in
+               sampling.hash_sample(df, "k", 0.25, salt="x").collect())
+    assert a == b                       # reproducible
+    assert 0.20 < len(a) / 4000 < 0.30  # concentrates near the rate
+    c = sorted(r["k"] for r in
+               sampling.hash_sample(df, "k", 0.25, salt="y").collect())
+    assert a != c                       # new salt → fresh sample
+    with pytest.raises(ValueError):
+        sampling.hash_sample(df, "k", 1.5)
+
+
+def test_domain_quota_exact_n_per_group(spark):
+    from flink_cdc_dsql_master_spark.operators import sampling
+
+    rows = [(i, "g%d" % (i % 3)) for i in range(90)]
+    df = spark.createDataFrame(rows, "k long, g string")
+    out = sampling.domain_quota(df, "g", "k", 10).collect()
+    by_g = {}
+    for r in out:
+        by_g.setdefault(r["g"], []).append(r["rn"])
+    assert all(sorted(v) == list(range(1, 11)) for v in by_g.values())
+    again = sampling.domain_quota(df, "g", "k", 10).collect()
+    assert sorted((r["g"], r["k"]) for r in out) == \
+        sorted((r["g"], r["k"]) for r in again)
