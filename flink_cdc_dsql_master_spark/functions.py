@@ -384,21 +384,32 @@ class ModelTransport:
 
 
 def _stub_embed_post(dim: int):
-    """Deterministic fake /embeddings endpoint: md5-seeded unit vector per
-    text — stable across runs and executors."""
+    """Deterministic fake /embeddings endpoint: element i of the unit
+    vector is md5(text|i) scaled to [-1, 1), then L2-normalized. SQL-
+    expressible on purpose (mirrors _stub_chat_post) so the full
+    Arrow→transport→Arrow path is oracle-checkable: DuckDB replays the
+    exact arithmetic via ('0x'||substr(md5(..),1,8))::BIGINT."""
+    def np32(x: float) -> float:
+        import struct
+
+        return struct.unpack("f", struct.pack("f", x))[0]
+
     def post(texts):
         import hashlib
-
-        import numpy as np
+        import math
 
         out = []
         for t in texts:
             if t is None:
                 out.append(None)
                 continue
-            seed = int.from_bytes(hashlib.md5(t.encode()).digest()[:4], "big")
-            v = np.random.default_rng(seed).standard_normal(dim)
-            out.append((v / np.linalg.norm(v)).astype("float32").tolist())
+            raw = [
+                int(hashlib.md5(f"{t}|{i}".encode()).hexdigest()[:8], 16)
+                / 2147483648.0 - 1.0
+                for i in range(dim)
+            ]
+            nrm = math.sqrt(sum(x * x for x in raw)) or 1.0
+            out.append([np32(x / nrm) for x in raw])
         return out
 
     return post

@@ -99,12 +99,27 @@ def word_shingles_pandas(n: int = 3):
     return pandas_udf(fn, "array<string>")
 
 
+def shingle_hash(s: Column) -> Column:
+    """Base hash of one shingle for MinHash: the first 8 hex digits of
+    md5, as an integer mod the Mersenne prime.
+
+    md5 instead of xxhash64 ON PURPOSE: both engines of the correctness
+    gate implement it identically (DuckDB: ('0x'||substr(md5(s),1,8))::
+    BIGINT), which is what lets the ENTIRE banded-LSH pipeline be
+    hash-checked against SQL rather than rows-only. ~10× slower per
+    shingle than xxhash64 (~100 ns vs ~10 ns) — noise next to the
+    shingling itself, and verifiability of a probabilistic operator is
+    worth far more than the nanoseconds at any scale.
+    """
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long") % _MERSENNE
+
+
 def _minhash_col(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
     """K minhash values per row: min over shingles of (a*h + b) mod p.
 
-    Uses xxhash64 of each shingle as the base hash; the (a, b) pairs come
-    from a fixed-seed PRNG so signatures are deterministic across runs and
-    executors.
+    Uses `shingle_hash` (md5-derived) as the base hash; the (a, b) pairs
+    come from a fixed-seed PRNG so signatures are deterministic across
+    runs, executors and engines.
 
     Perf note: higher-order functions are interpreted (no codegen), so this
     is ONE aggregate pass over the shingles updating all K minima at once
@@ -120,7 +135,7 @@ def _minhash_col(shingles: Column, num_hashes: int, seed: int = 42) -> Column:
     a_lit = F.array(*[F.lit(a) for a, _ in params])
     b_lit = F.array(*[F.lit(b) for _, b in params])
 
-    h = F.transform(shingles, lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    h = F.transform(shingles, shingle_hash)
     init = F.array_repeat(F.lit(_MERSENNE).cast("long"), num_hashes)
 
     def step(acc, x):
@@ -184,15 +199,15 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                        seed: int = 42) -> DataFrame:
     """Append a `minhash` array<bigint> signature column.
 
-    Base shingle hashes come from JVM xxhash64 (stable across engines/runs);
+    Base shingle hashes come from JVM-side `shingle_hash` (md5-derived,
+    cross-engine reproducible);
     the K-permutation min runs vectorized in numpy. Signatures are identical
     to the pure-Catalyst `_minhash_col` (same params, same base hashes).
 
     The hash array is materialized as its own column BEFORE the UDF call:
     a complex expression passed inline as a pandas_udf argument lands in the
     ArrowEvalPython input projection and evaluates ~25× slower (measured)."""
-    h = F.transform(word_shingles(F.col(text_col), shingle_n),
-                    lambda s: F.abs(F.xxhash64(s)) % _MERSENNE)
+    h = F.transform(word_shingles(F.col(text_col), shingle_n), shingle_hash)
     return (
         _spread(df)
         .withColumn("__h", h)
@@ -224,8 +239,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         _spread(df)
         .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .withColumn("__sh", word_shingles_pandas(shingle_n)(F.col("__t")))
-        .withColumn("__h", F.transform(
-            F.col("__sh"), lambda s: F.abs(F.xxhash64(s)) % _MERSENNE))
+        .withColumn("__h", F.transform(F.col("__sh"), shingle_hash))
         .drop("__t")
         .persist()
     )
@@ -238,7 +252,9 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     band_structs = [
         F.struct(
             F.lit(i).alias("band"),
-            F.xxhash64(F.slice(F.col("minhash"), i * rows + 1, rows))
+            F.md5(F.array_join(F.transform(
+                F.slice(F.col("minhash"), i * rows + 1, rows),
+                lambda x: x.cast("string")), ","))
             .alias("bucket"),
         )
         for i in range(bands)

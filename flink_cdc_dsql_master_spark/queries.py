@@ -656,11 +656,56 @@ def dedup_clusters(spark, sf_dir):
     return dedup.dup_clusters(pairs, docs, id_col="doc_id")
 
 
-@_q("dedup_minhash_lsh")  # approximate banding → rows-only oracle
+def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
+                        threshold: float = 0.5, seed: int = 42) -> str:
+    """DuckDB replay of the FULL banded MinHash-LSH pipeline: md5-derived
+    shingle hashes, the seeded (a,b) permutation family as literal arrays,
+    banded buckets, candidate join, exact-Jaccard verification."""
+    from .operators.dedup import _minhash_params
+
+    params = _minhash_params(num_hashes, seed)
+    a_arr = "[" + ", ".join(str(a) for a, _ in params) + "]"
+    b_arr = "[" + ", ".join(str(b) for _, b in params) + "]"
+    rows = num_hashes // bands
+    return "WITH " + _SHINGLE_CTES + f""",
+    hs AS (
+      SELECT doc_id,
+             list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647) AS h
+      FROM sh),
+    sig AS (
+      SELECT doc_id,
+             list_transform(range(0, {num_hashes}),
+               k -> list_min(list_transform(h,
+                      x -> (x * ({a_arr})[k + 1]
+                            + ({b_arr})[k + 1]) % 2147483647))) AS sg
+      FROM hs),
+    banded AS (
+      SELECT doc_id, b AS band,
+             md5(array_to_string(sg[b * {rows} + 1 : b * {rows} + {rows}],
+                                 ',')) AS bucket
+      FROM sig, unnest(range(0, {bands})) AS t(b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM banded a JOIN banded b
+        ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id)
+    SELECT c.id_a, c.id_b,
+           ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6)
+             AS jaccard
+    FROM cand c
+    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN sizes sa ON sa.doc_id = c.id_a
+    JOIN sizes sb ON sb.doc_id = c.id_b
+    WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {threshold}
+    """
+
+
+@_q("dedup_minhash_lsh", _minhash_oracle_sql())
 def dedup_minhash_lsh(spark, sf_dir):
     """Banded MinHash-LSH near-dup candidates verified by exact Jaccard.
-    Non-SQL-expressible (seeded hash family) → rows-only check; the exact
-    twin `dedup_ngram_jaccard` is the hash-checked oracle of record."""
+    Oracle-checked end-to-end: the base hash is md5-derived and the seeded
+    permutation family is a pure constant, so DuckDB replays signatures,
+    banding, candidate generation AND the Jaccard verification."""
     out = dedup.minhash_lsh_pairs(
         _t(spark, sf_dir, "documents"), threshold=0.5)
     return out.withColumn("jaccard", F.round("jaccard", 6))
@@ -673,17 +718,6 @@ def dedup_simhash(spark, sf_dir):
     return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
 
 
-@_q("dedup_embedding_cosine")  # seeded hyperplanes → rows-only oracle
-def dedup_embedding_cosine(spark, sf_dir):
-    """Embedding near-dup via random-hyperplane LSH bucket + exact cosine.
-    Threshold -1 reports every bucket-collision pair with its exact cosine
-    (the synthetic vectors are random, so a 0.99 cut would return nothing —
-    the candidate generation + verify plumbing is what's under test)."""
-    out = dedup.embedding_cosine_dup_pairs(
-        _t(spark, sf_dir, "embeddings"), threshold=-1.0)
-    return out.withColumn("cosine", F.round("cosine", 6))
-
-
 def _cos_pair_sql(a: str, b: str) -> str:
     """DuckDB cosine between two array<float> column refs, in double."""
     sq = ("list_sum(list_transform(range(1, 65), "
@@ -691,6 +725,57 @@ def _cos_pair_sql(a: str, b: str) -> str:
     dot = ("list_sum(list_transform(range(1, 65), "
            f"i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))")
     return (f"{dot} / (sqrt({sq.format(v=a)}) * sqrt({sq.format(v=b)}))")
+
+
+def _sql_array(vals) -> str:
+    """A Python float list as a DuckDB double array literal (repr is the
+    shortest round-trip form — DuckDB parses it back to the same double)."""
+    return "[" + ", ".join(repr(float(x)) for x in vals) + "]"
+
+
+def _sql_dot(vec_expr: str, vals) -> str:
+    """DuckDB dot product of an array<float> column against a literal
+    vector, folded in index order like Spark's F.aggregate."""
+    return ("list_sum(list_transform(range(1, 65), "
+            f"i -> CAST({vec_expr}[i] AS DOUBLE) * ({_sql_array(vals)})[i]))")
+
+
+def _hyperplane_bucket_sql(vec_expr: str, bits: int, seed: int) -> str:
+    """Mirror of similarity.random_hyperplane_bucket: the same seeded
+    planes, emitted as SQL literals; bit i set when the projection is
+    non-negative."""
+    from .operators.similarity import _seeded_unit_vectors
+
+    planes = _seeded_unit_vectors(bits, 64, seed)
+    terms = [
+        f"(CASE WHEN {_sql_dot(vec_expr, p)} >= 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@_q(
+    "dedup_embedding_cosine",
+    f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {_hyperplane_bucket_sql('embedding', 8, 42)} AS bucket
+      FROM embeddings)
+    SELECT a.vec_id AS id_a, b2.vec_id AS id_b,
+           ROUND({_cos_pair_sql('a.embedding', 'b2.embedding')}, 6) AS cosine
+    FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    """Embedding near-dup via random-hyperplane LSH bucket + exact cosine.
+    Threshold -1 reports every bucket-collision pair with its exact cosine
+    (the synthetic vectors are random, so a 0.99 cut would return nothing —
+    the candidate generation + verify plumbing is what's under test).
+    Oracle-checked: the seeded hyperplanes are pure constants, so they are
+    embedded in the DuckDB SQL as literals."""
+    out = dedup.embedding_cosine_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=-1.0)
+    return out.withColumn("cosine", F.round("cosine", 6))
 
 
 _COS_SQL = _cos_pair_sql("e.embedding", "q.qv")
@@ -782,10 +867,50 @@ def similarity_topk_scaled(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
-@_q("similarity_ivf")  # approximate (probes seeded centroids) → rows-only
+def _ivf_oracle_sql(n_cells: int = 16, n_probe: int = 4, seed: int = 7,
+                    k: int = 10, q_max: int = 5) -> str:
+    """Mirror of similarity.ivf_topk with the seeded centroids as SQL
+    literals. Cell assignment = argmax dot (ties → larger index, matching
+    Spark's struct array_max); probes = top n_probe cells per query."""
+    from .operators.similarity import _seeded_unit_vectors
+
+    cents = _seeded_unit_vectors(n_cells, 64, seed)
+    cent_rows = ",\n          ".join(
+        f"({i}, {_sql_array(c)})" for i, c in enumerate(cents))
+    return f"""
+    WITH cents(ci, cv) AS (VALUES
+          {cent_rows}),
+    cdots AS (
+      SELECT e.vec_id, e.embedding, c.ci,
+             list_sum(list_transform(range(1, 65),
+               i -> CAST(e.embedding[i] AS DOUBLE) * c.cv[i])) AS d
+      FROM embeddings e CROSS JOIN cents c),
+    cell AS (
+      SELECT vec_id, embedding, ci FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d DESC, ci DESC) AS rk
+        FROM cdots) WHERE rk = 1),
+    probes AS (
+      SELECT vec_id AS query_id, embedding AS qv, ci FROM (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY d DESC, ci DESC) AS rk
+        FROM cdots WHERE vec_id < {q_max}) WHERE rk <= {n_probe})
+    SELECT query_id, nbr_id, ROUND(cosine, 6) AS cosine FROM (
+      SELECT q.query_id, e.vec_id AS nbr_id,
+             {_cos_pair_sql('e.embedding', 'q.qv')} AS cosine
+      FROM cell e JOIN probes q ON e.ci = q.ci
+      WHERE e.vec_id <> q.query_id)
+    QUALIFY row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, nbr_id ASC) <= {k}
+    """
+
+
+@_q("similarity_ivf", _ivf_oracle_sql())
 def similarity_ivf(spark, sf_dir):
     """IVF-bucketed ANN top-k — the scale path: probes n_probe/n_cells of
-    the corpus instead of all of it."""
+    the corpus instead of all of it. Oracle-checked: the seeded centroids
+    are constants, so cell assignment, probe selection and the final
+    window are all replayed literally in DuckDB."""
     emb = _t(spark, sf_dir, "embeddings")
     q = emb.where(F.col("vec_id") < 5)
     out = similarity.ivf_topk(emb, q, k=10)
@@ -1032,16 +1157,42 @@ def multimodal_real_decode(spark, sf_dir):
                       F.size("feature").alias("feature_dim"), "decode_ok")
 
 
-@_q("ai_get_embedding")  # deterministic stub transport → rows-only oracle
+@_q(
+    "ai_get_embedding",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             list_transform(range(0, 16),
+               i -> ('0x' || substr(md5(text || '|' || CAST(i AS VARCHAR)),
+                                    1, 8))::BIGINT
+                    / 2147483648.0 - 1.0) AS r
+      FROM documents WHERE doc_id < 200),
+    nrm AS (
+      SELECT doc_id, r,
+             sqrt(list_sum(list_transform(r, x -> x * x))) AS n
+      FROM raw)
+    SELECT doc_id, CAST(i AS INT) AS pos,
+           ROUND(CAST(CAST(r[i + 1] / n AS FLOAT) AS DOUBLE), 4) AS val
+    FROM nrm, unnest(range(0, 16)) AS t(i)
+    """,
+)
 def ai_get_embedding(spark, sf_dir):
-    """GET_EMBEDDING as a batched pandas_udf
-    (OpenAIEmbeddingModel.java:57-84 shape; transport stubbed)."""
+    """GET_EMBEDDING as a batched pandas_udf (OpenAIEmbeddingModel.java:
+    57-84 shape). The deterministic stub endpoint is md5-elementwise, so
+    DuckDB replays the exact transport arithmetic — the Arrow batching,
+    ModelTransport chunking and array<float> plumbing are all inside the
+    checked path. Output = exploded (doc_id, pos, val) for a clean
+    double-typed hash compare."""
     from .functions import get_embedding_udf
 
-    docs = _t(spark, sf_dir, "documents").limit(200)
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     emb = get_embedding_udf(dim=16)
     out = docs.select("doc_id", emb(F.col("text")).alias("embedding"))
-    return out.select("doc_id", F.size("embedding").alias("dim"))
+    return out.select(
+        "doc_id", F.posexplode("embedding").alias("pos", "v")
+    ).select(
+        "doc_id", F.col("pos").cast("int").alias("pos"),
+        F.round(F.col("v").cast("double"), 4).alias("val"))
 
 
 @_q(

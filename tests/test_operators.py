@@ -175,7 +175,7 @@ def test_get_embedding_deterministic(spark):
 
 def test_minhash_pandas_kernel_matches_catalyst(spark):
     """The vectorized numpy minhash must equal the pure-Catalyst
-    `_minhash_col` bit-for-bit (same params, same xxhash64 base hashes)."""
+    `_minhash_col` bit-for-bit (same params, same shingle_hash base)."""
     from pyspark.sql import functions as F
 
     df = spark.createDataFrame(
@@ -186,7 +186,7 @@ def test_minhash_pandas_kernel_matches_catalyst(spark):
         "mh", dedup._minhash_col(
             dedup.word_shingles(F.col("text"), 3), 16, seed=42))
     h = F.transform(dedup.word_shingles(F.col("text"), 3),
-                    lambda s: F.abs(F.xxhash64(s)) % ((1 << 31) - 1))
+                    dedup.shingle_hash)
     pnd = (df.withColumn("__h", h)
            .withColumn("mh", dedup._minhash_pandas(16, 42)(F.col("__h"))))
     a = {r["doc_id"]: r["mh"] for r in jvm.collect()}
