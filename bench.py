@@ -7,8 +7,9 @@ Each query is fully materialized via a count-ish action (the driver never
 collects full results). Timings are steady-state: a warmup pass runs every
 query once at sf0.001 (identical plans -> same generated code, so JVM JIT,
 Janino codegen, shuffle and Python-worker paths are all hot), then each
-query is timed at the target SF over two passes and the per-query minimum
-is reported. Measured on this box: the first 32-task aggregate stage of a
+query is timed at the target SF over three passes and the per-query
+minimum is reported, with the block cache cleared between queries so no
+measurement depends on another query's leftover persisted frames. Measured on this box: the first 32-task aggregate stage of a
 cold JVM costs 5-40 s of pure JIT/codegen warmup for a query whose
 steady-state is <1 s -- attributing that one-time cost to whichever query
 happens to run first says nothing about the operator.
@@ -45,7 +46,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for _pass in range(2):
+    for _pass in range(3):
         for name in BENCH_QUERIES:
             fn = QUERIES[name]
             t0 = time.perf_counter()
@@ -54,6 +55,13 @@ def main() -> int:
             dt = round(time.perf_counter() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
             rows[name] = n
+            # queries that persist() intermediates (LSH, clustering) never
+            # unpersist them -- the returned frame still depends on the
+            # cache lazily. Dropping the cache between queries keeps each
+            # measurement self-contained: no cross-query storage-memory
+            # pressure, no eviction-triggered recompute noise (seen as a
+            # 3.9s-vs-1.1s swing on dedup_minhash_lsh in BENCH_r03).
+            spark.catalog.clearCache()
     for name in BENCH_QUERIES:
         print(f"# {name}: {timings[name]}s ({rows[name]} rows)",
               file=sys.stderr)
