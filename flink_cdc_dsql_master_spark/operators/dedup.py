@@ -18,7 +18,9 @@
   so wildly different sizes never pair.
 
 All token/shingle/hash computation is Catalyst built-ins (split, transform,
-xxhash64, aggregate) — zero Python in the row path.
+md5-derived base hashes, aggregate) — zero Python in the row path. Base
+hashes are md5-derived (not xxhash64) so DuckDB can replay every
+probabilistic operator value-for-value; see `shingle_hash`/`shingle_hash64`.
 """
 
 from __future__ import annotations
@@ -303,8 +305,24 @@ def simhash64(c: Column, shingle_n: int = 2) -> Column:
     return _simhash_from_shingles(word_shingles(c, shingle_n))
 
 
+def shingle_hash64(s: Column) -> Column:
+    """Full-width signed 64-bit hash of one shingle for SimHash: the first
+    16 hex digits of md5, reinterpreted as two's-complement int64.
+
+    Built from two 32-bit halves with pure integer arithmetic (no shifts)
+    so DuckDB replays it exactly: hi' = hi - 2^32 when hi >= 2^31, value =
+    hi' * 2^32 + lo — always within int64, no overflow even under ANSI.
+    Same md5-over-xxhash64 rationale as `shingle_hash`: cross-engine
+    verifiability of a probabilistic operator beats the ~90 ns/shingle.
+    """
+    hi = F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
+    lo = F.conv(F.substring(F.md5(s), 9, 8), 16, 10).cast("long")
+    hi_signed = F.when(hi >= F.lit(1 << 31), hi - F.lit(1 << 32)).otherwise(hi)
+    return hi_signed * F.lit(1 << 32) + lo
+
+
 def _simhash_from_shingles(sh: Column) -> Column:
-    h = F.transform(sh, lambda s: F.xxhash64(s))
+    h = F.transform(sh, shingle_hash64)
 
     # int64 bit patterns for bits 0..63 (bit 63 is the sign bit); one
     # aggregate pass updates all 64 counters (HOFs are interpreted — 64

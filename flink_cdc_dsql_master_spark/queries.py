@@ -711,11 +711,56 @@ def dedup_minhash_lsh(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
-@_q("dedup_simhash")  # seeded fingerprint → rows-only oracle
+_SIMHASH_ORACLE = """
+    WITH norm AS (
+      SELECT doc_id,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ',
+                                                    'g')), ' ') AS w
+      FROM documents),
+    sh2 AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, greatest(len(w) - 1, 1) + 1),
+               i -> array_to_string(w[i:i+1], ' '))) AS shingles
+      FROM norm),
+    hv AS (
+      SELECT doc_id,
+             (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+               * 4294967296 + lo AS x
+      FROM (SELECT doc_id,
+                   ('0x' || substr(md5(s), 1, 8))::BIGINT AS hi,
+                   ('0x' || substr(md5(s), 9, 8))::BIGINT AS lo
+            FROM (SELECT doc_id, unnest(shingles) AS s FROM sh2))),
+    bits AS (
+      SELECT doc_id, b,
+             CASE WHEN b = 63 THEN -9223372036854775807 - 1
+                  ELSE (1::BIGINT << b) END AS mask,
+             SUM(CASE WHEN (x & (CASE WHEN b = 63
+                                      THEN -9223372036854775807 - 1
+                                      ELSE (1::BIGINT << b) END)) != 0
+                      THEN 1 ELSE -1 END) AS cnt
+      FROM hv, unnest(range(0, 64)) AS t(b)
+      GROUP BY doc_id, b),
+    fp AS (
+      SELECT doc_id,
+             CAST(SUM(CASE WHEN cnt > 0 THEN mask ELSE 0 END) AS BIGINT) AS f
+      FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+    """
+
+
+@_q("dedup_simhash", _SIMHASH_ORACLE)
 def dedup_simhash(spark, sf_dir):
     """SimHash near-dup pairs (Hamming ≤ 3 via 4×16-bit pigeonhole
-    banding)."""
-    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    banding). Oracle-checked: banding is recall-exact for Hamming ≤ d
+    (a pair differing in ≤ d chunks must agree on one of d+1), so the
+    result set equals plain all-pairs Hamming ≤ d — which DuckDB computes
+    directly from the same md5-derived 64-bit fingerprints."""
+    out = dedup.simhash_pairs(_t(spark, sf_dir, "documents"), max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
 
 
 def _cos_pair_sql(a: str, b: str) -> str:
