@@ -2220,3 +2220,71 @@ pipeline:
     result = composer.run()
     out = result.tables[TableId.parse("analytics.out.regions")]
     return out.select("rk", "region_name")
+
+
+_ASOF_RIGHT_SQL = """
+    r AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderdate, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey, o_orderdate
+                                  ORDER BY o_orderkey DESC) AS rk
+        FROM orders) WHERE rk = 1)
+"""
+
+
+def _asof_inputs(spark, sf_dir):
+    from .operators import asof
+
+    ev = _events_table(spark, sf_dir).select("event_id", "user_id", "ts")
+    r = asof.dedupe_right(
+        _t(spark, sf_dir, "orders").select(
+            "o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"),
+        by="o_custkey", on="o_orderdate", tie_break="o_orderkey")
+    return ev, r
+
+
+@_q(
+    "asof_join_orders",
+    "WITH " + _ASOF_RIGHT_SQL + """
+    SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_totalprice
+    FROM events e ASOF LEFT JOIN r
+      ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+    """,
+)
+def asof_join_orders(spark, sf_dir):
+    """Backward as-of join: each event picks the user's most recent order
+    at-or-before the event. Union+window formulation — ONE shuffle on the
+    key, zero row amplification (operators/asof.py); oracle = DuckDB's
+    native ASOF LEFT JOIN."""
+    from .operators import asof
+
+    ev, r = _asof_inputs(spark, sf_dir)
+    return asof.asof_join(
+        ev, r, left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey")
+
+
+@_q(
+    "asof_join_forward_tolerance",
+    "WITH " + _ASOF_RIGHT_SQL + """
+    SELECT event_id, user_id, ts,
+           CASE WHEN ok THEN o_orderkey END AS o_orderkey,
+           CASE WHEN ok THEN o_totalprice END AS o_totalprice
+    FROM (
+      SELECT e.event_id, e.user_id, e.ts, r.o_orderkey, r.o_totalprice,
+             r.o_orderdate IS NOT NULL
+               AND r.o_orderdate - e.ts <= INTERVAL 7 DAY AS ok
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND e.ts <= r.o_orderdate)
+    """,
+)
+def asof_join_forward_tolerance(spark, sf_dir):
+    """Forward as-of join with a 7-day tolerance: each event picks the
+    user's next order within a week (NULLs otherwise, left row kept)."""
+    from .operators import asof
+
+    ev, r = _asof_inputs(spark, sf_dir)
+    return asof.asof_join(
+        ev, r, left_on="ts", right_on="o_orderdate",
+        left_by="user_id", right_by="o_custkey", direction="forward",
+        tolerance=F.expr("INTERVAL 7 DAYS"))

@@ -332,3 +332,43 @@ def test_domain_quota_exact_n_per_group(spark):
     again = sampling.domain_quota(df, "g", "k", 10).collect()
     assert sorted((r["g"], r["k"]) for r in out) == \
         sorted((r["g"], r["k"]) for r in again)
+
+
+def test_asof_join_backward_forward_tolerance(spark):
+    from flink_cdc_dsql_master_spark.operators import asof
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 205), (3, 10, 300), (4, 20, 50), (5, 30, 10)],
+        "eid long, k long, t long")
+    right = spark.createDataFrame(
+        [(10, 100, "a"), (10, 200, "b"), (10, 250, "c"), (20, 60, "d")],
+        "rk long, rt long, v string")
+
+    back = {r["eid"]: r["v"] for r in asof.asof_join(
+        left, right, left_on="t", right_on="rt",
+        left_by="k", right_by="rk").collect()}
+    # eid1: rt=100 matches at equal ts (inclusive); eid4: no rt <= 50;
+    # eid5: key has no right rows at all
+    assert back == {1: "a", 2: "b", 3: "c", 4: None, 5: None}
+
+    fwd = {r["eid"]: r["v"] for r in asof.asof_join(
+        left, right, left_on="t", right_on="rt", left_by="k",
+        right_by="rk", direction="forward").collect()}
+    assert fwd == {1: "a", 2: "c", 3: None, 4: "d", 5: None}
+
+    tol = {r["eid"]: r["v"] for r in asof.asof_join(
+        left, right, left_on="t", right_on="rt", left_by="k",
+        right_by="rk", tolerance=F.lit(20)).collect()}
+    # eid2: t=205, match rt=200 within 20; eid3: t=300, rt=250 gap 50 -> null
+    assert tol == {1: "a", 2: "b", 3: None, 4: None, 5: None}
+
+
+def test_asof_dedupe_right_lww(spark):
+    from flink_cdc_dsql_master_spark.operators import asof
+
+    r = spark.createDataFrame(
+        [(10, 100, 1, "old"), (10, 100, 2, "new"), (10, 200, 3, "x")],
+        "k long, t long, seq long, v string")
+    got = {(row["k"], row["t"]): row["v"] for row in
+           asof.dedupe_right(r, by="k", on="t", tie_break="seq").collect()}
+    assert got == {(10, 100): "new", (10, 200): "x"}
