@@ -170,3 +170,84 @@ def text_stats(df: DataFrame, text_col: str = "text",
     out = out.withColumn("fingerprint", rolling_fingerprint(F.col(text_col)))
     out = out.withColumn("n_tokens_bpe", bpe_ish_token_count(F.col(text_col)))
     return out
+
+
+# PII patterns — kept inside the Java-regex ∩ RE2 common subset (no
+# lookaround, no backrefs) so the DuckDB oracle applies the IDENTICAL
+# patterns; replacement order is part of the contract (email first so the
+# digit-run patterns never see addresses' digits).
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\+?\d[\d() -]{6,}\d", "<PHONE>"),
+]
+
+
+def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scrub emails / IPv4s / phone-like digit runs, appending
+    `{kind}_found` counts and a `redacted` text column.
+
+    Pure codegen regexp_replace/regexp_extract_all — no Python, no
+    shuffle; at 100 TB this is a map-only pass fused into the scan."""
+    out = df
+    red = F.col(text_col)
+    for kind, pat, token in PII_PATTERNS:
+        out = out.withColumn(
+            f"{kind}_found",
+            F.size(F.regexp_extract_all(red, F.lit(pat), 0)))
+        red = F.regexp_replace(red, pat, token)
+    return out.withColumn("redacted", red)
+
+
+def bigram_surprisal(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Corpus-level bigram language-model quality score per document.
+
+    Two linear passes, both distributed:
+      1. explode (w1, w2) bigram occurrences (NOT distinct — counts are
+         LM statistics), aggregate context counts c(w1) and bigram counts
+         c(w1,w2), plus the vocabulary size V;
+      2. join each document's bigrams back to the counts and average the
+         add-one-smoothed surprisal -ln((c(w1,w2)+1) / (c(w1)+V)).
+
+    Gibberish/boilerplate scores high (rare transitions), fluent text low
+    — the classic cheap perplexity filter for training-data curation.
+    Shuffle cost: one groupBy on bigram + one join keyed on bigram, both
+    O(total tokens); the unigram-context table joins on w1. No Python.
+    """
+    from .dedup import normalize_text
+
+    words = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                     lambda x: x != "")
+    n = F.size(words)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(F.sequence(F.lit(0), n - 2),
+                    lambda i: F.concat_ws(" ", F.element_at(words, i + 1),
+                                          F.element_at(words, i + 2))),
+    ).otherwise(F.array().cast("array<string>"))
+
+    bg = (df.select(F.col(id_col).alias("__id"),
+                    F.explode(bigrams).alias("bg"))
+          .withColumn("w1", F.split(F.col("bg"), " ")[0]))
+
+    bg_counts = bg.groupBy("bg").agg(F.count("*").alias("cb"))
+    ctx_counts = bg.groupBy("w1").agg(F.count("*").alias("c1"))
+    vocab = bg.select(
+        F.explode(F.split(F.col("bg"), " ")).alias("w")
+    ).agg(F.countDistinct("w").alias("v"))
+
+    scored = (
+        bg.join(bg_counts, "bg")
+        .join(ctx_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "surprisal",
+            -F.log((F.col("cb") + 1) / (F.col("c1") + F.col("v"))))
+        .groupBy("__id")
+        .agg(F.avg("surprisal").alias("surprisal"),
+             F.count("*").alias("n_bigrams"))
+    )
+    return scored.select(F.col("__id").alias(id_col), "surprisal",
+                         "n_bigrams")

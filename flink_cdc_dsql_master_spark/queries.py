@@ -2288,3 +2288,118 @@ def asof_join_forward_tolerance(spark, sf_dir):
         ev, r, left_on="ts", right_on="o_orderdate",
         left_by="user_id", right_by="o_custkey", direction="forward",
         tolerance=F.expr("INTERVAL 7 DAYS"))
+
+
+@_q(
+    "agg_multigrain_rollup",
+    """
+    SELECT CASE WHEN GROUPING(h) = 0 THEN 'hour'
+                WHEN GROUPING(d) = 0 THEN 'day'
+                ELSE 'week' END AS grain,
+           strftime(COALESCE(h, d, wk), '%Y-%m-%d %H:%M:%S') AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n, ROUND(SUM(value), 2) AS total
+    FROM (SELECT date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+                 date_trunc('week', ts) AS wk, value
+          FROM events)
+    GROUP BY GROUPING SETS ((h), (d), (wk))
+    """,
+)
+def agg_multigrain_rollup(spark, sf_dir):
+    """Hypertable-style multi-granularity rollup (hour/day/week) in ONE
+    pass via GROUPING SETS: one scan + one partial-aggregated shuffle
+    instead of three separate scans — the continuous-aggregate shape at
+    100 TB. Grain is recovered with GROUPING() (buckets themselves are
+    never NULL)."""
+    ev = _events_table(spark, sf_dir)
+    base = ev.select(
+        F.date_trunc("hour", "ts").alias("h"),
+        F.date_trunc("day", "ts").alias("d"),
+        F.date_trunc("week", "ts").alias("wk"),
+        "value")
+    grain = (F.when(F.grouping("h") == 0, "hour")
+             .when(F.grouping("d") == 0, "day")
+             .otherwise("week"))
+    return (
+        base.groupingSets([["h"], ["d"], ["wk"]], "h", "d", "wk")
+        .agg(F.count("*").alias("n"),
+             F.round(F.sum("value"), 2).alias("total"),
+             grain.alias("__grain"))
+        .select(
+            F.col("__grain").alias("grain"),
+            F.date_format(F.coalesce("h", "d", "wk"),
+                          "yyyy-MM-dd HH:mm:ss").alias("bucket"),
+            "n", "total")
+    )
+
+
+def _pii_oracle_sql() -> str:
+    from .operators.text import PII_PATTERNS
+
+    aug = ("text || ' contact user' || CAST(doc_id AS VARCHAR) ||"
+           " '@example.com ip 10.0.0.' || CAST(doc_id % 250 AS VARCHAR) ||"
+           " ' call 555-0100'")
+    red = aug
+    counts = []
+    for kind, pat, token in PII_PATTERNS:
+        counts.append(
+            f"CAST(len(regexp_extract_all({red}, '{pat}')) AS INT)"
+            f" AS {kind}_found")
+        red = f"regexp_replace({red}, '{pat}', '{token}', 'g')"
+    cols = ", ".join(counts)
+    return f"""
+    SELECT doc_id, {cols}, {red} AS redacted
+    FROM documents WHERE doc_id % 5 = 0
+    """
+
+
+@_q("text_pii_redact", _pii_oracle_sql())
+def text_pii_redact(spark, sf_dir):
+    """PII scrub (emails / IPv4 / phone-like runs) with per-kind counts.
+    The corpus has no real PII, so deterministic synthetic PII is
+    appended in BOTH engines before redaction — replacement text and
+    pattern order are the contract under test. Map-only codegen pass."""
+    from .operators import text as t
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 0)
+    aug = docs.withColumn(
+        "text",
+        F.concat(F.col("text"), F.lit(" contact user"),
+                 F.col("doc_id").cast("string"), F.lit("@example.com"),
+                 F.lit(" ip 10.0.0."),
+                 (F.col("doc_id") % 250).cast("string"),
+                 F.lit(" call 555-0100")))
+    out = t.redact_pii(aug)
+    return out.select("doc_id", "email_found", "ipv4_found", "phone_found",
+                      "redacted")
+
+
+@_q(
+    "text_bigram_surprisal",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text),
+                         '\s+', ' ', 'g')), ' '), x -> x != '') AS w
+      FROM documents),
+    bgx AS (
+      SELECT doc_id, w[i] || ' ' || w[i + 1] AS bg, w[i] AS w1
+      FROM norm, unnest(range(1, len(w))) AS t(i)
+      WHERE len(w) >= 2),
+    bgc AS (SELECT bg, COUNT(*) AS cb FROM bgx GROUP BY bg),
+    ctx AS (SELECT w1, COUNT(*) AS c1 FROM bgx GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT wrd) AS vsz FROM
+            (SELECT unnest(string_split(bg, ' ')) AS wrd FROM bgx))
+    SELECT doc_id, ROUND(AVG(-ln((cb + 1.0) / (c1 + vsz))), 6) AS surprisal,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams
+    FROM bgx JOIN bgc USING (bg) JOIN ctx USING (w1) CROSS JOIN v
+    GROUP BY doc_id
+    """,
+)
+def text_bigram_surprisal(spark, sf_dir):
+    """Corpus bigram-LM surprisal per document — the cheap perplexity
+    filter for curation. Two linear passes (counts, then a bigram-keyed
+    join back); vocabulary size broadcast."""
+    from .operators import text as t
+
+    out = t.bigram_surprisal(_t(spark, sf_dir, "documents"))
+    return out.withColumn("surprisal", F.round("surprisal", 6))

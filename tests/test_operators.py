@@ -372,3 +372,34 @@ def test_asof_dedupe_right_lww(spark):
     got = {(row["k"], row["t"]): row["v"] for row in
            asof.dedupe_right(r, by="k", on="t", tie_break="seq").collect()}
     assert got == {(10, 100): "new", (10, 200): "x"}
+
+
+def test_redact_pii_counts_and_text(spark):
+    df = spark.createDataFrame(
+        [(1, "mail bob@x.org or carol@y.co.uk, ip 10.0.0.1, tel +1 555 0100"),
+         (2, "nothing sensitive here")],
+        "doc_id long, text string")
+    out = {r["doc_id"]: r for r in text.redact_pii(df).collect()}
+    assert out[1]["email_found"] == 2
+    assert out[1]["ipv4_found"] == 1
+    assert out[1]["phone_found"] == 1
+    assert "<EMAIL>" in out[1]["redacted"]
+    assert "bob@x.org" not in out[1]["redacted"]
+    assert out[2]["redacted"] == "nothing sensitive here"
+    assert (out[2]["email_found"], out[2]["ipv4_found"],
+            out[2]["phone_found"]) == (0, 0, 0)
+
+
+def test_bigram_surprisal_ranks_gibberish_higher(spark):
+    rows = [(i, "the cat sat on the mat and the cat sat again")
+            for i in range(5)]
+    rows.append((99, "zxq vrb plm qwt zxq nfk rtb mns"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["surprisal"]
+           for r in text.bigram_surprisal(df).collect()}
+    # repeated fluent text shares bigram mass; gibberish is all-singletons
+    assert got[99] > got[0]
+    # single-word / empty docs produce no bigrams -> absent, not crash
+    df2 = spark.createDataFrame([(1, "hello"), (2, "")],
+                                "doc_id long, text string")
+    assert text.bigram_surprisal(df2).count() == 0
