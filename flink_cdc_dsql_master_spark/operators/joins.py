@@ -1,0 +1,56 @@
+"""Skew-resilient join helpers.
+
+AQE's skew-join splitting (spark.sql.adaptive.skewJoin) is the first
+line of defense and is ON in get_spark(); explicit salting is the
+belt-and-braces for the cases AQE can't fix — a single pathological key
+inside one shuffle block, or a non-AQE runtime. The salted plan is
+RESULT-IDENTICAL to the plain join (the oracle checks exactly that):
+only the physical row distribution changes.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def salted_join(left: DataFrame, right: DataFrame,
+                on: Sequence[tuple[str, str]], n_salts: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Join with the left side's hot keys spread over ``n_salts`` shuffle
+    partitions and the right side replicated ×n_salts to meet them.
+
+    ``on``: [(left_col, right_col), ...] equi-join pairs.
+
+    The salt is a deterministic hash of the whole left row, so rows of one
+    hot key land in n_salts different reducers instead of one straggler.
+    Cost: the right side shuffles n_salts× its size — use for
+    fact×dimension skew (small-to-medium right), never fact×fact; at that
+    point bucket both sides or let AQE split.
+
+    Only ``inner`` and ``left`` are supported: replicating the right side
+    would duplicate right-unmatched rows under right/full-outer semantics.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner|left, got: {how}")
+    if n_salts < 1:
+        raise ValueError(f"n_salts must be >= 1, got: {n_salts}")
+    lcols, rcols = [p[0] for p in on], [p[1] for p in on]
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(clash)}")
+
+    lsalt = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(F.struct(*[F.col(c) for c in left.columns])),
+               F.lit(n_salts)).cast("int"))
+    rsalt = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))))
+
+    cond = F.col("__salt") == F.col("__rsalt")
+    rsalt = rsalt.withColumnRenamed("__salt", "__rsalt")
+    for lc, rc in on:
+        cond = cond & (lsalt[lc] == rsalt[rc])
+    return (lsalt.join(rsalt, cond, how)
+            .drop("__salt", "__rsalt"))

@@ -2403,3 +2403,73 @@ def text_bigram_surprisal(spark, sf_dir):
 
     out = t.bigram_surprisal(_t(spark, sf_dir, "documents"))
     return out.withColumn("surprisal", F.round("surprisal", 6))
+
+
+@_q(
+    "join_local_supplier_revenue",
+    """
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+)
+def join_local_supplier_revenue(spark, sf_dir):
+    """TPC-H Q5 shape: 6-table star join, revenue by nation where customer
+    and supplier are co-national. The 100 TB plan: nation/region/supplier
+    (and customer at real TPC-H ratios) are broadcast; the only shuffles
+    are fact-fact lineitem<->orders and the final partial-aggregated
+    groupBy. Date filter pushed to the orders scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1998-01-01"))
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s),
+              (li.l_suppkey == s.s_suppkey)
+              & (s.s_nationkey == c.c_nationkey))
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))),
+            2).alias("revenue"))
+    )
+
+
+@_q(
+    "salted_join_segment_revenue",
+    """
+    SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def salted_join_segment_revenue(spark, sf_dir):
+    """Skew-resilient salted join, result-identical to the plain join
+    (which IS the oracle): hot customer keys spread over 8 salted
+    reducers, dimension replicated x8 to meet them. operators/joins.py
+    documents when this beats AQE skew splitting."""
+    from .operators.joins import salted_join
+
+    o = _t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = salted_join(o, c, on=[("o_custkey", "c_custkey")], n_salts=8)
+    return (j.groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))

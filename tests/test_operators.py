@@ -403,3 +403,27 @@ def test_bigram_surprisal_ranks_gibberish_higher(spark):
     df2 = spark.createDataFrame([(1, "hello"), (2, "")],
                                 "doc_id long, text string")
     assert text.bigram_surprisal(df2).count() == 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    from flink_cdc_dsql_master_spark.operators.joins import salted_join
+
+    left = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (3, "d")], "k long, lv string")
+    right = spark.createDataFrame(
+        [(1, "X"), (2, "Y"), (9, "Z")], "rk long, rv string")
+
+    plain = left.join(right, left.k == right.rk, "inner")
+    salted = salted_join(left, right, on=[("k", "rk")], n_salts=4)
+    assert (sorted(map(tuple, plain.collect()))
+            == sorted(map(tuple, salted.collect())))
+
+    plain_l = left.join(right, left.k == right.rk, "left")
+    salted_l = salted_join(left, right, on=[("k", "rk")], n_salts=4,
+                           how="left")
+    assert (sorted(map(tuple, plain_l.collect()), key=str)
+            == sorted(map(tuple, salted_l.collect()), key=str))
+
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        salted_join(left, right, on=[("k", "rk")], how="right")
