@@ -50,6 +50,10 @@ BENCH_QUERIES = [
     "cdc_apply_changelog",
     "topk_orders_window",
     "sessionize_events",
+    "asof_join_orders",
+    "agg_multigrain_rollup",
+    "text_bigram_surprisal",
+    "join_local_supplier_revenue",
 ]
 
 
