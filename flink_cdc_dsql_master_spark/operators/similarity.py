@@ -275,3 +275,39 @@ def ivf_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
         .where(F.col("__rk") <= k)
         .drop("__rk")
     )
+
+
+def quantize_int8(df: DataFrame, vec_col: str = "embedding",
+                  id_col: str = "vec_id") -> DataFrame:
+    """Per-vector symmetric int8 quantization — the 4× storage/bandwidth
+    compression step of an embedding index (scale = max|x| / 127,
+    q = floor(x/scale + 0.5)).
+
+    Every arithmetic step is expressed in double with a fixed evaluation
+    order (cast → scale → round-half-up via floor) so the DuckDB oracle
+    reproduces the integers exactly. Appends: qvec array<int> in
+    [-127, 127], scale, and reconstruction diagnostics (max_abs_err,
+    cos_recon — cosine between the original and dequantized vector).
+
+    Map-only pass, no shuffle. At scale the quantized index is what ships
+    to the ANN serving tier; the interpreted-HOF cost here is fine for a
+    write-path operator, and the numpy Arrow kernel pattern
+    (_cosine_topk_numpy) is the drop-in if it ever sits on a read path.
+    """
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(vd, F.abs))
+    scale = F.when(max_abs == 0, F.lit(1.0)).otherwise(max_abs / 127)
+    base = (df.select(id_col, F.col(vec_col))
+            .withColumn("__vd", vd)
+            .withColumn("scale", scale))
+    q = F.transform(F.col("__vd"),
+                    lambda x: F.floor(x / F.col("scale") + 0.5).cast("int"))
+    out = base.withColumn("qvec", q)
+    dq = F.transform(F.col("qvec"), lambda x: x * F.col("scale"))
+    err = F.array_max(
+        F.zip_with(F.col("__vd"), dq, lambda a, b: F.abs(a - b)))
+    cos = (dot_expr(F.col("__vd"), dq)
+           / (norm_expr(F.col("__vd")) * norm_expr(dq)))
+    return (out.withColumn("max_abs_err", err)
+            .withColumn("cos_recon", cos)
+            .drop("__vd", vec_col))

@@ -272,3 +272,51 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
     )
     return scored.select(F.col("__id").alias(id_col), "surprisal",
                          "n_bigrams")
+
+
+def chunk_documents(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", chunk_tokens: int = 64,
+                    overlap: int = 16) -> DataFrame:
+    """Split documents into fixed-token-budget chunks with overlap — the
+    standard pre-tokenization step of an LLM training pipeline.
+
+    Chunks are windows of ``chunk_tokens`` whitespace tokens advancing by
+    ``chunk_tokens - overlap``; the last window is kept iff it adds new
+    tokens. Output: (id, chunk_idx, chunk_text, n_tokens) — one row per
+    chunk, exploded, so downstream dedup/quality/tokenize operators apply
+    unchanged to chunks.
+
+    Pure-Catalyst: split + sequence + slice under an explode — stays in
+    codegen, map-only (zero shuffle), and SQL-replayable for the oracle.
+    At 100 TB the row amplification is bounded by ~len/(chunk-overlap)
+    per doc and the operator fuses into the scan.
+    """
+    if overlap >= chunk_tokens:
+        raise ValueError(
+            f"overlap ({overlap}) must be < chunk_tokens ({chunk_tokens})")
+    from .dedup import normalize_text
+
+    step = chunk_tokens - overlap
+    words = F.filter(F.split(normalize_text(F.col(text_col)), " "),
+                     lambda x: x != "")
+    n = F.size(words)
+    # starts: 0, step, 2*step, ... while start + overlap < n  (i.e. the
+    # window contributes at least one token beyond the previous one);
+    # always at least one chunk for a non-empty doc
+    n_chunks = F.when(
+        n <= chunk_tokens, F.lit(1)
+    ).otherwise(F.ceil((n - F.lit(chunk_tokens)) / F.lit(step)) + 1)
+    idx = F.sequence(F.lit(0), n_chunks.cast("int") - 1)
+    return (
+        df.where(F.length(F.trim(F.col(text_col))) > 0)
+        .select(F.col(id_col), words.alias("__w"),
+                F.explode(idx).alias("chunk_idx"))
+        .select(
+            id_col, "chunk_idx",
+            F.array_join(
+                F.slice(F.col("__w"), F.col("chunk_idx") * step + 1,
+                        chunk_tokens), " ").alias("chunk_text"),
+            F.least(
+                F.size(F.col("__w")) - F.col("chunk_idx") * step,
+                F.lit(chunk_tokens)).alias("n_tokens"))
+    )

@@ -2477,3 +2477,85 @@ def salted_join_segment_revenue(spark, sf_dir):
     return (j.groupBy("c_mktsegment")
             .agg(F.count("*").alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@_q(
+    "text_chunk_documents",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text),
+                         '\s+', ' ', 'g')), ' '), x -> x != '') AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    c AS (
+      SELECT doc_id, w, len(w) AS n,
+             CASE WHEN len(w) <= 64 THEN 1
+                  ELSE CAST(ceil((len(w) - 64) / 48.0) AS BIGINT) + 1
+             END AS nc
+      FROM norm)
+    SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+           array_to_string(w[i * 48 + 1 : i * 48 + 64], ' ') AS chunk_text,
+           CAST(least(n - i * 48, 64) AS INT) AS n_tokens
+    FROM c, unnest(range(0, nc)) AS t(i)
+    """,
+)
+def text_chunk_documents(spark, sf_dir):
+    """Token-budget document chunking (64-token windows, 16 overlap) —
+    the pre-tokenization step of a training pipeline. Map-only codegen
+    explode, zero shuffle; downstream dedup/quality operators apply to
+    chunks unchanged."""
+    from .operators import text as t
+
+    return t.chunk_documents(_t(spark, sf_dir, "documents"),
+                             chunk_tokens=64, overlap=16)
+
+
+@_q(
+    "embedding_quantize_int8",
+    """
+    WITH vd AS (
+      SELECT vec_id, list_transform(embedding,
+                                    x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    s AS (
+      SELECT vec_id, v, CASE WHEN m = 0 THEN 1.0 ELSE m / 127 END AS scale
+      FROM (SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) AS m
+            FROM vd)),
+    q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v,
+               x -> CAST(floor(x / scale + 0.5) AS INT)) AS qvec
+      FROM s),
+    d AS (SELECT vec_id, v, scale, qvec,
+                 list_transform(qvec, x -> x * scale) AS dq
+          FROM q)
+    SELECT vec_id,
+           array_to_string(list_transform(qvec,
+             x -> CAST(x AS VARCHAR)), ',') AS qvec,
+           ROUND(scale, 6) AS scale,
+           ROUND(list_max(list_transform(range(1, 65),
+             i -> abs(v[i] - dq[i]))), 8) AS max_abs_err,
+           ROUND(list_sum(list_transform(range(1, 65),
+                   i -> v[i] * dq[i]))
+                 / (sqrt(list_sum(list_transform(v, x -> x * x)))
+                    * sqrt(list_sum(list_transform(dq, x -> x * x)))),
+             6) AS cos_recon
+    FROM d
+    """,
+)
+def embedding_quantize_int8(spark, sf_dir):
+    """Symmetric per-vector int8 quantization of the embedding index with
+    reconstruction diagnostics — every arithmetic step fixed-order double
+    so DuckDB reproduces the integers exactly. qvec is emitted as a
+    comma-joined string for a dtype-stable hash compare."""
+    from .operators.similarity import quantize_int8
+
+    out = quantize_int8(_t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform("qvec", lambda x: x.cast("string")),
+                     ",").alias("qvec"),
+        F.round("scale", 6).alias("scale"),
+        F.round("max_abs_err", 8).alias("max_abs_err"),
+        F.round("cos_recon", 6).alias("cos_recon"))

@@ -427,3 +427,39 @@ def test_salted_join_matches_plain_join(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         salted_join(left, right, on=[("k", "rk")], how="right")
+
+
+def test_chunk_documents_windows_and_overlap(spark):
+    words120 = " ".join(f"w{i}" for i in range(120))
+    df = spark.createDataFrame(
+        [(1, words120), (2, "short doc"), (3, "   ")],
+        "doc_id long, text string")
+    out = text.chunk_documents(df, chunk_tokens=64, overlap=16)
+    rows = sorted([(r["doc_id"], r["chunk_idx"], r["n_tokens"],
+                    r["chunk_text"]) for r in out.collect()])
+    # doc1: 120 tokens -> chunks at 0/48/96: 64, 64, 24 tokens
+    d1 = [r for r in rows if r[0] == 1]
+    assert [(r[1], r[2]) for r in d1] == [(0, 64), (1, 64), (2, 24)]
+    assert d1[0][3].startswith("w0 ") and d1[1][3].startswith("w48 ")
+    # consecutive chunks overlap by 16 tokens
+    assert d1[0][3].split(" ")[48:] == d1[1][3].split(" ")[:16]
+    # doc2 fits one chunk; blank doc3 dropped
+    assert [(r[1], r[2]) for r in rows if r[0] == 2] == [(0, 2)]
+    assert not [r for r in rows if r[0] == 3]
+    with pytest.raises(ValueError):
+        text.chunk_documents(df, chunk_tokens=16, overlap=16)
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    df = spark.createDataFrame(
+        [(1, [1.0, -0.5, 0.25, 0.0]), (2, [0.0, 0.0, 0.0, 0.0])],
+        "vec_id long, embedding array<float>")
+    out = {r["vec_id"]: r for r in
+           similarity.quantize_int8(df).collect()}
+    # round-half-up toward +inf: -63.5 -> -63
+    assert out[1]["qvec"] == [127, -63, 32, 0]
+    assert out[1]["scale"] == pytest.approx(1.0 / 127)
+    assert out[1]["cos_recon"] > 0.999
+    assert out[1]["max_abs_err"] <= out[1]["scale"] / 2 + 1e-12
+    # all-zero vector: guard scale, qvec all zeros, no NaN/div-by-zero
+    assert out[2]["qvec"] == [0, 0, 0, 0] and out[2]["scale"] == 1.0
