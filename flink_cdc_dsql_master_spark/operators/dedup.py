@@ -575,3 +575,80 @@ def embedding_cosine_dup_pairs(df: DataFrame, id_col: str = "vec_id",
                 cosine_expr(F.col("a.v"), F.col("b.v")).alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def decontaminate_hits(train: DataFrame, eval_df: DataFrame,
+                       text_col: str = "text", id_col: str = "doc_id",
+                       shingle_n: int = 3) -> DataFrame:
+    """Benchmark decontamination: per training doc, the number of distinct
+    n-gram shingles it shares with ANY eval-set document.
+
+    The standard training-data hygiene pass (GPT-3 appendix C / PaLM §7
+    style n-gram overlap): any train doc sharing an n-gram with an eval
+    benchmark is flagged so it can be dropped before training.
+
+    100 TB plan: the eval side is a benchmark suite — MBs, not TBs — so its
+    distinct shingle set is BROADCAST; the train side streams past it
+    map-side with NO shuffle of train rows at all. The only shuffle is the
+    per-doc hit-count aggregation, which carries one row per (contaminated
+    doc) — a vanishing fraction of the corpus. Shingling runs in the
+    Arrow-vectorized pandas twin of `word_shingles` (byte-identical
+    output).
+    """
+    ev = (eval_df
+          .select(F.explode(word_shingles(F.col(text_col),
+                                          shingle_n)).alias("__s"))
+          .distinct())
+    tr = _spread(train).select(
+        F.col(id_col),
+        F.explode(word_shingles_pandas(shingle_n)(F.col(text_col)))
+        .alias("__s"))
+    return (tr.join(F.broadcast(ev), "__s")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_hits")))
+
+
+def decontaminate(train: DataFrame, eval_df: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  shingle_n: int = 3) -> DataFrame:
+    """Training corpus with every eval-contaminated doc removed
+    (left-anti join against `decontaminate_hits`)."""
+    hits = decontaminate_hits(train, eval_df, text_col, id_col, shingle_n)
+    return train.join(hits.select(id_col), id_col, "left_anti")
+
+
+def prefix_duplicates(df: DataFrame, text_col: str = "text",
+                      id_col: str = "doc_id",
+                      min_len: int = 32) -> DataFrame:
+    """Prefix-containment duplicates: pairs (id_a, id_b) where doc a's
+    normalized text is a prefix of doc b's (truncated re-crawls, partial
+    mirrors — the dup class exact dedup misses).
+
+    Returns (id_a, id_b, prefix_len); equal texts pair once (id_a < id_b).
+    Docs shorter than `min_len` normalized chars are skipped (a short
+    prefix match is noise, and the bucket key needs `min_len` chars).
+
+    Plan: bucket on the first `min_len` normalized chars — any qualifying
+    pair necessarily shares that key — then verify `startswith` inside the
+    bucket. One hash-shuffle of (key, norm) rows, never all-pairs. Bucket
+    skew = many docs sharing a 32-char prefix; they are real candidate
+    clusters, split further by AQE skew-join if huge.
+    """
+    base = (_spread(df)
+            .select(F.col(id_col),
+                    normalize_text(F.col(text_col)).alias("__n"))
+            .withColumn("__l", F.length("__n"))
+            .where(F.col("__l") >= min_len)
+            .withColumn("__k", F.substring("__n", 1, min_len)))
+    a = base.select(F.col(id_col).alias("id_a"), F.col("__n").alias("__na"),
+                    F.col("__l").alias("__la"), "__k")
+    b = base.select(F.col(id_col).alias("id_b"), F.col("__n").alias("__nb"),
+                    F.col("__l").alias("__lb"), "__k")
+    return (
+        a.join(b, "__k")
+        .where(F.col("__nb").startswith(F.col("__na")) &
+               ((F.col("__lb") > F.col("__la")) |
+                ((F.col("__lb") == F.col("__la")) &
+                 (F.col("id_a") < F.col("id_b")))))
+        .select("id_a", "id_b", F.col("__la").cast("int").alias("prefix_len"))
+    )

@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 
 def salted_join(left: DataFrame, right: DataFrame,
@@ -77,3 +77,60 @@ def co_located_join(spark, left_table: str, right_table: str,
     """Join two identically-bucketed tables (shuffle-free when bucket
     counts match and the join keys are the bucket keys)."""
     return spark.table(left_table).join(spark.table(right_table), on, how)
+
+
+def interval_join(left: DataFrame, right: DataFrame,
+                  on: Sequence[tuple[str, str]],
+                  left_ts: str, right_ts: str,
+                  lower_s: float, upper_s: float,
+                  bucket_width_s: float | None = None) -> DataFrame:
+    """Inner interval join: pairs where ``right[right_ts]`` lies in
+    ``[left[left_ts] + lower_s, left[left_ts] + upper_s]`` and the equi-keys
+    match (Flink DataStream/SQL interval-join semantics, microsecond-exact).
+
+    Plan — time-bucketed equi-join, the scalable shape for a range
+    predicate: both sides map each row to coarse time buckets of width
+    ``max(upper_s - lower_s, 1µs)`` (or ``bucket_width_s``); the left row's
+    interval spans at most 2 adjacent buckets, so it is exploded to ≤2
+    (key, bucket) rows while the right side emits exactly 1. The join is
+    then a plain hash equi-join on (keys…, bucket) — Catalyst/AQE handle
+    it like any shuffle join — and the exact interval predicate filters
+    inside the matched bucket. Shuffle is O(2·|L| + |R|) rows keyed by
+    (key, bucket): never a per-key cross product, never a broadcast of a
+    big side, and time-locality keeps bucket cardinality high (no skew
+    pile-up on the key alone).
+
+    Columns must be disjoint; only ``inner`` (an outer join would
+    duplicate unmatched exploded left rows).
+    """
+    if upper_s < lower_s:
+        raise ValueError(f"upper_s {upper_s} < lower_s {lower_s}")
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(clash)}")
+    lo_us = int(round(lower_s * 1_000_000))
+    up_us = int(round(upper_s * 1_000_000))
+    w_us = (int(round(bucket_width_s * 1_000_000)) if bucket_width_s
+            else max(up_us - lo_us, 1))
+
+    def _us(c: Column) -> Column:
+        # parquet timestamps arrive as TIMESTAMP_NTZ; unix_micros needs an
+        # instant — the session-UTC cast is applied to BOTH sides, so every
+        # difference (the only thing the interval predicate sees) is exact
+        return F.unix_micros(c.cast("timestamp"))
+
+    lm = _us(F.col(left_ts))
+    rm = _us(F.col(right_ts))
+    le = left.withColumn(
+        "__lb",
+        F.explode(F.sequence(F.floor((lm + lo_us) / w_us),
+                             F.floor((lm + up_us) / w_us))))
+    ri = right.withColumn("__rb", F.floor(rm / w_us))
+
+    lm2 = _us(le[left_ts])
+    rm2 = _us(ri[right_ts])
+    cond = le["__lb"] == ri["__rb"]
+    for lc, rc in on:
+        cond = cond & (le[lc] == ri[rc])
+    cond = cond & (rm2 >= lm2 + lo_us) & (rm2 <= lm2 + up_us)
+    return le.join(ri, cond, "inner").drop("__lb", "__rb")

@@ -53,3 +53,32 @@ def domain_quota(df: DataFrame, group_col: str, key_col: str, n: int,
         df.withColumn(rank_col, F.row_number().over(w).cast("int"))
         .where(F.col(rank_col) <= n)
     )
+
+
+def pack_sequences(df: DataFrame, token_col: str, budget: int,
+                   part_col: str, order_col: str,
+                   bin_col: str = "bin_id") -> DataFrame:
+    """Contiguous-scan sequence packing: within each `part_col` stream
+    (deterministically ordered by `order_col`), assign each doc to the
+    fixed-token-budget bin its preceding cumulative token count falls in:
+    ``bin = floor(preceding_cumsum / budget)``.
+
+    This is the "pack then split" shape training loaders use: bins fill to
+    >= budget tokens (the straddling doc overflows and is truncated/split
+    downstream), assignments are pure functions of the ordered stream —
+    reproducible across runs and engines, no bin-packing state.
+
+    Scale: ONE window per partition stream — the same shuffle a
+    groupBy(part_col) costs, with streams processed independently in
+    parallel. Never a global ORDER BY: a single total-order window would
+    serialize 100 TB through one task; per-stream packing (by source,
+    shard, or date) is the parallel formulation.
+    """
+    if budget <= 0:
+        raise ValueError(f"budget must be positive, got {budget}")
+    w = (Window.partitionBy(part_col)
+         .orderBy(order_col)
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prev = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return df.withColumn(
+        bin_col, F.floor(prev / F.lit(budget)).cast("int"))

@@ -2559,3 +2559,298 @@ def embedding_quantize_int8(spark, sf_dir):
         F.round("scale", 6).alias("scale"),
         F.round("max_abs_err", 8).alias("max_abs_err"),
         F.round("cos_recon", 6).alias("cos_recon"))
+
+
+# ---------------------------------------------------------------------------
+# round 4: decontamination, packing, interval/semi/anti joins, pivot,
+# window analytics, percentiles, cube, format round-trip
+# ---------------------------------------------------------------------------
+
+
+@_q(
+    "dedup_decontaminate",
+    _SHINGLE_SQL + """
+    SELECT t.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+    FROM (SELECT doc_id, s FROM ex WHERE doc_id % 20 <> 0) t
+    JOIN (SELECT DISTINCT s FROM ex WHERE doc_id % 20 = 0) e USING (s)
+    GROUP BY t.doc_id
+    """,
+)
+def dedup_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: every 20th doc plays the eval set; the
+    rest is the training corpus. Eval shingles are broadcast (benchmark
+    suites are MBs at any corpus scale) so the train side never shuffles."""
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.where(F.col("doc_id") % 20 == 0)
+    tr = docs.where(F.col("doc_id") % 20 != 0)
+    return dedup.decontaminate_hits(tr, ev, shingle_n=3)
+
+
+@_q(
+    "dedup_prefix_containment",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    f AS (SELECT doc_id, t, length(t) AS l FROM n WHERE length(t) >= 32)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(a.l AS INT) AS prefix_len
+    FROM f a JOIN f b
+      ON substr(a.t, 1, 32) = substr(b.t, 1, 32)
+     AND starts_with(b.t, a.t)
+     AND (b.l > a.l OR (b.l = a.l AND a.doc_id < b.doc_id))
+    """,
+)
+def dedup_prefix_containment(spark, sf_dir):
+    """Prefix-containment duplicates (truncated re-crawls): bucket on the
+    first 32 normalized chars, verify startswith inside the bucket —
+    one hash shuffle, never all-pairs (the DuckDB oracle IS the all-pairs
+    formulation, feasible only at oracle scale)."""
+    return dedup.prefix_duplicates(_t(spark, sf_dir, "documents"))
+
+
+@_q(
+    "join_interval_attribution",
+    """
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           ROUND(SUM(c.value), 4) AS click_value
+    FROM events p
+    JOIN events c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def join_interval_attribution(spark, sf_dir):
+    """Flink-style interval join (purchase ← clicks in the preceding 30
+    min, same user), time-bucketed into a plain hash equi-join on
+    (user, bucket): O(2L+R) shuffle rows, no per-key cross product.
+    Parity: Flink SQL interval join semantics (microsecond-exact)."""
+    from .operators.joins import interval_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"),
+        F.col("value").alias("c_value"))
+    j = interval_join(purchases, clicks, [("p_user", "c_user")],
+                      "p_ts", "c_ts", lower_s=-1800.0, upper_s=0.0)
+    return (j.groupBy("purchase_id")
+            .agg(F.count("*").alias("n_clicks"),
+                 F.round(F.sum("c_value"), 4).alias("click_value")))
+
+
+@_q(
+    "pack_token_budget",
+    """
+    WITH t AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+'))
+                  END AS INT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, source, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER
+                  (PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) / 512.0) AS INT) AS bin_id
+    FROM t
+    """,
+)
+def pack_token_budget(spark, sf_dir):
+    """Sequence packing: fill 512-token bins per source stream in doc_id
+    order — the training-loader "pack then split" shape, reproducible and
+    shuffle-parallel per stream (no global ORDER BY)."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators import text as t
+
+    sized = docs.select(
+        "doc_id", "source",
+        t.token_count(F.col("text")).cast("int").alias("n_tokens"))
+    return sampling.pack_sequences(sized, "n_tokens", 512,
+                                   part_col="source", order_col="doc_id")
+
+
+@_q(
+    "semi_join_late_lineitems",
+    """
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders o
+    WHERE EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o.o_orderpriority
+    """,
+)
+def semi_join_late_lineitems(spark, sf_dir):
+    """TPC-H Q4-shape EXISTS: orders with at least one lineitem shipped
+    >60 days after order date, counted per priority. LEFT SEMI join with a
+    correlated range predicate in the join condition — one hash shuffle,
+    the semi form never duplicates orders however many lineitems match."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    cond = ((o["o_orderkey"] == li["l_orderkey"]) &
+            (li["l_shipdate"] > F.timestamp_add("DAY", F.lit(60),
+                                                o["o_orderdate"])))
+    return (o.join(li, cond, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n_orders")))
+
+
+@_q(
+    "anti_join_no_orders",
+    """
+    SELECT c.c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 400000)
+    GROUP BY c.c_mktsegment
+    """,
+)
+def anti_join_no_orders(spark, sf_dir):
+    """TPC-H Q22-shape NOT EXISTS: customers with no high-value
+    (>400k) order, per segment. LEFT ANTI hash join with the value
+    predicate pushed into the right-side scan — null-safe, no row
+    duplication."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 400000)
+    return (c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti")
+            .groupBy("c_mktsegment")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@_q(
+    "pivot_event_matrix",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+           CAST(COUNT(*) FILTER (event_type = 'click') AS BIGINT)
+             AS click,
+           CAST(COUNT(*) FILTER (event_type = 'error') AS BIGINT)
+             AS error,
+           CAST(COUNT(*) FILTER (event_type = 'purchase') AS BIGINT)
+             AS purchase,
+           CAST(COUNT(*) FILTER (event_type = 'signup') AS BIGINT)
+             AS signup,
+           CAST(COUNT(*) FILTER (event_type = 'view') AS BIGINT) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def pivot_event_matrix(spark, sf_dir):
+    """Pivot: day × event-type count matrix. The pivot values are STATIC
+    (no collect-distinct pre-pass — at 100 TB an implicit distinct scan
+    just to name columns is a full extra job); absent cells are 0."""
+    ev = _t(spark, sf_dir, "events")
+    out = (ev.groupBy(F.to_date("ts").cast("string").alias("day"))
+           .pivot("event_type", _EVENT_TYPES)
+           .agg(F.count(F.lit(1))))
+    for t_ in _EVENT_TYPES:
+        out = out.withColumn(t_, F.coalesce(F.col(t_), F.lit(0)))
+    return out
+
+
+@_q(
+    "window_order_gaps",
+    """
+    SELECT o_orderkey, o_custkey,
+           CAST(date_diff('day',
+                LAG(CAST(o_orderdate AS DATE)) OVER
+                  (PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey),
+                CAST(o_orderdate AS DATE)) AS INT) AS gap_days
+    FROM orders
+    """,
+)
+def window_order_gaps(spark, sf_dir):
+    """LAG analytics: days since the customer's previous order (NULL for
+    the first). One window shuffle on the customer key; the (date, key)
+    ordering makes ties deterministic on both engines."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    d = F.to_date("o_orderdate")
+    return o.select(
+        "o_orderkey", "o_custkey",
+        F.datediff(d, F.lag(d).over(w)).cast("int").alias("gap_days"))
+
+
+@_q(
+    "agg_percentile_prices",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.50), 4) AS p50,
+           ROUND(quantile_cont(l_extendedprice, 0.90), 4) AS p90
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_percentile_prices(spark, sf_dir):
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear-interpolation order statistics).
+    At 100 TB swap in approx_percentile (t-digest, mergeable partials) —
+    exact percentile shuffles every value to its group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.25)), 4)
+                 .alias("p25"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.50)), 4)
+                 .alias("p50"),
+                 F.round(F.percentile("l_extendedprice", F.lit(0.90)), 4)
+                 .alias("p90")))
+
+
+@_q(
+    "agg_cube_status_priority",
+    """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube_status_priority(spark, sf_dir):
+    """CUBE over (status, priority): all 4 grouping sets in one pass —
+    Catalyst expands the cube map-side, partial-aggregates, then one
+    shuffle; NULL marks the rolled-up dimensions exactly as SQL CUBE."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count("*").alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+@_q(
+    "format_roundtrip_jsonl",
+    """
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def format_roundtrip_jsonl(spark, sf_dir):
+    """JSONL source/sink round-trip: write the documents table as JSON
+    lines, read it back with an EXPLICIT schema (schema inference at
+    100 TB is a full extra pass over the data), aggregate — proving the
+    lossless text-format path end-to-end. The aggregate matches the
+    parquet-direct oracle, so encode→decode is byte-faithful."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="jsonl_roundtrip_")
+    path = f"{tmp}/documents_jsonl"
+    docs.write.mode("overwrite").json(path)
+    back = spark.read.schema(docs.schema).json(path)
+    return (back.groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars")))

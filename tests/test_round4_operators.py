@@ -1,0 +1,153 @@
+"""Round-4 operators: decontamination, prefix containment, interval join,
+sequence packing."""
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_dsql_master_spark.operators import dedup, sampling
+from flink_cdc_dsql_master_spark.operators.joins import interval_join
+
+
+def _ts(minute, second=0, micro=0):
+    return dt.datetime(2024, 1, 1, 12, minute, second, micro)
+
+
+class TestDecontaminate:
+    @pytest.fixture()
+    def corpus(self, spark):
+        train = spark.createDataFrame(
+            [(1, "alpha beta gamma delta"),
+             (2, "totally unrelated words here"),
+             (3, "beta gamma delta epsilon")],
+            "doc_id long, text string")
+        ev = spark.createDataFrame(
+            [(100, "x y alpha beta gamma z")], "doc_id long, text string")
+        return train, ev
+
+    def test_hits_flag_overlapping_docs(self, corpus):
+        train, ev = corpus
+        hits = {r["doc_id"]: r["n_hits"]
+                for r in dedup.decontaminate_hits(train, ev).collect()}
+        # doc 1 shares the 3-gram "alpha beta gamma"; docs 2 and 3 share none
+        assert hits == {1: 1}
+
+    def test_decontaminate_drops_hits_only(self, corpus):
+        train, ev = corpus
+        kept = sorted(r["doc_id"]
+                      for r in dedup.decontaminate(train, ev).collect())
+        assert kept == [2, 3]
+
+    def test_clean_eval_set_removes_nothing(self, spark, corpus):
+        train, _ = corpus
+        ev = spark.createDataFrame([(9, "nothing in common at all")],
+                                   "doc_id long, text string")
+        assert dedup.decontaminate(train, ev).count() == train.count()
+
+
+class TestPrefixDuplicates:
+    def test_prefix_equal_and_short_docs(self, spark):
+        base = "a" * 16 + " " + "b" * 15  # 32 normalized chars
+        df = spark.createDataFrame(
+            [(1, base),                       # prefix of 2
+             (2, base + " " + "c" * 10),
+             (3, base),                       # equal text to 1 -> one pair
+             (4, "short text"),               # under min_len: skipped
+             (5, "completely different " + "z" * 20)],
+            "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"]): r["prefix_len"]
+               for r in dedup.prefix_duplicates(df).collect()}
+        assert set(got) == {(1, 2), (3, 2), (1, 3)}
+        assert got[(1, 2)] == 32
+
+    def test_normalization_applies(self, spark):
+        df = spark.createDataFrame(
+            [(1, "  The   QUICK brown fox jumps over all"),
+             (2, "the quick brown fox jumps over all the lazy dogs")],
+            "doc_id long, text string")
+        got = {(r["id_a"], r["id_b"])
+               for r in dedup.prefix_duplicates(df).collect()}
+        assert got == {(1, 2)}
+
+
+class TestIntervalJoin:
+    @pytest.fixture()
+    def sides(self, spark):
+        left = spark.createDataFrame(
+            [(1, 10, _ts(30)), (2, 10, _ts(50)), (3, 20, _ts(30))],
+            "l_id long, l_key long, l_ts timestamp")
+        right = spark.createDataFrame(
+            [(101, 10, _ts(10)),              # 20 min before l1
+             (102, 10, _ts(29, 59)),          # 1 s before l1
+             (103, 10, _ts(30)),              # exactly at l1 (inclusive)
+             (104, 10, _ts(31)),              # after l1, inside l2 window
+             (105, 20, _ts(25)),              # matches l3 (other key)
+             (106, 99, _ts(29))],             # no such key
+            "r_id long, r_key long, r_ts timestamp")
+        return left, right
+
+    def test_lookback_window(self, sides):
+        left, right = sides
+        out = interval_join(left, right, [("l_key", "r_key")],
+                            "l_ts", "r_ts", lower_s=-1800.0, upper_s=0.0)
+        got = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+        # l2 @50: its [20, 50] window also catches 102/103/104
+        assert got == [(1, 101), (1, 102), (1, 103), (2, 102), (2, 103),
+                       (2, 104), (3, 105)]
+
+    def test_symmetric_window_and_exact_bounds(self, sides):
+        left, right = sides
+        out = interval_join(left, right, [("l_key", "r_key")],
+                            "l_ts", "r_ts", lower_s=-60.0, upper_s=60.0)
+        got = sorted((r["l_id"], r["r_id"]) for r in out.collect())
+        # l1 @30: r102 (29:59), r103 (30:00), r104 (31:00 == +60 inclusive)
+        assert got == [(1, 102), (1, 103), (1, 104)]
+
+    def test_bucket_width_independence(self, sides):
+        left, right = sides
+        a = interval_join(left, right, [("l_key", "r_key")],
+                          "l_ts", "r_ts", -1800.0, 0.0)
+        b = interval_join(left, right, [("l_key", "r_key")],
+                          "l_ts", "r_ts", -1800.0, 0.0,
+                          bucket_width_s=137.0)
+        ka = sorted((r["l_id"], r["r_id"]) for r in a.collect())
+        kb = sorted((r["l_id"], r["r_id"]) for r in b.collect())
+        assert ka == kb
+
+    def test_rejects_overlapping_columns(self, spark, sides):
+        left, _ = sides
+        with pytest.raises(ValueError, match="ambiguous"):
+            interval_join(left, left, [("l_key", "l_key")],
+                          "l_ts", "l_ts", -1.0, 1.0)
+
+    def test_rejects_inverted_bounds(self, sides):
+        left, right = sides
+        with pytest.raises(ValueError, match="upper_s"):
+            interval_join(left, right, [("l_key", "r_key")],
+                          "l_ts", "r_ts", 10.0, -10.0)
+
+
+class TestPackSequences:
+    def test_bins_fill_to_budget(self, spark):
+        df = spark.createDataFrame(
+            [(i, "s", 100) for i in range(10)],
+            "doc_id long, source string, n long")
+        out = sampling.pack_sequences(df, "n", 250, "source", "doc_id")
+        bins = {r["doc_id"]: r["bin_id"] for r in out.collect()}
+        # preceding cumsum: 0,100,...,900 -> floor(/250): 0,0,0,1,1,2,2,2,3,3
+        assert [bins[i] for i in range(10)] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+
+    def test_streams_pack_independently(self, spark):
+        df = spark.createDataFrame(
+            [(1, "a", 600), (2, "a", 600), (3, "b", 100), (4, "b", 100)],
+            "doc_id long, source string, n long")
+        out = sampling.pack_sequences(df, "n", 512, "source", "doc_id")
+        bins = {r["doc_id"]: r["bin_id"] for r in out.collect()}
+        assert bins == {1: 0, 2: 1, 3: 0, 4: 0}
+
+    def test_rejects_bad_budget(self, spark):
+        df = spark.createDataFrame([(1, "a", 5)],
+                                   "doc_id long, source string, n long")
+        with pytest.raises(ValueError, match="budget"):
+            sampling.pack_sequences(df, "n", 0, "source", "doc_id")
