@@ -82,3 +82,86 @@ def pack_sequences(df: DataFrame, token_col: str, budget: int,
     prev = F.sum(F.col(token_col)).over(w) - F.col(token_col)
     return df.withColumn(
         bin_col, F.floor(prev / F.lit(budget)).cast("int"))
+
+
+def weighted_sample(df: DataFrame, key_col: str, weight_col: str, n: int,
+                    salt: str = "w", part_col: str | None = None,
+                    priority_col: str = "priority") -> DataFrame:
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis A-ES): keep the top-`n` rows by priority
+    ``u^(1/w)`` where ``u`` is a hash-derived uniform in (0,1).
+
+    Heavier rows win more often, every run picks the identical set (u is
+    md5(salt||key), not an RNG), and the top-n is a per-group window —
+    the same one shuffle as a groupBy. With `part_col`, samples n PER
+    GROUP (per-language / per-source quotas); without, a single global
+    sample (fine for n ≤ millions; the window degenerates to one
+    partition, so for huge global n switch to a per-shard top-n + merge).
+
+    u uses 32 hash bits scaled into (0,1) — identical arithmetic is
+    expressible in ANSI SQL, so the exact selected SET is oracle-checkable
+    (pow ulp differences flip a rank only at ~1e-16 relative priority
+    gaps; hash-distinct u makes that astronomically unlikely).
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    u = (F.conv(F.substring(hash_tag(F.col(key_col), salt), 1, 8), 16, 10)
+         .cast("double") + 0.5) / F.lit(4294967296.0)
+    prio = F.pow(u, 1.0 / F.col(weight_col).cast("double"))
+    parts = [part_col] if part_col else []
+    w = (Window.partitionBy(*parts)
+         .orderBy(F.desc(priority_col), F.col(key_col)))
+    return (df.withColumn(priority_col, prio)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= n)
+            .drop("__rn"))
+
+
+def mixture_rates(df: DataFrame, domain_col: str, target_total: int,
+                  temperature: float = 0.7) -> DataFrame:
+    """Per-domain keep-rates for temperature-flattened mixture resampling
+    (the multinomial temperature sampling of multilingual/multi-source
+    training corpora): p_d ∝ n_d^temperature, rate_d =
+    min(1, p_d·target_total / n_d).
+
+    temperature 1.0 keeps raw proportions; → 0 flattens toward uniform,
+    boosting tail domains. Returns (domain, n_docs, rate, threshold)
+    where threshold is an integer 16-bit cut: keep iff the first 4 md5
+    hex digits, read as an integer, are < threshold (65536 ⇒ keep all —
+    an integer compare, unlike `hash_sample`'s hex-string cut, stays
+    correct at rate 1.0). The domain table is ~#domains rows — compute it in
+    one aggregate, broadcast it back, filter map-side.
+    """
+    counts = (df.groupBy(domain_col)
+              .agg(F.count("*").alias("n_docs")))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_docs").cast("double"),
+                    temperature)).alias("z"))
+    rate = F.least(
+        F.lit(1.0),
+        F.pow(F.col("n_docs").cast("double"), temperature) / F.col("z")
+        * target_total / F.col("n_docs").cast("double"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .withColumn("rate", rate)
+            .withColumn("threshold",
+                        F.floor(F.col("rate") * 65536).cast("int"))
+            .drop("z"))
+
+
+def mixture_resample(df: DataFrame, domain_col: str, key_col: str,
+                     target_total: int, temperature: float = 0.7,
+                     salt: str = "m") -> DataFrame:
+    """Apply `mixture_rates`: broadcast-join the per-domain threshold and
+    keep rows whose hash tag falls under it — map-side filter, zero
+    data-side shuffle; expected kept ≈ target_total with the temperature
+    mixture."""
+    rates = mixture_rates(df, domain_col, target_total, temperature)
+    tagged = df.withColumn(
+        "__tag",
+        F.conv(F.substring(hash_tag(F.col(key_col), salt), 1, 4), 16, 10)
+        .cast("int"))
+    return (tagged
+            .join(F.broadcast(rates.select(domain_col, "threshold")),
+                  domain_col)
+            .where(F.col("__tag") < F.col("threshold"))
+            .drop("__tag", "threshold"))

@@ -2854,3 +2854,144 @@ def format_roundtrip_jsonl(spark, sf_dir):
     return (back.groupBy("source", "lang")
             .agg(F.count("*").alias("n_docs"),
                  F.sum("n_chars").cast("bigint").alias("total_chars")))
+
+
+@_q(
+    "sample_weighted_es",
+    """
+    WITH p AS (
+      SELECT doc_id, lang,
+             pow((('0x' || substr(md5('w' || CAST(doc_id AS VARCHAR)),
+                                  1, 8))::BIGINT + 0.5) / 4294967296.0,
+                 1.0 / CAST(n_chars AS DOUBLE)) AS priority
+      FROM documents)
+    SELECT doc_id, lang, ROUND(priority, 6) AS priority
+    FROM (SELECT *, row_number() OVER
+            (PARTITION BY lang ORDER BY priority DESC, doc_id) AS rn
+          FROM p)
+    WHERE rn <= 20
+    """,
+)
+def sample_weighted_es(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement: top-20
+    docs per language by u^(1/n_chars), u hash-derived — longer docs win
+    more often, the exact SET is reproducible and oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.weighted_sample(docs, "doc_id", "n_chars", 20,
+                                   salt="w", part_col="lang")
+    return out.select("doc_id", "lang",
+                      F.round("priority", 6).alias("priority"))
+
+
+@_q(
+    "sample_mixture_resample",
+    """
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM documents GROUP BY source),
+    z AS (SELECT SUM(pow(CAST(n_docs AS DOUBLE), 0.5)) AS z FROM counts),
+    r AS (
+      SELECT source,
+             CAST(FLOOR(LEAST(1.0,
+               pow(CAST(n_docs AS DOUBLE), 0.5) / z.z * 250
+                 / CAST(n_docs AS DOUBLE)) * 65536) AS INT) AS threshold
+      FROM counts, z)
+    SELECT d.doc_id, d.source
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substr(md5('m' || CAST(d.doc_id AS VARCHAR)),
+                          1, 4))::BIGINT < r.threshold
+    """,
+)
+def sample_mixture_resample(spark, sf_dir):
+    """Temperature-flattened mixture resampling (τ=0.5, target 250):
+    per-domain keep-rates from one tiny aggregate, broadcast back,
+    filtered map-side — the multilingual-corpus rebalancing pass."""
+    docs = _t(spark, sf_dir, "documents")
+    out = sampling.mixture_resample(docs, "source", "doc_id",
+                                    target_total=250, temperature=0.5,
+                                    salt="m")
+    return out.select("doc_id", "source")
+
+
+@_q(
+    "text_quality_deciles",
+    """
+    WITH t AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len(string_split_regex(trim(text), '\\s+'))
+                  END AS INT) AS n_tokens
+      FROM documents)
+    SELECT doc_id, lang, n_tokens,
+           CAST(ntile(10) OVER
+             (PARTITION BY lang ORDER BY n_tokens, doc_id) AS INT)
+             AS decile
+    FROM t
+    """,
+)
+def text_quality_deciles(spark, sf_dir):
+    """Curriculum binning: per-language token-count deciles via ntile —
+    one window shuffle keyed by language, ties broken on doc_id so both
+    engines assign identical bins."""
+    from .operators import text as t
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "lang",
+        t.token_count(F.col("text")).cast("int").alias("n_tokens"))
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    return sized.withColumn("decile", F.ntile(10).over(w).cast("int"))
+
+
+@_q(
+    "agg_sliding_window",
+    """
+    SELECT CAST((FLOOR(epoch(ts) / 300) - k) * 300 AS BIGINT)
+             AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events, UNNEST([0, 1]) AS u(k)
+    GROUP BY 1, 2
+    """,
+)
+def agg_sliding_window(spark, sf_dir):
+    """Sliding-window aggregation (10-min window, 5-min slide): Spark's
+    `window()` expands each event into its w/slide=2 instances map-side,
+    then one partial-aggregated shuffle — identical to the streaming
+    windowed-agg plan, here batch so the oracle can replay it."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.window("ts", "10 minutes", "5 minutes")
+                       .alias("w"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select(F.unix_timestamp(F.col("w.start").cast("timestamp"))
+                    .alias("window_start"),
+                    "event_type", "n_events", "total_value"))
+
+
+@_q(
+    "format_roundtrip_csv",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY event_type
+    """,
+)
+def format_roundtrip_csv(spark, sf_dir):
+    """CSV source/sink round-trip on the events table — quoting survives
+    the embedded-JSON `props` column, timestamps keep microsecond
+    precision, doubles round-trip exactly (explicit schema on read; at
+    100 TB schema inference would be a wasted full pass)."""
+    import tempfile
+
+    ev = _t(spark, sf_dir, "events")
+    tmp = tempfile.mkdtemp(prefix="csv_roundtrip_")
+    path = f"{tmp}/events_csv"
+    ev.write.mode("overwrite").option("header", True).csv(path)
+    back = spark.read.schema(ev.schema).option("header", True).csv(path)
+    return (back.groupBy("event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.count_distinct(F.col("user_id")).alias("n_users"),
+                 F.round(F.sum("value"), 4).alias("total_value")))

@@ -151,3 +151,68 @@ class TestPackSequences:
                                    "doc_id long, source string, n long")
         with pytest.raises(ValueError, match="budget"):
             sampling.pack_sequences(df, "n", 0, "source", "doc_id")
+
+
+class TestWeightedSample:
+    def test_heavier_keys_win(self, spark):
+        # one huge weight among tiny ones: the huge one's priority
+        # u^(1/w) -> ~1 and must be selected
+        rows = [(i, "g", 1) for i in range(50)] + [(99, "g", 10_000_000)]
+        df = spark.createDataFrame(rows, "k long, g string, w long")
+        out = sampling.weighted_sample(df, "k", "w", 5, part_col="g")
+        assert 99 in {r["k"] for r in out.collect()}
+
+    def test_deterministic_and_sized(self, spark):
+        df = spark.createDataFrame([(i, "g", i + 1) for i in range(40)],
+                                   "k long, g string, w long")
+        a = {r["k"] for r in
+             sampling.weighted_sample(df, "k", "w", 10).collect()}
+        b = {r["k"] for r in
+             sampling.weighted_sample(df, "k", "w", 10).collect()}
+        assert a == b and len(a) == 10
+
+    def test_salt_changes_sample(self, spark):
+        df = spark.createDataFrame([(i, i + 1) for i in range(200)],
+                                   "k long, w long")
+        a = {r["k"] for r in
+             sampling.weighted_sample(df, "k", "w", 20, salt="x").collect()}
+        b = {r["k"] for r in
+             sampling.weighted_sample(df, "k", "w", 20, salt="y").collect()}
+        assert a != b
+
+    def test_rejects_bad_n(self, spark):
+        df = spark.createDataFrame([(1, 1)], "k long, w long")
+        with pytest.raises(ValueError, match="n must"):
+            sampling.weighted_sample(df, "k", "w", 0)
+
+
+class TestMixtureResample:
+    @pytest.fixture()
+    def skewed(self, spark):
+        rows = ([(i, "big") for i in range(900)]
+                + [(1000 + i, "small") for i in range(100)])
+        return spark.createDataFrame(rows, "k long, d string")
+
+    def test_temperature_flattens(self, skewed):
+        rates = {r["d"]: r["rate"] for r in
+                 sampling.mixture_rates(skewed, "d", 500,
+                                        temperature=0.5).collect()}
+        # τ=0.5 boosts the tail: small keeps a larger fraction than big
+        assert rates["small"] > rates["big"]
+        assert 0 < rates["big"] < 1
+
+    def test_rate_capped_at_one(self, skewed):
+        rates = {r["d"]: (r["rate"], r["threshold"]) for r in
+                 sampling.mixture_rates(skewed, "d", 100_000,
+                                        temperature=0.5).collect()}
+        assert all(r == 1.0 and thr == 65536
+                   for r, thr in rates.values())
+        # at rate 1.0 the integer threshold keeps EVERY row
+        kept = sampling.mixture_resample(skewed, "d", "k", 100_000,
+                                         temperature=0.5)
+        assert kept.count() == skewed.count()
+
+    def test_resample_near_target(self, skewed):
+        kept = sampling.mixture_resample(skewed, "d", "k", 500,
+                                         temperature=0.5).count()
+        assert 380 <= kept <= 620  # ~target with 16-bit hash noise
