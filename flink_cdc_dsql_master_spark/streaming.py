@@ -58,7 +58,8 @@ def streaming_windowed_agg(df: DataFrame, ts_col: str = "ts",
                            key_col: str | None = None,
                            window: str = "1 hour",
                            watermark: str = "10 minutes",
-                           value_col: str = "value") -> DataFrame:
+                           value_col: str = "value",
+                           slide: str | None = None) -> DataFrame:
     """Watermarked tumbling event-time window aggregation — the streaming
     twin of the batch ``agg_tumbling_window`` query and the capability the
     reference lacks entirely (SURVEY §2.10: no event-time windows, no
@@ -69,8 +70,13 @@ def streaming_windowed_agg(df: DataFrame, ts_col: str = "ts",
     state is evicted — bounded state for unbounded streams, which is what
     makes this safe at 100 TB/day ingest. Append output mode: a window
     emits exactly once, when the watermark passes its end.
+
+    With ``slide``, windows overlap (sliding windows): each event lands
+    in window/slide instances, expanded map-side before the aggregation —
+    same plan as the batch ``agg_sliding_window`` oracle query.
     """
-    keys = [F.window(ts_col, window).alias("w")]
+    keys = [(F.window(ts_col, window, slide) if slide
+             else F.window(ts_col, window)).alias("w")]
     if key_col:
         keys.append(F.col(key_col))
     return (
@@ -120,3 +126,37 @@ def streaming_running_counts(df: DataFrame, key_col: str) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def streaming_interval_join(left: DataFrame, right: DataFrame,
+                            on: list[tuple[str, str]],
+                            left_ts: str, right_ts: str,
+                            lower_s: int, upper_s: int,
+                            watermark: str = "10 minutes") -> DataFrame:
+    """Stream–stream interval join (the streaming twin of
+    ``operators.joins.interval_join``): pairs where ``right[right_ts]``
+    lies in ``[left[left_ts]+lower_s, left[left_ts]+upper_s]`` and the
+    equi-keys match.
+
+    Both sides are watermarked, and the range predicate doubles as the
+    state-eviction bound: Spark buffers each side's rows in the state
+    store only until the other side's watermark passes the join window,
+    so state stays bounded however long the streams run — the property
+    that makes a 100 TB/day clickstream attribution join feasible.
+    Inner join; column names must be disjoint across sides.
+    """
+    if upper_s < lower_s:
+        raise ValueError(f"upper_s {upper_s} < lower_s {lower_s}")
+    clash = set(left.columns) & set(right.columns)
+    if clash:
+        raise ValueError(f"ambiguous columns on both sides: {sorted(clash)}")
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = (
+        (F.col(right_ts)
+         >= F.col(left_ts) + F.expr(f"INTERVAL {lower_s} SECOND"))
+        & (F.col(right_ts)
+           <= F.col(left_ts) + F.expr(f"INTERVAL {upper_s} SECOND")))
+    for lc, rc in on:
+        cond = cond & (F.col(lc) == F.col(rc))
+    return lw.join(rw, cond, "inner")

@@ -88,3 +88,31 @@ def test_windowed_agg_keyed(spark, tmp_path):
            for r in collected}
     assert got[(9, "a")] == (2, 3.0)
     assert got[(9, "b")] == (1, 4.0)
+
+
+def test_sliding_windows_overlap(spark, tmp_path):
+    """1-hour windows sliding every 30 min: each event lands in 2 windows;
+    append-mode emits each closed window instance exactly once."""
+    from datetime import datetime
+
+    src, ckpt = str(tmp_path / "src_slide"), str(tmp_path / "ckpt_slide")
+    collected = []
+
+    spark.createDataFrame(
+        [(datetime(2024, 3, 1, 10, 40), 2.0),
+         (datetime(2024, 3, 1, 14, 0), 9.0)],  # closes the 10:xx windows
+        SCHEMA).write.parquet(src)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    out = streaming_windowed_agg(stream, ts_col="ts", window="1 hour",
+                                 watermark="10 minutes", slide="30 minutes")
+    q = (out.writeStream.outputMode("append")
+         .foreachBatch(lambda df, bid: collected.extend(df.collect()))
+         .option("checkpointLocation", ckpt)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = {(r["window_start"].hour, r["window_start"].minute): r["n"]
+           for r in collected if r["window_start"].hour < 13}
+    # the 10:40 event belongs to [10:00, 11:00) and [10:30, 11:30)
+    assert got == {(10, 0): 1, (10, 30): 1}
