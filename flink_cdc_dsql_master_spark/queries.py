@@ -54,6 +54,10 @@ BENCH_QUERIES = [
     "agg_multigrain_rollup",
     "text_bigram_surprisal",
     "join_local_supplier_revenue",
+    "dedup_decontaminate",
+    "join_interval_attribution",
+    "agg_sliding_window",
+    "sample_weighted_es",
 ]
 
 
@@ -2995,3 +2999,118 @@ def format_roundtrip_csv(spark, sf_dir):
             .agg(F.count("*").alias("n_events"),
                  F.count_distinct(F.col("user_id")).alias("n_users"),
                  F.round(F.sum("value"), 4).alias("total_value")))
+
+
+@_q(
+    "text_vocab_topk",
+    """
+    WITH tok AS (
+      SELECT unnest(string_split_regex(trim(regexp_replace(lower(text),
+               '\\s+', ' ', 'g')), ' ')) AS token
+      FROM documents WHERE trim(text) <> ''),
+    counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM tok GROUP BY token)
+    SELECT token, freq
+    FROM (SELECT token, freq, row_number() OVER
+            (ORDER BY freq DESC, token) AS rn
+          FROM counts)
+    WHERE rn <= 200
+    """,
+)
+def text_vocab_topk(spark, sf_dir):
+    """Corpus vocabulary head: top-200 tokens by frequency — the first
+    step of tokenizer training. Explode → count is ONE shuffle with
+    map-side partial counts (the token distribution is Zipfian, exactly
+    what partial aggregation flattens); the final top-k orders only the
+    distinct-token table, never the corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.where(F.trim(F.col("text")) != "")
+            .select(F.explode(
+                F.split(F.trim(F.regexp_replace(F.lower("text"),
+                                                r"\s+", " ")), " "))
+                .alias("token")))
+    counts = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    w = Window.orderBy(F.desc("freq"), "token")
+    return (counts.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") <= 200).drop("rn"))
+
+
+@_q(
+    "dedup_incremental",
+    """
+    WITH norm AS (
+      SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ',
+                                         'g')) AS t
+      FROM documents),
+    corpus AS (SELECT doc_id, t FROM norm WHERE doc_id < 400),
+    batch AS (
+      SELECT doc_id, t FROM norm WHERE doc_id >= 400
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, t FROM norm
+      WHERE doc_id < 400 AND doc_id % 50 = 0)
+    SELECT b.doc_id
+    FROM batch b
+    WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.t = b.t)
+    """,
+)
+def dedup_incremental(spark, sf_dir):
+    """Incremental corpus dedup: a new crawl batch (doc_id ≥ 400) is
+    anti-joined by content hash against the existing corpus — the
+    daily-ingest shape where re-deduplicating the full corpus would be
+    a 100 TB job but the delta is GBs. Hash-anti-join shuffles only the
+    (hash, id) projection; at scale the corpus side is a pre-bucketed
+    fingerprint table so the delta join is shuffle-free."""
+    from .operators.dedup import normalize_text
+
+    docs = _t(spark, sf_dir, "documents")
+    norm = docs.select("doc_id", normalize_text(F.col("text")).alias("__t"))
+    # the "new crawl batch": genuinely-new docs plus a re-keyed slice of
+    # the corpus playing the re-crawled duplicates the anti-join must drop
+    batch = (norm.where(F.col("doc_id") >= 400)
+             .unionAll(norm.where((F.col("doc_id") < 400)
+                                  & (F.col("doc_id") % 50 == 0))
+                       .select((F.col("doc_id") + 100000).alias("doc_id"),
+                               "__t")))
+    batch = batch.withColumn("__h", F.xxhash64("__t"))
+    corpus = (norm.where(F.col("doc_id") < 400)
+              .select(F.xxhash64("__t").alias("__ch"),
+                      F.col("__t").alias("__ct")))
+    return (batch.join(corpus,
+                       (batch["__h"] == corpus["__ch"])
+                       & (batch["__t"] == corpus["__ct"]), "left_anti")
+            .select("doc_id"))
+
+
+@_q(
+    "sample_stratified_split",
+    """
+    WITH tagged AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('split' || CAST(doc_id AS VARCHAR)),
+                             1, 4))::BIGINT AS tag
+      FROM documents)
+    SELECT doc_id, lang,
+           CASE WHEN tag < 52429 THEN 'train'
+                WHEN tag < 58982 THEN 'val'
+                ELSE 'test' END AS split
+    FROM tagged
+    """,
+)
+def sample_stratified_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split by content-stable
+    hash: membership is a pure function of doc_id — reproducible across
+    runs, engines and re-shards, never RNG state. A pure map (16-bit
+    hash range compare), zero shuffle, composes with partition pruning.
+    Stratification is implicit: the hash is uniform within every lang
+    stratum, so per-lang proportions concentrate at 80/10/10."""
+    docs = _t(spark, sf_dir, "documents")
+    tag = (F.conv(F.substring(F.md5(F.concat(F.lit("split"),
+                                             F.col("doc_id")
+                                             .cast("string"))), 1, 4),
+                  16, 10).cast("bigint"))
+    return docs.select(
+        "doc_id", "lang",
+        F.when(tag < int(0.8 * 65536), F.lit("train"))
+        .when(tag < int(0.9 * 65536), F.lit("val"))
+        .otherwise(F.lit("test")).alias("split"))
