@@ -3114,3 +3114,41 @@ def sample_stratified_split(spark, sf_dir):
         F.when(tag < int(0.8 * 65536), F.lit("train"))
         .when(tag < int(0.9 * 65536), F.lit("val"))
         .otherwise(F.lit("test")).alias("split"))
+
+
+@_q(
+    "agg_session_window",
+    """
+    WITH o AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800
+                  THEN 1 ELSE 0 END AS ns
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    i AS (
+      SELECT *, SUM(ns) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS UNBOUNDED PRECEDING) AS sid
+      FROM o)
+    SELECT user_id, CAST(epoch_us(MIN(ts)) AS BIGINT) AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value
+    FROM i GROUP BY user_id, sid
+    """,
+)
+def agg_session_window(spark, sf_dir):
+    """NATIVE session windows (`F.session_window`, 30-min gap): Spark
+    merges overlapping per-event windows in one aggregation — the same
+    operator runs unchanged under readStream+watermark, where the manual
+    lag/cumsum islands formulation (see `sessionize_events`) cannot.
+    Oracle: gaps-and-islands SQL (a new session at gap >= 30 min, the
+    complement of Spark's strict-overlap merge)."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("user_id",
+                       F.session_window("ts", "30 minutes").alias("sw"))
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"))
+            .select("user_id",
+                    F.unix_micros(F.col("sw.start").cast("timestamp"))
+                    .alias("session_start"),
+                    "n_events", "total_value"))
