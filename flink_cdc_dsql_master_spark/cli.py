@@ -1,0 +1,113 @@
+"""Command-line front end: ``python -m flink_cdc_dsql_master_spark``.
+
+The user-facing twin of the reference's ``flink-cdc.sh pipeline.yaml``
+entry (flink-cdc-cli/.../CliFrontend.java + CliExecutor.java): parse the
+pipeline YAML, compose, run, land the routed tables. Spark-first
+differences: the "cluster submission" half of CliFrontend is Spark's own
+``spark-submit``/session machinery, so this CLI only owns what remains —
+YAML → PipelineDef → composer → sink.
+
+Commands:
+  run PIPELINE.yaml [--output-dir DIR] [--streaming] — execute the
+      pipeline; batch mode lands one parquet dataset per routed sink
+      table under DIR and prints a row-count summary line per table.
+  validate PIPELINE.yaml — parse + compose-plan only (no Spark job):
+      prints sources, transform rules, routes, sink; exit 2 on a
+      malformed definition. The cheap pre-flight a 100 TB submission
+      deserves before it asks the cluster for executors.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+
+def _build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="flink_cdc_dsql_master_spark",
+        description="Run or validate a CDC pipeline YAML on Spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    runp = sub.add_parser("run", help="execute a pipeline definition")
+    runp.add_argument("pipeline_yaml")
+    runp.add_argument("--output-dir", default="./pipeline-out",
+                      help="directory for parquet sink tables")
+    runp.add_argument("--streaming", action="store_true",
+                      help="compose as a changelog stream "
+                           "(readStream + foreachBatch upsert)")
+    runp.add_argument("--checkpoint", default=None,
+                      help="streaming checkpoint location")
+
+    valp = sub.add_parser("validate",
+                          help="parse + plan a pipeline, run nothing")
+    valp.add_argument("pipeline_yaml")
+    return p
+
+
+def _load(path: str):
+    from .pipeline import load_pipeline
+
+    try:
+        return load_pipeline(path)
+    except (ValueError, KeyError, OSError) as e:
+        print(f"invalid pipeline definition: {e}", file=sys.stderr)
+        return None
+
+
+def _cmd_validate(args) -> int:
+    pipe = _load(args.pipeline_yaml)
+    if pipe is None:
+        return 2
+    print(f"pipeline: {pipe.name}")
+    print(f"source: type={pipe.source.type}")
+    for r in pipe.transforms:
+        print(f"transform: {r.source_table} "
+              f"projection={r.projection or '*'!r} "
+              f"filter={r.filter or 'TRUE'!r}")
+    for rt in pipe.routes:
+        print(f"route: {rt.source_table} -> {rt.sink_table}")
+    print(f"sink: type={pipe.sink.type}")
+    print(f"schema.change.behavior: {pipe.schema_change_behavior}")
+    return 0
+
+
+def _cmd_run(args) -> int:
+    pipe = _load(args.pipeline_yaml)
+    if pipe is None:
+        return 2
+    from .compose import BatchComposer, compose_changelog_stream
+    from .session import get_spark
+
+    spark = get_spark(pipe.name)
+    if args.streaming:
+        from .sinks import merge_into_parquet
+
+        def stream_writer(tid, df, schema):
+            path = (f"{args.output_dir}/"
+                    f"{tid.namespace}.{tid.schema_name}.{tid.table}")
+            merge_into_parquet(path, df, schema)
+
+        q = compose_changelog_stream(
+            spark, pipe,
+            args.checkpoint or f"{args.output_dir}/_checkpoint",
+            stream_writer)
+        q.awaitTermination()
+        return 0
+
+    def write_parquet(tid, df, schema):
+        path = (f"{args.output_dir}/"
+                f"{tid.namespace}.{tid.schema_name}.{tid.table}")
+        df.write.mode("overwrite").parquet(path)
+        n = spark.read.parquet(path).count()
+        print(f"{tid}: {n} rows -> {path}")
+
+    BatchComposer(spark, pipe, sink_writer=write_parquet).run()
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = _build_parser().parse_args(argv)
+    if args.cmd == "validate":
+        return _cmd_validate(args)
+    return _cmd_run(args)
