@@ -3152,3 +3152,64 @@ def agg_session_window(spark, sf_dir):
                     F.unix_micros(F.col("sw.start").cast("timestamp"))
                     .alias("session_start"),
                     "n_events", "total_value"))
+
+
+@_q(
+    "agg_stats_moments",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           ROUND(stddev_samp(l_extendedprice), 4) AS price_sd,
+           ROUND(var_samp(l_quantity), 4) AS qty_var,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+           ROUND(covar_samp(l_discount, l_tax), 8) AS disc_tax_cov
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_stats_moments(spark, sf_dir):
+    """Second-moment aggregates (stddev/variance/correlation/covariance)
+    per group — single-pass mergeable moment sketches (sum, sum-of-
+    squares, co-moments) with map-side partials: ONE shuffle of 5 doubles
+    per group per partition regardless of data size."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_items"),
+                 F.round(F.stddev_samp("l_extendedprice"), 4)
+                 .alias("price_sd"),
+                 F.round(F.var_samp("l_quantity"), 4).alias("qty_var"),
+                 F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                 .alias("qty_price_corr"),
+                 F.round(F.covar_samp("l_discount", "l_tax"), 8)
+                 .alias("disc_tax_cov")))
+
+
+@_q(
+    "join_small_quantity_revenue",
+    """
+    SELECT l.l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_small,
+           ROUND(SUM(l.l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem l
+    JOIN (SELECT l_partkey, 0.5 * AVG(l_quantity) AS half_avg
+          FROM lineitem GROUP BY l_partkey) t
+      ON t.l_partkey = l.l_partkey
+    WHERE l.l_quantity < t.half_avg
+    GROUP BY l.l_partkey
+    """,
+)
+def join_small_quantity_revenue(spark, sf_dir):
+    """TPC-H Q17 shape: lineitems below half their part's average
+    quantity. The correlated scalar subquery is written in its
+    DECORRELATED form — a per-part pre-aggregate joined back — which is
+    the plan Catalyst's decorrelation produces anyway and the only shape
+    that scales: one aggregate + one equi-join on the part key, never a
+    per-row subquery execution."""
+    li = _t(spark, sf_dir, "lineitem")
+    avg_q = (li.groupBy(F.col("l_partkey").alias("p_key"))
+             .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg")))
+    return (li.join(avg_q, li["l_partkey"] == avg_q["p_key"])
+            .where(F.col("l_quantity") < F.col("half_avg"))
+            .groupBy("l_partkey")
+            .agg(F.count("*").alias("n_small"),
+                 F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly")))
