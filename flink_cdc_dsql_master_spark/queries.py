@@ -2146,6 +2146,75 @@ def snapshot_stream_handoff(spark, sf_dir):
                          .withColumn("phase", F.lit("stream"))))
 
 
+@_q(
+    "chunk_backfill_reconcile",
+    """
+    WITH p AS (SELECT CAST(FLOOR((MAX(o_orderkey) + 7.0) / 8) AS BIGINT)
+                 AS stride FROM orders),
+    base AS (
+      SELECT o_orderkey, o_totalprice,
+             LEAST(CAST(FLOOR(o_orderkey / stride) AS INT), 7) AS chunk_id
+      FROM orders, p),
+    log AS (
+      SELECT o_orderkey, chunk_id, CAST(o_orderkey AS BIGINT) AS seq,
+             CASE WHEN o_orderkey % 13 = 0 THEN '-D' ELSE '+U' END AS op,
+             o_totalprice + 1000 AS price
+      FROM base WHERE o_orderkey % 3 = 0
+      UNION ALL
+      SELECT o_orderkey, chunk_id, CAST(o_orderkey + 1 AS BIGINT), '+U',
+             o_totalprice + 2000
+      FROM base WHERE o_orderkey % 6 = 0),
+    win AS (
+      SELECT * FROM log
+      WHERE seq > chunk_id * 5000 AND seq <= chunk_id * 5000 + 20000),
+    merged AS (
+      SELECT chunk_id, o_orderkey, price, op,
+             row_number() OVER (PARTITION BY o_orderkey
+                                ORDER BY seq DESC) AS rn
+      FROM (
+        SELECT chunk_id, o_orderkey, o_totalprice AS price, '+I' AS op,
+               CAST(chunk_id * 5000 AS BIGINT) AS seq
+        FROM base
+        UNION ALL
+        SELECT chunk_id, o_orderkey, price, op, seq FROM win))
+    SELECT chunk_id, o_orderkey, ROUND(price, 2) AS price
+    FROM merged WHERE rn = 1 AND op <> '-D'
+    """,
+)
+def chunk_backfill_reconcile(spark, sf_dir):
+    """Per-chunk DBLog backfill: each snapshot chunk is normalized to its
+    own high watermark by upserting the log events inside its (low, high]
+    window — the reference's incremental-snapshot core
+    (IncrementalSourceScanFetcher, SnapshotSplit.java:35-57 high-watermark
+    protocol). Chunk assignment and watermark lookup are CASE projections;
+    the only shuffle is the PK last-write-wins exchange."""
+    from .sources import (ChunkWatermarks, SnapshotSplit,
+                          chunk_backfill_merge)
+
+    orders = _t(spark, sf_dir, "orders")
+    mx = orders.agg(F.max("o_orderkey")).collect()[0][0]
+    stride = int((mx + 7) // 8)
+    splits = [SnapshotSplit(i,
+                            None if i == 0 else i * stride,
+                            None if i == 7 else (i + 1) * stride)
+              for i in range(8)]
+    wms = [ChunkWatermarks(i, i * 5000, i * 5000 + 20000) for i in range(8)]
+    base = orders.select("o_orderkey", F.col("o_totalprice").alias("price"))
+    upd = (base.where(F.col("o_orderkey") % 3 == 0)
+           .select("o_orderkey", (F.col("price") + 1000).alias("price"),
+                   F.col("o_orderkey").cast("long").alias(SEQ_COLUMN),
+                   F.when(F.col("o_orderkey") % 13 == 0, "-D")
+                   .otherwise("+U").alias(OP_COLUMN)))
+    upd2 = (base.where(F.col("o_orderkey") % 6 == 0)
+            .select("o_orderkey", (F.col("price") + 2000).alias("price"),
+                    (F.col("o_orderkey") + 1).cast("long").alias(SEQ_COLUMN),
+                    F.lit("+U").alias(OP_COLUMN)))
+    out = chunk_backfill_merge(base, upd.unionByName(upd2),
+                               ["o_orderkey"], "o_orderkey", splits, wms)
+    return out.select("chunk_id", "o_orderkey",
+                      F.round("price", 2).alias("price"))
+
+
 # ---------------------------------------------------------------------------
 # YAML pipeline end-to-end (§2.10/§3.1)
 # ---------------------------------------------------------------------------

@@ -34,7 +34,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .events import OP_COLUMN, SEQ_COLUMN
+from .events import OP_COLUMN, OP_INSERT, SEQ_COLUMN
 
 # chunk-key even-distribution factor bounds (MySqlDataSourceOptions.java:192-217)
 EVEN_DISTRIBUTION_FACTOR_UPPER = 1000.0
@@ -262,3 +262,95 @@ class SnapshotStreamHandoff:
         if self.high_watermark is None:
             raise RuntimeError("call snapshot() before streaming")
         return log_df.where(F.col(self.offset_col) > self.high_watermark)
+
+
+# ---------------------------------------------------------------------------
+# per-chunk backfill reconciliation (DBLog incremental-snapshot framework)
+# ---------------------------------------------------------------------------
+
+@dataclass(frozen=True)
+class ChunkWatermarks:
+    """Low/high log watermarks bracketing one chunk's snapshot scan.
+
+    Parity: ``SnapshotSplit`` carries a per-split ``highWatermark``
+    (meta/split/SnapshotSplit.java:35-57); watermark kinds LOW/HIGH/END
+    (meta/wartermark/WatermarkKind.java:21). Each chunk is scanned at some
+    unknown point inside its (low, high] log window, so log events in that
+    window must be upserted over the chunk's snapshot image to normalize
+    it to the high watermark — the DBLog algorithm the reference's
+    ``IncrementalSourceScanFetcher`` implements per chunk.
+    """
+
+    split_id: int
+    low: int
+    high: int
+
+
+def chunk_id_expr(key: str, splits: list[SnapshotSplit]):
+    """Map a key to its chunk id — a pure CASE projection (codegen, no
+    shuffle, no join): splits are ordered half-open ranges, so the first
+    ``key < end`` match wins."""
+    k = F.col(key)
+    out = None
+    for s in splits[:-1]:
+        cond = k < F.lit(s.end)
+        out = F.when(cond, s.split_id) if out is None else \
+            out.when(cond, s.split_id)
+    last = F.lit(splits[-1].split_id)
+    return (out.otherwise(last) if out is not None else last).cast("int")
+
+
+def _wm_expr(chunk_col, watermarks: list[ChunkWatermarks], attr: str):
+    out = None
+    for w in watermarks[:-1]:
+        val = F.lit(getattr(w, attr))
+        cond = chunk_col == F.lit(w.split_id)
+        out = F.when(cond, val) if out is None else out.when(cond, val)
+    last = F.lit(getattr(watermarks[-1], attr))
+    return (out.otherwise(last) if out is not None else last).cast("long")
+
+
+def chunk_backfill_merge(snapshot: DataFrame, log: DataFrame,
+                         primary_keys: list[str], key: str,
+                         splits: list[SnapshotSplit],
+                         watermarks: list[ChunkWatermarks]) -> DataFrame:
+    """Normalize per-chunk snapshot images with their backfill log window.
+
+    For each chunk: admit log events with ``low < seq <= high`` (events at
+    or below low pre-date the scan and are already reflected; events above
+    high belong to the stream phase), rank the snapshot image below every
+    admitted event (its seq is pinned to the chunk's low watermark), and
+    reduce per PK with last-write-wins; final deletes drop the row. The
+    result is each chunk's state exactly at its high watermark —
+    ``IncrementalSourceScanFetcher`` / DBLog semantics.
+
+    Scale: chunk assignment and watermark lookup are CASE projections
+    inside whole-stage codegen; the only shuffle is the single PK-hash
+    exchange of ``apply_changelog`` — same cost as any changelog merge.
+    """
+    from .partitioning import apply_changelog
+
+    cid = chunk_id_expr(key, splits)
+    snap = (snapshot.withColumn("chunk_id", cid)
+            .withColumn(SEQ_COLUMN,
+                        _wm_expr(F.col("chunk_id"), watermarks, "low"))
+            .withColumn(OP_COLUMN, F.lit(OP_INSERT)))
+    lg = log.withColumn("chunk_id", cid)
+    low = _wm_expr(F.col("chunk_id"), watermarks, "low")
+    high = _wm_expr(F.col("chunk_id"), watermarks, "high")
+    window_events = lg.where(
+        (F.col(SEQ_COLUMN) > low) & (F.col(SEQ_COLUMN) <= high))
+    merged = snap.unionByName(window_events.select(*snap.columns))
+    return apply_changelog(merged, primary_keys)
+
+
+def stream_phase_filter(log: DataFrame, key: str,
+                        splits: list[SnapshotSplit],
+                        watermarks: list[ChunkWatermarks]) -> DataFrame:
+    """Admit only log events strictly above their chunk's high watermark —
+    the stream phase's no-replay predicate (``IncrementalSourceStreamFetcher
+    .shouldEmit``): combined with :func:`chunk_backfill_merge` the handoff
+    has no overlap and no gap."""
+    lg = log.withColumn("chunk_id", chunk_id_expr(key, splits))
+    high = _wm_expr(F.col("chunk_id"), watermarks, "high")
+    return lg.where(F.col(SEQ_COLUMN) > high)

@@ -240,3 +240,72 @@ def test_simhash_max_hamming_bounds(spark):
     # widened banding (d=7 -> 8 chunks) still finds identical docs
     got = simhash_pairs(df, max_hamming=7).collect()
     assert [(r["id_a"], r["id_b"], r["hamming"]) for r in got] == [(1, 2, 0)]
+
+
+def test_chunk_backfill_no_overlap_no_gap(spark):
+    """DBLog handoff invariant: with low watermarks at 0 every log event is
+    consumed exactly once (backfill window XOR stream phase), so replaying
+    the stream phase over the reconciled chunks equals applying the whole
+    log to the snapshot."""
+    from flink_cdc_dsql_master_spark.partitioning import apply_changelog
+    from flink_cdc_dsql_master_spark.sources import (
+        ChunkWatermarks, SnapshotSplit, chunk_backfill_merge,
+        stream_phase_filter)
+
+    snap = spark.createDataFrame(
+        [(k, 0) for k in range(1, 11)], "k int, v int")
+    # seq = 10*k + i spread across keys; delete every 4th event
+    log_rows = []
+    seq = 0
+    for i in range(3):
+        for k in range(1, 11):
+            seq += 1
+            op = "-D" if seq % 4 == 0 else "+U"
+            log_rows.append((k, seq * 100, seq, op))
+    log = spark.createDataFrame(
+        log_rows, f"k int, v int, {SEQ_COLUMN} long, {OP_COLUMN} string")
+    splits = [SnapshotSplit(0, None, 4), SnapshotSplit(1, 4, 8),
+              SnapshotSplit(2, 8, None)]
+    wms = [ChunkWatermarks(0, 0, 7), ChunkWatermarks(1, 0, 15),
+           ChunkWatermarks(2, 0, 23)]
+    reconciled = chunk_backfill_merge(snap, log, ["k"], "k", splits, wms)
+    stream = stream_phase_filter(log, "k", splits, wms)
+    # replay: reconciled state ranks below every stream event (seq=high)
+    highs = {w.split_id: w.high for w in wms}
+    base = reconciled.withColumn(
+        SEQ_COLUMN,
+        F.when(F.col("chunk_id") == 0, highs[0])
+        .when(F.col("chunk_id") == 1, highs[1])
+        .otherwise(highs[2]).cast("long")
+    ).withColumn(OP_COLUMN, F.lit("+I"))
+    final = apply_changelog(
+        base.unionByName(stream.select(*base.columns)), ["k"])
+    # ground truth: apply the whole log over the snapshot in one pass
+    snap_cl = (snap.withColumn("chunk_id", F.lit(0))
+               .withColumn(SEQ_COLUMN, F.lit(0).cast("long"))
+               .withColumn(OP_COLUMN, F.lit("+I")))
+    log_cl = log.withColumn("chunk_id", F.lit(0))
+    truth = apply_changelog(
+        snap_cl.unionByName(log_cl.select(*snap_cl.columns)), ["k"])
+    got = sorted((r["k"], r["v"]) for r in final.collect())
+    want = sorted((r["k"], r["v"]) for r in truth.collect())
+    assert got == want and len(got) > 0
+
+
+def test_chunk_backfill_drops_pre_low_watermark_events(spark):
+    """An event at or below its chunk's low watermark pre-dates the scan
+    (already reflected in the snapshot image) and must appear in neither
+    the backfill window nor the stream phase."""
+    from flink_cdc_dsql_master_spark.sources import (
+        ChunkWatermarks, SnapshotSplit, chunk_backfill_merge,
+        stream_phase_filter)
+
+    snap = spark.createDataFrame([(1, 999)], "k int, v int")
+    log = spark.createDataFrame(
+        [(1, -1, 5, "+U")], f"k int, v int, {SEQ_COLUMN} long, "
+                            f"{OP_COLUMN} string")
+    splits = [SnapshotSplit(0, None, None)]
+    wms = [ChunkWatermarks(0, 5, 10)]  # event seq == low -> excluded
+    rec = chunk_backfill_merge(snap, log, ["k"], "k", splits, wms)
+    assert [(r["k"], r["v"]) for r in rec.collect()] == [(1, 999)]
+    assert stream_phase_filter(log, "k", splits, wms).count() == 0
