@@ -320,3 +320,42 @@ def chunk_documents(df: DataFrame, text_col: str = "text",
                 F.size(F.col("__w")) - F.col("chunk_idx") * step,
                 F.lit(chunk_tokens)).alias("n_tokens"))
     )
+
+
+def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
+              k1: float = 1.2, b: float = 0.75,
+              id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """BM25 keyword retrieval (Lucene-style idf: ln(1 + (N-df+.5)/(df+.5))).
+
+    Output: (id, score) of the top-k documents for the term set, ordered
+    by score desc then id.
+
+    Scale plan (100 TB corpus):
+    - document length is ``size(split(text))`` — a projection, no shuffle;
+    - the explode + IN filter run fused in one whole-stage-codegen pass
+      (an interpreted array-HOF pre-filter would be slower per token), so
+      the posting-list shuffle carries only matching terms — a few rows
+      per doc, never the full token stream;
+    - corpus stats (N, avgdl) and per-term document frequencies are
+      KB-sized aggregates, joined back by broadcast;
+    - the final top-k is ``orderBy(...).limit(k)`` which Spark executes as
+      TakeOrderedAndProject — per-partition heaps, no global sort spill.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.select(F.col(id_col).alias("id"),
+                     F.size(toks).alias("dl"), toks.alias("__toks"))
+    n_docs, avgdl = base.agg(F.count("*"), F.avg("dl")).collect()[0]
+    posts = (base.select("id", "dl", F.explode("__toks").alias("term"))
+             .where(F.col("term").isin(*query_terms)))
+    tf = posts.groupBy("id", "dl", "term").agg(F.count("*").alias("tf"))
+    dfreq = tf.groupBy("term").agg(
+        F.countDistinct("id").alias("df_t"))
+    idf = F.log(F.lit(1.0) + (F.lit(float(n_docs)) - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5))
+    sat = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / float(avgdl)))
+    scored = (tf.join(F.broadcast(dfreq), "term")
+              .withColumn("__s", idf * sat)
+              .groupBy("id").agg(F.sum("__s").alias("score")))
+    return (scored.orderBy(F.col("score").desc(), F.col("id").asc())
+            .limit(k))

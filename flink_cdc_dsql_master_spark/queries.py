@@ -3106,6 +3106,45 @@ def text_vocab_topk(spark, sf_dir):
 
 
 @_q(
+    "text_bm25_search",
+    """
+    WITH base AS (
+      SELECT doc_id AS id, len(string_split_regex(trim(text), '\\s+')) AS dl,
+             string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     AVG(dl) AS avgdl FROM base),
+    tf AS (
+      SELECT id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT id, dl, unnest(t) AS term FROM base)
+      WHERE term IN ('data', 'query', 'join', 'window', 'customer')
+      GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, COUNT(DISTINCT id) AS df_t FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.id,
+             SUM(LN(1 + (stats.n - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+               AS s
+      FROM tf, dfreq, stats WHERE tf.term = dfreq.term GROUP BY 1)
+    SELECT id, ROUND(s, 6) AS score
+    FROM (SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rn
+          FROM scored)
+    WHERE rn <= 25
+    """,
+)
+def text_bm25_search(spark, sf_dir):
+    """BM25 keyword retrieval over the corpus (Lucene idf variant) —
+    inverted-index-free search: fused explode+IN posting extraction, one
+    (doc, term) shuffle over matching postings only, broadcast df join,
+    TakeOrderedAndProject top-k."""
+    docs = _t(spark, sf_dir, "documents")
+    out = text.bm25_topk(
+        docs, ["data", "query", "join", "window", "customer"], k=25)
+    return out.select("id", F.round("score", 6).alias("score"))
+
+
+@_q(
     "dedup_incremental",
     """
     WITH norm AS (

@@ -216,3 +216,31 @@ class TestMixtureResample:
         kept = sampling.mixture_resample(skewed, "d", "k", 500,
                                          temperature=0.5).count()
         assert 380 <= kept <= 620  # ~target with 16-bit hash noise
+
+
+class TestBM25:
+    def test_ranking_and_exact_score(self, spark):
+        import math
+        from flink_cdc_dsql_master_spark.operators.text import bm25_topk
+        docs = spark.createDataFrame(
+            [(1, "data data data pad"),      # tf=3, dl=4
+             (2, "data pad pad pad"),        # tf=1, dl=4
+             (3, "pad pad pad pad"),         # no match
+             (4, "rare pad pad pad")],       # matches only 'rare'
+            "doc_id int, text string")
+        got = {r["id"]: r["score"]
+               for r in bm25_topk(docs, ["data", "rare"], k=10).collect()}
+        assert 3 not in got and set(got) == {1, 2, 4}
+        # doc1 outranks doc2 (higher tf, same dl); 'rare' (df=1) has the
+        # highest idf so doc4 outranks doc2
+        assert got[1] > got[2] and got[4] > got[2]
+        # closed-form check for doc2: idf(data: df=2, N=4), tf=1, dl=avgdl
+        idf = math.log(1 + (4 - 2 + 0.5) / (2 + 0.5))
+        want = idf * 1 * 2.2 / (1 + 1.2 * (0.25 + 0.75 * 1.0))
+        assert abs(got[2] - want) < 1e-9
+
+    def test_k_truncates(self, spark):
+        from flink_cdc_dsql_master_spark.operators.text import bm25_topk
+        docs = spark.createDataFrame(
+            [(i, "data pad") for i in range(20)], "doc_id int, text string")
+        assert bm25_topk(docs, ["data"], k=5).count() == 5
