@@ -359,3 +359,34 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
               .groupBy("id").agg(F.sum("__s").alias("score")))
     return (scored.orderBy(F.col("score").desc(), F.col("id").asc())
             .limit(k))
+
+
+def bpe_pair_counts(df: DataFrame, top_n: int = 50,
+                    text_col: str = "text") -> DataFrame:
+    """One BPE-training iteration: adjacent character-pair frequencies.
+
+    Output: (pair, freq) for the ``top_n`` most frequent adjacent
+    character pairs, weighted by word occurrence count — the statistic a
+    BPE trainer maximizes when choosing the next merge.
+
+    Scale plan: the corpus-sized work is ONE explode+count shuffle down to
+    the distinct-word vocabulary (Zipfian, so map-side partial aggregation
+    collapses it: a 100 TB corpus has a vocab measured in MBs). Pair
+    extraction then runs over vocab rows only — the ``sequence`` +
+    ``substring`` transform touches thousands of words, not trillions of
+    tokens — followed by a second KB-sized shuffle on the pair.
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    vocab = (df.where(F.trim(F.col(text_col)) != "")
+             .select(F.explode(toks).alias("word"))
+             .groupBy("word").agg(F.count("*").alias("wfreq")))
+    # length >= 2 guard: Spark's sequence(1, 0) yields a DESCENDING [1, 0]
+    # (not empty), which would fabricate single-char pairs for 1-char words
+    pairs = vocab.where(F.length("word") >= 2).select(
+        "wfreq",
+        F.explode(F.expr(
+            "transform(sequence(1, length(word) - 1), "
+            "i -> substring(word, i, 2))")).alias("pair"))
+    counts = pairs.groupBy("pair").agg(F.sum("wfreq").alias("freq"))
+    return (counts.orderBy(F.col("freq").desc(), F.col("pair").asc())
+            .limit(top_n))

@@ -3145,6 +3145,36 @@ def text_bm25_search(spark, sf_dir):
 
 
 @_q(
+    "text_bpe_pairs",
+    """
+    WITH vocab AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS wfreq
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS word
+            FROM documents WHERE trim(text) <> '')
+      GROUP BY word),
+    pairs AS (
+      SELECT substring(word, i, 2) AS pair, wfreq
+      FROM vocab,
+      LATERAL (SELECT unnest(generate_series(1, length(word) - 1)) AS i)),
+    counts AS (
+      SELECT pair, CAST(SUM(wfreq) AS BIGINT) AS freq
+      FROM pairs GROUP BY pair)
+    SELECT pair, freq
+    FROM (SELECT pair, freq,
+                 row_number() OVER (ORDER BY freq DESC, pair) AS rn
+          FROM counts)
+    WHERE rn <= 50
+    """,
+)
+def text_bpe_pairs(spark, sf_dir):
+    """BPE-training merge statistic: adjacent char-pair frequencies
+    weighted by word counts. The corpus collapses to the Zipfian vocab in
+    one partial-agg shuffle; pair extraction runs over vocab rows only."""
+    docs = _t(spark, sf_dir, "documents")
+    return text.bpe_pair_counts(docs, top_n=50)
+
+
+@_q(
     "dedup_incremental",
     """
     WITH norm AS (

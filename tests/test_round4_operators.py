@@ -244,3 +244,16 @@ class TestBM25:
         docs = spark.createDataFrame(
             [(i, "data pad") for i in range(20)], "doc_id int, text string")
         assert bm25_topk(docs, ["data"], k=5).count() == 5
+
+
+class TestBPEPairs:
+    def test_weighted_counts_and_single_char_words(self, spark):
+        from flink_cdc_dsql_master_spark.operators.text import bpe_pair_counts
+        docs = spark.createDataFrame(
+            [(1, "ab ab a"), (2, "ab abc")], "doc_id int, text string")
+        got = {r["pair"]: r["freq"]
+               for r in bpe_pair_counts(docs, top_n=10).collect()}
+        # 'ab' appears in: word 'ab' (freq 3) + word 'abc' (freq 1) = 4;
+        # the 1-char word 'a' must produce NO pair (Spark sequence(1,0)
+        # is descending, not empty — regression guard)
+        assert got == {"ab": 4, "bc": 1}
