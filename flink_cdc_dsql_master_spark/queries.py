@@ -2801,6 +2801,92 @@ def anti_join_no_orders(spark, sf_dir):
                  F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
 
 
+@_q(
+    "join_waiting_suppliers",
+    """
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F')
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM li l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.late
+      AND EXISTS (SELECT 1 FROM li l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM li l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+    GROUP BY s.s_name
+    """,
+)
+def join_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21-shape: suppliers who were the SOLE late supplier of a
+    multi-supplier order. The correlated EXISTS + NOT EXISTS pair is
+    decorrelated into one per-order aggregate (distinct suppliers /
+    distinct late suppliers) joined back on the order key — two
+    co-partitioned shuffles on l_orderkey replace two self-joins; the
+    supplier dimension is broadcast."""
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderstatus") == "F")
+         .select("o_orderkey", "o_orderdate"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .select("l_orderkey", "l_suppkey", "l_shipdate")
+          .join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+          .withColumn("late", F.col("l_shipdate") >
+                      F.timestamp_add("DAY", F.lit(90), F.col("o_orderdate")))
+          .select("l_orderkey", "l_suppkey", "late"))
+    stats = li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey")))
+        .alias("n_late_supp"))
+    sole_late = (li.where(F.col("late"))
+                 .join(stats, "l_orderkey")
+                 .where((F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1)))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (sole_late.join(F.broadcast(s),
+                           F.col("l_suppkey") == F.col("s_suppkey"))
+            .groupBy("s_name").agg(F.count("*").alias("numwait")))
+
+
+@_q(
+    "anti_join_above_avg_idle",
+    """
+    WITH a AS (SELECT AVG(c_acctbal) AS ab FROM customer
+               WHERE c_acctbal > 0.0)
+    SELECT n.n_name, CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(c.c_acctbal), 2) AS total_bal
+    FROM customer c JOIN nation n ON n.n_nationkey = c.c_nationkey, a
+    WHERE c.c_acctbal > a.ab
+      AND NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 350000.0)
+    GROUP BY n.n_name
+    """,
+)
+def anti_join_above_avg_idle(spark, sf_dir):
+    """TPC-H Q22-shape with the scalar subquery kept distributed: global
+    positive-balance average via a 1-row broadcast cross join (never
+    collect()ed to the driver), above-average filter, LEFT ANTI against
+    high-value orders (predicate pushed into the anti side's scan),
+    broadcast nation dimension."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_totalprice") > 350000.0).select("o_custkey"))
+    avg_bal = (c.where(F.col("c_acctbal") > 0.0)
+               .agg(F.avg("c_acctbal").alias("ab")))
+    rich = (c.crossJoin(F.broadcast(avg_bal))
+            .where(F.col("c_acctbal") > F.col("ab")))
+    idle = rich.join(o, rich["c_custkey"] == o["o_custkey"], "left_anti")
+    return (idle.join(F.broadcast(n),
+                      idle["c_nationkey"] == n["n_nationkey"])
+            .groupBy("n_name")
+            .agg(F.count("*").alias("n_customers"),
+                 F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
