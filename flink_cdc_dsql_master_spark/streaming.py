@@ -160,3 +160,25 @@ def streaming_interval_join(left: DataFrame, right: DataFrame,
     for lc, rc in on:
         cond = cond & (F.col(lc) == F.col(rc))
     return lw.join(rw, cond, "inner")
+
+
+def streaming_dedup_within_watermark(df: DataFrame, keys: list[str],
+                                     ts_col: str,
+                                     watermark: str = "10 minutes"
+                                     ) -> DataFrame:
+    """Built-in streaming dedup with watermark-bounded state — the JVM
+    fast path beside :func:`streaming_exact_dedup`.
+
+    ``dropDuplicatesWithinWatermark`` keeps first-arrival per key and
+    evicts a key's marker once the watermark passes its event time + the
+    watermark delay, so state is bounded by stream *rate × delay* instead
+    of the unbounded key cardinality — the right default for a 100 TB/day
+    ingest dedup where keys (content hashes) never repeat after the
+    replay horizon. No Python in the loop: state lives in the JVM state
+    store (RocksDB at scale).
+
+    Use :func:`streaming_exact_dedup` only when forever-dedup across the
+    whole history is genuinely required (unbounded state).
+    """
+    return (df.withWatermark(ts_col, watermark)
+            .dropDuplicatesWithinWatermark(keys))

@@ -66,3 +66,28 @@ def test_streaming_running_counts(spark, tmp_path):
             final[r["k"]] = (r["n"], r["total"])
     assert final["a"] == (3, 7.0)  # state carried across batches
     assert final["b"] == (1, 3.0)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    import datetime as dt
+    from flink_cdc_dsql_master_spark.streaming import (
+        streaming_dedup_within_watermark)
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "k string, ts timestamp, value double"
+    collected = _run_two_batches(
+        spark, tmp_path,
+        lambda s: streaming_dedup_within_watermark(s, ["k"], "ts",
+                                                   "10 minutes"),
+        # batch 1: in-batch duplicate of a
+        [("a", t0, 1.0), ("a", t0 + dt.timedelta(seconds=30), 2.0),
+         ("b", t0, 3.0)],
+        # batch 2: replay of a within the watermark window + new key
+        [("a", t0 + dt.timedelta(minutes=2), 4.0),
+         ("c", t0 + dt.timedelta(minutes=2), 5.0)],
+        schema)
+    rows = [r for _, batch in collected for r in batch]
+    keys = sorted(r["k"] for r in rows)
+    assert keys == ["a", "b", "c"]
+    # first arrival won: a kept value 1.0
+    assert [r["value"] for r in rows if r["k"] == "a"] == [1.0]
