@@ -248,13 +248,19 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
                   F.explode(word_bigrams_pandas()(F.col(text_col)))
                   .alias("b"))
         .select("__id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-        .persist()
     )
 
-    doc_bg = bg.groupBy("__id", "w1", "w2").agg(F.count("*").alias("cnt"))
-    bg_counts = bg.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
-    ctx_counts = bg.groupBy("w1").agg(F.count("*").alias("c1"))
-    vocab = bg.select(
+    # The raw exploded frame has exactly ONE consumer: the per-doc
+    # pre-aggregation. Every corpus statistic then derives from doc_bg
+    # (already collapsed to distinct-bigrams-per-doc), so the expensive
+    # pandas extraction runs once with no persist, and the corpus
+    # aggregates scan a frame orders of magnitude smaller than the
+    # occurrence stream.
+    doc_bg = (bg.groupBy("__id", "w1", "w2").agg(F.count("*").alias("cnt"))
+              .persist())
+    bg_counts = doc_bg.groupBy("w1", "w2").agg(F.sum("cnt").alias("cb"))
+    ctx_counts = bg_counts.groupBy("w1").agg(F.sum("cb").alias("c1"))
+    vocab = bg_counts.select(
         F.explode(F.array("w1", "w2")).alias("w")
     ).agg(F.countDistinct("w").alias("v"))
 
