@@ -28,7 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F, Window
 
-from .events import OP_COLUMN, OP_DELETE, SEQ_COLUMN, UPSERT_OPS
+from .events import (OP_COLUMN, OP_DELETE, OP_UPDATE_BEFORE, SEQ_COLUMN,
+                     UPSERT_OPS)
 
 # Knuth multiplicative constant (2^32 / phi) — portable across SQL engines
 _KNUTH = 2654435761
@@ -127,3 +128,34 @@ def apply_changelog(df: DataFrame, primary_keys: list[str],
     final = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
     drop = [c for c in (OP_COLUMN, SEQ_COLUMN, "__table_id") if c in final.columns]
     return final.drop(*drop)
+
+
+def scd2_history(df: DataFrame, primary_keys: list[str],
+                 seq_col: str | None = None) -> DataFrame:
+    """Materialize a changelog as a type-2 slowly-changing-dimension
+    history: one row per key VERSION with ``valid_from_seq`` /
+    ``valid_to_seq`` (NULL = still open) and ``is_current``.
+
+    Each upsert image opens a version valid from its sequence; the key's
+    next event (a newer image or a delete) closes it. Delete events close
+    the running version without opening one, so a deleted key has no
+    current row; a later re-insert opens a fresh version. Before-images
+    (-U) are ignored — they duplicate their after-image's content.
+
+    The reference's sinks only keep the latest image
+    (DsqlBatchSinkFunction upsert semantics); SCD2 is the lakehouse
+    history-table extension of the same changelog. Cost: ONE PK-hash
+    shuffle for the lead() window — identical to ``last_write_wins``.
+    """
+    seq = seq_col or SEQ_COLUMN
+    eventful = df.where(F.col(OP_COLUMN) != OP_UPDATE_BEFORE)
+    w = (Window.partitionBy(*[F.col(c) for c in primary_keys])
+         .orderBy(F.col(seq).asc()))
+    versioned = eventful.withColumn("__nxt", F.lead(F.col(seq)).over(w))
+    out = (versioned.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
+           .withColumn("valid_from_seq", F.col(seq).cast("long"))
+           .withColumn("valid_to_seq", F.col("__nxt").cast("long"))
+           .withColumn("is_current", F.col("__nxt").isNull()))
+    drop = [c for c in (OP_COLUMN, seq, "__nxt", "__table_id")
+            if c in out.columns]
+    return out.drop(*drop)

@@ -477,6 +477,34 @@ def cdc_last_write_wins(spark, sf_dir):
 
 
 @_q(
+    "cdc_scd2_history",
+    f"""
+    WITH cl AS (
+      SELECT user_id, event_type, value, CAST(event_id AS BIGINT) AS seq,
+             {_CHANGELOG_ORACLE_OP} AS op
+      FROM events),
+    v AS (
+      SELECT *, lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS nxt
+      FROM cl WHERE op <> '-U')
+    SELECT user_id, event_type, value,
+           seq AS valid_from_seq, nxt AS valid_to_seq,
+           CAST(nxt IS NULL AS BOOLEAN) AS is_current
+    FROM v WHERE op <> '-D'
+    """,
+)
+def cdc_scd2_history(spark, sf_dir):
+    """Type-2 SCD history from the changelog: every upsert image becomes
+    a version row bracketed by [its seq, next event's seq); deletes close
+    versions without opening one. One PK-hash window shuffle."""
+    from .partitioning import scd2_history
+
+    cl = _events_changelog(spark, sf_dir).select(
+        "user_id", "event_type", "value",
+        F.col("event_id").cast("long").alias(SEQ_COLUMN), OP_COLUMN)
+    return scd2_history(cl, ["user_id"])
+
+
+@_q(
     "partition_bucket_distribution",
     """
     SELECT ((l_orderkey % 2147483648) * 2654435761 % 2147483648) % 32

@@ -257,3 +257,26 @@ class TestBPEPairs:
         # the 1-char word 'a' must produce NO pair (Spark sequence(1,0)
         # is descending, not empty — regression guard)
         assert got == {"ab": 4, "bc": 1}
+
+
+class TestSCD2:
+    def test_delete_then_reinsert_versions(self, spark):
+        from flink_cdc_dsql_master_spark.partitioning import scd2_history
+        cl = spark.createDataFrame(
+            [(1, "v1", 10, "+I"),
+             (1, "v1b", 11, "-U"),   # before-image: ignored
+             (1, "v2", 12, "+U"),
+             (1, None, 13, "-D"),    # closes v2, opens nothing
+             (1, "v3", 14, "+I"),    # re-insert opens a fresh version
+             (2, "w1", 20, "+I")],
+            "k int, val string, __seq long, __op string")
+        got = sorted(
+            (r["k"], r["val"], r["valid_from_seq"], r["valid_to_seq"],
+             r["is_current"])
+            for r in scd2_history(cl, ["k"]).collect())
+        assert got == [
+            (1, "v1", 10, 12, False),
+            (1, "v2", 12, 13, False),
+            (1, "v3", 14, None, True),
+            (2, "w1", 20, None, True),
+        ]
