@@ -2972,6 +2972,46 @@ def window_order_gaps(spark, sf_dir):
 
 
 @_q(
+    "window_rank_bundle",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           CAST(rank() OVER w_ties AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w_ties AS BIGINT) AS drnk,
+           ROUND(percent_rank() OVER w_ties, 6) AS prnk,
+           ROUND(cume_dist() OVER w_ties, 6) AS cdist,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_total
+    FROM orders
+    WINDOW w_ties AS (PARTITION BY o_orderpriority
+                      ORDER BY o_totalprice DESC)
+    """,
+)
+def window_rank_bundle(spark, sf_dir):
+    """Ranking-analytics bundle: rank / dense_rank / percent_rank /
+    cume_dist plus a ROWS-frame running total, all sharing ONE window
+    shuffle on the partition key (Spark plans the two orderings inside
+    the same exchange). Tie values rank identically in any engine; the
+    running frame is made deterministic by the orderkey tiebreak."""
+    o = _t(spark, sf_dir, "orders")
+    w_ties = (Window.partitionBy("o_orderpriority")
+              .orderBy(F.col("o_totalprice").desc()))
+    w_run = (Window.partitionBy("o_orderpriority")
+             .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return o.select(
+        "o_orderkey", "o_orderpriority",
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        F.round(F.percent_rank().over(w_ties), 6).alias("prnk"),
+        F.round(F.cume_dist().over(w_ties), 6).alias("cdist"),
+        F.round(F.sum("o_totalprice").over(w_run), 2)
+        .alias("running_total"))
+
+
+@_q(
     "agg_percentile_prices",
     """
     SELECT l_returnflag,

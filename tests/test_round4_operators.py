@@ -280,3 +280,17 @@ class TestSCD2:
             (1, "v3", 14, None, True),
             (2, "w1", 20, None, True),
         ]
+
+
+class TestApproxDistinct:
+    def test_hll_within_tolerance_of_exact(self, spark):
+        """approx_count_distinct (HyperLogLog++) is the 100 TB path for
+        distinct-user counting (mergeable sketches, no distinct-expand
+        shuffle); assert the default-rsd estimate lands within 5% of the
+        exact answer on real data."""
+        ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet")
+        row = ev.agg(
+            F.countDistinct("user_id").alias("exact"),
+            F.approx_count_distinct("user_id").alias("approx")).collect()[0]
+        assert row["exact"] > 0
+        assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
