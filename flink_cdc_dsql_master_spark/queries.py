@@ -58,6 +58,8 @@ BENCH_QUERIES = [
     "join_interval_attribution",
     "agg_sliding_window",
     "sample_weighted_es",
+    "text_bm25_search",
+    "chunk_backfill_reconcile",
 ]
 
 

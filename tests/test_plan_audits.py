@@ -91,3 +91,51 @@ def test_fn_queries_stay_jvm_side(spark, sf_dir):
 def test_changelog_apply_single_shuffle(spark, sf_dir):
     plan = plan_of(QUERIES["cdc_apply_changelog"](spark, sf_dir))
     assert tree_of(plan).count("Exchange") == 1  # one PK hash shuffle
+
+
+def test_bm25_topk_heap_not_global_sort(spark, sf_dir):
+    """The BM25 top-k must plan as TakeOrderedAndProject (per-partition
+    heaps), never a global Sort+Limit materialization; the df join must
+    broadcast."""
+    plan = plan_of(QUERIES["text_bm25_search"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "TakeOrderedAndProject" in tree
+    assert "BroadcastHashJoin" in plan
+
+
+def test_chunk_backfill_single_pk_exchange(spark, sf_dir):
+    """Chunk assignment + watermark lookup are projections; the whole
+    backfill merge costs exactly the changelog's PK window shuffle (plus
+    the union's partition coalescing — no extra hash exchanges)."""
+    plan = plan_of(QUERIES["chunk_backfill_reconcile"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 1
+
+
+def test_scd2_single_pk_exchange(spark, sf_dir):
+    plan = plan_of(QUERIES["cdc_scd2_history"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 1
+
+
+def test_rank_bundle_single_partition_exchange(spark, sf_dir):
+    """rank/dense_rank/percent_rank/cume_dist + running frame share one
+    hash exchange on the partition key (two sort orders, same shuffle)."""
+    plan = plan_of(QUERIES["window_rank_bundle"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 1
+
+
+def test_waiting_suppliers_broadcasts_dims(spark, sf_dir):
+    """Q21-shape: the supplier dimension broadcasts; the decorrelated
+    aggregate joins back on the order key."""
+    plan = plan_of(QUERIES["join_waiting_suppliers"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_bpe_pairs_partial_agg(spark, sf_dir):
+    """Both aggregates (vocab collapse, pair counts) partial-aggregate
+    map-side before their exchanges."""
+    plan = plan_of(QUERIES["text_bpe_pairs"](spark, sf_dir))
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "TakeOrderedAndProject" in tree_of(plan)
