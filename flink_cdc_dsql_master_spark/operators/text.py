@@ -396,3 +396,32 @@ def bpe_pair_counts(df: DataFrame, top_n: int = 50,
     counts = pairs.groupBy("pair").agg(F.sum("wfreq").alias("freq"))
     return (counts.orderBy(F.col("freq").desc(), F.col("pair").asc())
             .limit(top_n))
+
+
+def inverted_index(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", min_df: int = 1,
+                   max_df_ratio: float = 1.0) -> DataFrame:
+    """Materialize a term → posting-list inverted index.
+
+    Output: (term, df_t, postings) with postings ascending. ``min_df``
+    drops hapax noise; ``max_df_ratio`` drops stopword-grade terms whose
+    posting lists are the scale hazard (a stopword's postings at corpus
+    scale are the corpus itself).
+
+    Scale plan: term presence is ``array_distinct`` BEFORE explode (one
+    row per (doc, distinct term) — never the token stream); one shuffle
+    on the term builds df + postings together. At 100 TB the posting
+    arrays of mid-frequency terms are still large — a production layout
+    shards them into per-partition delta-encoded segments (the operator's
+    per-term array is the logical view the segments concatenate to).
+    """
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = df.where(F.trim(F.col(text_col)) != "")
+    n_docs = base.count()
+    posts = base.select(F.col(id_col).alias("doc_id"),
+                        F.explode(F.array_distinct(toks)).alias("term"))
+    idx = posts.groupBy("term").agg(
+        F.count("*").alias("df_t"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"))
+    return idx.where((F.col("df_t") >= min_df)
+                     & (F.col("df_t") <= max_df_ratio * n_docs))

@@ -3331,6 +3331,36 @@ def text_bpe_pairs(spark, sf_dir):
 
 
 @_q(
+    "text_inverted_index",
+    """
+    WITH posts AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents WHERE trim(text) <> ''),
+    idx AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t,
+             list_sort(list(doc_id)) AS postings
+      FROM posts GROUP BY term)
+    SELECT term, df_t,
+           array_to_string(list_transform(postings,
+             x -> CAST(x AS VARCHAR)), ',') AS postings
+    FROM idx
+    """,
+)
+def text_inverted_index(spark, sf_dir):
+    """Term → posting-list inverted index: distinct-terms-per-doc explode
+    (never the token stream), one term-keyed shuffle building df + sorted
+    postings together; postings serialized for the cross-engine hash."""
+    docs = _t(spark, sf_dir, "documents")
+    idx = text.inverted_index(docs)
+    return idx.select(
+        "term", "df_t",
+        F.array_join(F.transform("postings",
+                                 lambda x: x.cast("string")), ",")
+        .alias("postings"))
+
+
+@_q(
     "dedup_incremental",
     """
     WITH norm AS (

@@ -294,3 +294,21 @@ class TestApproxDistinct:
             F.approx_count_distinct("user_id").alias("approx")).collect()[0]
         assert row["exact"] > 0
         assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+class TestInvertedIndex:
+    def test_df_cuts_and_postings_order(self, spark):
+        from flink_cdc_dsql_master_spark.operators.text import inverted_index
+        docs = spark.createDataFrame(
+            [(3, "a b"), (1, "a b c"), (2, "a b b")],  # b distinct per doc
+            "doc_id int, text string")
+        full = {r["term"]: (r["df_t"], list(r["postings"]))
+                for r in inverted_index(docs).collect()}
+        assert full == {"a": (3, [1, 2, 3]), "b": (3, [1, 2, 3]),
+                        "c": (1, [1])}
+        # min_df cuts the hapax; max_df_ratio cuts the stopword grade
+        assert {r["term"] for r in
+                inverted_index(docs, min_df=2).collect()} == {"a", "b"}
+        assert {r["term"] for r in
+                inverted_index(docs, min_df=2,
+                               max_df_ratio=0.9).collect()} == set()
