@@ -311,3 +311,30 @@ def quantize_int8(df: DataFrame, vec_col: str = "embedding",
     return (out.withColumn("max_abs_err", err)
             .withColumn("cos_recon", cos)
             .drop("__vd", vec_col))
+
+
+def mean_pool_embeddings(df: DataFrame, group_col: str,
+                         vec_col: str = "embedding") -> DataFrame:
+    """Element-wise mean of each group's vectors — chunk→document pooling
+    (documents are embedded per chunk; retrieval wants one doc vector).
+
+    Output: (group_col, pooled array<double>).
+
+    Plan: posexplode to (group, pos, value) — whole-stage codegen — then
+    ONE (group, pos)-keyed partial-aggregated avg, then reassembly of the
+    KB-sized per-group result via sorted collect_list. The (group, pos)
+    shuffle is dim× the row count in *rows* but identical bytes to
+    shuffling the vectors themselves, and partial aggregation collapses
+    it map-side; no interpreted per-element fold ever touches the full
+    corpus. For dims ≥ ~1k an Arrow `applyInPandas` kernel (numpy
+    column-mean per group) becomes the better trade — same single
+    shuffle, vectorized reassembly.
+    """
+    pos = df.select(F.col(group_col).alias("g"),
+                    F.posexplode(F.col(vec_col)).alias("pos", "v"))
+    agg = pos.groupBy("g", "pos").agg(F.avg("v").alias("m"))
+    return (agg.groupBy("g")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda s: s["m"]).alias("pooled"))
+            .withColumnRenamed("g", group_col))

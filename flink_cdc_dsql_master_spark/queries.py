@@ -2832,6 +2832,88 @@ def anti_join_no_orders(spark, sf_dir):
 
 
 @_q(
+    "join_unshipped_revenue",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS VARCHAR) AS orderdate, o_orderpriority
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15'
+      AND l_shipdate > TIMESTAMP '1995-03-15'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey LIMIT 10
+    """,
+)
+def join_unshipped_revenue(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 unshipped-order revenue for one segment.
+    Both date filters push to the scans, the segment-filtered customer
+    side broadcasts, and the top-10 is TakeOrderedAndProject after one
+    partial-aggregated groupBy shuffle."""
+    c = (_t(spark, sf_dir, "customer")
+         .where(F.col("c_mktsegment") == "BUILDING")
+         .select("c_custkey"))
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderdate") < "1995-03-15")
+         .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_shipdate") > "1995-03-15")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+            .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("l_orderkey", "revenue",
+                    F.date_format("o_orderdate", "yyyy-MM-dd HH:mm:ss")
+                    .alias("orderdate"), "o_orderpriority")
+            .orderBy(F.col("revenue").desc(), "l_orderkey").limit(10))
+
+
+@_q(
+    "join_returned_customers",
+    """
+    SELECT c_custkey, c_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           ROUND(c_acctbal, 2) AS acctbal, n_name
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o_orderdate <  TIMESTAMP '1995-07-01'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey LIMIT 20
+    """,
+)
+def join_returned_customers(spark, sf_dir):
+    """TPC-H Q10 shape: top-20 customers by returned revenue in a
+    half-year window. Returnflag + date predicates push to the fact
+    scans; nation broadcasts; one groupBy shuffle; heap top-20."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1995-07-01"))
+         .select("o_orderkey", "o_custkey"))
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_returnflag") == "R")
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    return (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+            .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"))
+            .select("c_custkey", "c_name", "revenue",
+                    F.round("c_acctbal", 2).alias("acctbal"), "n_name")
+            .orderBy(F.col("revenue").desc(), "c_custkey").limit(20))
+
+
+@_q(
     "join_waiting_suppliers",
     """
     WITH li AS (
@@ -3173,6 +3255,53 @@ def text_quality_deciles(spark, sf_dir):
 
 
 @_q(
+    "text_threshold_sweep",
+    f"""
+    WITH q AS (
+      SELECT CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_TEXT_TOKENS_SQL}) END AS INT) AS n_tokens
+      FROM documents),
+    b AS (
+      SELECT LEAST(n_tokens // 10, 20) AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_tokens) AS BIGINT) AS toks
+      FROM q GROUP BY 1),
+    total AS (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM q),
+    spine AS (SELECT unnest(generate_series(0, 20)) AS tb)
+    SELECT CAST(tb * 10 AS INT) AS min_tokens,
+           CAST(COALESCE(SUM(b.n), 0) AS BIGINT) AS n_kept,
+           ROUND(COALESCE(SUM(b.n), 0) * 1.0 / total.t, 6) AS keep_rate,
+           CAST(COALESCE(SUM(b.toks), 0) AS BIGINT) AS tokens_kept
+    FROM spine LEFT JOIN b ON b.bucket >= spine.tb, total
+    GROUP BY tb, total.t
+    """,
+)
+def text_threshold_sweep(spark, sf_dir):
+    """Curation-threshold sweep: docs/tokens surviving each min-token
+    cut. The corpus collapses to a 21-row bucket histogram in ONE
+    partial-agg shuffle; the threshold grid is then a broadcast non-equi
+    join over 21×21 rows — the sweep never rescans the corpus per
+    threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    q = docs.select(text.token_count(F.col("text")).alias("n_tokens"))
+    b = (q.groupBy(F.least(F.floor(F.col("n_tokens") / 10), F.lit(20))
+                   .cast("int").alias("bucket"))
+         .agg(F.count("*").alias("n"), F.sum("n_tokens").alias("toks")))
+    total = q.agg(F.count("*").alias("t"))
+    spine = spark.range(0, 21).select(F.col("id").cast("int").alias("tb"))
+    return (spine.join(F.broadcast(b), b["bucket"] >= spine["tb"], "left")
+            .crossJoin(F.broadcast(total))
+            .groupBy("tb", "t")
+            .agg(F.coalesce(F.sum("n"), F.lit(0)).alias("n_kept"),
+                 F.coalesce(F.sum("toks"), F.lit(0)).alias("tokens_kept"))
+            .select((F.col("tb") * 10).cast("int").alias("min_tokens"),
+                    "n_kept",
+                    F.round(F.col("n_kept") / F.col("t"), 6)
+                    .alias("keep_rate"),
+                    "tokens_kept"))
+
+
+@_q(
     "agg_sliding_window",
     """
     SELECT CAST((FLOOR(epoch(ts) / 300) - k) * 300 AS BIGINT)
@@ -3328,6 +3457,41 @@ def text_bpe_pairs(spark, sf_dir):
     one partial-agg shuffle; pair extraction runs over vocab rows only."""
     docs = _t(spark, sf_dir, "documents")
     return text.bpe_pair_counts(docs, top_n=50)
+
+
+@_q(
+    "embedding_mean_pool",
+    """
+    WITH pos AS (
+      SELECT vec_id // 8 AS doc_id, i,
+             AVG(CAST(embedding[i] AS DOUBLE)) AS m
+      FROM embeddings,
+      LATERAL (SELECT unnest(generate_series(1,
+                 len(embedding))) AS i)
+      GROUP BY 1, 2)
+    SELECT doc_id,
+           array_to_string(list_transform(
+             list(CAST(ROUND(m, 6) AS DECIMAL(12,6)) ORDER BY i),
+             x -> CAST(x AS VARCHAR)), ',') AS pooled
+    FROM pos GROUP BY doc_id
+    """,
+)
+def embedding_mean_pool(spark, sf_dir):
+    """Chunk→document mean pooling: vectors grouped 8-to-a-doc, pooled
+    element-wise via posexplode + (group, pos) partial-agg avg + sorted
+    reassembly — all codegen, one data shuffle."""
+    from .operators.similarity import mean_pool_embeddings
+
+    emb = (_t(spark, sf_dir, "embeddings")
+           .select((F.col("vec_id") / 8).cast("long").alias("doc_id"),
+                   "embedding"))
+    out = mean_pool_embeddings(emb, "doc_id")
+    return out.select(
+        "doc_id",
+        F.array_join(F.transform(
+            "pooled",
+            lambda x: F.round(x, 6).cast("decimal(12,6)").cast("string")),
+            ",").alias("pooled"))
 
 
 @_q(
