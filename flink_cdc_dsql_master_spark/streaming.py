@@ -182,3 +182,30 @@ def streaming_dedup_within_watermark(df: DataFrame, keys: list[str],
     """
     return (df.withWatermark(ts_col, watermark)
             .dropDuplicatesWithinWatermark(keys))
+
+
+def streaming_session_agg(df: DataFrame, ts_col: str = "ts",
+                          key_col: str = "user_id",
+                          gap: str = "30 minutes",
+                          watermark: str = "10 minutes",
+                          value_col: str = "value") -> DataFrame:
+    """Watermarked event-time SESSION windows — the streaming twin of the
+    batch ``agg_session_window`` query (native ``session_window``, not the
+    lag/cumsum emulation).
+
+    Sessions are dynamic: each event opens a window of ``gap`` that merges
+    with any overlapping session of the same key, so state per key is the
+    set of OPEN sessions only; a session closes (emits, evicts) when the
+    watermark passes its end + gap. Append mode: one output row per
+    completed session.
+    """
+    return (
+        df.withWatermark(ts_col, watermark)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                 F.col(key_col))
+        .agg(F.count("*").alias("n_events"),
+             F.sum(value_col).alias("total"))
+        .select(F.col("w.start").alias("session_start"),
+                F.col("w.end").alias("session_end"),
+                key_col, "n_events", "total")
+    )

@@ -116,3 +116,42 @@ def test_sliding_windows_overlap(spark, tmp_path):
            for r in collected if r["window_start"].hour < 13}
     # the 10:40 event belongs to [10:00, 11:00) and [10:30, 11:30)
     assert got == {(10, 0): 1, (10, 30): 1}
+
+
+def test_streaming_session_windows_merge_and_close(spark, tmp_path):
+    """Two events 10 min apart (gap 30m) merge into ONE session; an event
+    55 min later opens a second. Batch-2 late events beyond the watermark
+    horizon are dropped; the first session emits once closed."""
+    import datetime as dt
+    from flink_cdc_dsql_master_spark.streaming import streaming_session_agg
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "user_id string, ts timestamp, value double"
+    rows1 = [("u1", t0, 1.0),
+             ("u1", t0 + dt.timedelta(minutes=10), 2.0),
+             ("u1", t0 + dt.timedelta(minutes=65), 4.0)]
+    # batch 2 advances the watermark far past session 1's close
+    rows2 = [("u2", t0 + dt.timedelta(hours=6), 8.0)]
+    src, ckpt = str(tmp_path / "ssrc"), str(tmp_path / "sckpt")
+    rows = []
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_session_agg(stream, "ts", "user_id", "30 minutes",
+                                    "10 minutes")
+        q = (out.writeStream.outputMode("append")
+             .foreachBatch(lambda df, bid: rows.extend(df.collect()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, schema).write.parquet(src)
+    run()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run()
+    u1 = sorted((r["session_start"], r["n_events"], r["total"])
+                for r in rows if r["user_id"] == "u1")
+    # session 1: events at 0 and +10min merged (n=2, total=3.0);
+    # session 2: the +65min event alone
+    assert (t0, 2, 3.0) in u1
+    assert (t0 + dt.timedelta(minutes=65), 1, 4.0) in u1
