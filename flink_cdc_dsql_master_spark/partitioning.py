@@ -28,8 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F, Window
 
-from .events import (OP_COLUMN, OP_DELETE, OP_UPDATE_BEFORE, SEQ_COLUMN,
-                     UPSERT_OPS)
+from .events import (OP_COLUMN, OP_DELETE, OP_INSERT, OP_UPDATE_AFTER,
+                     OP_UPDATE_BEFORE, SEQ_COLUMN, UPSERT_OPS)
 
 # Knuth multiplicative constant (2^32 / phi) — portable across SQL engines
 _KNUTH = 2654435761
@@ -159,3 +159,36 @@ def scd2_history(df: DataFrame, primary_keys: list[str],
     drop = [c for c in (OP_COLUMN, seq, "__nxt", "__table_id")
             if c in out.columns]
     return out.drop(*drop)
+
+
+def minimal_changelog(df: DataFrame, existing_keys: DataFrame,
+                      primary_keys: list[str],
+                      seq_col: str | None = None) -> DataFrame:
+    """Normalize a changelog batch to the MINIMAL op set against a target.
+
+    Per key: reduce to the final image (last-write-wins), then rewrite the
+    op against what the sink already holds — final upsert becomes +I for
+    an absent key / +U for a present one; a final delete for an absent key
+    is dropped entirely (net no-op, e.g. insert+delete inside one batch).
+    Sinks replaying the result touch each key at most once and never issue
+    dead deletes — the reference's upsert batching
+    (DsqlBatchSinkFunction.java:121-180) gets exactly this row set.
+
+    ``existing_keys`` needs only the PK columns. Cost: the LWW window
+    shuffle + one left join on the PK (broadcast when the key set is a
+    dimension; co-partitioned hash join otherwise).
+    """
+    final = last_write_wins(df, primary_keys, seq_col)
+    marker = existing_keys.select(
+        *[F.col(c) for c in primary_keys]).distinct() \
+        .withColumn("__exists", F.lit(True))
+    joined = final.join(marker, primary_keys, "left")
+    is_present = F.col("__exists").isNotNull()
+    out = (joined
+           .where(F.col(OP_COLUMN).isin(*UPSERT_OPS) | is_present)
+           .withColumn(
+               OP_COLUMN,
+               F.when(F.col(OP_COLUMN) == OP_DELETE, OP_DELETE)
+               .when(is_present, OP_UPDATE_AFTER)
+               .otherwise(OP_INSERT)))
+    return out.drop("__exists")

@@ -507,6 +507,44 @@ def cdc_scd2_history(spark, sf_dir):
 
 
 @_q(
+    "cdc_minimal_changelog",
+    f"""
+    WITH cl AS (
+      SELECT user_id, event_type, value, CAST(event_id AS BIGINT) AS seq,
+             {_CHANGELOG_ORACLE_OP} AS op
+      FROM events),
+    fin AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY user_id
+                                     ORDER BY seq DESC) AS rn
+        FROM cl) WHERE rn = 1),
+    ex AS (SELECT DISTINCT user_id FROM events WHERE user_id % 3 = 0)
+    SELECT f.user_id, f.event_type, f.value, f.seq,
+           CASE WHEN f.op = '-D' THEN '-D'
+                WHEN ex.user_id IS NOT NULL THEN '+U'
+                ELSE '+I' END AS op
+    FROM fin f LEFT JOIN ex ON f.user_id = ex.user_id
+    WHERE f.op <> '-D' OR ex.user_id IS NOT NULL
+    """,
+)
+def cdc_minimal_changelog(spark, sf_dir):
+    """Changelog normalization against sink state: final image per key,
+    ops rewritten to the minimal set (absent-key delete dropped, +I/+U
+    chosen by presence). LWW window shuffle + one PK join."""
+    from .partitioning import minimal_changelog
+
+    cl = _events_changelog(spark, sf_dir).select(
+        "user_id", "event_type", "value",
+        F.col("event_id").cast("long").alias(SEQ_COLUMN), OP_COLUMN)
+    existing = (_events_table(spark, sf_dir)
+                .where(F.col("user_id") % 3 == 0).select("user_id"))
+    out = minimal_changelog(cl, existing, ["user_id"])
+    return out.select("user_id", "event_type", "value",
+                      F.col(SEQ_COLUMN).alias("seq"),
+                      F.col(OP_COLUMN).alias("op"))
+
+
+@_q(
     "partition_bucket_distribution",
     """
     SELECT ((l_orderkey % 2147483648) * 2654435761 % 2147483648) % 32

@@ -312,3 +312,19 @@ class TestInvertedIndex:
         assert {r["term"] for r in
                 inverted_index(docs, min_df=2,
                                max_df_ratio=0.9).collect()} == set()
+
+
+class TestMinimalChangelog:
+    def test_net_noop_and_op_rewrite(self, spark):
+        from flink_cdc_dsql_master_spark.partitioning import minimal_changelog
+        cl = spark.createDataFrame(
+            [(1, "a", 1, "+I"),   # absent key: insert+delete = net no-op
+             (1, None, 2, "-D"),
+             (2, "b", 3, "+I"),   # present key: +I must become +U
+             (3, "c", 4, "+U"),   # absent key: +U must become +I
+             (4, None, 5, "-D")], # present key: delete kept
+            "k int, v string, __seq long, __op string")
+        existing = spark.createDataFrame([(2,), (4,)], "k int")
+        got = sorted((r["k"], r["__op"]) for r in
+                     minimal_changelog(cl, existing, ["k"]).collect())
+        assert got == [(2, "+U"), (3, "+I"), (4, "-D")]
