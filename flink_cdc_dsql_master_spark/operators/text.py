@@ -200,38 +200,16 @@ def redact_pii(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("redacted", red)
 
 
-def word_bigrams_pandas():
-    """Vectorized bigram extractor: normalized text → array<struct<w1,w2>>
-    of ALL bigram occurrences (LM statistics, so NOT distinct — unlike the
-    dedup shingles). Arrow-batched; the interpreted-HOF formulation
-    (transform + element_at per bigram) measured ~20× slower at sf0.1."""
-    from pyspark.sql.functions import pandas_udf
-
-    def fn(texts):
-        import re
-
-        def one(t):
-            if t is None:
-                return None
-            norm = re.sub(r"\s+", " ", t.lower(), flags=re.ASCII).strip()
-            w = [x for x in norm.split(" ") if x]
-            return [(w[i], w[i + 1]) for i in range(len(w) - 1)]
-
-        return texts.map(one)
-
-    return pandas_udf(fn, "array<struct<w1:string,w2:string>>")
-
-
 def bigram_surprisal(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Corpus-level bigram language-model quality score per document.
 
     Plan (all distributed, no driver collect):
-      1. one vectorized pass extracts bigram occurrences; the exploded
-         (id, w1, w2) frame is persisted — four downstream aggregates
-         read it, so extraction runs once;
-      2. per-document PRE-AGGREGATION to (id, w1, w2, cnt) shrinks the
-         join input to distinct-bigrams-per-doc before any shuffle join;
+      1. ONE Arrow mapInPandas pass counts bigrams per document (Counter
+         in the kernel), emitting (id, w1, w2, cnt) at distinct-bigram
+         grain — the occurrence stream never exists as a DataFrame and
+         never shuffles; the collapsed frame is persisted for the
+         downstream aggregates;
       3. corpus tables: bigram counts c(w1,w2), context counts c(w1),
          vocabulary size V (a 1-row broadcast);
       4. weighted average of the add-one-smoothed surprisal
@@ -243,21 +221,38 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
     O(distinct bigrams); at 100 TB the corpus count tables are the same
     aggregates any LM tokenizer-counting job already runs.
     """
-    bg = (
-        df.select(F.col(id_col).alias("__id"),
-                  F.explode(word_bigrams_pandas()(F.col(text_col)))
-                  .alias("b"))
-        .select("__id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
-    )
+    # Bigram counting happens INSIDE the Arrow kernel (a Counter per doc
+    # emitted as (id, w1, w2, cnt) rows): the per-doc aggregation is
+    # map-side by construction, so the bigram OCCURRENCE stream never
+    # exists as a DataFrame and never shuffles — doc_bg materializes
+    # directly at distinct-bigrams-per-doc grain. Every corpus statistic
+    # then derives from this collapsed frame.
+    import pandas as pd
 
-    # The raw exploded frame has exactly ONE consumer: the per-doc
-    # pre-aggregation. Every corpus statistic then derives from doc_bg
-    # (already collapsed to distinct-bigrams-per-doc), so the expensive
-    # pandas extraction runs once with no persist, and the corpus
-    # aggregates scan a frame orders of magnitude smaller than the
-    # occurrence stream.
-    doc_bg = (bg.groupBy("__id", "w1", "w2").agg(F.count("*").alias("cnt"))
-              .persist())
+    def count_fn(batches):
+        import re
+        from collections import Counter
+
+        for pdf in batches:
+            ids, w1s, w2s, cnts = [], [], [], []
+            for i, t in zip(pdf["__id"], pdf["__text"]):
+                if t is None:
+                    continue
+                norm = re.sub(r"\s+", " ", t.lower(), flags=re.ASCII).strip()
+                w = [x for x in norm.split(" ") if x]
+                c = Counter(zip(w, w[1:]))
+                ids.extend([i] * len(c))
+                for (a, b), n in c.items():
+                    w1s.append(a)
+                    w2s.append(b)
+                    cnts.append(n)
+            yield pd.DataFrame({"__id": ids, "w1": w1s, "w2": w2s,
+                                "cnt": cnts})
+
+    src = df.select(F.col(id_col).alias("__id"),
+                    F.col(text_col).alias("__text"))
+    doc_bg = src.mapInPandas(
+        count_fn, "__id long, w1 string, w2 string, cnt long").persist()
     bg_counts = doc_bg.groupBy("w1", "w2").agg(F.sum("cnt").alias("cb"))
     ctx_counts = bg_counts.groupBy("w1").agg(F.sum("cb").alias("c1"))
     vocab = bg_counts.select(
