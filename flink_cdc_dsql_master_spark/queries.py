@@ -3293,6 +3293,134 @@ def text_quality_deciles(spark, sf_dir):
 
 
 @_q(
+    "agg_cohort_retention",
+    """
+    WITH first AS (
+      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
+      FROM events GROUP BY user_id),
+    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+            FROM events)
+    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
+           CAST((epoch(wk) - epoch(cohort)) / 604800 AS INT)
+             AS weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM act JOIN first USING (user_id)
+    GROUP BY cohort, weeks_since
+    """,
+)
+def agg_cohort_retention(spark, sf_dir):
+    """Cohort retention matrix: users bucketed by first-activity week,
+    counted in each later activity week. Two aggregates co-partitioned on
+    user_id (the join reuses the groupBy partitioning); the matrix is
+    weeks × weeks — driver-tiny."""
+    ev = _events_table(spark, sf_dir)
+    first = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort"))
+    act = (ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
+           .distinct())
+    weeks = ((F.unix_timestamp("wk") - F.unix_timestamp("cohort"))
+             / 604800).cast("int")
+    return (act.join(first, "user_id")
+            .select(F.date_format("cohort", "yyyy-MM-dd")
+                    .alias("cohort_week"),
+                    weeks.alias("weeks_since"))
+            .groupBy("cohort_week", "weeks_since")
+            .agg(F.count("*").alias("n_users")))
+
+
+@_q(
+    "agg_funnel_conversion",
+    """
+    WITH s AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, MIN(e.ts) AS t2
+      FROM events e JOIN s USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s.t1 GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, MIN(e.ts) AS t3
+      FROM events e JOIN c USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= c.t2
+      GROUP BY e.user_id)
+    SELECT strftime(date_trunc('week', s.t1), '%Y-%m-%d') AS cohort_week,
+           CAST(COUNT(*) AS BIGINT) AS n_signup,
+           CAST(COUNT(c.user_id) AS BIGINT) AS n_click,
+           CAST(COUNT(p.user_id) AS BIGINT) AS n_purchase
+    FROM s LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+    GROUP BY 1
+    """,
+)
+def agg_funnel_conversion(spark, sf_dir):
+    """Ordered funnel (signup → later click → later purchase): each stage
+    is a conditional min-aggregate on user_id reusing the same hash
+    partitioning — three co-partitioned aggregates, no window, no
+    per-user event array materialization."""
+    ev = _events_table(spark, sf_dir)
+    s = (ev.where(F.col("event_type") == "signup")
+         .groupBy("user_id").agg(F.min("ts").alias("t1")))
+    c = (ev.where(F.col("event_type") == "click")
+         .join(s, "user_id").where(F.col("ts") >= F.col("t1"))
+         .groupBy("user_id").agg(F.min("ts").alias("t2")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(c, "user_id").where(F.col("ts") >= F.col("t2"))
+         .groupBy("user_id").agg(F.min("ts").alias("t3")))
+    return (s.join(c, "user_id", "left").join(p, "user_id", "left")
+            .groupBy(F.date_format(F.date_trunc("week", "t1"),
+                                   "yyyy-MM-dd").alias("cohort_week"))
+            .agg(F.count("*").alias("n_signup"),
+                 F.count("t2").alias("n_click"),
+                 F.count("t3").alias("n_purchase")))
+
+
+@_q(
+    "timeseries_gap_fill",
+    """
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(AVG(value), 6) AS v
+      FROM events WHERE user_id < 30 GROUP BY 1, 2),
+    bounds AS (SELECT MIN(day) AS lo, MAX(day) AS hi FROM daily),
+    spine AS (SELECT unnest(generate_series(lo, hi,
+                INTERVAL 1 DAY))::DATE AS day FROM bounds),
+    users AS (SELECT DISTINCT user_id FROM daily),
+    grid AS (SELECT user_id, day FROM users CROSS JOIN spine)
+    SELECT g.user_id, strftime(g.day, '%Y-%m-%d') AS day,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n,
+           last_value(d.v IGNORE NULLS) OVER (
+             PARTITION BY g.user_id ORDER BY g.day) AS v_locf
+    FROM grid g LEFT JOIN daily d
+      ON d.user_id = g.user_id AND d.day = g.day
+    """,
+)
+def timeseries_gap_fill(spark, sf_dir):
+    """Hypertable gap filling: dense per-user daily spine with zero-fill
+    for counts and last-observation-carried-forward for values. The
+    spine derives from a 1-row bounds aggregate exploded map-side (never
+    a driver loop); LOCF is last(ignorenulls) over the user window —
+    one join shuffle + one window shuffle on the same key."""
+    ev = _events_table(spark, sf_dir).where(F.col("user_id") < 30)
+    daily = (ev.groupBy("user_id", F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("n"),
+                  F.round(F.avg("value"), 6).alias("v")))
+    bounds = daily.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day"))
+    users = daily.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(spine))
+    w = (Window.partitionBy("user_id").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    joined = (grid.join(daily, ["user_id", "day"], "left")
+              .select("user_id", "day",
+                      F.coalesce("n", F.lit(0)).alias("n"), "v"))
+    return (joined
+            .withColumn("v_locf", F.last("v", ignorenulls=True).over(w))
+            .select("user_id", F.date_format("day", "yyyy-MM-dd")
+                    .alias("day"), "n", "v_locf"))
+
+
+@_q(
     "text_threshold_sweep",
     f"""
     WITH q AS (
