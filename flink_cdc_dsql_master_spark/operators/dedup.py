@@ -652,3 +652,54 @@ def prefix_duplicates(df: DataFrame, text_col: str = "text",
                  (F.col("id_a") < F.col("id_b")))))
         .select("id_a", "id_b", F.col("__la").cast("int").alias("prefix_len"))
     )
+
+
+def substring_containment_pairs(df: DataFrame, text_col: str = "text",
+                                id_col: str = "doc_id", min_len: int = 40,
+                                anchor_words: int = 5) -> DataFrame:
+    """Word-aligned substring containment: pairs (id_a, id_b) where doc
+    a's whole word sequence appears contiguously inside doc b — the
+    quote/excerpt/mirror dup class that prefix containment misses.
+
+    Returns (id_a, id_b, len_a, len_b); equal texts pair once
+    (id_a < id_b). Docs under ``min_len`` normalized chars or
+    ``anchor_words`` words are skipped.
+
+    Plan: if a is word-contained in b, a's FIRST ``anchor_words``-word
+    shingle is necessarily one of b's word shingles — so candidates come
+    from ONE equi-join of each doc's single anchor shingle against the
+    corpus shingle explode (O(total shingles), the same cost envelope as
+    the Jaccard shingle join; never all-pairs). Texts rejoin by id only
+    for the candidate pairs; the verify is a space-padded contains() so
+    matches align to word boundaries exactly like the oracle.
+    """
+    base = (_spread(df)
+            .select(F.col(id_col).alias("id"), F.col(text_col).alias("__t"),
+                    normalize_text(F.col(text_col)).alias("__n"))
+            .withColumn("__l", F.length("__n"))
+            .where(F.col("__l") >= min_len)
+            .withColumn("__w", F.split("__n", " "))
+            .where(F.size("__w") >= anchor_words))
+    anchors = base.select(
+        F.col("id").alias("id_a"),
+        F.array_join(F.slice("__w", 1, anchor_words), " ").alias("__k"))
+    shingles = base.select(
+        F.col("id").alias("id_b"),
+        F.explode(word_shingles_pandas(anchor_words)(F.col("__t")))
+        .alias("__k"))
+    cands = (anchors.join(shingles, "__k")
+             .where(F.col("id_a") != F.col("id_b"))
+             .select("id_a", "id_b"))
+    ta = base.select(F.col("id").alias("id_a"), F.col("__n").alias("__na"),
+                    F.col("__l").alias("__la"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("__n").alias("__nb"),
+                    F.col("__l").alias("__lb"))
+    pad = lambda c: F.concat(F.lit(" "), c, F.lit(" "))
+    return (cands.join(ta, "id_a").join(tb, "id_b")
+            .where(pad(F.col("__nb")).contains(pad(F.col("__na")))
+                   & ((F.col("__lb") > F.col("__la"))
+                      | ((F.col("__lb") == F.col("__la"))
+                         & (F.col("id_a") < F.col("id_b")))))
+            .select("id_a", "id_b",
+                    F.col("__la").cast("int").alias("len_a"),
+                    F.col("__lb").cast("int").alias("len_b")))

@@ -2752,6 +2752,30 @@ def dedup_prefix_containment(spark, sf_dir):
 
 
 @_q(
+    "dedup_substring_containment",
+    """
+    WITH n AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS t
+      FROM documents),
+    f AS (SELECT doc_id, t, length(t) AS l FROM n
+          WHERE length(t) >= 40 AND len(string_split(t, ' ')) >= 5)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(a.l AS INT) AS len_a, CAST(b.l AS INT) AS len_b
+    FROM f a JOIN f b ON a.doc_id <> b.doc_id
+     AND contains(' ' || b.t || ' ', ' ' || a.t || ' ')
+     AND (b.l > a.l OR (b.l = a.l AND a.doc_id < b.doc_id))
+    """,
+)
+def dedup_substring_containment(spark, sf_dir):
+    """Word-aligned substring containment (excerpt/mirror dups): anchor
+    shingle equi-join for candidates, padded-contains verify — the
+    all-pairs formulation exists only as the oracle."""
+    return dedup.substring_containment_pairs(
+        _t(spark, sf_dir, "documents"))
+
+
+@_q(
     "join_interval_attribution",
     """
     SELECT p.event_id AS purchase_id,

@@ -328,3 +328,20 @@ class TestMinimalChangelog:
         got = sorted((r["k"], r["__op"]) for r in
                      minimal_changelog(cl, existing, ["k"]).collect())
         assert got == [(2, "+U"), (3, "+I"), (4, "-D")]
+
+
+class TestSubstringContainment:
+    def test_mid_document_and_word_boundary(self, spark):
+        from flink_cdc_dsql_master_spark.operators.dedup import (
+            substring_containment_pairs)
+        long = ("alpha beta gamma delta epsilon zeta eta theta iota "
+                "kappa lambda mu nu xi omicron pi rho sigma tau")
+        mid = "zeta eta theta iota kappa lambda mu"   # mid-doc excerpt
+        # same chars but crossing a word boundary -> must NOT match
+        part = "ta eta theta iota kappa lambda mu nu"
+        docs = spark.createDataFrame(
+            [(1, long), (2, mid), (3, part)], "doc_id int, text string")
+        got = sorted((r["id_a"], r["id_b"]) for r in
+                     substring_containment_pairs(
+                         docs, min_len=20).collect())
+        assert got == [(2, 1)]
