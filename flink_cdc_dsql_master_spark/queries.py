@@ -3317,6 +3317,46 @@ def text_quality_deciles(spark, sf_dir):
 
 
 @_q(
+    "rollup_incremental_maintenance",
+    """
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CASE WHEN event_type = 'click' THEN value * 2
+                          ELSE value END), 4) AS total
+    FROM events WHERE event_type <> 'error'
+    GROUP BY 1
+    """,
+)
+def rollup_incremental_maintenance(spark, sf_dir):
+    """Incremental view maintenance: an hour-grain rollup maintained
+    through TWO changelog batches — full insert load, then a batch of
+    deletes (error events) and -U/+U update pairs (click values doubled).
+    Signed partials make the maintained state exactly equal the direct
+    aggregate of the net table (the oracle); each merge shuffles only
+    rollup-grain rows."""
+    from .operators import ivm
+
+    ev = _events_table(spark, sf_dir).select(
+        F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss")
+        .alias("hour"), "event_type", "value")
+    b1 = ev.withColumn(OP_COLUMN, F.lit("+I"))
+    errs = (ev.where(F.col("event_type") == "error")
+            .withColumn(OP_COLUMN, F.lit("-D")))
+    ub = (ev.where(F.col("event_type") == "click")
+          .withColumn(OP_COLUMN, F.lit("-U")))
+    ua = (ev.where(F.col("event_type") == "click")
+          .withColumn("value", F.col("value") * 2)
+          .withColumn(OP_COLUMN, F.lit("+U")))
+    b2 = errs.unionByName(ub).unionByName(ua)
+    state = ivm.merge_rollup(None, ivm.rollup_delta(b1, ["hour"], "value"),
+                             ["hour"])
+    state = ivm.merge_rollup(state, ivm.rollup_delta(b2, ["hour"], "value"),
+                             ["hour"])
+    out = ivm.rollup_view(state)
+    return out.select("hour", "n", F.round("total", 4).alias("total"))
+
+
+@_q(
     "agg_cohort_retention",
     """
     WITH first AS (

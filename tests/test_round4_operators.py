@@ -345,3 +345,22 @@ class TestSubstringContainment:
                      substring_containment_pairs(
                          docs, min_len=20).collect())
         assert got == [(2, 1)]
+
+
+class TestIVM:
+    def test_group_vanishes_on_net_zero(self, spark):
+        from flink_cdc_dsql_master_spark.operators import ivm
+        b1 = spark.createDataFrame(
+            [("h1", 5.0, "+I"), ("h2", 7.0, "+I")],
+            "g string, value double, __op string")
+        b2 = spark.createDataFrame(
+            [("h1", 5.0, "-D"),                      # h1 nets to zero
+             ("h2", 7.0, "-U"), ("h2", 9.0, "+U")],  # h2 value updated
+            "g string, value double, __op string")
+        st = ivm.merge_rollup(None, ivm.rollup_delta(b1, ["g"], "value"),
+                              ["g"])
+        st = ivm.merge_rollup(st, ivm.rollup_delta(b2, ["g"], "value"),
+                              ["g"])
+        rows = {r["g"]: (r["n"], r["total"]) for r in
+                ivm.rollup_view(st).collect()}
+        assert rows == {"h2": (1, 9.0)}
