@@ -91,3 +91,51 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     assert keys == ["a", "b", "c"]
     # first arrival won: a kept value 1.0
     assert [r["value"] for r in rows if r["k"] == "a"] == [1.0]
+
+
+def test_streaming_rollup_maintenance(spark, tmp_path):
+    """foreachBatch-maintained rollup: signed partials folded into a
+    parquet state table per micro-batch (temp-write + atomic swap), so
+    the rollup equals the direct aggregate of the net stream after any
+    number of batches — the streaming face of operators/ivm.py."""
+    import os
+    from flink_cdc_dsql_master_spark.operators import ivm
+
+    src = str(tmp_path / "rsrc")
+    ckpt = str(tmp_path / "rckpt")
+    state_dir = str(tmp_path / "rollup.parquet")
+    schema = "g string, value double, __op string"
+
+    def fold(batch_df, batch_id):
+        try:
+            state = batch_df.sparkSession.read.parquet(state_dir)
+        except Exception:
+            state = None
+        delta = ivm.rollup_delta(batch_df, ["g"], "value")
+        new = ivm.merge_rollup(state, delta, ["g"])
+        tmp = state_dir + ".tmp"
+        new.write.mode("overwrite").parquet(tmp)
+        import shutil
+        if os.path.exists(state_dir):
+            shutil.rmtree(state_dir)
+        os.rename(tmp, state_dir)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (stream.writeStream.foreachBatch(fold)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("a", 1.0, "+I"), ("a", 2.0, "+I"), ("b", 5.0, "+I")],
+        schema).write.parquet(src)
+    run()
+    spark.createDataFrame(
+        [("a", 1.0, "-D"), ("b", 5.0, "-U"), ("b", 8.0, "+U"),
+         ("c", 3.0, "+I")], schema).write.mode("append").parquet(src)
+    run()
+
+    rows = {r["g"]: (r["n"], r["total"]) for r in
+            ivm.rollup_view(spark.read.parquet(state_dir)).collect()}
+    assert rows == {"a": (1, 2.0), "b": (1, 8.0), "c": (1, 3.0)}
