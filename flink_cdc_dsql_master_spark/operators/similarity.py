@@ -338,3 +338,46 @@ def mean_pool_embeddings(df: DataFrame, group_col: str,
                 F.array_sort(F.collect_list(F.struct("pos", "m"))),
                 lambda s: s["m"]).alias("pooled"))
             .withColumnRenamed("g", group_col))
+
+
+def quantized_rerank_topk(corpus: DataFrame, queries: DataFrame,
+                          k: int = 10, n_candidates: int = 50,
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding") -> DataFrame:
+    """Two-stage retrieval: int8-quantized coarse scan → exact rerank.
+
+    Stage 1 scores the full corpus on its int8 codes (cosine is
+    scale-invariant, so the per-vector quantization scale cancels and the
+    coarse pass reads 4× less than full-precision floats — at 100 TB the
+    quantized index is what streams off storage) and keeps
+    ``n_candidates`` per query. Stage 2 rejoins ONLY the candidates to
+    their full-precision vectors by id and reranks with exact cosine.
+
+    Every step is deterministic (round-half-up quantization, id
+    tie-breaks), so unlike PQ/IVF the whole two-stage pipeline is
+    oracle-checkable — and with n_candidates ≫ k the output matches the
+    exact brute force whenever the quantization error doesn't reorder
+    past the candidate margin.
+    """
+    if n_candidates < k:
+        raise ValueError(f"n_candidates {n_candidates} < k {k}")
+    qz = quantize_int8(corpus, vec_col=vec_col, id_col=id_col)
+    coarse_corpus = qz.select(
+        F.col(id_col),
+        F.transform("qvec", lambda x: x.cast("double")).alias(vec_col))
+    cands = cosine_topk(coarse_corpus, queries, k=n_candidates,
+                        id_col=id_col, vec_col=vec_col)
+    full = corpus.select(F.col(id_col).alias("nbr_id"),
+                         F.col(vec_col).cast("array<double>").alias("__cv"))
+    qside = queries.select(F.col(id_col).alias("query_id"),
+                           F.col(vec_col).cast("array<double>").alias("__qv"))
+    exact = (cands.select("query_id", "nbr_id")
+             .join(full, "nbr_id")
+             .join(F.broadcast(qside), "query_id")
+             .select("query_id", "nbr_id",
+                     cosine_expr(F.col("__qv"), F.col("__cv"))
+                     .alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (exact.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))
