@@ -89,8 +89,10 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
     rows = [r for _, batch in collected for r in batch]
     keys = sorted(r["k"] for r in rows)
     assert keys == ["a", "b", "c"]
-    # first arrival won: a kept value 1.0
-    assert [r["value"] for r in rows if r["k"] == "a"] == [1.0]
+    # one in-batch row for 'a' won (intra-batch pick is partition-order
+    # dependent); the batch-2 replay (4.0) was dropped by state for sure
+    a_vals = [r["value"] for r in rows if r["k"] == "a"]
+    assert len(a_vals) == 1 and a_vals[0] in (1.0, 2.0)
 
 
 def test_streaming_rollup_maintenance(spark, tmp_path):
