@@ -2939,6 +2939,98 @@ def anti_join_no_orders(spark, sf_dir):
 
 
 @_q(
+    "agg_forecast_revenue",
+    """
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+      AND l_shipdate <  TIMESTAMP '1996-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24
+    """,
+)
+def agg_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: pure filter + global aggregate. Every predicate
+    (date range, discount band, quantity cap) must reach the parquet scan
+    as a pushed filter; the aggregate is a 1-row partial-combined
+    reduction — the minimal possible plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.where((F.col("l_shipdate") >= "1995-01-01")
+                     & (F.col("l_shipdate") < "1996-01-01")
+                     & (F.col("l_discount") >= 0.05)
+                     & (F.col("l_discount") <= 0.07)
+                     & (F.col("l_quantity") < 24))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * F.col("l_discount")), 2).alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+@_q(
+    "agg_promo_revenue_share",
+    """
+    SELECT ROUND(100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                 THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+               / SUM(l_extendedprice * (1 - l_discount)), 6)
+             AS promo_pct
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1995-09-01'
+      AND l_shipdate <  TIMESTAMP '1995-10-01'
+    """,
+)
+def agg_promo_revenue_share(spark, sf_dir):
+    """TPC-H Q14 shape: conditional-share aggregate over a fact-dim
+    join. The part dimension broadcasts; both CASE branches fold into
+    one partial aggregate — one scan, zero fact shuffles."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1995-09-01")
+                 & (F.col("l_shipdate") < "1995-10-01")))
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev).otherwise(0.0)
+    return (li.join(F.broadcast(p),
+                    F.col("l_partkey") == F.col("p_partkey"))
+            .agg(F.round(100.0 * F.sum(promo) / F.sum(rev), 6)
+                 .alias("promo_pct")))
+
+
+@_q(
+    "join_disjunctive_predicates",
+    """
+    SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity >= 1 AND l_quantity <= 20)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30
+           AND l_quantity >= 10 AND l_quantity <= 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50
+           AND l_quantity >= 20 AND l_quantity <= 40)
+    """,
+)
+def join_disjunctive_predicates(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-conjunctions across both join sides.
+    Catalyst pushes the derivable single-side residuals (brand/size union
+    to the part scan, quantity envelope to the fact scan) and evaluates
+    the full disjunction as the join residual — the declarative form is
+    the point; a hand-planned union-of-three-joins would scan 3×."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+    c1 = ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+          & F.col("l_quantity").between(1, 20))
+    c2 = ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+          & F.col("l_quantity").between(10, 30))
+    c3 = ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+          & F.col("l_quantity").between(20, 40))
+    return (j.where(c1 | c2 | c3)
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue"),
+                 F.count("*").alias("n_items")))
+
+
+@_q(
     "join_unshipped_revenue",
     """
     SELECT l_orderkey,
