@@ -165,3 +165,49 @@ def mixture_resample(df: DataFrame, domain_col: str, key_col: str,
                   domain_col)
             .where(F.col("__tag") < F.col("threshold"))
             .drop("__tag", "threshold"))
+
+
+def token_budget_rates(df: DataFrame, domain_col: str, token_col: str,
+                       budget_tokens: int,
+                       temperature: float = 0.7) -> DataFrame:
+    """Per-domain keep-rates targeting a TOKEN budget instead of a row
+    count — how training mixtures are actually specified (epochs of
+    FineWeb + k passes of code ≈ N tokens, not N documents).
+
+    p_d ∝ tokens_d^temperature; rate_d = min(1, p_d·budget / tokens_d).
+    Same integer 16-bit threshold discipline as ``mixture_rates``; the
+    domain table is one aggregate, broadcast back, applied map-side.
+    Expected kept tokens ≈ budget (exact only in expectation — documents
+    are kept whole, never split)."""
+    counts = (df.groupBy(domain_col)
+              .agg(F.sum(token_col).cast("double").alias("n_tokens"),
+                   F.count("*").alias("n_docs")))
+    tot = counts.agg(
+        F.sum(F.pow(F.col("n_tokens"), temperature)).alias("z"))
+    rate = F.least(
+        F.lit(1.0),
+        F.pow(F.col("n_tokens"), temperature) / F.col("z")
+        * budget_tokens / F.col("n_tokens"))
+    return (counts.crossJoin(F.broadcast(tot))
+            .withColumn("rate", rate)
+            .withColumn("threshold",
+                        F.floor(F.col("rate") * 65536).cast("int"))
+            .drop("z"))
+
+
+def token_budget_resample(df: DataFrame, domain_col: str, key_col: str,
+                          token_col: str, budget_tokens: int,
+                          temperature: float = 0.7,
+                          salt: str = "t") -> DataFrame:
+    """Apply `token_budget_rates` as a deterministic map-side filter."""
+    rates = token_budget_rates(df, domain_col, token_col, budget_tokens,
+                               temperature)
+    tagged = df.withColumn(
+        "__tag",
+        F.conv(F.substring(hash_tag(F.col(key_col), salt), 1, 4), 16, 10)
+        .cast("int"))
+    return (tagged
+            .join(F.broadcast(rates.select(domain_col, "threshold")),
+                  domain_col)
+            .where(F.col("__tag") < F.col("threshold"))
+            .drop("__tag", "threshold"))

@@ -3424,6 +3424,45 @@ def sample_mixture_resample(spark, sf_dir):
 
 
 @_q(
+    "sample_token_budget",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_TEXT_TOKENS_SQL}) END AS BIGINT) AS n_tok
+      FROM documents),
+    counts AS (
+      SELECT source, CAST(SUM(n_tok) AS DOUBLE) AS n_tokens
+      FROM toks GROUP BY source),
+    z AS (SELECT SUM(pow(n_tokens, 0.6)) AS z FROM counts),
+    r AS (
+      SELECT source,
+             CAST(FLOOR(LEAST(1.0,
+               pow(n_tokens, 0.6) / z.z * 20000 / n_tokens) * 65536)
+               AS INT) AS threshold
+      FROM counts, z)
+    SELECT t.doc_id, t.source, t.n_tok
+    FROM toks t JOIN r USING (source)
+    WHERE ('0x' || substr(md5('t' || CAST(t.doc_id AS VARCHAR)),
+                          1, 4))::BIGINT < r.threshold
+    """,
+)
+def sample_token_budget(spark, sf_dir):
+    """Token-budget mixture sampling (τ=0.6, budget 20k tokens): domains
+    weighted by their TOKEN mass, not row count — the way training
+    mixtures are actually specified. One tiny aggregate broadcast back;
+    the keep decision is a map-side integer-hash compare."""
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", "source",
+        text.token_count(F.col("text")).cast("long").alias("n_tok"))
+    out = sampling.token_budget_resample(
+        sized, "source", "doc_id", "n_tok", budget_tokens=20000,
+        temperature=0.6, salt="t")
+    return out.select("doc_id", "source", "n_tok")
+
+
+@_q(
     "text_quality_deciles",
     """
     WITH t AS (
