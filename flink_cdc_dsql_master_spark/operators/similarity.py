@@ -381,3 +381,101 @@ def quantized_rerank_topk(corpus: DataFrame, queries: DataFrame,
         F.col("cosine").desc(), F.col("nbr_id").asc())
     return (exact.withColumn("__rk", F.row_number().over(w))
             .where(F.col("__rk") <= k).drop("__rk"))
+
+
+def train_pq_codebooks(corpus: DataFrame, m: int = 8, k: int = 16,
+                       sample_n: int = 256, iters: int = 5,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> list:
+    """Train product-quantization codebooks: split dims into ``m``
+    subspaces, k-means (``iters`` Lloyd steps) per subspace over a
+    deterministic sample (lowest ``sample_n`` ids, init = first ``k``
+    sample subvectors). Returns [m][k][dim/m] float lists.
+
+    Only the KB-sized sample is collected; training is driver-side numpy
+    in a fixed order, so codebooks are bit-stable run over run. At 100 TB
+    the sample is still KBs — PQ training cost does not scale with the
+    corpus.
+    """
+    import numpy as np
+
+    rows = (corpus.select(id_col, vec_col).where(F.col(id_col) < sample_n)
+            .orderBy(id_col).collect())
+    x = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m {m}")
+    sub = d // m
+    books = []
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        cents = xs[:k].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for c in range(k):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = xs[mask].mean(axis=0)
+        books.append([[float(v) for v in c] for c in cents])
+    return books
+
+
+def pq_encode(corpus: DataFrame, codebooks: list,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Encode vectors to (id, codes array<int>): per subspace, the index
+    of the nearest codebook centroid. Arrow mapInPandas with one numpy
+    distance matrix per (batch, subspace) — the 64-dim float vector
+    compresses to m bytes (here 8), a 32× index shrink.
+    """
+    import numpy as np
+    import pandas as pd
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    cents = [np.asarray(b, dtype=np.float64) for b in codebooks]
+
+    def enc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.asarray([list(v) for v in pdf[vec_col]],
+                           dtype=np.float64)
+            codes = np.empty((len(pdf), m), dtype=np.int32)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                d2 = ((xs[:, None, :] - cents[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"nbr_id": pdf[id_col].values,
+                                "codes": list(codes.tolist())})
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        enc, "nbr_id long, codes array<int>")
+
+
+def pq_topk(encoded: DataFrame, codebooks: list, query_vec: list,
+            k: int = 10) -> DataFrame:
+    """ADC top-k over PQ codes: the query's per-subspace distance lookup
+    tables (m×k floats, computed driver-side) are embedded as literal
+    arrays; each row's approximate squared L2 is
+    ``sum_j lut[j][code_j]`` — pure codegen arithmetic over an m-byte
+    code, no vector data touched. Output (nbr_id, approx_d2) ascending.
+    """
+    import numpy as np
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    q = np.asarray(query_vec, dtype=np.float64)
+    score = None
+    for j in range(m):
+        qs = q[j * sub:(j + 1) * sub]
+        lut = [float(((np.asarray(c) - qs) ** 2).sum())
+               for c in codebooks[j]]
+        term = F.element_at(
+            F.array(*[F.lit(v) for v in lut]),
+            F.col("codes").getItem(j) + 1)
+        score = term if score is None else score + term
+    return (encoded.select("nbr_id", score.alias("approx_d2"))
+            .orderBy(F.col("approx_d2").asc(), F.col("nbr_id").asc())
+            .limit(k))

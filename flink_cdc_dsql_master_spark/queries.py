@@ -987,6 +987,23 @@ def similarity_quantized_rerank(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
+@_q("similarity_pq_adc")  # rows-only: k-means codebooks are
+# data-dependent floats, not SQL-embeddable constants (recall and
+# determinism are pytest-verified instead)
+def similarity_pq_adc(spark, sf_dir):
+    """Product quantization ANN: 16 subspaces × 64 centroids (64-dim
+    float vector → 16-byte code, 16× index shrink); ADC scoring is a
+    per-subspace literal-LUT lookup summed in codegen — no vector data
+    is read at query time. Shortlist of 50 for the exact-rerank stage."""
+    emb = _t(spark, sf_dir, "embeddings")
+    books = similarity.train_pq_codebooks(emb, m=16, k=64, sample_n=256)
+    qv = list(emb.where(F.col("vec_id") == 0)
+              .collect()[0]["embedding"])
+    enc = similarity.pq_encode(emb, books)
+    out = similarity.pq_topk(enc, books, qv, k=50)
+    return out.withColumn("approx_d2", F.round("approx_d2", 6))
+
+
 @_q(
     "similarity_topk_numpy",
     f"""

