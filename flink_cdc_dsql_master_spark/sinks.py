@@ -353,3 +353,31 @@ def canal_json(df: DataFrame, table_id: TableId) -> DataFrame:
         F.lit(table_id.table).alias("table"),
     ), {"ignoreNullFields": "false"})
     return df.select(F.to_json(payload).alias("key"), value.alias("value"))
+
+
+def compact_parquet(spark, path: str, target_mb: int = 128) -> int:
+    """Small-file compaction: rewrite a parquet directory into
+    ceil(bytes / target_mb) files via a coalesce (narrow — no shuffle)
+    and the same temp-write + atomic-swap discipline as
+    ``merge_into_parquet``. Returns the new file count.
+
+    Streaming upsert sinks accrete a file per micro-batch; at 100 TB the
+    resulting millions of small files dominate scan planning time — a
+    periodic compaction pass is standard lakehouse hygiene (OPTIMIZE in
+    Delta terms).
+    """
+    local = path[7:] if path.startswith("file://") else path
+    total = sum(os.path.getsize(os.path.join(dp, f))
+                for dp, _, fs in os.walk(local) for f in fs
+                if f.endswith(".parquet"))
+    n = max(1, -(-total // (target_mb * 1024 * 1024)))
+    df = spark.read.parquet(local)
+    tmp = local.rstrip("/") + ".__compact_tmp__"
+    old = local.rstrip("/") + ".__compact_old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.coalesce(n).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old, ignore_errors=True)
+    return n

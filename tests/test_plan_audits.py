@@ -139,3 +139,29 @@ def test_bpe_pairs_partial_agg(spark, sf_dir):
     plan = plan_of(QUERIES["text_bpe_pairs"](spark, sf_dir))
     assert "partial_count" in plan and "partial_sum" in plan
     assert "TakeOrderedAndProject" in tree_of(plan)
+
+
+def test_forecast_revenue_full_pushdown(spark, sf_dir):
+    """Q6 shape: every predicate reaches the parquet scan; the plan is
+    scan → filter → 1-row partial agg with no exchange but the final
+    single-partition gather."""
+    plan = plan_of(QUERIES["agg_forecast_revenue"](spark, sf_dir))
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln]
+    assert pushed
+    line = pushed[0]
+    assert "l_shipdate" in line and "l_discount" in line \
+        and "l_quantity" in line
+    read_schema = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert "l_orderkey" not in read_schema[0]  # pruned
+
+
+def test_disjunctive_predicates_push_residuals(spark, sf_dir):
+    """Q19 shape: Catalyst derives single-side residuals from the OR —
+    the quantity envelope reaches the lineitem scan, brand/size reach the
+    part scan."""
+    plan = plan_of(QUERIES["join_disjunctive_predicates"](spark, sf_dir))
+    pushed = "\n".join(
+        ln for ln in plan.splitlines() if "PushedFilters" in ln)
+    assert "l_quantity" in pushed
+    assert "p_brand" in pushed or "p_size" in pushed
+    assert "BroadcastHashJoin" in plan

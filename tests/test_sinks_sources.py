@@ -309,3 +309,20 @@ def test_chunk_backfill_drops_pre_low_watermark_events(spark):
     rec = chunk_backfill_merge(snap, log, ["k"], "k", splits, wms)
     assert [(r["k"], r["v"]) for r in rec.collect()] == [(1, 999)]
     assert stream_phase_filter(log, "k", splits, wms).count() == 0
+
+
+def test_compact_parquet_reduces_files(spark, tmp_path):
+    from flink_cdc_dsql_master_spark.sinks import compact_parquet
+    path = str(tmp_path / "frag.parquet")
+    # 12 tiny files (one per write), as a per-micro-batch sink accretes
+    spark.createDataFrame([(0, "x")], "id int, v string").write.parquet(path)
+    for i in range(1, 12):
+        spark.createDataFrame([(i, "x")], "id int, v string") \
+            .write.mode("append").parquet(path)
+    before = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert before >= 12
+    n = compact_parquet(spark, path)
+    after = len([f for f in os.listdir(path) if f.endswith(".parquet")])
+    assert after == n == 1
+    got = sorted(r["id"] for r in spark.read.parquet(path).collect())
+    assert got == list(range(12))
