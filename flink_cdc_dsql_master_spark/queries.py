@@ -3550,6 +3550,78 @@ def rollup_incremental_maintenance(spark, sf_dir):
 
 
 @_q(
+    "agg_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events)
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER
+                   (PARTITION BY prev_type), 6) AS p
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    """,
+)
+def agg_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix of user event sequences:
+    lag() per user stream (one window shuffle), transition counts, and
+    row-normalized probabilities via a window over the #types²-row
+    aggregate — sequence mining without ever materializing paths."""
+    ev = _events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type",
+                    F.lag("event_type").over(w).alias("prev_type"))
+    counts = (seq.where(F.col("prev_type").isNotNull())
+              .groupBy("prev_type",
+                       F.col("event_type").alias("next_type"))
+              .agg(F.count("*").alias("n")))
+    tot = Window.partitionBy("prev_type")
+    return counts.withColumn(
+        "p", F.round(F.col("n") / F.sum("n").over(tot), 6))
+
+
+@_q(
+    "profile_table_stats",
+    """
+    SELECT 'o_custkey' AS col, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT) AS n_null,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_distinct,
+           CAST(MIN(o_custkey) AS VARCHAR) AS min_v,
+           CAST(MAX(o_custkey) AS VARCHAR) AS max_v
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           CAST(MIN(o_orderpriority) AS VARCHAR),
+           CAST(MAX(o_orderpriority) AS VARCHAR)
+    FROM orders
+    UNION ALL
+    SELECT 'o_totalprice', CAST(COUNT(*) AS BIGINT),
+           CAST(COUNT(*) - COUNT(o_totalprice) AS BIGINT),
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT),
+           CAST(MIN(o_totalprice) AS VARCHAR),
+           CAST(MAX(o_totalprice) AS VARCHAR)
+    FROM orders
+    """,
+)
+def profile_table_stats(spark, sf_dir):
+    """Dataset profiling: per-column (count, nulls, exact distinct,
+    min/max) in ONE scan — all column aggregates fold into a single
+    partial-aggregated reduction, then unpivot to the profile rows. The
+    100 TB variant swaps exact distinct for approx_count_distinct
+    (mergeable HLL — same plan, no distinct expand)."""
+    from .operators.profile import profile_columns
+
+    o = _t(spark, sf_dir, "orders")
+    return profile_columns(
+        o, ["o_custkey", "o_orderpriority", "o_totalprice"])
+
+
+@_q(
     "agg_cohort_retention",
     """
     WITH first AS (
