@@ -192,3 +192,36 @@ def minimal_changelog(df: DataFrame, existing_keys: DataFrame,
                .when(is_present, OP_UPDATE_AFTER)
                .otherwise(OP_INSERT)))
     return out.drop("__exists")
+
+
+def scd2_apply_increment(history: DataFrame | None, batch: DataFrame,
+                         primary_keys: list[str],
+                         seq_col: str | None = None) -> DataFrame:
+    """Fold one changelog batch into an existing SCD2 history.
+
+    Open versions of keys appearing in the batch are closed at the key's
+    first batch sequence; the batch's own versions append via
+    :func:`scd2_history`. Applying a changelog in any batch partitioning
+    yields the identical history to one-shot ``scd2_history`` (the
+    incremental-maintenance invariant, pytest-enforced).
+
+    Cost per batch: the batch's own LWW-window shuffle + ONE key join
+    against the history — never a history rescan-and-rebuild.
+    """
+    seq = seq_col or SEQ_COLUMN
+    inc = scd2_history(batch, primary_keys, seq_col)
+    if history is None:
+        return inc
+    firsts = batch.groupBy(*primary_keys).agg(
+        F.min(F.col(seq)).cast("long").alias("__first_seq"))
+    touched = F.col("__first_seq").isNotNull()
+    closed = (history.join(firsts, primary_keys, "left")
+              .withColumn(
+                  "valid_to_seq",
+                  F.when(F.col("is_current") & touched,
+                         F.col("__first_seq"))
+                  .otherwise(F.col("valid_to_seq")))
+              .withColumn("is_current",
+                          F.col("is_current") & ~touched)
+              .drop("__first_seq"))
+    return closed.unionByName(inc)

@@ -364,3 +364,24 @@ class TestIVM:
         rows = {r["g"]: (r["n"], r["total"]) for r in
                 ivm.rollup_view(st).collect()}
         assert rows == {"h2": (1, 9.0)}
+
+
+class TestSCD2Incremental:
+    def test_two_batch_equals_one_shot(self, spark):
+        from flink_cdc_dsql_master_spark.partitioning import (
+            scd2_apply_increment, scd2_history)
+        rows = [(1, "v1", 10, "+I"), (1, "v2", 12, "+U"),
+                (2, "w1", 11, "+I"), (1, None, 14, "-D"),
+                (1, "v3", 16, "+I"), (2, "w2", 15, "+U"),
+                (3, "x1", 17, "+I")]
+        schema = "k int, val string, __seq long, __op string"
+        full = spark.createDataFrame(rows, schema)
+        b1 = spark.createDataFrame(rows[:3], schema)
+        b2 = spark.createDataFrame(rows[3:], schema)
+        one_shot = scd2_history(full, ["k"])
+        inc = scd2_apply_increment(None, b1, ["k"])
+        inc = scd2_apply_increment(inc, b2, ["k"])
+        key = lambda df: sorted(
+            (r["k"], r["val"], r["valid_from_seq"], r["valid_to_seq"],
+             r["is_current"]) for r in df.collect())
+        assert key(inc) == key(one_shot)
