@@ -141,3 +141,52 @@ def test_streaming_rollup_maintenance(spark, tmp_path):
     rows = {r["g"]: (r["n"], r["total"]) for r in
             ivm.rollup_view(spark.read.parquet(state_dir)).collect()}
     assert rows == {"a": (1, 2.0), "b": (1, 8.0), "c": (1, 3.0)}
+
+
+def test_streaming_scd2_maintenance(spark, tmp_path):
+    """SCD2 history folded per micro-batch via scd2_apply_increment:
+    after two checkpointed availableNow runs the parquet history equals
+    the one-shot scd2_history of the full changelog."""
+    import os
+    import shutil
+    from flink_cdc_dsql_master_spark.partitioning import (
+        scd2_apply_increment, scd2_history)
+
+    src = str(tmp_path / "ssrc2")
+    ckpt = str(tmp_path / "sckpt2")
+    hist_dir = str(tmp_path / "hist.parquet")
+    schema = "k int, val string, __seq long, __op string"
+    rows1 = [(1, "v1", 10, "+I"), (2, "w1", 11, "+I"), (1, "v2", 12, "+U")]
+    rows2 = [(1, None, 14, "-D"), (1, "v3", 16, "+I"), (3, "x1", 17, "+I")]
+
+    def fold(batch_df, batch_id):
+        try:
+            hist = batch_df.sparkSession.read.parquet(hist_dir)
+        except Exception:
+            hist = None
+        new = scd2_apply_increment(hist, batch_df, ["k"])
+        tmp = hist_dir + ".tmp"
+        new.write.mode("overwrite").parquet(tmp)
+        if os.path.exists(hist_dir):
+            shutil.rmtree(hist_dir)
+        os.rename(tmp, hist_dir)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (stream.writeStream.foreachBatch(fold)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(rows1, schema).write.parquet(src)
+    run()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    run()
+
+    key = lambda df: sorted(
+        (r["k"], r["val"], r["valid_from_seq"], r["valid_to_seq"],
+         r["is_current"]) for r in df.collect())
+    got = key(spark.read.parquet(hist_dir))
+    want = key(scd2_history(
+        spark.createDataFrame(rows1 + rows2, schema), ["k"]))
+    assert got == want and len(got) == 5
