@@ -3130,6 +3130,72 @@ def join_returned_customers(spark, sf_dir):
 
 
 @_q(
+    "join_top_supplier_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(l_extendedprice * (1 - l_discount)) AS total
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate <  TIMESTAMP '1996-04-01'
+      GROUP BY l_suppkey)
+    SELECT s_suppkey, s_name, ROUND(total, 2) AS total_revenue
+    FROM supplier JOIN rev ON s_suppkey = l_suppkey
+    WHERE total = (SELECT MAX(total) FROM rev)
+    """,
+)
+def join_top_supplier_revenue(spark, sf_dir):
+    """TPC-H Q15 shape: quarterly revenue view + scalar-max subquery over
+    the SAME derived view (self-referencing aggregate). The view
+    aggregates once; the max is a 1-row broadcast; double equality is
+    safe because both sides fold the identical partial-sum tree."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1996-04-01")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.sum(F.col("l_extendedprice")
+                      * (1 - F.col("l_discount"))).alias("total")))
+    mx = rev.agg(F.max("total").alias("mx"))
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (rev.crossJoin(F.broadcast(mx))
+            .where(F.col("total") == F.col("mx"))
+            .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+            .select("s_suppkey", "s_name",
+                    F.round("total", 2).alias("total_revenue")))
+
+
+@_q(
+    "join_large_volume_orders",
+    """
+    SELECT c_custkey, o_orderkey, ROUND(o_totalprice, 2) AS totalprice,
+           ROUND(qty, 2) AS qty
+    FROM (SELECT l_orderkey, SUM(l_quantity) AS qty
+          FROM lineitem GROUP BY l_orderkey
+          HAVING SUM(l_quantity) > 180) big
+    JOIN orders   ON o_orderkey = l_orderkey
+    JOIN customer ON c_custkey = o_custkey
+    """,
+)
+def join_large_volume_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING-filtered fact aggregate joined back to
+    its dimensions. The aggregate + filter runs FIRST (orders of
+    magnitude fewer rows cross the joins); both joins are broadcast at
+    this selectivity and flip declaratively to shuffle joins at scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("qty"))
+           .where(F.col("qty") > 180))
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    return (big.join(o, big["l_orderkey"] == o["o_orderkey"])
+            .join(c, o["o_custkey"] == c["c_custkey"])
+            .select("c_custkey", "o_orderkey",
+                    F.round("o_totalprice", 2).alias("totalprice"),
+                    F.round("qty", 2).alias("qty")))
+
+
+@_q(
     "join_waiting_suppliers",
     """
     WITH li AS (
