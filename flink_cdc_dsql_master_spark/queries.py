@@ -60,6 +60,8 @@ BENCH_QUERIES = [
     "sample_weighted_es",
     "text_bm25_search",
     "chunk_backfill_reconcile",
+    "similarity_quantized_rerank",
+    "rollup_incremental_maintenance",
 ]
 
 
