@@ -289,7 +289,13 @@ class ChunkWatermarks:
 def chunk_id_expr(key: str, splits: list[SnapshotSplit]):
     """Map a key to its chunk id — a pure CASE projection (codegen, no
     shuffle, no join): splits are ordered half-open ranges, so the first
-    ``key < end`` match wins."""
+    ``key < end`` match wins.
+
+    Sized for the backfill phase's chunk counts (hundreds to a few
+    thousand — the reference's default chunk.size 8096 over a snapshot
+    wave); beyond ~10k splits a CASE chain stresses Catalyst and the
+    right formulation is a broadcast range join against the bounds
+    table instead."""
     k = F.col(key)
     out = None
     for s in splits[:-1]:
