@@ -9,7 +9,7 @@ formulas are deliberately simple closed-form expressions over the text.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 # marker stopwords per language — a tiny n-gram/stopword heuristic
 # (real systems swap in fastText; the *Spark shape* — score per language,
@@ -420,3 +420,48 @@ def inverted_index(df: DataFrame, id_col: str = "doc_id",
         F.sort_array(F.collect_list("doc_id")).alias("postings"))
     return idx.where((F.col("df_t") >= min_df)
                      & (F.col("df_t") <= max_df_ratio * n_docs))
+
+
+def inverted_index_delta(changelog: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         seq_col: str = "__seq",
+                         op_col: str = "__op") -> DataFrame:
+    """One changelog batch's posting deltas: (term, doc_id, seq, sign)
+    with sign +1 for terms of entering images (+I/+U) and -1 for terms
+    of leaving images (-D/-U before-images carrying the old text). The
+    delta is distinct-terms-per-doc grain — never the token stream."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    sign = (F.when(F.col(op_col).isin("+I", "+U"), 1)
+            .when(F.col(op_col).isin("-D", "-U"), -1).otherwise(0))
+    return (changelog.where(F.trim(F.col(text_col)) != "")
+            .select(F.col(id_col).alias("doc_id"),
+                    F.col(seq_col).cast("long").alias("seq"),
+                    sign.alias("sign"),
+                    F.explode(F.array_distinct(toks)).alias("term")))
+
+
+def merge_posting_state(state: DataFrame | None,
+                        delta: DataFrame) -> DataFrame:
+    """Fold posting deltas into the (term, doc_id) presence state: the
+    LATEST event per (term, doc) wins (LWW on seq; at equal seq a
+    negative sign — the -U of a -U/+U pair — loses to the +U). Rows
+    whose winning sign is negative stay in state as tombstones are NOT
+    needed: they are dropped, since any later re-add carries a higher
+    seq. State is (term, doc_id, seq) — key-grain, mergeable, and
+    shuffled only at delta size + touched keys."""
+    merged = delta if state is None else state.unionByName(delta)
+    w = Window.partitionBy("term", "doc_id").orderBy(
+        F.col("seq").desc(), F.col("sign").desc())
+    return (merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn")
+            .where(F.col("sign") > 0))
+
+
+def posting_state_view(state: DataFrame) -> DataFrame:
+    """Materialize the maintained state as the user-facing inverted
+    index (term, df_t, postings ascending) — identical to running
+    :func:`inverted_index` over the net document set (the maintenance
+    invariant, pytest-enforced)."""
+    return state.groupBy("term").agg(
+        F.count("*").alias("df_t"),
+        F.sort_array(F.collect_list("doc_id")).alias("postings"))

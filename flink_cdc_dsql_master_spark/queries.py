@@ -4088,6 +4088,66 @@ def text_inverted_index(spark, sf_dir):
 
 
 @_q(
+    "text_inverted_index_incremental",
+    """
+    WITH net AS (
+      SELECT doc_id, CASE WHEN doc_id % 7 = 0 THEN text || ' extraterm'
+                          ELSE text END AS text
+      FROM documents WHERE doc_id % 13 <> 0),
+    posts AS (
+      SELECT DISTINCT doc_id,
+             unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM net WHERE trim(text) <> ''),
+    idx AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df_t,
+             list_sort(list(doc_id)) AS postings
+      FROM posts GROUP BY term)
+    SELECT term, df_t,
+           array_to_string(list_transform(postings,
+             x -> CAST(x AS VARCHAR)), ',') AS postings
+    FROM idx
+    """,
+)
+def text_inverted_index_incremental(spark, sf_dir):
+    """CDC → search-index sync: the inverted index maintained through a
+    changelog (full insert load, then -U/+U text updates for every 7th
+    doc and deletes for every 13th) must hash-equal a from-scratch
+    rebuild over the net document set — the oracle IS that rebuild.
+    Signed posting deltas at (term, doc) grain; merges shuffle only
+    delta + touched keys."""
+    from .operators.text import (inverted_index_delta,
+                                 merge_posting_state, posting_state_view)
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    b1 = (docs.withColumn(SEQ_COLUMN, F.lit(1).cast("long"))
+          .withColumn(OP_COLUMN, F.lit("+I")))
+    upd = docs.where(F.col("doc_id") % 7 == 0)
+    ub = (upd.withColumn(SEQ_COLUMN, F.lit(2).cast("long"))
+          .withColumn(OP_COLUMN, F.lit("-U")))
+    ua = (upd.withColumn("text", F.concat("text", F.lit(" extraterm")))
+          .withColumn(SEQ_COLUMN, F.lit(2).cast("long"))
+          .withColumn(OP_COLUMN, F.lit("+U")))
+    # a CDC delete carries the CURRENT image — docs updated at seq 2
+    # are deleted with their post-update text
+    dels = (docs.where(F.col("doc_id") % 13 == 0)
+            .withColumn("text",
+                        F.when(F.col("doc_id") % 7 == 0,
+                               F.concat("text", F.lit(" extraterm")))
+                        .otherwise(F.col("text")))
+            .withColumn(SEQ_COLUMN, F.lit(3).cast("long"))
+            .withColumn(OP_COLUMN, F.lit("-D")))
+    b2 = ub.unionByName(ua).unionByName(dels)
+    st = merge_posting_state(None, inverted_index_delta(b1))
+    st = merge_posting_state(st, inverted_index_delta(b2))
+    out = posting_state_view(st)
+    return out.select(
+        "term", "df_t",
+        F.array_join(F.transform("postings",
+                                 lambda x: x.cast("string")), ",")
+        .alias("postings"))
+
+
+@_q(
     "dedup_incremental",
     """
     WITH norm AS (

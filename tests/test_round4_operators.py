@@ -385,3 +385,32 @@ class TestSCD2Incremental:
             (r["k"], r["val"], r["valid_from_seq"], r["valid_to_seq"],
              r["is_current"]) for r in df.collect())
         assert key(inc) == key(one_shot)
+
+
+class TestIncrementalInvertedIndex:
+    def test_two_batch_equals_rebuild(self, spark):
+        from flink_cdc_dsql_master_spark.operators.text import (
+            inverted_index, inverted_index_delta, merge_posting_state,
+            posting_state_view)
+        schema = "doc_id int, text string, __seq long, __op string"
+        b1 = spark.createDataFrame(
+            [(1, "apple banana", 10, "+I"),
+             (2, "banana cherry", 11, "+I")], schema)
+        # update doc 1 (old terms retract, new add) and delete doc 2
+        b2 = spark.createDataFrame(
+            [(1, "apple banana", 12, "-U"),
+             (1, "apple date", 12, "+U"),
+             (2, "banana cherry", 13, "-D"),
+             (3, "banana", 14, "+I")], schema)
+        st = merge_posting_state(None, inverted_index_delta(b1))
+        st = merge_posting_state(st, inverted_index_delta(b2))
+        got = {r["term"]: (r["df_t"], list(r["postings"])) for r in
+               posting_state_view(st).collect()}
+        # net docs: 1 -> "apple date", 3 -> "banana"
+        net = spark.createDataFrame(
+            [(1, "apple date"), (3, "banana")], "doc_id int, text string")
+        want = {r["term"]: (r["df_t"], list(r["postings"])) for r in
+                inverted_index(net).collect()}
+        assert got == want
+        assert got == {"apple": (1, [1]), "date": (1, [1]),
+                       "banana": (1, [3])}
