@@ -479,3 +479,31 @@ def pq_topk(encoded: DataFrame, codebooks: list, query_vec: list,
     return (encoded.select("nbr_id", score.alias("approx_d2"))
             .orderBy(F.col("approx_d2").asc(), F.col("nbr_id").asc())
             .limit(k))
+
+
+def bucket_membership_delta(changelog: DataFrame, bits: int = 8,
+                            seed: int = 42, id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            seq_col: str = "__seq",
+                            op_col: str = "__op") -> DataFrame:
+    """One embedding-changelog batch's ANN-bucket deltas:
+    (bucket, vec_id, seq, sign) — +1 for entering images, -1 for leaving
+    ones; the bucket is the seeded hyperplane LSH cell of the image's
+    vector, so an update whose vector moved emits a retraction from the
+    old cell and an insertion into the new one."""
+    sign = (F.when(F.col(op_col).isin("+I", "+U"), 1)
+            .when(F.col(op_col).isin("-D", "-U"), -1).otherwise(0))
+    return changelog.select(
+        random_hyperplane_bucket(F.col(vec_col), bits, seed).alias("bucket"),
+        F.col(id_col).alias("vec_id"),
+        F.col(seq_col).cast("long").alias("seq"),
+        sign.alias("sign"))
+
+
+def bucket_membership_view(state: DataFrame) -> DataFrame:
+    """Maintained state → per-bucket (n_vectors, members ascending) —
+    identical to bucketing the net vector set from scratch (the
+    maintenance invariant; hash-checked against the SQL rebuild)."""
+    return state.groupBy("bucket").agg(
+        F.count("*").alias("n_vectors"),
+        F.sort_array(F.collect_list("vec_id")).alias("members"))

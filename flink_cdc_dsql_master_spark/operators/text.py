@@ -449,12 +449,9 @@ def merge_posting_state(state: DataFrame | None,
     needed: they are dropped, since any later re-add carries a higher
     seq. State is (term, doc_id, seq) — key-grain, mergeable, and
     shuffled only at delta size + touched keys."""
-    merged = delta if state is None else state.unionByName(delta)
-    w = Window.partitionBy("term", "doc_id").orderBy(
-        F.col("seq").desc(), F.col("sign").desc())
-    return (merged.withColumn("__rn", F.row_number().over(w))
-            .where(F.col("__rn") == 1).drop("__rn")
-            .where(F.col("sign") > 0))
+    from ..partitioning import merge_presence_state
+
+    return merge_presence_state(state, delta, ["term", "doc_id"])
 
 
 def posting_state_view(state: DataFrame) -> DataFrame:

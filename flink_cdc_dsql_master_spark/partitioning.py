@@ -225,3 +225,20 @@ def scd2_apply_increment(history: DataFrame | None, batch: DataFrame,
                           F.col("is_current") & ~touched)
               .drop("__first_seq"))
     return closed.unionByName(inc)
+
+
+def merge_presence_state(state: DataFrame | None, delta: DataFrame,
+                         keys: list[str]) -> DataFrame:
+    """Fold signed presence deltas (rows carrying ``seq`` long and
+    ``sign`` ±1) into a keyed membership state: latest event per key
+    wins (LWW on seq; at equal seq the positive sign wins, so a -U/+U
+    image pair nets to presence), and keys whose winning sign is
+    negative drop out — no tombstones, since any later re-add carries a
+    higher seq. The index-maintenance primitive shared by the inverted
+    index (term, doc) and ANN bucket (bucket, vec) sync paths."""
+    merged = delta if state is None else state.unionByName(delta)
+    w = Window.partitionBy(*[F.col(k) for k in keys]).orderBy(
+        F.col("seq").desc(), F.col("sign").desc())
+    return (merged.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn")
+            .where(F.col("sign") > 0))

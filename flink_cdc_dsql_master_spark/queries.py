@@ -901,6 +901,66 @@ def dedup_embedding_cosine(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
+@_q(
+    "embedding_index_incremental",
+    f"""
+    WITH net AS (
+      SELECT vec_id,
+             CASE WHEN vec_id % 5 = 0
+                  THEN list_transform(embedding, x -> -x)
+                  ELSE embedding END AS embedding
+      FROM embeddings WHERE vec_id % 11 <> 0),
+    assigned AS (
+      SELECT vec_id,
+             {_hyperplane_bucket_sql('embedding', 8, 42)} AS bucket
+      FROM net)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           array_to_string(list_transform(list_sort(list(vec_id)),
+             x -> CAST(x AS VARCHAR)), ',') AS members
+    FROM assigned GROUP BY bucket
+    """,
+)
+def embedding_index_incremental(spark, sf_dir):
+    """CDC → ANN-index sync: hyperplane-LSH bucket membership maintained
+    through an embedding changelog (insert load; every 5th vector
+    updated to its negation — which moves it to the complementary
+    bucket, exercising cross-cell moves; every 11th deleted with its
+    current image). Must hash-equal bucketing the net vector set from
+    scratch — the oracle IS that rebuild with the same seeded planes as
+    SQL literals."""
+    from .operators.similarity import (bucket_membership_delta,
+                                       bucket_membership_view)
+    from .partitioning import merge_presence_state
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    neg = F.transform("embedding", lambda x: -x)
+    b1 = (emb.withColumn(SEQ_COLUMN, F.lit(1).cast("long"))
+          .withColumn(OP_COLUMN, F.lit("+I")))
+    upd = emb.where(F.col("vec_id") % 5 == 0)
+    ub = (upd.withColumn(SEQ_COLUMN, F.lit(2).cast("long"))
+          .withColumn(OP_COLUMN, F.lit("-U")))
+    ua = (upd.withColumn("embedding", neg)
+          .withColumn(SEQ_COLUMN, F.lit(2).cast("long"))
+          .withColumn(OP_COLUMN, F.lit("+U")))
+    dels = (emb.where(F.col("vec_id") % 11 == 0)
+            .withColumn("embedding",
+                        F.when(F.col("vec_id") % 5 == 0, neg)
+                        .otherwise(F.col("embedding")))
+            .withColumn(SEQ_COLUMN, F.lit(3).cast("long"))
+            .withColumn(OP_COLUMN, F.lit("-D")))
+    b2 = ub.unionByName(ua).unionByName(dels)
+    st = merge_presence_state(
+        None, bucket_membership_delta(b1), ["bucket", "vec_id"])
+    st = merge_presence_state(
+        st, bucket_membership_delta(b2), ["bucket", "vec_id"])
+    out = bucket_membership_view(st)
+    return out.select(
+        "bucket", "n_vectors",
+        F.array_join(F.transform("members",
+                                 lambda x: x.cast("string")), ",")
+        .alias("members"))
+
+
 _COS_SQL = _cos_pair_sql("e.embedding", "q.qv")
 
 
