@@ -414,3 +414,26 @@ class TestIncrementalInvertedIndex:
         assert got == want
         assert got == {"apple": (1, [1]), "date": (1, [1]),
                        "banana": (1, [3])}
+
+
+class TestForgetUserCascade:
+    def test_purge_user_retracts_rollups(self, spark):
+        """Right-to-be-forgotten: purging one user emits delete events
+        for every fact row, and the signed-partial rollup retracts
+        exactly that user's contribution — equal to re-aggregating the
+        surviving facts (no history rescan in the maintained path)."""
+        from flink_cdc_dsql_master_spark.operators import ivm
+        facts = spark.createDataFrame(
+            [(1, "h1", 2.0), (1, "h2", 3.0), (2, "h1", 5.0),
+             (3, "h2", 7.0)], "user int, g string, value double")
+        b1 = facts.withColumn("__op", F.lit("+I"))
+        st = ivm.merge_rollup(None, ivm.rollup_delta(b1, ["g"], "value"),
+                              ["g"])
+        # purge user 1: the deletion changelog is the user's fact rows
+        purge = (facts.where(F.col("user") == 1)
+                 .withColumn("__op", F.lit("-D")))
+        st = ivm.merge_rollup(st, ivm.rollup_delta(purge, ["g"], "value"),
+                              ["g"])
+        got = {r["g"]: (r["n"], r["total"]) for r in
+               ivm.rollup_view(st).collect()}
+        assert got == {"h1": (1, 5.0), "h2": (1, 7.0)}
