@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def salted_join(left: DataFrame, right: DataFrame,
@@ -134,3 +134,69 @@ def interval_join(left: DataFrame, right: DataFrame,
         cond = cond & (le[lc] == ri[rc])
     cond = cond & (rm2 >= lm2 + lo_us) & (rm2 <= lm2 + up_us)
     return le.join(ri, cond, "inner").drop("__lb", "__rb")
+
+
+def fuzzy_trigram_join(left: DataFrame, right: DataFrame,
+                       left_key: str, right_key: str,
+                       left_text: str, right_text: str,
+                       threshold: float = 0.5) -> DataFrame:
+    """Fuzzy entity-matching join: pairs whose normalized strings have
+    character-trigram Jaccard similarity >= threshold.
+
+    Candidate generation uses the AllPairs/PPJoin PREFIX FILTER
+    (Bayardo et al., WWW'07): each row's trigrams are ordered by global
+    ascending frequency and only the first ``|s| - ceil(t*|s|) + 1``
+    (the prefix) are exploded into the candidate equi-join — provably
+    complete for Jaccard >= t, and the frequent "stopword" grams that
+    would otherwise connect everything to everything land OUTSIDE the
+    prefix, so candidate volume tracks the rare-gram tail instead of the
+    cross product (naive shared-trigram blocking degenerates to
+    all-pairs on entity-name data where every row shares digit grams).
+    Exact Jaccard verifies each distinct candidate pair.
+
+    Cost: one gram-frequency aggregate (broadcast), one per-row window
+    to rank grams, the prefix-gram equi-join, and the verify join —
+    every shuffle is O(prefix grams) or O(candidates).
+    """
+
+    def grams(c):
+        norm = F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+        chars = F.split(norm, "")
+        n = F.greatest(F.size(chars) - F.lit(3), F.lit(1))
+        return F.array_distinct(F.transform(
+            F.sequence(F.lit(0), n - 1),
+            lambda i: F.concat_ws("", F.slice(chars, i + 1, 3))))
+
+    a = left.select(F.col(left_key).alias("id_a"),
+                    grams(F.col(left_text)).alias("__ga"))
+    b = right.select(F.col(right_key).alias("id_b"),
+                     grams(F.col(right_text)).alias("__gb"))
+    ea = a.select("id_a", F.explode("__ga").alias("__g"))
+    eb = b.select("id_b", F.explode("__gb").alias("__g"))
+    gf = (ea.select("__g").unionAll(eb.select("__g"))
+          .groupBy("__g").agg(F.count("*").alias("__gf")))
+
+    def prefix(exploded, idc):
+        w = Window.partitionBy(idc).orderBy("__gf", "__g")
+        n = Window.partitionBy(idc)
+        return (exploded.join(F.broadcast(gf), "__g")
+                .withColumn("__rn", F.row_number().over(w))
+                .withColumn("__n", F.count("*").over(n))
+                .where(F.col("__rn")
+                       <= F.col("__n")
+                       - F.ceil(F.lit(threshold) * F.col("__n")) + 1)
+                .select(idc, "__g"))
+
+    cands = (prefix(ea, "id_a").join(prefix(eb, "id_b"), "__g")
+             .select("id_a", "id_b").distinct())
+    sized = (cands.join(a, "id_a").join(b, "id_b")
+             .withColumn("__inter",
+                         F.size(F.array_intersect("__ga", "__gb")))
+             .withColumn("__union",
+                         F.size("__ga") + F.size("__gb")
+                         - F.col("__inter")))
+    return (sized
+            .withColumn("similarity",
+                        F.col("__inter") / F.col("__union"))
+            .where(F.col("similarity") >= threshold)
+            .select("id_a", "id_b", "similarity"))

@@ -3258,6 +3258,48 @@ def join_large_volume_orders(spark, sf_dir):
 
 
 @_q(
+    "join_fuzzy_names",
+    """
+    WITH a AS (
+      SELECT c_custkey AS id_a,
+        list_distinct(list_transform(
+          range(1, GREATEST(length(trim(regexp_replace(lower(c_name),
+            '\\s+', ' ', 'g'))) - 3, 1) + 1),
+          i -> substr(trim(regexp_replace(lower(c_name),
+            '\\s+', ' ', 'g')), i, 3))) AS ga
+      FROM customer),
+    b AS (
+      SELECT s_suppkey AS id_b,
+        list_distinct(list_transform(
+          range(1, GREATEST(length(trim(regexp_replace(lower(s_name),
+            '\\s+', ' ', 'g'))) - 3, 1) + 1),
+          i -> substr(trim(regexp_replace(lower(s_name),
+            '\\s+', ' ', 'g')), i, 3))) AS gb
+      FROM supplier)
+    SELECT id_a, id_b, ROUND(sim, 6) AS similarity FROM (
+      SELECT id_a, id_b,
+             len(list_intersect(ga, gb)) * 1.0
+               / (len(ga) + len(gb) - len(list_intersect(ga, gb))) AS sim
+      FROM a, b)
+    WHERE sim >= 0.28
+    """,
+)
+def join_fuzzy_names(spark, sf_dir):
+    """Fuzzy entity matching (customer ↔ supplier names) at trigram
+    Jaccard ≥ 0.28 via the AllPairs prefix filter — frequency-ordered
+    gram prefixes generate candidates (provably complete, prunes the
+    stopword grams that make naive blocking all-pairs); the DuckDB
+    oracle is the all-pairs formulation."""
+    from .operators.joins import fuzzy_trigram_join
+
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    out = fuzzy_trigram_join(c, s, "c_custkey", "s_suppkey",
+                             "c_name", "s_name", threshold=0.28)
+    return out.withColumn("similarity", F.round("similarity", 6))
+
+
+@_q(
     "join_waiting_suppliers",
     """
     WITH li AS (

@@ -437,3 +437,24 @@ class TestForgetUserCascade:
         got = {r["g"]: (r["n"], r["total"]) for r in
                ivm.rollup_view(st).collect()}
         assert got == {"h1": (1, 5.0), "h2": (1, 7.0)}
+
+
+class TestFuzzyTrigramJoin:
+    def test_prefix_filter_complete_with_frequent_grams(self, spark):
+        """Every row shares the frequent 'aaaa' block; the matching pair
+        differs only in a rare tail. The prefix filter must still find
+        the qualifying pair (completeness) and exclude dissimilar ones."""
+        from flink_cdc_dsql_master_spark.operators.joins import (
+            fuzzy_trigram_join)
+        left = spark.createDataFrame(
+            [(1, "aaaaaa corp xyz"), (2, "aaaaaa totally other")],
+            "id int, name string")
+        right = spark.createDataFrame(
+            [(10, "aaaaaa corp xyw"), (11, "aaaaaa different ltd")],
+            "id int, name string")
+        got = {(r["id_a"], r["id_b"]): r["similarity"] for r in
+               fuzzy_trigram_join(left, right, "id", "id",
+                                  "name", "name", 0.5).collect()}
+        assert (1, 10) in got and got[(1, 10)] >= 0.5
+        assert all(k == (1, 10) or v >= 0.5 for k, v in got.items())
+        assert (2, 11) not in got
