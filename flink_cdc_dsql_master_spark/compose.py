@@ -155,6 +155,35 @@ class BatchComposer:
                 parallel=False)  # duckdb: single writer
             writer.ensure_table()
             writer.write_batch(df)
+        elif sink.type == "scd2-parquet":
+            from .partitioning import scd2_apply_increment
+            from .sinks import swap_parquet_dir
+
+            base = sink.config["path"]
+            path = f"{base}/{sink_tid.table}"
+            try:
+                hist = self.spark.read.parquet(path)
+            except Exception:
+                hist = None
+            new = scd2_apply_increment(hist, df,
+                                       list(schema.primary_keys))
+            swap_parquet_dir(new, path)
+        elif sink.type == "rollup-parquet":
+            from .operators import ivm
+            from .sinks import swap_parquet_dir
+
+            base = sink.config["path"]
+            path = f"{base}/{sink_tid.table}"
+            group_cols = [c.strip() for c in
+                          sink.config["group-columns"].split(",")]
+            value_col = sink.config["value-column"]
+            try:
+                state = self.spark.read.parquet(path)
+            except Exception:
+                state = None
+            delta = ivm.rollup_delta(df, group_cols, value_col)
+            swap_parquet_dir(ivm.merge_rollup(state, delta, group_cols),
+                             path)
         else:
             raise ValueError(f"unsupported sink type {sink.type!r}")
 

@@ -381,3 +381,21 @@ def compact_parquet(spark, path: str, target_mb: int = 128) -> int:
     os.rename(tmp, local)
     shutil.rmtree(old, ignore_errors=True)
     return n
+
+
+def swap_parquet_dir(df: DataFrame, path: str) -> None:
+    """Write ``df`` to ``path`` crash-safely: temp-dir write then
+    directory renames (the same discipline as ``merge_into_parquet`` —
+    the lazy plan can read the current ``path`` while building, since
+    the target is only swapped after the new table is fully
+    materialized)."""
+    local = path[7:] if path.startswith("file://") else path
+    tmp = local.rstrip("/") + ".__swap_tmp__"
+    old = local.rstrip("/") + ".__swap_old__"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(local):
+        os.rename(local, old)
+    os.rename(tmp, local)
+    shutil.rmtree(old, ignore_errors=True)

@@ -170,3 +170,41 @@ def test_yaml_to_parquet_merge_e2e(spark, tmp_path):
     got = sorted((r["id"], r["name"], r["age"]) for r in
                  spark.read.parquet(f"{base}/people").collect())
     assert got == [(1, "Alice", 18), (2, "Bob", 30)]
+
+
+def test_scd2_and_rollup_parquet_sinks(spark, tmp_path):
+    """YAML-reachable history/rollup sinks: two composer runs fold each
+    batch into the parquet state (SCD2 versions close across runs; the
+    rollup retracts the update's before-image)."""
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    s = Schema.of([("id", "INT NOT NULL"), ("v", "DOUBLE")],
+                  primary_keys=["id"])
+    tid = "db.s.m"
+
+    def run(script, sink_type, extra):
+        pipe = PipelineDef(
+            source=SourceDef("values", {"script": script}),
+            sink=SinkDef(sink_type, {"path": str(tmp_path / sink_type),
+                                     **extra}),
+        )
+        BatchComposer(spark, pipe).run()
+
+    b1 = EventScript().create_table(tid, s).insert(tid, (1, 5.0), (2, 7.0))
+    b2 = (EventScript().create_table(tid, s)
+          .update(tid, (1, 5.0), (1, 9.0)).delete(tid, (2, 7.0)))
+    for sink_type, extra in (
+            ("scd2-parquet", {}),
+            ("rollup-parquet",
+             {"group-columns": "id", "value-column": "v"})):
+        run(b1, sink_type, extra)
+        run(b2, sink_type, extra)
+
+    hist = spark.read.parquet(str(tmp_path / "scd2-parquet" / "m"))
+    rows = sorted((r["id"], r["v"], r["is_current"])
+                  for r in hist.collect())
+    assert (1, 5.0, False) in rows and (1, 9.0, True) in rows
+    assert (2, 7.0, False) in rows  # deleted -> closed, no current row
+    roll = spark.read.parquet(str(tmp_path / "rollup-parquet" / "m"))
+    got = {r["id"]: (r["d_n"], r["d_total"]) for r in roll.collect()}
+    assert got == {1: (1, 9.0)}  # id 2 netted out; id 1 updated to 9.0
