@@ -3482,6 +3482,34 @@ def window_rank_bundle(spark, sf_dir):
 
 
 @_q(
+    "window_trailing_revenue",
+    """
+    SELECT o_orderkey, o_custkey,
+           ROUND(SUM(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW), 2)
+             AS trailing_7d
+    FROM orders
+    """,
+)
+def window_trailing_revenue(spark, sf_dir):
+    """RANGE-frame analytics: each order's trailing-7-day revenue for
+    its customer — a VALUE-bounded frame (peers at the same date share
+    one frame, so the result is deterministic without a row tiebreak),
+    one window shuffle on the customer key."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_tw")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey,
+               ROUND(SUM(o_totalprice) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY CAST(o_orderdate AS TIMESTAMP)
+                 RANGE BETWEEN INTERVAL 7 DAYS PRECEDING
+                   AND CURRENT ROW), 2) AS trailing_7d
+        FROM __orders_tw""")
+
+
+@_q(
     "agg_percentile_prices",
     """
     SELECT l_returnflag,
