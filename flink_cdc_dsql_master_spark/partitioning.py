@@ -242,3 +242,27 @@ def merge_presence_state(state: DataFrame | None, delta: DataFrame,
     return (merged.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1).drop("__rn")
             .where(F.col("sign") > 0))
+
+
+def zorder_key(cols: list[str], bits: int = 16) -> Column:
+    """Z-order (Morton) key: interleave the low ``bits`` of each column's
+    non-negative integer value — pure Catalyst bit arithmetic (codegen,
+    SQL-portable, hence oracle-checkable).
+
+    Sorting/range-partitioning by this key before a parquet write
+    co-locates rows that are close in EVERY dimension, so min/max
+    row-group stats prune multi-dimensional range predicates — the
+    OPTIMIZE ZORDER BY of Delta/Iceberg, as a plain column expression.
+    With d columns the key uses d·bits bits (keep ≤ 63).
+    """
+    n = len(cols)
+    if n * bits > 63:
+        raise ValueError(f"{n} cols x {bits} bits exceeds int64")
+    acc = F.lit(0).cast("long")
+    for j, c in enumerate(cols):
+        v = F.pmod(F.col(c).cast("long"), F.lit(1 << bits))
+        for i in range(bits):
+            bit = F.shiftright(v, i).bitwiseAND(F.lit(1))
+            acc = acc.bitwiseOR(
+                F.shiftleft(bit, i * n + j).cast("long"))
+    return acc

@@ -480,6 +480,39 @@ def cdc_last_write_wins(spark, sf_dir):
     return last_write_wins(cl, ["user_id"]).drop(OP_COLUMN, SEQ_COLUMN)
 
 
+def _zorder_sql(cols: list[str], bits: int) -> str:
+    n = len(cols)
+    terms = []
+    for j, c in enumerate(cols):
+        for i in range(bits):
+            # full parens per term: DuckDB's << binds looser than |
+            terms.append(
+                f"(((({c} % {1 << bits}) >> {i}) & 1) << {i * n + j})")
+    return "(" + " | ".join(terms) + ")"
+
+
+@_q(
+    "partition_zorder_keys",
+    f"""
+    SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+           CAST({_zorder_sql(['l_partkey', 'l_suppkey'], 8)} AS BIGINT)
+             AS zkey
+    FROM lineitem
+    """,
+)
+def partition_zorder_keys(spark, sf_dir):
+    """Z-order (Morton) clustering keys over (partkey, suppkey) — the
+    bit-interleave is plain codegen arithmetic, identical in any SQL
+    engine; sorting a write by this key co-locates rows close in BOTH
+    dimensions so row-group min/max stats prune 2-D range predicates."""
+    from .partitioning import zorder_key
+
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_partkey", "l_suppkey",
+        zorder_key(["l_partkey", "l_suppkey"], bits=8).alias("zkey"))
+
+
 @_q(
     "cdc_scd2_history",
     f"""

@@ -458,3 +458,27 @@ class TestFuzzyTrigramJoin:
         assert (1, 10) in got and got[(1, 10)] >= 0.5
         assert all(k == (1, 10) or v >= 0.5 for k, v in got.items())
         assert (2, 11) not in got
+
+
+class TestZOrder:
+    def test_interleave_known_values(self, spark):
+        from flink_cdc_dsql_master_spark.partitioning import zorder_key
+        df = spark.createDataFrame(
+            [(0b101, 0b011)], "a int, b int")
+        got = df.select(zorder_key(["a", "b"], bits=3).alias("z")) \
+            .collect()[0]["z"]
+        # a bits at even positions, b bits at odd:
+        # a=101, b=011 -> z = b2 a2 b1 a1 b0 a0 = 0 1 1 0 1 1 = 0b011011
+        assert got == 0b011011
+
+    def test_locality_beats_concatenation(self, spark):
+        """The z-curve keeps 2-D neighbors closer in key space than
+        simple concatenation: points equal in one dim and adjacent in
+        the other differ by a small amount in z, while concatenated keys
+        jump by 2^bits when the high dim moves."""
+        from flink_cdc_dsql_master_spark.partitioning import zorder_key
+        df = spark.createDataFrame([(5, 5), (6, 5)], "a int, b int")
+        zs = [r["z"] for r in
+              df.select(zorder_key(["a", "b"], bits=8).alias("z"))
+              .collect()]
+        assert abs(zs[1] - zs[0]) < (1 << 8)  # concat key would differ by 256 exactly in high part
