@@ -207,6 +207,12 @@ def scd2_apply_increment(history: DataFrame | None, batch: DataFrame,
 
     Cost per batch: the batch's own LWW-window shuffle + ONE key join
     against the history — never a history rescan-and-rebuild.
+
+    Assumes batches arrive in sequence order (every batch event newer
+    than the history's latest for its key) — exactly what the
+    foreachBatch serial barrier over an ordered changelog source
+    guarantees; out-of-order cross-batch delivery would need a
+    rebuild of the affected keys from retained raw events.
     """
     seq = seq_col or SEQ_COLUMN
     inc = scd2_history(batch, primary_keys, seq_col)
