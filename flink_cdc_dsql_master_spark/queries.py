@@ -480,6 +480,55 @@ def cdc_last_write_wins(spark, sf_dir):
     return last_write_wins(cl, ["user_id"]).drop(OP_COLUMN, SEQ_COLUMN)
 
 
+@_q(
+    "dq_constraint_checks",
+    """
+    SELECT 'pk_dup_lineitem' AS check_name,
+           CAST(COUNT(*) AS BIGINT) AS violations
+    FROM (SELECT l_orderkey, l_linenumber FROM lineitem
+          GROUP BY 1, 2 HAVING COUNT(*) > 1)
+    UNION ALL
+    SELECT 'fk_orphan_orders', CAST(COUNT(*) AS BIGINT)
+    FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM customer c
+                      WHERE c.c_custkey = o.o_custkey)
+    UNION ALL
+    SELECT 'range_discount', CAST(COUNT(*) AS BIGINT)
+    FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+    UNION ALL
+    SELECT 'null_orderdate', CAST(COUNT(*) AS BIGINT)
+    FROM orders WHERE o_orderdate IS NULL
+    """,
+)
+def dq_constraint_checks(spark, sf_dir):
+    """Data-quality constraint suite: PK uniqueness (grouped HAVING),
+    FK orphans (LEFT ANTI), range and null checks — each check is one
+    aggregate/anti-join; the suite is what an ingestion gate runs before
+    promoting a snapshot. Clean data yields all-zeros, which the oracle
+    confirms row-for-row (the checks themselves are the artifact)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    pk_dup = (li.groupBy("l_orderkey", "l_linenumber")
+              .agg(F.count("*").alias("n")).where(F.col("n") > 1)
+              .agg(F.count("*").alias("violations"))
+              .select(F.lit("pk_dup_lineitem").alias("check_name"),
+                      "violations"))
+    orphans = (o.join(c, o["o_custkey"] == c["c_custkey"], "left_anti")
+               .agg(F.count("*").alias("violations"))
+               .select(F.lit("fk_orphan_orders").alias("check_name"),
+                       "violations"))
+    rng = (li.where((F.col("l_discount") < 0) | (F.col("l_discount") > 1))
+           .agg(F.count("*").alias("violations"))
+           .select(F.lit("range_discount").alias("check_name"),
+                   "violations"))
+    nulls = (o.where(F.col("o_orderdate").isNull())
+             .agg(F.count("*").alias("violations"))
+             .select(F.lit("null_orderdate").alias("check_name"),
+                     "violations"))
+    return pk_dup.unionByName(orphans).unionByName(rng).unionByName(nulls)
+
+
 def _zorder_sql(cols: list[str], bits: int) -> str:
     n = len(cols)
     terms = []
