@@ -563,6 +563,57 @@ def partition_zorder_keys(spark, sf_dir):
 
 
 @_q(
+    "cdc_snapshot_diff",
+    """
+    WITH old AS (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderkey % 5 <> 0),
+    new AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 10
+                  ELSE o_totalprice END AS o_totalprice
+      FROM orders WHERE o_orderkey % 13 <> 0)
+    SELECT o_orderkey, ROUND(o_totalprice, 2) AS price, op FROM (
+      SELECT n.o_orderkey, n.o_totalprice, '+I' AS op
+      FROM new n LEFT JOIN old o USING (o_orderkey)
+      WHERE o.o_orderkey IS NULL
+      UNION ALL
+      SELECT o.o_orderkey, o.o_totalprice, '-D'
+      FROM old o LEFT JOIN new n USING (o_orderkey)
+      WHERE n.o_orderkey IS NULL
+      UNION ALL
+      SELECT o.o_orderkey, o.o_totalprice, '-U'
+      FROM old o JOIN new n USING (o_orderkey)
+      WHERE o.o_totalprice <> n.o_totalprice
+      UNION ALL
+      SELECT n.o_orderkey, n.o_totalprice, '+U'
+      FROM old o JOIN new n USING (o_orderkey)
+      WHERE o.o_totalprice <> n.o_totalprice)
+    """,
+)
+def cdc_snapshot_diff(spark, sf_dir):
+    """Diff-based CDC: the changelog between two snapshots (periodic-dump
+    sources with no log) — +I/-D for key presence changes, -U/+U image
+    pairs for changed rows. One co-partitioned full outer join; replaying
+    the diff over `old` reproduces `new` (round-trip unit)."""
+    from .sources import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = (o.where(F.col("o_orderkey") % 5 != 0)
+           .select("o_orderkey", "o_totalprice"))
+    new = (o.where(F.col("o_orderkey") % 13 != 0)
+           .select("o_orderkey",
+                   F.when(F.col("o_orderkey") % 7 == 0,
+                          F.col("o_totalprice") + 10)
+                   .otherwise(F.col("o_totalprice"))
+                   .alias("o_totalprice")))
+    d = snapshot_diff(old, new, ["o_orderkey"])
+    return d.select("o_orderkey",
+                    F.round("o_totalprice", 2).alias("price"),
+                    F.col(OP_COLUMN).alias("op"))
+
+
+@_q(
     "cdc_scd2_history",
     f"""
     WITH cl AS (

@@ -360,3 +360,51 @@ def stream_phase_filter(log: DataFrame, key: str,
     lg = log.withColumn("chunk_id", chunk_id_expr(key, splits))
     high = _wm_expr(F.col("chunk_id"), watermarks, "high")
     return lg.where(F.col(SEQ_COLUMN) > high)
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame,
+                  primary_keys: list[str],
+                  compare_cols: list[str] | None = None) -> DataFrame:
+    """Derive the changelog between two table snapshots — diff-based CDC
+    for sources with no log access (periodic dump ingestion): +I for
+    keys only in ``new``, -D for keys only in ``old`` (carrying the old
+    image), and a -U/+U image pair for keys whose compared columns
+    changed. Identical rows emit nothing.
+
+    One co-partitioned full outer join on the PK; the change test is a
+    null-safe struct comparison (codegen). Feeding the result to
+    ``apply_changelog`` over ``old`` reproduces ``new`` exactly — the
+    round-trip invariant, pytest-enforced.
+    """
+    cols = compare_cols or [c for c in new.columns
+                            if c not in primary_keys]
+    # presence comes from side tags, not data nullability (an all-NULL
+    # data row on one side must still count as present there)
+    o = old.select(*primary_keys,
+                   *[F.col(c).alias(f"__o_{c}") for c in cols]) \
+        .withColumn("__in_old", F.lit(True))
+    n = new.select(*primary_keys,
+                   *[F.col(c).alias(f"__n_{c}") for c in cols]) \
+        .withColumn("__in_new", F.lit(True))
+    j = o.join(n, primary_keys, "full_outer")
+    in_old = F.col("__in_old").isNotNull()
+    in_new = F.col("__in_new").isNotNull()
+    changed = ~F.struct(*[F.col(f"__o_{c}") for c in cols]).eqNullSafe(
+        F.struct(*[F.col(f"__n_{c}") for c in cols]))
+    inserts = (j.where(in_new & ~in_old)
+               .select(*primary_keys,
+                       *[F.col(f"__n_{c}").alias(c) for c in cols],
+                       F.lit("+I").alias(OP_COLUMN)))
+    deletes = (j.where(in_old & ~in_new)
+               .select(*primary_keys,
+                       *[F.col(f"__o_{c}").alias(c) for c in cols],
+                       F.lit("-D").alias(OP_COLUMN)))
+    upd = j.where(in_old & in_new & changed)
+    upd_before = upd.select(
+        *primary_keys, *[F.col(f"__o_{c}").alias(c) for c in cols],
+        F.lit("-U").alias(OP_COLUMN))
+    upd_after = upd.select(
+        *primary_keys, *[F.col(f"__n_{c}").alias(c) for c in cols],
+        F.lit("+U").alias(OP_COLUMN))
+    return (inserts.unionByName(deletes).unionByName(upd_before)
+            .unionByName(upd_after))

@@ -482,3 +482,25 @@ class TestZOrder:
               df.select(zorder_key(["a", "b"], bits=8).alias("z"))
               .collect()]
         assert abs(zs[1] - zs[0]) < (1 << 8)  # concat key would differ by 256 exactly in high part
+
+
+class TestSnapshotDiff:
+    def test_round_trip_reproduces_new(self, spark):
+        """apply_changelog(old as inserts + diff) == new, including a
+        NULL-value update and an all-NULL row (presence from side tags,
+        not data nullability)."""
+        from flink_cdc_dsql_master_spark.partitioning import apply_changelog
+        from flink_cdc_dsql_master_spark.sources import snapshot_diff
+        old = spark.createDataFrame(
+            [(1, "a"), (2, "b"), (3, None)], "k int, v string")
+        new = spark.createDataFrame(
+            [(1, "a"), (2, None), (4, "d")], "k int, v string")
+        d = snapshot_diff(old, new, ["k"])
+        ops = sorted((r["k"], r["__op"]) for r in d.collect())
+        assert ops == [(2, "+U"), (2, "-U"), (3, "-D"), (4, "+I")]
+        base = (old.withColumn("__op", F.lit("+I"))
+                .withColumn("__seq", F.lit(0).cast("long")))
+        replay = d.withColumn("__seq", F.lit(1).cast("long"))
+        final = apply_changelog(base.unionByName(replay), ["k"])
+        got = sorted((r["k"], r["v"]) for r in final.collect())
+        assert got == [(1, "a"), (2, None), (4, "d")]
