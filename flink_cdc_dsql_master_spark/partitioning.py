@@ -272,3 +272,18 @@ def zorder_key(cols: list[str], bits: int = 16) -> Column:
             acc = acc.bitwiseOR(
                 F.shiftleft(bit, i * n + j).cast("long"))
     return acc
+
+
+def scd2_as_of(history: DataFrame, seq: int) -> DataFrame:
+    """Point-in-time read over an SCD2 history: the table state AS OF
+    sequence ``seq`` — rows whose version interval covers it
+    (``valid_from_seq <= seq < valid_to_seq``, open intervals unbounded).
+    A pure filter over the history (partition-prunable when the history
+    is laid out by valid_from ranges); with :func:`scd2_history` this
+    gives time travel over any changelog without a table format.
+    """
+    return (history.where(
+        (F.col("valid_from_seq") <= F.lit(seq))
+        & (F.col("valid_to_seq").isNull()
+           | (F.col("valid_to_seq") > F.lit(seq))))
+        .drop("valid_from_seq", "valid_to_seq", "is_current"))

@@ -680,6 +680,38 @@ def cdc_minimal_changelog(spark, sf_dir):
 
 
 @_q(
+    "cdc_time_travel",
+    f"""
+    WITH cl AS (
+      SELECT user_id, event_type, value, CAST(event_id AS BIGINT) AS seq,
+             {_CHANGELOG_ORACLE_OP} AS op
+      FROM events),
+    v AS (
+      SELECT *, lead(seq) OVER (PARTITION BY user_id ORDER BY seq) AS nxt
+      FROM cl WHERE op <> '-U'),
+    hist AS (SELECT user_id, event_type, value, seq AS vf, nxt AS vt
+             FROM v WHERE op <> '-D'),
+    p AS (SELECT CAST(FLOOR(MAX(event_id) / 2) AS BIGINT) AS s FROM events)
+    SELECT user_id, event_type, value FROM hist, p
+    WHERE vf <= p.s AND (vt IS NULL OR vt > p.s)
+    """,
+)
+def cdc_time_travel(spark, sf_dir):
+    """Time travel without a table format: the SCD2 history filtered AS
+    OF the changelog's midpoint sequence — a pure interval filter over
+    version rows, reproducing the exact table state at that moment."""
+    from .partitioning import scd2_as_of, scd2_history
+
+    cl = _events_changelog(spark, sf_dir).select(
+        "user_id", "event_type", "value",
+        F.col("event_id").cast("long").alias(SEQ_COLUMN), OP_COLUMN)
+    hist = scd2_history(cl, ["user_id"])
+    mid = _events_table(spark, sf_dir).agg(
+        F.floor(F.max("event_id") / 2).cast("long")).collect()[0][0]
+    return scd2_as_of(hist, int(mid))
+
+
+@_q(
     "partition_bucket_distribution",
     """
     SELECT ((l_orderkey % 2147483648) * 2654435761 % 2147483648) % 32
