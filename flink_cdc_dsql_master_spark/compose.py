@@ -292,3 +292,43 @@ def foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             sink_writer(sink_tid, out, schema)
 
     return handle
+
+
+def make_scd2_sink_writer(base_path: str):
+    """Sink-writer for :func:`compose_changelog_stream` maintaining an
+    SCD2 parquet history per sink table (the streaming face of the
+    ``scd2-parquet`` YAML sink): each micro-batch folds via
+    ``scd2_apply_increment`` and swaps atomically."""
+    from .partitioning import scd2_apply_increment
+    from .sinks import swap_parquet_dir
+
+    def writer(sink_tid, df, schema):
+        path = f"{base_path}/{sink_tid.table}"
+        try:
+            hist = df.sparkSession.read.parquet(path)
+        except Exception:
+            hist = None
+        swap_parquet_dir(
+            scd2_apply_increment(hist, df, list(schema.primary_keys)),
+            path)
+
+    return writer
+
+
+def make_rollup_sink_writer(base_path: str, group_cols: list[str],
+                            value_col: str):
+    """Sink-writer maintaining a signed-partial rollup per sink table
+    (the streaming face of the ``rollup-parquet`` YAML sink)."""
+    from .operators import ivm
+    from .sinks import swap_parquet_dir
+
+    def writer(sink_tid, df, schema):
+        path = f"{base_path}/{sink_tid.table}"
+        try:
+            state = df.sparkSession.read.parquet(path)
+        except Exception:
+            state = None
+        delta = ivm.rollup_delta(df, group_cols, value_col)
+        swap_parquet_dir(ivm.merge_rollup(state, delta, group_cols), path)
+
+    return writer

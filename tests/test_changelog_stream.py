@@ -139,3 +139,43 @@ def test_kafka_sink_stream_plan(spark, tmp_path):
     w = kafka_sink_stream(rate.selectExpr("CAST(value AS STRING) AS value"),
                           "broker:9092", "topic-a", str(tmp_path / "ck"))
     assert w is not None  # DataStreamWriter built lazily; start() needs a jar
+
+
+def test_changelog_stream_to_scd2_history(spark, tmp_path):
+    """Full streaming pipeline into the SCD2 history writer: Debezium
+    file-stream → decode → compose → scd2_apply_increment per batch; the
+    resulting history holds closed and open versions across two
+    checkpointed runs."""
+    from flink_cdc_dsql_master_spark.compose import make_scd2_sink_writer
+
+    src = str(tmp_path / "topic2")
+    ckpt = str(tmp_path / "ckpt2")
+    hist = str(tmp_path / "hist")
+    (tmp_path / "topic2").mkdir()
+    pipe = PipelineDef(
+        source=SourceDef("file-debezium", {
+            "path": src, "schema": "id int, v string",
+            "table": "db.s.t", "primary-keys": ["id"]}),
+        sink=SinkDef("custom"),
+    )
+    writer = make_scd2_sink_writer(hist)
+
+    _write_envelopes(src, "b1.jsonl", [
+        (1, _envelope(None, {"id": 1, "v": "a"}, "c")),
+        (2, _envelope(None, {"id": 2, "v": "b"}, "c")),
+    ])
+    q = compose_changelog_stream(spark, pipe, ckpt, writer)
+    q.awaitTermination(120)
+    _write_envelopes(src, "b2.jsonl", [
+        (3, _envelope({"id": 1, "v": "a"}, {"id": 1, "v": "a2"}, "u")),
+        (4, _envelope({"id": 2, "v": "b"}, None, "d")),
+    ])
+    q = compose_changelog_stream(spark, pipe, ckpt, writer)
+    q.awaitTermination(120)
+
+    rows = sorted((r["id"], r["v"], r["is_current"]) for r in
+                  spark.read.parquet(f"{hist}/t").collect())
+    assert (1, "a", False) in rows      # closed by the update
+    assert (1, "a2", True) in rows      # open current version
+    assert (2, "b", False) in rows      # closed by the delete
+    assert not any(k == 2 and cur for k, _, cur in rows)
