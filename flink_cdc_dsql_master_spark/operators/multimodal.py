@@ -48,6 +48,8 @@ def attach_media_metadata(df: DataFrame, payload_col: str = "payload") -> DataFr
         F.when(head.startswith("FFD8"), "image/jpeg")
         .when(head.startswith("89504E47"), "image/png")
         .when(head.startswith("52494646"), "audio/wav")
+        .when(head.startswith("424D"), "image/bmp")
+        .when(head.startswith("5036"), "image/ppm")
         .when(head.startswith("00000018") | head.startswith("00000020"),
               "video/mp4")
         .otherwise("application/octet-stream")
@@ -226,6 +228,59 @@ def decode_ppm(payload: bytes):
     return arr.reshape(height, width, 3)
 
 
+def synth_bmp_bytes(width: int, height: int) -> bytes:
+    """Synthesize a 24-bit uncompressed BMP with a deterministic RGB
+    gradient (bottom-up rows, 4-byte padded — the classic layout)."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    pixel_bytes = row_bytes * height
+    offset = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", offset + pixel_bytes, 0, 0,
+                         offset)
+    info = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                       pixel_bytes, 2835, 2835, 0, 0)
+    rows = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up on disk
+        row = bytearray()
+        for x in range(width):
+            r = (x * 7 + y * 3) % 256
+            g = (x * 5 + y * 11) % 256
+            b = (x * 13 + y * 17) % 256
+            row += bytes((b, g, r))  # BGR order
+        row += b"\x00" * (row_bytes - len(row))
+        rows += row
+    return header + info + bytes(rows)
+
+
+def decode_bmp(payload: bytes):
+    """REAL BMP decode (24-bit uncompressed BI_RGB) → uint8 array of
+    shape (height, width, 3) in RGB order. Pure struct + numpy — no
+    codec libraries; bottom-up and top-down row orders both handled.
+    """
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    offset = struct.unpack_from("<I", payload, 10)[0]
+    (hdr_size, width, height, _planes, bitcount,
+     compression) = struct.unpack_from("<IiiHHI", payload, 14)
+    if bitcount != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP: {bitcount}-bit "
+                         f"compression={compression}")
+    bottom_up = height > 0
+    h = abs(height)
+    row_bytes = (width * 3 + 3) & ~3
+    buf = np.frombuffer(payload, dtype=np.uint8,
+                        count=row_bytes * h, offset=offset)
+    rows = buf.reshape(h, row_bytes)[:, :width * 3].reshape(h, width, 3)
+    if bottom_up:
+        rows = rows[::-1]
+    return rows[:, :, ::-1].copy()  # BGR -> RGB
+
+
 def audio_features(samples, sample_rate: int, n_bands: int = 4) -> list[float]:
     """Real audio features: [duration_s, rms, zero_crossing_rate,
     band_energy_0..n-1] — energies are FFT power shares in equal bands."""
@@ -280,6 +335,11 @@ def decode_media(payload: bytes | None, dim: int = 32):
         arr = decode_ppm(payload)
         feat = image_features(arr)
         return ("image/ppm", int(arr.shape[1]), int(arr.shape[0]), None,
+                _fit(feat, dim))
+    if payload[:2] == b"BM":
+        arr = decode_bmp(payload)
+        feat = image_features(arr)
+        return ("image/bmp", int(arr.shape[1]), int(arr.shape[0]), None,
                 _fit(feat, dim))
     return ("application/octet-stream", None, None, None,
             _fake_decode_feature(payload, dim))

@@ -529,6 +529,35 @@ def dq_constraint_checks(spark, sf_dir):
     return pk_dup.unionByName(orphans).unionByName(rng).unionByName(nulls)
 
 
+@_q(
+    "dq_outlier_events",
+    """
+    WITH stats AS (
+      SELECT event_type, AVG(value) AS mu, stddev_samp(value) AS sd
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type, ROUND(e.value, 4) AS value,
+           ROUND((e.value - s.mu) / s.sd, 6) AS zscore
+    FROM events e JOIN stats s USING (event_type)
+    WHERE ABS(e.value - s.mu) > 3 * s.sd
+    """,
+)
+def dq_outlier_events(spark, sf_dir):
+    """Monitoring-grade outlier detection: per-type mean/std from one
+    partial-aggregated pass, broadcast back, 3-sigma filter map-side —
+    the anomaly gate of an ingestion pipeline (no per-row window, no
+    second scan of sorted data)."""
+    ev = _events_table(spark, sf_dir)
+    stats = ev.groupBy("event_type").agg(
+        F.avg("value").alias("mu"), F.stddev_samp("value").alias("sd"))
+    j = ev.join(F.broadcast(stats), "event_type")
+    return (j.where(F.abs(F.col("value") - F.col("mu"))
+                    > 3 * F.col("sd"))
+            .select("event_id", "event_type",
+                    F.round("value", 4).alias("value"),
+                    F.round((F.col("value") - F.col("mu")) / F.col("sd"),
+                            6).alias("zscore")))
+
+
 def _zorder_sql(cols: list[str], bits: int) -> str:
     n = len(cols)
     terms = []
