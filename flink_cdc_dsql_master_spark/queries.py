@@ -1550,13 +1550,14 @@ def multimodal_features(spark, sf_dir):
     "multimodal_real_decode",
     """
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 2 = 0 THEN 'audio/wav'
-                ELSE 'image/ppm' END AS mime,
-           CASE WHEN doc_id % 2 = 0 THEN NULL
+           CASE WHEN doc_id % 3 = 0 THEN 'audio/wav'
+                WHEN doc_id % 3 = 1 THEN 'image/ppm'
+                ELSE 'image/bmp' END AS mime,
+           CASE WHEN doc_id % 3 = 0 THEN NULL
                 ELSE CAST(8 + doc_id % 5 AS INT) END AS width,
-           CASE WHEN doc_id % 2 = 0 THEN NULL
+           CASE WHEN doc_id % 3 = 0 THEN NULL
                 ELSE CAST(6 + doc_id % 3 AS INT) END AS height,
-           CASE WHEN doc_id % 2 = 0
+           CASE WHEN doc_id % 3 = 0
                 THEN CAST(100 + (doc_id % 10) * 10 AS INT)
                 ELSE NULL END AS duration_ms,
            32 AS feature_dim, TRUE AS decode_ok
@@ -1565,15 +1566,16 @@ def multimodal_features(spark, sf_dir):
 )
 def multimodal_real_decode(spark, sf_dir):
     """REAL multimodal decode, oracle-checked: per-row synthesized WAV
-    (even ids, parameterized duration) and P6 PPM (odd ids, parameterized
-    dims) payloads go through the magic-byte router — the decoded
-    duration/width/height must equal the synthesis parameters, proving the
-    stdlib-wave and numpy-PPM kernels actually parse the bytes (not a
-    hash fake)."""
+    (parameterized duration), P6 PPM and 24-bit BMP (parameterized dims)
+    payloads go through the magic-byte router — the decoded
+    duration/width/height must equal the synthesis parameters, proving
+    the stdlib-wave, numpy-PPM and struct-BMP kernels actually parse the
+    bytes (not a hash fake)."""
     from pyspark.sql.functions import pandas_udf
 
     from .operators.multimodal import (
         describe_media,
+        synth_bmp_bytes,
         synth_ppm_bytes,
         synth_wav_bytes,
     )
@@ -1582,9 +1584,11 @@ def multimodal_real_decode(spark, sf_dir):
     def synth(ids):
         def make(i):
             i = int(i)
-            if i % 2 == 0:
+            if i % 3 == 0:
                 return synth_wav_bytes(200 + i % 100, 100 + (i % 10) * 10)
-            return synth_ppm_bytes(8 + i % 5, 6 + i % 3)
+            if i % 3 == 1:
+                return synth_ppm_bytes(8 + i % 5, 6 + i % 3)
+            return synth_bmp_bytes(8 + i % 5, 6 + i % 3)
 
         return ids.map(make)
 
