@@ -84,3 +84,57 @@ def test_model_udfs_with_injected_transport(spark):
     # received finished prompts (UDFs run in executor processes, so a
     # driver-side `seen` list cannot observe this directly)
     assert sorted(r["c"] for r in out) == ["Q: ALPHA?", "Q: BETA?"]
+
+
+def test_transport_over_real_http(spark):
+    """A REAL HTTP round trip: a localhost JSON /embeddings endpoint
+    (stdlib http.server) receives the transport's batched POSTs; the
+    driver-side check proves batching on the wire (ceil(N/batch) calls)
+    and result alignment — the pluggable-endpoint claim demonstrated
+    over an actual socket, not an injected callable."""
+    import json
+    import threading
+    from http.server import BaseHTTPRequestHandler, HTTPServer
+
+    from flink_cdc_dsql_master_spark.functions import ModelTransport
+
+    calls = []
+
+    class H(BaseHTTPRequestHandler):
+        def do_POST(self):
+            n = int(self.headers["Content-Length"])
+            body = json.loads(self.rfile.read(n))
+            calls.append(len(body["input"]))
+            vecs = [[float(len(t)), 1.0] for t in body["input"]]
+            out = json.dumps({"data": vecs}).encode()
+            self.send_response(200)
+            self.send_header("Content-Length", str(len(out)))
+            self.end_headers()
+            self.wfile.write(out)
+
+        def log_message(self, *a):
+            pass
+
+    srv = HTTPServer(("127.0.0.1", 0), H)
+    port = srv.server_address[1]
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    try:
+        def post(texts):
+            import json as j
+            import urllib.request
+
+            req = urllib.request.Request(
+                f"http://127.0.0.1:{port}/embeddings",
+                data=j.dumps({"input": list(texts)}).encode(),
+                headers={"Content-Type": "application/json"})
+            with urllib.request.urlopen(req, timeout=10) as r:
+                return j.loads(r.read())["data"]
+
+        tr = ModelTransport(post, batch_size=4)
+        texts = [f"t{i}" * (i + 1) for i in range(10)]
+        got = tr.call(texts)
+        assert [v[0] for v in got] == [float(len(t)) for t in texts]
+        assert calls == [4, 4, 2]  # micro-batching visible on the wire
+    finally:
+        srv.shutdown()
