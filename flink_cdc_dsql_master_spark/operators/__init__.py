@@ -9,11 +9,18 @@ pipeline needs, built Spark-first:
 - ``similarity`` brute-force and LSH/IVF-bucketed cosine top-k ANN
 - ``text``       language-ID, quality scores, token counts, fingerprints,
                  repetition (duplicate-n-gram) signals
-- ``sampling``   deterministic hash sampling + per-domain quotas
-- ``multimodal`` binary-column decode/feature plumbing (pandas-UDF shaped)
+- ``sampling``   deterministic hash sampling + per-domain quotas,
+                 weighted/mixture/stratified/token-budget variants
+- ``joins``      as-of, interval, salted, bucketed, fuzzy-trigram joins
+- ``asof``       as-of temporal join plan
+- ``ivm``        incremental view maintenance (signed-partial rollups)
+- ``profile``    one-scan per-column table profiling
+- ``multimodal`` binary-column decode/feature plumbing with REAL
+                 WAV/PPM/BMP kernels (pandas-UDF shaped)
 
 Every operator is shuffle-partitioned (no driver materialization, no
 all-pairs joins) and stays in Catalyst built-ins where possible.
 """
 
-from . import dedup, multimodal, sampling, similarity, text  # noqa: F401
+from . import (asof, dedup, ivm, joins, multimodal, profile,  # noqa: F401
+               sampling, similarity, text)
