@@ -558,6 +558,36 @@ def dq_outlier_events(spark, sf_dir):
                             6).alias("zscore")))
 
 
+@_q(
+    "dq_winsorize_values",
+    """
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.01) AS lo,
+             quantile_cont(value, 0.99) AS hi
+      FROM events GROUP BY event_type)
+    SELECT e.event_id, e.event_type,
+           ROUND(LEAST(GREATEST(e.value, b.lo), b.hi), 6) AS value_w
+    FROM events e JOIN b USING (event_type)
+    """,
+)
+def dq_winsorize_values(spark, sf_dir):
+    """Winsorization: clip each value into its group's [p1, p99] band —
+    the standard heavy-tail taming before loss-weighted training. Group
+    percentiles come from one aggregate (exact here for the oracle;
+    approx_percentile is the documented 100 TB swap), broadcast back,
+    clipped map-side."""
+    ev = _events_table(spark, sf_dir)
+    b = ev.groupBy("event_type").agg(
+        F.percentile("value", 0.01).alias("lo"),
+        F.percentile("value", 0.99).alias("hi"))
+    return (ev.join(F.broadcast(b), "event_type")
+            .select("event_id", "event_type",
+                    F.round(F.least(F.greatest(F.col("value"),
+                                               F.col("lo")),
+                                    F.col("hi")), 6).alias("value_w")))
+
+
 def _zorder_sql(cols: list[str], bits: int) -> str:
     n = len(cols)
     terms = []
