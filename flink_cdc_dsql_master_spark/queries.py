@@ -1828,6 +1828,55 @@ def sessionize_events(spark, sf_dir):
 
 
 @_q(
+    "session_path_mining",
+    """
+    WITH marked AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                  OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT *, SUM(new_s) OVER (PARTITION BY user_id
+                                 ORDER BY ts, event_id) AS sid
+      FROM marked),
+    paths AS (
+      SELECT user_id, sid,
+             string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+      FROM sess GROUP BY user_id, sid)
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    QUALIFY row_number() OVER (ORDER BY n_sessions DESC, path) <= 20
+    """,
+)
+def session_path_mining(spark, sf_dir):
+    """User-journey mining: gap-sessionize (lag + cumulative flag),
+    concatenate each session's ordered event types into a path string,
+    count paths, keep the top-20. Two user-keyed window passes share one
+    shuffle; the path aggregate collapses map-side; the top-k sorts only
+    the distinct-path table."""
+    ev = _events_table(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    new_s = F.when(F.lag("ts").over(w).isNull() | (gap > 1800), 1) \
+        .otherwise(0)
+    cum = Window.partitionBy("user_id").orderBy("ts", "event_id") \
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (ev.withColumn("new_s", new_s)
+            .withColumn("sid", F.sum("new_s").over(cum)))
+    paths = (sess.groupBy("user_id", "sid")
+             .agg(F.array_join(F.transform(
+                 F.array_sort(F.collect_list(
+                     F.struct("ts", "event_id", "event_type"))),
+                 lambda s: s["event_type"]), ">").alias("path")))
+    counts = paths.groupBy("path").agg(F.count("*").alias("n_sessions"))
+    top = Window.orderBy(F.col("n_sessions").desc(), F.col("path"))
+    return (counts.withColumn("__rn", F.row_number().over(top))
+            .where(F.col("__rn") <= 20).drop("__rn"))
+
+
+@_q(
     "agg_tumbling_window",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS ws,
