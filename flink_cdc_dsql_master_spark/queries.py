@@ -1877,6 +1877,50 @@ def session_path_mining(spark, sf_dir):
 
 
 @_q(
+    "ab_test_conversion",
+    """
+    WITH users AS (
+      SELECT user_id,
+             CASE WHEN ('0x' || substr(md5('ab' ||
+                    CAST(user_id AS VARCHAR)), 1, 4))::BIGINT < 32768
+                  THEN 'A' ELSE 'B' END AS arm,
+             MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id)
+    SELECT arm, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(converted) AS BIGINT) AS n_converted,
+           ROUND(SUM(converted) * 1.0 / COUNT(*), 6) AS conv_rate,
+           ROUND(AVG(n_events), 6) AS avg_events
+    FROM users GROUP BY arm
+    """,
+)
+def ab_test_conversion(spark, sf_dir):
+    """Experimentation analytics: users deterministically hash-split
+    into arms (md5 16-bit cut — the same reproducible-assignment
+    discipline as the samplers), per-arm conversion and engagement from
+    one user-grain aggregate. Assignment is a map-side expression; the
+    report is two rows."""
+    from .operators.sampling import hash_tag
+
+    ev = _events_table(spark, sf_dir)
+    arm = F.when(
+        F.conv(F.substring(hash_tag(F.col("user_id"), "ab"), 1, 4),
+               16, 10).cast("long") < 32768, "A").otherwise("B")
+    users = (ev.groupBy("user_id")
+             .agg(F.max(F.when(F.col("event_type") == "purchase", 1)
+                        .otherwise(0)).alias("converted"),
+                  F.count("*").alias("n_events"))
+             .withColumn("arm", arm))
+    return (users.groupBy("arm")
+            .agg(F.count("*").alias("n_users"),
+                 F.sum("converted").cast("long").alias("n_converted"),
+                 F.round(F.sum("converted") / F.count("*"), 6)
+                 .alias("conv_rate"),
+                 F.round(F.avg("n_events"), 6).alias("avg_events")))
+
+
+@_q(
     "agg_tumbling_window",
     """
     SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:00:00') AS ws,
