@@ -3621,6 +3621,39 @@ def join_fuzzy_names(spark, sf_dir):
 
 
 @_q(
+    "analytics_market_basket",
+    """
+    WITH pairs AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+    SELECT part_a, part_b, CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM pairs GROUP BY part_a, part_b
+    QUALIFY row_number() OVER (ORDER BY n_orders DESC, part_a, part_b)
+      <= 20
+    """,
+)
+def analytics_market_basket(spark, sf_dir):
+    """Market-basket co-occurrence: part pairs bought in one order,
+    top-20 by frequency. The self-join is keyed on the order (pairs per
+    order = lines², bounded by basket size — never a global cross
+    product); counts partial-aggregate; the top-k sorts only the
+    distinct-pair table."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("part_a"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("part_b"))
+    pairs = (a.join(b, "ok")
+             .where(F.col("part_a") < F.col("part_b")))
+    counts = (pairs.groupBy("part_a", "part_b")
+              .agg(F.count("*").alias("n_orders")))
+    top = Window.orderBy(F.col("n_orders").desc(), "part_a", "part_b")
+    return (counts.withColumn("__rn", F.row_number().over(top))
+            .where(F.col("__rn") <= 20).drop("__rn"))
+
+
+@_q(
     "join_waiting_suppliers",
     """
     WITH li AS (
