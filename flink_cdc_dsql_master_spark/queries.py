@@ -4302,6 +4302,49 @@ def timeseries_gap_fill(spark, sf_dir):
 
 
 @_q(
+    "timeseries_rolling_median",
+    """
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, strftime(day, '%Y-%m-%d') AS day, n,
+           ROUND(median(n) OVER (
+             PARTITION BY event_type ORDER BY day
+             ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 1)
+             AS med_7d
+    FROM daily
+    """,
+)
+def timeseries_rolling_median(spark, sf_dir):
+    """Robust trend smoothing: 7-day rolling MEDIAN of daily counts per
+    event type (median-as-window-aggregate — outlier-days don't drag the
+    trend like a mean would). The series is the tiny daily aggregate, so
+    the exact median frame costs nothing; at raw-event scale the
+    pre-aggregation IS the reduction step."""
+    ev = _events_table(spark, sf_dir)
+    daily = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+             .agg(F.count("*").alias("n")))
+    # Spark disallows median() with a window frame — equivalent exact
+    # median via the frame's collected+sorted values (frames are ≤ 7
+    # elements, so the array path is trivially cheap)
+    w = (Window.partitionBy("event_type").orderBy("day")
+         .rowsBetween(-6, Window.currentRow))
+    vals = F.array_sort(F.collect_list("n").over(w))
+    k = F.size(vals)
+    half = F.floor(k / 2).cast("int")
+    med = F.when(
+        k % 2 == 1,
+        F.element_at(vals, half + 1).cast("double")
+    ).otherwise(
+        (F.element_at(vals, half)
+         + F.element_at(vals, half + 1)) / 2.0)
+    return daily.select(
+        "event_type", F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n", F.round(med, 1).alias("med_7d"))
+
+
+@_q(
     "text_threshold_sweep",
     f"""
     WITH q AS (
