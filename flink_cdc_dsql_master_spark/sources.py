@@ -408,3 +408,31 @@ def snapshot_diff(old: DataFrame, new: DataFrame,
         F.lit("+U").alias(OP_COLUMN))
     return (inserts.unionByName(deletes).unionByName(upd_before)
             .unionByName(upd_after))
+
+
+def split_malformed_envelopes(df: DataFrame, value_col: str,
+                              payload_schema: T.StructType
+                              ) -> tuple[DataFrame, DataFrame]:
+    """Dead-letter split for a changelog envelope stream: rows whose
+    Debezium JSON fails to parse (or lacks an op) go to the DLQ frame
+    with the raw value preserved for replay; well-formed rows pass
+    through untouched. ``from_json`` yields NULL on corrupt input, so
+    the split is a pure projection — no exceptions in the hot path, and
+    a poison message can never stall the pipeline (the at-scale
+    alternative to fail-the-job semantics).
+    """
+    envelope = T.StructType([
+        T.StructField("before", payload_schema, True),
+        T.StructField("after", payload_schema, True),
+        T.StructField("op", T.StringType(), True),
+    ])
+    parsed = df.withColumn("__env", F.from_json(F.col(value_col), envelope))
+    ok = (F.col(value_col).isNotNull()
+          & F.col("__env").isNotNull()
+          & F.col("__env.op").isNotNull()
+          & F.col("__env.op").isin("c", "r", "u", "d"))
+    good = parsed.where(ok).drop("__env")
+    dlq = (parsed.where(~ok)
+           .select(F.col(value_col).alias("raw_value"),
+                   F.lit("malformed_envelope").alias("dlq_reason")))
+    return good, dlq

@@ -179,3 +179,29 @@ def test_changelog_stream_to_scd2_history(spark, tmp_path):
     assert (1, "a2", True) in rows      # open current version
     assert (2, "b", False) in rows      # closed by the delete
     assert not any(k == 2 and cur for k, _, cur in rows)
+
+
+def test_malformed_envelopes_to_dlq(spark):
+    """Corrupt JSON, missing op, and unknown op codes land in the DLQ
+    with raw payload preserved; valid envelopes pass through and decode."""
+    from pyspark.sql import types as T
+    from flink_cdc_dsql_master_spark.sources import (
+        decode_debezium_json, split_malformed_envelopes)
+
+    payload = T.StructType([T.StructField("id", T.IntegerType())])
+    rows = [
+        ('{"before": null, "after": {"id": 1}, "op": "c"}', 1),
+        ('{not json at all', 2),
+        ('{"before": null, "after": {"id": 3}}', 3),       # no op
+        ('{"before": null, "after": {"id": 4}, "op": "x"}', 4),
+        ('{"before": {"id": 5}, "after": null, "op": "d"}', 5),
+    ]
+    df = spark.createDataFrame(rows, "value string, offset long")
+    good, dlq = split_malformed_envelopes(df, "value", payload)
+    assert good.count() == 2
+    bad = {r["raw_value"] for r in dlq.collect()}
+    assert len(bad) == 3 and '{not json at all' in bad
+    decoded = decode_debezium_json(good, "value", payload,
+                                   seq_col="offset")
+    got = sorted((r["id"], r["__op"]) for r in decoded.collect())
+    assert got == [(1, "+I"), (5, "-D")]
