@@ -4675,6 +4675,50 @@ def text_inverted_index_incremental(spark, sf_dir):
 
 
 @_q(
+    "text_vocab_coverage",
+    """
+    WITH counts AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS token
+            FROM documents WHERE trim(text) <> '')
+      GROUP BY token),
+    ranked AS (
+      SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rnk,
+             SUM(freq) OVER (ORDER BY freq DESC, token
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND CURRENT ROW) AS cum,
+             SUM(freq) OVER () AS total
+      FROM counts)
+    SELECT CAST(rnk AS INT) AS vocab_size,
+           ROUND(cum * 1.0 / total, 6) AS coverage
+    FROM ranked
+    """,
+)
+def text_vocab_coverage(spark, sf_dir):
+    """Tokenizer-sizing curve: share of token OCCURRENCES covered by the
+    top-k vocabulary for every k — cumulative frequency over the
+    rank-ordered vocab. The corpus collapses to the vocab in one
+    partial-agg shuffle; the curve is windows over the tiny vocab table
+    (a 100 TB corpus yields the same MB-scale curve input)."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = (docs.where(F.trim(F.col("text")) != "")
+            .select(F.explode(
+                F.split(F.trim(F.col("text")), r"\s+")).alias("token")))
+    counts = toks.groupBy("token").agg(F.count("*").alias("freq"))
+    order = Window.orderBy(F.col("freq").desc(), "token")
+    cum = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    total = Window.partitionBy()
+    return (counts
+            .withColumn("vocab_size",
+                        F.row_number().over(order).cast("int"))
+            .withColumn("coverage",
+                        F.round(F.sum("freq").over(cum)
+                                / F.sum("freq").over(total), 6))
+            .select("vocab_size", "coverage"))
+
+
+@_q(
     "dedup_incremental",
     """
     WITH norm AS (
