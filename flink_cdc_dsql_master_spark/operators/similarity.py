@@ -507,3 +507,31 @@ def bucket_membership_view(state: DataFrame) -> DataFrame:
     return state.groupBy("bucket").agg(
         F.count("*").alias("n_vectors"),
         F.sort_array(F.collect_list("vec_id")).alias("members"))
+
+
+def random_projection(df: DataFrame, out_dim: int, seed: int = 7,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding",
+                      in_dim: int = 64) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: project onto
+    ``out_dim`` seeded random unit vectors (× sqrt(in/out) to make
+    distances unbiased). The planes are pure constants, so the whole
+    projection is Catalyst dot-product arithmetic — oracle-checkable,
+    shuffle-free, and the same constants reproduce on any engine.
+    Output: (id, projected array<double>).
+    """
+    import math
+
+    planes = _seeded_unit_vectors(out_dim, in_dim, seed)
+    # unit-norm planes: E[(v·p)^2] = |v|^2 / in_dim, so sqrt(in/out)
+    # makes the projected squared norm unbiased for |v|^2
+    scale = math.sqrt(in_dim / out_dim)
+    comps = [
+        (dot_expr(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p]))
+         * F.lit(scale)).alias(f"__p{i}")
+        for i, p in enumerate(planes)
+    ]
+    return df.select(F.col(id_col), *comps).select(
+        id_col,
+        F.array(*[F.col(f"__p{i}") for i in range(out_dim)])
+        .alias("projected"))

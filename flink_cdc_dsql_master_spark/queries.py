@@ -1273,6 +1273,46 @@ def similarity_quantized_rerank(spark, sf_dir):
     return out.withColumn("cosine", F.round("cosine", 6))
 
 
+def _jl_projection_sql(out_dim: int, seed: int) -> str:
+    import math
+
+    from .operators.similarity import _seeded_unit_vectors
+
+    planes = _seeded_unit_vectors(out_dim, 64, seed)
+    scale = math.sqrt(64 / out_dim)
+    comps = [f"ROUND({_sql_dot('embedding', p)} * {scale!r}, 6)"
+             for p in planes]
+    return "[" + ", ".join(comps) + "]"
+
+
+@_q(
+    "embedding_random_projection",
+    f"""
+    SELECT vec_id,
+           array_to_string(list_transform(
+             {_jl_projection_sql(16, 7)},
+             x -> CAST(CAST(x AS DECIMAL(14,6)) AS VARCHAR)), ',')
+             AS projected
+    FROM embeddings
+    """,
+)
+def embedding_random_projection(spark, sf_dir):
+    """Johnson–Lindenstrauss projection 64→16 dims: seeded unit planes
+    as literal constants (oracle-identical), unbiased sqrt(in/out)
+    scaling, pure Catalyst dot arithmetic — the cheap front-end of any
+    large-scale ANN/clustering pass."""
+    from .operators.similarity import random_projection
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = random_projection(emb, out_dim=16, seed=7)
+    return out.select(
+        "vec_id",
+        F.array_join(F.transform(
+            "projected",
+            lambda x: F.round(x, 6).cast("decimal(14,6)").cast("string")),
+            ",").alias("projected"))
+
+
 @_q("similarity_pq_adc")  # rows-only: k-means codebooks are
 # data-dependent floats, not SQL-embeddable constants (recall and
 # determinism are pytest-verified instead)

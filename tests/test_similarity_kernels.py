@@ -95,3 +95,28 @@ def test_pq_codebooks_deterministic(spark, sf_dir):
     b1 = train_pq_codebooks(emb, m=4, k=8, sample_n=64, iters=3)
     b2 = train_pq_codebooks(emb, m=4, k=8, sample_n=64, iters=3)
     assert b1 == b2
+
+
+def test_random_projection_preserves_distances(spark, sf_dir):
+    """JL property: pairwise squared distances in the 16-dim projection
+    approximate the 64-dim originals (median relative distortion well
+    under 50% at this dim ratio)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+    from flink_cdc_dsql_master_spark.operators.similarity import (
+        random_projection)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .where(F.col("vec_id") < 40)
+    orig = {r["vec_id"]: np.asarray(list(r["embedding"]), dtype=np.float64)
+            for r in emb.collect()}
+    proj = {r["vec_id"]: np.asarray(list(r["projected"]), dtype=np.float64)
+            for r in random_projection(emb, out_dim=16).collect()}
+    dist = []
+    ids = sorted(orig)
+    for i in range(0, len(ids) - 1, 2):
+        a, b = ids[i], ids[i + 1]
+        d0 = ((orig[a] - orig[b]) ** 2).sum()
+        d1 = ((proj[a] - proj[b]) ** 2).sum()
+        dist.append(abs(d1 - d0) / d0)
+    assert np.median(dist) < 0.5
