@@ -504,3 +504,19 @@ class TestSnapshotDiff:
         final = apply_changelog(base.unionByName(replay), ["k"])
         got = sorted((r["k"], r["v"]) for r in final.collect())
         assert got == [(1, "a"), (2, None), (4, "d")]
+
+
+class TestApproxPercentile:
+    def test_tdigest_within_tolerance_of_exact(self, spark):
+        """approx_percentile (mergeable t-digest partials) is the 100 TB
+        swap for the exact percentile queries; assert p50/p95 land
+        within 2% relative error on real data."""
+        li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+        row = li.agg(
+            F.percentile("l_extendedprice", 0.5).alias("e50"),
+            F.percentile("l_extendedprice", 0.95).alias("e95"),
+            F.expr("approx_percentile(l_extendedprice, 0.5)").alias("a50"),
+            F.expr("approx_percentile(l_extendedprice, 0.95)").alias("a95"),
+        ).collect()[0]
+        assert abs(row["a50"] - row["e50"]) / row["e50"] < 0.02
+        assert abs(row["a95"] - row["e95"]) / row["e95"] < 0.02
