@@ -3297,6 +3297,57 @@ def join_interval_attribution(spark, sf_dir):
 
 
 @_q(
+    "pack_chunked_pipeline",
+    r"""
+    WITH norm AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(regexp_replace(lower(text),
+                         '\s+', ' ', 'g')), ' '), x -> x != '') AS w
+      FROM documents WHERE length(trim(text)) > 0),
+    c AS (
+      SELECT doc_id, len(w) AS n,
+             CASE WHEN len(w) <= 64 THEN 1
+                  ELSE CAST(ceil((len(w) - 64) / 48.0) AS BIGINT) + 1
+             END AS nc
+      FROM norm),
+    chunks AS (
+      SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+             CAST(least(n - i * 48, 64) AS INT) AS n_tokens
+      FROM c, unnest(range(0, nc)) AS t(i)),
+    j AS (
+      SELECT ch.doc_id, ch.chunk_idx, ch.n_tokens, s.source
+      FROM chunks ch JOIN documents s USING (doc_id))
+    SELECT doc_id, chunk_idx, source, n_tokens,
+           CAST(FLOOR((SUM(n_tokens) OVER
+                  (PARTITION BY source ORDER BY doc_id, chunk_idx
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 - n_tokens) / 256.0) AS INT) AS bin_id
+    FROM j
+    """,
+)
+def pack_chunked_pipeline(spark, sf_dir):
+    """Composite loader pipeline: chunk documents into 64-token windows
+    (16 overlap), then pack the CHUNKS into 256-token bins per source
+    stream — the full "split long docs, then pack sequences" path a
+    training loader runs, as one composed plan (map-only chunk explode →
+    broadcast source join → one per-stream packing window)."""
+    from .operators import sampling, text as t
+
+    docs = _t(spark, sf_dir, "documents")
+    chunks = t.chunk_documents(docs, chunk_tokens=64, overlap=16)
+    src = docs.select("doc_id", "source")
+    j = chunks.join(F.broadcast(src), "doc_id").select(
+        "doc_id", "chunk_idx", "source",
+        F.col("n_tokens").cast("int").alias("n_tokens"))
+    packed = sampling.pack_sequences(
+        j.withColumn("__ord",
+                     F.col("doc_id") * 1000 + F.col("chunk_idx")),
+        "n_tokens", 256, "source", "__ord")
+    return packed.select("doc_id", "chunk_idx", "source", "n_tokens",
+                         F.col("bin_id").cast("int").alias("bin_id"))
+
+
+@_q(
     "pack_token_budget",
     """
     WITH t AS (
