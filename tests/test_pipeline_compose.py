@@ -208,3 +208,26 @@ def test_scd2_and_rollup_parquet_sinks(spark, tmp_path):
     roll = spark.read.parquet(str(tmp_path / "rollup-parquet" / "m"))
     got = {r["id"]: (r["d_n"], r["d_total"]) for r in roll.collect()}
     assert got == {1: (1, 9.0)}  # id 2 netted out; id 1 updated to 9.0
+
+
+def test_batch_composer_fan_out_replication(spark):
+    """One source table matching two route rules replicates to BOTH sink
+    tables (TableIdRouter fan-out through the composer dispatch)."""
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    s1 = Schema.of([("id", "INT NOT NULL"), ("v", "INT")],
+                   primary_keys=["id"])
+    script = (EventScript().create_table("db.s.t", s1)
+              .insert("db.s.t", (1, 10), (2, 20)))
+    pipe = PipelineDef(
+        source=SourceDef("values", {"script": script}),
+        sink=SinkDef("values"),
+        routes=(RouteRule(r"db.s.t", "ods.s.copy_a"),
+                RouteRule(r"db.s.t", "dw.s.copy_b")),
+    )
+    result = BatchComposer(spark, pipe).run()
+    a = TableId.parse("ods.s.copy_a")
+    b = TableId.parse("dw.s.copy_b")
+    rows_a = {(r["id"], r["v"]) for r in result.tables[a].collect()}
+    rows_b = {(r["id"], r["v"]) for r in result.tables[b].collect()}
+    assert rows_a == rows_b == {(1, 10), (2, 20)}
