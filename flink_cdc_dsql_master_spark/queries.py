@@ -3745,6 +3745,90 @@ def analytics_market_basket(spark, sf_dir):
 
 
 @_q(
+    "agg_order_count_distribution",
+    """
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist FROM (
+      SELECT c.c_custkey, CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON c.c_custkey = o.o_custkey
+       AND o.o_orderpriority <> '1-URGENT'
+      GROUP BY c.c_custkey)
+    GROUP BY c_count
+    """,
+)
+def agg_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape: the distribution of customers by (filtered)
+    order count — an aggregate OF an aggregate. The left join keeps
+    zero-order customers (COUNT of the null side is 0); the outer
+    histogram groups the #customers-row inner result, so the second
+    shuffle is customer-sized, not order-sized."""
+    c = _t(spark, sf_dir, "customer").select("c_custkey")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") != "1-URGENT")
+         .select("o_custkey", "o_orderkey"))
+    per_cust = (c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return (per_cust.groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))
+
+
+@_q(
+    "join_nation_trade_volume",
+    """
+    SELECT supp_nation, cust_nation, yr,
+           ROUND(SUM(volume), 2) AS revenue
+    FROM (
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             CAST(year(l.l_shipdate) AS INT) AS yr,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+          OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3'))
+        AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+        AND l.l_shipdate <  TIMESTAMP '1997-01-01')
+    GROUP BY supp_nation, cust_nation, yr
+    """,
+)
+def join_nation_trade_volume(spark, sf_dir):
+    """TPC-H Q7 shape: bilateral trade volume between two nations by
+    ship year. The nation-pair disjunction restricts both dimension
+    sides BEFORE the fact joins (broadcast supplier/customer subsets);
+    date pushdown on the fact scan; one final partial-agg shuffle."""
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    fr_de = n.where(F.col("n_name").isin("NATION_3", "NATION_7"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(fr_de),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", F.col("n_name").alias("supp_nation")))
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(fr_de.withColumnRenamed("n_name", "cn")),
+               F.col("c_nationkey") == F.col("n_nationkey"))
+         .select("c_custkey", F.col("cn").alias("cust_nation")))
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1995-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01")))
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(c, o["o_custkey"] == c["c_custkey"])
+         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+         .where(((F.col("supp_nation") == "NATION_3")
+                 & (F.col("cust_nation") == "NATION_7"))
+                | ((F.col("supp_nation") == "NATION_7")
+                   & (F.col("cust_nation") == "NATION_3"))))
+    return (j.groupBy("supp_nation", "cust_nation",
+                      F.year("l_shipdate").cast("int").alias("yr"))
+            .agg(F.round(F.sum(F.col("l_extendedprice")
+                               * (1 - F.col("l_discount"))), 2)
+                 .alias("revenue")))
+
+
+@_q(
     "join_waiting_suppliers",
     """
     WITH li AS (
