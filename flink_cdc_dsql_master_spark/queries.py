@@ -3829,6 +3829,65 @@ def join_nation_trade_volume(spark, sf_dir):
 
 
 @_q(
+    "join_market_share",
+    """
+    SELECT yr, ROUND(SUM(CASE WHEN supp_nation = 'NATION_3'
+                         THEN volume ELSE 0 END)
+                   / SUM(volume), 6) AS mkt_share
+    FROM (
+      SELECT CAST(year(o.o_orderdate) AS INT) AS yr,
+             n1.n_name AS supp_nation,
+             l.l_extendedprice * (1 - l.l_discount) AS volume
+      FROM lineitem l
+      JOIN orders o   ON o.o_orderkey = l.l_orderkey
+      JOIN customer c ON c.c_custkey = o.o_custkey
+      JOIN nation n2  ON n2.n_nationkey = c.c_nationkey
+      JOIN region r   ON r.r_regionkey = n2.n_regionkey
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n1  ON n1.n_nationkey = s.s_nationkey
+      WHERE r.r_name = 'ASIA'
+        AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o.o_orderdate <  TIMESTAMP '1997-01-01')
+    GROUP BY yr
+    """,
+)
+def join_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: one supplier nation's share of a region's import
+    volume per year — a conditional-share aggregate over a 7-table star.
+    Every dimension broadcasts; the CASE folds both numerator and
+    denominator into ONE partial aggregate (never two scans)."""
+    n = _t(spark, sf_dir, "nation")
+    r = (_t(spark, sf_dir, "region")
+         .where(F.col("r_name") == "ASIA").select("r_regionkey"))
+    cust_n = (n.join(F.broadcast(r),
+                     n["n_regionkey"] == r["r_regionkey"])
+              .select(F.col("n_nationkey").alias("cnk")))
+    c = (_t(spark, sf_dir, "customer")
+         .join(F.broadcast(cust_n), F.col("c_nationkey") == F.col("cnk"))
+         .select("c_custkey"))
+    s = (_t(spark, sf_dir, "supplier")
+         .join(F.broadcast(n.select("n_nationkey",
+                                    F.col("n_name").alias("supp_nation"))),
+               F.col("s_nationkey") == F.col("n_nationkey"))
+         .select("s_suppkey", "supp_nation"))
+    o = (_t(spark, sf_dir, "orders")
+         .where((F.col("o_orderdate") >= "1995-01-01")
+                & (F.col("o_orderdate") < "1997-01-01"))
+         .select("o_orderkey", "o_custkey", "o_orderdate"))
+    li = _t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.join(o, li["l_orderkey"] == o["o_orderkey"])
+         .join(c, o["o_custkey"] == c["c_custkey"])
+         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"]))
+    return (j.groupBy(F.year("o_orderdate").cast("int").alias("yr"))
+            .agg(F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_3", vol)
+                      .otherwise(0.0)) / F.sum(vol), 6)
+                .alias("mkt_share")))
+
+
+@_q(
     "join_waiting_suppliers",
     """
     WITH li AS (

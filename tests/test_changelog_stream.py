@@ -205,3 +205,41 @@ def test_malformed_envelopes_to_dlq(spark):
                                    seq_col="offset")
     got = sorted((r["id"], r["__op"]) for r in decoded.collect())
     assert got == [(1, "+I"), (5, "-D")]
+
+
+def test_changelog_stream_to_rollup(spark, tmp_path):
+    """Streaming pipeline into the rollup writer: inserts then a
+    retraction update fold into group-grain state across checkpointed
+    runs."""
+    from flink_cdc_dsql_master_spark.compose import make_rollup_sink_writer
+    from flink_cdc_dsql_master_spark.operators import ivm
+
+    src = str(tmp_path / "topic3")
+    ckpt = str(tmp_path / "ckpt3")
+    roll = str(tmp_path / "roll")
+    (tmp_path / "topic3").mkdir()
+    pipe = PipelineDef(
+        source=SourceDef("file-debezium", {
+            "path": src, "schema": "id int, g string, v double",
+            "table": "db.s.r", "primary-keys": ["id"]}),
+        sink=SinkDef("custom"),
+    )
+    writer = make_rollup_sink_writer(roll, ["g"], "v")
+
+    _write_envelopes(src, "b1.jsonl", [
+        (1, _envelope(None, {"id": 1, "g": "x", "v": 5.0}, "c")),
+        (2, _envelope(None, {"id": 2, "g": "x", "v": 3.0}, "c")),
+        (3, _envelope(None, {"id": 3, "g": "y", "v": 7.0}, "c")),
+    ])
+    q = compose_changelog_stream(spark, pipe, ckpt, writer)
+    q.awaitTermination(120)
+    _write_envelopes(src, "b2.jsonl", [
+        (4, _envelope({"id": 1, "g": "x", "v": 5.0},
+                      {"id": 1, "g": "x", "v": 9.0}, "u")),
+    ])
+    q = compose_changelog_stream(spark, pipe, ckpt, writer)
+    q.awaitTermination(120)
+
+    got = {r["g"]: (r["n"], r["total"]) for r in
+           ivm.rollup_view(spark.read.parquet(f"{roll}/r")).collect()}
+    assert got == {"x": (2, 12.0), "y": (1, 7.0)}
