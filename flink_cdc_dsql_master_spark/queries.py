@@ -3973,6 +3973,35 @@ def anti_join_above_avg_idle(spark, sf_dir):
                  F.round(F.sum("c_acctbal"), 2).alias("total_bal")))
 
 
+@_q(
+    "reshape_unpivot_measures",
+    """
+    SELECT l_orderkey, l_linenumber, measure, ROUND(value, 4) AS value
+    FROM (SELECT l_orderkey, l_linenumber,
+                 CAST(l_quantity AS DOUBLE) AS quantity,
+                 CAST(l_extendedprice AS DOUBLE) AS extendedprice,
+                 CAST(l_discount AS DOUBLE) AS discount
+          FROM lineitem WHERE l_orderkey < 1000)
+    UNPIVOT (value FOR measure IN (quantity, extendedprice, discount))
+    """,
+)
+def reshape_unpivot_measures(spark, sf_dir):
+    """Wide→long reshape (pivot's inverse): three measure columns melt
+    into (measure, value) rows via the native unpivot — a map-side
+    expand, no shuffle, the shape feeding generic metric pipelines."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey") < 1000)
+          .select("l_orderkey", "l_linenumber",
+                  F.col("l_quantity").cast("double").alias("quantity"),
+                  F.col("l_extendedprice").cast("double")
+                  .alias("extendedprice"),
+                  F.col("l_discount").cast("double").alias("discount")))
+    return (li.unpivot(["l_orderkey", "l_linenumber"],
+                       ["quantity", "extendedprice", "discount"],
+                       "measure", "value")
+            .withColumn("value", F.round("value", 4)))
+
+
 _EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
 
 
