@@ -155,3 +155,40 @@ def test_streaming_session_windows_merge_and_close(spark, tmp_path):
     # session 2: the +65min event alone
     assert (t0, 2, 3.0) in u1
     assert (t0 + dt.timedelta(minutes=65), 1, 4.0) in u1
+
+
+def test_streaming_topk_complete_mode(spark, tmp_path):
+    """Complete-output-mode streaming aggregation: each trigger re-emits
+    the full ranked state, so the last batch holds the global top-k over
+    everything seen — the live-dashboard output mode (append/update are
+    covered elsewhere)."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "tksrc")
+    ckpt = str(tmp_path / "tkckpt")
+    schema = "k string, value double"
+    batches = []
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = (stream.groupBy("k")
+               .agg(F.count("*").alias("n"),
+                    F.sum("value").alias("total")))
+        q = (agg.writeStream.outputMode("complete")
+             .foreachBatch(lambda df, bid: batches.append(
+                 df.orderBy(F.desc("n"), "k").limit(2).collect()))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 3.0)], schema).write.parquet(src)
+    run()
+    spark.createDataFrame(
+        [("b", 1.0), ("b", 1.0), ("c", 9.0)], schema).write.mode(
+        "append").parquet(src)
+    run()
+
+    final = {r["k"]: (r["n"], r["total"]) for r in batches[-1]}
+    # complete mode: counts span BOTH batches; b (3 events) leads a (2)
+    assert final == {"b": (3, 5.0), "a": (2, 3.0)}
