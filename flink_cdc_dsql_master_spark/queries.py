@@ -4059,6 +4059,34 @@ def window_order_gaps(spark, sf_dir):
 
 
 @_q(
+    "agg_decimal_exact_sums",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR)
+             AS exact_revenue,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR)
+             AS exact_qty,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def agg_decimal_exact_sums(spark, sf_dir):
+    """EXACT decimal aggregation: sums in DECIMAL(18,2) are
+    order-independent and bit-identical across engines — no rounding
+    tolerance anywhere (the financial-correctness discipline; double
+    sums would need rounding to compare). Spark widens sum(DECIMAL(18,2))
+    to DECIMAL(28,2); the VARCHAR cast normalizes the scale
+    representation on both sides."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+                 .cast("string").alias("exact_revenue"),
+                 F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+                 .cast("string").alias("exact_qty"),
+                 F.count("*").alias("n")))
+
+
+@_q(
     "window_rank_bundle",
     """
     SELECT o_orderkey, o_orderpriority,
