@@ -4087,6 +4087,50 @@ def agg_decimal_exact_sums(spark, sf_dir):
 
 
 @_q(
+    "reshape_nested_lineitems",
+    """
+    WITH nested AS (
+      SELECT l_orderkey,
+             list(struct_pack(ln := CAST(l_linenumber AS INT),
+                              price := CAST(ROUND(l_extendedprice, 2)
+                                            AS DECIMAL(12,2)))
+                  ORDER BY l_linenumber, l_extendedprice) AS items
+      FROM lineitem WHERE l_orderkey < 600 GROUP BY l_orderkey)
+    SELECT l_orderkey, CAST(len(items) AS INT) AS n_items,
+           CAST(list_max(list_transform(items, s -> s.price))
+                AS VARCHAR) AS max_price,
+           array_to_string(list_transform(items,
+             s -> CAST(s.ln AS VARCHAR) || ':'
+                  || CAST(s.price AS VARCHAR)), ',') AS packed
+    FROM nested
+    """,
+)
+def reshape_nested_lineitems(spark, sf_dir):
+    """Nested-type surface: lineitems nested per order as a sorted
+    array<struct>, then computed ON inside the nested shape (size, HOF
+    max over a struct field, formatted flattening) — the
+    document-model round trip a lakehouse engine must support beyond
+    flat relations."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_orderkey") < 600))
+    nested = (li.groupBy("l_orderkey")
+              .agg(F.array_sort(F.collect_list(F.struct(
+                  F.col("l_linenumber").cast("int").alias("ln"),
+                  F.round("l_extendedprice", 2).cast("decimal(12,2)")
+                  .alias("price")))).alias("items")))
+    prices = F.transform("items", lambda s: s["price"])
+    return nested.select(
+        "l_orderkey",
+        F.size("items").alias("n_items"),
+        F.array_max(prices).cast("string").alias("max_price"),
+        F.array_join(F.transform(
+            "items",
+            lambda s: F.concat(s["ln"].cast("string"), F.lit(":"),
+                               s["price"].cast("string"))), ",")
+        .alias("packed"))
+
+
+@_q(
     "window_rank_bundle",
     """
     SELECT o_orderkey, o_orderpriority,
