@@ -441,6 +441,38 @@ def fn_cast(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @_q(
+    "fn_modern_aggregates",
+    """
+    SELECT c_mktsegment,
+           CAST(count_if(c_acctbal > 5000) AS BIGINT) AS n_rich,
+           bool_and(c_acctbal > -1000.0) AS all_above_floor,
+           bool_or(c_acctbal < 0) AS any_negative,
+           CAST(max_by(c_custkey, c_acctbal) AS BIGINT) AS richest_cust,
+           CAST(min_by(c_custkey, c_acctbal) AS BIGINT) AS poorest_cust,
+           CAST(regexp_extract(MIN(c_name), '([0-9]+)', 1) AS BIGINT)
+             AS min_name_num
+    FROM customer GROUP BY c_mktsegment
+    """,
+)
+def fn_modern_aggregates(spark, sf_dir):
+    """Modern aggregate bundle: count_if / bool_and / bool_or /
+    max_by / min_by plus regexp group extraction — all single-pass
+    partial-aggregated (max_by/min_by carry (key, value) partials, never
+    a sort). Balances are distinct per segment here, so the by-aggs are
+    deterministic."""
+    c = _t(spark, sf_dir, "customer")
+    return (c.groupBy("c_mktsegment")
+            .agg(F.count_if(F.col("c_acctbal") > 5000).alias("n_rich"),
+                 F.bool_and(F.col("c_acctbal") > -1000.0)
+                 .alias("all_above_floor"),
+                 F.bool_or(F.col("c_acctbal") < 0).alias("any_negative"),
+                 F.max_by("c_custkey", "c_acctbal").alias("richest_cust"),
+                 F.min_by("c_custkey", "c_acctbal").alias("poorest_cust"),
+                 F.regexp_extract(F.min("c_name"), r"([0-9]+)", 1)
+                 .cast("long").alias("min_name_num")))
+
+
+@_q(
     "cdc_apply_changelog",
     f"""
     SELECT user_id, event_type, value, event_id AS last_seq
