@@ -441,6 +441,47 @@ def fn_cast(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 @_q(
+    "fn_higher_order_arrays",
+    """
+    SELECT p_partkey,
+           CAST(COALESCE(list_sum(list_filter(sizes, x -> x % 2 = 0)),
+                         0) AS BIGINT) AS even_sum,
+           CAST(len(list_distinct(sizes)) AS INT) AS n_distinct,
+           CAST(list_aggregate(sizes, 'max') AS INT) AS max_size,
+           array_to_string(list_transform(list_sort(sizes),
+             x -> CAST(x AS VARCHAR)), ',') AS sorted_csv
+    FROM (
+      SELECT p_partkey,
+             [p_size, p_size * 2 % 37, p_size * 3 % 41,
+              p_size * 5 % 43] AS sizes
+      FROM part WHERE p_partkey < 500)
+    """,
+)
+def fn_higher_order_arrays(spark, sf_dir):
+    """Array higher-order-function bundle: filter / distinct /
+    aggregate-fold / sort / transform over a derived int array — the
+    collection-processing surface (all Catalyst array expressions; the
+    interpreted-HOF cost model is documented in SCALE.md — these are
+    per-row KB arrays, not corpus streams)."""
+    p = (_t(spark, sf_dir, "part").where(F.col("p_partkey") < 500)
+         .select("p_partkey",
+                 F.array(F.col("p_size"),
+                         F.col("p_size") * 2 % 37,
+                         F.col("p_size") * 3 % 41,
+                         F.col("p_size") * 5 % 43).alias("sizes")))
+    return p.select(
+        "p_partkey",
+        F.aggregate(F.filter("sizes", lambda x: x % 2 == 0),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x).alias("even_sum"),
+        F.size(F.array_distinct("sizes")).alias("n_distinct"),
+        F.array_max("sizes").cast("int").alias("max_size"),
+        F.array_join(F.transform(F.array_sort("sizes"),
+                                 lambda x: x.cast("string")), ",")
+        .alias("sorted_csv"))
+
+
+@_q(
     "fn_modern_aggregates",
     """
     SELECT c_mktsegment,
