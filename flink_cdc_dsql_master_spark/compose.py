@@ -157,30 +157,24 @@ class BatchComposer:
             writer.write_batch(df)
         elif sink.type == "scd2-parquet":
             from .partitioning import scd2_apply_increment
-            from .sinks import swap_parquet_dir
+            from .sinks import read_parquet_state, swap_parquet_dir
 
             base = sink.config["path"]
             path = f"{base}/{sink_tid.table}"
-            try:
-                hist = self.spark.read.parquet(path)
-            except Exception:
-                hist = None
+            hist = read_parquet_state(self.spark, path)
             new = scd2_apply_increment(hist, df,
                                        list(schema.primary_keys))
             swap_parquet_dir(new, path)
         elif sink.type == "rollup-parquet":
             from .operators import ivm
-            from .sinks import swap_parquet_dir
+            from .sinks import read_parquet_state, swap_parquet_dir
 
             base = sink.config["path"]
             path = f"{base}/{sink_tid.table}"
             group_cols = [c.strip() for c in
                           sink.config["group-columns"].split(",")]
             value_col = sink.config["value-column"]
-            try:
-                state = self.spark.read.parquet(path)
-            except Exception:
-                state = None
+            state = read_parquet_state(self.spark, path)
             delta = ivm.rollup_delta(df, group_cols, value_col)
             swap_parquet_dir(ivm.merge_rollup(state, delta, group_cols),
                              path)
@@ -300,14 +294,11 @@ def make_scd2_sink_writer(base_path: str):
     ``scd2-parquet`` YAML sink): each micro-batch folds via
     ``scd2_apply_increment`` and swaps atomically."""
     from .partitioning import scd2_apply_increment
-    from .sinks import swap_parquet_dir
+    from .sinks import read_parquet_state, swap_parquet_dir
 
     def writer(sink_tid, df, schema):
         path = f"{base_path}/{sink_tid.table}"
-        try:
-            hist = df.sparkSession.read.parquet(path)
-        except Exception:
-            hist = None
+        hist = read_parquet_state(df.sparkSession, path)
         swap_parquet_dir(
             scd2_apply_increment(hist, df, list(schema.primary_keys)),
             path)
@@ -320,14 +311,11 @@ def make_rollup_sink_writer(base_path: str, group_cols: list[str],
     """Sink-writer maintaining a signed-partial rollup per sink table
     (the streaming face of the ``rollup-parquet`` YAML sink)."""
     from .operators import ivm
-    from .sinks import swap_parquet_dir
+    from .sinks import read_parquet_state, swap_parquet_dir
 
     def writer(sink_tid, df, schema):
         path = f"{base_path}/{sink_tid.table}"
-        try:
-            state = df.sparkSession.read.parquet(path)
-        except Exception:
-            state = None
+        state = read_parquet_state(df.sparkSession, path)
         delta = ivm.rollup_delta(df, group_cols, value_col)
         swap_parquet_dir(ivm.merge_rollup(state, delta, group_cols), path)
 

@@ -399,8 +399,14 @@ def train_pq_codebooks(corpus: DataFrame, m: int = 8, k: int = 16,
     """
     import numpy as np
 
-    rows = (corpus.select(id_col, vec_col).where(F.col(id_col) < sample_n)
-            .orderBy(id_col).collect())
+    # Sample the sample_n lowest ids by ORDER BY ... LIMIT, not an
+    # id-value predicate: sparse or offset id spaces would make
+    # `id < sample_n` select almost nothing (ADVICE r4).
+    rows = (corpus.select(id_col, vec_col)
+            .orderBy(id_col).limit(sample_n).collect())
+    if len(rows) < k:
+        raise ValueError(
+            f"PQ training needs >= k={k} sample vectors, got {len(rows)}")
     x = np.asarray([list(r[vec_col]) for r in rows], dtype=np.float64)
     d = x.shape[1]
     if d % m:
@@ -479,6 +485,51 @@ def pq_topk(encoded: DataFrame, codebooks: list, query_vec: list,
     return (encoded.select("nbr_id", score.alias("approx_d2"))
             .orderBy(F.col("approx_d2").asc(), F.col("nbr_id").asc())
             .limit(k))
+
+
+def fixed_pq_codebooks(m: int, k: int, sub: int, seed: int = 11) -> list:
+    """Deterministic literal PQ codebooks (seeded Gaussian, no training)
+    — the oracle-checkable twin of :func:`train_pq_codebooks`. The same
+    Python float objects are embedded as literals in both the Catalyst
+    plan and the DuckDB replay SQL, so the encode argmin and the ADC sum
+    are replayable bit-for-bit. Trained codebooks remain the quality
+    path (recall pytest)."""
+    rng = random.Random(seed)
+    return [[[rng.gauss(0.0, 1.0) for _ in range(sub)]
+             for _ in range(k)] for _ in range(m)]
+
+
+def pq_encode_literal(corpus: DataFrame, codebooks: list,
+                      id_col: str = "vec_id",
+                      vec_col: str = "embedding") -> DataFrame:
+    """Pure-Catalyst PQ encode for literal codebooks: per subspace an
+    argmin over k literal-centroid squared-L2 distances, each distance a
+    LEFT-ASSOCIATED ``+`` chain of ``diff*diff`` terms so the float op
+    order matches the SQL replica exactly — argmin (and therefore the
+    emitted code) is bit-identical across engines, not just close.
+    Ties take the lowest centroid index via a (d, i) struct-min,
+    mirroring numpy's and DuckDB list_position's first-min semantics.
+
+    No Python anywhere in the encode path: at 100 TB this is the scale
+    winner over the Arrow-kernel :func:`pq_encode` — the whole encode
+    runs inside whole-stage codegen, nothing leaves the JVM."""
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    codes = []
+    for j, book in enumerate(codebooks):
+        dists = []
+        for cent in book:
+            term = None
+            for i, c in enumerate(cent):
+                diff = F.col(vec_col).getItem(j * sub + i) - F.lit(float(c))
+                t = diff * diff
+                term = t if term is None else term + t
+            dists.append(term)
+        arr = F.array(*[F.struct(d.alias("d"), F.lit(i).alias("i"))
+                        for i, d in enumerate(dists)])
+        codes.append(F.array_min(arr).getField("i"))
+    return corpus.select(F.col(id_col).alias("nbr_id"),
+                         F.array(*codes).alias("codes"))
 
 
 def bucket_membership_delta(changelog: DataFrame, bits: int = 8,

@@ -346,6 +346,11 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
     base = df.select(F.col(id_col).alias("id"),
                      F.size(toks).alias("dl"), toks.alias("__toks"))
     n_docs, avgdl = base.agg(F.count("*"), F.avg("dl")).collect()[0]
+    if not n_docs:
+        # Empty corpus: avgdl is NULL and idf would divide by 0.5 of
+        # nothing — return a typed empty (id, score) frame instead.
+        return base.select(F.col("id"),
+                           F.lit(0.0).alias("score")).limit(0)
     posts = (base.select("id", "dl", F.explode("__toks").alias("term"))
              .where(F.col("term").isin(*query_terms)))
     tf = posts.groupBy("id", "dl", "term").agg(F.count("*").alias("tf"))

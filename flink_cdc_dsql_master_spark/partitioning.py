@@ -218,8 +218,13 @@ def scd2_apply_increment(history: DataFrame | None, batch: DataFrame,
     inc = scd2_history(batch, primary_keys, seq_col)
     if history is None:
         return inc
-    firsts = batch.groupBy(*primary_keys).agg(
-        F.min(F.col(seq)).cast("long").alias("__first_seq"))
+    # Close open versions at the first EVENTFUL seq, mirroring
+    # scd2_history's -U exclusion: a before-image may carry a lower seq
+    # than its paired after-image, and including it would make the
+    # incremental fold diverge from a one-shot rebuild.
+    firsts = (batch.where(F.col(OP_COLUMN) != OP_UPDATE_BEFORE)
+              .groupBy(*primary_keys)
+              .agg(F.min(F.col(seq)).cast("long").alias("__first_seq")))
     touched = F.col("__first_seq").isNotNull()
     closed = (history.join(firsts, primary_keys, "left")
               .withColumn(

@@ -1386,6 +1386,82 @@ def embedding_random_projection(spark, sf_dir):
             ",").alias("projected"))
 
 
+def _pq_fixed_lut(books, qv):
+    """The same numpy arithmetic pq_topk uses internally, so the SQL
+    replica embeds literally identical LUT floats."""
+    import numpy as np
+
+    sub = len(books[0][0])
+    q = np.asarray(qv, dtype=np.float64)
+    return [[float(((np.asarray(c) - q[j * sub:(j + 1) * sub]) ** 2).sum())
+             for c in books[j]] for j in range(len(books))]
+
+
+def _pq_fixed_sql(books, qv, k: int = 50) -> str:
+    """DuckDB replay of pq_encode_literal + pq_topk over literal
+    codebooks: every squared-distance chain is generated in the SAME
+    left-associated term order as the Catalyst plan, so d-values, argmin
+    codes, and the ADC sum are bit-identical across engines."""
+    sub = len(books[0][0])
+    lut = _pq_fixed_lut(books, qv)
+    d_cols, c_cols, lut_terms = [], [], []
+    for j, book in enumerate(books):
+        ds = []
+        for cent in book:
+            terms = [
+                f"(embedding[{j * sub + i + 1}] - {c!r})"
+                f" * (embedding[{j * sub + i + 1}] - {c!r})"
+                for i, c in enumerate(cent)]
+            ds.append("(" + " + ".join(terms) + ")")
+        d_cols.append("[" + ", ".join(ds) + f"] AS d{j}")
+        c_cols.append(f"list_position(d{j}, list_min(d{j})) AS c{j}")
+        lut_terms.append(
+            f"([{', '.join(repr(v) for v in lut[j])}])[c{j}]")
+    return f"""
+    SELECT nbr_id, ROUND(s, 6) AS approx_d2 FROM (
+      SELECT nbr_id, {' + '.join(lut_terms)} AS s FROM (
+        SELECT nbr_id, {', '.join(c_cols)} FROM (
+          SELECT vec_id AS nbr_id, {', '.join(d_cols)} FROM embeddings
+        )
+      )
+    ) ORDER BY s ASC, nbr_id ASC LIMIT {k}
+    """
+
+
+_PQ_FIXED_BOOKS = None
+_PQ_FIXED_QV = None
+
+
+def _pq_fixed_params():
+    global _PQ_FIXED_BOOKS, _PQ_FIXED_QV
+    if _PQ_FIXED_BOOKS is None:
+        from .operators.similarity import (_seeded_unit_vectors,
+                                           fixed_pq_codebooks)
+
+        _PQ_FIXED_BOOKS = fixed_pq_codebooks(m=4, k=8, sub=16, seed=11)
+        _PQ_FIXED_QV = _seeded_unit_vectors(1, 64, 23)[0]
+    return _PQ_FIXED_BOOKS, _PQ_FIXED_QV
+
+
+@_q("similarity_pq_adc_fixed")  # oracle registered just below (needs
+# the lazily-built literal codebooks)
+def similarity_pq_adc_fixed(spark, sf_dir):
+    """PQ ADC with fixed literal codebooks (4 subspaces × 8 centroids,
+    seeded — not trained): the oracle-checkable twin of
+    similarity_pq_adc. The pure-Catalyst encode (pq_encode_literal) and
+    the literal-LUT ADC sum replay in DuckDB bit-for-bit, closing the
+    data-dependent-codebook evidence gap; the trained path keeps the
+    recall pytest."""
+    books, qv = _pq_fixed_params()
+    emb = _t(spark, sf_dir, "embeddings")
+    enc = similarity.pq_encode_literal(emb, books)
+    out = similarity.pq_topk(enc, books, qv, k=50)
+    return out.withColumn("approx_d2", F.round("approx_d2", 6))
+
+
+ORACLE["similarity_pq_adc_fixed"] = _pq_fixed_sql(*_pq_fixed_params())
+
+
 @_q("similarity_pq_adc")  # rows-only: k-means codebooks are
 # data-dependent floats, not SQL-embeddable constants (recall and
 # determinism are pytest-verified instead)

@@ -388,7 +388,14 @@ def swap_parquet_dir(df: DataFrame, path: str) -> None:
     directory renames (the same discipline as ``merge_into_parquet`` —
     the lazy plan can read the current ``path`` while building, since
     the target is only swapped after the new table is fully
-    materialized)."""
+    materialized).
+
+    The swap is two renames (``path`` -> ``.__swap_old__`` then
+    ``.__swap_tmp__`` -> ``path``); a crash between them leaves ``path``
+    absent with the data intact in ``.__swap_old__``. State readers must
+    go through :func:`read_parquet_state`, which detects exactly that
+    window and renames the old directory back — a missing ``path`` with
+    an ``-old`` sibling is a recoverable crash, never "no state"."""
     local = path[7:] if path.startswith("file://") else path
     tmp = local.rstrip("/") + ".__swap_tmp__"
     old = local.rstrip("/") + ".__swap_old__"
@@ -399,3 +406,28 @@ def swap_parquet_dir(df: DataFrame, path: str) -> None:
         os.rename(local, old)
     os.rename(tmp, local)
     shutil.rmtree(old, ignore_errors=True)
+
+
+def read_parquet_state(spark, path: str) -> DataFrame | None:
+    """Read a swap-maintained parquet state directory, distinguishing the
+    three cases the naive ``try: read / except: None`` conflates:
+
+    - ``path`` exists → read it; any failure (corrupt footer, IO error,
+      schema drift) RE-RAISES so the batch fails loudly instead of
+      silently rebuilding state from one micro-batch;
+    - ``path`` absent but a ``.__swap_old__`` / ``.__compact_old__``
+      sibling exists → a crash hit the rename window of
+      :func:`swap_parquet_dir` / :func:`compact_parquet`; recover by
+      renaming the old directory back into place, then read it;
+    - neither exists → genuinely no prior state; return None.
+    """
+    local = path[7:] if path.startswith("file://") else path
+    if not os.path.exists(local):
+        for suffix in (".__swap_old__", ".__compact_old__"):
+            old = local.rstrip("/") + suffix
+            if os.path.exists(old):
+                os.rename(old, local)
+                break
+        else:
+            return None
+    return spark.read.parquet(local)
