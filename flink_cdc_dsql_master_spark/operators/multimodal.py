@@ -124,10 +124,11 @@ def sample_frames(df: DataFrame, payload_col: str = "payload",
 
 
 def decode_image_stub(payload: bytes) -> "object":
-    """JPEG/PNG decode — unavailable here (no PIL/opencv in container).
-    WAV and PPM decode ARE real: see decode_wav / decode_ppm."""
+    """JPEG decode — unavailable here (no PIL/opencv in container).
+    WAV, PPM, BMP and PNG decode ARE real: see decode_wav / decode_ppm /
+    decode_bmp / decode_png (the PNG path needs only stdlib zlib)."""
     raise NotImplementedError(
-        "JPEG/PNG decoding requires a codec library not present in this "
+        "JPEG decoding requires a codec library not present in this "
         "container; plug a decode_fn into extract_features instead")
 
 
@@ -281,6 +282,155 @@ def decode_bmp(payload: bytes):
     return rows[:, :, ::-1].copy()  # BGR -> RGB
 
 
+def synth_png_bytes(width: int, height: int) -> bytes:
+    """Synthesize an 8-bit RGB PNG with the same deterministic gradient
+    as :func:`synth_bmp_bytes` (r=(x*7+y*3)%256, g=(x*5+y*11)%256,
+    b=(x*13+y*17)%256). Row filters cycle 0..4 by scanline so a decoder
+    must implement None/Sub/Up/Average/Paeth to reproduce the pixels —
+    pure stdlib struct+zlib, no codec library."""
+    import struct
+    import zlib
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    prev = bytearray(width * 3)
+    for y in range(height):
+        row = bytearray()
+        for x in range(width):
+            row += bytes(((x * 7 + y * 3) % 256, (x * 5 + y * 11) % 256,
+                          (x * 13 + y * 17) % 256))
+        ftype = y % 5
+        filt = bytearray()
+        for i, v in enumerate(row):
+            a = row[i - 3] if i >= 3 else 0
+            b = prev[i]
+            c = prev[i - 3] if i >= 3 else 0
+            if ftype == 0:
+                filt.append(v)
+            elif ftype == 1:
+                filt.append((v - a) & 0xFF)
+            elif ftype == 2:
+                filt.append((v - b) & 0xFF)
+            elif ftype == 3:
+                filt.append((v - (a + b) // 2) & 0xFF)
+            else:
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (
+                    b if pb <= pc else c)
+                filt.append((v - pred) & 0xFF)
+        raw += bytes([ftype]) + filt
+        prev = row
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(payload: bytes):
+    """REAL PNG decode (stdlib zlib — no codec library) → uint8 array of
+    shape (height, width, 3) in RGB order.
+
+    Parses the chunk stream, inflates the concatenated IDAT zlib stream,
+    and unfilters scanlines (all five filter types: None/Sub/Up/Average/
+    Paeth). Supports bit depth 8, color types 0 (gray, expanded), 2
+    (RGB) and 6 (RGBA, alpha dropped), interlace 0. CRCs are verified.
+    """
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if payload[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        length, tag = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8:pos + 8 + length]
+        crc = struct.unpack_from(">I", payload, pos + 8 + length)[0]
+        if zlib.crc32(tag + data) != crc:
+            raise ValueError(f"PNG chunk {tag!r} CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif tag == b"IDAT":
+            idat += data
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise ValueError("PNG missing IHDR")
+    width, height, depth, ctype, _comp, _filt, interlace = ihdr
+    if depth != 8 or interlace != 0:
+        raise ValueError(f"unsupported PNG: depth={depth} "
+                         f"interlace={interlace}")
+    channels = {0: 1, 2: 3, 6: 4}.get(ctype)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {ctype}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG pixel data length mismatch")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    bpp = channels
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = bytearray(raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)])
+        if ftype == 0:
+            pass
+        elif ftype == 2:  # Up — vectorizable, no intra-row dependency
+            line = bytearray(
+                ((np.frombuffer(bytes(line), dtype=np.uint8)
+                  .astype(np.int32) + prev) & 0xFF).astype(np.uint8)
+                .tobytes())
+        elif ftype in (1, 3, 4):  # Sub/Average/Paeth: sequential in x
+            for i in range(stride):
+                a = line[i - bpp] if i >= bpp else 0
+                b = int(prev[i])
+                if ftype == 1:
+                    line[i] = (line[i] + a) & 0xFF
+                elif ftype == 3:
+                    line[i] = (line[i] + (a + b) // 2) & 0xFF
+                else:
+                    c = int(prev[i - bpp]) if i >= bpp else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (
+                        b if pb <= pc else c)
+                    line[i] = (line[i] + pred) & 0xFF
+        else:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        out[y] = np.frombuffer(bytes(line), dtype=np.uint8)
+        prev = out[y]
+    px = out.reshape(height, width, channels)
+    if channels == 1:
+        return np.repeat(px, 3, axis=2)
+    return px[:, :, :3].copy()
+
+
+def png_checksum_feature(payload: bytes | None,
+                         dim: int = 8) -> list[float] | None:
+    """Integer-exact PNG decode evidence as a feature vector:
+    [width, height, (r+g+b sums)%997, r%997, g%997, b%997, 0 pad].
+    Every component is a small integer (exact in float32), so a SQL
+    oracle can recompute it from the synthesis parameters — proving the
+    zlib inflate + unfilter path reproduced every pixel, not just the
+    header."""
+    if payload is None:
+        return None
+    arr = decode_png(payload)
+    h, w = arr.shape[:2]
+    s = arr.astype("int64")
+    rs = int(s[:, :, 0].sum())
+    gs = int(s[:, :, 1].sum())
+    bs = int(s[:, :, 2].sum())
+    return _fit([float(w), float(h), float((rs + gs + bs) % 997),
+                 float(rs % 997), float(gs % 997), float(bs % 997)], dim)
+
+
 def audio_features(samples, sample_rate: int, n_bands: int = 4) -> list[float]:
     """Real audio features: [duration_s, rms, zero_crossing_rate,
     band_energy_0..n-1] — energies are FFT power shares in equal bands."""
@@ -340,6 +490,11 @@ def decode_media(payload: bytes | None, dim: int = 32):
         arr = decode_bmp(payload)
         feat = image_features(arr)
         return ("image/bmp", int(arr.shape[1]), int(arr.shape[0]), None,
+                _fit(feat, dim))
+    if payload[:8] == b"\x89PNG\r\n\x1a\n":
+        arr = decode_png(payload)
+        feat = image_features(arr)
+        return ("image/png", int(arr.shape[1]), int(arr.shape[0]), None,
                 _fit(feat, dim))
     return ("application/octet-stream", None, None, None,
             _fake_decode_feature(payload, dim))

@@ -1462,9 +1462,10 @@ def similarity_pq_adc_fixed(spark, sf_dir):
 ORACLE["similarity_pq_adc_fixed"] = _pq_fixed_sql(*_pq_fixed_params())
 
 
-@_q("similarity_pq_adc")  # rows-only: k-means codebooks are
-# data-dependent floats, not SQL-embeddable constants (recall and
-# determinism are pytest-verified instead)
+# NOT registered as a conformance query: trained k-means codebooks are
+# data-dependent floats, not SQL-embeddable constants. The oracle-checked
+# twin is similarity_pq_adc_fixed above; recall + determinism of the
+# trained path are pytest-verified (tests/test_similarity_kernels.py).
 def similarity_pq_adc(spark, sf_dir):
     """Product quantization ANN: 16 subspaces × 64 centroids (64-dim
     float vector → 16-byte code, 16× index shrink); ADC scoring is a
@@ -1748,35 +1749,83 @@ def sample_domain_quota(spark, sf_dir):
     return out.select("source", "doc_id", "rn")
 
 
-@_q("multimodal_features")  # stubbed decode kernel → rows-only oracle
+@_q(
+    "multimodal_features",
+    """
+    WITH p AS (
+      SELECT doc_id, CAST(4 + doc_id % 9 AS INT) AS w,
+             CAST(3 + doc_id % 7 AS INT) AS h
+      FROM documents
+    ), s AS (
+      SELECT doc_id, w, h,
+        (SELECT CAST(SUM((x*7+y*3)%256) AS BIGINT)
+         FROM range(0,13) r1(x), range(0,10) r2(y)
+         WHERE x < w AND y < h) AS rs,
+        (SELECT CAST(SUM((x*5+y*11)%256) AS BIGINT)
+         FROM range(0,13) r1(x), range(0,10) r2(y)
+         WHERE x < w AND y < h) AS gs,
+        (SELECT CAST(SUM((x*13+y*17)%256) AS BIGINT)
+         FROM range(0,13) r1(x), range(0,10) r2(y)
+         WHERE x < w AND y < h) AS bs
+      FROM p
+    )
+    SELECT doc_id AS media_id, TRUE AS decode_ok, 8 AS feature_dim,
+           w AS f_w, h AS f_h,
+           CAST((rs + gs + bs) % 997 AS INT) AS f_tot,
+           CAST(rs % 997 AS INT) AS f_r,
+           CAST(gs % 997 AS INT) AS f_g,
+           CAST(bs % 997 AS INT) AS f_b
+    FROM s
+    """,
+)
 def multimodal_features(spark, sf_dir):
-    """Multimodal plumbing: documents' text bytes as stand-in binary
-    payloads → Arrow-batched mapInPandas feature extraction (decode kernel
-    stubbed; the distributed plan is the real thing)."""
+    """Multimodal feature plumbing with a REAL decode kernel, fully
+    oracle-checked (replaces the round-4 stub-decode rows-only entry):
+    per-row synthesized PNGs (param dims, row filters cycling through
+    all five PNG filter types) go through extract_features' Arrow
+    mapInPandas with the stdlib-zlib decode_png kernel; the feature
+    vector carries integer-exact per-channel pixel-sum checksums the SQL
+    oracle recomputes from the synthesis gradient — any unfilter bug
+    flips a checksum."""
+    from pyspark.sql.functions import pandas_udf
+
     from .operators import multimodal
 
+    @pandas_udf("binary")
+    def synth(ids):
+        return ids.map(lambda i: multimodal.synth_png_bytes(
+            4 + int(i) % 9, 3 + int(i) % 7))
+
     docs = _t(spark, sf_dir, "documents")
-    media = docs.select(
-        F.col("doc_id").alias("media_id"),
-        F.encode("text", "UTF-8").alias("payload"))
-    feats = multimodal.extract_features(media, dim=8)
+    media = docs.select(F.col("doc_id").alias("media_id"),
+                        synth("doc_id").alias("payload"))
+    feats = multimodal.extract_features(
+        media, dim=8, decode_fn=multimodal.png_checksum_feature)
+    f = F.col("feature")
     return feats.select(
         "media_id", "decode_ok",
-        F.size("feature").alias("feature_dim"))
+        F.size("feature").alias("feature_dim"),
+        F.element_at(f, 1).cast("int").alias("f_w"),
+        F.element_at(f, 2).cast("int").alias("f_h"),
+        F.element_at(f, 3).cast("int").alias("f_tot"),
+        F.element_at(f, 4).cast("int").alias("f_r"),
+        F.element_at(f, 5).cast("int").alias("f_g"),
+        F.element_at(f, 6).cast("int").alias("f_b"))
 
 
 @_q(
     "multimodal_real_decode",
     """
     SELECT doc_id AS media_id,
-           CASE WHEN doc_id % 3 = 0 THEN 'audio/wav'
-                WHEN doc_id % 3 = 1 THEN 'image/ppm'
-                ELSE 'image/bmp' END AS mime,
-           CASE WHEN doc_id % 3 = 0 THEN NULL
+           CASE WHEN doc_id % 4 = 0 THEN 'audio/wav'
+                WHEN doc_id % 4 = 1 THEN 'image/ppm'
+                WHEN doc_id % 4 = 2 THEN 'image/bmp'
+                ELSE 'image/png' END AS mime,
+           CASE WHEN doc_id % 4 = 0 THEN NULL
                 ELSE CAST(8 + doc_id % 5 AS INT) END AS width,
-           CASE WHEN doc_id % 3 = 0 THEN NULL
+           CASE WHEN doc_id % 4 = 0 THEN NULL
                 ELSE CAST(6 + doc_id % 3 AS INT) END AS height,
-           CASE WHEN doc_id % 3 = 0
+           CASE WHEN doc_id % 4 = 0
                 THEN CAST(100 + (doc_id % 10) * 10 AS INT)
                 ELSE NULL END AS duration_ms,
            32 AS feature_dim, TRUE AS decode_ok
@@ -1795,6 +1844,7 @@ def multimodal_real_decode(spark, sf_dir):
     from .operators.multimodal import (
         describe_media,
         synth_bmp_bytes,
+        synth_png_bytes,
         synth_ppm_bytes,
         synth_wav_bytes,
     )
@@ -1803,11 +1853,13 @@ def multimodal_real_decode(spark, sf_dir):
     def synth(ids):
         def make(i):
             i = int(i)
-            if i % 3 == 0:
+            if i % 4 == 0:
                 return synth_wav_bytes(200 + i % 100, 100 + (i % 10) * 10)
-            if i % 3 == 1:
+            if i % 4 == 1:
                 return synth_ppm_bytes(8 + i % 5, 6 + i % 3)
-            return synth_bmp_bytes(8 + i % 5, 6 + i % 3)
+            if i % 4 == 2:
+                return synth_bmp_bytes(8 + i % 5, 6 + i % 3)
+            return synth_png_bytes(8 + i % 5, 6 + i % 3)
 
         return ids.map(make)
 

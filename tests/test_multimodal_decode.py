@@ -112,3 +112,78 @@ def test_bmp_roundtrip_and_router(spark):
     assert (row["mime"], row["width"], row["height"],
             row["decode_ok"]) == ("image/bmp", w, h, True)
     assert row["feature"] is not None and len(row["feature"]) == 32
+
+
+def test_png_roundtrip_all_filters(spark):
+    """Synthesized PNG (row filters cycling through all five types)
+    decodes to the exact gradient pixels, matching the BMP twin; the
+    router reports image/png with true dimensions via Arrow."""
+    from flink_cdc_dsql_master_spark.operators.multimodal import (
+        decode_bmp, decode_png, describe_media, synth_bmp_bytes,
+        synth_png_bytes)
+
+    w, h = 9, 7  # >= 5 rows so every filter type 0..4 is exercised
+    payload = synth_png_bytes(w, h)
+    arr = decode_png(payload)
+    assert arr.shape == (h, w, 3)
+    assert (arr == decode_bmp(synth_bmp_bytes(w, h))).all()
+    df = spark.createDataFrame(
+        [(1, bytearray(payload))], "media_id long, payload binary")
+    row = describe_media(df).collect()[0]
+    assert (row["mime"], row["width"], row["height"],
+            row["decode_ok"]) == ("image/png", w, h, True)
+
+
+def test_png_gray_and_rgba_paths():
+    import struct
+    import zlib
+
+    from flink_cdc_dsql_master_spark.operators.multimodal import decode_png
+
+    def chunk(tag, data):
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data)))
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    # 2x2 grayscale, filter 0
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    raw = bytes([0, 10, 20, 0, 30, 40])
+    a = decode_png(sig + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(raw))
+                   + chunk(b"IEND", b""))
+    assert a.shape == (2, 2, 3) and a[0, 0, 0] == 10 and a[1, 1, 2] == 40
+    # 2x1 RGBA with Sub filter: second pixel adds the first
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 6, 0, 0, 0)
+    raw = bytes([1, 5, 6, 7, 8, 10, 10, 10, 10])
+    a = decode_png(sig + chunk(b"IHDR", ihdr)
+                   + chunk(b"IDAT", zlib.compress(raw))
+                   + chunk(b"IEND", b""))
+    assert a.shape == (1, 2, 3) and list(a[0, 1]) == [15, 16, 17]
+
+
+def test_png_crc_and_format_errors():
+    from flink_cdc_dsql_master_spark.operators.multimodal import (
+        decode_png, synth_png_bytes)
+
+    good = bytearray(synth_png_bytes(3, 3))
+    good[20] ^= 0xFF  # corrupt a byte inside IHDR -> CRC mismatch
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(good))
+    with pytest.raises(ValueError, match="not a PNG"):
+        decode_png(b"JFIF....")
+
+
+def test_png_checksum_feature_matches_gradient():
+    """png_checksum_feature's integer checksums equal the synthesis
+    gradient sums (what the SQL oracle recomputes)."""
+    from flink_cdc_dsql_master_spark.operators.multimodal import (
+        png_checksum_feature, synth_png_bytes)
+
+    w, h = 6, 4
+    feat = png_checksum_feature(synth_png_bytes(w, h), dim=8)
+    rs = sum((x * 7 + y * 3) % 256 for x in range(w) for y in range(h))
+    gs = sum((x * 5 + y * 11) % 256 for x in range(w) for y in range(h))
+    bs = sum((x * 13 + y * 17) % 256 for x in range(w) for y in range(h))
+    assert feat[:6] == [float(w), float(h), float((rs + gs + bs) % 997),
+                        float(rs % 997), float(gs % 997), float(bs % 997)]
+    assert feat[6:] == [0.0, 0.0]
