@@ -340,10 +340,115 @@ def mean_pool_embeddings(df: DataFrame, group_col: str,
             .withColumnRenamed("g", group_col))
 
 
+def _quantized_rerank_fused(corpus: DataFrame, queries: DataFrame,
+                            k: int, n_candidates: int,
+                            id_col: str, vec_col: str) -> DataFrame:
+    """Single-pass kernel for :func:`quantized_rerank_topk`: quantize,
+    coarse-score and exact-rerank inside ONE Arrow batch visit — the
+    full-precision vectors are already in hand during the scan, so no
+    candidate→corpus rejoin exists at all. Emits ≤ Q·n_candidates rows
+    per batch carrying BOTH scores; two same-key windows (one exchange)
+    pick the global candidate set by coarse score, then top-k by exact.
+
+    Bit-exactness contract with the SQL oracle: quantization
+    (max/127 scale, floor(x/scale+0.5)) is single-IEEE-op identical;
+    coarse scores select candidates only (value order matches to float64
+    rounding, ties broken by nbr_id in the global window); the exact
+    cosine is folded SEQUENTIALLY in float64 — same term order as the
+    SQL list_sum fold — so output values hash-match, not just
+    approximate.
+    """
+    import math
+
+    import numpy as np
+
+    spark = corpus.sparkSession
+    id_type = corpus.schema[id_col].dataType
+    out_schema = T.StructType([
+        T.StructField("query_id", id_type),
+        T.StructField("nbr_id", id_type),
+        T.StructField("coarse", T.DoubleType()),
+        T.StructField("cosine", T.DoubleType()),
+    ])
+    qrows = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("qv")).collect()
+    if not qrows:
+        return spark.createDataFrame([], out_schema).drop("coarse")
+    qids = [r["query_id"] for r in qrows]
+    qvecs = [list(r["qv"]) for r in qrows]
+    qmat = np.asarray(qvecs, dtype=np.float64)
+    qn = np.linalg.norm(qmat, axis=1)
+    qn[qn == 0.0] = 1.0
+    qunit = qmat / qn[:, None]
+
+    def _seq_norm(v):
+        s = 0.0
+        for a in v:
+            s += a * a
+        return math.sqrt(s)
+
+    qnorms = [_seq_norm(v) for v in qvecs]
+    bc = spark.sparkContext.broadcast((qids, qunit, qvecs, qnorms))
+
+    def kern(batches):
+        import pandas as pd
+
+        ids, qu, qvs, qns = bc.value
+        nq = len(ids)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+            nbrs = pdf["__id"].to_numpy()
+            m = np.abs(x).max(axis=1)
+            scale = np.where(m == 0.0, 1.0, m / 127)
+            codes = np.floor(x / scale[:, None] + 0.5)
+            cn = np.linalg.norm(codes, axis=1)
+            cn[cn == 0.0] = 1.0
+            sims = (codes / cn[:, None]) @ qu.T  # B×Q coarse scores
+            rq, rn, rc, re = [], [], [], []
+            for j in range(nq):
+                col = sims[:, j]
+                cand = np.flatnonzero(nbrs != ids[j])
+                if len(cand) > n_candidates:
+                    cand = cand[np.argpartition(
+                        -col[cand], n_candidates - 1)[:n_candidates]]
+                qv, qnm = qvs[j], qns[j]
+                for i in cand:
+                    xi = x[i]
+                    dot, ss = 0.0, 0.0
+                    for a, b in zip(xi, qv):
+                        dot += a * b
+                    for a in xi:
+                        ss += a * a
+                    rq.append(ids[j])
+                    rn.append(nbrs[i])
+                    rc.append(float(col[i]))
+                    re.append(dot / (math.sqrt(ss) * qnm))
+            yield pd.DataFrame({"query_id": rq, "nbr_id": rn,
+                                "coarse": rc, "cosine": re})
+
+    prepared = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).cast("array<double>").alias("__v"))
+    scored = prepared.mapInPandas(kern, out_schema)
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("coarse").desc(), F.col("nbr_id").asc())
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("nbr_id").asc())
+    return (scored.withColumn("__r1", F.row_number().over(w1))
+            .where(F.col("__r1") <= n_candidates)
+            .withColumn("__r2", F.row_number().over(w2))
+            .where(F.col("__r2") <= k)
+            .drop("__r1", "__r2", "coarse"))
+
+
 def quantized_rerank_topk(corpus: DataFrame, queries: DataFrame,
                           k: int = 10, n_candidates: int = 50,
                           id_col: str = "vec_id",
-                          vec_col: str = "embedding") -> DataFrame:
+                          vec_col: str = "embedding",
+                          kernel: str = "fused") -> DataFrame:
     """Two-stage retrieval: int8-quantized coarse scan → exact rerank.
 
     Stage 1 scores the full corpus on its int8 codes (cosine is
@@ -358,21 +463,40 @@ def quantized_rerank_topk(corpus: DataFrame, queries: DataFrame,
     oracle-checkable — and with n_candidates ≫ k the output matches the
     exact brute force whenever the quantization error doesn't reorder
     past the candidate margin.
+
+    ``kernel`` picks the implementation: "fused" (default) does
+    quantize + coarse score + exact rerank in ONE corpus pass — no
+    candidate→corpus rejoin, one exchange for both windows (see
+    :func:`_quantized_rerank_fused`); "numpy" composes the two stages
+    with the Arrow/BLAS coarse scan; "hof" keeps the interpreted
+    Catalyst fold (no Python dependency at all).
     """
     if n_candidates < k:
         raise ValueError(f"n_candidates {n_candidates} < k {k}")
-    qz = quantize_int8(corpus, vec_col=vec_col, id_col=id_col)
-    coarse_corpus = qz.select(
+    if kernel == "fused":
+        return _quantized_rerank_fused(corpus, queries, k, n_candidates,
+                                       id_col, vec_col)
+    # Lean quantization: same scale/round-half-up arithmetic as
+    # quantize_int8 but WITHOUT its reconstruction diagnostics (several
+    # extra interpreted array folds the coarse scan never reads).
+    vd = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    max_abs = F.array_max(F.transform(vd, F.abs))
+    scale = F.when(max_abs == 0, F.lit(1.0)).otherwise(max_abs / 127)
+    coarse_corpus = corpus.select(
         F.col(id_col),
-        F.transform("qvec", lambda x: x.cast("double")).alias(vec_col))
+        F.transform(vd, lambda x: F.floor(x / scale + 0.5).cast("int"))
+        .alias(vec_col))  # int codes; both kernels cast natively
     cands = cosine_topk(coarse_corpus, queries, k=n_candidates,
-                        id_col=id_col, vec_col=vec_col)
+                        id_col=id_col, vec_col=vec_col, kernel=kernel)
     full = corpus.select(F.col(id_col).alias("nbr_id"),
                          F.col(vec_col).cast("array<double>").alias("__cv"))
     qside = queries.select(F.col(id_col).alias("query_id"),
                            F.col(vec_col).cast("array<double>").alias("__qv"))
-    exact = (cands.select("query_id", "nbr_id")
-             .join(full, "nbr_id")
+    # Candidates are Q·n_candidates rows — broadcast them so the
+    # full-precision corpus streams through a broadcast hash join
+    # (never shuffles), at sf0.1 and at 100 TB alike.
+    exact = (full.join(F.broadcast(cands.select("query_id", "nbr_id")),
+                       "nbr_id")
              .join(F.broadcast(qside), "query_id")
              .select("query_id", "nbr_id",
                      cosine_expr(F.col("__qv"), F.col("__cv"))

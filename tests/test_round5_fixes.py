@@ -131,6 +131,26 @@ class TestPqLiteralEncode:
         assert lit == arrow and len(lit) > 0
 
 
+class TestQuantizedRerankKernels:
+    def test_fused_matches_composed_kernels(self, spark):
+        """All three quantized_rerank_topk kernels must return the same
+        (query_id, nbr_id) sets with cosines equal to 1e-9."""
+        from flink_cdc_dsql_master_spark.operators.similarity import (
+            quantized_rerank_topk)
+
+        emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+        q = emb.where(F.col("vec_id") < 3)
+        outs = {}
+        for kern in ("fused", "numpy", "hof"):
+            rows = quantized_rerank_topk(
+                emb, q, k=5, n_candidates=20, kernel=kern).collect()
+            outs[kern] = sorted(
+                (r["query_id"], r["nbr_id"], round(r["cosine"], 9))
+                for r in rows)
+        assert outs["fused"] == outs["numpy"] == outs["hof"]
+        assert len(outs["fused"]) == 15  # 3 queries × k
+
+
 class TestBm25EmptyCorpus:
     def test_empty_corpus_returns_empty(self, spark):
         from flink_cdc_dsql_master_spark.operators.text import bm25_topk
