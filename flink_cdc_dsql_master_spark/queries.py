@@ -30,6 +30,7 @@ from .events import (
 )
 from .merging import coerce_dataframe
 from .operators import dedup, sampling, similarity, text
+from .operators.bigdecimal import exact_sum_sql as _bigdec_sum_sql
 from .partitioning import apply_changelog, bucket_expr, last_write_wins
 from .route import fan_in
 from .schema import Schema, TableId
@@ -2556,6 +2557,198 @@ def sink_upsert_replay(spark, sf_dir):
     con.close()
     return spark.createDataFrame(pdf[
         ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]])
+
+
+_BIGDEC_CONST39 = "123456789012345678901234567890123456789"
+
+
+def _bigdec_base_sql(vc: str) -> str:
+    """45-digit scale-1 DECIMAL(65,1) value as canonical string, derived
+    from o_orderkey — shared between the Spark build and the oracle."""
+    return (f"lpad(CAST(o_orderkey AS {vc}), 6, '0') || "
+            f"'{_BIGDEC_CONST39}' || '.' || "
+            f"CAST(o_orderkey % 10 AS {vc})")
+
+
+@_q(
+    "sink_bigdecimal_roundtrip",
+    f"""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 5 = 0 THEN '9' || base
+                ELSE base END AS big
+    FROM (SELECT o_orderkey, {_bigdec_base_sql('VARCHAR')} AS base
+          FROM orders)
+    WHERE o_orderkey % 10 <> 3
+    """,
+)
+def sink_bigdecimal_roundtrip(spark, sf_dir):
+    """DECIMAL(65,1) tagged-string policy end-to-end (SURVEY §1.3;
+    reference fixture flink-cdc-e2e-tests/.../ddl/data_types_test.sql:20-64
+    declares DECIMAL(65,1), above Spark's DecimalType(38) ceiling):
+    45/46-digit values ride as canonical strings through a changelog of
+    inserts, updates and deletes, the sink DDL comes from
+    create_table_sql over the BIG_DECIMAL-tagged schema (the duckdb
+    dialect stores the canonical string; the dsql dialect emits
+    DECIMAL(65,1) verbatim — pytest-pinned), the changelog double-replays
+    into DuckDB, and the table read back must reproduce every one of the
+    13.5k wide values digit-for-digit."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .sinks import JdbcUpsertSink
+
+    k = F.col("o_orderkey")
+    base = F.concat(F.lpad(k.cast("string"), 6, "0"),
+                    F.lit(_BIGDEC_CONST39), F.lit("."),
+                    (k % 10).cast("string"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    schema = Schema.of([("o_orderkey", "BIGINT NOT NULL"),
+                        ("big", "DECIMAL(65,1)")],
+                       primary_keys=["o_orderkey"])
+    ins = (orders.withColumn("big", base)
+           .withColumn(OP_COLUMN, F.lit("+I"))
+           .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    upd = (orders.where(k % 5 == 0)
+           .withColumn("big", F.concat(F.lit("9"), base))
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    dele = (orders.where(k % 10 == 3)
+            .withColumn("big", base)
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(3).cast("long")))
+    cl = ins.unionByName(upd).unionByName(dele)
+
+    tmpdir = tempfile.mkdtemp(prefix="bigdec_sink_")
+    path = os.path.join(tmpdir, "sink.duckdb")
+    sink = JdbcUpsertSink(lambda p=path: duckdb.connect(p), "bigdec_sink",
+                          schema, parallel=False, dialect="duckdb")
+    sink.ensure_table()
+    sink.write_batch(cl)
+    sink.write_batch(cl)  # idempotent replay
+    con = duckdb.connect(path)
+    pdf = con.execute(
+        "SELECT o_orderkey, big FROM bigdec_sink").df()
+    con.close()
+    return spark.createDataFrame(pdf)
+
+
+@_q(
+    "bigdecimal_exact_sum",
+    _bigdec_sum_sql(
+        f"""(SELECT CASE WHEN o_orderkey % 5 = 0 THEN '9' || base
+                    ELSE base END AS big
+             FROM (SELECT o_orderkey, {_bigdec_base_sql('VARCHAR')} AS base
+                   FROM orders)
+             WHERE o_orderkey % 10 <> 3)""",
+        varchar="VARCHAR"),
+)
+def bigdecimal_exact_sum(spark, sf_dir):
+    """EXACT aggregation of DECIMAL(65,1) tagged strings — values wider
+    than any engine decimal here (Spark and DuckDB both cap at 38): the
+    scaled digit string splits into three 24-digit DECIMAL(38,0) limbs,
+    limbs sum in ONE partial-aggregated shuffle, and carries re-propagate
+    on the 1-row result (operators/bigdecimal.py). The oracle runs the
+    textually identical SQL, and pytest pins the same total against
+    Python big-int arithmetic — three independent engines, one exact
+    49-digit answer."""
+    from .operators.bigdecimal import exact_sum
+
+    k = F.col("o_orderkey")
+    base = F.concat(F.lpad(k.cast("string"), 6, "0"),
+                    F.lit(_BIGDEC_CONST39), F.lit("."),
+                    (k % 10).cast("string"))
+    src = (_t(spark, sf_dir, "orders")
+           .where(k % 10 != 3)
+           .select(F.when(k % 5 == 0, F.concat(F.lit("9"), base))
+                   .otherwise(base).alias("big")))
+    return exact_sum(src, "big")
+
+
+def _temporal_ms_sql(updated: bool) -> str:
+    add = " + 1000" if updated else ""
+    return f"CAST((o_orderkey * 7919{add}) % 86400000 AS INT)"
+
+
+def _temporal_tstz_sql(vc: str) -> str:
+    return (f"'2024-03-' || lpad(CAST(1 + o_orderkey % 28 AS {vc}), 2, '0')"
+            f" || ' ' || lpad(CAST(o_orderkey % 24 AS {vc}), 2, '0')"
+            f" || ':' || lpad(CAST(o_orderkey % 60 AS {vc}), 2, '0')"
+            f" || ':' || lpad(CAST((o_orderkey * 7) % 60 AS {vc}), 2, '0')"
+            f" || '.' || lpad(CAST(o_orderkey % 1000 AS {vc}), 3, '0')"
+            f" || CASE o_orderkey % 4 WHEN 0 THEN '+00:00'"
+            f" WHEN 1 THEN '+05:30' WHEN 2 THEN '-08:00'"
+            f" ELSE '+01:00' END")
+
+
+@_q(
+    "sink_temporal_tagged_roundtrip",
+    f"""
+    SELECT o_orderkey,
+           CAST(CAST(TIMESTAMP '1970-01-01' + to_milliseconds(
+                  CASE WHEN o_orderkey % 5 = 0
+                       THEN {_temporal_ms_sql(True)}
+                       ELSE {_temporal_ms_sql(False)} END)
+                AS TIME) AS VARCHAR) AS t_time,
+           CAST(CAST({_temporal_tstz_sql('VARCHAR')} AS TIMESTAMPTZ)
+                AS VARCHAR) AS t_tstz
+    FROM orders WHERE o_orderkey % 10 <> 3
+    """,
+)
+def sink_temporal_tagged_roundtrip(spark, sf_dir):
+    """TIME(3) + TIMESTAMP_TZ(3) tagged types end-to-end (SURVEY §1.3:
+    TIME rides as int millis-of-day, TIMESTAMP_TZ as an ISO-8601 offset
+    string — reference RecordData.java:31-80 type contract): a changelog
+    with both columns goes through the BIG-tagged Schema, sink DDL
+    (TIME / TIMESTAMPTZ columns), the upsert bind conversion
+    (millis → 'HH:mm:ss.SSS'), double-replays into DuckDB, and the table
+    read back must match the oracle's natively-constructed TIME and
+    offset-normalized TIMESTAMPTZ values exactly — including the +05:30
+    and -08:00 offsets folding into UTC."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .sinks import JdbcUpsertSink
+
+    k = F.col("o_orderkey")
+    ms = F.expr(_temporal_ms_sql(False))
+    ms_u = F.expr(_temporal_ms_sql(True))
+    tstz = F.expr(_temporal_tstz_sql("STRING"))
+    orders = _t(spark, sf_dir, "orders").select("o_orderkey")
+    schema = Schema.of([("o_orderkey", "BIGINT NOT NULL"),
+                        ("t_time", "TIME(3)"),
+                        ("t_tstz", "TIMESTAMP_TZ(3)")],
+                       primary_keys=["o_orderkey"])
+    ins = (orders.withColumn("t_time", ms).withColumn("t_tstz", tstz)
+           .withColumn(OP_COLUMN, F.lit("+I"))
+           .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    upd = (orders.where(k % 5 == 0)
+           .withColumn("t_time", ms_u).withColumn("t_tstz", tstz)
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    dele = (orders.where(k % 10 == 3)
+            .withColumn("t_time", ms).withColumn("t_tstz", tstz)
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(3).cast("long")))
+    cl = ins.unionByName(upd).unionByName(dele)
+
+    tmpdir = tempfile.mkdtemp(prefix="temporal_sink_")
+    path = os.path.join(tmpdir, "sink.duckdb")
+    sink = JdbcUpsertSink(lambda p=path: duckdb.connect(p),
+                          "temporal_sink", schema, parallel=False,
+                          dialect="duckdb")
+    sink.ensure_table()
+    sink.write_batch(cl)
+    sink.write_batch(cl)  # idempotent replay
+    con = duckdb.connect(path)
+    pdf = con.execute(
+        "SELECT o_orderkey, CAST(t_time AS VARCHAR) AS t_time, "
+        "CAST(t_tstz AS VARCHAR) AS t_tstz FROM temporal_sink").df()
+    con.close()
+    return spark.createDataFrame(pdf)
 
 
 # ---------------------------------------------------------------------------

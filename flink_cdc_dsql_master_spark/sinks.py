@@ -36,16 +36,17 @@ from pyspark.sql import DataFrame, functions as F
 from .events import OP_COLUMN, OP_DELETE, SEQ_COLUMN, UPSERT_OPS
 from .partitioning import last_write_wins
 from .schema import Schema, TableId
-from .types import to_sql_ddl
+from .types import CDC_META_KEY, TAG_TIME, to_sql_ddl
 
 
 # ---------------------------------------------------------------------------
 # SQL generation (DsqlBatchSinkFunction / DsqlSchemaMapper parity)
 # ---------------------------------------------------------------------------
 
-def create_table_sql(table: str, schema: Schema) -> str:
+def create_table_sql(table: str, schema: Schema,
+                     dialect: str = "dsql") -> str:
     cols = ", ".join(
-        f'"{f.name}" {to_sql_ddl(f)}'
+        f'"{f.name}" {to_sql_ddl(f, dialect)}'
         + ("" if f.nullable else " NOT NULL")
         for f in schema.struct.fields)
     pk = ""
@@ -140,7 +141,7 @@ class JdbcUpsertSink:
 
     def __init__(self, conn_factory, table: str, schema: Schema,
                  batch_size: int = 1000, retry: RetryPolicy | None = None,
-                 parallel: bool = True):
+                 parallel: bool = True, dialect: str = "dsql"):
         if not schema.primary_keys:
             raise ValueError("upsert sink requires primary keys")
         self.conn_factory = conn_factory
@@ -149,11 +150,13 @@ class JdbcUpsertSink:
         self.batch_size = batch_size
         self.retry = retry or RetryPolicy()
         self.parallel = parallel
+        self.dialect = dialect
 
     def ensure_table(self) -> None:
         conn = self.conn_factory()
         try:
-            conn.execute(create_table_sql(self.table, self.schema))
+            conn.execute(create_table_sql(self.table, self.schema,
+                                          self.dialect))
             if hasattr(conn, "commit"):
                 conn.commit()
         finally:
@@ -167,7 +170,19 @@ class JdbcUpsertSink:
         cols = [f.name for f in self.schema.struct.fields]
         final = last_write_wins(df, pks) if OP_COLUMN in df.columns else df
 
-        sel = [F.col(c) for c in cols]
+        # Tagged-type bind conversion: TIME travels in-flight as int
+        # millis-of-day (SURVEY §1.3) but binds to a SQL TIME column as
+        # 'HH:mm:ss.SSS' (the target engine casts). TIMESTAMP_TZ already
+        # rides as an ISO-8601 offset string, which TIMESTAMPTZ parses.
+        sel = []
+        for f in self.schema.struct.fields:
+            col = F.col(f.name)
+            meta = (f.metadata or {}).get(CDC_META_KEY, {}) \
+                if f.metadata else {}
+            if meta.get("logical") == TAG_TIME:
+                col = F.date_format(F.timestamp_millis(col),
+                                    "HH:mm:ss.SSS")
+            sel.append(col.alias(f.name))
         if OP_COLUMN in df.columns:
             sel.append(F.col(OP_COLUMN))
         final = final.select(*sel)

@@ -217,8 +217,15 @@ def to_struct_field(name: str, t: CdcType, comment: str | None = None,
 # parity: DECIMAL(p,s) / TIMESTAMP / TIMESTAMPTZ / VARCHAR(n))
 # ---------------------------------------------------------------------------
 
-def to_sql_ddl(f: T.StructField) -> str:
-    """Render a StructField as an ANSI/Postgres-ish DDL type."""
+def to_sql_ddl(f: T.StructField, dialect: str = "dsql") -> str:
+    """Render a StructField as an ANSI/Postgres-ish DDL type.
+
+    ``dialect="dsql"`` (default) emits the reference target's types —
+    including DECIMAL(p>38) verbatim, which Aurora DSQL / Postgres
+    NUMERIC accepts natively. ``dialect="duckdb"`` adapts for engines
+    whose decimal ceiling is 38 (DuckDB, and Spark itself): BIG_DECIMAL
+    columns become VARCHAR holding the canonical digit string — the
+    same lossless tagged-string policy the engine uses in-flight."""
     dt = f.dataType
     meta = (f.metadata or {}).get(CDC_META_KEY, {}) if f.metadata else {}
     logical = meta.get("logical")
@@ -227,6 +234,8 @@ def to_sql_ddl(f: T.StructField) -> str:
     if logical == TAG_TIMESTAMP_TZ:
         return "TIMESTAMPTZ"
     if logical == TAG_BIG_DECIMAL:
+        if dialect == "duckdb":
+            return "VARCHAR"
         return f"DECIMAL({meta['precision']},{meta['scale']})"
     if logical == TAG_CHAR:
         return f"CHAR({meta['length']})"

@@ -151,6 +151,48 @@ class TestQuantizedRerankKernels:
         assert len(outs["fused"]) == 15  # 3 queries × k
 
 
+class TestBigDecimalPolicy:
+    def test_ddl_dialects(self):
+        """dsql dialect emits DECIMAL(65,1) verbatim (Postgres NUMERIC
+        accepts it); duckdb dialect stores the canonical string."""
+        from flink_cdc_dsql_master_spark.schema import Schema
+        from flink_cdc_dsql_master_spark.sinks import create_table_sql
+
+        schema = Schema.of([("k", "BIGINT NOT NULL"),
+                            ("big", "DECIMAL(65,1)")], primary_keys=["k"])
+        assert '"big" DECIMAL(65,1)' in create_table_sql("t", schema)
+        assert '"big" VARCHAR' in create_table_sql("t", schema, "duckdb")
+
+    def test_spark_type_is_tagged_string(self):
+        from pyspark.sql import types as T
+
+        from flink_cdc_dsql_master_spark.types import (
+            CDC_META_KEY, TAG_BIG_DECIMAL, parse_type, to_spark_type)
+
+        dt, meta = to_spark_type(parse_type("DECIMAL(65,1)"))
+        assert isinstance(dt, T.StringType)
+        assert meta["logical"] == TAG_BIG_DECIMAL
+        assert (meta["precision"], meta["scale"]) == (65, 1)
+        _ = CDC_META_KEY
+
+    def test_exact_sum_matches_python_bigint(self, spark):
+        """Limb-decomposed SUM equals Python arbitrary-precision
+        arithmetic on adversarial values (max-width 65-digit values,
+        carry-heavy all-nines, zero)."""
+        from flink_cdc_dsql_master_spark.operators.bigdecimal import (
+            exact_sum)
+
+        vals = (["9" * 64 + ".9"] * 7          # 65-digit all-nines
+                + ["0.0", "1.5", "12345678901234567890123456789.5"]
+                + [str(i) * 12 + ".3" for i in range(1, 10)])
+        df = spark.createDataFrame([(v,) for v in vals], "big string")
+        row = exact_sum(df, "big").collect()[0]
+        tot = sum(int(v.replace(".", "")) for v in vals)
+        expect = f"{str(tot)[:-1]}.{str(tot)[-1]}"
+        assert row["cnt"] == len(vals)
+        assert row["total"] == expect
+
+
 class TestBm25EmptyCorpus:
     def test_empty_corpus_returns_empty(self, spark):
         from flink_cdc_dsql_master_spark.operators.text import bm25_topk
