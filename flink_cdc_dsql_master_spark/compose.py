@@ -288,6 +288,112 @@ def foreach_batch_writer(pipeline: PipelineDef, sink_writer,
     return handle
 
 
+def ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
+                             spark: SparkSession, on_schema_change=None,
+                             evolver: SchemaEvolver | None = None):
+    """``foreachBatch`` handler over the RAW ``(value, offset)`` envelope
+    stream that ALSO consumes IN-BAND Debezium schema-change messages
+    (envelopes carrying a ``ddl`` field instead of before/after images —
+    what Debezium emits with ``include.schema.changes``).
+
+    Reference ordering contract (SchemaOperator.java:176-180): on a
+    schema-change event, FLUSH the sink, THEN apply the change, THEN
+    resume the data flow. Here each micro-batch is segmented at the
+    offsets of its schema messages; every segment is decoded with the
+    schema current AT ITS OFFSETS, written (the flush), and only then is
+    the DDL parsed into SchemaChangeEvents, applied through the shared
+    evolver, and surfaced via ``on_schema_change`` so JDBC sinks issue
+    DDL before the next segment's rows land.
+
+    This is the piece drift-diffing cannot recover: a RENAME is
+    indistinguishable from drop+add in a schema diff, so only the
+    explicit event preserves column identity — old rows keep their data
+    under the renamed column at the sink.
+
+    Scale note: schema messages are control-plane (a handful per batch
+    at most), so the driver-side collect is bounded; data rows never
+    leave the cluster, and each segment runs the same composed pipeline
+    as :func:`foreach_batch_writer`. Transform rules are applied per
+    segment in source-column space — pair in-band DDL with wildcard /
+    pass-through projections (a rename racing a projection that names
+    the old column is ill-defined in the reference too).
+    """
+    from pyspark.sql import functions as F, types as T
+
+    from .sources import decode_debezium_json, parse_debezium_ddl
+
+    src_cfg = pipeline.source.config
+    table = TableId.parse(src_cfg.get("table", "default.default.stream"))
+    evolver = evolver or SchemaEvolver(
+        behavior=SchemaChangeBehavior(pipeline.schema_change_behavior))
+    data_handle = foreach_batch_writer(pipeline, sink_writer, spark,
+                                       on_schema_change=on_schema_change,
+                                       evolver=evolver)
+    router = TableIdRouter(list(pipeline.routes))
+    base_struct = spark.createDataFrame([], src_cfg["schema"]).schema
+    aux = ("__op", "__seq", "__table_id")
+
+    def payload_struct() -> T.StructType:
+        cur = evolver.manager.latest_original(table)
+        if cur is None:
+            return base_struct
+        return T.StructType(
+            [f for f in cur.struct.fields if f.name not in aux])
+
+    def handle(df: DataFrame, batch_id: int) -> None:
+        marked = df.withColumn(
+            "__sc", F.from_json(F.col("value"), "ddl STRING, op STRING"))
+        ddl_rows = sorted(
+            marked.where(F.col("__sc.ddl").isNotNull())
+            .select("offset", F.col("__sc.ddl").alias("ddl")).collect(),
+            key=lambda r: r["offset"])
+        data = marked.where(F.col("__sc.ddl").isNull()).drop("__sc")
+        lo = None
+        for r in ddl_rows + [None]:
+            hi = r["offset"] if r is not None else None
+            seg = data
+            if lo is not None:
+                seg = seg.where(F.col("offset") > lo)
+            if hi is not None:
+                seg = seg.where(F.col("offset") < hi)
+            decoded = decode_debezium_json(seg, "value", payload_struct(),
+                                           seq_col="offset")
+            data_handle(decoded, batch_id)  # flush before apply
+            if r is not None:
+                for ev in parse_debezium_ddl(r["ddl"], table):
+                    schema = evolver.on_event(ev)
+                    if on_schema_change is not None and schema is not None:
+                        for sink_tid in router.route(table):
+                            on_schema_change(sink_tid, [ev], schema)
+            lo = hi
+
+    return handle
+
+
+def compose_ddl_changelog_stream(spark: SparkSession, pipeline: PipelineDef,
+                                 checkpoint: str, sink_writer,
+                                 on_schema_change=None, evolver=None,
+                                 available_now: bool = True):
+    """:func:`compose_changelog_stream` variant whose foreachBatch also
+    decodes in-band Debezium schema-change (DDL) messages — see
+    :func:`ddl_foreach_batch_writer`. File-backed envelope source (the
+    hermetic Kafka twin; the decode path is shared)."""
+    src = pipeline.source
+    if src.type != "file-debezium":
+        raise ValueError(
+            f"in-band DDL stream needs file-debezium source, got {src.type!r}")
+    raw = (spark.readStream.schema("value string, offset long")
+           .json(src.config["path"]))
+    handle = ddl_foreach_batch_writer(pipeline, sink_writer, spark,
+                                      on_schema_change=on_schema_change,
+                                      evolver=evolver)
+    w = (raw.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def make_scd2_sink_writer(base_path: str):
     """Sink-writer for :func:`compose_changelog_stream` maintaining an
     SCD2 parquet history per sink table (the streaming face of the

@@ -2666,6 +2666,101 @@ def bigdecimal_exact_sum(spark, sf_dir):
     return exact_sum(src, "big")
 
 
+@_q(
+    "changelog_ddl_rename_replay",
+    """
+    SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 4 = 0 THEN c_name || '_R'
+                ELSE c_name END AS val
+    FROM customer
+    """,
+)
+def changelog_ddl_rename_replay(spark, sf_dir):
+    """In-band Debezium schema-change messages through the streaming
+    composer (reference SchemaOperator.java:176-180 flush-before-apply
+    ordering): one micro-batch carries inserts under column ``v``, then
+    a ``RENAME COLUMN v TO val`` DDL message, then updates addressed to
+    ``val`` — the sink table must be renamed in place (pre-rename rows
+    keep their data under the new name, which drift diffing alone can
+    never do) and the post-rename updates must land. The DuckDB sink
+    read back is the result, hash-checked against the oracle's direct
+    reconstruction."""
+    import json
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .compose import compose_ddl_changelog_stream
+    from .evolve import SchemaChangeBehavior, SchemaEvolver
+    from .pipeline import PipelineDef, SinkDef, SourceDef
+    from .route import RouteRule
+    from .sinks import JdbcUpsertSink, schema_change_ddl
+
+    rows = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name").collect()
+    base = tempfile.mkdtemp(prefix="ddl_replay_")
+    src, ckpt = os.path.join(base, "topic"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    def env(offset, payload):
+        return json.dumps({"value": json.dumps(payload),
+                           "offset": offset}) + "\n"
+
+    mx = max(r["c_custkey"] for r in rows)
+    with open(f"{src}/b1.json", "w") as f:
+        for r in rows:
+            f.write(env(r["c_custkey"],
+                        {"before": None,
+                         "after": {"id": r["c_custkey"], "v": r["c_name"]},
+                         "op": "c"}))
+        f.write(env(mx + 1,
+                    {"ddl": "ALTER TABLE t RENAME COLUMN v TO val"}))
+        for r in rows:
+            if r["c_custkey"] % 4 == 0:
+                f.write(env(mx + 2 + r["c_custkey"],
+                            {"before": {"id": r["c_custkey"],
+                                        "val": r["c_name"]},
+                             "after": {"id": r["c_custkey"],
+                                       "val": r["c_name"] + "_R"},
+                             "op": "u"}))
+
+    pipe = PipelineDef(
+        source=SourceDef("file-debezium", {
+            "path": src, "schema": "id bigint, v string",
+            "table": "db.s.cust_ddl", "primary-keys": ["id"]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.s.cust_ddl", "out.db.cust_ddl_sink"),),
+        config={"schema.change.behavior": "EVOLVE"},
+    )
+
+    def writer(tid, df, schema):
+        sink = JdbcUpsertSink(lambda p=db: duckdb.connect(p), tid.table,
+                              schema, parallel=False, dialect="duckdb")
+        sink.ensure_table()
+        sink.write_batch(df)
+
+    def on_ddl(tid, events, schema):
+        con = duckdb.connect(db)
+        try:
+            for sql in schema_change_ddl(tid.table, events, schema):
+                con.execute(sql)
+            con.commit()
+        finally:
+            con.close()
+
+    q = compose_ddl_changelog_stream(
+        spark, pipe, ckpt, writer, on_schema_change=on_ddl,
+        evolver=SchemaEvolver(behavior=SchemaChangeBehavior.EVOLVE))
+    q.awaitTermination(300)
+
+    con = duckdb.connect(db)
+    pdf = con.execute("SELECT id, val FROM cust_ddl_sink").df()
+    con.close()
+    return spark.createDataFrame(pdf)
+
+
 def _temporal_ms_sql(updated: bool) -> str:
     add = " + 1000" if updated else ""
     return f"CAST((o_orderkey * 7919{add}) % 86400000 AS INT)"

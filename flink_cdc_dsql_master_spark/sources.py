@@ -30,6 +30,7 @@ Spark design:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
@@ -436,3 +437,79 @@ def split_malformed_envelopes(df: DataFrame, value_col: str,
            .select(F.col(value_col).alias("raw_value"),
                    F.lit("malformed_envelope").alias("dlq_reason")))
     return good, dlq
+
+
+# ---------------------------------------------------------------------------
+# In-band Debezium schema-change (DDL) messages
+# ---------------------------------------------------------------------------
+
+_DDL_RES = [
+    ("add", re.compile(
+        r"ALTER\s+TABLE\s+\S+\s+ADD\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+"
+        r"([A-Za-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+        r"(?:\s+(FIRST)|\s+AFTER\s+[`\"]?(\w+)[`\"]?)?\s*;?\s*$",
+        re.IGNORECASE)),
+    ("rename", re.compile(
+        r"ALTER\s+TABLE\s+\S+\s+RENAME\s+COLUMN\s+[`\"]?(\w+)[`\"]?\s+TO\s+"
+        r"[`\"]?(\w+)[`\"]?\s*;?\s*$", re.IGNORECASE)),
+    ("drop", re.compile(
+        r"ALTER\s+TABLE\s+\S+\s+DROP\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?"
+        r"\s*;?\s*$", re.IGNORECASE)),
+    ("modify", re.compile(
+        r"ALTER\s+TABLE\s+\S+\s+(?:MODIFY\s+(?:COLUMN\s+)?|ALTER\s+"
+        r"(?:COLUMN\s+)?)[`\"]?(\w+)[`\"]?\s+(?:SET\s+DATA\s+TYPE\s+)?"
+        r"([A-Za-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*$",
+        re.IGNORECASE)),
+    ("truncate", re.compile(
+        r"TRUNCATE\s+(?:TABLE\s+)?\S+\s*;?\s*$", re.IGNORECASE)),
+    ("drop_table", re.compile(
+        r"DROP\s+TABLE\s+\S+\s*;?\s*$", re.IGNORECASE)),
+]
+
+
+def parse_debezium_ddl(ddl: str, tid) -> list:
+    """Parse the DDL string of a Debezium schema-change message into
+    SchemaChangeEvents (reference event kinds, SURVEY §1.1; the
+    reference's MySQL source does the same translation in
+    MySqlSchemaChangeEventHandler — binlog DDL → AddColumnEvent /
+    RenameColumnEvent / ...).
+
+    This is the piece drift-diffing can NEVER recover: a RENAME looks
+    like drop+add to a schema diff, so only the explicit in-band event
+    preserves column identity (and therefore old rows' data) at the
+    sink. Statements split on ';' are handled independently; unknown
+    statements are skipped (Debezium also emits CREATE/GRANT noise).
+    """
+    from .events import (AddColumnEvent, AlterColumnTypeEvent,
+                         ColumnPosition, DropColumnEvent, DropTableEvent,
+                         RenameColumnEvent, TruncateTableEvent)
+
+    events = []
+    for stmt in ddl.split(";"):
+        stmt = stmt.strip()
+        if not stmt:
+            continue
+        for kind, rx in _DDL_RES:
+            m = rx.match(stmt)
+            if not m:
+                continue
+            if kind == "add":
+                name, typ, first, anchor = m.groups()
+                pos = (ColumnPosition.FIRST if first
+                       else ColumnPosition.AFTER if anchor
+                       else ColumnPosition.LAST)
+                events.append(AddColumnEvent(tid, name, typ.upper(),
+                                             position=pos, anchor=anchor))
+            elif kind == "rename":
+                events.append(RenameColumnEvent(tid, m.group(1), m.group(2)))
+            elif kind == "drop":
+                events.append(DropColumnEvent(tid, m.group(1)))
+            elif kind == "modify":
+                events.append(AlterColumnTypeEvent(tid, m.group(1),
+                                                   m.group(2).upper()))
+            elif kind == "truncate":
+                events.append(TruncateTableEvent(tid))
+            elif kind == "drop_table":
+                events.append(DropTableEvent(tid))
+            break
+    return events
