@@ -1,0 +1,179 @@
+"""Empirical scale-stress harness (VERDICT r4 next-round #3).
+
+Correctness is oracle-saturated; this tool produces the *measured*
+evidence that the expensive operators scale as SCALE.md claims. It
+
+1. synthesizes a ~10x variant of the sf0.1 `documents` and `embeddings`
+   tables under .scale_data/sf10x (deterministic, seed-free: every
+   perturbation is a crc32 of (token, replica) or a replica-seeded
+   numpy stream, so reruns produce byte-identical data), and
+2. times the five most expensive bench operators at 1x (sf0.1) and 10x,
+   reporting the scaling exponent  e = log(t10/t1) / log(10).
+
+e == 1.0 is perfectly linear; the gate we document in SCALE.md is
+e <= ~1.2 (candidate-pair generators may be mildly super-linear because
+pair *output* grows with corpus density).
+
+Synthesis preserves the statistics that drive each operator's cost:
+
+- documents: each source doc yields 10 replicas; replica r != 0 rewrites
+  ~35% of tokens to a salted variant chosen by crc32(token|r) — a pure
+  function of (token, r), so near-dup pairs WITHIN one replica generation
+  keep their exact Jaccard (both sides rewrite identically), while pairs
+  ACROSS generations fall to ~0.27 expected Jaccard, under the 0.5 LSH
+  threshold. Candidate-pair count therefore grows ~linearly (10x), the
+  honest regime for a dedup sweep over a 10x corpus.
+- embeddings: replica r != 0 adds a replica-seeded N(0, 0.05) vector and
+  keeps ids offset by 100_000*r, so the `vec_id < 5` query set stays
+  fixed (Q constant, corpus 10x — the production shape).
+
+Usage:  python tools/scale_stress.py [--passes 2] [--out SCALE_STRESS.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import math
+import os
+import sys
+import time
+import zlib
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF1_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SF10_DIR = os.path.join(REPO, ".scale_data", "sf10x")
+REPLICAS = 10
+DOC_ID_STRIDE = 1_000_000   # divisible by 20: decontaminate's eval split
+VEC_ID_STRIDE = 100_000     # keeps the vec_id < 5 query set fixed
+REWRITE_PCT = 35
+
+TARGETS = [
+    "dedup_minhash_lsh",
+    "dedup_decontaminate",
+    "text_bm25_search",
+    "text_bigram_surprisal",
+    "similarity_quantized_rerank",
+]
+
+
+def _salt_token(tok: str, r: int) -> str:
+    if zlib.crc32(f"{tok}|{r}".encode()) % 100 < REWRITE_PCT:
+        return f"{tok}x{r}"
+    return tok
+
+
+def generate() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(SF10_DIR, exist_ok=True)
+
+    src = pq.read_table(os.path.join(SF1_DIR, "documents.parquet"))
+    docs = src.to_pylist()
+    out_rows = []
+    for r in range(REPLICAS):
+        for row in docs:
+            if r == 0:
+                text = row["text"]
+            else:
+                text = " ".join(
+                    _salt_token(t, r) for t in row["text"].split(" "))
+            out_rows.append({
+                "doc_id": row["doc_id"] + r * DOC_ID_STRIDE,
+                "text": text,
+                "lang": row["lang"],
+                "source": row["source"],
+                "n_chars": len(text),
+            })
+    pq.write_table(pa.Table.from_pylist(out_rows, schema=src.schema),
+                   os.path.join(SF10_DIR, "documents.parquet"))
+
+    esrc = pq.read_table(os.path.join(SF1_DIR, "embeddings.parquet"))
+    ids = esrc.column("vec_id").to_numpy()
+    labels = esrc.column("label").to_numpy()
+    mat = np.array(esrc.column("embedding").to_pylist(), dtype=np.float32)
+    parts_ids, parts_lab, parts_vec = [], [], []
+    for r in range(REPLICAS):
+        rng = np.random.RandomState(1234 + r)
+        noise = (np.zeros_like(mat) if r == 0 else
+                 rng.normal(0.0, 0.05, mat.shape).astype(np.float32))
+        parts_ids.append(ids + r * VEC_ID_STRIDE)
+        parts_lab.append(labels)
+        parts_vec.append(mat + noise)
+    allvec = np.concatenate(parts_vec)
+    tbl = pa.Table.from_arrays(
+        [pa.array(np.concatenate(parts_ids)),
+         pa.array([v.tolist() for v in allvec],
+                  type=esrc.schema.field("embedding").type),
+         pa.array(np.concatenate(parts_lab),
+                  type=esrc.schema.field("label").type)],
+        names=["vec_id", "embedding", "label"])
+    pq.write_table(tbl, os.path.join(SF10_DIR, "embeddings.parquet"))
+
+    # the five targets only read documents/embeddings; link the rest so
+    # the directory is a drop-in sf_dir for any query.
+    for name in ("region nation customer supplier part orders lineitem "
+                 "events").split():
+        dst = os.path.join(SF10_DIR, f"{name}.parquet")
+        if not os.path.exists(dst):
+            os.symlink(os.path.join(SF1_DIR, f"{name}.parquet"), dst)
+
+
+def run(passes: int, out_path: str) -> int:
+    sys.path.insert(0, REPO)
+    from flink_cdc_dsql_master_spark.queries import QUERIES
+    from flink_cdc_dsql_master_spark.session import get_spark
+
+    spark = get_spark("scale_stress")
+    warm = os.path.join(os.path.dirname(SF1_DIR.rstrip("/")), "sf0.001")
+    if not os.path.isdir(warm):
+        warm = SF1_DIR
+    for name in TARGETS:
+        QUERIES[name](spark, warm).count()
+
+    results: dict[str, dict] = {}
+    for name in TARGETS:
+        rec: dict = {}
+        for label, d in (("t1", SF1_DIR), ("t10", SF10_DIR)):
+            best, rows = math.inf, 0
+            for _ in range(passes):
+                t0 = time.perf_counter()
+                rows = QUERIES[name](spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+                spark.catalog.clearCache()
+            rec[label] = round(best, 3)
+            rec[f"rows_{label}"] = rows
+        rec["exponent"] = round(
+            math.log(rec["t10"] / rec["t1"]) / math.log(REPLICAS), 3)
+        results[name] = rec
+        print(f"# {name}: 1x={rec['t1']}s ({rec['rows_t1']} rows)  "
+              f"10x={rec['t10']}s ({rec['rows_t10']} rows)  "
+              f"e={rec['exponent']}", file=sys.stderr)
+
+    print(json.dumps({"sf1": SF1_DIR, "sf10": SF10_DIR,
+                      "passes": passes, "results": results}))
+    with open(out_path, "w") as f:
+        json.dump({"sf1": SF1_DIR, "sf10": SF10_DIR, "passes": passes,
+                   "results": results}, f, indent=2)
+    spark.stop()
+    return 0
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--out", default=os.path.join(REPO, "SCALE_STRESS.json"))
+    ap.add_argument("--generate-only", action="store_true")
+    args = ap.parse_args()
+    if not os.path.exists(os.path.join(SF10_DIR, "embeddings.parquet")):
+        print("# generating 10x tables ...", file=sys.stderr)
+        generate()
+    if args.generate_only:
+        return 0
+    return run(args.passes, args.out)
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
