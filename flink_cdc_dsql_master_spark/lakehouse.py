@@ -1,0 +1,185 @@
+"""Partitioned copy-on-write MERGE: lakehouse-sink mechanics on plain parquet.
+
+Reference counterparts: the lake/warehouse pipeline sinks
+(``flink-cdc-connect/flink-cdc-pipeline-connectors/{paimon,iceberg,...}``)
+whose capability contract is "upsert a changelog + apply DDL" into a
+table format that rewrites only affected files. Neither Delta nor
+Iceberg ships in this sandbox, so this module implements the two
+mechanisms those formats actually contribute — **file-level pruning on
+merge** and an **atomic, crash-recoverable commit** — on hive-layout
+parquet, with the same changelog reduction (``last_write_wins``) feeding
+it that feeds every other sink.
+
+Design (a miniature copy-on-write table format):
+
+- the table lives at ``path/<part_col>=<v>/part-*.parquet`` (hive
+  layout, so any engine — Spark, DuckDB, Trino — reads it with
+  partition discovery and prunes partition predicates);
+- the partition column must be a pure function of the primary key
+  (:func:`with_bucket_partition` provides the portable Knuth-bucket
+  default) so a key's row can never move between partitions and a merge
+  touches exactly the partitions present in the batch;
+- MERGE reads ONLY the affected partitions (partition-pruned scan —
+  at 100 TB a batch touching 3 of 10k partitions reads 0.03% of the
+  table), anti-joins the changed keys, unions the new images, and
+  writes the result to a sibling staging dir;
+- publish is manifest-logged: a ``_txn/pending.json`` marker (written
+  via temp-file + ``os.rename``, the POSIX atomic) lists the affected
+  partition values; each partition dir is then swapped by renames.
+  A crash anywhere in the publish window is rolled FORWARD by
+  :func:`recover_partitioned_merge` on the next merge — the Delta
+  ``_delta_log`` idea reduced to its crash-consistency core. Partitions
+  outside the manifest are never touched, so concurrent readers of
+  unaffected partitions see no window at all.
+
+Deletes whose partition ends up empty drop the whole partition dir
+(recorded in the manifest so recovery can finish the drop).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, functions as F
+
+from .events import OP_COLUMN, OP_DELETE, SEQ_COLUMN, UPSERT_OPS
+from .partitioning import bucket_expr, last_write_wins
+from .schema import Schema
+
+TXN_DIR = "_txn"
+PENDING = "pending.json"
+
+
+def with_bucket_partition(df: DataFrame, key: str, n_buckets: int = 16,
+                          col_name: str = "part") -> DataFrame:
+    """Attach the SQL-portable Knuth bucket of an integral PK as the
+    partition column (same arithmetic in Spark and DuckDB, so partition
+    placement itself is oracle-checkable)."""
+    return df.withColumn(col_name, bucket_expr(key, n_buckets))
+
+
+def _local(path: str) -> str:
+    return path[7:] if path.startswith("file://") else path
+
+
+def _part_dir(local: str, part_col: str, value) -> str:
+    return os.path.join(local, f"{part_col}={value}")
+
+
+def recover_partitioned_merge(path: str) -> bool:
+    """Roll forward a merge interrupted in its publish window.
+
+    Returns True if a pending transaction was found and completed. Safe
+    to call any time; every step is idempotent."""
+    local = _local(path)
+    marker = os.path.join(local, TXN_DIR, PENDING)
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        m = json.load(f)
+    staging = m["staging"]
+    part_col = m["part_col"]
+    for v in m["publish"]:
+        live = _part_dir(local, part_col, v)
+        old = live + ".__old__"
+        tmpd = _part_dir(staging, part_col, v)
+        if os.path.exists(tmpd):
+            if os.path.exists(live) and not os.path.exists(old):
+                os.rename(live, old)
+            if not os.path.exists(live):
+                os.rename(tmpd, live)
+            else:
+                # live was already the new data (rename raced a crash);
+                # staging copy is redundant
+                shutil.rmtree(tmpd, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+    for v in m["drop"]:
+        shutil.rmtree(_part_dir(local, part_col, v), ignore_errors=True)
+    os.remove(marker)
+    shutil.rmtree(staging, ignore_errors=True)
+    return True
+
+
+def merge_into_partitioned_parquet(path: str, changelog: DataFrame,
+                                   schema: Schema,
+                                   part_col: str = "part") -> dict:
+    """Copy-on-write MERGE of a changelog batch into a hive-partitioned
+    parquet table, rewriting ONLY the partitions the batch touches.
+
+    ``part_col`` must already be a column of ``changelog`` and a pure
+    function of the primary key (see :func:`with_bucket_partition`).
+    Returns {"rewritten": [...], "dropped": [...]} partition values —
+    the pruning evidence the tests assert on.
+    """
+    spark = changelog.sparkSession
+    pks = list(schema.primary_keys)
+    local = _local(path)
+    os.makedirs(os.path.join(local, TXN_DIR), exist_ok=True)
+    recover_partitioned_merge(path)
+
+    final = last_write_wins(changelog, pks)
+    affected = sorted(
+        r[0] for r in final.select(part_col).distinct().collect())
+    if not affected:
+        return {"rewritten": [], "dropped": []}
+    upserts = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
+    drop_cols = [c for c in (OP_COLUMN, SEQ_COLUMN, "__table_id")
+                 if c in changelog.columns]
+
+    has_table = any(e.startswith(f"{part_col}=")
+                    for e in os.listdir(local))
+    if has_table:
+        # partition-pruned read: only the affected partition dirs are
+        # scanned (PartitionFilters on the hive partition column)
+        cur = (spark.read.parquet(local)
+               .where(F.col(part_col).isin(*affected)))
+        changed_keys = final.select(*pks).distinct()
+        keep = cur.join(changed_keys, on=pks, how="left_anti")
+        out = keep.unionByName(upserts.drop(*drop_cols),
+                               allowMissingColumns=True)
+    else:
+        out = upserts.drop(*drop_cols)
+
+    staging = local.rstrip("/") + f".__cow_{uuid.uuid4().hex[:12]}__"
+    shutil.rmtree(staging, ignore_errors=True)
+    out.write.partitionBy(part_col).mode("overwrite").parquet(staging)
+
+    written = {e.split("=", 1)[1] for e in os.listdir(staging)
+               if e.startswith(f"{part_col}=")}
+    publish = [v for v in affected if str(v) in written]
+    drop = [v for v in affected if str(v) not in written]
+
+    # atomic commit point: once pending.json is in place the txn WILL
+    # complete (here or in recovery); before it, staging is invisible
+    marker = os.path.join(local, TXN_DIR, PENDING)
+    tmp_marker = marker + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp_marker, "w") as f:
+        json.dump({"staging": staging, "part_col": part_col,
+                   "publish": publish, "drop": drop,
+                   "ts": time.time()}, f)
+    os.rename(tmp_marker, marker)
+
+    for v in publish:
+        live = _part_dir(local, part_col, v)
+        old = live + ".__old__"
+        shutil.rmtree(old, ignore_errors=True)
+        if os.path.exists(live):
+            os.rename(live, old)
+        os.rename(_part_dir(staging, part_col, v), live)
+        shutil.rmtree(old, ignore_errors=True)
+    for v in drop:
+        shutil.rmtree(_part_dir(local, part_col, v), ignore_errors=True)
+    os.remove(marker)
+    shutil.rmtree(staging, ignore_errors=True)
+    return {"rewritten": publish, "dropped": drop}
+
+
+def read_partitioned(spark, path: str) -> DataFrame:
+    """Read the table (hive partition discovery; rolls forward a pending
+    txn first so readers never see a torn publish)."""
+    recover_partitioned_merge(path)
+    return spark.read.parquet(_local(path))

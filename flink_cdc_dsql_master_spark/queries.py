@@ -2846,6 +2846,63 @@ def sink_temporal_tagged_roundtrip(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+@_q(
+    "sink_partitioned_merge",
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS price,
+           o_orderstatus AS status,
+           CAST((((o_orderkey % 2147483648) * 2654435761)
+                 % 2147483648) % 8 AS INT) AS part
+    FROM orders
+    WHERE o_orderkey % 11 <> 0
+    """,
+)
+def sink_partitioned_merge(spark, sf_dir):
+    """Partitioned copy-on-write MERGE e2e (lakehouse.py — the
+    mechanism of the reference's lake sinks,
+    flink-cdc-pipeline-connectors/{paimon,iceberg}/, on plain parquet):
+    a full snapshot merges in as batch 1, then a second changelog of
+    updates and deletes (including a same-seq +U/-D collision on keys
+    divisible by 77, where the -D must win by op rank) rewrites ONLY the
+    affected Knuth-bucket partitions. The table read back through hive
+    partition discovery IS the result; the oracle recomputes the final
+    state AND the portable bucket arithmetic in DuckDB."""
+    import os
+    import tempfile
+
+    from .lakehouse import (merge_into_partitioned_parquet,
+                            read_partitioned, with_bucket_partition)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    k = F.col("k")
+    b1 = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    upd = (orders.where(k % 7 == 0)
+           .withColumn("price", F.col("price") + 1000.0)
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    dele = (orders.where(k % 11 == 0)
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    b2 = upd.unionByName(dele)
+
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="cow_merge_"), "orders_cow")
+    merge_into_partitioned_parquet(
+        path, with_bucket_partition(b1, "k", 8), schema)
+    merge_into_partitioned_parquet(
+        path, with_bucket_partition(b2, "k", 8), schema)
+    out = read_partitioned(spark, path)
+    return out.select("k", "price", "status",
+                      F.col("part").cast("int").alias("part"))
+
+
 # ---------------------------------------------------------------------------
 # chunked snapshot splitter (§2.1) — split arithmetic + predicate coverage
 # ---------------------------------------------------------------------------

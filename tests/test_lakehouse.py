@@ -1,0 +1,194 @@
+"""Partitioned copy-on-write MERGE: pruning, atomicity, crash recovery."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+from flink_cdc_dsql_master_spark.lakehouse import (
+    TXN_DIR,
+    merge_into_partitioned_parquet,
+    read_partitioned,
+    recover_partitioned_merge,
+    with_bucket_partition,
+)
+from flink_cdc_dsql_master_spark.schema import Schema
+
+
+@pytest.fixture()
+def tbl(tmp_path):
+    return str(tmp_path / "cow_table")
+
+
+def _changelog(spark, rows):
+    """rows: (k, v, op, seq)"""
+    df = spark.createDataFrame(rows, "k long, v string, op string, seq long")
+    df = (df.withColumnRenamed("op", OP_COLUMN)
+          .withColumnRenamed("seq", SEQ_COLUMN))
+    return with_bucket_partition(df, "k", n_buckets=4)
+
+
+def _schema(spark):
+    base = spark.createDataFrame([], "k long, v string")
+    return Schema.of(base.schema, primary_keys=["k"])
+
+
+def _state(spark, tbl):
+    return {
+        r["k"]: (r["v"], r["part"])
+        for r in read_partitioned(spark, tbl).collect()
+    }
+
+
+def test_merge_upsert_delete_roundtrip(spark, tbl):
+    sch = _schema(spark)
+    b1 = _changelog(spark, [(i, f"v{i}", "+I", 1) for i in range(40)])
+    r1 = merge_into_partitioned_parquet(tbl, b1, sch)
+    assert sorted(r1["rewritten"]) == [0, 1, 2, 3] and not r1["dropped"]
+
+    b2 = _changelog(spark, [(3, "v3b", "+U", 2), (7, None, "-D", 2),
+                            (3, "ignored", "-U", 2)])
+    merge_into_partitioned_parquet(tbl, b2, sch)
+    st = _state(spark, tbl)
+    assert st[3][0] == "v3b"
+    assert 7 not in st and len(st) == 39
+    # partition placement is the portable Knuth bucket
+    from flink_cdc_dsql_master_spark.partitioning import bucket_expr
+    want = {r["k"]: r["p"] for r in spark.range(40).select(
+        F.col("id").alias("k"), bucket_expr("id", 4).alias("p")).collect()}
+    for k, (_, p) in st.items():
+        assert p == want[k]
+
+
+def test_merge_rewrites_only_affected_partitions(spark, tbl):
+    sch = _schema(spark)
+    merge_into_partitioned_parquet(
+        tbl, _changelog(spark, [(i, f"v{i}", "+I", 1) for i in range(40)]),
+        sch)
+    # snapshot the physical files of every partition dir
+    def files():
+        out = {}
+        for e in os.listdir(tbl):
+            if e.startswith("part="):
+                d = os.path.join(tbl, e)
+                out[e] = sorted(
+                    (f, os.stat(os.path.join(d, f)).st_mtime_ns)
+                    for f in os.listdir(d) if f.endswith(".parquet"))
+        return out
+
+    before = files()
+    # key 3's bucket only
+    res = merge_into_partitioned_parquet(
+        tbl, _changelog(spark, [(3, "v3b", "+U", 2)]), sch)
+    after = files()
+    touched = {f"part={v}" for v in res["rewritten"]}
+    assert len(touched) == 1
+    for e, snap in before.items():
+        if e in touched:
+            assert after[e] != snap
+        else:
+            assert after[e] == snap  # untouched partitions byte-stable
+
+
+def test_partition_pruned_read_plan(spark, tbl):
+    sch = _schema(spark)
+    merge_into_partitioned_parquet(
+        tbl, _changelog(spark, [(i, f"v{i}", "+I", 1) for i in range(40)]),
+        sch)
+    scan = spark.read.parquet(tbl).where(F.col("part").isin(1, 2))
+    plan = scan._jdf.queryExecution().explainString(
+        scan.sparkSession._jvm.org.apache.spark.sql.execution
+        .ExplainMode.fromString("formatted"))
+    pf = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert pf and "part" in pf[0]  # pruning happens at partition level
+
+
+def test_delete_empties_partition_drops_dir(spark, tbl):
+    sch = _schema(spark)
+    b1 = _changelog(spark, [(1, "a", "+I", 1), (2, "b", "+I", 1)])
+    merge_into_partitioned_parquet(tbl, b1, sch)
+    parts = [e for e in os.listdir(tbl) if e.startswith("part=")]
+    # delete every key in key-1's bucket
+    res = merge_into_partitioned_parquet(
+        tbl, _changelog(spark, [(1, None, "-D", 2)]), sch)
+    assert len(res["dropped"]) == 1
+    v = res["dropped"][0]
+    assert not os.path.exists(os.path.join(tbl, f"part={v}"))
+    assert len([e for e in os.listdir(tbl) if e.startswith("part=")]) \
+        == len(parts) - 1
+    assert set(_state(spark, tbl)) == {2}
+
+
+def test_crash_recovery_rolls_forward(spark, tbl):
+    """Simulate a crash in the publish window: staging written and the
+    manifest committed, but no partition swapped. Recovery must finish
+    the txn; a reader must see the NEW data."""
+    sch = _schema(spark)
+    merge_into_partitioned_parquet(
+        tbl, _changelog(spark, [(i, f"v{i}", "+I", 1) for i in range(8)]),
+        sch)
+    # build the post-merge image of bucket-of-3 out-of-band as "staging"
+    b2 = _changelog(spark, [(3, "v3b", "+U", 2)])
+    staging = tbl + ".__cow_crash__"
+    from flink_cdc_dsql_master_spark.partitioning import bucket_expr
+    v3 = spark.range(1).select(bucket_expr(F.lit(3), 4)).first()[0]
+    merged = (read_partitioned(spark, tbl)
+              .where(F.col("part") == v3).where(F.col("k") != 3)
+              .unionByName(b2.where(F.col("k") == 3)
+                           .select("k", F.lit("v3b").alias("v"), "part")))
+    merged.write.partitionBy("part").mode("overwrite").parquet(staging)
+    with open(os.path.join(tbl, TXN_DIR, "pending.json"), "w") as f:
+        json.dump({"staging": staging, "part_col": "part",
+                   "publish": [v3], "drop": [], "ts": 0}, f)
+
+    assert recover_partitioned_merge(tbl) is True
+    st = _state(spark, tbl)
+    assert st[3][0] == "v3b" and len(st) == 8
+    assert not os.path.exists(staging)
+    assert not os.path.exists(os.path.join(tbl, TXN_DIR, "pending.json"))
+    # second recovery is a no-op
+    assert recover_partitioned_merge(tbl) is False
+
+
+def test_crash_recovery_mid_swap(spark, tbl):
+    """Crash after live -> old but before staging -> live: the partition
+    dir is absent; recovery must install the staged data and clean up."""
+    sch = _schema(spark)
+    merge_into_partitioned_parquet(
+        tbl, _changelog(spark, [(i, f"v{i}", "+I", 1) for i in range(8)]),
+        sch)
+    from flink_cdc_dsql_master_spark.partitioning import bucket_expr
+    v3 = spark.range(1).select(bucket_expr(F.lit(3), 4)).first()[0]
+    staging = tbl + ".__cow_crash2__"
+    (read_partitioned(spark, tbl).where(F.col("part") == v3)
+     .withColumn("v", F.when(F.col("k") == 3, "v3c").otherwise(F.col("v")))
+     .write.partitionBy("part").mode("overwrite").parquet(staging))
+    live = os.path.join(tbl, f"part={v3}")
+    os.rename(live, live + ".__old__")
+    with open(os.path.join(tbl, TXN_DIR, "pending.json"), "w") as f:
+        json.dump({"staging": staging, "part_col": "part",
+                   "publish": [v3], "drop": [], "ts": 0}, f)
+    assert recover_partitioned_merge(tbl) is True
+    st = _state(spark, tbl)
+    assert st[3][0] == "v3c" and len(st) == 8
+    assert not os.path.exists(live + ".__old__")
+
+
+def test_reader_recovers_before_reading(spark, tbl):
+    sch = _schema(spark)
+    merge_into_partitioned_parquet(
+        tbl, _changelog(spark, [(1, "a", "+I", 1)]), sch)
+    # fabricate a pending drop txn and read through read_partitioned
+    merge_into_partitioned_parquet(
+        tbl, _changelog(spark, [(2, "b", "+I", 1)]), sch)
+    from flink_cdc_dsql_master_spark.partitioning import bucket_expr
+    v2 = spark.range(1).select(bucket_expr(F.lit(2), 4)).first()[0]
+    with open(os.path.join(tbl, TXN_DIR, "pending.json"), "w") as f:
+        json.dump({"staging": tbl + ".__gone__", "part_col": "part",
+                   "publish": [], "drop": [v2], "ts": 0}, f)
+    st = _state(spark, tbl)
+    assert set(st) == {1}  # the pending drop was applied before the read

@@ -126,15 +126,18 @@ def run(passes: int, out_path: str) -> int:
     from flink_cdc_dsql_master_spark.queries import QUERIES
     from flink_cdc_dsql_master_spark.session import get_spark
 
-    spark = get_spark("scale_stress")
     warm = os.path.join(os.path.dirname(SF1_DIR.rstrip("/")), "sf0.001")
     if not os.path.isdir(warm):
         warm = SF1_DIR
-    for name in TARGETS:
-        QUERIES[name](spark, warm).count()
 
     results: dict[str, dict] = {}
     for name in TARGETS:
+        # fresh session per query: a shared session lets one operator's
+        # leftover shuffle files / GC / Python-worker pressure contaminate
+        # the next measurement (first run of this harness measured bm25 at
+        # 16.6s shared-session vs 3.1s isolated — a 5x distortion).
+        spark = get_spark(f"scale_stress_{name}")
+        QUERIES[name](spark, warm).count()  # warm plans/JIT/workers
         rec: dict = {}
         for label, d in (("t1", SF1_DIR), ("t10", SF10_DIR)):
             best, rows = math.inf, 0
@@ -151,13 +154,13 @@ def run(passes: int, out_path: str) -> int:
         print(f"# {name}: 1x={rec['t1']}s ({rec['rows_t1']} rows)  "
               f"10x={rec['t10']}s ({rec['rows_t10']} rows)  "
               f"e={rec['exponent']}", file=sys.stderr)
+        spark.stop()
 
     print(json.dumps({"sf1": SF1_DIR, "sf10": SF10_DIR,
                       "passes": passes, "results": results}))
     with open(out_path, "w") as f:
         json.dump({"sf1": SF1_DIR, "sf10": SF10_DIR, "passes": passes,
                    "results": results}, f, indent=2)
-    spark.stop()
     return 0
 
 
