@@ -234,15 +234,23 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
 
-    # one shared, persisted base frame: shingles (vectorized) + JVM hashes;
-    # both the signature pipeline and the verify join read it, so shingling
-    # runs exactly once per document
+    # one shared, persisted base frame: shingles (vectorized) collapsed
+    # immediately to their DISTINCT int64 hashes; both the signature
+    # pipeline and the verify join read it, so shingling runs exactly once
+    # per document. Only the hash arrays are kept — carrying the string
+    # shingle arrays through persist + the verify-join shuffle was ~5× the
+    # bytes and showed up as session-wide GC churn at 10× sf0.1 (passes
+    # DEGRADED 14s→53s within one session; hash-only is stable). Jaccard
+    # over distinct shingle hashes == Jaccard over shingles up to md5
+    # collisions, and the DuckDB oracle replays the same hashes, so the
+    # pipeline stays hash-checked end-to-end.
     base = (
         _spread(df)
         .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
         .withColumn("__sh", word_shingles_pandas(shingle_n)(F.col("__t")))
-        .withColumn("__h", F.transform(F.col("__sh"), shingle_hash))
-        .drop("__t")
+        .withColumn("__h", F.array_distinct(
+            F.transform(F.col("__sh"), shingle_hash)))
+        .drop("__t", "__sh")
         .persist()
     )
     sig = base.withColumn(
@@ -251,10 +259,18 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # arrays, which would be replicated ×bands through the explode shuffle.
     # Bands are unrolled Python-side (literal indices) so the projection is
     # plain codegen-able expressions, not an interpreted lambda transform.
+    # bucket = signed-int64 fold of the band signature's md5 (the same
+    # hi/lo arithmetic as `shingle_hash64`, so DuckDB replays it exactly).
+    # An int64 bucket instead of the 32-char md5 hex string cuts the
+    # banded frame ~3× — which also keeps it safely OUTSIDE the broadcast
+    # threshold at bench scale: with string buckets the ~50 MB frame sat
+    # right AT the 64 MB line and AQE's estimate flapped between
+    # broadcasting it (driver build + GC churn, 3-5× slower, the bimodal
+    # 14s-vs-53s timings at 10× sf0.1) and shuffling it.
     band_structs = [
         F.struct(
             F.lit(i).alias("band"),
-            F.md5(F.array_join(F.transform(
+            shingle_hash64(F.array_join(F.transform(
                 F.slice(F.col("minhash"), i * rows + 1, rows),
                 lambda x: x.cast("string")), ","))
             .alias("bucket"),
@@ -271,20 +287,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
 
     a = banded.alias("a")
     b = banded.alias("b")
+    # SHUFFLE_HASH pin: the banded self-join must never broadcast (at any
+    # real corpus size the banded table is GBs+) and never sort — bucket
+    # equi-join with AQE skew splitting is the deterministic scale plan.
     cand = (
-        a.join(b, on=["band", "bucket"], how="inner")
+        a.join(b.hint("SHUFFLE_HASH"), on=["band", "bucket"], how="inner")
         .where(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
 
-    # exact-Jaccard verification only on surviving candidates
-    sh = base.select("__id", "__sh")
+    # exact-Jaccard verification only on surviving candidates (over the
+    # distinct shingle-hash sets — same verdicts, ~5× fewer join bytes)
+    sh = base.select("__id", "__h")
     verified = (
         cand.join(sh.select(F.col("__id").alias("id_a"),
-                            F.col("__sh").alias("sh_a")), "id_a")
+                            F.col("__h").alias("sh_a")), "id_a")
         .join(sh.select(F.col("__id").alias("id_b"),
-                        F.col("__sh").alias("sh_b")), "id_b")
+                        F.col("__h").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))

@@ -1046,9 +1046,18 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
     return "WITH " + _SHINGLE_CTES + f""",
     hs AS (
       SELECT doc_id,
-             list_transform(shingles,
-               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647) AS h
+             list_distinct(list_transform(shingles,
+               s -> ('0x' || substr(md5(s), 1, 8))::BIGINT % 2147483647))
+               AS h
       FROM sh),
+    exh AS (SELECT doc_id, unnest(h) AS x FROM hs),
+    hsizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS sz
+               FROM exh GROUP BY doc_id),
+    hinter AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM exh a JOIN exh b ON a.x = b.x AND a.doc_id < b.doc_id
+      GROUP BY 1, 2),
     sig AS (
       SELECT doc_id,
              list_transform(range(0, {num_hashes}),
@@ -1057,10 +1066,17 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
                             + ({b_arr})[k + 1]) % 2147483647))) AS sg
       FROM hs),
     banded AS (
-      SELECT doc_id, b AS band,
-             md5(array_to_string(sg[b * {rows} + 1 : b * {rows} + {rows}],
-                                 ',')) AS bucket
-      FROM sig, unnest(range(0, {bands})) AS t(b)),
+      SELECT doc_id, band,
+             (CASE WHEN hi >= 2147483648 THEN hi - 4294967296 ELSE hi END)
+               * 4294967296 + lo AS bucket
+      FROM (SELECT doc_id, band,
+                   ('0x' || substr(m, 1, 8))::BIGINT AS hi,
+                   ('0x' || substr(m, 9, 8))::BIGINT AS lo
+            FROM (SELECT doc_id, b AS band,
+                         md5(array_to_string(
+                           sg[b * {rows} + 1 : b * {rows} + {rows}], ','))
+                           AS m
+                  FROM sig, unnest(range(0, {bands})) AS t(b)))),
     cand AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM banded a JOIN banded b
@@ -1069,9 +1085,9 @@ def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
            ROUND(CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter), 6)
              AS jaccard
     FROM cand c
-    JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
-    JOIN sizes sa ON sa.doc_id = c.id_a
-    JOIN sizes sb ON sb.doc_id = c.id_b
+    JOIN hinter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+    JOIN hsizes sa ON sa.doc_id = c.id_a
+    JOIN hsizes sb ON sb.doc_id = c.id_b
     WHERE CAST(i.inter AS DOUBLE) / (sa.sz + sb.sz - i.inter) >= {threshold}
     """
 
