@@ -42,6 +42,24 @@ def hash_sample(df: DataFrame, key_col: str, rate: float,
         F.substring(hash_tag(F.col(key_col), salt), 1, 4) < F.lit(thr))
 
 
+def cluster_split(df: DataFrame, cluster_col: str = "cluster_id",
+                  rate: float = 0.8, salt: str = "cs",
+                  split_col: str = "split") -> DataFrame:
+    """Leakage-safe train/holdout split: the md5-cut decision is made on
+    the near-dup CLUSTER id, not the document id, so every member of a
+    duplicate cluster lands on the same side — splitting by doc id leaks
+    near-identical text across the boundary and inflates eval scores.
+    Input rows must carry ``cluster_col`` (from ``dedup.dup_clusters``;
+    singleton docs are their own cluster). Map-side only."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0, 1], got {rate}")
+    thr = format(int(rate * 65536), "04x")
+    tag = F.substring(hash_tag(F.col(cluster_col), salt), 1, 4)
+    return df.withColumn(
+        split_col,
+        F.when(tag < F.lit(thr), "train").otherwise("holdout"))
+
+
 def domain_quota(df: DataFrame, group_col: str, key_col: str, n: int,
                  salt: str = "q", rank_col: str = "rn") -> DataFrame:
     """Keep at most `n` rows per `group_col`, chosen by hash order — a

@@ -90,6 +90,45 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("quality_score", F.round(score, 6))
 
 
+# fastText-style quality-classifier weights (literal constants so the
+# scoring expression is pure codegen AND replayable in any SQL engine;
+# a trained model would ship its weights the same way)
+QUALITY_LR = {
+    "bias": -1.2,
+    "log_tokens": 0.5,
+    "avg_word_len": 0.15,
+    "punct_ratio": -4.0,
+    "digit_ratio": -3.0,
+    "stopword_ratio": 2.0,
+}
+
+
+def quality_classifier(df: DataFrame, text_col: str = "text",
+                       weights: dict | None = None) -> DataFrame:
+    """Logistic quality classifier over the curation features — the
+    cheap model-based keep/drop filter of LLM data pipelines (the shape
+    of fastText/CCNet quality filters), as ONE codegen projection.
+
+    Appends ``lr_score`` (rounded to 6 decimals) and ``keep``
+    (score >= 0.5, decided on the ROUNDED score so the boolean can
+    never flip on a cross-engine 1-ulp difference in exp/ln).
+    Scale: zero shuffle — a map-side filter at any corpus size.
+    """
+    w = weights or QUALITY_LR
+    feats = quality_features(df, text_col)
+    z = (
+        F.lit(w["bias"])
+        + F.lit(w["log_tokens"]) * F.log1p(F.col("n_tokens"))
+        + F.lit(w["avg_word_len"]) * F.col("avg_word_len")
+        + F.lit(w["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(w["digit_ratio"]) * F.col("digit_ratio")
+        + F.lit(w["stopword_ratio"]) * F.col("stopword_ratio")
+    )
+    score = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return (feats.withColumn("lr_score", score)
+            .withColumn("keep", F.col("lr_score") >= 0.5))
+
+
 def repetition_features(df: DataFrame, text_col: str = "text",
                         n: int = 3) -> DataFrame:
     """Gopher/C4-style repetition signal: the fraction of duplicate

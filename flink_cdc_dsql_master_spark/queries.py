@@ -1032,6 +1032,169 @@ def dedup_clusters(spark, sf_dir):
     return dedup.dup_clusters(pairs, docs, id_col="doc_id")
 
 
+_SYNTH_URL_SQL = (
+    "'https://' || source || '.example.com/p/' || "
+    "CAST(doc_id % 7 AS VARCHAR) || '?b=2&id=' || "
+    "CAST(doc_id % 13 AS VARCHAR)"
+)
+
+
+def _synth_url_col():
+    """Deterministic raw URL per document (messy on purpose: uppercase
+    host, www prefix, tracking param, fragment). The oracle derives the
+    canonical form analytically from the same (source, doc_id) inputs —
+    an independent derivation, not a reimplementation of the parser."""
+    return F.concat(
+        F.lit("https://WWW."), F.col("source"), F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit("?utm_source=feed&id="), (F.col("doc_id") % 13).cast("string"),
+        F.lit("&b=2#frag"))
+
+
+@_q(
+    "web_url_dedup",
+    f"""
+    SELECT {_SYNTH_URL_SQL} AS canonical_url, MIN(doc_id) AS doc_id
+    FROM documents GROUP BY 1
+    """,
+)
+def web_url_dedup(spark, sf_dir):
+    """Canonical-URL dedup (operators/web.py) — the first, cheapest dedup
+    pass of crawl curation: parse_url components lowercased, www and
+    fragment dropped, tracking params stripped, remaining query params
+    sorted; keep the lowest doc_id per canonical URL via one map-side
+    combined groupBy. The raw URLs are synthesized messy (uppercase host,
+    utm_source, #frag); the oracle constructs the clean form analytically
+    from the same inputs."""
+    from .operators import web
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url", _synth_url_col())
+    return web.url_dedup(docs)
+
+
+@_q(
+    "web_canonical_domain_stats",
+    f"""
+    SELECT source || '.example.com' AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT {_SYNTH_URL_SQL}) AS BIGINT) AS n_urls,
+           ROUND(AVG(n_chars), 6) AS avg_weight
+    FROM documents GROUP BY 1
+    """,
+)
+def web_canonical_domain_stats(spark, sf_dir):
+    """Per-domain rollup over canonicalized URLs (doc count, distinct
+    canonical URLs, mean doc length) — the aggregate behind domain-level
+    allow/deny curation decisions. Pure codegen: parse_url + array ops,
+    one partial-aggregated groupBy(domain)."""
+    from .operators import web
+
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "url", _synth_url_col())
+    return web.domain_stats(docs, weight_col="n_chars")
+
+
+@_q(
+    "sample_cluster_split",
+    "WITH RECURSIVE " + _SHINGLE_CTES + """,
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+    clus AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+             FROM reach GROUP BY node)
+    SELECT doc_id, cluster_id,
+           CASE WHEN substr(md5('cs' || CAST(cluster_id AS VARCHAR)), 1, 4)
+                     < 'cccc'
+                THEN 'train' ELSE 'holdout' END AS split
+    FROM clus
+    """,
+)
+def sample_cluster_split(spark, sf_dir):
+    """Leakage-safe train/holdout split (sampling.cluster_split): the
+    md5-cut decision is made per near-dup CLUSTER (dedup.dup_clusters
+    output), so no near-duplicate pair ever straddles the split — the
+    correct way to cut eval sets from a deduplicated corpus. Oracle =
+    recursive-CTE clustering + the same md5 threshold."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(pairs, docs, id_col="doc_id")
+    out = sampling.cluster_split(clusters, rate=0.8, salt="cs")
+    return out.select("doc_id", "cluster_id", "split")
+
+
+def _pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
+    """Unrolled power-iteration replay: one (contribs, dangling, rank)
+    CTE triple per iteration, dangling mass redistributed uniformly,
+    ranks rounded to 12 decimals per iteration exactly like the
+    operator — the fixed-point rounding is what makes an iterative
+    double-arithmetic algorithm hash-checkable across engines."""
+    d = damping
+    ctes = """
+    ids AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                  CAST(COUNT(*) AS BIGINT) AS ni FROM ids),
+    edges AS (
+      SELECT DISTINCT s.node AS src,
+             (s.node * 31 + j * 7) % (SELECT ni FROM nn) AS dst
+      FROM ids s, unnest([1, 2, 3]) AS t(j)
+      WHERE (s.node * 31 + j * 7) % (SELECT ni FROM nn)
+              IN (SELECT node FROM ids)),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM ids)"""
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes += f""",
+    c{i} AS (SELECT e.dst AS node, SUM(r.rank / dg.deg) AS c
+             FROM edges e JOIN deg dg ON dg.src = e.src
+             JOIN r{p} r ON r.node = e.src GROUP BY e.dst),
+    dm{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS dm
+              FROM r{p} r LEFT JOIN deg dg ON dg.src = r.node
+              WHERE dg.src IS NULL),
+    r{i} AS (SELECT i.node,
+                    ROUND((1 - {d}) / (SELECT n FROM nn)
+                          + {d} * (COALESCE(c.c, 0)
+                                   + (SELECT dm FROM dm{i})
+                                     / (SELECT n FROM nn)), 12) AS rank
+             FROM ids i LEFT JOIN c{i} c ON c.node = i.node)"""
+    return ("WITH" + ctes + f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}
+    """)
+
+
+@_q("graph_pagerank", _pagerank_oracle_sql())
+def graph_pagerank(spark, sf_dir):
+    """PageRank over a deterministic synthetic link graph (3 out-links
+    per document, (id*31 + 7j) mod N): the web-graph quality signal of
+    corpus-curation pipelines, as edge-partitioned join-agg iterations
+    (operators/graph.py). Dangling-mass handling and per-iteration
+    12-decimal fixed-point rounding are replayed verbatim by the oracle's
+    unrolled CTE chain."""
+    from .operators.graph import pagerank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    parts = [
+        docs.select(F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 31 + j * 7) % n).alias("dst"))
+        for j in (1, 2, 3)
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    # restrict dst to existing ids (robust to non-contiguous id spaces)
+    edges = edges.join(docs.select(F.col("doc_id").alias("dst")), "dst")
+    ranks = pagerank(edges, iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
 def _minhash_oracle_sql(num_hashes: int = 64, bands: int = 16,
                         threshold: float = 0.5, seed: int = 42) -> str:
     """DuckDB replay of the FULL banded MinHash-LSH pipeline: md5-derived
@@ -1637,6 +1800,52 @@ def text_stats(spark, sf_dir):
         F.round("punct_ratio", 6).alias("punct_ratio"),
         F.round("stopword_ratio", 6).alias("stopword_ratio"),
     )
+
+
+@_q(
+    "text_quality_classifier",
+    f"""
+    WITH base AS (
+      SELECT doc_id,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_TEXT_TOKENS_SQL}) END AS INT) AS n_tokens,
+             CAST(length(text) AS INT) AS n_chars_calc,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT)
+               AS n_punct,
+             CAST(len(regexp_extract_all(text, '\\d')) AS INT) AS n_digit,
+             CAST(len(list_filter({_TEXT_TOKENS_SQL},
+                  w -> list_contains({_STOPWORDS_SQL}, lower(w))))
+                  AS INT) AS n_stop
+      FROM documents),
+    f AS (
+      SELECT doc_id, n_tokens,
+        CASE WHEN n_tokens > 0 THEN
+          CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens
+          ELSE 0.0 END AS awl,
+        CASE WHEN n_chars_calc > 0 THEN
+          CAST(n_punct AS DOUBLE) / n_chars_calc ELSE 0.0 END AS pr,
+        CASE WHEN n_chars_calc > 0 THEN
+          CAST(n_digit AS DOUBLE) / n_chars_calc ELSE 0.0 END AS dr,
+        CASE WHEN n_tokens > 0 THEN
+          CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS sr
+      FROM base)
+    SELECT doc_id,
+           ROUND(1.0 / (1.0 + EXP(-(-1.2 + 0.5 * LN(1 + n_tokens)
+                 + 0.15 * awl + (-4.0) * pr + (-3.0) * dr
+                 + 2.0 * sr))), 6) AS lr_score,
+           ROUND(1.0 / (1.0 + EXP(-(-1.2 + 0.5 * LN(1 + n_tokens)
+                 + 0.15 * awl + (-4.0) * pr + (-3.0) * dr
+                 + 2.0 * sr))), 6) >= 0.5 AS keep
+    FROM f
+    """,
+)
+def text_quality_classifier(spark, sf_dir):
+    """Literal-weight logistic quality classifier (text.quality_classifier)
+    — the fastText/CCNet-style model filter of curation pipelines as one
+    codegen projection; keep decided on the rounded score so the boolean
+    is ulp-stable across engines."""
+    out = text.quality_classifier(_t(spark, sf_dir, "documents"))
+    return out.select("doc_id", "lr_score", "keep")
 
 
 _LANG_VALUES_SQL = """

@@ -1,0 +1,74 @@
+"""Unit tests for the graph / web / classifier / cluster-split operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_dsql_master_spark.operators import sampling, text, web
+from flink_cdc_dsql_master_spark.operators.graph import pagerank
+
+
+def test_pagerank_mass_conserved_and_dangling(spark):
+    # 1 -> 2 -> 3, 3 dangling (no out-edges)
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3)], "src long, dst long")
+    r = {row["node"]: row["rank"]
+         for row in pagerank(edges, iterations=5).collect()}
+    assert set(r) == {1, 2, 3}
+    assert sum(r.values()) == pytest.approx(1.0, abs=1e-9)
+    # the chain accumulates rank downstream
+    assert r[3] > r[2] > 0 and r[2] > r[1]
+
+
+def test_pagerank_symmetric_cycle_uniform(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "src long, dst long")
+    r = [row["rank"] for row in pagerank(edges, iterations=10).collect()]
+    for v in r:
+        assert v == pytest.approx(1 / 3, abs=1e-9)
+
+
+def test_canonicalize_url_rules(spark):
+    cases = [
+        ("https://WWW.Ex.COM/a/?utm_source=x&z=1&a=2#f",
+         "https://ex.com/a?a=2&z=1"),
+        ("http://ex.com/", "http://ex.com/"),       # root slash kept
+        ("https://ex.com/p/3?gclid=abc", "https://ex.com/p/3"),
+        ("https://sub.ex.com/x?b=2&a=1", "https://sub.ex.com/x?a=1&b=2"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url string")
+    got = [r[0] for r in
+           df.select(web.canonicalize_url(F.col("url"))).collect()]
+    assert got == [want for _, want in cases]
+
+
+def test_url_dedup_lowest_id_wins(spark):
+    df = spark.createDataFrame(
+        [(5, "https://ex.com/x?utm_source=a"),
+         (2, "https://WWW.EX.com/x/"),
+         (9, "https://ex.com/y")],
+        "doc_id long, url string")
+    got = {r["canonical_url"]: r["doc_id"]
+           for r in web.url_dedup(df).collect()}
+    assert got == {"https://ex.com/x": 2, "https://ex.com/y": 9}
+
+
+def test_quality_classifier_orders_quality(spark):
+    df = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog and runs on"),
+         (2, "@@@@ #### 1234 5678 !!!! %%%% 9999 0000 ???? ****")],
+        "doc_id long, text string")
+    got = {r["doc_id"]: (r["lr_score"], r["keep"])
+           for r in text.quality_classifier(df).collect()}
+    assert got[1][0] > got[2][0]
+    assert got[1][1] is True and got[2][1] is False
+
+
+def test_cluster_split_never_splits_a_cluster(spark):
+    rows = [(i, i % 7) for i in range(200)]  # 7 clusters
+    df = spark.createDataFrame(rows, "doc_id long, cluster_id long")
+    out = sampling.cluster_split(df, rate=0.5, salt="t")
+    sides = (out.groupBy("cluster_id")
+             .agg(F.countDistinct("split").alias("n")).collect())
+    assert all(r["n"] == 1 for r in sides)  # no cluster straddles
+    splits = {r["split"] for r in out.collect()}
+    assert splits == {"train", "holdout"}  # both sides populated
