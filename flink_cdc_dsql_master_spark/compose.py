@@ -178,6 +178,17 @@ class BatchComposer:
             delta = ivm.rollup_delta(df, group_cols, value_col)
             swap_parquet_dir(ivm.merge_rollup(state, delta, group_cols),
                              path)
+        elif sink.type == "cow-parquet":
+            from .lakehouse import merge_into_partitioned_parquet
+            from .partitioning import hash_bucket_expr
+
+            base = sink.config["path"]
+            buckets = int(sink.config.get("buckets", 16))
+            part = df.withColumn(
+                "part", hash_bucket_expr(list(schema.primary_keys),
+                                         buckets))
+            merge_into_partitioned_parquet(
+                f"{base}/{sink_tid.table}", part, schema)
         else:
             raise ValueError(f"unsupported sink type {sink.type!r}")
 
@@ -408,6 +419,26 @@ def make_scd2_sink_writer(base_path: str):
         swap_parquet_dir(
             scd2_apply_increment(hist, df, list(schema.primary_keys)),
             path)
+
+    return writer
+
+
+def make_cow_sink_writer(base_path: str, buckets: int = 16):
+    """Sink-writer maintaining a partitioned copy-on-write parquet table
+    per sink table (the streaming face of the ``cow-parquet`` YAML sink):
+    each micro-batch MERGEs into the affected PK-hash-bucket partitions
+    only, published through the manifest-logged atomic swap — so a
+    crashed micro-batch is rolled forward on restart and the foreachBatch
+    replay of the same epoch is idempotent (same final images, same
+    partitions)."""
+    from .lakehouse import merge_into_partitioned_parquet
+    from .partitioning import hash_bucket_expr
+
+    def writer(sink_tid, df, schema):
+        part = df.withColumn(
+            "part", hash_bucket_expr(list(schema.primary_keys), buckets))
+        merge_into_partitioned_parquet(
+            f"{base_path}/{sink_tid.table}", part, schema)
 
     return writer
 
