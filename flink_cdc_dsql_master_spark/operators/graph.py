@@ -48,6 +48,13 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     n_nodes = nodes.count()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
 
+    # dangling node set is STATIC (nodes with no out-edges) — computed
+    # once; per-iteration dangling MASS rides as a broadcast 1-row
+    # aggregate (the scalar-subquery idiom), so each iteration is one
+    # lazy plan with no driver collect.
+    dangling_nodes = nodes.join(
+        deg.withColumnRenamed("src", "node"), "node", "left_anti").persist()
+
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
         contribs = (
@@ -56,21 +63,19 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
             .groupBy("dst")
             .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
         )
-        dangling = (
-            ranks.join(deg.withColumnRenamed("src", "node"),
-                       "node", "left_anti")
-            .agg(F.sum("rank")).collect()[0][0] or 0.0
-        )
+        dm = (ranks.join(dangling_nodes, "node", "left_semi")
+              .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")))
         new_rank = (
             F.lit((1.0 - damping) / n_nodes)
             + F.lit(damping) * (F.coalesce(F.col("c"), F.lit(0.0))
-                                + F.lit(dangling / n_nodes))
+                                + F.col("__dm") / n_nodes)
         )
         if round_scale is not None:
             new_rank = F.round(new_rank, round_scale)
         ranks = (
             nodes.join(contribs.withColumnRenamed("dst", "node"),
                        "node", "left")
+            .crossJoin(F.broadcast(dm))
             .select("node", new_rank.alias("rank"))
             .localCheckpoint()
         )

@@ -63,6 +63,9 @@ BENCH_QUERIES = [
     "chunk_backfill_reconcile",
     "similarity_quantized_rerank",
     "rollup_incremental_maintenance",
+    "sink_partitioned_merge",
+    "web_url_dedup",
+    "text_quality_classifier",
 ]
 
 

@@ -54,6 +54,11 @@ TARGETS = [
     "text_bm25_search",
     "text_bigram_surprisal",
     "similarity_quantized_rerank",
+    # breadth: cheap map-side ops whose linearity should be trivially
+    # confirmed (a super-linear exponent here would flag a plan bug)
+    "dedup_exact",
+    "web_url_dedup",
+    "text_quality_classifier",
 ]
 
 
