@@ -134,8 +134,10 @@ def merge_into_partitioned_parquet(path: str, changelog: DataFrame,
                     for e in os.listdir(local))
     if has_table:
         # partition-pruned read: only the affected partition dirs are
-        # scanned (PartitionFilters on the hive partition column)
-        cur = (spark.read.parquet(local)
+        # scanned (PartitionFilters on the hive partition column);
+        # mergeSchema so a post-evolution batch can merge into partitions
+        # whose files predate an ADD COLUMN
+        cur = (spark.read.option("mergeSchema", "true").parquet(local)
                .where(F.col(part_col).isin(*affected)))
         changed_keys = final.select(*pks).distinct()
         keep = cur.join(changed_keys, on=pks, how="left_anti")
@@ -180,6 +182,12 @@ def merge_into_partitioned_parquet(path: str, changelog: DataFrame,
 
 def read_partitioned(spark, path: str) -> DataFrame:
     """Read the table (hive partition discovery; rolls forward a pending
-    txn first so readers never see a torn publish)."""
+    txn first so readers never see a torn publish).
+
+    ``mergeSchema`` is on: after a mid-stream ADD COLUMN only the
+    partitions touched since carry the new column — untouched partitions
+    keep their original files (that's the point of COW), so the reader
+    must union schemas and NULL-fill, exactly like Delta/Iceberg readers
+    do over mixed-generation files."""
     recover_partitioned_merge(path)
-    return spark.read.parquet(_local(path))
+    return spark.read.option("mergeSchema", "true").parquet(_local(path))

@@ -406,6 +406,41 @@ def bm25_topk(df: DataFrame, query_terms: list[str], k: int = 10,
             .limit(k))
 
 
+def phrase_search(df: DataFrame, phrase: list[str],
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Exact-phrase matching via a positional posting join — the search
+    capability bag-of-words BM25 cannot express.
+
+    Output: (id, n_matches) for documents containing the consecutive
+    token sequence ``phrase`` at least once.
+
+    Scale plan: posexplode emits (doc, pos, term) but the IN filter on
+    the phrase's terms is FUSED into the same codegen stage, so only
+    postings of the phrase terms ever shuffle (a few rows per doc, never
+    the token stream). Adjacency is then |phrase|-1 equi-joins on
+    (doc, pos+offset) over those tiny posting sets — at 100 TB the
+    filtered postings for a phrase are MBs, and each join is
+    broadcast-eligible.
+    """
+    if not phrase:
+        raise ValueError("phrase must be non-empty")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    posts = (
+        df.select(F.col(id_col).alias("id"),
+                  F.posexplode(toks).alias("pos", "term"))
+        .where(F.col("term").isin(*set(phrase)))
+    )
+    cur = (posts.where(F.col("term") == phrase[0])
+           .select("id", F.col("pos").alias("p0")))
+    for i, term in enumerate(phrase[1:], start=1):
+        nxt = posts.where(F.col("term") == term).select(
+            "id", (F.col("pos") - i).alias("p0"))
+        cur = cur.join(nxt, ["id", "p0"])
+    return (cur.groupBy("id")
+            .agg(F.count("*").alias("n_matches")))
+
+
 def bpe_pair_counts(df: DataFrame, top_n: int = 50,
                     text_col: str = "text") -> DataFrame:
     """One BPE-training iteration: adjacent character-pair frequencies.

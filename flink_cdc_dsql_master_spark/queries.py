@@ -1851,6 +1851,35 @@ def text_quality_classifier(spark, sf_dir):
     return out.select("doc_id", "lr_score", "keep")
 
 
+@_q(
+    "text_phrase_search",
+    """
+    WITH w AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    p AS (
+      SELECT doc_id, i - 1 AS pos, ws[i] AS term
+      FROM w, unnest(range(1, len(ws) + 1)) AS t(i)
+      WHERE ws[i] IN ('data', 'query')),
+    m AS (
+      SELECT a.doc_id FROM p a
+      JOIN p b ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+      WHERE a.term = 'data' AND b.term = 'query')
+    SELECT doc_id AS id, CAST(COUNT(*) AS BIGINT) AS n_matches
+    FROM m GROUP BY 1
+    """,
+)
+def text_phrase_search(spark, sf_dir):
+    """Exact-phrase search via positional posting join
+    (text.phrase_search): the IN filter on phrase terms fuses into the
+    posexplode codegen stage so only those postings shuffle; adjacency is
+    an equi-join on (doc, pos+1). Oracle replays positions via
+    unnest(range)."""
+    out = text.phrase_search(
+        _t(spark, sf_dir, "documents"), ["data", "query"])
+    return out.select("id", "n_matches")
+
+
 _LANG_VALUES_SQL = """
 (VALUES ('de', ['der','die','und','ist','das']),
         ('en', ['the','and','of','to','is']),

@@ -72,3 +72,20 @@ def test_cluster_split_never_splits_a_cluster(spark):
     assert all(r["n"] == 1 for r in sides)  # no cluster straddles
     splits = {r["split"] for r in out.collect()}
     assert splits == {"train", "holdout"}  # both sides populated
+
+
+def test_phrase_search_positions_and_counts(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c a b c"),      # "a b c" twice
+         (2, "a b"),              # prefix only
+         (3, "c b a"),            # reversed — no match
+         (4, "x a b c y")],       # once, mid-doc
+        "doc_id long, text string")
+    got = {r["id"]: r["n_matches"]
+           for r in text.phrase_search(df, ["a", "b", "c"]).collect()}
+    assert got == {1: 2, 4: 1}
+    # two-term phrase with overlapping repeats: "a a a" has two "a a"
+    df2 = spark.createDataFrame([(9, "a a a")], "doc_id long, text string")
+    got2 = {r["id"]: r["n_matches"]
+            for r in text.phrase_search(df2, ["a", "a"]).collect()}
+    assert got2 == {9: 2}

@@ -258,3 +258,79 @@ def test_changelog_stream_to_cow_table(spark, tmp_path):
     untouched = [e for e in parts_before
                  if e in parts_after and parts_after[e] == parts_before[e]]
     assert untouched  # at least one bucket survived byte-identical
+
+
+def test_cow_merge_after_add_column(spark, tbl):
+    """ADD COLUMN mid-table: a post-evolution batch merges a new column
+    into some buckets; untouched buckets keep their original files and
+    the mergeSchema read NULL-fills them — mixed-generation files under
+    one table, the Delta/Iceberg reader contract."""
+    from pyspark.sql import functions as F2
+
+    sch1 = _schema(spark)
+    merge_into_partitioned_parquet(
+        tbl, _changelog(spark, [(i, f"v{i}", "+I", 1) for i in range(8)]),
+        sch1)
+
+    wide = spark.createDataFrame(
+        [(3, "v3b", 7.5, "+U", 2)],
+        "k long, v string, score double, op string, seq long")
+    wide = (wide.withColumnRenamed("op", OP_COLUMN)
+            .withColumnRenamed("seq", SEQ_COLUMN))
+    wide = with_bucket_partition(wide, "k", n_buckets=4)
+    base2 = spark.createDataFrame([], "k long, v string, score double")
+    sch2 = Schema.of(base2.schema, primary_keys=["k"])
+    res = merge_into_partitioned_parquet(tbl, wide, sch2)
+    assert len(res["rewritten"]) == 1
+
+    out = read_partitioned(spark, tbl)
+    assert "score" in out.columns
+    got = {r["k"]: (r["v"], r["score"]) for r in out.collect()}
+    assert got[3] == ("v3b", 7.5)
+    assert len(got) == 8
+    for k, (_, s) in got.items():
+        if k != 3:
+            assert s is None  # old-generation rows NULL-fill
+
+
+def test_cow_stream_mid_stream_add_column(spark, tmp_path):
+    """Streaming: batch 2 carries a new column in its Debezium payloads;
+    the composer evolves and the COW sink lands mixed generations."""
+    from flink_cdc_dsql_master_spark.compose import (
+        compose_changelog_stream, make_cow_sink_writer)
+    from flink_cdc_dsql_master_spark.pipeline import (
+        PipelineDef, SinkDef, SourceDef)
+
+    src = str(tmp_path / "topic_cow2")
+    base = str(tmp_path / "cow2")
+    (tmp_path / "topic_cow2").mkdir()
+
+    def pipe(schema):
+        return PipelineDef(
+            source=SourceDef("file-debezium", {
+                "path": src, "schema": schema,
+                "table": "db.s.t", "primary-keys": ["id"]}),
+            sink=SinkDef("custom"),
+        )
+
+    writer = make_cow_sink_writer(base, buckets=4)
+    _write_envelopes(src, "b1.jsonl", [
+        (i, _envelope(None, {"id": i, "v": f"v{i}"}, "c"))
+        for i in range(6)
+    ])
+    q = compose_changelog_stream(
+        spark, pipe("id int, v string"), str(tmp_path / "ck_a"), writer)
+    q.awaitTermination(120)
+
+    _write_envelopes(src, "b2.jsonl", [
+        (10, _envelope(None, {"id": 9, "v": "v9", "score": 1.25}, "c")),
+    ])
+    q = compose_changelog_stream(
+        spark, pipe("id int, v string, score double"),
+        str(tmp_path / "ck_b"), writer)
+    q.awaitTermination(120)
+
+    out = read_partitioned(spark, f"{base}/t")
+    got = {r["id"]: (r["v"], r["score"]) for r in out.collect()}
+    assert got[9] == ("v9", 1.25)
+    assert len(got) == 7 and got[0] == ("v0", None)
