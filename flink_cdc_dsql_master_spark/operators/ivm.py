@@ -64,3 +64,47 @@ def rollup_view(state: DataFrame) -> DataFrame:
         *[c for c in state.columns if c not in ("d_n", "d_total")],
         F.col("d_n").alias("n"), F.col("d_total").alias("total"),
         (F.col("d_total") / F.col("d_n")).alias("avg_value"))
+
+
+# ---------------------------------------------------------------------------
+# non-distributive aggregates: COUNT(DISTINCT) / MIN / MAX maintenance
+# ---------------------------------------------------------------------------
+
+def multiset_delta(changelog: DataFrame, group_cols: list[str],
+                   value_col: str) -> DataFrame:
+    """One micro-batch's signed MULTIPLICITY delta per (group, value).
+
+    COUNT(DISTINCT), MIN and MAX are not distributive — a delete can
+    only be applied if you know whether other rows still carry the same
+    value (or a smaller/larger one). The classic IVM answer is a
+    two-level state: maintain the multiset of values per group as
+    (group, value, multiplicity); every non-distributive aggregate
+    becomes a DISTRIBUTIVE view over it. State size is the number of
+    distinct (group, value) pairs — the standard space trade, and the
+    per-batch cost is one shuffle at (group, value) grain with map-side
+    combine, never a history rescan."""
+    s = sign_expr()
+    return (changelog.groupBy(*group_cols, value_col)
+            .agg(F.sum(s).cast("long").alias("d_mult")))
+
+
+def merge_multiset(state: DataFrame | None, delta: DataFrame,
+                   group_cols: list[str], value_col: str) -> DataFrame:
+    """Fold a multiplicity delta into the maintained multiset; values
+    whose net multiplicity reaches zero vanish."""
+    merged = delta if state is None else state.unionByName(delta)
+    return (merged.groupBy(*group_cols, value_col)
+            .agg(F.sum("d_mult").cast("long").alias("d_mult"))
+            .where(F.col("d_mult") != 0))
+
+
+def multiset_view(state: DataFrame, group_cols: list[str],
+                  value_col: str) -> DataFrame:
+    """User-facing (n_distinct, min_value, max_value) per group — a
+    plain distributive aggregate over the multiset state (rollup-sized
+    input, one small shuffle)."""
+    present = state.where(F.col("d_mult") > 0)
+    return (present.groupBy(*group_cols)
+            .agg(F.count("*").cast("long").alias("n_distinct"),
+                 F.min(value_col).alias("min_value"),
+                 F.max(value_col).alias("max_value")))

@@ -5240,6 +5240,45 @@ def rollup_incremental_maintenance(spark, sf_dir):
 
 
 @_q(
+    "rollup_distinct_maintenance",
+    """
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct,
+           MIN(user_id) AS min_value, MAX(user_id) AS max_value
+    FROM events
+    WHERE event_id % 5 <> 2
+    GROUP BY event_type
+    """,
+)
+def rollup_distinct_maintenance(spark, sf_dir):
+    """Non-distributive IVM (ivm.multiset_*): COUNT(DISTINCT)/MIN/MAX
+    maintained through two changelog batches via the two-level multiset
+    state — (group, value, signed multiplicity) — under which every
+    non-distributive aggregate becomes a distributive view. Batch 2
+    deletes every 5th event (including some inserted in the same batch,
+    netting to zero inside one delta). The maintained view must equal
+    the direct aggregate of the net table (the oracle)."""
+    from .operators import ivm
+
+    ev = _events_table(spark, sf_dir).select(
+        "event_id", "event_type", "user_id")
+    half = ev.agg(F.max("event_id")).collect()[0][0] // 2
+    b1 = (ev.where(F.col("event_id") <= half)
+          .withColumn(OP_COLUMN, F.lit("+I")))
+    b2 = (ev.where(F.col("event_id") > half)
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .unionByName(ev.where(F.col("event_id") % 5 == 2)
+                       .withColumn(OP_COLUMN, F.lit("-D"))))
+    g, v = ["event_type"], "user_id"
+    state = ivm.merge_multiset(None, ivm.multiset_delta(b1, g, v), g, v)
+    state = ivm.merge_multiset(state, ivm.multiset_delta(b2, g, v), g, v)
+    return (ivm.multiset_view(state, g, v)
+            .select("event_type", "n_distinct",
+                    F.col("min_value").alias("min_value"),
+                    F.col("max_value").alias("max_value")))
+
+
+@_q(
     "agg_event_transitions",
     """
     WITH seq AS (

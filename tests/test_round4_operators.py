@@ -520,3 +520,32 @@ class TestApproxPercentile:
         ).collect()[0]
         assert abs(row["a50"] - row["e50"]) / row["e50"] < 0.02
         assert abs(row["a95"] - row["e95"]) / row["e95"] < 0.02
+
+
+def test_ivm_multiset_distinct_min_max(spark):
+    """Two-level multiset state: COUNT(DISTINCT)/MIN/MAX stay exact
+    under partial deletes of duplicated values and full retraction."""
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN
+    from flink_cdc_dsql_master_spark.operators import ivm
+    from pyspark.sql import functions as F
+
+    g, v = ["g"], "v"
+    b1 = spark.createDataFrame(
+        [("a", 1, "+I"), ("a", 1, "+I"), ("a", 2, "+I"), ("b", 9, "+I")],
+        f"g string, v long, {OP_COLUMN} string")
+    state = ivm.merge_multiset(None, ivm.multiset_delta(b1, g, v), g, v)
+    got = {r["g"]: (r["n_distinct"], r["min_value"], r["max_value"])
+           for r in ivm.multiset_view(state, g, v).collect()}
+    assert got == {"a": (2, 1, 2), "b": (1, 9, 9)}
+
+    # delete ONE of the duplicated (a,1) rows: still present; delete
+    # (a,2) entirely: min/max/distinct must re-derive without a rescan
+    b2 = spark.createDataFrame(
+        [("a", 1, "-D"), ("a", 2, "-D"), ("b", 9, "-D")],
+        f"g string, v long, {OP_COLUMN} string")
+    state = ivm.merge_multiset(state, ivm.multiset_delta(b2, g, v), g, v)
+    got = {r["g"]: (r["n_distinct"], r["min_value"], r["max_value"])
+           for r in ivm.multiset_view(state, g, v).collect()}
+    assert got == {"a": (1, 1, 1)}  # b vanished entirely
+    # state carries no zero-multiplicity residue
+    assert state.where(F.col("d_mult") == 0).count() == 0
