@@ -19,7 +19,8 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F, \
+    types as T
 
 from .compose import BatchComposer
 from .evolve import SchemaEvolver
@@ -3158,6 +3159,47 @@ def sink_partitioned_merge(spark, sf_dir):
     out = read_partitioned(spark, path)
     return out.select("k", "price", "status",
                       F.col("part").cast("int").alias("part"))
+
+
+@_q(
+    "chunk_dbapi_live_read",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    """,
+)
+def chunk_dbapi_live_read(spark, sf_dir):
+    """The LIVE-database half of the chunked snapshot read
+    (JdbcSourceChunkSplitter.java:327-349 bounds + per-split SELECT):
+    orders is loaded into a real DuckDB database file, the driver plans
+    SnapshotSplits from one stats query, and every chunk is fetched by
+    its own task over its own DB-API connection (sources.
+    chunked_dbapi_read). The union of all chunk reads must hash-equal
+    the whole table — no row lost, none read twice."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .sources import DuckDBConnFactory, chunked_dbapi_read
+
+    path = os.path.join(tempfile.mkdtemp(prefix="dbapi_src_"), "src.duckdb")
+    con = duckdb.connect(path)
+    con.execute(
+        "CREATE TABLE orders AS "
+        "SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus "
+        f"FROM read_parquet('{sf_dir}/orders.parquet')")
+    con.close()
+
+    schema = T.StructType([
+        T.StructField("o_orderkey", T.LongType()),
+        T.StructField("o_custkey", T.LongType()),
+        T.StructField("o_totalprice", T.DoubleType()),
+        T.StructField("o_orderstatus", T.StringType()),
+    ])
+    return chunked_dbapi_read(
+        spark, DuckDBConnFactory(path), "orders", "o_orderkey", schema,
+        chunk_size=1000)
 
 
 # ---------------------------------------------------------------------------

@@ -326,3 +326,30 @@ def test_compact_parquet_reduces_files(spark, tmp_path):
     assert after == n == 1
     got = sorted(r["id"] for r in spark.read.parquet(path).collect())
     assert got == list(range(12))
+
+
+def test_chunked_dbapi_read_live_db(spark, tmp_path):
+    """Parallel per-chunk DB-API fetch against a real DuckDB file: union
+    of chunks == table, each chunk non-overlapping, empty table safe."""
+    import duckdb
+    from pyspark.sql import types as T
+    from flink_cdc_dsql_master_spark.sources import (
+        DuckDBConnFactory, chunked_dbapi_read)
+
+    path = str(tmp_path / "live.duckdb")
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE t AS SELECT range AS k, range * 2 AS v "
+                "FROM range(0, 2500)")
+    con.execute("CREATE TABLE empty(k BIGINT, v BIGINT)")
+    con.close()
+
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.LongType())])
+    out = chunked_dbapi_read(spark, DuckDBConnFactory(path), "t", "k",
+                             schema, chunk_size=400)
+    rows = sorted((r["k"], r["v"]) for r in out.collect())
+    assert rows == [(i, 2 * i) for i in range(2500)]  # no loss, no dup
+
+    none = chunked_dbapi_read(spark, DuckDBConnFactory(path), "empty", "k",
+                              schema, chunk_size=400)
+    assert none.count() == 0 and none.schema == schema
