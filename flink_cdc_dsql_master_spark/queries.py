@@ -3202,6 +3202,61 @@ def chunk_dbapi_live_read(spark, sf_dir):
         chunk_size=1000)
 
 
+@_q(
+    "cdc_polling_capture",
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS price,
+           o_orderstatus AS status
+    FROM orders
+    WHERE o_orderkey % 11 <> 0
+    """,
+)
+def cdc_polling_capture(spark, sf_dir):
+    """End-to-end polling CDC against a LIVE database
+    (sources.DbApiPollingSource): orders is loaded into a real DuckDB
+    file, poll 1 captures the initial snapshot as +I, real SQL UPDATE
+    and DELETE statements mutate the database, poll 2 captures them as
+    -U/+U and -D via the chunked-snapshot diff, and materializing the
+    union of both polls must hash-equal the live table's final state —
+    which the oracle recomputes independently."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .sources import DbApiPollingSource, DuckDBConnFactory
+
+    base = tempfile.mkdtemp(prefix="cdc_poll_")
+    path = os.path.join(base, "src.duckdb")
+    con = duckdb.connect(path)
+    con.execute(
+        "CREATE TABLE orders AS "
+        "SELECT o_orderkey AS k, o_totalprice AS price, "
+        "o_orderstatus AS status "
+        f"FROM read_parquet('{sf_dir}/orders.parquet')")
+    con.close()
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ])
+    src = DbApiPollingSource(
+        spark, DuckDBConnFactory(path), "orders", "k", ["k"], schema,
+        state_path=os.path.join(base, "snap_state"), chunk_size=2000)
+    cl1 = src.poll()
+
+    con = duckdb.connect(path)
+    con.execute("UPDATE orders SET price = price + 1000.0 WHERE k % 7 = 0")
+    con.execute("DELETE FROM orders WHERE k % 11 = 0")
+    con.close()
+    cl2 = src.poll()
+
+    return apply_changelog(cl1.unionByName(cl2), ["k"])
+
+
 # ---------------------------------------------------------------------------
 # chunked snapshot splitter (§2.1) — split arithmetic + predicate coverage
 # ---------------------------------------------------------------------------

@@ -353,3 +353,49 @@ def test_chunked_dbapi_read_live_db(spark, tmp_path):
     none = chunked_dbapi_read(spark, DuckDBConnFactory(path), "empty", "k",
                               schema, chunk_size=400)
     assert none.count() == 0 and none.schema == schema
+
+
+def test_dbapi_polling_cdc_e2e(spark, tmp_path):
+    """Full polling-CDC loop against a live DuckDB: snapshot → diff →
+    changelog → materialize; mutations between polls surface as
+    -U/+U/-D/+I; a quiet poll emits nothing; restart-safe state."""
+    import duckdb
+    from pyspark.sql import types as T
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN
+    from flink_cdc_dsql_master_spark.partitioning import apply_changelog
+    from flink_cdc_dsql_master_spark.sources import (
+        DbApiPollingSource, DuckDBConnFactory)
+
+    path = str(tmp_path / "cdc.duckdb")
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE t(k BIGINT, v VARCHAR)")
+    con.execute("INSERT INTO t VALUES (1,'a'), (2,'b'), (3,'c')")
+    con.close()
+
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    src = DbApiPollingSource(
+        spark, DuckDBConnFactory(path), "t", "k", ["k"], schema,
+        state_path=str(tmp_path / "snap_state"), chunk_size=2)
+
+    cl1 = src.poll()
+    assert {r[OP_COLUMN] for r in cl1.collect()} == {"+I"}
+    assert cl1.count() == 3
+
+    con = duckdb.connect(path)
+    con.execute("UPDATE t SET v = 'b2' WHERE k = 2")
+    con.execute("DELETE FROM t WHERE k = 3")
+    con.execute("INSERT INTO t VALUES (4, 'd')")
+    con.close()
+
+    cl2 = src.poll()
+    ops = sorted((r["k"], r[OP_COLUMN]) for r in cl2.collect())
+    assert ops == [(2, "+U"), (2, "-U"), (3, "-D"), (4, "+I")]
+
+    # materializing the union of both polls reproduces the live table
+    final = apply_changelog(cl1.unionByName(cl2), ["k"])
+    got = {r["k"]: r["v"] for r in final.collect()}
+    assert got == {1: "a", 2: "b2", 4: "d"}
+
+    # quiet poll → empty changelog
+    assert src.poll().count() == 0
