@@ -82,6 +82,32 @@ class BatchComposer:
                 pks = src.config.get("primary-keys", {}).get(tid.table, [])
                 out[tid] = (df, Schema.of(df.schema, primary_keys=pks))
             return out
+        if src.type == "dbapi-polling":
+            # Live-database polling CDC: every composer run() is one poll
+            # — the first loads the snapshot as +I, later ones emit the
+            # diff changelog. The source instance is cached on the
+            # composer so the poll epoch advances across runs; snapshot
+            # state itself lives crash-safely at state-path, surviving
+            # composer restarts.
+            from pyspark.sql import types as _T
+
+            from .sources import DbApiPollingSource
+
+            if not hasattr(self, "_polling_source"):
+                tid = TableId.parse(src.config["table-id"])
+                schema = _T._parse_datatype_string(src.config["schema"])
+                self._polling_source = (tid, DbApiPollingSource(
+                    self.spark, src.config["conn-factory"],
+                    src.config["table"], src.config["key"],
+                    list(src.config["primary-keys"]), schema,
+                    state_path=src.config["state-path"],
+                    chunk_size=int(src.config.get("chunk-size", 8096))))
+            tid, source = self._polling_source
+            cl = source.poll()
+            pks = list(src.config["primary-keys"])
+            data_schema = Schema.of(
+                _data_struct(cl), primary_keys=pks)
+            return {tid: (cl, data_schema)}
         raise ValueError(f"unsupported source type {src.type!r}")
 
     # -- the composed run ---------------------------------------------------

@@ -231,3 +231,51 @@ def test_batch_composer_fan_out_replication(spark):
     rows_a = {(r["id"], r["v"]) for r in result.tables[a].collect()}
     rows_b = {(r["id"], r["v"]) for r in result.tables[b].collect()}
     assert rows_a == rows_b == {(1, 10), (2, 20)}
+
+
+def test_pipeline_live_db_to_live_db(spark, tmp_path):
+    """The reference's core use case end-to-end on live databases:
+    polling-CDC source (DuckDB) -> transform -> upsert sink (DuckDB).
+    Run 1 loads the snapshot; mutations then land incrementally on
+    run 2; the sink table must equal the transformed live source."""
+    import duckdb
+    from flink_cdc_dsql_master_spark.compose import BatchComposer
+    from flink_cdc_dsql_master_spark.pipeline import (
+        PipelineDef, SinkDef, SourceDef)
+    from flink_cdc_dsql_master_spark.sources import DuckDBConnFactory
+    from flink_cdc_dsql_master_spark.transform import TransformRule
+
+    src_db = str(tmp_path / "src.duckdb")
+    sink_db = str(tmp_path / "sink.duckdb")
+    con = duckdb.connect(src_db)
+    con.execute("CREATE TABLE users(id BIGINT, name VARCHAR, score DOUBLE)")
+    con.execute("INSERT INTO users VALUES (1,'ann',1.5), (2,'bob',2.5), "
+                "(3,'cal',3.5)")
+    con.close()
+
+    pipe = PipelineDef(
+        source=SourceDef("dbapi-polling", {
+            "table-id": "src.public.users",
+            "conn-factory": DuckDBConnFactory(src_db),
+            "table": "users", "key": "id", "primary-keys": ["id"],
+            "schema": "id bigint, name string, score double",
+            "state-path": str(tmp_path / "poll_state"),
+        }),
+        sink=SinkDef("duckdb", {"path": sink_db}),
+        transforms=(TransformRule(
+            r"src.public.users",
+            projection="id, UPPER(name) AS name, score"),),
+    )
+    comp = BatchComposer(spark, pipe)
+    comp.run()
+
+    con = duckdb.connect(src_db)
+    con.execute("UPDATE users SET score = 9.0, name = 'bobby' WHERE id = 2")
+    con.execute("DELETE FROM users WHERE id = 3")
+    con.execute("INSERT INTO users VALUES (4, 'dee', 4.5)")
+    con.close()
+    comp.run()
+
+    got = duckdb.connect(sink_db).execute(
+        "SELECT id, name, score FROM users ORDER BY id").fetchall()
+    assert got == [(1, "ANN", 1.5), (2, "BOBBY", 9.0), (4, "DEE", 4.5)]
