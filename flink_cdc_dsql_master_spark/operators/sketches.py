@@ -1,0 +1,229 @@
+"""Distributed sketch operators: bounded-size mergeable summaries.
+
+At 100 TB, exact answers to "how many distinct", "which keys are heavy",
+and "what is the p99" either need a full shuffle of every key (distinct),
+a full sort (quantiles), or per-key state proportional to the key space
+(heavy hitters). Sketches replace those with FIXED-size state that merges
+associatively — exactly the shape Spark's partial aggregation wants: each
+task folds its partition into a tiny summary, the shuffle moves only the
+summaries, and the merge is cheap. Every sketch here is built from
+deterministic md5-derived hashing (the repo-wide convention from
+``operators/sampling.hash_tag``), so the results — including the
+*approximation error itself* — are bit-reproducible and replayable in any
+SQL engine: the DuckDB oracle recomputes the same sketch and gets the
+same estimate, which is what makes these oracle-checkable rather than
+rows-only.
+
+- **kmv_distinct**: K-minimum-values distinct-count sketch (Bar-Yossef
+  et al.): keep the k smallest hash values per group; the k-th smallest,
+  as a fraction u of the hash space, estimates distinct = (k-1)/u.
+  State = k hashes per group regardless of cardinality; relative error
+  ~ 1/sqrt(k-2).
+- **countmin_sketch / countmin_estimate**: Count-Min (Cormode &
+  Muthukrishnan): depth×width counter grid, point estimate = min over
+  depth rows. State = depth·width counters TOTAL (not per key); estimates
+  overcount only (never undercount), bias bounded by N·e/width per row.
+- **histogram_quantiles**: fixed-bin equi-width histogram → interpolated
+  quantiles. Two scans (min/max then counts) but state = `bins` counters;
+  contrast with exact percentile which sorts every value.
+- **bloom_filter_build / bloom_semi_join**: semi-join pruning via a
+  broadcast Bloom bitmap — the runtime-filter pattern: build k·|dim|
+  bit positions from the SMALL side, broadcast ≤ m set-bit positions,
+  and filter the 100 TB fact side map-side before any join/shuffle.
+  False positives are deterministic given (m, k, salt), so the filtered
+  row set itself is oracle-replayable.
+
+Reference anchor: the reference engine ships no sketch operators — this
+family is part of the beyond-reference LLM-curation surface (SURVEY §2
+extension), sized for the same scale posture as operators/dedup.py.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_HEX13 = float(16 ** 13)  # 52-bit prefix → exact double fraction
+
+
+def _h32(col: Column, salt: str) -> Column:
+    """Deterministic 32-bit uniform hash of ``col`` (md5 prefix), as a
+    non-negative long. DuckDB replay:
+    ``('0x' || substr(md5(salt || CAST(x AS VARCHAR)), 1, 8))::BIGINT``."""
+    return F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), col.cast("string"))), 1, 8),
+        16, 10).cast("long")
+
+
+# ---------------------------------------------------------------- KMV ---
+
+def kmv_distinct(df: DataFrame, key_col: str, group_cols: list[str],
+                 k: int = 64, salt: str = "kmv") -> DataFrame:
+    """Distinct-count estimate per group via the K-minimum-values sketch.
+
+    Plan shape: one distinct on (group, hash) — which partial-aggregates
+    map-side, so the shuffle carries at most one row per distinct key —
+    then one group-partitioned window to rank hashes and keep k. At
+    100 TB the window input is already collapsed to distinct hashes;
+    per-group state after the rank filter is exactly k rows. When a group
+    has fewer than k distinct keys the count is EXACT (n_kept < k);
+    otherwise estimate = (k-1)/u_k with u_k the k-th smallest hash as a
+    fraction of the hash space (first 13 hex chars = 52 bits, exact in a
+    double).
+
+    Returns one row per group: (``*group_cols``, n_kept, distinct_est).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    d = df.select(*group_cols, h.alias("__h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    ranked = (d.withColumn("__rn", F.row_number().over(w))
+              .where(F.col("__rn") <= k))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.max("__rn").alias("n_kept"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__hk"))
+    u_k = (F.conv(F.substring("__hk", 1, 13), 16, 10).cast("double")
+           / F.lit(_HEX13))
+    est = (F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+           .otherwise(F.lit(float(k - 1)) / u_k))
+    return agg.select(*group_cols, "n_kept",
+                      F.round(est, 4).alias("distinct_est"))
+
+
+# ---------------------------------------------------------- Count-Min ---
+
+def countmin_sketch(df: DataFrame, key_col: str, depth: int = 4,
+                    width: int = 256, salt: str = "cm") -> DataFrame:
+    """Build a Count-Min sketch: ``depth`` independent hash rows of
+    ``width`` counters. Output: (d, cell, c) — at most depth·width rows
+    TOTAL, independent of input size or key cardinality.
+
+    The explode multiplies rows by ``depth`` before the groupBy, but the
+    groupBy partial-aggregates map-side into ≤ depth·width cells per
+    task, so the shuffle moves ≤ depth·width·tasks counter rows — the
+    sketch property, preserved under Spark's execution model."""
+    ex = df.select(F.col(key_col).cast("string").alias("__k")).withColumn(
+        "d", F.explode(F.array(*[F.lit(i) for i in range(depth)])))
+    cell = _h32(F.concat(F.col("d").cast("string"), F.lit("|"),
+                         F.col("__k")), salt) % width
+    return (ex.withColumn("cell", cell)
+            .groupBy("d", "cell").agg(F.count("*").alias("c")))
+
+
+def countmin_estimate(sketch: DataFrame, candidates: DataFrame,
+                      key_col: str, depth: int = 4, width: int = 256,
+                      salt: str = "cm") -> DataFrame:
+    """Point-estimate counts for ``candidates`` (one row per key) from a
+    Count-Min sketch: est(key) = min over d of sketch[d, h_d(key)].
+    The sketch side is ≤ depth·width rows → broadcast hash join; the
+    candidate side never shuffles. Estimates can only OVERcount."""
+    ex = candidates.select(F.col(key_col).cast("string").alias("__k")) \
+        .withColumn("d", F.explode(
+            F.array(*[F.lit(i) for i in range(depth)])))
+    cell = _h32(F.concat(F.col("d").cast("string"), F.lit("|"),
+                         F.col("__k")), salt) % width
+    probes = ex.withColumn("cell", cell)
+    joined = probes.join(F.broadcast(sketch), ["d", "cell"])
+    return (joined.groupBy("__k")
+            .agg(F.min("c").cast("long").alias("est"))
+            .withColumnRenamed("__k", key_col))
+
+
+# ------------------------------------------------- histogram quantiles ---
+
+def histogram_quantiles(df: DataFrame, value_col: str, bins: int = 64,
+                        qs: tuple[float, ...] = (0.5, 0.9, 0.99)
+                        ) -> DataFrame:
+    """Approximate quantiles from a fixed-bin equi-width histogram.
+
+    Two aggregate passes: (1) global min/max/count (3 doubles, broadcast
+    back); (2) per-bin counts (≤ ``bins`` rows after map-side partials).
+    The quantile is then read off the ≤``bins``-row cumulative histogram
+    driver-side-free: a window over ``bins`` rows plus a literal-array
+    explode of ``qs``. Versus exact percentile (a full sort / collect of
+    every value), state is O(bins) and both shuffles are pre-collapsed.
+
+    Estimate: linear interpolation within the covering bin —
+    lo + width·(bin + (target − cum_prev)/bin_count), target = q·n.
+    Returns (q, est_value) per requested quantile.
+    """
+    stats = df.agg(F.min(value_col).cast("double").alias("__lo"),
+                   F.max(value_col).cast("double").alias("__hi"),
+                   F.count(value_col).alias("__n"))
+    b = df.select(F.col(value_col).cast("double").alias("__v")) \
+        .crossJoin(F.broadcast(stats))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    bin_ = F.least(F.lit(bins - 1),
+                   F.floor((F.col("__v") - F.col("__lo")) / width)) \
+        .cast("long")
+    hist = (b.withColumn("bin", bin_)
+            .groupBy("bin")
+            .agg(F.count("*").alias("cnt"),
+                 F.first("__lo").alias("__lo"),
+                 F.first("__hi").alias("__hi"),
+                 F.first("__n").alias("__n")))
+    w = Window.orderBy("bin")
+    cum = (hist.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("cum_prev", F.col("cum") - F.col("cnt")))
+    qrows = cum.withColumn("q", F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])))
+    target = F.col("q") * F.col("__n").cast("double")
+    covering = qrows.where((F.col("cum").cast("double") >= target)
+                           & (F.col("cum_prev").cast("double") < target))
+    # a target can land exactly on a bin boundary; keep the first
+    # covering bin deterministically
+    wq = Window.partitionBy("q").orderBy("bin")
+    first_cover = (covering.withColumn("__rn", F.row_number().over(wq))
+                   .where(F.col("__rn") == 1))
+    width2 = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    est = (F.col("__lo") + width2
+           * (F.col("bin").cast("double")
+              + (target - F.col("cum_prev").cast("double"))
+              / F.col("cnt").cast("double")))
+    return first_cover.select("q", F.round(est, 6).alias("est_value")) \
+        .orderBy("q")
+
+
+# ------------------------------------------------------- Bloom filter ---
+
+def _bloom_probes(col: Column, m: int, k: int, salt: str) -> list[Column]:
+    return [_h32(col.cast("string"), f"{salt}{i}") % m for i in range(k)]
+
+
+def bloom_filter_build(dim: DataFrame, key_col: str, m: int = 4096,
+                       k: int = 3, salt: str = "bf") -> DataFrame:
+    """Build a Bloom filter over ``dim[key_col]`` as a ONE-row DataFrame
+    holding the sorted array of set bit positions (≤ m ints — broadcast
+    payload is bounded by m, not by |dim|)."""
+    pos = dim.select(F.explode(F.array(
+        *_bloom_probes(F.col(key_col), m, k, salt))).alias("p")).distinct()
+    return pos.agg(F.array_sort(F.collect_list("p")).alias("__bloom_bits"))
+
+
+def bloom_semi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
+                    dim_key: str, m: int = 4096, k: int = 3,
+                    salt: str = "bf") -> DataFrame:
+    """Semi-join ``fact`` to ``dim`` through a broadcast Bloom filter —
+    the runtime-filter pattern: the 100 TB fact side is filtered
+    MAP-SIDE (no shuffle, no join) by k array-membership probes against
+    the ≤ m-entry broadcast bitmap built from the small side.
+
+    Result = fact rows whose key MIGHT be in dim: a superset of the
+    exact semi-join whose extra rows are deterministic false positives
+    (fixed by m/k/salt), so downstream exact joins shrink their input
+    by the true-negative mass. Use before an expensive shuffle join when
+    |dim| ≪ |fact| but dim is too large to broadcast whole rows.
+
+    Production note: at m beyond ~10^6 the set-positions array should
+    become a packed LONG bitmask (m/64 words, probe = bit-test); the
+    array-of-positions form keeps the operator pure-Catalyst and
+    oracle-replayable, and is bounded by m either way."""
+    bits = bloom_filter_build(dim, dim_key, m, k, salt)
+    probes = _bloom_probes(F.col(fact_key), m, k, salt)
+    cond = reduce(lambda a, b: a & b,
+                  [F.array_contains(F.col("__bloom_bits"), p)
+                   for p in probes])
+    return (fact.crossJoin(F.broadcast(bits))
+            .where(cond).drop("__bloom_bits"))

@@ -6169,3 +6169,227 @@ def join_small_quantity_revenue(spark, sf_dir):
             .agg(F.count("*").alias("n_small"),
                  F.round(F.sum("l_extendedprice") / 7.0, 2)
                  .alias("avg_yearly")))
+
+
+# ------------------------------------------------------------------------
+# Distributed sketches (operators/sketches.py): bounded-state summaries
+# whose APPROXIMATION is itself deterministic (md5-derived hashing), so
+# the DuckDB oracle rebuilds the same sketch and lands on the same
+# estimate — approximate operators with exact conformance checks.
+# ------------------------------------------------------------------------
+
+
+@_q(
+    "sketch_kmv_distinct",
+    """
+    WITH hashes AS (
+      SELECT DISTINCT event_type,
+             md5('kmv' || CAST(user_id AS VARCHAR)) AS h
+      FROM events),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashes),
+    agg AS (
+      SELECT event_type, MAX(rn) AS n_kept,
+             MAX(CASE WHEN rn = 64 THEN h END) AS hk
+      FROM ranked WHERE rn <= 64 GROUP BY event_type),
+    est AS (
+      SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept,
+             ROUND(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                   ELSE 63.0 / (('0x' || substr(hk, 1, 13))::BIGINT
+                                / 4503599627370496.0) END, 4)
+               AS distinct_est
+      FROM agg),
+    ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, est.n_kept, est.distinct_est, e.exact_distinct
+    FROM est JOIN ex e USING (event_type)
+    """,
+)
+def sketch_kmv_distinct(spark, sf_dir):
+    """K-minimum-values distinct-count sketch per event_type, checked
+    against the exact COUNT(DISTINCT) side-by-side. State = 64 hashes
+    per group at ANY cardinality; the distinct pre-collapse partial-
+    aggregates map-side, so at 100 TB the shuffle carries one row per
+    distinct key and the rank filter throws all but 64 away. The
+    estimate — including its error — is md5-deterministic, so the
+    oracle replays the sketch itself, not just the answer."""
+    from .operators.sketches import kmv_distinct
+
+    ev = _events_table(spark, sf_dir)
+    sk = kmv_distinct(ev, "user_id", ["event_type"], k=64)
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("exact_distinct")))
+    return (sk.join(exact, "event_type")
+            .select("event_type", F.col("n_kept").cast("long"),
+                    "distinct_est", "exact_distinct"))
+
+
+@_q(
+    "sketch_countmin_topk",
+    """
+    WITH depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    sketch AS (
+      SELECT d,
+             ('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || '|' ||
+                CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS cell,
+             COUNT(*) AS c
+      FROM events CROSS JOIN depths GROUP BY 1, 2),
+    probes AS (
+      SELECT k.user_id, dd.d,
+             ('0x' || substr(md5('cm' || CAST(dd.d AS VARCHAR) || '|' ||
+                CAST(k.user_id AS VARCHAR)), 1, 8))::BIGINT % 256 AS cell
+      FROM (SELECT DISTINCT user_id FROM events) k CROSS JOIN depths dd),
+    est AS (
+      SELECT p.user_id, CAST(MIN(s.c) AS BIGINT) AS est
+      FROM probes p JOIN sketch s ON s.d = p.d AND s.cell = p.cell
+      GROUP BY p.user_id),
+    ex AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_count
+      FROM events GROUP BY user_id)
+    SELECT e.user_id, e.est, x.exact_count
+    FROM est e JOIN ex x USING (user_id)
+    ORDER BY e.est DESC, e.user_id LIMIT 20
+    """,
+)
+def sketch_countmin_topk(spark, sf_dir):
+    """Count-Min heavy hitters: a 4x256 counter grid (1024 counters
+    TOTAL, independent of key cardinality) built in one partial-agg
+    shuffle, then point estimates = min-over-rows via a broadcast join
+    of the tiny sketch — the candidate side never shuffles. Estimates
+    only ever OVERcount (returned beside the exact count to show the
+    bias); top-20 under (est desc, key) is a total order, so the LIMIT
+    is deterministic and oracle-replayable."""
+    from .operators.sketches import countmin_estimate, countmin_sketch
+
+    ev = _events_table(spark, sf_dir)
+    sk = countmin_sketch(ev, "user_id", depth=4, width=256)
+    cands = ev.select("user_id").distinct()
+    est = (countmin_estimate(sk, cands, "user_id", depth=4, width=256)
+           .select(F.col("user_id").cast("long").alias("user_id"), "est"))
+    exact = (ev.groupBy("user_id")
+             .agg(F.count("*").cast("long").alias("exact_count")))
+    out = est.join(exact, "user_id")
+    return (out.orderBy(F.col("est").desc(), "user_id").limit(20)
+            .select("user_id", "est", "exact_count"))
+
+
+@_q(
+    "sketch_histogram_quantiles",
+    """
+    WITH stats AS (
+      SELECT CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS hi,
+             COUNT(l_extendedprice) AS n
+      FROM lineitem),
+    hist AS (
+      SELECT LEAST(63, CAST(FLOOR((CAST(l_extendedprice AS DOUBLE) - s.lo)
+                     / ((s.hi - s.lo) / 64.0)) AS BIGINT)) AS bin,
+             COUNT(*) AS cnt,
+             MIN(s.lo) AS lo, MIN(s.hi) AS hi, MIN(s.n) AS n
+      FROM lineitem CROSS JOIN stats s GROUP BY 1),
+    cum AS (
+      SELECT bin, cnt, lo, hi, n,
+             SUM(cnt) OVER (ORDER BY bin) AS cum,
+             SUM(cnt) OVER (ORDER BY bin) - cnt AS cum_prev
+      FROM hist),
+    qrows AS (
+      SELECT c.*, q FROM cum c
+      CROSS JOIN (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q) qq),
+    covering AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q ORDER BY bin) AS rn
+      FROM qrows
+      WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+        AND CAST(cum_prev AS DOUBLE) < q * CAST(n AS DOUBLE)),
+    sk AS (
+      SELECT q,
+             ROUND(lo + ((hi - lo) / 64.0)
+                   * (CAST(bin AS DOUBLE)
+                      + (q * CAST(n AS DOUBLE) - CAST(cum_prev AS DOUBLE))
+                        / CAST(cnt AS DOUBLE)), 6) AS est_value
+      FROM covering WHERE rn = 1),
+    ex AS (
+      SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q,
+             unnest([ROUND(quantile_cont(l_extendedprice, 0.25), 6),
+                     ROUND(quantile_cont(l_extendedprice, 0.5), 6),
+                     ROUND(quantile_cont(l_extendedprice, 0.75), 6),
+                     ROUND(quantile_cont(l_extendedprice, 0.9), 6),
+                     ROUND(quantile_cont(l_extendedprice, 0.99), 6)])
+               AS exact_value
+      FROM lineitem)
+    SELECT sk.q, sk.est_value, ex.exact_value
+    FROM sk JOIN ex USING (q)
+    """,
+)
+def sketch_histogram_quantiles(spark, sf_dir):
+    """Equi-width histogram quantile sketch (64 bins) vs the exact
+    interpolated percentile, side by side. Two pre-collapsed aggregate
+    passes (3 doubles, then <=64 counters) replace the full per-value
+    sort exact percentile needs — the sketch is what survives 100 TB;
+    the exact column is the certificate of how close it lands."""
+    from .operators.sketches import histogram_quantiles
+
+    qs = (0.25, 0.5, 0.75, 0.9, 0.99)
+    li = _t(spark, sf_dir, "lineitem")
+    sk = histogram_quantiles(li, "l_extendedprice", bins=64, qs=qs)
+    exact = (li.agg(F.percentile(
+        "l_extendedprice",
+        F.array(*[F.lit(float(q)) for q in qs])).alias("__arr"))
+        .select(F.posexplode("__arr").alias("__i", "exact_value"))
+        .select(F.element_at(F.array(*[F.lit(float(q)) for q in qs]),
+                             F.col("__i") + 1).alias("q"),
+                F.round("exact_value", 6).alias("exact_value")))
+    return sk.join(exact, "q").select("q", "est_value", "exact_value")
+
+
+@_q(
+    "join_bloom_pruned",
+    """
+    WITH dim AS (SELECT s_suppkey FROM supplier WHERE s_nationkey < 5),
+    probes AS (SELECT unnest([0, 1, 2]) AS i),
+    bits AS (
+      SELECT DISTINCT ('0x' || substr(md5('bf' || CAST(i AS VARCHAR) ||
+               CAST(s_suppkey AS VARCHAR)), 1, 8))::BIGINT % 128 AS p
+      FROM dim CROSS JOIN probes),
+    cand AS (
+      SELECT k.l_suppkey
+      FROM (SELECT DISTINCT l_suppkey FROM lineitem) k
+      WHERE (SELECT COUNT(*) FROM probes i JOIN bits b
+             ON b.p = ('0x' || substr(md5('bf' || CAST(i.i AS VARCHAR) ||
+                  CAST(k.l_suppkey AS VARCHAR)), 1, 8))::BIGINT % 128) = 3)
+    SELECT c.l_suppkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MAX(CASE WHEN d.s_suppkey IS NOT NULL
+                    THEN 1 ELSE 0 END) AS BOOLEAN) AS is_member
+    FROM lineitem l
+    JOIN cand c ON c.l_suppkey = l.l_suppkey
+    LEFT JOIN dim d ON d.s_suppkey = c.l_suppkey
+    GROUP BY c.l_suppkey
+    """,
+)
+def join_bloom_pruned(spark, sf_dir):
+    """Runtime-filter semi-join: a Bloom bitmap (m=128, k=3) built from
+    the small dim side is broadcast and the fact side filtered MAP-SIDE
+    — no shuffle, no join — before any exact work. m is sized small
+    here ON PURPOSE so false positives occur: is_member=false rows ARE
+    the false-positive set, and because the probes are md5-derived the
+    oracle reproduces the exact same set — the sketch's error is
+    conformance-checked, not just its happy path. At real scale m grows
+    with |dim| (keeping FP% fixed) and the broadcast stays <= m ints."""
+    from .operators.sketches import bloom_semi_join
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    dim = sup.where(F.col("s_nationkey") < 5)
+    kept = bloom_semi_join(li, dim, "l_suppkey", "s_suppkey",
+                           m=128, k=3)
+    agg = (kept.groupBy("l_suppkey")
+           .agg(F.count("*").cast("long").alias("n_rows")))
+    truth = dim.select(F.col("s_suppkey")).distinct()
+    return (agg.join(F.broadcast(truth),
+                     agg["l_suppkey"] == truth["s_suppkey"], "left")
+            .select("l_suppkey", "n_rows",
+                    F.col("s_suppkey").isNotNull().alias("is_member")))

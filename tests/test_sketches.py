@@ -1,0 +1,86 @@
+"""Property tests for operators/sketches.py: the guarantees each sketch
+family advertises (not just point conformance, which the oracle rows
+cover) — KMV error concentration, Count-Min one-sided error, Bloom
+no-false-negatives, histogram-quantile rank error."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_dsql_master_spark.operators.sketches import (
+    bloom_semi_join,
+    countmin_estimate,
+    countmin_sketch,
+    histogram_quantiles,
+    kmv_distinct,
+)
+
+
+@pytest.fixture(scope="module")
+def keyed(spark):
+    # 5000 rows, 800 distinct keys, skewed: key = i % 800, extra mass on
+    # key 7 (heavy hitter)
+    rows = [(i % 800,) for i in range(5000)] + [(7,)] * 500
+    return spark.createDataFrame(rows, "k long").withColumn(
+        "g", F.lit("all"))
+
+
+def test_kmv_estimate_within_error_bound(keyed):
+    # k=256 → relative standard error ~ 1/sqrt(254) ≈ 6.3%; assert 3σ
+    out = kmv_distinct(keyed, "k", ["g"], k=256).collect()[0]
+    assert out["n_kept"] == 256
+    assert abs(out["distinct_est"] - 800) / 800 < 0.19
+
+
+def test_kmv_exact_below_k(keyed):
+    small = keyed.where(F.col("k") < 40)
+    out = kmv_distinct(small, "k", ["g"], k=64).collect()[0]
+    assert out["n_kept"] == 40
+    assert out["distinct_est"] == 40.0
+
+
+def test_countmin_never_undercounts_and_finds_heavy_hitter(keyed):
+    sk = countmin_sketch(keyed, "k", depth=4, width=512)
+    # sketch is bounded by depth*width rows regardless of input
+    assert sk.count() <= 4 * 512
+    cands = keyed.select("k").distinct()
+    est = countmin_estimate(sk, cands, "k", depth=4, width=512)
+    exact = keyed.groupBy("k").agg(F.count("*").alias("c"))
+    j = est.join(exact, "k").select("k", "est", "c").collect()
+    assert all(r["est"] >= r["c"] for r in j)  # one-sided error
+    top = max(j, key=lambda r: r["est"])
+    assert int(top["k"]) == 7  # the planted heavy hitter wins
+    # (estimate keys travel as strings — the sketch hashes the string
+    # form; callers cast back as the registered query does)
+
+
+def test_bloom_no_false_negatives(spark):
+    dim = spark.createDataFrame([(i * 3,) for i in range(50)], "dk long")
+    fact = spark.createDataFrame([(i,) for i in range(300)], "fk long")
+    kept = bloom_semi_join(fact, dim, "fk", "dk", m=256, k=3)
+    kept_keys = {r["fk"] for r in kept.collect()}
+    true_keys = {i * 3 for i in range(50)} & set(range(300))
+    assert true_keys <= kept_keys  # every true member survives
+    # and the filter actually pruned something
+    assert len(kept_keys) < 300
+
+
+def test_histogram_quantiles_rank_error(spark):
+    df = spark.range(10000).select(
+        (F.col("id").cast("double")).alias("v"))
+    out = {r["q"]: r["est_value"]
+           for r in histogram_quantiles(df, "v", bins=100,
+                                        qs=(0.1, 0.5, 0.9)).collect()}
+    # uniform data: est should land within one bin width (~100) of q*N
+    for q in (0.1, 0.5, 0.9):
+        assert abs(out[q] - q * 9999) <= 101
+
+
+def test_histogram_quantiles_handles_outlier_bins(spark):
+    # one extreme outlier stretches the range; quantiles of the bulk
+    # must still resolve (all bulk mass lands in bin 0)
+    rows = [(float(i),) for i in range(1000)] + [(1e9,)]
+    df = spark.createDataFrame(rows, "v double")
+    out = histogram_quantiles(df, "v", bins=64, qs=(0.5,)).collect()
+    assert len(out) == 1 and out[0]["est_value"] is not None
