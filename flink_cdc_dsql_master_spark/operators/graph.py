@@ -1,4 +1,4 @@
-"""Distributed graph operators: PageRank power iteration (join-agg form).
+"""Distributed graph operators: PageRank + triangle counting (join-agg).
 
 Beyond-reference LLM-pipeline surface: web-graph-derived quality signals
 (PageRank/TrustRank over a link graph) are a standard feature in corpus
@@ -80,3 +80,47 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
             .localCheckpoint()
         )
     return ranks
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
+                   ) -> DataFrame:
+    """Per-node triangle counts over an UNDIRECTED graph (edge direction
+    in the input is ignored; self-loops and parallel edges dropped).
+    Returns (node, n_triangles) for nodes in >=1 triangle.
+
+    Scale shape — the degree-ordered orientation trick: each undirected
+    edge is directed from its lower-(degree, id) endpoint to the higher,
+    which caps every node's out-degree at O(sqrt(E)) on real (power-law)
+    graphs, so the wedge join e(a,b)⋈e(b,c) generates O(E^1.5) candidate
+    wedges instead of sum(deg²) — the difference between feasible and
+    not when a celebrity node has 10^7 neighbors. Three hash joins total
+    (wedge build + closure check), each an equi-join Spark shuffles on
+    the join key with AQE skew splitting available; no state beyond the
+    edge list itself.
+    """
+    # canonical undirected edge set u<v
+    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                        F.greatest(F.col(src), F.col(dst)).alias("v"))
+           .where(F.col("u") < F.col("v")).distinct())
+    deg = (und.select(F.col("u").alias("node"))
+           .union(und.select("v"))
+           .groupBy("node").agg(F.count("*").alias("deg")))
+    du = deg.select(F.col("node").alias("u"), F.col("deg").alias("du"))
+    dv = deg.select(F.col("node").alias("v"), F.col("deg").alias("dv"))
+    # orient from lower (deg, id) to higher (deg, id)
+    ordered = und.join(du, "u").join(dv, "v")
+    fwd = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    e = ordered.select(
+        F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"))
+    # wedges a->b->c closed by a->c
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    wedges = e.join(e2, "b").select("a", "b", "c")
+    e3 = e.select(F.col("a").alias("a"), F.col("b").alias("c"))
+    tris = wedges.join(e3, ["a", "c"])
+    members = (tris.select(F.col("a").alias("node"))
+               .union(tris.select("b"))
+               .union(tris.select("c")))
+    return members.groupBy("node").agg(
+        F.count("*").cast("long").alias("n_triangles"))

@@ -541,3 +541,54 @@ def posting_state_view(state: DataFrame) -> DataFrame:
     return state.groupBy("term").agg(
         F.count("*").alias("df_t"),
         F.sort_array(F.collect_list("doc_id")).alias("postings"))
+
+
+def remove_repeated_segments(docs: DataFrame, id_col: str = "doc_id",
+                             text_col: str = "text", seg_words: int = 8,
+                             max_doc_freq: int = 1) -> DataFrame:
+    """Corpus-level boilerplate removal (the CCNet/C4 paragraph-dedup
+    discipline, adapted to segment granularity): split every document
+    into fixed-width word segments, count how many DISTINCT documents
+    each segment occurs in across the whole corpus, drop segments whose
+    document frequency exceeds ``max_doc_freq`` (headers, footers,
+    licence blurbs, near-dup payloads), and reassemble the surviving
+    segments in order. Returns (id, clean_text, n_kept_segs,
+    n_dropped_segs) — documents whose every segment is boilerplate
+    survive with clean_text = ''.
+
+    Scale shape: segmentation is a map-side array expression (no
+    explode until the segment grain, which is ~len/seg_words rows per
+    doc); the document-frequency count is ONE partial-agg shuffle on
+    the segment hash-grain; the keep-filter is a hash join back on the
+    same key; reassembly is one groupBy(id) with an in-group sort over
+    tens of elements. No window over the corpus, no global sort —
+    every stage is the groupBy/join Spark already does at 100 TB.
+    """
+    toks = F.split(F.col(text_col), " ")
+    nseg = F.ceil(F.size(toks) / F.lit(float(seg_words))).cast("int")
+    segs = F.transform(
+        F.sequence(F.lit(0), nseg - 1),
+        lambda i: F.array_join(
+            F.slice(toks, i * seg_words + 1, seg_words), " "))
+    seg_rows = docs.select(id_col,
+                           F.posexplode(segs).alias("seg_idx", "seg"))
+    freq = (seg_rows.groupBy("seg")
+            .agg(F.countDistinct(id_col).alias("seg_docs")))
+    kept = (seg_rows.join(freq, "seg")
+            .where(F.col("seg_docs") <= max_doc_freq))
+    rebuilt = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                lambda s: s["seg"]), " ").alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept_segs"))
+    totals = seg_rows.groupBy(id_col).agg(
+        F.count("*").cast("long").alias("__n_segs"))
+    return (totals.join(rebuilt, id_col, "left")
+            .select(id_col,
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    F.coalesce("n_kept_segs", F.lit(0)).cast("long")
+                    .alias("n_kept_segs"),
+                    (F.col("__n_segs")
+                     - F.coalesce("n_kept_segs", F.lit(0))).cast("long")
+                    .alias("n_dropped_segs")))

@@ -6393,3 +6393,132 @@ def join_bloom_pruned(spark, sf_dir):
                      agg["l_suppkey"] == truth["s_suppkey"], "left")
             .select("l_suppkey", "n_rows",
                     F.col("s_suppkey").isNotNull().alias("is_member")))
+
+
+@_q(
+    "graph_triangle_count",
+    """
+    WITH ids AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ni FROM ids),
+    raw AS (
+      SELECT DISTINCT s.node AS src,
+             (s.node * 31 + j * 7) % (SELECT ni FROM nn) AS dst
+      FROM ids s, unnest([1, 2, 3]) AS t(j)
+      WHERE (s.node * 31 + j * 7) % (SELECT ni FROM nn)
+              IN (SELECT node FROM ids)),
+    und AS (
+      SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+      FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)),
+    deg AS (
+      SELECT node, COUNT(*) AS deg
+      FROM (SELECT u AS node FROM und UNION ALL SELECT v FROM und)
+      GROUP BY node),
+    e AS (
+      SELECT CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+                  THEN u ELSE v END AS a,
+             CASE WHEN (du.deg < dv.deg) OR (du.deg = dv.deg AND u < v)
+                  THEN v ELSE u END AS b
+      FROM und JOIN deg du ON du.node = und.u
+               JOIN deg dv ON dv.node = und.v),
+    w AS (SELECT e1.a, e1.b, e2.b AS c
+          FROM e e1 JOIN e e2 ON e2.a = e1.b),
+    tris AS (SELECT w.a, w.b, w.c
+             FROM w JOIN e e3 ON e3.a = w.a AND e3.b = w.c),
+    members AS (SELECT a AS node FROM tris
+                UNION ALL SELECT b FROM tris
+                UNION ALL SELECT c FROM tris)
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS n_triangles
+    FROM members GROUP BY node
+    """,
+)
+def graph_triangle_count(spark, sf_dir):
+    """Per-node triangle counts over the same deterministic synthetic
+    link graph as graph_pagerank — the clustering-coefficient numerator
+    used as a spam/link-farm signal in web-corpus curation. Degree-
+    ordered edge orientation (operators/graph.py:triangle_count) caps
+    wedge generation at O(E^1.5) on power-law graphs; three equi-joins,
+    no state, oracle-replayed wedge-for-wedge."""
+    from .operators.graph import triangle_count
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    parts = [
+        docs.select(F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 31 + j * 7) % n).alias("dst"))
+        for j in (1, 2, 3)
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    edges = edges.join(docs.select(F.col("doc_id").alias("dst")), "dst")
+    return triangle_count(edges)
+
+
+@_q(
+    "text_boilerplate_removal",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ls FROM documents),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(ls[(i*8 + 1):(i*8 + 8)], ' ') AS seg
+      FROM toks,
+           unnest(range(0, CAST(ceil(len(ls) / 8.0) AS BIGINT))) AS t(i)),
+    freq AS (
+      SELECT seg, COUNT(DISTINCT doc_id) AS seg_docs
+      FROM segs GROUP BY seg),
+    kept AS (
+      SELECT s.doc_id, s.seg_idx, s.seg
+      FROM segs s JOIN freq f USING (seg) WHERE f.seg_docs <= 1),
+    reb AS (
+      SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept_segs
+      FROM kept GROUP BY doc_id),
+    tot AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_segs
+      FROM segs GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           COALESCE(r.n_kept_segs, 0) AS n_kept_segs,
+           t.n_segs - COALESCE(r.n_kept_segs, 0) AS n_dropped_segs
+    FROM tot t LEFT JOIN reb r USING (doc_id)
+    """,
+)
+def text_boilerplate_removal(spark, sf_dir):
+    """CCNet/C4-style corpus-level boilerplate removal: 8-word segments
+    whose document frequency exceeds 1 (shared headers/footers/near-dup
+    payloads) are dropped corpus-wide and documents reassembled in
+    order. One partial-agg shuffle on the segment grain + one hash join
+    back — no corpus-wide window or sort; the oracle replays the full
+    segment→df→filter→reassemble pipeline text-for-text."""
+    from .operators.text import remove_repeated_segments
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_repeated_segments(docs, seg_words=8, max_doc_freq=1)
+
+
+@_q(
+    "format_roundtrip_orc",
+    """
+    SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(length(text)) AS BIGINT) AS text_chars
+    FROM documents GROUP BY source, lang
+    """,
+)
+def format_roundtrip_orc(spark, sf_dir):
+    """ORC source/sink round-trip — the second columnar format Spark
+    ships natively (zlib-compressed, predicate-pushdown-capable like
+    parquet). Write documents as ORC, read back with the explicit
+    schema, aggregate including a text-length checksum so string
+    payloads are verified byte-faithful, and match the parquet-direct
+    oracle. Completes the format matrix: parquet / ORC / JSONL / CSV."""
+    import tempfile
+
+    docs = _t(spark, sf_dir, "documents")
+    tmp = tempfile.mkdtemp(prefix="orc_roundtrip_")
+    path = f"{tmp}/documents_orc"
+    docs.write.mode("overwrite").orc(path)
+    back = spark.read.schema(docs.schema).orc(path)
+    return (back.groupBy("source", "lang")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_chars").cast("bigint").alias("total_chars"),
+                 F.sum(F.length("text")).cast("bigint")
+                 .alias("text_chars")))
