@@ -6522,3 +6522,61 @@ def format_roundtrip_orc(spark, sf_dir):
                  F.sum("n_chars").cast("bigint").alias("total_chars"),
                  F.sum(F.length("text")).cast("bigint")
                  .alias("text_chars")))
+
+
+@_q(
+    "lakehouse_time_travel",
+    """
+    SELECT 1 AS version, o_orderkey AS k, o_totalprice AS price,
+           o_orderstatus AS status
+    FROM orders
+    UNION ALL
+    SELECT 2, o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 11 <> 0
+    """,
+)
+def lakehouse_time_travel(spark, sf_dir):
+    """Snapshot-isolated versioned table (lakehouse.py versioned
+    variant — the Delta/Iceberg manifest-commit core): the same two
+    changelog batches as sink_partitioned_merge land as manifest
+    versions 1 and 2 over IMMUTABLE files (untouched partitions carried
+    forward by reference, zero IO); reading version 1 AFTER the second
+    merge recovers the pre-update snapshot exactly, and the latest read
+    is the merged state — both returned, tagged by version, against an
+    oracle that recomputes each state from the raw table."""
+    import os
+    import tempfile
+
+    from .lakehouse import (merge_into_versioned_parquet, read_versioned,
+                            with_bucket_partition)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    k = F.col("k")
+    b1 = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    upd = (orders.where(k % 7 == 0)
+           .withColumn("price", F.col("price") + 1000.0)
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    dele = (orders.where(k % 11 == 0)
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    b2 = upd.unionByName(dele)
+
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="ver_tt_"), "orders_ver")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 8), schema)
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b2, "k", 8), schema)
+    v1 = read_versioned(spark, path, 1).withColumn("version", F.lit(1))
+    v2 = read_versioned(spark, path, 2).withColumn("version", F.lit(2))
+    return (v1.unionByName(v2)
+            .select("version", "k", "price", "status"))

@@ -1,0 +1,130 @@
+"""Versioned lakehouse table: manifest-pinned snapshots, time travel,
+history, vacuum, and the no-recovery-window commit property."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+from flink_cdc_dsql_master_spark.lakehouse import (
+    list_versions,
+    merge_into_versioned_parquet,
+    read_versioned,
+    table_history,
+    vacuum_versioned,
+    with_bucket_partition,
+)
+from flink_cdc_dsql_master_spark.schema import Schema
+
+
+def _mk_batches(spark):
+    rows = [(i, float(i * 10), "A") for i in range(40)]
+    base = spark.createDataFrame(rows, "k long, price double, status string")
+    b1 = (base.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    upd = (base.where(F.col("k") % 4 == 0)
+           .withColumn("price", F.col("price") + 1.0)
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    dele = (base.where(F.col("k") % 5 == 0)
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    schema = Schema.of(base.schema, primary_keys=["k"])
+    return b1, upd.unionByName(dele), schema
+
+
+@pytest.fixture()
+def table(spark):
+    b1, b2, schema = _mk_batches(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="ver_tbl_"), "t")
+    r1 = merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 16), schema)
+    r2 = merge_into_versioned_parquet(
+        path, with_bucket_partition(b2, "k", 16), schema)
+    return path, r1, r2
+
+
+def test_versions_and_time_travel(spark, table):
+    path, r1, r2 = table
+    assert (r1["version"], r2["version"]) == (1, 2)
+    assert list_versions(path) == [1, 2]
+    v1 = {(r["k"], r["price"]) for r in read_versioned(spark, path, 1)
+          .select("k", "price").collect()}
+    assert v1 == {(i, float(i * 10)) for i in range(40)}
+    latest = {(r["k"], r["price"]) for r in read_versioned(spark, path)
+              .select("k", "price").collect()}
+    expect = {(i, float(i * 10) + (1.0 if i % 4 == 0 else 0.0))
+              for i in range(40) if i % 5 != 0}
+    assert latest == expect
+
+
+def test_untouched_partition_files_carried_by_reference(spark, table):
+    import json
+
+    path, _, _ = table
+    with open(os.path.join(path, "_log", "v%012d.json" % 1)) as f:
+        m1 = json.load(f)
+    with open(os.path.join(path, "_log", "v%012d.json" % 2)) as f:
+        m2 = json.load(f)
+    untouched = [v for v in m1["files"]
+                 if v not in m2["op"]["rewritten"]
+                 and v not in m2["op"]["dropped"]]
+    assert untouched  # batch 2 must not touch every bucket
+    for v in untouched:
+        assert m2["files"][v] == m1["files"][v]  # same files, no IO
+
+
+def test_history_newest_first(table):
+    path, _, _ = table
+    h = table_history(path)
+    assert [e["version"] for e in h] == [2, 1]
+    assert all(e["n_files"] > 0 for e in h)
+
+
+def test_orphans_invisible_and_vacuumed(spark, table):
+    path, _, _ = table
+    part_dir = next(os.path.join(path, e) for e in os.listdir(path)
+                    if e.startswith("part="))
+    orphan = os.path.join(part_dir, "part-orphan-deadbeef.parquet")
+    # orphan = the residue of a merge that crashed before its manifest
+    # rename; readers must not see it
+    rows_before = read_versioned(spark, path).count()
+    with open(orphan, "wb") as f:
+        f.write(b"not a real parquet file")
+    assert read_versioned(spark, path).count() == rows_before
+    out = vacuum_versioned(path, keep_last=1)
+    assert not os.path.exists(orphan)
+    assert out["expired_versions"] == [1]
+    assert list_versions(path) == [2]
+    with pytest.raises(ValueError):
+        read_versioned(spark, path, 1)
+    assert read_versioned(spark, path).count() == rows_before
+
+
+def test_drop_partition_when_emptied(spark):
+    b1, _, schema = _mk_batches(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="ver_drop_"), "t")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 4), schema)
+    # delete EVERY key of one bucket
+    v1 = read_versioned(b1.sparkSession, path)
+    bucket0_keys = [r["k"] for r in v1.where(F.col("part") == v1
+                    .select("part").first()["part"]).collect()]
+    spark = b1.sparkSession
+    dele = (spark.createDataFrame([(k,) for k in bucket0_keys], "k long")
+            .withColumn("price", F.lit(0.0))
+            .withColumn("status", F.lit("A"))
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    r2 = merge_into_versioned_parquet(
+        path, with_bucket_partition(dele, "k", 4), schema)
+    assert r2["dropped"]
+    remaining = {r["k"] for r in read_versioned(spark, path).collect()}
+    assert remaining == set(range(40)) - set(bucket0_keys)
+    # old version still sees the dropped partition (time travel)
+    assert {r["k"] for r in read_versioned(spark, path, 1).collect()} \
+        == set(range(40))
