@@ -592,3 +592,82 @@ def remove_repeated_segments(docs: DataFrame, id_col: str = "doc_id",
                     (F.col("__n_segs")
                      - F.coalesce("n_kept_segs", F.lit(0))).cast("long")
                     .alias("n_dropped_segs")))
+
+
+def train_bpe_merges(df: DataFrame, rounds: int = 3,
+                     text_col: str = "text") -> DataFrame:
+    """Train ``rounds`` BPE merges (the actual iterative trainer, not
+    just one pair-count pass): each round picks the globally most
+    frequent adjacent symbol pair (ties broken lexicographically) and
+    applies it with EXACT greedy left-to-right non-overlapping
+    semantics, then recounts. Returns the merge table
+    (round, left_sym, right_sym, pair_freq) — the artifact a tokenizer
+    ships.
+
+    The greedy-application subtlety: in a run like "aaa", pair (a,a)
+    must merge positions 1-2 but NOT 2-3 (position 2 is consumed).
+    Sequential scan semantics are recovered relationally: candidate
+    positions form islands of consecutive pos (only possible when
+    left==right), and within an island exactly the even offsets merge —
+    an alternation computable with two windows, no recursion, identical
+    in any SQL engine (which is what makes the trainer oracle-checkable).
+
+    Scale plan: the ONLY corpus-sized operation is the explode+count
+    collapse to the distinct-word vocabulary (Zipf: MBs at 100 TB, with
+    map-side partial agg). All ``rounds`` iterations run on the vocab
+    symbol grain — windows partitioned by word over <=word-length rows,
+    pair stats are KB-sized, and the chosen pair broadcasts back.
+    Per-round localCheckpoint keeps the lazy plan from doubling
+    (dup_clusters/pagerank discipline)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    vocab = (df.where(F.trim(F.col(text_col)) != "")
+             .select(F.explode(toks).alias("word"))
+             .groupBy("word").agg(F.count("*").alias("wfreq")))
+    cur = (vocab.select(
+        "word", "wfreq",
+        F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"))
+        .withColumn("sym", F.expr("substring(word, pos, 1)"))
+        .localCheckpoint())
+
+    spark = df.sparkSession
+    merge_rows = None
+    for r in range(1, rounds + 1):
+        wnext = Window.partitionBy("word").orderBy("pos")
+        wn = cur.withColumn("nxt", F.lead("sym").over(wnext))
+        pf = (wn.where(F.col("nxt").isNotNull())
+              .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
+              .agg(F.sum("wfreq").alias("freq")))
+        best = (pf.orderBy(F.col("freq").desc(), "a", "b").limit(1)
+                .localCheckpoint())
+        row = best.select(F.lit(r).alias("round"),
+                          F.col("a").alias("left_sym"),
+                          F.col("b").alias("right_sym"),
+                          F.col("freq").cast("long").alias("pair_freq"))
+        merge_rows = row if merge_rows is None \
+            else merge_rows.unionByName(row)
+
+        j = wn.crossJoin(F.broadcast(best))
+        cands = (j.where((F.col("sym") == F.col("a"))
+                         & (F.col("nxt") == F.col("b")))
+                 .withColumn("__rn", F.row_number().over(wnext))
+                 .withColumn("__island", F.col("pos") - F.col("__rn")))
+        wisl = Window.partitionBy("word", "__island")
+        keep = (cands.withColumn(
+            "__off", F.col("pos") - F.min("pos").over(wisl))
+            .where(F.col("__off") % 2 == 0)
+            .select("word", "pos", F.lit(True).alias("__merge_here")))
+        skip = keep.select("word", (F.col("pos") + 1).alias("pos"),
+                           F.lit(True).alias("__skip"))
+        nxt = (j.join(keep, ["word", "pos"], "left")
+               .join(skip.select("word", "pos", "__skip"),
+                     ["word", "pos"], "left")
+               .where(F.col("__skip").isNull())
+               .select("word", "wfreq", "pos",
+                       F.when(F.col("__merge_here"),
+                              F.concat("sym", "nxt"))
+                       .otherwise(F.col("sym")).alias("sym")))
+        cur = (nxt.withColumn(
+            "pos", F.row_number().over(
+                Window.partitionBy("word").orderBy("pos")))
+            .localCheckpoint())
+    return merge_rows

@@ -6580,3 +6580,71 @@ def lakehouse_time_travel(spark, sf_dir):
     v2 = read_versioned(spark, path, 2).withColumn("version", F.lit(2))
     return (v1.unionByName(v2)
             .select("version", "k", "price", "status"))
+
+
+def _bpe_oracle_sql(rounds: int = 3) -> str:
+    """DuckDB replay of the full iterative BPE trainer: per round, pair
+    stats + lexicographic-tiebreak argmax + greedy non-overlapping merge
+    via the island-alternation windows — the same relational encoding of
+    sequential-scan semantics the operator uses (text.py
+    train_bpe_merges), unrolled one CTE block per round."""
+    ctes = """
+    v AS (
+      SELECT word, COUNT(*) AS wfreq FROM (
+        SELECT unnest(string_split(trim(text), ' ')) AS word
+        FROM documents WHERE trim(text) <> '') GROUP BY word),
+    s1 AS (
+      SELECT word, wfreq, i AS pos, substr(word, CAST(i AS INT), 1) AS sym
+      FROM v, unnest(range(1, length(word) + 1)) AS t(i))"""
+    for r in range(1, rounds + 1):
+        ctes += f""",
+    wn{r} AS (
+      SELECT *, LEAD(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+      FROM s{r}),
+    best{r} AS (
+      SELECT sym AS a, nxt AS b, SUM(wfreq) AS freq
+      FROM wn{r} WHERE nxt IS NOT NULL GROUP BY 1, 2
+      ORDER BY freq DESC, a, b LIMIT 1),
+    keep{r} AS (
+      SELECT word, pos FROM (
+        SELECT word, pos,
+               pos - MIN(pos) OVER (PARTITION BY word, island) AS off
+        FROM (
+          SELECT w.word, w.pos,
+                 w.pos - ROW_NUMBER() OVER (PARTITION BY w.word
+                                            ORDER BY w.pos) AS island
+          FROM wn{r} w, best{r} bst
+          WHERE w.sym = bst.a AND w.nxt = bst.b))
+      WHERE off % 2 = 0),
+    s{r + 1} AS (
+      SELECT word, wfreq,
+             ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+             sym
+      FROM (
+        SELECT w.word, w.wfreq, w.pos,
+               CASE WHEN k.pos IS NOT NULL THEN w.sym || w.nxt
+                    ELSE w.sym END AS sym
+        FROM wn{r} w
+        LEFT JOIN keep{r} k ON k.word = w.word AND k.pos = w.pos
+        LEFT JOIN keep{r} k2 ON k2.word = w.word AND k2.pos = w.pos - 1
+        WHERE k2.pos IS NULL))"""
+    finals = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, a AS left_sym, b AS right_sym, "
+        f"CAST(freq AS BIGINT) AS pair_freq FROM best{r}"
+        for r in range(1, rounds + 1))
+    return "WITH" + ctes + "\n    " + finals
+
+
+@_q("text_bpe_train", _bpe_oracle_sql(3))
+def text_bpe_train(spark, sf_dir):
+    """Iterative BPE training (3 merge rounds) over the documents
+    corpus: pick the most frequent adjacent symbol pair, apply it with
+    exact greedy non-overlapping semantics (island alternation — see
+    operators/text.py:train_bpe_merges), recount, repeat. The merge
+    table is what a tokenizer ships; the oracle unrolls the identical
+    trainer per round, so pair choice AND application order are
+    conformance-checked, not just the final counts."""
+    from .operators.text import train_bpe_merges
+
+    docs = _t(spark, sf_dir, "documents")
+    return train_bpe_merges(docs, rounds=3)

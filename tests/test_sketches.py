@@ -84,3 +84,18 @@ def test_histogram_quantiles_handles_outlier_bins(spark):
     df = spark.createDataFrame(rows, "v double")
     out = histogram_quantiles(df, "v", bins=64, qs=(0.5,)).collect()
     assert len(out) == 1 and out[0]["est_value"] is not None
+
+
+def test_bpe_greedy_overlap_semantics(spark):
+    from flink_cdc_dsql_master_spark.operators.text import train_bpe_merges
+
+    # corpus: "aaa" x3, "ab" x2. Round 1 pairs: (a,a) freq 2*3=6 from
+    # aaa (positions 1-2, 2-3), (a,b) freq 2. Best = (a,a) freq 6.
+    # Greedy application to "aaa": merge 1-2 only -> symbols [aa, a].
+    # Round 2 pairs: (aa,a) freq 3, (a,b) freq 2 -> best (aa,a) freq 3.
+    rows = [("aaa aaa aaa ab ab",)]
+    df = spark.createDataFrame(rows, "text string")
+    merges = {r["round"]: (r["left_sym"], r["right_sym"], r["pair_freq"])
+              for r in train_bpe_merges(df, rounds=2).collect()}
+    assert merges[1] == ("a", "a", 6)
+    assert merges[2] == ("aa", "a", 3)
