@@ -378,3 +378,114 @@ def vacuum_versioned(path: str, keep_last: int = 1) -> dict:
         os.remove(_manifest_file(local, v))
     return {"expired_versions": expire, "removed_files": removed,
             "retained_versions": keep}
+
+
+def table_changes(spark, path: str, from_version: int, to_version: int,
+                  primary_keys: list[str],
+                  part_col: str = "part") -> DataFrame:
+    """Change data feed: reconstruct the changelog between two committed
+    versions (the Delta CDF / Iceberg changelog-scan face) — rows with
+    ``_change_type`` in {insert, update_postimage, delete}.
+
+    Scale shape: the two snapshots share every untouched partition's
+    files BY REFERENCE (same manifest entries), so the diff only needs
+    to read partitions whose file lists differ between the manifests —
+    the same pruning merge enjoys. Within those partitions it is one
+    full-outer hash join on the primary key; update detection compares
+    the full row struct (null-safe) engine-side."""
+    local = _local(path)
+    versions = list_versions(path)
+    for v in (from_version, to_version):
+        if v not in versions:
+            raise ValueError(f"version {v} not in {versions}")
+    m_from = _load_manifest(local, from_version)
+    m_to = _load_manifest(local, to_version)
+    changed_parts = sorted(
+        v for v in set(m_from["files"]) | set(m_to["files"])
+        if m_from["files"].get(v) != m_to["files"].get(v))
+
+    def _read(m, parts):
+        paths = [os.path.join(local, rel)
+                 for v in parts for rel in m["files"].get(v, [])]
+        if not paths:
+            from pyspark.sql import types as _T
+            return spark.createDataFrame(
+                [], _T.StructType.fromJson(json.loads(m["schema"])))
+        return (spark.read.option("mergeSchema", "true")
+                .option("basePath", local).parquet(*paths))
+
+    old = _read(m_from, changed_parts)
+    new = _read(m_to, changed_parts)
+    data_cols = [c for c in new.columns if c != part_col]
+    o = old.select(*[F.col(c).alias(f"__o_{c}") for c in old.columns])
+    join_cond = [o[f"__o_{k}"].eqNullSafe(new[k]) for k in primary_keys]
+    j = new.join(o, join_cond, "full_outer")
+    new_key = new[primary_keys[0]]
+    old_key = o[f"__o_{primary_keys[0]}"]
+    same = [new[c].eqNullSafe(o[f"__o_{c}"]) for c in data_cols]
+    unchanged = same[0]
+    for s in same[1:]:
+        unchanged = unchanged & s
+    change = (F.when(old_key.isNull(), F.lit("insert"))
+              .when(new_key.isNull(), F.lit("delete"))
+              .when(unchanged, F.lit(None))
+              .otherwise(F.lit("update_postimage")))
+    out_cols = [F.coalesce(new[c], o[f"__o_{c}"]).alias(c)
+                for c in data_cols]
+    return (j.select(*out_cols, change.alias("_change_type"))
+            .where(F.col("_change_type").isNotNull()))
+
+
+def compact_versioned(path: str, target_partitions: list[str] | None = None
+                      ) -> dict:
+    """Small-file compaction as a new manifest version: rewrite each
+    targeted partition's files into one, commit manifest v{N+1} with the
+    SAME logical content. Readers pinned to older versions keep the old
+    small files (vacuum reclaims them once those versions expire) —
+    compaction is just another snapshot-isolated commit, never an
+    in-place mutation. Returns {"version", "compacted": {part: (files
+    before, files after)}}."""
+    from pyspark.sql import SparkSession
+
+    spark = SparkSession.getActiveSession()
+    local = _local(path)
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    m = _load_manifest(local, versions[-1])
+    part_col = m["part_col"]
+    targets = [v for v in m["files"]
+               if (target_partitions is None or v in target_partitions)
+               and len(m["files"][v]) > 1]
+    files = {v: list(fs) for v, fs in m["files"].items()}
+    compacted = {}
+    for v in targets:
+        old_paths = [os.path.join(local, rel) for rel in files[v]]
+        df = (spark.read.option("mergeSchema", "true")
+              .option("basePath", local).parquet(*old_paths))
+        staging = local.rstrip("/") + f".__cmp_{uuid.uuid4().hex[:12]}__"
+        (df.drop(part_col).coalesce(1)
+         .write.mode("overwrite").parquet(staging))
+        live_dir = os.path.join(local, f"{part_col}={v}")
+        new_rel = []
+        for fn in os.listdir(staging):
+            if fn.endswith(".parquet"):
+                os.rename(os.path.join(staging, fn),
+                          os.path.join(live_dir, fn))
+                new_rel.append(f"{part_col}={v}/{fn}")
+        shutil.rmtree(staging, ignore_errors=True)
+        compacted[v] = (len(files[v]), len(new_rel))
+        files[v] = sorted(new_rel)
+    if not compacted:
+        return {"version": versions[-1], "compacted": {}}
+    new_version = versions[-1] + 1
+    manifest = {"version": new_version, "ts": time.time(),
+                "part_col": part_col, "schema": m["schema"],
+                "files": files,
+                "op": {"rewritten": sorted(compacted), "dropped": []}}
+    target = _manifest_file(local, new_version)
+    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, target)
+    return {"version": new_version, "compacted": compacted}

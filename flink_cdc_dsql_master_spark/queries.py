@@ -6648,3 +6648,58 @@ def text_bpe_train(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return train_bpe_merges(docs, rounds=3)
+
+
+@_q(
+    "lakehouse_change_feed",
+    """
+    SELECT o_orderkey AS k, o_totalprice + 1000.0 AS price,
+           o_orderstatus AS status,
+           'update_postimage' AS _change_type
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus, 'delete'
+    FROM orders WHERE o_orderkey % 11 = 0
+    """,
+)
+def lakehouse_change_feed(spark, sf_dir):
+    """Change data feed from the versioned table (the Delta CDF face):
+    the v1->v2 diff is reconstructed from the manifests — only
+    partitions whose FILE LISTS differ are read (untouched partitions
+    share files by reference, so they prove themselves unchanged with
+    zero IO), then one full-outer PK join classifies insert /
+    update_postimage / delete. The recovered changelog must equal the
+    changelog that was merged in (after LWW + -D-beats-+U collision
+    rank): CDC in, CDC back out — the round-trip the reference's
+    pipeline model is built on."""
+    import os
+    import tempfile
+
+    from .lakehouse import (merge_into_versioned_parquet, table_changes,
+                            with_bucket_partition)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    k = F.col("k")
+    b1 = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    upd = (orders.where(k % 7 == 0)
+           .withColumn("price", F.col("price") + 1000.0)
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    dele = (orders.where(k % 11 == 0)
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    b2 = upd.unionByName(dele)
+
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="ver_cdf_"), "orders_cdf")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 8), schema)
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b2, "k", 8), schema)
+    return table_changes(spark, path, 1, 2, ["k"]) \
+        .select("k", "price", "status", "_change_type")

@@ -128,3 +128,64 @@ def test_drop_partition_when_emptied(spark):
     # old version still sees the dropped partition (time travel)
     assert {r["k"] for r in read_versioned(spark, path, 1).collect()} \
         == set(range(40))
+
+
+def test_change_feed_classification(spark, table):
+    from flink_cdc_dsql_master_spark.lakehouse import table_changes
+
+    cdf = table_changes(spark, next(iter([table[0]])), 1, 2, ["k"])
+    rows = {r["k"]: r["_change_type"] for r in cdf.collect()}
+    # batch 2: +U on k%4==0, -D on k%5==0, same seq -> -D wins on k%20==0
+    for k, ct in rows.items():
+        if k % 5 == 0:
+            assert ct == "delete", (k, ct)
+        elif k % 4 == 0:
+            assert ct == "update_postimage", (k, ct)
+    # unchanged keys in touched partitions are NOT emitted
+    assert all(k % 4 == 0 or k % 5 == 0 for k in rows)
+    # every update and delete IS emitted
+    assert {k for k in range(40) if k % 5 == 0} <= set(rows)
+    assert {k for k in range(40) if k % 4 == 0 and k % 5 != 0} \
+        <= set(rows)
+    # update postimage carries the new price
+    upd = {r["k"]: r["price"] for r in cdf
+           .where(F.col("_change_type") == "update_postimage").collect()}
+    assert all(v == k * 10 + 1.0 for k, v in upd.items())
+
+
+def test_compaction_new_version_same_content(spark):
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        compact_versioned, merge_into_versioned_parquet, read_versioned,
+        table_history, with_bucket_partition)
+
+    b1, _, schema = _mk_batches(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="ver_cmp_"), "t")
+    # scatter each bucket's rows across many write tasks -> many small
+    # files (AQE's partition coalescing would fold this tiny batch into
+    # one task, so suspend it for the ingest only)
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        merge_into_versioned_parquet(
+            path, with_bucket_partition(b1, "k", 2).repartition(6),
+            schema)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "true")
+    import json as _json
+    with open(os.path.join(path, "_log", "v%012d.json" % 1)) as f:
+        m1 = _json.load(f)
+    assert any(len(fs) > 1 for fs in m1["files"].values())
+    before = {(r["k"], r["price"])
+              for r in read_versioned(spark, path).collect()}
+    out = compact_versioned(path)
+    assert out["version"] == 2 and out["compacted"]
+    assert all(a > 1 and b == 1 for a, b in out["compacted"].values())
+    after = {(r["k"], r["price"])
+             for r in read_versioned(spark, path).collect()}
+    assert after == before  # logical no-op
+    # old version still reads the old small files (snapshot isolation)
+    v1 = {(r["k"], r["price"])
+          for r in read_versioned(spark, path, 1).collect()}
+    assert v1 == before
+    assert [h["version"] for h in table_history(path)] == [2, 1]
