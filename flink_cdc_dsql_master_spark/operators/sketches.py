@@ -58,6 +58,55 @@ def _h32(col: Column, salt: str) -> Column:
 
 # ---------------------------------------------------------------- KMV ---
 
+def kmv_partial(df: DataFrame, key_col: str, group_cols: list[str],
+                k: int = 64, salt: str = "kmv") -> DataFrame:
+    """The mergeable HALF of the KMV sketch: per group, the k smallest
+    distinct key hashes — rows (``*group_cols``, __h). Partials from
+    disjoint (or overlapping) shards merge LOSSLESSLY: the k smallest
+    of a union of per-shard k-smallest sets is exactly the k smallest
+    of the union, so sketch-of-merge == merge-of-sketches (the algebra
+    a per-datacenter / per-day rollup of distinct counts needs)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
+    d = df.select(*group_cols, h.alias("__h")).distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (d.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def kmv_merge(parts: list[DataFrame], group_cols: list[str],
+              k: int = 64) -> DataFrame:
+    """Merge KMV partials (from :func:`kmv_partial`): union, re-dedup
+    (overlapping shards may contribute the same hash), re-rank, keep k.
+    Output has the same shape as a partial — merges compose."""
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    d = u.distinct()
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    return (d.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= k).drop("__rn"))
+
+
+def kmv_estimate(partial: DataFrame, group_cols: list[str],
+                 k: int = 64) -> DataFrame:
+    """Finalize a KMV partial into (``*group_cols``, n_kept,
+    distinct_est) — exact when the group holds fewer than k distinct
+    keys, else (k-1)/u_k."""
+    w = Window.partitionBy(*group_cols).orderBy("__h")
+    ranked = partial.withColumn("__rn", F.row_number().over(w))
+    agg = ranked.groupBy(*group_cols).agg(
+        F.max("__rn").alias("n_kept"),
+        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__hk"))
+    u_k = (F.conv(F.substring("__hk", 1, 13), 16, 10).cast("double")
+           / F.lit(_HEX13))
+    est = (F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
+           .otherwise(F.lit(float(k - 1)) / u_k))
+    return agg.select(*group_cols, "n_kept",
+                      F.round(est, 4).alias("distinct_est"))
+
+
 def kmv_distinct(df: DataFrame, key_col: str, group_cols: list[str],
                  k: int = 64, salt: str = "kmv") -> DataFrame:
     """Distinct-count estimate per group via the K-minimum-values sketch.
@@ -74,22 +123,8 @@ def kmv_distinct(df: DataFrame, key_col: str, group_cols: list[str],
 
     Returns one row per group: (``*group_cols``, n_kept, distinct_est).
     """
-    if k < 2:
-        raise ValueError(f"k must be >= 2, got {k}")
-    h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
-    d = df.select(*group_cols, h.alias("__h")).distinct()
-    w = Window.partitionBy(*group_cols).orderBy("__h")
-    ranked = (d.withColumn("__rn", F.row_number().over(w))
-              .where(F.col("__rn") <= k))
-    agg = ranked.groupBy(*group_cols).agg(
-        F.max("__rn").alias("n_kept"),
-        F.max(F.when(F.col("__rn") == k, F.col("__h"))).alias("__hk"))
-    u_k = (F.conv(F.substring("__hk", 1, 13), 16, 10).cast("double")
-           / F.lit(_HEX13))
-    est = (F.when(F.col("n_kept") < k, F.col("n_kept").cast("double"))
-           .otherwise(F.lit(float(k - 1)) / u_k))
-    return agg.select(*group_cols, "n_kept",
-                      F.round(est, 4).alias("distinct_est"))
+    return kmv_estimate(kmv_partial(df, key_col, group_cols, k, salt),
+                        group_cols, k)
 
 
 # ---------------------------------------------------------- Count-Min ---
@@ -110,6 +145,18 @@ def countmin_sketch(df: DataFrame, key_col: str, depth: int = 4,
                          F.col("__k")), salt) % width
     return (ex.withColumn("cell", cell)
             .groupBy("d", "cell").agg(F.count("*").alias("c")))
+
+
+def countmin_merge(sketches: list[DataFrame]) -> DataFrame:
+    """Merge Count-Min sketches built with the SAME (depth, width,
+    salt): cell-wise counter sum — CM is a linear sketch, so
+    sketch(A ⊎ B) == sketch(A) + sketch(B) exactly (the algebra that
+    lets per-shard / per-day sketches roll up without re-reading
+    data). Output shape matches :func:`countmin_sketch`."""
+    u = sketches[0]
+    for s in sketches[1:]:
+        u = u.unionByName(s)
+    return u.groupBy("d", "cell").agg(F.sum("c").alias("c"))
 
 
 def countmin_estimate(sketch: DataFrame, candidates: DataFrame,

@@ -6703,3 +6703,63 @@ def lakehouse_change_feed(spark, sf_dir):
         path, with_bucket_partition(b2, "k", 8), schema)
     return table_changes(spark, path, 1, 2, ["k"]) \
         .select("k", "price", "status", "_change_type")
+
+
+@_q("sketch_kmv_merge", None)
+def sketch_kmv_merge(spark, sf_dir):
+    """KMV mergeability, conformance-checked: the events table is split
+    into two disjoint shards (event_id parity), each shard reduced to
+    its k-smallest-hash PARTIAL, the partials merged, THEN estimated —
+    while the oracle computes the sketch from scratch over the whole
+    table. A hash match proves merge-of-sketches == sketch-of-merge
+    exactly (k smallest of a union of per-shard k-smallest sets IS the
+    k smallest of the union) — the algebra that lets per-day/per-shard
+    distinct-count partials roll up at 100 TB without re-reading data."""
+    from .operators.sketches import kmv_estimate, kmv_merge, kmv_partial
+
+    ev = _events_table(spark, sf_dir)
+    even = ev.where(F.col("event_id") % 2 == 0)
+    odd = ev.where(F.col("event_id") % 2 == 1)
+    merged = kmv_merge(
+        [kmv_partial(even, "user_id", ["event_type"], k=64),
+         kmv_partial(odd, "user_id", ["event_type"], k=64)],
+        ["event_type"], k=64)
+    sk = kmv_estimate(merged, ["event_type"], k=64)
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("exact_distinct")))
+    return (sk.join(exact, "event_type")
+            .select("event_type", F.col("n_kept").cast("long"),
+                    "distinct_est", "exact_distinct"))
+
+
+ORACLE["sketch_kmv_merge"] = ORACLE["sketch_kmv_distinct"]
+
+
+@_q("sketch_countmin_merge", None)
+def sketch_countmin_merge(spark, sf_dir):
+    """Count-Min linearity, conformance-checked: per-shard sketches of
+    the two event_id-parity halves are merged by cell-wise counter sum
+    and estimated, against an oracle that sketches the whole table in
+    one pass. CM is a linear sketch — sketch(A ⊎ B) == sketch(A) +
+    sketch(B) counter-for-counter — so the merged estimates (and the
+    deterministic collision overcounts) land hash-identical."""
+    from .operators.sketches import (countmin_estimate, countmin_merge,
+                                     countmin_sketch)
+
+    ev = _events_table(spark, sf_dir)
+    even = ev.where(F.col("event_id") % 2 == 0)
+    odd = ev.where(F.col("event_id") % 2 == 1)
+    sk = countmin_merge([countmin_sketch(even, "user_id", 4, 256),
+                         countmin_sketch(odd, "user_id", 4, 256)])
+    cands = ev.select("user_id").distinct()
+    est = (countmin_estimate(sk, cands, "user_id", depth=4, width=256)
+           .select(F.col("user_id").cast("long").alias("user_id"), "est"))
+    exact = (ev.groupBy("user_id")
+             .agg(F.count("*").cast("long").alias("exact_count")))
+    out = est.join(exact, "user_id")
+    return (out.orderBy(F.col("est").desc(), "user_id").limit(20)
+            .select("user_id", "est", "exact_count"))
+
+
+ORACLE["sketch_countmin_merge"] = ORACLE["sketch_countmin_topk"]
