@@ -274,3 +274,33 @@ def bloom_semi_join(fact: DataFrame, dim: DataFrame, fact_key: str,
                    for p in probes])
     return (fact.crossJoin(F.broadcast(bits))
             .where(cond).drop("__bloom_bits"))
+
+
+def kmv_set_estimates(a: DataFrame, b: DataFrame, key_col: str,
+                      k: int = 64, salt: str = "kmv") -> DataFrame:
+    """Set-operation estimates between two keyed datasets from their
+    KMV partials only (the theta-sketch use case: audience overlap,
+    cross-day retention, dedup-rate between corpus snapshots — computed
+    from KB-sized summaries, never by joining the raw sets).
+
+    Returns ONE row: (est_a, est_b, est_union, est_intersection,
+    jaccard). |A∪B| comes from merging the two partials; |A∩B| by
+    inclusion-exclusion; groups below k are exact, so small-set results
+    are exact end-to-end. All arithmetic is md5-deterministic →
+    oracle-replayable, including the estimation error."""
+    g: list[str] = ["__g"]
+    pa = kmv_partial(a.withColumn("__g", F.lit(1)), key_col, g, k, salt)
+    pb = kmv_partial(b.withColumn("__g", F.lit(1)), key_col, g, k, salt)
+    ea = kmv_estimate(pa, g, k).select(
+        F.col("distinct_est").alias("est_a"))
+    eb = kmv_estimate(pb, g, k).select(
+        F.col("distinct_est").alias("est_b"))
+    eu = kmv_estimate(kmv_merge([pa, pb], g, k), g, k).select(
+        F.col("distinct_est").alias("est_union"))
+    out = ea.crossJoin(eb).crossJoin(eu)
+    inter = F.greatest(
+        F.lit(0.0),
+        F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4))
+    return out.select(
+        "est_a", "est_b", "est_union", inter.alias("est_intersection"),
+        F.round(inter / F.col("est_union"), 6).alias("jaccard"))

@@ -67,6 +67,11 @@ BENCH_QUERIES = [
     "sink_partitioned_merge",
     "web_url_dedup",
     "text_quality_classifier",
+    "text_boilerplate_removal",
+    "text_bpe_train",
+    "graph_triangle_count",
+    "sketch_kmv_distinct",
+    "lakehouse_change_feed",
 ]
 
 
@@ -6763,3 +6768,72 @@ def sketch_countmin_merge(spark, sf_dir):
 
 
 ORACLE["sketch_countmin_merge"] = ORACLE["sketch_countmin_topk"]
+
+
+@_q(
+    "sketch_kmv_set_ops",
+    """
+    WITH t AS (
+      SELECT source, string_split(trim(text), ' ') AS ls FROM documents),
+    sh AS (
+      SELECT source, array_to_string(ls[i:i+2], ' ') AS s
+      FROM t, unnest(range(1, len(ls) - 1)) AS u(i)
+      WHERE len(ls) >= 3),
+    ha AS (SELECT DISTINCT md5('kmv' || s) AS h
+           FROM sh WHERE source = 'src1'),
+    hb AS (SELECT DISTINCT md5('kmv' || s) AS h
+           FROM sh WHERE source = 'src4'),
+    hu AS (SELECT DISTINCT h
+           FROM (SELECT h FROM ha UNION ALL SELECT h FROM hb)),
+    ea AS (
+      SELECT ROUND(CASE WHEN MAX(rn) < 256 THEN CAST(MAX(rn) AS DOUBLE)
+             ELSE 255.0 / (('0x' || substr(MAX(CASE WHEN rn = 256
+                  THEN h END), 1, 13))::BIGINT / 4503599627370496.0)
+             END, 4) AS est_a
+      FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM ha)
+      WHERE rn <= 256),
+    eb AS (
+      SELECT ROUND(CASE WHEN MAX(rn) < 256 THEN CAST(MAX(rn) AS DOUBLE)
+             ELSE 255.0 / (('0x' || substr(MAX(CASE WHEN rn = 256
+                  THEN h END), 1, 13))::BIGINT / 4503599627370496.0)
+             END, 4) AS est_b
+      FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hb)
+      WHERE rn <= 256),
+    eu AS (
+      SELECT ROUND(CASE WHEN MAX(rn) < 256 THEN CAST(MAX(rn) AS DOUBLE)
+             ELSE 255.0 / (('0x' || substr(MAX(CASE WHEN rn = 256
+                  THEN h END), 1, 13))::BIGINT / 4503599627370496.0)
+             END, 4) AS est_union
+      FROM (SELECT h, ROW_NUMBER() OVER (ORDER BY h) AS rn FROM hu)
+      WHERE rn <= 256)
+    SELECT ea.est_a, eb.est_b, eu.est_union,
+           GREATEST(0.0, ROUND(ea.est_a + eb.est_b - eu.est_union, 4))
+             AS est_intersection,
+           ROUND(GREATEST(0.0, ROUND(ea.est_a + eb.est_b
+                                     - eu.est_union, 4))
+                 / eu.est_union, 6) AS jaccard
+    FROM ea, eb, eu
+    """,
+)
+def sketch_kmv_set_ops(spark, sf_dir):
+    """Theta-sketch-style set operations from KMV partials alone:
+    corpus-vocabulary overlap between two sources (3-word shingle sets,
+    ~1.2-1.5k distinct each) estimated as |A|, |B|, |A∪B| (merged
+    partial), |A∩B| by inclusion-exclusion, and Jaccard — WITHOUT ever
+    joining the raw sets. This is how audience-overlap / corpus-drift /
+    cross-snapshot dedup-rate questions get answered at 100 TB: KB-sized
+    summaries, one cheap merge, deterministic error the oracle replays
+    to the last digit."""
+    from .operators.sketches import kmv_set_estimates
+
+    docs = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    sh = (docs.withColumn("__toks", toks)
+          .where(F.size("__toks") >= 3)
+          .select("source", F.explode(F.transform(
+              F.sequence(F.lit(1), F.size("__toks") - 2),
+              lambda i: F.array_join(F.slice("__toks", i, 3), " ")))
+              .alias("s")))
+    a = sh.where(F.col("source") == "src1").select("s")
+    b = sh.where(F.col("source") == "src4").select("s")
+    return kmv_set_estimates(a, b, "s", k=256)
