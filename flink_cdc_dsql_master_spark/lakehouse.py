@@ -245,8 +245,11 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
 
     versions = list_versions(path)
     prev_files: dict[str, list[str]] = {}
+    prev_stats: dict[str, dict] = {}
     if versions:
-        prev_files = _load_manifest(local, versions[-1])["files"]
+        prev_m = _load_manifest(local, versions[-1])
+        prev_files = prev_m["files"]
+        prev_stats = prev_m.get("file_stats", {})
 
     final = last_write_wins(changelog, pks)
     affected = sorted(
@@ -298,10 +301,19 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
     rewritten = sorted(new_files)
     dropped = [v for v in affected if v not in new_files]
 
+    # footer min/max of the PK columns per NEW file (data pages never
+    # read); carried-forward files keep their recorded stats — the
+    # data-skipping index plan_files() prunes with
+    new_rels = [rel for fs in new_files.values() for rel in fs]
+    file_stats = {rel: prev_stats[rel]
+                  for fs in files.values() for rel in fs
+                  if rel in prev_stats}
+    file_stats.update(collect_file_stats(local, new_rels, pks))
+
     new_version = (versions[-1] if versions else 0) + 1
     manifest = {"version": new_version, "ts": time.time(),
                 "part_col": part_col, "schema": out.schema.json(),
-                "files": files,
+                "files": files, "file_stats": file_stats,
                 "op": {"rewritten": rewritten, "dropped": dropped}}
     target = _manifest_file(local, new_version)
     tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
@@ -312,27 +324,28 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
             "dropped": dropped}
 
 
-def read_versioned(spark, path: str, version: int | None = None
-                   ) -> DataFrame:
+def read_versioned(spark, path: str, version: int | None = None,
+                   key_range: tuple | None = None) -> DataFrame:
     """Read a versioned table at ``version`` (default: latest) — time
     travel is just pinning an older manifest. The file list is explicit,
-    so readers are isolated from concurrent merges."""
+    so readers are isolated from concurrent merges. ``key_range =
+    (col, lo, hi)`` engages manifest-recorded footer stats to skip
+    files that provably hold no row in range (data skipping); the
+    matching filter is ALSO applied row-level, so the result is exactly
+    the range — skipping is an IO optimization, never a semantics
+    change."""
     local = _local(path)
-    versions = list_versions(path)
-    if not versions:
-        raise FileNotFoundError(f"no versions at {path}")
-    v = versions[-1] if version is None else version
-    if v not in versions:
-        raise ValueError(f"version {v} not in {versions}")
-    m = _load_manifest(local, v)
-    paths = [os.path.join(local, rel)
-             for fs in m["files"].values() for rel in fs]
-    if not paths:
+    plan = plan_files(path, version, key_range)
+    if not plan["paths"]:
         from pyspark.sql import types as _T
         return spark.createDataFrame(
-            [], _T.StructType.fromJson(json.loads(m["schema"])))
-    return (spark.read.option("mergeSchema", "true")
-            .option("basePath", local).parquet(*paths))
+            [], _T.StructType.fromJson(json.loads(plan["schema"])))
+    df = (spark.read.option("mergeSchema", "true")
+          .option("basePath", local).parquet(*plan["paths"]))
+    if key_range is not None:
+        col, lo, hi = key_range
+        df = df.where(F.col(col).between(lo, hi))
+    return df
 
 
 def table_history(path: str) -> list[dict]:
@@ -478,10 +491,19 @@ def compact_versioned(path: str, target_partitions: list[str] | None = None
         files[v] = sorted(new_rel)
     if not compacted:
         return {"version": versions[-1], "compacted": {}}
+    prev_stats = m.get("file_stats", {})
+    stat_cols = sorted({c for s in prev_stats.values() for c in s})
+    file_stats = {rel: prev_stats[rel]
+                  for fs in files.values() for rel in fs
+                  if rel in prev_stats}
+    if stat_cols:
+        fresh = [rel for v2, fs in files.items() if v2 in compacted
+                 for rel in fs if rel not in prev_stats]
+        file_stats.update(collect_file_stats(local, fresh, stat_cols))
     new_version = versions[-1] + 1
     manifest = {"version": new_version, "ts": time.time(),
                 "part_col": part_col, "schema": m["schema"],
-                "files": files,
+                "files": files, "file_stats": file_stats,
                 "op": {"rewritten": sorted(compacted), "dropped": []}}
     target = _manifest_file(local, new_version)
     tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
@@ -489,3 +511,77 @@ def compact_versioned(path: str, target_partitions: list[str] | None = None
         json.dump(manifest, f)
     os.rename(tmp, target)
     return {"version": new_version, "compacted": compacted}
+
+
+def _parquet_min_max(abs_path: str, cols: set[str]) -> dict:
+    """Per-file min/max for ``cols`` straight from the parquet FOOTER
+    (row-group statistics — no data pages read). Columns missing stats
+    in any row group are omitted (absent stats = never skip, always
+    safe)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(abs_path).metadata
+    out: dict = {}
+    bad: set[str] = set()
+    for rg in range(md.num_row_groups):
+        row = md.row_group(rg)
+        for ci in range(row.num_columns):
+            col = row.column(ci)
+            name = col.path_in_schema
+            if name not in cols or name in bad:
+                continue
+            st = col.statistics
+            if st is None or not st.has_min_max:
+                bad.add(name)
+                out.pop(name, None)
+                continue
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn = mn.decode("utf-8", "replace")
+            if isinstance(mx, bytes):
+                mx = mx.decode("utf-8", "replace")
+            if name in out:
+                out[name] = [min(out[name][0], mn), max(out[name][1], mx)]
+            else:
+                out[name] = [mn, mx]
+    return out
+
+
+def collect_file_stats(local: str, rels: list[str],
+                       cols: list[str]) -> dict:
+    return {rel: _parquet_min_max(os.path.join(local, rel), set(cols))
+            for rel in rels}
+
+
+def plan_files(path: str, version: int | None = None,
+               key_range: tuple | None = None) -> dict:
+    """The data-skipping planner: resolve a version's file list and, if
+    ``key_range = (col, lo, hi)`` is given, drop every file whose
+    footer min/max (recorded in the manifest at commit time) proves it
+    holds no row in [lo, hi]. Files without recorded stats are always
+    kept. Returns {"paths", "skipped", "total"} — the pruning evidence
+    tests assert on. At 100 TB this is the difference between scanning
+    a partition and scanning the 2 files in it that cover the key."""
+    local = _local(path)
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    m = _load_manifest(local, v)
+    rels = [rel for fs in m["files"].values() for rel in fs]
+    stats = m.get("file_stats", {})
+    if key_range is None:
+        kept = rels
+    else:
+        col, lo, hi = key_range
+        kept = []
+        for rel in rels:
+            s = stats.get(rel, {}).get(col)
+            if s is not None and (s[1] < lo or s[0] > hi):
+                continue
+            kept.append(rel)
+    return {"paths": [os.path.join(local, rel) for rel in kept],
+            "skipped": len(rels) - len(kept), "total": len(rels),
+            "schema": m["schema"]}
