@@ -483,3 +483,38 @@ def make_rollup_sink_writer(base_path: str, group_cols: list[str],
         swap_parquet_dir(ivm.merge_rollup(state, delta, group_cols), path)
 
     return writer
+
+
+def make_sketch_sink_writer(base_path: str, key_col: str,
+                            group_cols: list[str] | None = None,
+                            depth: int = 4, width: int = 256,
+                            k: int = 64):
+    """Sink-writer maintaining BOUNDED-state streaming sketches per sink
+    table: a Count-Min frequency grid (``<table>__cm``) and a KMV
+    distinct-count partial (``<table>__kmv``), each folded per
+    micro-batch and swapped crash-safely. The live "top keys so far /
+    distinct keys so far" dashboard whose state never grows with the
+    stream — the sketch counterpart of the rollup writer's exact
+    group-grain state (which is the right tool only while the grain
+    stays small)."""
+    from pyspark.sql import functions as F
+
+    from .operators.sketches import countmin_apply_batch, kmv_apply_batch
+    from .sinks import read_parquet_state, swap_parquet_dir
+
+    gcols = group_cols or []
+
+    def writer(sink_tid, df, schema):
+        spark = df.sparkSession
+        base = f"{base_path}/{sink_tid.table}"
+        src = df if gcols else df.withColumn("__g", F.lit(1))
+        g = gcols or ["__g"]
+        cm = read_parquet_state(spark, f"{base}__cm")
+        swap_parquet_dir(
+            countmin_apply_batch(cm, src, key_col, depth, width),
+            f"{base}__cm")
+        kmv = read_parquet_state(spark, f"{base}__kmv")
+        swap_parquet_dir(
+            kmv_apply_batch(kmv, src, key_col, g, k), f"{base}__kmv")
+
+    return writer

@@ -304,3 +304,34 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame, key_col: str,
     return out.select(
         "est_a", "est_b", "est_union", inter.alias("est_intersection"),
         F.round(inter / F.col("est_union"), 6).alias("jaccard"))
+
+
+# ------------------------------------------------- streaming maintenance ---
+
+def countmin_apply_batch(state: DataFrame | None, batch: DataFrame,
+                         key_col: str, depth: int = 4, width: int = 256,
+                         salt: str = "cm") -> DataFrame:
+    """Fold one micro-batch into a maintained Count-Min state (linear
+    sketch: state' = state + sketch(batch)). The state is <= depth·width
+    rows FOREVER — a streaming frequency dashboard whose storage does
+    not grow with the stream, unlike per-key counters over an unbounded
+    key space. Same-result-as-rebuild is guaranteed by linearity and
+    pinned by test."""
+    delta = countmin_sketch(batch, key_col, depth, width, salt)
+    if state is None:
+        return delta
+    return countmin_merge([state.select("d", "cell", "c"), delta])
+
+
+def kmv_apply_batch(state: DataFrame | None, batch: DataFrame,
+                    key_col: str, group_cols: list[str], k: int = 64,
+                    salt: str = "kmv") -> DataFrame:
+    """Fold one micro-batch into a maintained KMV partial (k hashes per
+    group forever): streaming distinct-count without distinct-key
+    state. Lossless-merge property makes fold order irrelevant —
+    rebuild-equivalent by construction, pinned by test."""
+    part = kmv_partial(batch, key_col, group_cols, k, salt)
+    if state is None:
+        return part
+    return kmv_merge([state.select(*group_cols, "__h"), part],
+                     group_cols, k)

@@ -99,3 +99,88 @@ def test_bpe_greedy_overlap_semantics(spark):
               for r in train_bpe_merges(df, rounds=2).collect()}
     assert merges[1] == ("a", "a", 6)
     assert merges[2] == ("aa", "a", 3)
+
+
+def test_streaming_folds_equal_rebuild(spark, keyed):
+    """Incremental maintenance == from-scratch rebuild for both
+    streaming sketch folds (CM by linearity, KMV by lossless merge)."""
+    from flink_cdc_dsql_master_spark.operators.sketches import (
+        countmin_apply_batch, countmin_sketch, kmv_apply_batch,
+        kmv_distinct, kmv_estimate)
+
+    b1 = keyed.where(F.col("k") % 3 != 0)
+    b2 = keyed.where(F.col("k") % 3 == 0)
+
+    st = countmin_apply_batch(None, b1, "k", 4, 128)
+    st = countmin_apply_batch(st, b2, "k", 4, 128)
+    scratch = countmin_sketch(keyed, "k", 4, 128)
+    a = {(r["d"], r["cell"]): r["c"] for r in st.collect()}
+    b = {(r["d"], r["cell"]): r["c"] for r in scratch.collect()}
+    assert a == b
+
+    kst = kmv_apply_batch(None, b1, "k", ["g"], k=128)
+    kst = kmv_apply_batch(kst, b2, "k", ["g"], k=128)
+    inc = kmv_estimate(kst, ["g"], k=128).collect()[0]
+    full = kmv_distinct(keyed, "k", ["g"], k=128).collect()[0]
+    assert (inc["n_kept"], inc["distinct_est"]) \
+        == (full["n_kept"], full["distinct_est"])
+
+
+def test_changelog_stream_to_sketches(spark, tmp_path):
+    """Streaming pipeline into the sketch writer across two
+    checkpointed runs: final CM and KMV states equal a from-scratch
+    sketch of everything the stream carried."""
+    import json
+
+    from flink_cdc_dsql_master_spark.compose import (
+        compose_changelog_stream, make_sketch_sink_writer)
+    from flink_cdc_dsql_master_spark.operators.sketches import (
+        countmin_sketch, kmv_estimate, kmv_partial)
+    from flink_cdc_dsql_master_spark.pipeline import (PipelineDef,
+                                                     SinkDef, SourceDef)
+
+    src = str(tmp_path / "topic_sk")
+    ckpt = str(tmp_path / "ckpt_sk")
+    out = str(tmp_path / "sk")
+    (tmp_path / "topic_sk").mkdir()
+
+    def env(rid, uid):
+        return json.dumps({"before": None,
+                           "after": {"id": rid, "uid": uid}, "op": "c"})
+
+    def write(fn, rows):
+        with open(f"{src}/{fn}", "w") as f:
+            for off, v in rows:
+                f.write(json.dumps({"value": v, "offset": off}) + "\n")
+
+    pipe = PipelineDef(
+        source=SourceDef("file-debezium", {
+            "path": src, "schema": "id int, uid int",
+            "table": "db.s.ev", "primary-keys": ["id"]}),
+        sink=SinkDef("custom"),
+    )
+    writer = make_sketch_sink_writer(out, "uid", depth=4, width=64, k=32)
+
+    write("b1.jsonl", [(i, env(i, i % 17)) for i in range(40)])
+    q = compose_changelog_stream(spark, pipe, ckpt, writer)
+    q.awaitTermination(120)
+    write("b2.jsonl", [(100 + i, env(100 + i, i % 29)) for i in range(40)])
+    q = compose_changelog_stream(spark, pipe, ckpt, writer)
+    q.awaitTermination(120)
+
+    all_rows = spark.createDataFrame(
+        [(i, i % 17) for i in range(40)]
+        + [(100 + i, i % 29) for i in range(40)], "id int, uid int") \
+        .withColumn("__g", F.lit(1))
+    cm_live = {(r["d"], r["cell"]): r["c"] for r in
+               spark.read.parquet(f"{out}/ev__cm").collect()}
+    cm_scratch = {(r["d"], r["cell"]): r["c"] for r in
+                  countmin_sketch(all_rows, "uid", 4, 64).collect()}
+    assert cm_live == cm_scratch
+    kmv_live = kmv_estimate(
+        spark.read.parquet(f"{out}/ev__kmv"), ["__g"], k=32).collect()[0]
+    kmv_scratch = kmv_estimate(
+        kmv_partial(all_rows, "uid", ["__g"], k=32), ["__g"],
+        k=32).collect()[0]
+    assert (kmv_live["n_kept"], kmv_live["distinct_est"]) \
+        == (kmv_scratch["n_kept"], kmv_scratch["distinct_est"])
