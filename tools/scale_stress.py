@@ -59,6 +59,15 @@ TARGETS = [
     "dedup_exact",
     "web_url_dedup",
     "text_quality_classifier",
+    # round-5 additions over the documents corpus: corpus-df boilerplate
+    # removal (segment-grain shuffle), the iterative BPE trainer (vocab-
+    # bound — its exponent should be well BELOW 1 since rounds run on
+    # the Zipf-collapsed vocab), triangle counting (wedge join), and the
+    # KMV shingle set-ops (distinct-collapse bound)
+    "text_boilerplate_removal",
+    "text_bpe_train",
+    "graph_triangle_count",
+    "sketch_kmv_set_ops",
 ]
 
 
