@@ -320,9 +320,24 @@ def foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             out = out0
             if schema.primary_keys:
                 out = repartition_by_key(out, list(schema.primary_keys))
-            sink_writer(sink_tid, out, schema)
+            # epoch-aware writers (e.g. make_versioned_sink_writer) take
+            # the micro-batch id as their commit epoch for exactly-once
+            # versioning under replay; classic 3-arg writers stay as-is
+            if _accepts_batch_id(sink_writer):
+                sink_writer(sink_tid, out, schema, batch_id=batch_id)
+            else:
+                sink_writer(sink_tid, out, schema)
 
     return handle
+
+
+def _accepts_batch_id(writer) -> bool:
+    import inspect
+
+    try:
+        return "batch_id" in inspect.signature(writer).parameters
+    except (TypeError, ValueError):
+        return False
 
 
 def ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
@@ -516,5 +531,27 @@ def make_sketch_sink_writer(base_path: str, key_col: str,
         kmv = read_parquet_state(spark, f"{base}__kmv")
         swap_parquet_dir(
             kmv_apply_batch(kmv, src, key_col, g, k), f"{base}__kmv")
+
+    return writer
+
+
+def make_versioned_sink_writer(base_path: str, buckets: int = 16):
+    """Sink-writer maintaining a VERSIONED (manifest-pinned) parquet
+    table per sink table: each micro-batch MERGEs as one snapshot
+    commit, so the streaming sink accrues a full time-travel history —
+    query any past micro-batch state, diff any two with table_changes,
+    vacuum when retention expires. The Structured-Streaming batchId
+    rides as the commit epoch, making replay after a crash a NO-OP
+    (same epoch → no duplicate version, no double-apply): stronger
+    than the cow writer's idempotent-by-same-images guarantee."""
+    from .lakehouse import merge_into_versioned_parquet
+    from .partitioning import hash_bucket_expr
+
+    def writer(sink_tid, df, schema, batch_id=None):
+        part = df.withColumn(
+            "part", hash_bucket_expr(list(schema.primary_keys), buckets))
+        merge_into_versioned_parquet(
+            f"{base_path}/{sink_tid.table}", part, schema,
+            epoch=None if batch_id is None else str(batch_id))
 
     return writer

@@ -230,14 +230,20 @@ def _load_manifest(local: str, version: int) -> dict:
 
 
 def merge_into_versioned_parquet(path: str, changelog: DataFrame,
-                                 schema: Schema,
-                                 part_col: str = "part") -> dict:
+                                 schema: Schema, part_col: str = "part",
+                                 epoch: str | None = None) -> dict:
     """MERGE a changelog batch into a versioned parquet table, committing
     a new manifest version. Only the partitions the batch touches are
     re-materialized (their files re-written under new names); untouched
     partitions carry their existing files forward BY REFERENCE in the
     new manifest — zero IO for the 99.97% of a 100 TB table a batch
-    doesn't touch. Returns {"version", "rewritten", "dropped"}."""
+    doesn't touch. Returns {"version", "rewritten", "dropped"}.
+
+    ``epoch`` makes the commit IDEMPOTENT under foreachBatch replay: a
+    merge whose epoch equals the latest manifest's is a no-op (the
+    crashed run already committed this batch), so a restart replaying
+    the last micro-batch neither double-applies it nor mints a
+    duplicate version."""
     spark = changelog.sparkSession
     pks = list(schema.primary_keys)
     local = _local(path)
@@ -250,6 +256,9 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
         prev_m = _load_manifest(local, versions[-1])
         prev_files = prev_m["files"]
         prev_stats = prev_m.get("file_stats", {})
+        if epoch is not None and prev_m.get("epoch") == epoch:
+            return {"version": prev_m["version"], "rewritten": [],
+                    "dropped": [], "replayed_epoch": epoch}
 
     final = last_write_wins(changelog, pks)
     affected = sorted(
@@ -314,6 +323,7 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
     manifest = {"version": new_version, "ts": time.time(),
                 "part_col": part_col, "schema": out.schema.json(),
                 "files": files, "file_stats": file_stats,
+                "epoch": epoch,
                 "op": {"rewritten": rewritten, "dropped": dropped}}
     target = _manifest_file(local, new_version)
     tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"

@@ -70,8 +70,19 @@ def kmv_partial(df: DataFrame, key_col: str, group_cols: list[str],
         raise ValueError(f"k must be >= 2, got {k}")
     h = F.md5(F.concat(F.lit(salt), F.col(key_col).cast("string")))
     d = df.select(*group_cols, h.alias("__h")).distinct()
+    # two-level k-min: a group with a billion distinct keys would
+    # otherwise move EVERY hash into one window partition. Level 1
+    # ranks within (group, first-hex-nibble) — 16-way parallel, each
+    # sorting 1/16 of the hashes — and keeps k per bucket; the global
+    # k smallest are necessarily among the per-bucket k smallest, so
+    # level 2 ranks at most 16·k rows per group. Exactness preserved,
+    # single-partition bottleneck gone.
+    w1 = Window.partitionBy(*group_cols,
+                            F.substring("__h", 1, 1)).orderBy("__h")
+    pruned = (d.withColumn("__rn1", F.row_number().over(w1))
+              .where(F.col("__rn1") <= k).drop("__rn1"))
     w = Window.partitionBy(*group_cols).orderBy("__h")
-    return (d.withColumn("__rn", F.row_number().over(w))
+    return (pruned.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") <= k).drop("__rn"))
 
 

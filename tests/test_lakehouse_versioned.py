@@ -236,3 +236,81 @@ def test_data_skipping_prunes_files_and_keeps_semantics(spark):
     got1 = sorted(r["k"] for r in read_versioned(
         spark, path, version=1, key_range=("k", 10, 20)).collect())
     assert got1 == list(range(10, 21))
+
+
+def test_epoch_replay_is_noop(spark):
+    b1, b2, schema = _mk_batches(spark)
+    path = os.path.join(tempfile.mkdtemp(prefix="ver_ep_"), "t")
+    r1 = merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 4), schema, epoch="0")
+    r2 = merge_into_versioned_parquet(
+        path, with_bucket_partition(b2, "k", 4), schema, epoch="1")
+    before = {(r["k"], r["price"])
+              for r in read_versioned(spark, path).collect()}
+    # foreachBatch replay of the last epoch after a crash
+    r3 = merge_into_versioned_parquet(
+        path, with_bucket_partition(b2, "k", 4), schema, epoch="1")
+    assert r3.get("replayed_epoch") == "1"
+    assert r3["version"] == r2["version"]
+    assert list_versions(path) == [1, 2]  # no duplicate version minted
+    after = {(r["k"], r["price"])
+             for r in read_versioned(spark, path).collect()}
+    assert after == before
+    assert (r1["version"], r2["version"]) == (1, 2)
+
+
+def test_streaming_versioned_sink_time_travel(spark, tmp_path):
+    """compose_changelog_stream -> versioned sink across two
+    checkpointed runs: every micro-batch is a manifest version, so the
+    stream's whole history is time-travelable afterwards."""
+    import json
+
+    from flink_cdc_dsql_master_spark.compose import (
+        compose_changelog_stream, make_versioned_sink_writer)
+    from flink_cdc_dsql_master_spark.lakehouse import (list_versions,
+                                                      read_versioned)
+    from flink_cdc_dsql_master_spark.pipeline import (PipelineDef,
+                                                     SinkDef, SourceDef)
+
+    src = str(tmp_path / "topic_v")
+    ckpt = str(tmp_path / "ckpt_v")
+    out = str(tmp_path / "vtbl")
+    (tmp_path / "topic_v").mkdir()
+
+    def env(before, after, op):
+        return json.dumps({"before": before, "after": after, "op": op})
+
+    def write(fn, rows):
+        with open(f"{src}/{fn}", "w") as f:
+            for off, v in rows:
+                f.write(json.dumps({"value": v, "offset": off}) + "\n")
+
+    pipe = PipelineDef(
+        source=SourceDef("file-debezium", {
+            "path": src, "schema": "id int, v double",
+            "table": "db.s.t", "primary-keys": ["id"]}),
+        sink=SinkDef("custom"),
+    )
+    writer = make_versioned_sink_writer(out, buckets=4)
+
+    write("b1.jsonl", [
+        (1, env(None, {"id": 1, "v": 1.0}, "c")),
+        (2, env(None, {"id": 2, "v": 2.0}, "c")),
+    ])
+    q = compose_changelog_stream(spark, pipe, ckpt, writer)
+    q.awaitTermination(120)
+    write("b2.jsonl", [
+        (3, env({"id": 1, "v": 1.0}, {"id": 1, "v": 9.0}, "u")),
+        (4, env({"id": 2, "v": 2.0}, None, "d")),
+    ])
+    q = compose_changelog_stream(spark, pipe, ckpt, writer)
+    q.awaitTermination(120)
+
+    tbl = f"{out}/t"
+    assert len(list_versions(tbl)) == 2
+    latest = {(r["id"], r["v"])
+              for r in read_versioned(spark, tbl).collect()}
+    assert latest == {(1, 9.0)}
+    v1 = {(r["id"], r["v"])
+          for r in read_versioned(spark, tbl, 1).collect()}
+    assert v1 == {(1, 1.0), (2, 2.0)}
