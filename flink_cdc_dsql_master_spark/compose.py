@@ -215,6 +215,18 @@ class BatchComposer:
                                          buckets))
             merge_into_partitioned_parquet(
                 f"{base}/{sink_tid.table}", part, schema)
+        elif sink.type == "versioned-parquet":
+            from .lakehouse import merge_into_versioned_parquet
+            from .partitioning import hash_bucket_expr
+
+            base = sink.config["path"]
+            buckets = int(sink.config.get("buckets", 16))
+            part = df.withColumn(
+                "part", hash_bucket_expr(list(schema.primary_keys),
+                                         buckets))
+            merge_into_versioned_parquet(
+                f"{base}/{sink_tid.table}", part, schema,
+                epoch=sink.config.get("epoch"))
         else:
             raise ValueError(f"unsupported sink type {sink.type!r}")
 

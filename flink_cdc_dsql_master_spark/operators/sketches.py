@@ -346,3 +346,23 @@ def kmv_apply_batch(state: DataFrame | None, batch: DataFrame,
         return part
     return kmv_merge([state.select(*group_cols, "__h"), part],
                      group_cols, k)
+
+
+def countmin_join_size(sketch_a: DataFrame, sketch_b: DataFrame
+                       ) -> DataFrame:
+    """Estimate the equi-join OUTPUT cardinality |A ⋈ B| from the two
+    sides' Count-Min sketches alone (same depth/width/salt): per depth
+    row, the inner product Σ_cell a_c·b_c upper-bounds Σ_key f_A(k)·
+    f_B(k) (hash collisions only ADD cross terms); min over depth rows
+    tightens it. The optimizer-statistics use case: size a join's
+    shuffle/broadcast decision from two KB summaries WITHOUT running
+    the join — at 100 TB, knowing 'this join explodes 50×' before
+    launching it is the difference between re-planning and an OOM
+    post-mortem. One ≤depth·width-row join + a depth-row aggregate.
+    Returns one row: (est_join_rows)."""
+    j = (sketch_a.select("d", "cell", F.col("c").alias("ca"))
+         .join(sketch_b.select("d", "cell", F.col("c").alias("cb")),
+               ["d", "cell"]))
+    per_d = j.groupBy("d").agg(
+        F.sum(F.col("ca") * F.col("cb")).alias("ip"))
+    return per_d.agg(F.min("ip").cast("long").alias("est_join_rows"))

@@ -6837,3 +6837,52 @@ def sketch_kmv_set_ops(spark, sf_dir):
     a = sh.where(F.col("source") == "src1").select("s")
     b = sh.where(F.col("source") == "src4").select("s")
     return kmv_set_estimates(a, b, "s", k=256)
+
+
+@_q(
+    "sketch_join_size_estimate",
+    """
+    WITH depths AS (SELECT unnest([0, 1, 2, 3]) AS d),
+    ska AS (
+      SELECT d,
+             ('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || '|' ||
+                CAST(o_custkey AS VARCHAR)), 1, 8))::BIGINT % 512 AS cell,
+             COUNT(*) AS c
+      FROM orders CROSS JOIN depths GROUP BY 1, 2),
+    skb AS (
+      SELECT d,
+             ('0x' || substr(md5('cm' || CAST(d AS VARCHAR) || '|' ||
+                CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 512 AS cell,
+             COUNT(*) AS c
+      FROM customer CROSS JOIN depths WHERE c_acctbal > 0
+      GROUP BY 1, 2),
+    ip AS (
+      SELECT a.d, SUM(a.c * b.c) AS ip
+      FROM ska a JOIN skb b ON b.d = a.d AND b.cell = a.cell
+      GROUP BY a.d),
+    est AS (SELECT CAST(MIN(ip) AS BIGINT) AS est_join_rows FROM ip),
+    ex AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS exact_join_rows
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      WHERE c.c_acctbal > 0)
+    SELECT est.est_join_rows, ex.exact_join_rows FROM est, ex
+    """,
+)
+def sketch_join_size_estimate(spark, sf_dir):
+    """Join-cardinality estimation from Count-Min inner products — the
+    optimizer-statistics face of the sketch family: |orders ⋈ customer|
+    (on custkey, positive-balance customers) estimated from two KB
+    summaries without executing the join, beside the exact count. The
+    estimate is a deterministic upper bound (collisions only add mass);
+    min-over-depth tightens it; the oracle replays both numbers."""
+    from .operators.sketches import countmin_join_size, countmin_sketch
+
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer").where(F.col("c_acctbal") > 0)
+    ska = countmin_sketch(orders, "o_custkey", depth=4, width=512)
+    skb = countmin_sketch(cust, "c_custkey", depth=4, width=512)
+    est = countmin_join_size(ska, skb)
+    exact = (orders.join(cust,
+                         orders["o_custkey"] == cust["c_custkey"])
+             .agg(F.count("*").cast("long").alias("exact_join_rows")))
+    return est.crossJoin(exact)

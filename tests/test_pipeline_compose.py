@@ -279,3 +279,40 @@ def test_pipeline_live_db_to_live_db(spark, tmp_path):
     got = duckdb.connect(sink_db).execute(
         "SELECT id, name, score FROM users ORDER BY id").fetchall()
     assert got == [(1, "ANN", 1.5), (2, "BOBBY", 9.0), (4, "DEE", 4.5)]
+
+
+def test_versioned_parquet_sink(spark, tmp_path):
+    """YAML-reachable versioned-table sink: two composer runs commit
+    manifest versions 1 and 2; time travel recovers the first batch's
+    state, and replaying a run with the same epoch mints no version."""
+    from flink_cdc_dsql_master_spark.lakehouse import (list_versions,
+                                                      read_versioned)
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    s = Schema.of([("id", "INT NOT NULL"), ("v", "DOUBLE")],
+                  primary_keys=["id"])
+    tid = "db.s.m"
+    base = str(tmp_path / "versioned")
+
+    def run(script, epoch):
+        pipe = PipelineDef(
+            source=SourceDef("values", {"script": script}),
+            sink=SinkDef("versioned-parquet",
+                         {"path": base, "buckets": 4, "epoch": epoch}),
+        )
+        BatchComposer(spark, pipe).run()
+
+    b1 = EventScript().create_table(tid, s).insert(tid, (1, 5.0), (2, 7.0))
+    b2 = (EventScript().create_table(tid, s)
+          .update(tid, (1, 5.0), (1, 9.0)).delete(tid, (2, 7.0)))
+    run(b1, "e1")
+    run(b2, "e2")
+    tbl = f"{base}/m"
+    assert list_versions(tbl) == [1, 2]
+    assert {(r["id"], r["v"]) for r in
+            read_versioned(spark, tbl).collect()} == {(1, 9.0)}
+    assert {(r["id"], r["v"]) for r in
+            read_versioned(spark, tbl, 1).collect()} == {(1, 5.0),
+                                                         (2, 7.0)}
+    run(b2, "e2")  # crash-replay of the last epoch
+    assert list_versions(tbl) == [1, 2]
