@@ -165,3 +165,59 @@ def test_disjunctive_predicates_push_residuals(spark, sf_dir):
     assert "l_quantity" in pushed
     assert "p_brand" in pushed or "p_size" in pushed
     assert "BroadcastHashJoin" in plan
+
+
+def test_bloom_semi_join_fact_side_map_only(spark, sf_dir):
+    """The runtime-filter claim: the bloom-filtered fact side must reach
+    its filter through BroadcastNestedLoopJoin of the ONE-row bitmap —
+    no Exchange (shuffle) of lineitem before the membership test."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.operators.sketches import (
+        bloom_semi_join)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .where(F.col("s_nationkey") < 5)
+    kept = bloom_semi_join(li, sup, "l_suppkey", "s_suppkey",
+                           m=128, k=3)
+    tree = tree_of(plan_of(kept))
+    # split at the broadcast join: the fact (stream) side above it must
+    # contain no shuffle exchange
+    assert "BroadcastNestedLoopJoin" in tree
+    fact_side = tree.split("BroadcastNestedLoopJoin")[0]
+    assert "Exchange hashpartitioning" not in fact_side
+
+
+def test_countmin_estimate_broadcasts_sketch(spark, sf_dir):
+    """The ≤ depth·width-row sketch must broadcast; candidates never
+    shuffle for the probe join."""
+    plan = plan_of(QUERIES["sketch_countmin_topk"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+
+
+def test_kmv_distinct_partial_aggregates(spark, sf_dir):
+    """The distinct pre-collapse must partial-aggregate map-side (the
+    shuffle carries one row per distinct key, not per event)."""
+    plan = plan_of(QUERIES["sketch_kmv_distinct"](spark, sf_dir))
+    assert "partial_" in plan or "HashAggregate" in plan
+    tree = tree_of(plan)
+    # two-level k-min: both window ranks present, no global no-partition
+    # window over the raw hash stream
+    assert tree.count("Window") >= 2
+
+
+def test_boilerplate_removal_partial_agg_no_global_sort(spark, sf_dir):
+    """Segment document-frequency is a partial-agg shuffle; reassembly
+    sorts within groups only — no corpus-wide Sort outside windows."""
+    plan = plan_of(QUERIES["text_boilerplate_removal"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "HashAggregate" in tree or "ObjectHashAggregate" in tree
+    assert "Exchange rangepartitioning" not in tree  # no global sort
+
+
+def test_histogram_quantiles_broadcasts_stats(spark, sf_dir):
+    """The 1-row min/max/count aggregate rides as a broadcast, never a
+    shuffled join."""
+    plan = plan_of(QUERIES["sketch_histogram_quantiles"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
