@@ -302,19 +302,23 @@ def kmv_set_estimates(a: DataFrame, b: DataFrame, key_col: str,
     g: list[str] = ["__g"]
     pa = kmv_partial(a.withColumn("__g", F.lit(1)), key_col, g, k, salt)
     pb = kmv_partial(b.withColumn("__g", F.lit(1)), key_col, g, k, salt)
-    ea = kmv_estimate(pa, g, k).select(
-        F.col("distinct_est").alias("est_a"))
-    eb = kmv_estimate(pb, g, k).select(
-        F.col("distinct_est").alias("est_b"))
-    eu = kmv_estimate(kmv_merge([pa, pb], g, k), g, k).select(
-        F.col("distinct_est").alias("est_union"))
+    # the 1-row collapse goes through agg() (always yields a row), so an
+    # EMPTY input set estimates 0.0 instead of vanishing the output row
+    ea = kmv_estimate(pa, g, k).agg(
+        F.coalesce(F.min("distinct_est"), F.lit(0.0)).alias("est_a"))
+    eb = kmv_estimate(pb, g, k).agg(
+        F.coalesce(F.min("distinct_est"), F.lit(0.0)).alias("est_b"))
+    eu = kmv_estimate(kmv_merge([pa, pb], g, k), g, k).agg(
+        F.coalesce(F.min("distinct_est"), F.lit(0.0)).alias("est_union"))
     out = ea.crossJoin(eb).crossJoin(eu)
     inter = F.greatest(
         F.lit(0.0),
         F.round(F.col("est_a") + F.col("est_b") - F.col("est_union"), 4))
+    jac = F.when(F.col("est_union") > 0.0,
+                 F.round(inter / F.col("est_union"), 6)).otherwise(0.0)
     return out.select(
         "est_a", "est_b", "est_union", inter.alias("est_intersection"),
-        F.round(inter / F.col("est_union"), 6).alias("jaccard"))
+        jac.alias("jaccard"))
 
 
 # ------------------------------------------------- streaming maintenance ---
@@ -365,4 +369,8 @@ def countmin_join_size(sketch_a: DataFrame, sketch_b: DataFrame
                ["d", "cell"]))
     per_d = j.groupBy("d").agg(
         F.sum(F.col("ca") * F.col("cb")).alias("ip"))
-    return per_d.agg(F.min("ip").cast("long").alias("est_join_rows"))
+    # no overlapping cells at all (disjoint key hash footprints, or an
+    # empty side) estimates an empty join, not NULL
+    return per_d.agg(
+        F.coalesce(F.min("ip"), F.lit(0)).cast("long")
+        .alias("est_join_rows"))

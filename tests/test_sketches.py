@@ -184,3 +184,21 @@ def test_changelog_stream_to_sketches(spark, tmp_path):
         k=32).collect()[0]
     assert (kmv_live["n_kept"], kmv_live["distinct_est"]) \
         == (kmv_scratch["n_kept"], kmv_scratch["distinct_est"])
+
+
+def test_empty_set_edges(spark):
+    """Empty inputs estimate zero instead of vanishing rows / NULLs."""
+    from flink_cdc_dsql_master_spark.operators.sketches import (
+        countmin_join_size, countmin_sketch, kmv_set_estimates)
+
+    empty = spark.createDataFrame([], "k long")
+    full = spark.createDataFrame([(i,) for i in range(50)], "k long")
+    row = kmv_set_estimates(empty, full, "k", k=64).collect()[0]
+    assert row["est_a"] == 0.0 and row["est_b"] == 50.0
+    assert row["est_intersection"] == 0.0 and row["jaccard"] == 0.0
+
+    # disjoint hash footprints -> zero estimated join rows, not NULL
+    a = countmin_sketch(full, "k", depth=2, width=64)
+    b = countmin_sketch(empty, "k", depth=2, width=64)
+    est = countmin_join_size(a, b).collect()[0]
+    assert est["est_join_rows"] == 0
