@@ -6886,3 +6886,322 @@ def sketch_join_size_estimate(spark, sf_dir):
                          orders["o_custkey"] == cust["c_custkey"])
              .agg(F.count("*").cast("long").alias("exact_join_rows")))
     return est.crossJoin(exact)
+
+
+# ------------------------------------------------------------------------
+# TPC-H completion: the six shapes whose canonical form needs the
+# partsupp relation (absent from the driver testdata) run over a
+# DETERMINISTICALLY DERIVED partsupp — 4 suppliers per part with
+# arithmetic availqty/supplycost, replayed verbatim by each oracle (the
+# synthetic-link-graph discipline from graph_pagerank). With these, all
+# 22 TPC-H query shapes are registered and oracle-checked.
+# ------------------------------------------------------------------------
+
+_PARTSUPP_SQL = """
+    ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM supplier),
+    partsupp AS (
+      SELECT p_partkey AS ps_partkey,
+             (p_partkey * 7 + j * 13) % (SELECT n FROM ns) AS ps_suppkey,
+             (p_partkey * 13 + j * 7) % 9999 + 1 AS ps_availqty,
+             ROUND(((p_partkey * 31 + j * 17) % 1000) / 10.0 + 1.0, 2)
+               AS ps_supplycost
+      FROM part, unnest([0, 1, 2, 3]) AS t(j))"""
+
+
+def _partsupp(spark, sf_dir):
+    """Derived partsupp: 4 suppliers per part, key/qty/cost all pure
+    arithmetic of (p_partkey, j) so ANY SQL engine rebuilds the
+    identical relation. j-distinctness: 13·Δj mod |supplier| ≠ 0 for
+    Δj ∈ {1,2,3} at |supplier| ≥ 40."""
+    part = _t(spark, sf_dir, "part")
+    ns = _t(spark, sf_dir, "supplier").count()
+    ps = part.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.explode(F.array(*[F.lit(i) for i in range(4)])).alias("j"))
+    k, j = F.col("ps_partkey"), F.col("j")
+    return ps.select(
+        "ps_partkey",
+        ((k * 7 + j * 13) % ns).alias("ps_suppkey"),
+        ((k * 13 + j * 7) % 9999 + 1).alias("ps_availqty"),
+        F.round(((k * 31 + j * 17) % 1000) / 10.0 + 1.0, 2)
+        .alias("ps_supplycost"))
+
+
+@_q(
+    "join_min_cost_supplier",
+    """
+    WITH""" + _PARTSUPP_SQL + """,
+    eligible AS (
+      SELECT ps.ps_partkey, ps.ps_suppkey, ps.ps_supplycost
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = 'EUROPE'),
+    mins AS (
+      SELECT ps_partkey, MIN(ps_supplycost) AS min_cost
+      FROM eligible GROUP BY ps_partkey)
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_type,
+           e.ps_supplycost
+    FROM eligible e
+    JOIN mins m ON m.ps_partkey = e.ps_partkey
+               AND e.ps_supplycost = m.min_cost
+    JOIN part p ON p.p_partkey = e.ps_partkey
+    JOIN supplier s ON s.s_suppkey = e.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size < 15 AND p.p_type = 'PROMO'
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey
+    LIMIT 100
+    """,
+)
+def join_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape: minimum-cost supplier per part within a region.
+    The correlated MIN subquery is DECORRELATED into a per-part
+    pre-aggregate joined back (the only shape that scales — one
+    aggregate + equi-joins, no per-row subquery); dims broadcast; the
+    top-100 is a TakeOrderedAndProject under a tie-free total order."""
+    ps = _partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    eligible = (ps.join(F.broadcast(sup),
+                        ps["ps_suppkey"] == sup["s_suppkey"])
+                .join(F.broadcast(nat),
+                      F.col("s_nationkey") == F.col("n_nationkey"))
+                .join(F.broadcast(reg.where(F.col("r_name") == "EUROPE")),
+                      F.col("n_regionkey") == F.col("r_regionkey"))
+                .select("ps_partkey", "ps_suppkey", "ps_supplycost"))
+    mins = (eligible.groupBy(F.col("ps_partkey").alias("mk"))
+            .agg(F.min("ps_supplycost").alias("min_cost")))
+    out = (eligible.join(mins,
+                         (F.col("ps_partkey") == F.col("mk"))
+                         & (F.col("ps_supplycost") == F.col("min_cost")))
+           .join(_t(spark, sf_dir, "part"),
+                 F.col("ps_partkey") == F.col("p_partkey"))
+           .where((F.col("p_size") < 15) & (F.col("p_type") == "PROMO"))
+           .join(F.broadcast(sup),
+                 F.col("ps_suppkey") == F.col("s_suppkey"))
+           .join(F.broadcast(nat),
+                 F.col("s_nationkey") == F.col("n_nationkey")))
+    return (out.select("s_acctbal", "s_name", "n_name", "p_partkey",
+                       "p_type", "ps_supplycost")
+            .orderBy(F.col("s_acctbal").desc(), "n_name", "s_name",
+                     "p_partkey")
+            .limit(100))
+
+
+@_q(
+    "agg_product_profit",
+    """
+    WITH""" + _PARTSUPP_SQL + """
+    SELECT n.n_name AS nation,
+           CAST(EXTRACT(year FROM o.o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                     - ps.ps_supplycost * l.l_quantity
+                     AS DECIMAL(18, 4))), 2) AS DOUBLE) AS profit
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN partsupp ps ON ps.ps_partkey = l.l_partkey
+                    AND ps.ps_suppkey = l.l_suppkey
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_type = 'ECONOMY'
+    GROUP BY 1, 2
+    """,
+)
+def agg_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape: product-type profit by supplier nation and order
+    year (revenue minus supply cost). Fact-fact join on the composite
+    (partkey, suppkey) against the derived partsupp; part filter pushed
+    before the join; supplier/nation broadcast; one partial-agg shuffle
+    on (nation, year)."""
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    part = _t(spark, sf_dir, "part").where(F.col("p_type") == "ECONOMY")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    j = (li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+         .join(ps, (li["l_partkey"] == ps["ps_partkey"])
+               & (li["l_suppkey"] == ps["ps_suppkey"]))
+         .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+         .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
+         .join(F.broadcast(nat),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    # per-row profit cast to DECIMAL(18,4) BEFORE summing: decimal sums
+    # are exact and order-independent, so the cross-engine result is
+    # bit-identical instead of rounding-boundary-dependent (the
+    # agg_decimal_exact_sums discipline) — double accumulation flipped
+    # one group's cent at sf0.01
+    profit = (F.col("l_extendedprice") * (1 - F.col("l_discount"))
+              - F.col("ps_supplycost") * F.col("l_quantity"))
+    return (j.groupBy(F.col("n_name").alias("nation"),
+                      F.year("o_orderdate").alias("o_year"))
+            .agg(F.round(F.sum(profit.cast("decimal(18,4)")), 2)
+                 .cast("double").alias("profit")))
+
+
+@_q(
+    "agg_important_stock",
+    """
+    WITH""" + _PARTSUPP_SQL + """,
+    scoped AS (
+      SELECT ps.ps_partkey,
+             ps.ps_supplycost * ps.ps_availqty AS value
+      FROM partsupp ps
+      JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = (SELECT MIN(n_name) FROM nation)),
+    total AS (SELECT SUM(value) AS tv FROM scoped)
+    SELECT ps_partkey, ROUND(SUM(value), 2) AS part_value
+    FROM scoped, total
+    GROUP BY ps_partkey, total.tv
+    HAVING SUM(value) > 0.002 * tv
+    """,
+)
+def agg_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape: parts whose inventory value within one nation
+    exceeds a fraction of that nation's total. The scalar total rides
+    as a broadcast 1-row aggregate (never a driver collect); one
+    partial-agg shuffle on the part key; HAVING applied post-agg."""
+    ps = _partsupp(spark, sf_dir)
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    target = nat.agg(F.min("n_name").alias("tn"))
+    scoped = (ps.join(F.broadcast(sup),
+                      ps["ps_suppkey"] == sup["s_suppkey"])
+              .join(F.broadcast(nat),
+                    F.col("s_nationkey") == F.col("n_nationkey"))
+              .crossJoin(F.broadcast(target))
+              .where(F.col("n_name") == F.col("tn"))
+              .select("ps_partkey",
+                      (F.col("ps_supplycost")
+                       * F.col("ps_availqty")).alias("value")))
+    total = scoped.agg(F.sum("value").alias("tv"))
+    return (scoped.crossJoin(F.broadcast(total))
+            .groupBy("ps_partkey", "tv")
+            .agg(F.sum("value").alias("__v"))
+            .where(F.col("__v") > 0.002 * F.col("tv"))
+            .select("ps_partkey", F.round("__v", 2).alias("part_value")))
+
+
+@_q(
+    "agg_shipmode_priority",
+    """
+    SELECT l.l_returnflag AS mode,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN
+                         ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN
+                         ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+                AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l.l_shipdate < TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def agg_shipmode_priority(spark, sf_dir):
+    """TPC-H Q12 shape: per-category high/low-priority line counts in a
+    date window (the testdata carries no l_shipmode; l_returnflag
+    stands in as the category — the shape is the two-branch conditional
+    count after a fact-fact join). Date predicates push to the scan;
+    one partial-agg shuffle on the category."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    win = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    j = win.join(orders, win["l_orderkey"] == orders["o_orderkey"])
+    return (j.groupBy(F.col("l_returnflag").alias("mode"))
+            .agg(F.sum(F.when(hi, 1).otherwise(0)).cast("long")
+                 .alias("high_line_count"),
+                 F.sum(F.when(~hi, 1).otherwise(0)).cast("long")
+                 .alias("low_line_count")))
+
+
+@_q(
+    "agg_supplier_part_counts",
+    """
+    WITH""" + _PARTSUPP_SQL + """
+    SELECT p.p_brand, p.p_type, p.p_size,
+           CAST(COUNT(DISTINCT ps.ps_suppkey) AS BIGINT) AS supplier_cnt
+    FROM partsupp ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#15' AND p.p_type <> 'PROMO'
+      AND p.p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      AND ps.ps_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY 1, 2, 3
+    """,
+)
+def agg_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape: distinct supplier counts per (brand, type,
+    size), excluding a brand/type and a supplier denylist (negative
+    balance stands in for the complaints LIKE — the shape is the
+    anti-join against a subquery). Denylist broadcast as a left-anti;
+    COUNT DISTINCT collapses in the usual two-phase expand."""
+    ps = _partsupp(spark, sf_dir)
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != "Brand#15") & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+    deny = (_t(spark, sf_dir, "supplier")
+            .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    kept = ps.join(F.broadcast(deny),
+                   ps["ps_suppkey"] == deny["s_suppkey"], "left_anti")
+    j = kept.join(F.broadcast(part),
+                  F.col("ps_partkey") == F.col("p_partkey"))
+    return (j.groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("ps_suppkey").cast("long")
+                 .alias("supplier_cnt")))
+
+
+@_q(
+    "join_excess_inventory",
+    """
+    WITH""" + _PARTSUPP_SQL + """,
+    shipped AS (
+      SELECT l_partkey, l_suppkey, 0.5 * SUM(l_quantity) AS half_qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY 1, 2)
+    SELECT s.s_name, s.s_suppkey,
+           CAST(COUNT(*) AS BIGINT) AS n_excess_parts
+    FROM partsupp ps
+    JOIN shipped sh ON sh.l_partkey = ps.ps_partkey
+                   AND sh.l_suppkey = ps.ps_suppkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE ps.ps_availqty > sh.half_qty
+      AND n.n_regionkey = 3
+    GROUP BY 1, 2
+    """,
+)
+def join_excess_inventory(spark, sf_dir):
+    """TPC-H Q20 shape: suppliers in one region holding stock above
+    half a year's shipments of that (part, supplier). The correlated
+    quantity subquery is decorrelated into a per-(part,supp)
+    pre-aggregate (one shuffle) joined back on the composite key;
+    supplier/nation broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation").where(F.col("n_regionkey") == 3)
+    shipped = (li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg((0.5 * F.sum("l_quantity")).alias("half_qty")))
+    j = (ps.join(shipped, (ps["ps_partkey"] == shipped["l_partkey"])
+                 & (ps["ps_suppkey"] == shipped["l_suppkey"]))
+         .where(F.col("ps_availqty") > F.col("half_qty"))
+         .join(F.broadcast(sup),
+               F.col("ps_suppkey") == F.col("s_suppkey"))
+         .join(F.broadcast(nat),
+               F.col("s_nationkey") == F.col("n_nationkey")))
+    return (j.groupBy("s_name", "s_suppkey")
+            .agg(F.count("*").cast("long").alias("n_excess_parts")))
