@@ -70,6 +70,18 @@ def _part_dir(local: str, part_col: str, value) -> str:
     return os.path.join(local, f"{part_col}={value}")
 
 
+def _default_changelog_cols(changelog: DataFrame) -> DataFrame:
+    """A plain-row batch (no changelog columns — e.g. the
+    foreach_batch_writer data path after transform/coerce) merges as
+    all-upserts: default op +I, seq 0."""
+    if OP_COLUMN not in changelog.columns:
+        changelog = changelog.withColumn(OP_COLUMN, F.lit("+I"))
+    if SEQ_COLUMN not in changelog.columns:
+        changelog = changelog.withColumn(
+            SEQ_COLUMN, F.lit(0).cast("long"))
+    return changelog
+
+
 def recover_partitioned_merge(path: str) -> bool:
     """Roll forward a merge interrupted in its publish window.
 
@@ -117,6 +129,7 @@ def merge_into_partitioned_parquet(path: str, changelog: DataFrame,
     """
     spark = changelog.sparkSession
     pks = list(schema.primary_keys)
+    changelog = _default_changelog_cols(changelog)
     local = _local(path)
     os.makedirs(os.path.join(local, TXN_DIR), exist_ok=True)
     recover_partitioned_merge(path)
@@ -246,6 +259,7 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
     duplicate version."""
     spark = changelog.sparkSession
     pks = list(schema.primary_keys)
+    changelog = _default_changelog_cols(changelog)
     local = _local(path)
     os.makedirs(os.path.join(local, LOG_DIR), exist_ok=True)
 

@@ -314,3 +314,42 @@ def test_streaming_versioned_sink_time_travel(spark, tmp_path):
     v1 = {(r["id"], r["v"])
           for r in read_versioned(spark, tbl, 1).collect()}
     assert v1 == {(1, 1.0), (2, 2.0)}
+
+
+def test_mid_stream_add_column_into_versioned_table(spark):
+    """The reference's core evolution scenario landed on the versioned
+    table: batch 2 ADDs a column mid-stream; version 2's manifest mixes
+    old files (without the column) and new files (with it), the
+    mergeSchema read NULL-fills across generations, and time travel to
+    version 1 still shows the pre-evolution schema."""
+    from flink_cdc_dsql_master_spark.compose import (
+        foreach_batch_writer, make_versioned_sink_writer)
+    from flink_cdc_dsql_master_spark.pipeline import (PipelineDef,
+                                                     SinkDef, SourceDef)
+    from flink_cdc_dsql_master_spark.route import RouteRule
+
+    base = tempfile.mkdtemp(prefix="ver_evo_")
+    pipe = PipelineDef(
+        source=SourceDef("values", {
+            "table": "db.s.users", "primary-keys": ["id"]}),
+        sink=SinkDef("custom"),
+        routes=(RouteRule(r"db.s.users", "out.public.users"),),
+    )
+    writer = make_versioned_sink_writer(base, buckets=2)
+    handle = foreach_batch_writer(pipe, writer, spark)
+
+    handle(spark.createDataFrame([(1, "a"), (2, "b")],
+                                 "id int, name string"), 0)
+    handle(spark.createDataFrame([(3, "c", 30), (2, "b", 20)],
+                                 "id int, name string, age int"), 1)
+
+    tbl = f"{base}/users"
+    assert list_versions(tbl) == [1, 2]
+    latest = {(r["id"], r["name"], r["age"])
+              for r in read_versioned(spark, tbl).collect()}
+    # row 1 untouched by batch 2: its FILE predates the column -> NULL
+    assert latest == {(1, "a", None), (2, "b", 20), (3, "c", 30)}
+    v1 = read_versioned(spark, tbl, 1)
+    assert "age" not in v1.columns  # pre-evolution snapshot, old schema
+    assert {(r["id"], r["name"]) for r in v1.collect()} \
+        == {(1, "a"), (2, "b")}
