@@ -609,3 +609,75 @@ def plan_files(path: str, version: int | None = None,
     return {"paths": [os.path.join(local, rel) for rel in kept],
             "skipped": len(rels) - len(kept), "total": len(rels),
             "schema": m["schema"]}
+
+
+def cluster_versioned(path: str, sort_col: str,
+                      files_per_partition: int = 4,
+                      target_partitions: list[str] | None = None) -> dict:
+    """Re-cluster partitions by ``sort_col`` as a new manifest version —
+    the OPTIMIZE ... ZORDER analog for the one-dimension case: each
+    targeted partition is rewritten as ``files_per_partition``
+    range-partitioned, internally sorted files, so every file covers a
+    NARROW band of the sort key and the manifest's footer-stats index
+    (plan_files) can skip most files for a range predicate. Without
+    clustering, every file of an unsorted ingest spans the whole key
+    range and stats can prove nothing.
+
+    Logical no-op, snapshot-isolated like compaction: older readers
+    keep the unclustered files until their versions expire. Returns
+    {"version", "clustered": {part: (files_before, files_after)}}."""
+    from pyspark.sql import SparkSession, functions as _F
+
+    spark = SparkSession.getActiveSession()
+    local = _local(path)
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    m = _load_manifest(local, versions[-1])
+    part_col = m["part_col"]
+    targets = [v for v in m["files"]
+               if target_partitions is None or v in target_partitions]
+    files = {v: list(fs) for v, fs in m["files"].items()}
+    prev_stats = m.get("file_stats", {})
+    stat_cols = sorted({c for s in prev_stats.values()
+                        for c in s} | {sort_col})
+    clustered = {}
+    file_stats = {}
+    for v in targets:
+        old_paths = [os.path.join(local, rel) for rel in files[v]]
+        df = (spark.read.option("mergeSchema", "true")
+              .option("basePath", local).parquet(*old_paths))
+        staging = local.rstrip("/") + f".__clu_{uuid.uuid4().hex[:12]}__"
+        (df.drop(part_col)
+         .repartitionByRange(files_per_partition, _F.col(sort_col))
+         .sortWithinPartitions(sort_col)
+         .write.mode("overwrite").parquet(staging))
+        live_dir = os.path.join(local, f"{part_col}={v}")
+        new_rel = []
+        for fn in os.listdir(staging):
+            if fn.endswith(".parquet"):
+                os.rename(os.path.join(staging, fn),
+                          os.path.join(live_dir, fn))
+                new_rel.append(f"{part_col}={v}/{fn}")
+        shutil.rmtree(staging, ignore_errors=True)
+        clustered[v] = (len(files[v]), len(new_rel))
+        files[v] = sorted(new_rel)
+        file_stats.update(
+            collect_file_stats(local, files[v], stat_cols))
+    # untouched partitions keep their recorded stats
+    file_stats.update({rel: prev_stats[rel]
+                       for v2, fs in files.items() if v2 not in clustered
+                       for rel in fs if rel in prev_stats})
+    if not clustered:
+        return {"version": versions[-1], "clustered": {}}
+    new_version = versions[-1] + 1
+    manifest = {"version": new_version, "ts": time.time(),
+                "part_col": part_col, "schema": m["schema"],
+                "files": files, "file_stats": file_stats,
+                "op": {"rewritten": sorted(clustered), "dropped": []}}
+    target = _manifest_file(local, new_version)
+    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, target)
+    return {"version": new_version, "clustered": clustered}

@@ -16,11 +16,19 @@ pipeline needs, built Spark-first:
 - ``ivm``        incremental view maintenance (signed-partial rollups)
 - ``profile``    one-scan per-column table profiling
 - ``multimodal`` binary-column decode/feature plumbing with REAL
-                 WAV/PPM/BMP kernels (pandas-UDF shaped)
+                 WAV/PPM/BMP/PNG kernels (pandas-UDF shaped)
+- ``graph``      PageRank power iteration, degree-ordered triangle
+                 counting
+- ``web``        URL canonicalization, canonical-URL dedup, domain stats
+- ``sketches``   KMV distinct (+ set algebra), Count-Min (+ join-size
+                 estimation), histogram quantiles, Bloom semi-join —
+                 mergeable, bounded-state, md5-deterministic
+- ``bigdecimal`` exact >38-digit aggregation via DECIMAL(38) limbs
 
 Every operator is shuffle-partitioned (no driver materialization, no
 all-pairs joins) and stays in Catalyst built-ins where possible.
 """
 
-from . import (asof, dedup, ivm, joins, multimodal, profile,  # noqa: F401
-               sampling, similarity, text)
+from . import (asof, bigdecimal, dedup, graph, ivm, joins,  # noqa: F401
+               multimodal, profile, sampling, similarity, sketches,
+               text, web)

@@ -72,6 +72,7 @@ BENCH_QUERIES = [
     "graph_triangle_count",
     "sketch_kmv_distinct",
     "lakehouse_change_feed",
+    "agg_product_profit",
 ]
 
 

@@ -353,3 +353,44 @@ def test_mid_stream_add_column_into_versioned_table(spark):
     assert "age" not in v1.columns  # pre-evolution snapshot, old schema
     assert {(r["id"], r["name"]) for r in v1.collect()} \
         == {(1, "a"), (2, "b")}
+
+
+def test_cluster_versioned_enables_data_skipping(spark):
+    """Before clustering, every file of the scattered ingest spans the
+    whole key range — stats can skip nothing. cluster_versioned rewrites
+    each partition as range-partitioned sorted files; the same range
+    query then skips most files, with identical results and the
+    unclustered version still readable."""
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        cluster_versioned, merge_into_versioned_parquet, plan_files,
+        read_versioned, with_bucket_partition)
+
+    rows = [(i, float(i)) for i in range(400)]
+    base = spark.createDataFrame(rows, "k long, v double")
+    b1 = (base.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of(base.schema, primary_keys=["k"])
+    path = os.path.join(tempfile.mkdtemp(prefix="ver_clu_"), "t")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                   "false")
+    try:
+        # hash-scattered ingest: files cover the full key range
+        merge_into_versioned_parquet(
+            path, with_bucket_partition(b1, "k", 2).repartition(4),
+            schema)
+    finally:
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled",
+                       "true")
+    before = plan_files(path, key_range=("k", 50, 80))
+    assert before["skipped"] == 0  # scattered layout: nothing provable
+
+    out = cluster_versioned(path, "k", files_per_partition=4)
+    assert out["version"] == 2 and out["clustered"]
+    after = plan_files(path, key_range=("k", 50, 80))
+    assert after["skipped"] > after["total"] // 2
+    got = sorted(r["k"] for r in read_versioned(
+        spark, path, key_range=("k", 50, 80)).collect())
+    assert got == list(range(50, 81))
+    # logical no-op + snapshot isolation
+    assert read_versioned(spark, path).count() == 400
+    assert read_versioned(spark, path, 1).count() == 400
