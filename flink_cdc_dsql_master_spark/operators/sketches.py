@@ -374,3 +374,45 @@ def countmin_join_size(sketch_a: DataFrame, sketch_b: DataFrame
     return per_d.agg(
         F.coalesce(F.min("ip"), F.lit(0)).cast("long")
         .alias("est_join_rows"))
+
+
+def bloom_semi_join_packed(fact: DataFrame, dim: DataFrame,
+                           fact_key: str, dim_key: str, m: int = 4096,
+                           k: int = 3, salt: str = "bf") -> DataFrame:
+    """The PACKED-bitmask form of :func:`bloom_semi_join` — the
+    production path once m grows past ~10^6: the filter is a ≤ m/64-row
+    (word → 64-bit mask) table built with a bit_or aggregate, each
+    probe is one broadcast hash join on the word index plus a bit test,
+    all in whole-stage codegen. Identical bit positions as the
+    positions-array form (same md5 probes), so given the same
+    (m, k, salt) the two variants return byte-identical row sets — the
+    registered query reuses the array form's oracle to prove it.
+
+    Plan: k broadcast joins (word table ≤ m/64 rows ≈ 24 MB even at
+    m = 10^8) + a conjunctive bit-test filter; the fact side still
+    never shuffles."""
+    pos = dim.select(F.explode(F.array(
+        *_bloom_probes(F.col(dim_key), m, k, salt))).alias("p")).distinct()
+    words = (pos.select((F.col("p") / 64).cast("long").alias("w"),
+                        F.expr("shiftleft(CAST(1 AS BIGINT), "
+                               "CAST(p % 64 AS INT))").alias("mask"))
+             .groupBy("w").agg(F.bit_or("mask").alias("bits")))
+    out = fact
+    cond = F.lit(True)
+    for i in range(k):
+        p_i = _h32(F.col(fact_key).cast("string"), f"{salt}{i}") % m
+        out = out.withColumn(f"__p{i}", p_i)
+        wt = words.select(F.col("w").alias(f"__w{i}"),
+                          F.col("bits").alias(f"__b{i}"))
+        out = out.join(
+            F.broadcast(wt),
+            (F.col(f"__p{i}") / 64).cast("long") == F.col(f"__w{i}"),
+            "left")
+        hit = (F.col(f"__b{i}").isNotNull()
+               & (F.col(f"__b{i}").bitwiseAND(
+                   F.expr(f"shiftleft(CAST(1 AS BIGINT), "
+                          f"CAST(__p{i} % 64 AS INT))")) != 0))
+        cond = cond & hit
+    drop = [c for i in range(k)
+            for c in (f"__p{i}", f"__w{i}", f"__b{i}")]
+    return out.where(cond).drop(*drop)

@@ -7206,3 +7206,30 @@ def join_excess_inventory(spark, sf_dir):
                F.col("s_nationkey") == F.col("n_nationkey")))
     return (j.groupBy("s_name", "s_suppkey")
             .agg(F.count("*").cast("long").alias("n_excess_parts")))
+
+
+@_q("join_bloom_pruned_packed", None)
+def join_bloom_pruned_packed(spark, sf_dir):
+    """The packed-bitmask Bloom variant (word → 64-bit mask table,
+    bit_or aggregate, broadcast word joins + bit tests) running the
+    SAME pruning as join_bloom_pruned — and checked against the SAME
+    oracle: identical md5 bit positions mean the two physical forms
+    must return byte-identical row sets, so the scale form (m beyond
+    array-membership sizes) is conformance-proven, not just claimed."""
+    from .operators.sketches import bloom_semi_join_packed
+
+    li = _t(spark, sf_dir, "lineitem")
+    sup = _t(spark, sf_dir, "supplier")
+    dim = sup.where(F.col("s_nationkey") < 5)
+    kept = bloom_semi_join_packed(li, dim, "l_suppkey", "s_suppkey",
+                                  m=128, k=3)
+    agg = (kept.groupBy("l_suppkey")
+           .agg(F.count("*").cast("long").alias("n_rows")))
+    truth = dim.select(F.col("s_suppkey")).distinct()
+    return (agg.join(F.broadcast(truth),
+                     agg["l_suppkey"] == truth["s_suppkey"], "left")
+            .select("l_suppkey", "n_rows",
+                    F.col("s_suppkey").isNotNull().alias("is_member")))
+
+
+ORACLE["join_bloom_pruned_packed"] = ORACLE["join_bloom_pruned"]
