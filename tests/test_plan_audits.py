@@ -221,3 +221,25 @@ def test_histogram_quantiles_broadcasts_stats(spark, sf_dir):
     shuffled join."""
     plan = plan_of(QUERIES["sketch_histogram_quantiles"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_packed_bloom_fact_side_map_only(spark, sf_dir):
+    """The packed form's k word-joins must all be broadcast hash joins;
+    the fact side reaches the bit-test filter with zero shuffles."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.operators.sketches import (
+        bloom_semi_join_packed)
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet") \
+        .where(F.col("s_nationkey") < 5)
+    kept = bloom_semi_join_packed(li, sup, "l_suppkey", "s_suppkey",
+                                  m=128, k=3)
+    tree = tree_of(plan_of(kept))
+    assert tree.count("BroadcastHashJoin") >= 3
+    assert "SortMergeJoin" not in tree
+    # lineitem's scan-to-filter path crosses no shuffle: the only
+    # hash-partition exchanges allowed are on the tiny word table side
+    first_join = tree.split("BroadcastHashJoin")[0]
+    assert "Exchange hashpartitioning" not in first_join
