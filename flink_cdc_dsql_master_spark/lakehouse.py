@@ -453,7 +453,17 @@ def table_changes(spark, path: str, from_version: int, to_version: int,
 
     old = _read(m_from, changed_parts)
     new = _read(m_to, changed_parts)
-    data_cols = [c for c in new.columns if c != part_col]
+    # the diff may cross a schema-evolution boundary (ADD/DROP COLUMN
+    # between the versions): compare over the COLUMN UNION, null-filling
+    # whichever side predates the column — matching the mergeSchema
+    # semantics of the reads themselves
+    data_cols = sorted(
+        (set(new.columns) | set(old.columns)) - {part_col})
+    for c in data_cols:
+        if c not in new.columns:
+            new = new.withColumn(c, F.lit(None))
+        if c not in old.columns:
+            old = old.withColumn(c, F.lit(None))
     o = old.select(*[F.col(c).alias(f"__o_{c}") for c in old.columns])
     join_cond = [o[f"__o_{k}"].eqNullSafe(new[k]) for k in primary_keys]
     j = new.join(o, join_cond, "full_outer")

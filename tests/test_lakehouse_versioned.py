@@ -394,3 +394,39 @@ def test_cluster_versioned_enables_data_skipping(spark):
     # logical no-op + snapshot isolation
     assert read_versioned(spark, path).count() == 400
     assert read_versioned(spark, path, 1).count() == 400
+
+
+def test_change_feed_across_evolution_boundary(spark):
+    """CDF over a version pair separated by an ADD COLUMN: the diff
+    compares over the column union with null-fill, so pre-evolution
+    rows read as NULL in the new column rather than crashing."""
+    from flink_cdc_dsql_master_spark.compose import (
+        foreach_batch_writer, make_versioned_sink_writer)
+    from flink_cdc_dsql_master_spark.lakehouse import table_changes
+    from flink_cdc_dsql_master_spark.pipeline import (PipelineDef,
+                                                     SinkDef, SourceDef)
+    from flink_cdc_dsql_master_spark.route import RouteRule
+
+    base = tempfile.mkdtemp(prefix="ver_cdf_evo_")
+    pipe = PipelineDef(
+        source=SourceDef("values", {
+            "table": "db.s.users", "primary-keys": ["id"]}),
+        sink=SinkDef("custom"),
+        routes=(RouteRule(r"db.s.users", "out.public.users"),),
+    )
+    handle = foreach_batch_writer(
+        pipe, make_versioned_sink_writer(base, buckets=2), spark)
+    handle(spark.createDataFrame([(1, "a"), (2, "b")],
+                                 "id int, name string"), 0)
+    handle(spark.createDataFrame([(2, "b2", 20), (3, "c", 30)],
+                                 "id int, name string, age int"), 1)
+
+    cdf = table_changes(spark, f"{base}/users", 1, 2, ["id"])
+    got = {r["id"]: (r["name"], r["age"], r["_change_type"])
+           for r in cdf.collect()}
+    assert got[3] == ("c", 30, "insert")
+    assert got[2] == ("b2", 20, "update_postimage")
+    # id 1 only changes if its partition was touched AND the new age
+    # column surfaces as a change; either classification (absent or
+    # update with age NULL) must not crash — presence depends on
+    # bucket overlap, so just assert the calls above succeeded
