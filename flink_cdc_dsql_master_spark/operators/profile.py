@@ -50,3 +50,29 @@ def profile_columns(df: DataFrame, cols: list[str],
     ]
     return (one.select(F.explode(F.array(*structs)).alias("p"))
             .select("p.*"))
+
+
+def profile_distinct_kmv(df: DataFrame, cols: list[str],
+                         k: int = 256, salt: str = "pf") -> DataFrame:
+    """Per-column distinct-cardinality estimates via the KMV sketch
+    (operators/sketches.py) — the ANALYZE TABLE statistics pass with
+    three properties approx_count_distinct's HLL lacks: the estimate is
+    md5-DETERMINISTIC (same answer on any engine → oracle-checkable and
+    stable run-over-run for plan-regression diffing), EXACT below k,
+    and the per-column partials merge losslessly across table shards.
+
+    One scan: columns stack into (col, value) rows via an
+    explode-of-structs projection; the distinct pre-collapse
+    partial-aggregates map-side, so the shuffle carries one row per
+    (column, distinct value). Returns (col, n_kept, distinct_est)."""
+    if not cols:
+        raise ValueError("no columns to profile")
+    from .sketches import kmv_distinct
+
+    stacked = (df.select(F.explode(F.array(*[
+        F.struct(F.lit(c).alias("col"),
+                 F.col(c).cast("string").alias("v"))
+        for c in cols])).alias("s"))
+        .select("s.*")
+        .where(F.col("v").isNotNull()))
+    return kmv_distinct(stacked, "v", ["col"], k=k, salt=salt)

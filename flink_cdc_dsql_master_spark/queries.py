@@ -7233,3 +7233,72 @@ def join_bloom_pruned_packed(spark, sf_dir):
 
 
 ORACLE["join_bloom_pruned_packed"] = ORACLE["join_bloom_pruned"]
+
+
+@_q(
+    "profile_distinct_sketch",
+    """
+    WITH stacked AS (
+      SELECT 'o_custkey' AS col, CAST(o_custkey AS VARCHAR) AS v
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', CAST(o_orderkey AS VARCHAR) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', o_orderstatus FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', o_orderpriority FROM orders),
+    hashes AS (
+      SELECT DISTINCT col, md5('pf' || v) AS h
+      FROM stacked WHERE v IS NOT NULL),
+    ranked AS (
+      SELECT col, h,
+             ROW_NUMBER() OVER (PARTITION BY col ORDER BY h) AS rn
+      FROM hashes),
+    agg AS (
+      SELECT col, MAX(rn) AS n_kept,
+             MAX(CASE WHEN rn = 256 THEN h END) AS hk
+      FROM ranked WHERE rn <= 256 GROUP BY col),
+    est AS (
+      SELECT col, CAST(n_kept AS BIGINT) AS n_kept,
+             ROUND(CASE WHEN n_kept < 256 THEN CAST(n_kept AS DOUBLE)
+                   ELSE 255.0 / (('0x' || substr(hk, 1, 13))::BIGINT
+                                 / 4503599627370496.0) END, 4)
+               AS distinct_est
+      FROM agg),
+    ex AS (
+      SELECT 'o_custkey' AS col,
+             CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct
+      FROM orders
+      UNION ALL
+      SELECT 'o_orderkey', COUNT(DISTINCT o_orderkey) FROM orders
+      UNION ALL
+      SELECT 'o_orderstatus', COUNT(DISTINCT o_orderstatus) FROM orders
+      UNION ALL
+      SELECT 'o_orderpriority', COUNT(DISTINCT o_orderpriority)
+      FROM orders)
+    SELECT e.col, e.n_kept, e.distinct_est, x.exact_distinct
+    FROM est e JOIN ex x USING (col)
+    """,
+)
+def profile_distinct_sketch(spark, sf_dir):
+    """Sketch-based column profiling (ANALYZE TABLE statistics): KMV
+    distinct estimates for four orders columns in one stacked scan,
+    exact counts beside them. Deterministic where HLL is not — the
+    oracle replays the estimate itself, and a plan-regression diff can
+    pin these numbers run-over-run. Exact below k: the two low-
+    cardinality columns come back exact by construction."""
+    from .operators.profile import profile_distinct_kmv
+
+    orders = _t(spark, sf_dir, "orders")
+    cols = ["o_custkey", "o_orderkey", "o_orderstatus",
+            "o_orderpriority"]
+    sk = profile_distinct_kmv(orders, cols, k=256)
+    exact = None
+    for c in cols:
+        e = orders.agg(F.countDistinct(c).cast("long")
+                       .alias("exact_distinct")) \
+            .withColumn("col", F.lit(c))
+        exact = e if exact is None else exact.unionByName(e)
+    return (sk.join(exact, "col")
+            .select("col", F.col("n_kept").cast("long"),
+                    "distinct_est", "exact_distinct"))
