@@ -416,3 +416,53 @@ def bloom_semi_join_packed(fact: DataFrame, dim: DataFrame,
     drop = [c for i in range(k)
             for c in (f"__p{i}", f"__w{i}", f"__b{i}")]
     return out.where(cond).drop(*drop)
+
+
+def grouped_histogram_quantiles(df: DataFrame, group_col: str,
+                                value_col: str, bins: int = 64,
+                                qs: tuple[float, ...] = (0.5, 0.9)
+                                ) -> DataFrame:
+    """Per-GROUP approximate quantiles from per-group equi-width
+    histograms — the bounded-state replacement for exact per-group
+    percentile (which shuffles and SORTS every value to its group):
+    state is ``bins`` counters per group, both aggregation passes
+    partial-combine map-side, and the cumulative walk runs on ≤ bins
+    rows per group. Same deterministic interpolation as
+    :func:`histogram_quantiles`, per group. Returns
+    (group, q, est_value)."""
+    g = F.col(group_col)
+    stats = df.groupBy(group_col).agg(
+        F.min(value_col).cast("double").alias("__lo"),
+        F.max(value_col).cast("double").alias("__hi"),
+        F.count(value_col).alias("__n"))
+    b = (df.select(group_col,
+                   F.col(value_col).cast("double").alias("__v"))
+         .join(F.broadcast(stats), group_col))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    bin_ = F.least(F.lit(bins - 1),
+                   F.floor((F.col("__v") - F.col("__lo")) / width)) \
+        .cast("long")
+    hist = (b.withColumn("bin", bin_)
+            .groupBy(group_col, "bin")
+            .agg(F.count("*").alias("cnt"),
+                 F.first("__lo").alias("__lo"),
+                 F.first("__hi").alias("__hi"),
+                 F.first("__n").alias("__n")))
+    w = Window.partitionBy(group_col).orderBy("bin")
+    cum = (hist.withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("cum_prev", F.col("cum") - F.col("cnt")))
+    qrows = cum.withColumn("q", F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])))
+    target = F.col("q") * F.col("__n").cast("double")
+    covering = qrows.where((F.col("cum").cast("double") >= target)
+                           & (F.col("cum_prev").cast("double") < target))
+    wq = Window.partitionBy(group_col, "q").orderBy("bin")
+    first_cover = (covering.withColumn("__rn", F.row_number().over(wq))
+                   .where(F.col("__rn") == 1))
+    width2 = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+    est = (F.col("__lo") + width2
+           * (F.col("bin").cast("double")
+              + (target - F.col("cum_prev").cast("double"))
+              / F.col("cnt").cast("double")))
+    return first_cover.select(group_col, "q",
+                              F.round(est, 6).alias("est_value"))

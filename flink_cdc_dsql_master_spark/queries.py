@@ -7302,3 +7302,85 @@ def profile_distinct_sketch(spark, sf_dir):
     return (sk.join(exact, "col")
             .select("col", F.col("n_kept").cast("long"),
                     "distinct_est", "exact_distinct"))
+
+
+@_q(
+    "sketch_grouped_quantiles",
+    """
+    WITH stats AS (
+      SELECT l_returnflag,
+             CAST(MIN(l_extendedprice) AS DOUBLE) AS lo,
+             CAST(MAX(l_extendedprice) AS DOUBLE) AS hi,
+             COUNT(l_extendedprice) AS n
+      FROM lineitem GROUP BY 1),
+    hist AS (
+      SELECT l.l_returnflag,
+             LEAST(63, CAST(FLOOR((CAST(l.l_extendedprice AS DOUBLE)
+                     - s.lo) / ((s.hi - s.lo) / 64.0)) AS BIGINT))
+               AS bin,
+             COUNT(*) AS cnt,
+             MIN(s.lo) AS lo, MIN(s.hi) AS hi, MIN(s.n) AS n
+      FROM lineitem l JOIN stats s USING (l_returnflag)
+      GROUP BY 1, 2),
+    cum AS (
+      SELECT *, SUM(cnt) OVER (PARTITION BY l_returnflag
+                               ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bin)
+               - cnt AS cum_prev
+      FROM hist),
+    qrows AS (
+      SELECT c.*, q FROM cum c
+      CROSS JOIN (SELECT unnest([0.5, 0.9, 0.99]) AS q) qq),
+    covering AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY l_returnflag, q
+                                   ORDER BY bin) AS rn
+      FROM qrows
+      WHERE CAST(cum AS DOUBLE) >= q * CAST(n AS DOUBLE)
+        AND CAST(cum_prev AS DOUBLE) < q * CAST(n AS DOUBLE)),
+    sk AS (
+      SELECT l_returnflag, q,
+             ROUND(lo + ((hi - lo) / 64.0)
+                   * (CAST(bin AS DOUBLE)
+                      + (q * CAST(n AS DOUBLE)
+                         - CAST(cum_prev AS DOUBLE))
+                        / CAST(cnt AS DOUBLE)), 6) AS est_value
+      FROM covering WHERE rn = 1),
+    ex AS (
+      SELECT l_returnflag,
+             unnest([0.5, 0.9, 0.99]) AS q,
+             unnest([ROUND(quantile_cont(l_extendedprice, 0.5), 6),
+                     ROUND(quantile_cont(l_extendedprice, 0.9), 6),
+                     ROUND(quantile_cont(l_extendedprice, 0.99), 6)])
+               AS exact_value
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT sk.l_returnflag, sk.q, sk.est_value, ex.exact_value
+    FROM sk JOIN ex ON ex.l_returnflag = sk.l_returnflag
+                   AND ex.q = sk.q
+    """,
+)
+def sketch_grouped_quantiles(spark, sf_dir):
+    """Per-group histogram quantiles (64-bin state per group) beside
+    the exact per-group percentile — the bounded-state form that
+    replaces sort-every-value-per-group at 100 TB. Both aggregate
+    passes partial-combine map-side; the cumulative walk is ≤64 rows
+    per group; the oracle replays bins, interpolation, and the exact
+    contrast column."""
+    from .operators.sketches import grouped_histogram_quantiles
+
+    qs = (0.5, 0.9, 0.99)
+    li = _t(spark, sf_dir, "lineitem")
+    sk = grouped_histogram_quantiles(li, "l_returnflag",
+                                     "l_extendedprice", 64, qs)
+    exact = (li.groupBy("l_returnflag")
+             .agg(F.percentile("l_extendedprice",
+                               F.array(*[F.lit(float(q)) for q in qs]))
+                  .alias("__arr"))
+             .select("l_returnflag",
+                     F.posexplode("__arr").alias("__i", "exact_value"))
+             .select("l_returnflag",
+                     F.element_at(
+                         F.array(*[F.lit(float(q)) for q in qs]),
+                         F.col("__i") + 1).alias("q"),
+                     F.round("exact_value", 6).alias("exact_value")))
+    return (sk.join(exact, ["l_returnflag", "q"])
+            .select("l_returnflag", "q", "est_value", "exact_value"))
