@@ -466,3 +466,61 @@ def grouped_histogram_quantiles(df: DataFrame, group_col: str,
               / F.col("cnt").cast("double")))
     return first_cover.select(group_col, "q",
                               F.round(est, 6).alias("est_value"))
+
+
+def histogram_bins(df: DataFrame, value_col: str, lo: float, hi: float,
+                   bins: int = 64) -> DataFrame:
+    """Fixed-RANGE equi-width histogram counts (bin, cnt) for a known
+    [lo, hi) domain — the mergeable form used for streaming
+    maintenance, where the data-dependent min/max of
+    :func:`histogram_quantiles` would shift bin edges between batches
+    and break linearity. Out-of-range values clamp to the edge bins."""
+    width = (hi - lo) / float(bins)
+    bin_ = F.greatest(F.lit(0), F.least(
+        F.lit(bins - 1),
+        F.floor((F.col(value_col).cast("double") - F.lit(lo))
+                / F.lit(width)))).cast("long")
+    return (df.where(F.col(value_col).isNotNull())
+            .withColumn("bin", bin_)
+            .groupBy("bin").agg(F.count("*").alias("cnt")))
+
+
+def histogram_apply_batch(state: DataFrame | None, batch: DataFrame,
+                          value_col: str, lo: float, hi: float,
+                          bins: int = 64) -> DataFrame:
+    """Fold one micro-batch into maintained histogram state (linear:
+    state' = state + bins(batch)); ≤ ``bins`` rows forever."""
+    delta = histogram_bins(batch, value_col, lo, hi, bins)
+    if state is None:
+        return delta
+    return (state.select("bin", "cnt").unionByName(delta)
+            .groupBy("bin").agg(F.sum("cnt").alias("cnt")))
+
+
+def histogram_state_quantiles(state: DataFrame, lo: float, hi: float,
+                              bins: int = 64,
+                              qs: tuple[float, ...] = (0.5, 0.9)
+                              ) -> DataFrame:
+    """Read interpolated quantiles off maintained histogram state —
+    same estimator as :func:`histogram_quantiles`, fixed-range form.
+    Returns (q, est_value)."""
+    width = (hi - lo) / float(bins)
+    total = state.agg(F.sum("cnt").alias("__n"))
+    w = Window.orderBy("bin")
+    cum = (state.crossJoin(F.broadcast(total))
+           .withColumn("cum", F.sum("cnt").over(w))
+           .withColumn("cum_prev", F.col("cum") - F.col("cnt")))
+    qrows = cum.withColumn("q", F.explode(
+        F.array(*[F.lit(float(q)) for q in qs])))
+    target = F.col("q") * F.col("__n").cast("double")
+    covering = qrows.where((F.col("cum").cast("double") >= target)
+                           & (F.col("cum_prev").cast("double") < target))
+    wq = Window.partitionBy("q").orderBy("bin")
+    first_cover = (covering.withColumn("__rn", F.row_number().over(wq))
+                   .where(F.col("__rn") == 1))
+    est = (F.lit(lo) + F.lit(width)
+           * (F.col("bin").cast("double")
+              + (target - F.col("cum_prev").cast("double"))
+              / F.col("cnt").cast("double")))
+    return first_cover.select("q", F.round(est, 6).alias("est_value")) \
+        .orderBy("q")

@@ -202,3 +202,26 @@ def test_empty_set_edges(spark):
     b = countmin_sketch(empty, "k", depth=2, width=64)
     est = countmin_join_size(a, b).collect()[0]
     assert est["est_join_rows"] == 0
+
+
+def test_histogram_fold_equals_rebuild_and_quantiles(spark):
+    """Streaming histogram maintenance: fold == rebuild (linearity),
+    and quantiles read off maintained state track the exact values on
+    uniform data — the last sketch family gains its streaming fold."""
+    from flink_cdc_dsql_master_spark.operators.sketches import (
+        histogram_apply_batch, histogram_bins,
+        histogram_state_quantiles)
+
+    full = spark.range(10000).select(F.col("id").cast("double")
+                                     .alias("v"))
+    b1 = full.where(F.col("v") < 4000)
+    b2 = full.where(F.col("v") >= 4000)
+    st = histogram_apply_batch(None, b1, "v", 0.0, 10000.0, bins=100)
+    st = histogram_apply_batch(st, b2, "v", 0.0, 10000.0, bins=100)
+    scratch = histogram_bins(full, "v", 0.0, 10000.0, bins=100)
+    a = {(r["bin"], r["cnt"]) for r in st.collect()}
+    assert a == {(r["bin"], r["cnt"]) for r in scratch.collect()}
+    out = {r["q"]: r["est_value"] for r in histogram_state_quantiles(
+        st, 0.0, 10000.0, 100, (0.1, 0.5, 0.9)).collect()}
+    for q in (0.1, 0.5, 0.9):
+        assert abs(out[q] - q * 10000) <= 101
