@@ -7384,3 +7384,130 @@ def sketch_grouped_quantiles(spark, sf_dir):
                      F.round("exact_value", 6).alias("exact_value")))
     return (sk.join(exact, ["l_returnflag", "q"])
             .select("l_returnflag", "q", "est_value", "exact_value"))
+
+
+@_q(
+    "feature_target_encoding",
+    """
+    WITH rows AS (
+      SELECT o_orderpriority AS cat, o_totalprice AS y,
+             ('0x' || substr(md5('te' || CAST(o_orderkey AS VARCHAR)),
+                             1, 8))::BIGINT % 5 AS fold
+      FROM orders),
+    per_cf AS (
+      SELECT cat, fold, SUM(y) AS s, COUNT(y) AS c
+      FROM rows GROUP BY 1, 2),
+    per_cat AS (
+      SELECT cat, SUM(s) AS S, SUM(c) AS C FROM per_cf GROUP BY 1),
+    gstats AS (SELECT AVG(o_totalprice) AS gm FROM orders),
+    enc AS (
+      SELECT f.cat, f.fold,
+             (ct.S - f.s + 20.0 * g.gm) / (ct.C - f.c + 20.0)
+               AS te_cat
+      FROM per_cf f JOIN per_cat ct USING (cat) CROSS JOIN gstats g)
+    SELECT r.cat AS o_orderpriority, CAST(r.fold AS BIGINT) AS fold,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           ROUND(MIN(e.te_cat), 6) AS encoding
+    FROM rows r JOIN enc e ON e.cat = r.cat AND e.fold = r.fold
+    GROUP BY 1, 2
+    """,
+)
+def feature_target_encoding(spark, sf_dir):
+    """Leakage-safe out-of-fold target encoding
+    (operators/features.py): each row's categorical feature is the
+    target mean from the OTHER md5-assigned folds, prior-smoothed —
+    one partial-agg shuffle on (category, fold), leave-one-fold-out by
+    subtraction (no re-scan per fold), broadcast join back. Output
+    collapses to the (category, fold) grain so the oracle replays
+    every distinct feature value exactly."""
+    from .operators.features import target_encode_oof
+
+    orders = _t(spark, sf_dir, "orders")
+    out = target_encode_oof(orders, "o_orderkey", "o_orderpriority",
+                            "o_totalprice", n_folds=5,
+                            prior_weight=20.0)
+    return (out.groupBy("o_orderpriority", "__fold")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.round(F.min("te_o_orderpriority"), 6)
+                 .alias("encoding"))
+            .select("o_orderpriority",
+                    F.col("__fold").cast("long").alias("fold"),
+                    "n_rows", "encoding"))
+
+
+@_q(
+    "timeseries_seasonal_decompose",
+    """
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))
+                  AS BIGINT) AS y_cents
+      FROM orders GROUP BY 1),
+    tr AS (
+      SELECT d, y_cents,
+             SUM(y_cents) OVER w AS sum7, COUNT(*) OVER w AS cnt7
+      FROM daily
+      WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                   AND 3 FOLLOWING)),
+    detr AS (
+      SELECT d, y_cents,
+             CASE WHEN cnt7 = 7
+                  THEN CAST(ROUND(sum7 * 100.0 / 7.0) AS BIGINT)
+             END AS trend_tenk,
+             dayofweek(d) AS dow
+      FROM tr),
+    seas AS (
+      SELECT dow,
+             CAST(ROUND(SUM(y_cents * 100 - trend_tenk) * 1.0
+                        / COUNT(*)) AS BIGINT) AS seasonal_tenk
+      FROM detr WHERE trend_tenk IS NOT NULL GROUP BY dow)
+    SELECT CAST(dt.d AS VARCHAR) AS d, dt.y_cents / 100.0 AS y,
+           dt.trend_tenk / 10000.0 AS trend,
+           s.seasonal_tenk / 10000.0 AS seasonal,
+           CASE WHEN dt.trend_tenk IS NOT NULL
+                THEN (dt.y_cents * 100 - dt.trend_tenk
+                      - s.seasonal_tenk) / 10000.0
+           END AS remainder
+    FROM detr dt JOIN seas s ON s.dow = dt.dow
+    """,
+)
+def timeseries_seasonal_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of daily revenue (trend =
+    centered 7-day moving average, weekly seasonal = per-day-of-week
+    mean of the detrended series, remainder = the rest) — the classic
+    moving-average decomposition, in three window/agg passes. All
+    cross-partition accumulation runs in FIXED-POINT LONGS (cents /
+    tenths-of-cents): integer sums are exact and order-independent, so
+    the decomposition is bit-identical across engines instead of
+    double-sum-order dependent (the profit-query lesson applied
+    upfront). Series grain ~2.5k rows after the daily collapse — the
+    windows run on the pre-aggregated frame, never the fact table."""
+    orders = _t(spark, sf_dir, "orders")
+    daily = (orders.groupBy(F.to_date("o_orderdate").alias("d"))
+             .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                        .cast("long")).cast("long").alias("y_cents")))
+    w = Window.orderBy("d").rowsBetween(-3, 3)
+    tr = (daily.withColumn("sum7", F.sum("y_cents").over(w))
+          .withColumn("cnt7", F.count("*").over(w)))
+    detr = tr.select(
+        "d", "y_cents",
+        F.when(F.col("cnt7") == 7,
+               F.round(F.col("sum7") * 100.0 / 7.0).cast("long"))
+        .alias("trend_tenk"),
+        (F.dayofweek("d") - 1).alias("dow"))
+    seas = (detr.where(F.col("trend_tenk").isNotNull())
+            .groupBy("dow")
+            .agg(F.round(F.sum(F.col("y_cents") * 100
+                               - F.col("trend_tenk"))
+                         / F.count("*")).cast("long")
+                 .alias("seasonal_tenk")))
+    out = detr.join(F.broadcast(seas), "dow")
+    return out.select(
+        F.col("d").cast("string").alias("d"),
+        (F.col("y_cents") / 100.0).alias("y"),
+        (F.col("trend_tenk") / 10000.0).alias("trend"),
+        (F.col("seasonal_tenk") / 10000.0).alias("seasonal"),
+        F.when(F.col("trend_tenk").isNotNull(),
+               (F.col("y_cents") * 100 - F.col("trend_tenk")
+                - F.col("seasonal_tenk")) / 10000.0)
+        .alias("remainder"))
