@@ -124,3 +124,63 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
                .union(tris.select("c")))
     return members.groupBy("node").agg(
         F.count("*").cast("long").alias("n_triangles"))
+
+
+def trustrank(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
+              damping: float = 0.85, src: str = "src", dst: str = "dst",
+              seed_col: str = "node",
+              round_scale: int | None = 12) -> DataFrame:
+    """TrustRank (Gyöngyi et al.): PageRank with teleportation
+    restricted to a trusted SEED set — the quality signal web-corpus
+    curation uses to damp spam: trust flows out from vetted domains
+    along links and decays with distance; pages unreachable from any
+    seed get rank ~0. Identical per-iteration shape to
+    :func:`pagerank` (one contribution shuffle + a broadcast dangling
+    scalar), with the uniform teleport vector replaced by the
+    seed-restricted one (base mass and dangling redistribution land on
+    seeds only). Same fixed-point rounding discipline, so the
+    iteration is hash-checkable against a SQL replica."""
+    e = edges.select(F.col(src).alias("src"),
+                     F.col(dst).alias("dst")).distinct()
+    e = e.repartition("src").persist()
+    nodes = (e.select(F.col("src").alias("node"))
+             .union(e.select("dst")).distinct().persist())
+    sd = seeds.select(F.col(seed_col).alias("node")).distinct().persist()
+    n_seeds = sd.count()
+    if not n_seeds:
+        raise ValueError("trustrank needs a non-empty seed set")
+    deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    dangling_nodes = nodes.join(
+        deg.withColumnRenamed("src", "node"), "node", "left_anti").persist()
+
+    is_seed = F.col("__s").isNotNull()
+    seed_mark = sd.withColumn("__s", F.lit(1))
+    ranks = (nodes.join(seed_mark, "node", "left")
+             .select("node", F.when(is_seed, F.lit(1.0 / n_seeds))
+                     .otherwise(F.lit(0.0)).alias("rank")))
+    for _ in range(iterations):
+        contribs = (
+            e.join(deg, "src")
+            .join(ranks.withColumnRenamed("node", "src"), "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("c"))
+        )
+        dm = (ranks.join(dangling_nodes, "node", "left_semi")
+              .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dm")))
+        base = F.when(is_seed, F.lit((1.0 - damping) / n_seeds)) \
+            .otherwise(F.lit(0.0))
+        seed_dm = F.when(is_seed, F.col("__dm") / n_seeds) \
+            .otherwise(F.lit(0.0))
+        new_rank = base + F.lit(damping) * (
+            F.coalesce(F.col("c"), F.lit(0.0)) + seed_dm)
+        if round_scale is not None:
+            new_rank = F.round(new_rank, round_scale)
+        ranks = (
+            nodes.join(contribs.withColumnRenamed("dst", "node"),
+                       "node", "left")
+            .join(seed_mark, "node", "left")
+            .crossJoin(F.broadcast(dm))
+            .select("node", new_rank.alias("rank"))
+            .localCheckpoint()
+        )
+    return ranks

@@ -7511,3 +7511,74 @@ def timeseries_seasonal_decompose(spark, sf_dir):
                (F.col("y_cents") * 100 - F.col("trend_tenk")
                 - F.col("seasonal_tenk")) / 10000.0)
         .alias("remainder"))
+
+
+def _trustrank_oracle_sql(iterations: int = 3, damping: float = 0.85
+                          ) -> str:
+    """Unrolled TrustRank replay: the pagerank CTE chain with the
+    teleport vector restricted to the seed set (base mass and dangling
+    redistribution land on seeds only)."""
+    d = damping
+    ctes = """
+    ids AS (SELECT doc_id AS node FROM documents),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ni FROM ids),
+    seeds AS (SELECT node FROM ids WHERE node % 20 = 0),
+    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+    edges AS (
+      SELECT DISTINCT s.node AS src,
+             (s.node * 31 + j * 7) % (SELECT ni FROM nn) AS dst
+      FROM ids s, unnest([1, 2, 3]) AS t(j)
+      WHERE (s.node * 31 + j * 7) % (SELECT ni FROM nn)
+              IN (SELECT node FROM ids)),
+    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+            FROM edges GROUP BY src),
+    r0 AS (SELECT i.node,
+                  CASE WHEN sd.node IS NOT NULL
+                       THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS rank
+           FROM ids i LEFT JOIN seeds sd ON sd.node = i.node)"""
+    for i in range(1, iterations + 1):
+        p = i - 1
+        ctes += f""",
+    c{i} AS (SELECT e.dst AS node, SUM(r.rank / dg.deg) AS c
+             FROM edges e JOIN deg dg ON dg.src = e.src
+             JOIN r{p} r ON r.node = e.src GROUP BY e.dst),
+    dm{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS dm
+              FROM r{p} r LEFT JOIN deg dg ON dg.src = r.node
+              WHERE dg.src IS NULL),
+    r{i} AS (SELECT i.node,
+                    ROUND(CASE WHEN sd.node IS NOT NULL
+                               THEN (1 - {d}) / (SELECT n FROM ns)
+                                    + {d} * (COALESCE(c.c, 0)
+                                      + (SELECT dm FROM dm{i})
+                                        / (SELECT n FROM ns))
+                               ELSE {d} * COALESCE(c.c, 0)
+                          END, 12) AS rank
+             FROM ids i LEFT JOIN c{i} c ON c.node = i.node
+             LEFT JOIN seeds sd ON sd.node = i.node)"""
+    return ("WITH" + ctes + f"""
+    SELECT node, ROUND(rank, 6) AS rank FROM r{iterations}
+    """)
+
+
+@_q("graph_trustrank", _trustrank_oracle_sql())
+def graph_trustrank(spark, sf_dir):
+    """TrustRank over the synthetic link graph with doc_id % 20 == 0 as
+    the trusted seed set: trust teleports only to seeds and decays
+    along links — the spam-damping companion of graph_pagerank, same
+    per-iteration shuffle shape and fixed-point rounding, oracle-
+    replayed by the unrolled seed-teleport CTE chain."""
+    from .operators.graph import trustrank
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    parts = [
+        docs.select(F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 31 + j * 7) % n).alias("dst"))
+        for j in (1, 2, 3)
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    edges = edges.join(docs.select(F.col("doc_id").alias("dst")), "dst")
+    seeds = docs.where(F.col("doc_id") % 20 == 0) \
+        .select(F.col("doc_id").alias("node"))
+    ranks = trustrank(edges, seeds, iterations=3, damping=0.85)
+    return ranks.select("node", F.round("rank", 6).alias("rank"))
