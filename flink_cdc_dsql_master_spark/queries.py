@@ -7582,3 +7582,57 @@ def graph_trustrank(spark, sf_dir):
         .select(F.col("doc_id").alias("node"))
     ranks = trustrank(edges, seeds, iterations=3, damping=0.85)
     return ranks.select("node", F.round("rank", 6).alias("rank"))
+
+
+@_q(
+    "dedup_golden_record",
+    "WITH RECURSIVE " + _SHINGLE_CTES + """,
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+    clusters AS (
+      SELECT node AS doc_id, MIN(label) AS cluster_id
+      FROM reach GROUP BY node),
+    ranked AS (
+      SELECT c.cluster_id, c.doc_id, d.n_chars,
+             ROW_NUMBER() OVER (PARTITION BY c.cluster_id
+                                ORDER BY d.n_chars DESC, c.doc_id) AS rn
+      FROM clusters c JOIN documents d USING (doc_id))
+    SELECT r.cluster_id,
+           MIN(CASE WHEN r.rn = 1 THEN r.doc_id END) AS golden_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(r.n_chars) AS BIGINT) AS total_chars
+    FROM ranked r GROUP BY r.cluster_id
+    """,
+)
+def dedup_golden_record(spark, sf_dir):
+    """Golden-record survivorship on top of dup clustering — the last
+    step of entity resolution: near-dup pairs -> connected components
+    -> ONE canonical record per cluster elected by a survivorship rule
+    (longest text wins, ties to the lowest id). The election is a
+    struct-max aggregate (max over (n_chars, -doc_id) tuples — a
+    partial-combinable agg, never a per-cluster sort), so it costs one
+    shuffle on the cluster id. Oracle replays reachability AND the
+    election ordering."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(pairs, docs, id_col="doc_id")
+    j = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    g = F.max(F.struct(
+        F.col("n_chars").alias("nc"),
+        (-F.col("doc_id")).alias("nid")))
+    return (j.groupBy("cluster_id")
+            .agg(g.alias("__g"),
+                 F.count("*").cast("long").alias("n_members"),
+                 F.sum("n_chars").cast("long").alias("total_chars"))
+            .select("cluster_id",
+                    (-F.col("__g.nid")).alias("golden_doc_id"),
+                    "n_members", "total_chars"))
