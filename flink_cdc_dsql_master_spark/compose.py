@@ -413,7 +413,7 @@ def ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             key=lambda r: r["offset"])
         data = marked.where(F.col("__sc.ddl").isNull()).drop("__sc")
         lo = None
-        for r in ddl_rows + [None]:
+        for seg_idx, r in enumerate(ddl_rows + [None]):
             hi = r["offset"] if r is not None else None
             seg = data
             if lo is not None:
@@ -422,7 +422,11 @@ def ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
                 seg = seg.where(F.col("offset") < hi)
             decoded = decode_debezium_json(seg, "value", payload_struct(),
                                            seq_col="offset")
-            data_handle(decoded, batch_id)  # flush before apply
+            # flush before apply; the epoch is SEGMENT-qualified: all
+            # segments of one micro-batch share batch_id, and an
+            # epoch-deduping sink (make_versioned_sink_writer) must not
+            # mistake segment 2 for a replay of segment 1
+            data_handle(decoded, f"{batch_id}s{seg_idx}")
             if r is not None:
                 for ev in parse_debezium_ddl(r["ddl"], table):
                     schema = evolver.on_event(ev)

@@ -270,9 +270,17 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
         prev_m = _load_manifest(local, versions[-1])
         prev_files = prev_m["files"]
         prev_stats = prev_m.get("file_stats", {})
-        if epoch is not None and prev_m.get("epoch") == epoch:
-            return {"version": prev_m["version"], "rewritten": [],
-                    "dropped": [], "replayed_epoch": epoch}
+        if epoch is not None:
+            # replay detection scans ALL retained manifests, not just
+            # the latest: the in-band-DDL path commits several
+            # segment-epochs per micro-batch, so a crash-restart can
+            # replay an epoch that is no longer the newest commit
+            for v in versions:
+                mv = prev_m if v == versions[-1] \
+                    else _load_manifest(local, v)
+                if mv.get("epoch") == epoch:
+                    return {"version": mv["version"], "rewritten": [],
+                            "dropped": [], "replayed_epoch": epoch}
 
     final = last_write_wins(changelog, pks)
     affected = sorted(
