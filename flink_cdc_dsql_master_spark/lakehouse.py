@@ -375,8 +375,10 @@ def read_versioned(spark, path: str, version: int | None = None,
     df = (spark.read.option("mergeSchema", "true")
           .option("basePath", local).parquet(*plan["paths"]))
     if key_range is not None:
-        col, lo, hi = key_range
-        df = df.where(F.col(col).between(lo, hi))
+        ranges = key_range if isinstance(key_range, list) \
+            else [key_range]
+        for col, lo, hi in ranges:
+            df = df.where(F.col(col).between(lo, hi))
     return df
 
 
@@ -615,14 +617,21 @@ def plan_files(path: str, version: int | None = None,
     rels = [rel for fs in m["files"].values() for rel in fs]
     stats = m.get("file_stats", {})
     if key_range is None:
-        kept = rels
+        ranges = []
+    elif isinstance(key_range, list):
+        ranges = key_range  # AND of several (col, lo, hi) predicates
     else:
-        col, lo, hi = key_range
-        kept = []
-        for rel in rels:
-            s = stats.get(rel, {}).get(col)
-            if s is not None and (s[1] < lo or s[0] > hi):
-                continue
+        ranges = [key_range]
+    kept = []
+    for rel in rels:
+        fstats = stats.get(rel, {})
+        skip = False
+        for col, lo, hi in ranges:
+            st = fstats.get(col)
+            if st is not None and (st[1] < lo or st[0] > hi):
+                skip = True
+                break
+        if not skip:
             kept.append(rel)
     return {"paths": [os.path.join(local, rel) for rel in kept],
             "skipped": len(rels) - len(kept), "total": len(rels),

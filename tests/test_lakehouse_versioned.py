@@ -430,3 +430,27 @@ def test_change_feed_across_evolution_boundary(spark):
     # column surfaces as a change; either classification (absent or
     # update with age NULL) must not crash — presence depends on
     # bucket overlap, so just assert the calls above succeeded
+
+
+def test_multi_range_data_skipping(spark):
+    """plan_files accepts a LIST of (col, lo, hi) predicates ANDed
+    together; a file skips if ANY predicate proves it empty."""
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        cluster_versioned, merge_into_versioned_parquet, plan_files,
+        read_versioned, with_bucket_partition)
+
+    rows = [(i, float(1000 - i)) for i in range(400)]
+    base = spark.createDataFrame(rows, "k long, v double")
+    b1 = (base.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of(base.schema, primary_keys=["k"])
+    path = os.path.join(tempfile.mkdtemp(prefix="ver_mr_"), "t")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 1), schema)
+    cluster_versioned(path, "k", files_per_partition=8)
+    ranges = [("k", 100, 150), ("k", 120, 400)]
+    plan = plan_files(path, key_range=ranges)
+    assert plan["skipped"] > 0
+    got = sorted(r["k"] for r in read_versioned(
+        spark, path, key_range=ranges).collect())
+    assert got == list(range(120, 151))  # intersection of the ranges
