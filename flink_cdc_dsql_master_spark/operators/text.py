@@ -671,3 +671,57 @@ def train_bpe_merges(df: DataFrame, rounds: int = 3,
                 Window.partitionBy("word").orderBy("pos")))
             .localCheckpoint())
     return merge_rows
+
+
+def remove_duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text",
+                            span_words: int = 8) -> DataFrame:
+    """Token-level cross-document repeated-span removal — the
+    exact-substring dedup discipline (dedup spans >= N tokens that
+    occur in more than one document), finer-grained than
+    :func:`remove_repeated_segments`'s fixed segment grid: a duplicated
+    passage is caught at ANY alignment because every sliding
+    ``span_words``-gram is tested, and exactly the covered tokens are
+    dropped (a token survives unless SOME duplicated gram covers it).
+
+    Relational encoding of the suffix-scan: per document,
+    (1) grams via ``lead`` windows (no self-joins, no array explode of
+    windows); (2) one partial-agg shuffle on the gram counts distinct
+    documents — the only corpus-wide exchange, at the deduplicated gram
+    grain; (3) a doc-local trailing-window MAX marks every token within
+    ``span_words`` of a duplicated gram start; (4) reassembly of the
+    survivors in order. At 100 TB the token-grain frames are large but
+    strictly linear, windows are per-document (no global sort), and the
+    gram table collapses map-side. Returns (id, clean_text,
+    n_tokens, n_removed)."""
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    base = (docs.where(F.trim(F.col(text_col)) != "")
+            .select(id_col, F.posexplode(toks).alias("pos", "tok")))
+    w = Window.partitionBy(id_col).orderBy("pos")
+    gram_parts = [F.col("tok")] + [F.lead("tok", i).over(w)
+                                   for i in range(1, span_words)]
+    last = F.lead("tok", span_words - 1).over(w)
+    g = base.withColumn(
+        "gram", F.when(last.isNotNull(),
+                       F.concat_ws(" ", *gram_parts)))
+    dup = (g.where(F.col("gram").isNotNull())
+           .groupBy("gram")
+           .agg(F.countDistinct(id_col).alias("__nd"))
+           .where(F.col("__nd") > 1)
+           .select("gram", F.lit(1).alias("__dup")))
+    marked = (g.join(dup, "gram", "left")
+              .withColumn("__m", F.coalesce("__dup", F.lit(0))))
+    wcov = (Window.partitionBy(id_col).orderBy("pos")
+            .rowsBetween(-(span_words - 1), 0))
+    cov = marked.withColumn("__covered",
+                            F.max("__m").over(wcov) == 1)
+    return (cov.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(
+                    F.when(~F.col("__covered"),
+                           F.struct("pos", "tok")))),
+                lambda s: s["tok"]), " ").alias("clean_text"),
+        F.count("*").cast("long").alias("n_tokens"),
+        F.sum(F.when(F.col("__covered"), 1).otherwise(0)).cast("long")
+        .alias("n_removed")))

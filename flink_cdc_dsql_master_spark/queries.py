@@ -7636,3 +7636,57 @@ def dedup_golden_record(spark, sf_dir):
             .select("cluster_id",
                     (-F.col("__g.nid")).alias("golden_doc_id"),
                     "n_members", "total_chars"))
+
+
+@_q(
+    "text_dedup_spans",
+    """
+    WITH base AS (
+      SELECT doc_id, i - 1 AS pos, ls[CAST(i AS INT)] AS tok
+      FROM (SELECT doc_id, string_split(trim(text), ' ') AS ls
+            FROM documents WHERE trim(text) <> ''),
+           unnest(range(1, len(ls) + 1)) AS t(i)),
+    g AS (
+      SELECT doc_id, pos, tok,
+             CASE WHEN lead(tok, 7) OVER w IS NOT NULL THEN
+               concat_ws(' ', tok,
+                         lead(tok, 1) OVER w, lead(tok, 2) OVER w,
+                         lead(tok, 3) OVER w, lead(tok, 4) OVER w,
+                         lead(tok, 5) OVER w, lead(tok, 6) OVER w,
+                         lead(tok, 7) OVER w)
+             END AS gram
+      FROM base WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+    dup AS (
+      SELECT gram FROM g WHERE gram IS NOT NULL
+      GROUP BY gram HAVING COUNT(DISTINCT doc_id) > 1),
+    m AS (
+      SELECT g.doc_id, g.pos, g.tok,
+             CASE WHEN d.gram IS NOT NULL THEN 1 ELSE 0 END AS mk
+      FROM g LEFT JOIN dup d ON d.gram = g.gram),
+    cov AS (
+      SELECT doc_id, pos, tok,
+             MAX(mk) OVER (PARTITION BY doc_id ORDER BY pos
+                           ROWS BETWEEN 7 PRECEDING AND CURRENT ROW)
+               = 1 AS covered
+      FROM m)
+    SELECT doc_id,
+           COALESCE(string_agg(CASE WHEN NOT covered THEN tok END,
+                               ' ' ORDER BY pos), '') AS clean_text,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed
+    FROM cov GROUP BY doc_id
+    """,
+)
+def text_dedup_spans(spark, sf_dir):
+    """Token-level cross-document repeated-span removal (exact-substring
+    dedup, spans >= 8 tokens at ANY alignment — operators/text.py:
+    remove_duplicated_spans): sliding grams via lead windows, ONE
+    corpus-wide shuffle at the deduplicated gram grain, doc-local
+    trailing-window coverage marks, in-order reassembly. The oracle
+    replays gram construction, the duplicate set, coverage, and the
+    rebuilt text token-for-token."""
+    from .operators.text import remove_duplicated_spans
+
+    docs = _t(spark, sf_dir, "documents")
+    return remove_duplicated_spans(docs, span_words=8)
