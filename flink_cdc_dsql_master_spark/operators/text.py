@@ -595,7 +595,8 @@ def remove_repeated_segments(docs: DataFrame, id_col: str = "doc_id",
 
 
 def train_bpe_merges(df: DataFrame, rounds: int = 3,
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     return_symbols: bool = False):
     """Train ``rounds`` BPE merges (the actual iterative trainer, not
     just one pair-count pass): each round picks the globally most
     frequent adjacent symbol pair (ties broken lexicographically) and
@@ -670,6 +671,11 @@ def train_bpe_merges(df: DataFrame, rounds: int = 3,
             "pos", F.row_number().over(
                 Window.partitionBy("word").orderBy("pos")))
             .localCheckpoint())
+    if return_symbols:
+        # final (word, wfreq, pos, sym) table — the applied tokenizer
+        # state, for encoding (symbols per word under the trained
+        # merges)
+        return merge_rows, cur
     return merge_rows
 
 
@@ -725,3 +731,27 @@ def remove_duplicated_spans(docs: DataFrame, id_col: str = "doc_id",
         F.count("*").cast("long").alias("n_tokens"),
         F.sum(F.when(F.col("__covered"), 1).otherwise(0)).cast("long")
         .alias("n_removed")))
+
+
+def bpe_token_counts(df: DataFrame, rounds: int = 3,
+                     text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Tokenizer lifecycle completed: TRAIN ``rounds`` BPE merges on
+    the corpus, then ENCODE it — per-document subword token counts
+    under the trained merges. Encoding is free given training: the
+    trainer's final vocab symbol table already IS every word's subword
+    segmentation, so counting tokens = symbols-per-word joined back to
+    the corpus words (one vocab-grain aggregate + the corpus word
+    count, no re-scan of text beyond the word explode). The budget
+    number every dataset-mixture/packing decision needs, with the
+    actual trained tokenizer rather than a whitespace proxy."""
+    _, syms = train_bpe_merges(df, rounds=rounds, text_col=text_col,
+                               return_symbols=True)
+    per_word = syms.groupBy("word").agg(
+        F.count("*").cast("long").alias("__n_sym"))
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    words = (df.where(F.trim(F.col(text_col)) != "")
+             .select(id_col, F.explode(toks).alias("word")))
+    return (words.join(per_word, "word")
+            .groupBy(id_col)
+            .agg(F.sum("__n_sym").cast("long").alias("n_bpe_tokens")))

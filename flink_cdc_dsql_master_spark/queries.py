@@ -7690,3 +7690,36 @@ def text_dedup_spans(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return remove_duplicated_spans(docs, span_words=8)
+
+
+@_q("text_bpe_encode", None)  # oracle assigned below (shares the
+# unrolled trainer chain with text_bpe_train)
+def text_bpe_encode(spark, sf_dir):
+    """Per-document subword token counts under the 3 trained BPE merges
+    (operators/text.py:bpe_token_counts) — train-then-encode in one
+    lineage: the trainer's final symbol table is each word's
+    segmentation, so encoding is a vocab-grain count joined to corpus
+    words. Oracle reuses the unrolled trainer chain and counts symbols
+    off its final state."""
+    from .operators.text import bpe_token_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return bpe_token_counts(docs, rounds=3)
+
+
+def _bpe_encode_oracle_sql(rounds: int = 3) -> str:
+    base = _bpe_oracle_sql(rounds)
+    # keep the CTE chain, replace the final merge-table SELECT with the
+    # per-doc symbol count off the final state s{rounds+1}
+    head = base.rsplit("SELECT 1 AS round", 1)[0]
+    return head + f"""
+    SELECT d.doc_id, CAST(SUM(wc.n_sym) AS BIGINT) AS n_bpe_tokens
+    FROM (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS word
+          FROM documents WHERE trim(text) <> '') d
+    JOIN (SELECT word, COUNT(*) AS n_sym FROM s{rounds + 1}
+          GROUP BY word) wc USING (word)
+    GROUP BY d.doc_id
+    """
+
+
+ORACLE["text_bpe_encode"] = _bpe_encode_oracle_sql(3)

@@ -225,3 +225,25 @@ def test_histogram_fold_equals_rebuild_and_quantiles(spark):
         st, 0.0, 10000.0, 100, (0.1, 0.5, 0.9)).collect()}
     for q in (0.1, 0.5, 0.9):
         assert abs(out[q] - q * 10000) <= 101
+
+
+def test_repeated_span_removal_semantics(spark):
+    """A planted 10-token passage shared by two docs is excised at a
+    DIFFERENT alignment in each, and unrelated text survives intact."""
+    from flink_cdc_dsql_master_spark.operators.text import (
+        remove_duplicated_spans)
+
+    passage = " ".join(f"p{i}" for i in range(10))
+    d1 = f"alpha beta {passage} gamma delta"
+    d2 = f"x1 x2 x3 x4 x5 x6 x7 {passage}"
+    d3 = "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10 u11"
+    df = spark.createDataFrame(
+        [(1, d1), (2, d2), (3, d3)], "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_duplicated_spans(df, span_words=8).collect()}
+    assert out[1]["clean_text"] == "alpha beta gamma delta"
+    assert out[1]["n_removed"] == 10
+    assert out[2]["clean_text"] == "x1 x2 x3 x4 x5 x6 x7"
+    assert out[2]["n_removed"] == 10
+    assert out[3]["clean_text"] == d3  # untouched
+    assert out[3]["n_removed"] == 0
