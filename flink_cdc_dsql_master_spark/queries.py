@@ -73,6 +73,8 @@ BENCH_QUERIES = [
     "sketch_kmv_distinct",
     "lakehouse_change_feed",
     "agg_product_profit",
+    "text_dedup_spans",
+    "sketch_rolling_distinct_users",
 ]
 
 
@@ -7723,3 +7725,82 @@ def _bpe_encode_oracle_sql(rounds: int = 3) -> str:
 
 
 ORACLE["text_bpe_encode"] = _bpe_encode_oracle_sql(3)
+
+
+@_q(
+    "sketch_rolling_distinct_users",
+    """
+    WITH days AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day FROM events),
+    hashes AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day,
+             md5('kmv' || CAST(user_id AS VARCHAR)) AS h
+      FROM events),
+    daily AS (
+      SELECT day, h FROM (
+        SELECT day, h,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM hashes) WHERE rn <= 64),
+    spread AS (
+      SELECT DISTINCT day + o AS wday, h
+      FROM daily, unnest([0, 1, 2, 3, 4, 5, 6]) AS t(o)),
+    merged AS (
+      SELECT wday, h,
+             ROW_NUMBER() OVER (PARTITION BY wday ORDER BY h) AS rn
+      FROM spread),
+    est AS (
+      SELECT wday AS day, CAST(MAX(rn) AS BIGINT) AS n_kept,
+             ROUND(CASE WHEN MAX(rn) < 64 THEN CAST(MAX(rn) AS DOUBLE)
+                   ELSE 63.0 / (('0x' || substr(MAX(CASE WHEN rn = 64
+                        THEN h END), 1, 13))::BIGINT
+                        / 4503599627370496.0) END, 4) AS wau_est
+      FROM merged WHERE rn <= 64 GROUP BY wday),
+    ex AS (
+      SELECT d.day,
+             CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau_exact
+      FROM days d JOIN events e
+        ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day)
+    SELECT CAST(est.day AS VARCHAR) AS day, est.n_kept, est.wau_est,
+           ex.wau_exact
+    FROM est JOIN ex ON ex.day = est.day
+    """,
+)
+def sketch_rolling_distinct_users(spark, sf_dir):
+    """WAU from daily sketches: trailing-7-day distinct users per day
+    computed by MERGING the seven daily KMV partials (spread each
+    day's <=k hashes onto the 7 window days via a literal-offset
+    explode, re-rank, estimate) — the raw events are touched ONCE to
+    build daily partials; every window after that is sketch algebra on
+    <=7k hashes per day. The exact trailing COUNT(DISTINCT), computed
+    beside it via a range join, re-reads the event span once per day —
+    the cost difference IS the point at 100 TB. Lossless-merge keeps
+    the estimate identical to sketching each window from raw."""
+    from .operators.sketches import kmv_estimate, kmv_partial
+
+    ev = (_events_table(spark, sf_dir)
+          .withColumn("day", F.to_date("ts")))
+    daily = kmv_partial(ev, "user_id", ["day"], k=64)
+    spread = (daily.withColumn(
+        "o", F.explode(F.array(*[F.lit(i) for i in range(7)])))
+        .select(F.date_add(F.col("day"), F.col("o")).alias("wday"),
+                "__h")
+        .distinct())
+    win = Window.partitionBy("wday").orderBy("__h")
+    merged = (spread.withColumn("__rn", F.row_number().over(win))
+              .where(F.col("__rn") <= 64).drop("__rn")
+              .withColumnRenamed("wday", "day"))
+    est = (kmv_estimate(merged, ["day"], k=64)
+           .withColumnRenamed("distinct_est", "wau_est"))
+    days = ev.select("day").distinct()
+    exact = (days.alias("d").join(
+        ev.alias("e"),
+        F.col("e.day").between(F.date_sub(F.col("d.day"), 6),
+                               F.col("d.day")))
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("e.user_id").cast("long")
+             .alias("wau_exact")))
+    return (est.join(exact, "day")
+            .select(F.col("day").cast("string").alias("day"),
+                    F.col("n_kept").cast("long"), "wau_est",
+                    "wau_exact"))
