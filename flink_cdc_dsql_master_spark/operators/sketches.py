@@ -213,8 +213,12 @@ def histogram_quantiles(df: DataFrame, value_col: str, bins: int = 64,
     b = df.select(F.col(value_col).cast("double").alias("__v")) \
         .crossJoin(F.broadcast(stats))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
-    bin_ = F.least(F.lit(bins - 1),
-                   F.floor((F.col("__v") - F.col("__lo")) / width)) \
+    # degenerate range (all values identical): width 0 would NULL the
+    # bin via division; every value belongs in bin 0 and interpolation
+    # collapses to lo
+    bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(F.lit(bins - 1),
+                F.floor((F.col("__v") - F.col("__lo")) / width))) \
         .cast("long")
     hist = (b.withColumn("bin", bin_)
             .groupBy("bin")
@@ -439,8 +443,9 @@ def grouped_histogram_quantiles(df: DataFrame, group_col: str,
                    F.col(value_col).cast("double").alias("__v"))
          .join(F.broadcast(stats), group_col))
     width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
-    bin_ = F.least(F.lit(bins - 1),
-                   F.floor((F.col("__v") - F.col("__lo")) / width)) \
+    bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(F.lit(bins - 1),
+                F.floor((F.col("__v") - F.col("__lo")) / width))) \
         .cast("long")
     hist = (b.withColumn("bin", bin_)
             .groupBy(group_col, "bin")

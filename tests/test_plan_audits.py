@@ -243,3 +243,25 @@ def test_packed_bloom_fact_side_map_only(spark, sf_dir):
     # hash-partition exchanges allowed are on the tiny word table side
     first_join = tree.split("BroadcastHashJoin")[0]
     assert "Exchange hashpartitioning" not in first_join
+
+
+def test_tpch_q2_q9_broadcast_dims(spark, sf_dir):
+    """The TPC-H completion queries keep their dims on the broadcast
+    side: Q2's supplier/nation/region and Q9's part/supplier/nation
+    must never sort-merge against the fact flow."""
+    for name in ("join_min_cost_supplier", "agg_product_profit"):
+        plan = plan_of(QUERIES[name](spark, sf_dir))
+        assert "BroadcastHashJoin" in plan, name
+
+
+def test_seasonal_decompose_windows_on_daily_grain(spark, sf_dir):
+    """The decomposition's windows must consume the daily AGGREGATE —
+    the partial-agg collapse of the fact table appears BELOW the first
+    Window in the operator tree (formatted explain prints children
+    after parents, so the collapse text follows the Window's)."""
+    plan = plan_of(QUERIES["timeseries_seasonal_decompose"](
+        spark, sf_dir))
+    tree = tree_of(plan)
+    assert "Window" in tree and "HashAggregate" in tree
+    below_first_window = tree.split("Window", 1)[1]
+    assert "HashAggregate" in below_first_window  # collapse feeds it

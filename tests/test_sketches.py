@@ -247,3 +247,25 @@ def test_repeated_span_removal_semantics(spark):
     assert out[2]["n_removed"] == 10
     assert out[3]["clean_text"] == d3  # untouched
     assert out[3]["n_removed"] == 0
+
+
+def test_histogram_quantiles_degenerate_range(spark):
+    """All-identical values: width 0 must not NULL the bins — every
+    quantile is the single value."""
+    from flink_cdc_dsql_master_spark.operators.sketches import (
+        grouped_histogram_quantiles)
+
+    df = spark.createDataFrame([("a", 5.0)] * 100 + [("b", float(i),)
+                               for i in range(100)],
+                               "g string, v double")
+    out = {(r["g"], r["q"]): r["est_value"]
+           for r in grouped_histogram_quantiles(
+               df, "g", "v", bins=16, qs=(0.5,)).collect()}
+    assert out[("a", 0.5)] == 5.0
+    assert 40 <= out[("b", 0.5)] <= 60
+
+    single = histogram_quantiles(
+        spark.createDataFrame([(7.0,)] * 50, "v double"),
+        "v", bins=8, qs=(0.5, 0.9))
+    vals = {r["q"]: r["est_value"] for r in single.collect()}
+    assert vals == {0.5: 7.0, 0.9: 7.0}
