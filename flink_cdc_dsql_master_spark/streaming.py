@@ -209,3 +209,83 @@ def streaming_session_agg(df: DataFrame, ts_col: str = "ts",
                 F.col("w.end").alias("session_end"),
                 key_col, "n_events", "total")
     )
+
+
+def tag_temporal_streams(facts: DataFrame, dims: DataFrame, key_col: str,
+                         seq_col: str, fact_cols: list[str],
+                         dim_cols: list[str]) -> DataFrame:
+    """Union a fact stream and a dim-changelog stream into the tagged
+    shape :func:`streaming_temporal_enrich` consumes: one frame with
+    (key, __kind 'f'/'d', seq, fact cols ∪ dim cols null-filled)."""
+    f = facts.select(
+        F.col(key_col), F.lit("f").alias("__kind"),
+        F.col(seq_col).cast("long").alias(seq_col),
+        *[F.col(c) for c in fact_cols],
+        *[F.lit(None).cast(dims.schema[c].dataType).alias(c)
+          for c in dim_cols])
+    d = dims.select(
+        F.col(key_col), F.lit("d").alias("__kind"),
+        F.col(seq_col).cast("long").alias(seq_col),
+        *[F.lit(None).cast(facts.schema[c].dataType).alias(c)
+          for c in fact_cols],
+        *[F.col(c) for c in dim_cols])
+    return f.unionByName(d)
+
+
+def streaming_temporal_enrich(tagged: DataFrame, key_col: str,
+                              fact_cols: list[str], dim_cols: list[str],
+                              seq_col: str = "__seq") -> DataFrame:
+    """Processing-time TEMPORAL JOIN (Flink's stream-table enrichment,
+    `FOR SYSTEM_TIME AS OF proctime`): a dim CHANGELOG stream maintains
+    the latest row version per key in keyed state; every fact event is
+    enriched with the dim values current when its micro-batch is
+    processed. Facts arriving before any dim version emit NULL dim
+    columns (left-enrichment semantics).
+
+    Deterministic intra-batch rule: all of a batch's dim updates for a
+    key apply BEFORE its facts are enriched (and only a dim with
+    seq >= the state's survives — late dim replays cannot regress the
+    state). State = one row-version per key, hash-partitioned by the
+    state store exactly like a shuffle; at 100 TB this is the
+    broadcast-free way to join a mutable dimension onto an unbounded
+    fact stream."""
+    schema = tagged.schema
+    out_schema = T.StructType(
+        [schema[key_col]] + [schema[c] for c in fact_cols]
+        + [schema[c] for c in dim_cols])
+    state_ddl = "seq long, " + ", ".join(
+        f"{c} {schema[c].dataType.simpleString()}" for c in dim_cols)
+
+    def enrich_fn(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        frames = [p for p in pdfs if len(p)]
+        if not frames:
+            return iter(())
+        pdf = pd.concat(frames, ignore_index=True)
+        cur = tuple(state.get) if state.exists else None
+        dims = pdf[pdf["__kind"] == "d"]
+        if len(dims):
+            best = dims.sort_values(seq_col).iloc[-1]
+            seq = int(best[seq_col])
+            if cur is None or seq >= cur[0]:
+                vals = [best[c] for c in dim_cols]
+                vals = [v.item() if hasattr(v, "item") else v
+                        for v in vals]
+                cur = (seq, *vals)
+                state.update(cur)
+        facts = pdf[pdf["__kind"] == "f"]
+        if not len(facts):
+            return iter(())
+        out = facts[[key_col] + fact_cols].copy()
+        for i, c in enumerate(dim_cols):
+            out[c] = cur[1 + i] if cur is not None else None
+        return iter((out,))
+
+    return (tagged.groupBy(F.col(key_col))
+            .applyInPandasWithState(
+                enrich_fn,
+                outputStructType=out_schema,
+                stateStructType=state_ddl,
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

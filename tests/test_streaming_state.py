@@ -190,3 +190,34 @@ def test_streaming_scd2_maintenance(spark, tmp_path):
     want = key(scd2_history(
         spark.createDataFrame(rows1 + rows2, schema), ["k"]))
     assert got == want and len(got) == 5
+
+
+def test_streaming_temporal_enrich(spark, tmp_path):
+    """Processing-time temporal join: facts pick up the dim version
+    current at their micro-batch; a later dim update changes later
+    facts only; unseen keys enrich as NULL."""
+    from flink_cdc_dsql_master_spark.streaming import (
+        streaming_temporal_enrich, tag_temporal_streams)
+
+    schema = ("k string, __kind string, __seq long, amount double, "
+              "rate double")
+    b1 = [
+        ("a", "d", 1, None, 1.5),     # dim arrives with/before facts
+        ("a", "f", 2, 10.0, None),
+        ("b", "f", 3, 20.0, None),    # no dim for b yet -> NULL rate
+    ]
+    b2 = [
+        ("a", "d", 4, None, 2.0),     # dim update applies before facts
+        ("a", "f", 5, 30.0, None),
+        ("b", "f", 6, 40.0, None),    # still no dim for b
+    ]
+    collected = _run_two_batches(
+        spark, tmp_path,
+        lambda s: streaming_temporal_enrich(
+            s, "k", ["amount"], ["rate"], seq_col="__seq"),
+        b1, b2, schema)
+    rows = {(r["k"], r["amount"]): r["rate"]
+            for _, batch in collected for r in batch}
+    assert rows[("a", 10.0)] == 1.5   # batch-1 version
+    assert rows[("a", 30.0)] == 2.0   # updated version
+    assert rows[("b", 20.0)] is None and rows[("b", 40.0)] is None
