@@ -89,3 +89,19 @@ def test_phrase_search_positions_and_counts(spark):
     got2 = {r["id"]: r["n_matches"]
             for r in text.phrase_search(df2, ["a", "a"]).collect()}
     assert got2 == {9: 2}
+
+
+def test_trustrank_unreachable_nodes_get_zero(spark):
+    """Trust flows only FROM seeds: a node with no path from the seed
+    set ends at rank 0, and seeds retain the base teleport mass."""
+    from flink_cdc_dsql_master_spark.operators.graph import trustrank
+
+    # two components: {0 -> 1 -> 2} seeded at 0; {10 -> 11} unseeded
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (10, 11)], "src long, dst long")
+    seeds = spark.createDataFrame([(0,)], "node long")
+    r = {row["node"]: row["rank"]
+         for row in trustrank(edges, seeds, iterations=4).collect()}
+    assert r[10] == 0.0 and r[11] == 0.0   # unreachable from seeds
+    assert r[0] > 0 and r[1] > 0 and r[2] > 0
+    assert r[0] > r[2]  # trust decays with distance from the seed
