@@ -7804,3 +7804,50 @@ def sketch_rolling_distinct_users(spark, sf_dir):
             .select(F.col("day").cast("string").alias("day"),
                     F.col("n_kept").cast("long"), "wau_est",
                     "wau_exact"))
+
+
+@_q(
+    "join_temporal_event_time",
+    """
+    SELECT o.o_orderkey, o.o_custkey,
+           CASE WHEN o.o_custkey % 3 = 0 AND o.o_orderkey >= 3000
+                THEN c.c_acctbal + 100.0 ELSE c.c_acctbal
+           END AS bal_at_order
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def join_temporal_event_time(spark, sf_dir):
+    """EVENT-time temporal join (Flink `FOR SYSTEM_TIME AS OF rowtime`):
+    each fact joins the dim VERSION valid at its own event sequence —
+    composed from the real machinery: a dim changelog (+I at seq 0,
+    +U at seq 3000 for every third customer) materialized to SCD2
+    version intervals (partitioning.scd2_history), then an interval
+    as-of join keyed on the customer with
+    valid_from <= fact_seq < valid_to. Facts before the update see the
+    old balance, facts after see the new one. The oracle derives the
+    expected balance ANALYTICALLY from the construction (an independent
+    derivation, not a replay of scd2), so versioning AND the interval
+    join are both under test. Completes the temporal triad: batch
+    as-of (asof.py), processing-time enrichment (streaming), event-time
+    versioned join (here)."""
+    from .partitioning import scd2_history
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal")
+    v1 = (cust.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(0).cast("long")))
+    v2 = (cust.where(F.col("c_custkey") % 3 == 0)
+          .withColumn("c_acctbal", F.col("c_acctbal") + 100.0)
+          .withColumn(OP_COLUMN, F.lit("+U"))
+          .withColumn(SEQ_COLUMN, F.lit(3000).cast("long")))
+    hist = scd2_history(v1.unionByName(v2), ["c_custkey"])
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey")
+    j = orders.join(
+        hist,
+        (orders["o_custkey"] == hist["c_custkey"])
+        & (orders["o_orderkey"] >= hist["valid_from_seq"])
+        & (hist["valid_to_seq"].isNull()
+           | (orders["o_orderkey"] < hist["valid_to_seq"])))
+    return j.select("o_orderkey", "o_custkey",
+                    F.col("c_acctbal").alias("bal_at_order"))
