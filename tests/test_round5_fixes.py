@@ -201,3 +201,39 @@ class TestBm25EmptyCorpus:
         out = bm25_topk(df, ["hello"], k=5)
         assert out.columns == ["id", "score"]
         assert out.count() == 0
+
+
+def test_temporal_join_consistent_with_scd2_as_of(spark):
+    """Internal consistency of the two event-time faces: joining facts
+    pinned at sequence S against the SCD2 intervals must equal
+    enriching from the scd2_as_of(S) snapshot."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.partitioning import (scd2_as_of,
+                                                          scd2_history)
+
+    rows = [(k, float(k * 10)) for k in range(20)]
+    dim = spark.createDataFrame(rows, "k long, v double")
+    cl = (dim.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(0).cast("long"))
+          .unionByName(
+              dim.where(F.col("k") % 2 == 0)
+              .withColumn("v", F.col("v") + 1.0)
+              .withColumn(OP_COLUMN, F.lit("+U"))
+              .withColumn(SEQ_COLUMN, F.lit(5).cast("long"))))
+    hist = scd2_history(cl, ["k"])
+    facts = spark.createDataFrame(
+        [(i, i % 20) for i in range(40)], "fseq long, k long") \
+        .withColumn("fseq", F.lit(7).cast("long"))
+    via_interval = {(r["k"], r["v"]) for r in facts.join(
+        hist, (facts["k"] == hist["k"])
+        & (facts["fseq"] >= hist["valid_from_seq"])
+        & (hist["valid_to_seq"].isNull()
+           | (facts["fseq"] < hist["valid_to_seq"])))
+        .select(facts["k"], "v").collect()}
+    snap = scd2_as_of(hist, 7)
+    via_snapshot = {(r["k"], r["v"]) for r in facts.join(
+        snap, "k").select(facts["k"], "v").collect()}
+    assert via_interval == via_snapshot
+    assert (0, 1.0) in via_interval  # updated version visible at seq 7
