@@ -184,3 +184,42 @@ def trustrank(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
             .localCheckpoint()
         )
     return ranks
+
+
+def transitive_ancestors(parents: DataFrame, child: str = "child",
+                         parent: str = "parent",
+                         max_depth: int = 32) -> DataFrame:
+    """Transitive closure of a parent hierarchy — the recursive-CTE
+    capability (org charts, bill-of-materials explosion, category
+    trees) Spark's SQL dialect lacks: returns (node, ancestor, depth)
+    for every ancestor at any distance (depth >= 1).
+
+    Iterative frontier expansion: frontier(d+1) = frontier(d) ⋈ parent
+    map — each iteration ONE equi-join on the parent key, terminating
+    when the frontier empties (or ``max_depth`` as a cycle guard, with
+    a loud error rather than silent truncation). For a tree of height
+    h that is h small joins; the parent map (one row per node) is
+    broadcastable at any realistic hierarchy size, so iterations are
+    shuffle-free. Frontiers are localCheckpoint'ed (pagerank/
+    dup_clusters discipline) so the plan does not double per level."""
+    pmap = parents.select(F.col(child).alias("node"),
+                          F.col(parent).alias("ancestor")).distinct()
+    frontier = pmap.withColumn("depth", F.lit(1)).localCheckpoint()
+    out = frontier
+    for d in range(2, max_depth + 2):
+        nxt = (frontier.join(
+            F.broadcast(pmap.select(F.col("node").alias("ancestor"),
+                                    F.col("ancestor").alias("__up"))),
+            "ancestor")
+            .select("node", F.col("__up").alias("ancestor"),
+                    F.lit(d).alias("depth"))
+            .localCheckpoint())
+        if not nxt.take(1):
+            return out
+        if d == max_depth + 1:
+            raise ValueError(
+                f"hierarchy deeper than max_depth={max_depth} "
+                "(cycle, or raise max_depth)")
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out

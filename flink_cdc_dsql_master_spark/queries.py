@@ -7851,3 +7851,51 @@ def join_temporal_event_time(spark, sf_dir):
            | (orders["o_orderkey"] < hist["valid_to_seq"])))
     return j.select("o_orderkey", "o_custkey",
                     F.col("c_acctbal").alias("bal_at_order"))
+
+
+@_q(
+    "graph_hierarchy_rollup",
+    """
+    WITH RECURSIVE parents AS (
+      SELECT p_partkey AS child, CAST(FLOOR(p_partkey / 4) AS BIGINT)
+               AS parent
+      FROM part WHERE p_partkey > 0),
+    anc(node, ancestor, depth) AS (
+      SELECT child, parent, 1 FROM parents
+      UNION ALL
+      SELECT a.node, p.parent, a.depth + 1
+      FROM anc a JOIN parents p ON p.child = a.ancestor),
+    rolled AS (
+      SELECT a.ancestor,
+             CAST(COUNT(*) AS BIGINT) AS n_descendants,
+             CAST(MAX(a.depth) AS BIGINT) AS subtree_height,
+             ROUND(SUM(pt.p_retailprice), 2) AS subtree_value
+      FROM anc a JOIN part pt ON pt.p_partkey = a.node
+      GROUP BY a.ancestor)
+    SELECT * FROM rolled WHERE n_descendants >= 16
+    """,
+)
+def graph_hierarchy_rollup(spark, sf_dir):
+    """Hierarchical rollup (BOM explosion / category-tree totals) over
+    a synthetic part hierarchy (parent = floor(key/4), height ~6):
+    transitive ancestor closure by iterative broadcast frontier joins
+    (operators/graph.py:transitive_ancestors — the recursive-CTE
+    capability expressed in Spark's model), then one aggregate rolls
+    every descendant's value up to each ancestor. Oracle = the real
+    recursive CTE in DuckDB, so closure AND rollup are checked; output
+    restricted to ancestors with >= 16 descendants."""
+    from .operators.graph import transitive_ancestors
+
+    part = _t(spark, sf_dir, "part")
+    parents = (part.where(F.col("p_partkey") > 0)
+               .select(F.col("p_partkey").alias("child"),
+                       F.floor(F.col("p_partkey") / 4).cast("long")
+                       .alias("parent")))
+    anc = transitive_ancestors(parents)
+    rolled = (anc.join(part, anc["node"] == part["p_partkey"])
+              .groupBy("ancestor")
+              .agg(F.count("*").cast("long").alias("n_descendants"),
+                   F.max("depth").cast("long").alias("subtree_height"),
+                   F.round(F.sum("p_retailprice"), 2)
+                   .alias("subtree_value")))
+    return rolled.where(F.col("n_descendants") >= 16)

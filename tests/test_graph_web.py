@@ -105,3 +105,23 @@ def test_trustrank_unreachable_nodes_get_zero(spark):
     assert r[10] == 0.0 and r[11] == 0.0   # unreachable from seeds
     assert r[0] > 0 and r[1] > 0 and r[2] > 0
     assert r[0] > r[2]  # trust decays with distance from the seed
+
+
+def test_transitive_ancestors_cycle_guard(spark):
+    from flink_cdc_dsql_master_spark.operators.graph import (
+        transitive_ancestors)
+
+    # 1 -> 2 -> 3 -> 1 cycle must raise, not loop or truncate silently
+    cyc = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1)], "child long, parent long")
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_depth"):
+        transitive_ancestors(cyc, max_depth=8).count()
+
+    # clean chain: full closure with correct depths
+    chain = spark.createDataFrame(
+        [(2, 1), (3, 2), (4, 3)], "child long, parent long")
+    rows = {(r["node"], r["ancestor"]): r["depth"]
+            for r in transitive_ancestors(chain).collect()}
+    assert rows[(4, 3)] == 1 and rows[(4, 2)] == 2 and rows[(4, 1)] == 3
+    assert rows[(2, 1)] == 1 and len(rows) == 6
