@@ -7899,3 +7899,62 @@ def graph_hierarchy_rollup(spark, sf_dir):
                    F.round(F.sum("p_retailprice"), 2)
                    .alias("subtree_value")))
     return rolled.where(F.col("n_descendants") >= 16)
+
+
+@_q(
+    "dq_majority_repair",
+    """
+    WITH dirty AS (
+      SELECT l_orderkey, l_linenumber, l_partkey,
+             CASE WHEN (l_orderkey * 31 + l_linenumber) % 97 = 0
+                  THEN 'CORRUPT' ELSE l_returnflag END AS flag
+      FROM lineitem),
+    votes AS (
+      SELECT l_partkey, flag, COUNT(*) AS c
+      FROM dirty GROUP BY 1, 2),
+    majority AS (
+      SELECT l_partkey, flag AS repaired_flag FROM (
+        SELECT l_partkey, flag,
+               ROW_NUMBER() OVER (PARTITION BY l_partkey
+                                  ORDER BY c DESC, flag) AS rn
+        FROM votes) WHERE rn = 1)
+    SELECT d.l_partkey,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN d.flag <> m.repaired_flag
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_repaired,
+           m.repaired_flag
+    FROM dirty d JOIN majority m USING (l_partkey)
+    GROUP BY d.l_partkey, m.repaired_flag
+    """,
+)
+def dq_majority_repair(spark, sf_dir):
+    """Constraint repair by majority vote: rows violating a functional
+    dependency (a deterministic 1-in-97 corruption planted on the
+    return flag) are repaired to their key's MODE value, ties broken
+    lexicographically — the standard deterministic data-cleaning rule.
+    Two partial-agg shuffles (vote counts, then the per-key argmax via
+    a count-grain window — the window runs on the VOTES, ~values-per-
+    key rows, never the fact rows) and one hash join back. Output per
+    part: rows, repairs applied, repaired value."""
+    li = _t(spark, sf_dir, "lineitem")
+    dirty = li.select(
+        "l_orderkey", "l_linenumber", "l_partkey",
+        F.when((F.col("l_orderkey") * 31 + F.col("l_linenumber"))
+               % 97 == 0, "CORRUPT")
+        .otherwise(F.col("l_returnflag")).alias("flag"))
+    votes = dirty.groupBy("l_partkey", "flag").agg(
+        F.count("*").alias("c"))
+    w = Window.partitionBy("l_partkey").orderBy(
+        F.col("c").desc(), "flag")
+    majority = (votes.withColumn("__rn", F.row_number().over(w))
+                .where(F.col("__rn") == 1)
+                .select("l_partkey",
+                        F.col("flag").alias("repaired_flag")))
+    j = dirty.join(majority, "l_partkey")
+    return (j.groupBy("l_partkey", "repaired_flag")
+            .agg(F.count("*").cast("long").alias("n_rows"),
+                 F.sum(F.when(F.col("flag") != F.col("repaired_flag"),
+                              1).otherwise(0)).cast("long")
+                 .alias("n_repaired"))
+            .select("l_partkey", "n_rows", "n_repaired",
+                    "repaired_flag"))
