@@ -502,6 +502,95 @@ def histogram_apply_batch(state: DataFrame | None, batch: DataFrame,
             .groupBy("bin").agg(F.sum("cnt").alias("cnt")))
 
 
+def hll_partial(df: DataFrame, key_col: str, group_cols: list[str],
+                p: int = 8, salt: str = "hll") -> DataFrame:
+    """The mergeable HALF of a HyperLogLog sketch (Flajolet et al.):
+    per group, register rows (``*group_cols``, j, r) where j is the
+    top-``p`` bits of a 32-bit md5-derived hash and r = max over keys
+    of the leading-zero rank of the remaining 32-p bits. State is
+    ≤ 2^p rows per group at ANY cardinality, and the groupBy(j, max)
+    partial-aggregates map-side, so the shuffle moves at most
+    2^p·tasks register rows — versus KMV this trades the per-key
+    distinct pre-collapse for a pure max-fold (no distinct shuffle at
+    all). Merge is register-wise MAX — idempotent, commutative,
+    associative — so sketch-of-union == merge-of-sketches exactly.
+
+    rho is computed without float log: for w > 0,
+    rho = (32-p) + 1 - length(bin(w)) (``bin`` drops leading zeros in
+    both Spark and DuckDB, making the oracle replay bit-exact); w = 0
+    maps to the sentinel rank (32-p)+1."""
+    if not 4 <= p <= 14:
+        raise ValueError(f"p must be in [4, 14], got {p}")
+    wbits = 32 - p
+    h = _h32(F.col(key_col), salt)
+    j = F.floor(h / F.lit(1 << wbits)).cast("long")
+    w = h % F.lit(1 << wbits)
+    rho = (F.when(w == 0, F.lit(wbits + 1))
+           .otherwise(F.lit(wbits + 1) - F.length(F.bin(w)))
+           .cast("long"))
+    return (df.select(*group_cols, j.alias("j"), rho.alias("rho"))
+            .groupBy(*group_cols, "j").agg(F.max("rho").alias("r")))
+
+
+def hll_merge(parts: list[DataFrame], group_cols: list[str]) -> DataFrame:
+    """Merge HLL partials built with the same (p, salt): register-wise
+    max. Output shape matches :func:`hll_partial` — merges compose,
+    and merging a sketch with itself is a no-op (idempotent), which is
+    what makes HLL safe under at-least-once replay where linear
+    sketches (Count-Min) would double-count."""
+    u = parts[0]
+    for x in parts[1:]:
+        u = u.unionByName(x)
+    return u.groupBy(*group_cols, "j").agg(F.max("r").alias("r"))
+
+
+def hll_estimate(partial: DataFrame, group_cols: list[str],
+                 p: int = 8) -> DataFrame:
+    """Finalize HLL registers into (``*group_cols``, distinct_est):
+    raw = alpha_m·m²/Σ 2^-M_j (absent registers contribute 2^0 = 1),
+    with the standard small-range correction E = m·ln(m/V) when
+    raw ≤ 2.5m and V (zero registers) > 0. All arithmetic is the same
+    IEEE expression on both engines; the 4-decimal round absorbs
+    summation-order ulps."""
+    m = 1 << p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    agg = partial.groupBy(*group_cols).agg(
+        F.sum(F.pow(F.lit(2.0), -F.col("r").cast("double"))).alias("__s"),
+        F.count("*").alias("__nz"))
+    denom = F.col("__s") + (F.lit(m) - F.col("__nz")).cast("double")
+    raw = F.lit(alpha * m * m) / denom
+    v = (F.lit(m) - F.col("__nz")).cast("double")
+    est = F.when((raw <= F.lit(2.5 * m)) & (v > 0.0),
+                 F.lit(float(m)) * F.log(F.lit(float(m)) / v)) \
+        .otherwise(raw)
+    return agg.select(*group_cols, F.round(est, 4).alias("distinct_est"))
+
+
+def hll_distinct(df: DataFrame, key_col: str, group_cols: list[str],
+                 p: int = 8, salt: str = "hll") -> DataFrame:
+    """Distinct-count estimate per group via HyperLogLog — the
+    fixed-register alternative to :func:`kmv_distinct`: no distinct
+    pre-collapse (the max-fold absorbs duplicates map-side), state
+    2^p registers per group, replay-idempotent merge. Returns
+    (``*group_cols``, distinct_est)."""
+    return hll_estimate(hll_partial(df, key_col, group_cols, p, salt),
+                        group_cols, p)
+
+
+def hll_apply_batch(state: DataFrame | None, batch: DataFrame,
+                    key_col: str, group_cols: list[str], p: int = 8,
+                    salt: str = "hll") -> DataFrame:
+    """Fold one micro-batch into maintained HLL register state
+    (register-wise max). Idempotent under epoch replay — re-folding
+    the same batch cannot move any register — so unlike the Count-Min
+    fold this one needs no replay guard in an at-least-once sink."""
+    part = hll_partial(batch, key_col, group_cols, p, salt)
+    if state is None:
+        return part
+    return hll_merge([state.select(*group_cols, "j", "r"), part],
+                     group_cols)
+
+
 def histogram_state_quantiles(state: DataFrame, lo: float, hi: float,
                               bins: int = 64,
                               qs: tuple[float, ...] = (0.5, 0.9)

@@ -7958,3 +7958,90 @@ def dq_majority_repair(spark, sf_dir):
                  .alias("n_repaired"))
             .select("l_partkey", "n_rows", "n_repaired",
                     "repaired_flag"))
+
+
+# ------------------------------------------------------------------------
+# HyperLogLog distinct sketch — fixed 2^p registers, replay-idempotent
+# max-merge; the md5-derived hash makes the estimate (and its error)
+# replayable in the DuckDB oracle bit-for-bit.
+# ------------------------------------------------------------------------
+
+_HLL_SQL = """
+    WITH hashes AS (
+      SELECT event_type,
+             ('0x' || substr(md5('hll' || CAST(user_id AS VARCHAR)),
+                             1, 8))::BIGINT AS h
+      FROM events),
+    regs AS (
+      SELECT event_type, h // 16777216 AS j,
+             MAX(CASE WHEN h % 16777216 = 0 THEN 25
+                 ELSE 25 - length(bin(h % 16777216)) END) AS r
+      FROM hashes GROUP BY 1, 2),
+    agg AS (
+      SELECT event_type, SUM(power(2.0, -r)) AS s, COUNT(*) AS nz
+      FROM regs GROUP BY 1),
+    est AS (
+      SELECT event_type,
+             (0.7213 / (1.0 + 1.079 / 256)) * 256 * 256 / (s + (256 - nz))
+               AS raw,
+             CAST(256 - nz AS DOUBLE) AS v
+      FROM agg),
+    ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type)
+    SELECT e.event_type,
+           ROUND(CASE WHEN e.raw <= 640.0 AND e.v > 0.0
+                 THEN 256.0 * ln(256.0 / e.v) ELSE e.raw END, 4)
+             AS distinct_est,
+           x.exact_distinct
+    FROM est e JOIN ex x USING (event_type)
+    """
+
+
+@_q("sketch_hll_distinct", _HLL_SQL)
+def sketch_hll_distinct(spark, sf_dir):
+    """HyperLogLog distinct-count per event_type beside the exact
+    COUNT(DISTINCT). Unlike KMV there is NO distinct pre-collapse
+    shuffle: the register fold (groupBy(group, j).max(rho)) absorbs
+    duplicate keys map-side, so the shuffle carries at most 256
+    register rows per group per task regardless of cardinality — the
+    cheapest possible distinct-count plan shape at 100 TB. rho is
+    derived from length(bin(w)) (no float log), so DuckDB replays
+    every register and the estimate exactly."""
+    from .operators.sketches import hll_distinct
+
+    ev = _events_table(spark, sf_dir)
+    sk = hll_distinct(ev, "user_id", ["event_type"], p=8)
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("exact_distinct")))
+    return sk.join(exact, "event_type").select(
+        "event_type", "distinct_est", "exact_distinct")
+
+
+@_q("sketch_hll_merge")
+def sketch_hll_merge(spark, sf_dir):
+    """Register-wise max-merge of HLL partials built from disjoint
+    shards (even/odd event_id) — and, to pin replay-idempotence, one
+    shard folded in TWICE — must equal the whole-corpus sketch: max is
+    idempotent, so at-least-once replay cannot move any register
+    (where the linear Count-Min fold would double-count). Oracle =
+    the direct whole-corpus HLL SQL."""
+    from .operators.sketches import hll_estimate, hll_merge, hll_partial
+
+    ev = _events_table(spark, sf_dir)
+    even = hll_partial(ev.where(F.col("event_id") % 2 == 0),
+                       "user_id", ["event_type"], p=8)
+    odd = hll_partial(ev.where(F.col("event_id") % 2 == 1),
+                      "user_id", ["event_type"], p=8)
+    merged = hll_merge([even, odd, even], ["event_type"])
+    sk = hll_estimate(merged, ["event_type"], p=8)
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("exact_distinct")))
+    return sk.join(exact, "event_type").select(
+        "event_type", "distinct_est", "exact_distinct")
+
+
+ORACLE["sketch_hll_merge"] = _HLL_SQL

@@ -269,3 +269,40 @@ def test_histogram_quantiles_degenerate_range(spark):
         "v", bins=8, qs=(0.5, 0.9))
     vals = {r["q"]: r["est_value"] for r in single.collect()}
     assert vals == {0.5: 7.0, 0.9: 7.0}
+
+
+def test_hll_estimate_within_error_bound(keyed):
+    from flink_cdc_dsql_master_spark.operators.sketches import hll_distinct
+
+    # p=8 → m=256 registers, RSE ~ 1.04/sqrt(256) ≈ 6.5%; assert 3σ
+    out = hll_distinct(keyed, "k", ["g"], p=8).collect()[0]
+    assert abs(out["distinct_est"] - 800) / 800 < 0.20
+
+
+def test_hll_merge_idempotent_and_lossless(keyed):
+    from flink_cdc_dsql_master_spark.operators.sketches import (
+        hll_estimate, hll_merge, hll_partial)
+
+    whole = hll_partial(keyed, "k", ["g"], p=8)
+    a = hll_partial(keyed.where(F.col("k") % 2 == 0), "k", ["g"], p=8)
+    b = hll_partial(keyed.where(F.col("k") % 2 == 1), "k", ["g"], p=8)
+    # sketch(A ∪ B) == merge(sketch A, sketch B), and re-merging a
+    # shard (replay) moves nothing
+    merged = hll_merge([a, b, a, b], ["g"])
+    w = {(r["j"]): r["r"] for r in whole.collect()}
+    m = {(r["j"]): r["r"] for r in merged.collect()}
+    assert w == m
+    est_w = hll_estimate(whole, ["g"], p=8).collect()[0]["distinct_est"]
+    est_m = hll_estimate(merged, ["g"], p=8).collect()[0]["distinct_est"]
+    assert est_w == est_m
+
+
+def test_hll_small_range_exactish(spark):
+    from flink_cdc_dsql_master_spark.operators.sketches import hll_distinct
+
+    # 30 distinct keys ≪ m: linear-counting correction keeps the
+    # estimate within ~10%
+    df = spark.createDataFrame([(i % 30,) for i in range(200)], "k long") \
+        .withColumn("g", F.lit("all"))
+    out = hll_distinct(df, "k", ["g"], p=8).collect()[0]
+    assert abs(out["distinct_est"] - 30) / 30 < 0.12
