@@ -723,3 +723,68 @@ def substring_containment_pairs(df: DataFrame, text_col: str = "text",
             .select("id_a", "id_b",
                     F.col("__la").cast("int").alias("len_a"),
                     F.col("__lb").cast("int").alias("len_b")))
+
+
+def content_defined_chunks(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "content", window: int = 8,
+                           divisor: int = 64) -> DataFrame:
+    """Content-defined chunking (the rsync/LBFS/backup-dedup boundary
+    rule): cut a document wherever the hash of the ``window``-byte
+    substring ending a position hits 0 mod ``divisor`` — so chunk
+    boundaries are a function of CONTENT, not offsets, and an edit
+    near the start of a document shifts every byte offset but leaves
+    all downstream boundaries (hence chunk identities) intact. That is
+    the property offset-based fixed-size blocking lacks, and it is
+    what makes chunk-level storage dedup find the shared tail of
+    edited near-copies that exact doc-level dedup scores 0 on.
+
+    Plan shape: the boundary scan and chunk slicing are pure
+    whole-stage-codegen higher-order array functions (sequence →
+    filter → zip_with substr) — per-document map-side work, O(bytes),
+    NO shuffle and no Python. Expected chunk length is ``divisor``
+    bytes (geometric); the md5-derived boundary hash is the repo-wide
+    deterministic convention, so a SQL oracle replays every boundary
+    and chunk exactly.
+
+    Returns exploded rows (``id_col``, chunk_idx, chunk).
+    """
+    # positions 2..len-window+1 can START a chunk; boundary at i means
+    # "the window beginning at i hashes to 0 mod divisor". Documents
+    # shorter than window+1 bytes are a single chunk (sequence() would
+    # run DESCENDING for stop < start, so gate it).
+    bounds = (
+        f"CASE WHEN length({text_col}) >= {window + 1} THEN "
+        f"filter(sequence(2, length({text_col}) - {window - 1}), "
+        f"i -> pmod(CAST(conv(substr(md5(concat('cdc', "
+        f"substr({text_col}, i, {window}))), 1, 8), 16, 10) AS BIGINT), "
+        f"{divisor}) = 0) ELSE array() END")
+    starts = f"concat(array(1), __bounds)"
+    ends = f"concat(__bounds, array(length({text_col}) + 1))"
+    chunks = (f"zip_with({starts}, {ends}, "
+              f"(s, e) -> substr({text_col}, s, e - s))")
+    ex = (df.where(F.col(text_col).isNotNull()
+                   & (F.length(text_col) > 0))
+          .withColumn("__bounds", F.expr(bounds))
+          .select(id_col, F.posexplode(F.expr(chunks))
+                  .alias("chunk_idx", "chunk")))
+    return ex
+
+
+def chunk_dedup_stats(chunks: DataFrame) -> DataFrame:
+    """Storage-dedup accounting over :func:`content_defined_chunks`
+    output: ONE row (n_chunks, distinct_chunks, total_bytes,
+    distinct_bytes, shared_pct). The only shuffle is the
+    groupBy(chunk-content) — which partial-aggregates map-side, so at
+    100 TB the shuffle carries one row per DISTINCT chunk (bounded by
+    unique content, not corpus size); the final collapse is a 1-row
+    aggregate."""
+    per = chunks.groupBy("chunk").agg(F.count("*").alias("__c"))
+    return per.agg(
+        F.sum("__c").cast("long").alias("n_chunks"),
+        F.count("*").cast("long").alias("distinct_chunks"),
+        F.sum(F.col("__c") * F.length("chunk")).cast("long")
+        .alias("total_bytes"),
+        F.sum(F.length("chunk")).cast("long").alias("distinct_bytes"),
+        F.round(F.lit(1.0) - F.sum(F.length("chunk")).cast("double")
+                / F.sum(F.col("__c") * F.length("chunk")).cast("double"),
+                6).alias("shared_pct"))

@@ -8045,3 +8045,62 @@ def sketch_hll_merge(spark, sf_dir):
 
 
 ORACLE["sketch_hll_merge"] = _HLL_SQL
+
+
+@_q(
+    "dedup_content_chunks",
+    """
+    WITH corpus AS (
+      SELECT doc_id * 2 AS cid, text FROM documents
+      UNION ALL
+      SELECT doc_id * 2 + 1, 'EDIT v2: ' || text FROM documents),
+    pos AS (
+      SELECT cid, text, unnest(generate_series(2, length(text) - 7)) AS i
+      FROM corpus WHERE length(text) >= 9),
+    bounds AS (
+      SELECT cid, i FROM pos
+      WHERE ('0x' || substr(md5('cdc' || substr(text, i, 8)),
+                            1, 8))::BIGINT % 64 = 0),
+    starts AS (
+      SELECT cid, 1 AS s FROM corpus WHERE length(text) > 0
+      UNION ALL SELECT cid, i FROM bounds),
+    sliced AS (
+      SELECT st.cid, st.s,
+             COALESCE(LEAD(st.s) OVER (PARTITION BY st.cid ORDER BY st.s),
+                      length(c.text) + 1) AS e,
+             c.text
+      FROM starts st JOIN corpus c USING (cid)),
+    chunks AS (SELECT substr(text, s, e - s) AS chunk FROM sliced),
+    per AS (SELECT chunk, COUNT(*) AS c FROM chunks GROUP BY chunk)
+    SELECT CAST(SUM(c) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS distinct_chunks,
+           CAST(SUM(c * length(chunk)) AS BIGINT) AS total_bytes,
+           CAST(SUM(length(chunk)) AS BIGINT) AS distinct_bytes,
+           ROUND(1.0 - CAST(SUM(length(chunk)) AS DOUBLE)
+                 / CAST(SUM(c * length(chunk)) AS DOUBLE), 6)
+             AS shared_pct
+    FROM per
+    """,
+)
+def dedup_content_chunks(spark, sf_dir):
+    """Content-defined chunking storage dedup (rsync/LBFS boundary
+    rule) over a corpus where every document has an EDITED near-copy
+    ('EDIT v2: ' prefix): exact doc-level dedup scores 0 on such a
+    corpus, but content-defined boundaries re-synchronize right after
+    the edit, so chunk-level dedup recovers the shared tail bytes —
+    shared_pct lands near 50% by construction. Boundary scan + chunk
+    slicing are whole-stage-codegen higher-order array ops (NO
+    shuffle, no Python); the single shuffle is the distinct-chunk
+    groupBy, which partial-aggregates map-side and carries one row per
+    unique chunk at any corpus size."""
+    from .operators.dedup import chunk_dedup_stats, content_defined_chunks
+
+    docs = _t(spark, sf_dir, "documents")
+    base = docs.select((F.col("doc_id") * 2).alias("cid"), "text")
+    edited = docs.select(
+        (F.col("doc_id") * 2 + 1).alias("cid"),
+        F.concat(F.lit("EDIT v2: "), F.col("text")).alias("text"))
+    corpus = base.unionByName(edited)
+    chunks = content_defined_chunks(corpus, "cid", "text",
+                                    window=8, divisor=64)
+    return chunk_dedup_stats(chunks)
