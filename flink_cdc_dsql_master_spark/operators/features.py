@@ -8,7 +8,7 @@ and oracle-checkable — the same lineage discipline as operators/sampling.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def target_encode_oof(df: DataFrame, key_col: str, cat_col: str,
@@ -60,3 +60,104 @@ def target_encode_oof(df: DataFrame, key_col: str, cat_col: str,
                        + F.lit(prior_weight)))
                    .alias(f"te_{cat_col}")))
     return rows.join(F.broadcast(enc), [cat_col, "__fold"])
+
+
+def pareto_frontier(df: DataFrame, x_col: str, y_col: str,
+                    buckets: int = 64) -> DataFrame:
+    """2-D Pareto frontier (skyline), both dimensions MINIMIZED: the
+    points no other point beats on both axes at once — the classic
+    "cheapest AND smallest" multi-criteria query, whose naive form is
+    an O(N²) NOT EXISTS self-join.
+
+    Distributed shape (frontier-of-frontiers: skyline(A ∪ B) ⊆
+    skyline(A) ∪ skyline(B)):
+    1. collapse to min-y per distinct x — a partial-aggregating
+       groupBy, after which x values are unique;
+    2. LOCAL frontier per equi-width x-bucket via a running-min window
+       (64-way parallel, each over 1/64 of the x-range);
+    3. GLOBAL running-min pass over the ≤ Σ per-bucket survivors —
+       frontier points only, typically a few hundred rows at any N.
+    The single-partition window runs only on stage-3's tiny input;
+    every N-sized pass is parallel. A point survives iff its y is
+    strictly below the running min over all smaller x (ties on x were
+    collapsed in stage 1; equal-y at larger x is dominated).
+
+    Returns the frontier as (x, y) doubles, one row per frontier
+    point."""
+    pairs = df.select(F.col(x_col).cast("double").alias("x"),
+                      F.col(y_col).cast("double").alias("y"))
+    minper = pairs.groupBy("x").agg(F.min("y").alias("y"))
+    stats = minper.agg(F.min("x").alias("__lo"), F.max("x").alias("__hi"))
+    b = minper.crossJoin(F.broadcast(stats))
+    width = (F.col("__hi") - F.col("__lo")) / F.lit(float(buckets))
+    bkt = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)).otherwise(
+        F.least(F.lit(buckets - 1),
+                F.floor((F.col("x") - F.col("__lo")) / width))).cast("long")
+    b = b.withColumn("__bkt", bkt)
+    w1 = Window.partitionBy("__bkt").orderBy("x") \
+        .rowsBetween(Window.unboundedPreceding, -1)
+    loc = (b.withColumn("__cm", F.min("y").over(w1))
+           .where(F.col("__cm").isNull() | (F.col("y") < F.col("__cm"))))
+    w2 = Window.orderBy("x").rowsBetween(Window.unboundedPreceding, -1)
+    fin = (loc.withColumn("__cm2", F.min("y").over(w2))
+           .where(F.col("__cm2").isNull()
+                  | (F.col("y") < F.col("__cm2"))))
+    return fin.select("x", "y")
+
+
+def ols_fit(df: DataFrame, y_col: str, x1_col: str, x2_col: str,
+            scale: int = 4) -> DataFrame:
+    """Two-feature linear regression y = b0 + b1·x1 + b2·x2 by the
+    normal equations — the ONE-PASS distributed shape: the whole fit
+    reduces to 10 sufficient statistics (n, Σx, Σy, Σx², Σxy, …),
+    which partial-aggregate map-side, shuffle as a single 10-number
+    row, and solve driver-free with Cramer's rule on the 3×3 system.
+    No iteration, no gradient steps, no data pass beyond the first —
+    at 100 TB the fit costs exactly one scan.
+
+    Determinism across engines: doubles summed in different partition
+    orders drift in low-order bits, so the sums are accumulated in
+    DECIMAL (exact, order-independent in both Spark and DuckDB); only
+    the final ~20-op Cramer solve runs in doubles, from bit-identical
+    inputs. Coefficients and R² are rounded to 6.
+
+    Returns ONE row: (n, b0, b1, b2, r2)."""
+    d = df.select(
+        F.col(y_col).cast(f"decimal(18,{scale})").alias("y"),
+        F.col(x1_col).cast(f"decimal(18,{scale})").alias("x1"),
+        F.col(x2_col).cast(f"decimal(18,{scale})").alias("x2")) \
+        .where(F.col("y").isNotNull() & F.col("x1").isNotNull()
+               & F.col("x2").isNotNull())
+    s = d.agg(
+        F.count("*").alias("n"),
+        F.sum("x1").alias("s1"), F.sum("x2").alias("s2"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x1") * F.col("x1")).alias("s11"),
+        F.sum(F.col("x1") * F.col("x2")).alias("s12"),
+        F.sum(F.col("x2") * F.col("x2")).alias("s22"),
+        F.sum(F.col("x1") * F.col("y")).alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).alias("s2y"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    c = {k: F.col(k).cast("double") for k in
+         ("n", "s1", "s2", "sy", "s11", "s12", "s22", "s1y", "s2y",
+          "syy")}
+    det = (c["n"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
+           - c["s1"] * (c["s1"] * c["s22"] - c["s12"] * c["s2"])
+           + c["s2"] * (c["s1"] * c["s12"] - c["s11"] * c["s2"]))
+    d0 = (c["sy"] * (c["s11"] * c["s22"] - c["s12"] * c["s12"])
+          - c["s1"] * (c["s1y"] * c["s22"] - c["s12"] * c["s2y"])
+          + c["s2"] * (c["s1y"] * c["s12"] - c["s11"] * c["s2y"]))
+    d1 = (c["n"] * (c["s1y"] * c["s22"] - c["s12"] * c["s2y"])
+          - c["sy"] * (c["s1"] * c["s22"] - c["s12"] * c["s2"])
+          + c["s2"] * (c["s1"] * c["s2y"] - c["s1y"] * c["s2"]))
+    d2 = (c["n"] * (c["s11"] * c["s2y"] - c["s1y"] * c["s12"])
+          - c["s1"] * (c["s1"] * c["s2y"] - c["s1y"] * c["s2"])
+          + c["sy"] * (c["s1"] * c["s12"] - c["s11"] * c["s2"]))
+    b0, b1, b2 = d0 / det, d1 / det, d2 / det
+    sse = (c["syy"] - b0 * c["sy"] - b1 * c["s1y"] - b2 * c["s2y"])
+    sst = c["syy"] - c["sy"] * c["sy"] / c["n"]
+    r2 = F.lit(1.0) - sse / sst
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(b0, 6).alias("b0"), F.round(b1, 6).alias("b1"),
+        F.round(b2, 6).alias("b2"), F.round(r2, 6).alias("r2"))

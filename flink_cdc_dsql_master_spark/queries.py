@@ -8104,3 +8104,90 @@ def dedup_content_chunks(spark, sf_dir):
     chunks = content_defined_chunks(corpus, "cid", "text",
                                     window=8, divisor=64)
     return chunk_dedup_stats(chunks)
+
+
+@_q(
+    "analytics_pareto_frontier",
+    """
+    WITH pts AS (
+      SELECT DISTINCT CAST(p_retailprice AS DOUBLE) AS x,
+                      CAST(p_size AS DOUBLE) AS y FROM part)
+    SELECT x, y FROM pts p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM pts q
+      WHERE q.x <= p.x AND q.y <= p.y AND (q.x < p.x OR q.y < p.y))
+    """,
+)
+def analytics_pareto_frontier(spark, sf_dir):
+    """Pareto frontier (skyline) of parts minimizing price AND size —
+    the multi-criteria optimization query. The oracle is the O(N²)
+    NOT-EXISTS dominance self-join; the Spark plan is the distributed
+    frontier-of-frontiers shape: min-y-per-x partial-agg collapse,
+    64-way bucketed local running-min frontiers, then a global
+    running-min over only the surviving candidates — every full-N pass
+    is parallel, the single-partition window sees only frontier-sized
+    input."""
+    from .operators.features import pareto_frontier
+
+    part = _t(spark, sf_dir, "part")
+    return pareto_frontier(part, "p_retailprice", "p_size")
+
+
+@_q(
+    "feature_ols_fit",
+    """
+    WITH d AS (
+      SELECT CAST(l_extendedprice AS DECIMAL(28,4)) AS y,
+             CAST(l_quantity AS DECIMAL(28,4)) AS x1,
+             CAST(l_discount AS DECIMAL(28,4)) AS x2
+      FROM lineitem
+      WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        AND l_discount IS NOT NULL),
+    s AS (
+      SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(x1) AS DOUBLE) AS s1,
+             CAST(SUM(x2) AS DOUBLE) AS s2,
+             CAST(SUM(y) AS DOUBLE) AS sy,
+             CAST(SUM(x1 * x1) AS DOUBLE) AS s11,
+             CAST(SUM(x1 * x2) AS DOUBLE) AS s12,
+             CAST(SUM(x2 * x2) AS DOUBLE) AS s22,
+             CAST(SUM(x1 * y) AS DOUBLE) AS s1y,
+             CAST(SUM(x2 * y) AS DOUBLE) AS s2y,
+             CAST(SUM(y * y) AS DOUBLE) AS syy
+      FROM d),
+    k AS (
+      SELECT n, sy, s1y, s2y, syy,
+             (n * (s11 * s22 - s12 * s12)
+              - s1 * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s12 - s11 * s2)) AS det,
+             (sy * (s11 * s22 - s12 * s12)
+              - s1 * (s1y * s22 - s12 * s2y)
+              + s2 * (s1y * s12 - s11 * s2y)) AS d0,
+             (n * (s1y * s22 - s12 * s2y)
+              - sy * (s1 * s22 - s12 * s2)
+              + s2 * (s1 * s2y - s1y * s2)) AS d1,
+             (n * (s11 * s2y - s1y * s12)
+              - s1 * (s1 * s2y - s1y * s2)
+              + sy * (s1 * s12 - s11 * s2)) AS d2
+      FROM s)
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(d0 / det, 6) AS b0,
+           ROUND(d1 / det, 6) AS b1,
+           ROUND(d2 / det, 6) AS b2,
+           ROUND(1.0 - (syy - (d0 / det) * sy - (d1 / det) * s1y
+                        - (d2 / det) * s2y)
+                 / (syy - sy * sy / n), 6) AS r2
+    FROM k
+    """,
+)
+def feature_ols_fit(spark, sf_dir):
+    """One-pass two-feature OLS (extendedprice ~ quantity + discount)
+    by normal equations over DECIMAL-exact sufficient statistics: ten
+    sums partial-aggregate map-side and shuffle as a single row, the
+    3×3 Cramer solve runs engine-side in doubles from bit-identical
+    exact inputs — a linear-model fit whose cost at 100 TB is exactly
+    one scan, no iteration. R² from the same statistics."""
+    from .operators.features import ols_fit
+
+    li = _t(spark, sf_dir, "lineitem")
+    return ols_fit(li, "l_extendedprice", "l_quantity", "l_discount")

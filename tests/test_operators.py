@@ -502,3 +502,36 @@ def test_content_defined_chunks_short_doc_single_chunk(spark):
     df = spark.createDataFrame([(0, "tiny")], "cid long, text string")
     rows = content_defined_chunks(df, "cid", "text").collect()
     assert len(rows) == 1 and rows[0]["chunk"] == "tiny"
+
+
+def test_pareto_frontier_matches_bruteforce(spark):
+    from flink_cdc_dsql_master_spark.operators.features import (
+        pareto_frontier)
+
+    # deterministic pseudo-random cloud
+    pts = [(float((i * 7919) % 997), float((i * 6271) % 991))
+           for i in range(400)]
+    df = spark.createDataFrame(pts, "x double, y double")
+    got = {(r["x"], r["y"])
+           for r in pareto_frontier(df, "x", "y", buckets=8).collect()}
+    distinct = set(pts)
+    brute = {p for p in distinct
+             if not any(q != p and q[0] <= p[0] and q[1] <= p[1]
+                        for q in distinct)}
+    # collapse same-x to min-y as the operator defines
+    assert got == {p for p in brute
+                   if p[1] == min(y for x, y in distinct if x == p[0])}
+
+
+def test_ols_fit_recovers_planted_coefficients(spark):
+    from flink_cdc_dsql_master_spark.operators.features import ols_fit
+
+    # exact linear data: y = 3 + 2·x1 − 5·x2, fit must be exact (R²=1)
+    rows = [(float(i % 13), float((i * 3) % 7),
+             3.0 + 2.0 * (i % 13) - 5.0 * ((i * 3) % 7))
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "x1 double, x2 double, y double")
+    r = ols_fit(df, "y", "x1", "x2").collect()[0]
+    assert r["n"] == 500
+    assert abs(r["b0"] - 3.0) < 1e-6 and abs(r["b1"] - 2.0) < 1e-6
+    assert abs(r["b2"] + 5.0) < 1e-6 and abs(r["r2"] - 1.0) < 1e-6
