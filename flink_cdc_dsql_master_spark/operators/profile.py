@@ -76,3 +76,126 @@ def profile_distinct_kmv(df: DataFrame, cols: list[str],
         .select("s.*")
         .where(F.col("v").isNotNull()))
     return kmv_distinct(stacked, "v", ["col"], k=k, salt=salt)
+
+
+def column_entropy(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Shannon entropy (nats) of each column's value distribution —
+    the information-density profile that flags near-constant columns
+    (entropy ≈ 0, candidates for dictionary encoding / dropping) and
+    key-like columns (entropy ≈ ln n). One partial-aggregating
+    groupBy per column over (value → count), then a per-column fold
+    of −Σ p·ln p; NULLs count as a regular value. Output one row per
+    column: (col, n_distinct, entropy)."""
+    if not cols:
+        raise ValueError("no columns to profile")
+    outs = []
+    for c in cols:
+        per = (df.groupBy(F.col(c).cast("string").alias("__v"))
+               .agg(F.count("*").alias("__c")))
+        tot = per.agg(F.sum("__c").alias("__n"))
+        ent = (per.crossJoin(F.broadcast(tot))
+               .agg(F.lit(c).alias("col"),
+                    F.count("*").cast("long").alias("n_distinct"),
+                    F.round(-F.sum(
+                        (F.col("__c") / F.col("__n"))
+                        * F.log(F.col("__c") / F.col("__n"))), 6)
+                    .alias("entropy")))
+        outs.append(ent)
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u
+
+
+def psi_numeric(a: DataFrame, b: DataFrame, value_col: str,
+                bins: int = 16) -> DataFrame:
+    """Population Stability Index between two periods of a NUMERIC
+    feature — the standard drift gate (PSI < 0.1 stable, > 0.25
+    drifted): equi-width bins over the pooled min/max, Laplace-
+    smoothed bin shares p̂ = (c + 0.5)/(n + 0.5·bins) so empty bins
+    don't blow up the log, PSI = Σ (pa − pb)·ln(pa/pb).
+
+    Plan: one 2-double pooled-range aggregate broadcast back, one
+    partial-aggregating bin count per side (≤ bins rows each), a
+    bins-row outer join, a 1-row fold. Both full-data passes are
+    map-side; nothing scales with N but the two scans. Returns ONE
+    row: (n_a, n_b, psi)."""
+    av = a.select(F.col(value_col).cast("double").alias("__v")) \
+        .where(F.col("__v").isNotNull())
+    bv = b.select(F.col(value_col).cast("double").alias("__v")) \
+        .where(F.col("__v").isNotNull())
+    pooled = av.unionByName(bv).agg(
+        F.min("__v").alias("__lo"), F.max("__v").alias("__hi"))
+
+    def _binned(df: DataFrame, name: str) -> DataFrame:
+        d = df.crossJoin(F.broadcast(pooled))
+        width = (F.col("__hi") - F.col("__lo")) / F.lit(float(bins))
+        bin_ = F.when(F.col("__hi") == F.col("__lo"), F.lit(0)) \
+            .otherwise(F.least(
+                F.lit(bins - 1),
+                F.floor((F.col("__v") - F.col("__lo")) / width))) \
+            .cast("long")
+        return d.withColumn("bin", bin_).groupBy("bin").agg(
+            F.count("*").alias(name))
+
+    ca, cb = _binned(av, "ca"), _binned(bv, "cb")
+    j = ca.join(cb, "bin", "full").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"))
+    na = j.agg(F.sum("ca").alias("__na"), F.sum("cb").alias("__nb"))
+    jj = j.crossJoin(F.broadcast(na))
+    pa = (F.col("ca") + 0.5) / (F.col("__na") + F.lit(0.5 * bins))
+    pb = (F.col("cb") + 0.5) / (F.col("__nb") + F.lit(0.5 * bins))
+    return jj.agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"))
+
+
+def psi_categorical(a: DataFrame, b: DataFrame, cat_col: str
+                    ) -> DataFrame:
+    """PSI over a CATEGORICAL feature: each observed category is a
+    bin (full outer join of the two sides' category counts), same
+    Laplace smoothing with the pooled category count as the bin
+    count. Returns ONE row: (n_a, n_b, psi)."""
+    ca = a.groupBy(F.col(cat_col).cast("string").alias("__k")) \
+        .agg(F.count("*").alias("ca"))
+    cb = b.groupBy(F.col(cat_col).cast("string").alias("__k")) \
+        .agg(F.count("*").alias("cb"))
+    j = ca.join(cb, "__k", "full").select(
+        F.coalesce("ca", F.lit(0)).alias("ca"),
+        F.coalesce("cb", F.lit(0)).alias("cb"))
+    tot = j.agg(F.sum("ca").alias("__na"), F.sum("cb").alias("__nb"),
+                F.count("*").alias("__k"))
+    jj = j.crossJoin(F.broadcast(tot))
+    pa = (F.col("ca") + 0.5) / (F.col("__na") + 0.5 * F.col("__k"))
+    pb = (F.col("cb") + 0.5) / (F.col("__nb") + 0.5 * F.col("__k"))
+    return jj.agg(
+        F.max("__na").cast("long").alias("n_a"),
+        F.max("__nb").cast("long").alias("n_b"),
+        F.round(F.sum((pa - pb) * F.log(pa / pb)), 6).alias("psi"))
+
+
+def dp_noisy_counts(df: DataFrame, group_col: str, epsilon: float = 1.0,
+                    salt: str = "dp") -> DataFrame:
+    """ε-differentially-private group counts via the Laplace
+    mechanism with DETERMINISTIC seeded noise: u ~ Uniform(0,1) is
+    derived from md5(salt‖group) (52-bit prefix — the repo-wide
+    deterministic convention), noise = −(1/ε)·sign(u−½)·ln(1−2|u−½|)
+    (inverse-CDF Laplace, scale 1/ε for a count's sensitivity of 1).
+    Seeded noise makes the release REPRODUCIBLE run-over-run (and
+    oracle-replayable) — also the practical requirement that repeated
+    publication of the same statistic must not average the noise away.
+    Plan: one partial-aggregating count + per-row noise arithmetic.
+    Returns (group, noisy_count) — true counts never leave the
+    engine."""
+    per = df.groupBy(F.col(group_col).alias("grp")) \
+        .agg(F.count("*").alias("__c"))
+    u = (F.conv(F.substring(
+        F.md5(F.concat(F.lit(salt), F.col("grp").cast("string"))),
+        1, 13), 16, 10).cast("double") / F.lit(float(16 ** 13)))
+    s = u - F.lit(0.5)
+    noise = (-F.lit(1.0 / epsilon) * F.signum(s)
+             * F.log(F.lit(1.0) - 2.0 * F.abs(s)))
+    return per.select(
+        "grp", F.round(F.col("__c") + noise, 4).alias("noisy_count"))

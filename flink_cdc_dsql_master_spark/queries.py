@@ -8191,3 +8191,145 @@ def feature_ols_fit(spark, sf_dir):
 
     li = _t(spark, sf_dir, "lineitem")
     return ols_fit(li, "l_extendedprice", "l_quantity", "l_discount")
+
+
+@_q(
+    "profile_column_entropy",
+    """
+    WITH e1 AS (
+      SELECT 'o_orderstatus' AS col,
+             CAST(COUNT(*) AS BIGINT) AS n_distinct,
+             ROUND(-SUM((c / n) * ln(c / n)), 6) AS entropy
+      FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS c,
+                   CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS n
+            FROM orders GROUP BY CAST(o_orderstatus AS VARCHAR))),
+    e2 AS (
+      SELECT 'o_orderpriority',
+             CAST(COUNT(*) AS BIGINT),
+             ROUND(-SUM((c / n) * ln(c / n)), 6)
+      FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS c,
+                   CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS n
+            FROM orders GROUP BY CAST(o_orderpriority AS VARCHAR))),
+    e3 AS (
+      SELECT 'o_custkey',
+             CAST(COUNT(*) AS BIGINT),
+             ROUND(-SUM((c / n) * ln(c / n)), 6)
+      FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS c,
+                   CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS n
+            FROM orders GROUP BY CAST(o_custkey AS VARCHAR)))
+    SELECT * FROM e1 UNION ALL SELECT * FROM e2 UNION ALL
+    SELECT * FROM e3
+    """,
+)
+def profile_column_entropy(spark, sf_dir):
+    """Shannon entropy per column over orders — near-zero for the
+    3-value status column, ≈ ln(cardinality) for the key-like
+    custkey: the information-density profile that picks dictionary-
+    encoding and drop candidates. One partial-aggregating value-count
+    groupBy per column; the entropy fold runs on the collapsed
+    (distinct-value-sized) frame."""
+    from .operators.profile import column_entropy
+
+    orders = _t(spark, sf_dir, "orders")
+    return column_entropy(
+        orders, ["o_orderstatus", "o_orderpriority", "o_custkey"])
+
+
+@_q(
+    "dq_drift_psi",
+    """
+    WITH av AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+                WHERE day(ts) <= 15 AND value IS NOT NULL),
+    bv AS (SELECT CAST(value AS DOUBLE) AS v FROM events
+           WHERE day(ts) > 15 AND value IS NOT NULL),
+    pooled AS (SELECT MIN(v) AS lo, MAX(v) AS hi
+               FROM (SELECT v FROM av UNION ALL SELECT v FROM bv)),
+    ca AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+                  LEAST(15, CAST(FLOOR((v - lo) / ((hi - lo) / 16.0))
+                                 AS BIGINT)) END AS bin,
+                  COUNT(*) AS ca
+           FROM av, pooled GROUP BY 1),
+    cb AS (SELECT CASE WHEN hi = lo THEN 0 ELSE
+                  LEAST(15, CAST(FLOOR((v - lo) / ((hi - lo) / 16.0))
+                                 AS BIGINT)) END AS bin,
+                  COUNT(*) AS cb
+           FROM bv, pooled GROUP BY 1),
+    j AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM ca FULL JOIN cb USING (bin)),
+    t AS (SELECT SUM(ca) AS na, SUM(cb) AS nb FROM j),
+    num AS (
+      SELECT 'value' AS feature, CAST(na AS BIGINT) AS n_a,
+             CAST(nb AS BIGINT) AS n_b,
+             ROUND(SUM(((ca + 0.5) / (na + 8.0)
+                        - (cb + 0.5) / (nb + 8.0))
+                       * ln(((ca + 0.5) / (na + 8.0))
+                            / ((cb + 0.5) / (nb + 8.0)))), 6) AS psi
+      FROM j, t GROUP BY na, nb),
+    kca AS (SELECT CAST(event_type AS VARCHAR) AS k, COUNT(*) AS ca
+            FROM events WHERE day(ts) <= 15 GROUP BY 1),
+    kcb AS (SELECT CAST(event_type AS VARCHAR) AS k, COUNT(*) AS cb
+            FROM events WHERE day(ts) > 15 GROUP BY 1),
+    kj AS (SELECT COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+           FROM kca FULL JOIN kcb USING (k)),
+    kt AS (SELECT SUM(ca) AS na, SUM(cb) AS nb, COUNT(*) AS nk FROM kj),
+    cat AS (
+      SELECT 'event_type' AS feature, CAST(na AS BIGINT) AS n_a,
+             CAST(nb AS BIGINT) AS n_b,
+             ROUND(SUM(((ca + 0.5) / (na + 0.5 * nk)
+                        - (cb + 0.5) / (nb + 0.5 * nk))
+                       * ln(((ca + 0.5) / (na + 0.5 * nk))
+                            / ((cb + 0.5) / (nb + 0.5 * nk)))), 6)
+               AS psi
+      FROM kj, kt GROUP BY na, nb)
+    SELECT * FROM num UNION ALL SELECT * FROM cat
+    """,
+)
+def dq_drift_psi(spark, sf_dir):
+    """Population Stability Index drift gate between the first and
+    second half of the month, over the numeric `value` (16 pooled
+    equi-width bins) AND the categorical `event_type` distribution —
+    the monitoring check a production feature pipeline runs before
+    trusting new data. Laplace-smoothed shares keep empty bins
+    finite; both sides' bin counts partial-aggregate map-side and the
+    PSI fold runs on ≤ bins rows. Deterministic end to end."""
+    from .operators.profile import psi_categorical, psi_numeric
+
+    ev = _events_table(spark, sf_dir)
+    a = ev.where(F.dayofmonth("ts") <= 15)
+    b = ev.where(F.dayofmonth("ts") > 15)
+    num = psi_numeric(a, b, "value", bins=16).select(
+        F.lit("value").alias("feature"), "n_a", "n_b", "psi")
+    cat = psi_categorical(a, b, "event_type").select(
+        F.lit("event_type").alias("feature"), "n_a", "n_b", "psi")
+    return num.unionByName(cat)
+
+
+@_q(
+    "profile_dp_release",
+    """
+    WITH per AS (
+      SELECT event_type AS grp, COUNT(*) AS c FROM events GROUP BY 1),
+    n AS (
+      SELECT grp, c,
+             ('0x' || substr(md5('dp' || grp), 1, 13))::BIGINT
+               / 4503599627370496.0 AS u
+      FROM per)
+    SELECT grp,
+           ROUND(c + (-1.0)
+                 * (CASE WHEN u - 0.5 > 0 THEN 1.0
+                    WHEN u - 0.5 < 0 THEN -1.0 ELSE 0.0 END)
+                 * ln(1.0 - 2.0 * abs(u - 0.5)), 4) AS noisy_count
+    FROM n
+    """,
+)
+def profile_dp_release(spark, sf_dir):
+    """ε-differentially-private count release (ε = 1) per event_type
+    via the Laplace mechanism with md5-SEEDED inverse-CDF noise:
+    reproducible run-over-run — repeated publication cannot average
+    the noise away — and therefore oracle-replayable including the
+    noise itself. True counts never appear in the output. One
+    partial-aggregating count plus per-group scalar arithmetic."""
+    from .operators.profile import dp_noisy_counts
+
+    ev = _events_table(spark, sf_dir)
+    return dp_noisy_counts(ev, "event_type", epsilon=1.0)

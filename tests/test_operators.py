@@ -535,3 +535,59 @@ def test_ols_fit_recovers_planted_coefficients(spark):
     assert r["n"] == 500
     assert abs(r["b0"] - 3.0) < 1e-6 and abs(r["b1"] - 2.0) < 1e-6
     assert abs(r["b2"] + 5.0) < 1e-6 and abs(r["r2"] - 1.0) < 1e-6
+
+
+def test_column_entropy_bounds(spark):
+    import math
+    from flink_cdc_dsql_master_spark.operators.profile import (
+        column_entropy)
+
+    df = spark.createDataFrame(
+        [("const", i % 8, i) for i in range(64)],
+        "c string, u long, k long")
+    rows = {r["col"]: r for r in
+            column_entropy(df, ["c", "u", "k"]).collect()}
+    assert rows["c"]["entropy"] == 0.0          # constant → 0 nats
+    assert abs(rows["u"]["entropy"] - math.log(8)) < 1e-6   # uniform
+    assert abs(rows["k"]["entropy"] - math.log(64)) < 1e-6  # key-like
+    assert rows["k"]["n_distinct"] == 64
+
+
+def test_psi_zero_on_identical_and_large_on_shift(spark):
+    from flink_cdc_dsql_master_spark.operators.profile import (
+        psi_categorical, psi_numeric)
+
+    a = spark.createDataFrame(
+        [(float(i % 100),) for i in range(2000)], "v double")
+    # identical distribution → psi ~ 0
+    same = psi_numeric(a, a, "v", bins=16).collect()[0]
+    assert abs(same["psi"]) < 1e-9
+    # shifted distribution → psi well above the 0.25 drift bar
+    b = spark.createDataFrame(
+        [(float(i % 100) + 60.0,) for i in range(2000)], "v double")
+    drift = psi_numeric(a, b, "v", bins=16).collect()[0]
+    assert drift["psi"] > 0.25
+    ca = spark.createDataFrame([("x",)] * 90 + [("y",)] * 10, "k string")
+    cb = spark.createDataFrame([("x",)] * 10 + [("y",)] * 90, "k string")
+    assert psi_categorical(ca, cb, "k").collect()[0]["psi"] > 0.25
+
+
+def test_dp_noisy_counts_deterministic_and_bounded(spark):
+    from flink_cdc_dsql_master_spark.operators.profile import (
+        dp_noisy_counts)
+
+    df = spark.createDataFrame(
+        [(f"g{i % 5}",) for i in range(1000)], "g string")
+    r1 = {r["grp"]: r["noisy_count"]
+          for r in dp_noisy_counts(df, "g", epsilon=1.0).collect()}
+    r2 = {r["grp"]: r["noisy_count"]
+          for r in dp_noisy_counts(df, "g", epsilon=1.0).collect()}
+    assert r1 == r2                       # seeded noise: reproducible
+    # Laplace(1) tail: |noise| < 10 w.p. 1 − e^−10; all five groups
+    for g, v in r1.items():
+        assert abs(v - 200.0) < 10.0
+    # higher ε → less noise
+    tight = {r["grp"]: r["noisy_count"]
+             for r in dp_noisy_counts(df, "g", epsilon=100.0).collect()}
+    assert sum(abs(v - 200.0) for v in tight.values()) \
+        < sum(abs(v - 200.0) for v in r1.values())
