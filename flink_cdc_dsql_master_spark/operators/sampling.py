@@ -229,3 +229,52 @@ def token_budget_resample(df: DataFrame, domain_col: str, key_col: str,
                   domain_col)
             .where(F.col("__tag") < F.col("threshold"))
             .drop("__tag", "threshold"))
+
+
+def greedy_cover_selection(df: DataFrame, set_col: str,
+                           text_col: str = "text", rounds: int = 4,
+                           shingle_n: int = 3) -> DataFrame:
+    """Greedy maximum-coverage data-source selection (the submodular
+    set-cover heuristic, with its (1 − 1/e) guarantee): repeatedly
+    pick the source whose documents add the most NOT-yet-covered
+    n-gram shingles — the "which corpora buy the most diversity"
+    question a training-data mixture budget has to answer.
+
+    Per round: one partial-aggregating marginal-gain groupBy, a
+    bounded 1-row argmax collect (the repo's split-point convention —
+    a scalar, never data), and one shingle anti-join that shrinks the
+    remaining universe; `rounds` is a small constant, so the whole
+    selection is K aggregate+anti-join passes, each fully parallel.
+    Ties break on set key ascending, so the selection path is
+    deterministic and a DuckDB oracle replays the exact same greedy
+    trajectory round by round.
+
+    Returns (round, set_key, marginal_gain, cum_covered) — one row
+    per selection, cum_covered = running Σ of marginal gains
+    (= |covered universe| after the round)."""
+    from .dedup import word_shingles
+
+    spark = df.sparkSession
+    base = (df.select(F.col(set_col).cast("string").alias("set_key"),
+                      F.explode(word_shingles(F.col(text_col), shingle_n))
+                      .alias("__s"))
+            .distinct())
+    remaining = base
+    out: list[tuple[int, str, int, int]] = []
+    cum = 0
+    for r in range(1, rounds + 1):
+        top = (remaining.groupBy("set_key")
+               .agg(F.count("*").alias("gain"))
+               .orderBy(F.col("gain").desc(), "set_key")
+               .limit(1).collect())
+        if not top:
+            break
+        sel, gain = top[0]["set_key"], top[0]["gain"]
+        cum += gain
+        out.append((r, sel, gain, cum))
+        sel_sh = remaining.where(F.col("set_key") == sel).select("__s")
+        remaining = (remaining.where(F.col("set_key") != sel)
+                     .join(sel_sh, "__s", "left_anti"))
+    return spark.createDataFrame(
+        out, "round int, set_key string, marginal_gain long, "
+             "cum_covered long")

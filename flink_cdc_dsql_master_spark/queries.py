@@ -8333,3 +8333,68 @@ def profile_dp_release(spark, sf_dir):
 
     ev = _events_table(spark, sf_dir)
     return dp_noisy_counts(ev, "event_type", epsilon=1.0)
+
+
+@_q(
+    "sample_greedy_cover",
+    """
+    WITH norm AS (
+      SELECT source,
+             string_split_regex(trim(regexp_replace(lower(text), '\\s+',
+                                                    ' ', 'g')), ' ') AS w
+      FROM documents),
+    sh AS (
+      SELECT source, list_distinct(list_transform(
+               range(1, greatest(len(w) - 2, 1) + 1),
+               i -> array_to_string(w[i:i+2], ' '))) AS shingles
+      FROM norm),
+    ex AS (SELECT DISTINCT source, unnest(shingles) AS s FROM sh),
+    g1 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS gain
+           FROM ex GROUP BY 1),
+    p1 AS (SELECT source, gain FROM g1 ORDER BY gain DESC, source
+           LIMIT 1),
+    e2 AS (SELECT ex.source, ex.s FROM ex
+           WHERE ex.source <> (SELECT source FROM p1)
+             AND ex.s NOT IN (SELECT x.s FROM ex x
+                              WHERE x.source = (SELECT source FROM p1))),
+    g2 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS gain
+           FROM e2 GROUP BY 1),
+    p2 AS (SELECT source, gain FROM g2 ORDER BY gain DESC, source
+           LIMIT 1),
+    e3 AS (SELECT e2.source, e2.s FROM e2
+           WHERE e2.source <> (SELECT source FROM p2)
+             AND e2.s NOT IN (SELECT x.s FROM e2 x
+                              WHERE x.source = (SELECT source FROM p2))),
+    g3 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS gain
+           FROM e3 GROUP BY 1),
+    p3 AS (SELECT source, gain FROM g3 ORDER BY gain DESC, source
+           LIMIT 1),
+    e4 AS (SELECT e3.source, e3.s FROM e3
+           WHERE e3.source <> (SELECT source FROM p3)
+             AND e3.s NOT IN (SELECT x.s FROM e3 x
+                              WHERE x.source = (SELECT source FROM p3))),
+    g4 AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS gain
+           FROM e4 GROUP BY 1),
+    p4 AS (SELECT source, gain FROM g4 ORDER BY gain DESC, source
+           LIMIT 1)
+    SELECT 1 AS round, source AS set_key, gain AS marginal_gain,
+           gain AS cum_covered FROM p1
+    UNION ALL SELECT 2, source, gain,
+           gain + (SELECT gain FROM p1) FROM p2
+    UNION ALL SELECT 3, source, gain,
+           gain + (SELECT gain FROM p1) + (SELECT gain FROM p2) FROM p3
+    UNION ALL SELECT 4, source, gain,
+           gain + (SELECT gain FROM p1) + (SELECT gain FROM p2)
+                + (SELECT gain FROM p3) FROM p4
+    """,
+)
+def sample_greedy_cover(spark, sf_dir):
+    """Greedy maximum-coverage selection of 4 document sources by
+    marginal 3-gram shingle gain — the submodular 'which corpora buy
+    the most diversity per budget unit' mixture question. The oracle
+    unrolls the same greedy trajectory as 4 CTE rounds; determinism
+    of the path comes from the (gain DESC, source ASC) tie-break."""
+    from .operators.sampling import greedy_cover_selection
+
+    docs = _t(spark, sf_dir, "documents")
+    return greedy_cover_selection(docs, "source", "text", rounds=4)

@@ -591,3 +591,24 @@ def test_dp_noisy_counts_deterministic_and_bounded(spark):
              for r in dp_noisy_counts(df, "g", epsilon=100.0).collect()}
     assert sum(abs(v - 200.0) for v in tight.values()) \
         < sum(abs(v - 200.0) for v in r1.values())
+
+
+def test_greedy_cover_selection_trajectory(spark):
+    from flink_cdc_dsql_master_spark.operators.sampling import (
+        greedy_cover_selection)
+
+    # A covers shingles of a 12-word text, B overlaps half of A plus
+    # new words, C is a strict subset of A → greedy must pick A, then
+    # B (marginal only), and C's marginal gain is 0
+    ta = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    tb = "eta theta iota kappa lambda mu nu xi"
+    tc = "alpha beta gamma delta"
+    df = spark.createDataFrame(
+        [("A", ta), ("B", tb), ("C", tc)], "src string, text string")
+    out = greedy_cover_selection(df, "src", "text", rounds=3).collect()
+    # C is fully covered after A, so selection STOPS at 2 rounds —
+    # zero-marginal sources are never padded into the result
+    assert [r["set_key"] for r in out] == ["A", "B"]
+    assert out[0]["marginal_gain"] == 8   # A: 8 distinct 3-shingles
+    assert out[1]["marginal_gain"] == 4   # B: 6 shingles, 2 shared
+    assert out[1]["cum_covered"] == 12
