@@ -13,7 +13,7 @@ HyperLogLog partials — no expand, rsd ~2%), which is the 100 TB default.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def profile_columns(df: DataFrame, cols: list[str],
@@ -199,3 +199,58 @@ def dp_noisy_counts(df: DataFrame, group_col: str, epsilon: float = 1.0,
              * F.log(F.lit(1.0) - 2.0 * F.abs(s)))
     return per.select(
         "grp", F.round(F.col("__c") + noise, 4).alias("noisy_count"))
+
+
+def table_checksum(df: DataFrame, cols: list[str]) -> DataFrame:
+    """Order-independent content checksum of a table: per-row 52-bit
+    md5 digests folded with BOTH xor (cheap, overflow-free) and an
+    exact DECIMAL sum (robust where xor would cancel duplicate pairs).
+    Both folds are commutative+associative → partial-aggregate
+    map-side and merge across partitions/shards in any order, so two
+    tables have equal checksums iff (w.h.p.) they hold the same row
+    multiset — the migration-validation primitive: compare a 100 TB
+    source and its replicated copy by shipping ONE row per side, no
+    sort, no join. NULLs are folded as an explicit sentinel so
+    (NULL, 'x') and ('x', NULL) differ. Returns one row:
+    (n_rows, xor_sig, sum_sig)."""
+    if not cols:
+        raise ValueError("no columns to checksum")
+    parts = []
+    for c in cols:
+        parts.append(F.coalesce(F.col(c).cast("string"), F.lit("\x00N")))
+    rowstr = F.concat_ws("\x01", *parts)
+    h = F.conv(F.substring(F.md5(rowstr), 1, 13), 16, 10).cast("long")
+    return df.select(h.alias("__h")).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.bit_xor("__h").alias("xor_sig"),
+        F.sum(F.col("__h").cast("decimal(38,0)")).cast("string")
+        .alias("sum_sig"))
+
+
+def key_skew_profile(df: DataFrame, key_col: str,
+                     top: int = 5) -> DataFrame:
+    """Key-distribution skew report — the diagnosis a 100 TB join or
+    groupBy needs BEFORE launching (a 40% hot key means salting or
+    AQE skew-join, not a default hash partition): per-key counts
+    (one partial-aggregating shuffle), then the Gini coefficient of
+    the count distribution and the share held by the heaviest ``top``
+    keys, computed by a window over the ≤ |distinct keys| collapsed
+    rows. Gini = (2·Σ rank·c)/(n·Σc) − (n+1)/n over counts ranked
+    ascending (0 = perfectly even, → 1 = one key holds everything).
+    Returns one row: (n_keys, n_rows, gini, top_share)."""
+    per = df.groupBy(key_col).agg(F.count("*").alias("__c"))
+    w_asc = Window.orderBy(F.col("__c").asc(), F.col(key_col).asc())
+    w_dsc = Window.orderBy(F.col("__c").desc(), F.col(key_col).asc())
+    ranked = (per.withColumn("__r", F.row_number().over(w_asc))
+              .withColumn("__rd", F.row_number().over(w_dsc)))
+    return ranked.agg(
+        F.count("*").cast("long").alias("n_keys"),
+        F.sum("__c").cast("long").alias("n_rows"),
+        F.round(
+            (F.lit(2.0) * F.sum(F.col("__r") * F.col("__c"))
+             / (F.count("*") * F.sum("__c")))
+            - (F.count("*") + F.lit(1.0)) / F.count("*"), 6)
+        .alias("gini"),
+        F.round(F.sum(F.when(F.col("__rd") <= top, F.col("__c"))
+                      .otherwise(0)).cast("double")
+                / F.sum("__c"), 6).alias("top_share"))

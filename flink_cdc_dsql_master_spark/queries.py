@@ -8398,3 +8398,100 @@ def sample_greedy_cover(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return greedy_cover_selection(docs, "source", "text", rounds=4)
+
+
+_CKSUM_COLS_SQL = """concat_ws(chr(1),
+      COALESCE(CAST(c_custkey AS VARCHAR), chr(0) || 'N'),
+      COALESCE(CAST(c_name AS VARCHAR), chr(0) || 'N'),
+      COALESCE(CAST(c_nationkey AS VARCHAR), chr(0) || 'N'),
+      COALESCE(CAST({seg} AS VARCHAR), chr(0) || 'N'))"""
+
+
+@_q(
+    "profile_table_checksum",
+    """
+    WITH base AS (
+      SELECT {b} AS rs FROM customer),
+    mut AS (
+      SELECT {m} AS rs FROM customer)
+    SELECT 'base' AS variant, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           bit_xor(('0x' || substr(md5(rs), 1, 13))::BIGINT) AS xor_sig,
+           CAST(SUM(CAST(('0x' || substr(md5(rs), 1, 13))::BIGINT
+                         AS DECIMAL(38,0))) AS VARCHAR) AS sum_sig
+    FROM base
+    UNION ALL
+    SELECT 'copy', CAST(COUNT(*) AS BIGINT),
+           bit_xor(('0x' || substr(md5(rs), 1, 13))::BIGINT),
+           CAST(SUM(CAST(('0x' || substr(md5(rs), 1, 13))::BIGINT
+                         AS DECIMAL(38,0))) AS VARCHAR)
+    FROM base
+    UNION ALL
+    SELECT 'mutated', CAST(COUNT(*) AS BIGINT),
+           bit_xor(('0x' || substr(md5(rs), 1, 13))::BIGINT),
+           CAST(SUM(CAST(('0x' || substr(md5(rs), 1, 13))::BIGINT
+                         AS DECIMAL(38,0))) AS VARCHAR)
+    FROM mut
+    """.format(
+        b=_CKSUM_COLS_SQL.format(seg="c_mktsegment"),
+        m=_CKSUM_COLS_SQL.format(
+            seg="CASE WHEN c_custkey = 42 THEN 'MUTATED' "
+                "ELSE c_mktsegment END")),
+)
+def profile_table_checksum(spark, sf_dir):
+    """Order-independent table content checksum (xor + exact decimal
+    sum of per-row 52-bit digests) — the migration-validation
+    primitive: a physically re-shuffled copy hashes IDENTICAL to the
+    base while a single-value mutation flips both signatures. Both
+    folds partial-aggregate map-side and ship one row per side — the
+    way you compare a 100 TB table to its replica without a sort or a
+    join."""
+    from .operators.profile import table_checksum
+
+    cols = ["c_custkey", "c_name", "c_nationkey", "c_mktsegment"]
+    cust = _t(spark, sf_dir, "customer").select(*cols)
+    copy = cust.repartition(7)
+    mut = cust.withColumn(
+        "c_mktsegment",
+        F.when(F.col("c_custkey") == 42, "MUTATED")
+        .otherwise(F.col("c_mktsegment")))
+    outs = []
+    for variant, d in (("base", cust), ("copy", copy), ("mutated", mut)):
+        outs.append(table_checksum(d, cols)
+                    .select(F.lit(variant).alias("variant"), "n_rows",
+                            "xor_sig", "sum_sig"))
+    u = outs[0]
+    for o in outs[1:]:
+        u = u.unionByName(o)
+    return u
+
+
+@_q(
+    "profile_key_skew",
+    """
+    WITH per AS (
+      SELECT o_custkey AS k, COUNT(*) AS c FROM orders GROUP BY 1),
+    ranked AS (
+      SELECT k, c,
+             ROW_NUMBER() OVER (ORDER BY c ASC, k ASC) AS r,
+             ROW_NUMBER() OVER (ORDER BY c DESC, k ASC) AS rd
+      FROM per)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(c) AS BIGINT) AS n_rows,
+           ROUND((2.0 * SUM(r * c)) / (COUNT(*) * SUM(c))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini,
+           ROUND(CAST(SUM(CASE WHEN rd <= 5 THEN c ELSE 0 END)
+                      AS DOUBLE) / SUM(c), 6) AS top_share
+    FROM ranked
+    """,
+)
+def profile_key_skew(spark, sf_dir):
+    """Key-skew diagnosis of orders-per-customer: Gini coefficient of
+    the per-key count distribution plus the share of the 5 heaviest
+    keys — the pre-flight check that decides between a plain hash
+    join and salting/AQE-skew handling at 100 TB. The fact scan
+    collapses to per-key counts in one partial-aggregating shuffle;
+    the rank windows run on the collapsed key-count frame only."""
+    from .operators.profile import key_skew_profile
+
+    orders = _t(spark, sf_dir, "orders")
+    return key_skew_profile(orders, "o_custkey", top=5)

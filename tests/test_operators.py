@@ -612,3 +612,42 @@ def test_greedy_cover_selection_trajectory(spark):
     assert out[0]["marginal_gain"] == 8   # A: 8 distinct 3-shingles
     assert out[1]["marginal_gain"] == 4   # B: 6 shingles, 2 shared
     assert out[1]["cum_covered"] == 12
+
+
+def test_table_checksum_order_independent_and_sensitive(spark):
+    from flink_cdc_dsql_master_spark.operators.profile import (
+        table_checksum)
+
+    df = spark.createDataFrame(
+        [(i, f"v{i}") for i in range(100)], "k long, v string")
+    base = table_checksum(df, ["k", "v"]).collect()[0]
+    shuffled = table_checksum(df.repartition(13), ["k", "v"]).collect()[0]
+    assert (base["xor_sig"], base["sum_sig"]) \
+        == (shuffled["xor_sig"], shuffled["sum_sig"])
+    mut = df.withColumn(
+        "v", F.when(F.col("k") == 50, "CHANGED").otherwise(F.col("v")))
+    m = table_checksum(mut, ["k", "v"]).collect()[0]
+    assert m["xor_sig"] != base["xor_sig"]
+    assert m["sum_sig"] != base["sum_sig"]
+    # null vs string-"None" sentinel distinction
+    a = spark.createDataFrame([(1, None)], "k long, v string")
+    b = spark.createDataFrame([(1, "\x00N")], "k long, v string")
+    # same digest is EXPECTED here (sentinel collision is documented);
+    # the important property is null != empty-string
+    c = spark.createDataFrame([(1, "")], "k long, v string")
+    assert table_checksum(a, ["k", "v"]).collect()[0]["xor_sig"] \
+        != table_checksum(c, ["k", "v"]).collect()[0]["xor_sig"]
+
+
+def test_key_skew_profile_gini(spark):
+    from flink_cdc_dsql_master_spark.operators.profile import (
+        key_skew_profile)
+
+    even = spark.createDataFrame(
+        [(i % 10,) for i in range(1000)], "k long")
+    g_even = key_skew_profile(even, "k").collect()[0]
+    assert abs(g_even["gini"]) < 1e-9 and g_even["n_keys"] == 10
+    skewed = spark.createDataFrame(
+        [(0,)] * 910 + [(i,) for i in range(1, 10)] * 10, "k long")
+    g_skew = key_skew_profile(skewed, "k").collect()[0]
+    assert g_skew["gini"] > 0.7 and g_skew["top_share"] > 0.9
