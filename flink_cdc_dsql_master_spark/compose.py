@@ -523,14 +523,21 @@ def make_sketch_sink_writer(base_path: str, key_col: str,
     """Sink-writer maintaining BOUNDED-state streaming sketches per sink
     table: a Count-Min frequency grid (``<table>__cm``) and a KMV
     distinct-count partial (``<table>__kmv``), each folded per
-    micro-batch and swapped crash-safely. The live "top keys so far /
-    distinct keys so far" dashboard whose state never grows with the
-    stream — the sketch counterpart of the rollup writer's exact
-    group-grain state (which is the right tool only while the grain
-    stays small)."""
+    micro-batch and swapped crash-safely, plus a HyperLogLog register
+    state (``<table>__hll``) whose max-merge fold is IDEMPOTENT under
+    epoch replay (re-folding a delivered-twice batch moves no
+    register — the distinct-count that is safe even without the
+    writer's replay guard). The live "top keys so far / distinct keys
+    so far" dashboard whose state never grows with the stream — the
+    sketch counterpart of the rollup writer's exact group-grain state
+    (which is the right tool only while the grain stays small)."""
     from pyspark.sql import functions as F
 
-    from .operators.sketches import countmin_apply_batch, kmv_apply_batch
+    from .operators.sketches import (
+        countmin_apply_batch,
+        hll_apply_batch,
+        kmv_apply_batch,
+    )
     from .sinks import read_parquet_state, swap_parquet_dir
 
     gcols = group_cols or []
@@ -547,6 +554,9 @@ def make_sketch_sink_writer(base_path: str, key_col: str,
         kmv = read_parquet_state(spark, f"{base}__kmv")
         swap_parquet_dir(
             kmv_apply_batch(kmv, src, key_col, g, k), f"{base}__kmv")
+        hll = read_parquet_state(spark, f"{base}__hll")
+        swap_parquet_dir(
+            hll_apply_batch(hll, src, key_col, g), f"{base}__hll")
 
     return writer
 

@@ -755,3 +755,33 @@ def bpe_token_counts(df: DataFrame, rounds: int = 3,
     return (words.join(per_word, "word")
             .groupBy(id_col)
             .agg(F.sum("__n_sym").cast("long").alias("n_bpe_tokens")))
+
+
+#: GPT-2-style pretokenizer pattern, restricted to constructs RE2 and
+#: Java regex agree on (no lookarounds): contractions, space-prefixed
+#: letter runs, space-prefixed digit runs, space-prefixed punctuation
+#: runs, residual whitespace.
+PRETOKEN_PATTERN = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+"
+                    r"| ?[^A-Za-z0-9\s']+|\s+")
+
+
+def pretokenize_counts(df: DataFrame, text_col: str = "text",
+                       top: int = 50) -> DataFrame:
+    """Token-TYPE frequency table under a BPE-ish pretokenizer regex —
+    the corpus statistic a tokenizer-training run starts from (and the
+    honest 'how many tokens is this corpus' count, versus whitespace
+    splitting which undercounts punctuation and numbers).
+
+    regexp_extract_all runs in whole-stage codegen; the explode feeds
+    ONE partial-aggregating groupBy, so the shuffle carries one row
+    per distinct token type per task — vocabulary-sized, not
+    corpus-sized. Top-``top`` by (count DESC, token ASC) via
+    TakeOrderedAndProject (a heap, never a global sort). Whitespace-
+    only tokens are folded out after counting so the type table stays
+    text-bearing. Returns (token, n) rows."""
+    toks = df.select(F.explode(F.regexp_extract_all(
+        F.lower(F.col(text_col)), F.lit(PRETOKEN_PATTERN), 0))
+        .alias("token"))
+    per = (toks.where(F.trim("token") != "")
+           .groupBy("token").agg(F.count("*").cast("long").alias("n")))
+    return per.orderBy(F.col("n").desc(), "token").limit(top)

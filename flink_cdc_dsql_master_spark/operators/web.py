@@ -80,3 +80,26 @@ def domain_stats(df: DataFrame, url_col: str = "url",
     if weight_col:
         aggs.append(F.round(F.avg(weight_col), 6).alias("avg_weight"))
     return canon.groupBy("domain").agg(*aggs)
+
+
+def blocklist_filter(df: DataFrame, url_col: str,
+                     blocked_domains: list[str]) -> DataFrame:
+    """Domain-blocklist filtering (the C4/CCNet crawl-hygiene pass):
+    drop a document when its registrable domain matches a blocklist
+    entry EXACTLY or is a subdomain of one (suffix match on a dot
+    boundary — 'ads.evil.test' is blocked by 'evil.test', while
+    'notevil.test' is not).
+
+    Plan: canonical-domain extraction plus a literal-array `exists()`
+    probe — a pure map-side whole-stage-codegen FILTER, no shuffle, no
+    join; it composes with scan pushdown like any predicate. This
+    in-expression form is right for blocklists up to a few thousand
+    entries (the common curated case); a millions-entry blocklist
+    becomes a broadcast semi-join on the reversed-domain prefix
+    instead — same map-side property, different probe structure.
+    Returns the KEPT rows, with the parsed `domain` attached."""
+    dom = domain_of(F.col(url_col))
+    probe = F.exists(
+        F.array(*[F.lit(b.lower()) for b in blocked_domains]),
+        lambda b: (dom == b) | dom.endswith(F.concat(F.lit("."), b)))
+    return df.withColumn("domain", dom).where(~probe)

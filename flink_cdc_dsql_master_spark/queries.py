@@ -75,6 +75,10 @@ BENCH_QUERIES = [
     "agg_product_profit",
     "text_dedup_spans",
     "sketch_rolling_distinct_users",
+    "sketch_hll_distinct",
+    "dedup_content_chunks",
+    "feature_ols_fit",
+    "sample_greedy_cover",
 ]
 
 
@@ -8495,3 +8499,73 @@ def profile_key_skew(spark, sf_dir):
 
     orders = _t(spark, sf_dir, "orders")
     return key_skew_profile(orders, "o_custkey", top=5)
+
+
+@_q(
+    "web_blocklist_filter",
+    """
+    WITH d AS (
+      SELECT CASE WHEN doc_id % 5 = 0
+             THEN 'cdn.' || source || '.example.com'
+             ELSE source || '.example.com' END AS domain
+      FROM documents)
+    SELECT domain, CAST(COUNT(*) AS BIGINT) AS n_docs FROM d
+    WHERE NOT (domain IN ('src3.example.com', 'src7.example.com',
+                          'evil.test')
+               OR domain LIKE '%.src3.example.com'
+               OR domain LIKE '%.src7.example.com'
+               OR domain LIKE '%.evil.test')
+    GROUP BY 1
+    """,
+)
+def web_blocklist_filter(spark, sf_dir):
+    """Domain-blocklist crawl hygiene: messy synthesized hosts (every
+    5th doc served from a cdn. subdomain) filtered against a
+    blocklist that must catch the subdomain form too — 'src3's cdn
+    host is blocked by the 'src3.example.com' entry via the
+    dot-boundary suffix rule, while unrelated domains survive. The
+    probe is a literal-array exists() — a pure map-side codegen
+    filter, no join, composable with scan pushdown. Output: kept docs
+    per domain."""
+    from .operators.web import blocklist_filter
+
+    docs = _t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.when(F.col("doc_id") % 5 == 0, F.lit("cdn."))
+        .otherwise(F.lit("WWW.")),
+        F.col("source"), F.lit(".Example.COM/p/"),
+        (F.col("doc_id") % 7).cast("string"))
+    kept = blocklist_filter(
+        docs.withColumn("url", url), "url",
+        ["src3.example.com", "src7.example.com", "evil.test"])
+    return kept.groupBy("domain").agg(
+        F.count("*").cast("long").alias("n_docs"))
+
+
+@_q(
+    "text_pretokenize_counts",
+    """
+    WITH toks AS (
+      SELECT unnest(regexp_extract_all(lower(text),
+        '''(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+'
+        || '| ?[^A-Za-z0-9\\s'']+|\\s+')) AS token
+      FROM documents),
+    per AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+      FROM toks WHERE trim(token) <> '' GROUP BY 1)
+    SELECT token, n FROM per ORDER BY n DESC, token LIMIT 50
+    """,
+)
+def text_pretokenize_counts(spark, sf_dir):
+    """Top-50 token TYPES under a BPE-ish pretokenizer regex
+    (contractions / space-prefixed word, number and punctuation runs —
+    the GPT-2 pattern restricted to the RE2∩Java-regex common
+    subset): the corpus frequency table a tokenizer-training run
+    starts from. Codegen regexp_extract_all → one partial-aggregating
+    vocabulary-sized groupBy → heap top-k; the deterministic
+    (n DESC, token ASC) order makes the top-50 set replayable."""
+    from .operators.text import pretokenize_counts
+
+    docs = _t(spark, sf_dir, "documents")
+    return pretokenize_counts(docs, "text", top=50)

@@ -125,3 +125,37 @@ def test_transitive_ancestors_cycle_guard(spark):
             for r in transitive_ancestors(chain).collect()}
     assert rows[(4, 3)] == 1 and rows[(4, 2)] == 2 and rows[(4, 1)] == 3
     assert rows[(2, 1)] == 1 and len(rows) == 6
+
+
+def test_blocklist_filter_subdomain_boundary(spark):
+    """'evil.test' blocks itself and true subdomains, but NOT
+    'notevil.test' (the dot-boundary rule) and NOT 'evil.test.com'
+    (suffix is domain-anchored)."""
+    from flink_cdc_dsql_master_spark.operators.web import blocklist_filter
+
+    rows = [(1, "https://evil.test/a"),
+            (2, "https://ads.evil.test/b"),
+            (3, "https://notevil.test/c"),
+            (4, "https://evil.test.com/d"),
+            (5, "https://WWW.ok.example/e")]
+    df = spark.createDataFrame(rows, "id long, url string")
+    kept = sorted(r["id"] for r in
+                  blocklist_filter(df, "url", ["evil.test"]).collect())
+    assert kept == [3, 4, 5]
+
+
+def test_pretokenize_counts_semantics(spark):
+    from flink_cdc_dsql_master_spark.operators.text import (
+        pretokenize_counts)
+
+    df = spark.createDataFrame(
+        [(1, "It's 42 cats, it's fun!!")], "id long, text string")
+    got = {r["token"]: r["n"]
+           for r in pretokenize_counts(df, "text", top=20).collect()}
+    # contraction split off; space-prefixed vs bare word are DISTINCT
+    # types (the GPT-2 convention), numbers/punct space-prefixed
+    assert got["'s"] == 2
+    assert got["it"] == 1 and got[" it"] == 1
+    assert got[" 42"] == 1 and got[","] == 1 and got["!!"] == 1
+    # no whitespace-only tokens in the table
+    assert all(t.strip() for t in got)

@@ -265,3 +265,56 @@ def test_seasonal_decompose_windows_on_daily_grain(spark, sf_dir):
     assert "Window" in tree and "HashAggregate" in tree
     below_first_window = tree.split("Window", 1)[1]
     assert "HashAggregate" in below_first_window  # collapse feeds it
+
+
+def test_hll_distinct_partial_max_no_distinct_shuffle(spark, sf_dir):
+    """HLL's claim over KMV: NO distinct pre-collapse — the register
+    fold is one partial_max aggregate, so duplicates die map-side."""
+    plan = plan_of(QUERIES["sketch_hll_distinct"](spark, sf_dir))
+    assert "partial_max" in plan
+
+
+def test_content_chunks_no_shuffle_before_chunk_groupby(spark, sf_dir):
+    """Boundary scan + slicing are map-side HOFs: the ONLY exchanges
+    are the chunk groupBy and the final 1-row collapse — and the
+    chunk aggregate partial-combines map-side."""
+    plan = plan_of(QUERIES["dedup_content_chunks"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "partial_count" in plan or "partial_sum" in plan
+    assert tree.count("Exchange") <= 3   # union spread + chunk agg + 1-row
+    assert "CartesianProduct" not in tree
+
+
+def test_pareto_stage1_partial_agg_small_final_window(spark, sf_dir):
+    """The min-y-per-x collapse must partial-aggregate; only the
+    bucketed local pass and the survivor-sized global pass remain."""
+    plan = plan_of(QUERIES["analytics_pareto_frontier"](spark, sf_dir))
+    assert "partial_min" in plan
+    assert "CartesianProduct" not in tree_of(plan)
+
+
+def test_ols_single_row_shuffle(spark, sf_dir):
+    """The whole fit is one aggregate: 10 decimal sufficient stats
+    partial-aggregate map-side and exactly one exchange moves them."""
+    plan = plan_of(QUERIES["feature_ols_fit"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "partial_sum" in plan
+    assert tree.count("Exchange") == 1
+
+
+def test_table_checksum_partial_folds(spark, sf_dir):
+    """xor/sum folds must combine map-side — one row per partition
+    crosses the wire, never the digests."""
+    plan = plan_of(QUERIES["profile_table_checksum"](spark, sf_dir))
+    assert "partial_bit_xor" in plan or "partial_sum" in plan
+
+
+def test_key_skew_windows_on_collapsed_keys(spark, sf_dir):
+    """The rank windows run AFTER the per-key count collapse: the
+    partial count is present and the window input is the aggregate,
+    not the fact scan."""
+    plan = plan_of(QUERIES["profile_key_skew"](spark, sf_dir))
+    assert "partial_count" in plan
+    tree = tree_of(plan)
+    assert tree.index("Window") < tree.index("Scan parquet") \
+        or "HashAggregate" in tree  # window sits above the aggregate

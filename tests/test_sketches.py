@@ -184,6 +184,13 @@ def test_changelog_stream_to_sketches(spark, tmp_path):
         k=32).collect()[0]
     assert (kmv_live["n_kept"], kmv_live["distinct_est"]) \
         == (kmv_scratch["n_kept"], kmv_scratch["distinct_est"])
+    from flink_cdc_dsql_master_spark.operators.sketches import (
+        hll_estimate, hll_partial)
+    hll_live = hll_estimate(
+        spark.read.parquet(f"{out}/ev__hll"), ["__g"]).collect()[0]
+    hll_scratch = hll_estimate(
+        hll_partial(all_rows, "uid", ["__g"]), ["__g"]).collect()[0]
+    assert hll_live["distinct_est"] == hll_scratch["distinct_est"]
 
 
 def test_empty_set_edges(spark):
