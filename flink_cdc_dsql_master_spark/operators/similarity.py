@@ -710,3 +710,37 @@ def random_projection(df: DataFrame, out_dim: int, seed: int = 7,
         id_col,
         F.array(*[F.col(f"__p{i}") for i in range(out_dim)])
         .alias("projected"))
+
+
+def rrf_fuse(ranked: list, id_col: str = "id", k: int = 60,
+             top: int = 15):
+    """Reciprocal-rank fusion of N rankers (the standard hybrid-search
+    combiner: score(d) = Σ_r 1/(k + rank_r(d)) — rank-based, so
+    incomparable scores like BM25 vs cosine fuse without calibration).
+
+    Inputs are (id, rank) frames — each ranker's top-k only, so every
+    side of the fusion is candidate-sized (≤ k rows), the full outer
+    joins are trivially broadcast, and the 100 TB corpus is touched
+    only inside each ranker. Ties break on id ascending — the fused
+    top-``top`` is deterministic. Returns (id, rank_0..rank_{N-1},
+    rrf_score)."""
+    from functools import reduce
+
+    from pyspark.sql import Window
+
+    outs = []
+    for i, df in enumerate(ranked):
+        outs.append(df.select(F.col(id_col),
+                              F.col("rank").alias(f"rank_{i}")))
+    fused = reduce(lambda a, b: a.join(b, id_col, "full"), outs)
+    score = reduce(
+        lambda a, b: a + b,
+        [F.coalesce(F.lit(1.0) / (F.lit(k) + F.col(f"rank_{i}")),
+                    F.lit(0.0))
+         for i in range(len(ranked))])
+    w = Window.orderBy(F.col("__rrf").desc(), F.col(id_col).asc())
+    return (fused.withColumn("__rrf", score)
+            .withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") <= top)
+            .select(id_col, *[f"rank_{i}" for i in range(len(ranked))],
+                    F.round("__rrf", 6).alias("rrf_score")))

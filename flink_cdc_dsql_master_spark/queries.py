@@ -8569,3 +8569,82 @@ def text_pretokenize_counts(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return pretokenize_counts(docs, "text", top=50)
+
+
+@_q(
+    "search_hybrid_rrf",
+    f"""
+    WITH base AS (
+      SELECT doc_id AS id,
+             len(string_split_regex(trim(text), '\\s+')) AS dl,
+             string_split_regex(trim(text), '\\s+') AS t
+      FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     AVG(dl) AS avgdl FROM base),
+    tf AS (
+      SELECT id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT id, dl, unnest(t) AS term FROM base)
+      WHERE term IN ('data', 'query', 'join', 'window', 'customer')
+      GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, COUNT(DISTINCT id) AS df_t FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.id,
+             SUM(LN(1 + (stats.n - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+               AS s
+      FROM tf, dfreq, stats WHERE tf.term = dfreq.term GROUP BY 1),
+    lex AS (
+      SELECT id, CAST(rn AS INT) AS r FROM (
+        SELECT id, row_number() OVER (ORDER BY s DESC, id) AS rn
+        FROM scored) WHERE rn <= 25),
+    dense0 AS (
+      SELECT e.vec_id AS id, {{cos}} AS cosine
+      FROM embeddings e,
+           (SELECT vec_id AS query_id, embedding AS qv
+            FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> q.query_id),
+    dense AS (
+      SELECT id, CAST(rn AS INT) AS r FROM (
+        SELECT id, row_number() OVER (ORDER BY cosine DESC, id) AS rn
+        FROM dense0) WHERE rn <= 25),
+    fused AS (
+      SELECT COALESCE(l.id, d.id) AS doc_id,
+             l.r AS lex_rank, d.r AS dense_rank,
+             COALESCE(1.0 / (60 + l.r), 0.0)
+               + COALESCE(1.0 / (60 + d.r), 0.0) AS rrf
+      FROM lex l FULL JOIN dense d ON l.id = d.id)
+    SELECT doc_id, lex_rank, dense_rank, ROUND(rrf, 6) AS rrf_score
+    FROM (SELECT *, row_number() OVER (ORDER BY rrf DESC, doc_id) AS rn
+          FROM fused) WHERE rn <= 15
+    """.replace("{cos}", _COS_SQL),
+)
+def search_hybrid_rrf(spark, sf_dir):
+    """Hybrid retrieval: BM25 keyword top-25 fused with dense cosine
+    top-25 (query = doc 0's embedding, exploiting the corpus-aligned
+    vec_id == doc_id) by reciprocal-rank fusion — the production
+    search stack's lexical+semantic combiner, rank-based so the two
+    incomparable score scales need no calibration. Each ranker keeps
+    its own 100 TB-safe plan (posting-filtered BM25 heap top-k;
+    corpus-stationary broadcast-query cosine); the fusion itself
+    touches only 2×25 candidate rows."""
+    from .operators.similarity import cosine_topk, rrf_fuse
+    from .operators.text import bm25_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    w_lex = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    lex = (bm25_topk(docs, ["data", "query", "join", "window",
+                            "customer"], k=25)
+           .withColumn("rank", F.row_number().over(w_lex))
+           .select("id", "rank"))
+    q = emb.where(F.col("vec_id") == 0)
+    w_den = Window.orderBy(F.col("cosine").desc(), F.col("nbr_id").asc())
+    dense = (cosine_topk(emb, q, k=25)
+             .withColumn("rank", F.row_number().over(w_den))
+             .select(F.col("nbr_id").alias("id"), "rank"))
+    out = rrf_fuse([lex, dense], "id", k=60, top=15)
+    return out.select(
+        F.col("id").alias("doc_id"),
+        F.col("rank_0").alias("lex_rank"),
+        F.col("rank_1").alias("dense_rank"), "rrf_score")

@@ -120,3 +120,22 @@ def test_random_projection_preserves_distances(spark, sf_dir):
         d1 = ((proj[a] - proj[b]) ** 2).sum()
         dist.append(abs(d1 - d0) / d0)
     assert np.median(dist) < 0.5
+
+
+def test_rrf_fuse_semantics(spark):
+    """A doc ranked well by BOTH rankers must outscore a doc ranked
+    #1 by only one (the hybrid-search property RRF exists for);
+    one-sided docs still appear with a single-term score."""
+    from flink_cdc_dsql_master_spark.operators.similarity import rrf_fuse
+
+    a = spark.createDataFrame(
+        [(10, 1), (20, 2), (30, 3)], "id long, rank int")
+    b = spark.createDataFrame(
+        [(20, 1), (40, 2), (30, 3)], "id long, rank int")
+    out = {r["id"]: r for r in rrf_fuse([a, b], "id", k=60, top=10)
+           .collect()}
+    # 20 is (2,1); 10 is (1,None): two-sided beats one-sided #1
+    assert out[20]["rrf_score"] > out[10]["rrf_score"]
+    assert out[30]["rrf_score"] > out[10]["rrf_score"]  # (3,3) too
+    assert out[10]["rank_1"] is None and out[40]["rank_0"] is None
+    assert abs(out[20]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-6

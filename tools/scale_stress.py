@@ -68,6 +68,15 @@ TARGETS = [
     "text_bpe_train",
     "graph_triangle_count",
     "sketch_kmv_set_ops",
+    # wave-4 additions over the scaled documents corpus: content-defined
+    # chunking (chunk groupBy bound by unique content), greedy cover
+    # (K rounds of agg+anti-join; localCheckpoint keeps it linear in
+    # corpus bytes), and the GPT-2 pretokenizer type table (vocabulary-
+    # collapse bound). sketch_hll_distinct is excluded: it reads the
+    # events table, which this synthesizer does not scale.
+    "dedup_content_chunks",
+    "sample_greedy_cover",
+    "text_pretokenize_counts",
 ]
 
 
