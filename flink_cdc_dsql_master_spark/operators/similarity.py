@@ -744,3 +744,29 @@ def rrf_fuse(ranked: list, id_col: str = "id", k: int = 60,
             .where(F.col("__rn") <= top)
             .select(id_col, *[f"rank_{i}" for i in range(len(ranked))],
                     F.round("__rrf", 6).alias("rrf_score")))
+
+
+def ann_recall(exact: DataFrame, approx: DataFrame,
+               query_col: str = "query_id", nbr_col: str = "nbr_id",
+               k: int = 10) -> DataFrame:
+    """Retrieval-quality evaluation of an ANN index against its exact
+    twin: per query, recall@k (|approx ∩ exact| / k) and MRR (the
+    reciprocal rank of the FIRST approx result that is exact-relevant)
+    — the metric pair an index rollout gates on ('is n_probe=4 good
+    enough?') computed from two candidate lists, never the corpus.
+
+    Both inputs are (query, nbr, cosine) top-k frames, so every join
+    and window here runs on Q·k rows — evaluation cost is independent
+    of corpus size. Ranks tie-break (cosine DESC, nbr ASC) so the
+    metrics are deterministic. Queries with zero overlap drop out
+    (inner join) — at recall 0 there is no rank to report."""
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("cosine").desc(), F.col(nbr_col).asc())
+    ar = approx.withColumn("__ar", F.row_number().over(w)) \
+        .select(query_col, nbr_col, "__ar")
+    ex = exact.select(query_col, nbr_col)
+    hits = ar.join(ex, [query_col, nbr_col])
+    return hits.groupBy(query_col).agg(
+        F.count("*").cast("long").alias("n_hits"),
+        F.round(F.count("*") / F.lit(float(k)), 6).alias(f"recall_at_{k}"),
+        F.round(F.lit(1.0) / F.min("__ar"), 6).alias("mrr"))

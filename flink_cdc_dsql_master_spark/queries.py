@@ -8648,3 +8648,49 @@ def search_hybrid_rrf(spark, sf_dir):
         F.col("id").alias("doc_id"),
         F.col("rank_0").alias("lex_rank"),
         F.col("rank_1").alias("dense_rank"), "rrf_score")
+
+
+_EVAL_ANN_SQL = """
+    WITH approx AS ({ivf}),
+    exact AS (
+      SELECT query_id, nbr_id FROM (
+        SELECT q.query_id, e.vec_id AS nbr_id, {cos} AS cosine,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY {cos} DESC, e.vec_id ASC) AS rn
+        FROM embeddings e,
+             (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 5) q
+        WHERE e.vec_id <> q.query_id) WHERE rn <= 10),
+    ar AS (
+      SELECT query_id, nbr_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cosine DESC, nbr_id ASC) AS r
+      FROM approx),
+    hits AS (
+      SELECT a.query_id, a.r FROM ar a
+      JOIN exact e ON a.query_id = e.query_id AND a.nbr_id = e.nbr_id)
+    SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+           ROUND(COUNT(*) / 10.0, 6) AS recall_at_10,
+           ROUND(1.0 / MIN(r), 6) AS mrr
+    FROM hits GROUP BY query_id
+    """
+
+
+@_q("eval_ann_recall",
+    _EVAL_ANN_SQL.format(ivf=_ivf_oracle_sql(), cos=_COS_SQL))
+def eval_ann_recall(spark, sf_dir):
+    """Index-quality gate: recall@10 and MRR of the IVF ANN index
+    against the exact brute-force top-10, per query — the evaluation a
+    production rollout of 'n_probe=4 of 16 cells' must pass. Both
+    ranked lists are Q·k-sized, so the metric computation never
+    touches the corpus; every rank and the metrics themselves replay
+    in the oracle because the IVF centroids are seeded literals."""
+    from .operators import similarity
+    from .operators.similarity import ann_recall
+
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < 5)
+    exact = similarity.cosine_topk(emb, q, k=10)
+    approx = similarity.ivf_topk(emb, q, k=10)
+    return ann_recall(exact, approx, k=10)

@@ -139,3 +139,19 @@ def test_rrf_fuse_semantics(spark):
     assert out[30]["rrf_score"] > out[10]["rrf_score"]  # (3,3) too
     assert out[10]["rank_1"] is None and out[40]["rank_0"] is None
     assert abs(out[20]["rrf_score"] - (1 / 62 + 1 / 61)) < 1e-6
+
+
+def test_ann_recall_metrics(spark):
+    from flink_cdc_dsql_master_spark.operators.similarity import ann_recall
+
+    exact = spark.createDataFrame(
+        [(1, 10, 0.9), (1, 11, 0.8), (1, 12, 0.7)],
+        "query_id long, nbr_id long, cosine double")
+    # approx got 2 of 3; its best hit sits at rank 2
+    approx = spark.createDataFrame(
+        [(1, 99, 0.95), (1, 10, 0.9), (1, 12, 0.7)],
+        "query_id long, nbr_id long, cosine double")
+    r = ann_recall(exact, approx, k=3).collect()[0]
+    assert r["n_hits"] == 2
+    assert abs(r["recall_at_3"] - 2 / 3) < 1e-6
+    assert abs(r["mrr"] - 0.5) < 1e-6
