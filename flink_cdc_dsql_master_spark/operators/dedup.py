@@ -788,3 +788,50 @@ def chunk_dedup_stats(chunks: DataFrame) -> DataFrame:
         F.round(F.lit(1.0) - F.sum(F.length("chunk")).cast("double")
                 / F.sum(F.col("__c") * F.length("chunk")).cast("double"),
                 6).alias("shared_pct"))
+
+
+def content_defined_chunks_arrow(df: DataFrame, id_col: str = "doc_id",
+                                 text_col: str = "content",
+                                 window: int = 8,
+                                 divisor: int = 64) -> DataFrame:
+    """Arrow-batched twin of :func:`content_defined_chunks` — identical
+    boundary rule (md5 of the ``window``-char substring at each
+    position, 0 mod ``divisor``), byte-identical chunk output (pinned
+    by test), ~10× the interpreted-HOF constant: hashlib.md5 is one C
+    call per position instead of an interpreted Catalyst expression
+    tree per position. Same plan shape — per-document map-side work,
+    the explode feeds the same chunk groupBy."""
+    from pyspark.sql.functions import pandas_udf
+
+    w, div = window, divisor
+
+    def _chunks_of(texts):
+        import hashlib
+
+        out = []
+        for t in texts:
+            if t is None or len(t) == 0:
+                out.append(None)
+                continue
+            n = len(t)
+            bounds = [1]
+            if n >= w + 1:
+                enc = t  # char-indexed like Spark substr
+                for i in range(2, n - w + 2):
+                    h = hashlib.md5(
+                        ("cdc" + enc[i - 1:i - 1 + w]).encode("utf-8")
+                    ).hexdigest()
+                    if int(h[:8], 16) % div == 0:
+                        bounds.append(i)
+            bounds.append(n + 1)
+            out.append([t[s - 1:e - 1]
+                        for s, e in zip(bounds, bounds[1:])])
+        import pandas as pd
+
+        return pd.Series(out)
+
+    chunks_of = pandas_udf(_chunks_of, "array<string>")
+    base = _spread(df.where(F.col(text_col).isNotNull()
+                            & (F.length(text_col) > 0)))
+    return base.select(id_col, F.posexplode(chunks_of(F.col(text_col)))
+                       .alias("chunk_idx", "chunk"))

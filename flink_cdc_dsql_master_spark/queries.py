@@ -8097,7 +8097,8 @@ def dedup_content_chunks(spark, sf_dir):
     shuffle, no Python); the single shuffle is the distinct-chunk
     groupBy, which partial-aggregates map-side and carries one row per
     unique chunk at any corpus size."""
-    from .operators.dedup import chunk_dedup_stats, content_defined_chunks
+    from .operators.dedup import (chunk_dedup_stats,
+                                  content_defined_chunks_arrow)
 
     docs = _t(spark, sf_dir, "documents")
     base = docs.select((F.col("doc_id") * 2).alias("cid"), "text")
@@ -8105,8 +8106,12 @@ def dedup_content_chunks(spark, sf_dir):
         (F.col("doc_id") * 2 + 1).alias("cid"),
         F.concat(F.lit("EDIT v2: "), F.col("text")).alias("text"))
     corpus = base.unionByName(edited)
-    chunks = content_defined_chunks(corpus, "cid", "text",
-                                    window=8, divisor=64)
+    # Arrow boundary kernel — byte-identical to the Catalyst HOF twin
+    # (pinned by test_content_chunks_arrow_matches_hof), ~10x its
+    # constant: one C md5 call per position instead of an interpreted
+    # expression tree per position
+    chunks = content_defined_chunks_arrow(corpus, "cid", "text",
+                                          window=8, divisor=64)
     return chunk_dedup_stats(chunks)
 
 

@@ -651,3 +651,24 @@ def test_key_skew_profile_gini(spark):
         [(0,)] * 910 + [(i,) for i in range(1, 10)] * 10, "k long")
     g_skew = key_skew_profile(skewed, "k").collect()[0]
     assert g_skew["gini"] > 0.7 and g_skew["top_share"] > 0.9
+
+
+def test_content_chunks_arrow_matches_hof(spark):
+    """The Arrow boundary kernel must produce byte-identical chunks to
+    the Catalyst HOF twin (same md5 rule, same positions)."""
+    from flink_cdc_dsql_master_spark.operators.dedup import (
+        content_defined_chunks, content_defined_chunks_arrow)
+
+    texts = [
+        (0, "the quick brown fox jumps over the lazy dog " * 8),
+        (1, "short"),
+        (2, "PREFIX " + "the quick brown fox jumps over the lazy dog "
+         * 8),
+        (3, "unicode λ text ünïcode " * 20),
+    ]
+    df = spark.createDataFrame(texts, "cid long, text string")
+    a = sorted(map(tuple, content_defined_chunks(
+        df, "cid", "text").collect()))
+    b = sorted(map(tuple, content_defined_chunks_arrow(
+        df, "cid", "text").collect()))
+    assert a == b
