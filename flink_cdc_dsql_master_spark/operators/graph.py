@@ -223,3 +223,76 @@ def transitive_ancestors(parents: DataFrame, child: str = "child",
         out = out.unionByName(nxt)
         frontier = nxt
     return out
+
+
+def kcore(edges: DataFrame, k: int = 3, rounds: int = 6,
+          src: str = "src", dst: str = "dst") -> DataFrame:
+    """k-core membership via iterative peeling over an UNDIRECTED edge
+    list: drop every node whose degree (within the surviving subgraph)
+    is < k, recompute degrees, repeat. Returns (node, deg) for nodes
+    still alive after ``rounds`` peel rounds, with their final
+    within-core degree — the density signal corpus curation uses to
+    find tightly-interlinked (template/spam) page clusters, and the
+    standard preprocessing cut before expensive graph algorithms.
+
+    Scale shape: each round is ONE groupBy(node) degree count (map-side
+    partial) + one semi-join filtering the edge list — no state beyond
+    the shrinking edge set, which is localCheckpoint'ed per round so
+    the plan stays flat (pagerank discipline). A fixed ``rounds``
+    budget (rather than loop-until-fixed-point) keeps the computation
+    deterministic and SQL-replayable; real peels converge in a handful
+    of rounds because each round removes entire degree-layers.
+    """
+    und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
+                        F.greatest(F.col(src), F.col(dst)).alias("v"))
+           .where(F.col("u") != F.col("v")).distinct()
+           .localCheckpoint())
+    for _ in range(rounds):
+        deg = (und.select(F.col("u").alias("node"))
+               .union(und.select("v"))
+               .groupBy("node").agg(F.count("*").alias("deg")))
+        alive = deg.where(F.col("deg") >= k).select("node")
+        und = (und.join(alive.withColumnRenamed("node", "u"), "u",
+                        "left_semi")
+               .join(alive.withColumnRenamed("node", "v"), "v",
+                     "left_semi")
+               .localCheckpoint())
+    deg = (und.select(F.col("u").alias("node"))
+           .union(und.select("v"))
+           .groupBy("node").agg(F.count("*").cast("long").alias("deg")))
+    return deg.where(F.col("deg") >= k)
+
+
+def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
+             src: str = "src", dst: str = "dst",
+             seed_col: str = "node") -> DataFrame:
+    """Multi-source BFS: minimum hop distance from any seed node,
+    bounded at ``max_hops``. Returns (node, hops) for reachable nodes
+    (seeds at 0) — the reachability signal behind crawl-frontier
+    scheduling and trust-distance features.
+
+    Scale shape: classic frontier expansion — iteration h joins the
+    CURRENT frontier (nodes first reached at h-1) against the edge
+    list on src: one equi-join shuffle per hop, each frontier
+    localCheckpoint'ed. The visited set is carried as an accumulating
+    union and subtracted with a left_anti join, so no node is ever
+    re-expanded (frontiers shrink toward the periphery). Directed
+    traversal; pass a symmetrized edge list for undirected reach.
+    """
+    e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+         .where(F.col("src") != F.col("dst")).distinct()
+         .repartition("src").persist())
+    visited = (seeds.select(F.col(seed_col).alias("node")).distinct()
+               .withColumn("hops", F.lit(0)).localCheckpoint())
+    frontier = visited
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select(F.col("dst").alias("node")).distinct()
+               .join(visited.select("node"), "node", "left_anti")
+               .withColumn("hops", F.lit(h))
+               .localCheckpoint())
+        if not nxt.take(1):
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited.select("node", F.col("hops").cast("int").alias("hops"))

@@ -770,3 +770,71 @@ def ann_recall(exact: DataFrame, approx: DataFrame,
         F.count("*").cast("long").alias("n_hits"),
         F.round(F.count("*") / F.lit(float(k)), 6).alias(f"recall_at_{k}"),
         F.round(F.lit(1.0) / F.min("__ar"), 6).alias("mrr"))
+
+
+def kmeans(corpus: DataFrame, k: int = 8, iters: int = 3,
+           id_col: str = "vec_id", vec_col: str = "embedding",
+           round_scale: int = 12, dist_scale: int = 9
+           ) -> tuple[DataFrame, list[list[float]]]:
+    """Distributed Lloyd k-means over an embedding column. Returns
+    (assignment DataFrame (id, cluster, dist), final centroids) — the
+    topic-clustering primitive corpus curation uses for diversity
+    sampling and per-cluster quality cuts.
+
+    Determinism contract (what makes an iterative float algorithm
+    hash-checkable across engines, same discipline as graph.pagerank):
+    - init centroids = the embeddings of the ``k`` smallest ids
+      (exactly replayable in SQL; no RNG);
+    - per-row assignment = argmin over squared L2 distance computed as
+      a LEFT FOLD in index order, ROUNDED to ``dist_scale`` decimals,
+      ties broken by centroid id;
+    - per-iteration centroid update = per-dimension mean ROUNDED to
+      ``round_scale`` decimals (sum-order 1-ulp wobble cannot
+      compound across iterations); empty clusters keep their previous
+      centroid.
+
+    Scale shape: assignment is pure codegen against LITERAL centroids
+    (k x dim doubles baked into the plan — no join, no shuffle); the
+    update is ONE posexplode + groupBy(cluster, dim) partial-agg
+    shuffle per iteration; only the k x dim centroid table (KB) ever
+    reaches the driver, identical to :func:`refine_centroids`."""
+    v = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("v"))
+    init = v.orderBy("id").limit(k).collect()
+    if len(init) < k:
+        raise ValueError(f"kmeans needs >= {k} rows, got {len(init)}")
+    cents = [[float(x) for x in r["v"]] for r in init]
+
+    def _assign(cents_):
+        opts = F.array(*[
+            F.struct(
+                F.round(
+                    F.aggregate(
+                        F.zip_with(F.col("v"),
+                                   F.array(*[F.lit(x) for x in c]),
+                                   lambda a, b: (a - b) * (a - b)),
+                        F.lit(0.0), lambda acc, x: acc + x),
+                    dist_scale).alias("d"),
+                F.lit(i).alias("i"))
+            for i, c in enumerate(cents_)
+        ])
+        return F.array_min(opts)
+
+    for _ in range(iters):
+        assigned = v.withColumn("cluster", _assign(cents)["i"])
+        means = (assigned.select("cluster",
+                                 F.posexplode("v").alias("i", "x"))
+                 .groupBy("cluster", "i")
+                 .agg(F.round(F.avg("x"), round_scale).alias("m"))
+                 .collect())
+        new = [list(c) for c in cents]
+        for r in means:
+            new[r["cluster"]][r["i"]] = r["m"]
+        cents = new
+
+    best = _assign(cents)
+    out = v.select(
+        F.col("id"),
+        best["i"].alias("cluster"),
+        F.round(best["d"], 6).alias("dist"))
+    return out, cents

@@ -785,3 +785,54 @@ def pretokenize_counts(df: DataFrame, text_col: str = "text",
     per = (toks.where(F.trim("token") != "")
            .groupBy("token").agg(F.count("*").cast("long").alias("n")))
     return per.orderBy(F.col("n").desc(), "token").limit(top)
+
+
+#: RAKE stopword breaker: candidate phrases are the maximal runs of
+#: text BETWEEN stopwords/punctuation. Restricted to regex constructs
+#: Java regex and RE2 (the DuckDB oracle) agree on.
+RAKE_BREAK_PATTERN = (
+    r"(?:\b(?:the|and|of|to|in|a|an|is|are|was|were|for|on|with|as|by"
+    r"|at|or|it|its|this|that|from|be|has|have|had)\b|[^a-z0-9 ])+")
+
+
+def rake_keywords(df: DataFrame, text_col: str = "text",
+                  top: int = 20, min_words: int = 2,
+                  max_words: int = 4) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010), corpus-level:
+    candidate phrases = maximal stopword-free word runs; word score =
+    degree/frequency over phrase co-occurrence; phrase score = sum of
+    its word scores. Returns the ``top`` phrases by
+    (score DESC, phrase ASC) with their corpus frequency.
+
+    Scale shape: two explodes and two partial-aggregating groupBys —
+    word stats collapse to vocabulary size, phrase stats to distinct-
+    phrase size, and the word-score join back onto phrase words is a
+    broadcast (vocabulary-sized right side). The phrase split is one
+    codegen regexp; nothing row-at-a-time. Scores are exact rationals
+    rounded at 6 decimals so the ranking is engine-stable."""
+    phrases = (df.select(F.explode(F.split(
+        F.lower(F.col(text_col)), RAKE_BREAK_PATTERN)).alias("raw"))
+        .select(F.trim(F.col("raw")).alias("phrase"))
+        .where(F.col("phrase") != ""))
+    ph = phrases.withColumn("words", F.split("phrase", " +")).where(
+        (F.size("words") >= min_words) & (F.size("words") <= max_words))
+    ph_freq = ph.groupBy("phrase", "words").agg(
+        F.count("*").cast("long").alias("n"))
+    # word stats over phrase occurrences: freq = occurrences, degree =
+    # sum of phrase lengths it appears in (co-occurrence degree + self)
+    wstats = (ph_freq.select(
+        F.explode("words").alias("word"),
+        F.col("n"), F.size("words").alias("plen"))
+        .groupBy("word")
+        .agg(F.sum("n").alias("freq"),
+             F.sum(F.col("n") * F.col("plen")).alias("degree")))
+    wscore = wstats.select(
+        "word", (F.col("degree") / F.col("freq")).alias("wscore"))
+    scored = (ph_freq.select("phrase", "n",
+                             F.explode("words").alias("word"))
+              .join(F.broadcast(wscore), "word")
+              .groupBy("phrase", "n")
+              .agg(F.round(F.sum("wscore"), 6).alias("score")))
+    return (scored.orderBy(F.col("score").desc(), F.col("phrase"))
+            .limit(top)
+            .select("phrase", F.col("n"), "score"))

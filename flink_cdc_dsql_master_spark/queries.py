@@ -8699,3 +8699,446 @@ def eval_ann_recall(spark, sf_dir):
     exact = similarity.cosine_topk(emb, q, k=10)
     approx = similarity.ivf_topk(emb, q, k=10)
     return ann_recall(exact, approx, k=10)
+
+
+# ---------------------------------------------------------------------------
+# wave 5: k-means topic clustering, k-core / BFS graph signals, FS record
+# linkage, EWMA anomalies, RAKE keywords, CUMULATE windows, MATCH_RECOGNIZE-
+# style sequence patterns
+# ---------------------------------------------------------------------------
+
+
+def _kmeans_oracle_sql(k: int = 8, iters: int = 3) -> str:
+    """Unrolled Lloyd replay: per iteration one assignment CTE (argmin
+    over ROUND(left-fold squared-L2, 9), ties by centroid id — the
+    operator's exact determinism contract) + one per-dim AVG rounded at
+    12 decimals, empty clusters inheriting the previous centroid via
+    LEFT JOIN + COALESCE. The init centroids are the k smallest ids,
+    so no RNG crosses engines."""
+    dist = ("ROUND(list_reduce(list_transform(list_zip(v.v, c.cv), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b), 9)")
+    ctes = f"""
+    v AS MATERIALIZED (SELECT vec_id AS id,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings),
+    c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+           FROM v ORDER BY id LIMIT {k})"""
+    for i in range(1, iters + 1):
+        p = i - 1
+        ctes += f""",
+    a{i} AS MATERIALIZED (SELECT id, cid AS cluster FROM (
+        SELECT v.id, c.cid,
+               row_number() OVER (PARTITION BY v.id
+                                  ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM v CROSS JOIN c{p} c) WHERE rn = 1),
+    m{i} AS MATERIALIZED (SELECT a.cluster AS cid, t.i, ROUND(AVG(v.v[t.i]), 12) AS m
+             FROM a{i} a JOIN v ON v.id = a.id,
+                  (SELECT unnest(generate_series(1, 64)) AS i) t
+             GROUP BY 1, 2),
+    c{i} AS MATERIALIZED (SELECT c{p}.cid, COALESCE(n.cv, c{p}.cv) AS cv
+             FROM c{p} LEFT JOIN
+                  (SELECT cid, list(m ORDER BY i) AS cv
+                   FROM m{i} GROUP BY cid) n USING (cid))"""
+    return ("WITH" + ctes + f"""
+    SELECT id AS vec_id, cid AS cluster, ROUND(d9, 6) AS dist FROM (
+        SELECT v.id, c.cid, {dist} AS d9,
+               row_number() OVER (PARTITION BY v.id
+                                  ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM v CROSS JOIN c{iters} c) WHERE rn = 1
+    """)
+
+
+@_q("embedding_kmeans", _kmeans_oracle_sql())
+def embedding_kmeans(spark, sf_dir):
+    """Distributed Lloyd k-means over the embedding corpus
+    (similarity.kmeans): the topic-clustering primitive behind
+    diversity sampling and per-cluster curation cuts. Assignment is
+    pure codegen against literal centroids (no shuffle); each update is
+    one posexplode partial-agg shuffle; only the k x dim centroid table
+    reaches the driver. The oracle unrolls all three Lloyd iterations
+    as CTEs and replays the argmin/rounding contract bit-for-bit."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out, _cents = similarity.kmeans(emb, k=8, iters=3)
+    return out.select(F.col("id").alias("vec_id"), "cluster", "dist")
+
+
+#: shared synthetic link graph (3 out-links per doc) — bfs replay
+_LINK_GRAPH_CTES = """
+    ids AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS ni FROM ids),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT s.node AS src,
+             (s.node * 31 + j * 7) % (SELECT ni FROM nn) AS dst
+      FROM ids s, unnest([1, 2, 3]) AS t(j)
+      WHERE (s.node * 31 + j * 7) % (SELECT ni FROM nn)
+              IN (SELECT node FROM ids))"""
+
+#: degree-VARYING variant (out-degree = 1 + node % 3) — kcore replay,
+#: where uniform degree would make peeling a no-op
+_VARDEG_GRAPH_CTES = """
+    ids AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS ni FROM ids),
+    edges AS MATERIALIZED (
+      SELECT DISTINCT s.node AS src,
+             (s.node * 31 + j * 7) % (SELECT ni FROM nn) AS dst
+      FROM ids s, unnest([1, 2, 3]) AS t(j)
+      WHERE j <= 1 + s.node % 3
+        AND (s.node * 31 + j * 7) % (SELECT ni FROM nn)
+              IN (SELECT node FROM ids))"""
+
+
+def _kcore_oracle_sql(k: int = 3, rounds: int = 4) -> str:
+    """Unrolled peel rounds. Every CTE is AS MATERIALIZED: DuckDB
+    inlines plain CTEs, and e{i} references e{i-1} several times
+    (degree union + the filtered join), so without materialization the
+    replay cost multiplies ~5x PER ROUND — materialized, each round
+    runs once and the whole chain is milliseconds. The graph is the
+    degree-VARYING link graph (out-degree cycles 1..3 with node id), so
+    k=3 actually peels the low-degree tail instead of keeping
+    everything."""
+    ctes = "WITH" + _VARDEG_GRAPH_CTES + """,
+    e0 AS MATERIALIZED (
+        SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+        FROM edges WHERE src <> dst)"""
+    for i in range(1, rounds + 1):
+        p = i - 1
+        ctes += f""",
+    d{i} AS MATERIALIZED (SELECT node, COUNT(*) AS deg FROM (
+        SELECT u AS node FROM e{p} UNION ALL SELECT v FROM e{p})
+        GROUP BY node),
+    k{i} AS MATERIALIZED (SELECT node FROM d{i} WHERE deg >= {k}),
+    e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{p} e
+             JOIN k{i} a ON a.node = e.u
+             JOIN k{i} b ON b.node = e.v)"""
+    return ctes + f"""
+    SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+        SELECT u AS node FROM e{rounds} UNION ALL SELECT v FROM e{rounds})
+    GROUP BY node HAVING COUNT(*) >= {k}
+    """
+
+
+def _link_graph(spark, sf_dir, vardeg: bool = False):
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    parts = [
+        docs.select(F.col("doc_id").alias("src"),
+                    ((F.col("doc_id") * 31 + j * 7) % n).alias("dst"))
+        .where(F.lit(j) <= 1 + F.col("doc_id") % 3 if vardeg else F.lit(True))
+        for j in (1, 2, 3)
+    ]
+    edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
+    return edges.join(docs.select(F.col("doc_id").alias("dst")), "dst")
+
+
+@_q("graph_kcore", _kcore_oracle_sql())
+def graph_kcore(spark, sf_dir):
+    """k-core peeling (k=3, 4 fixed rounds) over the degree-varying
+    synthetic link graph — the tight-cluster density signal used to
+    spot template/spam page farms before expensive graph algorithms
+    run. Each round is one degree count + two semi-joins on a
+    localCheckpoint'ed shrinking edge set (graph.kcore); the oracle
+    unrolls the peel rounds as MATERIALIZED CTEs."""
+    from .operators.graph import kcore
+
+    return kcore(_link_graph(spark, sf_dir, vardeg=True), k=3, rounds=4)
+
+
+@_q(
+    "graph_bfs_hops",
+    "WITH RECURSIVE" + _LINK_GRAPH_CTES + """,
+    seeds AS (SELECT node FROM ids WHERE node % 97 = 0),
+    reach(node, hops) AS (
+      SELECT node, 0 FROM seeds
+      UNION
+      SELECT e.dst, r.hops + 1 FROM reach r
+      JOIN edges e ON e.src = r.node WHERE r.hops < 4)
+    SELECT node, CAST(MIN(hops) AS INT) AS hops FROM reach GROUP BY node
+    """,
+)
+def graph_bfs_hops(spark, sf_dir):
+    """Multi-source BFS trust distance: minimum hops (<= 4) from the
+    seed set {doc_id % 97 == 0} over the directed link graph — the
+    crawl-frontier / trust-distance feature. Frontier expansion is one
+    equi-join per hop with an accumulated-visited anti-join
+    (graph.bfs_hops); the oracle is a bounded recursive CTE whose
+    MIN(hops) equals BFS first-reach order."""
+    from .operators.graph import bfs_hops
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    seeds = docs.where(F.col("doc_id") % 97 == 0) \
+        .select(F.col("doc_id").alias("node"))
+    return bfs_hops(_link_graph(spark, sf_dir), seeds, max_hops=4)
+
+
+def _fs_linkage_oracle_sql() -> str:
+    """FS weights are literal log2 likelihood ratios computed ONCE here
+    and embedded with full repr precision on both sides, summed in the
+    same operand order — bit-identical before the 6-decimal round."""
+    import math
+
+    wa1, wd1 = math.log2(0.95 / 0.01), math.log2(0.05 / 0.99)
+    wa2, wd2 = math.log2(0.90 / 0.02), math.log2(0.10 / 0.98)
+    wa3, wd3 = math.log2(0.70 / 0.50), math.log2(0.30 / 0.50)
+    return f"""
+    WITH l AS (
+      SELECT c_custkey AS lid,
+             substr(md5('nm' || CAST(c_custkey AS VARCHAR)), 1, 8)
+               AS lname,
+             c_nationkey AS lnat, ROUND(c_acctbal, 2) AS lbal
+      FROM customer),
+    r AS (
+      SELECT c_custkey + 1000000 AS rid,
+             CASE WHEN c_custkey % 3 = 0
+                    THEN substr(nm, 1, 2) || 'x' || substr(nm, 4, 5)
+                  WHEN c_custkey % 3 = 1 THEN substr(nm, 1, 7)
+                  ELSE nm END AS rname,
+             c_nationkey AS rnat,
+             CASE WHEN c_custkey % 5 = 0 THEN ROUND(c_acctbal, 2) + 0.5
+                  ELSE ROUND(c_acctbal, 2) END AS rbal
+      FROM (SELECT c_custkey, c_nationkey, c_acctbal,
+                   substr(md5('nm' || CAST(c_custkey AS VARCHAR)), 1, 8)
+                     AS nm
+            FROM customer)),
+    sc AS (
+      SELECT lid, rid,
+             ROUND(0.0
+               + CASE WHEN levenshtein(lname, rname) <= 1
+                      THEN CAST({wa1!r} AS DOUBLE)
+                      ELSE CAST({wd1!r} AS DOUBLE) END
+               + CASE WHEN ABS(lbal - rbal) < 0.005
+                      THEN CAST({wa2!r} AS DOUBLE)
+                      ELSE CAST({wd2!r} AS DOUBLE) END
+               + CASE WHEN LENGTH(lname) = LENGTH(rname)
+                      THEN CAST({wa3!r} AS DOUBLE)
+                      ELSE CAST({wd3!r} AS DOUBLE) END, 6) AS fs_score
+      FROM l JOIN r ON lnat = rnat
+                   AND substr(lname, 1, 2) = substr(rname, 1, 2))
+    SELECT lid, rid, fs_score,
+           CASE WHEN fs_score >= 6.0 THEN 'match'
+                WHEN fs_score <= 0.0 THEN 'nonmatch'
+                ELSE 'possible' END AS decision
+    FROM sc
+    """
+
+
+@_q("join_record_linkage", _fs_linkage_oracle_sql())
+def join_record_linkage(spark, sf_dir):
+    """Fellegi-Sunter probabilistic record linkage (joins.record_linkage)
+    between a directory of md5-derived pseudo-names and a deterministically
+    'dirtied' twin (typo at char 3 / truncated last char / +0.5 balance
+    drift). Blocking on (nation, name-prefix-2) keeps candidates at
+    O(block-size squared), never |L|x|R|; scoring is literal log-odds in
+    codegen over one hash join. The oracle replays blocking, levenshtein
+    agreement, and the exact weight sum."""
+    from .operators.joins import record_linkage
+
+    cust = _t(spark, sf_dir, "customer")
+    nm = F.substring(
+        F.md5(F.concat(F.lit("nm"), F.col("c_custkey").cast("string"))),
+        1, 8)
+    left = cust.select(
+        F.col("c_custkey").alias("lid"), nm.alias("lname"),
+        F.col("c_nationkey").alias("lnat"),
+        F.round("c_acctbal", 2).alias("lbal"))
+    rname = (
+        F.when(F.col("c_custkey") % 3 == 0,
+               F.concat(F.substring(nm, 1, 2), F.lit("x"),
+                        F.substring(nm, 4, 5)))
+        .when(F.col("c_custkey") % 3 == 1, F.substring(nm, 1, 7))
+        .otherwise(nm))
+    rbal = F.when(F.col("c_custkey") % 5 == 0,
+                  F.round("c_acctbal", 2) + 0.5) \
+        .otherwise(F.round("c_acctbal", 2))
+    right = cust.select(
+        (F.col("c_custkey") + 1000000).alias("rid"), rname.alias("rname"),
+        F.col("c_nationkey").alias("rnat"), rbal.alias("rbal"))
+    out = record_linkage(
+        left, right,
+        block=[("lnat", "rnat")],
+        comparisons=[
+            ("name", F.levenshtein("lname", "rname") <= 1),
+            ("bal", F.abs(F.col("lbal") - F.col("rbal")) < 0.005),
+            ("len", F.length("lname") == F.length("rname")),
+        ],
+        weights={"name": (0.95, 0.01), "bal": (0.90, 0.02),
+                 "len": (0.70, 0.50)},
+        upper=6.0, lower=0.0)
+    return (out.where(F.substring("lname", 1, 2)
+                      == F.substring("rname", 1, 2))
+            .select("lid", "rid", "fs_score", "decision"))
+
+
+@_q(
+    "timeseries_ewma_anomaly",
+    """
+    WITH s AS (
+      SELECT event_type, event_id, value,
+             list(value) OVER w AS arr,
+             AVG(value) OVER w AS m,
+             AVG(value * value) OVER w AS m2,
+             COUNT(*) OVER w AS n
+      FROM events
+      WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 15 PRECEDING AND CURRENT ROW)),
+    e AS (
+      SELECT event_type, event_id, value, m, m2,
+             list_reduce(arr, (a, b) -> a * CAST(0.8 AS DOUBLE)
+                                        + CAST(0.2 AS DOUBLE) * b) AS f
+      FROM s WHERE n = 16)
+    SELECT event_type, event_id, value, ROUND(f, 6) AS ewma
+    FROM e
+    WHERE ROUND(ABS(value - f)
+                - 2.5 * SQRT(GREATEST(m2 - m * m, 0)), 6) > 0
+    """,
+)
+def timeseries_ewma_anomaly(spark, sf_dir):
+    """EWMA (alpha=0.2) anomaly detection per event-type series: flag
+    points > 2.5 rolling sigmas from the 16-point EWMA — the streaming-
+    metrics outlier gate, batch-replayable. The EWMA is a LEFT FOLD over
+    the ordered 16-row frame (collect_list + aggregate), bit-identical
+    to the oracle's list_reduce because both start at the frame's first
+    element and apply a*0.8 + 0.2*x in the same operand order; the
+    sigma guard compares ROUNDED at 6 decimals so segment-tree vs
+    recompute window-sum wobble cannot flip the cut. One window sort
+    per event_type partition, no shuffle beyond it."""
+    w = (Window.partitionBy("event_type").orderBy("ts", "event_id")
+         .rowsBetween(-15, 0))
+    ev = _t(spark, sf_dir, "events")
+    arr = F.collect_list("value").over(w)
+    s = ev.select(
+        "event_type", "event_id", "value", arr.alias("arr"),
+        F.avg("value").over(w).alias("m"),
+        F.avg(F.col("value") * F.col("value")).over(w).alias("m2"),
+        F.count("*").over(w).alias("n"))
+    fold = F.aggregate(
+        F.slice("arr", 2, 15), F.element_at("arr", 1),
+        lambda acc, x: acc * F.lit(0.8) + F.lit(0.2) * x)
+    e = s.where(F.col("n") == 16).withColumn("f", fold)
+    sigma = F.sqrt(F.greatest(F.col("m2") - F.col("m") * F.col("m"),
+                              F.lit(0.0)))
+    return (e.where(F.round(F.abs(F.col("value") - F.col("f"))
+                            - 2.5 * sigma, 6) > 0)
+            .select("event_type", "event_id", "value",
+                    F.round("f", 6).alias("ewma")))
+
+
+_RAKE_SQL_PATTERN = (
+    r"(?:\b(?:the|and|of|to|in|a|an|is|are|was|were|for|on|with|as|by"
+    r"|at|or|it|its|this|that|from|be|has|have|had)\b|[^a-z0-9 ])+")
+
+
+@_q(
+    "text_keyword_rake",
+    f"""
+    WITH ph0 AS (SELECT unnest(string_split_regex(lower(text),
+                   '{_RAKE_SQL_PATTERN}')) AS raw FROM documents),
+    ph1 AS (SELECT trim(raw) AS phrase FROM ph0 WHERE trim(raw) <> ''),
+    phx AS (SELECT phrase, string_split_regex(phrase, ' +') AS words
+            FROM ph1),
+    ph AS (SELECT * FROM phx WHERE len(words) BETWEEN 2 AND 4),
+    pf AS (SELECT phrase, words, CAST(COUNT(*) AS BIGINT) AS n
+           FROM ph GROUP BY 1, 2),
+    ws AS (SELECT word, SUM(n) AS freq, SUM(n * plen) AS degree
+           FROM (SELECT unnest(words) AS word, n, len(words) AS plen
+                 FROM pf)
+           GROUP BY word),
+    wsc AS (SELECT word, degree / freq AS wscore FROM ws),
+    sc AS (SELECT phrase, n, ROUND(SUM(wscore), 6) AS score
+           FROM (SELECT phrase, n, unnest(words) AS word FROM pf) p
+           JOIN wsc USING (word) GROUP BY 1, 2)
+    SELECT phrase, n, score FROM sc
+    ORDER BY score DESC, phrase LIMIT 20
+    """,
+)
+def text_keyword_rake(spark, sf_dir):
+    """RAKE corpus keywords (text.rake_keywords): stopword-delimited
+    candidate phrases scored by summed word degree/frequency — the
+    cheap unsupervised keyphrase signal for corpus topical profiling.
+    Two partial-agg groupBys (vocabulary- and phrase-sized) + one
+    broadcast join; ranking replayed exactly under the 6-decimal
+    round + phrase tiebreak."""
+    from .operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.rake_keywords(docs, top=20, min_words=2, max_words=4)
+
+
+@_q(
+    "window_cumulate",
+    """
+    SELECT ws AS window_start, we AS window_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           ROUND(SUM(value), 4) AS total_value,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM (SELECT CAST(FLOOR(epoch(ts) / 14400) * 14400 AS BIGINT) AS ws,
+                 unnest(generate_series(
+                   CAST(FLOOR(epoch(ts) / 3600) * 3600 + 3600 AS BIGINT),
+                   CAST(FLOOR(epoch(ts) / 14400) * 14400 + 14400
+                        AS BIGINT),
+                   3600)) AS we,
+                 value, user_id
+          FROM events)
+    GROUP BY 1, 2
+    """,
+)
+def window_cumulate(spark, sf_dir):
+    """Flink CUMULATE window TVF (step=1h, size=4h): each event lands in
+    every expanding window [4h-start, step-boundary) that covers it —
+    the early-firing cumulative dashboards Flink serves with
+    CUMULATE(...) GROUP BY window_start, window_end. Spark mapping:
+    map-side F.sequence + explode into <= size/step rows per event, then
+    ONE partial-aggregated groupBy — the same shape Spark's own
+    sliding `window()` lowers to, so it scales identically (no state,
+    no second shuffle). Parity: FlinkSQL windowing TVF semantics
+    (cumulate windows emit [start, start+k*step) slices)."""
+    ev = _t(spark, sf_dir, "events")
+    epoch = F.unix_timestamp("ts")
+    ws = (F.floor(epoch / 14400) * 14400).cast("long")
+    first_end = (F.floor(epoch / 3600) * 3600 + 3600).cast("long")
+    ends = F.sequence(first_end, ws + 14400, F.lit(3600).cast("long"))
+    return (ev.select(ws.alias("window_start"),
+                      F.explode(ends).alias("window_end"),
+                      "value", "user_id")
+            .groupBy("window_start", "window_end")
+            .agg(F.count("*").cast("long").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("total_value"),
+                 F.count_distinct(F.col("user_id")).alias("n_users")))
+
+
+@_q(
+    "events_pattern_match",
+    """
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, 'vc*p')) AS INT)
+             AS n_conversions,
+           CAST(len(seq) AS INT) AS n_events
+    FROM (SELECT user_id,
+                 string_agg(substr(event_type, 1, 1), ''
+                            ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY user_id)
+    WHERE len(regexp_extract_all(seq, 'vc*p')) > 0
+    """,
+)
+def events_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style sequence pattern detection: per user,
+    events collapse (in (ts, event_id) order) to an initial-letter
+    string and a regex counts non-overlapping view->clicks*->purchase
+    funnels — Flink CEP's PATTERN (V C* P) as ONE groupBy + codegen
+    regexp, no NFA state machine to operate. The per-user sequence is
+    bounded by user activity (KBs), never corpus-scale; ordering is
+    total because event_id breaks ts ties, so the oracle's string_agg
+    replays the exact sequence."""
+    ev = _t(spark, sf_dir, "events")
+    seq = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct(
+                F.col("ts"), F.col("event_id"),
+                F.substring("event_type", 1, 1).alias("c")))),
+            lambda s: s["c"]), "")
+    per = ev.groupBy("user_id").agg(seq.alias("seq"))
+    n_conv = F.regexp_count("seq", F.lit("vc*p"))
+    return (per.select("user_id", n_conv.alias("n_conversions"),
+                       F.length("seq").alias("n_events"))
+            .where(F.col("n_conversions") > 0))
