@@ -836,3 +836,93 @@ def rake_keywords(df: DataFrame, text_col: str = "text",
     return (scored.orderBy(F.col("score").desc(), F.col("phrase"))
             .limit(top)
             .select("phrase", F.col("n"), "score"))
+
+
+def pmi_collocations(df: DataFrame, text_col: str = "text",
+                     min_count: int = 10, top: int = 30) -> DataFrame:
+    """Pointwise-mutual-information collocation mining over adjacent
+    token pairs — the classic phrase-detection statistic (word2vec's
+    phrase pass, NPMI corpus profiling). Returns the ``top`` pairs by
+    (pmi DESC, w1, w2) with their counts.
+
+    PMI = ln(p(w1,w2) / (p(w1) p(w2))) computed from exact integer
+    counts; the only doubles are one division + one ln at the end, with
+    the operand order fixed so both engines evaluate the identical
+    expression (rounded at 6). Scale shape: the pair stream collapses
+    map-side into ONE partial-agg groupBy at distinct-bigram grain;
+    unigram counts are vocabulary-sized; the corpus totals ride as a
+    broadcast 1-row aggregate. No driver collect, no UDF."""
+    words = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                     lambda x: x != "")
+    toks = df.select(words.alias("w"))
+    pairs = toks.select(F.explode(F.expr(
+        "transform(sequence(0, size(w) - 2), "
+        "i -> struct(w[i] AS w1, w[i + 1] AS w2))")).alias("s")) \
+        .select("s.w1", "s.w2")
+    bg = pairs.groupBy("w1", "w2").agg(
+        F.count("*").cast("long").alias("c12"))
+    uni = (toks.select(F.explode("w").alias("word"))
+           .groupBy("word").agg(F.count("*").cast("long").alias("c")))
+    totals = (bg.agg(F.sum("c12").alias("np"))
+              .crossJoin(uni.agg(F.sum("c").alias("nu"))))
+    c1 = uni.select(F.col("word").alias("w1"), F.col("c").alias("c1"))
+    c2 = uni.select(F.col("word").alias("w2"), F.col("c").alias("c2"))
+    scored = (bg.where(F.col("c12") >= min_count)
+              .join(F.broadcast(c1), "w1").join(F.broadcast(c2), "w2")
+              .crossJoin(F.broadcast(totals))
+              .select(
+                  "w1", "w2", "c12",
+                  F.round(F.log(
+                      (F.col("c12").cast("double") * F.col("nu")
+                       * F.col("nu"))
+                      / (F.col("c1").cast("double") * F.col("c2")
+                         * F.col("np"))), 6).alias("pmi")))
+    return scored.orderBy(F.col("pmi").desc(), "w1", "w2").limit(top)
+
+
+def zipf_slope(df: DataFrame, text_col: str = "text",
+               top_ranks: int = 200) -> DataFrame:
+    """Zipf-law exponent of the corpus token-frequency distribution:
+    OLS slope of ln(freq) on ln(rank) over the ``top_ranks`` most
+    frequent tokens — the one-number diagnostic for scraped-corpus
+    health (natural text ~ -1; templated/boilerplate corpora deviate
+    hard). Returns ONE row (n, slope, intercept, r2).
+
+    Same distributed shape as features.ols_fit: the token count table
+    collapses in one partial-agg shuffle (vocabulary-sized), the top-N
+    rank table is a TakeOrderedAndProject heap, and the fit reduces to
+    5 sufficient statistics accumulated in DECIMAL (order-independent)
+    with only the final Cramer arithmetic in doubles, rounded at 6."""
+    words = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                     lambda x: x != "")
+    uni = (df.select(words.alias("w"))
+           .select(F.explode("w").alias("word"))
+           .groupBy("word").agg(F.count("*").cast("long").alias("freq")))
+    ranked = (uni.orderBy(F.col("freq").desc(), "word")
+              .limit(top_ranks)
+              .withColumn("rank", F.row_number().over(
+                  Window.orderBy(F.col("freq").desc(), F.col("word")))))
+    xy = ranked.select(
+        F.log(F.col("rank").cast("double")).cast("decimal(18,12)")
+        .alias("x"),
+        F.log(F.col("freq").cast("double")).cast("decimal(18,12)")
+        .alias("y"))
+    s = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"))
+    c = {k: F.col(k).cast("double")
+         for k in ("n", "sx", "sy", "sxx", "sxy", "syy")}
+    slope = ((c["n"] * c["sxy"] - c["sx"] * c["sy"])
+             / (c["n"] * c["sxx"] - c["sx"] * c["sx"]))
+    intercept = (c["sy"] - slope * c["sx"]) / c["n"]
+    sse = (c["syy"] - intercept * c["sy"] - slope * c["sxy"])
+    sst = c["syy"] - c["sy"] * c["sy"] / c["n"]
+    r2 = F.lit(1.0) - sse / sst
+    return s.select(
+        F.col("n").cast("long").alias("n"),
+        F.round(slope, 6).alias("slope"),
+        F.round(intercept, 6).alias("intercept"),
+        F.round(r2, 6).alias("r2"))

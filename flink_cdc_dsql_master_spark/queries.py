@@ -9142,3 +9142,112 @@ def events_pattern_match(spark, sf_dir):
     return (per.select("user_id", n_conv.alias("n_conversions"),
                        F.length("seq").alias("n_events"))
             .where(F.col("n_conversions") > 0))
+
+
+@_q(
+    "text_pmi_collocations",
+    r"""
+    WITH tok AS MATERIALIZED (
+      SELECT list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    pairs AS (
+      SELECT s[1] AS w1, s[2] AS w2
+      FROM (SELECT unnest(list_zip(w, w[2:])) AS s FROM tok)
+      WHERE s[2] IS NOT NULL),
+    bg AS MATERIALIZED (
+      SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+      FROM pairs GROUP BY 1, 2),
+    uni AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS c
+      FROM (SELECT unnest(w) AS word FROM tok) GROUP BY 1),
+    tot AS MATERIALIZED (
+      SELECT (SELECT SUM(c12) FROM bg) AS np,
+             (SELECT SUM(c) FROM uni) AS nu)
+    SELECT w1, w2, c12,
+           ROUND(LN((CAST(c12 AS DOUBLE) * nu * nu)
+                    / (CAST(c1.c AS DOUBLE) * c2.c * np)), 6) AS pmi
+    FROM bg JOIN uni c1 ON c1.word = bg.w1
+            JOIN uni c2 ON c2.word = bg.w2
+            CROSS JOIN tot
+    WHERE c12 >= 10
+    ORDER BY pmi DESC, w1, w2 LIMIT 30
+    """,
+)
+def text_pmi_collocations(spark, sf_dir):
+    """PMI collocation mining (text.pmi_collocations): adjacent-pair
+    counts vs unigram marginals — word2vec's phrase-detection pass as
+    one partial-agg shuffle at distinct-bigram grain plus broadcast
+    vocabulary joins. The single LN at the end is evaluated with the
+    same operand order on both engines and rounded at 6."""
+    from .operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.pmi_collocations(docs, min_count=10, top=30)
+
+
+@_q(
+    "text_zipf_slope",
+    r"""
+    WITH uni AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(
+              string_split_regex(trim(lower(text)), '\s+'),
+              x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY 1),
+    ranked AS MATERIALIZED (
+      SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rank
+      FROM uni ORDER BY freq DESC, word LIMIT 200),
+    xy AS (
+      SELECT CAST(LN(CAST(rank AS DOUBLE)) AS DECIMAL(18,12)) AS x,
+             CAST(LN(CAST(freq AS DOUBLE)) AS DECIMAL(18,12)) AS y
+      FROM ranked),
+    s AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+             SUM(x * y) AS sxy, SUM(y * y) AS syy
+      FROM xy)
+    SELECT n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                    - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+             AS slope,
+           ROUND((CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6)
+             AS intercept,
+           ROUND(1.0 - (CAST(syy AS DOUBLE)
+                  - ((CAST(sy AS DOUBLE)
+                      - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                         / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                            - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE))
+                     * CAST(sy AS DOUBLE)
+                  - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                    * CAST(sxy AS DOUBLE))
+                 / (CAST(syy AS DOUBLE)
+                    - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+                      / CAST(n AS DOUBLE)), 6) AS r2
+    FROM s
+    """,
+)
+def text_zipf_slope(spark, sf_dir):
+    """Zipf exponent of the token-frequency distribution
+    (text.zipf_slope): decimal-exact sufficient statistics over the
+    top-200 rank/frequency pairs, Cramer arithmetic in doubles only at
+    the end — the corpus-health one-number diagnostic. The oracle
+    expands the identical slope/intercept/r2 expressions over the same
+    DECIMAL sums."""
+    from .operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.zipf_slope(docs, top_ranks=200)

@@ -289,3 +289,61 @@ def streaming_temporal_enrich(tagged: DataFrame, key_col: str,
                 stateStructType=state_ddl,
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_pattern_match(df: DataFrame, key_col: str,
+                            event_col: str, ts_cols: list[str],
+                            start: str, mid: str, end: str) -> DataFrame:
+    """Streaming CEP: detect the pattern START MID* END (contiguous, per
+    key, in event-time order) ACROSS micro-batches — Flink CEP's
+    ``PATTERN (A B* C)`` and the streaming twin of the batch
+    ``events_pattern_match`` regex query. A partial match open at the
+    end of one batch (…START MID) completes in a later batch: the
+    automaton phase lives in keyed state, so detection is exactly the
+    regex-on-full-history answer no matter where the batch boundaries
+    fall.
+
+    State per key is TWO ints (automaton phase + total matches) — O(1)
+    regardless of history length, hash-partitioned across executors
+    like any shuffle; the per-batch scan is O(events of that key in the
+    batch) inside the Arrow kernel (the same Counter-in-kernel
+    discipline as operators.text.bigram_surprisal — the event stream
+    itself never round-trips per row). The restart-on-START transition
+    makes the count equal the non-overlapping leftmost regex-match
+    count of ``start mid* end`` over the concatenated sequence.
+
+    Emits (key, n_new, n_total) whenever a batch completes >= 1 match.
+    """
+    import pandas as pd
+
+    out_schema = f"{key_col} long, n_new int, n_total int"
+
+    def fn(key, pdfs, state: GroupState):
+        phase, total = state.get if state.exists else (0, 0)
+        frames = [pdf for pdf in pdfs if len(pdf)]
+        new = 0
+        if frames:
+            allp = pd.concat(frames).sort_values(ts_cols)
+            for ch in allp[event_col]:
+                if ch == start:
+                    phase = 1
+                elif phase == 1 and ch == mid:
+                    pass
+                elif phase == 1 and ch == end:
+                    new += 1
+                    phase = 0
+                else:
+                    phase = 0
+        total += new
+        state.update((phase, total))
+        if new:
+            return iter((pd.DataFrame(
+                [{key_col: key[0], "n_new": new, "n_total": total}]),))
+        return iter(())
+
+    return (df.groupBy(F.col(key_col))
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType="phase int, total int",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

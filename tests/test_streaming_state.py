@@ -221,3 +221,47 @@ def test_streaming_temporal_enrich(spark, tmp_path):
     assert rows[("a", 10.0)] == 1.5   # batch-1 version
     assert rows[("a", 30.0)] == 2.0   # updated version
     assert rows[("b", 20.0)] is None and rows[("b", 40.0)] is None
+
+
+def test_streaming_pattern_match_across_batches(spark, tmp_path):
+    from flink_cdc_dsql_master_spark.streaming import (
+        streaming_pattern_match,
+    )
+
+    schema = "user_id long, seq int, c string"
+    collected = _run_two_batches(
+        spark, tmp_path,
+        lambda s: streaming_pattern_match(
+            s, "user_id", "c", ["seq"], "v", "c", "p"),
+        # user 1: complete match in batch 1, partial "vc" left open;
+        # user 2: nothing yet
+        [(1, 1, "v"), (1, 2, "p"), (1, 3, "v"), (1, 4, "c"),
+         (2, 1, "x")],
+        # user 1: the open "vc" completes with "p" ACROSS the boundary;
+        # user 2: full match inside batch 2
+        [(1, 5, "p"), (2, 2, "v"), (2, 3, "p")],
+        schema)
+    rows = [(bid, r["user_id"], r["n_new"], r["n_total"])
+            for bid, batch in collected for r in batch]
+    # batch ids restart per query run; order by appearance
+    assert (0, 1, 1, 1) in rows            # batch 1: user 1 matched once
+    assert (1, 1, 1, 2) in rows            # batch 2: cross-batch completion
+    assert (1, 2, 1, 1) in rows            # batch 2: user 2 in-batch match
+    assert len(rows) == 3                  # user 2 emitted nothing in batch 1
+
+
+def test_streaming_pattern_match_interruption_resets(spark, tmp_path):
+    from flink_cdc_dsql_master_spark.streaming import (
+        streaming_pattern_match,
+    )
+
+    schema = "user_id long, seq int, c string"
+    collected = _run_two_batches(
+        spark, tmp_path,
+        # "v c x p" — the x breaks contiguity, no match ever
+        lambda s: streaming_pattern_match(
+            s, "user_id", "c", ["seq"], "v", "c", "p"),
+        [(1, 1, "v"), (1, 2, "c")],
+        [(1, 3, "x"), (1, 4, "p")],
+        schema)
+    assert [r for _, batch in collected for r in batch] == []

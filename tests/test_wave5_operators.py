@@ -164,3 +164,43 @@ def test_rake_filters_word_count_band(spark):
            rake_keywords(docs, top=10, min_words=2, max_words=4).collect()]
     # "one" (1 word) and "b c d e f" (5 words) fall outside the band
     assert out == ["two three"]
+
+
+# ---------------------------------------------------------- PMI / Zipf
+
+
+def test_pmi_known_value(spark):
+    import math
+
+    from flink_cdc_dsql_master_spark.operators.text import pmi_collocations
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b a b")], "doc_id long, text string")
+    out = {(r["w1"], r["w2"]): (r["c12"], r["pmi"])
+           for r in pmi_collocations(docs, min_count=1, top=10).collect()}
+    # tokens: 6 (a x3, b x3); pairs: 5 ((a,b) x3, (b,a) x2)
+    assert out[("a", "b")][0] == 3
+    assert out[("a", "b")][1] == pytest.approx(
+        math.log(3 * 36 / (9 * 5)), abs=1e-6)
+    assert out[("b", "a")][1] == pytest.approx(
+        math.log(2 * 36 / (9 * 5)), abs=1e-6)
+
+
+def test_zipf_slope_matches_numpy_fit(spark):
+    import math
+
+    import numpy as np
+
+    from flink_cdc_dsql_master_spark.operators.text import zipf_slope
+
+    # freqs 8/4/2/1 at ranks 1..4
+    text = " ".join(["a"] * 8 + ["b"] * 4 + ["c"] * 2 + ["d"])
+    docs = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    [r] = zipf_slope(docs, top_ranks=10).collect()
+    x = np.log(np.arange(1, 5, dtype=float))
+    y = np.log(np.array([8.0, 4.0, 2.0, 1.0]))
+    slope, intercept = np.polyfit(x, y, 1)
+    assert r["n"] == 4
+    assert r["slope"] == pytest.approx(slope, abs=1e-5)
+    assert r["intercept"] == pytest.approx(intercept, abs=1e-5)
+    assert 0.9 < r["r2"] <= 1.0
