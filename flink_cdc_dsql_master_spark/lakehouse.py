@@ -223,6 +223,7 @@ def read_partitioned(spark, path: str) -> DataFrame:
 # ------------------------------------------------------------------------
 
 LOG_DIR = "_log"
+DV_DIR = "_dv"
 
 
 def _manifest_file(local: str, version: int) -> str:
@@ -266,10 +267,12 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
     versions = list_versions(path)
     prev_files: dict[str, list[str]] = {}
     prev_stats: dict[str, dict] = {}
+    prev_dv_rel: str | None = None
     if versions:
         prev_m = _load_manifest(local, versions[-1])
         prev_files = prev_m["files"]
         prev_stats = prev_m.get("file_stats", {})
+        prev_dv_rel = prev_m.get("dv")
         if epoch is not None:
             # replay detection scans ALL retained manifests, not just
             # the latest: the in-band-DDL path commits several
@@ -297,6 +300,13 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
     if cur_paths:
         cur = (spark.read.option("mergeSchema", "true")
                .option("basePath", local).parquet(*cur_paths))
+        if prev_dv_rel:
+            # rewriting these partitions resolves their tombstones
+            # physically: the new files simply omit the DV'd rows
+            dv_prev = spark.read.parquet(
+                os.path.join(local, prev_dv_rel))
+            cur = cur.join(dv_prev.select(*pks).distinct(),
+                           on=pks, how="left_anti")
         changed_keys = final.select(*pks).distinct()
         keep = cur.join(changed_keys, on=pks, how="left_anti")
         out = keep.unionByName(upserts.drop(*drop_cols),
@@ -342,10 +352,20 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
     file_stats.update(collect_file_stats(local, new_rels, pks))
 
     new_version = (versions[-1] if versions else 0) + 1
+    # tombstones in rewritten partitions were just resolved physically
+    # (and any changelog key's partition is rewritten, so a re-upsert of
+    # a DV'd key resurrects cleanly); the rest carry forward
+    dv_rel = None
+    if prev_dv_rel:
+        dv_prev = spark.read.parquet(os.path.join(local, prev_dv_rel))
+        dv_rest = dv_prev.where(
+            ~F.col(part_col).cast("string").isin(list(affected)))
+        if dv_rest.take(1):
+            dv_rel = _write_dv(dv_rest, local, new_version)
     manifest = {"version": new_version, "ts": time.time(),
                 "part_col": part_col, "schema": out.schema.json(),
                 "files": files, "file_stats": file_stats,
-                "epoch": epoch,
+                "epoch": epoch, "dv": dv_rel, "pks": pks,
                 "op": {"rewritten": rewritten, "dropped": dropped}}
     target = _manifest_file(local, new_version)
     tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
@@ -354,6 +374,74 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
     os.rename(tmp, target)  # THE commit point
     return {"version": new_version, "rewritten": rewritten,
             "dropped": dropped}
+
+
+def _read_dv(spark, local: str, m: dict):
+    """The manifest's deletion-vector sidecar as a DataFrame (full
+    tombstoned rows incl. the partition column), or None."""
+    rel = m.get("dv")
+    if not rel:
+        return None
+    return spark.read.parquet(os.path.join(local, rel))
+
+
+def _write_dv(dv_df, local: str, version: int) -> str:
+    rel = os.path.join(DV_DIR, f"dv_v{version:012d}_{uuid.uuid4().hex[:8]}")
+    dv_df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(local, rel))
+    return rel
+
+
+def delete_versioned(spark, path: str, predicate,
+                     primary_keys: list[str]) -> dict:
+    """DELETE by predicate WITHOUT rewriting any data file — the
+    deletion-vector mechanism of modern table formats (Delta DVs,
+    Iceberg positional deletes), keyed by primary key: the matching
+    rows are recorded in a sidecar parquet referenced by the new
+    manifest, and every reader anti-joins them out. Write
+    amplification for a sparse delete on a 100 TB table drops from
+    "rewrite every touched file" to "append |deleted| rows" — the
+    difference between a GDPR erasure batch costing TBs of IO and KBs.
+    Tombstones are physically resolved lazily: the next MERGE,
+    compaction, or re-cluster of a partition rewrites it WITHOUT the
+    tombstoned rows and drops them from the sidecar.
+
+    The sidecar stores the FULL deleted rows (not just keys) so the
+    change data feed can emit proper delete records for DV-only
+    commits. Returns {"version", "deleted", "dv_total"}."""
+    local = _local(path)
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    m = _load_manifest(local, versions[-1])
+    part_col = m["part_col"]
+    snap = read_versioned(spark, path)  # applies current DV already
+    hits = snap.where(predicate)
+    n_hits = hits.count()
+    if not n_hits:
+        return {"version": versions[-1], "deleted": 0,
+                "dv_total": None}
+    prev = _read_dv(spark, local, m)
+    dv = hits if prev is None else prev.unionByName(
+        hits, allowMissingColumns=True).dropDuplicates(primary_keys)
+    new_version = versions[-1] + 1
+    dv_rel = _write_dv(dv, local, new_version)
+    dv_total = spark.read.parquet(
+        os.path.join(local, dv_rel)).count()
+    manifest = {"version": new_version, "ts": time.time(),
+                "part_col": part_col, "schema": m["schema"],
+                "files": m["files"],
+                "file_stats": m.get("file_stats", {}),
+                "dv": dv_rel, "pks": primary_keys,
+                "op": {"rewritten": [], "dropped": [],
+                       "dv_deleted": n_hits}}
+    target = _manifest_file(local, new_version)
+    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, target)  # THE commit point
+    return {"version": new_version, "deleted": n_hits,
+            "dv_total": dv_total}
 
 
 def read_versioned(spark, path: str, version: int | None = None,
@@ -379,6 +467,10 @@ def read_versioned(spark, path: str, version: int | None = None,
             else [key_range]
         for col, lo, hi in ranges:
             df = df.where(F.col(col).between(lo, hi))
+    if plan.get("dv"):
+        dv = (spark.read.parquet(os.path.join(local, plan["dv"]))
+              .select(*plan["pks"]).distinct())
+        df = df.join(dv, on=plan["pks"], how="left_anti")
     return df
 
 
@@ -421,10 +513,19 @@ def vacuum_versioned(path: str, keep_last: int = 1) -> dict:
                 removed += 1
         if not os.listdir(os.path.join(local, entry)):
             os.rmdir(os.path.join(local, entry))
+    live_dv = {_load_manifest(local, v).get("dv") for v in keep}
+    dvd = os.path.join(local, DV_DIR)
+    removed_dv = 0
+    if os.path.isdir(dvd):
+        for entry in os.listdir(dvd):
+            if os.path.join(DV_DIR, entry) not in live_dv:
+                shutil.rmtree(os.path.join(dvd, entry),
+                              ignore_errors=True)
+                removed_dv += 1
     for v in expire:
         os.remove(_manifest_file(local, v))
     return {"expired_versions": expire, "removed_files": removed,
-            "retained_versions": keep}
+            "retained_versions": keep, "removed_dv_sidecars": removed_dv}
 
 
 def table_changes(spark, path: str, from_version: int, to_version: int,
@@ -458,8 +559,16 @@ def table_changes(spark, path: str, from_version: int, to_version: int,
             from pyspark.sql import types as _T
             return spark.createDataFrame(
                 [], _T.StructType.fromJson(json.loads(m["schema"])))
-        return (spark.read.option("mergeSchema", "true")
-                .option("basePath", local).parquet(*paths))
+        df = (spark.read.option("mergeSchema", "true")
+              .option("basePath", local).parquet(*paths))
+        dv = _read_dv(spark, local, m)
+        if dv is not None:
+            # each snapshot's logical content EXCLUDES its tombstones;
+            # without this a later physical resolution of an old DV row
+            # would read as a spurious delete
+            df = df.join(dv.select(*primary_keys).distinct(),
+                         on=primary_keys, how="left_anti")
+        return df
 
     old = _read(m_from, changed_parts)
     new = _read(m_to, changed_parts)
@@ -489,8 +598,28 @@ def table_changes(spark, path: str, from_version: int, to_version: int,
               .otherwise(F.lit("update_postimage")))
     out_cols = [F.coalesce(new[c], o[f"__o_{c}"]).alias(c)
                 for c in data_cols]
-    return (j.select(*out_cols, change.alias("_change_type"))
+    diff = (j.select(*out_cols, change.alias("_change_type"))
             .where(F.col("_change_type").isNotNull()))
+    # DV-only deletes: tombstones added between the versions in
+    # partitions whose FILES did not change (file-diff can't see them —
+    # the sidecar carries the full deleted rows precisely for this)
+    dv_to = _read_dv(spark, local, m_to)
+    if dv_to is not None:
+        new_dels = dv_to
+        dv_from = _read_dv(spark, local, m_from)
+        if dv_from is not None:
+            new_dels = new_dels.join(
+                dv_from.select(*primary_keys).distinct(),
+                on=primary_keys, how="left_anti")
+        if changed_parts:
+            new_dels = new_dels.where(
+                ~F.col(part_col).cast("string").isin(changed_parts))
+        for c in data_cols:
+            if c not in new_dels.columns:
+                new_dels = new_dels.withColumn(c, F.lit(None))
+        diff = diff.unionByName(new_dels.select(
+            *data_cols, F.lit("delete").alias("_change_type")))
+    return diff
 
 
 def compact_versioned(path: str, target_partitions: list[str] | None = None
@@ -516,10 +645,16 @@ def compact_versioned(path: str, target_partitions: list[str] | None = None
                and len(m["files"][v]) > 1]
     files = {v: list(fs) for v, fs in m["files"].items()}
     compacted = {}
+    dv_df = _read_dv(spark, local, m)
+    dv_pks = m.get("pks") or []
     for v in targets:
         old_paths = [os.path.join(local, rel) for rel in files[v]]
         df = (spark.read.option("mergeSchema", "true")
               .option("basePath", local).parquet(*old_paths))
+        if dv_df is not None:
+            # compaction resolves this partition's tombstones physically
+            df = df.join(dv_df.select(*dv_pks).distinct(),
+                         on=dv_pks, how="left_anti")
         staging = local.rstrip("/") + f".__cmp_{uuid.uuid4().hex[:12]}__"
         (df.drop(part_col).coalesce(1)
          .write.mode("overwrite").parquet(staging))
@@ -545,9 +680,16 @@ def compact_versioned(path: str, target_partitions: list[str] | None = None
                  for rel in fs if rel not in prev_stats]
         file_stats.update(collect_file_stats(local, fresh, stat_cols))
     new_version = versions[-1] + 1
+    dv_rel = None
+    if dv_df is not None:
+        dv_rest = dv_df.where(~F.col(part_col).cast("string")
+                              .isin(list(compacted)))
+        if dv_rest.take(1):
+            dv_rel = _write_dv(dv_rest, local, new_version)
     manifest = {"version": new_version, "ts": time.time(),
                 "part_col": part_col, "schema": m["schema"],
                 "files": files, "file_stats": file_stats,
+                "dv": dv_rel, "pks": m.get("pks"),
                 "op": {"rewritten": sorted(compacted), "dropped": []}}
     target = _manifest_file(local, new_version)
     tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
@@ -635,7 +777,8 @@ def plan_files(path: str, version: int | None = None,
             kept.append(rel)
     return {"paths": [os.path.join(local, rel) for rel in kept],
             "skipped": len(rels) - len(kept), "total": len(rels),
-            "schema": m["schema"]}
+            "schema": m["schema"], "dv": m.get("dv"),
+            "pks": m.get("pks")}
 
 
 def cluster_versioned(path: str, sort_col: str,
@@ -670,10 +813,15 @@ def cluster_versioned(path: str, sort_col: str,
                         for c in s} | {sort_col})
     clustered = {}
     file_stats = {}
+    dv_df = _read_dv(spark, local, m)
+    dv_pks = m.get("pks") or []
     for v in targets:
         old_paths = [os.path.join(local, rel) for rel in files[v]]
         df = (spark.read.option("mergeSchema", "true")
               .option("basePath", local).parquet(*old_paths))
+        if dv_df is not None:
+            df = df.join(dv_df.select(*dv_pks).distinct(),
+                         on=dv_pks, how="left_anti")
         staging = local.rstrip("/") + f".__clu_{uuid.uuid4().hex[:12]}__"
         (df.drop(part_col)
          .repartitionByRange(files_per_partition, _F.col(sort_col))
@@ -698,9 +846,16 @@ def cluster_versioned(path: str, sort_col: str,
     if not clustered:
         return {"version": versions[-1], "clustered": {}}
     new_version = versions[-1] + 1
+    dv_rel = None
+    if dv_df is not None:
+        dv_rest = dv_df.where(~_F.col(part_col).cast("string")
+                              .isin(list(clustered)))
+        if dv_rest.take(1):
+            dv_rel = _write_dv(dv_rest, local, new_version)
     manifest = {"version": new_version, "ts": time.time(),
                 "part_col": part_col, "schema": m["schema"],
                 "files": files, "file_stats": file_stats,
+                "dv": dv_rel, "pks": m.get("pks"),
                 "op": {"rewritten": sorted(clustered), "dropped": []}}
     target = _manifest_file(local, new_version)
     tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"

@@ -798,26 +798,33 @@ def kmeans(corpus: DataFrame, k: int = 8, iters: int = 3,
     update is ONE posexplode + groupBy(cluster, dim) partial-agg
     shuffle per iteration; only the k x dim centroid table (KB) ever
     reaches the driver, identical to :func:`refine_centroids`."""
+    # persisted: the frame is scanned iters+2 times (init, per-iteration
+    # update, final assignment) — cache instead of re-reading parquet
     v = corpus.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).cast("array<double>").alias("v"))
+                      F.col(vec_col).cast("array<double>").alias("v")) \
+        .persist()
     init = v.orderBy("id").limit(k).collect()
     if len(init) < k:
         raise ValueError(f"kmeans needs >= {k} rows, got {len(init)}")
     cents = [[float(x) for x in r["v"]] for r in init]
 
     def _assign(cents_):
-        opts = F.array(*[
-            F.struct(
+        # ONE lambda applied over a literal array-of-centroids: the
+        # distance fold is compiled once, not k times — same semantics,
+        # ~k-fold smaller codegen (the k-copies variant spent ~1s per
+        # job just compiling at k=8, dim=64)
+        carr = F.array(*[F.array(*[F.lit(x) for x in c])
+                         for c in cents_])
+        opts = F.transform(
+            carr,
+            lambda c, i: F.struct(
                 F.round(
                     F.aggregate(
-                        F.zip_with(F.col("v"),
-                                   F.array(*[F.lit(x) for x in c]),
+                        F.zip_with(F.col("v"), c,
                                    lambda a, b: (a - b) * (a - b)),
                         F.lit(0.0), lambda acc, x: acc + x),
                     dist_scale).alias("d"),
-                F.lit(i).alias("i"))
-            for i, c in enumerate(cents_)
-        ])
+                i.cast("int").alias("i")))
         return F.array_min(opts)
 
     for _ in range(iters):

@@ -79,6 +79,10 @@ BENCH_QUERIES = [
     "dedup_content_chunks",
     "feature_ols_fit",
     "sample_greedy_cover",
+    "embedding_kmeans",
+    "join_record_linkage",
+    "text_keyword_rake",
+    "events_pattern_match",
 ]
 
 
@@ -1155,28 +1159,28 @@ def _pagerank_oracle_sql(iterations: int = 3, damping: float = 0.85) -> str:
     double-arithmetic algorithm hash-checkable across engines."""
     d = damping
     ctes = """
-    ids AS (SELECT doc_id AS node FROM documents),
-    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+    ids AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
                   CAST(COUNT(*) AS BIGINT) AS ni FROM ids),
-    edges AS (
+    edges AS MATERIALIZED (
       SELECT DISTINCT s.node AS src,
              (s.node * 31 + j * 7) % (SELECT ni FROM nn) AS dst
       FROM ids s, unnest([1, 2, 3]) AS t(j)
       WHERE (s.node * 31 + j * 7) % (SELECT ni FROM nn)
               IN (SELECT node FROM ids)),
-    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+    deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
             FROM edges GROUP BY src),
-    r0 AS (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM ids)"""
+    r0 AS MATERIALIZED (SELECT node, 1.0 / (SELECT n FROM nn) AS rank FROM ids)"""
     for i in range(1, iterations + 1):
         p = i - 1
         ctes += f""",
-    c{i} AS (SELECT e.dst AS node, SUM(r.rank / dg.deg) AS c
+    c{i} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank / dg.deg) AS c
              FROM edges e JOIN deg dg ON dg.src = e.src
              JOIN r{p} r ON r.node = e.src GROUP BY e.dst),
-    dm{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS dm
+    dm{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0) AS dm
               FROM r{p} r LEFT JOIN deg dg ON dg.src = r.node
               WHERE dg.src IS NULL),
-    r{i} AS (SELECT i.node,
+    r{i} AS MATERIALIZED (SELECT i.node,
                     ROUND((1 - {d}) / (SELECT n FROM nn)
                           + {d} * (COALESCE(c.c, 0)
                                    + (SELECT dm FROM dm{i})
@@ -7526,32 +7530,32 @@ def _trustrank_oracle_sql(iterations: int = 3, damping: float = 0.85
     redistribution land on seeds only)."""
     d = damping
     ctes = """
-    ids AS (SELECT doc_id AS node FROM documents),
-    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ni FROM ids),
-    seeds AS (SELECT node FROM ids WHERE node % 20 = 0),
-    ns AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
-    edges AS (
+    ids AS MATERIALIZED (SELECT doc_id AS node FROM documents),
+    nn AS MATERIALIZED (SELECT CAST(COUNT(*) AS BIGINT) AS ni FROM ids),
+    seeds AS MATERIALIZED (SELECT node FROM ids WHERE node % 20 = 0),
+    ns AS MATERIALIZED (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM seeds),
+    edges AS MATERIALIZED (
       SELECT DISTINCT s.node AS src,
              (s.node * 31 + j * 7) % (SELECT ni FROM nn) AS dst
       FROM ids s, unnest([1, 2, 3]) AS t(j)
       WHERE (s.node * 31 + j * 7) % (SELECT ni FROM nn)
               IN (SELECT node FROM ids)),
-    deg AS (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
+    deg AS MATERIALIZED (SELECT src, CAST(COUNT(*) AS DOUBLE) AS deg
             FROM edges GROUP BY src),
-    r0 AS (SELECT i.node,
+    r0 AS MATERIALIZED (SELECT i.node,
                   CASE WHEN sd.node IS NOT NULL
                        THEN 1.0 / (SELECT n FROM ns) ELSE 0.0 END AS rank
            FROM ids i LEFT JOIN seeds sd ON sd.node = i.node)"""
     for i in range(1, iterations + 1):
         p = i - 1
         ctes += f""",
-    c{i} AS (SELECT e.dst AS node, SUM(r.rank / dg.deg) AS c
+    c{i} AS MATERIALIZED (SELECT e.dst AS node, SUM(r.rank / dg.deg) AS c
              FROM edges e JOIN deg dg ON dg.src = e.src
              JOIN r{p} r ON r.node = e.src GROUP BY e.dst),
-    dm{i} AS (SELECT COALESCE(SUM(r.rank), 0) AS dm
+    dm{i} AS MATERIALIZED (SELECT COALESCE(SUM(r.rank), 0) AS dm
               FROM r{p} r LEFT JOIN deg dg ON dg.src = r.node
               WHERE dg.src IS NULL),
-    r{i} AS (SELECT i.node,
+    r{i} AS MATERIALIZED (SELECT i.node,
                     ROUND(CASE WHEN sd.node IS NOT NULL
                                THEN (1 - {d}) / (SELECT n FROM ns)
                                     + {d} * (COALESCE(c.c, 0)
@@ -9251,3 +9255,61 @@ def text_zipf_slope(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return text_ops.zipf_slope(docs, top_ranks=200)
+
+
+@_q(
+    "lakehouse_deletion_vectors",
+    """
+    SELECT 2 AS version, o_orderkey AS k, o_totalprice AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 13 <> 0
+    UNION ALL
+    SELECT 3, o_orderkey,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 500.0
+                ELSE o_totalprice END,
+           o_orderstatus
+    FROM orders WHERE o_orderkey % 13 <> 0 OR o_orderkey % 7 = 0
+    """,
+)
+def lakehouse_deletion_vectors(spark, sf_dir):
+    """Deletion vectors (lakehouse.delete_versioned): v2 DELETEs every
+    13th key WITHOUT rewriting a single data file (the commit is one
+    sidecar parquet of tombstoned rows + a manifest — the Delta-DV /
+    Iceberg-positional-delete mechanism, so a sparse GDPR erasure on a
+    100 TB table costs KBs of IO, not TBs); v3 then MERGEs an update
+    batch (every 7th key +500) whose partition rewrites RESOLVE the
+    overlapping tombstones physically and resurrect re-upserted keys
+    (k % 91 == 0: deleted at v2, alive with the new image at v3). Both
+    snapshots read back tagged by version; the oracle recomputes each
+    logical state from the raw table. The no-rewrite claim itself is
+    asserted by tests/test_deletion_vectors.py (manifest file-list
+    equality)."""
+    import os
+    import tempfile
+
+    from .lakehouse import (delete_versioned, merge_into_versioned_parquet,
+                            read_versioned, with_bucket_partition)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    k = F.col("k")
+    b1 = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="ver_dv_"), "orders_dv")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 8), schema)
+    delete_versioned(spark, path, k % 13 == 0, ["k"])
+    upd = (orders.where(k % 7 == 0)
+           .withColumn("price", F.col("price") + 500.0)
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(3).cast("long")))
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(upd, "k", 8), schema)
+    v2 = read_versioned(spark, path, 2).withColumn("version", F.lit(2))
+    v3 = read_versioned(spark, path, 3).withColumn("version", F.lit(3))
+    return (v2.unionByName(v3)
+            .select("version", "k", "price", "status"))

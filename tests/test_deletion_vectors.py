@@ -1,0 +1,147 @@
+"""Deletion-vector tests: delete without rewriting data files; lazy
+physical resolution via merge/compaction; CDF and vacuum integration."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+from flink_cdc_dsql_master_spark.lakehouse import (
+    _load_manifest,
+    _local,
+    compact_versioned,
+    delete_versioned,
+    list_versions,
+    merge_into_versioned_parquet,
+    read_versioned,
+    table_changes,
+    vacuum_versioned,
+    with_bucket_partition,
+)
+from flink_cdc_dsql_master_spark.schema import Schema
+
+
+def _seed(spark, n=40, buckets=8):
+    rows = [(i, float(i * 10), "A") for i in range(n)]
+    base = spark.createDataFrame(rows, "k long, price double, status string")
+    b1 = (base.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of(base.schema, primary_keys=["k"])
+    path = os.path.join(tempfile.mkdtemp(prefix="dv_tbl_"), "t")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", buckets), schema)
+    return path, schema
+
+
+def test_delete_rewrites_no_data_files(spark):
+    path, _ = _seed(spark)
+    m1 = _load_manifest(_local(path), 1)
+    r = delete_versioned(spark, path, F.col("k") % 5 == 0, ["k"])
+    assert r["version"] == 2 and r["deleted"] == 8
+    m2 = _load_manifest(_local(path), 2)
+    assert m2["files"] == m1["files"]          # zero data files touched
+    assert m2["dv"] and m2["pks"] == ["k"]
+    got = {r2["k"] for r2 in read_versioned(spark, path).collect()}
+    assert got == {i for i in range(40) if i % 5 != 0}
+    # time travel to pre-delete still sees everything
+    v1 = {r1["k"] for r1 in read_versioned(spark, path, 1).collect()}
+    assert v1 == set(range(40))
+
+
+def test_deletes_accumulate_and_noop_predicate(spark):
+    path, _ = _seed(spark)
+    delete_versioned(spark, path, F.col("k") < 5, ["k"])
+    delete_versioned(spark, path, F.col("k") >= 35, ["k"])
+    got = {r["k"] for r in read_versioned(spark, path).collect()}
+    assert got == set(range(5, 35))
+    # re-deleting already-deleted rows is a no-op commit
+    r = delete_versioned(spark, path, F.col("k") < 5, ["k"])
+    assert r["deleted"] == 0 and r["version"] == 3
+    assert list_versions(path) == [1, 2, 3]
+
+
+def test_merge_resurrects_and_resolves_tombstones(spark):
+    path, schema = _seed(spark)
+    delete_versioned(spark, path, F.col("k").isin(3, 7), ["k"])
+    # upsert key 3 again -> must be visible with the NEW image
+    up = spark.createDataFrame(
+        [(3, 999.0, "B", "+U", 5)],
+        "k long, price double, status string, __op string, __seq long")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(up, "k", 8), schema)
+    snap = {r["k"]: r["price"] for r in read_versioned(spark, path).collect()}
+    assert snap[3] == 999.0
+    assert 7 not in snap
+    # key 7's tombstone: either resolved physically (same bucket as 3)
+    # or still carried in the dv — read semantics identical either way
+    m = _load_manifest(_local(path), list_versions(path)[-1])
+    if m["dv"]:
+        dv = spark.read.parquet(os.path.join(_local(path), m["dv"]))
+        assert {r["k"] for r in dv.collect()} <= {7}
+
+
+def test_compaction_resolves_tombstones_physically(spark):
+    path, schema = _seed(spark)
+    # second batch so partitions hold 2 files and compaction has work
+    b2 = spark.createDataFrame(
+        [(i, float(i), "C", "+I", 2) for i in range(40, 80)],
+        "k long, price double, status string, __op string, __seq long")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b2, "k", 8), schema)
+    delete_versioned(spark, path, F.col("k") % 2 == 0, ["k"])
+    before = {r["k"] for r in read_versioned(spark, path).collect()}
+    r = compact_versioned(path)
+    assert r["compacted"]
+    m = _load_manifest(_local(path), r["version"])
+    assert m["dv"] is None              # all partitions compacted
+    after = {r2["k"] for r2 in read_versioned(spark, path).collect()}
+    assert after == before == {i for i in range(80) if i % 2 == 1}
+    # physically gone: raw file read (no dv) misses the deleted keys
+    raw = spark.read.parquet(
+        *[os.path.join(_local(path), rel)
+          for fs in m["files"].values() for rel in fs])
+    assert {r3["k"] for r3 in raw.collect()} == after
+
+
+def test_change_feed_emits_dv_deletes(spark):
+    path, _ = _seed(spark)
+    delete_versioned(spark, path, F.col("k").isin(2, 12), ["k"])
+    cdf = table_changes(spark, path, 1, 2, ["k"])
+    got = {(r["k"], r["_change_type"]) for r in cdf.collect()}
+    assert got == {(2, "delete"), (12, "delete")}
+    # and the dv rows carry the full deleted images
+    prices = {r["k"]: r["price"] for r in cdf.collect()}
+    assert prices == {2: 20.0, 12: 120.0}
+
+
+def test_change_feed_no_double_count_after_resolution(spark):
+    """v2 tombstones key 6; v3 rewrites its partition (resolving the
+    tombstone physically). The v2->v3 feed must NOT re-report key 6's
+    delete — its logical disappearance happened at v2."""
+    path, schema = _seed(spark)
+    delete_versioned(spark, path, F.col("k") == 6, ["k"])
+    up = spark.createDataFrame(
+        [(14, 888.0, "B", "+U", 9)],  # k=14: same bucket mod 8? any write
+        "k long, price double, status string, __op string, __seq long")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(up, "k", 8), schema)
+    cdf = {(r["k"], r["_change_type"])
+           for r in table_changes(spark, path, 2, 3, ["k"]).collect()}
+    assert (6, "delete") not in cdf
+
+
+def test_vacuum_gc_unreferenced_dv_sidecars(spark):
+    path, _ = _seed(spark)
+    delete_versioned(spark, path, F.col("k") == 1, ["k"])
+    delete_versioned(spark, path, F.col("k") == 2, ["k"])
+    dvd = os.path.join(_local(path), "_dv")
+    assert len(os.listdir(dvd)) == 2
+    r = vacuum_versioned(path, keep_last=1)
+    assert r["removed_dv_sidecars"] == 1
+    assert len(os.listdir(dvd)) == 1
+    got = {row["k"] for row in read_versioned(spark, path).collect()}
+    assert got == set(range(40)) - {1, 2}

@@ -318,3 +318,59 @@ def test_key_skew_windows_on_collapsed_keys(spark, sf_dir):
     tree = tree_of(plan)
     assert tree.index("Window") < tree.index("Scan parquet") \
         or "HashAggregate" in tree  # window sits above the aggregate
+
+
+def test_kmeans_assignment_is_shuffle_free(spark, sf_dir):
+    """The returned k-means assignment plan is scan -> codegen argmin
+    over literal centroids: no Exchange, no join — the property that
+    makes per-iteration cost one scan + one tiny update shuffle."""
+    plan = plan_of(QUERIES["embedding_kmeans"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "Exchange" not in tree
+    assert "Join" not in tree
+
+
+def test_record_linkage_blocks_with_single_join_no_cartesian(spark, sf_dir):
+    plan = plan_of(QUERIES["join_record_linkage"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "CartesianProduct" not in tree and "BroadcastNestedLoop" \
+        not in tree
+    # blocking = exactly one equi-join of the two sides
+    assert (tree.count("SortMergeJoin") + tree.count("BroadcastHashJoin")
+            ) == 1
+
+
+def test_rake_word_scores_broadcast(spark, sf_dir):
+    """The vocabulary-sized word-score table must broadcast back onto
+    phrase words — a shuffle there would re-shuffle the phrase stream."""
+    plan = plan_of(QUERIES["text_keyword_rake"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    tree = tree_of(plan)
+    assert "TakeOrderedAndProject" in tree  # top-k heap, no global sort
+
+
+def test_cumulate_partial_agg_distinct_expansion(spark, sf_dir):
+    """Map-side combine after the explode; the exact COUNT(DISTINCT
+    user) costs the standard second (window, user)-keyed exchange —
+    pin it at exactly 2 so a regression can't add a third."""
+    plan = plan_of(QUERIES["window_cumulate"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "partial_count" in plan
+    assert tree.count("Exchange") == 2
+
+
+def test_pmi_partial_agg_and_broadcast_vocab(spark, sf_dir):
+    plan = plan_of(QUERIES["text_pmi_collocations"](spark, sf_dir))
+    assert "partial_count" in plan
+    assert "BroadcastHashJoin" in plan
+    tree = tree_of(plan)
+    assert "TakeOrderedAndProject" in tree
+
+
+def test_pattern_match_single_groupby_no_window_sort(spark, sf_dir):
+    """Per-user sequence assembly is ONE aggregation (array_sort inside
+    the agg), not a global window sort."""
+    plan = plan_of(QUERIES["events_pattern_match"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert tree.count("Exchange") == 1
+    assert "Window" not in tree
