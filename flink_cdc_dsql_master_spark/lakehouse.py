@@ -367,6 +367,8 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
                 "files": files, "file_stats": file_stats,
                 "epoch": epoch, "dv": dv_rel, "pks": pks,
                 "op": {"rewritten": rewritten, "dropped": dropped}}
+    if versions:
+        manifest.update(_refresh_blooms(local, prev_m, files, new_rels))
     target = _manifest_file(local, new_version)
     tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
@@ -435,6 +437,7 @@ def delete_versioned(spark, path: str, predicate,
                 "dv": dv_rel, "pks": primary_keys,
                 "op": {"rewritten": [], "dropped": [],
                        "dv_deleted": n_hits}}
+    manifest.update(_refresh_blooms(local, m, m["files"], []))
     target = _manifest_file(local, new_version)
     tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
@@ -445,7 +448,8 @@ def delete_versioned(spark, path: str, predicate,
 
 
 def read_versioned(spark, path: str, version: int | None = None,
-                   key_range: tuple | None = None) -> DataFrame:
+                   key_range: tuple | None = None,
+                   point: tuple | None = None) -> DataFrame:
     """Read a versioned table at ``version`` (default: latest) — time
     travel is just pinning an older manifest. The file list is explicit,
     so readers are isolated from concurrent merges. ``key_range =
@@ -455,7 +459,7 @@ def read_versioned(spark, path: str, version: int | None = None,
     the range — skipping is an IO optimization, never a semantics
     change."""
     local = _local(path)
-    plan = plan_files(path, version, key_range)
+    plan = plan_files(path, version, key_range, point)
     if not plan["paths"]:
         from pyspark.sql import types as _T
         return spark.createDataFrame(
@@ -467,6 +471,8 @@ def read_versioned(spark, path: str, version: int | None = None,
             else [key_range]
         for col, lo, hi in ranges:
             df = df.where(F.col(col).between(lo, hi))
+    if point is not None:
+        df = df.where(F.col(point[0]) == point[1])
     if plan.get("dv"):
         dv = (spark.read.parquet(os.path.join(local, plan["dv"]))
               .select(*plan["pks"]).distinct())
@@ -691,6 +697,9 @@ def compact_versioned(path: str, target_partitions: list[str] | None = None
                 "files": files, "file_stats": file_stats,
                 "dv": dv_rel, "pks": m.get("pks"),
                 "op": {"rewritten": sorted(compacted), "dropped": []}}
+    manifest.update(_refresh_blooms(
+        local, m, files,
+        [rel for v2 in compacted for rel in files[v2]]))
     target = _manifest_file(local, new_version)
     tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:
@@ -739,8 +748,103 @@ def collect_file_stats(local: str, rels: list[str],
             for rel in rels}
 
 
+def _bloom_hashes(value, m: int, k: int) -> list[int]:
+    import hashlib
+
+    return [int(hashlib.md5(f"b{j}|{value}".encode()).hexdigest()[:8],
+                16) % m for j in range(k)]
+
+
+def _build_bloom(values, bits_per_key: int = 10, k: int = 4) -> dict:
+    m = max(64, len(values) * bits_per_key)
+    bits = 0
+    for v in values:
+        for h in _bloom_hashes(v, m, k):
+            bits |= 1 << h
+    return {"m": m, "k": k, "bits": format(bits, "x")}
+
+
+def _bloom_may_contain(bloom: dict, value) -> bool:
+    bits = int(bloom["bits"], 16)
+    return all(bits >> h & 1
+               for h in _bloom_hashes(value, bloom["m"], bloom["k"]))
+
+
+def collect_file_blooms(local: str, rels: list[str], col: str,
+                        bits_per_key: int = 10, k: int = 4) -> dict:
+    """Per-file Bloom filter over ``col``'s values (footer-adjacent
+    metadata read: pyarrow reads ONLY that column). 10 bits/key, k=4
+    gives ~1% false positives — a false positive costs one extra file
+    scan, never a wrong answer (the row filter still applies)."""
+    import pyarrow.parquet as pq
+
+    out = {}
+    for rel in rels:
+        vals = pq.read_table(os.path.join(local, rel),
+                             columns=[col])[col].to_pylist()
+        out[rel] = _build_bloom(vals, bits_per_key, k)
+    return out
+
+
+def _refresh_blooms(local: str, prev_m: dict,
+                    files: dict[str, list[str]],
+                    fresh_rels: list[str]) -> dict:
+    """Carry per-file blooms for retained files; index fresh files
+    under the table's bloom_spec. Returns manifest fields (empty dict
+    if the table has no bloom index)."""
+    spec = prev_m.get("bloom_spec")
+    if not spec:
+        return {}
+    prev_b = prev_m.get("file_blooms", {})
+    out = {rel: prev_b[rel] for fs in files.values() for rel in fs
+           if rel in prev_b}
+    if fresh_rels:
+        newb = collect_file_blooms(local, fresh_rels, spec["col"],
+                                   spec["bits_per_key"], spec["k"])
+        out.update({rel: {spec["col"]: b} for rel, b in newb.items()})
+    return {"file_blooms": out, "bloom_spec": spec}
+
+
+def index_bloom_versioned(path: str, col: str, bits_per_key: int = 10,
+                          k: int = 4) -> dict:
+    """CREATE BLOOMFILTER INDEX analog: commit a new manifest version
+    whose files are UNCHANGED but carry a per-file Bloom over ``col``
+    — the point-lookup complement of the min/max stats index. Where
+    range stats prove nothing on an unclustered high-cardinality key
+    (every file spans the whole domain), the Bloom skips every file
+    that provably lacks the key: a needle lookup on a 100 TB table
+    reads ~1 file instead of a partition. Subsequent merges keep the
+    index fresh automatically (carried files keep their blooms, new
+    files are indexed at commit). Returns {"version", "indexed"}."""
+    local = _local(path)
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    m = _load_manifest(local, versions[-1])
+    rels = [rel for fs in m["files"].values() for rel in fs]
+    blooms = {rel: {col: b} for rel, b in
+              collect_file_blooms(local, rels, col, bits_per_key,
+                                  k).items()}
+    new_version = versions[-1] + 1
+    manifest = dict(m)
+    manifest.update({
+        "version": new_version, "ts": time.time(),
+        "file_blooms": blooms,
+        "bloom_spec": {"col": col, "bits_per_key": bits_per_key,
+                       "k": k},
+        "op": {"rewritten": [], "dropped": [],
+               "bloom_indexed": len(rels)}})
+    target = _manifest_file(local, new_version)
+    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.rename(tmp, target)
+    return {"version": new_version, "indexed": len(rels)}
+
+
 def plan_files(path: str, version: int | None = None,
-               key_range: tuple | None = None) -> dict:
+               key_range: tuple | None = None,
+               point: tuple | None = None) -> dict:
     """The data-skipping planner: resolve a version's file list and, if
     ``key_range = (col, lo, hi)`` is given, drop every file whose
     footer min/max (recorded in the manifest at commit time) proves it
@@ -764,6 +868,7 @@ def plan_files(path: str, version: int | None = None,
         ranges = key_range  # AND of several (col, lo, hi) predicates
     else:
         ranges = [key_range]
+    blooms = m.get("file_blooms", {})
     kept = []
     for rel in rels:
         fstats = stats.get(rel, {})
@@ -773,6 +878,11 @@ def plan_files(path: str, version: int | None = None,
             if st is not None and (st[1] < lo or st[0] > hi):
                 skip = True
                 break
+        if not skip and point is not None:
+            pcol, pval = point
+            fb = blooms.get(rel, {}).get(pcol)
+            if fb is not None and not _bloom_may_contain(fb, pval):
+                skip = True
         if not skip:
             kept.append(rel)
     return {"paths": [os.path.join(local, rel) for rel in kept],
@@ -857,6 +967,9 @@ def cluster_versioned(path: str, sort_col: str,
                 "files": files, "file_stats": file_stats,
                 "dv": dv_rel, "pks": m.get("pks"),
                 "op": {"rewritten": sorted(clustered), "dropped": []}}
+    manifest.update(_refresh_blooms(
+        local, m, files,
+        [rel for v2 in clustered for rel in files[v2]]))
     target = _manifest_file(local, new_version)
     tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
     with open(tmp, "w") as f:

@@ -9313,3 +9313,47 @@ def lakehouse_deletion_vectors(spark, sf_dir):
     v3 = read_versioned(spark, path, 3).withColumn("version", F.lit(3))
     return (v2.unionByName(v3)
             .select("version", "k", "price", "status"))
+
+
+@_q(
+    "lakehouse_point_lookup",
+    """
+    SELECT o_orderkey AS k, o_totalprice AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey IN (7, 77, 777, 7777, 77777)
+    """,
+)
+def lakehouse_point_lookup(spark, sf_dir):
+    """Per-file Bloom index point lookups (lakehouse.index_bloom_versioned
+    / plan_files(point=...)): on a hash-bucketed layout every file spans
+    ~the whole key domain, so the min/max stats index keeps everything —
+    the Bloom skips every file that provably lacks the key (~1% FP at 10
+    bits/key), turning a needle lookup into ~1 file read. The skip
+    counts themselves are pinned by tests/test_deletion_vectors.py; this
+    row proves lookup SEMANTICS against the raw table for keys both
+    present and absent (77777 exceeds sf0.01's key space)."""
+    import os
+    import tempfile
+
+    from .lakehouse import (index_bloom_versioned,
+                            merge_into_versioned_parquet, read_versioned,
+                            with_bucket_partition)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    b1 = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="ver_pt_"), "orders_pt")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 8), schema)
+    index_bloom_versioned(path, "k")
+    parts = [read_versioned(spark, path, point=("k", key))
+             for key in (7, 77, 777, 7777, 77777)]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select("k", "price", "status")

@@ -145,3 +145,73 @@ def test_vacuum_gc_unreferenced_dv_sidecars(spark):
     assert len(os.listdir(dvd)) == 1
     got = {row["k"] for row in read_versioned(spark, path).collect()}
     assert got == set(range(40)) - {1, 2}
+
+
+# ------------------------------------------------- bloom point lookups
+
+
+def _two_batch_table(spark):
+    path, schema = _seed(spark)                       # keys 0..39
+    b2 = spark.createDataFrame(
+        [(i, float(i), "C", "+I", 2) for i in range(40, 80)],
+        "k long, price double, status string, __op string, __seq long")
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        merge_into_versioned_parquet, with_bucket_partition,
+    )
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b2, "k", 8), schema)
+    return path, schema
+
+
+def test_bloom_index_skips_where_minmax_cannot(spark):
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        index_bloom_versioned, plan_files, read_versioned,
+    )
+
+    path, _ = _two_batch_table(spark)
+    r = index_bloom_versioned(path, "k")
+    assert r["indexed"] == 16                  # 8 buckets x 2 batches
+    # hash-bucketed layout: every batch-1 file spans ~the whole 0..39
+    # range, so min/max stats keep most files for a point key
+    ranged = plan_files(path, key_range=("k", 12, 12))
+    pointed = plan_files(path, point=("k", 12))
+    assert pointed["skipped"] > ranged["skipped"]
+    assert pointed["skipped"] >= 13            # ~1 real + <=2 FP of 16
+    got = read_versioned(spark, path, point=("k", 12)).collect()
+    assert [(x["k"], x["price"]) for x in got] == [(12, 120.0)]
+
+
+def test_bloom_negative_lookup_reads_nothing(spark):
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        index_bloom_versioned, plan_files, read_versioned,
+    )
+
+    path, _ = _two_batch_table(spark)
+    index_bloom_versioned(path, "k")
+    plan = plan_files(path, point=("k", 123456789))
+    assert plan["total"] - plan["skipped"] <= 1    # at most an FP file
+    assert read_versioned(spark, path, point=("k", 123456789)) \
+        .count() == 0
+
+
+def test_merge_keeps_bloom_index_fresh(spark):
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        _load_manifest, _local, index_bloom_versioned,
+        merge_into_versioned_parquet, plan_files, read_versioned,
+        with_bucket_partition,
+    )
+
+    path, schema = _two_batch_table(spark)
+    index_bloom_versioned(path, "k")
+    b3 = spark.createDataFrame(
+        [(i, float(i), "D", "+I", 3) for i in range(80, 120)],
+        "k long, price double, status string, __op string, __seq long")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b3, "k", 8), schema)
+    m = _load_manifest(_local(path), 4)
+    rels = {rel for fs in m["files"].values() for rel in fs}
+    assert set(m["file_blooms"]) == rels       # every live file indexed
+    plan = plan_files(path, point=("k", 97))
+    assert plan["skipped"] >= plan["total"] - 3
+    got = read_versioned(spark, path, point=("k", 97)).collect()
+    assert [(x["k"], x["status"]) for x in got] == [(97, "D")]
