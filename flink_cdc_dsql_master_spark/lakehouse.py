@@ -355,17 +355,19 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
     # tombstones in rewritten partitions were just resolved physically
     # (and any changelog key's partition is rewritten, so a re-upsert of
     # a DV'd key resurrects cleanly); the rest carry forward
-    dv_rel = None
+    dv_rel, dv_rows = None, 0
     if prev_dv_rel:
         dv_prev = spark.read.parquet(os.path.join(local, prev_dv_rel))
         dv_rest = dv_prev.where(
             ~F.col(part_col).cast("string").isin(list(affected)))
-        if dv_rest.take(1):
+        dv_rows = dv_rest.count()
+        if dv_rows:
             dv_rel = _write_dv(dv_rest, local, new_version)
     manifest = {"version": new_version, "ts": time.time(),
                 "part_col": part_col, "schema": out.schema.json(),
                 "files": files, "file_stats": file_stats,
                 "epoch": epoch, "dv": dv_rel, "pks": pks,
+                "dv_rows": dv_rows,
                 "op": {"rewritten": rewritten, "dropped": dropped}}
     if versions:
         manifest.update(_refresh_blooms(local, prev_m, files, new_rels))
@@ -435,6 +437,7 @@ def delete_versioned(spark, path: str, predicate,
                 "files": m["files"],
                 "file_stats": m.get("file_stats", {}),
                 "dv": dv_rel, "pks": primary_keys,
+                "dv_rows": dv_total,
                 "op": {"rewritten": [], "dropped": [],
                        "dv_deleted": n_hits}}
     manifest.update(_refresh_blooms(local, m, m["files"], []))
@@ -686,16 +689,18 @@ def compact_versioned(path: str, target_partitions: list[str] | None = None
                  for rel in fs if rel not in prev_stats]
         file_stats.update(collect_file_stats(local, fresh, stat_cols))
     new_version = versions[-1] + 1
-    dv_rel = None
+    dv_rel, dv_rows = None, 0
     if dv_df is not None:
         dv_rest = dv_df.where(~F.col(part_col).cast("string")
                               .isin(list(compacted)))
-        if dv_rest.take(1):
+        dv_rows = dv_rest.count()
+        if dv_rows:
             dv_rel = _write_dv(dv_rest, local, new_version)
     manifest = {"version": new_version, "ts": time.time(),
                 "part_col": part_col, "schema": m["schema"],
                 "files": files, "file_stats": file_stats,
                 "dv": dv_rel, "pks": m.get("pks"),
+                "dv_rows": dv_rows,
                 "op": {"rewritten": sorted(compacted), "dropped": []}}
     manifest.update(_refresh_blooms(
         local, m, files,
@@ -716,7 +721,7 @@ def _parquet_min_max(abs_path: str, cols: set[str]) -> dict:
     import pyarrow.parquet as pq
 
     md = pq.ParquetFile(abs_path).metadata
-    out: dict = {}
+    out: dict = {"__rows": md.num_rows}
     bad: set[str] = set()
     for rg in range(md.num_row_groups):
         row = md.row_group(rg)
@@ -891,6 +896,46 @@ def plan_files(path: str, version: int | None = None,
             "pks": m.get("pks")}
 
 
+def metadata_aggregate(path: str, version: int | None = None) -> dict:
+    """Answer COUNT(*)/MIN/MAX from the MANIFEST alone — zero data
+    files read (the Delta/Iceberg metadata-only query optimization):
+    row counts come from the per-file footer counts recorded at commit
+    (``__rows`` in file_stats), min/max from the recorded footer
+    stats. On a 100 TB table this turns "how many rows" from a
+    full-table scan into one JSON read.
+
+    With live deletion vectors the count stays EXACT (tombstoned rows
+    are counted at DV-commit time and subtracted) but min/max become
+    BOUNDS — a tombstone could hold the extremum — so the result
+    carries ``minmax_exact``: False until the next merge/compaction
+    resolves the tombstones. Raises if any file predates row-count
+    recording (recommit or compact to refresh)."""
+    local = _local(path)
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    v = versions[-1] if version is None else version
+    m = _load_manifest(local, v)
+    stats = m.get("file_stats", {})
+    rels = [rel for fs in m["files"].values() for rel in fs]
+    missing = [rel for rel in rels
+               if "__rows" not in stats.get(rel, {})]
+    if missing:
+        raise ValueError(
+            f"{len(missing)} files lack recorded row counts "
+            "(pre-upgrade commits) — compact or re-merge to refresh")
+    n = sum(stats[rel]["__rows"] for rel in rels) -         (m.get("dv_rows") or 0)
+    cols: dict = {}
+    stat_cols = {c for rel in rels for c in stats[rel] if c != "__rows"}
+    for c in stat_cols:
+        per = [stats[rel].get(c) for rel in rels]
+        if any(p is None for p in per):
+            continue  # not every file has stats for c: no sound bound
+        cols[c] = [min(p[0] for p in per), max(p[1] for p in per)]
+    return {"version": v, "n_rows": n,
+            "minmax_exact": not m.get("dv"), "columns": cols}
+
+
 def cluster_versioned(path: str, sort_col: str,
                       files_per_partition: int = 4,
                       target_partitions: list[str] | None = None) -> dict:
@@ -956,16 +1001,18 @@ def cluster_versioned(path: str, sort_col: str,
     if not clustered:
         return {"version": versions[-1], "clustered": {}}
     new_version = versions[-1] + 1
-    dv_rel = None
+    dv_rel, dv_rows = None, 0
     if dv_df is not None:
         dv_rest = dv_df.where(~_F.col(part_col).cast("string")
                               .isin(list(clustered)))
-        if dv_rest.take(1):
+        dv_rows = dv_rest.count()
+        if dv_rows:
             dv_rel = _write_dv(dv_rest, local, new_version)
     manifest = {"version": new_version, "ts": time.time(),
                 "part_col": part_col, "schema": m["schema"],
                 "files": files, "file_stats": file_stats,
                 "dv": dv_rel, "pks": m.get("pks"),
+                "dv_rows": dv_rows,
                 "op": {"rewritten": sorted(clustered), "dropped": []}}
     manifest.update(_refresh_blooms(
         local, m, files,

@@ -215,3 +215,38 @@ def test_merge_keeps_bloom_index_fresh(spark):
     assert plan["skipped"] >= plan["total"] - 3
     got = read_versioned(spark, path, point=("k", 97)).collect()
     assert [(x["k"], x["status"]) for x in got] == [(97, "D")]
+
+
+# --------------------------------------------- metadata-only aggregates
+
+
+def test_metadata_aggregate_matches_scan(spark):
+    from flink_cdc_dsql_master_spark.lakehouse import metadata_aggregate
+
+    path, _ = _two_batch_table(spark)
+    agg = metadata_aggregate(path)
+    real = read_versioned(spark, path).agg(
+        F.count("*"), F.min("k"), F.max("k")).collect()[0]
+    assert agg["n_rows"] == real[0] == 80
+    assert agg["minmax_exact"] is True
+    assert agg["columns"]["k"] == [real[1], real[2]] == [0, 79]
+
+
+def test_metadata_aggregate_exact_count_under_dv(spark):
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        compact_versioned, metadata_aggregate,
+    )
+
+    path, _ = _two_batch_table(spark)
+    delete_versioned(spark, path, F.col("k") >= 70, ["k"])
+    agg = metadata_aggregate(path)
+    assert agg["n_rows"] == read_versioned(spark, path).count() == 70
+    # tombstones may hold the max: min/max demoted to bounds
+    assert agg["minmax_exact"] is False
+    assert agg["columns"]["k"] == [0, 79]      # bound, not exact
+    # physical resolution restores exactness
+    compact_versioned(path)
+    agg2 = metadata_aggregate(path)
+    assert agg2["minmax_exact"] is True
+    assert agg2["n_rows"] == 70
+    assert agg2["columns"]["k"] == [0, 69]
