@@ -118,7 +118,9 @@ def recover_partitioned_merge(path: str) -> bool:
 
 def merge_into_partitioned_parquet(path: str, changelog: DataFrame,
                                    schema: Schema,
-                                   part_col: str = "part") -> dict:
+                                   part_col: str = "part",
+                                   constraints: list | None = None
+                                   ) -> dict:
     """Copy-on-write MERGE of a changelog batch into a hive-partitioned
     parquet table, rewriting ONLY the partitions the batch touches.
 
@@ -135,6 +137,19 @@ def merge_into_partitioned_parquet(path: str, changelog: DataFrame,
     recover_partitioned_merge(path)
 
     final = last_write_wins(changelog, pks)
+    if constraints:
+        # CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analog):
+        # validated against the batch's UPSERT images BEFORE anything is
+        # staged — a violating batch commits nothing. [(name, Column)]
+        imgs = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
+        for cname, cexpr in constraints:
+            bad = imgs.where(~F.coalesce(cexpr, F.lit(False)))
+            n_bad = bad.count()
+            if n_bad:
+                sample = bad.select(*pks).limit(3).collect()
+                raise ConstraintViolation(
+                    f"constraint '{cname}' violated by {n_bad} rows, "
+                    f"e.g. keys {[tuple(r) for r in sample]}")
     affected = sorted(
         r[0] for r in final.select(part_col).distinct().collect())
     if not affected:
@@ -243,9 +258,48 @@ def _load_manifest(local: str, version: int) -> dict:
         return json.load(f)
 
 
+def version_as_of(path: str, ts: float) -> int:
+    """Timestamp time travel: the newest version committed at or before
+    ``ts`` (unix seconds) — SELECT ... TIMESTAMP AS OF. Raises if the
+    table has no version that old."""
+    local = _local(path)
+    cands = [v for v in list_versions(path)
+             if _load_manifest(local, v)["ts"] <= ts]
+    if not cands:
+        raise ValueError(f"no version committed at or before {ts}")
+    return cands[-1]
+
+
+class ConstraintViolation(ValueError):
+    """A merge batch violated a CHECK constraint; nothing was
+    committed."""
+
+
+class CommitConflictError(RuntimeError):
+    """A concurrent commit touched the same partitions (or raced this
+    writer 5 times) — the optimistic-concurrency loser. Re-read and
+    retry the transaction."""
+
+
+def _commit_manifest(local: str, version: int, manifest: dict) -> None:
+    """Exclusive-create commit: os.link fails with FileExistsError if a
+    concurrent writer already published this version — the loser can
+    never silently overwrite the winner (os.rename would)."""
+    target = _manifest_file(local, version)
+    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    try:
+        os.link(tmp, target)  # THE commit point (atomic, exclusive)
+    finally:
+        os.remove(tmp)
+
+
 def merge_into_versioned_parquet(path: str, changelog: DataFrame,
                                  schema: Schema, part_col: str = "part",
-                                 epoch: str | None = None) -> dict:
+                                 epoch: str | None = None,
+                                 base_version: int | None = None,
+                                 constraints: list | None = None) -> dict:
     """MERGE a changelog batch into a versioned parquet table, committing
     a new manifest version. Only the partitions the batch touches are
     re-materialized (their files re-written under new names); untouched
@@ -265,11 +319,17 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
     os.makedirs(os.path.join(local, LOG_DIR), exist_ok=True)
 
     versions = list_versions(path)
+    base_v = (versions[-1] if versions else 0) \
+        if base_version is None else base_version
+    if base_version is not None and base_version not in (versions or [0]):
+        if not (base_version == 0 and not versions):
+            raise ValueError(f"base_version {base_version} not in "
+                             f"{versions}")
     prev_files: dict[str, list[str]] = {}
     prev_stats: dict[str, dict] = {}
     prev_dv_rel: str | None = None
-    if versions:
-        prev_m = _load_manifest(local, versions[-1])
+    if versions and base_v:
+        prev_m = _load_manifest(local, base_v)
         prev_files = prev_m["files"]
         prev_stats = prev_m.get("file_stats", {})
         prev_dv_rel = prev_m.get("dv")
@@ -286,6 +346,16 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
                             "dropped": [], "replayed_epoch": epoch}
 
     final = last_write_wins(changelog, pks)
+    if constraints:
+        imgs = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
+        for cname, cexpr in constraints:
+            bad = imgs.where(~F.coalesce(cexpr, F.lit(False)))
+            n_bad = bad.count()
+            if n_bad:
+                sample = bad.select(*pks).limit(3).collect()
+                raise ConstraintViolation(
+                    f"constraint '{cname}' violated by {n_bad} rows, "
+                    f"e.g. keys {[tuple(r) for r in sample]}")
     affected = sorted(
         str(r[0]) for r in final.select(part_col).distinct().collect())
     if not affected:
@@ -346,38 +416,77 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
     # read); carried-forward files keep their recorded stats — the
     # data-skipping index plan_files() prunes with
     new_rels = [rel for fs in new_files.values() for rel in fs]
-    file_stats = {rel: prev_stats[rel]
-                  for fs in files.values() for rel in fs
-                  if rel in prev_stats}
-    file_stats.update(collect_file_stats(local, new_rels, pks))
+    new_stats = collect_file_stats(local, new_rels, pks)
 
-    new_version = (versions[-1] if versions else 0) + 1
-    # tombstones in rewritten partitions were just resolved physically
-    # (and any changelog key's partition is rewritten, so a re-upsert of
-    # a DV'd key resurrects cleanly); the rest carry forward
-    dv_rel, dv_rows = None, 0
-    if prev_dv_rel:
-        dv_prev = spark.read.parquet(os.path.join(local, prev_dv_rel))
-        dv_rest = dv_prev.where(
-            ~F.col(part_col).cast("string").isin(list(affected)))
-        dv_rows = dv_rest.count()
-        if dv_rows:
-            dv_rel = _write_dv(dv_rest, local, new_version)
-    manifest = {"version": new_version, "ts": time.time(),
-                "part_col": part_col, "schema": out.schema.json(),
-                "files": files, "file_stats": file_stats,
-                "epoch": epoch, "dv": dv_rel, "pks": pks,
-                "dv_rows": dv_rows,
-                "op": {"rewritten": rewritten, "dropped": dropped}}
-    if versions:
-        manifest.update(_refresh_blooms(local, prev_m, files, new_rels))
-    target = _manifest_file(local, new_version)
-    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, target)  # THE commit point
-    return {"version": new_version, "rewritten": rewritten,
-            "dropped": dropped}
+    # ---- optimistic-concurrency commit loop (Delta/Iceberg OCC) ----
+    # The transaction read snapshot ``base_v``; commits that landed
+    # since then REBASE cleanly iff they touched disjoint partitions
+    # (their partitions carry forward from the CURRENT latest manifest,
+    # ours come from the staged rewrite — sound because nobody else
+    # touched ours, checked below). Overlap => CommitConflictError: the
+    # staged rewrite was computed against stale content. The commit
+    # itself is an exclusive os.link, so two racers can never both
+    # publish the same version — the loser just takes another lap.
+    for _attempt in range(5):
+        cur_versions = list_versions(path)
+        latest_v = cur_versions[-1] if cur_versions else 0
+        for v2 in cur_versions:
+            if v2 <= base_v:
+                continue
+            m2 = _load_manifest(local, v2)
+            touched = set(m2["op"].get("rewritten", [])) | \
+                set(m2["op"].get("dropped", []))
+            if m2["op"].get("dv_deleted"):
+                # a DV commit tombstones rows in specific partitions;
+                # old manifests without the record conflict conservatively
+                dvp = m2["op"].get("dv_parts")
+                touched |= set(dvp) if dvp is not None else set(affected)
+            if touched & set(affected):
+                raise CommitConflictError(
+                    f"version {v2} touched partitions "
+                    f"{sorted(touched & set(affected))} after this "
+                    f"transaction's base snapshot {base_v}")
+        base_m = _load_manifest(local, latest_v) if cur_versions else None
+        lat_files = base_m["files"] if base_m else {}
+        lat_stats = base_m.get("file_stats", {}) if base_m else {}
+        files = {v: sorted(fs) for v, fs in lat_files.items()
+                 if v not in affected}
+        files.update({v: sorted(fs) for v, fs in new_files.items()})
+        file_stats = {rel: lat_stats[rel]
+                      for fs in files.values() for rel in fs
+                      if rel in lat_stats}
+        file_stats.update(new_stats)
+        new_version = latest_v + 1
+        # tombstones in rewritten partitions were just resolved
+        # physically (and any changelog key's partition is rewritten, so
+        # a re-upsert of a DV'd key resurrects cleanly); the rest carry
+        # forward FROM THE LATEST manifest (concurrent deletes to other
+        # partitions survive the rebase)
+        dv_rel, dv_rows = None, 0
+        lat_dv = base_m.get("dv") if base_m else None
+        if lat_dv:
+            dv_lat = spark.read.parquet(os.path.join(local, lat_dv))
+            dv_rest = dv_lat.where(
+                ~F.col(part_col).cast("string").isin(list(affected)))
+            dv_rows = dv_rest.count()
+            if dv_rows:
+                dv_rel = _write_dv(dv_rest, local, new_version)
+        manifest = {"version": new_version, "ts": time.time(),
+                    "part_col": part_col, "schema": out.schema.json(),
+                    "files": files, "file_stats": file_stats,
+                    "epoch": epoch, "dv": dv_rel, "pks": pks,
+                    "dv_rows": dv_rows,
+                    "op": {"rewritten": rewritten, "dropped": dropped}}
+        if base_m:
+            manifest.update(
+                _refresh_blooms(local, base_m, files, new_rels))
+        try:
+            _commit_manifest(local, new_version, manifest)
+        except FileExistsError:
+            continue  # lost the publish race: rebase and retry
+        return {"version": new_version, "rewritten": rewritten,
+                "dropped": dropped}
+    raise CommitConflictError("lost the publish race 5 times")
 
 
 def _read_dv(spark, local: str, m: dict):
@@ -439,20 +548,25 @@ def delete_versioned(spark, path: str, predicate,
                 "dv": dv_rel, "pks": primary_keys,
                 "dv_rows": dv_total,
                 "op": {"rewritten": [], "dropped": [],
-                       "dv_deleted": n_hits}}
+                       "dv_deleted": n_hits,
+                       "dv_parts": sorted(
+                           str(r[0]) for r in hits.select(part_col)
+                           .distinct().collect())}}
     manifest.update(_refresh_blooms(local, m, m["files"], []))
-    target = _manifest_file(local, new_version)
-    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, target)  # THE commit point
+    try:
+        _commit_manifest(local, new_version, manifest)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"version {new_version} was committed concurrently") \
+            from None
     return {"version": new_version, "deleted": n_hits,
             "dv_total": dv_total}
 
 
 def read_versioned(spark, path: str, version: int | None = None,
                    key_range: tuple | None = None,
-                   point: tuple | None = None) -> DataFrame:
+                   point: tuple | None = None,
+                   as_of_ts: float | None = None) -> DataFrame:
     """Read a versioned table at ``version`` (default: latest) — time
     travel is just pinning an older manifest. The file list is explicit,
     so readers are isolated from concurrent merges. ``key_range =
@@ -462,6 +576,10 @@ def read_versioned(spark, path: str, version: int | None = None,
     the range — skipping is an IO optimization, never a semantics
     change."""
     local = _local(path)
+    if as_of_ts is not None:
+        if version is not None:
+            raise ValueError("pass version OR as_of_ts, not both")
+        version = version_as_of(path, as_of_ts)
     plan = plan_files(path, version, key_range, point)
     if not plan["paths"]:
         from pyspark.sql import types as _T
@@ -705,11 +823,12 @@ def compact_versioned(path: str, target_partitions: list[str] | None = None
     manifest.update(_refresh_blooms(
         local, m, files,
         [rel for v2 in compacted for rel in files[v2]]))
-    target = _manifest_file(local, new_version)
-    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, target)
+    try:
+        _commit_manifest(local, new_version, manifest)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"version {new_version} was committed concurrently") \
+            from None
     return {"version": new_version, "compacted": compacted}
 
 
@@ -839,11 +958,12 @@ def index_bloom_versioned(path: str, col: str, bits_per_key: int = 10,
                        "k": k},
         "op": {"rewritten": [], "dropped": [],
                "bloom_indexed": len(rels)}})
-    target = _manifest_file(local, new_version)
-    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, target)
+    try:
+        _commit_manifest(local, new_version, manifest)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"version {new_version} was committed concurrently") \
+            from None
     return {"version": new_version, "indexed": len(rels)}
 
 
@@ -1017,9 +1137,10 @@ def cluster_versioned(path: str, sort_col: str,
     manifest.update(_refresh_blooms(
         local, m, files,
         [rel for v2 in clustered for rel in files[v2]]))
-    target = _manifest_file(local, new_version)
-    tmp = target + f".{uuid.uuid4().hex[:8]}.tmp"
-    with open(tmp, "w") as f:
-        json.dump(manifest, f)
-    os.rename(tmp, target)
+    try:
+        _commit_manifest(local, new_version, manifest)
+    except FileExistsError:
+        raise CommitConflictError(
+            f"version {new_version} was committed concurrently") \
+            from None
     return {"version": new_version, "clustered": clustered}

@@ -1,0 +1,143 @@
+"""Optimistic concurrency, CHECK constraints, timestamp time travel."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+import time
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+from flink_cdc_dsql_master_spark.lakehouse import (
+    CommitConflictError,
+    ConstraintViolation,
+    delete_versioned,
+    list_versions,
+    merge_into_versioned_parquet,
+    read_versioned,
+    version_as_of,
+    with_bucket_partition,
+)
+from flink_cdc_dsql_master_spark.schema import Schema
+
+
+def _batch(spark, lo, hi, seq, status="A"):
+    rows = [(i, float(i * 10), status, "+I", seq) for i in range(lo, hi)]
+    return spark.createDataFrame(
+        rows, "k long, price double, status string, __op string, "
+              "__seq long")
+
+
+def _seed(spark, buckets=8):
+    b1 = _batch(spark, 0, 40, 1)
+    schema = Schema.of(b1.drop("__op", "__seq").schema,
+                       primary_keys=["k"])
+    path = os.path.join(tempfile.mkdtemp(prefix="occ_tbl_"), "t")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", buckets), schema)
+    return path, schema
+
+
+def test_disjoint_concurrent_merges_both_commit(spark):
+    """Two transactions read snapshot v1; each touches different
+    partitions. A commits v2; B (stale base) rebases onto v2 and
+    commits v3 — neither loses the other's writes."""
+    path, schema = _seed(spark, buckets=4)
+    # bucket(k) is a pure function of k: pick keys in different buckets
+    a_keys = [(0, 111.0, "X", "+U", 5)]
+    b_keys = [(1, 222.0, "Y", "+U", 5)]
+    a = spark.createDataFrame(
+        a_keys, "k long, price double, status string, __op string, "
+                "__seq long")
+    b = spark.createDataFrame(
+        b_keys, "k long, price double, status string, __op string, "
+                "__seq long")
+    pa = with_bucket_partition(a, "k", 4)
+    pb = with_bucket_partition(b, "k", 4)
+    pa_part = pa.select("part").collect()[0][0]
+    pb_part = pb.select("part").collect()[0][0]
+    assert pa_part != pb_part, "test needs keys in distinct buckets"
+    r_a = merge_into_versioned_parquet(path, pa, schema, base_version=1)
+    r_b = merge_into_versioned_parquet(path, pb, schema, base_version=1)
+    assert (r_a["version"], r_b["version"]) == (2, 3)
+    snap = {r["k"]: (r["price"], r["status"])
+            for r in read_versioned(spark, path).collect()}
+    assert snap[0] == (111.0, "X")      # A's write survives B's rebase
+    assert snap[1] == (222.0, "Y")
+
+
+def test_overlapping_concurrent_merge_conflicts(spark):
+    path, schema = _seed(spark, buckets=4)
+    a = spark.createDataFrame(
+        [(0, 111.0, "X", "+U", 5)],
+        "k long, price double, status string, __op string, __seq long")
+    b = spark.createDataFrame(
+        [(4, 222.0, "Y", "+U", 5)],   # same bucket as 0 (mod 4 hash)
+        "k long, price double, status string, __op string, __seq long")
+    pa = with_bucket_partition(a, "k", 4)
+    pb = with_bucket_partition(b, "k", 4)
+    if pa.select("part").collect()[0][0] != \
+            pb.select("part").collect()[0][0]:
+        pytest.skip("bucket layout changed; pick overlapping keys")
+    merge_into_versioned_parquet(path, pa, schema, base_version=1)
+    with pytest.raises(CommitConflictError, match="touched partitions"):
+        merge_into_versioned_parquet(path, pb, schema, base_version=1)
+    assert list_versions(path) == [1, 2]      # loser committed nothing
+
+
+def test_concurrent_dv_delete_conflicts_on_same_partition(spark):
+    path, schema = _seed(spark, buckets=4)
+    up = spark.createDataFrame(
+        [(0, 111.0, "X", "+U", 5)],
+        "k long, price double, status string, __op string, __seq long")
+    pu = with_bucket_partition(up, "k", 4)
+    part = pu.select("part").collect()[0][0]
+    # concurrent DELETE tombstones a row in the SAME partition
+    same_part = [k for k in range(40)
+                 if with_bucket_partition(
+                     _batch(spark, k, k + 1, 9), "k", 4)
+                 .select("part").collect()[0][0] == part]
+    delete_versioned(spark, path, F.col("k") == same_part[-1], ["k"])
+    with pytest.raises(CommitConflictError):
+        merge_into_versioned_parquet(path, pu, schema, base_version=1)
+
+
+def test_check_constraints_reject_batch_atomically(spark):
+    path, schema = _seed(spark)
+    bad = spark.createDataFrame(
+        [(100, -5.0, "A", "+I", 5), (101, 10.0, "A", "+I", 5)],
+        "k long, price double, status string, __op string, __seq long")
+    with pytest.raises(ConstraintViolation, match="price_nonneg"):
+        merge_into_versioned_parquet(
+            path, with_bucket_partition(bad, "k", 8), schema,
+            constraints=[("price_nonneg", F.col("price") >= 0)])
+    # nothing committed — not even the valid row of the batch
+    assert list_versions(path) == [1]
+    assert read_versioned(spark, path).count() == 40
+    # null constraint results count as violations (Delta semantics)
+    nul = spark.createDataFrame(
+        [(102, None, "A", "+I", 6)],
+        "k long, price double, status string, __op string, __seq long")
+    with pytest.raises(ConstraintViolation):
+        merge_into_versioned_parquet(
+            path, with_bucket_partition(nul, "k", 8), schema,
+            constraints=[("price_nonneg", F.col("price") >= 0)])
+
+
+def test_timestamp_time_travel(spark):
+    path, schema = _seed(spark)
+    t_between = time.time()
+    time.sleep(0.05)
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(_batch(spark, 40, 50, 2, "B"),
+                                    "k", 8), schema)
+    assert version_as_of(path, t_between) == 1
+    assert version_as_of(path, time.time()) == 2
+    with pytest.raises(ValueError, match="no version"):
+        version_as_of(path, 0.0)
+    old = read_versioned(spark, path, as_of_ts=t_between)
+    assert old.count() == 40
+    with pytest.raises(ValueError, match="not both"):
+        read_versioned(spark, path, version=1, as_of_ts=t_between)

@@ -77,6 +77,16 @@ TARGETS = [
     "dedup_content_chunks",
     "sample_greedy_cover",
     "text_pretokenize_counts",
+    # wave-5 additions: Lloyd k-means over the 10x embedding corpus
+    # (per-iteration cost = one scan + a k x dim update shuffle, so the
+    # exponent should be ~the scan exponent; the literal-centroid
+    # codegen is constant overhead that 10x AMORTIZES — expect e < 1),
+    # RAKE and PMI (vocabulary/phrase-collapse bound), and the Zipf
+    # slope (vocab collapse + a 200-row fit: e ~ scan)
+    "embedding_kmeans",
+    "text_keyword_rake",
+    "text_pmi_collocations",
+    "text_zipf_slope",
 ]
 
 
