@@ -9357,3 +9357,154 @@ def lakehouse_point_lookup(spark, sf_dir):
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.select("k", "price", "status")
+
+
+@_q(
+    "agg_grouping_sets",
+    """
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                            (o_orderstatus), ())
+    """,
+)
+def agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (FlinkSQL/ANSI surface beyond the CUBE
+    query): detail + per-status subtotal + grand total in ONE pass —
+    Spark expands the sets map-side and partial-aggregates each, so the
+    fact table is scanned once regardless of how many sets roll up.
+    Labels use COALESCE('(all)') on both engines (the grouping columns
+    are non-null in the data), keeping the oracle portable without
+    GROUPING_ID dialect differences."""
+    ev = _t(spark, sf_dir, "orders")
+    ev.createOrReplaceTempView("orders_gsets")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM orders_gsets
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+    """)
+
+
+@_q(
+    "dq_benford_digits",
+    """
+    WITH d AS (
+      SELECT substr(CAST(CAST(trunc(o_totalprice) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS digit
+      FROM orders WHERE o_totalprice >= 1.0),
+    c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d
+          GROUP BY digit),
+    t AS (SELECT SUM(n) AS total FROM c)
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_share,
+           ROUND(LOG10(1.0 + 1.0 / CAST(digit AS INT)), 6)
+             AS benford_share,
+           ROUND(ABS(CAST(n AS DOUBLE) / total
+                     - LOG10(1.0 + 1.0 / CAST(digit AS INT))), 6)
+             AS abs_dev
+    FROM c CROSS JOIN t
+    """,
+)
+def dq_benford_digits(spark, sf_dir):
+    """Benford's-law first-digit audit — the classic cheap fraud /
+    synthetic-data detector for numeric columns: observed first-digit
+    shares vs log10(1 + 1/d), with per-digit absolute deviation. One
+    partial-agg groupBy over a 9-row digit domain; the corpus total
+    rides as a broadcast 1-row aggregate (scalar-subquery idiom). Both
+    engines derive the digit from the SAME trunc->bigint->string path,
+    so shares replay exactly under the 6-decimal round."""
+    o = _t(spark, sf_dir, "orders")
+    d = o.where(F.col("o_totalprice") >= 1.0).select(
+        F.substring(F.col("o_totalprice").cast("bigint").cast("string"),
+                    1, 1).alias("digit"))
+    c = d.groupBy("digit").agg(F.count("*").cast("long").alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    share = F.col("n").cast("double") / F.col("total")
+    benford = F.log10(1.0 + 1.0 / F.col("digit").cast("int"))
+    return (c.crossJoin(F.broadcast(t))
+            .select("digit", "n",
+                    F.round(share, 6).alias("obs_share"),
+                    F.round(benford, 6).alias("benford_share"),
+                    F.round(F.abs(share - benford), 6).alias("abs_dev")))
+
+
+_HOLT_SPARK_SQL = """
+    WITH s AS (
+      SELECT event_type,
+             transform(array_sort(collect_list(
+               named_struct('ts', ts, 'eid', event_id, 'v', value))),
+               e -> e.v) AS xs
+      FROM events_hw GROUP BY event_type),
+    f AS (
+      SELECT event_type, size(xs) AS n,
+             aggregate(
+               slice(xs, 2, size(xs) - 1),
+               named_struct('l', CAST(xs[0] AS DOUBLE),
+                            't', CAST(0.0 AS DOUBLE)),
+               (a, x) -> named_struct(
+                 'l', CAST(0.5 AS DOUBLE) * x
+                      + CAST(0.5 AS DOUBLE) * (a.l + a.t),
+                 't', CAST(0.3 AS DOUBLE)
+                      * ((CAST(0.5 AS DOUBLE) * x
+                          + CAST(0.5 AS DOUBLE) * (a.l + a.t)) - a.l)
+                      + CAST(0.7 AS DOUBLE) * a.t)) AS st
+      FROM s)
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(st.l, 6) AS level, ROUND(st.t, 6) AS trend,
+           ROUND(st.l + st.t, 6) AS forecast
+    FROM f
+    """
+
+
+@_q(
+    "timeseries_holt_forecast",
+    """
+    WITH RECURSIVE s AS MATERIALIZED (
+      SELECT event_type, CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    rec(event_type, rn, l, t) AS (
+      SELECT event_type, rn, x, CAST(0.0 AS DOUBLE)
+      FROM s WHERE rn = 1
+      UNION ALL
+      SELECT r.event_type, r.rn + 1,
+             CAST(0.5 AS DOUBLE) * s.x
+               + CAST(0.5 AS DOUBLE) * (r.l + r.t),
+             CAST(0.3 AS DOUBLE)
+               * ((CAST(0.5 AS DOUBLE) * s.x
+                   + CAST(0.5 AS DOUBLE) * (r.l + r.t)) - r.l)
+               + CAST(0.7 AS DOUBLE) * r.t
+      FROM rec r JOIN s ON s.event_type = r.event_type
+                       AND s.rn = r.rn + 1),
+    mx AS (SELECT event_type, MAX(rn) AS n FROM s GROUP BY 1)
+    SELECT r.event_type, CAST(mx.n AS BIGINT) AS n,
+           ROUND(r.l, 6) AS level, ROUND(r.t, 6) AS trend,
+           ROUND(r.l + r.t, 6) AS forecast
+    FROM rec r JOIN mx ON mx.event_type = r.event_type
+                      AND r.rn = mx.n
+    """,
+)
+def timeseries_holt_forecast(spark, sf_dir):
+    """Holt double-exponential smoothing (level + linear trend,
+    alpha=0.5, beta=0.3) per event-type series, with the one-step
+    forecast level+trend — the next rung above EWMA on the classical
+    forecasting ladder. The recurrence is a LEFT FOLD with a 2-number
+    state over the (ts, event_id)-ordered series: one groupBy per
+    series, the fold runs in codegen, state never exceeds two doubles
+    regardless of series length. Cross-engine contract: the oracle
+    replays the recurrence as a recursive CTE stepping rn -> rn+1 with
+    the identical operand-ordered arithmetic — bit-exact before the
+    6-decimal round. (A list_reduce replay is NOT usable: DuckDB 1.0
+    mutates the accumulator struct in place field-by-field, so a later
+    field expression reads the freshly-written earlier field.)"""
+    ev = _t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events_hw")
+    return spark.sql(_HOLT_SPARK_SQL)
