@@ -9508,3 +9508,58 @@ def timeseries_holt_forecast(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     ev.createOrReplaceTempView("events_hw")
     return spark.sql(_HOLT_SPARK_SQL)
+
+
+def _lsh_eval_oracle_sql() -> str:
+    """Both operand sets replay their own already-parity-checked
+    pipelines (raw-shingle exact pairs; md5-space banded LSH pairs);
+    the metric is pure set algebra over them."""
+    exact = ("(WITH " + _SHINGLE_CTES + """
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5)""")
+    lsh = "(" + _minhash_oracle_sql(threshold=0.5) + ")"
+    return f"""
+    WITH ex AS MATERIALIZED (SELECT id_a, id_b FROM {exact} t),
+    ls AS MATERIALIZED (SELECT id_a, id_b FROM {lsh} t)
+    SELECT CAST(ne.n AS BIGINT) AS n_exact,
+           CAST(nl.n AS BIGINT) AS n_lsh,
+           CAST(nh.n AS BIGINT) AS n_hit,
+           ROUND(CAST(nh.n AS DOUBLE) / ne.n, 6) AS recall,
+           ROUND(CAST(nh.n AS DOUBLE) / nl.n, 6) AS precision
+    FROM (SELECT COUNT(*) AS n FROM ex) ne,
+         (SELECT COUNT(*) AS n FROM ls) nl,
+         (SELECT COUNT(*) AS n
+          FROM ls JOIN ex USING (id_a, id_b)) nh
+    """
+
+
+@_q("eval_lsh_recall", _lsh_eval_oracle_sql())
+def eval_lsh_recall(spark, sf_dir):
+    """Dedup-index quality gate (companion of eval_ann_recall): recall
+    and precision of banded MinHash-LSH (16 bands x 4 rows, exact-
+    verified candidates) against the EXACT n-gram-Jaccard pair set at
+    the same 0.5 threshold — the measurement that justifies deploying
+    banding instead of the O(N^2) exact join at 100 TB. Both pair sets
+    are pair-grain (tiny vs the corpus); the metric is three 1-row
+    aggregates cross-joined, so the eval costs no more than the two
+    pipelines it audits. Verified candidates make precision 1.0 by
+    construction — the row proves it, and recall quantifies what the
+    banding probability actually delivers on this corpus."""
+    docs = _t(spark, sf_dir, "documents")
+    exact = dedup.ngram_jaccard_pairs(docs, threshold=0.5) \
+        .select("id_a", "id_b")
+    lsh = dedup.minhash_lsh_pairs(docs, threshold=0.5) \
+        .select("id_a", "id_b")
+    ne = exact.agg(F.count("*").cast("long").alias("n_exact"))
+    nl = lsh.agg(F.count("*").cast("long").alias("n_lsh"))
+    nh = (lsh.join(exact, ["id_a", "id_b"])
+          .agg(F.count("*").cast("long").alias("n_hit")))
+    return (ne.crossJoin(F.broadcast(nl)).crossJoin(F.broadcast(nh))
+            .select(
+                "n_exact", "n_lsh", "n_hit",
+                F.round(F.col("n_hit").cast("double")
+                        / F.col("n_exact"), 6).alias("recall"),
+                F.round(F.col("n_hit").cast("double")
+                        / F.col("n_lsh"), 6).alias("precision")))
