@@ -9563,3 +9563,101 @@ def eval_lsh_recall(spark, sf_dir):
                         / F.col("n_exact"), 6).alias("recall"),
                 F.round(F.col("n_hit").cast("double")
                         / F.col("n_lsh"), 6).alias("precision")))
+
+
+_BM25_CAND_SQL = r"""
+    base AS (
+      SELECT doc_id AS id, len(string_split_regex(trim(text), '\s+')) AS dl,
+             string_split_regex(trim(text), '\s+') AS t
+      FROM documents),
+    stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                     AVG(dl) AS avgdl FROM base),
+    tf AS (
+      SELECT id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT id, dl, unnest(t) AS term FROM base)
+      WHERE term IN ('data', 'query', 'join', 'window', 'customer')
+      GROUP BY 1, 2, 3),
+    dfreq AS (SELECT term, COUNT(DISTINCT id) AS df_t FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.id,
+             SUM(LN(1 + (stats.n - dfreq.df_t + 0.5) / (dfreq.df_t + 0.5))
+                 * tf.tf * 2.2
+                 / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)))
+               AS s
+      FROM tf, dfreq, stats WHERE tf.term = dfreq.term GROUP BY 1),
+    cand AS (
+      SELECT id, ROUND(s, 6) AS bm25
+      FROM (SELECT id, s, row_number() OVER (ORDER BY s DESC, id) AS rn
+            FROM scored)
+      WHERE rn <= 25)
+"""
+
+
+@_q(
+    "search_rerank_model",
+    "WITH " + _BM25_CAND_SQL + """
+    SELECT id, bm25,
+           ('0x' || substr(md5(d.text), 1, 8))::BIGINT AS model_score
+    FROM cand JOIN documents d ON d.doc_id = cand.id
+    ORDER BY model_score DESC, id LIMIT 10
+    """,
+)
+def search_rerank_model(spark, sf_dir):
+    """Two-stage retrieve -> model-rerank (the production RAG shape):
+    BM25 pulls top-25 lexical candidates, then AI_CHAT_PREDICT scores
+    ONLY those 25 through the real Arrow-batched ModelTransport (the
+    cross-encoder pattern: the expensive model touches k docs, never
+    the corpus — at 100 TB the rerank cost is O(k), independent of N).
+    The deterministic stub endpoint's reply embeds md5(text), so the
+    transport round-trip itself is hash-checked: the model score is
+    decoded FROM the transport's reply and must equal the oracle's
+    direct md5 arithmetic."""
+    from .functions import register_model_functions
+
+    register_model_functions(spark)
+    docs = _t(spark, sf_dir, "documents")
+    cands = text.bm25_topk(
+        docs, ["data", "query", "join", "window", "customer"], k=25) \
+        .select("id", F.round("score", 6).alias("bm25"))
+    joined = cands.join(docs, cands["id"] == docs["doc_id"]) \
+        .select("id", "bm25",
+                F.expr("AI_CHAT_PREDICT(text)").alias("reply"))
+    score = F.conv(F.substring("reply", 13, 8), 16, 10).cast("long")
+    return (joined.withColumn("model_score", score).drop("reply")
+            .orderBy(F.col("model_score").desc(), "id").limit(10))
+
+
+@_q(
+    "dedup_semantic_decontaminate",
+    f"""
+    SELECT c.vec_id, b.vec_id AS bench_id,
+           ROUND({_cos_pair_sql('c.embedding', 'b.embedding')}, 6)
+             AS cosine
+    FROM embeddings c, embeddings b
+    WHERE b.vec_id % 50 = 0 AND c.vec_id % 50 <> 0
+      AND {_cos_pair_sql('c.embedding', 'b.embedding')} >= 0.25
+    """,
+)
+def dedup_semantic_decontaminate(spark, sf_dir):
+    """SEMANTIC decontamination — the embedding-space complement of the
+    n-gram `dedup_decontaminate`: flag training vectors whose cosine to
+    ANY benchmark item ({{vec_id % 50 == 0}}) exceeds the threshold,
+    catching paraphrased contamination that shingle overlap misses. The
+    benchmark side is SMALL by nature, so it broadcasts and the scan is
+    one vectorized map-side pass over the corpus — O(N x B) with B a
+    constant, the 100 TB train side never shuffles (identical posture
+    to the n-gram variant's broadcast shingle set)."""
+    from .operators.similarity import cosine_expr
+
+    emb = _t(spark, sf_dir, "embeddings")
+    bench = emb.where(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("bench_id"),
+        F.col("embedding").cast("array<double>").alias("bv"))
+    corp = emb.where(F.col("vec_id") % 50 != 0).select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("cv"))
+    cos = cosine_expr(F.col("cv"), F.col("bv"))
+    return (corp.crossJoin(F.broadcast(bench))
+            .withColumn("cosine", cos)
+            .where(F.col("cosine") >= 0.25)
+            .select("vec_id", "bench_id",
+                    F.round("cosine", 6).alias("cosine")))

@@ -141,3 +141,30 @@ def test_timestamp_time_travel(spark):
     assert old.count() == 40
     with pytest.raises(ValueError, match="not both"):
         read_versioned(spark, path, version=1, as_of_ts=t_between)
+
+
+def test_check_constraints_on_partitioned_merge(spark):
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        ConstraintViolation,
+        merge_into_partitioned_parquet,
+        read_partitioned,
+    )
+
+    b1 = _batch(spark, 0, 10, 1)
+    schema = Schema.of(b1.drop("__op", "__seq").schema,
+                       primary_keys=["k"])
+    path = os.path.join(tempfile.mkdtemp(prefix="cow_ck_"), "t")
+    merge_into_partitioned_parquet(
+        path, with_bucket_partition(b1, "k", 4), schema,
+        constraints=[("price_nonneg", F.col("price") >= 0)])
+    bad = spark.createDataFrame(
+        [(3, -1.0, "A", "+U", 2)],
+        "k long, price double, status string, __op string, __seq long")
+    with pytest.raises(ConstraintViolation, match="price_nonneg"):
+        merge_into_partitioned_parquet(
+            path, with_bucket_partition(bad, "k", 4), schema,
+            constraints=[("price_nonneg", F.col("price") >= 0)])
+    # table unchanged
+    got = {r["k"]: r["price"]
+           for r in read_partitioned(spark, path).collect()}
+    assert got == {i: float(i * 10) for i in range(10)}
