@@ -9661,3 +9661,48 @@ def dedup_semantic_decontaminate(spark, sf_dir):
             .where(F.col("cosine") >= 0.25)
             .select("vec_id", "bench_id",
                     F.round("cosine", 6).alias("cosine")))
+
+
+@_q(
+    "envelope_maxwell_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 0
+    """,
+)
+def envelope_maxwell_roundtrip(spark, sf_dir):
+    """maxwell-json encode → decode → apply round-trip (the Zendesk
+    Maxwell changelog format FlinkSQL also speaks, beyond the
+    reference's debezium/canal pair): deletes stay deleted, upserts
+    land, values survive the JSON round-trip bit-exactly. -U
+    retractions drop at encode (Maxwell emits one message per update);
+    keyed apply semantics are unaffected."""
+    from .sinks import maxwell_json
+    from .sources import decode_maxwell_json
+
+    cust = _t(spark, sf_dir, "customer")
+    cl = _customer_changelog(spark, sf_dir)
+    enc = maxwell_json(cl, TableId.parse("tpch.public.customer"))
+    dec = decode_maxwell_json(enc, "value", cust.schema)
+    return apply_changelog(dec, ["c_custkey"])
+
+
+@_q(
+    "envelope_ogg_roundtrip",
+    """
+    SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+    FROM customer WHERE c_custkey % 7 <> 0
+    """,
+)
+def envelope_ogg_roundtrip(spark, sf_dir):
+    """ogg-json (Oracle GoldenGate) encode → decode → apply round-trip:
+    deletes carry their image in `before` (GoldenGate semantics) and
+    must still delete after decode; inserts/updates ride `after`."""
+    from .sinks import ogg_json
+    from .sources import decode_ogg_json
+
+    cust = _t(spark, sf_dir, "customer")
+    cl = _customer_changelog(spark, sf_dir)
+    enc = ogg_json(cl, TableId.parse("tpch.public.customer"))
+    dec = decode_ogg_json(enc, "value", cust.schema)
+    return apply_changelog(dec, ["c_custkey"])

@@ -370,6 +370,58 @@ def canal_json(df: DataFrame, table_id: TableId) -> DataFrame:
     return df.select(F.to_json(payload).alias("key"), value.alias("value"))
 
 
+def maxwell_json(df: DataFrame, table_id: TableId) -> DataFrame:
+    """Changelog → maxwell-json (the Zendesk Maxwell daemon's format,
+    a FlinkSQL-supported changelog encoding beyond the reference's
+    debezium/canal pair): {"database", "table", "type":
+    insert|update|delete, "data": {row}}.
+
+    Maxwell emits ONE message per update (new image in `data`, changed
+    columns in `old`); this engine's changelog splits update images
+    across -U/+U rows, so -U retractions are dropped at encode (they
+    carry no information Maxwell transmits) and `old` is omitted —
+    apply semantics are unchanged because keyed upsert application
+    never needs the before image."""
+    data_cols = [c for c in df.columns
+                 if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id")]
+    payload = F.struct(*[F.col(c) for c in data_cols])
+    op = F.col(OP_COLUMN)
+    mtype = (F.when(op == "+I", "insert").when(op == "+U", "update")
+             .when(op == "-D", "delete"))
+    value = F.to_json(F.struct(
+        F.lit(table_id.schema_name).alias("database"),
+        F.lit(table_id.table).alias("table"),
+        mtype.alias("type"),
+        payload.alias("data"),
+    ), {"ignoreNullFields": "false"})
+    return (df.where(op != "-U")
+            .select(F.to_json(payload).alias("key"),
+                    value.alias("value")))
+
+
+def ogg_json(df: DataFrame, table_id: TableId) -> DataFrame:
+    """Changelog → ogg-json (Oracle GoldenGate trail format, the other
+    FlinkSQL changelog encoding): {"table": "SCHEMA.TABLE", "op_type":
+    I|U|D, "before", "after"}. Deletes carry their image in `before`
+    (GoldenGate semantics), inserts/updates in `after`; the split
+    -U retraction rows are dropped at encode like maxwell_json."""
+    data_cols = [c for c in df.columns
+                 if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id")]
+    payload = F.struct(*[F.col(c) for c in data_cols])
+    op = F.col(OP_COLUMN)
+    otype = (F.when(op == "+I", "I").when(op == "+U", "U")
+             .when(op == "-D", "D"))
+    value = F.to_json(F.struct(
+        F.lit(f"{table_id.schema_name}.{table_id.table}").alias("table"),
+        otype.alias("op_type"),
+        F.when(op == "-D", payload).alias("before"),
+        F.when(op.isin("+I", "+U"), payload).alias("after"),
+    ), {"ignoreNullFields": "false"})
+    return (df.where(op != "-U")
+            .select(F.to_json(payload).alias("key"),
+                    value.alias("value")))
+
+
 def compact_parquet(spark, path: str, target_mb: int = 128) -> int:
     """Small-file compaction: rewrite a parquet directory into
     ceil(bytes / target_mb) files via a coalesce (narrow — no shuffle)

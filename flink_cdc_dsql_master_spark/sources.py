@@ -269,6 +269,53 @@ def decode_debezium_json(df: DataFrame, value_col: str,
         .unionByName(deletes)
 
 
+def decode_maxwell_json(df: DataFrame, value_col: str,
+                        payload_schema: T.StructType,
+                        seq_col: str | None = None) -> DataFrame:
+    """maxwell-json strings → changelog: insert→+I, update→+U,
+    delete→-D, payload from `data`. Pure from_json + selects."""
+    envelope = T.StructType([
+        T.StructField("type", T.StringType(), True),
+        T.StructField("data", payload_schema, True),
+    ])
+    p = F.from_json(F.col(value_col), envelope)
+    rec_seq = F.col(seq_col) if seq_col else F.monotonically_increasing_id()
+    base = df.withColumn("__mx", p).withColumn(
+        "__rec_seq", rec_seq.cast("long"))
+    op = (F.when(F.col("__mx.type") == "insert", "+I")
+          .when(F.col("__mx.type") == "update", "+U")
+          .when(F.col("__mx.type") == "delete", "-D"))
+    cols = [F.col(f"__mx.data.{f.name}").alias(f.name)
+            for f in payload_schema.fields]
+    return base.select(*cols, op.alias(OP_COLUMN),
+                       F.col("__rec_seq").alias(SEQ_COLUMN))
+
+
+def decode_ogg_json(df: DataFrame, value_col: str,
+                    payload_schema: T.StructType,
+                    seq_col: str | None = None) -> DataFrame:
+    """ogg-json strings → changelog: I→+I (after), U→+U (after),
+    D→-D (before image, GoldenGate semantics)."""
+    envelope = T.StructType([
+        T.StructField("op_type", T.StringType(), True),
+        T.StructField("before", payload_schema, True),
+        T.StructField("after", payload_schema, True),
+    ])
+    p = F.from_json(F.col(value_col), envelope)
+    rec_seq = F.col(seq_col) if seq_col else F.monotonically_increasing_id()
+    base = df.withColumn("__og", p).withColumn(
+        "__rec_seq", rec_seq.cast("long"))
+    ot = F.col("__og.op_type")
+    op = (F.when(ot == "I", "+I").when(ot == "U", "+U")
+          .when(ot == "D", "-D"))
+    img = F.when(ot == "D", F.col("__og.before"))         .otherwise(F.col("__og.after"))
+    base = base.withColumn("__img", img)
+    cols = [F.col(f"__img.{f.name}").alias(f.name)
+            for f in payload_schema.fields]
+    return base.select(*cols, op.alias(OP_COLUMN),
+                       F.col("__rec_seq").alias(SEQ_COLUMN))
+
+
 def changelog_file_stream(spark: SparkSession, path: str,
                           payload_schema: T.StructType,
                           envelope: str = "debezium-json") -> DataFrame:
