@@ -42,6 +42,26 @@ def _build_parser() -> argparse.ArgumentParser:
     valp = sub.add_parser("validate",
                           help="parse + plan a pipeline, run nothing")
     valp.add_argument("pipeline_yaml")
+
+    tp = sub.add_parser(
+        "table", help="versioned-lakehouse table maintenance")
+    tsub = tp.add_subparsers(dest="table_cmd", required=True)
+    hist = tsub.add_parser("history", help="DESCRIBE HISTORY")
+    hist.add_argument("path")
+    vers = tsub.add_parser("versions", help="list committed versions")
+    vers.add_argument("path")
+    stats = tsub.add_parser(
+        "stats", help="metadata-only COUNT/MIN/MAX (no data read)")
+    stats.add_argument("path")
+    vac = tsub.add_parser("vacuum", help="expire old versions")
+    vac.add_argument("path")
+    vac.add_argument("--keep-last", type=int, default=1)
+    dele = tsub.add_parser(
+        "delete", help="DELETE by SQL predicate via deletion vectors")
+    dele.add_argument("path")
+    dele.add_argument("predicate", help="SQL boolean expr, e.g. 'k % 5 = 0'")
+    dele.add_argument("--pk", required=True, action="append",
+                      help="primary-key column (repeatable)")
     return p
 
 
@@ -106,8 +126,48 @@ def _cmd_run(args) -> int:
     return 0
 
 
+def _cmd_table(args) -> int:
+    from . import lakehouse as lh
+
+    if args.table_cmd == "history":
+        for h in lh.table_history(args.path):
+            print(f"v{h['version']}  ts={h['ts']:.3f}  "
+                  f"files={h['n_files']}  rewrote={h['rewritten']}  "
+                  f"dropped={h['dropped']}")
+        return 0
+    if args.table_cmd == "versions":
+        print(" ".join(str(v) for v in lh.list_versions(args.path)))
+        return 0
+    if args.table_cmd == "stats":
+        agg = lh.metadata_aggregate(args.path)
+        print(f"version={agg['version']} n_rows={agg['n_rows']} "
+              f"minmax_exact={agg['minmax_exact']}")
+        for c, (lo, hi) in sorted(agg["columns"].items()):
+            print(f"  {c}: [{lo}, {hi}]")
+        return 0
+    if args.table_cmd == "vacuum":
+        r = lh.vacuum_versioned(args.path, keep_last=args.keep_last)
+        print(f"expired={r['expired_versions']} "
+              f"removed_files={r['removed_files']} "
+              f"removed_dv_sidecars={r['removed_dv_sidecars']}")
+        return 0
+    # delete — the only verb that needs a Spark session
+    from pyspark.sql import functions as F
+
+    from .session import get_spark
+
+    spark = get_spark("lakehouse-delete")
+    r = lh.delete_versioned(spark, args.path, F.expr(args.predicate),
+                            args.pk)
+    print(f"v{r['version']}: deleted={r['deleted']} "
+          f"dv_total={r['dv_total']}")
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.cmd == "validate":
         return _cmd_validate(args)
+    if args.cmd == "table":
+        return _cmd_table(args)
     return _cmd_run(args)

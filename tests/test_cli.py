@@ -65,3 +65,41 @@ def test_run_lands_parquet(spark, tmp_path, capsys):
         "read_parquet('/root/testdata/sf0.001/region.parquet') "
         "WHERE r_regionkey >= 1 ORDER BY 1").fetchall()
     assert got == exp
+
+
+def test_table_verbs_roundtrip(spark, tmp_path, capsys):
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        merge_into_versioned_parquet, with_bucket_partition,
+    )
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    b1 = spark.createDataFrame(
+        [(i, float(i)) for i in range(20)], "k long, v double") \
+        .withColumn(OP_COLUMN, F.lit("+I")) \
+        .withColumn(SEQ_COLUMN, F.lit(1).cast("long"))
+    schema = Schema.of(b1.drop("__op", "__seq").schema,
+                       primary_keys=["k"])
+    path = str(tmp_path / "t")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 4), schema)
+
+    assert main(["table", "versions", path]) == 0
+    assert capsys.readouterr().out.strip() == "1"
+
+    assert main(["table", "delete", path, "k >= 15", "--pk", "k"]) == 0
+    out = capsys.readouterr().out
+    assert "deleted=5" in out
+
+    assert main(["table", "stats", path]) == 0
+    out = capsys.readouterr().out
+    assert "n_rows=15" in out and "minmax_exact=False" in out
+
+    assert main(["table", "history", path]) == 0
+    out = capsys.readouterr().out
+    assert out.startswith("v2") and "v1" in out
+
+    assert main(["table", "vacuum", path, "--keep-last", "1"]) == 0
+    assert "expired=[1]" in capsys.readouterr().out
