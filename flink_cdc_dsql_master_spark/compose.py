@@ -262,8 +262,12 @@ def compose_changelog_stream(spark: SparkSession, pipeline: PipelineDef,
 
     src = pipeline.source
     payload = spark.createDataFrame([], src.config["schema"]).schema
-    if src.type == "file-debezium":
-        stream = changelog_file_stream(spark, src.config["path"], payload)
+    if src.type in ("file-debezium", "file-maxwell", "file-ogg"):
+        envelope = {"file-debezium": "debezium-json",
+                    "file-maxwell": "maxwell-json",
+                    "file-ogg": "ogg-json"}[src.type]
+        stream = changelog_file_stream(spark, src.config["path"], payload,
+                                       envelope=envelope)
     elif src.type == "kafka-debezium":
         stream = kafka_changelog_stream(
             spark, src.config["servers"], src.config["topics"], payload)

@@ -1056,9 +1056,10 @@ def metadata_aggregate(path: str, version: int | None = None) -> dict:
             "minmax_exact": not m.get("dv"), "columns": cols}
 
 
-def cluster_versioned(path: str, sort_col: str,
+def cluster_versioned(path: str, sort_col: str | None = None,
                       files_per_partition: int = 4,
-                      target_partitions: list[str] | None = None) -> dict:
+                      target_partitions: list[str] | None = None,
+                      zorder_cols: list[str] | None = None) -> dict:
     """Re-cluster partitions by ``sort_col`` as a new manifest version —
     the OPTIMIZE ... ZORDER analog for the one-dimension case: each
     targeted partition is rewritten as ``files_per_partition``
@@ -1073,6 +1074,8 @@ def cluster_versioned(path: str, sort_col: str,
     {"version", "clustered": {part: (files_before, files_after)}}."""
     from pyspark.sql import SparkSession, functions as _F
 
+    if (sort_col is None) == (zorder_cols is None):
+        raise ValueError("pass exactly one of sort_col / zorder_cols")
     spark = SparkSession.getActiveSession()
     local = _local(path)
     versions = list_versions(path)
@@ -1084,8 +1087,9 @@ def cluster_versioned(path: str, sort_col: str,
                if target_partitions is None or v in target_partitions]
     files = {v: list(fs) for v, fs in m["files"].items()}
     prev_stats = m.get("file_stats", {})
+    key_cols = [sort_col] if sort_col else list(zorder_cols)
     stat_cols = sorted({c for s in prev_stats.values()
-                        for c in s} | {sort_col})
+                        for c in s} | set(key_cols))
     clustered = {}
     file_stats = {}
     dv_df = _read_dv(spark, local, m)
@@ -1098,9 +1102,19 @@ def cluster_versioned(path: str, sort_col: str,
             df = df.join(dv_df.select(*dv_pks).distinct(),
                          on=dv_pks, how="left_anti")
         staging = local.rstrip("/") + f".__clu_{uuid.uuid4().hex[:12]}__"
-        (df.drop(part_col)
-         .repartitionByRange(files_per_partition, _F.col(sort_col))
-         .sortWithinPartitions(sort_col)
+        if zorder_cols:
+            # multi-dimension OPTIMIZE ZORDER: range-partition + sort by
+            # the Morton key so every file covers a narrow HYPERCUBE and
+            # footer stats prune range predicates on ANY keyed dimension
+            from .partitioning import zorder_key
+
+            sort_expr = zorder_key(zorder_cols)
+        else:
+            sort_expr = _F.col(sort_col)
+        (df.drop(part_col).withColumn("__zk", sort_expr)
+         .repartitionByRange(files_per_partition, _F.col("__zk"))
+         .sortWithinPartitions("__zk")
+         .drop("__zk")
          .write.mode("overwrite").parquet(staging))
         live_dir = os.path.join(local, f"{part_col}={v}")
         new_rel = []

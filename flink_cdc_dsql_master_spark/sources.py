@@ -325,11 +325,15 @@ def changelog_file_stream(spark: SparkSession, path: str,
     (value, offset) pair a Kafka record exposes); the decode path is the
     same one the Kafka variant uses, so tests of this stream test that.
     """
-    if envelope != "debezium-json":
-        raise ValueError(f"unsupported envelope {envelope!r}")
+    decoders = {"debezium-json": decode_debezium_json,
+                "maxwell-json": decode_maxwell_json,
+                "ogg-json": decode_ogg_json}
+    if envelope not in decoders:
+        raise ValueError(f"unsupported envelope {envelope!r} "
+                         f"(one of {sorted(decoders)})")
     raw = spark.readStream.schema("value string, offset long").json(path)
-    return decode_debezium_json(raw, "value", payload_schema,
-                                seq_col="offset")
+    return decoders[envelope](raw, "value", payload_schema,
+                              seq_col="offset")
 
 
 def kafka_changelog_stream(spark: SparkSession, bootstrap_servers: str,

@@ -243,3 +243,56 @@ def test_changelog_stream_to_rollup(spark, tmp_path):
     got = {r["g"]: (r["n"], r["total"]) for r in
            ivm.rollup_view(spark.read.parquet(f"{roll}/r")).collect()}
     assert got == {"x": (2, 12.0), "y": (1, 7.0)}
+
+
+def test_maxwell_and_ogg_file_streams(spark, tmp_path):
+    """The maxwell-json and ogg-json envelope streams ride the same
+    decode->apply path as debezium: inserts land, updates win, the
+    OGG delete (image in `before`) deletes."""
+    import json
+
+    from flink_cdc_dsql_master_spark.partitioning import apply_changelog
+    from flink_cdc_dsql_master_spark.sources import changelog_file_stream
+
+    payload = spark.createDataFrame(
+        [], "id int, name string").schema
+
+    def run(envelope, records, subdir):
+        src = tmp_path / subdir
+        src.mkdir()
+        with open(src / "b1.json", "w") as f:
+            for off, val in records:
+                f.write(json.dumps(
+                    {"value": json.dumps(val), "offset": off}) + "\n")
+        stream = changelog_file_stream(
+            spark, str(src), payload, envelope=envelope)
+        got = []
+
+        def sink(df, bid):
+            got.append(apply_changelog(df, ["id"]).collect())
+
+        q = (stream.writeStream.foreachBatch(sink)
+             .option("checkpointLocation", str(tmp_path / f"ck_{subdir}"))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+        return {r["id"]: r["name"] for r in got[-1]}
+
+    mx = run("maxwell-json", [
+        (0, {"type": "insert", "data": {"id": 1, "name": "ann"}}),
+        (1, {"type": "insert", "data": {"id": 2, "name": "bob"}}),
+        (2, {"type": "update", "data": {"id": 1, "name": "ANN"}}),
+        (3, {"type": "delete", "data": {"id": 2, "name": "bob"}}),
+    ], "mx")
+    assert mx == {1: "ANN"}
+
+    og = run("ogg-json", [
+        (0, {"op_type": "I", "before": None,
+             "after": {"id": 1, "name": "ann"}}),
+        (1, {"op_type": "U", "before": None,
+             "after": {"id": 1, "name": "ANN"}}),
+        (2, {"op_type": "I", "before": None,
+             "after": {"id": 3, "name": "cyn"}}),
+        (3, {"op_type": "D", "before": {"id": 3, "name": "cyn"},
+             "after": None}),
+    ], "og")
+    assert og == {1: "ANN"}

@@ -250,3 +250,43 @@ def test_metadata_aggregate_exact_count_under_dv(spark):
     assert agg2["minmax_exact"] is True
     assert agg2["n_rows"] == 70
     assert agg2["columns"]["k"] == [0, 69]
+
+
+# ------------------------------------------------- z-order clustering
+
+
+def test_zorder_clustering_prunes_both_dimensions(spark):
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        cluster_versioned, merge_into_versioned_parquet, plan_files,
+        read_versioned, with_bucket_partition,
+    )
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    rows = [(i, i % 32, (i * 7) % 32) for i in range(512)]
+    b1 = (spark.createDataFrame(rows, "k long, a long, b long")
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of(b1.drop("__op", "__seq").schema,
+                       primary_keys=["k"])
+    path = os.path.join(tempfile.mkdtemp(prefix="zo_tbl_"), "t")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 2), schema)
+    before = {(r["k"], r["a"], r["b"])
+              for r in read_versioned(spark, path).collect()}
+    with pytest.raises(ValueError, match="exactly one"):
+        cluster_versioned(path, "a", zorder_cols=["a", "b"])
+    r = cluster_versioned(path, zorder_cols=["a", "b"],
+                          files_per_partition=8)
+    assert r["clustered"]
+    q = [("a", 0, 7), ("b", 0, 7)]
+    plan = plan_files(path, key_range=q)
+    # a narrow box on (a, b) must skip most of the 16 z-ordered files
+    assert plan["skipped"] >= plan["total"] // 2
+    # logical content unchanged, and the row filter returns the exact box
+    after = {(r2["k"], r2["a"], r2["b"])
+             for r2 in read_versioned(spark, path).collect()}
+    assert after == before
+    got = {(r3["a"], r3["b"])
+           for r3 in read_versioned(spark, path, key_range=q).collect()}
+    assert got == {(a, b) for _, a, b in rows if a <= 7 and b <= 7}
