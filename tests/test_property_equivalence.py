@@ -99,3 +99,68 @@ def test_pack_sequences_equals_bruteforce(spark, docs, budget):
                 expected[i] = cum // budget
                 cum += n
     assert got == expected
+
+
+_EDGES = st.lists(st.tuples(st.integers(0, 9), st.integers(0, 9)),
+                  min_size=0, max_size=25)
+
+
+@settings(**_SETTINGS)
+@given(edges=_EDGES, k=st.integers(2, 4))
+def test_kcore_equals_bruteforce_peel(spark, edges, k):
+    und = {(min(a, b), max(a, b)) for a, b in edges if a != b}
+    if not und:
+        return
+    # python fixed-point peel (the operator runs 6 rounds — enough to
+    # converge on <= 10 nodes, which the brute force confirms)
+    cur = set(und)
+    while True:
+        deg: dict = {}
+        for u, v in cur:
+            deg[u] = deg.get(u, 0) + 1
+            deg[v] = deg.get(v, 0) + 1
+        alive = {n for n, d in deg.items() if d >= k}
+        nxt = {(u, v) for u, v in cur if u in alive and v in alive}
+        if nxt == cur:
+            break
+        cur = nxt
+    deg = {}
+    for u, v in cur:
+        deg[u] = deg.get(u, 0) + 1
+        deg[v] = deg.get(v, 0) + 1
+    expected = {n: d for n, d in deg.items() if d >= k}
+
+    from flink_cdc_dsql_master_spark.operators.graph import kcore
+
+    df = spark.createDataFrame(list(und), "src long, dst long")
+    got = {r["node"]: r["deg"] for r in kcore(df, k=k, rounds=6).collect()}
+    assert got == expected
+
+
+@settings(**_SETTINGS)
+@given(edges=_EDGES,
+       seeds=st.sets(st.integers(0, 9), min_size=1, max_size=3),
+       max_hops=st.integers(1, 4))
+def test_bfs_hops_equals_bruteforce(spark, edges, seeds, max_hops):
+    adj: dict = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for h in range(1, max_hops + 1):
+        nxt = {d for n in frontier for d in adj.get(n, ())
+               if d not in dist}
+        for d in nxt:
+            dist[d] = h
+        frontier = nxt
+
+    from flink_cdc_dsql_master_spark.operators.graph import bfs_hops
+
+    df = spark.createDataFrame(
+        [(a, b) for a, b in edges if a != b] or [(0, 0)],
+        "src long, dst long")
+    sdf = spark.createDataFrame([(s,) for s in seeds], "node long")
+    got = {r["node"]: r["hops"]
+           for r in bfs_hops(df, sdf, max_hops=max_hops).collect()}
+    assert got == dist
