@@ -813,19 +813,7 @@ def kmeans(corpus: DataFrame, k: int = 8, iters: int = 3,
         # distance fold is compiled once, not k times — same semantics,
         # ~k-fold smaller codegen (the k-copies variant spent ~1s per
         # job just compiling at k=8, dim=64)
-        carr = F.array(*[F.array(*[F.lit(x) for x in c])
-                         for c in cents_])
-        opts = F.transform(
-            carr,
-            lambda c, i: F.struct(
-                F.round(
-                    F.aggregate(
-                        F.zip_with(F.col("v"), c,
-                                   lambda a, b: (a - b) * (a - b)),
-                        F.lit(0.0), lambda acc, x: acc + x),
-                    dist_scale).alias("d"),
-                i.cast("int").alias("i")))
-        return F.array_min(opts)
+        return _kmeans_argmin(cents_, dist_scale)
 
     for _ in range(iters):
         assigned = v.withColumn("cluster", _assign(cents)["i"])
@@ -845,3 +833,59 @@ def kmeans(corpus: DataFrame, k: int = 8, iters: int = 3,
         best["i"].alias("cluster"),
         F.round(best["d"], 6).alias("dist"))
     return out, cents
+
+
+def kmeans_state_from_batch(batch: DataFrame, cents: list[list[float]],
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            dist_scale: int = 9,
+                            sum_scale: int = 9) -> DataFrame:
+    """Assign one batch against FIXED centroids and collapse it to the
+    linear-mergeable k-means sufficient statistics: (cluster, i, n, s)
+    rows — per-cluster member count and per-dimension coordinate sum.
+    One posexplode partial-agg shuffle; output is k x dim rows."""
+    v = batch.select(F.col(id_col).alias("id"),
+                     F.col(vec_col).cast("array<double>").alias("v"))
+    assigned = v.withColumn("cluster", _kmeans_argmin(cents, dist_scale)["i"])
+    return (assigned.select("cluster", F.posexplode("v").alias("i", "x"))
+            .groupBy("cluster", "i")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("x"), sum_scale).alias("s")))
+
+
+def kmeans_merge_state(state: DataFrame, delta: DataFrame,
+                       sum_scale: int = 9) -> DataFrame:
+    """Fold a batch's sufficient statistics into the running state —
+    pure linear merge (n+n, s+s), the same mergeable-summary shape as
+    the sketch folds, so at-least-once replay is handled by the caller
+    exactly like make_sketch_sink_writer handles it. k x dim rows."""
+    u = state.unionByName(delta)
+    return (u.groupBy("cluster", "i")
+            .agg(F.sum("n").cast("long").alias("n"),
+                 F.round(F.sum("s"), sum_scale).alias("s")))
+
+
+def kmeans_centroids_of(state_rows, prev: list[list[float]],
+                        round_scale: int = 12) -> list[list[float]]:
+    """State rows -> centroid table (sum/count per dimension, rounded);
+    clusters with no members keep their previous centroid."""
+    new = [list(c) for c in prev]
+    for r in state_rows:
+        if r["n"]:
+            new[r["cluster"]][r["i"]] = round(r["s"] / r["n"],
+                                              round_scale)
+    return new
+
+
+def _kmeans_argmin(cents_: list[list[float]], dist_scale: int):
+    carr = F.array(*[F.array(*[F.lit(x) for x in c]) for c in cents_])
+    return F.array_min(F.transform(
+        carr,
+        lambda c, i: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("v"), c,
+                               lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0), lambda acc, x: acc + x),
+                dist_scale).alias("d"),
+            i.cast("int").alias("i"))))

@@ -9706,3 +9706,105 @@ def envelope_ogg_roundtrip(spark, sf_dir):
     enc = ogg_json(cl, TableId.parse("tpch.public.customer"))
     dec = decode_ogg_json(enc, "value", cust.schema)
     return apply_changelog(dec, ["c_custkey"])
+
+
+def _kmeans_inc_oracle_sql(k: int = 8) -> str:
+    """Unrolled two-batch mini-batch k-means replay: batch 1 (even ids)
+    assigns against the seed centroids and collapses to (cluster, dim,
+    n, sum) statistics; centroids re-derive as sum/n; batch 2 (odd ids)
+    assigns against those, its delta MERGES linearly into the state;
+    the final assignment runs the whole corpus against the final
+    centroids. Same rounding contract as the batch Lloyd oracle
+    (dist 9, sums 9, centroids 12)."""
+    dist = ("ROUND(list_reduce(list_transform(list_zip(v.v, c.cv), "
+            "s -> (s[1] - s[2]) * (s[1] - s[2])), (a, b) -> a + b), 9)")
+    return f"""
+    WITH v AS MATERIALIZED (
+      SELECT vec_id AS id, vec_id % 2 = 0 AS even,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    c0 AS MATERIALIZED (
+      SELECT row_number() OVER (ORDER BY id) - 1 AS cid, v AS cv
+      FROM v WHERE even ORDER BY id LIMIT {k}),
+    a1 AS MATERIALIZED (
+      SELECT id, cid AS cluster FROM (
+        SELECT v.id, c.cid,
+               row_number() OVER (PARTITION BY v.id
+                                  ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM v CROSS JOIN c0 c WHERE v.even) WHERE rn = 1),
+    s1 AS MATERIALIZED (
+      SELECT a.cluster, t.i, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(v.v[t.i]), 9) AS s
+      FROM a1 a JOIN v ON v.id = a.id,
+           (SELECT unnest(generate_series(1, 64)) AS i) t
+      GROUP BY 1, 2),
+    c1 AS MATERIALIZED (
+      SELECT c0.cid,
+             COALESCE(n.cv, c0.cv) AS cv
+      FROM c0 LEFT JOIN
+           (SELECT cluster AS cid,
+                   list(ROUND(s / n, 12) ORDER BY i) AS cv
+            FROM s1 GROUP BY cluster) n USING (cid)),
+    a2 AS MATERIALIZED (
+      SELECT id, cid AS cluster FROM (
+        SELECT v.id, c.cid,
+               row_number() OVER (PARTITION BY v.id
+                                  ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM v CROSS JOIN c1 c WHERE NOT v.even) WHERE rn = 1),
+    d2 AS MATERIALIZED (
+      SELECT a.cluster, t.i, CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(v.v[t.i]), 9) AS s
+      FROM a2 a JOIN v ON v.id = a.id,
+           (SELECT unnest(generate_series(1, 64)) AS i) t
+      GROUP BY 1, 2),
+    s2 AS MATERIALIZED (
+      SELECT cluster, i, CAST(SUM(n) AS BIGINT) AS n,
+             ROUND(SUM(s), 9) AS s
+      FROM (SELECT * FROM s1 UNION ALL SELECT * FROM d2)
+      GROUP BY 1, 2),
+    c2 AS MATERIALIZED (
+      SELECT c1.cid, COALESCE(n.cv, c1.cv) AS cv
+      FROM c1 LEFT JOIN
+           (SELECT cluster AS cid,
+                   list(ROUND(s / n, 12) ORDER BY i) AS cv
+            FROM s2 GROUP BY cluster) n USING (cid))
+    SELECT id AS vec_id, cid AS cluster, ROUND(d9, 6) AS dist FROM (
+        SELECT v.id, c.cid, {dist} AS d9,
+               row_number() OVER (PARTITION BY v.id
+                                  ORDER BY {dist} ASC, c.cid ASC) AS rn
+        FROM v CROSS JOIN c2 c) WHERE rn = 1
+    """
+
+
+@_q("embedding_kmeans_incremental", _kmeans_inc_oracle_sql())
+def embedding_kmeans_incremental(spark, sf_dir):
+    """Mini-batch (streaming-fold) k-means: the corpus arrives as two
+    batches (even then odd ids); each batch assigns against the CURRENT
+    centroids and collapses to linear-mergeable (cluster, dim, count,
+    sum) statistics — the same mergeable-summary shape the sketch folds
+    stream through make_sketch_sink_writer, so centroids stay
+    maintainable under CDC without ever rescanning history. Only the
+    k x dim statistic table crosses batches. The oracle unrolls both
+    batch folds and the final full-corpus assignment with the batch
+    Lloyd determinism contract."""
+    from .operators.similarity import (_kmeans_argmin,
+                                       kmeans_centroids_of,
+                                       kmeans_merge_state,
+                                       kmeans_state_from_batch)
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    b2 = emb.where(F.col("vec_id") % 2 == 1)
+    init = (b1.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").cast("array<double>").alias("v"))
+            .orderBy("id").limit(8).collect())
+    c0 = [[float(x) for x in r["v"]] for r in init]
+    s1 = kmeans_state_from_batch(b1, c0).persist()
+    c1 = kmeans_centroids_of(s1.collect(), c0)
+    s2 = kmeans_merge_state(s1, kmeans_state_from_batch(b2, c1))
+    c2 = kmeans_centroids_of(s2.collect(), c1)
+    v = emb.select(F.col("vec_id"),
+                   F.col("embedding").cast("array<double>").alias("v"))
+    best = _kmeans_argmin(c2, 9)
+    return v.select("vec_id", best["i"].alias("cluster"),
+                    F.round(best["d"], 6).alias("dist"))

@@ -204,3 +204,36 @@ def test_zipf_slope_matches_numpy_fit(spark):
     assert r["slope"] == pytest.approx(slope, abs=1e-5)
     assert r["intercept"] == pytest.approx(intercept, abs=1e-5)
     assert 0.9 < r["r2"] <= 1.0
+
+
+def test_kmeans_state_fold_is_linear(spark):
+    """Sufficient statistics against FIXED centroids must merge
+    linearly: state(b1 ∪ b2) == merge(state(b1), state(b2)) — the
+    property that makes centroids maintainable under streaming folds
+    and at-least-once replay dedup."""
+    from flink_cdc_dsql_master_spark.operators.similarity import (
+        kmeans_merge_state, kmeans_state_from_batch,
+    )
+
+    cents = [[0.0, 0.0], [10.0, 10.0]]
+    rows1 = [(i, [float(i), 1.0]) for i in range(4)]
+    rows2 = [(i + 4, [float(i + 8), 2.0]) for i in range(4)]
+    mk = lambda rows: spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    whole = kmeans_state_from_batch(mk(rows1 + rows2), cents)
+    folded = kmeans_merge_state(kmeans_state_from_batch(mk(rows1), cents),
+                                kmeans_state_from_batch(mk(rows2), cents))
+    a = {(r["cluster"], r["i"]): (r["n"], r["s"])
+         for r in whole.collect()}
+    b = {(r["cluster"], r["i"]): (r["n"], r["s"])
+         for r in folded.collect()}
+    assert a == b
+    # and a cluster with NO members keeps its previous centroid
+    from flink_cdc_dsql_master_spark.operators.similarity import (
+        kmeans_centroids_of,
+    )
+    near0 = kmeans_state_from_batch(
+        mk([(0, [1.0, 0.0]), (1, [0.0, 1.0])]), cents)
+    c = kmeans_centroids_of(near0.collect(), cents)
+    assert c[0] == [0.5, 0.5]
+    assert c[1] == [10.0, 10.0]       # untouched
