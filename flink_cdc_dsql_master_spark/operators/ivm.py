@@ -108,3 +108,25 @@ def multiset_view(state: DataFrame, group_cols: list[str],
             .agg(F.count("*").cast("long").alias("n_distinct"),
                  F.min(value_col).alias("min_value"),
                  F.max(value_col).alias("max_value")))
+
+
+def rewrite_aggregate(state: DataFrame, rollup_group_cols: list[str],
+                      query_group_cols: list[str]) -> DataFrame:
+    """Materialized-view SUBSUMPTION rewrite: answer
+    ``SELECT g', COUNT(*), SUM(v), AVG(v) GROUP BY g'`` from the
+    maintained rollup whenever the query grain is a subset of the
+    rollup grain — COUNT/SUM are distributive, so re-aggregating the
+    rollup-sized state gives the exact base-table answer without
+    touching the fact table (the classic MV rewrite, here over the
+    IVM-maintained state: the query costs O(|rollup|) regardless of
+    fact volume). Raises when the grains don't subsume — the caller
+    must fall back to the base scan."""
+    missing = set(query_group_cols) - set(rollup_group_cols)
+    if missing:
+        raise ValueError(
+            f"query groups {sorted(missing)} not in rollup grain "
+            f"{rollup_group_cols}: rewrite unsound, scan the base")
+    return (state.groupBy(*query_group_cols)
+            .agg(F.sum("d_n").cast("long").alias("n"),
+                 F.sum("d_total").alias("total"))
+            .withColumn("avg_value", F.col("total") / F.col("n")))

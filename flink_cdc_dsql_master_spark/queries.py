@@ -9808,3 +9808,65 @@ def embedding_kmeans_incremental(spark, sf_dir):
     best = _kmeans_argmin(c2, 9)
     return v.select("vec_id", best["i"].alias("cluster"),
                     F.round(best["d"], 6).alias("dist"))
+
+
+@_q(
+    "rollup_query_rewrite",
+    """
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CASE WHEN o_orderkey % 3 = 0
+                          THEN o_totalprice + 100.0
+                          ELSE o_totalprice END), 4) AS total,
+           ROUND(SUM(CASE WHEN o_orderkey % 3 = 0
+                          THEN o_totalprice + 100.0
+                          ELSE o_totalprice END) / COUNT(*), 6)
+             AS avg_value
+    FROM orders WHERE o_orderkey % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def rollup_query_rewrite(spark, sf_dir):
+    """Materialized-view subsumption rewrite (ivm.rewrite_aggregate):
+    a (status, priority)-grain rollup is MAINTAINED from a two-batch
+    changelog (inserts + paired-image updates + deletes folded as
+    signed partials), then a COARSER status-grain aggregate is answered
+    by re-aggregating the rollup state — the fact table is never
+    rescanned, the rewrite costs O(|rollup|). The oracle computes the
+    same aggregate directly from the netted table state, so the row
+    proves maintenance AND rewrite are jointly exact."""
+    from .operators.ivm import merge_rollup, rewrite_aggregate, rollup_delta
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    p0 = F.col("o_totalprice")
+    p1 = F.when(k % 3 == 0, p0 + 100.0).otherwise(p0)
+    base = o.select(k.alias("k"),
+                    F.col("o_orderstatus").alias("status"),
+                    F.col("o_orderpriority").alias("priority"),
+                    p0.alias("p0"), p1.alias("p1"))
+
+    def events(df):
+        ins = df.select("k", "status", "priority",
+                        F.col("p0").alias("price")) \
+            .withColumn(OP_COLUMN, F.lit("+I"))
+        ub = df.where(F.col("k") % 3 == 0).select(
+            "k", "status", "priority", F.col("p0").alias("price")) \
+            .withColumn(OP_COLUMN, F.lit("-U"))
+        ua = df.where(F.col("k") % 3 == 0).select(
+            "k", "status", "priority", F.col("p1").alias("price")) \
+            .withColumn(OP_COLUMN, F.lit("+U"))
+        de = df.where(F.col("k") % 7 == 0).select(
+            "k", "status", "priority", F.col("p1").alias("price")) \
+            .withColumn(OP_COLUMN, F.lit("-D"))
+        return ins.unionByName(ub).unionByName(ua).unionByName(de)
+
+    grain = ["status", "priority"]
+    b1 = events(base.where(F.col("k") % 2 == 0))
+    b2 = events(base.where(F.col("k") % 2 == 1))
+    state = merge_rollup(None, rollup_delta(b1, grain, "price"), grain)
+    state = merge_rollup(state, rollup_delta(b2, grain, "price"), grain)
+    out = rewrite_aggregate(state, grain, ["status"])
+    return out.select("status", "n",
+                      F.round("total", 4).alias("total"),
+                      F.round(F.col("total") / F.col("n"), 6)
+                      .alias("avg_value"))
