@@ -566,7 +566,8 @@ def delete_versioned(spark, path: str, predicate,
 def read_versioned(spark, path: str, version: int | None = None,
                    key_range: tuple | None = None,
                    point: tuple | None = None,
-                   as_of_ts: float | None = None) -> DataFrame:
+                   as_of_ts: float | None = None,
+                   parts: tuple | None = None) -> DataFrame:
     """Read a versioned table at ``version`` (default: latest) — time
     travel is just pinning an older manifest. The file list is explicit,
     so readers are isolated from concurrent merges. ``key_range =
@@ -580,7 +581,7 @@ def read_versioned(spark, path: str, version: int | None = None,
         if version is not None:
             raise ValueError("pass version OR as_of_ts, not both")
         version = version_as_of(path, as_of_ts)
-    plan = plan_files(path, version, key_range, point)
+    plan = plan_files(path, version, key_range, point, parts)
     if not plan["paths"]:
         from pyspark.sql import types as _T
         return spark.createDataFrame(
@@ -969,7 +970,8 @@ def index_bloom_versioned(path: str, col: str, bits_per_key: int = 10,
 
 def plan_files(path: str, version: int | None = None,
                key_range: tuple | None = None,
-               point: tuple | None = None) -> dict:
+               point: tuple | None = None,
+               parts: tuple | None = None) -> dict:
     """The data-skipping planner: resolve a version's file list and, if
     ``key_range = (col, lo, hi)`` is given, drop every file whose
     footer min/max (recorded in the manifest at commit time) proves it
@@ -985,7 +987,21 @@ def plan_files(path: str, version: int | None = None,
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     m = _load_manifest(local, v)
-    rels = [rel for fs in m["files"].values() for rel in fs]
+    if parts is not None:
+        kind = parts[0]
+        if kind == "range":
+            keep_part = lambda pv: parts[1] <= pv <= parts[2]
+        elif kind == "set":
+            allowed = set(parts[1])
+            keep_part = lambda pv: pv in allowed
+        else:
+            raise ValueError(f"bad parts predicate {parts!r}")
+        part_items = [(pv, fs) for pv, fs in m["files"].items()
+                      if keep_part(pv)]
+    else:
+        part_items = list(m["files"].items())
+    rels = [rel for _, fs in part_items for rel in fs]
+    n_all = sum(len(fs) for fs in m["files"].values())
     stats = m.get("file_stats", {})
     if key_range is None:
         ranges = []
@@ -1011,9 +1027,92 @@ def plan_files(path: str, version: int | None = None,
         if not skip:
             kept.append(rel)
     return {"paths": [os.path.join(local, rel) for rel in kept],
-            "skipped": len(rels) - len(kept), "total": len(rels),
+            "skipped": n_all - len(kept), "total": n_all,
             "schema": m["schema"], "dv": m.get("dv"),
             "pks": m.get("pks")}
+
+
+def partition_transform_expr(spec: str):
+    """Iceberg-style partition TRANSFORM -> a string partition-value
+    Column (hidden partitioning: the table is partitioned by a
+    FUNCTION of a data column, and readers prune by predicates on the
+    data column — they never mention the partition column):
+
+      identity(col) | day(ts_col) | month(ts_col) |
+      truncate(W, col) | bucket(N, col)
+
+    Values are strings (hive dir names); day/month use ISO formats so
+    lexicographic order == chronological order (what makes range
+    pruning a string comparison)."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\w+)\(([^)]*)\)", spec.strip())
+    if not m:
+        raise ValueError(f"bad partition transform {spec!r}")
+    fn, args = m.group(1), [a.strip() for a in m.group(2).split(",")]
+    if fn == "identity":
+        return F.col(args[0]).cast("string")
+    if fn == "day":
+        return F.date_format(F.col(args[0]), "yyyy-MM-dd")
+    if fn == "month":
+        return F.date_format(F.col(args[0]), "yyyy-MM")
+    if fn == "truncate":
+        w = int(args[0])
+        return (F.floor(F.col(args[1]) / w) * w).cast("long").cast("string")
+    if fn == "bucket":
+        n = int(args[0])
+        return F.pmod(F.xxhash64(F.col(args[1])), F.lit(n)).cast("string")
+    raise ValueError(f"unknown partition transform {fn!r}")
+
+
+def with_transform_partition(df: DataFrame, spec: str,
+                             part_col: str = "part") -> DataFrame:
+    """Attach the hidden-partition value column for ``spec``."""
+    return df.withColumn(part_col, partition_transform_expr(spec))
+
+
+def partitions_for_range(spec: str, lo, hi):
+    """The partition-value predicate implied by ``col BETWEEN lo AND
+    hi`` under ``spec`` — the planner half of hidden partitioning.
+    Returns ("range", lo_s, hi_s) for order-preserving transforms
+    (identity/day/month: ISO strings compare chronologically;
+    truncate: explicit value set), or None when the transform cannot
+    prune ranges (bucket — use partitions_for_point)."""
+    import datetime as _dt
+    import re as _re
+
+    m = _re.fullmatch(r"(\w+)\(([^)]*)\)", spec.strip())
+    fn, args = m.group(1), [a.strip() for a in m.group(2).split(",")]
+    if fn == "identity":
+        return ("range", str(lo), str(hi))
+    if fn in ("day", "month"):
+        pat = "%Y-%m-%d" if fn == "day" else "%Y-%m"
+        f = lambda v: v.strftime(pat) if isinstance(
+            v, (_dt.date, _dt.datetime)) else str(v)
+        return ("range", f(lo), f(hi))
+    if fn == "truncate":
+        w = int(args[0])
+        vals = [str(b) for b in range((int(lo) // w) * w,
+                                      (int(hi) // w) * w + 1, w)]
+        return ("set", vals)
+    return None
+
+
+def partitions_for_point(spec: str, value):
+    """The single partition value holding ``col == value``."""
+    import re as _re
+
+    m = _re.fullmatch(r"(\w+)\(([^)]*)\)", spec.strip())
+    fn, args = m.group(1), [a.strip() for a in m.group(2).split(",")]
+    if fn == "bucket":
+        # xxhash64 is engine-side; resolve via a 1-row local job is
+        # overkill — callers with bucket specs prune via plan-time
+        # evaluation in Spark; return None to read all partitions.
+        return None
+    r = partitions_for_range(spec, value, value)
+    if r is None:
+        return None
+    return ("set", [r[1]]) if r[0] == "range" else r
 
 
 def metadata_aggregate(path: str, version: int | None = None) -> dict:

@@ -290,3 +290,66 @@ def test_zorder_clustering_prunes_both_dimensions(spark):
     got = {(r3["a"], r3["b"])
            for r3 in read_versioned(spark, path, key_range=q).collect()}
     assert got == {(a, b) for _, a, b in rows if a <= 7 and b <= 7}
+
+
+# -------------------------------------------- hidden partition transforms
+
+
+def test_day_transform_hidden_partition_pruning(spark):
+    import datetime as dt
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        merge_into_versioned_parquet, partitions_for_range, plan_files,
+        read_versioned, with_transform_partition,
+    )
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    base = dt.datetime(2026, 3, 1, 0, 30)
+    rows = [(i, base + dt.timedelta(hours=i), float(i))
+            for i in range(96)]                       # 4 days hourly
+    b1 = (spark.createDataFrame(rows, "k long, ts timestamp, v double")
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of(b1.drop("__op", "__seq").schema,
+                       primary_keys=["k"])
+    path = os.path.join(tempfile.mkdtemp(prefix="hp_tbl_"), "t")
+    merge_into_versioned_parquet(
+        path, with_transform_partition(b1, "day(ts)"), schema)
+
+    lo, hi = dt.datetime(2026, 3, 2), dt.datetime(2026, 3, 3, 23, 59)
+    parts = partitions_for_range("day(ts)", lo, hi)
+    assert parts == ("range", "2026-03-02", "2026-03-03")
+    plan = plan_files(path, parts=parts)
+    assert plan["skipped"] >= 2 and plan["total"] >= 4   # 2 of 4 days out
+    got = (read_versioned(spark, path, parts=parts)
+           .where((F.col("ts") >= lo) & (F.col("ts") <= hi)))
+    want = [(k, ts, v) for k, ts, v in rows if lo <= ts <= hi]
+    assert sorted((r["k"], r["ts"], r["v"]) for r in got.collect()) \
+        == sorted(want)
+
+
+def test_truncate_transform_set_pruning(spark):
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        merge_into_versioned_parquet, partitions_for_range, plan_files,
+        read_versioned, with_transform_partition,
+    )
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    b1 = (spark.createDataFrame(
+        [(i, float(i)) for i in range(100)], "k long, v double")
+        .withColumn(OP_COLUMN, F.lit("+I"))
+        .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of(b1.drop("__op", "__seq").schema,
+                       primary_keys=["k"])
+    path = os.path.join(tempfile.mkdtemp(prefix="hp_tr_"), "t")
+    merge_into_versioned_parquet(
+        path, with_transform_partition(b1, "truncate(10, k)"), schema)
+    parts = partitions_for_range("truncate(10, k)", 35, 54)
+    assert parts == ("set", ["30", "40", "50"])
+    plan = plan_files(path, parts=parts)
+    assert plan["total"] - plan["skipped"] == 3     # 3 of 10 width-10 bins
+    got = (read_versioned(spark, path, parts=parts)
+           .where(F.col("k").between(35, 54)))
+    assert sorted(r["k"] for r in got.collect()) == list(range(35, 55))
