@@ -295,11 +295,141 @@ def _commit_manifest(local: str, version: int, manifest: dict) -> None:
         os.remove(tmp)
 
 
+def _staged_file(local: str, staged_id: str) -> str:
+    return os.path.join(local, LOG_DIR, f"staged_{staged_id}.json")
+
+
+def _load_staged(local: str, staged_id: str) -> dict:
+    p = _staged_file(local, staged_id)
+    if not os.path.exists(p):
+        raise FileNotFoundError(f"no staged commit {staged_id}")
+    with open(p) as f:
+        return json.load(f)
+
+
+def read_staged(spark, path: str, staged_id: str) -> DataFrame:
+    """Audit face of write-audit-publish: the staged (not yet
+    published) files — exactly what publish would make visible for the
+    rewritten partitions. Run DQ checks here; publish only on pass."""
+    local = _local(path)
+    st = _load_staged(local, staged_id)
+    paths = [os.path.join(local, rel)
+             for fs in st["new_files"].values() for rel in fs]
+    if not paths:
+        from pyspark.sql import types as _T
+        return spark.createDataFrame(
+            [], _T.StructType.fromJson(json.loads(st["schema"])))
+    return (spark.read.option("mergeSchema", "true")
+            .option("basePath", local).parquet(*paths))
+
+
+def publish_staged(spark, path: str, staged_id: str) -> dict:
+    """Publish a staged commit through the SAME optimistic-concurrency
+    loop as a direct merge: commits that landed since the stage's base
+    snapshot rebase if disjoint, conflict if they touched the staged
+    partitions. The staged manifest is consumed on success."""
+    local = _local(path)
+    st = _load_staged(local, staged_id)
+    r = _occ_commit(spark, path, local, st["part_col"], st["base_v"],
+                    set(st["affected"]),
+                    {k: list(v) for k, v in st["new_files"].items()},
+                    st["new_stats"], st["new_rels"], st["schema"],
+                    st.get("epoch"), st["pks"])
+    os.remove(_staged_file(local, staged_id))
+    return r
+
+
+def discard_staged(path: str, staged_id: str) -> None:
+    """Abandon a staged commit (failed audit): drop the staged
+    manifest; its files are orphans the next vacuum reclaims."""
+    os.remove(_staged_file(_local(path), staged_id))
+
+
+def _occ_commit(spark, path: str, local: str, part_col: str,
+                base_v: int, affected, new_files: dict,
+                new_stats: dict, new_rels: list, schema_json: str,
+                epoch, pks: list) -> dict:
+    """The optimistic-concurrency commit loop (Delta/Iceberg OCC),
+    shared by direct merges and staged (write-audit-publish) commits.
+
+    The transaction read snapshot ``base_v``; commits that landed since
+    then REBASE cleanly iff they touched disjoint partitions (their
+    partitions carry forward from the CURRENT latest manifest, ours
+    come from the staged rewrite — sound because nobody else touched
+    ours, checked below). Overlap => CommitConflictError: the staged
+    rewrite was computed against stale content. The commit itself is an
+    exclusive os.link, so two racers can never both publish the same
+    version — the loser just takes another lap."""
+    rewritten = sorted(new_files)
+    dropped = [v for v in affected if v not in new_files]
+    for _attempt in range(5):
+        cur_versions = list_versions(path)
+        latest_v = cur_versions[-1] if cur_versions else 0
+        for v2 in cur_versions:
+            if v2 <= base_v:
+                continue
+            m2 = _load_manifest(local, v2)
+            touched = set(m2["op"].get("rewritten", [])) | \
+                set(m2["op"].get("dropped", []))
+            if m2["op"].get("dv_deleted"):
+                # a DV commit tombstones rows in specific partitions;
+                # old manifests without the record conflict conservatively
+                dvp = m2["op"].get("dv_parts")
+                touched |= set(dvp) if dvp is not None else set(affected)
+            if touched & set(affected):
+                raise CommitConflictError(
+                    f"version {v2} touched partitions "
+                    f"{sorted(touched & set(affected))} after this "
+                    f"transaction's base snapshot {base_v}")
+        base_m = _load_manifest(local, latest_v) if cur_versions else None
+        lat_files = base_m["files"] if base_m else {}
+        lat_stats = base_m.get("file_stats", {}) if base_m else {}
+        files = {v: sorted(fs) for v, fs in lat_files.items()
+                 if v not in affected}
+        files.update({v: sorted(fs) for v, fs in new_files.items()})
+        file_stats = {rel: lat_stats[rel]
+                      for fs in files.values() for rel in fs
+                      if rel in lat_stats}
+        file_stats.update(new_stats)
+        new_version = latest_v + 1
+        # tombstones in rewritten partitions were just resolved
+        # physically (and any changelog key's partition is rewritten, so
+        # a re-upsert of a DV'd key resurrects cleanly); the rest carry
+        # forward FROM THE LATEST manifest (concurrent deletes to other
+        # partitions survive the rebase)
+        dv_rel, dv_rows = None, 0
+        lat_dv = base_m.get("dv") if base_m else None
+        if lat_dv:
+            dv_lat = spark.read.parquet(os.path.join(local, lat_dv))
+            dv_rest = dv_lat.where(
+                ~F.col(part_col).cast("string").isin(list(affected)))
+            dv_rows = dv_rest.count()
+            if dv_rows:
+                dv_rel = _write_dv(dv_rest, local, new_version)
+        manifest = {"version": new_version, "ts": time.time(),
+                    "part_col": part_col, "schema": schema_json,
+                    "files": files, "file_stats": file_stats,
+                    "epoch": epoch, "dv": dv_rel, "pks": pks,
+                    "dv_rows": dv_rows,
+                    "op": {"rewritten": rewritten, "dropped": dropped}}
+        if base_m:
+            manifest.update(
+                _refresh_blooms(local, base_m, files, new_rels))
+        try:
+            _commit_manifest(local, new_version, manifest)
+        except FileExistsError:
+            continue  # lost the publish race: rebase and retry
+        return {"version": new_version, "rewritten": rewritten,
+                "dropped": dropped}
+    raise CommitConflictError("lost the publish race 5 times")
+
+
 def merge_into_versioned_parquet(path: str, changelog: DataFrame,
                                  schema: Schema, part_col: str = "part",
                                  epoch: str | None = None,
                                  base_version: int | None = None,
-                                 constraints: list | None = None) -> dict:
+                                 constraints: list | None = None,
+                                 stage_only: bool = False) -> dict:
     """MERGE a changelog batch into a versioned parquet table, committing
     a new manifest version. Only the partitions the batch touches are
     re-materialized (their files re-written under new names); untouched
@@ -406,87 +536,37 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
             new_files.setdefault(v, []).append(f"{entry}/{fn}")
     shutil.rmtree(staging, ignore_errors=True)
 
-    files = {v: sorted(fs) for v, fs in prev_files.items()
-             if v not in affected}
-    files.update({v: sorted(fs) for v, fs in new_files.items()})
-    rewritten = sorted(new_files)
-    dropped = [v for v in affected if v not in new_files]
-
     # footer min/max of the PK columns per NEW file (data pages never
     # read); carried-forward files keep their recorded stats — the
     # data-skipping index plan_files() prunes with
     new_rels = [rel for fs in new_files.values() for rel in fs]
     new_stats = collect_file_stats(local, new_rels, pks)
 
-    # ---- optimistic-concurrency commit loop (Delta/Iceberg OCC) ----
-    # The transaction read snapshot ``base_v``; commits that landed
-    # since then REBASE cleanly iff they touched disjoint partitions
-    # (their partitions carry forward from the CURRENT latest manifest,
-    # ours come from the staged rewrite — sound because nobody else
-    # touched ours, checked below). Overlap => CommitConflictError: the
-    # staged rewrite was computed against stale content. The commit
-    # itself is an exclusive os.link, so two racers can never both
-    # publish the same version — the loser just takes another lap.
-    for _attempt in range(5):
-        cur_versions = list_versions(path)
-        latest_v = cur_versions[-1] if cur_versions else 0
-        for v2 in cur_versions:
-            if v2 <= base_v:
-                continue
-            m2 = _load_manifest(local, v2)
-            touched = set(m2["op"].get("rewritten", [])) | \
-                set(m2["op"].get("dropped", []))
-            if m2["op"].get("dv_deleted"):
-                # a DV commit tombstones rows in specific partitions;
-                # old manifests without the record conflict conservatively
-                dvp = m2["op"].get("dv_parts")
-                touched |= set(dvp) if dvp is not None else set(affected)
-            if touched & set(affected):
-                raise CommitConflictError(
-                    f"version {v2} touched partitions "
-                    f"{sorted(touched & set(affected))} after this "
-                    f"transaction's base snapshot {base_v}")
-        base_m = _load_manifest(local, latest_v) if cur_versions else None
-        lat_files = base_m["files"] if base_m else {}
-        lat_stats = base_m.get("file_stats", {}) if base_m else {}
-        files = {v: sorted(fs) for v, fs in lat_files.items()
-                 if v not in affected}
-        files.update({v: sorted(fs) for v, fs in new_files.items()})
-        file_stats = {rel: lat_stats[rel]
-                      for fs in files.values() for rel in fs
-                      if rel in lat_stats}
-        file_stats.update(new_stats)
-        new_version = latest_v + 1
-        # tombstones in rewritten partitions were just resolved
-        # physically (and any changelog key's partition is rewritten, so
-        # a re-upsert of a DV'd key resurrects cleanly); the rest carry
-        # forward FROM THE LATEST manifest (concurrent deletes to other
-        # partitions survive the rebase)
-        dv_rel, dv_rows = None, 0
-        lat_dv = base_m.get("dv") if base_m else None
-        if lat_dv:
-            dv_lat = spark.read.parquet(os.path.join(local, lat_dv))
-            dv_rest = dv_lat.where(
-                ~F.col(part_col).cast("string").isin(list(affected)))
-            dv_rows = dv_rest.count()
-            if dv_rows:
-                dv_rel = _write_dv(dv_rest, local, new_version)
-        manifest = {"version": new_version, "ts": time.time(),
-                    "part_col": part_col, "schema": out.schema.json(),
-                    "files": files, "file_stats": file_stats,
-                    "epoch": epoch, "dv": dv_rel, "pks": pks,
-                    "dv_rows": dv_rows,
-                    "op": {"rewritten": rewritten, "dropped": dropped}}
-        if base_m:
-            manifest.update(
-                _refresh_blooms(local, base_m, files, new_rels))
-        try:
-            _commit_manifest(local, new_version, manifest)
-        except FileExistsError:
-            continue  # lost the publish race: rebase and retry
-        return {"version": new_version, "rewritten": rewritten,
-                "dropped": dropped}
-    raise CommitConflictError("lost the publish race 5 times")
+    if stage_only:
+        # write-audit-publish: the physical write happened (files are
+        # in the partition dirs but referenced by NO published
+        # manifest — invisible to every reader), the COMMIT is held in
+        # a staged manifest until publish_staged(). Audits read the
+        # staged files; a failed audit discards the stage and the
+        # orphaned files vacuum away.
+        staged_id = uuid.uuid4().hex[:12]
+        staged = {"staged_id": staged_id, "ts": time.time(),
+                  "base_v": base_v, "affected": list(affected),
+                  "new_files": new_files, "new_stats": new_stats,
+                  "new_rels": new_rels, "schema": out.schema.json(),
+                  "part_col": part_col, "pks": pks, "epoch": epoch}
+        target = os.path.join(local, LOG_DIR,
+                              f"staged_{staged_id}.json")
+        tmp = target + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(staged, f)
+        os.rename(tmp, target)
+        return {"staged_id": staged_id,
+                "rewritten": sorted(new_files)}
+
+    return _occ_commit(spark, path, local, part_col, base_v, affected,
+                       new_files, new_stats, new_rels,
+                       out.schema.json(), epoch, pks)
 
 
 def _read_dv(spark, local: str, m: dict):
@@ -629,6 +709,14 @@ def vacuum_versioned(path: str, keep_last: int = 1) -> dict:
     for v in keep:
         for fs in _load_manifest(local, v)["files"].values():
             live.update(fs)
+    # staged (write-audit-publish) commits are live until published or
+    # discarded — their files must survive vacuum
+    logd_ = os.path.join(local, LOG_DIR)
+    for entry in os.listdir(logd_):
+        if entry.startswith("staged_") and entry.endswith(".json"):
+            with open(os.path.join(logd_, entry)) as f:
+                for fs in json.load(f)["new_files"].values():
+                    live.update(fs)
     removed = 0
     for entry in os.listdir(local):
         if "=" not in entry or not os.path.isdir(

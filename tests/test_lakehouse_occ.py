@@ -168,3 +168,79 @@ def test_check_constraints_on_partitioned_merge(spark):
     got = {r["k"]: r["price"]
            for r in read_partitioned(spark, path).collect()}
     assert got == {i: float(i * 10) for i in range(10)}
+
+
+def test_write_audit_publish_happy_path(spark):
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        list_versions, publish_staged, read_staged, read_versioned,
+    )
+
+    path, schema = _seed(spark)
+    up = _batch(spark, 40, 50, 2, "B")
+    r = merge_into_versioned_parquet(
+        path, with_bucket_partition(up, "k", 8), schema,
+        stage_only=True)
+    sid = r["staged_id"]
+    # invisible until published
+    assert list_versions(path) == [1]
+    assert read_versioned(spark, path).count() == 40
+    # audit sees exactly the staged partition content
+    audit = read_staged(spark, path, sid)
+    assert {x["k"] for x in audit.collect()} >= set(range(40, 50))
+    pub = publish_staged(spark, path, sid)
+    assert pub["version"] == 2
+    assert read_versioned(spark, path).count() == 50
+    # staged manifest consumed: double-publish fails loudly
+    with pytest.raises(FileNotFoundError):
+        publish_staged(spark, path, sid)
+
+
+def test_write_audit_discard_then_vacuum_reclaims(spark):
+    import os as _os
+
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        _local, discard_staged, read_versioned, vacuum_versioned,
+    )
+
+    path, schema = _seed(spark)
+    bad = _batch(spark, 100, 110, 2, "X")
+    r = merge_into_versioned_parquet(
+        path, with_bucket_partition(bad, "k", 8), schema,
+        stage_only=True)
+    sid = r["staged_id"]
+    n_files_before = sum(
+        1 for dp, _, fs in _os.walk(_local(path))
+        for f in fs if f.endswith(".parquet"))
+    # staged files survive a vacuum while the stage is open
+    vacuum_versioned(path, keep_last=1)
+    n_after_open = sum(
+        1 for dp, _, fs in _os.walk(_local(path))
+        for f in fs if f.endswith(".parquet"))
+    assert n_after_open == n_files_before
+    # failed audit: discard, vacuum reclaims the orphans
+    discard_staged(path, sid)
+    vacuum_versioned(path, keep_last=1)
+    n_after_discard = sum(
+        1 for dp, _, fs in _os.walk(_local(path))
+        for f in fs if f.endswith(".parquet"))
+    assert n_after_discard < n_after_open
+    assert read_versioned(spark, path).count() == 40   # table untouched
+
+
+def test_staged_publish_conflicts_like_direct_merge(spark):
+    from flink_cdc_dsql_master_spark.lakehouse import publish_staged
+
+    path, schema = _seed(spark, buckets=4)
+    up = spark.createDataFrame(
+        [(0, 111.0, "X", "+U", 5)],
+        "k long, price double, status string, __op string, __seq long")
+    pu = with_bucket_partition(up, "k", 4)
+    r = merge_into_versioned_parquet(path, pu, schema, stage_only=True)
+    # a direct merge to the SAME partition lands while the stage is open
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(spark.createDataFrame(
+            [(4, 222.0, "Y", "+U", 6)],
+            "k long, price double, status string, __op string, "
+            "__seq long"), "k", 4), schema)
+    with pytest.raises(CommitConflictError):
+        publish_staged(spark, path, r["staged_id"])
