@@ -9870,3 +9870,49 @@ def rollup_query_rewrite(spark, sf_dir):
                       F.round("total", 4).alias("total"),
                       F.round(F.col("total") / F.col("n"), 6)
                       .alias("avg_value"))
+
+
+@_q(
+    "multimodal_video_frames",
+    """
+    WITH vids AS MATERIALIZED (
+      SELECT doc_id, CAST(3 + doc_id % 4 AS INT) AS n FROM documents
+      WHERE doc_id < 300),
+    frames AS (
+      SELECT doc_id, n,
+             unnest(generate_series(0, n - 1, 2)) AS fi FROM vids)
+    SELECT f.doc_id AS media_id, CAST(f.fi AS INT) AS frame_idx,
+           f.n AS n_frames, 8 AS width, 6 AS height,
+           ROUND(SUM(((i * 37 + f.fi) % 256)
+                     + ((j * 53 + f.fi) % 256)
+                     + ((i * 7 + j * 11 + f.fi) % 256))
+                 / (8 * 6 * 3.0), 4) AS mean_pixel
+    FROM frames f, unnest(range(0, 8)) a(i), unnest(range(0, 6)) b(j)
+    GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_video_frames(spark, sf_dir):
+    """REAL video frame sampling (multimodal.decode_video_frames): each
+    synthesized 'video' (3-6 concatenated P6 frames, integer-exact
+    per-frame gradients) is split by PARSING the first frame's header,
+    every 2nd frame sliced and decoded with the real PPM kernel, and
+    the decoded per-frame pixel means must equal the oracle's direct
+    integer arithmetic over the synthesis formula — proving the slicing
+    boundaries AND the decode are byte-exact. Skipped frames are never
+    decoded (the economics of frame sampling). Payload bytes never
+    shuffle; decode cost is O(sampled frames)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.multimodal import (decode_video_frames,
+                                       synth_video_bytes)
+
+    @pandas_udf("binary")
+    def synth(ids):
+        return ids.map(lambda i: synth_video_bytes(8, 6, 3 + int(i) % 4))
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300) \
+        .select(F.col("doc_id").alias("media_id"))
+    media = docs.withColumn("payload", synth("media_id"))
+    out = decode_video_frames(media, every_k=2)
+    return out.select("media_id", "frame_idx", "n_frames", "width",
+                      "height", F.round("mean_pixel", 4).alias("mean_pixel"))

@@ -187,3 +187,20 @@ def test_png_checksum_feature_matches_gradient():
     assert feat[:6] == [float(w), float(h), float((rs + gs + bs) % 997),
                         float(rs % 997), float(gs % 997), float(bs % 997)]
     assert feat[6:] == [0.0, 0.0]
+
+
+def test_video_frame_sampling_boundaries(spark):
+    from flink_cdc_dsql_master_spark.operators.multimodal import (
+        decode_video_frames, synth_video_bytes,
+    )
+
+    rows = [(1, synth_video_bytes(4, 3, 5)),   # frames 0,2,4 sampled
+            (2, synth_video_bytes(4, 3, 1)),   # single frame
+            (3, None)]                         # null payload skipped
+    df = spark.createDataFrame(rows, "media_id long, payload binary")
+    got = {(r["media_id"], r["frame_idx"]): (r["n_frames"], r["width"],
+                                             r["height"])
+           for r in decode_video_frames(df, every_k=2).collect()}
+    assert set(got) == {(1, 0), (1, 2), (1, 4), (2, 0)}
+    assert got[(1, 4)] == (5, 4, 3)
+    assert got[(2, 0)] == (1, 4, 3)
