@@ -9916,3 +9916,55 @@ def multimodal_video_frames(spark, sf_dir):
     out = decode_video_frames(media, every_k=2)
     return out.select("media_id", "frame_idx", "n_frames", "width",
                       "height", F.round("mean_pixel", 4).alias("mean_pixel"))
+
+
+@_q(
+    "eval_langid_confusion",
+    f"""
+    WITH w AS MATERIALIZED (
+      SELECT doc_id, lang,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents),
+    scores AS (
+      SELECT doc_id, w.lang AS lang_true, l.lang AS lang_cand,
+             CAST(len(list_filter(ws, x -> list_contains(l.markers, x)))
+                  AS DOUBLE) / greatest(len(ws), 1) AS score
+      FROM w, {{lv}}),
+    best AS (
+      SELECT doc_id, lang_true,
+             CASE WHEN score > 0 THEN lang_cand ELSE 'und' END
+               AS lang_pred
+      FROM scores
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC,
+                                          lang_cand DESC) = 1),
+    cm AS MATERIALIZED (
+      SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
+      FROM best GROUP BY 1, 2),
+    tot AS (SELECT lang_true, SUM(n) AS t FROM cm GROUP BY 1)
+    SELECT cm.lang_true, cm.lang_pred, cm.n,
+           ROUND(CAST(cm.n AS DOUBLE) / tot.t, 6) AS share_of_label
+    FROM cm JOIN tot USING (lang_true)
+    """.format(lv=_LANG_VALUES_SQL),
+)
+def eval_langid_confusion(spark, sf_dir):
+    """Language-ID quality gate (companion of eval_ann_recall /
+    eval_lsh_recall): the confusion matrix of the marker-stopword
+    detector against the corpus's labeled ``lang`` column, with each
+    cell's share of its true-label row — the per-language
+    recall-diagonal a curation rollout reads before trusting the
+    detector's language cuts. Matrix-sized output (|langs|^2), one
+    groupBy over the prediction stream."""
+    from .operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    pred = text_ops.detect_language(docs).select("doc_id", "lang_pred")
+    j = docs.select("doc_id", F.col("lang").alias("lang_true")) \
+        .join(pred, "doc_id")
+    cm = j.groupBy("lang_true", "lang_pred").agg(
+        F.count("*").cast("long").alias("n"))
+    tot = cm.groupBy("lang_true").agg(F.sum("n").alias("t"))
+    return (cm.join(F.broadcast(tot), "lang_true")
+            .select("lang_true", "lang_pred", "n",
+                    F.round(F.col("n").cast("double") / F.col("t"), 6)
+                    .alias("share_of_label")))
