@@ -9968,3 +9968,94 @@ def eval_langid_confusion(spark, sf_dir):
             .select("lang_true", "lang_pred", "n",
                     F.round(F.col("n").cast("double") / F.col("t"), 6)
                     .alias("share_of_label")))
+
+
+@_q(
+    "timeseries_cusum_alarms",
+    """
+    WITH RECURSIVE s AS MATERIALIZED (
+      SELECT event_type, event_id, CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id) AS rn
+      FROM events),
+    st AS MATERIALIZED (
+      SELECT event_type, mu, sg,
+             ROUND(CAST(0.5 AS DOUBLE) * sg, 6) AS a
+      FROM (SELECT event_type,
+                   ROUND(AVG(x), 6) AS mu,
+                   ROUND(SQRT(GREATEST(AVG(x * x) - AVG(x) * AVG(x),
+                                       0)), 6) AS sg
+            FROM s GROUP BY 1)),
+    rec(event_type, rn, shi, slo) AS (
+      SELECT s.event_type, s.rn,
+             GREATEST(0, s.x - st.mu - st.a),
+             GREATEST(0, st.mu - s.x - st.a)
+      FROM s JOIN st USING (event_type) WHERE s.rn = 1
+      UNION ALL
+      SELECT r.event_type, r.rn + 1,
+             GREATEST(0, r.shi + s.x - st.mu - st.a),
+             GREATEST(0, r.slo + st.mu - s.x - st.a)
+      FROM rec r
+      JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1
+      JOIN st ON st.event_type = r.event_type)
+    SELECT s.event_type, s.event_id,
+           CASE WHEN r.shi > 4 * st.sg THEN 'up' ELSE 'down' END
+             AS drift,
+           ROUND(GREATEST(r.shi, r.slo), 6) AS cusum
+    FROM rec r
+    JOIN s ON s.event_type = r.event_type AND s.rn = r.rn
+    JOIN st ON st.event_type = r.event_type
+    WHERE r.shi > 4 * st.sg OR r.slo > 4 * st.sg
+    """,
+)
+def timeseries_cusum_alarms(spark, sf_dir):
+    """Two-sided CUSUM changepoint alarms (Page 1954) per event-type
+    series: s± accumulate clamped deviations beyond a 0.5-sigma
+    allowance; crossing 4 sigma raises an alarm — the classical drift
+    detector for metric streams. The clamped recursion cannot be
+    expressed as a window aggregate, so the scan runs as ONE Arrow
+    kernel per series (the Counter-in-kernel discipline: the state
+    array never leaves the executor, output is alarm rows only);
+    mean/sigma are 6-decimal-rounded constants so both engines fold
+    the identical recurrence, replayed by the oracle's recursive CTE."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    # mu/sg/allowance are 6-decimal-rounded CONSTANTS, and the 0.5*sg
+    # allowance is rounded AGAIN so every accumulated term is a multiple
+    # of 1e-6 — otherwise cusum values are multiples of 5e-7 and half of
+    # them sit exactly on the round-6 boundary, where Python (half-even)
+    # and DuckDB (half-away) disagree
+    stats = (ev.groupBy("event_type")
+             .agg(F.round(F.avg("value"), 6).alias("mu"),
+                  F.round(F.sqrt(F.greatest(
+                      F.avg(F.col("value") * F.col("value"))
+                      - F.avg("value") * F.avg("value"),
+                      F.lit(0.0))), 6).alias("sg"))
+             .withColumn("a", F.round(F.lit(0.5) * F.col("sg"), 6)))
+    series = (ev.join(F.broadcast(stats), "event_type")
+              .select("event_type", "ts", "event_id", "value",
+                      "mu", "sg", "a")
+              .repartition("event_type"))
+
+    out_schema = ("event_type string, event_id long, drift string, "
+                  "cusum double")
+
+    def scan(pdf: pd.DataFrame) -> pd.DataFrame:
+        rows = []
+        for et, g in pdf.groupby("event_type"):
+            g = g.sort_values(["ts", "event_id"])
+            mu, sg = float(g["mu"].iloc[0]), float(g["sg"].iloc[0])
+            al = float(g["a"].iloc[0])
+            shi = slo = 0.0
+            for eid, x in zip(g["event_id"], g["value"]):
+                shi = max(0.0, shi + x - mu - al)
+                slo = max(0.0, slo + mu - x - al)
+                if shi > 4 * sg or slo > 4 * sg:
+                    rows.append((et, int(eid),
+                                 "up" if shi > 4 * sg else "down",
+                                 round(max(shi, slo), 6)))
+        return pd.DataFrame(
+            rows, columns=["event_type", "event_id", "drift", "cusum"])
+
+    return series.groupBy("event_type").applyInPandas(scan, out_schema)
