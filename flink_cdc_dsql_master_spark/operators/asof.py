@@ -111,3 +111,38 @@ def asof_join(left: DataFrame, right: DataFrame, *, left_on: str,
         *[F.col(c) for c in left.columns],
         *[F.col(f"__r_{c}").alias(c) for c in rcols],
     )
+
+
+def asof_join_nearest(left: DataFrame, right: DataFrame, *,
+                      on: "Sequence[tuple[str, str]]",
+                      left_on: str, right_on: str,
+                      tolerance_s: float,
+                      left_id: str, right_id: str) -> DataFrame:
+    """NEAREST as-of join: each left row matches the right row
+    minimizing |right_ts - left_ts| within ``tolerance_s`` (pandas
+    merge_asof direction='nearest'), ties broken backward-first then by
+    ``right_id`` — a third direction beside backward/forward, the shape
+    sensor-fusion alignment wants. Left-outer: unmatched lefts keep
+    NULL right columns.
+
+    Scale plan: candidates come from the BUCKETED interval join
+    (joins.interval_join: (key, time-bucket) equi-join, O(2|L|+|R|)
+    shuffle, never a per-key cross product); the argmin is one window
+    over candidates partitioned by the left id. Tolerance bounds
+    candidate fan-out exactly like the interval join it reuses."""
+    from .joins import interval_join
+
+    cand = interval_join(left, right, on, left_on, right_on,
+                         -tolerance_s, tolerance_s)
+    # parquet timestamps arrive as TIMESTAMP_NTZ; the session TZ is
+    # pinned UTC so the cast is an identity relabel
+    diff_us = (F.unix_micros(F.col(right_on).cast("timestamp"))
+               - F.unix_micros(F.col(left_on).cast("timestamp")))
+    w = Window.partitionBy(left_id).orderBy(
+        F.abs(diff_us).asc(),
+        F.when(diff_us <= 0, 0).otherwise(1).asc(),   # backward first
+        F.col(right_id).asc())
+    best = (cand.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1).drop("__rn"))
+    rcols = [c for c in right.columns]
+    return left.join(best.select(left_id, *rcols), left_id, "left")

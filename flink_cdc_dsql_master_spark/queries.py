@@ -10059,3 +10059,56 @@ def timeseries_cusum_alarms(spark, sf_dir):
             rows, columns=["event_type", "event_id", "drift", "cusum"])
 
     return series.groupBy("event_type").applyInPandas(scan, out_schema)
+
+
+@_q(
+    "asof_join_nearest",
+    """
+    WITH c AS MATERIALIZED (
+      SELECT event_id AS click_id, user_id, ts AS cts FROM events
+      WHERE event_type = 'click'),
+    p AS MATERIALIZED (
+      SELECT event_id AS purchase_id, user_id, ts AS pts FROM events
+      WHERE event_type = 'purchase'),
+    cand AS (
+      SELECT c.click_id, c.user_id, p.purchase_id,
+             epoch_us(p.pts) - epoch_us(c.cts) AS du
+      FROM c JOIN p USING (user_id)
+      WHERE ABS(epoch_us(p.pts) - epoch_us(c.cts)) <= 7200000000),
+    best AS (
+      SELECT click_id, purchase_id, du,
+             row_number() OVER (
+               PARTITION BY click_id
+               ORDER BY ABS(du) ASC,
+                        CASE WHEN du <= 0 THEN 0 ELSE 1 END ASC,
+                        purchase_id ASC) AS rn
+      FROM cand)
+    SELECT c.click_id, c.user_id, b.purchase_id, b.du AS diff_us
+    FROM c LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+      USING (click_id)
+    """,
+)
+def asof_join_nearest_q(spark, sf_dir):
+    """NEAREST-direction as-of join (asof.asof_join_nearest — the third
+    direction beside the backward/forward queries): each click aligns
+    to its closest purchase by the same user within 2h, ties backward-
+    first then by purchase id; unmatched clicks survive as NULLs.
+    Candidates come from the bucketed interval join (never a per-key
+    cross product); the argmin is one window over candidates."""
+    from .operators.asof import asof_join_nearest
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"))
+    purch = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("pu"), F.col("ts").alias("pts"))
+    out = asof_join_nearest(
+        clicks, purch, on=[("cu", "pu")], left_on="cts",
+        right_on="pts", tolerance_s=7200.0,
+        left_id="click_id", right_id="purchase_id")
+    diff = (F.unix_micros(F.col("pts").cast("timestamp"))
+            - F.unix_micros(F.col("cts").cast("timestamp")))
+    return out.select("click_id", F.col("cu").alias("user_id"),
+                      "purchase_id", diff.alias("diff_us"))
