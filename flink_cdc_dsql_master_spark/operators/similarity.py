@@ -889,3 +889,51 @@ def _kmeans_argmin(cents_: list[list[float]], dist_scale: int):
                     F.lit(0.0), lambda acc, x: acc + x),
                 dist_scale).alias("d"),
             i.cast("int").alias("i"))))
+
+
+def embedding_covariance(corpus: DataFrame, vec_col: str = "embedding",
+                         dim: int = 64) -> DataFrame:
+    """Distributed covariance matrix of the embedding corpus — the
+    one-pass gram-partial shape (the preprocessing behind PCA
+    whitening, OOD scoring, and drift detection on embedding spaces):
+    each Arrow batch computes its LOCAL (count, coordinate-sum, X'X
+    gram) with one BLAS matmul; partials are LINEARLY mergeable, so the
+    shuffle carries d(d+1)/2 + d + 1 numbers per batch — independent of
+    corpus size — and cov(i,j) = E[x_i x_j] - E[x_i]E[x_j] assembles
+    from the merged sums. Returns the upper triangle (i, j, cov),
+    population normalization, rounded at 6."""
+    import numpy as np
+    import pandas as pd
+
+    iu = np.triu_indices(dim)
+
+    def partials(batches):
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            X = np.array(pdf["v"].tolist(), dtype="float64")
+            g = X.T @ X
+            s = X.sum(axis=0)
+            i_ = np.concatenate([iu[0], np.arange(dim), [-1]])
+            j_ = np.concatenate([iu[1], np.full(dim, -1), [-1]])
+            val = np.concatenate([g[iu], s, [float(len(X))]])
+            yield pd.DataFrame({"i": i_.astype("int32"),
+                                "j": j_.astype("int32"), "s": val})
+
+    v = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    merged = (v.mapInPandas(partials, "i int, j int, s double")
+              .groupBy("i", "j").agg(F.sum("s").alias("s")))
+    n = merged.where((F.col("i") == -1) & (F.col("j") == -1)) \
+        .select(F.col("s").alias("n"))
+    means = merged.where((F.col("i") >= 0) & (F.col("j") == -1)) \
+        .select(F.col("i").alias("mi"), F.col("s").alias("ms"))
+    gram = merged.where(F.col("j") >= 0)
+    mi = means.select(F.col("mi").alias("i"), F.col("ms").alias("si"))
+    mj = means.select(F.col("mi").alias("j"), F.col("ms").alias("sj"))
+    return (gram.join(F.broadcast(mi), "i").join(F.broadcast(mj), "j")
+            .crossJoin(F.broadcast(n))
+            .select("i", "j",
+                    F.round(F.col("s") / F.col("n")
+                            - (F.col("si") / F.col("n"))
+                            * (F.col("sj") / F.col("n")), 6)
+                    .alias("cov")))

@@ -926,3 +926,69 @@ def zipf_slope(df: DataFrame, text_col: str = "text",
         F.round(slope, 6).alias("slope"),
         F.round(intercept, 6).alias("intercept"),
         F.round(r2, 6).alias("r2"))
+
+
+def mine_hard_negatives(docs: DataFrame, query_ids, n_terms: int = 3,
+                        n_neg: int = 5, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        source_col: str = "source") -> DataFrame:
+    """Hard-negative mining for retrieval/embedding training: for each
+    query document, score the corpus by BM25 over the query's most
+    distinctive terms and keep the top lexically-similar documents that
+    are NOT positives (same ``source_col``) — the negatives that teach
+    a contrastive model the hardest distinctions (random negatives are
+    trivially separable; lexically-close non-relevant ones are the
+    signal, cf. DPR/ANCE training-data prep).
+
+    Scale shape: query term sets are tiny (queries x n_terms) and
+    broadcast; the posting filter is one explode + broadcast semi-join
+    so only matching (doc, term) postings shuffle; per-query ranking is
+    a window at candidate grain. Returns (query_id, neg_id, score,
+    rank)."""
+    words = F.filter(F.split(F.trim(F.lower(F.col(text_col))), r"\s+"),
+                     lambda x: x != "")
+    base = docs.select(F.col(id_col).alias("id"),
+                       F.col(source_col).alias("src"),
+                       words.alias("w"))
+    base = base.withColumn("dl", F.size("w"))
+    stats = base.agg(F.count("*").alias("n"),
+                     F.avg("dl").alias("avgdl"))
+    toks = base.select("id", "dl", F.explode("w").alias("term"))
+    tf = toks.groupBy("id", "dl", "term").agg(
+        F.count("*").cast("long").alias("tf"))
+
+    # per-query distinctive terms: top n_terms by (tf DESC, term ASC)
+    qtf = tf.where(F.col("id").isin(list(query_ids)))
+    wq = Window.partitionBy("id").orderBy(F.col("tf").desc(),
+                                          F.col("term").asc())
+    qterms = (qtf.withColumn("__r", F.row_number().over(wq))
+              .where(F.col("__r") <= n_terms)
+              .select(F.col("id").alias("query_id"), "term"))
+
+    dfreq = (tf.join(F.broadcast(qterms.select("term").distinct()),
+                     "term")
+             .groupBy("term")
+             .agg(F.count_distinct("id").alias("df_t")))
+    idf = F.log(1.0 + (F.col("n") - F.col("df_t") + 0.5)
+                / (F.col("df_t") + 0.5))
+    tfn = (F.col("tf") * 2.2
+           / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl")
+                                   / F.col("avgdl"))))
+    scored = (tf.join(F.broadcast(qterms), "term")
+              .join(F.broadcast(dfreq), "term")
+              .crossJoin(F.broadcast(stats))
+              .groupBy("query_id", "id")
+              .agg(F.round(F.sum(idf * tfn), 6).alias("score")))
+    qsrc = base.select(F.col("id").alias("query_id"),
+                       F.col("src").alias("qsrc"))
+    cand = (scored
+            .join(F.broadcast(qsrc), "query_id")
+            .join(base.select("id", "src"), "id")
+            .where((F.col("src") != F.col("qsrc"))
+                   & (F.col("id") != F.col("query_id"))))
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("id").asc())
+    return (cand.withColumn("rank", F.row_number().over(wr))
+            .where(F.col("rank") <= n_neg)
+            .select("query_id", F.col("id").alias("neg_id"),
+                    "score", "rank"))

@@ -10112,3 +10112,139 @@ def asof_join_nearest_q(spark, sf_dir):
             - F.unix_micros(F.col("cts").cast("timestamp")))
     return out.select("click_id", F.col("cu").alias("user_id"),
                       "purchase_id", diff.alias("diff_us"))
+
+
+@_q(
+    "window_topn_events",
+    """
+    SELECT ws AS window_start, event_type, user_id, total, rk
+    FROM (
+      SELECT CAST(FLOOR(epoch(ts) / 3600) * 3600 AS BIGINT) AS ws,
+             event_type, user_id, ROUND(SUM(value), 4) AS total,
+             CAST(row_number() OVER (
+               PARTITION BY CAST(FLOOR(epoch(ts) / 3600) * 3600
+                                 AS BIGINT), event_type
+               ORDER BY ROUND(SUM(value), 4) DESC, user_id ASC)
+               AS INT) AS rk
+      FROM events
+      GROUP BY 1, 2, 3)
+    WHERE rk <= 3
+    """,
+)
+def window_topn_events(spark, sf_dir):
+    """Flink Window Top-N (the TVF pattern: aggregate per window, then
+    ROW_NUMBER over each window's groups, filter rank <= N): top-3
+    users by summed value per (hour, event_type) window. Spark plan:
+    one partial-agg shuffle to (window, type, user) grain, then the
+    rank window runs on window-grain data — the fact stream is never
+    sorted globally. Rank ties break on user_id; the ranked measure is
+    pre-rounded so ranking is engine-stable."""
+    ev = _t(spark, sf_dir, "events")
+    ws = (F.floor(F.unix_timestamp("ts") / 3600) * 3600).cast("long")
+    agg = (ev.groupBy(ws.alias("window_start"), "event_type", "user_id")
+           .agg(F.round(F.sum("value"), 4).alias("total")))
+    w = Window.partitionBy("window_start", "event_type").orderBy(
+        F.col("total").desc(), F.col("user_id").asc())
+    return (agg.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 3))
+
+
+@_q(
+    "sample_hard_negatives",
+    r"""
+    WITH base AS MATERIALIZED (
+      SELECT doc_id AS id, source AS src,
+             list_filter(string_split_regex(trim(lower(text)), '\s+'),
+                         x -> x <> '') AS w
+      FROM documents),
+    bl AS MATERIALIZED (
+      SELECT id, src, len(w) AS dl, w FROM base),
+    stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, AVG(dl) AS avgdl
+              FROM bl),
+    tf AS MATERIALIZED (
+      SELECT id, dl, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM (SELECT id, dl, unnest(w) AS term FROM bl)
+      GROUP BY 1, 2, 3),
+    qterms AS MATERIALIZED (
+      SELECT id AS query_id, term FROM (
+        SELECT id, term,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY tf DESC, term ASC) AS r
+        FROM tf WHERE id < 5)
+      WHERE r <= 3),
+    dfreq AS MATERIALIZED (
+      SELECT term, CAST(COUNT(DISTINCT id) AS BIGINT) AS df_t
+      FROM tf WHERE term IN (SELECT DISTINCT term FROM qterms)
+      GROUP BY 1),
+    scored AS (
+      SELECT q.query_id, tf.id,
+             ROUND(SUM(LN(1.0 + (stats.n - d.df_t + 0.5)
+                          / (d.df_t + 0.5))
+                       * tf.tf * 2.2
+                       / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl
+                                         / stats.avgdl))), 6) AS score
+      FROM tf JOIN qterms q USING (term)
+              JOIN dfreq d USING (term)
+              CROSS JOIN stats
+      GROUP BY 1, 2)
+    SELECT query_id, id AS neg_id, score, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT s.query_id, s.id, s.score,
+             row_number() OVER (PARTITION BY s.query_id
+                                ORDER BY s.score DESC, s.id ASC) AS rank
+      FROM scored s
+      JOIN bl q ON q.id = s.query_id
+      JOIN bl c ON c.id = s.id
+      WHERE c.src <> q.src AND s.id <> s.query_id)
+    WHERE rank <= 5
+    """,
+)
+def sample_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (text.mine_hard_negatives): per query doc,
+    BM25 over its 3 most distinctive terms finds the lexically-closest
+    corpus docs, positives (same source) and self are excluded, top-5
+    survivors are the contrastive-training negatives (DPR/ANCE prep).
+    Query term sets broadcast; only matching postings shuffle; ranking
+    at candidate grain."""
+    from .operators import text as text_ops
+
+    docs = _t(spark, sf_dir, "documents")
+    return text_ops.mine_hard_negatives(
+        docs, query_ids=[0, 1, 2, 3, 4], n_terms=3, n_neg=5)
+
+
+@_q(
+    "embedding_covariance",
+    """
+    WITH v AS MATERIALIZED (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+    sums AS MATERIALIZED (
+      SELECT t.i, SUM(v.v[t.i]) AS s
+      FROM v, (SELECT unnest(generate_series(1, 64)) AS i) t
+      GROUP BY 1),
+    gram AS (
+      SELECT a.i, b.i AS j, SUM(v.v[a.i] * v.v[b.i]) AS g
+      FROM v, (SELECT unnest(generate_series(1, 64)) AS i) a,
+           (SELECT unnest(generate_series(1, 64)) AS i) b
+      WHERE a.i <= b.i
+      GROUP BY 1, 2)
+    SELECT CAST(g.i - 1 AS INT) AS i, CAST(g.j - 1 AS INT) AS j,
+           ROUND(g.g / nn.n - (si.s / nn.n) * (sj.s / nn.n), 6) AS cov
+    FROM gram g
+    JOIN sums si ON si.i = g.i
+    JOIN sums sj ON sj.i = g.j
+    CROSS JOIN nn
+    """,
+)
+def embedding_covariance(spark, sf_dir):
+    """One-pass distributed covariance of the embedding corpus
+    (similarity.embedding_covariance): per-batch BLAS gram partials
+    merge linearly — the shuffle carries d(d+1)/2+d+1 numbers per batch
+    regardless of corpus size. Upper triangle, population-normalized;
+    the oracle recomputes every entry from exact per-dimension sums."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.embedding_covariance(emb)
