@@ -25,7 +25,8 @@ import re
 
 from pyspark.sql import DataFrame
 
-_REF = re.compile(r"^([A-Za-z_][\w.]*)(?:@(v\d+|ts:[\d.]+))?$")
+_REF = re.compile(
+    r"^([A-Za-z_][\w.]*)(?:@(v\d+|ts:[\d.]+|[A-Za-z_][\w.-]*))?$")
 
 FORMATS = ("versioned", "cow", "parquet")
 
@@ -68,10 +69,15 @@ class TableCatalog:
 
             if pin is None:
                 return read_versioned(spark, path)
-            if pin.startswith("v"):
+            if re.fullmatch(r"v\d+", pin):
                 return read_versioned(spark, path, version=int(pin[1:]))
+            if pin.startswith("ts:"):
+                return read_versioned(spark, path,
+                                      as_of_ts=float(pin[3:]))
+            from .lakehouse import resolve_tag
+
             return read_versioned(spark, path,
-                                  as_of_ts=float(pin[3:]))
+                                  version=resolve_tag(path, pin))
         if fmt == "cow":
             from .lakehouse import read_partitioned
 

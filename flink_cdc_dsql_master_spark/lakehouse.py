@@ -258,6 +258,61 @@ def _load_manifest(local: str, version: int) -> dict:
         return json.load(f)
 
 
+def tag_version(path: str, tag: str, version: int | None = None) -> dict:
+    """Name a snapshot (Iceberg tag / git-tag analog): ``tag`` resolves
+    to a pinned version forever after. Tags are immutable — re-tagging
+    an existing name raises; retag by deleting first. Default: latest."""
+    import re as _re
+
+    if not _re.fullmatch(r"[A-Za-z_][\w.-]*", tag):
+        raise ValueError(f"bad tag name {tag!r}")
+    local = _local(path)
+    versions = list_versions(path)
+    if not versions:
+        raise FileNotFoundError(f"no versions at {path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    target = os.path.join(local, LOG_DIR, f"tag_{tag}.json")
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump({"tag": tag, "version": v, "ts": time.time()}, f)
+    try:
+        os.link(tmp, target)   # immutable: exclusive create
+    except FileExistsError:
+        raise ValueError(f"tag {tag!r} already exists") from None
+    finally:
+        os.remove(tmp)
+    return {"tag": tag, "version": v}
+
+
+def resolve_tag(path: str, tag: str) -> int:
+    target = os.path.join(_local(path), LOG_DIR, f"tag_{tag}.json")
+    if not os.path.exists(target):
+        raise KeyError(f"unknown tag {tag!r}")
+    with open(target) as f:
+        return json.load(f)["version"]
+
+
+def delete_tag(path: str, tag: str) -> None:
+    target = os.path.join(_local(path), LOG_DIR, f"tag_{tag}.json")
+    if not os.path.exists(target):
+        raise KeyError(f"unknown tag {tag!r}")
+    os.remove(target)
+
+
+def list_tags(path: str) -> dict[str, int]:
+    logd = os.path.join(_local(path), LOG_DIR)
+    out = {}
+    if os.path.isdir(logd):
+        for e in os.listdir(logd):
+            if e.startswith("tag_") and e.endswith(".json"):
+                with open(os.path.join(logd, e)) as f:
+                    d = json.load(f)
+                out[d["tag"]] = d["version"]
+    return out
+
+
 def version_as_of(path: str, ts: float) -> int:
     """Timestamp time travel: the newest version committed at or before
     ``ts`` (unix seconds) — SELECT ... TIMESTAMP AS OF. Raises if the
@@ -705,6 +760,11 @@ def vacuum_versioned(path: str, keep_last: int = 1) -> dict:
     local = _local(path)
     versions = list_versions(path)
     keep, expire = versions[-keep_last:], versions[:-keep_last]
+    # tag-pinned snapshots stay readable: their manifests and files are
+    # retained regardless of keep_last
+    tagged = sorted(set(list_tags(path).values()) & set(expire))
+    keep = sorted(set(keep) | set(tagged))
+    expire = [v for v in expire if v not in tagged]
     live: set[str] = set()
     for v in keep:
         for fs in _load_manifest(local, v)["files"].values():

@@ -78,3 +78,30 @@ def test_catalog_persistence_roundtrip(spark, cat_table, tmp_path):
     back = TableCatalog.load_from(p)
     assert back.names() == ["orders"]
     assert back.load(spark, "orders@v1").count() == 10
+
+
+def test_tags_resolve_and_protect_from_vacuum(spark, cat_table):
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        delete_tag, list_tags, list_versions, tag_version,
+        vacuum_versioned,
+    )
+
+    path = cat_table.entry("orders")["path"]
+    tag_version(path, "launch", 1)
+    assert list_tags(path) == {"launch": 1}
+    # catalog ref grammar resolves the tag
+    v1 = {r["k"]: r["v"]
+          for r in cat_table.load(spark, "orders@launch").collect()}
+    assert v1[3] == 3.0
+    # immutable: re-tagging raises
+    import pytest as _pt
+    with _pt.raises(ValueError, match="already exists"):
+        tag_version(path, "launch", 2)
+    # vacuum keeps the tagged snapshot readable
+    vacuum_versioned(path, keep_last=1)
+    assert 1 in list_versions(path)
+    assert cat_table.load(spark, "orders@launch").count() == 10
+    # delete tag -> next vacuum expires it
+    delete_tag(path, "launch")
+    vacuum_versioned(path, keep_last=1)
+    assert list_versions(path) == [2]
