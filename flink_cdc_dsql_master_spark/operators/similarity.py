@@ -937,3 +937,39 @@ def embedding_covariance(corpus: DataFrame, vec_col: str = "embedding",
                             - (F.col("si") / F.col("n"))
                             * (F.col("sj") / F.col("n")), 6)
                     .alias("cov")))
+
+
+def top_pc_projection(corpus: DataFrame, vec_col: str = "embedding",
+                      id_col: str = "vec_id", dim: int = 64,
+                      iters: int = 3) -> DataFrame:
+    """Projection of every vector onto the corpus's TOP PRINCIPAL
+    COMPONENT — the strongest drift/OOD axis and the first step of
+    whitening. Pipeline: distributed covariance (gram partials, see
+    :func:`embedding_covariance`) -> power iteration on the KB-sized
+    64x64 matrix (driver arithmetic, same bounded-collect class as
+    centroid tables) -> DISTRIBUTED projection of the corpus onto the
+    literal eigenvector (codegen fold, no shuffle).
+
+    Determinism contract (pagerank discipline): matvec components and
+    normalized components round at 12 per iteration from the
+    6-rounded covariance entries, init = uniform 1/sqrt(dim); an SQL
+    replica replays every iteration exactly."""
+    import math
+
+    cov_rows = embedding_covariance(corpus, vec_col, dim).collect()
+    C = [[0.0] * dim for _ in range(dim)]
+    for r in cov_rows:
+        C[r["i"]][r["j"]] = r["cov"]
+        C[r["j"]][r["i"]] = r["cov"]
+    v = [1.0 / math.sqrt(dim)] * dim
+    for _ in range(iters):
+        w = [round(sum(C[i][j] * v[j] for j in range(dim)), 12)
+             for i in range(dim)]
+        n = math.sqrt(sum(x * x for x in w)) or 1.0
+        v = [round(x / n, 12) for x in w]
+    pc = F.array(*[F.lit(x) for x in v])
+    vv = corpus.select(F.col(id_col).alias("vec_id"),
+                       F.col(vec_col).cast("array<double>").alias("v"))
+    proj = F.aggregate(F.zip_with(F.col("v"), pc, lambda a, b: a * b),
+                       F.lit(0.0), lambda acc, x: acc + x)
+    return vv.select("vec_id", F.round(proj, 6).alias("pc_score"))

@@ -10248,3 +10248,111 @@ def embedding_covariance(spark, sf_dir):
 
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.embedding_covariance(emb)
+
+
+def _top_pc_oracle_sql(dim: int = 64, iters: int = 3) -> str:
+    """Replays covariance (6-rounded), the unrolled power iteration
+    (12-rounded matvec + normalize per round) and the projection fold."""
+    ctes = f"""
+    v AS MATERIALIZED (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE))
+             AS v
+      FROM embeddings),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM v),
+    sums AS MATERIALIZED (
+      SELECT t.i, SUM(v.v[t.i]) AS s
+      FROM v, (SELECT unnest(generate_series(1, {dim})) AS i) t
+      GROUP BY 1),
+    gramu AS MATERIALIZED (
+      SELECT a.i, b.i AS j, SUM(v.v[a.i] * v.v[b.i]) AS g
+      FROM v, (SELECT unnest(generate_series(1, {dim})) AS i) a,
+           (SELECT unnest(generate_series(1, {dim})) AS i) b
+      WHERE a.i <= b.i GROUP BY 1, 2),
+    covu AS MATERIALIZED (
+      SELECT g.i, g.j,
+             ROUND(g.g / nn.n - (si.s / nn.n) * (sj.s / nn.n), 6)
+               AS cov
+      FROM gramu g JOIN sums si ON si.i = g.i
+                   JOIN sums sj ON sj.i = g.j CROSS JOIN nn),
+    cfull AS MATERIALIZED (
+      SELECT i, j, cov FROM covu
+      UNION ALL SELECT j, i, cov FROM covu WHERE i <> j),
+    p0 AS MATERIALIZED (
+      SELECT unnest(generate_series(1, {dim})) AS i,
+             1.0 / SQRT({dim}.0) AS x)"""
+    for t in range(1, iters + 1):
+        p = t - 1
+        ctes += f""",
+    w{t} AS MATERIALIZED (
+      SELECT c.i, ROUND(SUM(c.cov * p.x), 12) AS w
+      FROM cfull c JOIN p{p} p ON p.i = c.j GROUP BY 1),
+    n{t} AS (SELECT SQRT(SUM(w * w)) AS n FROM w{t}),
+    p{t} AS MATERIALIZED (
+      SELECT i, ROUND(w / (SELECT n FROM n{t}), 12) AS x FROM w{t})"""
+    return ("WITH" + ctes + f""",
+    pc AS (SELECT list(x ORDER BY i) AS pc FROM p{iters})
+    SELECT v.vec_id,
+           ROUND(list_reduce(list_transform(list_zip(v.v, pc.pc),
+                 s -> s[1] * s[2]), (a, b) -> a + b), 6) AS pc_score
+    FROM v CROSS JOIN pc
+    """)
+
+
+@_q("embedding_top_pc_projection", _top_pc_oracle_sql())
+def embedding_top_pc_projection(spark, sf_dir):
+    """Top-principal-component projection (similarity.top_pc_projection):
+    distributed gram-partial covariance, power iteration on the KB-sized
+    matrix under the 12-decimal fixed-point contract, then a
+    shuffle-free codegen projection of the whole corpus onto the
+    literal eigenvector — the drift/OOD axis score per vector. Oracle
+    unrolls covariance, all three iterations and the projection fold."""
+    from .operators import similarity
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.top_pc_projection(emb)
+
+
+@_q(
+    "dq_outliers_mad",
+    """
+    WITH med AS MATERIALIZED (
+      SELECT event_type,
+             ROUND(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY 1),
+    mad AS MATERIALIZED (
+      SELECT e.event_type,
+             ROUND(quantile_cont(ABS(e.value - m.med), 0.5), 6) AS mad
+      FROM events e JOIN med m USING (event_type)
+      GROUP BY 1),
+    j AS (
+      SELECT e.event_type, e.event_id, e.value, m.med, d.mad
+      FROM events e JOIN med m USING (event_type)
+                    JOIN mad d USING (event_type))
+    SELECT event_type, event_id, value,
+           ROUND(ABS(value - med) / mad, 6) AS mad_score
+    FROM j
+    WHERE ROUND(ABS(value - med) - 5 * mad, 6) > 0
+    """,
+)
+def dq_outliers_mad(spark, sf_dir):
+    """Median-absolute-deviation robust outliers per series — the
+    quality gate that survives the heavy tails that break 3-sigma
+    rules: flag |x - median| > 5 * MAD. Exact interpolated medians
+    (both engines implement the same type-7 quantile), rounded at 6 so
+    they act as frozen constants; the cut compares ROUNDED at 6 so
+    interpolation ulps cannot flip it. Two grouped-percentile shuffles
+    + one broadcast join back; no sort of the fact stream beyond the
+    percentile machinery."""
+    ev = _t(spark, sf_dir, "events")
+    med = ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("med"))
+    j1 = ev.join(F.broadcast(med), "event_type")
+    mad = j1.groupBy("event_type").agg(
+        F.round(F.expr("percentile(abs(value - med), 0.5)"), 6)
+        .alias("mad"))
+    j = j1.join(F.broadcast(mad), "event_type")
+    return (j.where(F.round(F.abs(F.col("value") - F.col("med"))
+                            - 5 * F.col("mad"), 6) > 0)
+            .select("event_type", "event_id", "value",
+                    F.round(F.abs(F.col("value") - F.col("med"))
+                            / F.col("mad"), 6).alias("mad_score")))
