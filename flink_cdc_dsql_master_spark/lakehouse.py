@@ -806,7 +806,8 @@ def vacuum_versioned(path: str, keep_last: int = 1) -> dict:
 
 def table_changes(spark, path: str, from_version: int, to_version: int,
                   primary_keys: list[str],
-                  part_col: str = "part") -> DataFrame:
+                  part_col: str = "part",
+                  include_preimages: bool = False) -> DataFrame:
     """Change data feed: reconstruct the changelog between two committed
     versions (the Delta CDF / Iceberg changelog-scan face) — rows with
     ``_change_type`` in {insert, update_postimage, delete}.
@@ -876,6 +877,14 @@ def table_changes(spark, path: str, from_version: int, to_version: int,
                 for c in data_cols]
     diff = (j.select(*out_cols, change.alias("_change_type"))
             .where(F.col("_change_type").isNotNull()))
+    if include_preimages:
+        # Delta-CDF parity: updates also emit their BEFORE image, which
+        # is what lets signed-partial IVM consumers (retraction algebra)
+        # maintain aggregates from the feed alone
+        pre = (j.where(change.eqNullSafe(F.lit("update_postimage")))
+               .select(*[o[f"__o_{c}"].alias(c) for c in data_cols],
+                       F.lit("update_preimage").alias("_change_type")))
+        diff = diff.unionByName(pre)
     # DV-only deletes: tombstones added between the versions in
     # partitions whose FILES did not change (file-diff can't see them —
     # the sidecar carries the full deleted rows precisely for this)

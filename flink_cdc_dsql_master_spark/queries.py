@@ -10356,3 +10356,74 @@ def dq_outliers_mad(spark, sf_dir):
             .select("event_type", "event_id", "value",
                     F.round(F.abs(F.col("value") - F.col("med"))
                             / F.col("mad"), 6).alias("mad_score")))
+
+
+@_q(
+    "lakehouse_cdf_rollup",
+    """
+    SELECT o_orderstatus AS status, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(CASE WHEN o_orderkey % 3 = 0
+                          THEN o_totalprice + 100.0
+                          ELSE o_totalprice END), 4) AS total
+    FROM orders WHERE o_orderkey % 7 <> 0
+    GROUP BY 1
+    """,
+)
+def lakehouse_cdf_rollup(spark, sf_dir):
+    """Change-data-feed -> IVM composition: a versioned table commits
+    v1 (inserts) then v2 (updates %3, deletes %7); a downstream rollup
+    is maintained by folding the v1 baseline aggregate with the SIGNED
+    partials of table_changes(1, 2, include_preimages=True) — Delta-CDF
+    update_preimage rows are what make the retraction algebra work
+    (postimage-only feeds cannot subtract the old value). The
+    maintained rollup must equal the direct aggregate of the final
+    logical state, which the oracle computes from the raw table. At
+    100 TB this is how a downstream mart follows a lakehouse table
+    without rescanning it: baseline once, then CDF deltas."""
+    import os
+    import tempfile
+
+    from .lakehouse import (merge_into_versioned_parquet, read_versioned,
+                            table_changes, with_bucket_partition)
+    from .operators.ivm import merge_rollup, rollup_delta
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_totalprice").alias("price"))
+    k = F.col("k")
+    b1 = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="cdf_iv_"), "orders_cdf")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 8), schema)
+    upd = (orders.where(k % 3 == 0)
+           .withColumn("price", F.col("price") + 100.0)
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    dele = (orders.where(k % 7 == 0)
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(upd.unionByName(dele), "k", 8),
+        schema)
+
+    # baseline rollup from the v1 snapshot (as +I partials)
+    v1 = read_versioned(spark, path, 1).withColumn(OP_COLUMN, F.lit("+I"))
+    state = merge_rollup(None, rollup_delta(v1, ["status"], "price"),
+                         ["status"])
+    # fold the CDF between v1 and v2 as signed partials
+    cdf = table_changes(spark, path, 1, 2, ["k"],
+                        include_preimages=True)
+    op = (F.when(F.col("_change_type") == "insert", "+I")
+          .when(F.col("_change_type") == "update_postimage", "+U")
+          .when(F.col("_change_type") == "update_preimage", "-U")
+          .otherwise("-D"))
+    cl = cdf.withColumn(OP_COLUMN, op)
+    state = merge_rollup(state, rollup_delta(cl, ["status"], "price"),
+                         ["status"])
+    return state.select(
+        "status", F.col("d_n").alias("n"),
+        F.round("d_total", 4).alias("total"))

@@ -347,3 +347,54 @@ def streaming_pattern_match(df: DataFrame, key_col: str,
                 stateStructType="phase int, total int",
                 outputMode="append",
                 timeoutConf=GroupStateTimeout.NoTimeout))
+
+
+def streaming_cusum(df: DataFrame, key_col: str, value_col: str,
+                    ts_cols: list[str], mu: float, allowance: float,
+                    threshold: float) -> DataFrame:
+    """Streaming two-sided CUSUM drift detector — the stateful twin of
+    the batch ``timeseries_cusum_alarms`` query: per key, the clamped
+    (s+, s-) accumulators live in keyed state (two doubles, O(1)
+    regardless of history), each micro-batch's rows fold in event
+    order, and alarms emit the moment a batch pushes an accumulator
+    over ``threshold``. Batch boundaries cannot change the alarm
+    sequence: the fold is associative over batch concatenation given
+    the carried state (same argument as streaming_pattern_match).
+
+    ``mu``/``allowance``/``threshold`` are per-deployment constants
+    (fit them on a baseline window, e.g. with the batch query) — a
+    drift detector that re-estimates its own baseline from drifting
+    data would chase the drift.
+
+    Emits (key, event_seq, drift, cusum) per alarm."""
+    import pandas as pd
+
+    out_schema = (f"{key_col} string, event_seq long, drift string, "
+                  "cusum double")
+
+    def fn(key, pdfs, state: GroupState):
+        shi, slo = state.get if state.exists else (0.0, 0.0)
+        frames = [p for p in pdfs if len(p)]
+        rows = []
+        if frames:
+            allp = pd.concat(frames).sort_values(ts_cols)
+            for seq, x in zip(allp[ts_cols[0]], allp[value_col]):
+                shi = max(0.0, shi + x - mu - allowance)
+                slo = max(0.0, slo + mu - x - allowance)
+                if shi > threshold or slo > threshold:
+                    rows.append((key[0], int(seq),
+                                 "up" if shi > threshold else "down",
+                                 round(max(shi, slo), 6)))
+        state.update((shi, slo))
+        if rows:
+            return iter((pd.DataFrame(
+                rows, columns=[key_col, "event_seq", "drift",
+                               "cusum"]),))
+        return iter(())
+
+    return (df.groupBy(F.col(key_col))
+            .applyInPandasWithState(
+                fn, outputStructType=out_schema,
+                stateStructType="shi double, slo double",
+                outputMode="append",
+                timeoutConf=GroupStateTimeout.NoTimeout))

@@ -265,3 +265,23 @@ def test_streaming_pattern_match_interruption_resets(spark, tmp_path):
         [(1, 3, "x"), (1, 4, "p")],
         schema)
     assert [r for _, batch in collected for r in batch] == []
+
+
+def test_streaming_cusum_alarm_spans_batches(spark, tmp_path):
+    from flink_cdc_dsql_master_spark.streaming import streaming_cusum
+
+    schema = "k string, seq long, x double"
+    # mu=0, allowance=0.5, threshold=2.0: each x=1.0 adds 0.5 to s+;
+    # s+ reaches 1.0 in batch 1 and crosses 2.0 (STRICTLY) only at the
+    # fifth high in batch 2 — the alarm can ONLY fire if state carried
+    # across the boundary
+    collected = _run_two_batches(
+        spark, tmp_path,
+        lambda s: streaming_cusum(s, "k", "x", ["seq"],
+                                  mu=0.0, allowance=0.5, threshold=2.0),
+        [("a", 1, 1.0), ("a", 2, 1.0), ("b", 1, 0.0)],
+        [("a", 3, 1.0), ("a", 4, 1.0), ("a", 5, 1.0)],
+        schema)
+    rows = [(r["k"], r["event_seq"], r["drift"], r["cusum"])
+            for _, batch in collected for r in batch]
+    assert rows == [("a", 5, "up", 2.5)]
