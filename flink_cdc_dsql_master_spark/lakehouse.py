@@ -258,6 +258,33 @@ def _load_manifest(local: str, version: int) -> dict:
         return json.load(f)
 
 
+def export_snapshot(spark, path: str, dest: str,
+                    version: int | None = None) -> dict:
+    """Materialize a pinned snapshot (tombstones applied, version
+    resolved) as a PLAIN parquet directory any engine reads with no
+    manifest knowledge — the share/backup face. The export is a full
+    copy by definition; for in-family sharing use a tag instead."""
+    df = read_versioned(spark, path, version)
+    df.write.mode("overwrite").parquet(dest)
+    n = spark.read.parquet(dest).count()
+    versions = list_versions(path)
+    return {"version": versions[-1] if version is None else version,
+            "rows": n, "dest": dest}
+
+
+def import_snapshot(spark, src: str, path: str, schema,
+                    part_col: str = "part", n_buckets: int = 16) -> dict:
+    """Bootstrap a versioned table from a plain parquet snapshot: the
+    rows land as one +I changelog batch through the normal merge (so
+    stats/blooms/manifest discipline all apply from version 1)."""
+    df = spark.read.parquet(src)
+    b = (df.withColumn(OP_COLUMN, F.lit("+I"))
+         .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    b = with_bucket_partition(b, schema.primary_keys[0], n_buckets,
+                              part_col)
+    return merge_into_versioned_parquet(path, b, schema, part_col)
+
+
 def tag_version(path: str, tag: str, version: int | None = None) -> dict:
     """Name a snapshot (Iceberg tag / git-tag analog): ``tag`` resolves
     to a pinned version forever after. Tags are immutable — re-tagging

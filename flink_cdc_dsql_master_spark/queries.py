@@ -7041,7 +7041,7 @@ def agg_product_profit(spark, sf_dir):
          .join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"])
          .join(F.broadcast(nat),
                F.col("s_nationkey") == F.col("n_nationkey")))
-    # per-row profit cast to DECIMAL(18,4) BEFORE summing: decimal sums
+    # per-row profit cast to DECIMAL(15,4) BEFORE summing: decimal sums
     # are exact and order-independent, so the cross-engine result is
     # bit-identical instead of rounding-boundary-dependent (the
     # agg_decimal_exact_sums discipline) — double accumulation flipped
@@ -10427,3 +10427,70 @@ def lakehouse_cdf_rollup(spark, sf_dir):
     return state.select(
         "status", F.col("d_n").alias("n"),
         F.round("d_total", 4).alias("total"))
+
+
+_CORR_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _corr_oracle_sql() -> str:
+    pairs = [(a, b) for ai, a in enumerate(_CORR_COLS)
+             for b in _CORR_COLS[ai + 1:]]
+    sel = []
+    for a, b in pairs:
+        sel.append(f"""
+    SELECT '{a}' AS col_a, '{b}' AS col_b,
+           ROUND((CAST(n AS DOUBLE) * CAST(s_{a}_{b} AS DOUBLE)
+                  - CAST(s_{a} AS DOUBLE) * CAST(s_{b} AS DOUBLE))
+                 / (SQRT(CAST(n AS DOUBLE) * CAST(s_{a}_{a} AS DOUBLE)
+                         - CAST(s_{a} AS DOUBLE) * CAST(s_{a} AS DOUBLE))
+                    * SQRT(CAST(n AS DOUBLE) * CAST(s_{b}_{b} AS DOUBLE)
+                           - CAST(s_{b} AS DOUBLE)
+                             * CAST(s_{b} AS DOUBLE))), 6) AS corr
+    FROM s""")
+    sums = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for a in _CORR_COLS:
+        sums.append(f"SUM(CAST({a} AS DECIMAL(19,4))) AS s_{a}")
+    for ai, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[ai:]:
+            sums.append(f"SUM(CAST({a} AS DECIMAL(19,4)) "
+                        f"* CAST({b} AS DECIMAL(19,4))) AS s_{a}_{b}")
+    return ("WITH s AS MATERIALIZED (SELECT " + ", ".join(sums)
+            + " FROM lineitem)" + " UNION ALL ".join(sel))
+
+
+@_q("profile_correlations", _corr_oracle_sql())
+def profile_correlations(spark, sf_dir):
+    """Pearson correlation matrix over the numeric lineitem measures —
+    the one-scan profiling pass feature stores run before model
+    training: ALL pairwise correlations reduce to one partial-agg
+    shuffle of 15 sufficient statistics (features.ols_fit discipline:
+    DECIMAL-exact sums, order-independent; only the final ~10-op
+    arithmetic runs in doubles, rounded at 6). Upper-triangle pairs."""
+    li = _t(spark, sf_dir, "lineitem")
+    dec = {c: F.col(c).cast("decimal(15,4)") for c in _CORR_COLS}
+    aggs = [F.count("*").alias("n")]
+    for a in _CORR_COLS:
+        aggs.append(F.sum(dec[a]).alias(f"s_{a}"))
+    for ai, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[ai:]:
+            aggs.append(F.sum(dec[a] * dec[b]).alias(f"s_{a}_{b}"))
+    s = li.agg(*aggs)
+    outs = []
+    for ai, a in enumerate(_CORR_COLS):
+        for b in _CORR_COLS[ai + 1:]:
+            n = F.col("n").cast("double")
+            sa, sb = (F.col(f"s_{a}").cast("double"),
+                      F.col(f"s_{b}").cast("double"))
+            sab = F.col(f"s_{a}_{b}").cast("double")
+            saa, sbb = (F.col(f"s_{a}_{a}").cast("double"),
+                        F.col(f"s_{b}_{b}").cast("double"))
+            corr = ((n * sab - sa * sb)
+                    / (F.sqrt(n * saa - sa * sa)
+                       * F.sqrt(n * sbb - sb * sb)))
+            outs.append(s.select(F.lit(a).alias("col_a"),
+                                 F.lit(b).alias("col_b"),
+                                 F.round(corr, 6).alias("corr")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
