@@ -921,8 +921,11 @@ def embedding_covariance(corpus: DataFrame, vec_col: str = "embedding",
                                 "j": j_.astype("int32"), "s": val})
 
     v = corpus.select(F.col(vec_col).cast("array<double>").alias("v"))
+    # persisted: n / means / gram all branch off this KB-sized frame —
+    # without the cache every branch re-runs the corpus scan + kernel
     merged = (v.mapInPandas(partials, "i int, j int, s double")
-              .groupBy("i", "j").agg(F.sum("s").alias("s")))
+              .groupBy("i", "j").agg(F.sum("s").alias("s"))
+              .persist())
     n = merged.where((F.col("i") == -1) & (F.col("j") == -1)) \
         .select(F.col("s").alias("n"))
     means = merged.where((F.col("i") >= 0) & (F.col("j") == -1)) \

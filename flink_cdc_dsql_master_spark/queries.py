@@ -83,6 +83,10 @@ BENCH_QUERIES = [
     "join_record_linkage",
     "text_keyword_rake",
     "events_pattern_match",
+    "embedding_covariance",
+    "timeseries_cusum_alarms",
+    "window_cumulate",
+    "sample_hard_negatives",
 ]
 
 
