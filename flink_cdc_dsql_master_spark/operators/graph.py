@@ -98,10 +98,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
     the join key with AQE skew splitting available; no state beyond the
     edge list itself.
     """
-    # canonical undirected edge set u<v
+    # canonical undirected edge set u<v — persisted: degrees AND the
+    # orientation join both branch off it (unpersisted, every branch
+    # re-runs the upstream scan + distinct)
     und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
                         F.greatest(F.col(src), F.col(dst)).alias("v"))
-           .where(F.col("u") < F.col("v")).distinct())
+           .where(F.col("u") < F.col("v")).distinct().persist())
     deg = (und.select(F.col("u").alias("node"))
            .union(und.select("v"))
            .groupBy("node").agg(F.count("*").alias("deg")))
@@ -111,9 +113,11 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
     ordered = und.join(du, "u").join(dv, "v")
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
+    # persisted: the oriented edge list is read three times (wedge
+    # build sides + closure check)
     e = ordered.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b"))
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b")).persist()
     # wedges a->b->c closed by a->c
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = e.join(e2, "b").select("a", "b", "c")
