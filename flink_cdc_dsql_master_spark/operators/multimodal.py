@@ -609,3 +609,48 @@ def decode_video_frames(df: DataFrame, payload_col: str = "payload",
                                "width", "height", "mean_pixel"])
 
     return df.mapInPandas(run, out_schema)
+
+
+def resize_nearest(arr, out_w: int, out_h: int):
+    """REAL nearest-neighbor image resize (numpy index map): output
+    pixel (i, j) samples source pixel (floor(j*H/out_h),
+    floor(i*W/out_w)) — the standard GPU-sampler convention, integer
+    arithmetic only so an SQL oracle replays the exact sampled
+    coordinates."""
+    import numpy as np
+
+    h, w, _ = arr.shape
+    ys = (np.arange(out_h) * h) // out_h
+    xs = (np.arange(out_w) * w) // out_w
+    return arr[ys[:, None], xs[None, :], :]
+
+
+def resize_images(df: DataFrame, payload_col: str = "payload",
+                  id_col: str = "media_id",
+                  out_w: int = 4, out_h: int = 3) -> DataFrame:
+    """Decode + nearest-neighbor resize per image (Arrow-batched): the
+    standardize-thumbnails step of a multimodal curation pipeline.
+    Emits (id, src_w, src_h, out_w, out_h, mean_pixel of the RESIZED
+    image) — the resized mean is what proves the index map is exact
+    (a wrong sampler produces a different pixel subset)."""
+    import pandas as pd
+
+    out_schema = (f"{id_col} long, src_w int, src_h int, out_w int, "
+                  "out_h int, mean_pixel double")
+
+    def run(batches):
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                arr = decode_ppm(bytes(payload))
+                h, w, _ = arr.shape
+                small = resize_nearest(arr, out_w, out_h)
+                rows.append((int(mid), w, h, out_w, out_h,
+                             float(small.mean())))
+            yield pd.DataFrame(
+                rows, columns=[id_col, "src_w", "src_h", "out_w",
+                               "out_h", "mean_pixel"])
+
+    return df.mapInPandas(run, out_schema)

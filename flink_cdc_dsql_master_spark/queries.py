@@ -10498,3 +10498,50 @@ def profile_correlations(spark, sf_dir):
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+@_q(
+    "multimodal_image_resize",
+    """
+    WITH imgs AS MATERIALIZED (
+      SELECT doc_id, CAST(8 + doc_id % 5 AS INT) AS w,
+             CAST(6 + doc_id % 3 AS INT) AS h
+      FROM documents WHERE doc_id < 300),
+    px AS (
+      SELECT m.doc_id, m.w, m.h,
+             (b.j * m.h) // 3 AS sy, (a.i * m.w) // 4 AS sx
+      FROM imgs m, unnest(range(0, 4)) a(i), unnest(range(0, 3)) b(j))
+    SELECT doc_id AS media_id, w AS src_w, h AS src_h,
+           4 AS out_w, 3 AS out_h,
+           ROUND(SUM(((sx * 37) % 256) + ((sy * 53) % 256)
+                     + ((sx * 7 + sy * 11) % 256)) / (4 * 3 * 3.0), 4)
+             AS mean_pixel
+    FROM px GROUP BY 1, 2, 3
+    """,
+)
+def multimodal_image_resize(spark, sf_dir):
+    """REAL image resize (multimodal.resize_images): per-image P6
+    payloads (integer-exact gradients, parameterized dims) decode with
+    the real PPM kernel and downsample 4x3 by the nearest-neighbor
+    index map floor(i*W/out_w); the resized pixel means must equal the
+    oracle's direct evaluation of the synthesis gradient AT THE SAMPLED
+    COORDINATES — a wrong sampler (round-instead-of-floor, transposed
+    axes) picks different pixels and fails the hash. Payload bytes
+    never shuffle; resize cost is O(output pixels)."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.multimodal import resize_images, synth_video_bytes
+
+    @pandas_udf("binary")
+    def synth(ids):
+        # single-frame integer-gradient PPM (the video synthesizer at
+        # n_frames=1, k=0: r=(x*37)%256, g=(y*53)%256, b=(7x+11y)%256)
+        return ids.map(lambda i: synth_video_bytes(
+            8 + int(i) % 5, 6 + int(i) % 3, 1))
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300) \
+        .select(F.col("doc_id").alias("media_id"))
+    media = docs.withColumn("payload", synth("media_id"))
+    out = resize_images(media, out_w=4, out_h=3)
+    return out.select("media_id", "src_w", "src_h", "out_w", "out_h",
+                      F.round("mean_pixel", 4).alias("mean_pixel"))

@@ -204,3 +204,21 @@ def test_video_frame_sampling_boundaries(spark):
     assert set(got) == {(1, 0), (1, 2), (1, 4), (2, 0)}
     assert got[(1, 4)] == (5, 4, 3)
     assert got[(2, 0)] == (1, 4, 3)
+
+
+def test_resize_nearest_index_map(spark):
+    import numpy as np
+
+    from flink_cdc_dsql_master_spark.operators.multimodal import (
+        resize_nearest,
+    )
+
+    # 4x2 -> 2x1: output (0,0) samples src (0,0); (0,1) samples (0,2)
+    arr = np.arange(4 * 2 * 3, dtype="u1").reshape(2, 4, 3)
+    small = resize_nearest(arr, 2, 1)
+    assert small.shape == (1, 2, 3)
+    assert (small[0, 0] == arr[0, 0]).all()
+    assert (small[0, 1] == arr[0, 2]).all()
+    # upscale repeats pixels, never interpolates
+    big = resize_nearest(arr, 8, 2)
+    assert (big[0, 0] == big[0, 1]).all()
