@@ -87,6 +87,13 @@ TARGETS = [
     "text_keyword_rake",
     "text_pmi_collocations",
     "text_zipf_slope",
+    # wave 11-15 additions: gram-partial covariance (per-batch BLAS
+    # partials are corpus-size-independent KBs — expect e ~ scan) and
+    # hard-negative mining (posting-filter bound). The multimodal
+    # queries are excluded: they cap at doc_id < 300 by design, so a
+    # 10x corpus runs identical work (nothing to measure).
+    "embedding_covariance",
+    "sample_hard_negatives",
 ]
 
 
