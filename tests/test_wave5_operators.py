@@ -237,3 +237,35 @@ def test_kmeans_state_fold_is_linear(spark):
     c = kmeans_centroids_of(near0.collect(), cents)
     assert c[0] == [0.5, 0.5]
     assert c[1] == [10.0, 10.0]       # untouched
+
+
+# ------------------------------------------------------- nearest as-of
+
+
+def test_asof_nearest_ties_prefer_backward_and_tolerance(spark):
+    import datetime as dt
+
+    from flink_cdc_dsql_master_spark.operators.asof import (
+        asof_join_nearest,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    left = spark.createDataFrame(
+        [(1, "k", ts(100)), (2, "k", ts(500)), (3, "x", ts(100))],
+        "lid long, lk string, lts timestamp")
+    right = spark.createDataFrame(
+        [(10, "k", ts(90)), (11, "k", ts(110)),     # equidistant from 100
+         (12, "k", ts(130))],
+        "rid long, rk string, rts timestamp")
+    out = asof_join_nearest(
+        left, right, on=[("lk", "rk")], left_on="lts", right_on="rts",
+        tolerance_s=60.0, left_id="lid", right_id="rid")
+    got = {r["lid"]: r["rid"] for r in out.collect()}
+    assert got[1] == 10         # |10s| tie: backward wins over forward
+    assert got[2] is None       # nearest right is 370s away: > tolerance
+    assert got[3] is None       # key never matches
+    assert set(got) == {1, 2, 3}   # left-outer: every left row survives
