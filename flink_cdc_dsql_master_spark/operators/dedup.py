@@ -835,3 +835,54 @@ def content_defined_chunks_arrow(df: DataFrame, id_col: str = "doc_id",
                             & (F.length(text_col) > 0)))
     return base.select(id_col, F.posexplode(chunks_of(F.col(text_col)))
                        .alias("chunk_idx", "chunk"))
+
+
+def simhash_search(df: DataFrame, query_ids, id_col: str = "doc_id",
+                   text_col: str = "text", max_hamming: int = 3,
+                   shingle_n: int = 2) -> DataFrame:
+    """Query-side SimHash near-dup SEARCH: for each query document,
+    every corpus document within Hamming ≤ ``max_hamming`` of its
+    64-bit fingerprint — the lookup face of :func:`simhash_pairs`
+    (dedup finds all pairs once; search asks "what matches THIS doc"
+    per incoming item, e.g. incremental ingest screening). Same
+    pigeonhole banding: the query side is tiny so its banded chunks
+    BROADCAST, and the corpus join touches only band-matching
+    fingerprints — never an all-pairs scan. Returns
+    (query_id, match_id, hamming)."""
+    n_chunks = max_hamming + 1
+    width = 64 // n_chunks
+    base = (
+        _spread(df)
+        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        .withColumn("__sh", word_shingles_pandas(shingle_n)(F.col("__t")))
+    )
+    fp = base.select("__id",
+                     _simhash_from_shingles(F.col("__sh")).alias("fp")) \
+        .persist()
+
+    def chunk_val(i: int):
+        shift = i * width
+        bits = 64 - shift if i == n_chunks - 1 else width
+        shifted = (F.shiftrightunsigned(F.col("fp"), shift) if shift
+                   else F.col("fp"))
+        if bits >= 64:
+            return shifted
+        return shifted.bitwiseAND(F.lit((1 << bits) - 1))
+
+    chunks = fp.select(
+        "__id", "fp",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"), chunk_val(i).alias("val"))
+            for i in range(n_chunks)
+        ])).alias("cv"),
+    ).select("__id", "fp", "cv.chunk", "cv.val")
+    q = chunks.where(F.col("__id").isin(list(query_ids))).select(
+        F.col("__id").alias("query_id"), F.col("fp").alias("qfp"),
+        "chunk", "val")
+    hamming = F.bit_count(F.col("qfp").bitwiseXOR(F.col("fp")))
+    return (chunks.join(F.broadcast(q), ["chunk", "val"])
+            .where(F.col("__id") != F.col("query_id"))
+            .select("query_id", F.col("__id").alias("match_id"),
+                    hamming.cast("int").alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .dropDuplicates(["query_id", "match_id"]))

@@ -1290,7 +1290,7 @@ def dedup_minhash_lsh(spark, sf_dir):
     return out.withColumn("jaccard", F.round("jaccard", 6))
 
 
-_SIMHASH_ORACLE = """
+_SIMHASH_FP_CTES = """
     WITH norm AS (
       SELECT doc_id,
              string_split_regex(trim(regexp_replace(lower(text), '\\s+', ' ',
@@ -1324,6 +1324,9 @@ _SIMHASH_ORACLE = """
       SELECT doc_id,
              CAST(SUM(CASE WHEN cnt > 0 THEN mask ELSE 0 END) AS BIGINT) AS f
       FROM bits GROUP BY doc_id)
+"""
+
+_SIMHASH_ORACLE = _SIMHASH_FP_CTES + """
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(bit_count(xor(a.f, b.f)) AS INT) AS hamming
     FROM fp a JOIN fp b ON a.doc_id < b.doc_id
@@ -10545,3 +10548,26 @@ def multimodal_image_resize(spark, sf_dir):
     out = resize_images(media, out_w=4, out_h=3)
     return out.select("media_id", "src_w", "src_h", "out_w", "out_h",
                       F.round("mean_pixel", 4).alias("mean_pixel"))
+
+
+@_q(
+    "search_simhash_hamming",
+    _SIMHASH_FP_CTES + """
+    SELECT q.doc_id AS query_id, c.doc_id AS match_id,
+           CAST(bit_count(xor(q.f, c.f)) AS INT) AS hamming
+    FROM fp q JOIN fp c ON c.doc_id <> q.doc_id
+    WHERE q.doc_id % 50 = 8 AND bit_count(xor(q.f, c.f)) <= 3
+    """,
+)
+def search_simhash_hamming(spark, sf_dir):
+    """Query-side SimHash search (dedup.simhash_search): every corpus
+    doc within Hamming <= 3 of each query doc's fingerprint — the
+    incremental-ingest screening face of the pairwise dedup. The tiny
+    query side's banded chunks broadcast; the corpus join touches only
+    band-matching fingerprints (pigeonhole recall-exact), so the oracle
+    can be the direct all-pairs Hamming filter over the same
+    md5-derived fingerprints."""
+    docs = _t(spark, sf_dir, "documents")
+    qids = [r[0] for r in docs.where(F.col("doc_id") % 50 == 8)
+            .select("doc_id").collect()]
+    return dedup.simhash_search(docs, query_ids=qids, max_hamming=3)
