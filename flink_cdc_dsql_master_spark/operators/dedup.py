@@ -886,3 +886,43 @@ def simhash_search(df: DataFrame, query_ids, id_col: str = "doc_id",
                     hamming.cast("int").alias("hamming"))
             .where(F.col("hamming") <= max_hamming)
             .dropDuplicates(["query_id", "match_id"]))
+
+
+def jaccard_search(df: DataFrame, query_ids, id_col: str = "doc_id",
+                   text_col: str = "text", shingle_n: int = 3,
+                   k: int = 5) -> DataFrame:
+    """Query-side EXACT n-gram Jaccard search: the top-``k`` most
+    shingle-similar corpus docs per query doc — the exact-scoring
+    companion of :func:`simhash_search` (use this when the query set is
+    small enough that exact overlap is affordable; the pairwise
+    :func:`ngram_jaccard_pairs` answers the corpus-wide question).
+    Query shingles BROADCAST (Q docs x shingles — KBs); the corpus
+    posting stream joins against them map-side, so only shingle-sharing
+    (query, doc) pairs ever shuffle. Returns (query_id, match_id,
+    jaccard, rank)."""
+    sh = _spread(df).select(
+        F.col(id_col).alias("__id"),
+        word_shingles_pandas(shingle_n)(F.col(text_col)).alias("__sh"),
+    ).select("__id", F.explode("__sh").alias("s")) \
+        .withColumn("sh_hash", F.xxhash64("s")).drop("s")
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
+    q = sh.where(F.col("__id").isin(list(query_ids))).select(
+        F.col("__id").alias("query_id"), "sh_hash")
+    inter = (sh.join(F.broadcast(q), "sh_hash")
+             .where(F.col("__id") != F.col("query_id"))
+             .groupBy("query_id", F.col("__id").alias("match_id"))
+             .agg(F.count("*").alias("inter")))
+    sq = sizes.select(F.col("__id").alias("query_id"),
+                      F.col("sz").alias("sz_q"))
+    sc = sizes.select(F.col("__id").alias("match_id"),
+                      F.col("sz").alias("sz_c"))
+    scored = (inter.join(F.broadcast(sq), "query_id").join(sc, "match_id")
+              .withColumn("jaccard", F.round(
+                  F.col("inter") / (F.col("sz_q") + F.col("sz_c")
+                                    - F.col("inter")), 6)))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("jaccard").desc(), F.col("match_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "match_id", "jaccard",
+                    F.col("rank").cast("int").alias("rank")))

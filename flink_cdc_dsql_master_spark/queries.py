@@ -10571,3 +10571,69 @@ def search_simhash_hamming(spark, sf_dir):
     qids = [r[0] for r in docs.where(F.col("doc_id") % 50 == 8)
             .select("doc_id").collect()]
     return dedup.simhash_search(docs, query_ids=qids, max_hamming=3)
+
+
+@_q(
+    "agg_rollup_hierarchy",
+    """
+    SELECT COALESCE(o_orderstatus, '(all)') AS status,
+           COALESCE(o_orderpriority, '(all)') AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(SUM(o_totalprice), 4) AS total_price
+    FROM orders
+    GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_rollup_hierarchy(spark, sf_dir):
+    """ROLLUP (the hierarchical third of the CUBE / GROUPING SETS /
+    ROLLUP trio, all three now covered): detail, per-status subtotal
+    and grand total from ONE scan via map-side set expansion —
+    FlinkSQL's GROUP BY ROLLUP surface."""
+    ev = _t(spark, sf_dir, "orders")
+    ev.createOrReplaceTempView("orders_rollup")
+    return spark.sql("""
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               ROUND(SUM(o_totalprice), 4) AS total_price
+        FROM orders_rollup
+        GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+    """)
+
+
+@_q(
+    "search_jaccard_topk",
+    "WITH " + _SHINGLE_CTES + """,
+    qe AS MATERIALIZED (
+      SELECT doc_id AS query_id, s FROM ex WHERE doc_id % 50 = 8),
+    qin AS (
+      SELECT q.query_id, e.doc_id AS match_id,
+             CAST(COUNT(*) AS BIGINT) AS inter
+      FROM qe q JOIN ex e ON e.s = q.s AND e.doc_id <> q.query_id
+      GROUP BY 1, 2)
+    SELECT query_id, match_id, jaccard, CAST(rank AS INT) AS rank
+    FROM (
+      SELECT i.query_id, i.match_id,
+             ROUND(CAST(i.inter AS DOUBLE)
+                   / (sq.sz + sc.sz - i.inter), 6) AS jaccard,
+             row_number() OVER (
+               PARTITION BY i.query_id
+               ORDER BY CAST(i.inter AS DOUBLE)
+                        / (sq.sz + sc.sz - i.inter) DESC,
+                        i.match_id ASC) AS rank
+      FROM qin i
+      JOIN sizes sq ON sq.doc_id = i.query_id
+      JOIN sizes sc ON sc.doc_id = i.match_id)
+    WHERE rank <= 5
+    """,
+)
+def search_jaccard_topk(spark, sf_dir):
+    """Exact n-gram Jaccard top-k search (dedup.jaccard_search): the
+    5 most shingle-similar corpus docs per query doc ({doc_id % 50 ==
+    8}) — exact-scoring companion of the SimHash Hamming search. Query
+    shingles broadcast; only shingle-sharing (query, doc) pairs
+    shuffle; ranking at candidate grain."""
+    docs = _t(spark, sf_dir, "documents")
+    qids = [r[0] for r in docs.where(F.col("doc_id") % 50 == 8)
+            .select("doc_id").collect()]
+    return dedup.jaccard_search(docs, query_ids=qids, k=5)
