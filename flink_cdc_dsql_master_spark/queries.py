@@ -10637,3 +10637,67 @@ def search_jaccard_topk(spark, sf_dir):
     qids = [r[0] for r in docs.where(F.col("doc_id") % 50 == 8)
             .select("doc_id").collect()]
     return dedup.jaccard_search(docs, query_ids=qids, k=5)
+
+
+@_q(
+    "eval_cluster_purity",
+    "WITH RECURSIVE " + _SHINGLE_CTES + """,
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+    clus AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+             FROM reach GROUP BY node),
+    cs AS (
+      SELECT c.cluster_id, d.source,
+             CAST(COUNT(*) AS BIGINT) AS n_src
+      FROM clus c JOIN documents d USING (doc_id)
+      GROUP BY 1, 2),
+    tot AS (SELECT cluster_id, SUM(n_src) AS n FROM cs GROUP BY 1),
+    maj AS (
+      SELECT cluster_id, source AS majority_source, n_src FROM (
+        SELECT cs.*, row_number() OVER (
+          PARTITION BY cluster_id
+          ORDER BY n_src DESC, source ASC) AS rn FROM cs)
+      WHERE rn = 1)
+    SELECT m.cluster_id, CAST(t.n AS BIGINT) AS n, m.majority_source,
+           ROUND(CAST(m.n_src AS DOUBLE) / t.n, 6) AS purity
+    FROM maj m JOIN tot t USING (cluster_id)
+    WHERE t.n >= 2
+    """,
+)
+def eval_cluster_purity(spark, sf_dir):
+    """Dup-cluster purity against the labeled ``source`` column — the
+    evaluation that tells a curation team whether near-dup clusters
+    really capture re-crawls of one origin (high purity) or fuse
+    unrelated sources (low purity: loosen the threshold before
+    deduplicating by cluster). Per multi-member cluster: size, majority
+    source (ties by source asc) and its share. Aggregates run at
+    cluster grain — tiny next to the corpus-scale pair generation they
+    audit."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(pairs, docs, id_col="doc_id")
+    cs = (clusters.join(docs.select("doc_id", "source"), "doc_id")
+          .groupBy("cluster_id", "source")
+          .agg(F.count("*").cast("long").alias("n_src")))
+    tot = cs.groupBy("cluster_id").agg(F.sum("n_src").alias("n"))
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.col("n_src").desc(), F.col("source").asc())
+    maj = (cs.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") == 1)
+           .select("cluster_id", F.col("source").alias("majority_source"),
+                   "n_src"))
+    return (maj.join(tot, "cluster_id")
+            .where(F.col("n") >= 2)
+            .select("cluster_id", F.col("n").cast("long").alias("n"),
+                    "majority_source",
+                    F.round(F.col("n_src").cast("double") / F.col("n"), 6)
+                    .alias("purity")))
