@@ -585,3 +585,36 @@ def make_versioned_sink_writer(base_path: str, buckets: int = 16):
             epoch=None if batch_id is None else str(batch_id))
 
     return writer
+
+
+def make_kmeans_sink_writer(base_path: str, cents: list,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding"):
+    """Sink-writer maintaining streaming mini-batch K-MEANS sufficient
+    statistics per sink table (``<table>__kmstate``): each micro-batch
+    assigns against the centroids DERIVED FROM the current state
+    (seeded by ``cents``), collapses to the linear-mergeable (cluster,
+    dim, n, sum) rows, and folds them in with a crash-safe swap — the
+    model-state counterpart of the sketch writer: centroids follow the
+    stream without ever rescanning history, and the state is k x dim
+    rows forever. Read the live centroids back with
+    ``kmeans_centroids_of(read_parquet_state(...).collect(), cents)``."""
+    from .operators.similarity import (
+        kmeans_centroids_of,
+        kmeans_merge_state,
+        kmeans_state_from_batch,
+    )
+    from .sinks import read_parquet_state, swap_parquet_dir
+
+    def writer(sink_tid, df, schema):
+        spark = df.sparkSession
+        path = f"{base_path}/{sink_tid.table}__kmstate"
+        state = read_parquet_state(spark, path)
+        cur = (kmeans_centroids_of(state.collect(), cents)
+               if state is not None else [list(c) for c in cents])
+        delta = kmeans_state_from_batch(df, cur, id_col, vec_col)
+        merged = (kmeans_merge_state(state, delta)
+                  if state is not None else delta)
+        swap_parquet_dir(merged, path)
+
+    return writer

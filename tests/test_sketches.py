@@ -313,3 +313,72 @@ def test_hll_small_range_exactish(spark):
         .withColumn("g", F.lit("all"))
     out = hll_distinct(df, "k", ["g"], p=8).collect()[0]
     assert abs(out["distinct_est"] - 30) / 30 < 0.12
+
+
+def test_streaming_kmeans_state_fold_matches_batch(spark, tmp_path):
+    """Two checkpointed micro-batches through make_kmeans_sink_writer:
+    the maintained state must equal the hand-run two-batch mini-batch
+    fold (same assignment-against-current-centroids semantics)."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.compose import (
+        compose_changelog_stream, make_kmeans_sink_writer)
+    from flink_cdc_dsql_master_spark.operators.similarity import (
+        kmeans_centroids_of, kmeans_merge_state, kmeans_state_from_batch)
+    from flink_cdc_dsql_master_spark.pipeline import (PipelineDef,
+                                                      SinkDef, SourceDef)
+
+    src = str(tmp_path / "topic_km")
+    ckpt = str(tmp_path / "ckpt_km")
+    out = str(tmp_path / "km")
+    (tmp_path / "topic_km").mkdir()
+
+    def vec(i):
+        return [float((i * 7) % 10), float((i * 3) % 10)]
+
+    def env(i):
+        return json.dumps({"before": None,
+                           "after": {"vec_id": i, "embedding": vec(i)},
+                           "op": "c"})
+
+    def write(fn, ids):
+        with open(f"{src}/{fn}", "w") as f:
+            for off, i in enumerate(ids):
+                f.write(json.dumps({"value": env(i),
+                                    "offset": off + i * 100}) + "\n")
+
+    cents = [[0.0, 0.0], [9.0, 9.0]]
+    pipe = PipelineDef(
+        source=SourceDef("file-debezium", {
+            "path": src,
+            "schema": "vec_id long, embedding array<double>",
+            "table": "db.s.emb", "primary-keys": ["vec_id"]}),
+        sink=SinkDef("custom"),
+    )
+    writer = make_kmeans_sink_writer(out, cents)
+
+    b1, b2 = list(range(20)), list(range(20, 40))
+    write("b1.jsonl", b1)
+    q = compose_changelog_stream(spark, pipe, ckpt, writer)
+    q.awaitTermination(120)
+    write("b2.jsonl", b2)
+    q = compose_changelog_stream(spark, pipe, ckpt, writer)
+    q.awaitTermination(120)
+
+    live = {(r["cluster"], r["i"]): (r["n"], r["s"]) for r in
+            spark.read.parquet(f"{out}/emb__kmstate").collect()}
+
+    mk = lambda ids: spark.createDataFrame(
+        [(i, vec(i)) for i in ids],
+        "vec_id long, embedding array<double>")
+    s1 = kmeans_state_from_batch(mk(b1), cents)
+    c1 = kmeans_centroids_of(s1.collect(), cents)
+    s2 = kmeans_merge_state(s1, kmeans_state_from_batch(mk(b2), c1))
+    scratch = {(r["cluster"], r["i"]): (r["n"], r["s"])
+               for r in s2.collect()}
+    assert live == scratch
+    # centroids moved off the seeds
+    final = kmeans_centroids_of(s2.collect(), c1)
+    assert final != cents
