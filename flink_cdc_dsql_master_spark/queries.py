@@ -10701,3 +10701,42 @@ def eval_cluster_purity(spark, sf_dir):
                     "majority_source",
                     F.round(F.col("n_src").cast("double") / F.col("n"), 6)
                     .alias("purity")))
+
+
+@_q(
+    "text_ngram_novelty",
+    "WITH " + _SHINGLE_CTES + """,
+    dfreq AS MATERIALIZED (
+      SELECT s, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df
+      FROM ex GROUP BY 1)
+    SELECT e.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unique,
+           ROUND(SUM(CASE WHEN d.df = 1 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS novelty
+    FROM ex e JOIN dfreq d USING (s)
+    GROUP BY 1
+    """,
+)
+def text_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram NOVELTY: the share of a doc's shingles that
+    appear in NO other document — the distinctiveness signal dual to
+    the boilerplate/repetition filters (novelty ~1 = unique content,
+    ~0 = assembled from corpus-common phrases; curation keeps the
+    former and caps the latter). One shingle-grain df aggregate + a
+    broadcast-scale join back; all counts exact."""
+    docs = _t(spark, sf_dir, "documents")
+    from .operators.dedup import word_shingles_pandas
+
+    sh = docs.select(
+        F.col("doc_id"),
+        F.explode(word_shingles_pandas(3)(F.col("text"))).alias("s"))
+    dfreq = sh.groupBy("s").agg(
+        F.count_distinct("doc_id").alias("df"))
+    j = sh.join(dfreq, "s")
+    uniq = F.when(F.col("df") == 1, 1).otherwise(0)
+    return (j.groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_shingles"),
+                 F.sum(uniq).cast("long").alias("n_unique"),
+                 F.round(F.sum(uniq.cast("double")) / F.count("*"), 6)
+                 .alias("novelty")))
