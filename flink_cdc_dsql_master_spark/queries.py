@@ -10740,3 +10740,51 @@ def text_ngram_novelty(spark, sf_dir):
                  F.sum(uniq).cast("long").alias("n_unique"),
                  F.round(F.sum(uniq.cast("double")) / F.count("*"), 6)
                  .alias("novelty")))
+
+
+@_q(
+    "dq_referential_orphans",
+    """
+    SELECT 'lineitem->orders' AS fk,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_orphans,
+           ROUND(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1.0
+                     ELSE 0.0 END) / COUNT(*), 6) AS orphan_rate
+    FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey
+    UNION ALL
+    SELECT 'events->customer',
+           CAST(COUNT(*) AS BIGINT),
+           CAST(SUM(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT),
+           ROUND(SUM(CASE WHEN c.c_custkey IS NULL THEN 1.0
+                     ELSE 0.0 END) / COUNT(*), 6)
+    FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+    """,
+)
+def dq_referential_orphans(spark, sf_dir):
+    """Referential-integrity audit across table pairs: total rows,
+    orphaned foreign keys and the orphan rate — the cross-table DQ
+    check the single-table constraint suite cannot express. One
+    broadcast (dimension-keyed) left join per pair, 1-row aggregates;
+    lineitem->orders must audit CLEAN (generated consistent) while
+    events->customer quantifies the genuinely unmatched traffic —
+    both outcomes proven, not assumed."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey")
+    ev = _t(spark, sf_dir, "events")
+    cu = _t(spark, sf_dir, "customer").select("c_custkey")
+
+    def audit(name, fact, dim, fk, pk):
+        j = fact.join(F.broadcast(dim), fact[fk] == dim[pk], "left")
+        orphan = F.when(dim[pk].isNull(), 1).otherwise(0)
+        return j.agg(
+            F.lit(name).alias("fk"),
+            F.count("*").cast("long").alias("n_total"),
+            F.sum(orphan).cast("long").alias("n_orphans"),
+            F.round(F.sum(orphan.cast("double")) / F.count("*"), 6)
+            .alias("orphan_rate"))
+
+    return audit("lineitem->orders", li, o, "l_orderkey", "o_orderkey") \
+        .unionByName(audit("events->customer", ev, cu,
+                           "user_id", "c_custkey"))
