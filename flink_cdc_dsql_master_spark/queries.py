@@ -10788,3 +10788,62 @@ def dq_referential_orphans(spark, sf_dir):
     return audit("lineitem->orders", li, o, "l_orderkey", "o_orderkey") \
         .unionByName(audit("events->customer", ev, cu,
                            "user_id", "c_custkey"))
+
+
+@_q(
+    "window_percent_change_mom",
+    """
+    WITH m AS (
+      SELECT strftime(date_trunc('month', o_orderdate), '%Y-%m') AS month,
+             ROUND(SUM(o_totalprice), 4) AS revenue
+      FROM orders GROUP BY 1)
+    SELECT month, revenue,
+           ROUND((revenue - LAG(revenue) OVER (ORDER BY month))
+                 / LAG(revenue) OVER (ORDER BY month) * 100, 6)
+             AS pct_change
+    FROM m
+    """,
+)
+def window_percent_change_mom(spark, sf_dir):
+    """Month-over-month revenue change — the reporting staple: monthly
+    partial-agg collapse (month-grain rows), then LAG over the tiny
+    aggregate (the window sorts months, never orders). First month's
+    change is NULL by definition. The ranked measure is pre-rounded so
+    the division replays exactly."""
+    o = _t(spark, sf_dir, "orders")
+    m = (o.groupBy(F.date_format(F.date_trunc("month", "o_orderdate"),
+                                 "yyyy-MM").alias("month"))
+         .agg(F.round(F.sum("o_totalprice"), 4).alias("revenue")))
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return m.select(
+        "month", "revenue",
+        F.round((F.col("revenue") - prev) / prev * 100, 6)
+        .alias("pct_change"))
+
+
+@_q(
+    "reshape_props_map",
+    """
+    SELECT prop_key, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(DISTINCT
+             json_extract_string(props, '$.' || prop_key)) AS BIGINT)
+             AS n_values
+    FROM (SELECT unnest(json_keys(props)) AS prop_key, props
+          FROM events)
+    GROUP BY 1
+    """,
+)
+def reshape_props_map(spark, sf_dir):
+    """Semi-structured MAP reshaping: the JSON props column parses into
+    a map and explodes to (key, value) entries — the schema-on-read
+    profiling pass for event property bags (which keys exist, how many
+    distinct values each carries). from_json to map<string,string> +
+    ONE explode + partial-agg groupBy at key grain; values compare as
+    their JSON string forms on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    entries = ev.select(F.explode(F.from_json(
+        "props", "map<string,string>")).alias("prop_key", "value"))
+    return (entries.groupBy("prop_key")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.count_distinct("value").alias("n_values")))
