@@ -10847,3 +10847,53 @@ def reshape_props_map(spark, sf_dir):
     return (entries.groupBy("prop_key")
             .agg(F.count("*").cast("long").alias("n"),
                  F.count_distinct("value").alias("n_values")))
+
+
+@_q(
+    "timeseries_autocorr_lag1",
+    """
+    WITH s AS (
+      SELECT event_type, value,
+             LAG(value) OVER (PARTITION BY event_type
+                              ORDER BY ts, event_id) AS prev
+      FROM events),
+    p AS (SELECT event_type, value AS x, prev AS y FROM s
+          WHERE prev IS NOT NULL),
+    agg AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * x) AS sxx,
+             SUM(y * y) AS syy, SUM(x * y) AS sxy
+      FROM p GROUP BY 1)
+    SELECT event_type, n,
+           ROUND((CAST(n AS DOUBLE) * sxy - sx * sy)
+                 / (SQRT(CAST(n AS DOUBLE) * sxx - sx * sx)
+                    * SQRT(CAST(n AS DOUBLE) * syy - sy * sy)), 6)
+             AS autocorr_lag1
+    FROM agg
+    """,
+)
+def timeseries_autocorr_lag1(spark, sf_dir):
+    """Lag-1 autocorrelation per series — the one-number test for
+    whether a metric stream has memory (near 0: white noise, EWMA
+    suffices; near 1: trending, Holt earns its keep — this statistic
+    is how you CHOOSE between the engine's smoothers). One window-lag
+    pass + Pearson over (x_t, x_{t-1}) from 6 sufficient statistics in
+    a single partial-agg shuffle; rounded at 6 to absorb sum-order
+    wobble."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    p = (ev.select("event_type", F.col("value").alias("x"),
+                   F.lag("value").over(w).alias("y"))
+         .where(F.col("y").isNotNull()))
+    agg = p.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"))
+    n = F.col("n").cast("double")
+    corr = ((n * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.sqrt(n * F.col("sxx") - F.col("sx") * F.col("sx"))
+               * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))))
+    return agg.select("event_type", "n",
+                      F.round(corr, 6).alias("autocorr_lag1"))
