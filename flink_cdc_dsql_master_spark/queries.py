@@ -10897,3 +10897,54 @@ def timeseries_autocorr_lag1(spark, sf_dir):
                * F.sqrt(n * F.col("syy") - F.col("sy") * F.col("sy"))))
     return agg.select("event_type", "n",
                       F.round(corr, 6).alias("autocorr_lag1"))
+
+
+@_q(
+    "agg_weighted_avg",
+    """
+    SELECT l_returnflag AS flag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(19,4))) AS DOUBLE)
+             AS total_qty,
+           ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(19,4))
+                          * CAST(l_quantity AS DECIMAL(19,4)))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(l_quantity AS DECIMAL(19,4)))
+                        AS DOUBLE), 6) AS qty_weighted_price
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_weighted_avg(spark, sf_dir):
+    """Quantity-weighted average price per return flag — the weighted
+    mean every pricing report needs, with DECIMAL-exact numerator and
+    denominator sums (order-independent) and one double division at
+    the end. One partial-agg shuffle."""
+    li = _t(spark, sf_dir, "lineitem")
+    q = F.col("l_quantity").cast("decimal(15,4)")
+    p = F.col("l_extendedprice").cast("decimal(15,4)")
+    agg = li.groupBy(F.col("l_returnflag").alias("flag")).agg(
+        F.sum(q).alias("sq"), F.sum(p * q).alias("spq"))
+    return agg.select(
+        "flag", F.col("sq").cast("double").alias("total_qty"),
+        F.round(F.col("spq").cast("double")
+                / F.col("sq").cast("double"), 6)
+        .alias("qty_weighted_price"))
+
+
+@_q(
+    "events_hourly_profile",
+    """
+    SELECT CAST(hour(ts) AS INT) AS hour_of_day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_profile(spark, sf_dir):
+    """Hour-of-day activity profile per event type (the seasonality
+    heatmap input): 24 x types grain from one partial-agg shuffle;
+    hour() agrees across engines because the session TZ is pinned
+    UTC."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy(F.hour("ts").alias("hour_of_day"), "event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
