@@ -10948,3 +10948,80 @@ def events_hourly_profile(spark, sf_dir):
     return (ev.groupBy(F.hour("ts").alias("hour_of_day"), "event_type")
             .agg(F.count("*").cast("long").alias("n"),
                  F.round(F.sum("value"), 4).alias("total_value")))
+
+
+@_q(
+    "agg_gini_revenue",
+    """
+    WITH rev AS MATERIALIZED (
+      SELECT o_custkey AS cust, ROUND(SUM(o_totalprice), 4) AS r
+      FROM orders GROUP BY 1),
+    rk AS (SELECT r, row_number() OVER (ORDER BY r, cust) AS i FROM rev),
+    s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n, SUM(r) AS sr,
+                 SUM(i * r) AS sir
+          FROM rk)
+    SELECT n,
+           ROUND(2.0 * sir / (CAST(n AS DOUBLE) * sr)
+                 - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE), 6)
+             AS gini
+    FROM s
+    """,
+)
+def agg_gini_revenue(spark, sf_dir):
+    """Gini coefficient of per-customer revenue — the concentration
+    one-number (0 = equal spend, ->1 = whale-dominated) portfolio and
+    marketplace teams track. Customer-grain collapse first (one
+    partial-agg shuffle), then the rank formula over the SMALL
+    aggregate: 2*sum(i*x)/(n*sum(x)) - (n+1)/n with a deterministic
+    (revenue, key) rank. The global sort runs on customer-grain rows,
+    never order-grain."""
+    o = _t(spark, sf_dir, "orders")
+    rev = (o.groupBy(F.col("o_custkey").alias("cust"))
+           .agg(F.round(F.sum("o_totalprice"), 4).alias("r")))
+    w = Window.orderBy("r", "cust")
+    rk = rev.withColumn("i", F.row_number().over(w))
+    s = rk.agg(F.count("*").cast("long").alias("n"),
+               F.sum("r").alias("sr"),
+               F.sum(F.col("i") * F.col("r")).alias("sir"))
+    n = F.col("n").cast("double")
+    return s.select(
+        "n", F.round(2.0 * F.col("sir") / (n * F.col("sr"))
+                     - (n + 1.0) / n, 6).alias("gini"))
+
+
+@_q(
+    "dedup_cluster_sizes",
+    "WITH RECURSIVE " + _SHINGLE_CTES + """,
+    pairs AS (
+      SELECT id_a, id_b FROM inter
+      JOIN sizes sa ON sa.doc_id = id_a
+      JOIN sizes sb ON sb.doc_id = id_b
+      WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= 0.5),
+    edges AS (SELECT id_a AS s, id_b AS d FROM pairs
+              UNION ALL SELECT id_b, id_a FROM pairs),
+    reach(node, label) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node),
+    clus AS (SELECT node AS doc_id, MIN(label) AS cluster_id
+             FROM reach GROUP BY node),
+    cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS sz
+           FROM clus GROUP BY 1)
+    SELECT sz AS cluster_size, CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM cs GROUP BY 1
+    """,
+)
+def dedup_cluster_sizes(spark, sf_dir):
+    """Near-dup cluster SIZE distribution — the storage-planning view
+    of dedup output (how many docs vanish if each family keeps one
+    canonical: sum over sizes of (size-1)). Histogram computed at
+    cluster grain; the heavy work is the pair generation it audits."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.5)
+    clusters = dedup.dup_clusters(pairs, docs, id_col="doc_id")
+    cs = clusters.groupBy("cluster_id").agg(
+        F.count("*").cast("long").alias("sz"))
+    return (cs.groupBy(F.col("sz").alias("cluster_size"))
+            .agg(F.count("*").cast("long").alias("n_clusters"),
+                 F.sum("sz").cast("long").alias("n_docs")))
