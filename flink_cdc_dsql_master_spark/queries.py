@@ -11025,3 +11025,84 @@ def dedup_cluster_sizes(spark, sf_dir):
     return (cs.groupBy(F.col("sz").alias("cluster_size"))
             .agg(F.count("*").cast("long").alias("n_clusters"),
                  F.sum("sz").cast("long").alias("n_docs")))
+
+
+@_q(
+    "text_hapax_ratio",
+    r"""
+    WITH uni AS MATERIALIZED (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(list_filter(
+              string_split_regex(trim(lower(text)), '\s+'),
+              x -> x <> '')) AS word
+            FROM documents)
+      GROUP BY 1)
+    SELECT CAST(SUM(freq) AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_types,
+           CAST(SUM(CASE WHEN freq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hapax,
+           ROUND(SUM(CASE WHEN freq = 1 THEN 1.0 ELSE 0.0 END)
+                 / COUNT(*), 6) AS hapax_share,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / SUM(freq), 6)
+             AS type_token_ratio
+    FROM uni
+    """,
+)
+def text_hapax_ratio(spark, sf_dir):
+    """Hapax-legomena share and type/token ratio — the lexical-richness
+    pair beside the Zipf slope (natural prose runs ~40-60% hapax; a
+    templated corpus collapses toward 0). One vocabulary-collapse
+    shuffle, one-row output."""
+    docs = _t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.trim(F.lower(F.col("text"))), r"\s+"),
+                     lambda x: x != "")
+    uni = (docs.select(words.alias("w"))
+           .select(F.explode("w").alias("word"))
+           .groupBy("word").agg(F.count("*").cast("long").alias("freq")))
+    hap = F.when(F.col("freq") == 1, 1).otherwise(0)
+    return uni.agg(
+        F.sum("freq").cast("long").alias("n_tokens"),
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(hap).cast("long").alias("n_hapax"),
+        F.round(F.sum(hap.cast("double")) / F.count("*"), 6)
+        .alias("hapax_share"),
+        F.round(F.count("*").cast("double") / F.sum("freq"), 6)
+        .alias("type_token_ratio"))
+
+
+@_q(
+    "events_interarrival_stats",
+    """
+    WITH gaps AS (
+      SELECT event_type,
+             (epoch_us(ts) - epoch_us(LAG(ts) OVER (
+               PARTITION BY event_type ORDER BY ts, event_id)))
+               / 1000000.0 AS gap_s
+      FROM events)
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(AVG(gap_s), 6) AS mean_gap_s,
+           ROUND(quantile_cont(gap_s, 0.5), 6) AS median_gap_s,
+           ROUND(MAX(gap_s), 6) AS max_gap_s
+    FROM gaps WHERE gap_s IS NOT NULL
+    GROUP BY 1
+    """,
+)
+def events_interarrival_stats(spark, sf_dir):
+    """Inter-arrival time statistics per event type — the stream-health
+    profile (mean/median cadence, worst silence) that sizes watermarks
+    and session gaps. One window-lag pass then a grouped aggregate;
+    both engines interpolate the median identically."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    ts = F.col("ts").cast("timestamp")   # NTZ relabel, session TZ UTC
+    gaps = ev.select(
+        "event_type",
+        ((F.unix_micros(ts) - F.unix_micros(F.lag(ts).over(w)))
+         / 1000000.0).alias("gap_s")) \
+        .where(F.col("gap_s").isNotNull())
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.round(F.avg("gap_s"), 6).alias("mean_gap_s"),
+        F.round(F.expr("percentile(gap_s, 0.5)"), 6)
+        .alias("median_gap_s"),
+        F.round(F.max("gap_s"), 6).alias("max_gap_s"))
