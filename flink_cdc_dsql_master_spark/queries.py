@@ -11106,3 +11106,117 @@ def events_interarrival_stats(spark, sf_dir):
         F.round(F.expr("percentile(gap_s, 0.5)"), 6)
         .alias("median_gap_s"),
         F.round(F.max("gap_s"), 6).alias("max_gap_s"))
+
+
+@_q(
+    "agg_pareto_share",
+    """
+    WITH rev AS MATERIALIZED (
+      SELECT o_custkey AS cust, ROUND(SUM(o_totalprice), 4) AS r
+      FROM orders GROUP BY 1),
+    rk AS (
+      SELECT r,
+             row_number() OVER (ORDER BY r DESC, cust ASC) AS i,
+             (SELECT CAST(COUNT(*) AS BIGINT) FROM rev) AS n,
+             (SELECT SUM(r) FROM rev) AS total
+      FROM rev)
+    SELECT CAST(decile AS INT) AS top_decile,
+           CAST(n_cust AS BIGINT) AS n_customers,
+           ROUND(share, 6) AS revenue_share
+    FROM (
+      SELECT CEIL(10.0 * i / n) AS decile, COUNT(*) AS n_cust,
+             SUM(SUM(r / total)) OVER (ORDER BY CEIL(10.0 * i / n))
+               AS share
+      FROM rk GROUP BY 1)
+    """,
+)
+def agg_pareto_share(spark, sf_dir):
+    """Pareto concentration curve (the 80/20 companion of the Gini
+    number): customers ranked by revenue, cut into top-deciles, with
+    each decile's CUMULATIVE revenue share — 'the top 10% carry X% of
+    revenue'. Customer-grain collapse first; ranking and the running
+    share both run over the small aggregate."""
+    o = _t(spark, sf_dir, "orders")
+    rev = (o.groupBy(F.col("o_custkey").alias("cust"))
+           .agg(F.round(F.sum("o_totalprice"), 4).alias("r")))
+    tot = rev.agg(F.count("*").cast("long").alias("n"),
+                  F.sum("r").alias("total"))
+    w = Window.orderBy(F.col("r").desc(), F.col("cust").asc())
+    rk = (rev.withColumn("i", F.row_number().over(w))
+          .crossJoin(F.broadcast(tot)))
+    dec = (rk.groupBy(F.ceil(10.0 * F.col("i") / F.col("n"))
+                      .alias("top_decile"))
+           .agg(F.count("*").cast("long").alias("n_customers"),
+                F.sum(F.col("r") / F.col("total")).alias("dshare")))
+    wc = Window.orderBy("top_decile")
+    return dec.select(
+        F.col("top_decile").cast("int").alias("top_decile"),
+        "n_customers",
+        F.round(F.sum("dshare").over(wc), 6).alias("revenue_share"))
+
+
+@_q(
+    "events_burstiness",
+    """
+    WITH pm AS (
+      SELECT event_type,
+             CAST(FLOOR(epoch(ts) / 60) AS BIGINT) AS minute,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    s AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_minutes,
+             AVG(c) AS mean_c,
+             AVG(c * c) - AVG(c) * AVG(c) AS var_c
+      FROM pm GROUP BY 1)
+    SELECT event_type, n_minutes,
+           ROUND(mean_c, 6) AS mean_per_min,
+           ROUND(var_c / mean_c, 6) AS fano_factor
+    FROM s
+    """,
+)
+def events_burstiness(spark, sf_dir):
+    """Burstiness (Fano factor: variance/mean of per-minute counts) per
+    event type — ~1 means Poisson-like arrivals, >>1 means bursts (size
+    shuffle buffers and rate limits accordingly). Two partial-agg
+    collapses: minute grain, then series grain; population variance via
+    the moment formula on both engines."""
+    ev = _t(spark, sf_dir, "events")
+    pm = (ev.groupBy("event_type",
+                     (F.floor(F.unix_timestamp("ts") / 60))
+                     .cast("long").alias("minute"))
+          .agg(F.count("*").cast("long").alias("c")))
+    s = pm.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_minutes"),
+        F.avg("c").alias("mean_c"),
+        (F.avg(F.col("c") * F.col("c"))
+         - F.avg("c") * F.avg("c")).alias("var_c"))
+    return s.select("event_type", "n_minutes",
+                    F.round("mean_c", 6).alias("mean_per_min"),
+                    F.round(F.col("var_c") / F.col("mean_c"), 6)
+                    .alias("fano_factor"))
+
+
+@_q(
+    "sample_systematic",
+    """
+    SELECT doc_id, rk FROM (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY md5('sy' || CAST(doc_id AS
+               VARCHAR)), doc_id) AS rk
+      FROM documents)
+    WHERE rk % 20 = 1
+    """,
+)
+def sample_systematic(spark, sf_dir):
+    """Systematic sampling (every k-th item of a shuffled order): rank
+    by a salted md5 (a deterministic shuffle) and keep rank % 20 == 1 —
+    exactly n/20 rows with even coverage of the shuffled sequence, the
+    property quota/hash-rate sampling do not give (their per-group
+    counts fluctuate). The rank runs over (id, hash) pairs only."""
+    docs = _t(spark, sf_dir, "documents")
+    w = Window.orderBy(
+        F.md5(F.concat(F.lit("sy"), F.col("doc_id").cast("string"))),
+        F.col("doc_id"))
+    return (docs.select("doc_id")
+            .withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") % 20 == 1))
