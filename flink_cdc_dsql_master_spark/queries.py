@@ -11220,3 +11220,85 @@ def sample_systematic(spark, sf_dir):
     return (docs.select("doc_id")
             .withColumn("rk", F.row_number().over(w))
             .where(F.col("rk") % 20 == 1))
+
+
+@_q(
+    "text_char_entropy",
+    r"""
+    WITH ch AS (
+      SELECT doc_id, c, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT doc_id,
+                   unnest(regexp_extract_all(lower(text), '.')) AS c
+            FROM documents WHERE doc_id < 1000)
+      GROUP BY 1, 2),
+    tot AS (SELECT doc_id, SUM(n) AS t FROM ch GROUP BY 1)
+    SELECT ch.doc_id, CAST(tot.t AS BIGINT) AS n_chars,
+           ROUND(-SUM((CAST(ch.n AS DOUBLE) / tot.t)
+                      * log2(CAST(ch.n AS DOUBLE) / tot.t)), 6)
+             AS char_entropy
+    FROM ch JOIN tot USING (doc_id)
+    GROUP BY 1, 2
+    """,
+)
+def text_char_entropy(spark, sf_dir):
+    """Per-document character-level Shannon entropy — the gibberish /
+    encoding-junk detector orthogonal to the bigram surprisal (random
+    bytes score HIGH entropy, repeated filler LOW; natural text sits in
+    a narrow band a curation filter cuts both tails of). One (doc,
+    char) collapse + per-doc fold; entropies are exact-count rationals
+    through one log2, rounded at 6."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 1000)
+    ch = (docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(
+            F.lower("text"), F.lit("."), 0)).alias("c"))
+        .groupBy("doc_id", "c")
+        .agg(F.count("*").cast("long").alias("n")))
+    tot = ch.groupBy("doc_id").agg(F.sum("n").alias("t"))
+    j = ch.join(tot, "doc_id")
+    p = F.col("n").cast("double") / F.col("t")
+    return (j.groupBy("doc_id", F.col("t").cast("long").alias("n_chars"))
+            .agg(F.round(-F.sum(p * F.log2(p)), 6)
+                 .alias("char_entropy")))
+
+
+@_q(
+    "agg_new_vs_returning",
+    """
+    WITH first_seen AS MATERIALIZED (
+      SELECT user_id,
+             MIN(CAST(FLOOR(epoch(date_trunc('week', ts)) / 604800)
+                      AS BIGINT)) AS first_wk
+      FROM events GROUP BY 1),
+    act AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(date_trunc('week', ts)) / 604800)
+                  AS BIGINT) AS wk
+      FROM events)
+    SELECT a.wk AS week,
+           CAST(SUM(CASE WHEN a.wk = f.first_wk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_new,
+           CAST(SUM(CASE WHEN a.wk > f.first_wk THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returning
+    FROM act a JOIN first_seen f USING (user_id)
+    GROUP BY 1
+    """,
+)
+def agg_new_vs_returning(spark, sf_dir):
+    """Weekly new-vs-returning user split — the growth-accounting
+    staple beside cohort retention: a user is 'new' in their first
+    active week and 'returning' in every later one. First-seen weeks
+    collapse to user grain (broadcast-scale) and join back onto the
+    distinct activity grid."""
+    ev = _t(spark, sf_dir, "events")
+    wk = (F.floor(F.unix_timestamp(F.date_trunc("week", "ts")) / 604800)
+          ).cast("long")
+    first = ev.groupBy("user_id").agg(F.min(wk).alias("first_wk"))
+    act = ev.select("user_id", wk.alias("wk")).distinct()
+    j = act.join(F.broadcast(first), "user_id")
+    return (j.groupBy(F.col("wk").alias("week"))
+            .agg(F.sum(F.when(F.col("wk") == F.col("first_wk"), 1)
+                       .otherwise(0)).cast("long").alias("n_new"),
+                 F.sum(F.when(F.col("wk") > F.col("first_wk"), 1)
+                       .otherwise(0)).cast("long")
+                 .alias("n_returning")))
