@@ -11302,3 +11302,101 @@ def agg_new_vs_returning(spark, sf_dir):
                  F.sum(F.when(F.col("wk") > F.col("first_wk"), 1)
                        .otherwise(0)).cast("long")
                  .alias("n_returning")))
+
+
+@_q(
+    "join_ship_lead_time",
+    """
+    SELECT n.n_name AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           ROUND(AVG(CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS DOUBLE)), 6)
+             AS avg_lead_days,
+           ROUND(quantile_cont(
+             CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS DOUBLE), 0.5), 6)
+             AS median_lead_days
+    FROM lineitem l
+    JOIN orders o ON o.o_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    GROUP BY 1
+    """,
+)
+def join_ship_lead_time(spark, sf_dir):
+    """Order-to-ship lead time per supplier nation — the supply-chain
+    SLA rollup: datediff(ship, order) averaged and medianed per nation.
+    Orders/supplier/nation dims broadcast onto the lineitem stream; one
+    grouped-percentile shuffle at nation grain."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    s = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    n = _t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    j = (li.join(F.broadcast(o), li["l_orderkey"] == o["o_orderkey"])
+         .join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+         .join(F.broadcast(n), s["s_nationkey"] == n["n_nationkey"]))
+    lead = F.datediff("l_shipdate", "o_orderdate").cast("double")
+    return (j.groupBy(F.col("n_name").alias("nation"))
+            .agg(F.count("*").cast("long").alias("n_lineitems"),
+                 F.round(F.avg(lead), 6).alias("avg_lead_days"),
+                 F.round(F.expr(
+                     "percentile(CAST(datediff(l_shipdate, o_orderdate)"
+                     " AS DOUBLE), 0.5)"), 6)
+                 .alias("median_lead_days")))
+
+
+@_q(
+    "join_returns_rate_by_brand",
+    """
+    SELECT p.p_brand AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_returned,
+           ROUND(SUM(CASE WHEN l.l_returnflag = 'R' THEN 1.0
+                     ELSE 0.0 END) / COUNT(*), 6) AS return_rate
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    GROUP BY 1
+    """,
+)
+def join_returns_rate_by_brand(spark, sf_dir):
+    """Return rate per part brand — the product-quality rollup: one
+    broadcast part-dim join onto the lineitem stream, brand-grain
+    aggregate."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    j = li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+    ret = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+    return (j.groupBy(F.col("p_brand").alias("brand"))
+            .agg(F.count("*").cast("long").alias("n_lineitems"),
+                 F.sum(ret).cast("long").alias("n_returned"),
+                 F.round(F.sum(ret.cast("double")) / F.count("*"), 6)
+                 .alias("return_rate")))
+
+
+@_q(
+    "dedup_ratio_by_source",
+    """
+    WITH h AS (
+      SELECT source,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+               AS k
+      FROM documents)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT k) AS BIGINT) AS n_unique,
+           ROUND(1.0 - CAST(COUNT(DISTINCT k) AS DOUBLE) / COUNT(*), 6)
+             AS dup_ratio
+    FROM h GROUP BY 1
+    """,
+)
+def dedup_ratio_by_source(spark, sf_dir):
+    """Exact-duplicate ratio per source — the per-origin health metric
+    that decides WHICH feeds deserve aggressive dedup (a mirror-heavy
+    crawl vs a clean API feed). Normalized-text md5 keys, one grouped
+    distinct; the same normalization as exact_dedup so ratios
+    reconcile with its output."""
+    docs = _t(spark, sf_dir, "documents")
+    k = F.md5(F.trim(F.regexp_replace(F.lower("text"), r"\s+", " ")))
+    h = docs.select("source", k.alias("k"))
+    return (h.groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.count_distinct("k").alias("n_unique"),
+                 F.round(1.0 - F.count_distinct("k").cast("double")
+                         / F.count("*"), 6).alias("dup_ratio")))
