@@ -11400,3 +11400,70 @@ def dedup_ratio_by_source(spark, sf_dir):
                  F.count_distinct("k").alias("n_unique"),
                  F.round(1.0 - F.count_distinct("k").cast("double")
                          / F.count("*"), 6).alias("dup_ratio")))
+
+
+@_q(
+    "window_activity_streaks",
+    """
+    WITH days AS MATERIALIZED (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(date_trunc('day', ts)) / 86400) AS BIGINT)
+               AS d
+      FROM events),
+    isl AS (
+      SELECT user_id, d,
+             d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+               AS grp
+      FROM days),
+    streaks AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS len
+      FROM isl GROUP BY user_id, grp)
+    SELECT user_id,
+           CAST(MAX(len) AS BIGINT) AS longest_streak_days,
+           CAST(COUNT(*) AS BIGINT) AS n_streaks
+    FROM streaks GROUP BY 1
+    HAVING MAX(len) >= 3
+    """,
+)
+def window_activity_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape (day_number - row_number is constant within
+    a consecutive run): distinct (user, day) grid, one ranked window
+    per user, island-grain aggregates. Engagement scoring's streak
+    feature without any iterative logic."""
+    ev = _t(spark, sf_dir, "events")
+    d = (F.floor(F.unix_timestamp(F.date_trunc("day", "ts")) / 86400)
+         ).cast("long")
+    days = ev.select("user_id", d.alias("d")).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn("grp", F.col("d") - F.row_number().over(w))
+    streaks = isl.groupBy("user_id", "grp").agg(
+        F.count("*").cast("long").alias("len"))
+    return (streaks.groupBy("user_id")
+            .agg(F.max("len").cast("long").alias("longest_streak_days"),
+                 F.count("*").cast("long").alias("n_streaks"))
+            .where(F.col("longest_streak_days") >= 3))
+
+
+@_q(
+    "agg_value_histogram_log",
+    """
+    SELECT CAST(FLOOR(log10(o_totalprice)) AS INT) AS magnitude,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(MIN(o_totalprice), 4) AS lo,
+           ROUND(MAX(o_totalprice), 4) AS hi
+    FROM orders WHERE o_totalprice > 0
+    GROUP BY 1
+    """,
+)
+def agg_value_histogram_log(spark, sf_dir):
+    """Order-value histogram at power-of-ten grain — the quick
+    distribution sketch (how many 3-figure vs 6-figure orders) before
+    any finer quantile work; one partial-agg shuffle over a <10-row
+    domain."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    return (o.groupBy(F.floor(F.log10("o_totalprice")).cast("int")
+                      .alias("magnitude"))
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.min("o_totalprice"), 4).alias("lo"),
+                 F.round(F.max("o_totalprice"), 4).alias("hi")))
