@@ -11467,3 +11467,63 @@ def agg_value_histogram_log(spark, sf_dir):
             .agg(F.count("*").cast("long").alias("n"),
                  F.round(F.min("o_totalprice"), 4).alias("lo"),
                  F.round(F.max("o_totalprice"), 4).alias("hi")))
+
+
+@_q(
+    "agg_ltv_deciles",
+    """
+    WITH rev AS MATERIALIZED (
+      SELECT o_custkey AS cust, ROUND(SUM(o_totalprice), 4) AS r,
+             CAST(COUNT(*) AS BIGINT) AS n_orders
+      FROM orders GROUP BY 1),
+    seg AS (
+      SELECT cust, r, n_orders,
+             ntile(10) OVER (ORDER BY r DESC, cust ASC) AS decile
+      FROM rev)
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           ROUND(SUM(r), 4) AS revenue,
+           ROUND(AVG(r), 6) AS avg_ltv,
+           ROUND(AVG(CAST(n_orders AS DOUBLE)), 6) AS avg_orders
+    FROM seg GROUP BY 1
+    """,
+)
+def agg_ltv_deciles(spark, sf_dir):
+    """Customer-LTV decile segmentation (per-segment averages, the
+    operating view next to the Pareto cumulative curve): customer-grain
+    collapse, ntile over the small aggregate with a deterministic
+    (revenue, key) order, decile-grain stats."""
+    o = _t(spark, sf_dir, "orders")
+    rev = (o.groupBy(F.col("o_custkey").alias("cust"))
+           .agg(F.round(F.sum("o_totalprice"), 4).alias("r"),
+                F.count("*").cast("long").alias("n_orders")))
+    w = Window.orderBy(F.col("r").desc(), F.col("cust").asc())
+    seg = rev.withColumn("decile", F.ntile(10).over(w))
+    return (seg.groupBy(F.col("decile").cast("int").alias("decile"))
+            .agg(F.count("*").cast("long").alias("n_customers"),
+                 F.round(F.sum("r"), 4).alias("revenue"),
+                 F.round(F.avg("r"), 6).alias("avg_ltv"),
+                 F.round(F.avg(F.col("n_orders").cast("double")), 6)
+                 .alias("avg_orders")))
+
+
+@_q(
+    "events_dow_profile",
+    """
+    SELECT CAST(dayofweek(ts) AS INT) AS dow, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(SUM(value), 4) AS total_value
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_dow_profile(spark, sf_dir):
+    """Day-of-week activity profile per event type (ISO numbering via
+    DuckDB dayofweek == Spark dayofweek-1 is NOT assumed — both engines
+    here agree because DuckDB's dayofweek returns 0=Sunday..6 and Spark
+    returns 1=Sunday..7, so Spark subtracts 1). Weekly-seasonality
+    companion of the hourly profile."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy((F.dayofweek("ts") - 1).cast("int").alias("dow"),
+                       "event_type")
+            .agg(F.count("*").cast("long").alias("n"),
+                 F.round(F.sum("value"), 4).alias("total_value")))
