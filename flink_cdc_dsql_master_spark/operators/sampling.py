@@ -286,3 +286,73 @@ def greedy_cover_selection(df: DataFrame, set_col: str,
     return spark.createDataFrame(
         out, "round int, set_key string, marginal_gain long, "
              "cum_covered long")
+
+
+def range_bucket(df: DataFrame, key: Column, n_buckets: int = 64) -> Column:
+    """A bucket column MONOTONE in `key`'s ascending order, built from
+    approximate percentile boundaries (one tiny 1-row aggregate, collected
+    driver-side, re-emitted as literals).
+
+    Monotone means: key(a) <= key(b) implies bucket(a) <= bucket(b) — the
+    contract `distributed_rank` needs so per-bucket local ranks + bucket
+    offsets reconstruct the EXACT global rank. The boundaries only control
+    load balance, never correctness, so percentile_approx's approximation
+    is harmless; equal keys always land in the same bucket (assignment is
+    a pure function of the key value)."""
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    row = df.select(F.percentile_approx(key, qs, 10000).alias("b")).first()
+    bounds = sorted({float(v) for v in (row["b"] or []) if v is not None})
+    expr: Column = F.lit(0)
+    for v in bounds:
+        expr = expr + F.when(key > F.lit(v), 1).otherwise(0)
+    return expr.cast("long")
+
+
+def distributed_rank(df: DataFrame, order_cols: list[Column],
+                     bucket: Column, out: str = "i") -> DataFrame:
+    """Exact global row_number WITHOUT the single-partition sort that
+    `Window.orderBy` with no partitionBy costs (Spark warns `WindowExec:
+    No Partition Defined` and moves every row to ONE task — the classic
+    100 TB scale-killer).
+
+    Two-pass partition-offset ranking instead:
+      1. per-bucket counts — one partial-aggregating groupBy collapsing to
+         <= n_buckets rows, collected driver-side (KB, not data);
+      2. driver prefix-sums the counts into bucket offsets, broadcast back;
+      3. row_number over Window.partitionBy(bucket) — fully parallel —
+         plus the bucket's offset = the exact global rank.
+
+    `bucket` must be monotone w.r.t. `order_cols` (see `range_bucket`; for
+    hash/hex orderings use a leading-prefix bucket). Output dtype long."""
+    spark = df.sparkSession
+    b = df.withColumn("__bkt", bucket)
+    counts = sorted(
+        (r["__bkt"], r["c"]) for r in
+        b.groupBy("__bkt").agg(F.count("*").alias("c")).collect())
+    offs, acc = [], 0
+    for k, c in counts:
+        offs.append((int(k), acc))
+        acc += int(c)
+    off_df = spark.createDataFrame(offs or [(0, 0)],
+                                   "__bkt long, __off long")
+    wloc = Window.partitionBy("__bkt").orderBy(*order_cols)
+    return (b.join(F.broadcast(off_df), "__bkt")
+            .withColumn(out, (F.col("__off")
+                              + F.row_number().over(wloc)).cast("long"))
+            .drop("__bkt", "__off"))
+
+
+def ntile_from_rank(i: Column, n: Column, k: int) -> Column:
+    """Closed-form ntile(k) from a global rank: with q = floor(n/k) and
+    r = n % k the first r tiles hold q+1 rows, the rest q — so the tile is
+    ceil(i/(q+1)) inside the first r*(q+1) rows, else r + ceil of the
+    remainder over q. Lets decile/quantile segmentation reuse
+    `distributed_rank` instead of a global-sort ntile window."""
+    nl = n.cast("long")
+    il = i.cast("long")
+    q = F.floor(nl / F.lit(k)).cast("long")
+    r = (nl % F.lit(k)).cast("long")
+    thr = r * (q + F.lit(1))
+    first = F.ceil(il.cast("double") / (q + F.lit(1)).cast("double"))
+    rest = r + F.ceil((il - thr).cast("double") / q.cast("double"))
+    return F.when(il <= thr, first).otherwise(rest).cast("int")

@@ -10973,13 +10973,16 @@ def agg_gini_revenue(spark, sf_dir):
     marketplace teams track. Customer-grain collapse first (one
     partial-agg shuffle), then the rank formula over the SMALL
     aggregate: 2*sum(i*x)/(n*sum(x)) - (n+1)/n with a deterministic
-    (revenue, key) rank. The global sort runs on customer-grain rows,
-    never order-grain."""
+    (revenue, key) rank. No global sort anywhere: the rank comes from
+    the partition-offset two-pass (`sampling.distributed_rank`) — local
+    row_numbers per percentile bucket, driver prefix-summed offsets —
+    so the plan never has a `Window` over `Exchange SinglePartition`."""
     o = _t(spark, sf_dir, "orders")
     rev = (o.groupBy(F.col("o_custkey").alias("cust"))
            .agg(F.round(F.sum("o_totalprice"), 4).alias("r")))
-    w = Window.orderBy("r", "cust")
-    rk = rev.withColumn("i", F.row_number().over(w))
+    bkt = sampling.range_bucket(rev, F.col("r"), 64)
+    rk = sampling.distributed_rank(
+        rev, [F.col("r").asc(), F.col("cust").asc()], bkt, out="i")
     s = rk.agg(F.count("*").cast("long").alias("n"),
                F.sum("r").alias("sr"),
                F.sum(F.col("i") * F.col("r")).alias("sir"))
@@ -11134,16 +11137,18 @@ def agg_pareto_share(spark, sf_dir):
     """Pareto concentration curve (the 80/20 companion of the Gini
     number): customers ranked by revenue, cut into top-deciles, with
     each decile's CUMULATIVE revenue share — 'the top 10% carry X% of
-    revenue'. Customer-grain collapse first; ranking and the running
-    share both run over the small aggregate."""
+    revenue'. Customer-grain collapse first; the descending rank is the
+    partition-offset two-pass (buckets monotone in -r), so no single-
+    partition sort; the only true window left runs over 10 decile rows."""
     o = _t(spark, sf_dir, "orders")
     rev = (o.groupBy(F.col("o_custkey").alias("cust"))
            .agg(F.round(F.sum("o_totalprice"), 4).alias("r")))
     tot = rev.agg(F.count("*").cast("long").alias("n"),
                   F.sum("r").alias("total"))
-    w = Window.orderBy(F.col("r").desc(), F.col("cust").asc())
-    rk = (rev.withColumn("i", F.row_number().over(w))
-          .crossJoin(F.broadcast(tot)))
+    bkt = sampling.range_bucket(rev, -F.col("r"), 64)
+    rk = (sampling.distributed_rank(
+        rev, [F.col("r").desc(), F.col("cust").asc()], bkt, out="i")
+        .crossJoin(F.broadcast(tot)))
     dec = (rk.groupBy(F.ceil(10.0 * F.col("i") / F.col("n"))
                       .alias("top_decile"))
            .agg(F.count("*").cast("long").alias("n_customers"),
@@ -11212,14 +11217,19 @@ def sample_systematic(spark, sf_dir):
     by a salted md5 (a deterministic shuffle) and keep rank % 20 == 1 —
     exactly n/20 rows with even coverage of the shuffled sequence, the
     property quota/hash-rate sampling do not give (their per-group
-    counts fluctuate). The rank runs over (id, hash) pairs only."""
+    counts fluctuate). The rank runs over (id, hash) pairs only, and is
+    the partition-offset two-pass: the first two hex chars of the md5
+    are a 256-way bucket that is monotone in the hash's lexicographic
+    order (lowercase hex), so per-bucket row_numbers + driver-summed
+    offsets give the exact global rank with no single-partition sort."""
     docs = _t(spark, sf_dir, "documents")
-    w = Window.orderBy(
-        F.md5(F.concat(F.lit("sy"), F.col("doc_id").cast("string"))),
-        F.col("doc_id"))
-    return (docs.select("doc_id")
-            .withColumn("rk", F.row_number().over(w))
-            .where(F.col("rk") % 20 == 1))
+    h = F.md5(F.concat(F.lit("sy"), F.col("doc_id").cast("string")))
+    d = docs.select("doc_id").withColumn("__h", h)
+    bkt = F.conv(F.substring("__h", 1, 2), 16, 10).cast("long")
+    ranked = sampling.distributed_rank(
+        d, [F.col("__h").asc(), F.col("doc_id").asc()], bkt, out="rk")
+    return (ranked.where(F.col("rk") % 20 == 1)
+            .select("doc_id", "rk"))
 
 
 @_q(
@@ -11491,14 +11501,22 @@ def agg_value_histogram_log(spark, sf_dir):
 def agg_ltv_deciles(spark, sf_dir):
     """Customer-LTV decile segmentation (per-segment averages, the
     operating view next to the Pareto cumulative curve): customer-grain
-    collapse, ntile over the small aggregate with a deterministic
-    (revenue, key) order, decile-grain stats."""
+    collapse, then deciles WITHOUT an ntile global sort — the exact
+    global rank comes from the partition-offset two-pass and the tile is
+    the closed-form ntile inverse (`sampling.ntile_from_rank`: first
+    n%10 tiles hold one extra row), byte-identical to the window ntile
+    but fully parallel."""
     o = _t(spark, sf_dir, "orders")
     rev = (o.groupBy(F.col("o_custkey").alias("cust"))
            .agg(F.round(F.sum("o_totalprice"), 4).alias("r"),
                 F.count("*").cast("long").alias("n_orders")))
-    w = Window.orderBy(F.col("r").desc(), F.col("cust").asc())
-    seg = rev.withColumn("decile", F.ntile(10).over(w))
+    tot = rev.agg(F.count("*").cast("long").alias("n"))
+    bkt = sampling.range_bucket(rev, -F.col("r"), 64)
+    seg = (sampling.distributed_rank(
+        rev, [F.col("r").desc(), F.col("cust").asc()], bkt, out="i")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("decile",
+                    sampling.ntile_from_rank(F.col("i"), F.col("n"), 10)))
     return (seg.groupBy(F.col("decile").cast("int").alias("decile"))
             .agg(F.count("*").cast("long").alias("n_customers"),
                  F.round(F.sum("r"), 4).alias("revenue"),

@@ -416,3 +416,64 @@ def test_top_pc_projection_is_shuffle_free(spark, sf_dir):
     tree = tree_of(plan)
     assert "Exchange" not in tree
     assert "Join" not in tree
+
+
+# Queries where a Window over Exchange SinglePartition is ACCEPTABLE
+# because the frame entering the single partition is bounded or
+# sub-linear — each entry names the frame and why it stays small at
+# 100 TB. Anything else in the registry is a scale bug.
+_BOUNDED_FRAME_WINDOWS = {
+    # cumulative curve over the Zipf-collapsed vocab (Heaps-law
+    # sub-linear; MB-scale curve input per docstring)
+    "text_vocab_coverage",
+    # <=64 histogram bins + 5 quantile rows
+    "sketch_histogram_quantiles",
+    # calendar-day grain (~1e3-1e4 rows regardless of fact volume)
+    "timeseries_seasonal_decompose",
+    # global pass sees only the surviving bucket-local frontiers
+    "analytics_pareto_frontier",
+    # rank windows on the collapsed per-key count frame
+    "profile_key_skew",
+    # fusion touches 2 x k=25 candidate rows
+    "search_hybrid_rrf",
+    # LAG over month-grain rows
+    "window_percent_change_mom",
+    # final cumulative share over 10 decile rows (the data-proportional
+    # rank is the distributed_rank two-pass)
+    "agg_pareto_share",
+}
+
+
+def _window_over_single_partition(plan: str) -> bool:
+    """True if any Window node's immediate input chain (Window -> Sort ->
+    Exchange) contains an Exchange SinglePartition — the 'all rows to one
+    task' plan shape. WindowGroupLimit (top-k pushdown) is not a Window."""
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Window" in ln and "WindowGroupLimit" not in ln:
+            if "Exchange SinglePartition" in "\n".join(lines[i + 1:i + 4]):
+                return True
+    return False
+
+
+def test_registry_sweep_no_unbounded_single_partition_window(spark, sf_dir):
+    """Registry-wide scale audit (VERDICT r5 ask #1): no query may sort a
+    base-table-derived frame on ONE partition via an unpartitioned window.
+    Every QUERIES entry is planned at the test SF and its simple-mode plan
+    scanned; the explicit whitelist above carries the bounded-frame
+    justifications."""
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple")
+    offenders = []
+    for name, fn in QUERIES.items():
+        if name in _BOUNDED_FRAME_WINDOWS:
+            continue
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().explainString(mode)
+        if _window_over_single_partition(plan):
+            offenders.append(name)
+    assert not offenders, (
+        f"unbounded single-partition window in: {offenders} — use "
+        "sampling.distributed_rank / percentile bucketing, or add a "
+        "bounded-frame justification to _BOUNDED_FRAME_WINDOWS")
