@@ -3280,6 +3280,88 @@ def cdc_polling_capture(spark, sf_dir):
     return apply_changelog(cl1.unionByName(cl2), ["k"])
 
 
+@_q(
+    "cdc_polling_capture_pg",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k, o_totalprice AS price,
+             o_orderstatus AS status
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey + 1000000, o_totalprice, o_orderstatus
+      FROM orders WHERE o_orderkey % 17 = 0)
+    SELECT k,
+           CASE WHEN k % 5 = 0 THEN price * 2.0 ELSE price END AS price,
+           status
+    FROM base WHERE k % 13 <> 0
+    """,
+)
+def cdc_polling_capture_pg(spark, sf_dir):
+    """Postgres-shaped end-to-end capture (PostgresDataSource.java:40,109
+    option surface -> live loop): the pipeline config is parsed by
+    connectors.parse_postgres_source (slot name + pgoutput plugin + chunk
+    size validated exactly like the reference), its schema-qualified
+    table id and chunk size drive sources.DbApiPollingSource against a
+    LIVE DuckDB standing in for Postgres (no pgoutput wire in the
+    sandbox — the wal position is the poll epoch). Poll 1 snapshots,
+    real INSERT / UPDATE / DELETE statements mutate the database, poll 2
+    captures them as +I/-U/+U/-D, and the materialized union must
+    hash-equal the live table's final state, which the oracle recomputes
+    independently from the pristine parquet."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .connectors import parse_postgres_source
+    from .sources import DbApiPollingSource, DuckDBConnFactory
+
+    cfg = parse_postgres_source({
+        "hostname": "localhost",
+        "tables": "public.orders",
+        "slot.name": "flink_cdc_slot",
+        "decoding.plugin.name": "pgoutput",
+        "scan.incremental.snapshot.chunk.size": "2000",
+    })
+    schema_name, table_name = cfg.tables.split(".", 1)
+    chunk = int(cfg.options["scan.incremental.snapshot.chunk.size"])
+
+    base = tempfile.mkdtemp(prefix="cdc_poll_pg_")
+    path = os.path.join(base, "src.duckdb")
+    con = duckdb.connect(path)
+    con.execute(f"CREATE SCHEMA {schema_name}")
+    con.execute(
+        f"CREATE TABLE {schema_name}.{table_name} AS "
+        "SELECT o_orderkey AS k, o_totalprice AS price, "
+        "o_orderstatus AS status "
+        f"FROM read_parquet('{sf_dir}/orders.parquet')")
+    con.close()
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ])
+    src = DbApiPollingSource(
+        spark, DuckDBConnFactory(path), f"{schema_name}.{table_name}",
+        "k", ["k"], schema,
+        state_path=os.path.join(base, "snap_state"), chunk_size=chunk)
+    cl1 = src.poll()
+
+    con = duckdb.connect(path)
+    con.execute(
+        f"INSERT INTO {schema_name}.{table_name} "
+        f"SELECT k + 1000000, price, status "
+        f"FROM {schema_name}.{table_name} WHERE k % 17 = 0")
+    con.execute(f"UPDATE {schema_name}.{table_name} "
+                "SET price = price * 2.0 WHERE k % 5 = 0")
+    con.execute(f"DELETE FROM {schema_name}.{table_name} WHERE k % 13 = 0")
+    con.close()
+    cl2 = src.poll()
+
+    return apply_changelog(cl1.unionByName(cl2), ["k"])
+
+
 # ---------------------------------------------------------------------------
 # chunked snapshot splitter (§2.1) — split arithmetic + predicate coverage
 # ---------------------------------------------------------------------------
