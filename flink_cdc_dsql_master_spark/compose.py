@@ -236,7 +236,7 @@ def _data_struct(df: DataFrame):
 
     return T.StructType([
         f for f in df.schema.fields
-        if f.name not in ("__op", "__table_id", "__seq")])
+        if f.name not in ("__op", "__table_id", "__seq", "__op_ts")])
 
 
 def compose_changelog_stream(spark: SparkSession, pipeline: PipelineDef,

@@ -32,6 +32,7 @@ from .schema import Schema, TableId
 OP_COLUMN = "__op"
 TABLE_ID_COLUMN = "__table_id"
 SEQ_COLUMN = "__seq"  # per-row change sequence (binlog pos / LSN analog)
+OP_TS_COLUMN = "__op_ts"  # source commit timestamp (MySQL op_ts analog)
 
 OP_INSERT = "+I"
 OP_UPDATE_BEFORE = "-U"

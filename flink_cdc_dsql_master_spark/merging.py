@@ -252,7 +252,7 @@ def coerce_dataframe(df: DataFrame, target: Schema,
             if not target.has_column(c):
                 cols.append(F.col(c))
     else:
-        for c in ("__op", "__table_id", "__seq"):
+        for c in ("__op", "__table_id", "__seq", "__op_ts"):
             if c in have:
                 cols.append(F.col(c))
     return df.select(*cols)

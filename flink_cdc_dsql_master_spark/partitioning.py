@@ -126,7 +126,8 @@ def apply_changelog(df: DataFrame, primary_keys: list[str],
     """
     final = last_write_wins(df, primary_keys, seq_col)
     final = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
-    drop = [c for c in (OP_COLUMN, SEQ_COLUMN, "__table_id") if c in final.columns]
+    drop = [c for c in (OP_COLUMN, SEQ_COLUMN, "__table_id", "__op_ts")
+            if c in final.columns]
     return final.drop(*drop)
 
 
@@ -156,7 +157,7 @@ def scd2_history(df: DataFrame, primary_keys: list[str],
            .withColumn("valid_from_seq", F.col(seq).cast("long"))
            .withColumn("valid_to_seq", F.col("__nxt").cast("long"))
            .withColumn("is_current", F.col("__nxt").isNull()))
-    drop = [c for c in (OP_COLUMN, seq, "__nxt", "__table_id")
+    drop = [c for c in (OP_COLUMN, seq, "__nxt", "__table_id", "__op_ts")
             if c in out.columns]
     return out.drop(*drop)
 

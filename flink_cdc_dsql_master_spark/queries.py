@@ -3654,6 +3654,117 @@ def changelog_stream_pipeline(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+@_q(
+    "transform_op_ts_metadata",
+    """
+    WITH c AS (SELECT c_custkey AS k, c_name, c_acctbal FROM customer),
+    ins AS (SELECT k, upper(c_name) AS name_up, c_acctbal,
+                   epoch_ms(1700000000000 + k * 1000) AS ts FROM c),
+    upd AS (SELECT k, upper(c_name) AS name_up,
+                   c_acctbal + 10.0 AS c_acctbal,
+                   epoch_ms(1700000000000 + k * 1000 + 86400000) AS ts
+            FROM c WHERE k % 4 = 0),
+    fin AS (SELECT * FROM upd
+            UNION ALL SELECT * FROM ins WHERE k % 4 <> 0)
+    SELECT k AS c_custkey, name_up, c_acctbal, ts AS commit_ts
+    FROM fin WHERE ts > TIMESTAMP '2023-11-14 22:20:00'
+    """,
+)
+def transform_op_ts_metadata(spark, sf_dir):
+    """Source metadata column `op_ts` (SupportedMetadataColumn /
+    OpTsMetadataColumn.java in the mysql pipeline connector, SURVEY
+    §2.5) through the FULL streaming pipeline: Debezium envelopes carry
+    `source.ts_ms` (DB commit time), the decode plumbs it as the
+    internal __op_ts column, and the transform both PROJECTS it
+    (`op_ts AS commit_ts`) and FILTERS on it (a commit-time cutoff) —
+    exactly what a user's YAML referencing op_ts does. Two checkpointed
+    runs (inserts, then updates with a later commit ts); the upserted
+    DuckDB sink table is the result, oracle-recomputed from pristine
+    parquet."""
+    import json
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .compose import compose_changelog_stream
+    from .pipeline import PipelineDef, SinkDef, SourceDef
+    from .sinks import JdbcUpsertSink, schema_change_ddl
+
+    rows = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal").collect()
+
+    base_ms = 1700000000000
+    base = tempfile.mkdtemp(prefix="op_ts_stream_")
+    src, ckpt = os.path.join(base, "topic"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    def env(offset, before, after, op, ts_ms):
+        return json.dumps({"value": json.dumps(
+            {"before": before, "after": after, "op": op,
+             "source": {"ts_ms": ts_ms}}), "offset": offset})
+
+    def payload(r, bump=0.0):
+        return {"c_custkey": r["c_custkey"], "c_name": r["c_name"],
+                "c_acctbal": r["c_acctbal"] + bump}
+
+    with open(f"{src}/b1.json", "w") as f:
+        for r in rows:
+            k = r["c_custkey"]
+            f.write(env(k * 3, None, payload(r), "c",
+                        base_ms + k * 1000) + "\n")
+
+    pipe = PipelineDef(
+        source=SourceDef("file-debezium", {
+            "path": src, "schema": "c_custkey bigint, c_name string, "
+                                   "c_acctbal double",
+            "table": "tpch.public.customer_ts",
+            "primary-keys": ["c_custkey"]}),
+        sink=SinkDef("duckdb"),
+        transforms=(TransformRule(
+            r"tpch.public.customer_ts",
+            projection="c_custkey, UPPER(c_name) AS name_up, c_acctbal, "
+                       "op_ts AS commit_ts",
+            filter="op_ts > '2023-11-14 22:20:00'"),),
+    )
+
+    def writer(tid, df, schema):
+        sink = JdbcUpsertSink(lambda p=db: duckdb.connect(p),
+                              tid.table, schema, parallel=False)
+        sink.write_batch(df)
+
+    def on_ddl(tid, events, schema):
+        con = duckdb.connect(db)
+        try:
+            for sql in schema_change_ddl(tid.table, events, schema):
+                con.execute(sql)
+            con.commit()
+        finally:
+            con.close()
+
+    q = compose_changelog_stream(spark, pipe, ckpt, writer,
+                                 on_schema_change=on_ddl)
+    q.awaitTermination(300)
+
+    with open(f"{src}/b2.json", "w") as f:
+        for r in rows:
+            k = r["c_custkey"]
+            if k % 4 == 0:
+                f.write(env(k * 3 + 1, payload(r), payload(r, 10.0), "u",
+                            base_ms + k * 1000 + 86400000) + "\n")
+    q = compose_changelog_stream(spark, pipe, ckpt, writer,
+                                 on_schema_change=on_ddl)
+    q.awaitTermination(300)
+
+    con = duckdb.connect(db)
+    pdf = con.execute(
+        "SELECT c_custkey, name_up, c_acctbal, commit_ts "
+        "FROM customer_ts").df()
+    con.close()
+    return spark.createDataFrame(pdf)
+
+
 # ---------------------------------------------------------------------------
 # pre-transform pruning (§2.3) + snapshot→stream handoff (§2.1)
 # ---------------------------------------------------------------------------

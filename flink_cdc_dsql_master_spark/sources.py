@@ -35,7 +35,7 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from .events import OP_COLUMN, OP_INSERT, SEQ_COLUMN
+from .events import OP_COLUMN, OP_INSERT, OP_TS_COLUMN, SEQ_COLUMN
 
 # chunk-key even-distribution factor bounds (MySqlDataSourceOptions.java:192-217)
 EVEN_DISTRIBUTION_FACTOR_UPPER = 1000.0
@@ -230,11 +230,21 @@ def decode_debezium_json(df: DataFrame, value_col: str,
 
     op mapping: c/r → +I, u → +U (after image; the before image becomes a
     -U row), d → -D (before image). Pure from_json + selects.
+
+    Source metadata (SupportedMetadataColumn / OpTsMetadataColumn.java in
+    the mysql pipeline connector): the Debezium envelope's ``source.ts_ms``
+    (DB commit time) — falling back to the envelope-level ``ts_ms``
+    (connector time) — rides along as the internal ``__op_ts`` column, so
+    transforms can project/filter ``op_ts`` like any built-in metadata.
+    NULL when the envelope carries neither (the fields are optional).
     """
     envelope = T.StructType([
         T.StructField("before", payload_schema, True),
         T.StructField("after", payload_schema, True),
         T.StructField("op", T.StringType(), True),
+        T.StructField("ts_ms", T.LongType(), True),
+        T.StructField("source", T.StructType([
+            T.StructField("ts_ms", T.LongType(), True)]), True),
     ])
     p = F.from_json(F.col(value_col), envelope)
     # Assign the record sequence ONCE on the undivided frame: a
@@ -252,6 +262,8 @@ def decode_debezium_json(df: DataFrame, value_col: str,
                 for f in payload_schema.fields]
         is_before = F.col("__dbz.op").eqNullSafe("u") & F.lit(img == "before")
         seq = F.col("__rec_seq") * 2 + F.when(is_before, 0).otherwise(1)
+        op_ts = F.timestamp_millis(F.coalesce(F.col("__dbz.source.ts_ms"),
+                                              F.col("__dbz.ts_ms")))
         return (base.where(F.col("__dbz.op").isin(*op))
                 .where(F.col(f"__dbz.{img}").isNotNull())
                 .select(*cols,
@@ -259,7 +271,8 @@ def decode_debezium_json(df: DataFrame, value_col: str,
                         .when(F.col("__dbz.op") == "u",
                               "+U" if img == "after" else "-U")
                         .otherwise("-D").alias(OP_COLUMN),
-                        seq.alias(SEQ_COLUMN)))
+                        seq.alias(SEQ_COLUMN),
+                        op_ts.alias(OP_TS_COLUMN)))
 
     inserts = flat("after", ["c", "r"])
     upd_after = flat("after", ["u"])
@@ -277,6 +290,7 @@ def decode_maxwell_json(df: DataFrame, value_col: str,
     envelope = T.StructType([
         T.StructField("type", T.StringType(), True),
         T.StructField("data", payload_schema, True),
+        T.StructField("ts", T.LongType(), True),
     ])
     p = F.from_json(F.col(value_col), envelope)
     rec_seq = F.col(seq_col) if seq_col else F.monotonically_increasing_id()
@@ -288,7 +302,9 @@ def decode_maxwell_json(df: DataFrame, value_col: str,
     cols = [F.col(f"__mx.data.{f.name}").alias(f.name)
             for f in payload_schema.fields]
     return base.select(*cols, op.alias(OP_COLUMN),
-                       F.col("__rec_seq").alias(SEQ_COLUMN))
+                       F.col("__rec_seq").alias(SEQ_COLUMN),
+                       F.timestamp_seconds(F.col("__mx.ts"))
+                       .alias(OP_TS_COLUMN))
 
 
 def decode_ogg_json(df: DataFrame, value_col: str,
@@ -300,6 +316,7 @@ def decode_ogg_json(df: DataFrame, value_col: str,
         T.StructField("op_type", T.StringType(), True),
         T.StructField("before", payload_schema, True),
         T.StructField("after", payload_schema, True),
+        T.StructField("op_ts", T.StringType(), True),
     ])
     p = F.from_json(F.col(value_col), envelope)
     rec_seq = F.col(seq_col) if seq_col else F.monotonically_increasing_id()
@@ -313,7 +330,9 @@ def decode_ogg_json(df: DataFrame, value_col: str,
     cols = [F.col(f"__img.{f.name}").alias(f.name)
             for f in payload_schema.fields]
     return base.select(*cols, op.alias(OP_COLUMN),
-                       F.col("__rec_seq").alias(SEQ_COLUMN))
+                       F.col("__rec_seq").alias(SEQ_COLUMN),
+                       F.to_timestamp(F.col("__og.op_ts"))
+                       .alias(OP_TS_COLUMN))
 
 
 def changelog_file_stream(spark: SparkSession, path: str,

@@ -37,7 +37,8 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, functions as F
 
-from .events import OP_COLUMN, OP_DELETE, OP_INSERT, SEQ_COLUMN, TABLE_ID_COLUMN
+from .events import (OP_COLUMN, OP_DELETE, OP_INSERT, OP_TS_COLUMN,
+                     SEQ_COLUMN, TABLE_ID_COLUMN)
 from .exprs import (
     Ident,
     Node,
@@ -56,6 +57,13 @@ METADATA_COLUMNS = (
     "__table_name__",
     "__data_event_type__",
 )
+
+# Source-supplied metadata (reference SupportedMetadataColumn, e.g. the
+# mysql connector's OpTsMetadataColumn): plain-named columns a transform
+# may reference ONLY when the source actually provides the backing
+# internal column — referencing op_ts on a source without it fails with
+# the same unknown-column error as any other missing column.
+SOURCE_METADATA_COLUMNS = {"op_ts": OP_TS_COLUMN}
 
 SOFT_DELETE = "SOFT_DELETE"
 
@@ -151,13 +159,12 @@ class TransformEngine:
         return [c for c in all_columns if c in needed]
 
     def prune(self, df: DataFrame, tid: TableId) -> DataFrame:
-        data_cols = [c for c in df.columns
-                     if c not in (OP_COLUMN, TABLE_ID_COLUMN, SEQ_COLUMN)]
+        internal = (OP_COLUMN, TABLE_ID_COLUMN, SEQ_COLUMN, OP_TS_COLUMN)
+        data_cols = [c for c in df.columns if c not in internal]
         keep = self.pruned_columns(tid, data_cols)
         if keep == data_cols:
             return df
-        passthrough = [c for c in (OP_COLUMN, TABLE_ID_COLUMN, SEQ_COLUMN)
-                       if c in df.columns]
+        passthrough = [c for c in internal if c in df.columns]
         return df.select(*keep, *passthrough)
 
     # -- post-transform -----------------------------------------------------
@@ -175,10 +182,11 @@ class TransformEngine:
         if not matching:
             return df
         has_op = OP_COLUMN in df.columns
+        internal_names = (OP_COLUMN, TABLE_ID_COLUMN, SEQ_COLUMN,
+                          OP_TS_COLUMN)
         source_cols = [col for col in df.columns
-                       if col not in (OP_COLUMN, TABLE_ID_COLUMN, SEQ_COLUMN)]
-        internal = [col for col in (OP_COLUMN, TABLE_ID_COLUMN, SEQ_COLUMN)
-                    if col in df.columns]
+                       if col not in internal_names]
+        internal = [col for col in internal_names if col in df.columns]
 
         # one shared frame: metadata columns + every rule's computed columns
         # under per-rule temp names, so all predicates resolve on it
@@ -193,6 +201,12 @@ class TransformEngine:
         for m in METADATA_COLUMNS:
             if m not in work.columns:
                 work = work.withColumn(m, meta_exprs[m])
+        source_meta = set()
+        for name, backing in SOURCE_METADATA_COLUMNS.items():
+            if backing in df.columns:
+                source_meta.add(name)
+                if name not in work.columns:
+                    work = work.withColumn(name, F.col(backing))
 
         plans = []  # (final_cols, tmp_map, pred_column_or_None, rule)
         for idx, c in enumerate(matching):
@@ -202,7 +216,8 @@ class TransformEngine:
             aliases = ({i.alias for i in c.items
                         if not i.is_star and i.expr_sql != f"`{i.alias}`"}
                        if c.items is not None else set())
-            avail = set(source_cols) | set(METADATA_COLUMNS) | aliases
+            avail = (set(source_cols) | set(METADATA_COLUMNS)
+                     | source_meta | aliases)
             for ref in c.refs:
                 if ref not in avail:
                     raise ValueError(

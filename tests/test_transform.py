@@ -116,3 +116,42 @@ def test_plan_is_single_stage_project_filter(people):
         PAT, projection="id, UPPER(name) AS un", filter="age > 0")])
     plan = eng.apply(people, TID)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan  # no shuffle for a pure transform
+
+
+def test_op_ts_unavailable_errors_like_unknown_column(spark):
+    """Referencing op_ts on a source that supplies no __op_ts backing
+    column fails with the reference's unknown-column message (a source
+    must declare its SupportedMetadataColumns)."""
+    import pytest
+
+    from flink_cdc_dsql_master_spark.schema import TableId
+    from flink_cdc_dsql_master_spark.transform import (TransformEngine,
+                                                       TransformRule)
+
+    df = spark.createDataFrame([(1, "a")], "id bigint, v string")
+    eng = TransformEngine([TransformRule(
+        r"db.sch.t", projection="id, op_ts AS commit_ts")])
+    with pytest.raises(ValueError, match="op_ts"):
+        eng.apply(df, TableId.parse("db.sch.t"))
+
+
+def test_op_ts_resolves_from_backing_column(spark):
+    """With the internal __op_ts column present (what the envelope
+    decoders attach), a transform can project and filter on op_ts."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.schema import TableId
+    from flink_cdc_dsql_master_spark.transform import (TransformEngine,
+                                                       TransformRule)
+
+    df = spark.createDataFrame(
+        [(1, "a", "2024-01-01 00:00:00"), (2, "b", "2024-06-01 00:00:00")],
+        "id bigint, v string, ts string").withColumn(
+        "__op_ts", F.to_timestamp("ts")).drop("ts")
+    eng = TransformEngine([TransformRule(
+        r"db.sch.t", projection="id, op_ts AS commit_ts",
+        filter="op_ts > '2024-03-01 00:00:00'")])
+    out = eng.apply(df, TableId.parse("db.sch.t"))
+    rows = out.select("id", "commit_ts").collect()
+    assert [r["id"] for r in rows] == [2]
+    assert rows[0]["commit_ts"] is not None
