@@ -80,7 +80,26 @@ def main() -> int:
     }
     print(json.dumps(out))
     spark.stop()
-    return 0
+
+    # self-enforcing regression gate (VERDICT r5 ask #5): the reference
+    # publishes no numbers, so the operative per-query baseline is the
+    # frozen BENCH_r05 steady-state committed in BASELINE_BENCH.json.
+    # Any frozen query running slower than 2x its baseline (+0.25s
+    # absolute slack so sub-100ms queries don't flap on timer noise)
+    # fails the bench run. New queries without a frozen entry pass
+    # (they become part of the baseline when it is next refrozen).
+    rc = 0
+    base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BASELINE_BENCH.json")
+    if os.path.exists(base_path) and sf_val == 0.1:
+        with open(base_path) as f:
+            frozen = json.load(f)["queries"]
+        for name, t in sorted(timings.items()):
+            if name in frozen and t > 2.0 * frozen[name] + 0.25:
+                print(f"# REGRESSION {name}: {t}s > 2x frozen "
+                      f"{frozen[name]}s", file=sys.stderr)
+                rc = 1
+    return rc
 
 
 if __name__ == "__main__":

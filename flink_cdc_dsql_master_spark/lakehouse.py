@@ -293,6 +293,15 @@ def tag_version(path: str, tag: str, version: int | None = None) -> dict:
 
     if not _re.fullmatch(r"[A-Za-z_][\w.-]*", tag):
         raise ValueError(f"bad tag name {tag!r}")
+    # version-shaped names are unreachable through the '@' ref grammar
+    # (catalog resolves '@vN' pins BEFORE tag lookup — ADVICE r5; '@ts:'
+    # pins can't collide, tag names can't contain ':'), so reject them
+    # up front instead of committing a silently shadowed tag
+    if _re.fullmatch(r"v\d+", tag):
+        raise ValueError(
+            f"tag name {tag!r} collides with the '@vN' version-pin "
+            "grammar and would be unreachable — pick a "
+            "non-version-shaped name")
     local = _local(path)
     versions = list_versions(path)
     if not versions:
@@ -485,6 +494,21 @@ def _occ_commit(spark, path: str, local: str, part_col: str,
             dv_lat = spark.read.parquet(os.path.join(local, lat_dv))
             dv_rest = dv_lat.where(
                 ~F.col(part_col).cast("string").isin(list(affected)))
+            # key-aware carry-forward (ADVICE r5): a tombstone whose PK
+            # was just re-upserted into a DIFFERENT partition (mutable
+            # partition transform moved the key) must NOT survive — the
+            # PK-only anti-join in read_versioned would suppress the new
+            # image. Any PK physically present in this commit's new
+            # files outranks a carried tombstone (PKs are unique, so a
+            # live row and a live tombstone for one key cannot coexist).
+            if new_rels and pks:
+                batch_pks = (spark.read.option("mergeSchema", "true")
+                             .option("basePath", local)
+                             .parquet(*[os.path.join(local, r)
+                                        for r in new_rels])
+                             .select(*pks).distinct())
+                dv_rest = dv_rest.join(batch_pks, on=pks,
+                                       how="left_anti")
             dv_rows = dv_rest.count()
             if dv_rows:
                 dv_rel = _write_dv(dv_rest, local, new_version)
@@ -511,13 +535,28 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
                                  epoch: str | None = None,
                                  base_version: int | None = None,
                                  constraints: list | None = None,
-                                 stage_only: bool = False) -> dict:
+                                 stage_only: bool = False,
+                                 track_partition_moves: bool = False
+                                 ) -> dict:
     """MERGE a changelog batch into a versioned parquet table, committing
     a new manifest version. Only the partitions the batch touches are
     re-materialized (their files re-written under new names); untouched
     partitions carry their existing files forward BY REFERENCE in the
     new manifest — zero IO for the 99.97% of a 100 TB table a batch
     doesn't touch. Returns {"version", "rewritten", "dropped"}.
+
+    PARTITION-COLUMN CONTRACT (ADVICE r5): by default the partition
+    value must be a pure function of the primary key
+    (``with_bucket_partition`` — a key can never change partitions), so
+    "rewrite the batch's partitions" reaches every old image of every
+    changed key. With a MUTABLE hidden-partition transform
+    (``with_transform_partition`` over an updatable column like
+    day(ts)), an upsert can MOVE a key to a new partition; pass
+    ``track_partition_moves=True`` and the merge extends the rewrite
+    set with the batch keys' CURRENT partitions (one PK semi-join probe
+    against the base snapshot — batch-key-proportional output, a scan
+    the stable-key default never pays), so the old image is physically
+    dropped instead of surviving as a duplicate PK.
 
     ``epoch`` makes the commit IDEMPOTENT under foreachBatch replay: a
     merge whose epoch equals the latest manifest's is a no-op (the
@@ -570,6 +609,22 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
                     f"e.g. keys {[tuple(r) for r in sample]}")
     affected = sorted(
         str(r[0]) for r in final.select(part_col).distinct().collect())
+    if track_partition_moves and prev_files:
+        # mutable partition transform: a changed key may currently live
+        # in a partition the batch's own images don't touch — probe the
+        # base snapshot for the keys' current partitions and rewrite
+        # those too (the rewrite's changed-keys anti-join then drops the
+        # moved keys' old images physically)
+        all_paths = [os.path.join(local, rel)
+                     for fs in prev_files.values() for rel in fs]
+        if all_paths:
+            tbl = (spark.read.option("mergeSchema", "true")
+                   .option("basePath", local).parquet(*all_paths))
+            moved = (tbl.join(final.select(*pks).distinct(), on=pks,
+                              how="leftsemi")
+                     .select(part_col).distinct().collect())
+            affected = sorted(set(affected)
+                              | {str(r[0]) for r in moved})
     if not affected:
         return {"version": versions[-1] if versions else 0,
                 "rewritten": [], "dropped": []}
@@ -1057,10 +1112,49 @@ def collect_file_stats(local: str, rels: list[str],
             for rel in rels}
 
 
+def _bloom_canon(value) -> str:
+    """Canonical hash key for a bloom value (ADVICE r5): index-time
+    values come from pyarrow (Decimal('7.0000'), numpy scalars) while
+    plan-time values are caller literals (7.0, 7) — hashing raw str()
+    representations made equal values hash differently, and a bloom
+    FALSE NEGATIVE silently prunes a file that contains the key. All
+    numeric types collapse to one representation: integral values to
+    'i:<int>', fractional to 'd:<plain-decimal>' (trailing zeros
+    stripped, no exponent form)."""
+    import datetime
+    import decimal
+
+    if value is None:
+        return "\x00null"
+    if isinstance(value, bool):
+        return f"b:{int(value)}"
+    if hasattr(value, "item") and not isinstance(
+            value, (str, bytes)):  # numpy scalar → python scalar
+        value = value.item()
+    if isinstance(value, int):
+        return f"i:{value}"
+    if isinstance(value, float):
+        if value != value:
+            return "f:nan"
+        if value in (float("inf"), float("-inf")):
+            return f"f:{value}"
+        d = decimal.Decimal(repr(value))
+    elif isinstance(value, decimal.Decimal):
+        d = value
+    elif isinstance(value, (datetime.datetime, datetime.date)):
+        return f"t:{value.isoformat()}"
+    else:
+        return f"s:{value}"
+    if d == d.to_integral_value():
+        return f"i:{int(d)}"
+    return f"d:{format(d.normalize(), 'f')}"
+
+
 def _bloom_hashes(value, m: int, k: int) -> list[int]:
     import hashlib
 
-    return [int(hashlib.md5(f"b{j}|{value}".encode()).hexdigest()[:8],
+    canon = _bloom_canon(value)
+    return [int(hashlib.md5(f"b{j}|{canon}".encode()).hexdigest()[:8],
                 16) % m for j in range(k)]
 
 
@@ -1125,12 +1219,27 @@ def index_bloom_versioned(path: str, col: str, bits_per_key: int = 10,
     reads ~1 file instead of a partition. Subsequent merges keep the
     index fresh automatically (carried files keep their blooms, new
     files are indexed at commit). Returns {"version", "indexed"}."""
+    import pyarrow.parquet as pq
+
     local = _local(path)
     versions = list_versions(path)
     if not versions:
         raise FileNotFoundError(f"no versions at {path}")
     m = _load_manifest(local, versions[-1])
     rels = [rel for fs in m["files"].values() for rel in fs]
+    # temporal columns are rejected: a plan-time literal ('2024-01-01',
+    # datetime, epoch int) has no single canonical text form, and any
+    # representation mismatch is a silent false-negative prune (missing
+    # rows). Numerics are safe via _bloom_canon; use min/max range
+    # stats for temporal needles.
+    if rels:
+        f0 = pq.read_schema(os.path.join(local, rels[0])).field(col)
+        import pyarrow as pa
+        if (pa.types.is_temporal(f0.type)):
+            raise ValueError(
+                f"bloom index on temporal column {col!r} is unsupported "
+                "(ambiguous literal representation would cause silent "
+                "false-negative pruning); use key_range stats instead")
     blooms = {rel: {col: b} for rel, b in
               collect_file_blooms(local, rels, col, bits_per_key,
                                   k).items()}
@@ -1251,7 +1360,13 @@ def partition_transform_expr(spec: str):
 
 def with_transform_partition(df: DataFrame, spec: str,
                              part_col: str = "part") -> DataFrame:
-    """Attach the hidden-partition value column for ``spec``."""
+    """Attach the hidden-partition value column for ``spec``.
+
+    If ``spec`` derives from an UPDATABLE column (day(ts), truncate on a
+    mutable attribute), an upsert can move a key across partitions —
+    merge such tables with ``track_partition_moves=True`` (see the
+    partition-column contract on merge_into_versioned_parquet).
+    ``bucket(n, pk)`` specs are move-free by construction."""
     return df.withColumn(part_col, partition_transform_expr(spec))
 
 

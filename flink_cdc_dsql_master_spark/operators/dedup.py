@@ -251,7 +251,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
         .withColumn("__h", F.array_distinct(
             F.transform(F.col("__sh"), shingle_hash)))
         .drop("__t", "__sh")
-        .persist()
+        .localCheckpoint()
     )
     sig = base.withColumn(
         "minhash", _minhash_pandas(num_hashes, seed)(F.col("__h")))
@@ -283,7 +283,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     ).select("__id", "bb.band", "bb.bucket")
     # persisted: the self-join would otherwise re-evaluate the whole
     # signature pipeline for each side
-    banded = banded.persist()
+    banded = banded.localCheckpoint()
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -858,7 +858,7 @@ def simhash_search(df: DataFrame, query_ids, id_col: str = "doc_id",
     )
     fp = base.select("__id",
                      _simhash_from_shingles(F.col("__sh")).alias("fp")) \
-        .persist()
+        .localCheckpoint()
 
     def chunk_val(i: int):
         shift = i * width

@@ -42,9 +42,9 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"),
                      F.col(dst).alias("dst")).distinct()
-    e = e.repartition("src").persist()
+    e = e.repartition("src").localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select("dst")).distinct().persist())
+             .union(e.select("dst")).distinct().localCheckpoint())
     n_nodes = nodes.count()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
 
@@ -53,7 +53,8 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     # aggregate (the scalar-subquery idiom), so each iteration is one
     # lazy plan with no driver collect.
     dangling_nodes = nodes.join(
-        deg.withColumnRenamed("src", "node"), "node", "left_anti").persist()
+        deg.withColumnRenamed("src", "node"), "node",
+        "left_anti").localCheckpoint()
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
@@ -98,12 +99,15 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
     the join key with AQE skew splitting available; no state beyond the
     edge list itself.
     """
-    # canonical undirected edge set u<v — persisted: degrees AND the
-    # orientation join both branch off it (unpersisted, every branch
-    # re-runs the upstream scan + distinct)
+    # canonical undirected edge set u<v — checkpointed: degrees AND
+    # the orientation join both branch off it (otherwise every branch
+    # re-runs the upstream scan + distinct); localCheckpoint instead of
+    # persist so the blocks are GC-reclaimed when the caller drops the
+    # result (ADVICE r5: persists accumulated across repeated operator
+    # calls in a long-lived session)
     und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
                         F.greatest(F.col(src), F.col(dst)).alias("v"))
-           .where(F.col("u") < F.col("v")).distinct().persist())
+           .where(F.col("u") < F.col("v")).distinct().localCheckpoint())
     deg = (und.select(F.col("u").alias("node"))
            .union(und.select("v"))
            .groupBy("node").agg(F.count("*").alias("deg")))
@@ -113,11 +117,12 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
     ordered = und.join(du, "u").join(dv, "v")
     fwd = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v")))
-    # persisted: the oriented edge list is read three times (wedge
+    # checkpointed: the oriented edge list is read three times (wedge
     # build sides + closure check)
     e = ordered.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
-        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b")).persist()
+        F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b")) \
+        .localCheckpoint()
     # wedges a->b->c closed by a->c
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = e.join(e2, "b").select("a", "b", "c")
@@ -146,16 +151,18 @@ def trustrank(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
     iteration is hash-checkable against a SQL replica."""
     e = edges.select(F.col(src).alias("src"),
                      F.col(dst).alias("dst")).distinct()
-    e = e.repartition("src").persist()
+    e = e.repartition("src").localCheckpoint()
     nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select("dst")).distinct().persist())
-    sd = seeds.select(F.col(seed_col).alias("node")).distinct().persist()
+             .union(e.select("dst")).distinct().localCheckpoint())
+    sd = (seeds.select(F.col(seed_col).alias("node")).distinct()
+          .localCheckpoint())
     n_seeds = sd.count()
     if not n_seeds:
         raise ValueError("trustrank needs a non-empty seed set")
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     dangling_nodes = nodes.join(
-        deg.withColumnRenamed("src", "node"), "node", "left_anti").persist()
+        deg.withColumnRenamed("src", "node"), "node",
+        "left_anti").localCheckpoint()
 
     is_seed = F.col("__s").isNotNull()
     seed_mark = sd.withColumn("__s", F.lit(1))
@@ -285,7 +292,7 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
     """
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .where(F.col("src") != F.col("dst")).distinct()
-         .repartition("src").persist())
+         .repartition("src").localCheckpoint())
     visited = (seeds.select(F.col(seed_col).alias("node")).distinct()
                .withColumn("hops", F.lit(0)).localCheckpoint())
     frontier = visited

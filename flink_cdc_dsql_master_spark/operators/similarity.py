@@ -802,7 +802,7 @@ def kmeans(corpus: DataFrame, k: int = 8, iters: int = 3,
     # update, final assignment) — cache instead of re-reading parquet
     v = corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("v")) \
-        .persist()
+        .localCheckpoint()
     init = v.orderBy("id").limit(k).collect()
     if len(init) < k:
         raise ValueError(f"kmeans needs >= {k} rows, got {len(init)}")
@@ -925,7 +925,7 @@ def embedding_covariance(corpus: DataFrame, vec_col: str = "embedding",
     # without the cache every branch re-runs the corpus scan + kernel
     merged = (v.mapInPandas(partials, "i int, j int, s double")
               .groupBy("i", "j").agg(F.sum("s").alias("s"))
-              .persist())
+              .localCheckpoint())
     n = merged.where((F.col("i") == -1) & (F.col("j") == -1)) \
         .select(F.col("s").alias("n"))
     means = merged.where((F.col("i") >= 0) & (F.col("j") == -1)) \

@@ -291,7 +291,8 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
     src = df.select(F.col(id_col).alias("__id"),
                     F.col(text_col).alias("__text"))
     doc_bg = src.mapInPandas(
-        count_fn, "__id long, w1 string, w2 string, cnt long").persist()
+        count_fn, "__id long, w1 string, w2 string, cnt long") \
+        .localCheckpoint()
     bg_counts = doc_bg.groupBy("w1", "w2").agg(F.sum("cnt").alias("cb"))
     ctx_counts = bg_counts.groupBy("w1").agg(F.sum("cb").alias("c1"))
     vocab = bg_counts.select(

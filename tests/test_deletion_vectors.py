@@ -353,3 +353,100 @@ def test_truncate_transform_set_pruning(spark):
     got = (read_versioned(spark, path, parts=parts)
            .where(F.col("k").between(35, 54)))
     assert sorted(r["k"] for r in got.collect()) == list(range(35, 55))
+
+
+def test_dv_carry_forward_is_key_aware_across_partition_move(spark):
+    """ADVICE r5: a key deleted (DV'd) while living in partition A, then
+    re-upserted into partition B (mutable partition transform moved it),
+    must come back — the carried tombstone may not suppress the new
+    image via the PK-only anti-join in read_versioned."""
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        merge_into_versioned_parquet, read_versioned)
+
+    rows = [(i, float(i), f"p{i % 4}") for i in range(20)]
+    base = spark.createDataFrame(rows, "k long, price double, part string")
+    schema = Schema.of(base.drop("part").schema, primary_keys=["k"])
+    path = os.path.join(tempfile.mkdtemp(prefix="dv_move_"), "t")
+    b1 = (base.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    merge_into_versioned_parquet(path, b1, schema)
+    # DV-delete key 3 (lives in part p3)
+    delete_versioned(spark, path, F.col("k") == 3, ["k"])
+    assert 3 not in {r["k"] for r in
+                     read_versioned(spark, path).collect()}
+    # re-upsert key 3 into a DIFFERENT partition (p0)
+    up = spark.createDataFrame([(3, 999.0, "p0")],
+                               "k long, price double, part string") \
+        .withColumn(OP_COLUMN, F.lit("+U")) \
+        .withColumn(SEQ_COLUMN, F.lit(2).cast("long"))
+    merge_into_versioned_parquet(path, up, schema)
+    got = {r["k"]: r["price"] for r in
+           read_versioned(spark, path).collect()}
+    assert got[3] == 999.0  # resurrected, not suppressed
+
+
+def test_track_partition_moves_rewrites_old_partition(spark):
+    """ADVICE r5: with a mutable partition column, an upsert that moves
+    a key must not leave the old image live in the untouched partition.
+    track_partition_moves=True extends the rewrite set with the key's
+    current partition."""
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        merge_into_versioned_parquet, read_versioned)
+
+    rows = [(i, float(i), f"d{i % 3}") for i in range(12)]
+    base = spark.createDataFrame(rows, "k long, price double, part string")
+    schema = Schema.of(base.drop("part").schema, primary_keys=["k"])
+    path = os.path.join(tempfile.mkdtemp(prefix="move_tbl_"), "t")
+    b1 = (base.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    merge_into_versioned_parquet(path, b1, schema)
+    # key 5 lived in d2; its update lands in d0 (partition moved)
+    up = spark.createDataFrame([(5, 555.0, "d0")],
+                               "k long, price double, part string") \
+        .withColumn(OP_COLUMN, F.lit("+U")) \
+        .withColumn(SEQ_COLUMN, F.lit(2).cast("long"))
+    r = merge_into_versioned_parquet(path, up, schema,
+                                     track_partition_moves=True)
+    assert set(r["rewritten"]) >= {"d0"}
+    rows2 = read_versioned(spark, path).collect()
+    ks = [row["k"] for row in rows2]
+    assert sorted(ks) == sorted(set(ks)), "duplicate PK after move"
+    got = {row["k"]: row["price"] for row in rows2}
+    assert got[5] == 555.0
+
+
+def test_bloom_canonicalizes_numeric_representations(spark):
+    """ADVICE r5: Decimal('7.0000') at index time vs 7.0 / 7 literals at
+    plan time must hash identically — a representation mismatch is a
+    silent false-negative prune (missing rows)."""
+    from decimal import Decimal
+
+    from flink_cdc_dsql_master_spark.lakehouse import (_bloom_canon,
+                                                       _bloom_hashes)
+
+    assert _bloom_canon(Decimal("7.0000")) == _bloom_canon(7.0) \
+        == _bloom_canon(7)
+    assert _bloom_canon(Decimal("7.2500")) == _bloom_canon(7.25)
+    assert _bloom_canon("7") != _bloom_canon(7)  # strings stay distinct
+    assert _bloom_hashes(Decimal("42.00"), 1024, 4) == \
+        _bloom_hashes(42, 1024, 4)
+
+
+def test_bloom_index_rejects_temporal_column(spark):
+    """Temporal literals have no canonical text form — indexing must
+    fail fast instead of silently mis-pruning later."""
+    import datetime
+
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        index_bloom_versioned, merge_into_versioned_parquet)
+
+    rows = [(i, datetime.datetime(2024, 1, 1 + i)) for i in range(5)]
+    base = spark.createDataFrame(rows, "k long, ts timestamp")
+    schema = Schema.of(base.schema, primary_keys=["k"])
+    path = os.path.join(tempfile.mkdtemp(prefix="bloom_ts_"), "t")
+    b1 = (base.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 4), schema)
+    with pytest.raises(ValueError, match="temporal"):
+        index_bloom_versioned(path, "ts")

@@ -44,9 +44,19 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SF1_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 SF10_DIR = os.path.join(REPO, ".scale_data", "sf10x")
 REPLICAS = 10
-DOC_ID_STRIDE = 1_000_000   # divisible by 20: decontaminate's eval split
+# doc ids must stay DENSE [0, 10N) at 10x: the graph queries derive their
+# link structure from (doc_id mod n), and a sparse id space (the old
+# 1_000_000 stride) made the dst-exists join drop every edge — the 10x
+# triangle stress measured an EMPTY result (VERDICT r5). The stride is
+# the corpus size rounded up to a multiple of 20 (keeps doc_id % 20,
+# decontaminate's eval split, replica-invariant).
 VEC_ID_STRIDE = 100_000     # keeps the vec_id < 5 query set fixed
 REWRITE_PCT = 35
+GEN_VERSION = "v2-dense-ids"
+
+
+def _doc_stride(n_docs: int) -> int:
+    return ((n_docs + 19) // 20) * 20
 
 TARGETS = [
     "dedup_minhash_lsh",
@@ -112,6 +122,7 @@ def generate() -> None:
 
     src = pq.read_table(os.path.join(SF1_DIR, "documents.parquet"))
     docs = src.to_pylist()
+    stride = _doc_stride(len(docs))
     out_rows = []
     for r in range(REPLICAS):
         for row in docs:
@@ -121,7 +132,7 @@ def generate() -> None:
                 text = " ".join(
                     _salt_token(t, r) for t in row["text"].split(" "))
             out_rows.append({
-                "doc_id": row["doc_id"] + r * DOC_ID_STRIDE,
+                "doc_id": row["doc_id"] + r * stride,
                 "text": text,
                 "lang": row["lang"],
                 "source": row["source"],
@@ -159,6 +170,8 @@ def generate() -> None:
         dst = os.path.join(SF10_DIR, f"{name}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SF1_DIR, f"{name}.parquet"), dst)
+    with open(os.path.join(SF10_DIR, ".gen_version"), "w") as f:
+        f.write(GEN_VERSION)
 
 
 def run(passes: int, out_path: str) -> int:
@@ -188,6 +201,14 @@ def run(passes: int, out_path: str) -> int:
                 spark.catalog.clearCache()
             rec[label] = round(best, 3)
             rec[f"rows_{label}"] = rows
+        # an empty output at EITHER scale voids the exponent (the r5
+        # triangle stress measured a degenerate 0-row 10x run and the
+        # number silently counted as evidence) — fail loudly instead
+        for label in ("t1", "t10"):
+            if rec[f"rows_{label}"] == 0:
+                raise SystemExit(
+                    f"{name}: {label} produced 0 rows — degenerate "
+                    "measurement; fix the synthesizer before recording")
         rec["exponent"] = round(
             math.log(rec["t10"] / rec["t1"]) / math.log(REPLICAS), 3)
         results[name] = rec
@@ -210,8 +231,14 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_STRESS.json"))
     ap.add_argument("--generate-only", action="store_true")
     args = ap.parse_args()
-    if not os.path.exists(os.path.join(SF10_DIR, "embeddings.parquet")):
+    marker = os.path.join(SF10_DIR, ".gen_version")
+    current = (open(marker).read().strip()
+               if os.path.exists(marker) else None)
+    if (not os.path.exists(os.path.join(SF10_DIR, "embeddings.parquet"))
+            or current != GEN_VERSION):
         print("# generating 10x tables ...", file=sys.stderr)
+        import shutil
+        shutil.rmtree(SF10_DIR, ignore_errors=True)
         generate()
     if args.generate_only:
         return 0
