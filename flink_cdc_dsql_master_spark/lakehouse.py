@@ -136,7 +136,11 @@ def merge_into_partitioned_parquet(path: str, changelog: DataFrame,
     os.makedirs(os.path.join(local, TXN_DIR), exist_ok=True)
     recover_partitioned_merge(path)
 
-    final = last_write_wins(changelog, pks)
+    # checkpointed: the LWW-collapsed batch is consumed several times
+    # (affected-partition collect, changed-key anti-join, upsert union)
+    # — without this each consumer re-runs the PK shuffle. Batch-
+    # proportional storage, GC-reclaimed after the commit returns.
+    final = last_write_wins(changelog, pks).localCheckpoint()
     if constraints:
         # CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analog):
         # validated against the batch's UPSERT images BEFORE anything is
@@ -596,7 +600,23 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
                     return {"version": mv["version"], "rewritten": [],
                             "dropped": [], "replayed_epoch": epoch}
 
-    final = last_write_wins(changelog, pks)
+    # INITIAL-LOAD fast path: with no pre-existing files there is no
+    # cur-read / anti-join / affected-partition pre-collect — one LWW
+    # shuffle feeding one partitioned write, and the affected set falls
+    # out of the staging directory listing for free (one Spark job
+    # instead of two; first loads are the common bulk-ingest case).
+    initial_load = not prev_files and not constraints \
+        and not track_partition_moves
+    if initial_load:
+        final = last_write_wins(changelog, pks)
+        affected: list[str] = []  # derived from the staging dirs below
+    else:
+        # checkpointed: the LWW-collapsed batch is consumed several
+        # times (affected-partition collect, changed-key anti-join,
+        # upsert union) — without this each consumer re-runs the PK
+        # shuffle. Batch-proportional storage, GC-reclaimed after the
+        # commit returns.
+        final = last_write_wins(changelog, pks).localCheckpoint()
     if constraints:
         imgs = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
         for cname, cexpr in constraints:
@@ -607,8 +627,10 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
                 raise ConstraintViolation(
                     f"constraint '{cname}' violated by {n_bad} rows, "
                     f"e.g. keys {[tuple(r) for r in sample]}")
-    affected = sorted(
-        str(r[0]) for r in final.select(part_col).distinct().collect())
+    if not initial_load:
+        affected = sorted(
+            str(r[0])
+            for r in final.select(part_col).distinct().collect())
     if track_partition_moves and prev_files:
         # mutable partition transform: a changed key may currently live
         # in a partition the batch's own images don't touch — probe the
@@ -625,7 +647,7 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
                      .select(part_col).distinct().collect())
             affected = sorted(set(affected)
                               | {str(r[0]) for r in moved})
-    if not affected:
+    if not affected and not initial_load:
         return {"version": versions[-1] if versions else 0,
                 "rewritten": [], "dropped": []}
     upserts = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
@@ -672,6 +694,11 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
                       os.path.join(live_dir, fn))
             new_files.setdefault(v, []).append(f"{entry}/{fn}")
     shutil.rmtree(staging, ignore_errors=True)
+    if initial_load:
+        affected = sorted(new_files)
+        if not affected:
+            return {"version": versions[-1] if versions else 0,
+                    "rewritten": [], "dropped": []}
 
     # footer min/max of the PK columns per NEW file (data pages never
     # read); carried-forward files keep their recorded stats — the
