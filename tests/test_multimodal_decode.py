@@ -222,3 +222,167 @@ def test_resize_nearest_index_map(spark):
     # upscale repeats pixels, never interpolates
     big = resize_nearest(arr, 8, 2)
     assert (big[0, 0] == big[0, 1]).all()
+
+
+def test_jpeg_dc_exact_roundtrip():
+    """Block-constant gradient under an all-ones quant table round-trips
+    bit-exactly (DC-only blocks are lossless) — including non-multiple-
+    of-8 dimensions (partial edge MCUs)."""
+    import numpy as np
+
+    from flink_cdc_dsql_master_spark.operators.multimodal import (
+        decode_jpeg, synth_jpeg_bytes)
+
+    for (w, h) in [(8, 8), (13, 11), (40, 24), (1, 1)]:
+        arr = decode_jpeg(synth_jpeg_bytes(w, h))
+        assert arr.shape == (h, w, 3)
+        exp = np.array([[((x // 8) * 29 + (y // 8) * 37) % 256
+                         for x in range(w)] for y in range(h)])
+        assert (arr[:, :, 0].astype(np.int64) == exp).all()
+        assert (arr[:, :, 1] == arr[:, :, 0]).all()  # gray → replicated
+
+
+def test_jpeg_ac_coefficients_through_idct():
+    """The AC huffman path, zigzag placement, dequant and IDCT are
+    exercised with a hand-assembled single-block scan carrying known AC
+    coefficients; the decode must equal the reference IDCT computed
+    independently here."""
+    import math
+    import struct
+
+    import numpy as np
+
+    from flink_cdc_dsql_master_spark.operators import multimodal as mm
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1)
+               + bytes([1, 0x11, 0]))
+    out += seg(0xFFC4, b"\x00" + bytes(mm._DC_LUM_BITS)
+               + bytes(mm._DC_LUM_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(mm._AC_LUM_BITS)
+               + bytes(mm._AC_LUM_VALS))
+    out += seg(0xFFDA, bytes([1, 1, 0x00, 0, 63, 0]))
+
+    dc_codes = mm._huff_codes(mm._DC_LUM_BITS, mm._DC_LUM_VALS)
+    ac_codes = mm._huff_codes(mm._AC_LUM_BITS, mm._AC_LUM_VALS)
+    bw = mm._BitWriter()
+
+    def put_mag(v, s):
+        bw.put(v if v >= 0 else v + (1 << s) - 1, s)
+
+    def cat(v):
+        s, m = 0, abs(v)
+        while m:
+            s += 1
+            m >>= 1
+        return s
+
+    # DC = 80; AC at zigzag pos 1 = -30, pos 3 = 17 (one-run), rest EOB
+    coef = np.zeros(64)
+    coef[0], dc = 80.0, 80
+    s = cat(dc)
+    ln, code = dc_codes[s]
+    bw.put(code, ln)
+    put_mag(dc, s)
+    for (zz_pos, run, val) in [(1, 0, -30), (3, 1, 17)]:
+        coef[mm._ZZ[zz_pos]] = val
+        s = cat(val)
+        ln, code = ac_codes[(run << 4) | s]
+        bw.put(code, ln)
+        put_mag(val, s)
+    ln, code = ac_codes[0x00]
+    bw.put(code, ln)
+    out += bw.flush() + b"\xFF\xD9"
+
+    got = mm.decode_jpeg(bytes(out))[:, :, 0].astype(np.float64)
+    A = np.zeros((8, 8))
+    for u in range(8):
+        c = (1 / math.sqrt(2)) if u == 0 else 1.0
+        for x in range(8):
+            A[u, x] = 0.5 * c * math.cos(math.pi * (2 * x + 1) * u / 16)
+    ref = np.clip(np.rint(A.T @ coef.reshape(8, 8) @ A + 128.0),
+                  0, 255)
+    assert (got == ref).all()
+
+
+def test_jpeg_color_ycbcr_conversion():
+    """3-component 4:4:4 scan with constant planes: the decoded RGB must
+    equal the JFIF conversion formula applied to (Y, Cb, Cr)."""
+    import struct
+
+    import numpy as np
+
+    from flink_cdc_dsql_master_spark.operators import multimodal as mm
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    y_v, cb_v, cr_v = 120, 90, 180
+    out = bytearray(b"\xFF\xD8")
+    out += seg(0xFFDB, b"\x00" + bytes([1] * 64))
+    out += seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 3)
+               + bytes([1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]))
+    out += seg(0xFFC4, b"\x00" + bytes(mm._DC_LUM_BITS)
+               + bytes(mm._DC_LUM_VALS))
+    out += seg(0xFFC4, b"\x10" + bytes(mm._AC_LUM_BITS)
+               + bytes(mm._AC_LUM_VALS))
+    out += seg(0xFFDA, bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0]))
+    dc_codes = mm._huff_codes(mm._DC_LUM_BITS, mm._DC_LUM_VALS)
+    ac_codes = mm._huff_codes(mm._AC_LUM_BITS, mm._AC_LUM_VALS)
+    bw = mm._BitWriter()
+    for v in (y_v, cb_v, cr_v):
+        dc = 8 * (v - 128)
+        s, m = 0, abs(dc)
+        while m:
+            s += 1
+            m >>= 1
+        ln, code = dc_codes[s]
+        bw.put(code, ln)
+        if s:
+            bw.put(dc if dc >= 0 else dc + (1 << s) - 1, s)
+        ln, code = ac_codes[0x00]
+        bw.put(code, ln)
+    out += bw.flush() + b"\xFF\xD9"
+
+    got = mm.decode_jpeg(bytes(out))
+    cb, cr = cb_v - 128.0, cr_v - 128.0
+    exp = [np.clip(np.rint(y_v + 1.402 * cr), 0, 255),
+           np.clip(np.rint(y_v - 0.344136 * cb - 0.714136 * cr), 0, 255),
+           np.clip(np.rint(y_v + 1.772 * cb), 0, 255)]
+    for ch in range(3):
+        assert (got[:, :, ch] == exp[ch]).all()
+
+
+def test_jpeg_rejects_progressive_and_junk():
+    import struct
+
+    import pytest
+
+    from flink_cdc_dsql_master_spark.operators import multimodal as mm
+
+    with pytest.raises(ValueError):
+        mm.decode_jpeg(b"nope")
+    prog = (b"\xFF\xD8"
+            + struct.pack(">HH", 0xFFC2, 11)
+            + struct.pack(">BHHB", 8, 8, 8, 1) + bytes([1, 0x11, 0]))
+    with pytest.raises(ValueError, match="baseline"):
+        mm.decode_jpeg(prog)
+
+
+def test_jpeg_router_and_checksum_feature():
+    from flink_cdc_dsql_master_spark.operators.multimodal import (
+        decode_media, jpeg_checksum_feature, synth_jpeg_bytes)
+
+    b = synth_jpeg_bytes(13, 11)
+    mime, w, h, dur, feat = decode_media(b, dim=8)
+    assert (mime, w, h, dur) == ("image/jpeg", 13, 11, None)
+    cs = jpeg_checksum_feature(b, dim=8)
+    assert cs[0] == 13.0 and cs[1] == 11.0
+    # checksums recomputable from the synthesis formula
+    tot = sum(((x // 8) * 29 + (y // 8) * 37) % 256
+              for x in range(13) for y in range(11))
+    assert cs[3] == float(tot % 997)

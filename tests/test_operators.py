@@ -157,8 +157,8 @@ def test_multimodal_plumbing(spark):
     assert n == {1, 2}
     assert frames.where(F.col("media_id") == 1).count() == 2  # 2500ms/1000
 
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_image_stub(b"zz")
+    with pytest.raises(ValueError):
+        multimodal.decode_jpeg(b"zz")  # junk fails fast, never fakes
 
 
 def test_get_embedding_deterministic(spark):
