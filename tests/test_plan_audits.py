@@ -378,14 +378,16 @@ def test_pattern_match_single_groupby_no_window_sort(spark, sf_dir):
 
 def test_covariance_partials_collapse_before_shuffle(spark, sf_dir):
     """The gram-partial shuffle carries (i, j, s) partial rows (KBs per
-    batch), never vectors, and the merged frame is CACHED: n / means /
-    gram all branch off InMemoryTableScan instead of re-running the
-    corpus scan + kernel (the pre-fix plan executed mapInPandas 4x);
-    cov assembly joins are broadcast."""
+    batch), never vectors, and the merged frame is CHECKPOINTED: n /
+    means / gram all branch off the materialized RDD, so the final plan
+    contains NO MapInPandas at all (the pre-fix plan executed the
+    kernel 4x; the persist-era plan showed InMemoryTableScan but pinned
+    blocks in the CacheManager forever — ADVICE r5); cov assembly joins
+    are broadcast."""
     plan = plan_of(QUERIES["embedding_covariance"](spark, sf_dir))
     tree = tree_of(plan)
-    assert "partial_sum" in plan
-    assert tree.count("InMemoryTableScan") >= 3   # every branch cached
+    assert "MapInPandas" not in plan   # kernel ran once, at checkpoint
+    assert tree.count("Scan ExistingRDD") >= 3   # every branch reuses it
     assert "BroadcastHashJoin" in plan
 
 
