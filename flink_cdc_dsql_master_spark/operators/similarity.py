@@ -976,3 +976,47 @@ def top_pc_projection(corpus: DataFrame, vec_col: str = "embedding",
     proj = F.aggregate(F.zip_with(F.col("v"), pc, lambda a, b: a * b),
                        F.lit(0.0), lambda acc, x: acc + x)
     return vv.select("vec_id", F.round(proj, 6).alias("pc_score"))
+
+
+def maxsim_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
+                doc_col: str = "doc_id", vec_col: str = "embedding",
+                query_vec_col: str = "embedding") -> DataFrame:
+    """ColBERT-style late-interaction retrieval: every document is a BAG
+    of token vectors, the query is a bag of token vectors, and the score
+    is MaxSim — Σ over query tokens of the best cosine against any of
+    the document's tokens. The multi-vector ranking function behind
+    modern retrieval stacks, as a pure DataFrame plan.
+
+    Scale shape: the query bag broadcasts (Q·dim floats — KBs); the
+    corpus token table NEVER shuffles at token grain — the per-(doc,
+    query-token) max and the per-doc sum are both partial-aggregating
+    groupBys, so the only exchanged rows are doc-grain partials, and the
+    final top-k is a TakeOrderedAndProject over doc-grain scores. Linear
+    in |corpus tokens| × |query tokens| — the canonical MaxSim scan.
+
+    Determinism contract: cosines fold in index order (`cosine_expr`),
+    per-pair maxes round at 6 and accumulate as DECIMAL(18,6), so the
+    per-doc sum is exact and order-independent — a SQL oracle replays
+    the whole ranking hash-exactly. Returns (doc, score, n_q_tokens)
+    top-k by (score desc, doc asc)."""
+    c = corpus.select(F.col(doc_col).alias("doc"),
+                      F.col(vec_col).cast("array<double>").alias("dv"))
+    # the query bag is collected (it is broadcast-sized by definition)
+    # and re-emitted with deterministic token ids — a
+    # monotonically_increasing_id would be partition-dependent
+    qrows = [r["qv"] for r in queries.select(
+        F.col(query_vec_col).cast("array<double>").alias("qv")).collect()]
+    spark = corpus.sparkSession
+    q = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(qrows)], "qt long, qv array<double>")
+    scored = (c.crossJoin(F.broadcast(q))
+              .select("doc", "qt",
+                      cosine_expr(F.col("qv"), F.col("dv")).alias("cos")))
+    per_qt = (scored.groupBy("doc", "qt")
+              .agg(F.round(F.max("cos"), 6).cast("decimal(18,6)")
+                   .alias("best")))
+    per_doc = (per_qt.groupBy("doc")
+               .agg(F.sum("best").alias("score"),
+                    F.count("*").cast("long").alias("n_q_tokens")))
+    return (per_doc.orderBy(F.col("score").desc(), F.col("doc").asc())
+            .limit(k))

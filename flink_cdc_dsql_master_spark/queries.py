@@ -11802,3 +11802,132 @@ def events_dow_profile(spark, sf_dir):
                        "event_type")
             .agg(F.count("*").cast("long").alias("n"),
                  F.round(F.sum("value"), 4).alias("total_value")))
+
+
+@_q(
+    "agg_exact_quantiles_rank",
+    """
+    WITH rk AS (
+      SELECT o_totalprice AS v,
+             row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS i
+      FROM orders),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM orders),
+    t AS (SELECT q, GREATEST(1, CAST(CEIL(q * n) AS BIGINT)) AS tgt
+          FROM (SELECT unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS q), n)
+    SELECT t.q, rk.v AS value
+    FROM t JOIN rk ON rk.i = t.tgt
+    """,
+)
+def agg_exact_quantiles_rank(spark, sf_dir):
+    """EXACT global quantiles (p25/p50/p75/p90/p99) by rank selection —
+    what percentile_approx trades away, recovered at scale: the inverse-
+    CDF value at rank ceil(q·n) under a deterministic (value, key)
+    order. The rank is `sampling.distributed_rank` (per-percentile-
+    bucket row_numbers + driver prefix-summed offsets), so the plan has
+    NO single-partition sort — exact order statistics on a 100 TB fact
+    table for the cost of one bucketed window plus a tiny counts
+    aggregate. The oracle replays with a literal global row_number."""
+    import math
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_totalprice").alias("v"),
+        F.col("o_orderkey").alias("tk"))
+    n = o.count()
+    qs = [0.25, 0.5, 0.75, 0.9, 0.99]
+    targets: dict[int, float] = {}
+    for q in qs:
+        targets[max(1, math.ceil(q * n))] = q
+    bkt = sampling.range_bucket(o, F.col("v"), 64)
+    rk = sampling.distributed_rank(
+        o, [F.col("v").asc(), F.col("tk").asc()], bkt, out="i")
+    pairs = []
+    for tgt, q in targets.items():
+        pairs += [F.lit(tgt), F.lit(q)]
+    mapping = F.create_map(*pairs)
+    return (rk.where(F.col("i").isin(*targets.keys()))
+            .select(mapping[F.col("i")].alias("q"),
+                    F.col("v").alias("value")))
+
+
+@_q(
+    "similarity_maxsim_late_interaction",
+    f"""
+    WITH tok AS (SELECT vec_id // 40 AS doc, vec_id, embedding
+                 FROM embeddings),
+    q AS (SELECT vec_id AS qt, embedding AS qv
+          FROM embeddings WHERE vec_id < 40),
+    cos AS (SELECT t.doc, q.qt,
+                   {_cos_pair_sql('t.embedding', 'q.qv')} AS c
+            FROM tok t, q),
+    best AS (SELECT doc, qt,
+                    CAST(ROUND(MAX(c), 6) AS DECIMAL(18,6)) AS b
+             FROM cos GROUP BY 1, 2),
+    sc AS (SELECT doc, CAST(SUM(b) AS DOUBLE) AS score,
+                  CAST(COUNT(*) AS BIGINT) AS n_q_tokens
+           FROM best GROUP BY 1)
+    SELECT doc, score, n_q_tokens FROM sc
+    ORDER BY score DESC, doc ASC LIMIT 10
+    """,
+)
+def similarity_maxsim_late_interaction(spark, sf_dir):
+    """ColBERT-style MaxSim late-interaction retrieval
+    (similarity.maxsim_topk): documents as bags of 40 token vectors
+    (vec_id // 40), query = doc 0's bag, score = Σ over query tokens of
+    the best cosine in the doc's bag. Broadcast query bag, shuffle-free
+    token-grain scan, two partial-aggregating collapses, decimal-exact
+    score accumulation — the multi-vector ranking function as a
+    hash-checked DataFrame plan."""
+    from .operators.similarity import maxsim_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    corpus = emb.select((F.col("vec_id") / 40).cast("long").alias("doc"),
+                        "embedding")
+    queries = emb.where(F.col("vec_id") < 40)
+    out = maxsim_topk(corpus, queries, k=10, doc_col="doc")
+    # decimal-exact accumulation inside; double at the surface so both
+    # engines hand pandas the same dtype
+    return out.withColumn("score", F.col("score").cast("double"))
+
+
+@_q(
+    "text_sentence_stats",
+    r"""
+    WITH s AS (
+      SELECT doc_id,
+             list_filter(list_transform(
+               string_split_regex(text, '[.!?]+'), x -> trim(x)),
+               x -> x <> '') AS sents
+      FROM documents),
+    w AS (
+      SELECT doc_id, sents,
+             list_transform(sents,
+               x -> len(string_split_regex(x, '\s+'))) AS wc
+      FROM s)
+    SELECT doc_id, CAST(len(sents) AS BIGINT) AS n_sentences,
+           ROUND(CAST(list_sum(wc) AS DOUBLE) / len(sents), 6)
+             AS avg_words,
+           CAST(list_max(wc) AS BIGINT) AS max_words
+    FROM w WHERE len(sents) > 0
+    """,
+)
+def text_sentence_stats(spark, sf_dir):
+    """Per-document sentence segmentation stats (count, mean and max
+    words per sentence) — the readability / chunking-granularity signal
+    a curation filter and a RAG chunker both need. Pure codegen HOFs
+    (split / transform / filter / aggregate), no shuffle at all; both
+    engines segment with the same regex so the stats replay exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+"),
+                    lambda x: F.trim(x)),
+        lambda x: x != "")
+    wc = F.transform(sents, lambda x: F.size(F.split(x, r"\s+")))
+    out = docs.select("doc_id", sents.alias("sents"), wc.alias("wc"))
+    return (out.where(F.size("sents") > 0)
+            .select("doc_id",
+                    F.size("sents").cast("long").alias("n_sentences"),
+                    F.round(F.aggregate(
+                        "wc", F.lit(0), lambda a, x: a + x)
+                        .cast("double") / F.size("sents"), 6)
+                    .alias("avg_words"),
+                    F.array_max("wc").cast("long").alias("max_words")))

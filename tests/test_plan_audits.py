@@ -479,3 +479,31 @@ def test_registry_sweep_no_unbounded_single_partition_window(spark, sf_dir):
         f"unbounded single-partition window in: {offenders} — use "
         "sampling.distributed_rank / percentile bucketing, or add a "
         "bounded-frame justification to _BOUNDED_FRAME_WINDOWS")
+
+
+def test_maxsim_broadcasts_query_bag_with_partial_aggs(spark, sf_dir):
+    """MaxSim: the query token bag broadcasts (BroadcastNestedLoopJoin —
+    the corpus token table never shuffles at token grain), both
+    collapses partial-aggregate, and the top-k is TakeOrderedAndProject
+    (no global sort)."""
+    plan = plan_of(QUERIES["similarity_maxsim_late_interaction"](
+        spark, sf_dir))
+    tree = tree_of(plan)
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan or "partial_first" in plan \
+        or plan.count("HashAggregate") >= 4   # partial+final per collapse
+    assert "TakeOrderedAndProject" in tree
+    assert "Exchange SinglePartition" not in tree
+
+
+def test_exact_quantiles_rank_no_single_partition_sort(spark, sf_dir):
+    """Exact order statistics without the global-sort window: the plan
+    must contain no Exchange SinglePartition feeding a Window (the
+    distributed_rank two-pass property, registry-sweep-enforced; pinned
+    here explicitly for the flagship rank query)."""
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+        "simple")
+    df = QUERIES["agg_exact_quantiles_rank"](spark, sf_dir)
+    plan = df._jdf.queryExecution().explainString(mode)
+    assert not _window_over_single_partition(plan)
