@@ -356,3 +356,57 @@ def ntile_from_rank(i: Column, n: Column, k: int) -> Column:
     first = F.ceil(il.cast("double") / (q + F.lit(1)).cast("double"))
     rest = r + F.ceil((il - thr).cast("double") / q.cast("double"))
     return F.when(il <= thr, first).otherwise(rest).cast("int")
+
+
+def kcenter_coreset(df: DataFrame, vec_col: str = "embedding",
+                    id_col: str = "vec_id", rounds: int = 4,
+                    seed_id=None) -> DataFrame:
+    """Greedy k-center (farthest-point) coreset selection over an
+    embedding column — the classic 2-approximation for picking a
+    maximally DIVERSE subset, the geometric complement of
+    `greedy_cover_selection`'s shingle coverage: each round adds the
+    point farthest (cosine distance) from every center chosen so far.
+
+    Scale shape: the corpus never shuffles — each round is one
+    map-only pass updating the running min-distance against the SINGLE
+    newly-chosen literal center vector (KBs baked into the plan), plus
+    a 1-row argmax collect (the repo's split-point convention). K
+    rounds = K scans; the scan frame is localCheckpoint'ed so round r
+    never replays rounds 1..r-1's lambda chain.
+
+    Deterministic: seed = lowest id (or `seed_id`), ties break on id
+    ascending, distances fold in index order — a SQL oracle replays
+    the exact selection trajectory. Returns (round, center_id, radius)
+    where radius = the chosen point's distance to the prior centers
+    (the k-center objective value after round-1 centers)."""
+    from pyspark.sql import functions as FF
+
+    from .similarity import cosine_expr
+
+    spark = df.sparkSession
+    v = (df.select(FF.col(id_col).alias("id"),
+                   FF.col(vec_col).cast("array<double>").alias("e"))
+         .localCheckpoint())
+    if seed_id is None:
+        seed_id = v.agg(FF.min("id")).first()[0]
+    seed_vec = v.where(FF.col("id") == seed_id).first()["e"]
+
+    def lit_vec(vals):
+        return FF.array(*[FF.lit(float(x)) for x in vals])
+
+    cur = v.withColumn(
+        "d", 1.0 - cosine_expr(lit_vec(seed_vec), FF.col("e")))
+    out = []
+    chosen = [seed_id]
+    for r in range(1, rounds + 1):
+        top = (cur.where(~FF.col("id").isin(*chosen))
+               .orderBy(FF.col("d").desc(), FF.col("id").asc())
+               .limit(1).collect()[0])
+        chosen.append(int(top["id"]))
+        out.append((r, int(top["id"]), float(round(top["d"], 6))))
+        cur = (cur.withColumn(
+            "d", FF.least(FF.col("d"), 1.0 - cosine_expr(
+                lit_vec(top["e"]), FF.col("e"))))
+            .localCheckpoint())
+    return spark.createDataFrame(
+        out, "round int, center_id long, radius double")

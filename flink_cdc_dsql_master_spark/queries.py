@@ -11931,3 +11931,118 @@ def text_sentence_stats(spark, sf_dir):
                         .cast("double") / F.size("sents"), 6)
                     .alias("avg_words"),
                     F.array_max("wc").cast("long").alias("max_words")))
+
+
+def _kcenter_oracle_sql(rounds: int = 4) -> str:
+    """DuckDB replay of the greedy k-center trajectory: one (dN, cN)
+    CTE pair per round — cN is the argmax of the running min-distance
+    excluding every previously chosen id, dN folds the new center in
+    with LEAST. Deterministic because the Spark side uses the same
+    seed (lowest id), the same index-order cosine fold and the same
+    (d desc, id asc) tie-break."""
+    parts = ["""
+    WITH v AS (SELECT vec_id AS id, embedding AS e FROM embeddings),
+    seedv AS (SELECT e FROM v WHERE id = (SELECT MIN(id) FROM v)),
+    d0 AS (SELECT v.id, v.e, 1.0 - """
+             + _cos_pair_sql("v.e", "s.e") + """ AS d
+           FROM v, seedv s)"""]
+    excl = ["(SELECT MIN(id) FROM v)"]
+    for r in range(1, rounds + 1):
+        cond = " AND ".join(f"id <> {e}" for e in excl)
+        parts.append(f""",
+    c{r} AS (SELECT id, e, d FROM d{r - 1}
+           WHERE {cond}
+           ORDER BY d DESC, id ASC LIMIT 1)""")
+        if r < rounds:
+            parts.append(f""",
+    d{r} AS (SELECT x.id, x.e,
+                    LEAST(x.d, 1.0 - """
+                         + _cos_pair_sql("x.e", "c.e") + f""") AS d
+           FROM d{r - 1} x, c{r} c)""")
+        excl.append(f"(SELECT id FROM c{r})")
+    sel = "\n    UNION ALL ".join(
+        f"SELECT {r} AS round, (SELECT CAST(id AS BIGINT) FROM c{r}) "
+        f"AS center_id, ROUND((SELECT d FROM c{r}), 6) AS radius"
+        for r in range(1, rounds + 1))
+    return "".join(parts) + "\n    " + sel
+
+
+@_q("sample_kcenter_coreset", _kcenter_oracle_sql(4))
+def sample_kcenter_coreset(spark, sf_dir):
+    """Greedy k-center (farthest-point) coreset selection
+    (sampling.kcenter_coreset): pick the 4 points that maximize
+    diversity under cosine distance — the geometric dual of the
+    shingle greedy-cover selector, and the standard diverse-subset /
+    prototype-selection primitive of a training-data curation stack.
+    Each round is one map-only min-distance update against a literal
+    center vector plus a 1-row argmax; the oracle replays the exact
+    greedy trajectory round by round."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return sampling.kcenter_coreset(emb, rounds=4)
+
+
+@_q(
+    "agg_group_median",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS p75
+    FROM lineitem GROUP BY 1
+    """,
+)
+def agg_group_median(spark, sf_dir):
+    """Exact per-group median and quartiles (Spark's exact `percentile`
+    aggregate == DuckDB quantile_cont: both interpolate at (n-1)*q).
+    Group grain is tiny (3 flags) but each group's percentile is exact
+    over the full fact table — the partial-aggregating sort-based
+    percentile, not approx. For GLOBAL ungrouped order statistics at
+    scale, `agg_exact_quantiles_rank` is the rank-based plan."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.count("*").cast("long").alias("n"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 6)
+        .alias("median_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.25)), 6)
+        .alias("p25"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.75)), 6)
+        .alias("p75"))
+
+
+@_q(
+    "agg_mad_robust",
+    """
+    WITH med AS (
+      SELECT event_type,
+             quantile_cont(value, 0.5) AS med
+      FROM events WHERE value IS NOT NULL GROUP BY 1),
+    dev AS (
+      SELECT e.event_type, ABS(e.value - m.med) AS adev, m.med
+      FROM events e JOIN med m ON m.event_type = e.event_type
+      WHERE e.value IS NOT NULL)
+    SELECT event_type,
+           ROUND(ANY_VALUE(med), 6) AS median_value,
+           ROUND(quantile_cont(adev, 0.5), 6) AS mad,
+           ROUND(quantile_cont(adev, 0.5) * 1.4826, 6) AS sigma_robust
+    FROM dev GROUP BY 1
+    """,
+)
+def agg_mad_robust(spark, sf_dir):
+    """Median absolute deviation per event type — the outlier-immune
+    spread estimate (MAD·1.4826 ~ sigma for normal data) that a data-
+    quality monitor uses where stddev is poisoned by the very outliers
+    it should flag. Two exact-percentile passes: per-group median
+    (tiny group grain), broadcast back, per-group median of absolute
+    deviations."""
+    ev = _t(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    med = ev.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.5)).alias("med"))
+    dev = (ev.join(F.broadcast(med), "event_type")
+           .select("event_type", "med",
+                   F.abs(F.col("value") - F.col("med")).alias("adev")))
+    mad = F.percentile("adev", F.lit(0.5))
+    return dev.groupBy("event_type").agg(
+        F.round(F.first("med"), 6).alias("median_value"),
+        F.round(mad, 6).alias("mad"),
+        F.round(mad * 1.4826, 6).alias("sigma_robust"))
