@@ -12046,3 +12046,184 @@ def agg_mad_robust(spark, sf_dir):
         F.round(F.first("med"), 6).alias("median_value"),
         F.round(mad, 6).alias("mad"),
         F.round(mad * 1.4826, 6).alias("sigma_robust"))
+
+
+@_q(
+    "streaming_window_agg_replay",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def streaming_window_agg_replay(spark, sf_dir):
+    """Watermarked event-time tumbling-window aggregation as a CHECKED
+    streaming pipeline (upgrades the stateful-streaming row from unit to
+    oracle evidence): the events table is split into two time-ordered
+    JSON batches, run 1 streams the early half through
+    streaming.streaming_windowed_agg (1h windows, 10min watermark,
+    update mode), run 2 RESTARTS from the same checkpoint and streams
+    the late half — boundary windows merge into still-open state, fully-
+    closed windows are never recomputed. Each micro-batch upserts into
+    DuckDB keyed on (window_start, event_type); the final table must
+    hash-equal the batch aggregate over the whole table. Decimal-exact
+    sums make the totals order-independent across micro-batches."""
+    import json as _json
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .sinks import JdbcUpsertSink
+    from .streaming import streaming_windowed_agg
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("ts", "event_type",
+                  F.col("value").cast("decimal(18,4)").alias("value")))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2
+    rows = ev.select(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("ts"),
+        "event_type", F.col("value").cast("string").alias("value"),
+        (F.col("ts") < F.lit(cutoff)).alias("early")).collect()
+
+    base = tempfile.mkdtemp(prefix="stream_win_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+    schema = Schema.of(
+        spark.createDataFrame(
+            [], "window_start timestamp, event_type string, n long, "
+                "total decimal(28,4)").schema,
+        primary_keys=["window_start", "event_type"])
+    sink = JdbcUpsertSink(lambda p=db: duckdb.connect(p), "win_agg",
+                          schema, parallel=False)
+    sink.ensure_table()
+
+    def run_batch(fname, batch_rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in batch_rows:
+                f.write(_json.dumps({"ts": r["ts"],
+                                     "event_type": r["event_type"],
+                                     "value": r["value"]}) + "\n")
+        stream = (spark.readStream
+                  .schema("ts timestamp, event_type string, "
+                          "value decimal(18,4)")
+                  .json(src))
+        agg = streaming_windowed_agg(stream, key_col="event_type",
+                                     window="1 hour",
+                                     watermark="10 minutes")
+        q = (agg.writeStream.outputMode("update")
+             .foreachBatch(lambda df, bid: sink.write_batch(df))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_batch("b1.json", [r for r in rows if r["early"]])
+    run_batch("b2.json", [r for r in rows if not r["early"]])
+
+    con = duckdb.connect(db)
+    pdf = con.execute(
+        "SELECT window_start, event_type, n, CAST(total AS DOUBLE) "
+        "AS total FROM win_agg").df()
+    con.close()
+    return spark.createDataFrame(pdf)
+
+
+@_q(
+    "streaming_session_replay",
+    """
+    WITH e AS (
+      SELECT user_id, date_trunc('milliseconds', ts) AS ts,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events WHERE value IS NOT NULL AND user_id % 10 = 0),
+    l AS (
+      SELECT user_id, ts, v,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS brk
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    g AS (
+      SELECT user_id, ts, v,
+             SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS sid
+      FROM l)
+    SELECT MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS DOUBLE) AS total
+    FROM g GROUP BY user_id, sid
+    """,
+)
+def streaming_session_replay(spark, sf_dir):
+    """Native event-time SESSION windows through a restarted streaming
+    pipeline, oracle-checked against the batch gaps-and-islands replica:
+    two time-ordered JSON batches stream through
+    streaming.streaming_session_agg (30min gap, 10min watermark, append
+    mode — one row per COMPLETED session, state = open sessions only),
+    with far-future sentinel events advancing the watermark so every
+    real session flushes; sessions spanning the batch boundary merge in
+    checkpointed state across the restart. The boundary semantics are
+    pinned exactly: a gap of >= 30min splits ([ts, ts+gap) windows merge
+    only on strict overlap) — the oracle replicates that with lag/cumsum
+    islands over millisecond-truncated timestamps (the JSON wire format's
+    resolution)."""
+    import json as _json
+    import os
+    import tempfile
+
+    from .streaming import streaming_session_agg
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull() & (F.col("user_id") % 10 == 0))
+          .select("ts", "user_id",
+                  F.col("value").cast("decimal(18,4)").alias("value")))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2
+    rows = ev.select(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("ts"),
+        "user_id", F.col("value").cast("string").alias("value"),
+        (F.col("ts") < F.lit(cutoff)).alias("early")).collect()
+    sent1 = (hi.replace(microsecond=0).isoformat() + ".000").replace(
+        str(hi.year), str(hi.year + 2), 1)
+    sent2 = sent1.replace(str(hi.year + 2), str(hi.year + 4), 1)
+
+    base = tempfile.mkdtemp(prefix="stream_sess_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    out_dir = os.path.join(base, "out")
+    os.mkdir(src)
+
+    def run_batch(fname, batch_rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in batch_rows:
+                f.write(_json.dumps(r) + "\n")
+        stream = (spark.readStream
+                  .schema("ts timestamp, user_id long, "
+                          "value decimal(18,4)")
+                  .json(src))
+        agg = streaming_session_agg(stream, key_col="user_id",
+                                    gap="30 minutes",
+                                    watermark="10 minutes")
+        q = (agg.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_batch("b1.json", [{"ts": r["ts"], "user_id": r["user_id"],
+                           "value": r["value"]}
+                          for r in rows if r["early"]])
+    run_batch("b2.json", [{"ts": r["ts"], "user_id": r["user_id"],
+                           "value": r["value"]}
+                          for r in rows if not r["early"]])
+    run_batch("s1.json", [{"ts": sent1, "user_id": -1, "value": "0"}])
+    run_batch("s2.json", [{"ts": sent2, "user_id": -1, "value": "0"}])
+
+    out = spark.read.parquet(out_dir)
+    return (out.where(F.col("user_id") >= 0)
+            .select("session_start", "session_end", "user_id",
+                    F.col("n_events").cast("long").alias("n_events"),
+                    F.col("total").cast("double").alias("total")))
