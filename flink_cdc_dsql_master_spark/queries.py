@@ -12227,3 +12227,118 @@ def streaming_session_replay(spark, sf_dir):
             .select("session_start", "session_end", "user_id",
                     F.col("n_events").cast("long").alias("n_events"),
                     F.col("total").cast("double").alias("total")))
+
+
+_ES_SRC_SQL = ("'{\"k\":' || k || ',\"price\":\"' || price"
+               " || '\",\"status\":\"' || status || '\"}'")
+
+
+@_q(
+    "sink_elasticsearch_bulk",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+               AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey < 500),
+    ins AS (
+      SELECT k * 3 AS seq,
+             '{{"index":{{"_index":"public.orders_es","_id":"' || k
+               || '"}}}}' AS action,
+             {_ES_SRC_SQL} AS source
+      FROM base),
+    upd AS (
+      SELECT k * 3 + 1 AS seq,
+             '{{"index":{{"_index":"public.orders_es","_id":"' || k
+               || '"}}}}' AS action,
+             {_ES_SRC_SQL} AS source
+      FROM base WHERE k % 7 = 0),
+    del AS (
+      SELECT k * 3 + 2 AS seq,
+             '{{"delete":{{"_index":"public.orders_es","_id":"' || k
+               || '"}}}}' AS action,
+             NULL AS source
+      FROM base WHERE k % 11 = 0)
+    SELECT * FROM ins UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM del
+    """,
+)
+def sink_elasticsearch_bulk(spark, sf_dir):
+    """Elasticsearch pipeline-sink capability (SURVEY §2.2 lake/
+    warehouse sink breadth — pipeline-connector-elasticsearch):
+    changelog → bulk-API action/source pairs, byte-exact against the
+    oracle's hand-built JSON (field order, quoting and the pk-joined
+    _id all pinned). Upsert = index action + full doc, delete = delete
+    action, -U dropped at encode."""
+    from .sinks import elasticsearch_bulk
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string")
+        .alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    k = F.col("k")
+    b1 = (base.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, (k * 3).cast("long")))
+    bu = (base.where(k % 7 == 0).withColumn(OP_COLUMN, F.lit("+U"))
+          .withColumn(SEQ_COLUMN, (k * 3 + 1).cast("long")))
+    bd = (base.where(k % 11 == 0).withColumn(OP_COLUMN, F.lit("-D"))
+          .withColumn(SEQ_COLUMN, (k * 3 + 2).cast("long")))
+    cl = b1.unionByName(bu).unionByName(bd)
+    tid = TableId.parse("tpch.public.orders_es")
+    return elasticsearch_bulk(cl, tid, ["k"])
+
+
+@_q(
+    "sink_starrocks_stream_load",
+    f"""
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+               AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey < 500),
+    ins AS (
+      SELECT k * 3 AS seq,
+             '{{"k":' || k || ',"price":"' || price || '","status":"'
+               || status || '","__op":0}}' AS row_json
+      FROM base),
+    upd AS (
+      SELECT k * 3 + 1 AS seq,
+             '{{"k":' || k || ',"price":"' || price || '","status":"'
+               || status || '","__op":0}}' AS row_json
+      FROM base WHERE k % 7 = 0),
+    del AS (
+      SELECT k * 3 + 2 AS seq,
+             '{{"k":' || k || ',"price":"' || price || '","status":"'
+               || status || '","__op":1}}' AS row_json
+      FROM base WHERE k % 11 = 0)
+    SELECT * FROM ins UNION ALL SELECT * FROM upd
+    UNION ALL SELECT * FROM del
+    """,
+)
+def sink_starrocks_stream_load(spark, sf_dir):
+    """StarRocks/Doris pipeline-sink capability (SURVEY §2.2 sink
+    breadth — pipeline-connector-starrocks / -doris): changelog →
+    primary-key-table stream-load JSON rows with the __op delete flag,
+    byte-exact against hand-built oracle JSON."""
+    from .sinks import starrocks_stream_load
+
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string")
+        .alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    k = F.col("k")
+    b1 = (base.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, (k * 3).cast("long")))
+    bu = (base.where(k % 7 == 0).withColumn(OP_COLUMN, F.lit("+U"))
+          .withColumn(SEQ_COLUMN, (k * 3 + 1).cast("long")))
+    bd = (base.where(k % 11 == 0).withColumn(OP_COLUMN, F.lit("-D"))
+          .withColumn(SEQ_COLUMN, (k * 3 + 2).cast("long")))
+    cl = b1.unionByName(bu).unionByName(bd)
+    tid = TableId.parse("tpch.public.orders_sr")
+    return starrocks_stream_load(cl, tid)

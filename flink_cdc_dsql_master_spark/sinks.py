@@ -498,3 +498,49 @@ def read_parquet_state(spark, path: str) -> DataFrame | None:
         else:
             return None
     return spark.read.parquet(local)
+
+
+def elasticsearch_bulk(df: DataFrame, table_id: TableId,
+                       id_cols: list[str]) -> DataFrame:
+    """Changelog → Elasticsearch bulk-API action/source line pairs (the
+    pipeline-connector-elasticsearch capability re-expressed: upsert =
+    `index` action + source doc, delete = `delete` action, document id =
+    the primary key values joined with '|'). Returns (seq, action,
+    source) — `source` NULL on deletes; feed the two columns
+    newline-joined to `_bulk`. Split -U retractions are dropped at
+    encode (the index action replaces the whole document, so the before
+    image carries nothing — same rule as maxwell_json). Pure to_json
+    codegen, no shuffle."""
+    data_cols = [c for c in df.columns
+                 if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id")]
+    payload = F.struct(*[F.col(c) for c in data_cols])
+    op = F.col(OP_COLUMN)
+    index = f"{table_id.schema_name}.{table_id.table}"
+    doc_id = F.concat_ws("|", *[F.col(c).cast("string")
+                                for c in id_cols])
+    meta = F.struct(F.lit(index).alias("_index"), doc_id.alias("_id"))
+    action = F.when(
+        op == "-D", F.to_json(F.struct(meta.alias("delete")))) \
+        .otherwise(F.to_json(F.struct(meta.alias("index"))))
+    source = F.when(op != "-D", F.to_json(payload))
+    return (df.where(op != "-U")
+            .select(F.col(SEQ_COLUMN).alias("seq"),
+                    action.alias("action"), source.alias("source")))
+
+
+def starrocks_stream_load(df: DataFrame, table_id: TableId) -> DataFrame:
+    """Changelog → StarRocks primary-key-table stream-load JSON rows
+    (the pipeline-connector-starrocks / doris capability: each row is
+    the full image plus the `__op` delete flag — 0 upsert, 1 delete —
+    that a PK table's stream load consumes; Doris' __DORIS_DELETE_SIGN__
+    is the same wire idea). -U retractions dropped at encode. Returns
+    (seq, row_json). Pure to_json codegen, no shuffle."""
+    data_cols = [c for c in df.columns
+                 if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id")]
+    op = F.col(OP_COLUMN)
+    row = F.to_json(F.struct(
+        *[F.col(c) for c in data_cols],
+        F.when(op == "-D", 1).otherwise(0).alias("__op")))
+    return (df.where(op != "-U")
+            .select(F.col(SEQ_COLUMN).alias("seq"),
+                    row.alias("row_json")))
