@@ -87,6 +87,11 @@ BENCH_QUERIES = [
     "timeseries_cusum_alarms",
     "window_cumulate",
     "sample_hard_negatives",
+    # round 7 additions
+    "similarity_maxsim_late_interaction",
+    "agg_exact_quantiles_rank",
+    "sample_kcenter_coreset",
+    "multimodal_jpeg_decode",
 ]
 
 

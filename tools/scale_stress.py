@@ -104,6 +104,11 @@ TARGETS = [
     # 10x corpus runs identical work (nothing to measure).
     "embedding_covariance",
     "sample_hard_negatives",
+    # round-7 additions: MaxSim late interaction (token-grain scan x
+    # broadcast query bag: cost ~ |corpus tokens|, expect e ~ scan) and
+    # k-center coreset (K map-only min-distance passes over the corpus)
+    "similarity_maxsim_late_interaction",
+    "sample_kcenter_coreset",
 ]
 
 
