@@ -926,3 +926,24 @@ def jaccard_search(df: DataFrame, query_ids, id_col: str = "doc_id",
             .where(F.col("rank") <= k)
             .select("query_id", "match_id", "jaccard",
                     F.col("rank").cast("int").alias("rank")))
+
+
+def priority_dedup(df: DataFrame, priority_col: str,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Exact content dedup with a CANONICAL-SELECTION POLICY: among
+    duplicates, keep the copy from the best (lowest) priority tier —
+    how a training mixture keeps the curated copy of a page that also
+    appears in a crawl dump — with id as the deterministic tie-break.
+    Same one-shuffle min_by plan as `exact_dedup` (map-side partial
+    combine; the comparator is the lexicographic (priority, id) struct),
+    plus a per-group duplicate count so the keep decision is auditable.
+    """
+    data_cols = list(df.columns)
+    base = _spread(df).withColumn("__norm", normalize_text(F.col(text_col)))
+    won = (base.groupBy(F.xxhash64("__norm").alias("__h"), F.col("__norm"))
+           .agg(F.min_by(F.struct(*data_cols),
+                         F.struct(F.col(priority_col), F.col(id_col)))
+                .alias("__w"),
+                F.count("*").cast("long").alias("n_copies")))
+    return won.select("__w.*", "n_copies")

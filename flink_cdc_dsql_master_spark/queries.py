@@ -12347,3 +12347,138 @@ def sink_starrocks_stream_load(spark, sf_dir):
     cl = b1.unionByName(bu).unionByName(bd)
     tid = TableId.parse("tpch.public.orders_sr")
     return starrocks_stream_load(cl, tid)
+
+
+@_q(
+    "eval_langid_confusion",
+    f"""
+    WITH w AS (
+      SELECT doc_id, lang AS lang_actual,
+             string_split_regex(trim(lower(text)), '\\s+') AS ws
+      FROM documents),
+    scores AS (
+      SELECT doc_id, lang_actual, l.lang,
+             CAST(len(list_filter(ws, x -> list_contains(l.markers, x)))
+                  AS DOUBLE) / greatest(len(ws), 1) AS score
+      FROM w, {_LANG_VALUES_SQL}),
+    best AS (
+      SELECT doc_id, lang_actual, lang, score FROM scores
+      QUALIFY row_number() OVER (PARTITION BY doc_id
+                                 ORDER BY score DESC, lang DESC) = 1),
+    pred AS (
+      SELECT doc_id, lang_actual,
+             CASE WHEN score > 0 THEN lang ELSE 'und' END AS lang_pred
+      FROM best),
+    tot AS (SELECT lang_actual, CAST(COUNT(*) AS BIGINT) AS n_actual
+            FROM pred GROUP BY 1)
+    SELECT p.lang_actual, p.lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(t.n_actual), 6)
+             AS share_of_actual
+    FROM pred p JOIN tot t ON t.lang_actual = p.lang_actual
+    GROUP BY 1, 2
+    """,
+)
+def eval_langid_confusion(spark, sf_dir):
+    """Language-ID CONFUSION MATRIX against the labeled `lang` column —
+    the eval loop of the classifier itself (which cells leak, which
+    languages the marker list misses): prediction via the same
+    oracle-replayed marker classifier, then a (actual, predicted) grain
+    collapse with per-actual recall shares. Two tiny aggregates on top
+    of the classifier's shuffle-free scan."""
+    docs = _t(spark, sf_dir, "documents")
+    pred = (text.detect_language(docs)
+            .select("doc_id", F.col("lang").alias("lang_actual"),
+                    "lang_pred"))
+    tot = pred.groupBy("lang_actual").agg(
+        F.count("*").cast("long").alias("n_actual"))
+    return (pred.groupBy("lang_actual", "lang_pred")
+            .agg(F.count("*").cast("long").alias("n"))
+            .join(F.broadcast(tot), "lang_actual")
+            .select("lang_actual", "lang_pred", "n",
+                    F.round(F.col("n").cast("double")
+                            / F.col("n_actual"), 6)
+                    .alias("share_of_actual")))
+
+
+@_q(
+    "agg_cohort_retention",
+    """
+    WITH fw AS (
+      SELECT user_id, MIN(date_trunc('week', ts)) AS cohort_week
+      FROM events GROUP BY 1),
+    act AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             date_trunc('week', e.ts) AS act_week
+      FROM events e JOIN fw f ON f.user_id = e.user_id),
+    sz AS (SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS cohort_size
+           FROM fw GROUP BY 1)
+    SELECT a.cohort_week,
+           CAST(date_diff('day', a.cohort_week, a.act_week) / 7
+                AS INT) AS age_weeks,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(s.cohort_size), 6)
+             AS retention
+    FROM act a JOIN sz s ON s.cohort_week = a.cohort_week
+    GROUP BY 1, 2
+    """,
+)
+def agg_cohort_retention(spark, sf_dir):
+    """Weekly cohort retention matrix — the product-analytics staple:
+    users grouped by first-seen week, each later week's active share of
+    the original cohort. Two partial-agg collapses (user-grain first
+    seen, then (user, week) distinct activity) and a broadcast of the
+    tiny cohort-size table; week truncation is Monday-based on both
+    engines."""
+    ev = _t(spark, sf_dir, "events")
+    fw = ev.groupBy("user_id").agg(
+        F.min(F.date_trunc("week", "ts")).alias("cohort_week"))
+    act = (ev.join(fw, "user_id")
+           .select("user_id", "cohort_week",
+                   F.date_trunc("week", "ts").alias("act_week"))
+           .distinct())
+    sz = fw.groupBy("cohort_week").agg(
+        F.count("*").cast("long").alias("cohort_size"))
+    age = (F.datediff(F.col("act_week"), F.col("cohort_week")) / 7) \
+        .cast("int")
+    return (act.groupBy("cohort_week", age.alias("age_weeks"))
+            .agg(F.count("*").cast("long").alias("n_active"))
+            .join(F.broadcast(sz), "cohort_week")
+            .select("cohort_week", "age_weeks", "n_active",
+                    F.round(F.col("n_active").cast("double")
+                            / F.col("cohort_size"), 6)
+                    .alias("retention")))
+
+
+@_q(
+    "dedup_priority_keep",
+    r"""
+    WITH d AS (
+      SELECT doc_id, text, lang, source,
+             CAST(substr(source, 4) AS INT) % 3 AS tier,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents),
+    won AS (
+      SELECT doc_id, lang, source, tier, norm FROM d
+      QUALIFY row_number() OVER (PARTITION BY norm
+                                 ORDER BY tier ASC, doc_id ASC) = 1),
+    cnt AS (SELECT norm, CAST(COUNT(*) AS BIGINT) AS n_copies
+            FROM d GROUP BY 1)
+    SELECT w.doc_id, w.lang, w.source, CAST(w.tier AS INT) AS tier,
+           c.n_copies
+    FROM won w JOIN cnt c ON c.norm = w.norm
+    """,
+)
+def dedup_priority_keep(spark, sf_dir):
+    """Exact dedup with a canonical-selection POLICY
+    (dedup.priority_dedup): among identical texts keep the copy from
+    the best source tier (curated < web < crawl — here tier =
+    source-number % 3), id tie-break, with an auditable per-group copy
+    count. Same ONE-shuffle min_by plan as exact dedup — the
+    comparator is just the (priority, id) struct."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source",
+        (F.substring("source", 4, 10).cast("int") % 3).cast("int")
+        .alias("tier"))
+    out = dedup.priority_dedup(docs, "tier")
+    return out.select("doc_id", "lang", "source", "tier", "n_copies")
