@@ -12482,3 +12482,207 @@ def dedup_priority_keep(spark, sf_dir):
         .alias("tier"))
     out = dedup.priority_dedup(docs, "tier")
     return out.select("doc_id", "lang", "source", "tier", "n_copies")
+
+
+@_q(
+    "dedup_fuzzy_levenshtein",
+    r"""
+    WITH d AS (
+      SELECT doc_id,
+             trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      FROM documents),
+    b AS (SELECT doc_id, norm, substr(norm, 1, 16) AS blk,
+                 substr(norm, 1, 200) AS head
+          FROM d WHERE norm <> '')
+    SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
+           CAST(levenshtein(a.head, b2.head) AS INT) AS edit_dist
+    FROM b a JOIN b b2 ON b2.blk = a.blk AND a.doc_id < b2.doc_id
+    WHERE levenshtein(a.head, b2.head) <= 25
+    """,
+)
+def dedup_fuzzy_levenshtein(spark, sf_dir):
+    """Fuzzy near-dup pairs by EDIT DISTANCE with prefix blocking — the
+    dedup family's character-level member (catches small in-place edits
+    that shingle Jaccard dilutes and MinHash may miss): block on the
+    first 16 chars of the normalized text (an equi-join — candidate
+    generation is bucketed like every other dedup path, never
+    all-pairs), verify with Levenshtein over the 200-char head
+    (bounding the O(L^2) DP per pair). Both engines implement classic
+    unit-cost edit distance, so the pairs replay exactly."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower("text"), r"\s+", " "))
+    b = (docs.select("doc_id", norm.alias("norm"))
+         .where(F.col("norm") != "")
+         .select("doc_id", F.substring("norm", 1, 16).alias("blk"),
+                 F.substring("norm", 1, 200).alias("head")))
+    a, c = b.alias("a"), b.alias("c")
+    lev = F.levenshtein(F.col("a.head"), F.col("c.head"))
+    return (a.join(c, (F.col("c.blk") == F.col("a.blk"))
+                   & (F.col("a.doc_id") < F.col("c.doc_id")))
+            .where(lev <= 25)
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("c.doc_id").alias("id_b"),
+                    lev.cast("int").alias("edit_dist")))
+
+
+@_q(
+    "profile_expectations",
+    """
+    SELECT 'orders.total_price_positive' AS expectation,
+           CAST((SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0)
+                AS DOUBLE) AS observed,
+           (SELECT COUNT(*) FROM orders WHERE o_totalprice <= 0) = 0
+             AS passed
+    UNION ALL
+    SELECT 'orders.order_key_unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT o_orderkey)
+                 FROM orders) AS DOUBLE),
+           (SELECT COUNT(*) - COUNT(DISTINCT o_orderkey)
+            FROM orders) = 0
+    UNION ALL
+    SELECT 'customer.cust_key_not_null',
+           CAST((SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL)
+                AS DOUBLE),
+           (SELECT COUNT(*) FROM customer WHERE c_custkey IS NULL) = 0
+    UNION ALL
+    SELECT 'lineitem.discount_in_unit_range',
+           CAST((SELECT COUNT(*) FROM lineitem
+                 WHERE l_discount < 0 OR l_discount > 1) AS DOUBLE),
+           (SELECT COUNT(*) FROM lineitem
+            WHERE l_discount < 0 OR l_discount > 1) = 0
+    UNION ALL
+    SELECT 'events.value_null_rate_lt_20pct',
+           ROUND((SELECT CAST(SUM(CASE WHEN value IS NULL THEN 1
+                                  ELSE 0 END) AS DOUBLE) / COUNT(*)
+                  FROM events), 6),
+           (SELECT CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                   AS DOUBLE) / COUNT(*) FROM events) < 0.2
+    UNION ALL
+    SELECT 'documents.doc_id_unique',
+           CAST((SELECT COUNT(*) - COUNT(DISTINCT doc_id)
+                 FROM documents) AS DOUBLE),
+           (SELECT COUNT(*) - COUNT(DISTINCT doc_id)
+            FROM documents) = 0
+    """,
+)
+def profile_expectations(spark, sf_dir):
+    """Data-contract expectation suite (the Great-Expectations face of
+    the profiler family): positivity, uniqueness, not-null, range and
+    null-rate assertions evaluated as six tiny aggregates — each a
+    partial-agg collapse, unioned into one (expectation, observed,
+    passed) report a CI gate can assert on."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    li = _t(spark, sf_dir, "lineitem")
+    ev = _t(spark, sf_dir, "events")
+    docs = _t(spark, sf_dir, "documents")
+
+    def row(name, observed_col, passed_col, df):
+        return df.agg(observed_col.alias("observed"),
+                      passed_col.alias("passed")).select(
+            F.lit(name).alias("expectation"), "observed", "passed")
+
+    neg = F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+    dup_o = F.count("*") - F.countDistinct("o_orderkey")
+    nul_c = F.sum(F.when(F.col("c_custkey").isNull(), 1).otherwise(0))
+    oor = F.sum(F.when((F.col("l_discount") < 0)
+                       | (F.col("l_discount") > 1), 1).otherwise(0))
+    nr = (F.sum(F.when(F.col("value").isNull(), 1).otherwise(0))
+          .cast("double") / F.count("*"))
+    dup_d = F.count("*") - F.countDistinct("doc_id")
+    return (
+        row("orders.total_price_positive", neg.cast("double"),
+            neg == 0, o)
+        .unionByName(row("orders.order_key_unique",
+                         dup_o.cast("double"), dup_o == 0, o))
+        .unionByName(row("customer.cust_key_not_null",
+                         nul_c.cast("double"), nul_c == 0, c))
+        .unionByName(row("lineitem.discount_in_unit_range",
+                         oor.cast("double"), oor == 0, li))
+        .unionByName(row("events.value_null_rate_lt_20pct",
+                         F.round(nr, 6), nr < 0.2, ev))
+        .unionByName(row("documents.doc_id_unique",
+                         dup_d.cast("double"), dup_d == 0, docs)))
+
+
+@_q(
+    "eval_classifier_auc",
+    f"""
+    WITH base AS (
+      SELECT doc_id, lang,
+             CAST(CASE WHEN trim(text) = '' THEN 0
+                  ELSE len({_TEXT_TOKENS_SQL}) END AS INT) AS n_tokens,
+             CAST(length(text) AS INT) AS n_chars_calc,
+             CAST(len(regexp_extract_all(text, '[^\\w\\s]')) AS INT)
+               AS n_punct,
+             CAST(len(regexp_extract_all(text, '\\d')) AS INT) AS n_digit,
+             CAST(len(list_filter({_TEXT_TOKENS_SQL},
+                  w -> list_contains({_STOPWORDS_SQL}, lower(w))))
+                  AS INT) AS n_stop
+      FROM documents),
+    f AS (
+      SELECT doc_id, lang = 'en' AS pos, n_tokens,
+        CASE WHEN n_tokens > 0 THEN
+          CAST(n_chars_calc - (n_tokens - 1) AS DOUBLE) / n_tokens
+          ELSE 0.0 END AS awl,
+        CASE WHEN n_chars_calc > 0 THEN
+          CAST(n_punct AS DOUBLE) / n_chars_calc ELSE 0.0 END AS pr,
+        CASE WHEN n_chars_calc > 0 THEN
+          CAST(n_digit AS DOUBLE) / n_chars_calc ELSE 0.0 END AS dr,
+        CASE WHEN n_tokens > 0 THEN
+          CAST(n_stop AS DOUBLE) / n_tokens ELSE 0.0 END AS sr
+      FROM base),
+    scored AS (
+      SELECT doc_id, pos,
+             ROUND(1.0 / (1.0 + EXP(-(-1.2 + 0.5 * LN(1 + n_tokens)
+                   + 0.15 * awl + (-4.0) * pr + (-3.0) * dr
+                   + 2.0 * sr))), 6) AS s
+      FROM f),
+    rk AS (SELECT pos,
+                  row_number() OVER (ORDER BY s ASC, doc_id ASC) AS i
+           FROM scored),
+    agg AS (SELECT CAST(SUM(CASE WHEN pos THEN i ELSE 0 END) AS BIGINT)
+                     AS rank_sum,
+                   CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+                     AS npos,
+                   CAST(SUM(CASE WHEN pos THEN 0 ELSE 1 END) AS BIGINT)
+                     AS nneg
+            FROM rk)
+    SELECT npos, nneg,
+           ROUND((CAST(rank_sum AS DOUBLE)
+                  - CAST(npos AS DOUBLE) * (npos + 1) / 2.0)
+                 / (CAST(npos AS DOUBLE) * nneg), 6) AS auc
+    FROM agg
+    """,
+)
+def eval_classifier_auc(spark, sf_dir):
+    """Exact AUC of the quality classifier against the en/non-en pseudo
+    label, via the Mann-Whitney rank formula — and the rank is
+    `sampling.distributed_rank`, so the exact AUC of a 100 TB score
+    table costs a bucketed window + a tiny counts aggregate instead of
+    a single-partition sort. Tie-broken deterministically by (score,
+    doc_id) — both engines rank identically, so the statistic replays
+    exactly (the average-rank tie convention differs by at most the
+    tied-score mass; the tie-broken variant is what's pinned here)."""
+    docs = _t(spark, sf_dir, "documents")
+    scored = (text.quality_classifier(docs)
+              .select("doc_id", "lr_score")
+              .join(docs.select("doc_id", "lang"), "doc_id")
+              .select("doc_id", (F.col("lang") == "en").alias("pos"),
+                      F.col("lr_score").alias("s")))
+    bkt = sampling.range_bucket(scored, F.col("s"), 64)
+    rk = sampling.distributed_rank(
+        scored, [F.col("s").asc(), F.col("doc_id").asc()], bkt, out="i")
+    agg = rk.agg(
+        F.sum(F.when(F.col("pos"), F.col("i")).otherwise(0))
+        .cast("long").alias("rank_sum"),
+        F.sum(F.when(F.col("pos"), 1).otherwise(0)).cast("long")
+        .alias("npos"),
+        F.sum(F.when(F.col("pos"), 0).otherwise(1)).cast("long")
+        .alias("nneg"))
+    npos = F.col("npos").cast("double")
+    return agg.select(
+        "npos", "nneg",
+        F.round((F.col("rank_sum").cast("double")
+                 - npos * (F.col("npos") + 1) / 2.0)
+                / (npos * F.col("nneg")), 6).alias("auc"))
