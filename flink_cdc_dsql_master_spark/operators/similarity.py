@@ -980,7 +980,8 @@ def top_pc_projection(corpus: DataFrame, vec_col: str = "embedding",
 
 def maxsim_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                 doc_col: str = "doc_id", vec_col: str = "embedding",
-                query_vec_col: str = "embedding") -> DataFrame:
+                query_vec_col: str = "embedding",
+                kernel: str = "numpy") -> DataFrame:
     """ColBERT-style late-interaction retrieval: every document is a BAG
     of token vectors, the query is a bag of token vectors, and the score
     is MaxSim — Σ over query tokens of the best cosine against any of
@@ -1007,11 +1008,51 @@ def maxsim_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
     qrows = [r["qv"] for r in queries.select(
         F.col(query_vec_col).cast("array<double>").alias("qv")).collect()]
     spark = corpus.sparkSession
-    q = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(qrows)], "qt long, qv array<double>")
-    scored = (c.crossJoin(F.broadcast(q))
-              .select("doc", "qt",
-                      cosine_expr(F.col("qv"), F.col("dv")).alias("cos")))
+    if kernel == "numpy":
+        # Arrow/BLAS hot path: one (B x dim) @ (dim x Q) matmul per
+        # batch + a per-(doc-in-batch, qt) max, emitting <= |docs in
+        # batch| x Q partial rows — the global max then collapses the
+        # batch partials (max is associative, rounding happens after
+        # the FINAL max, so the result matches the HOF fold to float64
+        # rounding like _cosine_topk_numpy does)
+        import numpy as np
+
+        qmat = np.array(qrows, dtype="float64")
+        qn = np.linalg.norm(qmat, axis=1)
+        qn[qn == 0.0] = 1.0
+        qmat = qmat / qn[:, None]
+        bc = spark.sparkContext.broadcast(qmat)
+
+        def partials(batches):
+            import pandas as pd
+
+            qm = bc.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                cmat = np.array(pdf["dv"].tolist(), dtype="float64")
+                cn = np.linalg.norm(cmat, axis=1)
+                cn[cn == 0.0] = 1.0
+                sims = pd.DataFrame((cmat / cn[:, None]) @ qm.T)
+                sims["doc"] = pdf["doc"].to_numpy()
+                g = sims.groupby("doc", sort=False).max()
+                m = g.reset_index().melt(
+                    id_vars="doc", var_name="qt", value_name="cos")
+                yield pd.DataFrame({
+                    "doc": m["doc"], "qt": m["qt"].astype("int64"),
+                    "cos": m["cos"].astype("float64")})
+
+        scored = c.mapInPandas(partials, "doc long, qt long, cos double")
+    elif kernel == "hof":
+        q = spark.createDataFrame(
+            [(i, v) for i, v in enumerate(qrows)],
+            "qt long, qv array<double>")
+        scored = (c.crossJoin(F.broadcast(q))
+                  .select("doc", "qt",
+                          cosine_expr(F.col("qv"), F.col("dv"))
+                          .alias("cos")))
+    else:
+        raise ValueError(f"unknown kernel {kernel!r}")
     per_qt = (scored.groupBy("doc", "qt")
               .agg(F.round(F.max("cos"), 6).cast("decimal(18,6)")
                    .alias("best")))

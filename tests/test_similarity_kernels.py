@@ -155,3 +155,22 @@ def test_ann_recall_metrics(spark):
     assert r["n_hits"] == 2
     assert abs(r["recall_at_3"] - 2 / 3) < 1e-6
     assert abs(r["mrr"] - 0.5) < 1e-6
+
+
+def test_maxsim_kernels_agree(spark, sf_dir):
+    """The BLAS partial-max kernel and the HOF fold return identical
+    MaxSim rankings (rounding happens after the final max in both)."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.operators.similarity import maxsim_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    corpus = emb.select((F.col("vec_id") / 40).cast("long").alias("doc"),
+                        "embedding")
+    queries = emb.where(F.col("vec_id") < 40)
+    a = maxsim_topk(corpus, queries, k=10, doc_col="doc",
+                    kernel="numpy").collect()
+    b = maxsim_topk(corpus, queries, k=10, doc_col="doc",
+                    kernel="hof").collect()
+    assert [(r["doc"], r["score"], r["n_q_tokens"]) for r in a] \
+        == [(r["doc"], r["score"], r["n_q_tokens"]) for r in b]
