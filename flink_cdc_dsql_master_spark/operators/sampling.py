@@ -301,9 +301,17 @@ def range_bucket(df: DataFrame, key: Column, n_buckets: int = 64) -> Column:
     a pure function of the key value)."""
     qs = [i / n_buckets for i in range(1, n_buckets)]
     row = df.select(F.percentile_approx(key, qs, 10000).alias("b")).first()
-    bounds = sorted({float(v) for v in (row["b"] or []) if v is not None})
+    return bucket_from_bounds(key, row["b"])
+
+
+def bucket_from_bounds(key: Column, bounds) -> Column:
+    '''The monotone bucket column for pre-computed percentile bounds,
+    split out so callers that already run an aggregate over the frame
+    (e.g. a COUNT they need anyway) can fetch the bounds in the same
+    job instead of paying a second scan.'''
+    uniq = sorted({float(v) for v in (bounds or []) if v is not None})
     expr: Column = F.lit(0)
-    for v in bounds:
+    for v in uniq:
         expr = expr + F.when(key > F.lit(v), 1).otherwise(0)
     return expr.cast("long")
 

@@ -11837,12 +11837,18 @@ def agg_exact_quantiles_rank(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").select(
         F.col("o_totalprice").alias("v"),
         F.col("o_orderkey").alias("tk"))
-    n = o.count()
+    # ONE stats job: the row count (for the rank targets) and the
+    # 63 bucket bounds come from the same aggregate scan
+    stats = o.agg(
+        F.count("*").alias("n"),
+        F.percentile_approx("v", [i / 64 for i in range(1, 64)],
+                            10000).alias("b")).first()
+    n = stats["n"]
     qs = [0.25, 0.5, 0.75, 0.9, 0.99]
     targets: dict[int, float] = {}
     for q in qs:
         targets[max(1, math.ceil(q * n))] = q
-    bkt = sampling.range_bucket(o, F.col("v"), 64)
+    bkt = sampling.bucket_from_bounds(F.col("v"), stats["b"])
     rk = sampling.distributed_rank(
         o, [F.col("v").asc(), F.col("tk").asc()], bkt, out="i")
     pairs = []
