@@ -104,6 +104,28 @@ def _q(name: str, oracle: str | None = None):
     return deco
 
 
+def _duckdb_connect_rw(path: str, attempts: int = 10,
+                       delay: float = 0.3):
+    """Read-write DuckDB connect with a short retry loop: the polling-CDC
+    queries mutate the live database BETWEEN polls, and a just-finished
+    chunk-read task's read-only handle in a reused Python worker can
+    release its file lock a beat after the task ends — the retry absorbs
+    that cross-process release latency instead of flaking (seen once in
+    a full-registry run)."""
+    import time as _time
+
+    import duckdb as _duckdb
+
+    last = None
+    for _ in range(attempts):
+        try:
+            return _duckdb.connect(path)
+        except Exception as e:  # noqa: BLE001 - duckdb IO lock errors
+            last = e
+            _time.sleep(delay)
+    raise last
+
+
 def _t(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     # reference cast semantics are null-on-failure (SystemFunctionUtils
     # class doc :48); Spark 4 defaults ANSI on — set defensively so the
@@ -3336,7 +3358,7 @@ def cdc_polling_capture(spark, sf_dir):
         state_path=os.path.join(base, "snap_state"), chunk_size=2000)
     cl1 = src.poll()
 
-    con = duckdb.connect(path)
+    con = _duckdb_connect_rw(path)
     con.execute("UPDATE orders SET price = price + 1000.0 WHERE k % 7 = 0")
     con.execute("DELETE FROM orders WHERE k % 11 = 0")
     con.close()
@@ -3413,7 +3435,7 @@ def cdc_polling_capture_pg(spark, sf_dir):
         state_path=os.path.join(base, "snap_state"), chunk_size=chunk)
     cl1 = src.poll()
 
-    con = duckdb.connect(path)
+    con = _duckdb_connect_rw(path)
     con.execute(
         f"INSERT INTO {schema_name}.{table_name} "
         f"SELECT k + 1000000, price, status "
