@@ -482,16 +482,18 @@ def test_registry_sweep_no_unbounded_single_partition_window(spark, sf_dir):
 
 
 def test_maxsim_broadcasts_query_bag_with_partial_aggs(spark, sf_dir):
-    """MaxSim: the query token bag broadcasts (BroadcastNestedLoopJoin —
-    the corpus token table never shuffles at token grain), both
-    collapses partial-aggregate, and the top-k is TakeOrderedAndProject
-    (no global sort)."""
+    """MaxSim (BLAS kernel): the corpus token table feeds ONE
+    MapInPandas (per-batch matmul + per-(doc, qt) max partials — the
+    query bag rides as a task broadcast, so there is NO join at all),
+    the global max/sum collapses partial-aggregate, and the top-k is
+    TakeOrderedAndProject (no global sort, no single-partition
+    exchange)."""
     plan = plan_of(QUERIES["similarity_maxsim_late_interaction"](
         spark, sf_dir))
     tree = tree_of(plan)
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "partial_max" in plan or "partial_first" in plan \
-        or plan.count("HashAggregate") >= 4   # partial+final per collapse
+    assert tree.count("MapInPandas") == 1   # kernel runs exactly once
+    assert "Join" not in tree               # no join of any kind
+    assert plan.count("HashAggregate") >= 4  # partial+final per collapse
     assert "TakeOrderedAndProject" in tree
     assert "Exchange SinglePartition" not in tree
 
