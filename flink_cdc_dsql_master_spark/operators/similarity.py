@@ -1061,3 +1061,51 @@ def maxsim_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
                     F.count("*").cast("long").alias("n_q_tokens")))
     return (per_doc.orderBy(F.col("score").desc(), F.col("doc").asc())
             .limit(k))
+
+
+def knn_join(corpus: DataFrame, k: int = 5, bits: int = 6,
+             seeds: tuple = (42, 137, 271), id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate kNN SELF-join: every vector's top-k neighbors among
+    LSH-bucket collisions — the all-corpus companion of `cosine_topk`
+    (which serves a small query set) and the similarity-graph builder
+    (kNN graphs for clustering, dedup families, link prediction).
+
+    Multi-table sign-bucket LSH: `len(seeds)` independent hyperplane
+    tables; a pair is a candidate if it collides in ANY table (union of
+    per-table bucketed self-joins — each an equi-join on (bucket), so
+    candidate generation is always bucket-local, never all-pairs;
+    expected candidates per vector ~ T·N/2^bits). Exact cosine verifies
+    each candidate once (distinct on the directed pair), and a per-src
+    window keeps top-k. Deterministic end-to-end: seeded planes are
+    literals both engines share, ties break on nbr id.
+
+    Returns (src, nbr, cosine, rank), rank 1..k per src. A vector with
+    no collisions appears with no rows (the honest ANN semantics —
+    raise `bits` tables, not fake neighbors)."""
+    v = corpus.select(F.col(id_col).alias("id"),
+                      F.col(vec_col).cast("array<double>").alias("e"))
+    for i, s in enumerate(seeds):
+        v = v.withColumn(f"__b{i}",
+                         random_hyperplane_bucket(F.col("e"), bits,
+                                                  seed=s))
+    # checkpointed: each of the T self-joins reads both sides of this
+    # frame; blocks are GC-reclaimed with the result (cache-scope rule)
+    v = v.localCheckpoint()
+    pairs = None
+    for i in range(len(seeds)):
+        a = v.alias("a")
+        b = v.alias("b")
+        p = (a.join(b.hint("SHUFFLE_HASH"),
+                    (F.col(f"a.__b{i}") == F.col(f"b.__b{i}"))
+                    & (F.col("a.id") != F.col("b.id")))
+             .select(F.col("a.id").alias("src"),
+                     F.col("b.id").alias("nbr"),
+                     cosine_expr(F.col("a.e"), F.col("b.e"))
+                     .alias("cosine")))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cand = pairs.distinct()
+    w = Window.partitionBy("src").orderBy(F.col("cosine").desc(),
+                                          F.col("nbr").asc())
+    return (cand.withColumn("rank", F.row_number().over(w).cast("int"))
+            .where(F.col("rank") <= k))

@@ -12714,3 +12714,42 @@ def eval_classifier_auc(spark, sf_dir):
         F.round((F.col("rank_sum").cast("double")
                  - npos * (F.col("npos") + 1) / 2.0)
                 / (npos * F.col("nneg")), 6).alias("auc"))
+
+
+def _knn_join_oracle_sql(k: int = 5, bits: int = 6,
+                         seeds: tuple = (42, 137, 271)) -> str:
+    buckets = ",\n             ".join(
+        f"{_hyperplane_bucket_sql('embedding', bits, s)} AS b{i}"
+        for i, s in enumerate(seeds))
+    coll = " OR ".join(f"a.b{i} = c.b{i}" for i in range(len(seeds)))
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             {buckets}
+      FROM embeddings),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src, c.vec_id AS nbr,
+             {_cos_pair_sql('a.embedding', 'c.embedding')} AS cosine
+      FROM b a JOIN b c ON a.vec_id <> c.vec_id AND ({coll}))
+    SELECT src, nbr, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rank
+    FROM (SELECT src, nbr, cosine,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY cosine DESC, nbr ASC) AS rk
+          FROM cand)
+    WHERE rk <= {k}
+    """
+
+
+@_q("similarity_knn_join", _knn_join_oracle_sql())
+def similarity_knn_join(spark, sf_dir):
+    """Approximate kNN self-join (similarity.knn_join): every vector's
+    top-5 neighbors among collisions across 3 independent sign-bucket
+    LSH tables — the similarity-graph builder. Candidate generation is
+    T bucket-local equi-joins (never all-pairs; the oracle replays the
+    same seeded planes as literals with an any-table OR), exact cosine
+    verifies each directed pair once, per-src window keeps top-k."""
+    from .operators.similarity import knn_join
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = knn_join(emb, k=5, bits=6)
+    return out.withColumn("cosine", F.round("cosine", 6))
