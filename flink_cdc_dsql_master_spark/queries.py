@@ -12753,3 +12753,75 @@ def similarity_knn_join(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     out = knn_join(emb, k=5, bits=6)
     return out.withColumn("cosine", F.round("cosine", 6))
+
+
+@_q(
+    "streaming_pattern_replay",
+    """
+    SELECT user_id,
+           CAST(len(regexp_extract_all(seq, 'vc*p')) AS INT)
+             AS n_conversions
+    FROM (SELECT user_id,
+                 string_agg(substr(event_type, 1, 1), ''
+                            ORDER BY ts, event_id) AS seq
+          FROM events GROUP BY user_id)
+    WHERE len(regexp_extract_all(seq, 'vc*p')) > 0
+    """,
+)
+def streaming_pattern_replay(spark, sf_dir):
+    """Streaming CEP (PATTERN V C* P) through a RESTARTED checkpointed
+    pipeline, oracle-checked against the batch regex twin: events split
+    into two time-ordered JSON batches stream through
+    streaming.streaming_pattern_match (applyInPandasWithState — O(1)
+    automaton phase per key), a partial match open at the batch
+    boundary (...v c) completes after the restart, and the summed
+    per-batch emissions must equal the non-overlapping leftmost regex
+    count over each user's full history — proving the keyed state
+    carries the automaton across micro-batches AND process restarts."""
+    import json as _json
+    import os
+    import tempfile
+
+    from .streaming import streaming_pattern_match
+
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id",
+        F.substring("event_type", 1, 1).alias("c"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2
+    rows = ev.select(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("ts"),
+        "user_id", "event_id", "c",
+        (F.col("ts") < F.lit(cutoff)).alias("early")).collect()
+
+    base = tempfile.mkdtemp(prefix="stream_cep_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    out_dir = os.path.join(base, "out")
+    os.mkdir(src)
+
+    def run_batch(fname, batch_rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in batch_rows:
+                f.write(_json.dumps(
+                    {"ts": r["ts"], "user_id": r["user_id"],
+                     "event_id": r["event_id"], "c": r["c"]}) + "\n")
+        stream = (spark.readStream
+                  .schema("ts timestamp, user_id long, event_id long, "
+                          "c string")
+                  .json(src))
+        matched = streaming_pattern_match(
+            stream, "user_id", "c", ["ts", "event_id"],
+            start="v", mid="c", end="p")
+        q = (matched.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_batch("b1.json", [r for r in rows if r["early"]])
+    run_batch("b2.json", [r for r in rows if not r["early"]])
+
+    out = spark.read.parquet(out_dir)
+    return (out.groupBy("user_id")
+            .agg(F.sum("n_new").cast("int").alias("n_conversions"))
+            .where(F.col("n_conversions") > 0))
