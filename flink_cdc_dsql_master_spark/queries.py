@@ -12825,3 +12825,103 @@ def streaming_pattern_replay(spark, sf_dir):
     return (out.groupBy("user_id")
             .agg(F.sum("n_new").cast("int").alias("n_conversions"))
             .where(F.col("n_conversions") > 0))
+
+
+@_q(
+    "streaming_interval_replay",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, event_type,
+             date_trunc('milliseconds', ts) AS ts,
+             CAST(value AS DECIMAL(18,4)) AS v
+      FROM events)
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(c.v) AS DOUBLE) AS click_value
+    FROM e p
+    JOIN e c
+      ON c.user_id = p.user_id
+     AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase'
+    GROUP BY p.event_id
+    """,
+)
+def streaming_interval_replay(spark, sf_dir):
+    """STREAM-STREAM interval join through a restarted checkpointed
+    pipeline, oracle-checked against the batch attribution twin:
+    purchase and click streams (two time-ordered JSON batches each)
+    join on user with clicks in the preceding 30 minutes
+    (streaming.streaming_interval_join — both sides watermarked, the
+    range predicate doubles as the state-eviction bound, so clicks
+    older than watermark-30min leave state while every click a future
+    purchase can still claim survives the restart). Matched pairs land
+    in parquet as they emit; the batch-side rollup of that sink must
+    hash-equal the batch interval join over the full table."""
+    import json as _json
+    import os
+    import tempfile
+
+    from .streaming import streaming_interval_join
+
+    ev = _t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("purchase", "click"))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2
+    rows = ev.select(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("ts"),
+        "event_id", "user_id", "event_type",
+        F.col("value").cast("decimal(18,4)").cast("string").alias("v"),
+        (F.col("ts") < F.lit(cutoff)).alias("early")).collect()
+
+    base = tempfile.mkdtemp(prefix="stream_ij_")
+    psrc, csrc = os.path.join(base, "p"), os.path.join(base, "c")
+    ckpt, out_dir = os.path.join(base, "ckpt"), os.path.join(base, "out")
+    os.mkdir(psrc)
+    os.mkdir(csrc)
+
+    def write(dirname, fname, batch_rows):
+        with open(os.path.join(dirname, fname), "w") as f:
+            for r in batch_rows:
+                f.write(_json.dumps(
+                    {"ts": r["ts"], "event_id": r["event_id"],
+                     "user_id": r["user_id"], "v": r["v"]}) + "\n")
+
+    def run():
+        purchases = (spark.readStream
+                     .schema("ts timestamp, event_id long, "
+                             "user_id long, v decimal(18,4)")
+                     .json(psrc)
+                     .select(F.col("event_id").alias("purchase_id"),
+                             F.col("user_id").alias("p_user"),
+                             F.col("ts").alias("p_ts")))
+        clicks = (spark.readStream
+                  .schema("ts timestamp, event_id long, "
+                          "user_id long, v decimal(18,4)")
+                  .json(csrc)
+                  .select(F.col("user_id").alias("c_user"),
+                          F.col("ts").alias("c_ts"),
+                          F.col("v").alias("c_value")))
+        j = streaming_interval_join(
+            purchases, clicks, [("p_user", "c_user")],
+            "p_ts", "c_ts", lower_s=-1800, upper_s=0)
+        q = (j.select("purchase_id", "c_ts", "c_value")
+             .writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    for early, tag in ((True, "b1"), (False, "b2")):
+        write(psrc, f"{tag}.json",
+              [r for r in rows
+               if r["early"] == early and r["event_type"] == "purchase"])
+        write(csrc, f"{tag}.json",
+              [r for r in rows
+               if r["early"] == early and r["event_type"] == "click"])
+        run()
+
+    out = spark.read.parquet(out_dir)
+    return (out.groupBy("purchase_id")
+            .agg(F.count("*").cast("long").alias("n_clicks"),
+                 F.sum("c_value").cast("double").alias("click_value")))
