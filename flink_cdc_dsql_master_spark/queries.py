@@ -12925,3 +12925,87 @@ def streaming_interval_replay(spark, sf_dir):
     return (out.groupBy("purchase_id")
             .agg(F.count("*").cast("long").alias("n_clicks"),
                  F.sum("c_value").cast("double").alias("click_value")))
+
+
+@_q(
+    "streaming_cusum_replay",
+    """
+    WITH RECURSIVE s AS MATERIALIZED (
+      SELECT event_type, event_id, CAST(value AS DOUBLE) AS x,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY event_id) AS rn
+      FROM events WHERE value IS NOT NULL),
+    rec(event_type, rn, shi, slo) AS (
+      SELECT s.event_type, s.rn,
+             GREATEST(0, s.x - 2.0 - 0.25),
+             GREATEST(0, 2.0 - s.x - 0.25)
+      FROM s WHERE s.rn = 1
+      UNION ALL
+      SELECT r.event_type, r.rn + 1,
+             GREATEST(0, r.shi + s.x - 2.0 - 0.25),
+             GREATEST(0, r.slo + 2.0 - s.x - 0.25)
+      FROM rec r
+      JOIN s ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+    SELECT s.event_type, CAST(s.event_id AS BIGINT) AS event_seq,
+           CASE WHEN r.shi > 3.0 THEN 'up' ELSE 'down' END AS drift,
+           ROUND(GREATEST(r.shi, r.slo), 6) AS cusum
+    FROM rec r
+    JOIN s ON s.event_type = r.event_type AND s.rn = r.rn
+    WHERE r.shi > 3.0 OR r.slo > 3.0
+    """,
+)
+def streaming_cusum_replay(spark, sf_dir):
+    """Streaming two-sided CUSUM drift detector through a restarted
+    checkpointed pipeline: per-event-type (s+, s-) accumulators live in
+    keyed state (two doubles), the event stream arrives as two
+    id-ordered JSON batches, and the appended alarm sequence must equal
+    the batch recursive-CTE fold over the full history — batch
+    boundaries cannot change the alarms because the clamped fold is
+    associative over concatenation given the carried state. Constants
+    (mu=2.0, allowance=0.25, threshold=3.0) are deployment literals,
+    shared by the oracle."""
+    import json as _json
+    import os
+    import tempfile
+
+    from .streaming import streaming_cusum
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_id", "event_type", "value"))
+    mid = ev.agg(F.percentile_approx("event_id", 0.5)).first()[0]
+    rows = ev.select("event_id", "event_type", "value",
+                     (F.col("event_id") <= mid).alias("early")).collect()
+
+    base = tempfile.mkdtemp(prefix="stream_cusum_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    out_dir = os.path.join(base, "out")
+    os.mkdir(src)
+
+    def run_batch(fname, batch_rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in batch_rows:
+                f.write(_json.dumps(
+                    {"event_id": r["event_id"],
+                     "event_type": r["event_type"],
+                     "value": r["value"]}) + "\n")
+        stream = (spark.readStream
+                  .schema("event_id long, event_type string, "
+                          "value double")
+                  .json(src))
+        alarms = streaming_cusum(stream, "event_type", "value",
+                                 ["event_id"], mu=2.0, allowance=0.25,
+                                 threshold=3.0)
+        q = (alarms.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_batch("b1.json", [r for r in rows if r["early"]])
+    run_batch("b2.json", [r for r in rows if not r["early"]])
+
+    out = spark.read.parquet(out_dir)
+    return out.select("event_type",
+                      F.col("event_seq").cast("long").alias("event_seq"),
+                      "drift", "cusum")
