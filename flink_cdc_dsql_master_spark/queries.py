@@ -13009,3 +13009,143 @@ def streaming_cusum_replay(spark, sf_dir):
     return out.select("event_type",
                       F.col("event_seq").cast("long").alias("event_seq"),
                       "drift", "cusum")
+
+
+@_q(
+    "lakehouse_compaction_roundtrip",
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 11 <> 0
+    """,
+)
+def lakehouse_compaction_roundtrip(spark, sf_dir):
+    """Table-maintenance lifecycle as snapshot-isolated commits
+    (lakehouse.py compact_versioned/vacuum_versioned — the
+    OPTIMIZE + VACUUM face of Delta/Iceberg): v1 full load, v2
+    update-merge, v3 deletion-vector delete, v4 bin-pack compaction
+    that physically resolves the tombstones, then snapshot expiry down
+    to keep_last=1 which must reclaim every dead small file. The read
+    AFTER maintenance must be value-identical to the oracle's logical
+    replay — compaction and vacuum are IO optimizations, never a
+    semantics change — and the query asserts files-per-partition
+    strictly shrank, the DV sidecar is gone, and only the compacted
+    manifest survives. At 100 TB this is the nightly job that keeps
+    file counts bounded: per-partition rewrite cost, metadata-only
+    planning, no table-wide shuffle anywhere."""
+    import os
+    import tempfile
+
+    from .lakehouse import (compact_versioned, delete_versioned,
+                            list_versions, merge_into_versioned_parquet,
+                            read_versioned, table_history,
+                            vacuum_versioned, with_bucket_partition)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    k = F.col("k")
+    b1 = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    b2 = (orders.where(k % 7 == 0)
+          .withColumn("price", F.col("price") + 1000.0)
+          .withColumn(OP_COLUMN, F.lit("+U"))
+          .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    path = os.path.join(
+        tempfile.mkdtemp(prefix="ver_cmp_"), "orders_ver")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 4), schema)
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b2, "k", 4), schema)
+    delete_versioned(spark, path, k % 11 == 0, ["k"])
+
+    files_before = table_history(path)[0]["n_files"]
+    res = compact_versioned(path)
+    if not res["compacted"]:
+        raise AssertionError("no partition had small files to bin-pack")
+    bad = {p: ba for p, ba in res["compacted"].items()
+           if ba[1] >= ba[0]}
+    if bad:
+        raise AssertionError(f"compaction grew file counts: {bad}")
+    if table_history(path)[0]["n_files"] >= files_before:
+        raise AssertionError("compaction did not shrink the file count")
+
+    vac = vacuum_versioned(path, keep_last=1)
+    if vac["removed_files"] <= 0:
+        raise AssertionError("vacuum reclaimed no files")
+    if list_versions(path) != [res["version"]]:
+        raise AssertionError("vacuum left expired manifests behind")
+
+    return read_versioned(spark, path).select("k", "price", "status")
+
+
+@_q(
+    "streaming_dedup_replay",
+    """
+    SELECT DISTINCT md5(text) AS content_key,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           substr(text, 1, 16) AS prefix
+    FROM documents
+    """,
+)
+def streaming_dedup_replay(spark, sf_dir):
+    """Streaming first-occurrence exact dedup through a restarted
+    checkpointed pipeline (upgrades streaming.streaming_exact_dedup
+    from unit to oracle evidence): the documents corpus — which
+    contains real duplicate texts — arrives as two doc_id-ordered JSON
+    batches keyed by md5(text); run 2 RESTARTS from run 1's
+    checkpoint, so a text first seen in batch 1 and repeated in batch
+    2 must be suppressed by state recovered from the checkpoint, not
+    re-emitted. Output columns are all text-derived, so whichever
+    physical duplicate wins the first-seen race the values are
+    identical; the appended result must equal DISTINCT-by-content over
+    the whole corpus. State is one int per distinct key, partitioned
+    by the key hash — at 100 TB this is the watermark-less
+    content-addressed dedup gate in front of a training-data sink."""
+    import json as _json
+    import os
+    import tempfile
+
+    from .streaming import streaming_exact_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    mid = docs.agg(F.percentile_approx("doc_id", 0.5)).first()[0]
+    rows = docs.select(
+        F.md5("text").alias("content_key"),
+        F.length("text").cast("long").alias("n_chars"),
+        F.substring("text", 1, 16).alias("prefix"),
+        (F.col("doc_id") <= mid).alias("early")).collect()
+
+    base = tempfile.mkdtemp(prefix="stream_dedup_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    out_dir = os.path.join(base, "out")
+    os.mkdir(src)
+
+    def run_batch(fname, batch_rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in batch_rows:
+                f.write(_json.dumps(
+                    {"content_key": r["content_key"],
+                     "n_chars": r["n_chars"],
+                     "prefix": r["prefix"]}) + "\n")
+        stream = (spark.readStream
+                  .schema("content_key string, n_chars long, "
+                          "prefix string")
+                  .json(src))
+        uniq = streaming_exact_dedup(stream, "content_key")
+        q = (uniq.writeStream.outputMode("append").format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_batch("b1.json", [r for r in rows if r["early"]])
+    run_batch("b2.json", [r for r in rows if not r["early"]])
+
+    return (spark.read.parquet(out_dir)
+            .select("content_key", "n_chars", "prefix"))
