@@ -13196,3 +13196,112 @@ def text_normalize_unicode(spark, sf_dir):
         F.length("dirty").cast("long").alias("n_before"),
         F.length("clean").cast("long").alias("n_after"),
         F.substring("clean", 1, 12).alias("prefix"))
+
+
+def _logistic_oracle_sql(steps: int = 3, lr: float = 0.5) -> str:
+    """DuckDB replay of the full-batch logistic GD: one CTE per step,
+    each cross-joining the 1-row weight state with the featurized
+    frame and aggregating the three gradient sums — the identical
+    update rule features.logistic_fit_gd runs, unrolled."""
+    sql = """
+    WITH d AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END AS y,
+             CAST(l_quantity AS DOUBLE) / 50.0 AS x1,
+             CAST(l_discount AS DOUBLE) * 10.0 AS x2
+      FROM lineitem
+      WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL),
+    nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM d),
+    w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"""
+    for r in range(1, steps + 1):
+        sql += f""",
+    w{r} AS (
+      SELECT MAX(w.w0) - {lr} * SUM(
+               1.0 / (1.0 + exp(-(w.w0 + w.w1 * d.x1 + w.w2 * d.x2)))
+               - d.y) / MAX(nn.n) AS w0,
+             MAX(w.w1) - {lr} * SUM((
+               1.0 / (1.0 + exp(-(w.w0 + w.w1 * d.x1 + w.w2 * d.x2)))
+               - d.y) * d.x1) / MAX(nn.n) AS w1,
+             MAX(w.w2) - {lr} * SUM((
+               1.0 / (1.0 + exp(-(w.w0 + w.w1 * d.x1 + w.w2 * d.x2)))
+               - d.y) * d.x2) / MAX(nn.n) AS w2
+      FROM d, w{r - 1} w, nn)"""
+    sql += f"""
+    SELECT CAST(nn.n AS BIGINT) AS n,
+           ROUND(w.w0, 6) AS w0, ROUND(w.w1, 6) AS w1,
+           ROUND(w.w2, 6) AS w2,
+           ROUND(SUM(ln(1.0 + exp(w.w0 + w.w1 * d.x1 + w.w2 * d.x2))
+                     - d.y * (w.w0 + w.w1 * d.x1 + w.w2 * d.x2))
+                 / MAX(nn.n), 6) AS log_loss
+    FROM d, w{steps} w, nn
+    GROUP BY nn.n, w.w0, w.w1, w.w2
+    """
+    return sql
+
+
+@_q("feature_logistic_gd", _logistic_oracle_sql(3, 0.5))
+def feature_logistic_gd(spark, sf_dir):
+    """Iterative distributed model fit: 3 full-batch gradient-descent
+    steps of binary logistic regression (is this lineitem a return?)
+    over two bounded features. Each step is ONE cached scan reduced to
+    three mergeable gradient sums; weights live on the driver as three
+    floats (features.logistic_fit_gd). The oracle unrolls the same
+    update rule step-for-step in SQL, so the descent trajectory — not
+    just the final loss — is conformance-checked."""
+    from .operators.features import logistic_fit_gd
+
+    li = (_t(spark, sf_dir, "lineitem")
+          .where(F.col("l_quantity").isNotNull()
+                 & F.col("l_discount").isNotNull())
+          .select((F.col("l_returnflag") == "R").cast("double")
+                  .alias("y"),
+                  (F.col("l_quantity").cast("double") / 50.0)
+                  .alias("x1"),
+                  (F.col("l_discount").cast("double") * 10.0)
+                  .alias("x2")))
+    return logistic_fit_gd(li, "y", "x1", "x2", steps=3, lr=0.5)
+
+
+@_q(
+    "eval_calibration_bins",
+    """
+    WITH scored AS (
+      SELECT CAST((o_orderkey * 2654435761) % 1000 AS DOUBLE) / 1000.0
+               AS score,
+             CASE WHEN o_totalprice > 150000.0 THEN 1.0 ELSE 0.0 END
+               AS label
+      FROM orders),
+    b AS (
+      SELECT CAST(floor(score * 10) AS BIGINT) AS bin, score, label
+      FROM scored)
+    SELECT bin, CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(score), 6) AS mean_score,
+           ROUND(AVG(label), 6) AS frac_pos,
+           ROUND(ABS(AVG(score) - AVG(label)), 6) AS gap
+    FROM b GROUP BY bin
+    """,
+)
+def eval_calibration_bins(spark, sf_dir):
+    """Model-calibration audit (the reliability-diagram table): bucket
+    a deterministic Knuth-hash pseudo-score into 10 equal-width bins
+    and compare mean predicted probability to the observed positive
+    rate per bin — the expected-calibration-error inputs a model-eval
+    pipeline reports after every training run. One groupBy on a
+    10-value key, partial-aggregated map-side: constant-size shuffle
+    regardless of table size."""
+    orders = _t(spark, sf_dir, "orders")
+    scored = orders.select(
+        ((F.col("o_orderkey") * F.lit(2654435761)) % 1000)
+        .cast("double").alias("s"),
+        (F.col("o_totalprice") > 150000.0).cast("double")
+        .alias("label"))
+    scored = scored.select((F.col("s") / 1000.0).alias("score"),
+                           "label")
+    return (scored
+            .withColumn("bin", F.floor(F.col("score") * 10)
+                        .cast("long"))
+            .groupBy("bin")
+            .agg(F.count("*").alias("n"),
+                 F.round(F.avg("score"), 6).alias("mean_score"),
+                 F.round(F.avg("label"), 6).alias("frac_pos"),
+                 F.round(F.abs(F.avg("score") - F.avg("label")), 6)
+                 .alias("gap")))
