@@ -13305,3 +13305,36 @@ def eval_calibration_bins(spark, sf_dir):
                  F.round(F.avg("label"), 6).alias("frac_pos"),
                  F.round(F.abs(F.avg("score") - F.avg("label")), 6)
                  .alias("gap")))
+
+
+@_q(
+    "multimodal_audio_spectral",
+    """
+    SELECT doc_id AS media_id,
+           CAST(200 + doc_id % 100 AS INT) AS dom_freq_hz,
+           CAST(800 + (doc_id % 10) * 80 AS BIGINT) AS n_samples
+    FROM documents
+    """,
+)
+def multimodal_audio_spectral(spark, sf_dir):
+    """Audio feature extraction, oracle-checked against synthesis
+    parameters: every document id parameterizes a REAL PCM-16 WAV
+    (200 + id%100 Hz sine, 100-190 ms at 8 kHz), and the Goertzel-bank
+    operator (multimodal.audio_dominant_freq) must recover the exact
+    synthesis frequency from the decoded samples for all 100 distinct
+    tones — proving the spectral kernel analyzes real audio, not
+    metadata. n_samples doubles as a decode-length check."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.multimodal import (audio_dominant_freq,
+                                       synth_wav_bytes)
+
+    @pandas_udf("binary")
+    def synth(ids):
+        return ids.map(lambda i: synth_wav_bytes(
+            200 + int(i) % 100, 100 + (int(i) % 10) * 10))
+
+    media = (_t(spark, sf_dir, "documents")
+             .select(F.col("doc_id").alias("media_id"))
+             .withColumn("payload", synth("media_id")))
+    return audio_dominant_freq(media)
