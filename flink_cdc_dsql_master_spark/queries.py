@@ -13338,3 +13338,94 @@ def multimodal_audio_spectral(spark, sf_dir):
              .select(F.col("doc_id").alias("media_id"))
              .withColumn("payload", synth("media_id")))
     return audio_dominant_freq(media)
+
+
+@_q(
+    "streaming_hopping_replay",
+    """
+    WITH e AS (
+      SELECT ts, event_type, CAST(value AS DECIMAL(18,4)) AS v
+      FROM events WHERE value IS NOT NULL),
+    w AS (
+      SELECT time_bucket(INTERVAL '30 minutes', ts)
+               - i * INTERVAL '30 minutes' AS window_start,
+             event_type, v
+      FROM e, unnest([0, 1]) AS t(i))
+    SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS DOUBLE) AS total
+    FROM w GROUP BY 1, 2
+    """,
+)
+def streaming_hopping_replay(spark, sf_dir):
+    """Overlapping (hopping) event-time windows through a restarted
+    checkpointed stream: 1-hour windows sliding every 30 minutes, so
+    every event belongs to exactly TWO window instances, expanded
+    map-side before the keyed aggregation (streaming_windowed_agg with
+    slide). Run 2 restarts from run 1's checkpoint with the late half
+    of the events; boundary windows must merge into recovered state.
+    Each micro-batch upserts into DuckDB keyed on (window_start,
+    event_type); the final table must hash-equal the batch hopping
+    aggregate the oracle builds by explicit 2-way window expansion.
+    Decimal-exact sums keep totals order-independent across batches."""
+    import json as _json
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .sinks import JdbcUpsertSink
+    from .streaming import streaming_windowed_agg
+
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("ts", "event_type",
+                  F.col("value").cast("decimal(18,4)").alias("value")))
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2
+    rows = ev.select(
+        F.date_format("ts", "yyyy-MM-dd'T'HH:mm:ss.SSS").alias("ts"),
+        "event_type", F.col("value").cast("string").alias("value"),
+        (F.col("ts") < F.lit(cutoff)).alias("early")).collect()
+
+    base = tempfile.mkdtemp(prefix="stream_hop_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+    schema = Schema.of(
+        spark.createDataFrame(
+            [], "window_start timestamp, event_type string, n long, "
+                "total decimal(28,4)").schema,
+        primary_keys=["window_start", "event_type"])
+    sink = JdbcUpsertSink(lambda p=db: duckdb.connect(p), "hop_agg",
+                          schema, parallel=False)
+    sink.ensure_table()
+
+    def run_batch(fname, batch_rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in batch_rows:
+                f.write(_json.dumps({"ts": r["ts"],
+                                     "event_type": r["event_type"],
+                                     "value": r["value"]}) + "\n")
+        stream = (spark.readStream
+                  .schema("ts timestamp, event_type string, "
+                          "value decimal(18,4)")
+                  .json(src))
+        agg = streaming_windowed_agg(stream, key_col="event_type",
+                                     window="1 hour",
+                                     watermark="10 minutes",
+                                     slide="30 minutes")
+        q = (agg.writeStream.outputMode("update")
+             .foreachBatch(lambda df, bid: sink.write_batch(df))
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_batch("b1.json", [r for r in rows if r["early"]])
+    run_batch("b2.json", [r for r in rows if not r["early"]])
+
+    con = duckdb.connect(db)
+    pdf = con.execute(
+        "SELECT window_start, event_type, n, CAST(total AS DOUBLE) "
+        "AS total FROM hop_agg").df()
+    con.close()
+    return spark.createDataFrame(pdf)
