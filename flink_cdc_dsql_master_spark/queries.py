@@ -13429,3 +13429,43 @@ def streaming_hopping_replay(spark, sf_dir):
         "AS total FROM hop_agg").df()
     con.close()
     return spark.createDataFrame(pdf)
+
+
+@_q(
+    "timeseries_ohlc_bars",
+    """
+    SELECT event_type, date_trunc('hour', ts) AS bar_start,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           ROUND(arg_min(value, CAST(epoch_us(ts) AS HUGEINT)
+                                * 10000000000 + event_id), 6) AS open,
+           ROUND(MAX(value), 6) AS high,
+           ROUND(MIN(value), 6) AS low,
+           ROUND(arg_max(value, CAST(epoch_us(ts) AS HUGEINT)
+                                * 10000000000 + event_id), 6) AS close,
+           CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS volume
+    FROM events WHERE value IS NOT NULL
+    GROUP BY 1, 2
+    """,
+)
+def timeseries_ohlc_bars(spark, sf_dir):
+    """Hourly OHLC candlestick bars per series — the canonical
+    downsampling shape for tick/metric data: open = value at the
+    earliest tick in the bar, close = at the latest, high/low/volume
+    alongside, ALL in one partial-aggregating groupBy (min_by/max_by
+    carry the open/close through the map-side combine, so no window,
+    no sort, no second pass). Ties on ts broken by event_id so the
+    bars are deterministic in both engines. At 100 TB of ticks this
+    is a single shuffle on (series, bar)."""
+    ev = (_t(spark, sf_dir, "events")
+          .where(F.col("value").isNotNull())
+          .select("event_type", "ts", "event_id", "value",
+                  F.date_trunc("hour", "ts").alias("bar_start")))
+    tie = F.struct(F.col("ts"), F.col("event_id"))
+    return (ev.groupBy("event_type", "bar_start")
+            .agg(F.count("*").alias("n_ticks"),
+                 F.round(F.min_by("value", tie), 6).alias("open"),
+                 F.round(F.max("value"), 6).alias("high"),
+                 F.round(F.min("value"), 6).alias("low"),
+                 F.round(F.max_by("value", tie), 6).alias("close"),
+                 F.sum(F.col("value").cast("decimal(18,4)"))
+                 .cast("double").alias("volume")))
