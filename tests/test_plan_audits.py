@@ -509,3 +509,42 @@ def test_exact_quantiles_rank_no_single_partition_sort(spark, sf_dir):
     df = QUERIES["agg_exact_quantiles_rank"](spark, sf_dir)
     plan = df._jdf.queryExecution().explainString(mode)
     assert not _window_over_single_partition(plan)
+
+
+def test_ohlc_bars_single_partial_agg_no_window(spark, sf_dir):
+    """OHLC open/close must ride min_by/max_by through the map-side
+    combine — one exchange, no Window, no Sort anywhere."""
+    plan = plan_of(QUERIES["timeseries_ohlc_bars"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "partial_min_by" in plan and "partial_max_by" in plan
+    assert "Window" not in tree
+    assert tree.count("Exchange") == 1
+
+
+def test_calibration_bins_partial_agg(spark, sf_dir):
+    """Reliability bins reduce map-side to 10 groups before the one
+    constant-size shuffle."""
+    plan = plan_of(QUERIES["eval_calibration_bins"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "partial_count" in plan or "partial_avg" in plan
+    assert tree.count("Exchange") == 1
+
+
+def test_normalize_unicode_one_python_hop_no_shuffle(spark, sf_dir):
+    """NFC is the only Python stage (one ArrowEvalPython); the control
+    strip + whitespace collapse regexes stay JVM-side, and the whole
+    pipeline is shuffle-free."""
+    plan = plan_of(QUERIES["text_normalize_unicode"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert tree.count("ArrowEvalPython") == 1
+    assert "regexp_replace" in plan  # cleanup runs in the JVM project
+    assert "Exchange" not in tree
+
+
+def test_audio_dominant_freq_shuffle_free(spark, sf_dir):
+    """Synth UDF + Goertzel MapInPandas chain straight over the scan:
+    payload bytes never cross an exchange."""
+    plan = plan_of(QUERIES["multimodal_audio_spectral"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "MapInPandas" in tree
+    assert "Exchange" not in tree

@@ -1,0 +1,59 @@
+"""Edge-case units for the round-7 continuation operators: unicode
+normalization, the Goertzel audio bank, and logistic GD."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from flink_cdc_dsql_master_spark.operators.features import logistic_fit_gd
+from flink_cdc_dsql_master_spark.operators.multimodal import (
+    audio_dominant_freq, synth_wav_bytes)
+from flink_cdc_dsql_master_spark.operators.text import normalize_unicode
+
+
+def test_normalize_unicode_nulls_empty_and_marks(spark):
+    df = spark.createDataFrame(
+        [(1, "Café"), (2, None), (3, "   "), (4, "a\x00b\tc"),
+         (5, "Café")],
+        "id long, text string")
+    out = {r["id"]: r["clean_text"]
+           for r in normalize_unicode(df).collect()}
+    assert out[1] == "Café"          # NFC composes the mark
+    assert out[1] == out[5]               # decomposed == precomposed
+    assert out[2] is None                 # null passes through
+    assert out[3] == ""                   # whitespace-only trims away
+    assert out[4] == "a b c"              # control char -> space
+
+def test_normalize_unicode_idempotent(spark):
+    df = spark.createDataFrame(
+        [(1, " x́   y \x1f z ")], "id long, text string")
+    once = normalize_unicode(df).select(
+        F.col("clean_text").alias("text"))
+    twice = normalize_unicode(once).collect()[0]["clean_text"]
+    assert twice == once.collect()[0]["text"]
+
+
+def test_audio_dominant_freq_stereo_and_low_amp(spark):
+    clips = [
+        (1, synth_wav_bytes(250, 150)),
+        (2, synth_wav_bytes(299, 120, channels=2)),   # stereo downmix
+        (3, synth_wav_bytes(201, 100, amplitude=0.05)),  # quiet
+    ]
+    df = spark.createDataFrame(clips, "media_id long, payload binary")
+    got = {r["media_id"]: r["dom_freq_hz"]
+           for r in audio_dominant_freq(df).collect()}
+    assert got == {1: 250, 2: 299, 3: 201}
+
+
+def test_logistic_gd_separable_direction_and_loss(spark):
+    # y = 1 iff x1 > 0: after 3 steps w1 must be positive and loss
+    # strictly below ln(2) (the w=0 starting loss)
+    rows = [(1.0 if i % 7 > 3 else 0.0,) for i in range(200)]
+    df = spark.createDataFrame(
+        [(y, (1.0 if y else -1.0), 0.0) for (y,) in rows],
+        "y double, x1 double, x2 double")
+    out = logistic_fit_gd(df, "y", "x1", "x2", steps=3, lr=0.5) \
+        .collect()[0]
+    assert out["n"] == 200
+    assert out["w1"] > 0
+    assert out["log_loss"] < math.log(2.0)
