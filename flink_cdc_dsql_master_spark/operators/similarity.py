@@ -1063,7 +1063,24 @@ def maxsim_topk(corpus: DataFrame, queries: DataFrame, k: int = 10,
             .limit(k))
 
 
-def knn_join(corpus: DataFrame, k: int = 5, bits: int = 6,
+KNN_JOIN_TARGET_BUCKET = 8  # expected vectors per LSH bucket (auto bits)
+
+
+def knn_join_auto_bits(n: int, target_bucket: int = KNN_JOIN_TARGET_BUCKET
+                       ) -> int:
+    """Bucket-width rule for a corpus of ``n`` vectors: enough
+    hyperplane bits that the EXPECTED bucket occupancy stays at
+    ``target_bucket``, so per-table self-join work is
+    O(T · N · target_bucket) — linear in N — instead of the
+    O(T · N²/2^bits) quadratic a FIXED bits value degrades to as the
+    corpus grows. Floor of 4 bits keeps tiny corpora from collapsing
+    into one bucket."""
+    import math
+
+    return max(4, math.ceil(math.log2(max(n, 2) / target_bucket)))
+
+
+def knn_join(corpus: DataFrame, k: int = 5, bits: int | None = 6,
              seeds: tuple = (42, 137, 271), id_col: str = "vec_id",
              vec_col: str = "embedding") -> DataFrame:
     """Approximate kNN SELF-join: every vector's top-k neighbors among
@@ -1082,9 +1099,17 @@ def knn_join(corpus: DataFrame, k: int = 5, bits: int = 6,
 
     Returns (src, nbr, cosine, rank), rank 1..k per src. A vector with
     no collisions appears with no rows (the honest ANN semantics —
-    raise `bits` tables, not fake neighbors)."""
+    raise `bits` tables, not fake neighbors).
+
+    ``bits=None`` derives the bucket width from the corpus size
+    (knn_join_auto_bits: constant expected occupancy, so candidate
+    work stays LINEAR in N — the setting to use at scale; the
+    conformance query pins bits so its static oracle replays the same
+    planes)."""
     v = corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("e"))
+    if bits is None:
+        bits = knn_join_auto_bits(v.count())
     for i, s in enumerate(seeds):
         v = v.withColumn(f"__b{i}",
                          random_hyperplane_bucket(F.col("e"), bits,

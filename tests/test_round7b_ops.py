@@ -57,3 +57,20 @@ def test_logistic_gd_separable_direction_and_loss(spark):
     assert out["n"] == 200
     assert out["w1"] > 0
     assert out["log_loss"] < math.log(2.0)
+
+
+def test_knn_join_auto_bits_rule_and_equivalence(spark):
+    from flink_cdc_dsql_master_spark.operators.similarity import (
+        knn_join, knn_join_auto_bits)
+
+    # occupancy-8 rule: doubles roughly every corpus doubling, floored
+    assert knn_join_auto_bits(10) == 4
+    assert knn_join_auto_bits(500) == 6
+    assert knn_join_auto_bits(2000) == 8
+    assert knn_join_auto_bits(20000) == 12
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    auto = knn_join(emb, k=3, bits=None)
+    pinned = knn_join(emb, k=3, bits=knn_join_auto_bits(emb.count()))
+    assert sorted(map(tuple, auto.collect())) \
+        == sorted(map(tuple, pinned.collect()))

@@ -109,7 +109,30 @@ TARGETS = [
     # k-center coreset (K map-only min-distance passes over the corpus)
     "similarity_maxsim_late_interaction",
     "sample_kcenter_coreset",
+    # round-7 continuation: unicode normalization (one Arrow hop + JVM
+    # regex, shuffle-free — expect e ~ scan) and the Goertzel audio
+    # bank (per-clip matmul over mapInPandas, shuffle-free)
+    "text_normalize_unicode",
+    "multimodal_audio_spectral",
 ]
+
+
+def _knn_join_auto(spark, sf_dir):
+    """knn_join with bits=None (auto bucket width): the scale-path
+    configuration — constant expected bucket occupancy keeps candidate
+    work linear in N, where the conformance query's pinned bits=6
+    (needed by its static oracle) would go quadratic. Measured here as
+    an operator target because the auto width is corpus-dependent and
+    therefore cannot share the registry query's fixed-bits oracle."""
+    from flink_cdc_dsql_master_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return knn_join(emb, k=5, bits=None)
+
+
+# operator-level targets: measured like TARGETS but defined by a
+# callable(spark, sf_dir) instead of a registry query name
+EXTRA_TARGETS = {"similarity_knn_join_auto": _knn_join_auto}
 
 
 def _salt_token(tok: str, r: int) -> str:
@@ -189,19 +212,21 @@ def run(passes: int, out_path: str) -> int:
         warm = SF1_DIR
 
     results: dict[str, dict] = {}
-    for name in TARGETS:
+    all_targets = [(n, QUERIES[n]) for n in TARGETS] \
+        + list(EXTRA_TARGETS.items())
+    for name, fn in all_targets:
         # fresh session per query: a shared session lets one operator's
         # leftover shuffle files / GC / Python-worker pressure contaminate
         # the next measurement (first run of this harness measured bm25 at
         # 16.6s shared-session vs 3.1s isolated — a 5x distortion).
         spark = get_spark(f"scale_stress_{name}")
-        QUERIES[name](spark, warm).count()  # warm plans/JIT/workers
+        fn(spark, warm).count()  # warm plans/JIT/workers
         rec: dict = {}
         for label, d in (("t1", SF1_DIR), ("t10", SF10_DIR)):
             best, rows = math.inf, 0
             for _ in range(passes):
                 t0 = time.perf_counter()
-                rows = QUERIES[name](spark, d).count()
+                rows = fn(spark, d).count()
                 best = min(best, time.perf_counter() - t0)
                 spark.catalog.clearCache()
             rec[label] = round(best, 3)
