@@ -92,6 +92,12 @@ BENCH_QUERIES = [
     "agg_exact_quantiles_rank",
     "sample_kcenter_coreset",
     "multimodal_jpeg_decode",
+    # round 7 continuation
+    "similarity_knn_join",
+    "text_normalize_unicode",
+    "timeseries_ohlc_bars",
+    "feature_logistic_gd",
+    "multimodal_audio_spectral",
 ]
 
 
