@@ -1049,19 +1049,30 @@ def audio_dominant_freq(df: DataFrame, payload_col: str = "payload",
         import numpy as np
         import pandas as pd
 
+        # the projection bank depends only on (n, sr); real corpora
+        # have a handful of clip shapes, so the transcendental work
+        # (n·bank sin/cos evals) amortizes to ~zero and each clip costs
+        # ONE pair of BLAS matvecs
+        banks: dict = {}
+
+        def bank(n, sr):
+            key = (n, sr)
+            if key not in banks:
+                t = np.arange(n) / sr
+                freqs = np.arange(f_lo, f_hi, dtype="float64")
+                ph = 2 * np.pi * freqs[:, None] * t[None, :]
+                banks[key] = (freqs, np.cos(ph), np.sin(ph))
+            return banks[key]
+
         for pdf in batches:
             ids, doms, lens = [], [], []
             for mid, payload in zip(pdf[id_col], pdf[payload_col]):
                 x, sr = decode_wav(bytes(payload))
-                n = len(x)
-                t = np.arange(n) / sr
-                freqs = np.arange(f_lo, f_hi, dtype="float64")
-                power = np.abs(
-                    np.exp(-2j * np.pi * freqs[:, None] * t[None, :])
-                    @ x)
+                freqs, cos_b, sin_b = bank(len(x), sr)
+                power = (cos_b @ x) ** 2 + (sin_b @ x) ** 2
                 ids.append(int(mid))
                 doms.append(int(freqs[int(np.argmax(power))]))
-                lens.append(n)
+                lens.append(len(x))
             yield pd.DataFrame(
                 {id_col: ids, "dom_freq_hz": doms, "n_samples": lens})
 
