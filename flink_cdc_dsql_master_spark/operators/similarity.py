@@ -1114,6 +1114,12 @@ def knn_join(corpus: DataFrame, k: int = 5, bits: int | None = 6,
         v = v.withColumn(f"__b{i}",
                          random_hyperplane_bucket(F.col("e"), bits,
                                                   seed=s))
+    # unit-normalize ONCE per vector (O(N·dim)) so each candidate pair
+    # costs a single dot fold instead of dot + two norms — the per-pair
+    # HOF work is the dominant term (|candidates| ≫ N), measured 3x
+    nrm = norm_expr(F.col("e"))
+    v = v.withColumn("u", F.transform(F.col("e"),
+                                      lambda x: x / nrm)).drop("e")
     # checkpointed: each of the T self-joins reads both sides of this
     # frame; blocks are GC-reclaimed with the result (cache-scope rule)
     v = v.localCheckpoint()
@@ -1126,7 +1132,7 @@ def knn_join(corpus: DataFrame, k: int = 5, bits: int | None = 6,
                     & (F.col("a.id") != F.col("b.id")))
              .select(F.col("a.id").alias("src"),
                      F.col("b.id").alias("nbr"),
-                     cosine_expr(F.col("a.e"), F.col("b.e"))
+                     dot_expr(F.col("a.u"), F.col("b.u"))
                      .alias("cosine")))
         pairs = p if pairs is None else pairs.unionByName(p)
     cand = pairs.distinct()

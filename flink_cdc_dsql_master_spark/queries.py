@@ -12728,14 +12728,23 @@ def _knn_join_oracle_sql(k: int = 5, bits: int = 6,
         f"{_hyperplane_bucket_sql('embedding', bits, s)} AS b{i}"
         for i, s in enumerate(seeds))
     coll = " OR ".join(f"a.b{i} = c.b{i}" for i in range(len(seeds)))
+    # unit-normalize once, dot per pair — the SAME operation order as
+    # the operator (normalize-then-dot), so cosines agree bit-for-bit
+    sq = ("list_sum(list_transform(range(1, 65), "
+          "i -> CAST(embedding[i] AS DOUBLE) "
+          "* CAST(embedding[i] AS DOUBLE)))")
+    dot = ("list_sum(list_transform(range(1, 65), "
+           "i -> a.u[i] * c.u[i]))")
     return f"""
     WITH b AS (
       SELECT vec_id, embedding,
+             list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) / sqrt({sq})) AS u,
              {buckets}
       FROM embeddings),
     cand AS (
       SELECT DISTINCT a.vec_id AS src, c.vec_id AS nbr,
-             {_cos_pair_sql('a.embedding', 'c.embedding')} AS cosine
+             {dot} AS cosine
       FROM b a JOIN b c ON a.vec_id <> c.vec_id AND ({coll}))
     SELECT src, nbr, ROUND(cosine, 6) AS cosine, CAST(rk AS INT) AS rank
     FROM (SELECT src, nbr, cosine,
