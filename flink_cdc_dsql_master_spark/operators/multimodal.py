@@ -1058,6 +1058,8 @@ def audio_dominant_freq(df: DataFrame, payload_col: str = "payload",
         def bank(n, sr):
             key = (n, sr)
             if key not in banks:
+                if len(banks) >= 64:  # pathological shape diversity:
+                    banks.clear()     # bound executor memory, recompute
                 t = np.arange(n) / sr
                 freqs = np.arange(f_lo, f_hi, dtype="float64")
                 ph = 2 * np.pi * freqs[:, None] * t[None, :]

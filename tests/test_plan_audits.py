@@ -548,3 +548,14 @@ def test_audio_dominant_freq_shuffle_free(spark, sf_dir):
     tree = tree_of(plan)
     assert "MapInPandas" in tree
     assert "Exchange" not in tree
+
+
+def test_knn_join_bucketed_hash_joins_no_cartesian(spark, sf_dir):
+    """Candidate generation must stay bucket-local: T shuffled hash
+    joins on the bucket columns, never a cartesian/BNL product, and
+    the top-k window partitions by src (no single-partition sort)."""
+    plan = plan_of(QUERIES["similarity_knn_join"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert tree.count("ShuffledHashJoin") == 3
