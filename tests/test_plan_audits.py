@@ -446,16 +446,10 @@ _BOUNDED_FRAME_WINDOWS = {
 }
 
 
-def _window_over_single_partition(plan: str) -> bool:
-    """True if any Window node's immediate input chain (Window -> Sort ->
-    Exchange) contains an Exchange SinglePartition — the 'all rows to one
-    task' plan shape. WindowGroupLimit (top-k pushdown) is not a Window."""
-    lines = plan.splitlines()
-    for i, ln in enumerate(lines):
-        if "Window" in ln and "WindowGroupLimit" not in ln:
-            if "Exchange SinglePartition" in "\n".join(lines[i + 1:i + 4]):
-                return True
-    return False
+# the detector lives in the package now (plans.lint_plan — the
+# user-facing scale linter); the sweep drives the same code path
+from flink_cdc_dsql_master_spark.plans import (  # noqa: E402
+    window_over_single_partition as _window_over_single_partition)
 
 
 def test_registry_sweep_no_unbounded_single_partition_window(spark, sf_dir):
