@@ -28,6 +28,7 @@ Layout
 - ``testing``      values-style scripted event fixtures + collect sink
 - ``operators``    dedup / similarity / text-analysis / multimodal
 - ``streaming``    stateful streaming ops (applyInPandasWithState)
+- ``plans``        physical-plan scale linter (lint_plan/explain_scale)
 - ``queries``      registered conformance queries + DuckDB oracle SQL
 """
 

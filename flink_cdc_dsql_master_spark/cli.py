@@ -62,6 +62,13 @@ def _build_parser() -> argparse.ArgumentParser:
     dele.add_argument("predicate", help="SQL boolean expr, e.g. 'k % 5 = 0'")
     dele.add_argument("--pk", required=True, action="append",
                       help="primary-key column (repeatable)")
+
+    lintp = sub.add_parser(
+        "lint", help="scale-lint a registered query's physical plan "
+                     "(plans.lint_plan) before a large run")
+    lintp.add_argument("query", help="name from queries.QUERIES")
+    lintp.add_argument("--sf-dir", default="/root/testdata/sf0.001",
+                       help="table directory used to plan the query")
     return p
 
 
@@ -164,10 +171,29 @@ def _cmd_table(args) -> int:
     return 0
 
 
+def _cmd_lint(args) -> int:
+    from .plans import lint_plan
+    from .queries import QUERIES
+    from .session import get_spark
+
+    if args.query not in QUERIES:
+        print(f"unknown query {args.query!r}", file=sys.stderr)
+        return 2
+    spark = get_spark("plan-lint")
+    finds = lint_plan(QUERIES[args.query](spark, args.sf_dir))
+    for f in finds:
+        print(f"[{f['severity']}] {f['check']}: {f['detail']}")
+    if not finds:
+        print(f"{args.query}: plan clean")
+    return 1 if any(f["severity"] == "error" for f in finds) else 0
+
+
 def main(argv: list[str] | None = None) -> int:
     args = _build_parser().parse_args(argv)
     if args.cmd == "validate":
         return _cmd_validate(args)
     if args.cmd == "table":
         return _cmd_table(args)
+    if args.cmd == "lint":
+        return _cmd_lint(args)
     return _cmd_run(args)

@@ -103,3 +103,10 @@ def test_table_verbs_roundtrip(spark, tmp_path, capsys):
 
     assert main(["table", "vacuum", path, "--keep-last", "1"]) == 0
     assert "expired=[1]" in capsys.readouterr().out
+
+
+def test_lint_clean_and_unknown(spark, capsys):
+    assert main(["lint", "timeseries_ohlc_bars",
+                 "--sf-dir", "/root/testdata/sf0.001"]) == 0
+    assert "plan clean" in capsys.readouterr().out
+    assert main(["lint", "no_such_query"]) == 2
