@@ -74,3 +74,25 @@ def test_knn_join_auto_bits_rule_and_equivalence(spark):
     pinned = knn_join(emb, k=3, bits=knn_join_auto_bits(emb.count()))
     assert sorted(map(tuple, auto.collect())) \
         == sorted(map(tuple, pinned.collect()))
+
+
+def test_materialize_forces_projection_and_handles_maps(spark):
+    from bench import materialize
+
+    # a pruned-away projection would never touch the accumulator
+    hits = spark.sparkContext.accumulator(0)
+
+    def bump(x):
+        hits.add(1)
+        return x
+
+    f = F.udf(bump, "long")
+    df = spark.range(7).select(f("id").alias("y"))
+    df.count()
+    assert hits.value == 0      # count() alone prunes the UDF...
+    assert materialize(df) == 7
+    assert hits.value == 7      # ...materialize evaluates every row
+
+    mdf = spark.range(3).select(
+        F.create_map(F.lit("k"), F.col("id")).alias("m"))
+    assert materialize(mdf) == 3  # to_json fallback path

@@ -220,13 +220,16 @@ def run(passes: int, out_path: str) -> int:
         # the next measurement (first run of this harness measured bm25 at
         # 16.6s shared-session vs 3.1s isolated — a 5x distortion).
         spark = get_spark(f"scale_stress_{name}")
-        fn(spark, warm).count()  # warm plans/JIT/workers
+        from bench import materialize  # full-column checksum action:
+        # count() alone lets Catalyst prune unevaluated projections, so
+        # a map-only operator would "measure" as a bare parquet scan
+        materialize(fn(spark, warm))  # warm plans/JIT/workers
         rec: dict = {}
         for label, d in (("t1", SF1_DIR), ("t10", SF10_DIR)):
             best, rows = math.inf, 0
             for _ in range(passes):
                 t0 = time.perf_counter()
-                rows = fn(spark, d).count()
+                rows = materialize(fn(spark, d))
                 best = min(best, time.perf_counter() - t0)
                 spark.catalog.clearCache()
             rec[label] = round(best, 3)
