@@ -307,3 +307,35 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited.select("node", F.col("hops").cast("int").alias("hops"))
+
+
+def connected_components(edges: DataFrame, src: str = "src",
+                         dst: str = "dst",
+                         max_iters: int = 30) -> DataFrame:
+    """Connected components over an undirected graph (edges in either
+    direction connect) — the generic-graph twin of
+    `dedup.dup_clusters`' transitive-closure step, exposed on raw
+    edge lists: community extraction, dedup-family expansion,
+    account/entity resolution graphs.
+
+    Delegates to the same HashMin label-propagation loop (component id
+    = smallest node id in the component): each round is one edges⋈labels
+    hash-join plus a groupBy-min — O(E) shuffle rows per round, never an
+    adjacency materialization — converging in O(component diameter)
+    rounds with per-round localCheckpoint lineage truncation and an
+    early exit when no label moves. Nodes are derived from the edge
+    endpoints (an isolated node has no edges to derive from). Returns
+    (node, component, is_root) with is_root marking the id-minimal
+    member."""
+    from .dedup import dup_clusters
+
+    pairs = edges.select(F.col(src).alias("id_a"),
+                         F.col(dst).alias("id_b"))
+    nodes = (edges.select(F.col(src).alias("node"))
+             .unionByName(edges.select(F.col(dst).alias("node")))
+             .distinct())
+    out = dup_clusters(pairs, nodes.select(F.col("node").alias("__n")),
+                       id_col="__n", max_iters=max_iters)
+    return out.select(F.col("__n").alias("node"),
+                      F.col("cluster_id").alias("component"),
+                      F.col("is_canonical").alias("is_root"))

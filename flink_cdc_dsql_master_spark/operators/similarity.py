@@ -1080,32 +1080,25 @@ def knn_join_auto_bits(n: int, target_bucket: int = KNN_JOIN_TARGET_BUCKET
     return max(4, math.ceil(math.log2(max(n, 2) / target_bucket)))
 
 
-def knn_join(corpus: DataFrame, k: int = 5, bits: int | None = 6,
-             seeds: tuple = (42, 137, 271), id_col: str = "vec_id",
-             vec_col: str = "embedding") -> DataFrame:
-    """Approximate kNN SELF-join: every vector's top-k neighbors among
-    LSH-bucket collisions — the all-corpus companion of `cosine_topk`
-    (which serves a small query set) and the similarity-graph builder
-    (kNN graphs for clustering, dedup families, link prediction).
+def lsh_candidate_pairs(corpus: DataFrame, bits: int | None = 6,
+                        seeds: tuple = (42, 137, 271),
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding") -> DataFrame:
+    """Shared candidate generator for the LSH self-join family
+    (:func:`knn_join`, :func:`range_search`): distinct directed pairs
+    (src, nbr, cosine) that collide in ANY of ``len(seeds)`` independent
+    sign-bucket hyperplane tables, each verified by one exact cosine.
 
-    Multi-table sign-bucket LSH: `len(seeds)` independent hyperplane
-    tables; a pair is a candidate if it collides in ANY table (union of
-    per-table bucketed self-joins — each an equi-join on (bucket), so
-    candidate generation is always bucket-local, never all-pairs;
-    expected candidates per vector ~ T·N/2^bits). Exact cosine verifies
-    each candidate once (distinct on the directed pair), and a per-src
-    window keeps top-k. Deterministic end-to-end: seeded planes are
-    literals both engines share, ties break on nbr id.
-
-    Returns (src, nbr, cosine, rank), rank 1..k per src. A vector with
-    no collisions appears with no rows (the honest ANN semantics —
-    raise `bits` tables, not fake neighbors).
+    Each table is an equi-join on (bucket) — candidate generation is
+    always bucket-local, never all-pairs; expected candidates per vector
+    ~ T·N/2^bits. Deterministic end-to-end: seeded planes are literals
+    both engines share, and the dot is a linear fold over unit-normalized
+    vectors so an oracle replaying the same fold agrees bit-for-bit.
 
     ``bits=None`` derives the bucket width from the corpus size
     (knn_join_auto_bits: constant expected occupancy, so candidate
-    work stays LINEAR in N — the setting to use at scale; the
-    conformance query pins bits so its static oracle replays the same
-    planes)."""
+    work stays LINEAR in N — the setting to use at scale; conformance
+    queries pin bits so their static oracles replay the same planes)."""
     v = corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("e"))
     if bits is None:
@@ -1135,8 +1128,47 @@ def knn_join(corpus: DataFrame, k: int = 5, bits: int | None = 6,
                      dot_expr(F.col("a.u"), F.col("b.u"))
                      .alias("cosine")))
         pairs = p if pairs is None else pairs.unionByName(p)
-    cand = pairs.distinct()
+    return pairs.distinct()
+
+
+def knn_join(corpus: DataFrame, k: int = 5, bits: int | None = 6,
+             seeds: tuple = (42, 137, 271), id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Approximate kNN SELF-join: every vector's top-k neighbors among
+    LSH-bucket collisions — the all-corpus companion of `cosine_topk`
+    (which serves a small query set) and the similarity-graph builder
+    (kNN graphs for clustering, dedup families, link prediction).
+
+    Candidates come from :func:`lsh_candidate_pairs` (bucket-local,
+    never all-pairs), then a per-src window keeps top-k, ties breaking
+    on nbr id. Returns (src, nbr, cosine, rank), rank 1..k per src. A
+    vector with no collisions appears with no rows (the honest ANN
+    semantics — raise `bits` tables, not fake neighbors)."""
+    cand = lsh_candidate_pairs(corpus, bits=bits, seeds=seeds,
+                               id_col=id_col, vec_col=vec_col)
     w = Window.partitionBy("src").orderBy(F.col("cosine").desc(),
                                           F.col("nbr").asc())
     return (cand.withColumn("rank", F.row_number().over(w).cast("int"))
             .where(F.col("rank") <= k))
+
+
+def range_search(corpus: DataFrame, threshold: float = 0.8,
+                 bits: int | None = 6, seeds: tuple = (42, 137, 271),
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Approximate RADIUS self-search: every directed pair with
+    cosine >= ``threshold`` among LSH-bucket collisions — the
+    fixed-threshold retrieval companion of :func:`knn_join` (top-k
+    fixes the COUNT per vector; range search fixes the SIMILARITY bar,
+    the semantics near-dup review queues and recall-bounded linking
+    want).
+
+    Same candidate generator, so the same scale story: bucket-local
+    equi-joins, one exact cosine per distinct directed pair, and the
+    threshold filter runs BEFORE any further shuffle — the output is
+    match-proportional, not candidate-proportional. No window at all:
+    unlike top-k there is no per-src ordering step, so the plan is
+    join → filter, nothing else. Returns (src, nbr, cosine)."""
+    cand = lsh_candidate_pairs(corpus, bits=bits, seeds=seeds,
+                               id_col=id_col, vec_col=vec_col)
+    return cand.where(F.col("cosine") >= F.lit(float(threshold)))

@@ -98,6 +98,11 @@ BENCH_QUERIES = [
     "timeseries_ohlc_bars",
     "feature_logistic_gd",
     "multimodal_audio_spectral",
+    "similarity_range_search",
+    # graph_connected_components is registry+stress only: its wall time
+    # is fixpoint-round latency (diameter rounds of ~1s scheduling), not
+    # data cost — the 1x/10x stress exponent (0.06) is the honest
+    # measurement; a headline wall number would mislead
 ]
 
 
@@ -13484,3 +13489,118 @@ def timeseries_ohlc_bars(spark, sf_dir):
                  F.round(F.max_by("value", tie), 6).alias("close"),
                  F.sum(F.col("value").cast("decimal(18,4)"))
                  .cast("double").alias("volume")))
+
+
+def _range_search_oracle_sql(threshold: float = 0.3, bits: int = 6,
+                             seeds: tuple = (42, 137, 271)) -> str:
+    """DuckDB replay of the LSH radius search: identical seeded planes,
+    identical normalize-then-dot linear fold (bit-for-bit cosines, same
+    as the knn_join oracle), any-table collision OR, threshold filter on
+    the RAW cosine — rounding is display-only in both engines."""
+    buckets = ",\n             ".join(
+        f"{_hyperplane_bucket_sql('embedding', bits, s)} AS b{i}"
+        for i, s in enumerate(seeds))
+    coll = " OR ".join(f"a.b{i} = c.b{i}" for i in range(len(seeds)))
+    sq = ("list_sum(list_transform(range(1, 65), "
+          "i -> CAST(embedding[i] AS DOUBLE) "
+          "* CAST(embedding[i] AS DOUBLE)))")
+    dot = ("list_sum(list_transform(range(1, 65), "
+           "i -> a.u[i] * c.u[i]))")
+    return f"""
+    WITH b AS (
+      SELECT vec_id, embedding,
+             list_transform(range(1, 65),
+               i -> CAST(embedding[i] AS DOUBLE) / sqrt({sq})) AS u,
+             {buckets}
+      FROM embeddings),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS src, c.vec_id AS nbr,
+             {dot} AS cosine
+      FROM b a JOIN b c ON a.vec_id <> c.vec_id AND ({coll}))
+    SELECT src, nbr, ROUND(cosine, 6) AS cosine
+    FROM cand WHERE cosine >= {threshold}
+    """
+
+
+@_q("similarity_range_search", _range_search_oracle_sql())
+def similarity_range_search(spark, sf_dir):
+    """Approximate RADIUS self-search (similarity.range_search): every
+    directed pair with cosine >= 0.3 among collisions across the same 3
+    sign-bucket LSH tables as similarity_knn_join — fixed-similarity-bar
+    retrieval (near-dup review queues, recall-bounded linking) instead
+    of fixed-count top-k. Candidate generation is shared with knn_join
+    (bucket-local equi-joins, one exact cosine per distinct directed
+    pair); the plan is join -> filter with NO window — output is
+    match-proportional. The oracle replays the planes, the fold, and
+    the threshold."""
+    from .operators.similarity import range_search
+
+    emb = _t(spark, sf_dir, "embeddings")
+    out = range_search(emb, threshold=0.3, bits=6)
+    return out.withColumn("cosine", F.round("cosine", 6))
+
+
+_CC_EDGE_SQL = """
+      SELECT d.doc_id AS src, d.doc_id - 1 AS dst
+      FROM documents d
+      WHERE d.doc_id % 7 <> 0
+        AND EXISTS (SELECT 1 FROM documents x
+                    WHERE x.doc_id = d.doc_id - 1)
+      UNION
+      SELECT d.doc_id AS src,
+             (d.doc_id * 17) % (SELECT COUNT(*) FROM documents) AS dst
+      FROM documents d
+      WHERE d.doc_id % 101 = 0
+        AND (d.doc_id * 17) % (SELECT COUNT(*) FROM documents)
+            <> d.doc_id
+        AND EXISTS (SELECT 1 FROM documents x
+                    WHERE x.doc_id =
+                      (d.doc_id * 17) % (SELECT COUNT(*) FROM documents))
+"""
+
+
+@_q(
+    "graph_connected_components",
+    f"""
+    WITH RECURSIVE
+    e0 AS MATERIALIZED ({_CC_EDGE_SQL}),
+    e AS MATERIALIZED (
+      SELECT src, dst FROM e0
+      UNION
+      SELECT dst AS src, src AS dst FROM e0),
+    nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e),
+    reach(node, lab) AS (
+      SELECT node, node AS lab FROM nodes
+      UNION
+      SELECT e.dst AS node, r.lab
+      FROM reach r JOIN e ON e.src = r.node)
+    SELECT node, MIN(lab) AS component,
+           (MIN(lab) = node) AS is_root
+    FROM reach GROUP BY node
+    """,
+)
+def graph_connected_components(spark, sf_dir):
+    """Connected components (graph.connected_components) over a
+    deterministic multi-component link graph: 7-long doc-id chains
+    (doc -> doc-1 unless doc%7=0) plus sparse cross-links
+    (doc%101=0 -> doc*17 mod N) that merge chains — the transitive
+    closure every dedup-family / entity-resolution pipeline needs on
+    raw edges. HashMin label propagation: one edges-join-labels +
+    groupBy-min per round, O(E) shuffle rows, early exit at fixpoint
+    (exact CC — no iteration count to pin). The oracle computes the
+    same components via a recursive reachability CTE and takes the
+    min reachable id per node."""
+    from .operators.graph import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    n = docs.count()
+    chain = (docs.where(F.col("doc_id") % 7 != 0)
+             .select(F.col("doc_id").alias("src"),
+                     (F.col("doc_id") - 1).alias("dst")))
+    cross = (docs.where(F.col("doc_id") % 101 == 0)
+             .select(F.col("doc_id").alias("src"),
+                     ((F.col("doc_id") * 17) % n).alias("dst"))
+             .where(F.col("dst") != F.col("src")))
+    edges = (chain.unionByName(cross)
+             .join(docs.select(F.col("doc_id").alias("dst")), "dst"))
+    return connected_components(edges)

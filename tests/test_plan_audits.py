@@ -553,3 +553,15 @@ def test_knn_join_bucketed_hash_joins_no_cartesian(spark, sf_dir):
     assert "CartesianProduct" not in tree
     assert "BroadcastNestedLoopJoin" not in tree
     assert tree.count("ShuffledHashJoin") == 3
+
+
+def test_range_search_bucketed_no_window_no_cartesian(spark, sf_dir):
+    """Radius search must share knn_join's bucket-local candidate shape
+    (T shuffled hash joins, never cartesian/BNL) and — unlike top-k —
+    plan NO window at all: join -> filter, output match-proportional."""
+    plan = plan_of(QUERIES["similarity_range_search"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "CartesianProduct" not in tree
+    assert "BroadcastNestedLoopJoin" not in tree
+    assert tree.count("ShuffledHashJoin") == 3
+    assert "Window" not in tree

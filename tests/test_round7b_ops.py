@@ -96,3 +96,38 @@ def test_materialize_forces_projection_and_handles_maps(spark):
     mdf = spark.range(3).select(
         F.create_map(F.lit("k"), F.col("id")).alias("m"))
     assert materialize(mdf) == 3  # to_json fallback path
+
+
+def test_connected_components_known_graph(spark):
+    from flink_cdc_dsql_master_spark.operators.graph import (
+        connected_components)
+
+    # two components {1,2,3,4} (chain + cross edge) and {10,11};
+    # edge direction must not matter, parallel edges must not matter
+    edges = spark.createDataFrame(
+        [(1, 2), (3, 2), (3, 4), (4, 1), (4, 1), (11, 10)],
+        "src long, dst long")
+    out = {r["node"]: (r["component"], r["is_root"])
+           for r in connected_components(edges).collect()}
+    assert out == {1: (1, True), 2: (1, False), 3: (1, False),
+                   4: (1, False), 10: (10, True), 11: (10, False)}
+
+
+def test_range_search_matches_bruteforce_on_collisions(spark):
+    from flink_cdc_dsql_master_spark.operators.similarity import (
+        knn_join, range_search)
+
+    emb = (spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+           .limit(100))
+    # range_search == knn_join's candidate set filtered by threshold:
+    # every returned pair clears the bar, and every knn pair clearing
+    # the bar is returned (same planes -> same candidate universe)
+    tau = 0.25
+    got = {(r["src"], r["nbr"]) for r in
+           range_search(emb, threshold=tau, bits=4).collect()}
+    ref = {(r["src"], r["nbr"]) for r in
+           knn_join(emb, k=10**9, bits=4).where(
+               F.col("cosine") >= tau).collect()}
+    assert got == ref and all(
+        r["cosine"] >= tau for r in
+        range_search(emb, threshold=tau, bits=4).collect())

@@ -114,7 +114,27 @@ TARGETS = [
     # bank (per-clip matmul over mapInPandas, shuffle-free)
     "text_normalize_unicode",
     "multimodal_audio_spectral",
+    # round-7 continuation, wave 2: cross-document span dedup (token-
+    # grain windows + ONE gram-grain shuffle — the heaviest text op,
+    # expect e ~ gram-table growth) and connected components over the
+    # 10x chain+cross link graph (HashMin rounds bound by component
+    # diameter, which the id-derived graph keeps CONSTANT as N grows —
+    # expect e ~ per-round edge scan)
+    "text_dedup_spans",
+    "graph_connected_components",
 ]
+
+
+def _range_search_auto(spark, sf_dir):
+    """range_search with bits=None (auto bucket width): like
+    _knn_join_auto, the scale-path configuration the fixed-bits oracle
+    can't measure — constant expected occupancy keeps candidate work
+    linear, and the threshold filter makes output match-proportional."""
+    from flink_cdc_dsql_master_spark.operators.similarity import (
+        range_search)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return range_search(emb, threshold=0.3, bits=None)
 
 
 def _knn_join_auto(spark, sf_dir):
@@ -132,7 +152,8 @@ def _knn_join_auto(spark, sf_dir):
 
 # operator-level targets: measured like TARGETS but defined by a
 # callable(spark, sf_dir) instead of a registry query name
-EXTRA_TARGETS = {"similarity_knn_join_auto": _knn_join_auto}
+EXTRA_TARGETS = {"similarity_knn_join_auto": _knn_join_auto,
+                 "similarity_range_search_auto": _range_search_auto}
 
 
 def _salt_token(tok: str, r: int) -> str:
@@ -202,7 +223,8 @@ def generate() -> None:
         f.write(GEN_VERSION)
 
 
-def run(passes: int, out_path: str) -> int:
+def run(passes: int, out_path: str,
+        only: list[str] | None = None) -> int:
     sys.path.insert(0, REPO)
     from flink_cdc_dsql_master_spark.queries import QUERIES
     from flink_cdc_dsql_master_spark.session import get_spark
@@ -211,9 +233,20 @@ def run(passes: int, out_path: str) -> int:
     if not os.path.isdir(warm):
         warm = SF1_DIR
 
+    # --only re-measures a subset and MERGES into the existing file
+    # (adding a target must not force a 30-minute full sweep; the
+    # preserved entries keep their measured numbers)
     results: dict[str, dict] = {}
+    if only and os.path.exists(out_path):
+        with open(out_path) as f:
+            results = json.load(f).get("results", {})
     all_targets = [(n, QUERIES[n]) for n in TARGETS] \
         + list(EXTRA_TARGETS.items())
+    if only:
+        all_targets = [(n, fn) for n, fn in all_targets if n in only]
+        missing = set(only) - {n for n, _ in all_targets}
+        if missing:
+            raise SystemExit(f"unknown stress targets: {sorted(missing)}")
     for name, fn in all_targets:
         # fresh session per query: a shared session lets one operator's
         # leftover shuffle files / GC / Python-worker pressure contaminate
@@ -263,6 +296,9 @@ def main() -> int:
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--out", default=os.path.join(REPO, "SCALE_STRESS.json"))
     ap.add_argument("--generate-only", action="store_true")
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="re-measure just these targets, merging into "
+                         "the existing out file")
     args = ap.parse_args()
     marker = os.path.join(SF10_DIR, ".gen_version")
     current = (open(marker).read().strip()
@@ -275,7 +311,7 @@ def main() -> int:
         generate()
     if args.generate_only:
         return 0
-    return run(args.passes, args.out)
+    return run(args.passes, args.out, only=args.only)
 
 
 if __name__ == "__main__":
