@@ -470,11 +470,13 @@ def dup_clusters(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
     A~B, B~C ⇒ one cluster {A,B,C} even if A≁C directly).
 
     Scale: each round is one hash-join edges⋈labels plus a groupBy-min —
-    O(E) shuffle rows, never adjacency materialization — and HashMin
-    converges in O(component diameter) rounds. Dup components are
-    near-cliques (diameter 2-3), so a handful of rounds; `max_iters`
-    bounds pathological chains (large-star/small-star would square-root
-    the rounds, not needed for dup graphs). Labels are localCheckpoint-ed
+    O(E) shuffle rows, never adjacency materialization — preceded by a
+    pointer-jumping shortcut (label := min(label, label[label]), one
+    N-row self-join) that collapses label chains geometrically, so
+    convergence is O(log diameter) rounds rather than O(diameter):
+    dup near-cliques finish in 2-3 rounds as before, and pathological
+    chains (generic `graph.connected_components` inputs) no longer
+    scale rounds with path length. Labels are localCheckpoint-ed
     each round — iterative plans MUST truncate lineage or the nested
     plan grows with the iteration count (a 12-round chain OOMs a 4 GB
     driver on plan bookkeeping alone); on a real cluster with flaky
@@ -488,16 +490,37 @@ def dup_clusters(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
     lab = (nodes.select(F.col(id_col).alias("node")).distinct()
            .withColumn("label", F.col("node")).localCheckpoint())
     for _ in range(max_iters):
+        # pointer-jumping shortcut (the large-star/small-star idea in
+        # its simplest sound form): label := min(label, label[label]).
+        # A label is always the id of a component member, so its OWN
+        # label is too — jumping is safe and collapses label chains
+        # geometrically, turning O(diameter) rounds into O(log
+        # diameter). On a 100 TB entity graph with long paths this is
+        # the difference between ~10 and ~1000 shuffle rounds; cost is
+        # one N-row id⋈id self-join of the (checkpointed) label frame.
+        par = lab.select(F.col("node").alias("__pn"),
+                         F.col("label").alias("__pl"))
+        jumped = (
+            lab.join(par, lab["label"] == par["__pn"], "left")
+            .select(
+                F.col("node"),
+                F.col("label").alias("old"),
+                F.least(F.col("label"),
+                        F.coalesce(F.col("__pl"), F.col("label")))
+                .alias("label"),
+            )
+        )
         nbr_min = (
-            edges.join(lab, edges["src"] == lab["node"])
+            edges.join(jumped, edges["src"] == jumped["node"])
             .groupBy(F.col("dst").alias("nbr_node"))
             .agg(F.min("label").alias("nbr_min"))
         )
         new = (
-            lab.join(nbr_min, lab["node"] == nbr_min["nbr_node"], "left")
+            jumped.join(nbr_min, jumped["node"] == nbr_min["nbr_node"],
+                        "left")
             .select(
                 F.col("node"),
-                F.col("label").alias("old"),
+                F.col("old"),
                 F.least(F.col("label"),
                         F.coalesce(F.col("nbr_min"), F.col("label")))
                 .alias("label"),

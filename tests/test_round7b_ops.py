@@ -131,3 +131,19 @@ def test_range_search_matches_bruteforce_on_collisions(spark):
     assert got == ref and all(
         r["cosine"] >= tau for r in
         range_search(emb, threshold=tau, bits=4).collect())
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 200-node path graph has diameter 199: plain HashMin would need
+    ~200 rounds and FAIL under max_iters=12; the pointer-jumping
+    shortcut must converge it in O(log n) rounds to the single
+    component labeled by the minimum id."""
+    from flink_cdc_dsql_master_spark.operators.graph import (
+        connected_components)
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "src long, dst long")
+    out = connected_components(edges, max_iters=12).collect()
+    assert len(out) == 201
+    assert all(r["component"] == 0 for r in out)
+    assert sum(r["is_root"] for r in out) == 1
