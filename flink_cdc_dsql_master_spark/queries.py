@@ -13604,3 +13604,185 @@ def graph_connected_components(spark, sf_dir):
     edges = (chain.unionByName(cross)
              .join(docs.select(F.col("doc_id").alias("dst")), "dst"))
     return connected_components(edges)
+
+
+@_q(
+    "streaming_sketch_replay",
+    """
+    WITH hashes AS (
+      SELECT DISTINCT event_type,
+             md5('kmv' || CAST(user_id AS VARCHAR)) AS h
+      FROM events),
+    ranked AS (
+      SELECT event_type, h,
+             ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM hashes),
+    agg AS (
+      SELECT event_type, MAX(rn) AS n_kept,
+             MAX(CASE WHEN rn = 64 THEN h END) AS hk
+      FROM ranked WHERE rn <= 64 GROUP BY event_type),
+    est AS (
+      SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept,
+             ROUND(CASE WHEN n_kept < 64 THEN CAST(n_kept AS DOUBLE)
+                   ELSE 63.0 / (('0x' || substr(hk, 1, 13))::BIGINT
+                                / 4503599627370496.0) END, 4)
+               AS distinct_est
+      FROM agg),
+    ex AS (
+      SELECT event_type,
+             CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+      FROM events GROUP BY event_type)
+    SELECT e.event_type, est.n_kept, est.distinct_est, e.exact_distinct
+    FROM est JOIN ex e USING (event_type)
+    """,
+)
+def streaming_sketch_replay(spark, sf_dir):
+    """Streaming KMV distinct-count fold through a RESTARTED
+    checkpointed pipeline, hash-checked against the batch sketch —
+    upgrades the streaming-sketch-fold row from unit to oracle
+    evidence: events split into two time-ordered JSON batches stream
+    through a foreachBatch kmv_apply_batch fold (bounded state: 64
+    hashes per group FOREVER, swapped crash-safely via
+    swap_parquet_dir), run 2 restarts from the same checkpoint with
+    the surviving parquet state. Because KMV merge is a lossless
+    set-union-keep-k, the fold is order-independent AND idempotent
+    under replay — the final estimate (including its approximation
+    error) must equal the single-pass batch sketch md5-exactly, which
+    is what the oracle replays."""
+    import json as _json
+    import os
+    import tempfile
+
+    from .operators.sketches import kmv_apply_batch, kmv_estimate
+    from .sinks import read_parquet_state, swap_parquet_dir
+
+    ev = _events_table(spark, sf_dir).select(
+        "ts", "event_type", "user_id")
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    cutoff = lo + (hi - lo) / 2
+    rows = ev.select("event_type", "user_id",
+                     (F.col("ts") < F.lit(cutoff)).alias("early")
+                     ).collect()
+
+    base = tempfile.mkdtemp(prefix="stream_kmv_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    state = os.path.join(base, "kmv_state")
+    os.mkdir(src)
+
+    def fold(df, _bid):
+        st = read_parquet_state(spark, state)
+        swap_parquet_dir(
+            kmv_apply_batch(st, df, "user_id", ["event_type"], k=64),
+            state)
+
+    def run_batch(fname, batch_rows):
+        with open(os.path.join(src, fname), "w") as f:
+            for r in batch_rows:
+                f.write(_json.dumps({"event_type": r["event_type"],
+                                     "user_id": r["user_id"]}) + "\n")
+        stream = (spark.readStream
+                  .schema("event_type string, user_id long")
+                  .json(src))
+        q = (stream.writeStream.foreachBatch(fold)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_batch("b1.json", [r for r in rows if r["early"]])
+    run_batch("b2.json", [r for r in rows if not r["early"]])
+
+    sk = kmv_estimate(read_parquet_state(spark, state),
+                      ["event_type"], k=64)
+    exact = (ev.groupBy("event_type")
+             .agg(F.countDistinct("user_id").cast("long")
+                  .alias("exact_distinct")))
+    return (sk.join(exact, "event_type")
+            .select("event_type", F.col("n_kept").cast("long"),
+                    "distinct_est", "exact_distinct"))
+
+
+@_q("streaming_kmeans_replay", _kmeans_inc_oracle_sql())
+def streaming_kmeans_replay(spark, sf_dir):
+    """Streaming mini-batch K-MEANS state fold through a RESTARTED
+    checkpointed pipeline — the model-state counterpart of
+    streaming_sketch_replay, upgrading the kmeans-fold row from unit to
+    oracle evidence: the embeddings corpus streams as two JSON batches
+    (even then odd ids, the exact split embedding_kmeans_incremental
+    replays), each micro-batch assigns against the centroids DERIVED
+    FROM the surviving state, collapses to linear-mergeable (cluster,
+    dim, n, sum) rows and folds them in crash-safely
+    (swap_parquet_dir); run 2 restarts from the same checkpoint. The
+    post-fold centroids are check-pointed per batch so the
+    empty-cluster fallback base chains exactly like the batch
+    incremental fold — the final full-corpus assignment must replay
+    the SAME unrolled oracle md5-exactly."""
+    import json as _json
+    import os
+    import tempfile
+
+    from .operators.similarity import (_kmeans_argmin,
+                                       kmeans_centroids_of,
+                                       kmeans_merge_state,
+                                       kmeans_state_from_batch)
+    from .sinks import read_parquet_state, swap_parquet_dir
+
+    emb = _t(spark, sf_dir, "embeddings")
+    b1 = emb.where(F.col("vec_id") % 2 == 0)
+    init = (b1.select(F.col("vec_id").alias("id"),
+                      F.col("embedding").cast("array<double>").alias("v"))
+            .orderBy("id").limit(8).collect())
+    c0 = [[float(x) for x in r["v"]] for r in init]
+
+    base = tempfile.mkdtemp(prefix="stream_km_")
+    src, ckpt = os.path.join(base, "src"), os.path.join(base, "ckpt")
+    state = os.path.join(base, "km_state")
+    cent_path = os.path.join(base, "centroids.json")
+    os.mkdir(src)
+
+    def fold(df, _bid):
+        st = read_parquet_state(spark, state)
+        if os.path.exists(cent_path):
+            with open(cent_path) as f:
+                cur = _json.load(f)
+        else:
+            cur = c0
+        delta = kmeans_state_from_batch(df, cur)
+        merged = (kmeans_merge_state(st, delta)
+                  if st is not None else delta)
+        swap_parquet_dir(merged, state)
+        nxt = kmeans_centroids_of(
+            read_parquet_state(spark, state).collect(), cur)
+        tmp = cent_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump(nxt, f)
+        os.replace(tmp, cent_path)
+
+    def run_batch(fname, pred):
+        rows = (emb.where(pred)
+                .select("vec_id",
+                        F.col("embedding").cast("array<double>")
+                        .alias("embedding")).collect())
+        with open(os.path.join(src, fname), "w") as f:
+            for r in rows:
+                f.write(_json.dumps(
+                    {"vec_id": r["vec_id"],
+                     "embedding": [float(x) for x in r["embedding"]]})
+                    + "\n")
+        stream = (spark.readStream
+                  .schema("vec_id long, embedding array<double>")
+                  .json(src))
+        q = (stream.writeStream.foreachBatch(fold)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(300)
+
+    run_batch("b1.json", F.col("vec_id") % 2 == 0)
+    run_batch("b2.json", F.col("vec_id") % 2 == 1)
+
+    with open(cent_path) as f:
+        c2 = _json.load(f)
+    v = emb.select(F.col("vec_id"),
+                   F.col("embedding").cast("array<double>").alias("v"))
+    best = _kmeans_argmin(c2, 9)
+    return v.select("vec_id", best["i"].alias("cluster"),
+                    F.round(best["d"], 6).alias("dist"))
