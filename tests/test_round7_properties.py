@@ -71,3 +71,37 @@ def test_ntile_inverse_matches_definition(n, k):
         return r + math.ceil((i - thr) / q)
 
     assert [closed(i) for i in range(1, n + 1)] == tiles
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                min_size=1, max_size=60))
+def test_connected_components_equals_union_find(spark, raw_edges):
+    """For ANY random edge list (self-loops, parallel edges, arbitrary
+    direction), the pointer-jumping HashMin loop computes exactly the
+    components a sequential union-find does, labeled by min id."""
+    from flink_cdc_dsql_master_spark.operators.graph import (
+        connected_components)
+
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw_edges:
+        parent[find(a)] = find(b)
+    nodes = {n for e in raw_edges for n in e}
+    want = {}
+    for n in sorted(nodes):
+        root = find(n)
+        want.setdefault(root, []).append(n)
+    expect = {n: min(members) for members in want.values()
+              for n in members}
+
+    edges = spark.createDataFrame(raw_edges, "src long, dst long")
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == expect
