@@ -52,7 +52,7 @@ REPLICAS = 10
 # decontaminate's eval split, replica-invariant).
 VEC_ID_STRIDE = 100_000     # keeps the vec_id < 5 query set fixed
 REWRITE_PCT = 35
-GEN_VERSION = "v2-dense-ids"
+GEN_VERSION = "v3-scaled-events"
 
 
 def _doc_stride(n_docs: int) -> int:
@@ -122,6 +122,22 @@ TARGETS = [
     # expect e ~ per-round edge scan)
     "text_dedup_spans",
     "graph_connected_components",
+    # round-7 continuation, wave 3: the EVENTS family, unlocked by the
+    # 10x events synthesizer (disjoint user-id blocks, fixed time range
+    # -> 10x density). Expected shapes: sessionize/cusum/CEP are keyed
+    # windows over 10x more users (e ~ scan); rolling distinct + HLL
+    # collapse to bounded grains map-side; OHLC output is bounded by
+    # (type x hour) so only the aggregation input grows; the sliding
+    # window and CUMULATE expand each row into a bounded number of
+    # window instances before the keyed agg.
+    "sessionize_events",
+    "sketch_rolling_distinct_users",
+    "sketch_hll_distinct",
+    "timeseries_cusum_alarms",
+    "events_pattern_match",
+    "timeseries_ohlc_bars",
+    "agg_sliding_window",
+    "window_cumulate",
 ]
 
 
@@ -212,10 +228,35 @@ def generate() -> None:
         names=["vec_id", "embedding", "label"])
     pq.write_table(tbl, os.path.join(SF10_DIR, "embeddings.parquet"))
 
-    # the five targets only read documents/embeddings; link the rest so
-    # the directory is a drop-in sf_dir for any query.
-    for name in ("region nation customer supplier part orders lineitem "
-                 "events").split():
+    # events scale too (round-7 continuation: unlocks measured
+    # exponents for the events family — sessionize, rolling distinct,
+    # CUSUM, OHLC, CEP). Replica r shifts event_id by a dense stride
+    # and user_id by a multiple of 2310 = 2·3·5·7·11, so every
+    # user_id % {2,3,5,7,10,11} class a query filters on is preserved
+    # per replica: per-user event streams replicate exactly, distinct
+    # users / sessions / alarm streams grow 10x, the time range stays
+    # fixed (10x density — the honest regime for windowed aggs).
+    evsrc = pq.read_table(os.path.join(SF1_DIR, "events.parquet"))
+    n_ev = evsrc.num_rows
+    max_uid = int(pa.compute.max(evsrc.column("user_id")).as_py())
+    u_stride = ((max_uid + 2310) // 2310) * 2310
+    ev_parts = []
+    for r in range(REPLICAS):
+        ev_parts.append(pa.Table.from_arrays(
+            [pa.compute.add(evsrc.column("event_id"), r * n_ev),
+             evsrc.column("ts"),
+             pa.compute.add(evsrc.column("user_id"), r * u_stride),
+             evsrc.column("event_type"),
+             evsrc.column("value"),
+             evsrc.column("props")],
+            schema=evsrc.schema))
+    pq.write_table(pa.concat_tables(ev_parts),
+                   os.path.join(SF10_DIR, "events.parquet"))
+
+    # the scaled targets read documents/embeddings/events; link the rest
+    # so the directory is a drop-in sf_dir for any query.
+    for name in ("region nation customer supplier part orders "
+                 "lineitem").split():
         dst = os.path.join(SF10_DIR, f"{name}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SF1_DIR, f"{name}.parquet"), dst)
