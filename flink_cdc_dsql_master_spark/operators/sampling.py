@@ -418,3 +418,28 @@ def kcenter_coreset(df: DataFrame, vec_col: str = "embedding",
             .localCheckpoint())
     return spark.createDataFrame(
         out, "round int, center_id long, radius double")
+
+
+def deterministic_shuffle(df: DataFrame, id_col: str,
+                          salt: str = "shuf") -> DataFrame:
+    """Seeded, deterministic corpus shuffle — the training-order
+    assignment every epoch of a data loader needs at 100 TB: each row
+    gets a contiguous global position 0..N-1 in md5(salt || id) order,
+    so the 'random' order is reproducible from the salt alone (change
+    the salt per epoch for a fresh permutation) and any shard
+    [k·B, (k+1)·B) can be read back by a range predicate on the
+    position.
+
+    Plan: the hash's leading byte is a monotone 256-ary bucket for
+    :func:`distributed_rank`, so positions come from per-bucket
+    row_numbers plus broadcast prefix-sum offsets — fully parallel,
+    never the single-partition sort a global ORDER BY row_number
+    would plan. One groupBy collapse + one bucketed window.
+    Returns (``id_col``, shuffle_pos)."""
+    h = F.md5(F.concat(F.lit(salt), F.col(id_col).cast("string")))
+    b = df.select(F.col(id_col), h.alias("__h"))
+    bkt = F.conv(F.substring("__h", 1, 2), 16, 10).cast("long")
+    ranked = distributed_rank(
+        b, [F.col("__h").asc(), F.col(id_col).asc()], bkt, out="__i")
+    return ranked.select(
+        id_col, (F.col("__i") - 1).cast("long").alias("shuffle_pos"))

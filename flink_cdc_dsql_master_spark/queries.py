@@ -13786,3 +13786,27 @@ def streaming_kmeans_replay(spark, sf_dir):
     best = _kmeans_argmin(c2, 9)
     return v.select("vec_id", best["i"].alias("cluster"),
                     F.round(best["d"], 6).alias("dist"))
+
+
+@_q(
+    "sample_corpus_shuffle",
+    """
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY md5('shuf' || CAST(doc_id AS VARCHAR)), doc_id)
+             AS BIGINT) - 1 AS shuffle_pos
+    FROM documents
+    """,
+)
+def sample_corpus_shuffle(spark, sf_dir):
+    """Deterministic seeded corpus shuffle (sampling.
+    deterministic_shuffle): every document gets a contiguous global
+    training-order position in md5(salt||id) order — reproducible from
+    the salt alone, shardable by position range. The position is a
+    distributed_rank (leading-hash-byte buckets + broadcast prefix-sum
+    offsets), so the plan has NO single-partition sort; the oracle
+    replays the same hash order with a literal global row_number."""
+    from .operators.sampling import deterministic_shuffle
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    return deterministic_shuffle(docs, "doc_id")
