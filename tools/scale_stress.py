@@ -3,11 +3,13 @@
 Correctness is oracle-saturated; this tool produces the *measured*
 evidence that the expensive operators scale as SCALE.md claims. It
 
-1. synthesizes a ~10x variant of the sf0.1 `documents` and `embeddings`
-   tables under .scale_data/sf10x (deterministic, seed-free: every
-   perturbation is a crc32 of (token, replica) or a replica-seeded
-   numpy stream, so reruns produce byte-identical data), and
-2. times the five most expensive bench operators at 1x (sf0.1) and 10x,
+1. synthesizes a ~10x variant of the sf0.1 `documents`, `embeddings`,
+   `events`, `orders` and `lineitem` tables under .scale_data/sf10x
+   (deterministic, seed-free: every perturbation is a crc32 of
+   (token, replica), a replica-seeded numpy stream, or a pure modular
+   id shift, so reruns produce byte-identical data; dimension tables
+   stay fixed — 10x facts per dim row), and
+2. times the measured operator set at 1x (sf0.1) and 10x,
    reporting the scaling exponent  e = log(t10/t1) / log(10).
 
 e == 1.0 is perfectly linear; the gate we document in SCALE.md is
@@ -52,7 +54,7 @@ REPLICAS = 10
 # decontaminate's eval split, replica-invariant).
 VEC_ID_STRIDE = 100_000     # keeps the vec_id < 5 query set fixed
 REWRITE_PCT = 35
-GEN_VERSION = "v3-scaled-events"
+GEN_VERSION = "v4-scaled-facts"
 
 
 def _doc_stride(n_docs: int) -> int:
@@ -138,6 +140,19 @@ TARGETS = [
     "timeseries_ohlc_bars",
     "agg_sliding_window",
     "window_cumulate",
+    # round-7 continuation, wave 4: the classic join/agg family over
+    # 10x orders+lineitem (fixed dims). Expected shapes: pricing
+    # summary / product profit are partial-agg scans (e ~ scan);
+    # customer-orders and local-supplier-revenue shuffle the fact side
+    # once with broadcast dims; exact quantiles = stats job + bucketed
+    # rank; top-k window partitions by customer (10x rows per key,
+    # no single-partition sort).
+    "agg_pricing_summary",
+    "agg_product_profit",
+    "join_customer_orders",
+    "join_local_supplier_revenue",
+    "agg_exact_quantiles_rank",
+    "topk_orders_window",
 ]
 
 
@@ -253,10 +268,35 @@ def generate() -> None:
     pq.write_table(pa.concat_tables(ev_parts),
                    os.path.join(SF10_DIR, "events.parquet"))
 
-    # the scaled targets read documents/embeddings/events; link the rest
-    # so the directory is a drop-in sf_dir for any query.
-    for name in ("region nation customer supplier part orders "
-                 "lineitem").split():
+    # orders + lineitem scale too (round-7 continuation wave 4: the
+    # classic join/agg family gets measured exponents). Replica r
+    # shifts the order key by a multiple of 720720 = lcm(1..16), so
+    # every o_orderkey % m class a query filters on is preserved and
+    # the orders↔lineitem FK stays consistent; customer/part/supplier
+    # dims stay fixed (10x facts per dim row — the production shape).
+    k_stride = 720720
+    osrc = pq.read_table(os.path.join(SF1_DIR, "orders.parquet"))
+    o_parts = []
+    for r in range(REPLICAS):
+        o_parts.append(pa.Table.from_arrays(
+            [pa.compute.add(osrc.column("o_orderkey"), r * k_stride)]
+            + [osrc.column(c) for c in osrc.schema.names[1:]],
+            schema=osrc.schema))
+    pq.write_table(pa.concat_tables(o_parts),
+                   os.path.join(SF10_DIR, "orders.parquet"))
+    lsrc = pq.read_table(os.path.join(SF1_DIR, "lineitem.parquet"))
+    l_parts = []
+    for r in range(REPLICAS):
+        l_parts.append(pa.Table.from_arrays(
+            [pa.compute.add(lsrc.column("l_orderkey"), r * k_stride)]
+            + [lsrc.column(c) for c in lsrc.schema.names[1:]],
+            schema=lsrc.schema))
+    pq.write_table(pa.concat_tables(l_parts),
+                   os.path.join(SF10_DIR, "lineitem.parquet"))
+
+    # the scaled targets read documents/embeddings/events/orders/
+    # lineitem; link the dims so the directory is a drop-in sf_dir.
+    for name in ("region nation customer supplier part").split():
         dst = os.path.join(SF10_DIR, f"{name}.parquet")
         if not os.path.exists(dst):
             os.symlink(os.path.join(SF1_DIR, f"{name}.parquet"), dst)
