@@ -1079,3 +1079,45 @@ def audio_dominant_freq(df: DataFrame, payload_col: str = "payload",
                 {id_col: ids, "dom_freq_hz": doms, "n_samples": lens})
 
     return df.mapInPandas(run, out_schema)
+
+
+def image_ahash(df: DataFrame, payload_col: str = "payload",
+                id_col: str = "media_id", grid: int = 8) -> DataFrame:
+    """Perceptual average-hash per image (the aHash of image near-dup
+    dedup): decode with the REAL PPM kernel, sample a grid×grid
+    nearest-neighbor thumbnail (sx=(i·W)//grid, the resize_images index
+    map), grayscale each sample INTEGER-exactly (gray=(r+g+b)//3), and
+    emit one bit per cell — 1 iff gray·grid² > Σgray (the all-integer
+    form of 'above the thumbnail mean', so an SQL oracle replays every
+    bit). Returns (id, ahash) with ahash a row-major '0'/'1' string:
+    equal strings = perceptual duplicates (payload bytes may differ —
+    compression noise, dithering, metadata — wherever the sampled
+    grid doesn't look).
+
+    Scale shape: payload bytes never shuffle (decode+hash runs in the
+    Arrow map stage, output is id + 64 chars); downstream grouping by
+    the hash is ONE shuffle at the deduplicated-hash grain."""
+    import pandas as pd
+
+    def run(batches):
+        import numpy as np
+
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf[id_col], pdf[payload_col]):
+                if payload is None:
+                    continue
+                arr = decode_ppm(bytes(payload)).astype(np.int64)
+                h, w, _ = arr.shape
+                sy = (np.arange(grid) * h) // grid
+                sx = (np.arange(grid) * w) // grid
+                cells = arr[np.ix_(sy, sx)]          # (grid, grid, 3)
+                gray = cells.sum(axis=-1) // 3       # integer grayscale
+                total = int(gray.sum())
+                bits = (gray * (grid * grid) > total).astype(np.uint8)
+                rows.append((int(mid),
+                             "".join("1" if b else "0"
+                                     for b in bits.ravel())))
+            yield pd.DataFrame(rows, columns=[id_col, "ahash"])
+
+    return df.mapInPandas(run, f"{id_col} long, ahash string")

@@ -13810,3 +13810,78 @@ def sample_corpus_shuffle(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents").select("doc_id")
     return deterministic_shuffle(docs, "doc_id")
+
+
+@_q(
+    "multimodal_image_dedup",
+    """
+    WITH imgs AS MATERIALIZED (
+      SELECT doc_id, doc_id % 7 AS g
+      FROM documents WHERE doc_id < 300),
+    cells AS (
+      SELECT m.doc_id, b.j, a.i,
+             (((2*a.i*37 + m.g*3) % 256) + ((2*b.j*53 + m.g*5) % 256)
+              + ((2*a.i*7 + 2*b.j*11 + m.g) % 256)) // 3 AS gray
+      FROM imgs m, unnest(range(0, 8)) a(i), unnest(range(0, 8)) b(j)),
+    tot AS (
+      SELECT doc_id, SUM(gray) AS s FROM cells GROUP BY doc_id),
+    h AS (
+      SELECT c.doc_id,
+             string_agg(CASE WHEN c.gray * 64 > t.s THEN '1'
+                             ELSE '0' END, '' ORDER BY c.j, c.i)
+               AS ahash
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id)
+    SELECT ahash, CAST(COUNT(*) AS BIGINT) AS n_members,
+           MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc
+    FROM h GROUP BY 1
+    """,
+)
+def multimodal_image_dedup(spark, sf_dir):
+    """Perceptual image near-dup dedup (multimodal.image_ahash): per-doc
+    16x16 P6 payloads — seven base gradients keyed by doc_id%7, plus a
+    PER-DOC dither on odd-(x+y) pixels so no two same-gradient payloads
+    are byte-identical — decode with the real PPM kernel, aHash over
+    the 8x8 nearest-neighbor grid (even coordinates: the dither is
+    invisible to the hash, exactly like compression noise), and group
+    by the hash. Payloads collapse into the perceptual classes the
+    hash induces (nearby gradients legitimately share a hash) even
+    though every payload's bytes are unique — the image twin of
+    content-chunk dedup. The oracle replays the sampled pixels,
+    integer grayscale, and threshold bits cell-for-cell."""
+    from pyspark.sql.functions import pandas_udf
+
+    from .operators.multimodal import image_ahash
+
+    @pandas_udf("binary")
+    def synth(ids):
+        import numpy as np
+
+        def one(i):
+            i = int(i)
+            g = i % 7
+            x = np.arange(16)
+            y = np.arange(16)[:, None]
+            r = np.broadcast_to((x * 37 + g * 3) % 256, (16, 16))
+            gg = np.broadcast_to((y * 53 + g * 5) % 256, (16, 16))
+            b = (x * 7 + y * 11 + g) % 256
+            arr = np.stack(
+                [r, gg, np.broadcast_to(b, (16, 16))], axis=-1)
+            # per-doc noise confined to odd-parity pixels — the 8x8
+            # hash grid samples only even coordinates, so the payload
+            # bytes are doc-unique while the hash sees the clean image
+            odd = ((x + y) % 2 == 1)
+            noise = (x * 5 + y * 3 + i) % 256
+            arr = (arr + (odd * noise)[..., None]) % 256
+            return b"P6\n16 16\n255\n" + arr.astype("u1").tobytes()
+
+        return ids.map(one)
+
+    docs = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+            .select(F.col("doc_id").alias("media_id")))
+    media = docs.withColumn("payload", synth("media_id"))
+    hashes = image_ahash(media)
+    return (hashes.groupBy("ahash")
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.min("media_id").alias("min_doc"),
+                 F.max("media_id").alias("max_doc")))

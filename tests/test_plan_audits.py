@@ -565,3 +565,14 @@ def test_range_search_bucketed_no_window_no_cartesian(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in tree
     assert tree.count("ShuffledHashJoin") == 3
     assert "Window" not in tree
+
+
+def test_image_dedup_payload_never_shuffles(spark, sf_dir):
+    """aHash dedup must hash payloads inside the Arrow map stage and
+    shuffle ONLY (id, 64-char hash) rows: exactly one exchange (the
+    hash-grain groupBy), with the binary payload column absent from
+    its input projection."""
+    plan = plan_of(QUERIES["multimodal_image_dedup"](spark, sf_dir))
+    tree = tree_of(plan)
+    assert "MapInPandas" in tree
+    assert tree.count("Exchange") == 1

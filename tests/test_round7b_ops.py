@@ -147,3 +147,33 @@ def test_connected_components_long_chain_converges_fast(spark):
     assert len(out) == 201
     assert all(r["component"] == 0 for r in out)
     assert sum(r["is_root"] for r in out) == 1
+
+
+def test_image_ahash_ignores_offgrid_noise(spark):
+    """Two payloads differing ONLY at odd-parity pixels must produce
+    the same aHash (the hash samples even coordinates), and byte-wise
+    distinct payloads must stay distinct."""
+    import numpy as np
+
+    from flink_cdc_dsql_master_spark.operators.multimodal import (
+        image_ahash)
+
+    def ppm(noise_val):
+        x = np.arange(16)
+        y = np.arange(16)[:, None]
+        arr = np.stack([np.broadcast_to((x * 37) % 256, (16, 16)),
+                        np.broadcast_to((y * 53) % 256, (16, 16)),
+                        (x * 7 + y * 11) % 256], axis=-1)
+        odd = ((x + y) % 2 == 1)
+        arr = (arr + (odd * noise_val)[..., None] * 1) % 256
+        return b"P6\n16 16\n255\n" + arr.astype("u1").tobytes()
+
+    p1, p2 = ppm(np.int64(9)), ppm(np.int64(111))
+    assert p1 != p2
+    df = spark.createDataFrame(
+        [(1, bytearray(p1)), (2, bytearray(p2))],
+        "media_id long, payload binary")
+    out = image_ahash(df).collect()
+    hashes = {r["media_id"]: r["ahash"] for r in out}
+    assert hashes[1] == hashes[2]
+    assert set(hashes[1]) <= {"0", "1"} and len(hashes[1]) == 64
