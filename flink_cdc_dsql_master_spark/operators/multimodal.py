@@ -1121,3 +1121,51 @@ def image_ahash(df: DataFrame, payload_col: str = "payload",
             yield pd.DataFrame(rows, columns=[id_col, "ahash"])
 
     return df.mapInPandas(run, f"{id_col} long, ahash string")
+
+
+def ahash_near_pairs(hashes: DataFrame, id_col: str = "media_id",
+                     hash_col: str = "ahash",
+                     max_hamming: int = 3) -> DataFrame:
+    """Perceptual near-duplicate pairs over :func:`image_ahash` output:
+    all (id_a < id_b) pairs whose 64-bit hashes differ in at most
+    ``max_hamming`` cells — the retrieval half of image dedup (exact
+    hash-equality grouping misses a one-block crop/brightness flip;
+    Hamming radius catches it).
+
+    EXACT-complete candidate generation by pigeonhole banding (the
+    simhash_search discipline applied to image hashes): the 64-char
+    hash splits into ``max_hamming + 1`` contiguous bands, and any pair
+    within the radius must agree on at least one band verbatim — so
+    per-band equi-joins (never all-pairs) provably produce a superset,
+    and one exact Hamming pass over the candidates filters it. At
+    corpus scale each band join is bucket-local; the exact check runs
+    only on collisions."""
+    n_bands = max_hamming + 1
+    width = 64 // n_bands
+    h = hashes.select(F.col(id_col).alias("__id"),
+                      F.col(hash_col).alias("__h"))
+    bands = [F.struct(F.lit(b).alias("band"),
+                      F.substring("__h", b * width + 1,
+                                  64 - b * width if b == n_bands - 1
+                                  else width).alias("key"))
+             for b in range(n_bands)]
+    ex = (h.select("__id", "__h", F.explode(F.array(*bands)).alias("bb"))
+          .select("__id", "__h", F.col("bb.band").alias("band"),
+                  F.col("bb.key").alias("key"))
+          .localCheckpoint())
+    a, b = ex.alias("a"), ex.alias("b")
+    cand = (a.join(b.hint("SHUFFLE_HASH"), on=["band", "key"])
+            .where(F.col("a.__id") < F.col("b.__id"))
+            .select(F.col("a.__id").alias("id_a"),
+                    F.col("b.__id").alias("id_b"),
+                    F.col("a.__h").alias("ha"),
+                    F.col("b.__h").alias("hb"))
+            .dropDuplicates(["id_a", "id_b"]))
+    dist = F.aggregate(
+        F.sequence(F.lit(1), F.lit(64)), F.lit(0),
+        lambda acc, i: acc + F.when(
+            F.substring(F.col("ha"), i, 1)
+            != F.substring(F.col("hb"), i, 1), 1).otherwise(0))
+    return (cand.withColumn("dist", dist.cast("int"))
+            .where(F.col("dist") <= max_hamming)
+            .select("id_a", "id_b", "dist"))

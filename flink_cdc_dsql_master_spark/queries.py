@@ -13849,9 +13849,23 @@ def multimodal_image_dedup(spark, sf_dir):
     though every payload's bytes are unique — the image twin of
     content-chunk dedup. The oracle replays the sampled pixels,
     integer grayscale, and threshold bits cell-for-cell."""
-    from pyspark.sql.functions import pandas_udf
-
     from .operators.multimodal import image_ahash
+
+    hashes = image_ahash(_dithered_gradient_media(spark, sf_dir))
+    return (hashes.groupBy("ahash")
+            .agg(F.count("*").cast("long").alias("n_members"),
+                 F.min("media_id").alias("min_doc"),
+                 F.max("media_id").alias("max_doc")))
+
+
+def _dithered_gradient_media(spark, sf_dir):
+    """(media_id, payload) for doc_id < 300: seven base 16x16 gradients
+    keyed by doc_id%7, plus a per-doc dither confined to odd-(x+y)
+    pixels — every payload's bytes are unique, but the 8x8 hash grid
+    samples only even coordinates so the dither is invisible to aHash
+    (compression-noise stand-in). Shared by the dedup and near-dup
+    conformance queries."""
+    from pyspark.sql.functions import pandas_udf
 
     @pandas_udf("binary")
     def synth(ids):
@@ -13867,9 +13881,6 @@ def multimodal_image_dedup(spark, sf_dir):
             b = (x * 7 + y * 11 + g) % 256
             arr = np.stack(
                 [r, gg, np.broadcast_to(b, (16, 16))], axis=-1)
-            # per-doc noise confined to odd-parity pixels — the 8x8
-            # hash grid samples only even coordinates, so the payload
-            # bytes are doc-unique while the hash sees the clean image
             odd = ((x + y) % 2 == 1)
             noise = (x * 5 + y * 3 + i) % 256
             arr = (arr + (odd * noise)[..., None]) % 256
@@ -13879,9 +13890,51 @@ def multimodal_image_dedup(spark, sf_dir):
 
     docs = (_t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
             .select(F.col("doc_id").alias("media_id")))
-    media = docs.withColumn("payload", synth("media_id"))
-    hashes = image_ahash(media)
-    return (hashes.groupBy("ahash")
-            .agg(F.count("*").cast("long").alias("n_members"),
-                 F.min("media_id").alias("min_doc"),
-                 F.max("media_id").alias("max_doc")))
+    return docs.withColumn("payload", synth("media_id"))
+
+
+_AHASH_ORACLE_CTES = """
+    imgs AS MATERIALIZED (
+      SELECT doc_id, doc_id % 7 AS g
+      FROM documents WHERE doc_id < 300),
+    cells AS (
+      SELECT m.doc_id, b.j, a.i,
+             (((2*a.i*37 + m.g*3) % 256) + ((2*b.j*53 + m.g*5) % 256)
+              + ((2*a.i*7 + 2*b.j*11 + m.g) % 256)) // 3 AS gray
+      FROM imgs m, unnest(range(0, 8)) a(i), unnest(range(0, 8)) b(j)),
+    tot AS (
+      SELECT doc_id, SUM(gray) AS s FROM cells GROUP BY doc_id),
+    h AS (
+      SELECT c.doc_id,
+             string_agg(CASE WHEN c.gray * 64 > t.s THEN '1'
+                             ELSE '0' END, '' ORDER BY c.j, c.i)
+               AS ahash
+      FROM cells c JOIN tot t USING (doc_id)
+      GROUP BY c.doc_id)
+"""
+
+
+@_q(
+    "multimodal_image_near_dup",
+    "WITH " + _AHASH_ORACLE_CTES + """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(hamming(a.ahash, b.ahash) AS INT) AS dist
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE hamming(a.ahash, b.ahash) <= 3 AND a.doc_id % 20 = 1
+    """,
+)
+def multimodal_image_near_dup(spark, sf_dir):
+    """Hamming-radius image retrieval (multimodal.ahash_near_pairs):
+    all pairs within Hamming <= 3 of each other's aHash, for a query
+    slice of the corpus — the retrieval half of image dedup (exact
+    hash-equality grouping misses a one-block edit; the radius catches
+    it). Candidate generation is EXACT-complete pigeonhole banding (4
+    contiguous 16-char bands: any pair within the radius shares a band
+    verbatim), so per-band equi-joins — never all-pairs — provably
+    reach every qualifying pair, and the brute-force oracle can check
+    completeness, not just precision."""
+    from .operators.multimodal import ahash_near_pairs, image_ahash
+
+    hashes = image_ahash(_dithered_gradient_media(spark, sf_dir))
+    pairs = ahash_near_pairs(hashes, max_hamming=3)
+    return pairs.where(F.col("id_a") % 20 == 1)

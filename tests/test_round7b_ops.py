@@ -177,3 +177,22 @@ def test_image_ahash_ignores_offgrid_noise(spark):
     hashes = {r["media_id"]: r["ahash"] for r in out}
     assert hashes[1] == hashes[2]
     assert set(hashes[1]) <= {"0", "1"} and len(hashes[1]) == 64
+
+
+def test_ahash_near_pairs_radius_boundary(spark):
+    """Pairs at Hamming 3 are found (pigeonhole banding is complete at
+    the radius), pairs at Hamming 4 are rejected even when a band
+    still matches (the exact check filters candidates)."""
+    from flink_cdc_dsql_master_spark.operators.multimodal import (
+        ahash_near_pairs)
+
+    base = "0" * 64
+    flip3 = "111" + "0" * 61          # dist 3, bands 2-4 identical
+    flip4 = "1111" + "0" * 60         # dist 4, bands 2-4 identical
+    df = spark.createDataFrame(
+        [(1, base), (2, flip3), (3, flip4)], "media_id long, ahash string")
+    got = {(r["id_a"], r["id_b"]): r["dist"]
+           for r in ahash_near_pairs(df, max_hamming=3).collect()}
+    assert got[(1, 2)] == 3
+    assert (1, 3) not in got
+    assert got[(2, 3)] == 1
