@@ -34,6 +34,13 @@ TABLE_ID_COLUMN = "__table_id"
 SEQ_COLUMN = "__seq"  # per-row change sequence (binlog pos / LSN analog)
 OP_TS_COLUMN = "__op_ts"  # source commit timestamp (MySQL op_ts analog)
 
+# Every harness-internal metadata column. Sinks/encoders/mergers exclude
+# THIS tuple (never a hand-typed subset) so a future metadata column can't
+# leak into wire payloads or persisted tables at one forgotten site —
+# op_ts appears in output only when a transform explicitly projects it
+# (reference: metadata columns are opt-in projections, TransformParser).
+INTERNAL_COLUMNS = (OP_COLUMN, TABLE_ID_COLUMN, SEQ_COLUMN, OP_TS_COLUMN)
+
 OP_INSERT = "+I"
 OP_UPDATE_BEFORE = "-U"
 OP_UPDATE_AFTER = "+U"

@@ -45,8 +45,10 @@ import time
 import uuid
 
 from pyspark.sql import DataFrame, functions as F
+from .pinning import pin
 
-from .events import OP_COLUMN, OP_DELETE, SEQ_COLUMN, UPSERT_OPS
+from .events import (INTERNAL_COLUMNS, OP_COLUMN, OP_DELETE, SEQ_COLUMN,
+                     UPSERT_OPS)
 from .partitioning import bucket_expr, last_write_wins
 from .schema import Schema
 
@@ -140,7 +142,7 @@ def merge_into_partitioned_parquet(path: str, changelog: DataFrame,
     # (affected-partition collect, changed-key anti-join, upsert union)
     # — without this each consumer re-runs the PK shuffle. Batch-
     # proportional storage, GC-reclaimed after the commit returns.
-    final = last_write_wins(changelog, pks).localCheckpoint()
+    final = last_write_wins(changelog, pks).transform(pin)
     if constraints:
         # CHECK constraints (Delta ALTER TABLE ADD CONSTRAINT analog):
         # validated against the batch's UPSERT images BEFORE anything is
@@ -159,7 +161,7 @@ def merge_into_partitioned_parquet(path: str, changelog: DataFrame,
     if not affected:
         return {"rewritten": [], "dropped": []}
     upserts = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
-    drop_cols = [c for c in (OP_COLUMN, SEQ_COLUMN, "__table_id")
+    drop_cols = [c for c in INTERNAL_COLUMNS
                  if c in changelog.columns]
 
     has_table = any(e.startswith(f"{part_col}=")
@@ -616,7 +618,7 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
         # upsert union) — without this each consumer re-runs the PK
         # shuffle. Batch-proportional storage, GC-reclaimed after the
         # commit returns.
-        final = last_write_wins(changelog, pks).localCheckpoint()
+        final = last_write_wins(changelog, pks).transform(pin)
     if constraints:
         imgs = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
         for cname, cexpr in constraints:
@@ -651,7 +653,7 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
         return {"version": versions[-1] if versions else 0,
                 "rewritten": [], "dropped": []}
     upserts = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
-    drop_cols = [c for c in (OP_COLUMN, SEQ_COLUMN, "__table_id")
+    drop_cols = [c for c in INTERNAL_COLUMNS
                  if c in changelog.columns]
 
     cur_paths = [os.path.join(local, rel)
@@ -1185,16 +1187,28 @@ def _bloom_hashes(value, m: int, k: int) -> list[int]:
                 16) % m for j in range(k)]
 
 
+# Bloom payload format version. v2 = canonicalized hash keys
+# (_bloom_canon). Persisted blooms built before versioning (or under a
+# different canonicalization) carry no/another version marker; probing
+# them with current hashes would produce silent FALSE-NEGATIVE file
+# pruning, so _bloom_may_contain treats any version mismatch as "may
+# contain" (no pruning) until index_bloom_versioned rebuilds them.
+BLOOM_FORMAT_VERSION = 2
+
+
 def _build_bloom(values, bits_per_key: int = 10, k: int = 4) -> dict:
     m = max(64, len(values) * bits_per_key)
     bits = 0
     for v in values:
         for h in _bloom_hashes(v, m, k):
             bits |= 1 << h
-    return {"m": m, "k": k, "bits": format(bits, "x")}
+    return {"m": m, "k": k, "bits": format(bits, "x"),
+            "fmt": BLOOM_FORMAT_VERSION}
 
 
 def _bloom_may_contain(bloom: dict, value) -> bool:
+    if bloom.get("fmt") != BLOOM_FORMAT_VERSION:
+        return True  # unknown/older format: never prune on it
     bits = int(bloom["bits"], 16)
     return all(bits >> h & 1
                for h in _bloom_hashes(value, bloom["m"], bloom["k"]))

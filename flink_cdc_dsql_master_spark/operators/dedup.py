@@ -26,6 +26,7 @@ probabilistic operator value-for-value; see `shingle_hash`/`shingle_hash64`.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from ..pinning import pin
 
 # Mersenne prime 2^31-1 for the universal-hash family — keeps every product
 # a*h + b below 2^62, safely inside int64 (no overflow under ANSI mode)
@@ -218,6 +219,72 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     )
 
 
+def _collapse_identical_docs(df: DataFrame, id_col: str, text_col: str):
+    """Collapse byte-identical (after normalization) documents to one
+    representative each, BEFORE any signature work.
+
+    Returns ``(reps, members)``: reps = (__id, __t), one row per distinct
+    normalized text (representative = smallest member id); members =
+    (__id, __rep), the full id → representative map, pinned (it is read
+    several times by pair re-expansion).
+
+    This is the duplicate-cluster defense for the banded LSH self-joins:
+    a cluster of M identical documents collides in EVERY band, so without
+    the collapse the self-join emits O(M²·bands) candidate rows and drags
+    shingle arrays through an O(M²) verify join — AQE splits the shuffle,
+    not the output. The collapse itself is skew-immune: min_by under
+    groupBy runs a map-side partial combine (each input partition emits
+    one row per distinct text), and the membership join is an AQE
+    skew-splittable equi-join on the 128-bit content key.
+    """
+    keyed = (_spread(df)
+             .select(F.col(id_col).alias("__id"),
+                     F.col(text_col).alias("__t"))
+             .withColumn("__k", F.md5(normalize_text(F.col("__t")))))
+    reps = (keyed.groupBy("__k")
+            .agg(F.min_by(F.struct("__id", "__t"), F.col("__id"))
+                 .alias("__w"))
+            .select(F.col("__w.__id").alias("__id"),
+                    F.col("__w.__t").alias("__t")))
+    members = (keyed.select("__id", "__k")
+               .join(keyed.groupBy("__k").agg(F.min("__id").alias("__rep")),
+                     "__k")
+               .select("__id", "__rep")
+               .transform(pin))
+    return reps, members
+
+
+def _expand_identical_pairs(rep_pairs: DataFrame, members: DataFrame,
+                            self_sim: Column, sim_col: str) -> DataFrame:
+    """Re-expand representative-level near-dup pairs to member level.
+
+    Cross-cluster pairs inherit the representative pair's similarity
+    verbatim (members are identical to their representative, so the naive
+    pairwise value is bit-for-bit the representative value); intra-cluster
+    pairs get ``self_sim`` (jaccard 1.0 / hamming 0 — again exactly what
+    the naive computation yields for identical texts). Every output row is
+    unique by construction (clusters are disjoint, one rep pair per
+    cluster pair), so NO distinct runs over the expanded set — a dedup
+    shuffle there would re-introduce the quadratic cost the collapse
+    removed. Output is (id_a, id_b, sim) with id_a < id_b re-established
+    after expansion."""
+    ma = members.select(F.col("__rep").alias("id_a"),
+                        F.col("__id").alias("__ma"))
+    mb = members.select(F.col("__rep").alias("id_b"),
+                        F.col("__id").alias("__mb"))
+    cross = (rep_pairs.join(ma, "id_a").join(mb, "id_b")
+             .select(F.least("__ma", "__mb").alias("id_a"),
+                     F.greatest("__ma", "__mb").alias("id_b"),
+                     F.col(sim_col)))
+    x, y = members.alias("x"), members.alias("y")
+    intra = (x.join(y, (F.col("x.__rep") == F.col("y.__rep"))
+                    & (F.col("x.__id") < F.col("y.__id")))
+             .select(F.col("x.__id").alias("id_a"),
+                     F.col("y.__id").alias("id_b"),
+                     self_sim.alias(sim_col)))
+    return cross.unionByName(intra)
+
+
 def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text", num_hashes: int = 64,
                       bands: int = 16, shingle_n: int = 3,
@@ -225,14 +292,24 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     """Near-duplicate candidate pairs via banded MinHash-LSH, verified by
     exact shingle Jaccard. Returns (id_a, id_b, jaccard) with id_a < id_b.
 
-    Scale path: explode to (band_idx, band_signature, id) — N·B small rows —
-    then self-join on the band bucket. NEVER an all-pairs cross join; at
-    1000 executors the band-bucket groupBy is the only shuffle and AQE
-    handles hot buckets (identical boilerplate docs).
+    Scale path: collapse identical documents to representatives first
+    (:func:`_collapse_identical_docs` — duplicate-heavy web corpora are
+    exactly the adversarial input for a dedup engine, and identical docs
+    collide in every band), then explode representatives to
+    (band_idx, band_signature, id) — R·B small rows — and self-join on the
+    band bucket. NEVER an all-pairs cross join; the band-bucket join is the
+    only large shuffle, and hot buckets from *near*-identical (but not
+    byte-identical) boilerplate are AQE-skew-split. Exact-duplicate
+    clusters never reach the banded join at all; their pairs are
+    re-expanded from the membership map afterwards, so candidate + verify
+    work is linear in cluster size while output semantics stay exactly the
+    naive ones.
     """
     if num_hashes % bands != 0:
         raise ValueError("num_hashes must be divisible by bands")
     rows = num_hashes // bands
+
+    reps, members = _collapse_identical_docs(df, id_col, text_col)
 
     # one shared, persisted base frame: shingles (vectorized) collapsed
     # immediately to their DISTINCT int64 hashes; both the signature
@@ -245,13 +322,12 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     # collisions, and the DuckDB oracle replays the same hashes, so the
     # pipeline stays hash-checked end-to-end.
     base = (
-        _spread(df)
-        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
+        reps
         .withColumn("__sh", word_shingles_pandas(shingle_n)(F.col("__t")))
         .withColumn("__h", F.array_distinct(
             F.transform(F.col("__sh"), shingle_hash)))
         .drop("__t", "__sh")
-        .localCheckpoint()
+        .transform(pin)
     )
     sig = base.withColumn(
         "minhash", _minhash_pandas(num_hashes, seed)(F.col("__h")))
@@ -283,7 +359,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     ).select("__id", "bb.band", "bb.bucket")
     # persisted: the self-join would otherwise re-evaluate the whole
     # signature pipeline for each side
-    banded = banded.localCheckpoint()
+    banded = banded.transform(pin)
 
     a = banded.alias("a")
     b = banded.alias("b")
@@ -308,11 +384,15 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str = "doc_id",
     )
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
     union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
-    return (
+    rep_pairs = (
         verified.withColumn("jaccard", inter / union)
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # identical docs: intra-cluster jaccard is exactly 1.0 (array_intersect
+    # == array_union of equal distinct-hash arrays), >= any threshold
+    return _expand_identical_pairs(rep_pairs, members,
+                                   F.lit(1.0), "jaccard")
 
 
 def simhash64(c: Column, shingle_n: int = 2) -> Column:
@@ -378,6 +458,12 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
     (chunk_idx, chunk_value), never all-pairs. Recall is guaranteed for any
     max_hamming ≤ 31 (below that each chunk keeps ≥2 bits); more chunks =
     more candidates, so small distances stay cheap (d=3 → 4×16-bit chunks).
+
+    Identical documents agree on every chunk, so a cluster of M identical
+    docs would emit O(M²·chunks) candidate rows; they are collapsed to one
+    representative before the chunk join and re-expanded afterwards with
+    hamming 0 (:func:`_collapse_identical_docs`), keeping candidate work
+    linear in cluster size under the exact naive output semantics.
     """
     n_chunks = max_hamming + 1
     if not 1 <= n_chunks <= 32:
@@ -385,11 +471,9 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
             f"max_hamming must be in [0, 31], got {max_hamming}: banding "
             f"needs max_hamming+1 chunks of >=2 bits from a 64-bit simhash")
     width = 64 // n_chunks
-    base = (
-        _spread(df)
-        .select(F.col(id_col).alias("__id"), F.col(text_col).alias("__t"))
-        .withColumn("__sh", word_shingles_pandas(shingle_n)(F.col("__t")))
-    )
+    reps, members = _collapse_identical_docs(df, id_col, text_col)
+    base = reps.withColumn(
+        "__sh", word_shingles_pandas(shingle_n)(F.col("__t")))
     fp = base.select("__id", _simhash_from_shingles(F.col("__sh")).alias("fp"))
 
     def chunk_val(i: int):
@@ -411,7 +495,7 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
 
     a, b = chunks.alias("a"), chunks.alias("b")
     hamming = F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp")))
-    return (
+    rep_pairs = (
         a.join(b, on=["chunk", "val"], how="inner")
         .where(F.col("a.__id") < F.col("b.__id"))
         .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"),
@@ -419,6 +503,9 @@ def simhash_pairs(df: DataFrame, id_col: str = "doc_id",
         .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
     )
+    # identical docs: identical fingerprints, hamming exactly 0
+    return _expand_identical_pairs(rep_pairs, members,
+                                   F.lit(0).cast("int"), "hamming")
 
 
 def ngram_jaccard_pairs(df: DataFrame, id_col: str = "doc_id",
@@ -488,7 +575,7 @@ def dup_clusters(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).persist()
     lab = (nodes.select(F.col(id_col).alias("node")).distinct()
-           .withColumn("label", F.col("node")).localCheckpoint())
+           .withColumn("label", F.col("node")).transform(pin))
     for _ in range(max_iters):
         # pointer-jumping shortcut (the large-star/small-star idea in
         # its simplest sound form): label := min(label, label[label]).
@@ -524,7 +611,7 @@ def dup_clusters(pairs: DataFrame, nodes: DataFrame, id_col: str = "doc_id",
                 F.least(F.col("label"),
                         F.coalesce(F.col("nbr_min"), F.col("label")))
                 .alias("label"),
-            ).localCheckpoint()
+            ).transform(pin)
         )
         changed = new.where(F.col("old") != F.col("label")).count()
         lab = new.select("node", "label")
@@ -881,7 +968,7 @@ def simhash_search(df: DataFrame, query_ids, id_col: str = "doc_id",
     )
     fp = base.select("__id",
                      _simhash_from_shingles(F.col("__sh")).alias("fp")) \
-        .localCheckpoint()
+        .transform(pin)
 
     def chunk_val(i: int):
         shift = i * width

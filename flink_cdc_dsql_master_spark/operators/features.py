@@ -203,9 +203,15 @@ def logistic_fit_gd(df: DataFrame, label_col: str, x1_col: str,
             w2 -= lr * g["g2"] / n
         z = F.lit(w0) + F.lit(w1) * F.col("x1") \
             + F.lit(w2) * F.col("x2")
-        # log(1+e^z) - y*z is the numerically-direct BCE form
-        loss = d.agg((F.sum(F.log(F.lit(1.0) + F.exp(z))
-                            - F.col("y") * z) / n).alias("l")).first()
+        # BCE via the stable softplus form max(z,0) + ln(1+exp(-|z|)):
+        # the direct log(1+exp(z)) overflows to inf for large positive z
+        # (this is a general operator — callers need not scale features).
+        # exp's argument here is always <= 0, so no overflow is possible;
+        # the oracle SQL mirrors the identical expression shape.
+        softplus = (F.greatest(z, F.lit(0.0))
+                    + F.log(F.lit(1.0) + F.exp(-F.abs(z))))
+        loss = d.agg((F.sum(softplus - F.col("y") * z) / n)
+                     .alias("l")).first()
         return d.sparkSession.createDataFrame(
             [(n, round(w0, 6), round(w1, 6), round(w2, 6),
               round(loss["l"], 6))],

@@ -27,6 +27,7 @@ Scale plan (billions of edges, 1000 executors):
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from ..pinning import pin
 
 
 def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
@@ -42,9 +43,9 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     spark = edges.sparkSession
     e = edges.select(F.col(src).alias("src"),
                      F.col(dst).alias("dst")).distinct()
-    e = e.repartition("src").localCheckpoint()
+    e = e.repartition("src").transform(pin)
     nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select("dst")).distinct().localCheckpoint())
+             .union(e.select("dst")).distinct().transform(pin))
     n_nodes = nodes.count()
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
 
@@ -54,7 +55,7 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
     # lazy plan with no driver collect.
     dangling_nodes = nodes.join(
         deg.withColumnRenamed("src", "node"), "node",
-        "left_anti").localCheckpoint()
+        "left_anti").transform(pin)
 
     ranks = nodes.withColumn("rank", F.lit(1.0 / n_nodes))
     for _ in range(iterations):
@@ -78,7 +79,7 @@ def pagerank(edges: DataFrame, iterations: int = 3, damping: float = 0.85,
                        "node", "left")
             .crossJoin(F.broadcast(dm))
             .select("node", new_rank.alias("rank"))
-            .localCheckpoint()
+            .transform(pin)
         )
     return ranks
 
@@ -107,7 +108,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
     # calls in a long-lived session)
     und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
                         F.greatest(F.col(src), F.col(dst)).alias("v"))
-           .where(F.col("u") < F.col("v")).distinct().localCheckpoint())
+           .where(F.col("u") < F.col("v")).distinct().transform(pin))
     deg = (und.select(F.col("u").alias("node"))
            .union(und.select("v"))
            .groupBy("node").agg(F.count("*").alias("deg")))
@@ -122,7 +123,7 @@ def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst"
     e = ordered.select(
         F.when(fwd, F.col("u")).otherwise(F.col("v")).alias("a"),
         F.when(fwd, F.col("v")).otherwise(F.col("u")).alias("b")) \
-        .localCheckpoint()
+        .transform(pin)
     # wedges a->b->c closed by a->c
     e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
     wedges = e.join(e2, "b").select("a", "b", "c")
@@ -151,18 +152,18 @@ def trustrank(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
     iteration is hash-checkable against a SQL replica."""
     e = edges.select(F.col(src).alias("src"),
                      F.col(dst).alias("dst")).distinct()
-    e = e.repartition("src").localCheckpoint()
+    e = e.repartition("src").transform(pin)
     nodes = (e.select(F.col("src").alias("node"))
-             .union(e.select("dst")).distinct().localCheckpoint())
+             .union(e.select("dst")).distinct().transform(pin))
     sd = (seeds.select(F.col(seed_col).alias("node")).distinct()
-          .localCheckpoint())
+          .transform(pin))
     n_seeds = sd.count()
     if not n_seeds:
         raise ValueError("trustrank needs a non-empty seed set")
     deg = e.groupBy("src").agg(F.count("*").alias("deg"))
     dangling_nodes = nodes.join(
         deg.withColumnRenamed("src", "node"), "node",
-        "left_anti").localCheckpoint()
+        "left_anti").transform(pin)
 
     is_seed = F.col("__s").isNotNull()
     seed_mark = sd.withColumn("__s", F.lit(1))
@@ -192,7 +193,7 @@ def trustrank(edges: DataFrame, seeds: DataFrame, iterations: int = 3,
             .join(seed_mark, "node", "left")
             .crossJoin(F.broadcast(dm))
             .select("node", new_rank.alias("rank"))
-            .localCheckpoint()
+            .transform(pin)
         )
     return ranks
 
@@ -215,7 +216,7 @@ def transitive_ancestors(parents: DataFrame, child: str = "child",
     dup_clusters discipline) so the plan does not double per level."""
     pmap = parents.select(F.col(child).alias("node"),
                           F.col(parent).alias("ancestor")).distinct()
-    frontier = pmap.withColumn("depth", F.lit(1)).localCheckpoint()
+    frontier = pmap.withColumn("depth", F.lit(1)).transform(pin)
     out = frontier
     for d in range(2, max_depth + 2):
         nxt = (frontier.join(
@@ -224,7 +225,7 @@ def transitive_ancestors(parents: DataFrame, child: str = "child",
             "ancestor")
             .select("node", F.col("__up").alias("ancestor"),
                     F.lit(d).alias("depth"))
-            .localCheckpoint())
+            .transform(pin))
         if not nxt.take(1):
             return out
         if d == max_depth + 1:
@@ -257,7 +258,7 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 6,
     und = (edges.select(F.least(F.col(src), F.col(dst)).alias("u"),
                         F.greatest(F.col(src), F.col(dst)).alias("v"))
            .where(F.col("u") != F.col("v")).distinct()
-           .localCheckpoint())
+           .transform(pin))
     for _ in range(rounds):
         deg = (und.select(F.col("u").alias("node"))
                .union(und.select("v"))
@@ -267,7 +268,7 @@ def kcore(edges: DataFrame, k: int = 3, rounds: int = 6,
                         "left_semi")
                .join(alive.withColumnRenamed("node", "v"), "v",
                      "left_semi")
-               .localCheckpoint())
+               .transform(pin))
     deg = (und.select(F.col("u").alias("node"))
            .union(und.select("v"))
            .groupBy("node").agg(F.count("*").cast("long").alias("deg")))
@@ -292,19 +293,19 @@ def bfs_hops(edges: DataFrame, seeds: DataFrame, max_hops: int = 4,
     """
     e = (edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
          .where(F.col("src") != F.col("dst")).distinct()
-         .repartition("src").localCheckpoint())
+         .repartition("src").transform(pin))
     visited = (seeds.select(F.col(seed_col).alias("node")).distinct()
-               .withColumn("hops", F.lit(0)).localCheckpoint())
+               .withColumn("hops", F.lit(0)).transform(pin))
     frontier = visited
     for h in range(1, max_hops + 1):
         nxt = (frontier.join(e, frontier["node"] == e["src"])
                .select(F.col("dst").alias("node")).distinct()
                .join(visited.select("node"), "node", "left_anti")
                .withColumn("hops", F.lit(h))
-               .localCheckpoint())
+               .transform(pin))
         if not nxt.take(1):
             break
-        visited = visited.unionByName(nxt).localCheckpoint()
+        visited = visited.unionByName(nxt).transform(pin)
         frontier = nxt
     return visited.select("node", F.col("hops").cast("int").alias("hops"))
 

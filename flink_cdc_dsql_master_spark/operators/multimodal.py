@@ -28,6 +28,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 from pyspark.sql import DataFrame, functions as F, types as T
+from ..pinning import pin
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType(), False),
@@ -394,6 +395,22 @@ def decode_jpeg(payload: bytes):
                 cid, tt = body[1 + 2 * i], body[2 + 2 * i]
                 c = next(c for c in comps if c["id"] == cid)
                 scan.append({**c, "dc": tt >> 4, "ac": tt & 15})
+            # The decoder returns after this (first) scan assuming an
+            # interleaved single-scan file. A legal multi-scan baseline
+            # file (ns < SOF component count) would silently decode only
+            # the first component; a 1-component scan with sampling
+            # factors >1 would use the wrong (interleaved) block order.
+            # Reject both explicitly, matching the progressive/arithmetic
+            # rejection style above.
+            if ns < len(comps):
+                raise ValueError(
+                    "jpeg: multi-scan (non-interleaved) baseline "
+                    "unsupported — scan covers "
+                    f"{ns} of {len(comps)} components")
+            if ns == 1 and (scan[0]["h"] > 1 or scan[0]["v"] > 1):
+                raise ValueError(
+                    "jpeg: single-component scan with sampling factors "
+                    ">1 unsupported")
             pos += seglen
             return _decode_scan(payload, pos, scan, quant, huff, w, h,
                                 restart, math, np)
@@ -1152,7 +1169,7 @@ def ahash_near_pairs(hashes: DataFrame, id_col: str = "media_id",
     ex = (h.select("__id", "__h", F.explode(F.array(*bands)).alias("bb"))
           .select("__id", "__h", F.col("bb.band").alias("band"),
                   F.col("bb.key").alias("key"))
-          .localCheckpoint())
+          .transform(pin))
     a, b = ex.alias("a"), ex.alias("b")
     cand = (a.join(b.hint("SHUFFLE_HASH"), on=["band", "key"])
             .where(F.col("a.__id") < F.col("b.__id"))

@@ -21,6 +21,7 @@ exact subset forever (the property training-data lineage needs).
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from ..pinning import pin
 
 
 def hash_tag(key: Column, salt: str) -> Column:
@@ -266,7 +267,7 @@ def greedy_cover_selection(df: DataFrame, set_col: str,
     # times) — localCheckpoint truncates the lineage so every round
     # costs one agg + one anti-join over the CURRENT remaining set,
     # the same discipline dup_clusters uses for its iterations
-    remaining = base.localCheckpoint()
+    remaining = base.transform(pin)
     out: list[tuple[int, str, int, int]] = []
     cum = 0
     for r in range(1, rounds + 1):
@@ -282,7 +283,7 @@ def greedy_cover_selection(df: DataFrame, set_col: str,
         sel_sh = remaining.where(F.col("set_key") == sel).select("__s")
         remaining = (remaining.where(F.col("set_key") != sel)
                      .join(sel_sh, "__s", "left_anti")
-                     .localCheckpoint())
+                     .transform(pin))
     return spark.createDataFrame(
         out, "round int, set_key string, marginal_gain long, "
              "cum_covered long")
@@ -394,7 +395,7 @@ def kcenter_coreset(df: DataFrame, vec_col: str = "embedding",
     spark = df.sparkSession
     v = (df.select(FF.col(id_col).alias("id"),
                    FF.col(vec_col).cast("array<double>").alias("e"))
-         .localCheckpoint())
+         .transform(pin))
     if seed_id is None:
         seed_id = v.agg(FF.min("id")).first()[0]
     seed_vec = v.where(FF.col("id") == seed_id).first()["e"]
@@ -415,7 +416,7 @@ def kcenter_coreset(df: DataFrame, vec_col: str = "embedding",
         cur = (cur.withColumn(
             "d", FF.least(FF.col("d"), 1.0 - cosine_expr(
                 lit_vec(top["e"]), FF.col("e"))))
-            .localCheckpoint())
+            .transform(pin))
     return spark.createDataFrame(
         out, "round int, center_id long, radius double")
 

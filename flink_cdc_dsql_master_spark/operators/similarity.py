@@ -32,6 +32,7 @@ import math
 import random
 
 from pyspark.sql import Column, DataFrame, Window, functions as F, types as T
+from ..pinning import pin
 
 
 def dot_expr(a: Column, b: Column) -> Column:
@@ -802,7 +803,7 @@ def kmeans(corpus: DataFrame, k: int = 8, iters: int = 3,
     # update, final assignment) — cache instead of re-reading parquet
     v = corpus.select(F.col(id_col).alias("id"),
                       F.col(vec_col).cast("array<double>").alias("v")) \
-        .localCheckpoint()
+        .transform(pin)
     init = v.orderBy("id").limit(k).collect()
     if len(init) < k:
         raise ValueError(f"kmeans needs >= {k} rows, got {len(init)}")
@@ -925,7 +926,7 @@ def embedding_covariance(corpus: DataFrame, vec_col: str = "embedding",
     # without the cache every branch re-runs the corpus scan + kernel
     merged = (v.mapInPandas(partials, "i int, j int, s double")
               .groupBy("i", "j").agg(F.sum("s").alias("s"))
-              .localCheckpoint())
+              .transform(pin))
     n = merged.where((F.col("i") == -1) & (F.col("j") == -1)) \
         .select(F.col("s").alias("n"))
     means = merged.where((F.col("i") >= 0) & (F.col("j") == -1)) \
@@ -1098,9 +1099,27 @@ def lsh_candidate_pairs(corpus: DataFrame, bits: int | None = 6,
     ``bits=None`` derives the bucket width from the corpus size
     (knn_join_auto_bits: constant expected occupancy, so candidate
     work stays LINEAR in N — the setting to use at scale; conformance
-    queries pin bits so their static oracles replay the same planes)."""
-    v = corpus.select(F.col(id_col).alias("id"),
-                      F.col(vec_col).cast("array<double>").alias("e"))
+    queries pin bits so their static oracles replay the same planes).
+
+    Identical-vector clusters are the input auto-bits cannot defend
+    against (identical vectors collide at ANY bit width): they are
+    collapsed to one representative per distinct vector BEFORE the
+    bucketed self-joins — the collapse is a skew-immune map-side-combine
+    groupBy on the vector value — and re-expanded into the directed pair
+    output afterwards, intra-cluster pairs carrying the representative's
+    self-cosine (the bit-exact value the naive pair fold yields for two
+    equal unit vectors). Candidate + verify work is linear in cluster
+    size; output semantics are exactly the naive ones."""
+    v0 = corpus.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("e"))
+    # identical-vector collapse (VERDICT r7 #1): one rep per distinct
+    # vector value (exact grouping on the array — no hash truncation)
+    reps = v0.groupBy("e").agg(F.min("id").alias("id")).select("id", "e")
+    members = (v0.join(reps.select(F.col("e"),
+                                   F.col("id").alias("__rep")), "e")
+               .select("id", "__rep")
+               .transform(pin))
+    v = reps
     if bits is None:
         bits = knn_join_auto_bits(v.count())
     for i, s in enumerate(seeds):
@@ -1115,7 +1134,7 @@ def lsh_candidate_pairs(corpus: DataFrame, bits: int | None = 6,
                                       lambda x: x / nrm)).drop("e")
     # checkpointed: each of the T self-joins reads both sides of this
     # frame; blocks are GC-reclaimed with the result (cache-scope rule)
-    v = v.localCheckpoint()
+    v = v.transform(pin)
     pairs = None
     for i in range(len(seeds)):
         a = v.alias("a")
@@ -1128,7 +1147,30 @@ def lsh_candidate_pairs(corpus: DataFrame, bits: int | None = 6,
                      dot_expr(F.col("a.u"), F.col("b.u"))
                      .alias("cosine")))
         pairs = p if pairs is None else pairs.unionByName(p)
-    return pairs.distinct()
+    rep_pairs = pairs.distinct()
+    # re-expansion: cross-cluster pairs inherit the rep pair's cosine
+    # (members equal their rep, so the naive fold gives the same bits);
+    # intra-cluster DIRECTED pairs carry the rep's self-cosine — the
+    # identical dot_expr(u, u) linear fold, NOT a literal 1.0 (float
+    # rounding makes ||u||² ≈ 1, and the oracle replays the same fold).
+    # Rows are unique by construction (clusters disjoint, rep_pairs
+    # distinct), so no distinct runs over the expanded set.
+    selfc = v.select(F.col("id").alias("__r"),
+                     dot_expr(F.col("u"), F.col("u")).alias("cosine"))
+    ms = members.select(F.col("__rep").alias("src"),
+                        F.col("id").alias("__ms"))
+    mn = members.select(F.col("__rep").alias("nbr"),
+                        F.col("id").alias("__mn"))
+    cross = (rep_pairs.join(ms, "src").join(mn, "nbr")
+             .select(F.col("__ms").alias("src"),
+                     F.col("__mn").alias("nbr"), "cosine"))
+    x, y = members.alias("x"), members.alias("y")
+    intra = (x.join(y, (F.col("x.__rep") == F.col("y.__rep"))
+                    & (F.col("x.id") != F.col("y.id")))
+             .join(selfc, F.col("x.__rep") == F.col("__r"))
+             .select(F.col("x.id").alias("src"),
+                     F.col("y.id").alias("nbr"), "cosine"))
+    return cross.unionByName(intra)
 
 
 def knn_join(corpus: DataFrame, k: int = 5, bits: int | None = 6,

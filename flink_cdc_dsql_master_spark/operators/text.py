@@ -10,6 +10,7 @@ formulas are deliberately simple closed-form expressions over the text.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from ..pinning import pin
 
 # marker stopwords per language — a tiny n-gram/stopword heuristic
 # (real systems swap in fastText; the *Spark shape* — score per language,
@@ -292,7 +293,7 @@ def bigram_surprisal(df: DataFrame, text_col: str = "text",
                     F.col(text_col).alias("__text"))
     doc_bg = src.mapInPandas(
         count_fn, "__id long, w1 string, w2 string, cnt long") \
-        .localCheckpoint()
+        .transform(pin)
     bg_counts = doc_bg.groupBy("w1", "w2").agg(F.sum("cnt").alias("cb"))
     ctx_counts = bg_counts.groupBy("w1").agg(F.sum("cb").alias("c1"))
     vocab = bg_counts.select(
@@ -629,7 +630,7 @@ def train_bpe_merges(df: DataFrame, rounds: int = 3,
         "word", "wfreq",
         F.explode(F.sequence(F.lit(1), F.length("word"))).alias("pos"))
         .withColumn("sym", F.expr("substring(word, pos, 1)"))
-        .localCheckpoint())
+        .transform(pin))
 
     spark = df.sparkSession
     merge_rows = None
@@ -640,7 +641,7 @@ def train_bpe_merges(df: DataFrame, rounds: int = 3,
               .groupBy(F.col("sym").alias("a"), F.col("nxt").alias("b"))
               .agg(F.sum("wfreq").alias("freq")))
         best = (pf.orderBy(F.col("freq").desc(), "a", "b").limit(1)
-                .localCheckpoint())
+                .transform(pin))
         row = best.select(F.lit(r).alias("round"),
                           F.col("a").alias("left_sym"),
                           F.col("b").alias("right_sym"),
@@ -671,7 +672,7 @@ def train_bpe_merges(df: DataFrame, rounds: int = 3,
         cur = (nxt.withColumn(
             "pos", F.row_number().over(
                 Window.partitionBy("word").orderBy("pos")))
-            .localCheckpoint())
+            .transform(pin))
     if return_symbols:
         # final (word, wfreq, pos, sym) table — the applied tokenizer
         # state, for encoding (symbols per word under the trained

@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F, \
     types as T
 
 from .compose import BatchComposer
+from .pinning import pin
 from .evolve import SchemaEvolver
 from .events import (
     CreateTableEvent,
@@ -10101,7 +10102,7 @@ def embedding_kmeans_incremental(spark, sf_dir):
                       F.col("embedding").cast("array<double>").alias("v"))
             .orderBy("id").limit(8).collect())
     c0 = [[float(x) for x in r["v"]] for r in init]
-    s1 = kmeans_state_from_batch(b1, c0).localCheckpoint()
+    s1 = kmeans_state_from_batch(b1, c0).transform(pin)
     c1 = kmeans_centroids_of(s1.collect(), c0)
     s2 = kmeans_merge_state(s1, kmeans_state_from_batch(b2, c1))
     c2 = kmeans_centroids_of(s2.collect(), c1)
@@ -13249,7 +13250,9 @@ def _logistic_oracle_sql(steps: int = 3, lr: float = 0.5) -> str:
     SELECT CAST(nn.n AS BIGINT) AS n,
            ROUND(w.w0, 6) AS w0, ROUND(w.w1, 6) AS w1,
            ROUND(w.w2, 6) AS w2,
-           ROUND(SUM(ln(1.0 + exp(w.w0 + w.w1 * d.x1 + w.w2 * d.x2))
+           ROUND(SUM(greatest(w.w0 + w.w1 * d.x1 + w.w2 * d.x2, 0.0)
+                     + ln(1.0 + exp(-abs(w.w0 + w.w1 * d.x1
+                                         + w.w2 * d.x2)))
                      - d.y * (w.w0 + w.w1 * d.x1 + w.w2 * d.x2))
                  / MAX(nn.n), 6) AS log_loss
     FROM d, w{steps} w, nn

@@ -33,7 +33,8 @@ from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, functions as F
 
-from .events import OP_COLUMN, OP_DELETE, SEQ_COLUMN, UPSERT_OPS
+from .events import (INTERNAL_COLUMNS, OP_COLUMN, OP_DELETE, SEQ_COLUMN,
+                     UPSERT_OPS)
 from .partitioning import last_write_wins
 from .schema import Schema, TableId
 from .types import CDC_META_KEY, TAG_TIME, to_sql_ddl
@@ -249,8 +250,7 @@ def merge_into_parquet(path: str, changelog: DataFrame,
     final = last_write_wins(changelog, pks)
     upserts = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
     deletes = final.where(F.col(OP_COLUMN) == OP_DELETE)
-    drop_cols = [c for c in (OP_COLUMN, SEQ_COLUMN, "__table_id")
-                 if c in changelog.columns]
+    drop_cols = [c for c in INTERNAL_COLUMNS if c in changelog.columns]
     try:
         cur = spark.read.parquet(path)
         exists = True
@@ -333,8 +333,7 @@ def debezium_json(df: DataFrame, table_id: TableId) -> DataFrame:
     value = {"before":..., "after":..., "op": c|u|d, "source": {db, table}}
     — the shape DebeziumJsonSerializationSchema emits.
     """
-    data_cols = [c for c in df.columns
-                 if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id")]
+    data_cols = [c for c in df.columns if c not in INTERNAL_COLUMNS]
     payload = F.struct(*[F.col(c) for c in data_cols])
     op = F.col(OP_COLUMN)
     dbz_op = (F.when(op == "+I", "c").when(op == "+U", "u")
@@ -354,8 +353,7 @@ def debezium_json(df: DataFrame, table_id: TableId) -> DataFrame:
 
 def canal_json(df: DataFrame, table_id: TableId) -> DataFrame:
     """Changelog → canal-json: {"old": [...], "data": [...], "type": ...}."""
-    data_cols = [c for c in df.columns
-                 if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id")]
+    data_cols = [c for c in df.columns if c not in INTERNAL_COLUMNS]
     payload = F.struct(*[F.col(c) for c in data_cols])
     op = F.col(OP_COLUMN)
     ctype = (F.when(op == "+I", "INSERT").when(op.isin("-U", "+U"), "UPDATE")
@@ -382,8 +380,7 @@ def maxwell_json(df: DataFrame, table_id: TableId) -> DataFrame:
     carry no information Maxwell transmits) and `old` is omitted —
     apply semantics are unchanged because keyed upsert application
     never needs the before image."""
-    data_cols = [c for c in df.columns
-                 if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id")]
+    data_cols = [c for c in df.columns if c not in INTERNAL_COLUMNS]
     payload = F.struct(*[F.col(c) for c in data_cols])
     op = F.col(OP_COLUMN)
     mtype = (F.when(op == "+I", "insert").when(op == "+U", "update")
@@ -405,8 +402,7 @@ def ogg_json(df: DataFrame, table_id: TableId) -> DataFrame:
     I|U|D, "before", "after"}. Deletes carry their image in `before`
     (GoldenGate semantics), inserts/updates in `after`; the split
     -U retraction rows are dropped at encode like maxwell_json."""
-    data_cols = [c for c in df.columns
-                 if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id")]
+    data_cols = [c for c in df.columns if c not in INTERNAL_COLUMNS]
     payload = F.struct(*[F.col(c) for c in data_cols])
     op = F.col(OP_COLUMN)
     otype = (F.when(op == "+I", "I").when(op == "+U", "U")
@@ -511,8 +507,7 @@ def elasticsearch_bulk(df: DataFrame, table_id: TableId,
     encode (the index action replaces the whole document, so the before
     image carries nothing — same rule as maxwell_json). Pure to_json
     codegen, no shuffle."""
-    data_cols = [c for c in df.columns
-                 if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id")]
+    data_cols = [c for c in df.columns if c not in INTERNAL_COLUMNS]
     payload = F.struct(*[F.col(c) for c in data_cols])
     op = F.col(OP_COLUMN)
     index = f"{table_id.schema_name}.{table_id.table}"
@@ -535,8 +530,7 @@ def starrocks_stream_load(df: DataFrame, table_id: TableId) -> DataFrame:
     that a PK table's stream load consumes; Doris' __DORIS_DELETE_SIGN__
     is the same wire idea). -U retractions dropped at encode. Returns
     (seq, row_json). Pure to_json codegen, no shuffle."""
-    data_cols = [c for c in df.columns
-                 if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id")]
+    data_cols = [c for c in df.columns if c not in INTERNAL_COLUMNS]
     op = F.col(OP_COLUMN)
     row = F.to_json(F.struct(
         *[F.col(c) for c in data_cols],

@@ -34,6 +34,7 @@ import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+from .pinning import pin
 
 from .events import OP_COLUMN, OP_INSERT, OP_TS_COLUMN, SEQ_COLUMN
 
@@ -716,6 +717,6 @@ class DbApiPollingSource:
         # retraction at equal seq. localCheckpoint materializes the diff
         # BEFORE the state swap below invalidates its `prev` lineage.
         cl = (cl.withColumn(SEQ_COLUMN, F.lit(self.epoch).cast("long"))
-              .localCheckpoint())
+              .transform(pin))
         swap_parquet_dir(new, self.state_path)
         return cl
