@@ -13941,3 +13941,126 @@ def multimodal_image_near_dup(spark, sf_dir):
     hashes = image_ahash(_dithered_gradient_media(spark, sf_dir))
     pairs = ahash_near_pairs(hashes, max_hamming=3)
     return pairs.where(F.col("id_a") % 20 == 1)
+
+
+# ---------------------------------------------------------------------------
+# round 8: duplicate-cluster-safe LSH — re-expansion oracle rows
+# (VERDICT r7 #1). Each query plants identical-document / identical-vector
+# clusters (two 3-member mod-7 clusters per base doc, one 21-member "big"
+# cluster) and replays the NAIVE all-member pipeline in DuckDB, proving the
+# collapse-representatives-then-re-expand path is output-equivalent to
+# running the banded self-join over every member.
+# ---------------------------------------------------------------------------
+
+_DOCS_DUP_CTE = """
+    base AS (SELECT doc_id, text FROM main.documents WHERE doc_id < 100),
+    docs_dup AS (
+      SELECT doc_id, text FROM base
+      UNION ALL
+      SELECT doc_id + 1000 AS doc_id, text FROM base WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT doc_id + 2000 AS doc_id, text FROM base WHERE doc_id % 7 = 0
+      UNION ALL
+      SELECT 5000 + CAST(u.i AS BIGINT) AS doc_id, text
+      FROM base, unnest(range(0, 20)) AS u(i) WHERE doc_id = 1
+    ),
+"""
+
+
+def _dup_docs(spark, sf_dir) -> DataFrame:
+    """The Spark twin of _DOCS_DUP_CTE: 100 base docs + planted identical
+    clusters (size 3 for every doc_id % 7 == 0, and a 21-member cluster
+    of doc 1 — 20 copies at ids 5000..5019 plus the original)."""
+    d = (_t(spark, sf_dir, "documents")
+         .select("doc_id", "text").where(F.col("doc_id") < 100))
+    c7 = d.where(F.col("doc_id") % 7 == 0)
+    big = (d.where(F.col("doc_id") == 1)
+           .select(F.explode(F.sequence(F.lit(5000).cast("long"),
+                                        F.lit(5019).cast("long")))
+                   .alias("doc_id"), "text"))
+    return (d.unionByName(c7.select((F.col("doc_id") + 1000)
+                                    .alias("doc_id"), "text"))
+            .unionByName(c7.select((F.col("doc_id") + 2000)
+                                   .alias("doc_id"), "text"))
+            .unionByName(big))
+
+
+@_q("dedup_minhash_lsh_dupheavy",
+    _minhash_oracle_sql()
+    .replace("WITH ", "WITH " + _DOCS_DUP_CTE, 1)
+    .replace("FROM documents", "FROM docs_dup"))
+def dedup_minhash_lsh_dupheavy(spark, sf_dir):
+    """MinHash-LSH over a corpus with planted identical-document clusters:
+    the operator collapses identical docs to representatives before the
+    banded self-join and re-expands membership into the pair output
+    (dedup._collapse_identical_docs / _expand_identical_pairs); the oracle
+    replays the NAIVE pipeline over every member in DuckDB, so a hash
+    match proves expansion == naive semantics (intra-cluster jaccard 1.0,
+    cross pairs inheriting the representative value)."""
+    out = dedup.minhash_lsh_pairs(_dup_docs(spark, sf_dir), threshold=0.5)
+    return out.withColumn("jaccard", F.round("jaccard", 6))
+
+
+@_q("dedup_simhash_dupheavy",
+    _SIMHASH_ORACLE
+    .replace("WITH ", "WITH " + _DOCS_DUP_CTE, 1)
+    .replace("FROM documents", "FROM docs_dup"))
+def dedup_simhash_dupheavy(spark, sf_dir):
+    """SimHash pigeonhole-banded near-dup pairs over the same planted
+    identical-cluster corpus as dedup_minhash_lsh_dupheavy: identical
+    docs never reach the chunk self-join (collapsed to one rep each) and
+    re-expand with hamming 0; the oracle computes all-pairs Hamming over
+    every member's fingerprint directly."""
+    out = dedup.simhash_pairs(_dup_docs(spark, sf_dir), max_hamming=3)
+    return out.withColumn("hamming", F.col("hamming").cast("int"))
+
+
+_EMB_DUP_CTE = """
+    ebase AS (SELECT vec_id, embedding FROM main.embeddings WHERE vec_id < 100),
+    emb_dup AS (
+      SELECT vec_id, embedding FROM ebase
+      UNION ALL
+      SELECT vec_id + 1000 AS vec_id, embedding FROM ebase
+      WHERE vec_id % 9 = 0
+      UNION ALL
+      SELECT 5000 + CAST(u.i AS BIGINT) AS vec_id, embedding
+      FROM ebase, unnest(range(0, 12)) AS u(i) WHERE vec_id = 3
+    ),
+"""
+
+
+def _dup_embeddings(spark, sf_dir) -> DataFrame:
+    """Spark twin of _EMB_DUP_CTE: 100 base vectors + identical-vector
+    clusters (size 2 for vec_id % 9 == 0, and a 13-member cluster of
+    vector 3 at ids 5000..5011 plus the original)."""
+    e = (_t(spark, sf_dir, "embeddings")
+         .select("vec_id", "embedding").where(F.col("vec_id") < 100))
+    return (e.unionByName(
+                e.where(F.col("vec_id") % 9 == 0)
+                .select((F.col("vec_id") + 1000).alias("vec_id"),
+                        "embedding"))
+            .unionByName(
+                e.where(F.col("vec_id") == 3)
+                .select(F.explode(F.sequence(F.lit(5000).cast("long"),
+                                             F.lit(5011).cast("long")))
+                        .alias("vec_id"), "embedding")))
+
+
+@_q("similarity_range_search_dupheavy",
+    _range_search_oracle_sql()
+    .replace("WITH ", "WITH " + _EMB_DUP_CTE, 1)
+    .replace("FROM embeddings", "FROM emb_dup"))
+def similarity_range_search_dupheavy(spark, sf_dir):
+    """LSH radius search over a corpus with planted identical-VECTOR
+    clusters — the input knn_join_auto_bits cannot defend against
+    (identical vectors collide at any bit width). lsh_candidate_pairs
+    collapses to one representative per distinct vector before the
+    bucketed self-joins and re-expands directed pairs afterwards,
+    intra-cluster pairs carrying the representative's self-cosine (the
+    same normalize-then-dot fold the naive pair computation runs, so
+    the all-member DuckDB replay matches bit-for-bit)."""
+    from .operators.similarity import range_search
+
+    out = range_search(_dup_embeddings(spark, sf_dir),
+                       threshold=0.3, bits=6)
+    return out.withColumn("cosine", F.round("cosine", 6))
