@@ -186,6 +186,127 @@ def _knn_join_auto(spark, sf_dir):
 EXTRA_TARGETS = {"similarity_knn_join_auto": _knn_join_auto,
                  "similarity_range_search_auto": _range_search_auto}
 
+# ---------------------------------------------------------------------
+# planted-duplicate stress (VERDICT r7 #1 done-criterion): 30% of each
+# corpus is byte-identical duplicate mass — a "big" cluster at 10% of
+# the corpus whose SIZE scales with it (1x: 500 docs, 10x: 5000 — the
+# adversarial shape: pre-fix, the banded self-join emitted
+# bands·M²/2 ≈ 200M candidate rows from the 10x big cluster alone,
+# then dragged shingle arrays through an O(M²) verify join), plus 20%
+# in fixed-size-20 clusters whose COUNT scales (the web-boilerplate
+# shape). The fixed operators collapse identical docs/vectors to one
+# representative before the banded join, so candidate+verify work is
+# linear in cluster size and the measured exponent stays <= ~1.0; the
+# quadratic part that remains is the pair OUTPUT itself (inherent to
+# the pair semantics — 12.5M intra rows at 10x — but they are 3-column
+# rows produced by one membership join, not banded candidates).
+# ---------------------------------------------------------------------
+DUP1X_DIR = os.path.join(REPO, ".scale_data", "dup1x")
+DUP10X_DIR = os.path.join(REPO, ".scale_data", "dup10x")
+DUP_GEN_VERSION = "dup-v1"
+
+
+def _dup_minhash(spark, sf_dir):
+    from flink_cdc_dsql_master_spark.operators.dedup import (
+        minhash_lsh_pairs)
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return minhash_lsh_pairs(docs, threshold=0.5)
+
+
+def _dup_simhash(spark, sf_dir):
+    from flink_cdc_dsql_master_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    return simhash_pairs(docs, max_hamming=3)
+
+
+def _dup_range_search(spark, sf_dir):
+    from flink_cdc_dsql_master_spark.operators.similarity import (
+        range_search)
+
+    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    return range_search(emb, threshold=0.3, bits=None)
+
+
+DUP_TARGETS = {"dedup_minhash_lsh_dupstress": _dup_minhash,
+               "dedup_simhash_dupstress": _dup_simhash,
+               "similarity_range_search_dupstress": _dup_range_search}
+
+
+def generate_dup() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = pq.read_table(os.path.join(SF1_DIR, "documents.parquet"))
+    docs = src.to_pylist()
+    n = len(docs)
+    esrc = pq.read_table(os.path.join(SF1_DIR, "embeddings.parquet"))
+    eids = esrc.column("vec_id").to_numpy()
+    elabels = esrc.column("label").to_numpy()
+    mat = np.array(esrc.column("embedding").to_pylist(), dtype=np.float32)
+    n_e = len(eids)
+
+    big_text = docs[1]["text"] + " bigdupmarker"
+    for out_dir, k in ((DUP1X_DIR, 1), (DUP10X_DIR, REPLICAS)):
+        os.makedirs(out_dir, exist_ok=True)
+        stride = _doc_stride(n)
+        out_rows, n_small = [], 0
+        for r in range(k):
+            for j, row in enumerate(docs):
+                idx = r * n + j
+                if idx % 10 == 0:            # big cluster: 10%, scales
+                    text = big_text
+                elif idx % 10 in (1, 2):     # size-20 clusters: 20%
+                    c = n_small // 20
+                    n_small += 1
+                    text = docs[c % n]["text"] + f" smalldup{c}"
+                elif r == 0:
+                    text = row["text"]
+                else:                         # unique mass: salted rewrite
+                    text = " ".join(
+                        _salt_token(t, r) for t in row["text"].split(" "))
+                out_rows.append({
+                    "doc_id": row["doc_id"] + r * stride,
+                    "text": text,
+                    "lang": row["lang"],
+                    "source": row["source"],
+                    "n_chars": len(text),
+                })
+        pq.write_table(pa.Table.from_pylist(out_rows, schema=src.schema),
+                       os.path.join(out_dir, "documents.parquet"))
+
+        parts_ids, parts_lab, parts_vec = [], [], []
+        for r in range(k):
+            rng = np.random.RandomState(4321 + r)
+            noise = (np.zeros_like(mat) if r == 0 else
+                     rng.normal(0.0, 0.05, mat.shape).astype(np.float32))
+            parts_ids.append(eids + r * VEC_ID_STRIDE)
+            parts_lab.append(elabels)
+            parts_vec.append(mat + noise)
+        allvec = np.concatenate(parts_vec)
+        gidx = np.arange(len(allvec))
+        big_vec = mat[7].copy()
+        big_vec[0] += np.float32(0.002)       # disjoint from original row 7
+        allvec[gidx % 20 == 0] = big_vec      # big cluster: 5%, scales
+        small_pos = gidx[np.isin(gidx % 20, (1, 2, 3, 4, 5))]
+        for s_i, pos in enumerate(small_pos):  # size-8 clusters: 25%
+            c = s_i // 8
+            v = mat[c % n_e].copy()
+            v[0] += np.float32(0.001)          # disjoint from original
+            allvec[pos] = v
+        tbl = pa.Table.from_arrays(
+            [pa.array(np.concatenate(parts_ids)),
+             pa.array([v.tolist() for v in allvec],
+                      type=esrc.schema.field("embedding").type),
+             pa.array(np.concatenate(parts_lab),
+                      type=esrc.schema.field("label").type)],
+            names=["vec_id", "embedding", "label"])
+        pq.write_table(tbl, os.path.join(out_dir, "embeddings.parquet"))
+        with open(os.path.join(out_dir, ".gen_version"), "w") as f:
+            f.write(DUP_GEN_VERSION)
+
 
 def _salt_token(tok: str, r: int) -> str:
     if zlib.crc32(f"{tok}|{r}".encode()) % 100 < REWRITE_PCT:
@@ -321,14 +442,16 @@ def run(passes: int, out_path: str,
     if only and os.path.exists(out_path):
         with open(out_path) as f:
             results = json.load(f).get("results", {})
-    all_targets = [(n, QUERIES[n]) for n in TARGETS] \
-        + list(EXTRA_TARGETS.items())
+    all_targets = [(n, QUERIES[n], (SF1_DIR, SF10_DIR)) for n in TARGETS] \
+        + [(n, fn, (SF1_DIR, SF10_DIR)) for n, fn in EXTRA_TARGETS.items()] \
+        + [(n, fn, (DUP1X_DIR, DUP10X_DIR)) for n, fn in DUP_TARGETS.items()]
     if only:
-        all_targets = [(n, fn) for n, fn in all_targets if n in only]
-        missing = set(only) - {n for n, _ in all_targets}
+        all_targets = [(n, fn, ds) for n, fn, ds in all_targets
+                       if n in only]
+        missing = set(only) - {n for n, _, _ in all_targets}
         if missing:
             raise SystemExit(f"unknown stress targets: {sorted(missing)}")
-    for name, fn in all_targets:
+    for name, fn, (d1, d10) in all_targets:
         # fresh session per query: a shared session lets one operator's
         # leftover shuffle files / GC / Python-worker pressure contaminate
         # the next measurement (first run of this harness measured bm25 at
@@ -337,9 +460,11 @@ def run(passes: int, out_path: str,
         from bench import materialize  # full-column checksum action:
         # count() alone lets Catalyst prune unevaluated projections, so
         # a map-only operator would "measure" as a bare parquet scan
-        materialize(fn(spark, warm))  # warm plans/JIT/workers
+        # dup-dir targets warm on their own 1x corpus (the registry
+        # warm dir has no planted-duplicate tables)
+        materialize(fn(spark, warm if d1 == SF1_DIR else d1))
         rec: dict = {}
-        for label, d in (("t1", SF1_DIR), ("t10", SF10_DIR)):
+        for label, d in (("t1", d1), ("t10", d10)):
             best, rows = math.inf, 0
             for _ in range(passes):
                 t0 = time.perf_counter()
@@ -390,6 +515,15 @@ def main() -> int:
         import shutil
         shutil.rmtree(SF10_DIR, ignore_errors=True)
         generate()
+    dup_marker = os.path.join(DUP10X_DIR, ".gen_version")
+    dup_current = (open(dup_marker).read().strip()
+                   if os.path.exists(dup_marker) else None)
+    if dup_current != DUP_GEN_VERSION:
+        print("# generating planted-duplicate tables ...", file=sys.stderr)
+        import shutil
+        for d in (DUP1X_DIR, DUP10X_DIR):
+            shutil.rmtree(d, ignore_errors=True)
+        generate_dup()
     if args.generate_only:
         return 0
     return run(args.passes, args.out, only=args.only)
