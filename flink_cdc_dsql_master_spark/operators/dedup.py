@@ -947,6 +947,25 @@ def content_defined_chunks_arrow(df: DataFrame, id_col: str = "doc_id",
                        .alias("chunk_idx", "chunk"))
 
 
+def _query_filter(frame: DataFrame, query_ids,
+                  id_col: str = "__id") -> DataFrame:
+    """Restrict ``frame`` to the query documents.
+
+    ``query_ids`` is either a DataFrame whose FIRST column holds the ids
+    (the scale path: a broadcast left-semi join — the query set never
+    touches the driver) or an iterable of ids (convenience sugar for
+    fixture-scale callers; it becomes an ``isin`` literal list). The
+    DataFrame form exists because the list form forces every caller to
+    materialize query ids driver-side (ADVICE r7 #2) — a library API
+    should not require a ``collect()``."""
+    if isinstance(query_ids, DataFrame):
+        q = (query_ids
+             .select(F.col(query_ids.columns[0]).alias(id_col))
+             .distinct())
+        return frame.join(F.broadcast(q), id_col, "left_semi")
+    return frame.where(F.col(id_col).isin(list(query_ids)))
+
+
 def simhash_search(df: DataFrame, query_ids, id_col: str = "doc_id",
                    text_col: str = "text", max_hamming: int = 3,
                    shingle_n: int = 2) -> DataFrame:
@@ -957,7 +976,9 @@ def simhash_search(df: DataFrame, query_ids, id_col: str = "doc_id",
     per incoming item, e.g. incremental ingest screening). Same
     pigeonhole banding: the query side is tiny so its banded chunks
     BROADCAST, and the corpus join touches only band-matching
-    fingerprints — never an all-pairs scan. Returns
+    fingerprints — never an all-pairs scan. ``query_ids`` may be a
+    one-column DataFrame (broadcast semi-join, no driver collect) or an
+    id iterable (fixture sugar) — see :func:`_query_filter`. Returns
     (query_id, match_id, hamming)."""
     n_chunks = max_hamming + 1
     width = 64 // n_chunks
@@ -986,7 +1007,7 @@ def simhash_search(df: DataFrame, query_ids, id_col: str = "doc_id",
             for i in range(n_chunks)
         ])).alias("cv"),
     ).select("__id", "fp", "cv.chunk", "cv.val")
-    q = chunks.where(F.col("__id").isin(list(query_ids))).select(
+    q = _query_filter(chunks, query_ids).select(
         F.col("__id").alias("query_id"), F.col("fp").alias("qfp"),
         "chunk", "val")
     hamming = F.bit_count(F.col("qfp").bitwiseXOR(F.col("fp")))
@@ -1008,15 +1029,17 @@ def jaccard_search(df: DataFrame, query_ids, id_col: str = "doc_id",
     :func:`ngram_jaccard_pairs` answers the corpus-wide question).
     Query shingles BROADCAST (Q docs x shingles — KBs); the corpus
     posting stream joins against them map-side, so only shingle-sharing
-    (query, doc) pairs ever shuffle. Returns (query_id, match_id,
-    jaccard, rank)."""
+    (query, doc) pairs ever shuffle. ``query_ids`` may be a one-column
+    DataFrame (broadcast semi-join, no driver collect) or an id iterable
+    (fixture sugar) — see :func:`_query_filter`. Returns (query_id,
+    match_id, jaccard, rank)."""
     sh = _spread(df).select(
         F.col(id_col).alias("__id"),
         word_shingles_pandas(shingle_n)(F.col(text_col)).alias("__sh"),
     ).select("__id", F.explode("__sh").alias("s")) \
         .withColumn("sh_hash", F.xxhash64("s")).drop("s")
     sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
-    q = sh.where(F.col("__id").isin(list(query_ids))).select(
+    q = _query_filter(sh, query_ids).select(
         F.col("__id").alias("query_id"), "sh_hash")
     inter = (sh.join(F.broadcast(q), "sh_hash")
              .where(F.col("__id") != F.col("query_id"))

@@ -10864,9 +10864,8 @@ def search_simhash_hamming(spark, sf_dir):
     can be the direct all-pairs Hamming filter over the same
     md5-derived fingerprints."""
     docs = _t(spark, sf_dir, "documents")
-    qids = [r[0] for r in docs.where(F.col("doc_id") % 50 == 8)
-            .select("doc_id").collect()]
-    return dedup.simhash_search(docs, query_ids=qids, max_hamming=3)
+    qdf = docs.where(F.col("doc_id") % 50 == 8).select("doc_id")
+    return dedup.simhash_search(docs, query_ids=qdf, max_hamming=3)
 
 
 @_q(
@@ -10930,9 +10929,8 @@ def search_jaccard_topk(spark, sf_dir):
     shingles broadcast; only shingle-sharing (query, doc) pairs
     shuffle; ranking at candidate grain."""
     docs = _t(spark, sf_dir, "documents")
-    qids = [r[0] for r in docs.where(F.col("doc_id") % 50 == 8)
-            .select("doc_id").collect()]
-    return dedup.jaccard_search(docs, query_ids=qids, k=5)
+    qdf = docs.where(F.col("doc_id") % 50 == 8).select("doc_id")
+    return dedup.jaccard_search(docs, query_ids=qdf, k=5)
 
 
 @_q(

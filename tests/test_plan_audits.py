@@ -576,3 +576,60 @@ def test_image_dedup_payload_never_shuffles(spark, sf_dir):
     tree = tree_of(plan)
     assert "MapInPandas" in tree
     assert tree.count("Exchange") == 1
+
+
+def test_search_faces_broadcast_query_side_no_collect(spark, sf_dir):
+    """Round-8 (ADVICE r7 #2): the search faces take the query set as a
+    DataFrame — a broadcast LEFT-SEMI join restricts the corpus to query
+    docs executor-side. The old Python-list form rendered the query set
+    as a driver-materialized In-literal; the DF form must plan a
+    BroadcastHashJoin LeftSemi and no In-list over doc ids."""
+    for qname in ("search_simhash_hamming", "search_jaccard_topk"):
+        plan = plan_of(QUERIES[qname](spark, sf_dir))
+        tree = tree_of(plan)
+        assert "BroadcastHashJoin" in tree, qname
+        assert "LeftSemi" in plan, qname
+        # the query-id restriction must NOT be a driver-collected literal
+        # list (`doc_id IN (8,58,...)`) anywhere in the plan detail
+        assert " IN (" not in plan, qname
+
+
+def test_lsh_dup_collapse_shapes(spark, sf_dir):
+    """Round-8 (VERDICT r7 #1): the identical-document collapse in the
+    banded LSH family must be a map-side-combined aggregate (skew-immune
+    partial min/min_by), and the pair re-expansion must add NO distinct
+    (HashAggregate/Exchange) over the expanded output — uniqueness is by
+    construction."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.operators.dedup import (
+        _collapse_identical_docs)
+
+    # the collapse itself (audited pre-pin: pin() truncates lineage, so
+    # the final query plan no longer contains the aggregate)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    keyed = (docs.select(F.col("doc_id").alias("__id"),
+                         F.col("text").alias("__t"))
+             .withColumn("__k", F.md5(F.lower("__t"))))
+    reps_plan = plan_of(
+        keyed.groupBy("__k").agg(
+            F.min_by(F.struct("__id", "__t"), F.col("__id")).alias("__w")))
+    assert "partial_min_by" in reps_plan  # skew-immune map-side combine
+    mem_plan = plan_of(_collapse_identical_docs(docs, "doc_id", "text")[1])
+    assert "CartesianProduct" not in mem_plan
+
+    # the end-to-end dup-heavy plans: banded join family never plans a
+    # cartesian product, and the re-expansion union adds no distinct
+    # (HashAggregate over id_a/id_b) after the Union node
+    for qname in ("dedup_minhash_lsh_dupheavy",
+                  "similarity_range_search_dupheavy"):
+        plan = plan_of(QUERIES[qname](spark, sf_dir))
+        tree = tree_of(plan)
+        assert "CartesianProduct" not in plan, qname
+        union_pos = tree.find("Union")
+        assert union_pos >= 0, qname
+        # nothing above the Union but the AdaptiveSparkPlan root:
+        # no dedup shuffle re-quadratifying the expanded output
+        above = tree[:union_pos]
+        assert "HashAggregate" not in above, qname
+        assert "Exchange" not in above, qname
