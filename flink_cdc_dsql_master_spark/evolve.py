@@ -210,9 +210,14 @@ class SchemaEvolver:
         b = self.behavior
         if b == SchemaChangeBehavior.EXCEPTION:
             if not isinstance(event, CreateTableEvent):
+                # reference-parity text: SchemaCoordinator.java:389-400
+                # throws SchemaEvolveException(event, "Unexpected schema
+                # change events occurred in EXCEPTION mode. Job will fail
+                # now.") for any non-CreateTable event
                 raise SchemaEvolveError(
-                    f"schema change {type(event).__name__} on {tid} refused "
-                    f"(behavior=EXCEPTION)")
+                    "Unexpected schema change events occurred in "
+                    "EXCEPTION mode. Job will fail now. "
+                    f"(event: {type(event).__name__} on {tid})")
             evolved_events: list[SchemaChangeEvent] = [event]
         elif b == SchemaChangeBehavior.IGNORE:
             evolved_events = [event] if isinstance(event, CreateTableEvent) else []
