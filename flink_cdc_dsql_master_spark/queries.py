@@ -14167,3 +14167,135 @@ def evolve_exception_fails_fast(spark, sf_dir):
     rows.append((3, f"evolved={cols}", None))
     return spark.createDataFrame(rows, "step int, detail string, "
                                        "error string")
+
+
+# ---------------------------------------------------------------------------
+# round 8: fluss / maxcompute / oceanbase sink encoders (VERDICT r7 #4 —
+# sink-encoder breadth), byte-exact vs hand-built oracle payloads, same
+# pattern as sink_elasticsearch_bulk / sink_starrocks_stream_load.
+# ---------------------------------------------------------------------------
+
+def _sink_orders_changelog(spark, sf_dir):
+    """Shared changelog fixture for the sink-encoder oracle rows: inserts
+    for every order < 500, an update for k % 7 == 0, a delete (with the
+    before image) for k % 11 == 0 — deterministic seq from k."""
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    base = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string")
+        .alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    k = F.col("k")
+    b1 = (base.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, (k * 3).cast("long")))
+    bu = (base.where(k % 7 == 0).withColumn(OP_COLUMN, F.lit("+U"))
+          .withColumn(SEQ_COLUMN, (k * 3 + 1).cast("long")))
+    bd = (base.where(k % 11 == 0).withColumn(OP_COLUMN, F.lit("-D"))
+          .withColumn(SEQ_COLUMN, (k * 3 + 2).cast("long")))
+    return b1.unionByName(bu).unionByName(bd)
+
+
+_SINK_ORDERS_BASE_SQL = """
+    base AS (
+      SELECT o_orderkey AS k,
+             CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR)
+               AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey < 500),
+    rowjson AS (
+      SELECT k,
+             '{"k":' || k || ',"price":"' || price || '","status":"'
+               || status || '"}' AS rj
+      FROM base)
+"""
+
+
+@_q(
+    "sink_fluss_events",
+    f"""
+    WITH {_SINK_ORDERS_BASE_SQL}
+    SELECT k * 3 AS seq, 'tpch.orders_fluss' AS table_path,
+           'UPSERT' AS op, rj AS row_json FROM rowjson
+    UNION ALL
+    SELECT k * 3 + 1, 'tpch.orders_fluss', 'UPSERT', rj
+    FROM rowjson WHERE k % 7 = 0
+    UNION ALL
+    SELECT k * 3 + 2, 'tpch.orders_fluss', 'DELETE', rj
+    FROM rowjson WHERE k % 11 = 0
+    """,
+)
+def sink_fluss_events(spark, sf_dir):
+    """Fluss pipeline-sink capability (SURVEY §2.2 breadth —
+    FlussEventSerializationSchema.applyDataChangeEvent:100-125): PK
+    table → UPSERT rows from the after image, DELETE rows from the
+    before image, -U dropped; byte-exact against hand-built oracle
+    JSON."""
+    from .sinks import fluss_event_rows
+
+    cl = _sink_orders_changelog(spark, sf_dir)
+    tid = TableId.parse("db.tpch.orders_fluss")
+    return fluss_event_rows(cl, tid, primary_keys=["k"])
+
+
+@_q(
+    "sink_maxcompute_tunnel",
+    f"""
+    WITH {_SINK_ORDERS_BASE_SQL}
+    SELECT 'pk' AS mode, k * 3 AS seq, 'UPSERT' AS op, rj AS row_json
+    FROM rowjson
+    UNION ALL
+    SELECT 'pk', k * 3 + 1, 'UPSERT', rj FROM rowjson WHERE k % 7 = 0
+    UNION ALL
+    SELECT 'pk', k * 3 + 2, 'DELETE', rj FROM rowjson WHERE k % 11 = 0
+    UNION ALL
+    SELECT 'append', k * 3, 'APPEND', rj FROM rowjson
+    UNION ALL
+    SELECT 'append', k * 3 + 1, 'APPEND', rj FROM rowjson
+    WHERE k % 7 = 0
+    """,
+)
+def sink_maxcompute_tunnel(spark, sf_dir):
+    """MaxCompute pipeline-sink capability (SURVEY §2.2 breadth): both
+    writer modes oracle-checked — BatchUpsertWriter (PK table: UPSERT /
+    DELETE through the upsert stream) and BatchAppendWriter (PK-less:
+    appends only; deletes are IGNORED per
+    BatchAppendWriter.java:117-119). The delete rows present in 'pk'
+    mode and ABSENT in 'append' mode are the behavioral diff under
+    test."""
+    from .sinks import maxcompute_tunnel_rows
+
+    cl = _sink_orders_changelog(spark, sf_dir)
+    tid = TableId.parse("proj.tpch.orders_mc")
+    pk = (maxcompute_tunnel_rows(cl, tid, primary_keys=["k"])
+          .select(F.lit("pk").alias("mode"), "seq", "op", "row_json"))
+    ap = (maxcompute_tunnel_rows(cl, tid, primary_keys=[])
+          .select(F.lit("append").alias("mode"), "seq", "op",
+                  "row_json"))
+    return pk.unionByName(ap)
+
+
+@_q(
+    "sink_oceanbase_records",
+    f"""
+    WITH {_SINK_ORDERS_BASE_SQL}
+    SELECT k * 3 AS seq, 'tpch.orders_ob' AS table_id, 'UPSERT' AS op,
+           rj AS row_json FROM rowjson
+    UNION ALL
+    SELECT k * 3 + 1, 'tpch.orders_ob', 'UPSERT', rj
+    FROM rowjson WHERE k % 7 = 0
+    UNION ALL
+    SELECT k * 3 + 2, 'tpch.orders_ob', 'DELETE', rj
+    FROM rowjson WHERE k % 11 = 0
+    """,
+)
+def sink_oceanbase_records(spark, sf_dir):
+    """OceanBase pipeline-sink capability (SURVEY §2.2 breadth —
+    OceanBaseEventSerializationSchema.applyDataChangeEvent:86-106):
+    UPSERT DataChangeRecords from the after image, DELETE records from
+    the before image, -U dropped; byte-exact against hand-built oracle
+    JSON of the record values."""
+    from .sinks import oceanbase_records
+
+    cl = _sink_orders_changelog(spark, sf_dir)
+    tid = TableId.parse("db.tpch.orders_ob")
+    return oceanbase_records(cl, tid, primary_keys=["k"])

@@ -538,3 +538,74 @@ def starrocks_stream_load(df: DataFrame, table_id: TableId) -> DataFrame:
     return (df.where(op != "-U")
             .select(F.col(SEQ_COLUMN).alias("seq"),
                     row.alias("row_json")))
+
+
+def fluss_event_rows(df: DataFrame, table_id: TableId,
+                     primary_keys: list[str]) -> DataFrame:
+    """Changelog → Fluss sink event rows (pipeline-connector-fluss
+    capability: FlussEventSerializationSchema.applyDataChangeEvent —
+    INSERT/UPDATE/REPLACE serialize the AFTER image with op UPSERT when
+    the table has a primary key, APPEND otherwise; DELETE serializes the
+    BEFORE image with op DELETE; CdcAsFlussRow wraps the record without
+    copying). Split -U retractions are dropped at encode (Fluss consumes
+    the after image). Returns (seq, table_path, op, row_json) — the
+    JSON is the canonical test-visible form of the FlussRowWithOp the
+    reference hands to the Fluss writer. Pure to_json codegen, no
+    shuffle."""
+    data_cols = [c for c in df.columns if c not in INTERNAL_COLUMNS]
+    op = F.col(OP_COLUMN)
+    row_op = (F.when(op == "-D", "DELETE")
+              .otherwise("UPSERT" if primary_keys else "APPEND"))
+    row = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+    path = f"{table_id.schema_name}.{table_id.table}"
+    return (df.where(op != "-U")
+            .select(F.col(SEQ_COLUMN).alias("seq"),
+                    F.lit(path).alias("table_path"),
+                    row_op.alias("op"), row.alias("row_json")))
+
+
+def maxcompute_tunnel_rows(df: DataFrame, table_id: TableId,
+                           primary_keys: list[str]) -> DataFrame:
+    """Changelog → MaxCompute tunnel write operations
+    (pipeline-connector-maxcompute capability: BatchUpsertWriter routes
+    upserts/deletes through UpsertStream when the table has primary
+    keys; BatchAppendWriter appends upserts and IGNORES deletes —
+    BatchAppendWriter.java:117-119 'append writer does not support
+    delete. just ignore'). Split -U retractions are dropped at encode.
+    Returns (seq, op, row_json): op is UPSERT/DELETE for PK tables,
+    APPEND for PK-less tables (whose deletes never appear). Pure
+    to_json codegen, no shuffle."""
+    data_cols = [c for c in df.columns if c not in INTERNAL_COLUMNS]
+    op = F.col(OP_COLUMN)
+    row = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+    out = df.where(op != "-U")
+    if primary_keys:
+        tunnel_op = F.when(op == "-D", "DELETE").otherwise("UPSERT")
+    else:
+        out = out.where(op != "-D")  # append writer ignores deletes
+        tunnel_op = F.lit("APPEND")
+    return out.select(F.col(SEQ_COLUMN).alias("seq"),
+                      tunnel_op.alias("op"), row.alias("row_json"))
+
+
+def oceanbase_records(df: DataFrame, table_id: TableId,
+                      primary_keys: list[str]) -> DataFrame:
+    """Changelog → OceanBase DataChangeRecords
+    (pipeline-connector-oceanbase capability:
+    OceanBaseEventSerializationSchema.applyDataChangeEvent —
+    INSERT/UPDATE/REPLACE build an UPSERT record from the after image,
+    DELETE builds a DELETE record from the before image; the record
+    carries the qualified table id and the full column-value array).
+    Split -U retractions are dropped at encode. Returns
+    (seq, table_id, op, row_json) — row_json is the canonical JSON form
+    of the DataChangeRecord values the reference hands to the OceanBase
+    connector. Pure to_json codegen, no shuffle."""
+    data_cols = [c for c in df.columns if c not in INTERNAL_COLUMNS]
+    op = F.col(OP_COLUMN)
+    rec_op = F.when(op == "-D", "DELETE").otherwise("UPSERT")
+    row = F.to_json(F.struct(*[F.col(c) for c in data_cols]))
+    tid = f"{table_id.schema_name}.{table_id.table}"
+    return (df.where(op != "-U")
+            .select(F.col(SEQ_COLUMN).alias("seq"),
+                    F.lit(tid).alias("table_id"),
+                    rec_op.alias("op"), row.alias("row_json")))
