@@ -90,3 +90,50 @@ def explain_scale(df: DataFrame) -> str:
     finds = lint_plan(df)
     return "\n".join(f"[{f['severity']}] {f['check']}: {f['detail']}"
                      for f in finds)
+
+
+def single_partition_frame_rows(df: DataFrame) -> int:
+    """MEASURE the largest row count shuffled into any SinglePartition
+    exchange while fully evaluating ``df`` (round 8, VERDICT r7 #5: the
+    bounded-frame window whitelist carries prose sub-linearity arguments;
+    this turns each into a measured assertion so justifications can't rot
+    silently).
+
+    Runs with AQE disabled for the probe (AQE wraps exchanges in query
+    stages whose metrics are awkward to walk), forces full-column
+    evaluation through an xxhash64 checksum (count() would let Catalyst
+    prune the very window under audit), then walks the executed plan for
+    Exchange nodes with SinglePartition output and returns the max
+    ``shuffleRecordsWritten``. Returns 0 when the plan has no
+    single-partition exchange at all."""
+    from pyspark.sql import functions as F
+
+    spark = df.sparkSession
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    try:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        cs = df.select(F.xxhash64(*df.columns).alias("__h")).agg(
+            F.sum("__h"))
+        cs.collect()
+        plan = cs._jdf.queryExecution().executedPlan()
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+    def walk(node):
+        yield node
+        ch = node.children()
+        for i in range(ch.size()):
+            yield from walk(ch.apply(i))
+
+    worst = 0
+    for n in walk(plan):
+        if "Exchange" not in n.nodeName():
+            continue
+        if "SinglePartition" not in n.outputPartitioning().toString():
+            continue
+        it = n.metrics().iterator()
+        while it.hasNext():
+            kv = it.next()
+            if kv._1() == "shuffleRecordsWritten":
+                worst = max(worst, kv._2().value())
+    return worst
