@@ -48,19 +48,56 @@ def materialize(df) -> int:
             .alias("h")).first()["n"]
 
 
+# sf1 tier (VERDICT r7 #6): the 10 most expensive headline queries,
+# re-measured at 10x the sf0.1 volume (tools/scale_stress.py's sf10x
+# corpus IS sf~1: documents/embeddings/events/orders/lineitem scaled
+# 10x, dims fixed). sf0.1 hides constant factors that sf1 exposes;
+# this tier gets its own frozen baseline + the same 2x gate.
+SF1_QUERIES = [
+    "similarity_knn_join", "lakehouse_change_feed",
+    "similarity_range_search", "sample_greedy_cover",
+    "sink_partitioned_merge", "embedding_kmeans", "text_dedup_spans",
+    "text_bpe_train", "dedup_minhash_lsh", "multimodal_jpeg_decode",
+]
+
+
+def _sf1_dir() -> str:
+    repo = os.path.dirname(os.path.abspath(__file__))
+    d = os.path.join(repo, ".scale_data", "sf10x")
+    if not os.path.exists(os.path.join(d, "documents.parquet")):
+        import subprocess
+        subprocess.run(
+            [sys.executable, os.path.join(repo, "tools", "scale_stress.py"),
+             "--generate-only"], check=True, cwd=repo)
+    return d
+
+
 def main() -> int:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf1_tier = "--sf" in sys.argv and \
+        sys.argv[sys.argv.index("--sf") + 1] == "1"
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if sf1_tier:
+        sf_dir = _sf1_dir()
+    else:
+        sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR",
+                                "/root/testdata/sf0.1")
 
     from flink_cdc_dsql_master_spark.queries import BENCH_QUERIES, QUERIES
     from flink_cdc_dsql_master_spark.session import get_spark
+
+    if sf1_tier:
+        BENCH_QUERIES = SF1_QUERIES  # noqa: N806
 
     spark = get_spark("bench")
     # warmup pass: every query once at sf0.001 (same plans, tiny data).
     # This JITs the generated code, spawns the Python/Arrow worker pool,
     # and warms parquet/shuffle paths -- one-time JVM costs, not any
     # query's cost. Falls back to the target dir if sf0.001 is absent.
-    warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf0.001")
+    if sf1_tier:
+        warm_dir = "/root/testdata/sf0.01"  # same plans, 1% the volume
+    else:
+        warm_dir = os.path.join(os.path.dirname(sf_dir.rstrip("/")),
+                                "sf0.001")
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     t0 = time.perf_counter()
@@ -71,7 +108,9 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
-    for _pass in range(3):
+    # 2 passes at the sf1 tier (queries are 5-40s each; the min-of-2 is
+    # stable once warm), 3 at sf0.1
+    for _pass in range(2 if sf1_tier else 3):
         for name in BENCH_QUERIES:
             fn = QUERIES[name]
             t0 = time.perf_counter()
@@ -91,11 +130,14 @@ def main() -> int:
         print(f"# {name}: {timings[name]}s ({rows[name]} rows)",
               file=sys.stderr)
 
-    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    try:
-        sf_val: float | str = float(sf)
-    except ValueError:
-        sf_val = sf
+    if sf1_tier:
+        sf_val: float | str = 1.0
+    else:
+        sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+        try:
+            sf_val = float(sf)
+        except ValueError:
+            sf_val = sf
     out = {
         "metric": "headline_queries_total_wall",
         "value": round(sum(timings.values()), 3),
@@ -114,9 +156,11 @@ def main() -> int:
     # fails the bench run. New queries without a frozen entry pass
     # (they become part of the baseline when it is next refrozen).
     rc = 0
+    base_name = "BASELINE_BENCH_SF1.json" if sf1_tier \
+        else "BASELINE_BENCH.json"
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                             "BASELINE_BENCH.json")
-    if os.path.exists(base_path) and sf_val == 0.1:
+                             base_name)
+    if os.path.exists(base_path) and sf_val in (0.1, 1.0):
         with open(base_path) as f:
             frozen = json.load(f)["queries"]
         for name, t in sorted(timings.items()):

@@ -266,8 +266,9 @@ def compose_changelog_stream(spark: SparkSession, pipeline: PipelineDef,
         envelope = {"file-debezium": "debezium-json",
                     "file-maxwell": "maxwell-json",
                     "file-ogg": "ogg-json"}[src.type]
-        stream = changelog_file_stream(spark, src.config["path"], payload,
-                                       envelope=envelope)
+        stream = changelog_file_stream(
+            spark, src.config["path"], payload, envelope=envelope,
+            reader_options=src.config.get("reader-options"))
     elif src.type == "kafka-debezium":
         stream = kafka_changelog_stream(
             spark, src.config["servers"], src.config["topics"], payload)

@@ -338,7 +338,8 @@ def decode_ogg_json(df: DataFrame, value_col: str,
 
 def changelog_file_stream(spark: SparkSession, path: str,
                           payload_schema: T.StructType,
-                          envelope: str = "debezium-json") -> DataFrame:
+                          envelope: str = "debezium-json",
+                          reader_options: dict | None = None) -> DataFrame:
     """File-backed changelog stream — the sandbox stand-in for a Kafka
     topic carrying Debezium envelopes. Each JSON-lines file holds
     ``{"value": <envelope string>, "offset": <long>}`` records (exactly the
@@ -351,7 +352,11 @@ def changelog_file_stream(spark: SparkSession, path: str,
     if envelope not in decoders:
         raise ValueError(f"unsupported envelope {envelope!r} "
                          f"(one of {sorted(decoders)})")
-    raw = spark.readStream.schema("value string, offset long").json(path)
+    reader = spark.readStream.schema("value string, offset long")
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)  # e.g. maxFilesPerTrigger=1: one
+        # source file per micro-batch (the latency-bench trigger shape)
+    raw = reader.json(path)
     return decoders[envelope](raw, "value", payload_schema,
                               seq_col="offset")
 
