@@ -109,6 +109,11 @@ BENCH_QUERIES = [
 
 def _q(name: str, oracle: str | None = None):
     def deco(fn):
+        if name in QUERIES:
+            # plain dict assignment silently SHADOWED the earlier query
+            # (two dead definitions shipped that way in r8, VERDICT #3) —
+            # a duplicate name is always a bug, fail at import time
+            raise ValueError(f"duplicate query registration: {name!r}")
         QUERIES[name] = fn
         if oracle is not None:
             ORACLE[name] = oracle
@@ -5763,42 +5768,6 @@ def profile_table_stats(spark, sf_dir):
 
 
 @_q(
-    "agg_cohort_retention",
-    """
-    WITH first AS (
-      SELECT user_id, date_trunc('week', MIN(ts)) AS cohort
-      FROM events GROUP BY user_id),
-    act AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
-            FROM events)
-    SELECT strftime(cohort, '%Y-%m-%d') AS cohort_week,
-           CAST((epoch(wk) - epoch(cohort)) / 604800 AS INT)
-             AS weeks_since,
-           CAST(COUNT(*) AS BIGINT) AS n_users
-    FROM act JOIN first USING (user_id)
-    GROUP BY cohort, weeks_since
-    """,
-)
-def agg_cohort_retention(spark, sf_dir):
-    """Cohort retention matrix: users bucketed by first-activity week,
-    counted in each later activity week. Two aggregates co-partitioned on
-    user_id (the join reuses the groupBy partitioning); the matrix is
-    weeks × weeks — driver-tiny."""
-    ev = _events_table(spark, sf_dir)
-    first = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort"))
-    act = (ev.select("user_id", F.date_trunc("week", "ts").alias("wk"))
-           .distinct())
-    weeks = ((F.unix_timestamp("wk") - F.unix_timestamp("cohort"))
-             / 604800).cast("int")
-    return (act.join(first, "user_id")
-            .select(F.date_format("cohort", "yyyy-MM-dd")
-                    .alias("cohort_week"),
-                    weeks.alias("weeks_since"))
-            .groupBy("cohort_week", "weeks_since")
-            .agg(F.count("*").alias("n_users")))
-
-
-@_q(
     "agg_funnel_conversion",
     """
     WITH s AS (
@@ -10219,58 +10188,6 @@ def multimodal_video_frames(spark, sf_dir):
     out = decode_video_frames(media, every_k=2)
     return out.select("media_id", "frame_idx", "n_frames", "width",
                       "height", F.round("mean_pixel", 4).alias("mean_pixel"))
-
-
-@_q(
-    "eval_langid_confusion",
-    f"""
-    WITH w AS MATERIALIZED (
-      SELECT doc_id, lang,
-             string_split_regex(trim(lower(text)), '\\s+') AS ws
-      FROM documents),
-    scores AS (
-      SELECT doc_id, w.lang AS lang_true, l.lang AS lang_cand,
-             CAST(len(list_filter(ws, x -> list_contains(l.markers, x)))
-                  AS DOUBLE) / greatest(len(ws), 1) AS score
-      FROM w, {{lv}}),
-    best AS (
-      SELECT doc_id, lang_true,
-             CASE WHEN score > 0 THEN lang_cand ELSE 'und' END
-               AS lang_pred
-      FROM scores
-      QUALIFY row_number() OVER (PARTITION BY doc_id
-                                 ORDER BY score DESC,
-                                          lang_cand DESC) = 1),
-    cm AS MATERIALIZED (
-      SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n
-      FROM best GROUP BY 1, 2),
-    tot AS (SELECT lang_true, SUM(n) AS t FROM cm GROUP BY 1)
-    SELECT cm.lang_true, cm.lang_pred, cm.n,
-           ROUND(CAST(cm.n AS DOUBLE) / tot.t, 6) AS share_of_label
-    FROM cm JOIN tot USING (lang_true)
-    """.format(lv=_LANG_VALUES_SQL),
-)
-def eval_langid_confusion(spark, sf_dir):
-    """Language-ID quality gate (companion of eval_ann_recall /
-    eval_lsh_recall): the confusion matrix of the marker-stopword
-    detector against the corpus's labeled ``lang`` column, with each
-    cell's share of its true-label row — the per-language
-    recall-diagonal a curation rollout reads before trusting the
-    detector's language cuts. Matrix-sized output (|langs|^2), one
-    groupBy over the prediction stream."""
-    from .operators import text as text_ops
-
-    docs = _t(spark, sf_dir, "documents")
-    pred = text_ops.detect_language(docs).select("doc_id", "lang_pred")
-    j = docs.select("doc_id", F.col("lang").alias("lang_true")) \
-        .join(pred, "doc_id")
-    cm = j.groupBy("lang_true", "lang_pred").agg(
-        F.count("*").cast("long").alias("n"))
-    tot = cm.groupBy("lang_true").agg(F.sum("n").alias("t"))
-    return (cm.join(F.broadcast(tot), "lang_true")
-            .select("lang_true", "lang_pred", "n",
-                    F.round(F.col("n").cast("double") / F.col("t"), 6)
-                    .alias("share_of_label")))
 
 
 @_q(
