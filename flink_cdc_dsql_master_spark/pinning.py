@@ -45,3 +45,27 @@ def pin(df: DataFrame) -> DataFrame:
     if mode == "checkpoint":
         return df.checkpoint(eager=True)
     return df.localCheckpoint()
+
+
+def pin_eager(df: DataFrame) -> DataFrame:
+    """Pin with a HARD eagerness requirement: the result must never be
+    recomputable from its input lineage, because the caller is about to
+    invalidate that input (ADVICE r8: ``DbApiPollingSource.poll`` swaps
+    the snapshot directory its diff was computed against immediately
+    after pinning — under the lazy 'persist' mode the diff would
+    evaluate, or recompute after block eviction, against the NEW
+    snapshot and emit silently wrong changelog batches).
+
+    'persist' therefore maps to reliable ``checkpoint()`` when a
+    checkpoint dir is configured, else ``localCheckpoint()`` — trading
+    cluster recoverability (a lost executor fails the poll, which is
+    retried) for correctness (never a wrong diff)."""
+    mode = df.sparkSession.conf.get(PIN_MODE_CONF, "localCheckpoint")
+    if mode not in _MODES:
+        raise ValueError(
+            f"{PIN_MODE_CONF}={mode!r}: expected one of {_MODES}")
+    if mode == "checkpoint" or (
+            mode == "persist"
+            and df.sparkSession.sparkContext.getCheckpointDir() is not None):
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint()

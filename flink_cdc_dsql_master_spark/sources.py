@@ -34,7 +34,7 @@ import re
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
-from .pinning import pin
+from .pinning import pin, pin_eager
 
 from .events import OP_COLUMN, OP_INSERT, OP_TS_COLUMN, SEQ_COLUMN
 
@@ -719,9 +719,12 @@ class DbApiPollingSource:
         # one seq per poll epoch: within an epoch each key appears as at
         # most one logical change (+I | -D | -U/+U pair), and the LWW
         # op-rank tie-break already orders a pair's after-image above its
-        # retraction at equal seq. localCheckpoint materializes the diff
-        # BEFORE the state swap below invalidates its `prev` lineage.
+        # retraction at equal seq. pin_eager (NOT pin): the state swap
+        # below invalidates the `prev` lineage, so the diff must be
+        # unrecomputable — the lazy 'persist' mode would evaluate (or
+        # recompute after block eviction) against the NEW snapshot and
+        # emit a silently wrong batch (ADVICE r8).
         cl = (cl.withColumn(SEQ_COLUMN, F.lit(self.epoch).cast("long"))
-              .transform(pin))
+              .transform(pin_eager))
         swap_parquet_dir(new, self.state_path)
         return cl

@@ -21,6 +21,33 @@ def test_q_raises_on_duplicate_registration():
     assert QUERIES[name] is not None
 
 
+def test_pin_eager_never_lazy(spark):
+    """ADVICE r8 (medium): the poll-loop pin before the snapshot swap must
+    be unrecomputable from lineage even under pinMode=persist — persist is
+    lazy AND keeps lineage, so the diff could evaluate against the swapped
+    (new) snapshot. pin_eager must map persist to an eager, lineage-free
+    materialization."""
+    from flink_cdc_dsql_master_spark.pinning import PIN_MODE_CONF, pin_eager
+
+    df = spark.range(10).withColumn("v", spark_col_double())
+    old = spark.conf.get(PIN_MODE_CONF, "localCheckpoint")
+    try:
+        spark.conf.set(PIN_MODE_CONF, "persist")
+        pinned = pin_eager(df)
+        # eager + lineage-truncated: the physical plan must be a scan of
+        # checkpointed/materialized data, not the original Range
+        plan = pinned._jdf.queryExecution().executedPlan().toString()
+        assert "Range" not in plan
+    finally:
+        spark.conf.set(PIN_MODE_CONF, old)
+
+
+def spark_col_double():
+    from pyspark.sql import functions as F
+
+    return (F.col("id") * 2).cast("double")
+
+
 def test_decorator_count_equals_live_registry():
     import flink_cdc_dsql_master_spark.queries as q
 
