@@ -3466,6 +3466,86 @@ def cdc_polling_capture_pg(spark, sf_dir):
     return apply_changelog(cl1.unionByName(cl2), ["k"])
 
 
+@_q(
+    "cdc_startup_specific_offset",
+    """
+    WITH s1 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                  ELSE o_totalprice END AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 11 <> 0)
+    SELECT k, price, status, '-U' AS op FROM s1
+    WHERE k % 5 = 0 AND k % 13 <> 0
+    UNION ALL
+    SELECT k, price * 2.0 AS price, status, '+U' AS op FROM s1
+    WHERE k % 5 = 0 AND k % 13 <> 0
+    UNION ALL
+    SELECT k, price, status, '-D' AS op FROM s1 WHERE k % 13 = 0
+    """,
+)
+def cdc_startup_specific_offset(spark, sf_dir):
+    """Startup-offset fidelity (VERDICT r8 #4; reference surface
+    MySqlDataSourceOptions.java:123 ``scan.startup.mode`` =
+    ``specific-offset``): a GTID-set token recorded from a committed
+    poll drives a NEW polling source's resume point with ZERO replayed
+    rows. Source A snapshots, captures mutation set 1 and commits its
+    offset; mutation set 2 lands AFTER the recorded token; source B is
+    constructed purely from the startup options + token and must emit
+    exactly set 2's delta — the oracle recomputes that delta from the
+    pristine parquet, so one replayed (or skipped) row hash-fails."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .events import OP_COLUMN
+    from .sources import DbApiPollingSource, DuckDBConnFactory
+
+    base = tempfile.mkdtemp(prefix="cdc_startup_")
+    path = os.path.join(base, "src.duckdb")
+    con = duckdb.connect(path)
+    con.execute(
+        "CREATE TABLE orders AS "
+        "SELECT o_orderkey AS k, o_totalprice AS price, "
+        "o_orderstatus AS status "
+        f"FROM read_parquet('{sf_dir}/orders.parquet')")
+    con.close()
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ])
+    state = os.path.join(base, "snap_state")
+    src_a = DbApiPollingSource(
+        spark, DuckDBConnFactory(path), "orders", "k", ["k"], schema,
+        state_path=state, chunk_size=2000)
+    src_a.poll()  # epoch 1: initial snapshot
+
+    con = _duckdb_connect_rw(path)
+    con.execute("UPDATE orders SET price = price + 1000.0 WHERE k % 7 = 0")
+    con.execute("DELETE FROM orders WHERE k % 11 = 0")
+    con.close()
+    src_a.poll()  # epoch 2: set 1 committed
+    token = src_a.committed_offset()["gtid_set"]
+
+    # set 2 lands strictly after the recorded token (delete first so the
+    # -D before-image is the s1 price, never the doubled one)
+    con = _duckdb_connect_rw(path)
+    con.execute("DELETE FROM orders WHERE k % 13 = 0")
+    con.execute("UPDATE orders SET price = price * 2.0 WHERE k % 5 = 0")
+    con.close()
+
+    src_b = DbApiPollingSource.resume_from_offset(
+        spark, DuckDBConnFactory(path), "orders", "k", ["k"], schema,
+        state_path=state, chunk_size=2000,
+        startup={"scan.startup.mode": "specific-offset",
+                 "scan.startup.specific-offset.gtid-set": token})
+    cl = src_b.poll()  # must be exactly set 2's delta — zero replay
+    return cl.select("k", "price", "status", F.col(OP_COLUMN).alias("op"))
+
+
 # ---------------------------------------------------------------------------
 # chunked snapshot splitter (§2.1) — split arithmetic + predicate coverage
 # ---------------------------------------------------------------------------

@@ -48,6 +48,79 @@ def spark_col_double():
     return (F.col("id") * 2).cast("double")
 
 
+def _polling_source(spark, tmp_path):
+    import duckdb
+    from pyspark.sql import types as T
+
+    from flink_cdc_dsql_master_spark.sources import (DbApiPollingSource,
+                                                     DuckDBConnFactory)
+
+    path = str(tmp_path / "src.duckdb")
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE t AS SELECT range AS k, range * 1.5 AS v "
+                "FROM range(100)")
+    con.close()
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.DoubleType()),
+    ])
+    return DbApiPollingSource(
+        spark, DuckDBConnFactory(path), "t", "k", ["k"], schema,
+        state_path=str(tmp_path / "state"), chunk_size=50), path, schema
+
+
+def test_startup_offset_stale_token_raises(spark, tmp_path):
+    """A token older than the committed position must fail fast — the
+    polling source retains only its latest snapshot, exactly like a
+    binlog server purges rotated segments."""
+    import duckdb
+
+    from flink_cdc_dsql_master_spark.sources import (DbApiPollingSource,
+                                                     DuckDBConnFactory)
+
+    src, path, schema = _polling_source(spark, tmp_path)
+    src.poll()
+    old_token = src.committed_offset()["gtid_set"]
+    con = duckdb.connect(path)
+    con.execute("UPDATE t SET v = v + 1 WHERE k % 2 = 0")
+    con.close()
+    src.poll()  # epoch 2 commits; epoch-1 token is now purged
+    with pytest.raises(ValueError, match="purged"):
+        DbApiPollingSource.resume_from_offset(
+            spark, DuckDBConnFactory(path), "t", "k", ["k"], schema,
+            state_path=str(tmp_path / "state"),
+            startup={"scan.startup.mode": "specific-offset",
+                     "scan.startup.specific-offset.gtid-set": old_token})
+
+
+def test_startup_timestamp_resumes_and_predates_raises(spark, tmp_path):
+    """timestamp startup: a ts at/after the committed snapshot resumes
+    (zero replay); one before it fails fast (history purged)."""
+    import duckdb
+
+    from flink_cdc_dsql_master_spark.sources import (DbApiPollingSource,
+                                                     DuckDBConnFactory)
+
+    src, path, schema = _polling_source(spark, tmp_path)
+    src.poll()
+    meta = src.committed_offset()
+    resumed = DbApiPollingSource.resume_from_offset(
+        spark, DuckDBConnFactory(path), "t", "k", ["k"], schema,
+        state_path=str(tmp_path / "state"),
+        startup={"scan.startup.mode": "timestamp",
+                 "scan.startup.timestamp-millis": str(meta["ts_ms"])})
+    assert resumed.epoch == meta["epoch"]
+    # no mutations since the snapshot -> zero replayed rows
+    assert resumed.poll().count() == 0
+    with pytest.raises(ValueError, match="purged"):
+        DbApiPollingSource.resume_from_offset(
+            spark, DuckDBConnFactory(path), "t", "k", ["k"], schema,
+            state_path=str(tmp_path / "state"),
+            startup={"scan.startup.mode": "timestamp",
+                     "scan.startup.timestamp-millis":
+                         str(meta["ts_ms"] - 10_000)})
+
+
 def test_decorator_count_equals_live_registry():
     import flink_cdc_dsql_master_spark.queries as q
 
