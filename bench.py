@@ -73,8 +73,14 @@ def _sf1_dir() -> str:
 
 
 def main() -> int:
-    sf1_tier = "--sf" in sys.argv and \
-        sys.argv[sys.argv.index("--sf") + 1] == "1"
+    sf1_tier = False
+    if "--sf" in sys.argv:
+        i = sys.argv.index("--sf")
+        if i + 1 >= len(sys.argv):
+            print("usage: bench.py [--sf 1]  (--sf requires a value)",
+                  file=sys.stderr)
+            return 2
+        sf1_tier = sys.argv[i + 1] == "1"
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if sf1_tier:
         sf_dir = _sf1_dir()
@@ -145,6 +151,15 @@ def main() -> int:
         "queries": timings,
         "sf": sf_val,
     }
+    # streaming latency tier (VERDICT r7 #7): p50/p95 micro-batch latency
+    # of the composed changelog pipeline at 10x events, 1 file/trigger.
+    # Its own frozen baseline + 2x gate (bench_streaming.gate).
+    streaming_rc = 0
+    if not sf1_tier:
+        import bench_streaming
+
+        out["streaming"] = bench_streaming.run(spark)
+        streaming_rc = bench_streaming.gate(out["streaming"])
     print(json.dumps(out))
     spark.stop()
 
@@ -168,7 +183,7 @@ def main() -> int:
                 print(f"# REGRESSION {name}: {t}s > 2x frozen "
                       f"{frozen[name]}s", file=sys.stderr)
                 rc = 1
-    return rc
+    return rc or streaming_rc
 
 
 if __name__ == "__main__":

@@ -1,0 +1,206 @@
+"""Streaming micro-batch latency bench (VERDICT r7 #7 / r8 #3).
+
+Drives the full composed changelog pipeline (readStream over Debezium
+JSON-lines files → decode → transform → evolve → coerce → PK-repartition
+→ parquet sink) with ``maxFilesPerTrigger=1`` so every source file is one
+micro-batch, and reports the p50/p95 **per-micro-batch latency** off the
+StreamingQuery's own progress events (``durationMs.triggerExecution`` —
+the wall time of one trigger: offset resolution + batch planning +
+execution + commit).
+
+Fixture: the 10× events corpus (1M rows, ``tools/scale_stress.py``'s
+sf10x tier) encoded once into N=20 Debezium envelope files of 50k events
+each and cached under ``.scale_data/stream_bench_v{GEN}`` — batch size is
+the latency-relevant knob, and 50k rows/batch is the shape a real
+1k-events/sec topic polled every 50 s (or maxOffsetsPerTrigger=50k)
+produces.
+
+Gate: like the batch tier, a frozen ``BASELINE_BENCH_STREAMING.json``
+(written on first run) and a self-enforcing 2× regression gate on p50 and
+p95 (+100 ms absolute slack for scheduler jitter on sub-second batches).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+GEN_VERSION = 1
+N_FILES = 20
+PAYLOAD_SCHEMA = ("event_id bigint, user_id bigint, event_type string, "
+                  "value double")
+
+
+def _repo() -> str:
+    return os.path.dirname(os.path.abspath(__file__))
+
+
+def _events_10x_path() -> str:
+    d = os.path.join(_repo(), ".scale_data", "sf10x")
+    if not os.path.exists(os.path.join(d, "events.parquet")):
+        import subprocess
+
+        subprocess.run(
+            [sys.executable, os.path.join(_repo(), "tools",
+                                          "scale_stress.py"),
+             "--generate-only"], check=True, cwd=_repo())
+    return os.path.join(d, "events.parquet")
+
+
+def build_fixture(spark) -> str:
+    """Encode the 10× events into N_FILES Debezium (value, offset)
+    JSON-lines files, once (cached by GEN_VERSION)."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(_repo(), ".scale_data",
+                       f"stream_bench_v{GEN_VERSION}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    ev = spark.read.parquet(_events_10x_path())
+    after = F.struct(
+        F.col("event_id"), F.col("user_id"), F.col("event_type"),
+        F.col("value"))
+    env = F.to_json(F.struct(after.alias("after"), F.lit("c").alias("op")))
+    (ev.select(F.to_json(F.struct(env.alias("value"),
+                                  F.col("event_id").alias("offset")))
+               .alias("line"))
+     .repartition(N_FILES)
+     .write.mode("overwrite").text(out))
+    # drop the _SUCCESS marker etc. that the file stream would also read
+    for f in os.listdir(out):
+        if not f.endswith(".txt"):
+            os.remove(os.path.join(out, f))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _pipeline(src_dir: str):
+    from flink_cdc_dsql_master_spark.pipeline import (PipelineDef, SinkDef,
+                                                      SourceDef)
+    from flink_cdc_dsql_master_spark.route import RouteRule
+    from flink_cdc_dsql_master_spark.transform import TransformRule
+
+    return PipelineDef(
+        source=SourceDef("file-debezium", {
+            "path": src_dir,
+            "schema": PAYLOAD_SCHEMA,
+            "table": "bench.public.events_cl",
+            "primary-keys": ["event_id"],
+            # one source file per micro-batch: the latency-bench trigger
+            "reader-options": {"maxFilesPerTrigger": "1"},
+        }),
+        sink=SinkDef("parquet"),
+        transforms=(TransformRule(
+            r"bench\.public\.events_cl",
+            projection=("event_id, user_id, UPPER(event_type) AS "
+                        "event_type, value")),),
+        routes=(RouteRule(r"bench\.public\.events_cl",
+                          "analytics.out.events_cl"),),
+    )
+
+
+def run(spark, warm: bool = True) -> dict:
+    """Run the latency bench; returns the streaming metrics dict."""
+    import tempfile
+
+    from flink_cdc_dsql_master_spark.compose import compose_changelog_stream
+
+    src_all = build_fixture(spark)
+
+    def drive(src_dir: str) -> list[dict]:
+        base = tempfile.mkdtemp(prefix="stream_bench_")
+        ckpt = os.path.join(base, "ckpt")
+        sink_dir = os.path.join(base, "sink")
+
+        def writer(tid, df, schema):
+            df.write.mode("append").parquet(sink_dir)
+
+        q = compose_changelog_stream(spark, _pipeline(src_dir), ckpt,
+                                     writer)
+        q.awaitTermination(600)
+        prog = [json.loads(p.json if hasattr(p, "json") else p)
+                if not isinstance(p, dict) else p
+                for p in q.recentProgress]
+        shutil.rmtree(base, ignore_errors=True)
+        return prog
+
+    if warm:
+        # 2-file warmup stream: JITs the decode/transform/sink codegen and
+        # spawns the streaming execution threads — one-time JVM costs
+        warm_dir = tempfile.mkdtemp(prefix="stream_bench_warm_")
+        files = sorted(f for f in os.listdir(src_all)
+                       if f.endswith(".txt"))[:2]
+        for f in files:
+            shutil.copy(os.path.join(src_all, f), warm_dir)
+        drive(warm_dir)
+        shutil.rmtree(warm_dir, ignore_errors=True)
+
+    t0 = time.perf_counter()
+    prog = drive(src_all)
+    wall = round(time.perf_counter() - t0, 3)
+
+    lat = sorted(p["durationMs"]["triggerExecution"] for p in prog
+                 if p.get("numInputRows", 0) > 0)
+    rows = sum(p["numInputRows"] for p in prog)
+    if not lat:
+        raise RuntimeError("streaming bench measured zero non-empty "
+                           "micro-batches — fixture or trigger broken")
+
+    def pct(q: float) -> float:
+        i = min(len(lat) - 1, max(0, round(q * (len(lat) - 1))))
+        return float(lat[i])
+
+    return {
+        "metric": "streaming_microbatch_latency",
+        "n_batches": len(lat),
+        "rows": rows,
+        "p50_ms": pct(0.50),
+        "p95_ms": pct(0.95),
+        "max_ms": float(lat[-1]),
+        "throughput_rows_per_sec": round(rows / (sum(lat) / 1000.0), 1),
+        "wall_sec": wall,
+    }
+
+
+def gate(metrics: dict) -> int:
+    """Self-enforcing 2× regression gate vs the frozen baseline (written
+    on first run, like the batch tier's BASELINE_BENCH.json)."""
+    base_path = os.path.join(_repo(), "BASELINE_BENCH_STREAMING.json")
+    if not os.path.exists(base_path):
+        with open(base_path, "w") as f:
+            json.dump({k: metrics[k] for k in ("p50_ms", "p95_ms",
+                                               "n_batches", "rows")},
+                      f, indent=2)
+        print(f"# froze streaming baseline: {base_path}", file=sys.stderr)
+        return 0
+    with open(base_path) as f:
+        frozen = json.load(f)
+    rc = 0
+    for k in ("p50_ms", "p95_ms"):
+        if metrics[k] > 2.0 * frozen[k] + 100.0:
+            print(f"# STREAMING REGRESSION {k}: {metrics[k]}ms > 2x "
+                  f"frozen {frozen[k]}ms", file=sys.stderr)
+            rc = 1
+    return rc
+
+
+def main() -> int:
+    sys.path.insert(0, _repo())
+    from flink_cdc_dsql_master_spark.session import get_spark
+
+    spark = get_spark("bench_streaming")
+    metrics = run(spark)
+    print(json.dumps(metrics))
+    rc = gate(metrics)
+    spark.stop()
+    return rc
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
