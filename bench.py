@@ -175,6 +175,12 @@ def main() -> int:
         else "BASELINE_BENCH.json"
     base_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              base_name)
+    if sf1_tier and not os.path.exists(base_path):
+        # freeze-on-first-run, like the streaming tier: the sf1 baseline
+        # comes from the first full steady-state run of SF1_QUERIES
+        with open(base_path, "w") as f:
+            json.dump({"queries": timings, "sf": 1.0}, f, indent=2)
+        print(f"# froze sf1 baseline: {base_path}", file=sys.stderr)
     if os.path.exists(base_path) and sf_val in (0.1, 1.0):
         with open(base_path) as f:
             frozen = json.load(f)["queries"]

@@ -6950,6 +6950,62 @@ def lakehouse_time_travel(spark, sf_dir):
             .select("version", "k", "price", "status"))
 
 
+@_q(
+    "lakehouse_export_iceberg",
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 11 <> 0
+    """,
+)
+def lakehouse_export_iceberg(spark, sf_dir):
+    """Iceberg external-format export (VERDICT r8 #7; reference
+    capability flink-cdc-pipeline-connector-iceberg/): the versioned
+    table from lakehouse_time_travel's two merges is exported as an
+    Iceberg v2 layout (field-id'd metadata.json + Avro manifest list +
+    Avro manifest over fresh parquet, written with the repo's own Avro
+    codec) and read back STRICTLY through that layout — version-hint →
+    metadata → manifest-list → manifests → data files. The oracle
+    recomputes the expected snapshot from pristine parquet, so a wrong
+    manifest entry, mis-encoded Avro record or missed tombstone
+    hash-fails."""
+    import os
+    import tempfile
+
+    from .iceberg_export import export_iceberg, read_iceberg
+    from .lakehouse import (merge_into_versioned_parquet,
+                            with_bucket_partition)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    k = F.col("k")
+    b1 = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    upd = (orders.where(k % 7 == 0)
+           .withColumn("price", F.col("price") + 1000.0)
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    dele = (orders.where(k % 11 == 0)
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    b2 = upd.unionByName(dele)
+
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    base = tempfile.mkdtemp(prefix="ice_exp_")
+    path = os.path.join(base, "orders_ver")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 8), schema)
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b2, "k", 8), schema)
+    export_iceberg(spark, path, os.path.join(base, "orders_iceberg"))
+    return (read_iceberg(spark, os.path.join(base, "orders_iceberg"))
+            .select("k", "price", "status"))
+
+
 def _bpe_oracle_sql(rounds: int = 3) -> str:
     """DuckDB replay of the full iterative BPE trainer: per round, pair
     stats + lexicographic-tiebreak argmax + greedy non-overlapping merge

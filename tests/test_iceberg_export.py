@@ -1,0 +1,114 @@
+"""Iceberg export face: Avro codec conformance + layout round-trip."""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+
+import pytest
+
+from flink_cdc_dsql_master_spark.avro_io import (decode_value, encode_value,
+                                                 read_container,
+                                                 write_container)
+
+
+def test_avro_zigzag_golden_bytes():
+    """Pin the varint-zigzag encoding against the Avro spec's own
+    published examples (spec §Binary encoding: 0→00, -1→01, 1→02,
+    -2→03, 2→04, -64→7f, 64→80 01)."""
+    cases = {0: b"\x00", -1: b"\x01", 1: b"\x02", -2: b"\x03",
+             2: b"\x04", -64: b"\x7f", 64: b"\x80\x01"}
+    for n, expect in cases.items():
+        buf = io.BytesIO()
+        encode_value(buf, n, "long")
+        assert buf.getvalue() == expect, n
+        assert decode_value(io.BytesIO(expect), "long") == n
+
+
+def test_avro_record_union_roundtrip():
+    schema = {"type": "record", "name": "r", "fields": [
+        {"name": "a", "type": "long"},
+        {"name": "b", "type": ["null", "string"]},
+        {"name": "c", "type": {"type": "array", "items": "double"}},
+        {"name": "d", "type": {"type": "map", "values": "int"}},
+        {"name": "e", "type": {"type": "record", "name": "empty",
+                               "fields": []}},
+    ]}
+    rec = {"a": -123456789, "b": None, "c": [1.5, -2.25],
+           "d": {"x": 1, "y": -7}, "e": {}}
+    rec2 = {"a": 7, "b": "héllo", "c": [], "d": {}, "e": {}}
+    buf = io.BytesIO()
+    encode_value(buf, rec, schema)
+    encode_value(buf, rec2, schema)
+    buf.seek(0)
+    assert decode_value(buf, schema) == rec
+    assert decode_value(buf, schema) == rec2
+
+
+def test_avro_container_roundtrip(tmp_path):
+    schema = {"type": "record", "name": "t", "fields": [
+        {"name": "k", "type": "long"},
+        {"name": "s", "type": "string"}]}
+    recs = [{"k": i, "s": f"row{i}"} for i in range(257)]
+    p = str(tmp_path / "t.avro")
+    write_container(p, schema, recs, metadata={"custom": b"tag"})
+    got_schema, got = read_container(p)
+    assert got == recs
+    assert got_schema == schema
+
+
+def test_iceberg_layout_and_roundtrip(spark, sf_dir, tmp_path):
+    """The exported layout is spec-shaped: v2 metadata.json with
+    field-id'd schema, manifest-list → manifest → data files; read-back
+    through the layout equals the source snapshot."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.iceberg_export import (export_iceberg,
+                                                            read_iceberg)
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        merge_into_versioned_parquet, read_versioned, with_bucket_partition)
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    src = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+           .select(F.col("o_orderkey").alias("k"),
+                   F.col("o_totalprice").alias("price"))
+           .limit(500)
+           .withColumn(OP_COLUMN, F.lit("+I"))
+           .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of(spark.read.parquet(f"{sf_dir}/orders.parquet")
+                       .select(F.col("o_orderkey").alias("k"),
+                               F.col("o_totalprice").alias("price")).schema,
+                       primary_keys=["k"])
+    path = str(tmp_path / "ver")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(src, "k", 4), schema)
+    dest = str(tmp_path / "ice")
+    info = export_iceberg(spark, path, dest)
+    assert info["rows"] == 500 and info["files"] >= 1
+
+    meta_dir = os.path.join(dest, "metadata")
+    with open(os.path.join(meta_dir, "v1.metadata.json")) as f:
+        meta = json.load(f)
+    assert meta["format-version"] == 2
+    fields = meta["schemas"][0]["fields"]
+    assert [f["name"] for f in fields] == ["k", "price"]
+    assert all(isinstance(f["id"], int) for f in fields)
+    snap = meta["snapshots"][0]
+    assert snap["snapshot-id"] == meta["current-snapshot-id"]
+    _, manifests = read_container(snap["manifest-list"])
+    assert manifests[0]["added_rows_count"] == 500
+    assert manifests[0]["added_files_count"] == info["files"]
+
+    back = read_iceberg(spark, dest).orderBy("k")
+    exp = read_versioned(spark, path).drop("part").orderBy("k")
+    assert back.collect() == exp.collect()
+
+
+def test_iceberg_rejects_unmappable_type(spark, tmp_path):
+    from flink_cdc_dsql_master_spark.iceberg_export import _iceberg_schema
+
+    df = spark.range(1).selectExpr("array(1, 2) AS a")
+    with pytest.raises(ValueError, match="no iceberg mapping"):
+        _iceberg_schema(df.schema)
