@@ -258,3 +258,24 @@ def read_iceberg(spark, dest: str) -> DataFrame:
     if not paths:
         raise ValueError(f"{dest}: snapshot {snap_id} lists no data files")
     return spark.read.parquet(*paths)
+
+
+def import_iceberg(spark, src: str, path: str, schema,
+                   part_col: str = "part", n_buckets: int = 16) -> dict:
+    """Bootstrap a versioned-lakehouse table from an Iceberg table's
+    current snapshot — the inverse face of :func:`export_iceberg`, and
+    the migration path for a user with an existing Iceberg catalog: rows
+    land as one +I changelog batch through the normal merge, so
+    stats/blooms/manifest discipline apply from version 1 (exactly like
+    :func:`.lakehouse.import_snapshot` over plain parquet)."""
+    from .events import OP_COLUMN, SEQ_COLUMN
+    from .lakehouse import (merge_into_versioned_parquet,
+                            with_bucket_partition)
+    from pyspark.sql import functions as F
+
+    df = read_iceberg(spark, src)
+    b = (df.withColumn(OP_COLUMN, F.lit("+I"))
+         .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    b = with_bucket_partition(b, schema.primary_keys[0], n_buckets,
+                              part_col)
+    return merge_into_versioned_parquet(path, b, schema, part_col)

@@ -7006,6 +7006,65 @@ def lakehouse_export_iceberg(spark, sf_dir):
             .select("k", "price", "status"))
 
 
+@_q(
+    "lakehouse_import_iceberg",
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 11 <> 0
+    """,
+)
+def lakehouse_import_iceberg(spark, sf_dir):
+    """Iceberg IMPORT face — the migration path for a user with an
+    existing Iceberg catalog: an Iceberg table's current snapshot
+    bootstraps a versioned-lakehouse table as version 1 (through the
+    normal merge, so stats/blooms/manifests apply from the start), and
+    the imported table is then FULLY FUNCTIONAL — a second changelog
+    batch (updates + deletes) merges on top and the latest read must
+    equal the oracle's recomputation of both steps."""
+    import os
+    import tempfile
+
+    from .iceberg_export import export_iceberg, import_iceberg
+    from .lakehouse import (merge_into_versioned_parquet, read_versioned,
+                            with_bucket_partition)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    k = F.col("k")
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    base = tempfile.mkdtemp(prefix="ice_imp_")
+
+    # a "foreign" Iceberg table: version-1 snapshot exported to the layout
+    src_path = os.path.join(base, "orders_src")
+    b1 = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    merge_into_versioned_parquet(
+        src_path, with_bucket_partition(b1, "k", 8), schema)
+    ice = os.path.join(base, "orders_iceberg")
+    export_iceberg(spark, src_path, ice)
+
+    # bootstrap a NEW versioned table from the Iceberg layout, then keep
+    # merging on it
+    path = os.path.join(base, "orders_imported")
+    import_iceberg(spark, ice, path, schema, n_buckets=8)
+    upd = (orders.where(k % 7 == 0)
+           .withColumn("price", F.col("price") + 1000.0)
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    dele = (orders.where(k % 11 == 0)
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(upd.unionByName(dele), "k", 8), schema)
+    return (read_versioned(spark, path)
+            .select("k", "price", "status"))
+
+
 def _bpe_oracle_sql(rounds: int = 3) -> str:
     """DuckDB replay of the full iterative BPE trainer: per round, pair
     stats + lexicographic-tiebreak argmax + greedy non-overlapping merge
