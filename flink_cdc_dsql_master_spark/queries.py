@@ -3546,6 +3546,66 @@ def cdc_startup_specific_offset(spark, sf_dir):
     return cl.select("k", "price", "status", F.col(OP_COLUMN).alias("op"))
 
 
+@_q(
+    "cdc_startup_latest_offset",
+    """
+    SELECT o_orderkey AS k, o_totalprice AS price,
+           o_orderstatus AS status, '-D' AS op
+    FROM orders WHERE o_orderkey % 11 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, o_orderstatus, '-U' AS op
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice + 1000.0, o_orderstatus, '+U' AS op
+    FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey % 11 <> 0
+    """,
+)
+def cdc_startup_latest_offset(spark, sf_dir):
+    """``scan.startup.mode = latest-offset`` semantics
+    (StartupOptions.latest(); MySqlDataSourceOptions.java:123): start
+    from the CURRENT tail — no snapshot rows are emitted. Poll 1 on a
+    populated table must return ZERO rows (it records the resume point),
+    and poll 2 must carry exactly the post-start mutations; the oracle
+    holds only the delta, so any snapshot row leaking through
+    hash-fails."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .events import OP_COLUMN
+    from .sources import DbApiPollingSource, DuckDBConnFactory
+
+    base = tempfile.mkdtemp(prefix="cdc_latest_")
+    path = os.path.join(base, "src.duckdb")
+    con = duckdb.connect(path)
+    con.execute(
+        "CREATE TABLE orders AS "
+        "SELECT o_orderkey AS k, o_totalprice AS price, "
+        "o_orderstatus AS status "
+        f"FROM read_parquet('{sf_dir}/orders.parquet')")
+    con.close()
+
+    schema = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ])
+    src = DbApiPollingSource(
+        spark, DuckDBConnFactory(path), "orders", "k", ["k"], schema,
+        state_path=os.path.join(base, "snap_state"), chunk_size=2000,
+        startup_mode="latest-offset")
+    cl1 = src.poll()  # records the tail, emits nothing
+
+    con = _duckdb_connect_rw(path)
+    con.execute("DELETE FROM orders WHERE k % 11 = 0")
+    con.execute("UPDATE orders SET price = price + 1000.0 WHERE k % 7 = 0")
+    con.close()
+    cl2 = src.poll()
+    return (cl1.unionByName(cl2)
+            .select("k", "price", "status", F.col(OP_COLUMN).alias("op")))
+
+
 # ---------------------------------------------------------------------------
 # chunked snapshot splitter (§2.1) — split arithmetic + predicate coverage
 # ---------------------------------------------------------------------------

@@ -701,7 +701,14 @@ class DbApiPollingSource:
 
     def __init__(self, spark: SparkSession, conn_factory, table: str,
                  key: str, primary_keys: list[str], schema: T.StructType,
-                 state_path: str, chunk_size: int = DEFAULT_CHUNK_SIZE):
+                 state_path: str, chunk_size: int = DEFAULT_CHUNK_SIZE,
+                 startup_mode: str = "initial"):
+        if startup_mode not in ("initial", "earliest-offset",
+                                "latest-offset", "snapshot"):
+            raise ValueError(
+                f"unsupported polling startup_mode {startup_mode!r} "
+                "(specific-offset/timestamp go through "
+                "resume_from_offset)")
         self.spark = spark
         self.conn_factory = conn_factory
         self.table = table
@@ -711,6 +718,7 @@ class DbApiPollingSource:
         self.state_path = state_path
         self.chunk_size = chunk_size
         self.epoch = 0
+        self.startup_mode = startup_mode
 
     def poll(self) -> DataFrame:
         """Capture one changelog batch (empty frame when nothing changed).
@@ -722,7 +730,16 @@ class DbApiPollingSource:
             self.spark, self.conn_factory, self.table, self.key,
             self.schema, self.chunk_size)
         prev = read_parquet_state(self.spark, self.state_path)
-        if prev is None:
+        if prev is None and self.startup_mode == "latest-offset":
+            # StartupOptions.latest() semantics: start from the CURRENT
+            # tail — the first poll records the snapshot as the resume
+            # point without emitting it; only changes after this point
+            # flow. (initial/earliest emit the snapshot as +I rows.)
+            # Pin first: diffing two LIVE reads would query the database
+            # twice with mutations possibly landing in between.
+            new = pin_eager(new)
+            prev = new
+        elif prev is None:
             prev = self.spark.createDataFrame([], self.schema)
         cl = snapshot_diff(prev, new, self.primary_keys)
         self.epoch += 1
