@@ -279,12 +279,17 @@ def _collapse_identical_docs(df: DataFrame, id_col: str, text_col: str):
     shingle arrays through an O(M²) verify join — AQE splits the shuffle,
     not the output.
     """
-    keyed = (_spread(df)
-             .select(F.col(id_col).alias("__id"),
-                     F.col(text_col).alias("__t"))
-             .withColumn("__k", _content_key_pandas()(F.col("__t")))
-             .transform(pin))
-    stats = (keyed.groupBy("__k").agg(F.count(F.lit(1)).alias("m"))
+    # DECISION probe: pure-codegen JVM pass (xxhash64 over normalized
+    # text — no Arrow exchange, no md5 strings, no pin), because the gate
+    # only needs the duplicate mass, not the exact collapse key. Hash
+    # collisions can only MERGE groups and overstate the mass — engaging
+    # the collapse early, never skipping a real cluster. (JVM and Python
+    # normalization can disagree on exotic Unicode; that shifts the mass
+    # estimate marginally, and the skip path is output-identical always,
+    # so the gate stays a pure performance decision.)
+    probe_key = F.xxhash64(normalize_text(F.col(text_col)))
+    stats = (df.groupBy(probe_key.alias("__k"))
+             .agg(F.count(F.lit(1)).alias("m"))
              .agg(F.sum("m").alias("n"),
                   F.sum(F.col("m") * (F.col("m") - 1)).alias("dup_mass"))
              .first())
@@ -292,7 +297,16 @@ def _collapse_identical_docs(df: DataFrame, id_col: str, text_col: str):
         # duplicate mass is below the corpus-linear term (or zero): the
         # direct pipeline is cheaper than collapse + re-expansion, and
         # its output is identical by construction
-        return keyed.select("__id", "__t"), None
+        return (_spread(df).select(F.col(id_col).alias("__id"),
+                                   F.col(text_col).alias("__t")),
+                None)
+    # ENGAGE: the exact content key (pandas normalization, matching the
+    # shingle path by construction) computed once and pinned
+    keyed = (_spread(df)
+             .select(F.col(id_col).alias("__id"),
+                     F.col(text_col).alias("__t"))
+             .withColumn("__k", _content_key_pandas()(F.col("__t")))
+             .transform(pin))
     agg = (keyed.groupBy("__k")
            .agg(F.min_by(F.struct("__id", "__t"), F.col("__id"))
                 .alias("__w"))
