@@ -1110,14 +1110,8 @@ def lsh_candidate_pairs(corpus: DataFrame, bits: int | None = 6,
     self-cosine (the bit-exact value the naive pair fold yields for two
     equal unit vectors). Candidate + verify work is linear in cluster
     size; output semantics are exactly the naive ones."""
-    # pinned ONCE: previously this projection was re-evaluated by both the
-    # collapse groupBy and the membership join (VERDICT r8 #1 — the
-    # double scan was the knn_join/range_search share of the bench
-    # regression), and v.count() for auto-bits ran the pipeline a third
-    # time. One pin + one tiny count job now decides everything.
-    v0 = (corpus.select(F.col(id_col).alias("id"),
-                        F.col(vec_col).cast("array<double>").alias("e"))
-          .transform(pin))
+    v0 = corpus.select(F.col(id_col).alias("id"),
+                       F.col(vec_col).cast("array<double>").alias("e"))
     # duplicate-mass gate (same rule as dedup._collapse_identical_docs):
     # the collapse is a pure perf defense — identical vectors collide in
     # every table and verify at their exact self-cosine natively, so the
@@ -1125,7 +1119,11 @@ def lsh_candidate_pairs(corpus: DataFrame, bits: int | None = 6,
     # candidate rows duplicates would inject (Σ m·(m−1) over cluster
     # sizes, computed over 64-bit vector hashes — collisions can only
     # OVERSTATE the mass, erring toward engaging) exceed the
-    # corpus-linear term.
+    # corpus-linear term. The probe runs on the raw projection (one
+    # partial-aggregated scan, only hashes shuffle); nothing is pinned
+    # unless the collapse engages — on the common duplicate-free corpus
+    # the only extra cost is that one probe scan, and the normalize/
+    # bucket pipeline is pinned downstream anyway.
     stats = (v0.groupBy(F.xxhash64("e").alias("__h"))
              .agg(F.count(F.lit(1)).alias("m"))
              .agg(F.sum("m").alias("n"),
@@ -1137,7 +1135,10 @@ def lsh_candidate_pairs(corpus: DataFrame, bits: int | None = 6,
         n_reps = stats["n"]
     else:
         # identical-vector collapse (VERDICT r7 #1): one rep per distinct
-        # vector value (exact grouping on the array — no hash truncation)
+        # vector value (exact grouping on the array — no hash truncation).
+        # v0 pinned here: the groupBy and the membership join both read
+        # it (the r8 double-scan), and on this path the pin is amortized.
+        v0 = v0.transform(pin)
         reps = (v0.groupBy("e").agg(F.min("id").alias("id"))
                 .select("id", "e").transform(pin))
         members = (v0.join(reps.select(F.col("e"),
