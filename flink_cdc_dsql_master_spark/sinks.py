@@ -132,6 +132,86 @@ class RetryPolicy:
                 time.sleep(self.base_delay_s * self.factor ** (attempt - 1))
 
 
+class FullLoadCoordinator:
+    """Full-load table coordinator (``DsqlFullLoadCoordinator.java:37``
+    parity — with the CREATE TABLE generation the reference leaves as a
+    TODO at ``:71`` actually implemented via :func:`create_table_sql`):
+    create-target-if-not-exists behind an idempotence cache (:61), an
+    ``information_schema.tables`` existence check (:141), recovery
+    marking (:105), and the default retry policy around every DB call.
+
+    Driver-side by design: table DDL is a once-per-table metadata
+    operation, never per-partition work — the Spark analog of the
+    reference running this on the coordinator, not in task slots."""
+
+    def __init__(self, conn_factory, retry: RetryPolicy | None = None,
+                 dialect: str = "dsql"):
+        self.conn_factory = conn_factory
+        self.retry = retry or RetryPolicy()
+        self.dialect = dialect
+        self._created: set[str] = set()
+
+    @staticmethod
+    def target_table_name(table_id) -> str:
+        """schema.table when a schema name is present (:118-126)."""
+        if getattr(table_id, "schema_name", None):
+            return f"{table_id.schema_name}.{table_id.table}"
+        return table_id.table
+
+    def create_target_table_if_not_exists(self, schema: Schema,
+                                          table_id) -> bool:
+        """Create the target table once; returns True when this call
+        actually issued DDL (False = cached as already created)."""
+        name = self.target_table_name(table_id)
+        if name in self._created:
+            return False
+
+        def _create():
+            conn = self.conn_factory()
+            try:
+                conn.execute(create_table_sql(name, schema, self.dialect))
+                conn.commit()
+            finally:
+                conn.close()
+
+        self.retry.run(_create)
+        self._created.add(name)
+        return True
+
+    def is_table_created(self, table_id) -> bool:
+        return self.target_table_name(table_id) in self._created
+
+    def mark_table_as_created(self, table_id) -> None:
+        """Recovery path (:105): trust an external guarantee that the
+        table exists without issuing DDL."""
+        self._created.add(self.target_table_name(table_id))
+
+    def validate_table(self, table_id) -> bool:
+        """information_schema existence check (:134-154); False on any
+        persistent error, matching the reference's warn-and-return."""
+        def _check():
+            conn = self.conn_factory()
+            try:
+                cur = conn.execute(
+                    "SELECT 1 FROM information_schema.tables "
+                    "WHERE table_name = ? LIMIT 1", [table_id.table])
+                return cur.fetchone() is not None
+            finally:
+                conn.close()
+
+        try:
+            return bool(self.retry.run(_check))
+        except Exception:
+            return False
+
+    @property
+    def created_table_count(self) -> int:
+        return len(self._created)
+
+    def clear_cache(self) -> None:
+        self._created.clear()
+
+
 class JdbcUpsertSink:
     """Changelog → idempotent upsert into a DB-API target.
 
