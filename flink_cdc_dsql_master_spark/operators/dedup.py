@@ -293,10 +293,11 @@ def _collapse_identical_docs(df: DataFrame, id_col: str, text_col: str):
              .agg(F.sum("m").alias("n"),
                   F.sum(F.col("m") * (F.col("m") - 1)).alias("dup_mass"))
              .first())
-    if stats["dup_mass"] <= stats["n"]:
-        # duplicate mass is below the corpus-linear term (or zero): the
-        # direct pipeline is cheaper than collapse + re-expansion, and
-        # its output is identical by construction
+    if not stats["n"] or stats["dup_mass"] <= stats["n"]:
+        # duplicate mass is below the corpus-linear term (or zero, or the
+        # corpus is empty — the sums are NULL then): the direct pipeline
+        # is cheaper than collapse + re-expansion, and its output is
+        # identical by construction
         return (_spread(df).select(F.col(id_col).alias("__id"),
                                    F.col(text_col).alias("__t")),
                 None)

@@ -1129,10 +1129,11 @@ def lsh_candidate_pairs(corpus: DataFrame, bits: int | None = 6,
              .agg(F.sum("m").alias("n"),
                   F.sum(F.col("m") * (F.col("m") - 1)).alias("dup_mass"))
              .first())
-    if stats["dup_mass"] <= stats["n"]:
+    if not stats["n"] or stats["dup_mass"] <= stats["n"]:
+        # (empty corpus: the sums are NULL — take the direct path)
         members = None
         v = v0
-        n_reps = stats["n"]
+        n_reps = stats["n"] or 0
     else:
         # identical-vector collapse (VERDICT r7 #1): one rep per distinct
         # vector value (exact grouping on the array — no hash truncation).

@@ -121,6 +121,24 @@ def test_startup_timestamp_resumes_and_predates_raises(spark, tmp_path):
                          str(meta["ts_ms"] - 10_000)})
 
 
+def test_collapse_gate_empty_corpus(spark):
+    """Empty input: the duplicate-mass probe's sums are NULL — both gate
+    paths must take the direct branch, not raise."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_dsql_master_spark.operators.dedup import (
+        minhash_lsh_pairs)
+    from flink_cdc_dsql_master_spark.operators.similarity import knn_join
+
+    docs = spark.createDataFrame(
+        [], T.StructType([T.StructField("doc_id", T.LongType()),
+                          T.StructField("text", T.StringType())]))
+    assert minhash_lsh_pairs(docs).count() == 0
+    emb = spark.createDataFrame(
+        [], "vec_id long, embedding array<double>")
+    assert knn_join(emb, k=3, bits=4).count() == 0
+
+
 def test_full_load_coordinator_live_db(tmp_path):
     """FullLoadCoordinator (DsqlFullLoadCoordinator.java:37 parity, with
     real CREATE TABLE where the reference has a TODO): creates once,
