@@ -100,6 +100,8 @@ BENCH_QUERIES = [
     "feature_logistic_gd",
     "multimodal_audio_spectral",
     "similarity_range_search",
+    # round 9
+    "lakehouse_export_iceberg",
     # graph_connected_components is registry+stress only: its wall time
     # is fixpoint-round latency (diameter rounds of ~1s scheduling), not
     # data cost — the 1x/10x stress exponent (0.06) is the honest

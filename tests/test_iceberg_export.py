@@ -106,6 +106,46 @@ def test_iceberg_layout_and_roundtrip(spark, sf_dir, tmp_path):
     assert back.collect() == exp.collect()
 
 
+def test_avro_property_roundtrip(tmp_path):
+    """Property: any value assembled from the codec's supported types
+    survives an encode → container write → read → decode round-trip."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    schema = {"type": "record", "name": "p", "fields": [
+        {"name": "i", "type": "long"},
+        {"name": "s", "type": ["null", "string"]},
+        {"name": "b", "type": "boolean"},
+        {"name": "arr", "type": {"type": "array",
+                                 "items": ["null", "long"]}},
+        {"name": "m", "type": {"type": "map", "values": "string"}},
+    ]}
+    rec_st = st.fixed_dictionaries({
+        "i": st.integers(min_value=-(2 ** 63), max_value=2 ** 63 - 1),
+        "s": st.none() | st.text(max_size=40),
+        "b": st.booleans(),
+        "arr": st.lists(st.none() | st.integers(min_value=-(2 ** 31),
+                                                max_value=2 ** 31),
+                        max_size=8),
+        "m": st.dictionaries(st.text(max_size=10), st.text(max_size=10),
+                             max_size=5),
+    })
+
+    counter = [0]
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(rec_st, max_size=10))
+    def check(recs):
+        counter[0] += 1
+        p = str(tmp_path / f"prop_{counter[0]}.avro")
+        write_container(p, schema, recs)
+        got_schema, got = read_container(p)
+        assert got == recs
+        assert got_schema == schema
+
+    check()
+
+
 def test_iceberg_rejects_unmappable_type(spark, tmp_path):
     from flink_cdc_dsql_master_spark.iceberg_export import _iceberg_schema
 
