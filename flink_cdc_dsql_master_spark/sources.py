@@ -723,9 +723,17 @@ class DbApiPollingSource:
     def poll(self) -> DataFrame:
         """Capture one changelog batch (empty frame when nothing changed).
         The returned frame is fully materialized before the snapshot
-        state is swapped, so a crash mid-poll never loses a diff."""
+        state is swapped, so a crash mid-poll never loses a diff.
+
+        ``startup_mode='snapshot'`` is BOUNDED (the reference's
+        snapshot-only job): the first poll emits the full snapshot as +I
+        and finishes the source; polling again raises."""
         from .sinks import read_parquet_state, swap_parquet_dir
 
+        if self.startup_mode == "snapshot" and self.epoch >= 1:
+            raise RuntimeError(
+                f"snapshot-mode source for {self.table} is bounded and "
+                "already finished (one snapshot, no change stream)")
         new = chunked_dbapi_read(
             self.spark, self.conn_factory, self.table, self.key,
             self.schema, self.chunk_size)

@@ -139,6 +139,33 @@ def test_collapse_gate_empty_corpus(spark):
     assert knn_join(emb, k=3, bits=4).count() == 0
 
 
+def test_startup_snapshot_mode_is_bounded(spark, tmp_path):
+    """startup_mode='snapshot' — one full snapshot, then the source is
+    finished (the reference's bounded snapshot-only job)."""
+    import duckdb
+    from pyspark.sql import types as T
+
+    from flink_cdc_dsql_master_spark.sources import (DbApiPollingSource,
+                                                     DuckDBConnFactory)
+
+    path = str(tmp_path / "s.duckdb")
+    con = duckdb.connect(path)
+    con.execute("CREATE TABLE t AS SELECT range AS k, range * 2 AS v "
+                "FROM range(50)")
+    con.close()
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.LongType())])
+    src = DbApiPollingSource(
+        spark, DuckDBConnFactory(path), "t", "k", ["k"], schema,
+        state_path=str(tmp_path / "st"), chunk_size=20,
+        startup_mode="snapshot")
+    cl = src.poll()
+    assert cl.count() == 50
+    assert cl.where("__op = '+I'").count() == 50
+    with pytest.raises(RuntimeError, match="bounded"):
+        src.poll()
+
+
 def test_full_load_coordinator_live_db(tmp_path):
     """FullLoadCoordinator (DsqlFullLoadCoordinator.java:37 parity, with
     real CREATE TABLE where the reference has a TODO): creates once,
