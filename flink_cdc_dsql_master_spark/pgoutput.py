@@ -1,0 +1,243 @@
+"""pgoutput logical-replication message decoder (the Postgres CDC wire).
+
+The reference's Postgres pipeline source ultimately consumes the
+``pgoutput`` logical decoding plugin's binary messages over a
+replication slot (``PostgresDataSource.java:40,109`` via Debezium's
+replication connection). No Postgres server exists in this sandbox, so
+the *network handshake* stays out of reach — but the WIRE FORMAT itself
+is a published protocol (PostgreSQL docs, "Logical Streaming Replication
+→ Message Formats"), and this module implements it for real: Relation /
+Begin / Insert / Update / Delete / Commit messages with text-format
+TupleData, decoded distributed (Arrow-batched over the raw bytes) into
+the engine's standard +I/-U/+U/-D changelog frame.
+
+What this buys: the perennial "live wire protocol" gap narrows to the
+TCP replication handshake only — byte-level message decode, relation
+registry handling, replica-identity key/old-tuple semantics and the
+LSN-as-sequence mapping are all exercised against spec-pinned golden
+bytes and an end-to-end oracle row. The paired fixture ENCODER
+(:func:`encode_insert` etc.) exists for tests; golden-byte unit tests
+pin the layout to the spec so encoder and decoder cannot drift together
+unnoticed.
+
+Message formats implemented (PostgreSQL protocol docs, pgoutput v1):
+
+- ``R`` Relation: Int32 OID, String namespace, String relname,
+  Int8 replica identity, Int16 ncols, then per column Int8 flags
+  (1 = part of key), String name, Int32 type OID, Int32 atttypmod.
+- ``B`` Begin: Int64 final LSN, Int64 commit ts (µs since 2000-01-01),
+  Int32 xid.
+- ``I`` Insert: Int32 OID, Byte1 'N', TupleData.
+- ``U`` Update: Int32 OID, optional Byte1 'K'|'O' + TupleData (old
+  image), Byte1 'N' + TupleData (new image).
+- ``D`` Delete: Int32 OID, Byte1 'K'|'O', TupleData.
+- ``C`` Commit: Int8 flags, Int64 commit LSN, Int64 end LSN, Int64 ts.
+- TupleData: Int16 ncols, per column Byte1 'n' (null) | 'u' (unchanged
+  TOAST) | 't' + Int32 length + that many bytes (text format).
+
+Strings are C-style (null-terminated); all integers big-endian.
+"""
+
+from __future__ import annotations
+
+import io
+import struct
+
+from pyspark.sql import DataFrame, types as T
+
+from .events import OP_COLUMN, SEQ_COLUMN
+
+PG_EPOCH_OFFSET_US = 946_684_800_000_000  # 2000-01-01 vs unix epoch, µs
+
+
+# -- low-level primitives ----------------------------------------------------
+
+def _read_cstr(buf: io.BytesIO) -> str:
+    out = bytearray()
+    while True:
+        b = buf.read(1)
+        if not b or b == b"\x00":
+            return out.decode("utf-8")
+        out += b
+
+
+def _read_tuple(buf: io.BytesIO) -> list[str | None]:
+    (ncols,) = struct.unpack(">h", buf.read(2))
+    vals: list[str | None] = []
+    for _ in range(ncols):
+        kind = buf.read(1)
+        if kind == b"n":
+            vals.append(None)
+        elif kind == b"u":  # unchanged TOAST datum — treated as null here
+            vals.append(None)
+        elif kind == b"t":
+            (ln,) = struct.unpack(">i", buf.read(4))
+            vals.append(buf.read(ln).decode("utf-8"))
+        else:
+            raise ValueError(f"bad TupleData column kind {kind!r}")
+    return vals
+
+
+def parse_message(msg: bytes) -> dict:
+    """Parse ONE pgoutput message into a tagged dict (pure function —
+    usable from executors and tests alike)."""
+    buf = io.BytesIO(msg)
+    tag = buf.read(1)
+    if tag == b"R":
+        (oid,) = struct.unpack(">i", buf.read(4))
+        ns = _read_cstr(buf)
+        name = _read_cstr(buf)
+        (identity,) = struct.unpack(">b", buf.read(1))
+        (ncols,) = struct.unpack(">h", buf.read(2))
+        cols = []
+        for _ in range(ncols):
+            (flags,) = struct.unpack(">b", buf.read(1))
+            cname = _read_cstr(buf)
+            type_oid, typmod = struct.unpack(">ii", buf.read(8))
+            cols.append({"name": cname, "key": bool(flags & 1),
+                         "type_oid": type_oid, "typmod": typmod})
+        return {"kind": "relation", "oid": oid, "namespace": ns,
+                "name": name, "identity": chr(identity), "columns": cols}
+    if tag == b"B":
+        lsn, ts = struct.unpack(">qq", buf.read(16))
+        (xid,) = struct.unpack(">i", buf.read(4))
+        return {"kind": "begin", "final_lsn": lsn, "ts_us": ts,
+                "xid": xid}
+    if tag == b"C":
+        (flags,) = struct.unpack(">b", buf.read(1))
+        commit_lsn, end_lsn, ts = struct.unpack(">qqq", buf.read(24))
+        return {"kind": "commit", "commit_lsn": commit_lsn,
+                "end_lsn": end_lsn, "ts_us": ts}
+    if tag == b"I":
+        (oid,) = struct.unpack(">i", buf.read(4))
+        n = buf.read(1)
+        if n != b"N":
+            raise ValueError(f"Insert: expected 'N' tuple, got {n!r}")
+        return {"kind": "insert", "oid": oid, "new": _read_tuple(buf)}
+    if tag == b"U":
+        (oid,) = struct.unpack(">i", buf.read(4))
+        marker = buf.read(1)
+        old = None
+        if marker in (b"K", b"O"):
+            old = _read_tuple(buf)
+            marker = buf.read(1)
+        if marker != b"N":
+            raise ValueError(f"Update: expected 'N' tuple, got {marker!r}")
+        return {"kind": "update", "oid": oid, "old": old,
+                "new": _read_tuple(buf)}
+    if tag == b"D":
+        (oid,) = struct.unpack(">i", buf.read(4))
+        marker = buf.read(1)
+        if marker not in (b"K", b"O"):
+            raise ValueError(f"Delete: expected 'K'/'O', got {marker!r}")
+        return {"kind": "delete", "oid": oid, "old": _read_tuple(buf)}
+    raise ValueError(f"unknown pgoutput message tag {tag!r}")
+
+
+# -- fixture encoder (tests + the sandbox's stand-in for a live slot) --------
+
+def _cstr(s: str) -> bytes:
+    return s.encode("utf-8") + b"\x00"
+
+
+def _tuple_data(vals) -> bytes:
+    out = struct.pack(">h", len(vals))
+    for v in vals:
+        if v is None:
+            out += b"n"
+        else:
+            b = str(v).encode("utf-8")
+            out += b"t" + struct.pack(">i", len(b)) + b
+    return out
+
+
+def encode_relation(oid: int, namespace: str, name: str,
+                    columns: list[tuple[str, bool, int]],
+                    identity: str = "d") -> bytes:
+    out = b"R" + struct.pack(">i", oid) + _cstr(namespace) + _cstr(name)
+    out += struct.pack(">b", ord(identity))
+    out += struct.pack(">h", len(columns))
+    for cname, is_key, type_oid in columns:
+        out += struct.pack(">b", 1 if is_key else 0) + _cstr(cname)
+        out += struct.pack(">ii", type_oid, -1)
+    return out
+
+
+def encode_begin(final_lsn: int, ts_us: int, xid: int) -> bytes:
+    return b"B" + struct.pack(">qqi", final_lsn, ts_us, xid)
+
+
+def encode_commit(commit_lsn: int, end_lsn: int, ts_us: int) -> bytes:
+    return b"C" + struct.pack(">bqqq", 0, commit_lsn, end_lsn, ts_us)
+
+
+def encode_insert(oid: int, new_vals) -> bytes:
+    return b"I" + struct.pack(">i", oid) + b"N" + _tuple_data(new_vals)
+
+
+def encode_update(oid: int, new_vals, old_vals=None,
+                  old_kind: str = "O") -> bytes:
+    out = b"U" + struct.pack(">i", oid)
+    if old_vals is not None:
+        out += old_kind.encode() + _tuple_data(old_vals)
+    return out + b"N" + _tuple_data(new_vals)
+
+
+def encode_delete(oid: int, old_vals, old_kind: str = "O") -> bytes:
+    return (b"D" + struct.pack(">i", oid) + old_kind.encode()
+            + _tuple_data(old_vals))
+
+
+# -- distributed decode into the standard changelog ---------------------------
+
+def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
+                    msg_col: str = "value",
+                    lsn_col: str = "lsn") -> DataFrame:
+    """(lsn, message-bytes) frame → +I/-U/+U/-D changelog with the
+    payload columns CAST from pgoutput's text format into
+    ``payload_schema``'s types, ``__seq`` = LSN·2 (+1 for after-images,
+    so an update's new image outranks its old one under LWW — the same
+    bias as the Debezium decode).
+
+    The byte-level parse runs Arrow-batched on executors
+    (``mapInPandas``) — one pass over the raw messages; Relation /
+    Begin / Commit messages carry no row data and emit nothing (the
+    relation registry is positional: column order comes from
+    ``payload_schema``, matching how the fixture encoder and a real
+    single-table slot lay out TupleData)."""
+    from pyspark.sql import functions as F
+
+    names = [f.name for f in payload_schema.fields]
+    out_schema = T.StructType(
+        [T.StructField(n, T.StringType()) for n in names]
+        + [T.StructField(OP_COLUMN, T.StringType()),
+           T.StructField("__lsn", T.LongType()),
+           T.StructField("__after", T.IntegerType())])
+
+    def decode(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for lsn, msg in zip(pdf[lsn_col], pdf[msg_col]):
+                m = parse_message(bytes(msg))
+                if m["kind"] == "insert":
+                    rows.append([*m["new"], "+I", int(lsn), 1])
+                elif m["kind"] == "update":
+                    if m["old"] is not None:
+                        rows.append([*m["old"], "-U", int(lsn), 0])
+                    rows.append([*m["new"], "+U", int(lsn), 1])
+                elif m["kind"] == "delete":
+                    rows.append([*m["old"], "-D", int(lsn), 1])
+                # relation/begin/commit: no row data
+            yield pd.DataFrame(rows, columns=[f.name
+                                              for f in out_schema.fields])
+
+    raw = df.mapInPandas(decode, out_schema)
+    casted = [F.col(f.name).cast(f.dataType).alias(f.name)
+              for f in payload_schema.fields]
+    return raw.select(
+        *casted,
+        F.col(OP_COLUMN),
+        (F.col("__lsn") * 2 + F.col("__after")).cast("long")
+        .alias(SEQ_COLUMN))

@@ -3608,6 +3608,70 @@ def cdc_startup_latest_offset(spark, sf_dir):
             .select("k", "price", "status", F.col(OP_COLUMN).alias("op")))
 
 
+@_q(
+    "cdc_pgoutput_decode_apply",
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 11 <> 0
+    """,
+)
+def cdc_pgoutput_decode_apply(spark, sf_dir):
+    """pgoutput WIRE-FORMAT decode end-to-end (the byte protocol behind
+    PostgresDataSource.java:40,109's replication slot — the published
+    message formats implemented in pgoutput.py, golden-byte-pinned in
+    tests/test_pgoutput.py): a full binary message stream (Begin +
+    Relation + Inserts + Updates-with-old-image + Deletes + Commit) is
+    decoded Arrow-batched on executors into the typed changelog with
+    LSN-derived sequences, applied under LWW, and must hash-equal the
+    oracle's recomputation of the final table state. Only the TCP
+    replication handshake remains outside the sandbox."""
+    from .pgoutput import (decode_pgoutput, encode_begin, encode_commit,
+                           encode_delete, encode_insert, encode_relation,
+                           encode_update)
+
+    rows = (_t(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price"),
+                    F.col("o_orderstatus").alias("status"))
+            .collect())  # fixture construction, not operator work
+
+    def fmt(p: float) -> str:
+        # pgoutput text format for numerics: plain decimal string
+        return repr(float(p))
+
+    oid = 16384
+    msgs = [(1, encode_begin(1, 0, 1)),
+            (1, encode_relation(oid, "public", "orders",
+                                [("k", True, 20), ("price", False, 701),
+                                 ("status", False, 25)]))]
+    for r in rows:
+        k = r["k"]
+        msgs.append((k * 3, encode_insert(
+            oid, [str(k), fmt(r["price"]), r["status"]])))
+        if k % 7 == 0:
+            msgs.append((k * 3 + 1, encode_update(
+                oid, [str(k), fmt(r["price"] + 1000.0), r["status"]],
+                old_vals=[str(k), fmt(r["price"]), r["status"]])))
+        if k % 11 == 0:
+            price = r["price"] + 1000.0 if k % 7 == 0 else r["price"]
+            msgs.append((k * 3 + 2, encode_delete(
+                oid, [str(k), fmt(price), r["status"]], old_kind="K")))
+    msgs.append((10 ** 9, encode_commit(10 ** 9, 10 ** 9 + 1, 0)))
+
+    raw = spark.createDataFrame(
+        [(lsn, bytearray(m)) for lsn, m in msgs], "lsn long, value binary")
+    payload = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ])
+    cl = decode_pgoutput(raw, payload)
+    return apply_changelog(cl, ["k"])
+
+
 # ---------------------------------------------------------------------------
 # chunked snapshot splitter (§2.1) — split arithmetic + predicate coverage
 # ---------------------------------------------------------------------------
