@@ -3672,6 +3672,74 @@ def cdc_pgoutput_decode_apply(spark, sf_dir):
     return apply_changelog(cl, ["k"])
 
 
+@_q(
+    "cdc_binlog_decode_apply",
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1000.0
+                ELSE o_totalprice END AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 11 <> 0
+    """,
+)
+def cdc_binlog_decode_apply(spark, sf_dir):
+    """MySQL binlog WIRE-FORMAT decode end-to-end (the byte protocol
+    behind MySqlDataSource.java's binlog tail — binlog v4 row events
+    implemented in binlog.py, golden-byte-pinned in tests/test_binlog.py):
+    a real binlog byte stream (magic + FORMAT_DESCRIPTION + TABLE_MAP +
+    WRITE/UPDATE/DELETE_ROWS v2 + XID) with typed column values
+    (LONGLONG / DOUBLE / VARCHAR) is parsed Arrow-batched on executors
+    into the typed changelog with log_pos-derived sequences, applied
+    under LWW, and must hash-equal the oracle's recomputation of the
+    final table state. Only the COM_BINLOG_DUMP handshake remains
+    outside the sandbox."""
+    from .binlog import (MAGIC, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_LONGLONG,
+                         MYSQL_TYPE_VARCHAR, decode_binlog,
+                         encode_delete_rows, encode_fde, encode_table_map,
+                         encode_update_rows, encode_write_rows, encode_xid)
+
+    rows = (_t(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price"),
+                    F.col("o_orderstatus").alias("status"))
+            .collect())  # fixture construction, not operator work
+
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_DOUBLE, None),
+            (MYSQL_TYPE_VARCHAR, 10)]
+    tid = 23
+    blob = bytearray(MAGIC + encode_fde(120)
+                     + encode_table_map(tid, "tpch", "orders", cols, 200))
+    # one multi-row WRITE event (the snapshot-read shape), then per-key
+    # UPDATE/DELETE events at increasing log positions
+    blob += encode_write_rows(
+        tid, cols, [[r["k"], r["price"], r["status"]] for r in rows],
+        1000)
+    pos = 2000
+    for r in rows:
+        k = r["k"]
+        if k % 7 == 0:
+            blob += encode_update_rows(
+                tid, cols,
+                [([k, r["price"], r["status"]],
+                  [k, r["price"] + 1000.0, r["status"]])], pos)
+            pos += 1
+        if k % 11 == 0:
+            price = r["price"] + 1000.0 if k % 7 == 0 else r["price"]
+            blob += encode_delete_rows(
+                tid, cols, [[k, price, r["status"]]], pos)
+            pos += 1
+    blob += encode_xid(1, pos)
+
+    raw = spark.createDataFrame([(bytes(blob),)], "value binary")
+    payload = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ])
+    cl = decode_binlog(raw, payload, table="orders")
+    return apply_changelog(cl, ["k"])
+
+
 # ---------------------------------------------------------------------------
 # chunked snapshot splitter (§2.1) — split arithmetic + predicate coverage
 # ---------------------------------------------------------------------------

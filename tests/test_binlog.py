@@ -1,0 +1,122 @@
+"""MySQL binlog v4 parser: spec-pinned golden bytes + round-trips."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cdc_dsql_master_spark.binlog import (MYSQL_TYPE_DOUBLE,
+                                                MYSQL_TYPE_LONG,
+                                                MYSQL_TYPE_LONGLONG,
+                                                MYSQL_TYPE_VARCHAR,
+                                                encode_delete_rows,
+                                                encode_fde,
+                                                encode_table_map,
+                                                encode_update_rows,
+                                                encode_write_rows,
+                                                encode_xid, parse_binlog)
+
+COLS = [(MYSQL_TYPE_LONG, None), (MYSQL_TYPE_VARCHAR, 10)]
+
+
+def test_table_map_golden_bytes():
+    """Hand-assembled per the MySQL internals docs (Table_map_event):
+    19-byte little-endian header, u48 table id, u16 flags, length-
+    prefixed + NUL schema/table names, lenenc column count, type bytes,
+    lenenc metadata block (u16 max-length for VARCHAR), null bitmap."""
+    golden = bytes.fromhex(
+        "00000000"      # timestamp 0
+        "13"            # type 19 = TABLE_MAP
+        "01000000"      # server_id 1
+        "29000000"      # event_size 41 = 19 + 22
+        "78000000"      # log_pos 120
+        "0000"          # flags
+        "050000000000"  # table_id 5 (u48)
+        "0100"          # table-map flags 1
+        "02" "6462" "00"  # schema "db" + NUL
+        "01" "74" "00"    # table "t" + NUL
+        "02"            # 2 columns (lenenc)
+        "030f"          # types: LONG, VARCHAR
+        "02" "0a00"     # metadata len 2: VARCHAR max_len 10 (u16le)
+        "00")           # nullability bitmap
+    assert encode_table_map(5, "db", "t", COLS, 120) == golden
+    (ev,) = parse_binlog(golden)
+    assert ev["kind"] == "table_map" and ev["table_id"] == 5
+    assert ev["schema"] == "db" and ev["table"] == "t"
+    assert ev["column_types"] == [MYSQL_TYPE_LONG, MYSQL_TYPE_VARCHAR]
+
+
+def test_write_rows_golden_bytes():
+    """Write_rows_event v2: u48 table id, u16 flags, u16 extra-data len
+    (self-inclusive), lenenc width, present-columns bitmap, then per row
+    a null bitmap over present columns + encoded values (i32le LONG,
+    1-byte-length VARCHAR when max ≤ 255)."""
+    golden_rows = bytes.fromhex(
+        "00000000" "1e" "01000000" "27000000" "9f000000" "0000"
+        "050000000000"  # table_id 5
+        "0000"          # flags
+        "0200"          # extra_data_len 2 (nothing follows)
+        "02"            # width 2
+        "ff"            # present bitmap: all columns
+        "00"            # row null bitmap: none null
+        "01000000"      # k = 1 (i32le)
+        "02" "6162")    # "ab" (len 2)
+    assert encode_write_rows(5, COLS, [[1, "ab"]], 0x9F) == golden_rows
+    blob = encode_table_map(5, "db", "t", COLS, 120) + golden_rows
+    evs = parse_binlog(blob)
+    assert evs[1]["kind"] == "write_rows"
+    assert evs[1]["rows"] == [[1, "ab"]]
+    assert evs[1]["log_pos"] == 0x9F
+
+
+def test_full_file_roundtrip_all_event_kinds():
+    from flink_cdc_dsql_master_spark.binlog import MAGIC
+
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_DOUBLE, None),
+            (MYSQL_TYPE_VARCHAR, 300)]  # wide varchar -> u16 lengths
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(9, "tpch", "orders", cols, 200)
+            + encode_write_rows(9, cols, [[1, 1.5, "x" * 300],
+                                          [2, None, "y"]], 300)
+            + encode_update_rows(9, cols,
+                                 [([1, 1.5, "x" * 300],
+                                   [1, 2.5, "x" * 300])], 400)
+            + encode_delete_rows(9, cols, [[2, None, "y"]], 500)
+            + encode_xid(77, 600))
+    evs = parse_binlog(blob)
+    kinds = [e["kind"] for e in evs]
+    assert kinds == ["format_description", "table_map", "write_rows",
+                     "update_rows", "delete_rows", "xid"]
+    assert evs[0]["binlog_version"] == 4
+    assert evs[2]["rows"] == [[1, 1.5, "x" * 300], [2, None, "y"]]
+    assert evs[3]["rows"] == [([1, 1.5, "x" * 300], [1, 2.5, "x" * 300])]
+    assert evs[4]["rows"] == [[2, None, "y"]]
+    assert evs[5]["xid"] == 77
+
+
+def test_unsupported_column_type_raises():
+    with pytest.raises(ValueError, match="unsupported column type"):
+        parse_binlog(encode_table_map(1, "d", "t",
+                                      [(246, None)], 100))  # NEWDECIMAL
+
+
+def test_decode_binlog_distributed(spark):
+    from pyspark.sql import types as T
+
+    from flink_cdc_dsql_master_spark.binlog import MAGIC, decode_binlog
+
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 10)]
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(9, "db", "t", cols, 200)
+            + encode_write_rows(9, cols, [[1, "a"], [2, None]], 300)
+            + encode_update_rows(9, cols, [([1, "a"], [1, "b"])], 400)
+            + encode_delete_rows(9, cols, [[2, None]], 500))
+    df = spark.createDataFrame([(bytearray(blob),)], "value binary")
+    payload = T.StructType([T.StructField("k", T.LongType()),
+                            T.StructField("v", T.StringType())])
+    out = decode_binlog(df, payload).orderBy("__seq").collect()
+    got = [(r["k"], r["v"], r["__op"], r["__seq"]) for r in out]
+    assert got == [
+        (1, "a", "+I", 601), (2, None, "+I", 601),
+        (1, "a", "-U", 800), (1, "b", "+U", 801),
+        (2, None, "-D", 1001),
+    ]
