@@ -269,6 +269,20 @@ def compose_changelog_stream(spark: SparkSession, pipeline: PipelineDef,
         stream = changelog_file_stream(
             spark, src.config["path"], payload, envelope=envelope,
             reader_options=src.config.get("reader-options"))
+    elif src.type == "file-binlog":
+        # byte-level MySQL binlog segments (binlog.py) — the hermetic
+        # twin of a live COM_BINLOG_DUMP tail
+        from .binlog import binlog_file_stream
+
+        stream = binlog_file_stream(
+            spark, src.config["path"], payload,
+            table=src.config.get("mysql-table"))
+    elif src.type == "file-pgoutput":
+        # byte-level pgoutput segments (pgoutput.py) — the hermetic
+        # twin of a live START_REPLICATION slot
+        from .pgoutput import pgoutput_file_stream
+
+        stream = pgoutput_file_stream(spark, src.config["path"], payload)
     elif src.type == "kafka-debezium":
         stream = kafka_changelog_stream(
             spark, src.config["servers"], src.config["topics"], payload)

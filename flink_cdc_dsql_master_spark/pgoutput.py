@@ -241,3 +241,74 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
         F.col(OP_COLUMN),
         (F.col("__lsn") * 2 + F.col("__after")).cast("long")
         .alias(SEQ_COLUMN))
+
+
+# -- framed segment files (the stream-transport shape) ------------------------
+#
+# A replication connection delivers (WAL LSN, message) pairs. The
+# file-backed stream stand-in frames them as [u64 LSN][u32 len][bytes]
+# runs — one file per segment — so the byte stream survives the file
+# hop losslessly.
+
+def encode_frames(msgs: list[tuple[int, bytes]]) -> bytes:
+    out = b""
+    for lsn, m in msgs:
+        out += struct.pack(">QI", lsn, len(m)) + m
+    return out
+
+
+def decode_frames(blob: bytes) -> list[tuple[int, bytes]]:
+    out = []
+    pos = 0
+    while pos < len(blob):
+        lsn, ln = struct.unpack(">QI", blob[pos:pos + 12])
+        pos += 12
+        out.append((lsn, blob[pos:pos + ln]))
+        pos += ln
+    return out
+
+
+def decode_pgoutput_segments(df: DataFrame,
+                             payload_schema: T.StructType,
+                             blob_col: str = "value") -> DataFrame:
+    """Like :func:`decode_pgoutput` but over FRAMED segment blobs (one
+    [LSN][len][message] run per input row) — the shape the file-backed
+    stream delivers."""
+    from pyspark.sql import functions as F
+
+    frames_schema = T.StructType([
+        T.StructField("lsn", T.LongType()),
+        T.StructField("value", T.BinaryType()),
+    ])
+
+    def unframe(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for blob in pdf[blob_col]:
+                for lsn, m in decode_frames(bytes(blob)):
+                    rows.append((lsn, m))
+            yield pd.DataFrame(rows, columns=["lsn", "value"])
+
+    return decode_pgoutput(df.mapInPandas(unframe, frames_schema),
+                           payload_schema)
+
+
+_BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
+                       "length long, content binary")
+
+
+def pgoutput_file_stream(spark, path: str,
+                         payload_schema: T.StructType) -> DataFrame:
+    """File-backed pgoutput STREAM — the hermetic stand-in for a live
+    START_REPLICATION connection: each binary file under ``path`` is one
+    framed segment of (LSN, message) pairs, decoded by the same
+    byte-level parser a live slot would feed."""
+    from pyspark.sql import functions as F
+
+    raw = (spark.readStream.format("binaryFile")
+           .schema(_BINARY_FILE_SCHEMA)
+           .load(path)
+           .select(F.col("content").alias("value")))
+    return decode_pgoutput_segments(raw, payload_schema)

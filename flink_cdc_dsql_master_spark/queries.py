@@ -3148,6 +3148,118 @@ def changelog_ddl_rename_replay(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+@_q(
+    "changelog_binlog_stream_pipeline",
+    """
+    SELECT c_custkey,
+           CASE WHEN c_custkey % 3 = 0 THEN upper(c_name) || '_U'
+                ELSE upper(c_name) END AS c_name,
+           c_acctbal
+    FROM customer WHERE c_custkey % 7 <> 0
+    """,
+)
+def changelog_binlog_stream_pipeline(spark, sf_dir):
+    """Full streaming pipeline over RAW MYSQL BINLOG BYTES with a
+    checkpointed restart — the hermetic twin of the reference's mysql
+    YAML pipeline, now down to the wire format: run 1 streams a binlog
+    segment (magic + FDE + TABLE_MAP + multi-row WRITE event), run 2
+    (same checkpoint) streams a second segment with UPDATE/DELETE row
+    events — binlog.py byte decode → transform → PK-partition →
+    idempotent upsert into DuckDB; the sink table read back is the
+    result. Only the COM_BINLOG_DUMP socket differs from production."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .binlog import (MAGIC, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_LONGLONG,
+                         MYSQL_TYPE_VARCHAR, encode_delete_rows,
+                         encode_fde, encode_table_map, encode_update_rows,
+                         encode_write_rows, encode_xid)
+    from .compose import compose_changelog_stream
+    from .pipeline import PipelineDef, SinkDef, SourceDef
+    from .route import RouteRule
+    from .sinks import JdbcUpsertSink, schema_change_ddl
+
+    rows = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal").collect()
+
+    base = tempfile.mkdtemp(prefix="binlog_stream_")
+    src, ckpt = os.path.join(base, "segments"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 30),
+            (MYSQL_TYPE_DOUBLE, None)]
+    tid = 42
+
+    def segment(events: bytes) -> bytes:
+        return (MAGIC + encode_fde(120)
+                + encode_table_map(tid, "tpch", "customer", cols, 200)
+                + events)
+
+    b1 = encode_write_rows(
+        tid, cols, [[r["c_custkey"], r["c_name"], r["c_acctbal"]]
+                    for r in rows], 1000) + encode_xid(1, 1500)
+    with open(f"{src}/seg1.binlog", "wb") as f:
+        f.write(segment(b1))
+
+    pipe = PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": src, "schema": "c_custkey bigint, c_name string, "
+                                   "c_acctbal double",
+            "table": "tpch.public.customer_bl",
+            "mysql-table": "customer",
+            "primary-keys": ["c_custkey"]}),
+        sink=SinkDef("duckdb"),
+        transforms=(TransformRule(
+            r"tpch.public.customer_bl",
+            projection="c_custkey, UPPER(c_name) AS c_name, c_acctbal"),),
+        routes=(RouteRule(r"tpch.public.customer_bl",
+                          "analytics.out.customer_bl"),),
+    )
+
+    def writer(tid_, df, schema):
+        sink = JdbcUpsertSink(lambda p=db: duckdb.connect(p),
+                              tid_.table, schema, parallel=False)
+        sink.write_batch(df)
+
+    def on_ddl(tid_, events, schema):
+        con = duckdb.connect(db)
+        try:
+            for sql in schema_change_ddl(tid_.table, events, schema):
+                con.execute(sql)
+            con.commit()
+        finally:
+            con.close()
+
+    q = compose_changelog_stream(spark, pipe, ckpt, writer,
+                                 on_schema_change=on_ddl)
+    q.awaitTermination(300)
+
+    upd = [([r["c_custkey"], r["c_name"], r["c_acctbal"]],
+            [r["c_custkey"], r["c_name"] + "_u", r["c_acctbal"]])
+           for r in rows if r["c_custkey"] % 3 == 0]
+    dels = [[r["c_custkey"],
+             r["c_name"] + ("_u" if r["c_custkey"] % 3 == 0 else ""),
+             r["c_acctbal"]]
+            for r in rows if r["c_custkey"] % 7 == 0]
+    b2 = (encode_update_rows(tid, cols, upd, 2000)
+          + encode_delete_rows(tid, cols, dels, 3000)
+          + encode_xid(2, 3500))
+    with open(f"{src}/seg2.binlog", "wb") as f:
+        f.write(segment(b2))
+    q = compose_changelog_stream(spark, pipe, ckpt, writer,
+                                 on_schema_change=on_ddl)
+    q.awaitTermination(300)
+
+    con = duckdb.connect(db)
+    pdf = con.execute(
+        "SELECT c_custkey, c_name, c_acctbal FROM customer_bl").df()
+    con.close()
+    return spark.createDataFrame(pdf)
+
+
 def _temporal_ms_sql(updated: bool) -> str:
     add = " + 1000" if updated else ""
     return f"CAST((o_orderkey * 7919{add}) % 86400000 AS INT)"

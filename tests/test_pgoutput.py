@@ -79,6 +79,37 @@ def test_bad_messages_raise():
         parse_message(b"I" + (0).to_bytes(4, "big") + b"X")
 
 
+def test_pgoutput_file_stream(spark, tmp_path):
+    """Framed-segment files → binaryFile stream → byte decode: the
+    hermetic twin of a live START_REPLICATION slot."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_dsql_master_spark.pgoutput import (decode_frames,
+                                                      encode_frames,
+                                                      pgoutput_file_stream)
+
+    msgs = [(2, encode_insert(5, ["1", "a"])),
+            (3, encode_insert(5, ["2", "b"])),
+            (4, encode_update(5, ["1", "c"], old_vals=["1", "a"]))]
+    blob = encode_frames(msgs)
+    assert decode_frames(blob) == [(lsn, m) for lsn, m in msgs]
+    seg_dir = tmp_path / "segs"
+    seg_dir.mkdir()
+    (seg_dir / "seg1.pgout").write_bytes(blob)
+
+    payload = T.StructType([T.StructField("k", T.LongType()),
+                            T.StructField("v", T.StringType())])
+    stream = pgoutput_file_stream(spark, str(seg_dir), payload)
+    q = (stream.writeStream.format("memory").queryName("pgout_mem")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted((r["k"], r["v"], r["__op"], r["__seq"])
+                 for r in spark.sql("SELECT * FROM pgout_mem").collect())
+    assert got == [(1, "a", "+I", 5), (1, "a", "-U", 8), (1, "c", "+U", 9),
+                   (2, "b", "+I", 7)]
+
+
 def test_decode_pgoutput_distributed(spark):
     """The Arrow-batched decode: mixed message stream (relation/begin/
     inserts/update-with-old/delete/commit) → typed changelog with
