@@ -58,6 +58,8 @@ UPDATE_ROWS_EVENT_V2 = 31
 DELETE_ROWS_EVENT_V2 = 32
 ROTATE_EVENT = 4
 
+GTID_LOG_EVENT = 33
+
 MYSQL_TYPE_LONG = 3
 MYSQL_TYPE_FLOAT = 4
 MYSQL_TYPE_DOUBLE = 5
@@ -167,6 +169,19 @@ def parse_binlog(data: bytes) -> list[dict]:
         elif etype == XID_EVENT:
             (xid,) = struct.unpack("<Q", buf.read(8))
             events.append({"kind": "xid", "xid": xid,
+                           "log_pos": log_pos})
+        elif etype == GTID_LOG_EVENT:
+            # Gtid_log_event: u8 flags, 16-byte SID (server UUID),
+            # u64le GNO (transaction number); 5.7+ logical timestamps
+            # follow and are ignored here
+            (gflags,) = struct.unpack("<B", buf.read(1))
+            sid = buf.read(16)
+            (gno,) = struct.unpack("<q", buf.read(8))
+            u = sid.hex()
+            uuid_str = (f"{u[0:8]}-{u[8:12]}-{u[12:16]}-"
+                        f"{u[16:20]}-{u[20:32]}")
+            events.append({"kind": "gtid", "flags": gflags,
+                           "sid": uuid_str, "gno": gno,
                            "log_pos": log_pos})
         elif etype == TABLE_MAP_EVENT:
             table_id = int.from_bytes(buf.read(6), "little")
@@ -326,6 +341,41 @@ def encode_update_rows(table_id: int, cols, pairs, log_pos: int) -> bytes:
 
 def encode_xid(xid: int, log_pos: int) -> bytes:
     return _event(XID_EVENT, struct.pack("<Q", xid), log_pos)
+
+
+def encode_gtid(sid_uuid: str, gno: int, log_pos: int) -> bytes:
+    sid = bytes.fromhex(sid_uuid.replace("-", ""))
+    return _event(GTID_LOG_EVENT,
+                  struct.pack("<B", 1) + sid + struct.pack("<q", gno),
+                  log_pos)
+
+
+def gtid_set_from_events(events: list[dict]) -> str:
+    """Fold the GTID events of a parsed segment into a GTID-set string
+    (``uuid:a-b[:c-d...][,uuid2:...]``) — the resume token a
+    ``scan.startup.mode=specific-offset`` startup pins
+    (MySqlDataSourceOptions.java:123 surface; the polling source's
+    ``resume_from_offset`` consumes the same shape). Contiguous GNO runs
+    merge into intervals, like a real @@gtid_executed."""
+    by_sid: dict[str, list[int]] = {}
+    for e in events:
+        if e["kind"] == "gtid":
+            by_sid.setdefault(e["sid"], []).append(e["gno"])
+    parts = []
+    for sid in sorted(by_sid):
+        gnos = sorted(set(by_sid[sid]))
+        ivals = []
+        lo = hi = gnos[0]
+        for g in gnos[1:]:
+            if g == hi + 1:
+                hi = g
+            else:
+                ivals.append((lo, hi))
+                lo = hi = g
+        ivals.append((lo, hi))
+        parts.append(sid + ":" + ":".join(
+            f"{a}-{b}" if a != b else str(a) for a, b in ivals))
+    return ",".join(parts)
 
 
 # -- distributed decode into the standard changelog ---------------------------

@@ -93,6 +93,25 @@ def test_full_file_roundtrip_all_event_kinds():
     assert evs[5]["xid"] == 77
 
 
+def test_gtid_events_and_set_folding():
+    """Gtid_log_event parse (u8 flags + 16-byte SID + u64le GNO) and the
+    gtid_executed-style interval folding used as the specific-offset
+    resume token."""
+    from flink_cdc_dsql_master_spark.binlog import (encode_gtid,
+                                                    gtid_set_from_events)
+
+    sid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    sid2 = "11111111-2222-3333-4444-555555555555"
+    blob = (encode_gtid(sid, 1, 100) + encode_gtid(sid, 2, 200)
+            + encode_gtid(sid, 3, 300) + encode_gtid(sid, 7, 400)
+            + encode_gtid(sid2, 5, 500))
+    evs = parse_binlog(blob)
+    assert [e["kind"] for e in evs] == ["gtid"] * 5
+    assert evs[0]["sid"] == sid and evs[0]["gno"] == 1
+    assert gtid_set_from_events(evs) == (
+        f"{sid2}:5,{sid}:1-3:7")
+
+
 def test_unsupported_column_type_raises():
     with pytest.raises(ValueError, match="unsupported column type"):
         parse_binlog(encode_table_map(1, "d", "t",
