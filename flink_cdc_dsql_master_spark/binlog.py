@@ -64,11 +64,22 @@ MYSQL_TYPE_LONG = 3
 MYSQL_TYPE_FLOAT = 4
 MYSQL_TYPE_DOUBLE = 5
 MYSQL_TYPE_LONGLONG = 8
+MYSQL_TYPE_DATETIME2 = 18
 MYSQL_TYPE_VARCHAR = 15
+MYSQL_TYPE_NEWDECIMAL = 246
 
 _METADATA_BYTES = {MYSQL_TYPE_LONG: 0, MYSQL_TYPE_FLOAT: 1,
                    MYSQL_TYPE_DOUBLE: 1, MYSQL_TYPE_LONGLONG: 0,
-                   MYSQL_TYPE_VARCHAR: 2}
+                   MYSQL_TYPE_VARCHAR: 2, MYSQL_TYPE_NEWDECIMAL: 2,
+                   MYSQL_TYPE_DATETIME2: 1}
+
+# myisam-style packed decimal: bytes needed for n leading/trailing
+# digits within one 9-digit group (docs "How MySQL stores DECIMAL")
+_DEC_LEFTOVER_BYTES = [0, 1, 1, 2, 2, 3, 3, 4, 4, 4]
+
+
+def _dec_bytes(digits: int) -> int:
+    return (digits // 9) * 4 + _DEC_LEFTOVER_BYTES[digits % 9]
 
 HEADER_LEN = 19
 
@@ -98,6 +109,110 @@ def _bitmap_get(bm: bytes, i: int) -> bool:
     return bool(bm[i // 8] & (1 << (i % 8)))
 
 
+def _decode_newdecimal(raw: bytes, precision: int, scale: int):
+    """MySQL packed DECIMAL (docs "How MySQL Stores DECIMAL Values"):
+    magnitude digits in big-endian 9-digit/4-byte groups with partial
+    leading/trailing groups, first byte's MSB = sign (1 = non-negative),
+    negative values stored as the one's complement."""
+    from decimal import Decimal
+
+    positive = bool(raw[0] & 0x80)
+    b = bytearray(raw if positive else bytes(x ^ 0xFF for x in raw))
+    b[0] ^= 0x80
+    buf = io.BytesIO(bytes(b))
+
+    def read_digits(ndigits: int, lead_partial: bool) -> str:
+        out = ""
+        rem = ndigits % 9
+        full = ndigits // 9
+        if lead_partial and rem:
+            n = _DEC_LEFTOVER_BYTES[rem]
+            out += str(int.from_bytes(buf.read(n), "big")).zfill(rem)
+        for _ in range(full):
+            out += str(int.from_bytes(buf.read(4), "big")).zfill(9)
+        if not lead_partial and rem:
+            n = _DEC_LEFTOVER_BYTES[rem]
+            out += str(int.from_bytes(buf.read(n), "big")).zfill(rem)
+        return out or "0"
+
+    ip = read_digits(precision - scale, lead_partial=True)
+    fp = read_digits(scale, lead_partial=False) if scale else ""
+    s = (ip.lstrip("0") or "0") + (("." + fp) if scale else "")
+    return Decimal(("-" if not positive else "") + s)
+
+
+def _encode_newdecimal(value, precision: int, scale: int) -> bytes:
+    from decimal import Context, Decimal
+
+    # MySQL DECIMAL goes to 65 digits; the default context's 28 would
+    # raise InvalidOperation on quantize
+    d = Decimal(str(value)).quantize(Decimal(1).scaleb(-scale),
+                                     context=Context(prec=70))
+    # copy_abs/is_signed are context-free — abs()/comparisons round
+    # through the default 28-digit context and corrupt wide decimals
+    negative = d.is_signed()
+    digits = format(d.copy_abs(), "f")
+    ip, _, fp = digits.partition(".")
+    ip = ip.zfill(precision - scale)[-(precision - scale):] \
+        if precision > scale else ""
+    fp = fp.ljust(scale, "0")[:scale]
+
+    out = bytearray()
+
+    def write_digits(s: str, lead_partial: bool) -> None:
+        rem = len(s) % 9
+        if lead_partial and rem:
+            out.extend(int(s[:rem]).to_bytes(
+                _DEC_LEFTOVER_BYTES[rem], "big"))
+            s = s[rem:]
+        tail = s[len(s) - rem:] if (not lead_partial and rem) else ""
+        body = s[:len(s) - len(tail)]
+        for i in range(0, len(body), 9):
+            out.extend(int(body[i:i + 9]).to_bytes(4, "big"))
+        if tail:
+            out.extend(int(tail).to_bytes(
+                _DEC_LEFTOVER_BYTES[rem], "big"))
+
+    write_digits(ip, lead_partial=True)
+    if scale:
+        write_digits(fp, lead_partial=False)
+    out[0] ^= 0x80
+    if negative:
+        out = bytearray(x ^ 0xFF for x in out)
+    return bytes(out)
+
+
+def _decode_datetime2(raw5: bytes, frac: bytes, fsp: int) -> str:
+    """DATETIME2 (docs "Date and Time Data Type Representation"): 40-bit
+    big-endian packed fields — 1 sign bit (always set for valid dates),
+    17 bits year*13+month, 5 bits day, 5 bits hour, 6 bits minute,
+    6 bits second — plus ceil(fsp/2) bytes of fractional seconds in
+    units of 10^-fsp s."""
+    v = int.from_bytes(raw5, "big")
+    ym = (v >> 22) & 0x1FFFF
+    year, month = divmod(ym, 13)
+    day = (v >> 17) & 0x1F
+    hour = (v >> 12) & 0x1F
+    minute = (v >> 6) & 0x3F
+    second = v & 0x3F
+    s = f"{year:04d}-{month:02d}-{day:02d} {hour:02d}:{minute:02d}:{second:02d}"
+    if fsp:
+        micros = int.from_bytes(frac, "big") * 10 ** (6 - fsp)
+        s += f".{micros:06d}"
+    return s
+
+
+def _encode_datetime2(dt, fsp: int) -> bytes:
+    ym = dt.year * 13 + dt.month
+    v = (1 << 39) | (ym << 22) | (dt.day << 17) | (dt.hour << 12) \
+        | (dt.minute << 6) | dt.second
+    out = v.to_bytes(5, "big")
+    if fsp:
+        frac = dt.microsecond // 10 ** (6 - fsp)
+        out += frac.to_bytes((fsp + 1) // 2, "big")
+    return out
+
+
 def _read_value(buf: io.BytesIO, col_type: int, meta: bytes):
     if col_type == MYSQL_TYPE_LONG:
         return struct.unpack("<i", buf.read(4))[0]
@@ -114,6 +229,15 @@ def _read_value(buf: io.BytesIO, col_type: int, meta: bytes):
         else:
             ln = buf.read(1)[0]
         return buf.read(ln).decode("utf-8")
+    if col_type == MYSQL_TYPE_NEWDECIMAL:
+        precision, scale = meta[0], meta[1]
+        n = _dec_bytes(precision - scale) + _dec_bytes(scale)
+        return _decode_newdecimal(buf.read(n), precision, scale)
+    if col_type == MYSQL_TYPE_DATETIME2:
+        fsp = meta[0]
+        raw5 = buf.read(5)
+        frac = buf.read((fsp + 1) // 2) if fsp else b""
+        return _decode_datetime2(raw5, frac, fsp)
     raise ValueError(f"unsupported mysql column type {col_type}")
 
 
@@ -260,12 +384,17 @@ def encode_fde(log_pos: int = 120) -> bytes:
     return _event(FORMAT_DESCRIPTION_EVENT, body, log_pos)
 
 
-def _col_meta(col: tuple[int, int | None]) -> bytes:
+def _col_meta(col: tuple[int, object]) -> bytes:
     ctype, arg = col
     if ctype == MYSQL_TYPE_VARCHAR:
         return struct.pack("<H", arg or 255)
     if ctype in (MYSQL_TYPE_FLOAT, MYSQL_TYPE_DOUBLE):
         return bytes([4 if ctype == MYSQL_TYPE_FLOAT else 8])
+    if ctype == MYSQL_TYPE_NEWDECIMAL:
+        precision, scale = arg  # type: ignore[misc]
+        return bytes([precision, scale])
+    if ctype == MYSQL_TYPE_DATETIME2:
+        return bytes([arg or 0])  # type: ignore[list-item]
     return b""
 
 
@@ -297,6 +426,11 @@ def _encode_value(v, col: tuple[int, int | None]) -> bytes:
         if (arg or 255) > 255:
             return struct.pack("<H", len(b)) + b
         return bytes([len(b)]) + b
+    if ctype == MYSQL_TYPE_NEWDECIMAL:
+        precision, scale = arg  # type: ignore[misc]
+        return _encode_newdecimal(v, precision, scale)
+    if ctype == MYSQL_TYPE_DATETIME2:
+        return _encode_datetime2(v, arg or 0)  # type: ignore[arg-type]
     raise ValueError(f"unsupported column type {ctype}")
 
 

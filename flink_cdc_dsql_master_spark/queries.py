@@ -3852,6 +3852,62 @@ def cdc_binlog_decode_apply(spark, sf_dir):
     return apply_changelog(cl, ["k"])
 
 
+@_q(
+    "cdc_binlog_typed_decode",
+    """
+    SELECT o_orderkey AS k,
+           CAST(CAST(((o_orderkey * 7919) % 1000000) / 100.0
+                AS DECIMAL(12,2)) AS VARCHAR) AS amount,
+           TIMESTAMP '1995-01-01 00:00:00'
+             + INTERVAL (o_orderkey % 1000) DAY
+             + INTERVAL (o_orderkey % 86400) SECOND AS ts
+    FROM orders
+    """,
+)
+def cdc_binlog_typed_decode(spark, sf_dir):
+    """Typed binlog column decode: NEWDECIMAL (MySQL's packed 9-digit-
+    group format, sign in the first byte's MSB, one's-complement
+    negatives) and DATETIME2 (40-bit packed fields + fractional) travel
+    the wire byte-exactly — encoded per the documented layouts, decoded
+    on executors, CAST into Spark decimal/timestamp and hash-checked
+    against DuckDB recomputing the same values from pristine parquet."""
+    import datetime as dtm
+    from decimal import Decimal
+
+    from .binlog import (MAGIC, MYSQL_TYPE_DATETIME2, MYSQL_TYPE_LONGLONG,
+                         MYSQL_TYPE_NEWDECIMAL, decode_binlog, encode_fde,
+                         encode_table_map, encode_write_rows)
+
+    keys = [r["k"] for r in
+            _t(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").alias("k")).collect()]
+
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_NEWDECIMAL, (12, 2)),
+            (MYSQL_TYPE_DATETIME2, 0)]
+    base_ts = dtm.datetime(1995, 1, 1)
+    rows = []
+    for k in keys:
+        cents = (k * 7919) % 1_000_000
+        rows.append([k, Decimal(f"{cents // 100}.{cents % 100:02d}"),
+                     base_ts + dtm.timedelta(days=k % 1000,
+                                             seconds=k % 86400)])
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(77, "tpch", "orders_typed", cols, 200)
+            + encode_write_rows(77, cols, rows, 1000))
+
+    raw = spark.createDataFrame([(bytes(blob),)], "value binary")
+    payload = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("amount", T.DecimalType(12, 2)),
+        T.StructField("ts", T.TimestampType()),
+    ])
+    # amount compared as its scale-preserving string on BOTH sides
+    # ("791.90", not the float 791.9 a decimal->float64 hop would give)
+    return (decode_binlog(raw, payload)
+            .select("k", F.col("amount").cast("string").alias("amount"),
+                    "ts"))
+
+
 # ---------------------------------------------------------------------------
 # chunked snapshot splitter (§2.1) — split arithmetic + predicate coverage
 # ---------------------------------------------------------------------------

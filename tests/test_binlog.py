@@ -112,10 +112,80 @@ def test_gtid_events_and_set_folding():
         f"{sid2}:5,{sid}:1-3:7")
 
 
+def test_newdecimal_golden_bytes():
+    """Hand-computed per the docs' packed-decimal layout: DECIMAL(4,2)
+    12.34 → int part '12' in 1 byte (0x0C), frac '34' in 1 byte (0x22),
+    first byte XOR 0x80 → 8C 22; negative = one's complement → 73 DD."""
+    from decimal import Decimal
+
+    from flink_cdc_dsql_master_spark.binlog import (_decode_newdecimal,
+                                                    _encode_newdecimal)
+
+    assert _encode_newdecimal("12.34", 4, 2) == bytes.fromhex("8c22")
+    assert _decode_newdecimal(bytes.fromhex("8c22"), 4, 2) == \
+        Decimal("12.34")
+    assert _encode_newdecimal("-12.34", 4, 2) == bytes.fromhex("73dd")
+    assert _decode_newdecimal(bytes.fromhex("73dd"), 4, 2) == \
+        Decimal("-12.34")
+
+
+def test_newdecimal_property_roundtrip():
+    from decimal import Decimal
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_cdc_dsql_master_spark.binlog import (_decode_newdecimal,
+                                                    _encode_newdecimal)
+
+    @settings(max_examples=200, deadline=None)
+    @given(st.integers(min_value=1, max_value=30), st.integers(0, 30),
+           st.integers(min_value=-(10 ** 29), max_value=10 ** 29))
+    def check(precision, scale, unscaled):
+        scale = min(scale, precision)
+        unscaled %= 10 ** precision
+        # exact construction (scaleb/div would round through the
+        # default 28-digit context)
+        d = Decimal(f"{unscaled}E-{scale}")
+        raw = _encode_newdecimal(d, precision, scale)
+        assert _decode_newdecimal(raw, precision, scale) == d
+
+    check()
+
+
+def test_datetime2_roundtrip_and_rows():
+    import datetime as dt
+
+    from flink_cdc_dsql_master_spark.binlog import (MYSQL_TYPE_DATETIME2,
+                                                    MYSQL_TYPE_NEWDECIMAL,
+                                                    _decode_datetime2,
+                                                    _encode_datetime2)
+
+    t = dt.datetime(2024, 3, 15, 10, 20, 30, 123456)
+    raw = _encode_datetime2(t, 6)
+    assert _decode_datetime2(raw[:5], raw[5:], 6) == \
+        "2024-03-15 10:20:30.123456"
+    raw0 = _encode_datetime2(t, 0)
+    assert len(raw0) == 5
+    assert _decode_datetime2(raw0, b"", 0) == "2024-03-15 10:20:30"
+
+    # through a full rows event
+    from decimal import Decimal
+    cols = [(MYSQL_TYPE_NEWDECIMAL, (12, 4)), (MYSQL_TYPE_DATETIME2, 3)]
+    blob = (encode_table_map(5, "d", "t", cols, 100)
+            + encode_write_rows(
+                5, cols, [[Decimal("-12345678.9876"),
+                           dt.datetime(1999, 12, 31, 23, 59, 58,
+                                       789000)]], 200))
+    evs = parse_binlog(blob)
+    assert evs[1]["rows"] == [[Decimal("-12345678.9876"),
+                               "1999-12-31 23:59:58.789000"]]
+
+
 def test_unsupported_column_type_raises():
     with pytest.raises(ValueError, match="unsupported column type"):
         parse_binlog(encode_table_map(1, "d", "t",
-                                      [(246, None)], 100))  # NEWDECIMAL
+                                      [(255, None)], 100))  # GEOMETRY
 
 
 def test_decode_binlog_distributed(spark):
