@@ -3773,14 +3773,23 @@ def cdc_pgoutput_decode_apply(spark, sf_dir):
                 oid, [str(k), fmt(price), r["status"]], old_kind="K")))
     msgs.append((10 ** 9, encode_commit(10 ** 9, 10 ** 9 + 1, 0)))
 
+    # sharded into 8 framed segments (one per task) — the decode
+    # parallelism a real slot consumer gets from segment/WAL boundaries;
+    # a single blob would decode on one core
+    from .pgoutput import decode_pgoutput_segments, encode_frames
+
+    segs = [[] for _ in range(8)]
+    for i, (lsn, m) in enumerate(msgs):
+        segs[i % 8].append((lsn, m))
     raw = spark.createDataFrame(
-        [(lsn, bytearray(m)) for lsn, m in msgs], "lsn long, value binary")
+        [(bytearray(encode_frames(s)),) for s in segs if s],
+        "value binary").repartition(8)
     payload = T.StructType([
         T.StructField("k", T.LongType()),
         T.StructField("price", T.DoubleType()),
         T.StructField("status", T.StringType()),
     ])
-    cl = decode_pgoutput(raw, payload)
+    cl = decode_pgoutput_segments(raw, payload)
     return apply_changelog(cl, ["k"])
 
 
@@ -3819,30 +3828,39 @@ def cdc_binlog_decode_apply(spark, sf_dir):
     cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_DOUBLE, None),
             (MYSQL_TYPE_VARCHAR, 10)]
     tid = 23
-    blob = bytearray(MAGIC + encode_fde(120)
-                     + encode_table_map(tid, "tpch", "orders", cols, 200))
-    # one multi-row WRITE event (the snapshot-read shape), then per-key
-    # UPDATE/DELETE events at increasing log positions
-    blob += encode_write_rows(
-        tid, cols, [[r["k"], r["price"], r["status"]] for r in rows],
-        1000)
-    pos = 2000
-    for r in rows:
-        k = r["k"]
-        if k % 7 == 0:
-            blob += encode_update_rows(
-                tid, cols,
-                [([k, r["price"], r["status"]],
-                  [k, r["price"] + 1000.0, r["status"]])], pos)
-            pos += 1
-        if k % 11 == 0:
-            price = r["price"] + 1000.0 if k % 7 == 0 else r["price"]
-            blob += encode_delete_rows(
-                tid, cols, [[k, price, r["status"]]], pos)
-            pos += 1
-    blob += encode_xid(1, pos)
+    # sharded into 8 self-contained segments (magic + FDE + TABLE_MAP +
+    # events, split by key bucket) so the decode runs on 8 tasks — the
+    # parallelism a real tail gets from binlog file rotation; a single
+    # blob would decode on one core. LWW order is per key, so bucketing
+    # by key keeps each key's events in one segment with rising log_pos.
+    segs = []
+    for b in range(8):
+        blob = bytearray(MAGIC + encode_fde(120)
+                         + encode_table_map(tid, "tpch", "orders", cols,
+                                            200))
+        mine = [r for r in rows if r["k"] % 8 == b]
+        blob += encode_write_rows(
+            tid, cols, [[r["k"], r["price"], r["status"]] for r in mine],
+            1000)
+        pos = 2000
+        for r in mine:
+            k = r["k"]
+            if k % 7 == 0:
+                blob += encode_update_rows(
+                    tid, cols,
+                    [([k, r["price"], r["status"]],
+                      [k, r["price"] + 1000.0, r["status"]])], pos)
+                pos += 1
+            if k % 11 == 0:
+                price = r["price"] + 1000.0 if k % 7 == 0 else r["price"]
+                blob += encode_delete_rows(
+                    tid, cols, [[k, price, r["status"]]], pos)
+                pos += 1
+        blob += encode_xid(1, pos)
+        segs.append(bytes(blob))
 
-    raw = spark.createDataFrame([(bytes(blob),)], "value binary")
+    raw = spark.createDataFrame([(s,) for s in segs],
+                                "value binary").repartition(8)
     payload = T.StructType([
         T.StructField("k", T.LongType()),
         T.StructField("price", T.DoubleType()),
@@ -3891,11 +3909,16 @@ def cdc_binlog_typed_decode(spark, sf_dir):
         rows.append([k, Decimal(f"{cents // 100}.{cents % 100:02d}"),
                      base_ts + dtm.timedelta(days=k % 1000,
                                              seconds=k % 86400)])
-    blob = (MAGIC + encode_fde(120)
+    segs = []
+    for b in range(8):
+        mine = [r for r in rows if r[0] % 8 == b]
+        segs.append(bytes(
+            MAGIC + encode_fde(120)
             + encode_table_map(77, "tpch", "orders_typed", cols, 200)
-            + encode_write_rows(77, cols, rows, 1000))
+            + encode_write_rows(77, cols, mine, 1000)))
 
-    raw = spark.createDataFrame([(bytes(blob),)], "value binary")
+    raw = spark.createDataFrame([(s,) for s in segs],
+                                "value binary").repartition(8)
     payload = T.StructType([
         T.StructField("k", T.LongType()),
         T.StructField("amount", T.DecimalType(12, 2)),
