@@ -160,6 +160,12 @@ def main() -> int:
 
         out["streaming"] = bench_streaming.run(spark)
         streaming_rc = bench_streaming.gate(out["streaming"])
+        # second scenario: raw binlog v4 segments through the byte
+        # decoder — wire-to-sink latency of the mysql-shaped pipeline
+        out["streaming_binlog"] = bench_streaming.run(spark,
+                                                      scenario="binlog")
+        streaming_rc = streaming_rc or bench_streaming.gate(
+            out["streaming_binlog"], section="binlog_")
     print(json.dumps(out))
     spark.stop()
 

@@ -80,6 +80,79 @@ def build_fixture(spark) -> str:
     return out
 
 
+def build_fixture_binlog(spark) -> str:
+    """Encode the 10× events into N_FILES binlog segment files, once
+    (cached). The encode runs DISTRIBUTED: each of N_FILES partitions
+    encodes its bucket into one self-contained segment (magic + FDE +
+    TABLE_MAP + one multi-row WRITE event) in an Arrow-batched task."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(_repo(), ".scale_data",
+                       f"stream_bench_binlog_v{GEN_VERSION}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    ev = (spark.read.parquet(_events_10x_path())
+          .select("event_id", "user_id", "event_type", "value")
+          .repartition(N_FILES, "event_id"))
+
+    def encode_segment(batches):
+        import pandas as pd
+
+        from flink_cdc_dsql_master_spark.binlog import (
+            MAGIC, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_LONGLONG,
+            MYSQL_TYPE_VARCHAR, encode_fde, encode_table_map,
+            encode_write_rows)
+
+        cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_LONGLONG, None),
+                (MYSQL_TYPE_VARCHAR, 30), (MYSQL_TYPE_DOUBLE, None)]
+        rows = []
+        for pdf in batches:
+            rows.extend(pdf.itertuples(index=False, name=None))
+        blob = (MAGIC + encode_fde(120)
+                + encode_table_map(3, "bench", "events", cols, 200)
+                + encode_write_rows(3, cols, [list(r) for r in rows],
+                                    1000))
+        yield pd.DataFrame({"blob": [blob]})
+
+    blobs = [r["blob"] for r in
+             ev.mapInPandas(encode_segment, "blob binary").collect()]
+    for i, blob in enumerate(blobs):
+        with open(os.path.join(out, f"seg{i:02d}.binlog"), "wb") as f:
+            f.write(bytes(blob))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _pipeline_binlog(src_dir: str):
+    from flink_cdc_dsql_master_spark.pipeline import (PipelineDef, SinkDef,
+                                                      SourceDef)
+    from flink_cdc_dsql_master_spark.route import RouteRule
+    from flink_cdc_dsql_master_spark.transform import TransformRule
+
+    return PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": src_dir,
+            "schema": ("event_id bigint, user_id bigint, "
+                       "event_type string, value double"),
+            "table": "bench.public.events_bl",
+            "mysql-table": "events",
+            "primary-keys": ["event_id"],
+            "reader-options": {"maxFilesPerTrigger": "1"},
+        }),
+        sink=SinkDef("parquet"),
+        transforms=(TransformRule(
+            r"bench\.public\.events_bl",
+            projection=("event_id, user_id, UPPER(event_type) AS "
+                        "event_type, value")),),
+        routes=(RouteRule(r"bench\.public\.events_bl",
+                          "analytics.out.events_bl"),),
+    )
+
+
 def _pipeline(src_dir: str):
     from flink_cdc_dsql_master_spark.pipeline import (PipelineDef, SinkDef,
                                                       SourceDef)
@@ -105,13 +178,24 @@ def _pipeline(src_dir: str):
     )
 
 
-def run(spark, warm: bool = True) -> dict:
-    """Run the latency bench; returns the streaming metrics dict."""
+def run(spark, warm: bool = True, scenario: str = "debezium") -> dict:
+    """Run the latency bench; returns the streaming metrics dict.
+
+    Scenarios: ``debezium`` (JSON-lines envelope files → from_json
+    decode) and ``binlog`` (raw binlog v4 segment files → byte decode)
+    — same composed pipeline downstream of the decode."""
     import tempfile
 
     from flink_cdc_dsql_master_spark.compose import compose_changelog_stream
 
-    src_all = build_fixture(spark)
+    if scenario == "binlog":
+        src_all = build_fixture_binlog(spark)
+        pipeline_of = _pipeline_binlog
+        suffix = ".binlog"
+    else:
+        src_all = build_fixture(spark)
+        pipeline_of = _pipeline
+        suffix = ".txt"
 
     def drive(src_dir: str) -> list[dict]:
         base = tempfile.mkdtemp(prefix="stream_bench_")
@@ -121,33 +205,35 @@ def run(spark, warm: bool = True) -> dict:
         def writer(tid, df, schema):
             df.write.mode("append").parquet(sink_dir)
 
-        q = compose_changelog_stream(spark, _pipeline(src_dir), ckpt,
+        q = compose_changelog_stream(spark, pipeline_of(src_dir), ckpt,
                                      writer)
         q.awaitTermination(600)
         prog = [json.loads(p.json if hasattr(p, "json") else p)
                 if not isinstance(p, dict) else p
                 for p in q.recentProgress]
+        # numInputRows counts source ROWS — for binaryFile that is one
+        # per segment FILE, so the honest row count is the sink's
+        sink_rows = spark.read.parquet(sink_dir).count()
         shutil.rmtree(base, ignore_errors=True)
-        return prog
+        return prog, sink_rows
 
     if warm:
         # 2-file warmup stream: JITs the decode/transform/sink codegen and
         # spawns the streaming execution threads — one-time JVM costs
         warm_dir = tempfile.mkdtemp(prefix="stream_bench_warm_")
         files = sorted(f for f in os.listdir(src_all)
-                       if f.endswith(".txt"))[:2]
+                       if f.endswith(suffix))[:2]
         for f in files:
             shutil.copy(os.path.join(src_all, f), warm_dir)
         drive(warm_dir)
         shutil.rmtree(warm_dir, ignore_errors=True)
 
     t0 = time.perf_counter()
-    prog = drive(src_all)
+    prog, rows = drive(src_all)
     wall = round(time.perf_counter() - t0, 3)
 
     lat = sorted(p["durationMs"]["triggerExecution"] for p in prog
                  if p.get("numInputRows", 0) > 0)
-    rows = sum(p["numInputRows"] for p in prog)
     if not lat:
         raise RuntimeError("streaming bench measured zero non-empty "
                            "micro-batches — fixture or trigger broken")
@@ -158,6 +244,7 @@ def run(spark, warm: bool = True) -> dict:
 
     return {
         "metric": "streaming_microbatch_latency",
+        "scenario": scenario,
         "n_batches": len(lat),
         "rows": rows,
         "p50_ms": pct(0.50),
@@ -168,24 +255,29 @@ def run(spark, warm: bool = True) -> dict:
     }
 
 
-def gate(metrics: dict) -> int:
+def gate(metrics: dict, section: str = "") -> int:
     """Self-enforcing 2× regression gate vs the frozen baseline (written
-    on first run, like the batch tier's BASELINE_BENCH.json)."""
+    on first run, like the batch tier's BASELINE_BENCH.json). ``section``
+    prefixes the frozen keys (e.g. "binlog_") so several scenarios share
+    one baseline file; missing sections freeze on first run."""
     base_path = os.path.join(_repo(), "BASELINE_BENCH_STREAMING.json")
-    if not os.path.exists(base_path):
+    frozen = {}
+    if os.path.exists(base_path):
+        with open(base_path) as f:
+            frozen = json.load(f)
+    if f"{section}p50_ms" not in frozen:
+        for k in ("p50_ms", "p95_ms", "n_batches", "rows"):
+            frozen[section + k] = metrics[k]
         with open(base_path, "w") as f:
-            json.dump({k: metrics[k] for k in ("p50_ms", "p95_ms",
-                                               "n_batches", "rows")},
-                      f, indent=2)
-        print(f"# froze streaming baseline: {base_path}", file=sys.stderr)
+            json.dump(frozen, f, indent=2)
+        print(f"# froze streaming baseline section {section or 'default'}:"
+              f" {base_path}", file=sys.stderr)
         return 0
-    with open(base_path) as f:
-        frozen = json.load(f)
     rc = 0
     for k in ("p50_ms", "p95_ms"):
-        if metrics[k] > 2.0 * frozen[k] + 100.0:
-            print(f"# STREAMING REGRESSION {k}: {metrics[k]}ms > 2x "
-                  f"frozen {frozen[k]}ms", file=sys.stderr)
+        if metrics[k] > 2.0 * frozen[section + k] + 100.0:
+            print(f"# STREAMING REGRESSION {section}{k}: {metrics[k]}ms "
+                  f"> 2x frozen {frozen[section + k]}ms", file=sys.stderr)
             rc = 1
     return rc
 

@@ -574,7 +574,8 @@ _BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
 
 
 def binlog_file_stream(spark, path: str, payload_schema: T.StructType,
-                       table: str | None = None) -> DataFrame:
+                       table: str | None = None,
+                       reader_options: dict | None = None) -> DataFrame:
     """File-backed binlog STREAM — the hermetic stand-in for a live
     COM_BINLOG_DUMP connection: each binary file under ``path`` is one
     contiguous binlog segment (magic + FDE + TABLE_MAP + row events),
@@ -583,8 +584,9 @@ def binlog_file_stream(spark, path: str, payload_schema: T.StructType,
     the one a live tail would use; only the socket is missing."""
     from pyspark.sql import functions as F
 
-    raw = (spark.readStream.format("binaryFile")
-           .schema(_BINARY_FILE_SCHEMA)
-           .load(path)
-           .select(F.col("content").alias("value")))
+    reader = (spark.readStream.format("binaryFile")
+              .schema(_BINARY_FILE_SCHEMA))
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)  # e.g. maxFilesPerTrigger=1
+    raw = reader.load(path).select(F.col("content").alias("value"))
     return decode_binlog(raw, payload_schema, table=table)

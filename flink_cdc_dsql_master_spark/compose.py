@@ -276,13 +276,16 @@ def compose_changelog_stream(spark: SparkSession, pipeline: PipelineDef,
 
         stream = binlog_file_stream(
             spark, src.config["path"], payload,
-            table=src.config.get("mysql-table"))
+            table=src.config.get("mysql-table"),
+            reader_options=src.config.get("reader-options"))
     elif src.type == "file-pgoutput":
         # byte-level pgoutput segments (pgoutput.py) — the hermetic
         # twin of a live START_REPLICATION slot
         from .pgoutput import pgoutput_file_stream
 
-        stream = pgoutput_file_stream(spark, src.config["path"], payload)
+        stream = pgoutput_file_stream(
+            spark, src.config["path"], payload,
+            reader_options=src.config.get("reader-options"))
     elif src.type == "kafka-debezium":
         stream = kafka_changelog_stream(
             spark, src.config["servers"], src.config["topics"], payload)

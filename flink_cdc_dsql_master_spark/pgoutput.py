@@ -300,15 +300,17 @@ _BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
 
 
 def pgoutput_file_stream(spark, path: str,
-                         payload_schema: T.StructType) -> DataFrame:
+                         payload_schema: T.StructType,
+                         reader_options: dict | None = None) -> DataFrame:
     """File-backed pgoutput STREAM — the hermetic stand-in for a live
     START_REPLICATION connection: each binary file under ``path`` is one
     framed segment of (LSN, message) pairs, decoded by the same
     byte-level parser a live slot would feed."""
     from pyspark.sql import functions as F
 
-    raw = (spark.readStream.format("binaryFile")
-           .schema(_BINARY_FILE_SCHEMA)
-           .load(path)
-           .select(F.col("content").alias("value")))
+    reader = (spark.readStream.format("binaryFile")
+              .schema(_BINARY_FILE_SCHEMA))
+    for k, v in (reader_options or {}).items():
+        reader = reader.option(k, v)  # e.g. maxFilesPerTrigger=1
+    raw = reader.load(path).select(F.col("content").alias("value"))
     return decode_pgoutput_segments(raw, payload_schema)
