@@ -260,9 +260,26 @@ def _read_row(buf: io.BytesIO, cols: list[tuple[int, bytes]],
     return vals
 
 
+class WireFormatError(ValueError):
+    """Malformed binlog bytes — raised (never a bare struct.error /
+    IndexError / UnicodeDecodeError escaping) so a consumer can fail one
+    segment loudly and deliberately."""
+
+
 def parse_binlog(data: bytes) -> list[dict]:
     """Parse one binlog blob (with or without the file magic) into a
-    list of tagged event dicts — pure function, runs on executors."""
+    list of tagged event dicts — pure function, runs on executors.
+    Malformed bytes raise :class:`WireFormatError`."""
+    try:
+        return _parse_binlog(data)
+    except WireFormatError:
+        raise
+    except (struct.error, IndexError, KeyError, UnicodeDecodeError,
+            EOFError, OverflowError) as e:
+        raise WireFormatError(f"malformed binlog blob: {e}") from e
+
+
+def _parse_binlog(data: bytes) -> list[dict]:
     pos = 0
     if data[:4] == MAGIC:
         pos = 4
@@ -272,6 +289,10 @@ def parse_binlog(data: bytes) -> list[dict]:
     while pos + HEADER_LEN <= len(data):
         ts, etype, server_id, esize, log_pos, flags = struct.unpack(
             "<IBIIIH", data[pos:pos + HEADER_LEN])
+        if esize < HEADER_LEN:
+            # a zero/short event_size would loop forever
+            raise WireFormatError(
+                f"event_size {esize} < header length at offset {pos}")
         body = data[pos + HEADER_LEN:pos + esize]
         pos += esize
         buf = io.BytesIO(body)
@@ -348,12 +369,18 @@ def parse_binlog(data: bytes) -> list[dict]:
             cols = table_cols[table_id]
             rows = []
             while buf.tell() < len(body):
+                mark = buf.tell()
                 if etype == UPDATE_ROWS_EVENT_V2:
                     before = _read_row(buf, cols, present1)
                     after = _read_row(buf, cols, present2)
                     rows.append((before, after))
                 else:
                     rows.append(_read_row(buf, cols, present1))
+                if buf.tell() == mark:
+                    # a zero-width row (malformed width/bitmaps) would
+                    # loop forever — caught by the wire fuzz tests
+                    raise WireFormatError(
+                        "rows event makes no byte progress")
             kind = {WRITE_ROWS_EVENT_V2: "write_rows",
                     UPDATE_ROWS_EVENT_V2: "update_rows",
                     DELETE_ROWS_EVENT_V2: "delete_rows"}[etype]

@@ -78,9 +78,25 @@ def _read_tuple(buf: io.BytesIO) -> list[str | None]:
     return vals
 
 
+class WireFormatError(ValueError):
+    """Malformed wire bytes — raised (never a bare struct.error /
+    IndexError / UnicodeDecodeError escaping) so a consumer can fail one
+    message/segment loudly and deliberately."""
+
+
 def parse_message(msg: bytes) -> dict:
     """Parse ONE pgoutput message into a tagged dict (pure function —
-    usable from executors and tests alike)."""
+    usable from executors and tests alike). Malformed bytes raise
+    :class:`WireFormatError`."""
+    try:
+        return _parse_message(msg)
+    except WireFormatError:
+        raise
+    except (struct.error, IndexError, UnicodeDecodeError, EOFError) as e:
+        raise WireFormatError(f"malformed pgoutput message: {e}") from e
+
+
+def _parse_message(msg: bytes) -> dict:
     buf = io.BytesIO(msg)
     tag = buf.read(1)
     if tag == b"R":

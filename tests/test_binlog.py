@@ -209,3 +209,45 @@ def test_decode_binlog_distributed(spark):
         (1, "a", "-U", 800), (1, "b", "+U", 801),
         (2, None, "-D", 1001),
     ]
+
+
+def test_fuzz_parse_binlog_never_hangs_or_leaks_raw_errors():
+    """Property: arbitrary bytes either parse or raise ValueError
+    (WireFormatError) — never a bare struct.error/IndexError/KeyError,
+    and never an infinite loop (a zero event_size is rejected)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from flink_cdc_dsql_master_spark.binlog import MAGIC
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.binary(max_size=200))
+    def check(data):
+        for blob in (data, MAGIC + data):
+            try:
+                parse_binlog(blob)
+            except ValueError:
+                pass
+
+    check()
+
+
+def test_fuzz_mutated_valid_events():
+    """Property: bit-flipped REAL events parse or raise ValueError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    base = (encode_table_map(5, "db", "t", COLS, 120)
+            + encode_write_rows(5, COLS, [[1, "ab"], [2, None]], 200))
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(0, len(base) - 1), st.integers(1, 255))
+    def check(i, x):
+        mutated = bytearray(base)
+        mutated[i] ^= x
+        try:
+            parse_binlog(bytes(mutated))
+        except ValueError:
+            pass
+
+    check()

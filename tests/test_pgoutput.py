@@ -141,3 +141,20 @@ def test_decode_pgoutput_distributed(spark):
         (1, "b", "+U", 9),
         (2, None, "-D", 11),
     ]
+
+
+def test_fuzz_parse_message_never_leaks_raw_errors():
+    """Property: arbitrary bytes either parse or raise ValueError
+    (WireFormatError) — never a bare struct.error/UnicodeDecodeError."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=400, deadline=None)
+    @given(st.binary(min_size=1, max_size=120))
+    def check(data):
+        try:
+            parse_message(data)
+        except ValueError:
+            pass
+
+    check()
