@@ -242,9 +242,71 @@ def _binlog_decode_throughput(spark, sf_dir):
 
 # operator-level targets: measured like TARGETS but defined by a
 # callable(spark, sf_dir) instead of a registry query name
+def _pgoutput_segments_dir(spark, sf_dir: str) -> str:
+    """Encode orders into 32 framed pgoutput segment files, once per
+    corpus (cached) — same fixture-outside-measurement rule as the
+    binlog twin."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.pgoutput import (encode_frames,
+                                                      encode_insert,
+                                                      encode_relation)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(REPO, ".scale_data", f"pgout_segs_{tag}")
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rows = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price"),
+                    F.col("o_orderstatus").alias("status"))
+            .collect())
+    rel = encode_relation(7, "public", "orders",
+                          [("k", True, 20), ("price", False, 701),
+                           ("status", False, 25)])
+    for b in range(32):
+        msgs = [(1, rel)]
+        for r in rows:
+            if r["k"] % 32 == b:
+                msgs.append((r["k"] * 3, encode_insert(
+                    7, [str(r["k"]), repr(float(r["price"])),
+                        r["status"]])))
+        with open(os.path.join(d, f"seg{b:02d}.pgout"), "wb") as f:
+            f.write(encode_frames(msgs))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _pgoutput_decode_throughput(spark, sf_dir):
+    """pgoutput wire-decode scale, the twin of
+    cdc_binlog_decode_throughput: 32 pre-encoded framed segment files
+    decoded Arrow-batched on executors."""
+    from pyspark.sql import functions as F, types as T
+
+    from flink_cdc_dsql_master_spark.pgoutput import (
+        decode_pgoutput_segments)
+
+    d = _pgoutput_segments_dir(spark, sf_dir)
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.pgout").load(d)
+           .select(F.col("content").alias("value"))
+           .repartition(32))
+    payload = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ])
+    return decode_pgoutput_segments(raw, payload)
+
+
 EXTRA_TARGETS = {"similarity_knn_join_auto": _knn_join_auto,
                  "similarity_range_search_auto": _range_search_auto,
-                 "cdc_binlog_decode_throughput": _binlog_decode_throughput}
+                 "cdc_binlog_decode_throughput": _binlog_decode_throughput,
+                 "cdc_pgoutput_decode_throughput":
+                     _pgoutput_decode_throughput}
 
 # ---------------------------------------------------------------------
 # planted-duplicate stress (VERDICT r7 #1 done-criterion): 30% of each
