@@ -166,6 +166,39 @@ def test_startup_snapshot_mode_is_bounded(spark, tmp_path):
         src.poll()
 
 
+REFERENCE_YAMLS = [
+    "/root/reference/mysql-to-dsql.yaml",
+    "/root/reference/postgresql-to-dsql-debug.yaml",
+    "/root/reference/flink-cdc-connect/flink-cdc-pipeline-connectors/"
+    "flink-cdc-pipeline-connector-dsql/example-postgresql-to-dsql.yaml",
+    "/root/reference/flink-cdc-connect/flink-cdc-pipeline-connectors/"
+    "flink-cdc-pipeline-connector-dsql/your-pipeline-config.yaml",
+]
+
+
+@pytest.mark.parametrize("path", REFERENCE_YAMLS,
+                         ids=[p.rsplit("/", 1)[-1] for p in REFERENCE_YAMLS])
+def test_reference_example_yamls_validate_verbatim(path):
+    """Every pipeline YAML the reference ships validates VERBATIM through
+    our CLI — the 'a user could switch' claim, checked byte-for-byte
+    against the reference's own examples (source/sink/pipeline/
+    checkpoint/restart-strategy blocks and all their options parse and
+    compose-plan)."""
+    import os
+    import subprocess
+    import sys
+
+    if not os.path.exists(path):
+        pytest.skip("reference tree not present")
+    out = subprocess.run(
+        [sys.executable, "-m", "flink_cdc_dsql_master_spark",
+         "validate", path],
+        capture_output=True, text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    assert out.returncode == 0, out.stderr[-500:]
+    assert "source: type=" in out.stdout
+
+
 def test_full_load_coordinator_live_db(tmp_path):
     """FullLoadCoordinator (DsqlFullLoadCoordinator.java:37 parity, with
     real CREATE TABLE where the reference has a TODO): creates once,
