@@ -3931,6 +3931,94 @@ def cdc_binlog_typed_decode(spark, sf_dir):
                     "ts"))
 
 
+@_q(
+    "cdc_binlog_client_e2e",
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 500.0
+                ELSE o_totalprice END AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 9 <> 0
+    """,
+)
+def cdc_binlog_client_e2e(spark, sf_dir):
+    """The FULL MySQL replication chain over a real socket: an
+    in-process server speaking the wire protocol (HandshakeV10,
+    mysql_native_password verified server-side, COM_REGISTER_SLAVE,
+    COM_BINLOG_DUMP, one binlog event per packet —
+    testing.FakeMySQLReplicaServer) → binlog_client.BinlogClient
+    (handshake, auth, dump loop) → the raw per-event bytes resharded
+    into 8 self-contained segments → distributed byte decode → LWW
+    apply, hash-equal to the oracle's recomputed final state. The only
+    delta to production is which host the socket dials."""
+    import socket as socketlib
+
+    from .binlog import (MYSQL_TYPE_DOUBLE, MYSQL_TYPE_LONGLONG,
+                         MYSQL_TYPE_VARCHAR, decode_binlog,
+                         encode_delete_rows, encode_fde, encode_table_map,
+                         encode_update_rows, encode_write_rows, encode_xid)
+    from .binlog_client import BinlogClient
+    from .testing import FakeMySQLReplicaServer
+
+    rows = (_t(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price"),
+                    F.col("o_orderstatus").alias("status"))
+            .collect())  # fixture construction, not operator work
+
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_DOUBLE, None),
+            (MYSQL_TYPE_VARCHAR, 10)]
+    tid = 31
+    events = [encode_fde(120),
+              encode_table_map(tid, "tpch", "orders", cols, 200),
+              encode_write_rows(
+                  tid, cols,
+                  [[r["k"], r["price"], r["status"]] for r in rows], 1000)]
+    pos = 2000
+    for r in rows:
+        k = r["k"]
+        if k % 5 == 0:
+            events.append(encode_update_rows(
+                tid, cols,
+                [([k, r["price"], r["status"]],
+                  [k, r["price"] + 500.0, r["status"]])], pos))
+            pos += 1
+        if k % 9 == 0:
+            price = r["price"] + 500.0 if k % 5 == 0 else r["price"]
+            events.append(encode_delete_rows(
+                tid, cols, [[k, price, r["status"]]], pos))
+            pos += 1
+    events.append(encode_xid(1, pos))
+
+    srv = FakeMySQLReplicaServer(events, username="repl",
+                                 password="s3cret").start()
+    cli = BinlogClient(
+        lambda: socketlib.create_connection(("127.0.0.1", srv.port)),
+        username="repl", password="s3cret", server_id=7)
+    cli.connect()
+    wire_events = list(cli.dump(log_file="binlog.000001", log_pos=4))
+    cli.close()
+    srv.join()
+    assert srv.auth_ok, "fake server rejected the client's scramble"
+
+    # reshard the per-event wire bytes into 8 self-contained segments
+    # (header = the FDE + TABLE_MAP that arrived over the wire) for a
+    # distributed decode — parallelism a real tail gets from rotation
+    header = wire_events[0] + wire_events[1]
+    segs = [bytearray(header) for _ in range(8)]
+    for i, ev in enumerate(wire_events[2:]):
+        segs[i % 8] += ev
+    raw = spark.createDataFrame([(bytes(s),) for s in segs],
+                                "value binary").repartition(8)
+    payload = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ])
+    cl = decode_binlog(raw, payload, table="orders")
+    return apply_changelog(cl, ["k"])
+
+
 # ---------------------------------------------------------------------------
 # chunked snapshot splitter (§2.1) — split arithmetic + predicate coverage
 # ---------------------------------------------------------------------------

@@ -454,3 +454,86 @@ def _fmt(v) -> str:
     if v is None:
         return "null"
     return str(v)
+
+
+class FakeMySQLReplicaServer:
+    """In-process MySQL replication server speaking the real wire bytes
+    (HandshakeV10 → mysql_native_password verification →
+    COM_REGISTER_SLAVE / COM_BINLOG_DUMP → one binlog event per packet)
+    — the hermetic stand-in that lets :class:`.binlog_client.BinlogClient`
+    be driven end-to-end in this sandbox. Serves ONE connection then
+    closes; ``auth_ok`` records whether the client's scramble matched."""
+
+    SCRAMBLE = bytes(range(1, 21))
+
+    def __init__(self, events: list[bytes], username: str = "repl",
+                 password: str = ""):
+        import socket
+        import threading
+
+        self.events = events
+        self.username = username
+        self.password = password
+        self.auth_ok = None
+        self.listener = socket.socket()
+        self.listener.bind(("127.0.0.1", 0))
+        self.listener.listen(1)
+        self.port = self.listener.getsockname()[1]
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+
+    def start(self) -> "FakeMySQLReplicaServer":
+        self.thread.start()
+        return self
+
+    def join(self, timeout: float = 10.0) -> None:
+        self.thread.join(timeout)
+
+    def _handshake_payload(self) -> bytes:
+        import struct
+
+        caps = 0x00000001 | 0x00000200 | 0x00008000 | 0x00080000
+        out = bytes([10]) + b"8.0.0-fake\x00"
+        out += struct.pack("<I", 99)
+        out += self.SCRAMBLE[:8] + b"\x00"
+        out += struct.pack("<H", caps & 0xFFFF)
+        out += bytes([0x21]) + struct.pack("<H", 2)
+        out += struct.pack("<H", caps >> 16)
+        out += bytes([21]) + bytes(10)
+        out += self.SCRAMBLE[8:] + b"\x00"
+        out += b"mysql_native_password\x00"
+        return out
+
+    def _serve(self) -> None:
+        import struct
+
+        from .binlog_client import (native_password_scramble, read_packet,
+                                    write_packet)
+
+        conn, _ = self.listener.accept()
+        try:
+            write_packet(conn, self._handshake_payload(), 0)
+            resp, _ = read_packet(conn)
+            body = resp[32:]
+            user, _, rest = body.partition(b"\x00")
+            alen = rest[0]
+            auth = rest[1:1 + alen]
+            expect = native_password_scramble(self.password, self.SCRAMBLE)
+            self.auth_ok = (user.decode() == self.username
+                            and auth == expect)
+            if not self.auth_ok:
+                write_packet(conn, b"\xff" + struct.pack("<H", 1045)
+                             + b"Access denied", 3)
+                return
+            write_packet(conn, b"\x00\x00\x00\x02\x00\x00\x00", 3)
+            cmd, _ = read_packet(conn)           # COM_REGISTER_SLAVE
+            assert cmd[0] == 0x15
+            write_packet(conn, b"\x00\x00\x00\x02\x00\x00\x00", 1)
+            cmd, _ = read_packet(conn)           # COM_BINLOG_DUMP
+            assert cmd[0] == 0x12
+            seq = 1
+            for ev in self.events:
+                seq = write_packet(conn, b"\x00" + ev, seq)
+            write_packet(conn, b"\xfe\x00\x00\x02\x00", seq)
+        finally:
+            conn.close()
+            self.listener.close()

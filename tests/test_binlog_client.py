@@ -23,7 +23,8 @@ from flink_cdc_dsql_master_spark.binlog_client import (
     BinlogClient, build_handshake_response, decode_handshake_v10,
     native_password_scramble, read_packet, write_packet)
 
-SCRAMBLE = bytes(range(1, 21))  # 20 deterministic bytes
+from flink_cdc_dsql_master_spark.testing import FakeMySQLReplicaServer as _F
+SCRAMBLE = _F.SCRAMBLE  # 20 deterministic bytes
 USER, PASSWORD = "repl", "s3cret"
 
 
@@ -45,55 +46,6 @@ def _handshake_v10_payload() -> bytes:
     return out
 
 
-class FakeMySQLServer(threading.Thread):
-    """One-connection fake server: speaks the byte protocol, verifies
-    the client's scramble against its own computation, then serves a
-    binlog event stream one event per packet."""
-
-    def __init__(self, events: list[bytes], password: str = PASSWORD):
-        super().__init__(daemon=True)
-        self.events = events
-        self.password = password
-        self.listener = socket.socket()
-        self.listener.bind(("127.0.0.1", 0))
-        self.listener.listen(1)
-        self.port = self.listener.getsockname()[1]
-        self.auth_ok = None
-
-    def run(self):
-        conn, _ = self.listener.accept()
-        try:
-            seq = write_packet(conn, _handshake_v10_payload(), 0)
-            resp, _ = read_packet(conn)
-            # parse HandshakeResponse41: caps u32, max u32, charset u8,
-            # 23 zeros, user cstr, 1-byte-len auth response
-            body = resp[32:]
-            user, _, rest = body.partition(b"\x00")
-            alen = rest[0]
-            auth = rest[1:1 + alen]
-            expect = native_password_scramble(self.password, SCRAMBLE)
-            self.auth_ok = (user.decode() == USER and auth == expect)
-            if not self.auth_ok:
-                write_packet(conn, b"\xff" + struct.pack("<H", 1045)
-                             + b"Access denied", 3)
-                return
-            write_packet(conn, b"\x00\x00\x00\x02\x00\x00\x00", 3)  # OK
-            # COM_REGISTER_SLAVE
-            cmd, _ = read_packet(conn)
-            assert cmd[0] == 0x15
-            write_packet(conn, b"\x00\x00\x00\x02\x00\x00\x00", 1)
-            # COM_BINLOG_DUMP
-            cmd, _ = read_packet(conn)
-            assert cmd[0] == 0x12
-            seq = 1
-            for ev in self.events:
-                seq = write_packet(conn, b"\x00" + ev, seq)
-            write_packet(conn, b"\xfe\x00\x00\x02\x00", seq)  # EOF
-        finally:
-            conn.close()
-            self.listener.close()
-
-
 COLS = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 10)]
 
 
@@ -105,9 +57,11 @@ def _event_stream() -> list[bytes]:
 
 
 def test_client_full_protocol_roundtrip():
+    from flink_cdc_dsql_master_spark.testing import FakeMySQLReplicaServer
+
     events = _event_stream()
-    srv = FakeMySQLServer(events)
-    srv.start()
+    srv = FakeMySQLReplicaServer(events, username=USER,
+                                 password=PASSWORD).start()
     cli = BinlogClient(
         lambda: socket.create_connection(("127.0.0.1", srv.port)),
         username=USER, password=PASSWORD, server_id=3)
@@ -125,8 +79,10 @@ def test_client_full_protocol_roundtrip():
 
 
 def test_client_rejected_on_bad_password():
-    srv = FakeMySQLServer(_event_stream())
-    srv.start()
+    from flink_cdc_dsql_master_spark.testing import FakeMySQLReplicaServer
+
+    srv = FakeMySQLReplicaServer(_event_stream(), username=USER,
+                                 password=PASSWORD).start()
     cli = BinlogClient(
         lambda: socket.create_connection(("127.0.0.1", srv.port)),
         username=USER, password="wrong")
