@@ -537,3 +537,83 @@ class FakeMySQLReplicaServer:
         finally:
             conn.close()
             self.listener.close()
+
+
+class FakeWalsenderServer:
+    """In-process Postgres walsender speaking protocol-v3 bytes (md5
+    auth verified server-side, START_REPLICATION COPY-BOTH, keepalive
+    requiring a standby-status reply, XLogData stream) — the hermetic
+    stand-in driving :class:`.pgoutput_client.PgReplicationClient`.
+    Serves one connection; ``auth_ok`` / ``saw_keepalive_reply`` record
+    the client's conformance."""
+
+    SALT = b"\x01\x02\x03\x04"
+
+    def __init__(self, msgs: list[tuple[int, bytes]],
+                 username: str = "repl", password: str = ""):
+        import socket
+        import threading
+
+        self.msgs = msgs
+        self.username = username
+        self.password = password
+        self.auth_ok = None
+        self.saw_keepalive_reply = False
+        self.query = None
+        self.listener = socket.socket()
+        self.listener.bind(("127.0.0.1", 0))
+        self.listener.listen(1)
+        self.port = self.listener.getsockname()[1]
+        self.thread = threading.Thread(target=self._serve, daemon=True)
+
+    def start(self) -> "FakeWalsenderServer":
+        self.thread.start()
+        return self
+
+    def join(self, timeout: float = 10.0) -> None:
+        self.thread.join(timeout)
+
+    def _serve(self) -> None:
+        import struct
+
+        from .pgoutput_client import (md5_auth_response, read_message,
+                                      send_message)
+
+        conn, _ = self.listener.accept()
+        try:
+            (ln,) = struct.unpack(">i", conn.recv(4))
+            body = b""
+            while len(body) < ln - 4:
+                body += conn.recv(ln - 4 - len(body))
+            (proto,) = struct.unpack(">i", body[:4])
+            assert proto == 196608
+            assert b"replication\x00database\x00" in body
+            send_message(conn, b"R", struct.pack(">i", 5) + self.SALT)
+            tag, resp = read_message(conn)
+            assert tag == b"p"
+            expect = md5_auth_response(self.username, self.password,
+                                       self.SALT)
+            self.auth_ok = resp == expect
+            if not self.auth_ok:
+                send_message(conn, b"E", b"FATAL: password failed\x00")
+                return
+            send_message(conn, b"R", struct.pack(">i", 0))
+            send_message(conn, b"S", b"server_version\x0016.0\x00")
+            send_message(conn, b"K", struct.pack(">ii", 7, 42))
+            send_message(conn, b"Z", b"I")
+            tag, q = read_message(conn)
+            assert tag == b"Q"
+            self.query = q.rstrip(b"\x00").decode()
+            send_message(conn, b"W", b"\x00\x00\x00")
+            send_message(conn, b"d",
+                         b"k" + struct.pack(">qq", 100, 0) + b"\x01")
+            tag, reply = read_message(conn)
+            self.saw_keepalive_reply = (tag == b"d"
+                                        and reply[:1] == b"r")
+            for lsn, m in self.msgs:
+                send_message(conn, b"d", b"w"
+                             + struct.pack(">qqq", lsn, lsn, 0) + m)
+            send_message(conn, b"c", b"")
+        finally:
+            conn.close()
+            self.listener.close()

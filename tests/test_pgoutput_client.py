@@ -21,65 +21,9 @@ from flink_cdc_dsql_master_spark.pgoutput_client import (
     PgReplicationClient, lsn_str, md5_auth_response, read_message,
     send_message)
 
-USER, PASSWORD, SALT = "repl", "s3cret", b"\x01\x02\x03\x04"
-
-
-class FakeWalsender(threading.Thread):
-    def __init__(self, msgs: list[tuple[int, bytes]],
-                 password: str = PASSWORD):
-        super().__init__(daemon=True)
-        self.msgs = msgs
-        self.password = password
-        self.listener = socket.socket()
-        self.listener.bind(("127.0.0.1", 0))
-        self.listener.listen(1)
-        self.port = self.listener.getsockname()[1]
-        self.auth_ok = None
-        self.saw_keepalive_reply = False
-        self.query = None
-
-    def run(self):
-        conn, _ = self.listener.accept()
-        try:
-            # startup message (untagged)
-            (ln,) = struct.unpack(">i", conn.recv(4))
-            body = b""
-            while len(body) < ln - 4:
-                body += conn.recv(ln - 4 - len(body))
-            (proto,) = struct.unpack(">i", body[:4])
-            assert proto == 196608
-            assert b"replication\x00database\x00" in body
-            # demand md5 auth
-            send_message(conn, b"R", struct.pack(">i", 5) + SALT)
-            tag, resp = read_message(conn)
-            assert tag == b"p"
-            expect = md5_auth_response(USER, self.password, SALT)
-            self.auth_ok = resp == expect
-            if not self.auth_ok:
-                send_message(conn, b"E", b"FATAL: password failed\x00")
-                return
-            send_message(conn, b"R", struct.pack(">i", 0))      # ok
-            send_message(conn, b"S", b"server_version\x0016.0\x00")
-            send_message(conn, b"K", struct.pack(">ii", 7, 42))
-            send_message(conn, b"Z", b"I")
-            # START_REPLICATION
-            tag, q = read_message(conn)
-            assert tag == b"Q"
-            self.query = q.rstrip(b"\x00").decode()
-            send_message(conn, b"W", b"\x00\x00\x00")
-            # keepalive requesting a reply
-            send_message(conn, b"d", b"k" + struct.pack(">qq", 100, 0)
-                         + b"\x01")
-            tag, reply = read_message(conn)
-            self.saw_keepalive_reply = (tag == b"d"
-                                        and reply[:1] == b"r")
-            for lsn, m in self.msgs:
-                send_message(conn, b"d", b"w"
-                             + struct.pack(">qqq", lsn, lsn, 0) + m)
-            send_message(conn, b"c", b"")
-        finally:
-            conn.close()
-            self.listener.close()
+USER, PASSWORD = "repl", "s3cret"
+from flink_cdc_dsql_master_spark.testing import FakeWalsenderServer as _W
+SALT = _W.SALT
 
 
 def _msgs():
@@ -92,8 +36,10 @@ def _msgs():
 
 
 def test_pg_client_full_protocol_roundtrip():
-    srv = FakeWalsender(_msgs())
-    srv.start()
+    from flink_cdc_dsql_master_spark.testing import FakeWalsenderServer
+
+    srv = FakeWalsenderServer(_msgs(), username=USER,
+                              password=PASSWORD).start()
     cli = PgReplicationClient(
         lambda: socket.create_connection(("127.0.0.1", srv.port)),
         user=USER, password=PASSWORD)
@@ -111,8 +57,10 @@ def test_pg_client_full_protocol_roundtrip():
 
 
 def test_pg_client_bad_password():
-    srv = FakeWalsender(_msgs())
-    srv.start()
+    from flink_cdc_dsql_master_spark.testing import FakeWalsenderServer
+
+    srv = FakeWalsenderServer(_msgs(), username=USER,
+                              password=PASSWORD).start()
     cli = PgReplicationClient(
         lambda: socket.create_connection(("127.0.0.1", srv.port)),
         user=USER, password="wrong")
