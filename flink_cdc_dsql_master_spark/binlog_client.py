@@ -104,7 +104,11 @@ def decode_handshake_v10(payload: bytes) -> dict:
     caps = cap_low | (cap_high << 16)
     auth2 = b""
     if caps & CLIENT_SECURE_CONNECTION:
-        auth2 = buf.read(max(13, auth_len - 8)).rstrip(b"\x00")
+        # part-2 is max(13, auth_len - 8) bytes, NUL-terminated: drop
+        # exactly ONE trailing NUL — rstrip would also strip legitimate
+        # 0x00 nonce bytes and shorten the scramble (ADVICE r9)
+        chunk = buf.read(max(13, auth_len - 8))
+        auth2 = chunk[:-1] if chunk.endswith(b"\x00") else chunk
     plugin = b""
     if caps & CLIENT_PLUGIN_AUTH:
         while (c := buf.read(1)) not in (b"\x00", b""):

@@ -45,6 +45,10 @@ OP_INSERT = "+I"
 OP_UPDATE_BEFORE = "-U"
 OP_UPDATE_AFTER = "+U"
 OP_DELETE = "-D"
+# whole-table truncate marker (all payload columns NULL) — the row-level
+# carrier of the reference's TruncateTableEvent (TruncateTableEvent.java:30)
+# when it arrives inside a changelog stream (e.g. pgoutput 'T' messages)
+OP_TRUNCATE = "-T"
 
 # ops that contribute a *current* image (upsert side)
 UPSERT_OPS = (OP_INSERT, OP_UPDATE_AFTER)

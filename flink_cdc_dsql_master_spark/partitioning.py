@@ -28,8 +28,9 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, functions as F, Window
 
-from .events import (OP_COLUMN, OP_DELETE, OP_INSERT, OP_UPDATE_AFTER,
-                     OP_UPDATE_BEFORE, SEQ_COLUMN, UPSERT_OPS)
+from .events import (OP_COLUMN, OP_DELETE, OP_INSERT, OP_TRUNCATE,
+                     OP_UPDATE_AFTER, OP_UPDATE_BEFORE, SEQ_COLUMN,
+                     UPSERT_OPS)
 
 # Knuth multiplicative constant (2^32 / phi) — portable across SQL engines
 _KNUTH = 2654435761
@@ -115,7 +116,8 @@ def last_write_wins(df: DataFrame, primary_keys: list[str],
 
 
 def apply_changelog(df: DataFrame, primary_keys: list[str],
-                    seq_col: str | None = None) -> DataFrame:
+                    seq_col: str | None = None,
+                    truncate_aware: bool = False) -> DataFrame:
     """Materialize a changelog into its final table state.
 
     last-write-wins per key, then drop keys whose final event is DELETE and
@@ -123,7 +125,23 @@ def apply_changelog(df: DataFrame, primary_keys: list[str],
     the target table. This is the batch-mode oracle of the reference's
     ``INSERT .. ON CONFLICT DO UPDATE`` + DELETE sink
     (DsqlBatchSinkFunction.java:121-180).
+
+    ``truncate_aware=True`` additionally honors ``-T`` whole-table
+    truncate rows (the reference's TruncateTableEvent inside a changelog,
+    e.g. pgoutput 'T' messages): every event sequenced at or before the
+    LAST truncate is discarded before LWW — DELETE-all semantics, with
+    later re-inserts surviving. Cost: one scalar aggregate + a broadcast
+    filter; opt-in so the common truncate-free path pays nothing.
     """
+    if truncate_aware:
+        seq = seq_col or SEQ_COLUMN
+        trunc = (df.where(F.col(OP_COLUMN) == OP_TRUNCATE)
+                 .agg(F.max(F.col(seq)).alias("__trunc_seq")))
+        df = (df.where(F.col(OP_COLUMN) != OP_TRUNCATE)
+              .crossJoin(F.broadcast(trunc))
+              .where(F.col("__trunc_seq").isNull()
+                     | (F.col(seq) > F.col("__trunc_seq")))
+              .drop("__trunc_seq"))
     final = last_write_wins(df, primary_keys, seq_col)
     final = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
     drop = [c for c in (OP_COLUMN, SEQ_COLUMN, "__table_id", "__op_ts")

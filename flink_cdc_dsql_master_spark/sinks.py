@@ -189,12 +189,19 @@ class FullLoadCoordinator:
     def validate_table(self, table_id) -> bool:
         """information_schema existence check (:134-154); False on any
         persistent error, matching the reference's warn-and-return."""
+        # Inline a safely-quoted literal instead of a bind parameter:
+        # DB-API drivers disagree on paramstyle (duckdb '?', psycopg
+        # '%s'), and a mismatched placeholder would raise inside the
+        # blanket except below, silently turning every validation into
+        # False (ADVICE r9).
+        name_sql = table_id.table.replace("'", "''")
+
         def _check():
             conn = self.conn_factory()
             try:
                 cur = conn.execute(
                     "SELECT 1 FROM information_schema.tables "
-                    "WHERE table_name = ? LIMIT 1", [table_id.table])
+                    f"WHERE table_name = '{name_sql}' LIMIT 1")
                 return cur.fetchone() is not None
             finally:
                 conn.close()

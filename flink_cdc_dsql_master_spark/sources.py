@@ -789,9 +789,13 @@ class DbApiPollingSource:
         import os as _os
         import time as _time
 
+        # singleton intervals render as 'uuid:1', not 'uuid:1-1' — the
+        # canonical form MySQL and binlog.gtid_set_from_events emit, so
+        # a canonically-formatted resume token string-matches (ADVICE r9)
+        interval = "1" if self.epoch == 1 else f"1-{self.epoch}"
         meta = {
             "epoch": self.epoch,
-            "gtid_set": f"{self.SERVER_UUID}:1-{self.epoch}",
+            "gtid_set": f"{self.SERVER_UUID}:{interval}",
             "lsn": f"0/{self.epoch:X}",
             "ts_ms": int(_time.time() * 1000),
         }

@@ -1,0 +1,251 @@
+"""Round-10 fixes: unchanged-TOAST semantics, pgoutput Truncate/Origin/
+Message, frame-header fail-loud, handshake NUL handling, GTID singleton
+format, validate_table paramstyle (VERDICT r9 / ADVICE r9)."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_cdc_dsql_master_spark.pgoutput import (UNCHANGED,
+                                                  WireFormatError,
+                                                  decode_frames,
+                                                  decode_pgoutput,
+                                                  encode_begin,
+                                                  encode_commit,
+                                                  encode_insert,
+                                                  encode_logical_message,
+                                                  encode_origin,
+                                                  encode_relation,
+                                                  encode_truncate,
+                                                  encode_update,
+                                                  parse_message)
+
+
+# -- TupleData 'u' (unchanged TOAST) ------------------------------------------
+
+def test_tupledata_unchanged_golden_bytes():
+    """Docs "Message Formats" TupleData: Byte1 'u' = unchanged TOASTed
+    value. Must decode to the UNCHANGED sentinel, never None (ADVICE r9:
+    NULL conflation silently corrupts the sink under LWW)."""
+    golden = bytes.fromhex(
+        "55"          # 'U'
+        "00000007"    # OID 7
+        "4e"          # 'N' new tuple
+        "0002"        # 2 columns
+        "74" "00000001" "31"  # 't', len 1, "1"
+        "75")                 # 'u' unchanged TOAST
+    assert encode_update(7, ["1", UNCHANGED]) == golden
+    m = parse_message(golden)
+    assert m["kind"] == "update" and m["new"][0] == "1"
+    assert m["new"][1] is UNCHANGED
+    assert m["new"][1] is not None
+
+
+def test_truncate_golden_bytes():
+    """'T', Int32 nrelations, Int8 options (1=CASCADE, 2=RESTART
+    IDENTITY), Int32 OID each."""
+    golden = bytes.fromhex(
+        "54"          # 'T'
+        "00000002"    # 2 relations
+        "01"          # options: CASCADE
+        "00000007"    # OID 7
+        "00000009")   # OID 9
+    assert encode_truncate([7, 9], cascade=True) == golden
+    m = parse_message(golden)
+    assert m == {"kind": "truncate", "oids": [7, 9], "cascade": True,
+                 "restart_identity": False}
+
+
+def test_origin_and_message_decode_and_skip():
+    o = encode_origin(0x1234, "upstream")
+    m = parse_message(o)
+    assert m == {"kind": "origin", "origin_lsn": 0x1234,
+                 "name": "upstream"}
+    lm = encode_logical_message("pfx", b"\x01\x02", lsn=9,
+                                transactional=True)
+    m2 = parse_message(lm)
+    assert m2["kind"] == "message" and m2["prefix"] == "pfx"
+    assert m2["content"] == b"\x01\x02" and m2["message_lsn"] == 9
+
+
+def test_decode_frames_truncated_raises():
+    """ADVICE r9: a truncated [LSN][len] frame header must surface as
+    WireFormatError, not a raw struct.error."""
+    from flink_cdc_dsql_master_spark.pgoutput import encode_frames
+
+    good = encode_frames([(1, b"abc")])
+    with pytest.raises(WireFormatError):
+        decode_frames(good[:-5])  # cuts into the payload AND next header
+    with pytest.raises(WireFormatError):
+        decode_frames(good + b"\x00\x01")  # dangling partial header
+    assert decode_frames(good) == [(1, b"abc")]
+
+
+# -- Spark-side TOAST resolution ----------------------------------------------
+
+def _toast_stream(oid=16384):
+    rel = encode_relation(oid, "public", "t",
+                          [("k", True, 20), ("price", False, 701),
+                           ("doc", False, 25)])
+    return [
+        (10, encode_begin(10, 0, 1)),
+        (10, rel),
+        (11, encode_insert(oid, ["1", "5.0", "big-toasted-doc"])),
+        (12, encode_insert(oid, ["2", "7.0", None])),
+        # update row 1's price; doc untouched → sent as 'u'
+        (20, encode_update(oid, ["1", "6.0", UNCHANGED])),
+        # update row 2's price; doc is genuinely NULL → sent as 'n'
+        (21, encode_update(oid, ["2", "8.0", None])),
+        (30, encode_commit(30, 31, 0)),
+    ]
+
+
+def _decode(spark, msgs, primary_keys):
+    from pyspark.sql import types as T
+
+    payload = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("doc", T.StringType()),
+    ])
+    df = spark.createDataFrame(
+        [(lsn, bytearray(m)) for lsn, m in msgs], "lsn long, value binary")
+    return decode_pgoutput(df, payload, primary_keys=primary_keys)
+
+
+def test_unchanged_toast_resolves_to_prior_image(spark):
+    from flink_cdc_dsql_master_spark.partitioning import apply_changelog
+
+    cl = _decode(spark, _toast_stream(), primary_keys=["k"])
+    state = {r["k"]: r for r in
+             apply_changelog(cl, ["k"]).collect()}
+    assert state[1]["price"] == 6.0
+    assert state[1]["doc"] == "big-toasted-doc"  # preserved, not NULL
+    assert state[2]["price"] == 8.0
+    assert state[2]["doc"] is None  # genuine NULL stays NULL
+
+
+def test_unchanged_toast_without_pks_fails_loudly(spark):
+    import py4j.protocol
+
+    cl = _decode(spark, _toast_stream(), primary_keys=None)
+    with pytest.raises(Exception) as ei:
+        cl.collect()
+    assert "unchanged TOAST" in str(ei.value)
+
+
+def test_unchanged_toast_with_no_prior_image_raises(spark):
+    oid = 16384
+    msgs = [(20, encode_update(oid, ["1", "6.0", UNCHANGED]))]
+    cl = _decode(spark, msgs, primary_keys=["k"])
+    with pytest.raises(Exception) as ei:
+        cl.collect()
+    assert "no prior image" in str(ei.value)
+
+
+# -- truncate apply -------------------------------------------------------------
+
+def test_apply_changelog_truncate_aware(spark):
+    from flink_cdc_dsql_master_spark.partitioning import apply_changelog
+    from flink_cdc_dsql_master_spark.pgoutput import encode_delete
+
+    oid = 16384
+    msgs = [
+        (10, encode_insert(oid, ["1", "1.0", "a"])),
+        (11, encode_insert(oid, ["2", "2.0", "b"])),
+        (20, encode_truncate([oid])),
+        (30, encode_insert(oid, ["3", "3.0", "c"])),
+    ]
+    cl = _decode(spark, msgs, primary_keys=["k"])
+    rows = apply_changelog(cl, ["k"], truncate_aware=True).collect()
+    assert {r["k"] for r in rows} == {3}
+    # truncate-free streams are unaffected by the flag
+    cl2 = _decode(spark, msgs[:2], primary_keys=["k"])
+    rows2 = apply_changelog(cl2, ["k"], truncate_aware=True).collect()
+    assert {r["k"] for r in rows2} == {1, 2}
+    # without the flag, -T rows are dropped but earlier rows survive
+    # (documented opt-in semantics)
+    rows3 = apply_changelog(cl, ["k"]).collect()
+    assert {r["k"] for r in rows3} == {1, 2, 3}
+
+
+# -- handshake / offset-format fixes -------------------------------------------
+
+def test_handshake_nonce_trailing_nul_preserved():
+    """ADVICE r9: a 20-byte nonce legitimately ending in 0x00 must not be
+    shortened by rstrip — exactly one trailing NUL terminator is dropped."""
+    import struct
+
+    from flink_cdc_dsql_master_spark.binlog_client import \
+        decode_handshake_v10
+
+    scramble = bytes(range(1, 19)) + b"\x00\x00"  # ends in TWO 0x00 bytes
+    caps = 0x00000001 | 0x00000200 | 0x00008000 | 0x00080000
+    p = bytes([10]) + b"8.0.0\x00" + struct.pack("<I", 5)
+    p += scramble[:8] + b"\x00"
+    p += struct.pack("<H", caps & 0xFFFF) + bytes([0x21])
+    p += struct.pack("<H", 2) + struct.pack("<H", caps >> 16)
+    p += bytes([21]) + bytes(10)
+    p += scramble[8:] + b"\x00"  # part-2 (12 bytes) + ONE terminator
+    p += b"mysql_native_password\x00"
+    h = decode_handshake_v10(p)
+    assert h["scramble"] == scramble  # all 20 bytes, incl. trailing 0x00
+
+
+def test_gtid_singleton_token_roundtrip(spark, tmp_path):
+    """ADVICE r9: epoch 1 renders 'uuid:1' (MySQL canonical), not
+    'uuid:1-1', so canonical tokens string-match on resume."""
+    import duckdb
+
+    from flink_cdc_dsql_master_spark.sources import DbApiPollingSource
+    from pyspark.sql import types as T
+
+    db = str(tmp_path / "src.db")
+    con = duckdb.connect(db)
+    con.execute("CREATE TABLE t (k BIGINT PRIMARY KEY, v VARCHAR)")
+    con.execute("INSERT INTO t VALUES (1, 'a')")
+    con.close()
+
+    schema = T.StructType([T.StructField("k", T.LongType()),
+                           T.StructField("v", T.StringType())])
+    state = str(tmp_path / "state")
+    src = DbApiPollingSource(
+        spark, lambda: duckdb.connect(db, read_only=True), "t", "k",
+        ["k"], schema, state)
+    src.poll()
+    tok = src.committed_offset()["gtid_set"]
+    assert tok == f"{DbApiPollingSource.SERVER_UUID}:1"
+    # the canonical singleton token resumes cleanly
+    resumed = DbApiPollingSource.resume_from_offset(
+        spark, lambda: duckdb.connect(db, read_only=True), "t", "k",
+        ["k"], schema, state,
+        {"scan.startup.mode": "specific-offset",
+         "scan.startup.specific-offset.gtid-set": tok})
+    assert resumed.epoch == 1
+
+
+def test_validate_table_inlines_identifier():
+    """ADVICE r9: no bind placeholder — works under every DB-API
+    paramstyle; single quotes in the name are escaped."""
+    from flink_cdc_dsql_master_spark.schema import TableId
+    from flink_cdc_dsql_master_spark.sinks import FullLoadCoordinator
+
+    seen = []
+
+    class _Cur:
+        def fetchone(self):
+            return (1,)
+
+    class _Conn:
+        def execute(self, sql, *a):
+            assert not a, "no bind params expected"
+            seen.append(sql)
+            return _Cur()
+
+        def close(self):
+            pass
+
+    coord = FullLoadCoordinator(lambda: _Conn())
+    assert coord.validate_table(TableId.parse("db.o'brien")) is True
+    assert "?" not in seen[0] and "%s" not in seen[0]
+    assert "o''brien" in seen[0]
