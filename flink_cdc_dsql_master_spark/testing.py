@@ -458,23 +458,33 @@ def _fmt(v) -> str:
 
 class FakeMySQLReplicaServer:
     """In-process MySQL replication server speaking the real wire bytes
-    (HandshakeV10 → mysql_native_password verification →
-    COM_REGISTER_SLAVE / COM_BINLOG_DUMP → one binlog event per packet)
-    — the hermetic stand-in that lets :class:`.binlog_client.BinlogClient`
-    be driven end-to-end in this sandbox. Serves ONE connection then
-    closes; ``auth_ok`` records whether the client's scramble matched."""
+    (HandshakeV10 → mysql_native_password verification → COM_QUERY
+    checksum negotiation → COM_REGISTER_SLAVE / COM_BINLOG_DUMP → one
+    binlog event per packet) — the hermetic stand-in that lets
+    :class:`.binlog_client.BinlogClient` be driven end-to-end in this
+    sandbox. Serves ONE connection then closes; ``auth_ok`` records
+    whether the client's scramble matched and ``checksum_query`` the
+    SET @master_binlog_checksum statement the client sent.
+
+    ``serve_checksummed=True`` makes the server behave like a stock
+    MySQL ≥ 5.6.6 deployment (binlog_checksum=CRC32): it REFUSES the
+    dump with the real server's error unless the client negotiated
+    checksums first, and the supplied events are expected to carry their
+    CRC32 trailers (build them with :func:`.binlog.checksum_stream`)."""
 
     SCRAMBLE = bytes(range(1, 21))
 
     def __init__(self, events: list[bytes], username: str = "repl",
-                 password: str = ""):
+                 password: str = "", serve_checksummed: bool = False):
         import socket
         import threading
 
         self.events = events
         self.username = username
         self.password = password
+        self.serve_checksummed = serve_checksummed
         self.auth_ok = None
+        self.checksum_query = None
         self.listener = socket.socket()
         self.listener.bind(("127.0.0.1", 0))
         self.listener.listen(1)
@@ -525,11 +535,29 @@ class FakeMySQLReplicaServer:
                              + b"Access denied", 3)
                 return
             write_packet(conn, b"\x00\x00\x00\x02\x00\x00\x00", 3)
-            cmd, _ = read_packet(conn)           # COM_REGISTER_SLAVE
-            assert cmd[0] == 0x15
-            write_packet(conn, b"\x00\x00\x00\x02\x00\x00\x00", 1)
-            cmd, _ = read_packet(conn)           # COM_BINLOG_DUMP
-            assert cmd[0] == 0x12
+            while True:                          # command phase
+                cmd, _ = read_packet(conn)
+                if cmd[0] == 0x03:               # COM_QUERY
+                    self.checksum_query = cmd[1:].decode("utf-8")
+                    write_packet(conn, b"\x00\x00\x00\x02\x00\x00\x00", 1)
+                elif cmd[0] == 0x15:             # COM_REGISTER_SLAVE
+                    write_packet(conn, b"\x00\x00\x00\x02\x00\x00\x00", 1)
+                elif cmd[0] == 0x12:             # COM_BINLOG_DUMP
+                    break
+                else:
+                    write_packet(conn, b"\xff" + struct.pack("<H", 1047)
+                                 + b"Unknown command", 1)
+                    return
+            if self.serve_checksummed and not (
+                    self.checksum_query
+                    and "master_binlog_checksum" in self.checksum_query):
+                # the stock server's behavior when a pre-5.6 client asks
+                # for a checksummed stream (ER_SLAVE_CAN_NOT_HANDLE...)
+                write_packet(conn, b"\xff" + struct.pack("<H", 1236)
+                             + b"Replica can not handle replication "
+                               b"events with the checksum that source "
+                               b"is configured to log", 1)
+                return
             seq = 1
             for ev in self.events:
                 seq = write_packet(conn, b"\x00" + ev, seq)

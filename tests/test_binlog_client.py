@@ -69,10 +69,11 @@ def test_client_full_protocol_roundtrip():
     assert hs["server_version"] == "8.0.0-fake"
     assert hs["auth_plugin"] == "mysql_native_password"
     assert hs["scramble"] == SCRAMBLE
-    parsed = cli.events(log_file="binlog.000001", log_pos=4)
+    parsed = list(cli.events(log_file="binlog.000001", log_pos=4))
     cli.close()
     srv.join(5)
     assert srv.auth_ok is True
+    assert "master_binlog_checksum" in srv.checksum_query
     assert [e["kind"] for e in parsed] == [
         "format_description", "table_map", "write_rows", "xid"]
     assert parsed[2]["rows"] == [[1, "a"], [2, "b"]]
