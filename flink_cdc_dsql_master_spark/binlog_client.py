@@ -139,19 +139,44 @@ def native_password_scramble(password: str, scramble: bytes) -> bytes:
     return bytes(a ^ b for a, b in zip(h1, h3))
 
 
+def caching_sha2_scramble(password: str, scramble: bytes) -> bytes:
+    """caching_sha2_password fast-path scramble (the MySQL 8 default
+    auth plugin): XOR(SHA256(pw), SHA256(SHA256(SHA256(pw)) || nonce));
+    empty password → empty response."""
+    if not password:
+        return b""
+    h1 = hashlib.sha256(password.encode("utf-8")).digest()
+    h2 = hashlib.sha256(hashlib.sha256(h1).digest()
+                        + scramble[:20]).digest()
+    return bytes(a ^ b for a, b in zip(h1, h2))
+
+
+def auth_response_for(plugin: str, password: str,
+                      scramble: bytes) -> bytes:
+    if plugin == "mysql_native_password" or not plugin:
+        return native_password_scramble(password, scramble)
+    if plugin == "caching_sha2_password":
+        return caching_sha2_scramble(password, scramble)
+    raise WireFormatError(
+        f"unsupported auth plugin {plugin!r} (sha256_password needs "
+        "RSA/TLS — a real endpoint)")
+
+
 def build_handshake_response(username: str, password: str,
                              scramble: bytes,
-                             database: str | None = None) -> bytes:
+                             database: str | None = None,
+                             plugin: str = "mysql_native_password"
+                             ) -> bytes:
     caps = (CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
             | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH)
-    auth = native_password_scramble(password, scramble)
+    auth = auth_response_for(plugin, password, scramble)
     out = struct.pack("<IIB", caps, 1 << 24, 0x21)  # utf8_general_ci
     out += bytes(23)
     out += username.encode("utf-8") + b"\x00"
     out += bytes([len(auth)]) + auth
     if database:
         out += database.encode("utf-8") + b"\x00"
-    out += b"mysql_native_password\x00"
+    out += plugin.encode("utf-8") + b"\x00"
     return out
 
 
@@ -206,13 +231,43 @@ class BinlogClient:
         payload, seq = read_packet(self.sock)
         self.handshake = decode_handshake_v10(
             _check_not_err(payload, "handshake"))
+        plugin = (self.handshake["auth_plugin"]
+                  or "mysql_native_password")
         seq = write_packet(
             self.sock,
             build_handshake_response(self.username, self.password,
-                                     self.handshake["scramble"]),
+                                     self.handshake["scramble"],
+                                     plugin=plugin),
             seq + 1)
-        ok, _ = read_packet(self.sock)
+        ok, seq = read_packet(self.sock)
         _check_not_err(ok, "authentication")
+        if ok[:1] == b"\xfe":
+            # AuthSwitchRequest: plugin cstr + new nonce — re-scramble
+            # with the requested plugin (a server whose account uses a
+            # different plugin than it announced does this)
+            rest = ok[1:]
+            pname, _, nonce = rest.partition(b"\x00")
+            new_plugin = pname.decode("utf-8")
+            nonce = nonce.rstrip(b"\x00")[:20]
+            write_packet(self.sock,
+                         auth_response_for(new_plugin, self.password,
+                                           nonce), seq + 1)
+            ok, seq = read_packet(self.sock)
+            _check_not_err(ok, "authentication (after switch)")
+        if ok[:1] == b"\x01":
+            # caching_sha2_password AuthMoreData: 0x03 = fast-auth
+            # success (cached entry hit) → an OK packet follows;
+            # 0x04 = perform full authentication (cleartext over
+            # TLS / RSA) — out of in-sandbox reach, fail loudly
+            if ok[1:2] == b"\x03":
+                ok, _ = read_packet(self.sock)
+                _check_not_err(ok, "authentication (post fast-auth)")
+            else:
+                raise WireFormatError(
+                    "caching_sha2_password requested FULL auth (no "
+                    "cached entry): needs TLS or RSA key exchange — "
+                    "connect once with a TLS-capable client to prime "
+                    "the server cache")
         if ok[:1] != b"\x00":
             raise WireFormatError(
                 f"unexpected auth reply {ok[:1].hex()} (auth-switch to a "

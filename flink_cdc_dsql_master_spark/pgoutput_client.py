@@ -8,8 +8,11 @@ speaks the public frontend/backend protocol v3:
 - StartupMessage (len-prefixed, no tag): protocol 3.0 + the parameter
   pairs a walsender needs (``user``, ``database``,
   ``replication=database``);
-- Authentication ('R'): OK (0), cleartext (3) and md5 (5 — the salted
-  double-md5 response ``"md5" + md5hex(md5hex(pw+user)+salt)``);
+- Authentication ('R'): OK (0), cleartext (3), md5 (5 — the salted
+  double-md5 response ``"md5" + md5hex(md5hex(pw+user)+salt)``) and
+  SASL SCRAM-SHA-256 (10/11/12 — RFC 5802/7677: PBKDF2-salted client
+  proof, server-signature verification; the Postgres ≥ 10 default with
+  ``password_encryption = scram-sha-256``);
 - ParameterStatus ('S') / BackendKeyData ('K') absorbed until
   ReadyForQuery ('Z');
 - simple Query ('Q'): ``START_REPLICATION SLOT s LOGICAL lsn
@@ -73,6 +76,54 @@ def md5_auth_response(user: str, password: str, salt: bytes) -> bytes:
     return b"md5" + outer.encode() + b"\x00"
 
 
+# -- SCRAM-SHA-256 (RFC 5802 / RFC 7677) ---------------------------------------
+
+def scram_salted_password(password: str, salt: bytes,
+                          iterations: int) -> bytes:
+    return hashlib.pbkdf2_hmac("sha256", password.encode("utf-8"),
+                               salt, iterations)
+
+
+def _hmac(key: bytes, msg: str | bytes) -> bytes:
+    import hmac as _hmaclib
+
+    if isinstance(msg, str):
+        msg = msg.encode("utf-8")
+    return _hmaclib.new(key, msg, hashlib.sha256).digest()
+
+
+def scram_client_proof(password: str, salt: bytes, iterations: int,
+                       auth_message: str) -> tuple[bytes, bytes]:
+    """(ClientProof, ServerSignature) per RFC 5802 §3:
+    ClientProof = ClientKey XOR HMAC(SHA256(ClientKey), AuthMessage)."""
+    salted = scram_salted_password(password, salt, iterations)
+    client_key = _hmac(salted, "Client Key")
+    stored_key = hashlib.sha256(client_key).digest()
+    client_sig = _hmac(stored_key, auth_message)
+    proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+    server_key = _hmac(salted, "Server Key")
+    server_sig = _hmac(server_key, auth_message)
+    return proof, server_sig
+
+
+def scram_verify_client_proof(password: str, salt: bytes,
+                              iterations: int, auth_message: str,
+                              proof: bytes) -> bool:
+    """Server-side verification: recover ClientKey = proof XOR
+    ClientSignature and check SHA256(ClientKey) == StoredKey — the exact
+    check a real Postgres performs (it never needs the cleartext)."""
+    salted = scram_salted_password(password, salt, iterations)
+    client_key = _hmac(salted, "Client Key")
+    stored_key = hashlib.sha256(client_key).digest()
+    client_sig = _hmac(stored_key, auth_message)
+    recovered = bytes(a ^ b for a, b in zip(proof, client_sig))
+    return hashlib.sha256(recovered).digest() == stored_key
+
+
+def _parse_scram_attrs(msg: str) -> dict[str, str]:
+    return dict(part.split("=", 1) for part in msg.split(","))
+
+
 def lsn_str(lsn: int) -> str:
     return f"{lsn >> 32:X}/{lsn & 0xFFFFFFFF:X}"
 
@@ -93,6 +144,7 @@ class PgReplicationClient:
     def connect(self) -> dict:
         self.sock = self.sock_factory()
         self.sock.sendall(build_startup(self.user, self.database))
+        scram_state: dict | None = None
         while True:
             tag, body = read_message(self.sock)
             if tag == b"R":
@@ -105,10 +157,36 @@ class PgReplicationClient:
                 elif code == 5:  # md5 + 4-byte salt
                     send_message(self.sock, b"p", md5_auth_response(
                         self.user, self.password, body[4:8]))
+                elif code == 10:  # AuthenticationSASL: mechanism list
+                    mechs = [m.decode() for m in
+                             body[4:].split(b"\x00") if m]
+                    if "SCRAM-SHA-256" not in mechs:
+                        raise WireFormatError(
+                            f"no supported SASL mechanism in {mechs} "
+                            "(SCRAM-SHA-256-PLUS needs TLS channel "
+                            "binding — a real endpoint)")
+                    scram_state = self._scram_first()
+                elif code == 11:  # AuthenticationSASLContinue
+                    if scram_state is None:
+                        raise WireFormatError(
+                            "SASLContinue before SASL start")
+                    self._scram_final(scram_state, body[4:].decode())
+                elif code == 12:  # AuthenticationSASLFinal
+                    if scram_state is None:
+                        raise WireFormatError(
+                            "SASLFinal before SASL start")
+                    attrs = _parse_scram_attrs(body[4:].decode())
+                    import base64
+
+                    if base64.b64decode(attrs["v"]) != \
+                            scram_state["server_sig"]:
+                        raise WireFormatError(
+                            "SCRAM server signature mismatch — the "
+                            "server does not know the password")
                 else:
                     raise WireFormatError(
-                        f"unsupported auth method {code} (SCRAM/TLS "
-                        "need a real driver)")
+                        f"unsupported auth method {code} (TLS-bound "
+                        "variants need a real endpoint)")
             elif tag == b"S":
                 k, _, v = body.rstrip(b"\x00").partition(b"\x00")
                 self.parameters[k.decode()] = v.decode()
@@ -123,6 +201,44 @@ class PgReplicationClient:
             else:
                 raise WireFormatError(
                     f"unexpected startup message {tag!r}")
+
+    def _scram_first(self) -> dict:
+        """Send SASLInitialResponse with the client-first-message;
+        returns the exchange state carried to the later steps."""
+        import base64
+        import secrets
+
+        nonce = base64.b64encode(secrets.token_bytes(18)).decode()
+        bare = f"n=,r={nonce}"  # Postgres takes the user from startup
+        initial = "n,," + bare
+        body = (b"SCRAM-SHA-256\x00"
+                + struct.pack(">i", len(initial))
+                + initial.encode("utf-8"))
+        send_message(self.sock, b"p", body)
+        return {"nonce": nonce, "bare": bare}
+
+    def _scram_final(self, state: dict, server_first: str) -> None:
+        """Compute and send the client-final-message (proof) per
+        RFC 5802 §3; stores the expected ServerSignature for the
+        SASLFinal check."""
+        import base64
+
+        attrs = _parse_scram_attrs(server_first)
+        full_nonce = attrs["r"]
+        if not full_nonce.startswith(state["nonce"]):
+            raise WireFormatError(
+                "SCRAM server nonce does not extend the client nonce")
+        salt = base64.b64decode(attrs["s"])
+        iterations = int(attrs["i"])
+        without_proof = f"c=biws,r={full_nonce}"  # biws = b64("n,,")
+        auth_message = ",".join([state["bare"], server_first,
+                                 without_proof])
+        proof, server_sig = scram_client_proof(
+            self.password, salt, iterations, auth_message)
+        state["server_sig"] = server_sig
+        final = (without_proof
+                 + ",p=" + base64.b64encode(proof).decode())
+        send_message(self.sock, b"p", final.encode("utf-8"))
 
     def start_replication(self, slot: str, publication: str,
                           start_lsn: int = 0):

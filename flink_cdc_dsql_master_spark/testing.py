@@ -475,7 +475,9 @@ class FakeMySQLReplicaServer:
     SCRAMBLE = bytes(range(1, 21))
 
     def __init__(self, events: list[bytes], username: str = "repl",
-                 password: str = "", serve_checksummed: bool = False):
+                 password: str = "", serve_checksummed: bool = False,
+                 auth_plugin: str = "mysql_native_password",
+                 switch_to: str | None = None):
         import socket
         import threading
 
@@ -483,6 +485,12 @@ class FakeMySQLReplicaServer:
         self.username = username
         self.password = password
         self.serve_checksummed = serve_checksummed
+        self.auth_plugin = auth_plugin
+        # when set, reply to the handshake response with an
+        # AuthSwitchRequest to this plugin (fresh nonce) — the flow a
+        # server takes when the ACCOUNT's plugin differs from the
+        # handshake default
+        self.switch_to = switch_to
         self.auth_ok = None
         self.checksum_query = None
         self.listener = socket.socket()
@@ -498,6 +506,8 @@ class FakeMySQLReplicaServer:
     def join(self, timeout: float = 10.0) -> None:
         self.thread.join(timeout)
 
+    SWITCH_NONCE = bytes(range(40, 60))
+
     def _handshake_payload(self) -> bytes:
         import struct
 
@@ -510,13 +520,13 @@ class FakeMySQLReplicaServer:
         out += struct.pack("<H", caps >> 16)
         out += bytes([21]) + bytes(10)
         out += self.SCRAMBLE[8:] + b"\x00"
-        out += b"mysql_native_password\x00"
+        out += self.auth_plugin.encode() + b"\x00"
         return out
 
     def _serve(self) -> None:
         import struct
 
-        from .binlog_client import (native_password_scramble, read_packet,
+        from .binlog_client import (auth_response_for, read_packet,
                                     write_packet)
 
         conn, _ = self.listener.accept()
@@ -527,14 +537,29 @@ class FakeMySQLReplicaServer:
             user, _, rest = body.partition(b"\x00")
             alen = rest[0]
             auth = rest[1:1 + alen]
-            expect = native_password_scramble(self.password, self.SCRAMBLE)
+            seq = 3
+            if self.switch_to is not None:
+                # AuthSwitchRequest: 0xFE + plugin cstr + nonce + NUL
+                write_packet(conn, b"\xfe" + self.switch_to.encode()
+                             + b"\x00" + self.SWITCH_NONCE + b"\x00",
+                             seq)
+                auth, _ = read_packet(conn)
+                plugin, nonce = self.switch_to, self.SWITCH_NONCE
+                seq = 5
+            else:
+                plugin, nonce = self.auth_plugin, self.SCRAMBLE
+            expect = auth_response_for(plugin, self.password, nonce)
             self.auth_ok = (user.decode() == self.username
                             and auth == expect)
             if not self.auth_ok:
                 write_packet(conn, b"\xff" + struct.pack("<H", 1045)
-                             + b"Access denied", 3)
+                             + b"Access denied", seq)
                 return
-            write_packet(conn, b"\x00\x00\x00\x02\x00\x00\x00", 3)
+            if plugin == "caching_sha2_password":
+                # fast-auth success marker, then the OK packet — the
+                # cached-entry path a real server takes
+                seq = write_packet(conn, b"\x01\x03", seq)
+            write_packet(conn, b"\x00\x00\x00\x02\x00\x00\x00", seq)
             while True:                          # command phase
                 cmd, _ = read_packet(conn)
                 if cmd[0] == 0x03:               # COM_QUERY
@@ -568,23 +593,34 @@ class FakeMySQLReplicaServer:
 
 
 class FakeWalsenderServer:
-    """In-process Postgres walsender speaking protocol-v3 bytes (md5
-    auth verified server-side, START_REPLICATION COPY-BOTH, keepalive
-    requiring a standby-status reply, XLogData stream) — the hermetic
-    stand-in driving :class:`.pgoutput_client.PgReplicationClient`.
-    Serves one connection; ``auth_ok`` / ``saw_keepalive_reply`` record
-    the client's conformance."""
+    """In-process Postgres walsender speaking protocol-v3 bytes (md5 or
+    SCRAM-SHA-256 auth verified server-side, START_REPLICATION
+    COPY-BOTH, keepalive requiring a standby-status reply, XLogData
+    stream) — the hermetic stand-in driving
+    :class:`.pgoutput_client.PgReplicationClient`. Serves one
+    connection; ``auth_ok`` / ``saw_keepalive_reply`` record the
+    client's conformance.
+
+    ``auth="scram"`` runs the RFC 5802/7677 exchange exactly as a
+    Postgres ≥ 10 with ``password_encryption = scram-sha-256`` would:
+    mechanism negotiation, salted server-first, client-proof
+    verification against the STORED key (never the cleartext), and a
+    server-signature final the client must verify."""
 
     SALT = b"\x01\x02\x03\x04"
+    SCRAM_SALT = b"\x0a\x0b\x0c\x0d\x0e\x0f\x10\x11"
+    SCRAM_ITERATIONS = 4096
 
     def __init__(self, msgs: list[tuple[int, bytes]],
-                 username: str = "repl", password: str = ""):
+                 username: str = "repl", password: str = "",
+                 auth: str = "md5"):
         import socket
         import threading
 
         self.msgs = msgs
         self.username = username
         self.password = password
+        self.auth = auth
         self.auth_ok = None
         self.saw_keepalive_reply = False
         self.query = None
@@ -613,9 +649,73 @@ class FakeWalsenderServer:
             body = b""
             while len(body) < ln - 4:
                 body += conn.recv(ln - 4 - len(body))
-            (proto,) = struct.unpack(">i", body[:4])
-            assert proto == 196608
-            assert b"replication\x00database\x00" in body
+            self._serve_authenticated(conn, body)
+        finally:
+            conn.close()
+            self.listener.close()
+
+    def _scram_exchange(self, conn) -> bool:
+        """RFC 5802 server side over the protocol-v3 SASL envelope."""
+        import base64
+        import secrets
+        import struct
+
+        from .pgoutput_client import (read_message, scram_client_proof,
+                                      scram_verify_client_proof,
+                                      send_message)
+
+        send_message(conn, b"R",
+                     struct.pack(">i", 10) + b"SCRAM-SHA-256\x00\x00")
+        tag, resp = read_message(conn)
+        assert tag == b"p"
+        mech, _, rest = resp.partition(b"\x00")
+        assert mech == b"SCRAM-SHA-256"
+        (ilen,) = struct.unpack(">i", rest[:4])
+        initial = rest[4:4 + ilen].decode("utf-8")
+        assert initial.startswith("n,,")
+        bare = initial[3:]
+        client_nonce = dict(p.split("=", 1)
+                            for p in bare.split(","))["r"]
+        full_nonce = client_nonce + base64.b64encode(
+            secrets.token_bytes(12)).decode()
+        server_first = (f"r={full_nonce},"
+                        f"s={base64.b64encode(self.SCRAM_SALT).decode()},"
+                        f"i={self.SCRAM_ITERATIONS}")
+        send_message(conn, b"R",
+                     struct.pack(">i", 11) + server_first.encode())
+        tag, final = read_message(conn)
+        assert tag == b"p"
+        final_s = final.decode("utf-8")
+        without_proof, _, proof_b64 = final_s.rpartition(",p=")
+        auth_message = ",".join([bare, server_first, without_proof])
+        proof = base64.b64decode(proof_b64)
+        self.auth_ok = scram_verify_client_proof(
+            self.password, self.SCRAM_SALT, self.SCRAM_ITERATIONS,
+            auth_message, proof)
+        if not self.auth_ok:
+            send_message(conn, b"E",
+                         b"FATAL: SCRAM authentication failed\x00")
+            return False
+        _, server_sig = scram_client_proof(
+            self.password, self.SCRAM_SALT, self.SCRAM_ITERATIONS,
+            auth_message)
+        send_message(conn, b"R", struct.pack(">i", 12) + b"v="
+                     + base64.b64encode(server_sig))
+        return True
+
+    def _serve_authenticated(self, conn, body: bytes) -> None:
+        import struct
+
+        from .pgoutput_client import (md5_auth_response, read_message,
+                                      send_message)
+
+        (proto,) = struct.unpack(">i", body[:4])
+        assert proto == 196608
+        assert b"replication\x00database\x00" in body
+        if self.auth == "scram":
+            if not self._scram_exchange(conn):
+                return
+        else:
             send_message(conn, b"R", struct.pack(">i", 5) + self.SALT)
             tag, resp = read_message(conn)
             assert tag == b"p"
@@ -625,23 +725,19 @@ class FakeWalsenderServer:
             if not self.auth_ok:
                 send_message(conn, b"E", b"FATAL: password failed\x00")
                 return
-            send_message(conn, b"R", struct.pack(">i", 0))
-            send_message(conn, b"S", b"server_version\x0016.0\x00")
-            send_message(conn, b"K", struct.pack(">ii", 7, 42))
-            send_message(conn, b"Z", b"I")
-            tag, q = read_message(conn)
-            assert tag == b"Q"
-            self.query = q.rstrip(b"\x00").decode()
-            send_message(conn, b"W", b"\x00\x00\x00")
-            send_message(conn, b"d",
-                         b"k" + struct.pack(">qq", 100, 0) + b"\x01")
-            tag, reply = read_message(conn)
-            self.saw_keepalive_reply = (tag == b"d"
-                                        and reply[:1] == b"r")
-            for lsn, m in self.msgs:
-                send_message(conn, b"d", b"w"
-                             + struct.pack(">qqq", lsn, lsn, 0) + m)
-            send_message(conn, b"c", b"")
-        finally:
-            conn.close()
-            self.listener.close()
+        send_message(conn, b"R", struct.pack(">i", 0))
+        send_message(conn, b"S", b"server_version\x0016.0\x00")
+        send_message(conn, b"K", struct.pack(">ii", 7, 42))
+        send_message(conn, b"Z", b"I")
+        tag, q = read_message(conn)
+        assert tag == b"Q"
+        self.query = q.rstrip(b"\x00").decode()
+        send_message(conn, b"W", b"\x00\x00\x00")
+        send_message(conn, b"d",
+                     b"k" + struct.pack(">qq", 100, 0) + b"\x01")
+        tag, reply = read_message(conn)
+        self.saw_keepalive_reply = (tag == b"d" and reply[:1] == b"r")
+        for lsn, m in self.msgs:
+            send_message(conn, b"d", b"w"
+                         + struct.pack(">qqq", lsn, lsn, 0) + m)
+        send_message(conn, b"c", b"")
