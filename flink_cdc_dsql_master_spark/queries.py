@@ -7973,6 +7973,64 @@ def lakehouse_export_iceberg(spark, sf_dir):
 
 
 @_q(
+    "lakehouse_export_iceberg_inplace",
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 2000.0
+                ELSE o_totalprice END AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 10 <> 0
+    """,
+)
+def lakehouse_export_iceberg_inplace(spark, sf_dir):
+    """ZERO-COPY Iceberg export (VERDICT r9 next-round #6 — the 100 TB
+    shape: the full-copy export doubles storage + scan time; this one
+    writes a few KB of metadata): manifest entries reference the
+    versioned table's existing immutable parquet by file:// URI with
+    min/max bound maps lifted from the commit-time footer stats (the
+    spec's data-skipping fields), pinned in-query to have copied ZERO
+    data files, and the strict layout re-read must hash-equal the
+    oracle's recomputation of both merges."""
+    import os
+    import tempfile
+
+    from .iceberg_export import export_iceberg_inplace, read_iceberg
+    from .lakehouse import (merge_into_versioned_parquet,
+                            with_bucket_partition)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    k = F.col("k")
+    b1 = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    upd = (orders.where(k % 6 == 0)
+           .withColumn("price", F.col("price") + 2000.0)
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    dele = (orders.where(k % 10 == 0)
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    b2 = upd.unionByName(dele)
+
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    base = tempfile.mkdtemp(prefix="ice_inp_")
+    path = os.path.join(base, "orders_ver")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 8), schema)
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b2, "k", 8), schema)
+    dest = os.path.join(base, "orders_iceberg")
+    info = export_iceberg_inplace(spark, path, dest)
+    assert info["data_files_copied"] == 0
+    assert not os.path.exists(os.path.join(dest, "data")), \
+        "in-place export must not materialize data files"
+    return (read_iceberg(spark, dest)
+            .select("k", "price", "status"))
+
+
+@_q(
     "lakehouse_import_iceberg",
     """
     SELECT o_orderkey AS k,

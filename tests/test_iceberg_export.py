@@ -97,9 +97,12 @@ def test_iceberg_layout_and_roundtrip(spark, sf_dir, tmp_path):
     assert all(isinstance(f["id"], int) for f in fields)
     snap = meta["snapshots"][0]
     assert snap["snapshot-id"] == meta["current-snapshot-id"]
-    _, manifests = read_container(snap["manifest-list"])
+    # spec: file_path/manifest_path/manifest-list are full URIs
+    assert snap["manifest-list"].startswith("file://")
+    _, manifests = read_container(snap["manifest-list"][7:])
     assert manifests[0]["added_rows_count"] == 500
     assert manifests[0]["added_files_count"] == info["files"]
+    assert manifests[0]["manifest_path"].startswith("file://")
 
     back = read_iceberg(spark, dest).orderBy("k")
     exp = read_versioned(spark, path).drop("part").orderBy("k")
@@ -152,3 +155,101 @@ def test_iceberg_rejects_unmappable_type(spark, tmp_path):
     df = spark.range(1).selectExpr("array(1, 2) AS a")
     with pytest.raises(ValueError, match="no iceberg mapping"):
         _iceberg_schema(df.schema)
+
+
+def test_export_iceberg_inplace_zero_copy(spark, tmp_path):
+    """VERDICT r9 #6: the zero-copy export writes ONLY metadata —
+    manifest entries reference the versioned table's existing parquet
+    by file:// URI (pinned: no data files under dest), carry min/max
+    bound maps from the commit-time footer stats, and the strict
+    layout re-read equals the source snapshot."""
+    import json
+    import os
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.iceberg_export import (
+        export_iceberg_inplace, read_iceberg)
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        merge_into_versioned_parquet, read_versioned,
+        with_bucket_partition)
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    src = (spark.range(500).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("price"))
+        .withColumn(OP_COLUMN, F.lit("+I"))
+        .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of(src.drop(OP_COLUMN, SEQ_COLUMN).schema,
+                       primary_keys=["k"])
+    path = str(tmp_path / "ver")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(src, "k", 4), schema)
+
+    dest = str(tmp_path / "ice_inplace")
+    info = export_iceberg_inplace(spark, path, dest)
+    assert info["rows"] == 500
+    assert info["data_files_copied"] == 0
+    # ZERO data files under dest — metadata only
+    assert not os.path.exists(os.path.join(dest, "data"))
+    assert sorted(os.listdir(dest)) == ["metadata"]
+
+    # every manifest entry points INTO the source table by URI and
+    # carries bound maps for the PK column
+    from flink_cdc_dsql_master_spark.avro_io import read_container
+
+    with open(os.path.join(dest, "metadata", "v1.metadata.json")) as f:
+        meta = json.load(f)
+    snap = meta["snapshots"][0]
+    _, manifests = read_container(snap["manifest-list"][7:])
+    _, entries = read_container(manifests[0]["manifest_path"][7:])
+    assert entries, "no manifest entries"
+    import struct
+
+    for e in entries:
+        fp = e["data_file"]["file_path"]
+        assert fp.startswith("file://") and path in fp
+        lb = e["data_file"]["lower_bounds"]
+        ub = e["data_file"]["upper_bounds"]
+        assert lb and ub  # commit-time stats present for the PK
+        lo = struct.unpack("<q", dict(
+            (b["key"], b["value"]) for b in lb)[1])[0]
+        hi = struct.unpack("<q", dict(
+            (b["key"], b["value"]) for b in ub)[1])[0]
+        assert 0 <= lo <= hi <= 499
+
+    back = read_iceberg(spark, dest).orderBy("k")
+    exp = read_versioned(spark, path).drop("part").orderBy("k")
+    assert back.collect() == exp.collect()
+
+
+def test_export_iceberg_inplace_refuses_dv(spark, tmp_path):
+    """A snapshot with outstanding deletion vectors cannot be expressed
+    as a plain data-file manifest — the in-place export must refuse
+    loudly instead of resurrecting deleted rows."""
+    import pytest as _pytest
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.iceberg_export import \
+        export_iceberg_inplace
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        delete_versioned, merge_into_versioned_parquet,
+        with_bucket_partition)
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    src = (spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+        .withColumn(OP_COLUMN, F.lit("+I"))
+        .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of(src.drop(OP_COLUMN, SEQ_COLUMN).schema,
+                       primary_keys=["k"])
+    path = str(tmp_path / "ver_dv")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(src, "k", 4), schema)
+    delete_versioned(spark, path, "k % 10 = 0", ["k"])
+
+    with _pytest.raises(ValueError, match="deletion-vector"):
+        export_iceberg_inplace(spark, path, str(tmp_path / "ice2"))
