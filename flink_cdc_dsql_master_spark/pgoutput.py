@@ -43,7 +43,29 @@ Message formats implemented (PostgreSQL protocol docs, pgoutput v1):
   Int64 LSN, String prefix, Int32 length, content bytes — decoded and
   skipped.
 - TupleData: Int16 ncols, per column Byte1 'n' (null) | 'u' (unchanged
-  TOAST) | 't' + Int32 length + that many bytes (text format).
+  TOAST) | 't' + Int32 length + text bytes | 'b' + Int32 length +
+  BINARY-format datum (PG ≥ 14 with ``binary = on`` subscriptions; the
+  decode converts binary datums to the equivalent text form through the
+  Relation message's type OIDs — bool/int2/int4/int8/float4/float8/
+  date/timestamp(tz)/text/varchar; other OIDs fail loudly).
+
+Protocol v2 streamed transactions (PG ≥ 14, ``streaming = on``): large
+in-progress transactions arrive as interleaved blocks —
+
+- ``S`` Stream Start: Int32 xid, Int8 first-segment flag;
+- ``E`` Stream Stop (no content);
+- inside a block, every data message carries an Int32 xid right after
+  the tag byte (the only layout difference to v1);
+- ``c`` Stream Commit: Int32 xid, Int8 flags, Int64 commit LSN,
+  Int64 end LSN, Int64 ts — the buffered xid's changes become visible;
+- ``A`` Stream Abort: Int32 xid, Int32 subtransaction xid — the
+  buffered changes are DISCARDED (an aborted transaction must leave no
+  trace in the sink).
+
+``decode_pgoutput`` implements the buffer-until-commit semantics per
+segment: streamed rows are held per-xid and emitted only on Stream
+Commit; Stream Abort drops them, exactly like the reference consuming
+Debezium's streaming-transaction events.
 
 Unchanged-TOAST semantics (``'u'``): Postgres sends 'u' in an update's
 new image for any TOASTed column the update did not touch. Decoding it
@@ -91,6 +113,137 @@ UNCHANGED = _Unchanged()
 TOAST_SENTINEL = "\x00__unchanged_toast__"
 
 
+class BinaryDatum:
+    """A TupleData column sent in BINARY format (kind 'b', PG ≥ 14
+    ``binary = on``). Holds the raw wire bytes; conversion to the
+    equivalent text form needs the column's type OID from the Relation
+    message (:func:`pg_binary_to_text`)."""
+
+    __slots__ = ("raw",)
+
+    def __init__(self, raw: bytes):
+        self.raw = bytes(raw)
+
+    def __eq__(self, other):
+        return isinstance(other, BinaryDatum) and self.raw == other.raw
+
+    def __repr__(self) -> str:  # pragma: no cover - debugging aid
+        return f"BinaryDatum({self.raw!r})"
+
+
+PG_EPOCH_DAYS = 10_957  # 2000-01-01 in days since unix epoch
+
+
+def pg_binary_to_text(type_oid: int, raw: bytes) -> str:
+    """PG binary-format datum → the string its TEXT format would carry
+    (so binary-mode streams land in the same downstream casts). OIDs
+    per pg_type.dat; binary layouts per the backend's *send functions
+    (documented network representations, all big-endian)."""
+    import datetime as _dt
+
+    try:
+        if type_oid == 16:  # bool
+            return "t" if raw[0] else "f"
+        if type_oid == 21:  # int2
+            return str(struct.unpack(">h", raw)[0])
+        if type_oid == 23:  # int4
+            return str(struct.unpack(">i", raw)[0])
+        if type_oid == 20:  # int8
+            return str(struct.unpack(">q", raw)[0])
+        if type_oid == 700:  # float4
+            return repr(struct.unpack(">f", raw)[0])
+        if type_oid == 701:  # float8
+            return repr(struct.unpack(">d", raw)[0])
+        if type_oid in (25, 1043, 1042):  # text / varchar / bpchar
+            return raw.decode("utf-8")
+        if type_oid == 1082:  # date: int4 days since 2000-01-01
+            (days,) = struct.unpack(">i", raw)
+            d = _dt.date(1970, 1, 1) + _dt.timedelta(
+                days=PG_EPOCH_DAYS + days)
+            return d.isoformat()
+        if type_oid in (1114, 1184):  # timestamp(tz): µs since 2000-01-01
+            (us,) = struct.unpack(">q", raw)
+            dt = (_dt.datetime(2000, 1, 1)
+                  + _dt.timedelta(microseconds=us))
+            s = dt.strftime("%Y-%m-%d %H:%M:%S")
+            if dt.microsecond:
+                s += f".{dt.microsecond:06d}".rstrip("0")
+            return s
+        if type_oid == 1700:  # numeric: base-10000 digit groups
+            return _pg_numeric_text(raw)
+    except (struct.error, IndexError, UnicodeDecodeError) as e:
+        raise WireFormatError(
+            f"malformed binary datum for type OID {type_oid}: {e}") from e
+    raise WireFormatError(
+        f"binary-format datum with unsupported type OID {type_oid} — "
+        "use a text-mode subscription for this column type")
+
+
+def _pg_numeric_text(raw: bytes) -> str:
+    """PG numeric binary format (numeric_send): i16 ndigits, i16 weight
+    (base-10000 exponent of the FIRST digit group), u16 sign (0 pos,
+    0x4000 neg, 0xC000 NaN), i16 dscale, then ndigits × i16 base-10000
+    groups. Groups beyond the transmitted run are zero in either
+    direction."""
+    ndigits, weight, sign, dscale = struct.unpack(">hhHh", raw[:8])
+    if sign == 0xC000:
+        return "NaN"
+    digits = list(struct.unpack(f">{ndigits}h", raw[8:8 + 2 * ndigits]))
+
+    def group(i: int) -> int:  # i-th group counted from weight downward
+        return digits[i] if 0 <= i < len(digits) else 0
+
+    if weight >= 0:
+        ip = str(group(0)) + "".join(
+            f"{group(i):04d}" for i in range(1, weight + 1))
+    else:
+        ip = "0"
+    n_frac_groups = (dscale + 3) // 4
+    fp = "".join(f"{group(weight + j):04d}"
+                 for j in range(1, n_frac_groups + 1))[:dscale]
+    out = ("-" if sign == 0x4000 else "") + ip
+    if dscale:
+        out += "." + fp
+    return out
+
+
+def encode_binary_datum(type_oid: int, value) -> "BinaryDatum":
+    """Fixture-side inverse of :func:`pg_binary_to_text` (the bytes a
+    binary-mode walsender would ship)."""
+    import datetime as _dt
+
+    if type_oid == 16:
+        return BinaryDatum(b"\x01" if value in (True, "t") else b"\x00")
+    if type_oid == 21:
+        return BinaryDatum(struct.pack(">h", int(value)))
+    if type_oid == 23:
+        return BinaryDatum(struct.pack(">i", int(value)))
+    if type_oid == 20:
+        return BinaryDatum(struct.pack(">q", int(value)))
+    if type_oid == 700:
+        return BinaryDatum(struct.pack(">f", float(value)))
+    if type_oid == 701:
+        return BinaryDatum(struct.pack(">d", float(value)))
+    if type_oid in (25, 1043, 1042):
+        return BinaryDatum(str(value).encode("utf-8"))
+    if type_oid == 1082:
+        d = (_dt.date.fromisoformat(value)
+             if isinstance(value, str) else value)
+        days = (d - _dt.date(2000, 1, 1)).days
+        return BinaryDatum(struct.pack(">i", days))
+    if type_oid in (1114, 1184):
+        dt = (_dt.datetime.fromisoformat(value)
+              if isinstance(value, str) else value)
+        # exact integer arithmetic from timedelta components — a float
+        # total_seconds() would round large timestamps
+        delta = dt - _dt.datetime(2000, 1, 1)
+        us = (delta.days * 86_400 + delta.seconds) * 1_000_000 \
+            + delta.microseconds
+        return BinaryDatum(struct.pack(">q", us))
+    raise WireFormatError(
+        f"no binary encoder for type OID {type_oid}")
+
+
 # -- low-level primitives ----------------------------------------------------
 
 def _read_cstr(buf: io.BytesIO) -> str:
@@ -114,6 +267,9 @@ def _read_tuple(buf: io.BytesIO) -> list:
         elif kind == b"t":
             (ln,) = struct.unpack(">i", buf.read(4))
             vals.append(buf.read(ln).decode("utf-8"))
+        elif kind == b"b":  # binary-format datum (PG ≥ 14 binary = on)
+            (ln,) = struct.unpack(">i", buf.read(4))
+            vals.append(BinaryDatum(buf.read(ln)))
         else:
             raise ValueError(f"bad TupleData column kind {kind!r}")
     return vals
@@ -125,21 +281,49 @@ class WireFormatError(ValueError):
     message/segment loudly and deliberately."""
 
 
-def parse_message(msg: bytes) -> dict:
+def parse_message(msg: bytes, streamed: bool = False) -> dict:
     """Parse ONE pgoutput message into a tagged dict (pure function —
-    usable from executors and tests alike). Malformed bytes raise
+    usable from executors and tests alike). ``streamed=True`` applies
+    the protocol-v2 layout for data messages INSIDE a Stream
+    Start/Stop block: an Int32 xid immediately after the tag byte (the
+    dict carries it as ``xid``). Malformed bytes raise
     :class:`WireFormatError`."""
     try:
-        return _parse_message(msg)
+        return _parse_message(msg, streamed)
     except WireFormatError:
         raise
     except (struct.error, IndexError, UnicodeDecodeError, EOFError) as e:
         raise WireFormatError(f"malformed pgoutput message: {e}") from e
 
 
-def _parse_message(msg: bytes) -> dict:
+def _parse_message(msg: bytes, streamed: bool = False) -> dict:
     buf = io.BytesIO(msg)
     tag = buf.read(1)
+    if tag == b"S":  # Stream Start: Int32 xid, Int8 first-segment
+        xid, first = struct.unpack(">ib", buf.read(5))
+        return {"kind": "stream_start", "xid": xid,
+                "first_segment": bool(first)}
+    if tag == b"E":  # Stream Stop
+        return {"kind": "stream_stop"}
+    if tag == b"c":  # Stream Commit
+        xid, flags = struct.unpack(">ib", buf.read(5))
+        commit_lsn, end_lsn, ts = struct.unpack(">qqq", buf.read(24))
+        return {"kind": "stream_commit", "xid": xid,
+                "commit_lsn": commit_lsn, "end_lsn": end_lsn,
+                "ts_us": ts}
+    if tag == b"A":  # Stream Abort: xid + subtransaction xid
+        xid, subxid = struct.unpack(">ii", buf.read(8))
+        return {"kind": "stream_abort", "xid": xid, "subxid": subxid}
+    xid = None
+    if streamed and tag in (b"R", b"I", b"U", b"D", b"T", b"M"):
+        (xid,) = struct.unpack(">i", buf.read(4))
+    out = _parse_tag_body(tag, buf)
+    if xid is not None:
+        out["xid"] = xid
+    return out
+
+
+def _parse_tag_body(tag: bytes, buf: io.BytesIO) -> dict:
     if tag == b"R":
         (oid,) = struct.unpack(">i", buf.read(4))
         ns = _read_cstr(buf)
@@ -223,6 +407,8 @@ def _tuple_data(vals) -> bytes:
             out += b"n"
         elif v is UNCHANGED:
             out += b"u"
+        elif isinstance(v, BinaryDatum):
+            out += b"b" + struct.pack(">i", len(v.raw)) + v.raw
         else:
             b = str(v).encode("utf-8")
             out += b"t" + struct.pack(">i", len(b)) + b
@@ -284,6 +470,34 @@ def encode_logical_message(prefix: str, content: bytes,
             + _cstr(prefix) + struct.pack(">i", len(content)) + content)
 
 
+# -- protocol v2 streamed-transaction fixtures ---------------------------------
+
+def encode_stream_start(xid: int, first_segment: bool = True) -> bytes:
+    return b"S" + struct.pack(">ib", xid, 1 if first_segment else 0)
+
+
+def encode_stream_stop() -> bytes:
+    return b"E"
+
+
+def encode_stream_commit(xid: int, commit_lsn: int, end_lsn: int,
+                         ts_us: int = 0) -> bytes:
+    return (b"c" + struct.pack(">ib", xid, 0)
+            + struct.pack(">qqq", commit_lsn, end_lsn, ts_us))
+
+
+def encode_stream_abort(xid: int, subxid: int | None = None) -> bytes:
+    return b"A" + struct.pack(">ii", xid, subxid if subxid is not None
+                              else xid)
+
+
+def with_stream_xid(msg: bytes, xid: int) -> bytes:
+    """Splice the protocol-v2 Int32 xid prefix into a v1-encoded data
+    message (tag byte, then xid, then the original body) — how the
+    fixtures build in-stream messages."""
+    return msg[:1] + struct.pack(">i", xid) + msg[1:]
+
+
 # -- distributed decode into the standard changelog ---------------------------
 
 def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
@@ -322,9 +536,9 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
            T.StructField("__after", T.IntegerType())])
     resolve_toast = primary_keys is not None
 
-    def vals(tup):
+    def vals(tup, type_oids):
         out = []
-        for v in tup:
+        for i, v in enumerate(tup):
             if v is UNCHANGED:
                 if not resolve_toast:
                     raise WireFormatError(
@@ -332,6 +546,12 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
                         "pass primary_keys to decode_pgoutput so it can "
                         "be resolved against the row's prior image")
                 out.append(TOAST_SENTINEL)
+            elif isinstance(v, BinaryDatum):
+                if type_oids is None or i >= len(type_oids):
+                    raise WireFormatError(
+                        "binary-format datum before its Relation "
+                        "message — a segment must be self-contained")
+                out.append(pg_binary_to_text(type_oids[i], v.raw))
             else:
                 out.append(v)
         return out
@@ -339,22 +559,60 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
     def decode(batches):
         import pandas as pd
 
+        # PER-PARTITION state (declared outside the batch loop: Arrow
+        # splits a partition into ~10k-row batches, and a segment's
+        # Relation/stream-block state must survive those splits —
+        # partition boundaries, unlike batch boundaries, always align
+        # with segment boundaries): relation registry for binary
+        # datums, protocol-v2 stream block + per-xid buffers
+        rel_types: dict[int, list[int]] = {}
+        stream_xid: int | None = None
+        buffers: dict[int, list] = {}
+
         for pdf in batches:
             rows = []
-            for lsn, msg in zip(pdf[lsn_col], pdf[msg_col]):
-                m = parse_message(bytes(msg))
+
+            def data_rows(m, lsn):
+                oids = rel_types.get(m.get("oid"))
                 if m["kind"] == "insert":
-                    rows.append([*vals(m["new"]), "+I", int(lsn), 1])
-                elif m["kind"] == "update":
+                    return [[*vals(m["new"], oids), "+I", int(lsn), 1]]
+                if m["kind"] == "update":
+                    out = []
                     if m["old"] is not None:
-                        rows.append([*vals(m["old"]), "-U", int(lsn), 0])
-                    rows.append([*vals(m["new"]), "+U", int(lsn), 1])
-                elif m["kind"] == "delete":
-                    rows.append([*vals(m["old"]), "-D", int(lsn), 1])
-                elif m["kind"] == "truncate":
-                    rows.append([*([None] * len(names)), "-T",
-                                 int(lsn), 1])
-                # relation/begin/commit/origin/message: no row data
+                        out.append([*vals(m["old"], oids), "-U",
+                                    int(lsn), 0])
+                    out.append([*vals(m["new"], oids), "+U",
+                                int(lsn), 1])
+                    return out
+                if m["kind"] == "delete":
+                    return [[*vals(m["old"], oids), "-D", int(lsn), 1]]
+                if m["kind"] == "truncate":
+                    return [[*([None] * len(names)), "-T", int(lsn), 1]]
+                return []
+
+            for lsn, msg in zip(pdf[lsn_col], pdf[msg_col]):
+                m = parse_message(bytes(msg),
+                                  streamed=stream_xid is not None)
+                kind = m["kind"]
+                if kind == "relation":
+                    rel_types[m["oid"]] = [c["type_oid"]
+                                           for c in m["columns"]]
+                elif kind == "stream_start":
+                    stream_xid = m["xid"]
+                    buffers.setdefault(stream_xid, [])
+                elif kind == "stream_stop":
+                    stream_xid = None
+                elif kind == "stream_commit":
+                    # the buffered transaction becomes visible
+                    rows.extend(buffers.pop(m["xid"], []))
+                elif kind == "stream_abort":
+                    # an aborted transaction leaves no trace
+                    buffers.pop(m["xid"], None)
+                elif stream_xid is not None:
+                    buffers[stream_xid].extend(data_rows(m, lsn))
+                else:
+                    rows.extend(data_rows(m, lsn))
+                # begin/commit/origin/message: no row data
             yield pd.DataFrame(rows, columns=[f.name
                                               for f in out_schema.fields])
 

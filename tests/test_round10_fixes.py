@@ -100,7 +100,7 @@ def _toast_stream(oid=16384):
     ]
 
 
-def _decode(spark, msgs, primary_keys):
+def _decode(spark, msgs, primary_keys, one_partition=False):
     from pyspark.sql import types as T
 
     payload = T.StructType([
@@ -110,6 +110,10 @@ def _decode(spark, msgs, primary_keys):
     ])
     df = spark.createDataFrame(
         [(lsn, bytearray(m)) for lsn, m in msgs], "lsn long, value binary")
+    if one_partition:
+        # relation registry / stream state are per-segment: a stream
+        # with in-band Relation or Stream messages must stay contiguous
+        df = df.coalesce(1)
     return decode_pgoutput(df, payload, primary_keys=primary_keys)
 
 
@@ -371,3 +375,159 @@ def test_events_streams_bounded_memory():
                 assert parsed["xid"] == n
                 n += 1
     assert n == 200_000
+
+
+# -- binary-format TupleData (PG >= 14 binary = on) ----------------------------
+
+def test_binary_datum_golden_and_converters():
+    """TupleData kind 'b' + Int32 length + the type's binary send
+    format; conversion to text through the Relation-announced OIDs."""
+    import struct
+
+    from flink_cdc_dsql_master_spark.pgoutput import (BinaryDatum,
+                                                      encode_binary_datum,
+                                                      pg_binary_to_text)
+
+    cases = [
+        (16, True, b"\x01", "t"), (16, False, b"\x00", "f"),
+        (21, -7, struct.pack(">h", -7), "-7"),
+        (23, 123456, struct.pack(">i", 123456), "123456"),
+        (20, -(1 << 40), struct.pack(">q", -(1 << 40)),
+         str(-(1 << 40))),
+        (701, 2.5, struct.pack(">d", 2.5), "2.5"),
+        (25, "héllo", "héllo".encode(), "héllo"),
+        (1082, "2024-02-29", struct.pack(">i", 8825), "2024-02-29"),
+    ]
+    for oid, val, raw, text in cases:
+        assert encode_binary_datum(oid, val) == BinaryDatum(raw), oid
+        assert pg_binary_to_text(oid, raw) == text, oid
+    # timestamp: µs since 2000-01-01
+    ts = encode_binary_datum(1114, "2024-02-29 12:34:56.250000")
+    assert pg_binary_to_text(1114, ts.raw) == "2024-02-29 12:34:56.25"
+    # unsupported OID fails loudly both ways
+    from flink_cdc_dsql_master_spark.pgoutput import WireFormatError
+    with pytest.raises(WireFormatError):
+        pg_binary_to_text(790, b"\x00")  # money
+
+
+def test_binary_numeric_vectors():
+    """PG numeric binary format (base-10000 groups): hand-built vectors
+    covering positive weight, zero-padded middle groups, negative
+    weight (pure fraction with leading zeros), untransmitted trailing
+    integral groups, negatives and NaN."""
+    import struct
+
+    from flink_cdc_dsql_master_spark.pgoutput import _pg_numeric_text
+
+    def num(ndigits, weight, sign, dscale, groups):
+        return struct.pack(">hhHh", ndigits, weight, sign, dscale) + \
+            b"".join(struct.pack(">h", g) for g in groups)
+
+    # 12345678.90 → groups [1234, 5678, 9000] weight 1 dscale 2
+    assert _pg_numeric_text(num(3, 1, 0, 2, [1234, 5678, 9000])) == \
+        "12345678.90"
+    # 5000000 → [500] weight 1, trailing integral group untransmitted
+    assert _pg_numeric_text(num(1, 1, 0, 0, [500])) == "5000000"
+    # 0.00001 = 1000·10000⁻² → weight -2 with an implied zero group
+    # between the point and the first transmitted group
+    assert _pg_numeric_text(num(1, -2, 0, 5, [1000])) == "0.00001"
+    # -42.5
+    assert _pg_numeric_text(num(2, 0, 0x4000, 1, [42, 5000])) == "-42.5"
+    assert _pg_numeric_text(num(0, 0, 0xC000, 0, [])) == "NaN"
+    assert _pg_numeric_text(num(0, 0, 0, 0, [])) == "0"
+
+
+def test_binary_tuples_decode_through_relation_registry(spark):
+    from flink_cdc_dsql_master_spark.partitioning import apply_changelog
+    from flink_cdc_dsql_master_spark.pgoutput import (encode_binary_datum,
+                                                      encode_insert,
+                                                      encode_relation)
+
+    oid = 700
+    rel = encode_relation(oid, "public", "t",
+                          [("k", True, 20), ("price", False, 701),
+                           ("status", False, 25)])
+    msgs = [(1, rel)]
+    for k in range(1, 6):
+        msgs.append((10 + k, encode_insert(oid, [
+            encode_binary_datum(20, k),
+            encode_binary_datum(701, k * 1.5),
+            encode_binary_datum(25, f"s{k}")])))
+    cl = _decode(spark, [(lsn, m) for lsn, m in msgs],
+                 primary_keys=None, one_partition=True)
+    # payload schema of _decode: k long, price double, doc string
+    state = {r["k"]: r for r in apply_changelog(cl, ["k"]).collect()}
+    assert state[3]["price"] == 4.5 and state[3]["doc"] == "s3"
+
+
+def test_binary_datum_without_relation_fails_loudly(spark):
+    from flink_cdc_dsql_master_spark.pgoutput import (encode_binary_datum,
+                                                      encode_insert)
+
+    msgs = [(1, encode_insert(700, [encode_binary_datum(20, 1),
+                                    None, None]))]
+    cl = _decode(spark, msgs, primary_keys=None)
+    with pytest.raises(Exception) as ei:
+        cl.collect()
+    assert "Relation" in str(ei.value)
+
+
+# -- protocol v2 streamed transactions ------------------------------------------
+
+def test_stream_message_golden_bytes():
+    from flink_cdc_dsql_master_spark.pgoutput import (
+        encode_stream_abort, encode_stream_commit, encode_stream_start,
+        encode_stream_stop, parse_message, with_stream_xid)
+
+    s = encode_stream_start(77, first_segment=True)
+    assert s == bytes.fromhex("53" "0000004d" "01")
+    assert parse_message(s) == {"kind": "stream_start", "xid": 77,
+                                "first_segment": True}
+    assert parse_message(encode_stream_stop()) == {"kind": "stream_stop"}
+    c = encode_stream_commit(77, 1000, 1001, 5)
+    m = parse_message(c)
+    assert m["kind"] == "stream_commit" and m["xid"] == 77
+    assert m["commit_lsn"] == 1000 and m["end_lsn"] == 1001
+    a = parse_message(encode_stream_abort(77, 78))
+    assert a == {"kind": "stream_abort", "xid": 77, "subxid": 78}
+    # in-stream data message: xid spliced after the tag
+    ins = encode_insert(9, ["1", "x"])
+    streamed = with_stream_xid(ins, 77)
+    m2 = parse_message(streamed, streamed=True)
+    assert m2["kind"] == "insert" and m2["xid"] == 77
+    assert m2["new"] == ["1", "x"]
+
+
+def test_streamed_txn_commit_visible_abort_dropped(spark):
+    """Two interleaved streamed transactions: xid 1 commits (its rows
+    become visible with their original LSN order), xid 2 aborts (no
+    trace) — the reference's streaming-transaction semantics."""
+    from flink_cdc_dsql_master_spark.partitioning import apply_changelog
+    from flink_cdc_dsql_master_spark.pgoutput import (
+        encode_relation, encode_stream_abort, encode_stream_commit,
+        encode_stream_start, encode_stream_stop, with_stream_xid)
+
+    oid = 16384
+    rel = encode_relation(oid, "public", "t",
+                          [("k", True, 20), ("price", False, 701),
+                           ("doc", False, 25)])
+    ins = lambda k: with_stream_xid(
+        encode_insert(oid, [str(k), "1.0", f"d{k}"]),
+        1 if k % 2 else 2)
+    msgs = [
+        (1, rel),
+        (10, encode_stream_start(1)),
+        (11, ins(1)), (12, ins(3)),
+        (13, encode_stream_stop()),
+        (20, encode_stream_start(2)),
+        (21, ins(2)), (22, ins(4)),
+        (23, encode_stream_stop()),
+        (30, encode_stream_start(1)),
+        (31, ins(5)),
+        (32, encode_stream_stop()),
+        (40, encode_stream_commit(1, 40, 41)),
+        (50, encode_stream_abort(2)),
+    ]
+    cl = _decode(spark, msgs, primary_keys=["k"], one_partition=True)
+    keys = {r["k"] for r in apply_changelog(cl, ["k"]).collect()}
+    assert keys == {1, 3, 5}  # xid 2's rows aborted away
