@@ -241,12 +241,23 @@ class PgReplicationClient:
         send_message(self.sock, b"p", final.encode("utf-8"))
 
     def start_replication(self, slot: str, publication: str,
-                          start_lsn: int = 0):
+                          start_lsn: int = 0,
+                          proto_version: int = 1,
+                          streaming: bool = False,
+                          binary: bool = False):
         """Yield (wal_lsn, pgoutput message bytes) from the COPY-BOTH
-        stream, answering keepalives that request a reply."""
+        stream, answering keepalives that request a reply.
+        ``proto_version=2`` + ``streaming=True`` requests streamed
+        in-progress transactions (PG ≥ 14); ``binary=True`` requests
+        binary-format TupleData — both decoded by :mod:`.pgoutput`."""
+        opts = [f"proto_version '{proto_version}'",
+                f"publication_names '{publication}'"]
+        if streaming:
+            opts.append("streaming 'on'")
+        if binary:
+            opts.append("binary 'true'")
         q = (f"START_REPLICATION SLOT {slot} LOGICAL "
-             f"{lsn_str(start_lsn)} (proto_version '1', "
-             f"publication_names '{publication}')")
+             f"{lsn_str(start_lsn)} ({', '.join(opts)})")
         send_message(self.sock, b"Q", q.encode() + b"\x00")
         tag, body = read_message(self.sock)
         if tag == b"E":

@@ -193,3 +193,26 @@ def test_mysql_client_auth_switch_request():
     srv.join(5)
     assert srv.auth_ok is True
     assert parsed[2]["rows"] == [[1, "a"]]
+
+
+def test_start_replication_option_negotiation():
+    """proto_version 2 + streaming/binary options render exactly as a
+    PG >= 14 subscription would request them; the fake walsender
+    records the query."""
+    from flink_cdc_dsql_master_spark.pgoutput_client import \
+        PgReplicationClient
+    from flink_cdc_dsql_master_spark.testing import FakeWalsenderServer
+
+    srv = FakeWalsenderServer(_wal_msgs(), username="repl",
+                              password="pw").start()
+    cli = PgReplicationClient(
+        lambda: socketlib.create_connection(("127.0.0.1", srv.port)),
+        user="repl", password="pw")
+    cli.connect()
+    list(cli.start_replication("s1", "pub1", proto_version=2,
+                               streaming=True, binary=True))
+    cli.close()
+    srv.join(5)
+    assert "proto_version '2'" in srv.query
+    assert "streaming 'on'" in srv.query
+    assert "binary 'true'" in srv.query

@@ -302,11 +302,140 @@ def _pgoutput_decode_throughput(spark, sf_dir):
     return decode_pgoutput_segments(raw, payload)
 
 
+def _binlog_crc32_segments_dir(spark, sf_dir: str) -> str:
+    """CRC32-checksummed twin of the binlog segments (round-10: the
+    layout a stock MySQL >= 5.6.6 ships) — each event carries a
+    verified trailer, so the measurement includes the per-event CRC
+    check the real path pays."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.binlog import (
+        MAGIC, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_LONGLONG, MYSQL_TYPE_VARCHAR,
+        checksum_stream, encode_table_map, encode_write_rows)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(REPO, ".scale_data", f"binlog_crc_segs_{tag}")
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rows = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price"),
+                    F.col("o_orderstatus").alias("status"))
+            .collect())
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_DOUBLE, None),
+            (MYSQL_TYPE_VARCHAR, 10)]
+    for b in range(32):
+        mine = [[r["k"], r["price"], r["status"]]
+                for r in rows if r["k"] % 32 == b]
+        blob = MAGIC + checksum_stream([
+            encode_table_map(7, "tpch", "orders", cols, 200),
+            encode_write_rows(7, cols, mine, 1000)])
+        with open(os.path.join(d, f"seg{b:02d}.binlog"), "wb") as f:
+            f.write(blob)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _binlog_crc32_decode_throughput(spark, sf_dir):
+    """CRC32-verified wire-decode scale: same shape as
+    cdc_binlog_decode_throughput, plus the zlib.crc32 verify per event
+    (JIT-backed C loop — expect the same ~1.0 exponent with a small
+    constant shift)."""
+    from pyspark.sql import functions as F, types as T
+
+    from flink_cdc_dsql_master_spark.binlog import decode_binlog
+
+    d = _binlog_crc32_segments_dir(spark, sf_dir)
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.binlog").load(d)
+           .select(F.col("content").alias("value"))
+           .repartition(32))
+    payload = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ])
+    return decode_binlog(raw, payload)
+
+
+def _pgoutput_streamed_segments_dir(spark, sf_dir: str) -> str:
+    """Protocol-v2 streamed-transaction twin of the pgoutput segments:
+    every segment is one committed stream block (xid-prefixed inserts),
+    so the measurement includes the buffer-until-commit path."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.pgoutput import (
+        encode_frames, encode_insert, encode_relation,
+        encode_stream_commit, encode_stream_start, encode_stream_stop,
+        with_stream_xid)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(REPO, ".scale_data", f"pgout_stream_segs_{tag}")
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rows = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price"),
+                    F.col("o_orderstatus").alias("status"))
+            .collect())
+    rel = encode_relation(7, "public", "orders",
+                          [("k", True, 20), ("price", False, 701),
+                           ("status", False, 25)])
+    for b in range(32):
+        msgs = [(1, rel), (2, encode_stream_start(100 + b))]
+        for r in rows:
+            if r["k"] % 32 == b:
+                msgs.append((r["k"] * 3, with_stream_xid(encode_insert(
+                    7, [str(r["k"]), repr(float(r["price"])),
+                        r["status"]]), 100 + b)))
+        msgs.append((10 ** 9, encode_stream_stop()))
+        msgs.append((10 ** 9 + 1, encode_stream_commit(
+            100 + b, 10 ** 9 + 1, 10 ** 9 + 2)))
+        with open(os.path.join(d, f"seg{b:02d}.pgout"), "wb") as f:
+            f.write(encode_frames(msgs))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _pgoutput_streamed_decode_throughput(spark, sf_dir):
+    """Streamed-transaction decode scale: rows buffer per-xid until the
+    Stream Commit flushes them — cost is one extra list append per row,
+    so the exponent should match the plain decode (memory is bounded by
+    the largest in-flight transaction per segment, the same bound the
+    reference's Debezium streaming path has)."""
+    from pyspark.sql import functions as F, types as T
+
+    from flink_cdc_dsql_master_spark.pgoutput import (
+        decode_pgoutput_segments)
+
+    d = _pgoutput_streamed_segments_dir(spark, sf_dir)
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.pgout").load(d)
+           .select(F.col("content").alias("value"))
+           .repartition(32))
+    payload = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+        T.StructField("status", T.StringType()),
+    ])
+    return decode_pgoutput_segments(raw, payload)
+
+
 EXTRA_TARGETS = {"similarity_knn_join_auto": _knn_join_auto,
                  "similarity_range_search_auto": _range_search_auto,
                  "cdc_binlog_decode_throughput": _binlog_decode_throughput,
                  "cdc_pgoutput_decode_throughput":
-                     _pgoutput_decode_throughput}
+                     _pgoutput_decode_throughput,
+                 "cdc_binlog_crc32_decode_throughput":
+                     _binlog_crc32_decode_throughput,
+                 "cdc_pgoutput_streamed_decode_throughput":
+                     _pgoutput_streamed_decode_throughput}
 
 # ---------------------------------------------------------------------
 # planted-duplicate stress (VERDICT r7 #1 done-criterion): 30% of each
