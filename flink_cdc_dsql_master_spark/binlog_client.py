@@ -39,6 +39,7 @@ from .binlog import BinlogParser, WireFormatError
 # capability flags (public protocol constants)
 CLIENT_LONG_PASSWORD = 0x00000001
 CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_SSL = 0x00000800
 CLIENT_SECURE_CONNECTION = 0x00008000
 CLIENT_PLUGIN_AUTH = 0x00080000
 
@@ -162,13 +163,22 @@ def auth_response_for(plugin: str, password: str,
         "RSA/TLS — a real endpoint)")
 
 
+def build_ssl_request(extra_caps: int = 0) -> bytes:
+    """The short "SSL Connection Request" packet (the first 32 bytes of
+    HandshakeResponse41: caps incl. CLIENT_SSL, max packet, charset,
+    23 zeros) — sent in the clear; the full response follows over TLS."""
+    caps = (CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41 | CLIENT_SSL
+            | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH | extra_caps)
+    return struct.pack("<IIB", caps, 1 << 24, 0x21) + bytes(23)
+
+
 def build_handshake_response(username: str, password: str,
                              scramble: bytes,
                              database: str | None = None,
-                             plugin: str = "mysql_native_password"
-                             ) -> bytes:
+                             plugin: str = "mysql_native_password",
+                             extra_caps: int = 0) -> bytes:
     caps = (CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
-            | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH)
+            | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH | extra_caps)
     auth = auth_response_for(plugin, password, scramble)
     out = struct.pack("<IIB", caps, 1 << 24, 0x21)  # utf8_general_ci
     out += bytes(23)
@@ -218,11 +228,14 @@ class BinlogClient:
     replication auth)."""
 
     def __init__(self, sock_factory, username: str, password: str = "",
-                 server_id: int = 1):
+                 server_id: int = 1, tls: bool = False,
+                 ssl_context=None):
         self.sock_factory = sock_factory
         self.username = username
         self.password = password
         self.server_id = server_id
+        self.tls = tls
+        self.ssl_context = ssl_context
         self.sock = None
         self.handshake: dict | None = None
 
@@ -233,11 +246,29 @@ class BinlogClient:
             _check_not_err(payload, "handshake"))
         plugin = (self.handshake["auth_plugin"]
                   or "mysql_native_password")
+        extra_caps = 0
+        if self.tls:
+            # protocol "SSL handshake": short SSL request packet in the
+            # clear, TLS upgrade on the same connection, then the full
+            # handshake response (and everything after) encrypted
+            if not self.handshake["capabilities"] & CLIENT_SSL:
+                raise WireFormatError(
+                    "server does not advertise CLIENT_SSL — TLS "
+                    "unavailable (have_ssl = off?)")
+            seq = write_packet(self.sock, build_ssl_request(), seq + 1)
+            from .pgoutput_client import default_tls_context
+
+            ctx = self.ssl_context or default_tls_context()
+            self.sock = ctx.wrap_socket(self.sock,
+                                        server_hostname="localhost")
+            extra_caps = CLIENT_SSL
+            seq -= 1  # the response reuses the pre-upgrade sequence + 1
         seq = write_packet(
             self.sock,
             build_handshake_response(self.username, self.password,
                                      self.handshake["scramble"],
-                                     plugin=plugin),
+                                     plugin=plugin,
+                                     extra_caps=extra_caps),
             seq + 1)
         ok, seq = read_packet(self.sock)
         _check_not_err(ok, "authentication")

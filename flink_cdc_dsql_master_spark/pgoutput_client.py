@@ -36,6 +36,19 @@ import struct
 from .pgoutput import WireFormatError
 
 PROTOCOL_V3 = 196608  # 3 << 16
+SSL_REQUEST_CODE = 80877103  # magic "SSLRequest" protocol version
+
+
+def default_tls_context():
+    """Client TLS context equivalent to libpq ``sslmode=require``:
+    encrypt, no CA verification (pass your own context to pin a CA —
+    the verify-full analog)."""
+    import ssl
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
+    ctx.check_hostname = False
+    ctx.verify_mode = ssl.CERT_NONE
+    return ctx
 
 
 # -- framing ------------------------------------------------------------------
@@ -133,16 +146,36 @@ class PgReplicationClient:
     START_REPLICATION → iterate (wal_lsn, pgoutput-message bytes)."""
 
     def __init__(self, sock_factory, user: str, password: str = "",
-                 database: str = "postgres"):
+                 database: str = "postgres", tls: bool = False,
+                 ssl_context=None):
         self.sock_factory = sock_factory
         self.user = user
         self.password = password
         self.database = database
+        self.tls = tls
+        self.ssl_context = ssl_context
         self.sock = None
         self.parameters: dict[str, str] = {}
 
+    def _tls_upgrade(self) -> None:
+        """The protocol's SSLRequest dance (docs "SSL Session
+        Encryption"): Int32(8) + Int32(80877103); 'S' → TLS handshake
+        on the same connection, 'N' → the server refuses encryption
+        (fail loudly: the caller asked for TLS)."""
+        self.sock.sendall(struct.pack(">ii", 8, SSL_REQUEST_CODE))
+        answer = _recv_exact(self.sock, 1)
+        if answer != b"S":
+            raise WireFormatError(
+                f"server refused SSLRequest (got {answer!r}) — "
+                "ssl = off on the server?")
+        ctx = self.ssl_context or default_tls_context()
+        self.sock = ctx.wrap_socket(self.sock,
+                                    server_hostname="localhost")
+
     def connect(self) -> dict:
         self.sock = self.sock_factory()
+        if self.tls:
+            self._tls_upgrade()
         self.sock.sendall(build_startup(self.user, self.database))
         scram_state: dict | None = None
         while True:

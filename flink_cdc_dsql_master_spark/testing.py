@@ -456,6 +456,54 @@ def _fmt(v) -> str:
     return str(v)
 
 
+_TLS_CERT_CACHE: dict = {}
+
+
+def self_signed_server_context():
+    """Server-side TLS context over a freshly generated self-signed
+    cert (stdlib ssl + the cryptography package, both in-env) — what
+    the fake servers use to prove the clients' TLS upgrade paths
+    end-to-end. Cached per process: key generation is the slow part."""
+    import ssl
+    import tempfile
+
+    if "ctx" in _TLS_CERT_CACHE:
+        return _TLS_CERT_CACHE["ctx"]
+
+    import datetime as _dt
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    key = rsa.generate_private_key(public_exponent=65537, key_size=2048)
+    name = x509.Name([x509.NameAttribute(NameOID.COMMON_NAME,
+                                         "localhost")])
+    now = _dt.datetime.now(_dt.timezone.utc)
+    cert = (x509.CertificateBuilder()
+            .subject_name(name).issuer_name(name)
+            .public_key(key.public_key())
+            .serial_number(x509.random_serial_number())
+            .not_valid_before(now - _dt.timedelta(days=1))
+            .not_valid_after(now + _dt.timedelta(days=365))
+            .add_extension(x509.SubjectAlternativeName(
+                [x509.DNSName("localhost")]), critical=False)
+            .sign(key, hashes.SHA256()))
+    with tempfile.NamedTemporaryFile("wb", suffix=".pem",
+                                     delete=False) as f:
+        f.write(key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption()))
+        f.write(cert.public_bytes(serialization.Encoding.PEM))
+        pem = f.name
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(pem)
+    _TLS_CERT_CACHE["ctx"] = ctx
+    return ctx
+
+
 class FakeMySQLReplicaServer:
     """In-process MySQL replication server speaking the real wire bytes
     (HandshakeV10 → mysql_native_password verification → COM_QUERY
@@ -477,7 +525,7 @@ class FakeMySQLReplicaServer:
     def __init__(self, events: list[bytes], username: str = "repl",
                  password: str = "", serve_checksummed: bool = False,
                  auth_plugin: str = "mysql_native_password",
-                 switch_to: str | None = None):
+                 switch_to: str | None = None, tls: bool = False):
         import socket
         import threading
 
@@ -486,6 +534,8 @@ class FakeMySQLReplicaServer:
         self.password = password
         self.serve_checksummed = serve_checksummed
         self.auth_plugin = auth_plugin
+        self.tls = tls
+        self.tls_established = False
         # when set, reply to the handshake response with an
         # AuthSwitchRequest to this plugin (fresh nonce) — the flow a
         # server takes when the ACCOUNT's plugin differs from the
@@ -512,6 +562,8 @@ class FakeMySQLReplicaServer:
         import struct
 
         caps = 0x00000001 | 0x00000200 | 0x00008000 | 0x00080000
+        if self.tls:
+            caps |= 0x00000800  # CLIENT_SSL advertised
         out = bytes([10]) + b"8.0.0-fake\x00"
         out += struct.pack("<I", 99)
         out += self.SCRAMBLE[:8] + b"\x00"
@@ -529,10 +581,23 @@ class FakeMySQLReplicaServer:
         from .binlog_client import (auth_response_for, read_packet,
                                     write_packet)
 
+        from .binlog import WireFormatError as _WFE
+
         conn, _ = self.listener.accept()
         try:
             write_packet(conn, self._handshake_payload(), 0)
-            resp, _ = read_packet(conn)
+            try:
+                resp, _ = read_packet(conn)
+            except _WFE:
+                return  # client hung up mid-handshake (e.g. no-TLS test)
+            if self.tls and len(resp) == 32 and resp[1] & 0x08:
+                # 32-byte SSL Connection Request with CLIENT_SSL set →
+                # TLS handshake on the same connection; the REAL
+                # handshake response follows encrypted
+                conn = self_signed_server_context().wrap_socket(
+                    conn, server_side=True)
+                self.tls_established = True
+                resp, _ = read_packet(conn)
             body = resp[32:]
             user, _, rest = body.partition(b"\x00")
             alen = rest[0]
@@ -613,7 +678,7 @@ class FakeWalsenderServer:
 
     def __init__(self, msgs: list[tuple[int, bytes]],
                  username: str = "repl", password: str = "",
-                 auth: str = "md5"):
+                 auth: str = "md5", tls: bool = False):
         import socket
         import threading
 
@@ -621,6 +686,8 @@ class FakeWalsenderServer:
         self.username = username
         self.password = password
         self.auth = auth
+        self.tls = tls
+        self.tls_established = False
         self.auth_ok = None
         self.saw_keepalive_reply = False
         self.query = None
@@ -649,6 +716,22 @@ class FakeWalsenderServer:
             body = b""
             while len(body) < ln - 4:
                 body += conn.recv(ln - 4 - len(body))
+            if self.tls:
+                (code,) = struct.unpack(">i", body[:4])
+                if code != 80877103:  # SSLRequest magic
+                    send_err = b"FATAL: server requires SSL\x00"
+                    conn.sendall(b"E" + struct.pack(
+                        ">i", len(send_err) + 4) + send_err)
+                    return
+                conn.sendall(b"S")
+                conn = self_signed_server_context().wrap_socket(
+                    conn, server_side=True)
+                self.tls_established = True
+                # the real StartupMessage follows over TLS
+                (ln,) = struct.unpack(">i", conn.recv(4))
+                body = b""
+                while len(body) < ln - 4:
+                    body += conn.recv(ln - 4 - len(body))
             self._serve_authenticated(conn, body)
         finally:
             conn.close()

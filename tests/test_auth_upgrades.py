@@ -216,3 +216,110 @@ def test_start_replication_option_negotiation():
     assert "proto_version '2'" in srv.query
     assert "streaming 'on'" in srv.query
     assert "binary 'true'" in srv.query
+
+
+# -- TLS (the previously "sandbox-bound" delta — provable in-process) ----------
+
+def test_pg_client_tls_scram_end_to_end():
+    """sslmode=require against a TLS walsender: SSLRequest → 'S' → TLS
+    handshake (self-signed server cert) → SCRAM over the encrypted
+    channel → COPY-BOTH stream. The full stock-PG-16 stack."""
+    from flink_cdc_dsql_master_spark.pgoutput_client import \
+        PgReplicationClient
+    from flink_cdc_dsql_master_spark.testing import FakeWalsenderServer
+
+    srv = FakeWalsenderServer(_wal_msgs(), username="repl",
+                              password="s3cret", auth="scram",
+                              tls=True).start()
+    cli = PgReplicationClient(
+        lambda: socketlib.create_connection(("127.0.0.1", srv.port)),
+        user="repl", password="s3cret", tls=True)
+    cli.connect()
+    stream = list(cli.start_replication("slot1", "pub1"))
+    cli.close()
+    srv.join(10)
+    assert srv.tls_established is True
+    assert srv.auth_ok is True
+    assert len(stream) == 5
+
+
+def test_pg_client_tls_refused_fails_loudly():
+    """A server that answers 'N' to SSLRequest (ssl = off) must fail
+    the TLS-requiring client loudly, never fall back to cleartext."""
+    import struct
+    import threading
+
+    from flink_cdc_dsql_master_spark.pgoutput import WireFormatError
+    from flink_cdc_dsql_master_spark.pgoutput_client import \
+        PgReplicationClient
+
+    listener = socketlib.socket()
+    listener.bind(("127.0.0.1", 0))
+    listener.listen(1)
+    port = listener.getsockname()[1]
+
+    def refuse():
+        conn, _ = listener.accept()
+        conn.recv(8)  # the SSLRequest
+        conn.sendall(b"N")
+        conn.close()
+        listener.close()
+
+    threading.Thread(target=refuse, daemon=True).start()
+    cli = PgReplicationClient(
+        lambda: socketlib.create_connection(("127.0.0.1", port)),
+        user="u", password="p", tls=True)
+    with pytest.raises(WireFormatError, match="refused SSLRequest"):
+        cli.connect()
+    cli.close()
+
+
+def test_mysql_client_tls_caching_sha2_crc32_end_to_end():
+    """The complete stock-MySQL-8 stack in one chain: CLIENT_SSL
+    advertised → short SSL request → TLS upgrade → caching_sha2 auth
+    over the encrypted channel → checksum negotiation → CRC32-trailed
+    dump, decoded streaming."""
+    from flink_cdc_dsql_master_spark.binlog import (checksum_stream,
+                                                    crc32_frame,
+                                                    encode_fde)
+    from flink_cdc_dsql_master_spark.binlog_client import BinlogClient
+    from flink_cdc_dsql_master_spark.testing import FakeMySQLReplicaServer
+
+    plain = _mysql_events()
+    events = [encode_fde(checksum_alg=1)] + \
+        [crc32_frame(e) for e in plain[1:]]
+    srv = FakeMySQLReplicaServer(
+        events, username="repl", password="s3cret",
+        auth_plugin="caching_sha2_password", serve_checksummed=True,
+        tls=True).start()
+    cli = BinlogClient(
+        lambda: socketlib.create_connection(("127.0.0.1", srv.port)),
+        username="repl", password="s3cret", tls=True)
+    hs = cli.connect()
+    assert hs["capabilities"] & 0x0800  # server advertised CLIENT_SSL
+    parsed = list(cli.events())
+    cli.close()
+    srv.join(10)
+    assert srv.tls_established is True
+    assert srv.auth_ok is True
+    assert "master_binlog_checksum" in srv.checksum_query
+    assert [e["kind"] for e in parsed] == [
+        "format_description", "table_map", "write_rows", "xid"]
+    assert parsed[0]["checksum_alg"] == 1
+
+
+def test_mysql_client_tls_unavailable_fails_loudly():
+    """tls=True against a server without CLIENT_SSL must fail before
+    sending credentials — never silently downgrade to cleartext."""
+    from flink_cdc_dsql_master_spark.binlog import WireFormatError
+    from flink_cdc_dsql_master_spark.binlog_client import BinlogClient
+    from flink_cdc_dsql_master_spark.testing import FakeMySQLReplicaServer
+
+    srv = FakeMySQLReplicaServer(_mysql_events(), username="repl",
+                                 password="pw", tls=False).start()
+    cli = BinlogClient(
+        lambda: socketlib.create_connection(("127.0.0.1", srv.port)),
+        username="repl", password="pw", tls=True)
+    with pytest.raises(WireFormatError, match="CLIENT_SSL"):
+        cli.connect()
+    cli.close()
