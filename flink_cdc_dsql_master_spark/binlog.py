@@ -666,8 +666,15 @@ def _read_row(buf: io.BytesIO, cols: list[tuple], present: bytes) -> list:
         ctype, meta = col[0], col[1]
         unsigned = col[2] if len(col) > 2 else False
         if not _bitmap_get(present, i):
-            vals.append(None)
-            continue
+            # a partial row image (binlog_row_image = MINIMAL/NOBLOB)
+            # omits columns the changelog cannot reconstruct — mapping
+            # them to NULL would corrupt the sink under LWW (the TOAST
+            # failure class). Fail loudly exactly like the reference:
+            # Debezium requires binlog_row_image = FULL.
+            raise WireFormatError(
+                f"column {i} absent from the row image "
+                "(binlog_row_image != FULL) — set binlog_row_image = "
+                "FULL on the source, as the reference requires")
         if _bitmap_get(null_bm, j):
             vals.append(None)
         else:

@@ -203,3 +203,29 @@ def test_fuzz_checksummed_stream_mutations():
             assert e["rows"] == [[1], [2]]
 
     check()
+
+
+def test_partial_row_image_fails_loudly():
+    """binlog_row_image = MINIMAL omits unchanged columns from the row
+    image; reconstructing them as NULL would corrupt the sink under
+    LWW (the unchanged-TOAST failure class), so the decode fails
+    loudly — the reference behaves the same (Debezium requires
+    binlog_row_image = FULL)."""
+    import struct
+
+    from flink_cdc_dsql_master_spark.binlog import (WireFormatError,
+                                                    _lenenc, HEADER_LEN,
+                                                    WRITE_ROWS_EVENT_V2)
+
+    cols = [(MYSQL_TYPE_LONG, None), (MYSQL_TYPE_LONG, None)]
+    # hand-build a WRITE_ROWS whose present bitmap marks only column 0
+    body = (5).to_bytes(6, "little") + struct.pack("<H", 0)
+    body += struct.pack("<H", 2) + _lenenc(2)
+    body += bytes([0b01])          # present: col 0 only
+    body += bytes([0b0])           # null bitmap over 1 present col
+    body += struct.pack("<i", 42)  # col 0 value
+    ev = struct.pack("<IBIIIH", 0, WRITE_ROWS_EVENT_V2, 1,
+                     HEADER_LEN + len(body), 300, 0) + body
+    blob = encode_table_map(5, "db", "t", cols, 120) + ev
+    with pytest.raises(WireFormatError, match="binlog_row_image"):
+        parse_binlog(blob)
