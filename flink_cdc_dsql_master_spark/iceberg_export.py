@@ -386,11 +386,38 @@ def export_iceberg_inplace(spark, path: str, dest: str,
             "data_files_copied": 0}
 
 
-def read_iceberg(spark, dest: str) -> DataFrame:
+def _bound_value(raw: bytes, iceberg_type: str):
+    """Inverse of :func:`_bound_bytes` for the planner's comparisons."""
+    import struct as _struct
+
+    if iceberg_type == "int":
+        return _struct.unpack("<i", raw)[0]
+    if iceberg_type == "long":
+        return _struct.unpack("<q", raw)[0]
+    if iceberg_type == "float":
+        return _struct.unpack("<f", raw)[0]
+    if iceberg_type == "double":
+        return _struct.unpack("<d", raw)[0]
+    if iceberg_type == "string":
+        return raw.decode("utf-8")
+    return None
+
+
+def read_iceberg(spark, dest: str,
+                 key_range: tuple | None = None) -> DataFrame:
     """Read an Iceberg table strictly through its on-disk layout — the
     independent verification path for :func:`export_iceberg` (and a
     reader for any unpartitioned v2 table whose manifests use the codec
-    subset :mod:`.avro_io` supports)."""
+    subset :mod:`.avro_io` supports).
+
+    ``key_range = (col, lo, hi)`` engages the manifest entries'
+    lower/upper bound maps exactly the way a spec-compliant engine
+    does: files whose bounds prove no row in [lo, hi] are skipped
+    before any parquet footer is opened (the matching row-level filter
+    is ALSO applied, so skipping is an IO optimization, never a
+    semantics change) — at 100 TB this is what the bound maps are FOR."""
+    from pyspark.sql import functions as F
+
     local = _local(dest)
     meta_dir = os.path.join(local, "metadata")
     with open(os.path.join(meta_dir, "version-hint.text")) as f:
@@ -400,17 +427,66 @@ def read_iceberg(spark, dest: str) -> DataFrame:
     snap_id = meta["current-snapshot-id"]
     snap = next(s for s in meta["snapshots"]
                 if s["snapshot-id"] == snap_id)
+    field = None
+    if key_range is not None:
+        col, lo, hi = key_range
+        field = next((f_ for f_ in meta["schemas"][0]["fields"]
+                      if f_["name"] == col), None)
+        if field is None:
+            raise ValueError(f"no column {col!r} in the table schema")
     _, manifests = read_container(_unuri(snap["manifest-list"]))
     paths = []
     for m in manifests:
         _, entries = read_container(_unuri(m["manifest_path"]))
         for e in entries:
             # status 2 = DELETED; content 0 = data files
-            if e["status"] != 2 and e["data_file"]["content"] == _DATA:
-                paths.append(e["data_file"]["file_path"])
+            if e["status"] == 2 or e["data_file"]["content"] != _DATA:
+                continue
+            if field is not None:
+                lb = {b["key"]: b["value"]
+                      for b in e["data_file"].get("lower_bounds") or []}
+                ub = {b["key"]: b["value"]
+                      for b in e["data_file"].get("upper_bounds") or []}
+                fid = field["id"]
+                if fid in lb and fid in ub:
+                    fmin = _bound_value(lb[fid], field["type"])
+                    fmax = _bound_value(ub[fid], field["type"])
+                    if fmin is not None and (fmax < lo or fmin > hi):
+                        continue  # provably disjoint — skip the file
+            paths.append(e["data_file"]["file_path"])
+    if key_range is not None and not paths:
+        # every file pruned: an empty frame with the table schema
+        return spark.createDataFrame([], _schema_from_iceberg(meta))
     if not paths:
         raise ValueError(f"{dest}: snapshot {snap_id} lists no data files")
-    return spark.read.parquet(*paths)
+    df = spark.read.parquet(*paths)
+    if key_range is not None:
+        df = df.where(F.col(key_range[0]).between(key_range[1],
+                                                  key_range[2]))
+    return df
+
+
+_ICEBERG_TO_SPARK = {
+    "boolean": T.BooleanType(), "int": T.IntegerType(),
+    "long": T.LongType(), "float": T.FloatType(),
+    "double": T.DoubleType(), "string": T.StringType(),
+    "date": T.DateType(), "timestamptz": T.TimestampType(),
+    "binary": T.BinaryType(),
+}
+
+
+def _schema_from_iceberg(meta: dict) -> T.StructType:
+    fields = []
+    for f_ in meta["schemas"][0]["fields"]:
+        t = f_["type"]
+        if isinstance(t, str) and t.startswith("decimal"):
+            p, s = t[t.index("(") + 1:t.index(")")].split(",")
+            dt: T.DataType = T.DecimalType(int(p), int(s))
+        else:
+            dt = _ICEBERG_TO_SPARK[t]
+        fields.append(T.StructField(f_["name"], dt,
+                                    not f_["required"]))
+    return T.StructType(fields)
 
 
 def import_iceberg(spark, src: str, path: str, schema,

@@ -253,3 +253,47 @@ def test_export_iceberg_inplace_refuses_dv(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="deletion-vector"):
         export_iceberg_inplace(spark, path, str(tmp_path / "ice2"))
+
+
+def test_read_iceberg_bound_map_data_skipping(spark, tmp_path):
+    """The in-place export's bound maps are FUNCTIONAL: a key_range read
+    skips every file whose bounds prove disjointness (pinned by counting
+    kept paths), and the result still exactly equals the row-level
+    filter."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.iceberg_export import (
+        export_iceberg_inplace, read_iceberg)
+    from flink_cdc_dsql_master_spark.lakehouse import (
+        merge_into_versioned_parquet, with_bucket_partition)
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    # range-partitioned keys → per-file key ranges are disjoint
+    src = (spark.range(4000).select(
+        F.col("id").alias("k"), (F.col("id") * 3.0).alias("v"))
+        .withColumn(OP_COLUMN, F.lit("+I"))
+        .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of(src.drop(OP_COLUMN, SEQ_COLUMN).schema,
+                       primary_keys=["k"])
+    path = str(tmp_path / "ver")
+    # bucket on k: each of the 8 partitions holds a hash slice; instead
+    # use a range-ish partition by k // 500 so bounds are informative
+    b = src.withColumn("part", (F.col("k") / 500).cast("int"))
+    merge_into_versioned_parquet(path, b, schema)
+    dest = str(tmp_path / "ice")
+    export_iceberg_inplace(spark, path, dest)
+
+    full = read_iceberg(spark, dest)
+    narrow = read_iceberg(spark, dest, key_range=("k", 100, 150))
+    rows = narrow.orderBy("k").collect()
+    assert [r["k"] for r in rows] == list(range(100, 151))
+    # pruning evidence: the narrow read must touch fewer files
+    n_full = full.rdd.getNumPartitions()
+    n_narrow = narrow.rdd.getNumPartitions()
+    assert n_narrow < n_full
+    # fully-disjoint range → zero files, empty frame, schema intact
+    empty = read_iceberg(spark, dest, key_range=("k", 10 ** 9,
+                                                 2 * 10 ** 9))
+    assert empty.count() == 0
+    assert [f.name for f in empty.schema.fields] == ["k", "v"]
