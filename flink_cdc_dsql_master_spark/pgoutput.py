@@ -615,6 +615,17 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
                 # begin/commit/origin/message: no row data
             yield pd.DataFrame(rows, columns=[f.name
                                               for f in out_schema.fields])
+        if buffers:
+            # a streamed transaction neither committed nor aborted
+            # within this partition's segments — silently dropping the
+            # buffered rows would lose the data its eventual Stream
+            # Commit makes visible; fail loudly so the feed is re-cut on
+            # stream-commit/abort boundaries (how the file-backed
+            # stand-in and a real per-transaction consumer both deliver)
+            raise WireFormatError(
+                f"streamed transaction(s) {sorted(buffers)} not "
+                "terminated within the segment — cut segments on "
+                "Stream Commit/Abort boundaries")
 
     raw = df.mapInPandas(decode, out_schema)
     if resolve_toast:

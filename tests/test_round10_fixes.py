@@ -531,3 +531,28 @@ def test_streamed_txn_commit_visible_abort_dropped(spark):
     cl = _decode(spark, msgs, primary_keys=["k"], one_partition=True)
     keys = {r["k"] for r in apply_changelog(cl, ["k"]).collect()}
     assert keys == {1, 3, 5}  # xid 2's rows aborted away
+
+
+def test_streamed_txn_dangling_buffer_fails_loudly(spark):
+    """A stream block with no Commit/Abort by segment end must raise —
+    silently dropping the buffered rows would lose the data the
+    eventual Stream Commit makes visible."""
+    from flink_cdc_dsql_master_spark.pgoutput import (
+        encode_relation, encode_stream_start, encode_stream_stop,
+        with_stream_xid)
+
+    oid = 16384
+    rel = encode_relation(oid, "public", "t",
+                          [("k", True, 20), ("price", False, 701),
+                           ("doc", False, 25)])
+    msgs = [
+        (1, rel),
+        (10, encode_stream_start(5)),
+        (11, with_stream_xid(encode_insert(oid, ["1", "1.0", "a"]), 5)),
+        (12, encode_stream_stop()),
+        # ... and then the segment ends with xid 5 still in flight
+    ]
+    cl = _decode(spark, msgs, primary_keys=["k"], one_partition=True)
+    with pytest.raises(Exception) as ei:
+        cl.collect()
+    assert "not terminated" in str(ei.value)
