@@ -701,12 +701,18 @@ class BinlogParser:
     ``feed(data)`` parses zero or more complete events from ``data``
     (which may start with the file magic) and returns their dicts;
     malformed bytes raise :class:`WireFormatError`.
+
+    ``checksum_alg`` seeds the algorithm BEFORE any FDE arrives — a
+    live server's first dump event is an artificial ROTATE that is
+    already checksummed per the negotiated algorithm and precedes the
+    FDE, so a network consumer must seed from the negotiation readback
+    (``BinlogClient`` does); the FDE still overrides when it arrives.
     """
 
-    def __init__(self):
+    def __init__(self, checksum_alg: int = BINLOG_CHECKSUM_ALG_OFF):
         self.table_cols: dict[int, list[tuple]] = {}
         self.table_names: dict[int, tuple[str, str]] = {}
-        self.checksum_alg = BINLOG_CHECKSUM_ALG_OFF
+        self.checksum_alg = checksum_alg
 
     def feed(self, data: bytes) -> list[dict]:
         try:
@@ -1118,6 +1124,15 @@ def encode_update_rows(table_id: int, cols, pairs, log_pos: int,
                        log_pos, n_images=2)
 
 
+def encode_rotate(position: int, next_log: str,
+                  log_pos: int = 0) -> bytes:
+    """ROTATE event — also the ARTIFICIAL first event of a live dump
+    (timestamp 0, log_pos 0), which a checksumming server trails with a
+    CRC like any other event."""
+    return _event(ROTATE_EVENT, struct.pack("<Q", position)
+                  + next_log.encode("utf-8"), log_pos)
+
+
 def encode_xid(xid: int, log_pos: int) -> bytes:
     return _event(XID_EVENT, struct.pack("<Q", xid), log_pos)
 
@@ -1183,8 +1198,16 @@ def decode_binlog(df: DataFrame, payload_schema: T.StructType,
             return None
         if isinstance(v, (bytes, bytearray)):
             # BLOB/TEXT share a type code; TEXT is the overwhelmingly
-            # common case in document pipelines
-            return bytes(v).decode("utf-8", "replace")
+            # common case in document pipelines. STRICT decode: mangling
+            # genuinely-binary bytes with U+FFFD would let distinct
+            # values collapse silently (the module's fail-loud policy)
+            try:
+                return bytes(v).decode("utf-8")
+            except UnicodeDecodeError as e:
+                raise WireFormatError(
+                    "BLOB column holds non-UTF-8 bytes — route binary "
+                    f"columns to a binary-typed payload field: {e}"
+                ) from e
         return str(v)
 
     def decode(batches):

@@ -229,15 +229,19 @@ class BinlogClient:
 
     def __init__(self, sock_factory, username: str, password: str = "",
                  server_id: int = 1, tls: bool = False,
-                 ssl_context=None):
+                 ssl_context=None, tls_hostname: str = "localhost"):
         self.sock_factory = sock_factory
         self.username = username
         self.password = password
         self.server_id = server_id
         self.tls = tls
         self.ssl_context = ssl_context
+        # pass the REAL server hostname when supplying a verifying
+        # context — certificate verification checks the name against it
+        self.tls_hostname = tls_hostname
         self.sock = None
         self.handshake: dict | None = None
+        self.checksum_alg = 0  # set by dump()'s negotiation readback
 
     def connect(self) -> dict:
         self.sock = self.sock_factory()
@@ -259,8 +263,8 @@ class BinlogClient:
             from .pgoutput_client import default_tls_context
 
             ctx = self.ssl_context or default_tls_context()
-            self.sock = ctx.wrap_socket(self.sock,
-                                        server_hostname="localhost")
+            self.sock = ctx.wrap_socket(
+                self.sock, server_hostname=self.tls_hostname)
             extra_caps = CLIENT_SSL
             seq -= 1  # the response reuses the pre-upgrade sequence + 1
         seq = write_packet(
@@ -279,7 +283,12 @@ class BinlogClient:
             rest = ok[1:]
             pname, _, nonce = rest.partition(b"\x00")
             new_plugin = pname.decode("utf-8")
-            nonce = nonce.rstrip(b"\x00")[:20]
+            # drop exactly ONE trailing NUL terminator — rstrip would
+            # also strip legitimate 0x00 nonce bytes (same bug class
+            # ADVICE r9 flagged in decode_handshake_v10)
+            if nonce.endswith(b"\x00"):
+                nonce = nonce[:-1]
+            nonce = nonce[:20]
             write_packet(self.sock,
                          auth_response_for(new_plugin, self.password,
                                            nonce), seq + 1)
@@ -305,18 +314,55 @@ class BinlogClient:
                 "plugin this client does not speak?)")
         return self.handshake
 
+    def _read_scalar_result(self, what: str) -> str | None:
+        """Consume a classic text-protocol resultset and return the
+        first column of the first row (lenenc string), or None for SQL
+        NULL — enough protocol for ``SELECT @@variable`` readbacks."""
+        head, _ = read_packet(self.sock)
+        _check_not_err(head, what)
+        # head = column count (lenenc); column definitions follow until
+        # an EOF packet, then rows until another EOF
+        value: str | None = None
+        saw_row = False
+        phase_rows = False
+        while True:
+            p, _ = read_packet(self.sock)
+            _check_not_err(p, what)
+            if p[:1] == b"\xfe" and len(p) < 9:  # EOF
+                if phase_rows:
+                    return value
+                phase_rows = True
+                continue
+            if phase_rows and not saw_row:
+                saw_row = True
+                if p[:1] == b"\xfb":  # NULL
+                    value = None
+                else:
+                    buf = io.BytesIO(p)
+                    n = buf.read(1)[0]
+                    if n == 0xFC:
+                        n = struct.unpack("<H", buf.read(2))[0]
+                    value = buf.read(n).decode("utf-8")
+
     def dump(self, log_file: str = "", log_pos: int = 4):
         """Start the dump and yield raw binlog EVENT byte strings (one
         event per network packet, per the protocol). Negotiates the
-        checksum algorithm first (CHECKSUM_NEGOTIATION_QUERY) so a
-        default-configured MySQL ≥ 5.6.6 server's CRC32-checksummed
-        stream is accepted; the per-event CRC is verified and stripped
-        by :class:`.binlog.BinlogParser` downstream."""
+        checksum algorithm first (CHECKSUM_NEGOTIATION_QUERY) and READS
+        IT BACK (``SELECT @@global.binlog_checksum``) into
+        ``self.checksum_alg`` — a live server's FIRST dump event is an
+        artificial ROTATE, checksummed per the negotiated algorithm and
+        sent BEFORE any FDE, so the parser must be seeded (the FDE
+        still overrides once it arrives)."""
         write_packet(self.sock,
                      bytes([COM_QUERY])
                      + CHECKSUM_NEGOTIATION_QUERY.encode("utf-8"), 0)
         ok, _ = read_packet(self.sock)
         _check_not_err(ok, "checksum negotiation")
+        write_packet(self.sock,
+                     bytes([COM_QUERY])
+                     + b"SELECT @@global.binlog_checksum", 0)
+        alg_name = self._read_scalar_result("checksum readback") or ""
+        self.checksum_alg = (1 if "CRC32" in alg_name.upper() else 0)
         write_packet(self.sock, build_register_slave(self.server_id), 0)
         ok, _ = read_packet(self.sock)
         _check_not_err(ok, "register slave")
@@ -339,9 +385,16 @@ class BinlogClient:
         packet is fed through a stateful :class:`.binlog.BinlogParser`
         as it arrives, so memory stays bounded by one event — never the
         whole dump (VERDICT r9 "what's wrong" #2: the previous
-        concatenate-then-parse buffered an unbounded tail)."""
-        parser = BinlogParser()
+        concatenate-then-parse buffered an unbounded tail). The parser
+        is seeded with the NEGOTIATED checksum algorithm so the
+        artificial pre-FDE ROTATE a live server sends first parses
+        correctly (dump() performs the readback before its first
+        yield)."""
+        parser = None
         for ev in self.dump(log_file, log_pos):
+            if parser is None:
+                parser = BinlogParser(
+                    checksum_alg=getattr(self, "checksum_alg", 0))
             yield from parser.feed(ev)
 
     def close(self) -> None:

@@ -168,6 +168,12 @@ def pg_binary_to_text(type_oid: int, raw: bytes) -> str:
             s = dt.strftime("%Y-%m-%d %H:%M:%S")
             if dt.microsecond:
                 s += f".{dt.microsecond:06d}".rstrip("0")
+            if type_oid == 1184:
+                # the text protocol carries an explicit offset for
+                # timestamptz (we render the UTC instant as +00);
+                # omitting it would make a later string→timestamp cast
+                # reinterpret the instant in the session timezone
+                s += "+00"
             return s
         if type_oid == 1700:  # numeric: base-10000 digit groups
             return _pg_numeric_text(raw)
@@ -604,12 +610,24 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
                     stream_xid = None
                 elif kind == "stream_commit":
                     # the buffered transaction becomes visible
-                    rows.extend(buffers.pop(m["xid"], []))
+                    rows.extend(r for _, r in buffers.pop(m["xid"], []))
                 elif kind == "stream_abort":
-                    # an aborted transaction leaves no trace
-                    buffers.pop(m["xid"], None)
+                    # subxid == xid → the TOP-LEVEL transaction aborted:
+                    # drop everything. Otherwise only the named
+                    # SUBTRANSACTION rolled back (ROLLBACK TO SAVEPOINT)
+                    # — in-stream data messages carry the xid of the
+                    # (sub)transaction that made the change, so drop
+                    # exactly those rows; the top-level changes stay
+                    # buffered for the eventual Stream Commit.
+                    if m["subxid"] == m["xid"]:
+                        buffers.pop(m["xid"], None)
+                    elif m["xid"] in buffers:
+                        buffers[m["xid"]] = [
+                            (x, r) for x, r in buffers[m["xid"]]
+                            if x != m["subxid"]]
                 elif stream_xid is not None:
-                    buffers[stream_xid].extend(data_rows(m, lsn))
+                    buffers[stream_xid].extend(
+                        (m.get("xid"), r) for r in data_rows(m, lsn))
                 else:
                     rows.extend(data_rows(m, lsn))
                 # begin/commit/origin/message: no row data

@@ -147,13 +147,16 @@ class PgReplicationClient:
 
     def __init__(self, sock_factory, user: str, password: str = "",
                  database: str = "postgres", tls: bool = False,
-                 ssl_context=None):
+                 ssl_context=None, tls_hostname: str = "localhost"):
         self.sock_factory = sock_factory
         self.user = user
         self.password = password
         self.database = database
         self.tls = tls
         self.ssl_context = ssl_context
+        # pass the REAL server hostname when supplying a verifying
+        # context — certificate verification checks the name against it
+        self.tls_hostname = tls_hostname
         self.sock = None
         self.parameters: dict[str, str] = {}
 
@@ -170,7 +173,7 @@ class PgReplicationClient:
                 "ssl = off on the server?")
         ctx = self.ssl_context or default_tls_context()
         self.sock = ctx.wrap_socket(self.sock,
-                                    server_hostname="localhost")
+                                    server_hostname=self.tls_hostname)
 
     def connect(self) -> dict:
         self.sock = self.sock_factory()

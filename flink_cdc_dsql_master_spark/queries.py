@@ -4524,6 +4524,14 @@ def cdc_binlog_client_e2e_crc32(spark, sf_dir):
     assert "master_binlog_checksum" in (srv.checksum_query or ""), \
         "client skipped checksum negotiation"
 
+    # the server's FIRST event is the artificial checksummed ROTATE a
+    # real dump starts with (pre-FDE); the client's events() path seeds
+    # the parser from the negotiation readback to handle it — for the
+    # file-shaped reshard below (which always starts at an FDE, like a
+    # binlog FILE does) it is dropped
+    assert wire_events[0][4] == 4, "expected the artificial ROTATE first"
+    wire_events = wire_events[1:]
+
     # reshard the CHECKSUMMED wire bytes into 8 self-contained segments
     # (each event carries its own CRC, so concatenation preserves them);
     # the executor-side parse verifies every trailer

@@ -189,19 +189,30 @@ class FullLoadCoordinator:
     def validate_table(self, table_id) -> bool:
         """information_schema existence check (:134-154); False on any
         persistent error, matching the reference's warn-and-return."""
-        # Inline a safely-quoted literal instead of a bind parameter:
-        # DB-API drivers disagree on paramstyle (duckdb '?', psycopg
-        # '%s'), and a mismatched placeholder would raise inside the
-        # blanket except below, silently turning every validation into
-        # False (ADVICE r9).
-        name_sql = table_id.table.replace("'", "''")
-
+        # Bind with the DRIVER's declared paramstyle (ADVICE r9: a
+        # hardcoded '?' raised on psycopg and the blanket except turned
+        # every validation into False). A bind parameter — not an
+        # inlined literal — keeps dialect-specific escaping (backslash
+        # strings, quote styles) out of the query entirely.
         def _check():
             conn = self.conn_factory()
             try:
-                cur = conn.execute(
-                    "SELECT 1 FROM information_schema.tables "
-                    f"WHERE table_name = '{name_sql}' LIMIT 1")
+                import sys as _sys
+
+                mod = _sys.modules.get(
+                    type(conn).__module__.split(".")[0])
+                style = getattr(mod, "paramstyle", "qmark")
+                sql = ("SELECT 1 FROM information_schema.tables "
+                       "WHERE table_name = {} LIMIT 1")
+                if style in ("format", "pyformat"):
+                    cur = conn.execute(sql.format("%s"),
+                                       [table_id.table])
+                elif style == "numeric":
+                    cur = conn.execute(sql.format(":1"),
+                                       [table_id.table])
+                else:  # qmark (duckdb, sqlite) — the DB-API default
+                    cur = conn.execute(sql.format("?"),
+                                       [table_id.table])
                 return cur.fetchone() is not None
             finally:
                 conn.close()

@@ -628,8 +628,23 @@ class FakeMySQLReplicaServer:
             while True:                          # command phase
                 cmd, _ = read_packet(conn)
                 if cmd[0] == 0x03:               # COM_QUERY
-                    self.checksum_query = cmd[1:].decode("utf-8")
-                    write_packet(conn, b"\x00\x00\x00\x02\x00\x00\x00", 1)
+                    q = cmd[1:].decode("utf-8")
+                    if q.upper().startswith("SELECT"):
+                        # @@global.binlog_checksum readback — classic
+                        # text-protocol resultset
+                        val = (b"CRC32" if self.serve_checksummed
+                               else b"NONE")
+                        seq = write_packet(conn, b"\x01", 1)
+                        seq = write_packet(conn, b"\x03defXXXX", seq)
+                        seq = write_packet(conn, b"\xfe\x00\x00\x02\x00",
+                                           seq)
+                        seq = write_packet(conn, bytes([len(val)]) + val,
+                                           seq)
+                        write_packet(conn, b"\xfe\x00\x00\x02\x00", seq)
+                    else:
+                        self.checksum_query = q
+                        write_packet(conn,
+                                     b"\x00\x00\x00\x02\x00\x00\x00", 1)
                 elif cmd[0] == 0x15:             # COM_REGISTER_SLAVE
                     write_packet(conn, b"\x00\x00\x00\x02\x00\x00\x00", 1)
                 elif cmd[0] == 0x12:             # COM_BINLOG_DUMP
@@ -648,8 +663,18 @@ class FakeMySQLReplicaServer:
                                b"events with the checksum that source "
                                b"is configured to log", 1)
                 return
+            stream = list(self.events)
+            if self.serve_checksummed:
+                # a real server's FIRST dump event is an artificial
+                # ROTATE (timestamp 0), checksummed per the negotiated
+                # algorithm and sent BEFORE any FDE — the case that
+                # breaks parsers seeded with checksum off
+                from .binlog import crc32_frame, encode_rotate
+
+                stream.insert(0, crc32_frame(
+                    encode_rotate(4, "binlog.000001")))
             seq = 1
-            for ev in self.events:
+            for ev in stream:
                 seq = write_packet(conn, b"\x00" + ev, seq)
             write_packet(conn, b"\xfe\x00\x00\x02\x00", seq)
         finally:

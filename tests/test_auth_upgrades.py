@@ -304,8 +304,9 @@ def test_mysql_client_tls_caching_sha2_crc32_end_to_end():
     assert srv.auth_ok is True
     assert "master_binlog_checksum" in srv.checksum_query
     assert [e["kind"] for e in parsed] == [
-        "format_description", "table_map", "write_rows", "xid"]
-    assert parsed[0]["checksum_alg"] == 1
+        "rotate", "format_description", "table_map", "write_rows",
+        "xid"]
+    assert parsed[1]["checksum_alg"] == 1
 
 
 def test_mysql_client_tls_unavailable_fails_loudly():
