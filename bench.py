@@ -166,6 +166,12 @@ def main() -> int:
                                                       scenario="binlog")
         streaming_rc = streaming_rc or bench_streaming.gate(
             out["streaming_binlog"], section="binlog_")
+        # third scenario: framed pgoutput segments through the byte
+        # decoder — the postgres-shaped pipeline's wire-to-sink latency
+        out["streaming_pgoutput"] = bench_streaming.run(
+            spark, scenario="pgoutput")
+        streaming_rc = streaming_rc or bench_streaming.gate(
+            out["streaming_pgoutput"], section="pgoutput_")
     line = json.dumps(out)
     print(line, flush=True)
     # durable copy of the same line (VERDICT r9 "what's wrong" #4: the

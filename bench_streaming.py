@@ -127,6 +127,79 @@ def build_fixture_binlog(spark) -> str:
     return out
 
 
+def build_fixture_pgoutput(spark) -> str:
+    """Encode the 10× events into N_FILES framed pgoutput segment files,
+    once (cached) — the Postgres twin of the binlog fixture, encoded
+    DISTRIBUTED (one self-contained Relation + multi-insert segment per
+    partition)."""
+    from pyspark.sql import functions as F
+
+    out = os.path.join(_repo(), ".scale_data",
+                       f"stream_bench_pgout_v{GEN_VERSION}")
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    shutil.rmtree(out, ignore_errors=True)
+    os.makedirs(out)
+    ev = (spark.read.parquet(_events_10x_path())
+          .select("event_id", "user_id", "event_type", "value")
+          .repartition(N_FILES, "event_id"))
+
+    def encode_segment(batches):
+        import pandas as pd
+
+        from flink_cdc_dsql_master_spark.pgoutput import (
+            encode_frames, encode_insert, encode_relation)
+
+        oid = 9001
+        msgs = [(1, encode_relation(oid, "bench", "events",
+                                    [("event_id", True, 20),
+                                     ("user_id", False, 20),
+                                     ("event_type", False, 25),
+                                     ("value", False, 701)]))]
+        for pdf in batches:
+            for eid, uid, etype, val in pdf.itertuples(index=False,
+                                                       name=None):
+                msgs.append((int(eid) * 2, encode_insert(
+                    oid, [str(eid), str(uid), etype,
+                          repr(float(val))])))
+        yield pd.DataFrame({"blob": [encode_frames(msgs)]})
+
+    blobs = [r["blob"] for r in
+             ev.mapInPandas(encode_segment, "blob binary").collect()]
+    for i, blob in enumerate(blobs):
+        with open(os.path.join(out, f"seg{i:02d}.pgout"), "wb") as f:
+            f.write(bytes(blob))
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _pipeline_pgoutput(src_dir: str):
+    from flink_cdc_dsql_master_spark.pipeline import (PipelineDef, SinkDef,
+                                                      SourceDef)
+    from flink_cdc_dsql_master_spark.route import RouteRule
+    from flink_cdc_dsql_master_spark.transform import TransformRule
+
+    return PipelineDef(
+        source=SourceDef("file-pgoutput", {
+            "path": src_dir,
+            "schema": ("event_id bigint, user_id bigint, "
+                       "event_type string, value double"),
+            "table": "bench.public.events_pg",
+            "primary-keys": ["event_id"],
+            "reader-options": {"maxFilesPerTrigger": "1"},
+        }),
+        sink=SinkDef("parquet"),
+        transforms=(TransformRule(
+            r"bench\.public\.events_pg",
+            projection=("event_id, user_id, UPPER(event_type) AS "
+                        "event_type, value")),),
+        routes=(RouteRule(r"bench\.public\.events_pg",
+                          "analytics.out.events_pg"),),
+    )
+
+
 def _pipeline_binlog(src_dir: str):
     from flink_cdc_dsql_master_spark.pipeline import (PipelineDef, SinkDef,
                                                       SourceDef)
@@ -182,8 +255,9 @@ def run(spark, warm: bool = True, scenario: str = "debezium") -> dict:
     """Run the latency bench; returns the streaming metrics dict.
 
     Scenarios: ``debezium`` (JSON-lines envelope files → from_json
-    decode) and ``binlog`` (raw binlog v4 segment files → byte decode)
-    — same composed pipeline downstream of the decode."""
+    decode), ``binlog`` (raw binlog v4 segment files → byte decode) and
+    ``pgoutput`` (framed pgoutput message segments → byte decode) —
+    same composed pipeline downstream of the decode."""
     import tempfile
 
     from flink_cdc_dsql_master_spark.compose import compose_changelog_stream
@@ -192,6 +266,10 @@ def run(spark, warm: bool = True, scenario: str = "debezium") -> dict:
         src_all = build_fixture_binlog(spark)
         pipeline_of = _pipeline_binlog
         suffix = ".binlog"
+    elif scenario == "pgoutput":
+        src_all = build_fixture_pgoutput(spark)
+        pipeline_of = _pipeline_pgoutput
+        suffix = ".pgout"
     else:
         src_all = build_fixture(spark)
         pipeline_of = _pipeline
