@@ -164,14 +164,17 @@ def main() -> int:
         # decoder — wire-to-sink latency of the mysql-shaped pipeline
         out["streaming_binlog"] = bench_streaming.run(spark,
                                                       scenario="binlog")
-        streaming_rc = streaming_rc or bench_streaming.gate(
-            out["streaming_binlog"], section="binlog_")
+        # gate() must RUN for every scenario (it also freezes missing
+        # baseline sections) — never short-circuit it behind an earlier
+        # failure
+        streaming_rc = bench_streaming.gate(
+            out["streaming_binlog"], section="binlog_") or streaming_rc
         # third scenario: framed pgoutput segments through the byte
         # decoder — the postgres-shaped pipeline's wire-to-sink latency
         out["streaming_pgoutput"] = bench_streaming.run(
             spark, scenario="pgoutput")
-        streaming_rc = streaming_rc or bench_streaming.gate(
-            out["streaming_pgoutput"], section="pgoutput_")
+        streaming_rc = bench_streaming.gate(
+            out["streaming_pgoutput"], section="pgoutput_") or streaming_rc
     line = json.dumps(out)
     print(line, flush=True)
     # durable copy of the same line (VERDICT r9 "what's wrong" #4: the

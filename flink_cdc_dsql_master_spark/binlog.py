@@ -1187,15 +1187,24 @@ def decode_binlog(df: DataFrame, payload_schema: T.StructType,
     from pyspark.sql import functions as F
 
     names = [f.name for f in payload_schema.fields]
+    # BinaryType payload fields carry raw bytes through the
+    # intermediate frame (a genuine BLOB column must stay bytes);
+    # everything else rides as text
+    is_binary = [isinstance(f.dataType, T.BinaryType)
+                 for f in payload_schema.fields]
     out_schema = T.StructType(
-        [T.StructField(n, T.StringType()) for n in names]
+        [T.StructField(n, T.BinaryType() if b else T.StringType())
+         for n, b in zip(names, is_binary)]
         + [T.StructField(OP_COLUMN, T.StringType()),
            T.StructField("__pos", T.LongType()),
            T.StructField("__after", T.IntegerType())])
 
-    def fmt(v):
+    def fmt(v, binary: bool):
         if v is None:
             return None
+        if binary:
+            return bytes(v) if isinstance(v, (bytes, bytearray)) \
+                else str(v).encode("utf-8")
         if isinstance(v, (bytes, bytearray)):
             # BLOB/TEXT share a type code; TEXT is the overwhelmingly
             # common case in document pipelines. STRICT decode: mangling
@@ -1205,13 +1214,16 @@ def decode_binlog(df: DataFrame, payload_schema: T.StructType,
                 return bytes(v).decode("utf-8")
             except UnicodeDecodeError as e:
                 raise WireFormatError(
-                    "BLOB column holds non-UTF-8 bytes — route binary "
-                    f"columns to a binary-typed payload field: {e}"
-                ) from e
+                    "BLOB column holds non-UTF-8 bytes — declare the "
+                    "payload field as BinaryType to carry raw bytes: "
+                    f"{e}") from e
         return str(v)
 
     def decode(batches):
         import pandas as pd
+
+        def conv(r):
+            return [fmt(v, b) for v, b in zip(r, is_binary)]
 
         for pdf in batches:
             rows = []
@@ -1223,14 +1235,14 @@ def decode_binlog(df: DataFrame, payload_schema: T.StructType,
                     pos = e["log_pos"]
                     if e["kind"] == "write_rows":
                         for r in e["rows"]:
-                            rows.append([*map(fmt, r), "+I", pos, 1])
+                            rows.append([*conv(r), "+I", pos, 1])
                     elif e["kind"] == "delete_rows":
                         for r in e["rows"]:
-                            rows.append([*map(fmt, r), "-D", pos, 1])
+                            rows.append([*conv(r), "-D", pos, 1])
                     elif e["kind"] == "update_rows":
                         for before, after in e["rows"]:
-                            rows.append([*map(fmt, before), "-U", pos, 0])
-                            rows.append([*map(fmt, after), "+U", pos, 1])
+                            rows.append([*conv(before), "-U", pos, 0])
+                            rows.append([*conv(after), "+U", pos, 1])
             yield pd.DataFrame(rows, columns=[f.name
                                               for f in out_schema.fields])
 

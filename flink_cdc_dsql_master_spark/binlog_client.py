@@ -393,8 +393,9 @@ class BinlogClient:
         parser = None
         for ev in self.dump(log_file, log_pos):
             if parser is None:
-                parser = BinlogParser(
-                    checksum_alg=getattr(self, "checksum_alg", 0))
+                # created lazily: dump()'s readback has run by the time
+                # its first event arrives
+                parser = BinlogParser(checksum_alg=self.checksum_alg)
             yield from parser.feed(ev)
 
     def close(self) -> None:

@@ -4427,6 +4427,11 @@ def cdc_binlog_client_e2e(spark, sf_dir):
     srv.join()
     assert srv.auth_ok, "fake server rejected the client's scramble"
 
+    # a real dump ALWAYS starts with the artificial ROTATE (pre-FDE);
+    # binlog FILES start at an FDE, so the file-shaped reshard drops it
+    assert wire_events[0][4] == 4, "expected the artificial ROTATE first"
+    wire_events = wire_events[1:]
+
     # reshard the per-event wire bytes into 8 self-contained segments
     # (header = the FDE + TABLE_MAP that arrived over the wire) for a
     # distributed decode — parallelism a real tail gets from rotation

@@ -89,10 +89,32 @@ def schema_change_ddl(table: str, events, schema: Schema) -> list[str]:
     return out
 
 
-def upsert_sql(table: str, columns: list[str], primary_keys: list[str]) -> str:
+def dbapi_paramstyle(conn) -> str:
+    """The connection's driver-declared DB-API paramstyle (a module
+    attribute per PEP 249), defaulting to qmark. A hardcoded '?' raised
+    on psycopg (pyformat) and vice versa — ADVICE r9."""
+    import sys as _sys
+
+    mod = _sys.modules.get(type(conn).__module__.split(".")[0])
+    return getattr(mod, "paramstyle", "qmark")
+
+
+def _markers(style: str, n: int) -> list[str]:
+    """Positional bind markers for a paramstyle. Drivers declaring
+    ``named`` (python-oracledb) also accept numbered positional binds,
+    so named maps to numeric rather than requiring dict rows."""
+    if style in ("format", "pyformat"):
+        return ["%s"] * n
+    if style in ("numeric", "named"):
+        return [f":{i + 1}" for i in range(n)]
+    return ["?"] * n  # qmark — the DB-API default
+
+
+def upsert_sql(table: str, columns: list[str], primary_keys: list[str],
+               paramstyle: str = "qmark") -> str:
     """``INSERT .. ON CONFLICT (pk) DO UPDATE`` (DsqlBatchSinkFunction:121)."""
     collist = ", ".join(f'"{c}"' for c in columns)
-    params = ", ".join("?" for _ in columns)
+    params = ", ".join(_markers(paramstyle, len(columns)))
     pklist = ", ".join(f'"{k}"' for k in primary_keys)
     sets = ", ".join(
         f'"{c}" = excluded."{c}"' for c in columns if c not in primary_keys)
@@ -103,8 +125,11 @@ def upsert_sql(table: str, columns: list[str], primary_keys: list[str]) -> str:
             f'ON CONFLICT ({pklist}) DO UPDATE SET {sets}')
 
 
-def delete_sql(table: str, primary_keys: list[str]) -> str:
-    cond = " AND ".join(f'"{k}" = ?' for k in primary_keys)
+def delete_sql(table: str, primary_keys: list[str],
+               paramstyle: str = "qmark") -> str:
+    ms = _markers(paramstyle, len(primary_keys))
+    cond = " AND ".join(f'"{k}" = {m}'
+                        for k, m in zip(primary_keys, ms))
     return f'DELETE FROM {table} WHERE {cond}'
 
 
@@ -197,22 +222,11 @@ class FullLoadCoordinator:
         def _check():
             conn = self.conn_factory()
             try:
-                import sys as _sys
-
-                mod = _sys.modules.get(
-                    type(conn).__module__.split(".")[0])
-                style = getattr(mod, "paramstyle", "qmark")
-                sql = ("SELECT 1 FROM information_schema.tables "
-                       "WHERE table_name = {} LIMIT 1")
-                if style in ("format", "pyformat"):
-                    cur = conn.execute(sql.format("%s"),
-                                       [table_id.table])
-                elif style == "numeric":
-                    cur = conn.execute(sql.format(":1"),
-                                       [table_id.table])
-                else:  # qmark (duckdb, sqlite) — the DB-API default
-                    cur = conn.execute(sql.format("?"),
-                                       [table_id.table])
+                (marker,) = _markers(dbapi_paramstyle(conn), 1)
+                cur = conn.execute(
+                    "SELECT 1 FROM information_schema.tables "
+                    f"WHERE table_name = {marker} LIMIT 1",
+                    [table_id.table])
                 return cur.fetchone() is not None
             finally:
                 conn.close()
@@ -289,8 +303,6 @@ class JdbcUpsertSink:
         conn_factory = self.conn_factory
         table, batch_size = self.table, self.batch_size
         retry = self.retry
-        up_sql = upsert_sql(table, cols, pks)
-        del_sql = delete_sql(table, pks)
         pk_idx = [cols.index(k) for k in pks]
         has_op = OP_COLUMN in df.columns
 
@@ -299,6 +311,11 @@ class JdbcUpsertSink:
             if not rows:
                 return
             conn = conn_factory()
+            # placeholders per the DRIVER's declared paramstyle, decided
+            # where the connection exists (psycopg %s, duckdb ?, ...)
+            style = dbapi_paramstyle(conn)
+            up_sql = upsert_sql(table, cols, pks, style)
+            del_sql = delete_sql(table, pks, style)
             try:
                 ups, dels = [], []
                 for r in rows:

@@ -663,16 +663,16 @@ class FakeMySQLReplicaServer:
                                b"events with the checksum that source "
                                b"is configured to log", 1)
                 return
-            stream = list(self.events)
-            if self.serve_checksummed:
-                # a real server's FIRST dump event is an artificial
-                # ROTATE (timestamp 0), checksummed per the negotiated
-                # algorithm and sent BEFORE any FDE — the case that
-                # breaks parsers seeded with checksum off
-                from .binlog import crc32_frame, encode_rotate
+            # a real server's FIRST dump event is ALWAYS an artificial
+            # ROTATE (timestamp 0), sent BEFORE any FDE — and trailed
+            # with a CRC when the server checksums (the case that
+            # breaks parsers seeded with checksum off)
+            from .binlog import crc32_frame, encode_rotate
 
-                stream.insert(0, crc32_frame(
-                    encode_rotate(4, "binlog.000001")))
+            rot = encode_rotate(4, "binlog.000001")
+            if self.serve_checksummed:
+                rot = crc32_frame(rot)
+            stream = [rot] + list(self.events)
             seq = 1
             for ev in stream:
                 seq = write_packet(conn, b"\x00" + ev, seq)

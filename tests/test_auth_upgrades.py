@@ -152,7 +152,8 @@ def test_mysql_client_caching_sha2_end_to_end():
     srv.join(5)
     assert srv.auth_ok is True
     assert [e["kind"] for e in parsed] == [
-        "format_description", "table_map", "write_rows", "xid"]
+        "rotate", "format_description", "table_map", "write_rows",
+        "xid"]
 
 
 def test_mysql_client_caching_sha2_wrong_password():
@@ -192,7 +193,7 @@ def test_mysql_client_auth_switch_request():
     cli.close()
     srv.join(5)
     assert srv.auth_ok is True
-    assert parsed[2]["rows"] == [[1, "a"]]
+    assert parsed[3]["rows"] == [[1, "a"]]
 
 
 def test_start_replication_option_negotiation():

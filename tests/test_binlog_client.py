@@ -74,9 +74,11 @@ def test_client_full_protocol_roundtrip():
     srv.join(5)
     assert srv.auth_ok is True
     assert "master_binlog_checksum" in srv.checksum_query
+    # a real dump always leads with the artificial pre-FDE ROTATE
     assert [e["kind"] for e in parsed] == [
-        "format_description", "table_map", "write_rows", "xid"]
-    assert parsed[2]["rows"] == [[1, "a"], [2, "b"]]
+        "rotate", "format_description", "table_map", "write_rows",
+        "xid"]
+    assert parsed[3]["rows"] == [[1, "a"], [2, "b"]]
 
 
 def test_client_rejected_on_bad_password():

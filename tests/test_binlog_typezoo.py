@@ -229,3 +229,39 @@ def test_partial_row_image_fails_loudly():
     blob = encode_table_map(5, "db", "t", cols, 120) + ev
     with pytest.raises(WireFormatError, match="binlog_row_image"):
         parse_binlog(blob)
+
+
+def test_blob_binary_payload_field_roundtrips(spark):
+    """A genuine BLOB column declared BinaryType in the payload schema
+    carries its raw (non-UTF-8) bytes through decode_binlog untouched;
+    the same bytes under a StringType field fail loudly with guidance."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_dsql_master_spark.binlog import (MAGIC,
+                                                    MYSQL_TYPE_BLOB,
+                                                    MYSQL_TYPE_LONGLONG,
+                                                    decode_binlog,
+                                                    encode_fde,
+                                                    encode_table_map,
+                                                    encode_write_rows)
+
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_BLOB, 2)]
+    payloads = [b"\x00\x01\xfe\xff", b"\x89PNG\r\n\x1a\n"]
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(5, "db", "t", cols, 200)
+            + encode_write_rows(5, cols,
+                                [[i + 1, p] for i, p in
+                                 enumerate(payloads)], 300))
+    raw = spark.createDataFrame([(blob,)], "value binary")
+
+    bin_schema = T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("data", T.BinaryType())])
+    got = {r["k"]: bytes(r["data"]) for r in
+           decode_binlog(raw, bin_schema).collect()}
+    assert got == {1: payloads[0], 2: payloads[1]}
+
+    str_schema = T.StructType([T.StructField("k", T.LongType()),
+                               T.StructField("data", T.StringType())])
+    with pytest.raises(Exception) as ei:
+        decode_binlog(raw, str_schema).collect()
+    assert "BinaryType" in str(ei.value)
