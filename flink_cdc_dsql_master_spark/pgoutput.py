@@ -151,9 +151,28 @@ def pg_binary_to_text(type_oid: int, raw: bytes) -> str:
         if type_oid == 20:  # int8
             return str(struct.unpack(">q", raw)[0])
         if type_oid == 700:  # float4
-            return repr(struct.unpack(">f", raw)[0])
+            v = struct.unpack(">f", raw)[0]
+            if v != v:
+                return "NaN"  # PG text spellings for specials
+            if v in (float("inf"), float("-inf")):
+                return "Infinity" if v > 0 else "-Infinity"
+            # PG's text protocol sends the float4-SHORTEST string
+            # (extra_float_digits ≥ 1, the ≥ 12 default); repr() of the
+            # double-widened value would leak widening noise like
+            # '0.10000000149011612' (ADVICE r10). Emit the shortest
+            # decimal that round-trips through float32.
+            for prec in range(1, 10):
+                s = f"{v:.{prec}g}"
+                if struct.pack(">f", float(s)) == raw:
+                    return s
+            return repr(v)  # unreachable: 9 sig digits round-trip f32
         if type_oid == 701:  # float8
-            return repr(struct.unpack(">d", raw)[0])
+            v = struct.unpack(">d", raw)[0]
+            if v != v:
+                return "NaN"
+            if v in (float("inf"), float("-inf")):
+                return "Infinity" if v > 0 else "-Infinity"
+            return repr(v)  # repr is double-shortest already
         if type_oid in (25, 1043, 1042):  # text / varchar / bpchar
             return raw.decode("utf-8")
         if type_oid == 1082:  # date: int4 days since 2000-01-01
@@ -509,7 +528,9 @@ def with_stream_xid(msg: bytes, xid: int) -> bytes:
 def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
                     msg_col: str = "value",
                     lsn_col: str = "lsn",
-                    primary_keys: list[str] | None = None) -> DataFrame:
+                    primary_keys: list[str] | None = None,
+                    lsn_range: tuple[int | None, int | None] | None = None
+                    ) -> DataFrame:
     """(lsn, message-bytes) frame → +I/-U/+U/-D changelog with the
     payload columns CAST from pgoutput's text format into
     ``payload_schema``'s types, ``__seq`` = LSN·2 (+1 for after-images,
@@ -531,7 +552,16 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
     apply uses, so AQE coalesces them); a 'u' with NO prior image in the
     batch raises (the stream must be resumed from a point that includes
     the row's last full image). Without ``primary_keys`` any 'u' raises
-    WireFormatError — never silently NULL (ADVICE r9)."""
+    WireFormatError — never silently NULL (ADVICE r9).
+
+    ``lsn_range=(lo, hi)`` emits only data messages with
+    ``lo < lsn < hi`` (None = open bound) — how the Relation-diff-aware
+    composer decodes each schema epoch with the schema current at those
+    LSNs; Relation / stream-control messages are always processed so the
+    per-OID registry and the v2 stream-block state stay correct. A tuple
+    whose width differs from ``payload_schema`` raises WireFormatError
+    naming both counts (a re-sent Relation with a changed column set is
+    a schema change, not a shape accident; VERDICT r10 ask #5)."""
     from pyspark.sql import functions as F
 
     names = [f.name for f in payload_schema.fields]
@@ -541,8 +571,16 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
            T.StructField("__lsn", T.LongType()),
            T.StructField("__after", T.IntegerType())])
     resolve_toast = primary_keys is not None
+    lo_lsn, hi_lsn = lsn_range if lsn_range is not None else (None, None)
 
-    def vals(tup, type_oids):
+    def vals(tup, type_oids, oid=None):
+        if len(tup) != len(names):
+            raise WireFormatError(
+                f"TupleData width {len(tup)} != payload schema width "
+                f"{len(names)} for relation OID {oid} — the upstream "
+                "relation changed shape (ALTER TABLE?); apply the "
+                "schema change through the Relation-diff-aware stream "
+                "composer before decoding subsequent tuples")
         out = []
         for i, v in enumerate(tup):
             if v is UNCHANGED:
@@ -579,19 +617,25 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
             rows = []
 
             def data_rows(m, lsn):
-                oids = rel_types.get(m.get("oid"))
+                if (lo_lsn is not None and lsn <= lo_lsn) or \
+                        (hi_lsn is not None and lsn >= hi_lsn):
+                    return []
+                oid = m.get("oid")
+                oids = rel_types.get(oid)
                 if m["kind"] == "insert":
-                    return [[*vals(m["new"], oids), "+I", int(lsn), 1]]
+                    return [[*vals(m["new"], oids, oid), "+I",
+                             int(lsn), 1]]
                 if m["kind"] == "update":
                     out = []
                     if m["old"] is not None:
-                        out.append([*vals(m["old"], oids), "-U",
+                        out.append([*vals(m["old"], oids, oid), "-U",
                                     int(lsn), 0])
-                    out.append([*vals(m["new"], oids), "+U",
+                    out.append([*vals(m["new"], oids, oid), "+U",
                                 int(lsn), 1])
                     return out
                 if m["kind"] == "delete":
-                    return [[*vals(m["old"], oids), "-D", int(lsn), 1]]
+                    return [[*vals(m["old"], oids, oid), "-D",
+                             int(lsn), 1]]
                 if m["kind"] == "truncate":
                     return [[*([None] * len(names)), "-T", int(lsn), 1]]
                 return []
@@ -723,11 +767,126 @@ def decode_frames(blob: bytes) -> list[tuple[int, bytes]]:
     return out
 
 
+# -- Relation-diff schema changes (the pg face of wire-stream evolution) -----
+
+# type OID → reference type string (pg_type.dat names; the subset the
+# binary decode also speaks). VARCHAR/CHAR/NUMERIC refine via atttypmod.
+_OID_TYPE_STRINGS = {
+    16: "BOOLEAN", 21: "SMALLINT", 23: "INT", 20: "BIGINT",
+    700: "FLOAT", 701: "DOUBLE", 25: "STRING",
+    1082: "DATE", 1114: "TIMESTAMP", 1184: "TIMESTAMP_LTZ",
+}
+
+
+def oid_type_string(type_oid: int, typmod: int = -1) -> str:
+    """Relation-message (type OID, atttypmod) → reference type string
+    (types.parse_type dialect). typmod layouts per the PG catalogs:
+    varchar/bpchar = max length + 4; numeric = ((p << 16) | s) + 4."""
+    if type_oid in (1043, 1042):  # varchar / bpchar
+        kind = "VARCHAR" if type_oid == 1043 else "CHAR"
+        if typmod >= 4:
+            return f"{kind}({typmod - 4})"
+        return "STRING"
+    if type_oid == 1700:  # numeric
+        if typmod >= 4:
+            pm = typmod - 4
+            return f"DECIMAL({(pm >> 16) & 0xFFFF},{pm & 0xFFFF})"
+        return "DECIMAL(38,18)"
+    try:
+        return _OID_TYPE_STRINGS[type_oid]
+    except KeyError:
+        raise WireFormatError(
+            f"no reference type mapping for type OID {type_oid} — "
+            "extend _OID_TYPE_STRINGS or use a text-mode column type")
+
+
+def relation_schema_events(prev_columns, new_columns, table_id) -> list:
+    """Diff two Relation-message column lists (dicts with name/type_oid/
+    typmod) into SchemaChangeEvents: new names → AddColumnEvent (typed
+    via the OID map, appended in relation order), dropped names →
+    DropColumnEvent, same name with a different OID/typmod →
+    AlterColumnTypeEvent. The reference derives the same three kinds
+    from Debezium's relation metadata (PostgresEventDeserializer +
+    SchemaDerivator); a RENAME is indistinguishable from drop+add at
+    this layer (pgoutput carries no column identity), so it surfaces as
+    exactly that — LENIENT keeps the old column, matching the
+    reference's lenient rename rewrite."""
+    from .events import (AddColumnEvent, AlterColumnTypeEvent,
+                         ColumnPosition, DropColumnEvent)
+
+    prev_by_name = {c["name"]: c for c in prev_columns}
+    new_names = {c["name"] for c in new_columns}
+    events = []
+    anchor = None
+    for c in new_columns:
+        old = prev_by_name.get(c["name"])
+        if old is None:
+            events.append(AddColumnEvent(
+                table_id, c["name"],
+                oid_type_string(c["type_oid"], c.get("typmod", -1)),
+                position=(ColumnPosition.AFTER if anchor
+                          else ColumnPosition.FIRST),
+                anchor=anchor))
+        elif (old["type_oid"] != c["type_oid"]
+              or old.get("typmod", -1) != c.get("typmod", -1)):
+            events.append(AlterColumnTypeEvent(
+                table_id, c["name"],
+                oid_type_string(c["type_oid"], c.get("typmod", -1))))
+        anchor = c["name"]
+    for c in prev_columns:
+        if c["name"] not in new_names:
+            events.append(DropColumnEvent(table_id, c["name"]))
+    return events
+
+
+def extract_pgoutput_relations(df: DataFrame,
+                               blob_col: str = "value") -> DataFrame:
+    """Distributed control-plane scan over FRAMED segment blobs: return
+    only the Relation messages as ``(lsn, oid, namespace, name,
+    columns_json)`` rows (columns_json = JSON list of name/key/type_oid/
+    typmod dicts). Relations are a handful per micro-batch, so the
+    caller may collect() — the same bounded shape as extract_binlog_ddl.
+    Protocol-v2 in-stream Relations are surfaced too (their xid prefix
+    is handled by the stateful parse)."""
+    out_schema = T.StructType([
+        T.StructField("lsn", T.LongType()),
+        T.StructField("oid", T.LongType()),
+        T.StructField("namespace", T.StringType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("columns_json", T.StringType()),
+    ])
+
+    def scan(batches):
+        import json
+
+        import pandas as pd
+
+        streamed = False
+        for pdf in batches:
+            rows = []
+            for blob in pdf[blob_col]:
+                for lsn, raw in decode_frames(bytes(blob)):
+                    m = parse_message(raw, streamed=streamed)
+                    if m["kind"] == "stream_start":
+                        streamed = True
+                    elif m["kind"] == "stream_stop":
+                        streamed = False
+                    elif m["kind"] == "relation":
+                        rows.append([int(lsn), m["oid"], m["namespace"],
+                                     m["name"],
+                                     json.dumps(m["columns"])])
+            yield pd.DataFrame(rows, columns=[f.name
+                                              for f in out_schema.fields])
+
+    return df.mapInPandas(scan, out_schema)
+
+
 def decode_pgoutput_segments(df: DataFrame,
                              payload_schema: T.StructType,
                              blob_col: str = "value",
-                             primary_keys: list[str] | None = None
-                             ) -> DataFrame:
+                             primary_keys: list[str] | None = None,
+                             lsn_range: tuple[int | None, int | None]
+                             | None = None) -> DataFrame:
     """Like :func:`decode_pgoutput` but over FRAMED segment blobs (one
     [LSN][len][message] run per input row) — the shape the file-backed
     stream delivers. ``primary_keys`` enables unchanged-TOAST resolution
@@ -750,7 +909,8 @@ def decode_pgoutput_segments(df: DataFrame,
             yield pd.DataFrame(rows, columns=["lsn", "value"])
 
     return decode_pgoutput(df.mapInPandas(unframe, frames_schema),
-                           payload_schema, primary_keys=primary_keys)
+                           payload_schema, primary_keys=primary_keys,
+                           lsn_range=lsn_range)
 
 
 _BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "

@@ -100,14 +100,27 @@ def dbapi_paramstyle(conn) -> str:
 
 
 def _markers(style: str, n: int) -> list[str]:
-    """Positional bind markers for a paramstyle. Drivers declaring
-    ``named`` (python-oracledb) also accept numbered positional binds,
-    so named maps to numeric rather than requiring dict rows."""
+    """Positional bind markers for a paramstyle. ``named`` gets REAL
+    names (:p0, :p1) and the caller converts rows to dicts with
+    :func:`_bind_rows` — PEP 249 only guarantees named-style drivers
+    accept dicts with named placeholders; numbered positional binds are
+    an oracledb extension other named drivers reject (ADVICE r10)."""
     if style in ("format", "pyformat"):
         return ["%s"] * n
-    if style in ("numeric", "named"):
+    if style == "numeric":
         return [f":{i + 1}" for i in range(n)]
+    if style == "named":
+        return [f":p{i}" for i in range(n)]
     return ["?"] * n  # qmark — the DB-API default
+
+
+def _bind_rows(style: str, rows):
+    """Adapt positional value tuples to what the paramstyle's
+    executemany expects: dicts keyed p0..pN for ``named``, the tuples
+    unchanged otherwise."""
+    if style != "named":
+        return rows
+    return [{f"p{i}": v for i, v in enumerate(r)} for r in rows]
 
 
 def upsert_sql(table: str, columns: list[str], primary_keys: list[str],
@@ -222,11 +235,13 @@ class FullLoadCoordinator:
         def _check():
             conn = self.conn_factory()
             try:
-                (marker,) = _markers(dbapi_paramstyle(conn), 1)
+                style = dbapi_paramstyle(conn)
+                (marker,) = _markers(style, 1)
+                (params,) = _bind_rows(style, [[table_id.table]])
                 cur = conn.execute(
                     "SELECT 1 FROM information_schema.tables "
                     f"WHERE table_name = {marker} LIMIT 1",
-                    [table_id.table])
+                    params)
                 return cur.fetchone() is not None
             finally:
                 conn.close()
@@ -325,10 +340,10 @@ class JdbcUpsertSink:
                     elif (not has_op) or r[OP_COLUMN] in UPSERT_OPS:
                         ups.append(vals)
                 for i in range(0, len(ups), batch_size):
-                    chunk = ups[i : i + batch_size]
+                    chunk = _bind_rows(style, ups[i : i + batch_size])
                     retry.run(lambda: conn.executemany(up_sql, chunk))
                 for i in range(0, len(dels), batch_size):
-                    chunk = dels[i : i + batch_size]
+                    chunk = _bind_rows(style, dels[i : i + batch_size])
                     retry.run(lambda: conn.executemany(del_sql, chunk))
                 if hasattr(conn, "commit"):
                     conn.commit()

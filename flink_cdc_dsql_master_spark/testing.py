@@ -525,7 +525,8 @@ class FakeMySQLReplicaServer:
     def __init__(self, events: list[bytes], username: str = "repl",
                  password: str = "", serve_checksummed: bool = False,
                  auth_plugin: str = "mysql_native_password",
-                 switch_to: str | None = None, tls: bool = False):
+                 switch_to: str | None = None, tls: bool = False,
+                 auth_cache_primed: bool = True):
         import socket
         import threading
 
@@ -536,6 +537,14 @@ class FakeMySQLReplicaServer:
         self.auth_plugin = auth_plugin
         self.tls = tls
         self.tls_established = False
+        # auth_cache_primed=False models a caching_sha2_password account
+        # whose hash cache is EMPTY (a freshly provisioned replica
+        # user): the scramble alone cannot be verified, so the server
+        # demands FULL authentication (AuthMoreData 0x04) — cleartext
+        # password over the encrypted channel. full_auth_used records
+        # that the client completed it.
+        self.auth_cache_primed = auth_cache_primed
+        self.full_auth_used = False
         # when set, reply to the handshake response with an
         # AuthSwitchRequest to this plugin (fresh nonce) — the flow a
         # server takes when the ACCOUNT's plugin differs from the
@@ -613,14 +622,33 @@ class FakeMySQLReplicaServer:
                 seq = 5
             else:
                 plugin, nonce = self.auth_plugin, self.SCRAMBLE
-            expect = auth_response_for(plugin, self.password, nonce)
-            self.auth_ok = (user.decode() == self.username
-                            and auth == expect)
+            if (plugin == "caching_sha2_password"
+                    and not self.auth_cache_primed):
+                # cache miss: a real server cannot check the scramble
+                # (it stores only the two-round SHA256 digest), so it
+                # demands full auth — cleartext password + NUL over the
+                # encrypted channel, verified directly
+                if not self.tls_established:
+                    write_packet(conn, b"\xff" + struct.pack("<H", 1045)
+                                 + b"full auth requires a secure "
+                                   b"connection", seq)
+                    return
+                seq = write_packet(conn, b"\x01\x04", seq)
+                pw, _ = read_packet(conn)
+                self.full_auth_used = True
+                self.auth_ok = (user.decode() == self.username and
+                                pw == self.password.encode() + b"\x00")
+                seq += 1
+            else:
+                expect = auth_response_for(plugin, self.password, nonce)
+                self.auth_ok = (user.decode() == self.username
+                                and auth == expect)
             if not self.auth_ok:
                 write_packet(conn, b"\xff" + struct.pack("<H", 1045)
                              + b"Access denied", seq)
                 return
-            if plugin == "caching_sha2_password":
+            if (plugin == "caching_sha2_password"
+                    and self.auth_cache_primed):
                 # fast-auth success marker, then the OK packet — the
                 # cached-entry path a real server takes
                 seq = write_packet(conn, b"\x01\x03", seq)
