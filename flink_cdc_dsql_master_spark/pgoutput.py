@@ -800,42 +800,52 @@ def oid_type_string(type_oid: int, typmod: int = -1) -> str:
             "extend _OID_TYPE_STRINGS or use a text-mode column type")
 
 
-def relation_schema_events(prev_columns, new_columns, table_id) -> list:
-    """Diff two Relation-message column lists (dicts with name/type_oid/
-    typmod) into SchemaChangeEvents: new names → AddColumnEvent (typed
-    via the OID map, appended in relation order), dropped names →
-    DropColumnEvent, same name with a different OID/typmod →
-    AlterColumnTypeEvent. The reference derives the same three kinds
-    from Debezium's relation metadata (PostgresEventDeserializer +
-    SchemaDerivator); a RENAME is indistinguishable from drop+add at
+def relation_drift_events(table_id, columns, current_struct) -> list:
+    """Diff a Relation message's column list (dicts with name/type_oid/
+    typmod) against the registry's CURRENT original schema into
+    SchemaChangeEvents: new names → AddColumnEvent (typed via the OID
+    map, positioned in relation order), vanished names →
+    DropColumnEvent, same name whose wire type WIDENS past the current
+    field → AlterColumnTypeEvent (through the merge lattice, so benign
+    representation differences — e.g. TIMESTAMP vs TIMESTAMP_LTZ
+    declarations — do not thrash). The reference derives the same
+    kinds from Debezium's relation metadata (PostgresEventDeserializer
+    + SchemaDerivator). A RENAME is indistinguishable from drop+add at
     this layer (pgoutput carries no column identity), so it surfaces as
     exactly that — LENIENT keeps the old column, matching the
-    reference's lenient rename rewrite."""
+    reference's lenient rewrite. Diffing against the (checkpointable)
+    schema registry rather than the previous Relation message makes the
+    diff restart-safe: pgoutput re-sends Relation at the start of every
+    new connection, and an unchanged re-send must produce no events."""
     from .events import (AddColumnEvent, AlterColumnTypeEvent,
                          ColumnPosition, DropColumnEvent)
+    from .merging import merge_fields
+    from .types import parse_type, to_struct_field
 
-    prev_by_name = {c["name"]: c for c in prev_columns}
-    new_names = {c["name"] for c in new_columns}
+    cur = {f.name: f for f in current_struct.fields}
+    new_names = set()
     events = []
     anchor = None
-    for c in new_columns:
-        old = prev_by_name.get(c["name"])
-        if old is None:
+    for c in columns:
+        ts = oid_type_string(c["type_oid"], c.get("typmod", -1))
+        new_names.add(c["name"])
+        if c["name"] not in cur:
             events.append(AddColumnEvent(
-                table_id, c["name"],
-                oid_type_string(c["type_oid"], c.get("typmod", -1)),
+                table_id, c["name"], ts,
                 position=(ColumnPosition.AFTER if anchor
                           else ColumnPosition.FIRST),
                 anchor=anchor))
-        elif (old["type_oid"] != c["type_oid"]
-              or old.get("typmod", -1) != c.get("typmod", -1)):
-            events.append(AlterColumnTypeEvent(
-                table_id, c["name"],
-                oid_type_string(c["type_oid"], c.get("typmod", -1))))
+        else:
+            incoming = to_struct_field(c["name"], parse_type(ts))
+            if incoming.dataType != cur[c["name"]].dataType:
+                widened = merge_fields(cur[c["name"]], incoming)
+                if widened.dataType != cur[c["name"]].dataType:
+                    events.append(AlterColumnTypeEvent(
+                        table_id, c["name"], ts))
         anchor = c["name"]
-    for c in prev_columns:
-        if c["name"] not in new_names:
-            events.append(DropColumnEvent(table_id, c["name"]))
+    for f in current_struct.fields:
+        if f.name not in new_names:
+            events.append(DropColumnEvent(table_id, f.name))
     return events
 
 

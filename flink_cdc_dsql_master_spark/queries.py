@@ -3260,6 +3260,216 @@ def changelog_binlog_stream_pipeline(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+@_q(
+    "changelog_binlog_ddl_replay",
+    """
+    SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 3 = 0 THEN c_name || '_R'
+                ELSE c_name END AS v,
+           CASE WHEN c_custkey % 3 = 0 THEN CAST(c_acctbal AS DOUBLE)
+           END AS score
+    FROM customer
+    """,
+)
+def changelog_binlog_ddl_replay(spark, sf_dir):
+    """Schema change riding the RAW MYSQL WIRE (VERDICT r10 ask #1):
+    one binlog segment carries inserts under a 2-column TABLE_MAP, then
+    an ``ALTER TABLE ADD COLUMN`` as QUERY_EVENT BYTES (not an
+    envelope), then a 3-column TABLE_MAP with UPDATE row events — the
+    streaming composer segments at the DDL's log_pos, decodes each
+    epoch with its own schema, applies the change via LENIENT evolution
+    (reference: MySqlEventDeserializer.java:105-120 →
+    CustomMySqlAntlrDdlParser → SchemaOperator), and ALTERs the DuckDB
+    sink before the post-DDL rows land. Pre-DDL rows read back with
+    NULL in the new column; post-DDL updates carry values — hash-exact
+    against the oracle's direct reconstruction."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .binlog import (MAGIC, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_LONGLONG,
+                         MYSQL_TYPE_VARCHAR, encode_fde, encode_query,
+                         encode_table_map, encode_update_rows,
+                         encode_write_rows, encode_xid)
+    from .compose import compose_binlog_ddl_changelog_stream
+    from .pipeline import PipelineDef, SinkDef, SourceDef
+    from .route import RouteRule
+    from .sinks import JdbcUpsertSink, schema_change_ddl
+
+    rows = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal").collect()
+    base = tempfile.mkdtemp(prefix="binlog_ddl_replay_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    cols2 = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 30)]
+    cols3 = cols2 + [(MYSQL_TYPE_DOUBLE, None)]
+    tid = 42
+    upd = [([r["c_custkey"], r["c_name"], None],
+            [r["c_custkey"], r["c_name"] + "_R", r["c_acctbal"]])
+           for r in rows if r["c_custkey"] % 3 == 0]
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(tid, "db", "t", cols2, 200)
+            + encode_write_rows(
+                tid, cols2,
+                [[r["c_custkey"], r["c_name"]] for r in rows], 1000)
+            + encode_xid(1, 1500)
+            + encode_query("db", "ALTER TABLE t ADD COLUMN score DOUBLE",
+                           2000)
+            + encode_table_map(tid, "db", "t", cols3, 2500)
+            + encode_update_rows(tid, cols3, upd, 3000)
+            + encode_xid(2, 3500))
+    with open(f"{src}/seg1.binlog", "wb") as f:
+        f.write(blob)
+
+    pipe = PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": src, "schema": "id bigint, v string",
+            "table": "db.s.cust_wire_ddl", "mysql-table": "t",
+            "primary-keys": ["id"]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.s.cust_wire_ddl",
+                          "out.db.cust_wire_ddl_sink"),),
+        config={"schema.change.behavior": "LENIENT"},
+    )
+
+    def writer(tid_, df, schema):
+        sink = JdbcUpsertSink(lambda p=db: duckdb.connect(p), tid_.table,
+                              schema, parallel=False, dialect="duckdb")
+        sink.ensure_table()
+        sink.write_batch(df)
+
+    def on_ddl(tid_, events, schema):
+        con = duckdb.connect(db)
+        try:
+            for sql in schema_change_ddl(tid_.table, events, schema):
+                con.execute(sql)
+            con.commit()
+        finally:
+            con.close()
+
+    q = compose_binlog_ddl_changelog_stream(
+        spark, pipe, ckpt, writer, on_schema_change=on_ddl)
+    q.awaitTermination(300)
+
+    con = duckdb.connect(db)
+    pdf = con.execute(
+        "SELECT id, v, score FROM cust_wire_ddl_sink").df()
+    con.close()
+    return spark.createDataFrame(pdf)
+
+
+@_q(
+    "changelog_pgoutput_ddl_replay",
+    """
+    SELECT c_custkey AS id,
+           CASE WHEN c_custkey % 3 = 0 THEN c_name || '_R'
+                ELSE c_name END AS v,
+           CASE WHEN c_custkey % 3 = 0 THEN CAST(c_acctbal AS DOUBLE)
+           END AS score
+    FROM customer
+    """,
+)
+def changelog_pgoutput_ddl_replay(spark, sf_dir):
+    """Schema change riding the RAW POSTGRES WIRE (VERDICT r10 ask #2):
+    a framed pgoutput segment carries inserts under a 2-column Relation,
+    then — after an upstream ``ALTER TABLE`` — the walsender re-sends
+    the Relation with a THIRD column and ships 3-wide tuples. The
+    composer diffs the re-sent Relation against the schema registry
+    (restart-safe: an unchanged re-send diffs to nothing), segments at
+    that LSN, evolves via LENIENT, and ALTERs the DuckDB sink before
+    the wider tuples land (reference analog: PostgresEventDeserializer
+    + SchemaDerivator over Debezium relation metadata)."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .compose import compose_pgoutput_ddl_changelog_stream
+    from .pgoutput import (encode_begin, encode_commit, encode_frames,
+                           encode_insert, encode_relation,
+                           encode_update)
+    from .pipeline import PipelineDef, SinkDef, SourceDef
+    from .route import RouteRule
+    from .sinks import JdbcUpsertSink, schema_change_ddl
+
+    rows = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_acctbal").collect()
+    base = tempfile.mkdtemp(prefix="pg_ddl_replay_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    oid = 77
+    rel2 = encode_relation(oid, "public", "t",
+                           [("id", True, 20), ("v", False, 25)])
+    rel3 = encode_relation(oid, "public", "t",
+                           [("id", True, 20), ("v", False, 25),
+                            ("score", False, 701)])
+    msgs = [(100, rel2), (110, encode_begin(1_000_000, 0, 9))]
+    lsn = 200
+    for r in rows:
+        msgs.append((lsn, encode_insert(
+            oid, [str(r["c_custkey"]), r["c_name"]])))
+        lsn += 10
+    msgs.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+    lsn += 10
+    msgs.append((lsn, rel3))
+    lsn += 10
+    msgs.append((lsn, encode_begin(2_000_000, 0, 10)))
+    lsn += 10
+    for r in rows:
+        if r["c_custkey"] % 3 == 0:
+            msgs.append((lsn, encode_update(
+                oid,
+                [str(r["c_custkey"]), r["c_name"] + "_R",
+                 repr(float(r["c_acctbal"]))],
+                old_vals=[str(r["c_custkey"]), r["c_name"], None],
+                old_kind="O")))
+            lsn += 10
+    msgs.append((lsn, encode_commit(lsn, lsn + 1, 0)))
+    with open(f"{src}/seg1.pgout", "wb") as f:
+        f.write(encode_frames(msgs))
+
+    pipe = PipelineDef(
+        source=SourceDef("file-pgoutput", {
+            "path": src, "schema": "id bigint, v string",
+            "table": "db.public.cust_pg_ddl",
+            "primary-keys": ["id"]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.public.cust_pg_ddl",
+                          "out.db.cust_pg_ddl_sink"),),
+        config={"schema.change.behavior": "LENIENT"},
+    )
+
+    def writer(tid_, df, schema):
+        sink = JdbcUpsertSink(lambda p=db: duckdb.connect(p), tid_.table,
+                              schema, parallel=False, dialect="duckdb")
+        sink.ensure_table()
+        sink.write_batch(df)
+
+    def on_ddl(tid_, events, schema):
+        con = duckdb.connect(db)
+        try:
+            for sql in schema_change_ddl(tid_.table, events, schema):
+                con.execute(sql)
+            con.commit()
+        finally:
+            con.close()
+
+    q = compose_pgoutput_ddl_changelog_stream(
+        spark, pipe, ckpt, writer, on_schema_change=on_ddl)
+    q.awaitTermination(300)
+
+    con = duckdb.connect(db)
+    pdf = con.execute(
+        "SELECT id, v, score FROM cust_pg_ddl_sink").df()
+    con.close()
+    return spark.createDataFrame(pdf)
+
+
 def _temporal_ms_sql(updated: bool) -> str:
     add = " + 1000" if updated else ""
     return f"CAST((o_orderkey * 7919{add}) % 86400000 AS INT)"
@@ -4552,6 +4762,76 @@ def cdc_binlog_client_e2e_crc32(spark, sf_dir):
         T.StructField("status", T.StringType()),
     ])
     cl = decode_binlog(raw, payload, table="orders")
+    return apply_changelog(cl, ["k"])
+
+
+@_q(
+    "cdc_binlog_client_full_auth",
+    """
+    SELECT n_nationkey AS k, n_name AS name,
+           CAST(n_regionkey AS BIGINT) AS region
+    FROM nation
+    """,
+)
+def cdc_binlog_client_full_auth(spark, sf_dir):
+    """caching_sha2_password FULL authentication over TLS (VERDICT r10
+    ask #3): the fake server's auth cache is EMPTY (a freshly
+    provisioned replica user — it cannot verify the scramble, exactly
+    like a real server that stores only the two-round SHA256 digest),
+    so it sends AuthMoreData 0x04 and the client answers with the
+    cleartext password + NUL over the ALREADY-ENCRYPTED channel; the
+    server verifies it directly and the CRC32-checksummed dump
+    proceeds. The first connection of a fresh account now works without
+    a cache-priming side channel; without TLS the client still fails
+    loudly (pinned in tests/test_round11_fixes.py)."""
+    import socket as socketlib
+
+    from .binlog import (MYSQL_TYPE_LONGLONG, MYSQL_TYPE_VARCHAR,
+                         crc32_frame, decode_binlog, encode_fde,
+                         encode_table_map, encode_write_rows, encode_xid)
+    from .binlog_client import BinlogClient
+    from .testing import FakeMySQLReplicaServer
+
+    rows = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey").collect()
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 30),
+            (MYSQL_TYPE_LONGLONG, None)]
+    tid = 11
+    plain = [encode_table_map(tid, "tpch", "nation", cols, 200),
+             encode_write_rows(
+                 tid, cols,
+                 [[r["n_nationkey"], r["n_name"], r["n_regionkey"]]
+                  for r in rows], 1000),
+             encode_xid(1, 1500)]
+    events = [encode_fde(120, checksum_alg=1)] + \
+        [crc32_frame(e) for e in plain]
+
+    srv = FakeMySQLReplicaServer(events, username="repl",
+                                 password="fresh-acct-pw",
+                                 serve_checksummed=True,
+                                 auth_plugin="caching_sha2_password",
+                                 tls=True,
+                                 auth_cache_primed=False).start()
+    cli = BinlogClient(
+        lambda: socketlib.create_connection(("127.0.0.1", srv.port)),
+        username="repl", password="fresh-acct-pw", server_id=7,
+        tls=True)
+    cli.connect()
+    wire_events = list(cli.dump(log_file="binlog.000001", log_pos=4))
+    cli.close()
+    srv.join()
+    assert srv.tls_established, "chain did not run over TLS"
+    assert srv.full_auth_used, "server served from a primed cache"
+    assert srv.auth_ok, "fake server rejected the full-auth password"
+
+    blob = b"".join(wire_events[1:])  # drop the artificial ROTATE
+    raw = spark.createDataFrame([(blob,)], "value binary")
+    payload = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("name", T.StringType()),
+        T.StructField("region", T.LongType()),
+    ])
+    cl = decode_binlog(raw, payload, table="nation")
     return apply_changelog(cl, ["k"])
 
 

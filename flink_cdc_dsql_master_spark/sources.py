@@ -613,6 +613,13 @@ _DDL_RES = [
     ("rename", re.compile(
         r"ALTER\s+TABLE\s+\S+\s+RENAME\s+COLUMN\s+[`\"]?(\w+)[`\"]?\s+TO\s+"
         r"[`\"]?(\w+)[`\"]?\s*;?\s*$", re.IGNORECASE)),
+    # MySQL's classic rename form: CHANGE [COLUMN] old new TYPE —
+    # rename plus (re)declared type in one statement
+    ("change", re.compile(
+        r"ALTER\s+TABLE\s+\S+\s+CHANGE\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?"
+        r"\s+[`\"]?(\w+)[`\"]?\s+"
+        r"([A-Za-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*$",
+        re.IGNORECASE)),
     ("drop", re.compile(
         r"ALTER\s+TABLE\s+\S+\s+DROP\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?"
         r"\s*;?\s*$", re.IGNORECASE)),
@@ -663,6 +670,12 @@ def parse_debezium_ddl(ddl: str, tid) -> list:
                                              position=pos, anchor=anchor))
             elif kind == "rename":
                 events.append(RenameColumnEvent(tid, m.group(1), m.group(2)))
+            elif kind == "change":
+                old_name, new_name, typ = m.groups()
+                if old_name != new_name:
+                    events.append(RenameColumnEvent(tid, old_name, new_name))
+                events.append(AlterColumnTypeEvent(tid, new_name,
+                                                   typ.upper()))
             elif kind == "drop":
                 events.append(DropColumnEvent(tid, m.group(1)))
             elif kind == "modify":
