@@ -348,3 +348,49 @@ def test_query_event_golden_bytes():
     assert body[9:11] == b"\x00\x00"  # error_code
     assert body[11:13] == b"\x00\x00"  # status_vars_len
     assert body[13:] == b"d\x00COMMIT"
+
+
+# ---------------------------------------------------------------------------
+# fuzz pins (VERDICT r10 asks #1/#4)
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings, strategies as st
+
+    @given(st.integers(min_value=0, max_value=1))
+    @settings(max_examples=4, deadline=None)
+    def test_fuzz_extra_len_below_two_always_raises(extra_len):
+        cols = [(MYSQL_TYPE_LONG, None)]
+        ev = bytearray(encode_write_rows(5, cols, [[1]], 400))
+        struct.pack_into("<H", ev, HEADER_LEN + 8, extra_len)
+        with pytest.raises(WireFormatError):
+            parse_binlog(_stream(
+                encode_table_map(5, "db", "t", cols, 300), bytes(ev)))
+
+    @given(st.integers(min_value=1, max_value=6))
+    @settings(max_examples=6, deadline=None)
+    def test_fuzz_any_width_mismatch_raises_not_truncates(width):
+        """decode_binlog's conv() must raise for EVERY TABLE_MAP width
+        that differs from the 2-field payload schema — wider (silent
+        truncation before r11) and narrower alike."""
+        from pyspark.sql import types as T
+
+        from flink_cdc_dsql_master_spark.binlog import decode_binlog
+        from flink_cdc_dsql_master_spark.session import get_spark
+
+        cols = [(MYSQL_TYPE_LONG, None)] * width
+        blob = _stream(encode_table_map(5, "db", "t", cols, 300),
+                       encode_write_rows(5, cols, [[7] * width], 400))
+        spark = get_spark("tests")
+        df = spark.createDataFrame([(blob,)], "value binary")
+        payload = T.StructType([T.StructField("a", T.IntegerType()),
+                                T.StructField("b", T.IntegerType())])
+        out = decode_binlog(df, payload)
+        if width == 2:
+            assert out.count() == 1
+        else:
+            with pytest.raises(Exception,
+                               match="!= payload schema width"):
+                out.collect()
+except ImportError:  # pragma: no cover - hypothesis is baked in
+    pass

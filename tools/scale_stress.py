@@ -361,6 +361,85 @@ def _binlog_crc32_decode_throughput(spark, sf_dir):
     return decode_binlog(raw, payload)
 
 
+def _binlog_ddl_segments_dir(spark, sf_dir: str) -> str:
+    """Segments with a MID-STREAM ALTER TABLE (round-11 wire-stream
+    schema evolution): first half of each file's rows under a 2-column
+    TABLE_MAP, then the QUERY_EVENT DDL, then the second half under a
+    3-column TABLE_MAP — the shape the DDL-segmented composer decodes
+    in two schema epochs."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.binlog import (
+        MAGIC, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_LONGLONG, MYSQL_TYPE_VARCHAR,
+        encode_fde, encode_query, encode_table_map, encode_write_rows)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(REPO, ".scale_data", f"binlog_ddl_segs_{tag}")
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rows = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price"),
+                    F.col("o_orderstatus").alias("status"))
+            .collect())
+    cols2 = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 10)]
+    cols3 = cols2 + [(MYSQL_TYPE_DOUBLE, None)]
+    for b in range(32):
+        mine = [r for r in rows if r["k"] % 32 == b]
+        half = len(mine) // 2
+        blob = (MAGIC + encode_fde(120)
+                + encode_table_map(7, "tpch", "orders", cols2, 200)
+                + encode_write_rows(
+                    7, cols2,
+                    [[r["k"], r["status"]] for r in mine[:half]], 1000)
+                + encode_query(
+                    "tpch", "ALTER TABLE orders ADD COLUMN price DOUBLE",
+                    5000)
+                + encode_table_map(7, "tpch", "orders", cols3, 6000)
+                + encode_write_rows(
+                    7, cols3,
+                    [[r["k"], r["status"], r["price"]]
+                     for r in mine[half:]], 7000))
+        with open(os.path.join(d, f"seg{b:02d}.binlog"), "wb") as f:
+            f.write(blob)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _binlog_ddl_segmented_decode_throughput(spark, sf_dir):
+    """DDL-segmented decode scale: exactly what the round-11 composer
+    does per micro-batch — one distributed control-plane DDL scan
+    (collected: a handful of rows), then one decode PER SCHEMA EPOCH
+    over the same blobs with pos_range bounds. Cost model: the byte
+    parse runs (1 + #epochs) times over each blob; with DDL rare (one
+    per batch here, rarer in production) the expected exponent stays
+    ~1.0 with a small constant shift vs the plain decode target."""
+    from pyspark.sql import functions as F, types as T
+
+    from flink_cdc_dsql_master_spark.binlog import (decode_binlog,
+                                                    extract_binlog_ddl)
+
+    d = _binlog_ddl_segments_dir(spark, sf_dir)
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.binlog").load(d)
+           .select(F.col("content").alias("value"))
+           .repartition(32))
+    ddl = extract_binlog_ddl(raw).collect()  # control plane, measured
+    pos = ddl[0]["pos"]
+    p2 = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("status", T.StringType())])
+    p3 = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("status", T.StringType()),
+                       T.StructField("price", T.DoubleType())])
+    ep1 = (decode_binlog(raw, p2, pos_range=(None, pos))
+           .withColumn("price", F.lit(None).cast("double")))
+    ep2 = decode_binlog(raw, p3, pos_range=(pos, None))
+    return ep1.unionByName(ep2)
+
+
 def _pgoutput_streamed_segments_dir(spark, sf_dir: str) -> str:
     """Protocol-v2 streamed-transaction twin of the pgoutput segments:
     every segment is one committed stream block (xid-prefixed inserts),
@@ -434,6 +513,8 @@ EXTRA_TARGETS = {"similarity_knn_join_auto": _knn_join_auto,
                      _pgoutput_decode_throughput,
                  "cdc_binlog_crc32_decode_throughput":
                      _binlog_crc32_decode_throughput,
+                 "cdc_binlog_ddl_segmented_decode_throughput":
+                     _binlog_ddl_segmented_decode_throughput,
                  "cdc_pgoutput_streamed_decode_throughput":
                      _pgoutput_streamed_decode_throughput}
 
