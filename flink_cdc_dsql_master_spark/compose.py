@@ -452,9 +452,17 @@ def ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             if r is not None:
                 for ev in parse_debezium_ddl(r["ddl"], table):
                     schema = evolver.on_event(ev)
-                    if on_schema_change is not None and schema is not None:
+                    # surface the POLICY-APPLIED events (LENIENT
+                    # rewrites; [] for a lenient DROP), never the raw
+                    # upstream one — the sink's DDL must agree with the
+                    # evolved schema (SchemaDerivator parity)
+                    if (on_schema_change is not None
+                            and schema is not None
+                            and evolver.last_applied):
                         for sink_tid in router.route(table):
-                            on_schema_change(sink_tid, [ev], schema)
+                            on_schema_change(sink_tid,
+                                             list(evolver.last_applied),
+                                             schema)
             lo = hi
 
     return handle
@@ -558,9 +566,16 @@ def binlog_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             if item is not None:
                 for ev in item[1]:
                     schema = evolver.on_event(ev)
-                    if on_schema_change is not None and schema is not None:
+                    # policy-applied events only (see
+                    # ddl_foreach_batch_writer) — a lenient DROP/RENAME
+                    # must not issue the raw DDL at the sink
+                    if (on_schema_change is not None
+                            and schema is not None
+                            and evolver.last_applied):
                         for sink_tid in router.route(table):
-                            on_schema_change(sink_tid, [ev], schema)
+                            on_schema_change(sink_tid,
+                                             list(evolver.last_applied),
+                                             schema)
             lo = hi
 
     return handle
@@ -671,9 +686,16 @@ def pgoutput_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             if item is not None:
                 for ev in item[1]:
                     schema = evolver.on_event(ev)
-                    if on_schema_change is not None and schema is not None:
+                    # policy-applied events only (see
+                    # ddl_foreach_batch_writer) — a lenient DROP/RENAME
+                    # must not issue the raw DDL at the sink
+                    if (on_schema_change is not None
+                            and schema is not None
+                            and evolver.last_applied):
                         for sink_tid in router.route(table):
-                            on_schema_change(sink_tid, [ev], schema)
+                            on_schema_change(sink_tid,
+                                             list(evolver.last_applied),
+                                             schema)
             lo = hi
 
     return handle

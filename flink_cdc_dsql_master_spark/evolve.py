@@ -194,6 +194,13 @@ class SchemaEvolver:
                  behavior: SchemaChangeBehavior = SchemaChangeBehavior.LENIENT):
         self.manager = manager or SchemaManager()
         self.behavior = behavior
+        # the POLICY-APPLIED events of the last on_event call — what a
+        # sink's MetadataApplier must see (the reference forwards
+        # SchemaDerivator's REWRITTEN events, never the raw upstream
+        # one: under LENIENT a DropColumnEvent applies as NOTHING, and
+        # issuing the raw DROP at the sink would contradict the evolved
+        # schema that kept the column)
+        self.last_applied: list[SchemaChangeEvent] = []
 
     def on_event(self, event: SchemaChangeEvent) -> Schema | None:
         """Process one upstream schema-change event; returns the evolved
@@ -229,13 +236,16 @@ class SchemaEvolver:
             evolved_events = [event]
 
         cur = self.manager.latest_evolved(tid)
+        applied: list[SchemaChangeEvent] = []
         for ev in evolved_events:
             try:
                 cur = apply_schema_change(cur, ev)
+                applied.append(ev)
             except SchemaEvolveError:
                 if b == SchemaChangeBehavior.TRY_EVOLVE:
                     continue  # tolerate failure, keep old evolved schema
                 raise
+        self.last_applied = applied
         if cur is not None:
             self.manager.register_evolved(tid, cur)
         return cur

@@ -320,3 +320,105 @@ def test_pgoutput_relation_diff_end_to_end(spark):
                       "ORDER BY id").fetchall()
     con.close()
     assert got == [(1, "a", None), (2, "b2", 2.5), (4, "d", 4.5)]
+
+
+# ---------------------------------------------------------------------------
+# broader DDL shapes through the wire composers
+# ---------------------------------------------------------------------------
+
+def test_binlog_ddl_drop_and_change_column(spark):
+    """DROP COLUMN and CHANGE COLUMN (MySQL's rename+retype form) ride
+    the wire too: under LENIENT, DROP keeps the column (nullable fill)
+    and CHANGE adds the new name while the old keeps its data."""
+    from flink_cdc_dsql_master_spark.compose import (
+        compose_binlog_ddl_changelog_stream)
+
+    base = tempfile.mkdtemp(prefix="binlog_wire_ddl2_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    cols3 = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 20),
+             (MYSQL_TYPE_DOUBLE, None)]
+    cols2 = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 20)]
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(42, "db", "t", cols3, 200)
+            + encode_write_rows(42, cols3, [[1, "a", 1.5]], 300)
+            + encode_query("db", "ALTER TABLE t DROP COLUMN score", 400)
+            + encode_table_map(42, "db", "t", cols2, 500)
+            + encode_write_rows(42, cols2, [[2, "b"]], 600)
+            + encode_query("db", "ALTER TABLE t CHANGE v label VARCHAR(40)",
+                           700)
+            + encode_table_map(42, "db", "t", cols2, 800)
+            + encode_write_rows(42, cols2, [[3, "c"]], 900))
+    with open(f"{src}/seg1.binlog", "wb") as f:
+        f.write(blob)
+
+    pipe = PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": src,
+            "schema": "id bigint, v string, score double",
+            "table": "db.s.t2", "mysql-table": "t",
+            "primary-keys": ["id"]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.s.t2", "out.db.wire_ddl2_sink"),),
+        config={"schema.change.behavior": "LENIENT"},
+    )
+    q = compose_binlog_ddl_changelog_stream(
+        spark, pipe, ckpt, _duck_writer(db),
+        on_schema_change=_duck_ddl(db))
+    q.awaitTermination(120)
+
+    con = duckdb.connect(db)
+    cols = [d[0] for d in con.execute(
+        "SELECT * FROM wire_ddl2_sink LIMIT 0").description]
+    got = con.execute(
+        "SELECT id, v, score, label FROM wire_ddl2_sink "
+        "ORDER BY id").fetchall()
+    con.close()
+    # LENIENT: score survives the DROP (NULL-filled after), label is
+    # appended by the CHANGE; v keeps pre-rename data
+    assert cols == ["id", "v", "score", "label"]
+    assert got == [(1, "a", 1.5, None), (2, "b", None, None),
+                   (3, None, None, "c")]
+
+
+def test_binlog_ddl_in_crc32_stream(spark):
+    """QUERY_EVENT DDL inside a CRC32-checksummed stream: the extractor
+    and both epoch decodes verify+strip trailers transparently."""
+    from flink_cdc_dsql_master_spark.binlog import (checksum_stream,
+                                                    extract_binlog_ddl)
+
+    cols = [(MYSQL_TYPE_LONGLONG, None)]
+    blob = MAGIC + checksum_stream([
+        encode_table_map(5, "db", "t", cols, 200),
+        encode_write_rows(5, cols, [[1]], 300),
+        encode_query("db", "ALTER TABLE t ADD COLUMN x INT", 400),
+    ])
+    rows = extract_binlog_ddl(
+        spark.createDataFrame([(blob,)], "value binary")).collect()
+    assert [(r["pos"], r["statement"]) for r in rows] == [
+        (400, "ALTER TABLE t ADD COLUMN x INT")]
+
+
+def test_pgoutput_relation_diff_in_streamed_txn(spark):
+    """A protocol-v2 in-stream Relation (xid-prefixed) is surfaced by
+    the extractor too — schema changes inside large streamed
+    transactions are not invisible."""
+    from flink_cdc_dsql_master_spark.pgoutput import (
+        encode_relation, encode_stream_commit, encode_stream_start,
+        encode_stream_stop, extract_pgoutput_relations, encode_frames,
+        with_stream_xid)
+
+    rel = encode_relation(9, "public", "t", [("id", True, 20)])
+    msgs = [
+        (10, encode_stream_start(77)),
+        (20, with_stream_xid(rel, 77)),
+        (30, encode_stream_stop()),
+        (40, encode_stream_commit(77, 100, 101)),
+    ]
+    df = spark.createDataFrame([(encode_frames(msgs),)], "value binary")
+    rows = extract_pgoutput_relations(df).collect()
+    assert len(rows) == 1
+    assert rows[0]["oid"] == 9 and rows[0]["name"] == "t"
+    assert json.loads(rows[0]["columns_json"])[0]["name"] == "id"
