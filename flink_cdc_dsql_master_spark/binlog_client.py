@@ -46,6 +46,10 @@ CLIENT_PLUGIN_AUTH = 0x00080000
 COM_QUERY = 0x03
 COM_BINLOG_DUMP = 0x12
 COM_REGISTER_SLAVE = 0x15
+COM_BINLOG_DUMP_GTID = 0x1E
+
+# COM_BINLOG_DUMP_GTID flags
+BINLOG_THROUGH_GTID = 0x04
 
 BINLOG_DUMP_NON_BLOCK = 0x01
 
@@ -190,6 +194,92 @@ def build_handshake_response(username: str, password: str,
     return out
 
 
+def rsa_encrypt_password(password: str, scramble: bytes,
+                         public_key_pem: bytes) -> bytes:
+    """caching_sha2_password full auth WITHOUT TLS: the password + NUL is
+    XORed with the scramble (cycled) and RSA-encrypted with the server's
+    public key under OAEP(SHA-1) — RSA_PKCS1_OAEP_PADDING, the exact
+    scheme the server's sha256_password_private_key decrypts. Public
+    protocol ("Caching_sha2_password information" docs); no secret
+    material beyond the user's own password is involved."""
+    try:
+        from cryptography.hazmat.primitives import hashes, serialization
+        from cryptography.hazmat.primitives.asymmetric import padding
+    except ImportError as e:  # pragma: no cover - cryptography is baked in
+        raise WireFormatError(
+            "RSA key exchange needs the 'cryptography' package — "
+            "use TLS instead") from e
+    plain = password.encode("utf-8") + b"\x00"
+    nonce = scramble[:20]
+    xored = bytes(b ^ nonce[i % len(nonce)] for i, b in enumerate(plain))
+    key = serialization.load_pem_public_key(public_key_pem)
+    return key.encrypt(xored, padding.OAEP(
+        mgf=padding.MGF1(algorithm=hashes.SHA1()),
+        algorithm=hashes.SHA1(), label=None))
+
+
+# -- GTID set <-> SID block (COM_BINLOG_DUMP_GTID payload) --------------------
+
+def encode_gtid_set(gtid_set: str) -> bytes:
+    """GTID-set string (``uuid:a-b[:c-d...][,uuid2:...]``, the
+    @@gtid_executed / gtid_set_from_events shape) → the binary SID block
+    COM_BINLOG_DUMP_GTID carries: u64 n_sids, then per SID 16 raw uuid
+    bytes + u64 n_intervals + per interval u64 start, u64 end
+    (EXCLUSIVE — the wire end is the set's inclusive end + 1)."""
+    out = b""
+    sids = [p for p in gtid_set.split(",") if p.strip()]
+    out += struct.pack("<Q", len(sids))
+    for part in sids:
+        toks = part.strip().split(":")
+        sid = bytes.fromhex(toks[0].replace("-", ""))
+        if len(sid) != 16:
+            raise WireFormatError(f"bad GTID SID {toks[0]!r}")
+        ivals = []
+        for t in toks[1:]:
+            a, _, b = t.partition("-")
+            ivals.append((int(a), int(b) if b else int(a)))
+        out += sid + struct.pack("<Q", len(ivals))
+        for a, b in ivals:
+            out += struct.pack("<QQ", a, b + 1)
+    return out
+
+
+def decode_gtid_set(data: bytes) -> str:
+    """Inverse of :func:`encode_gtid_set` (fake server + tests)."""
+    buf = io.BytesIO(data)
+    (n_sids,) = struct.unpack("<Q", buf.read(8))
+    parts = []
+    for _ in range(n_sids):
+        sid = buf.read(16).hex()
+        uuid_str = (f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-"
+                    f"{sid[16:20]}-{sid[20:32]}")
+        (n_ivals,) = struct.unpack("<Q", buf.read(8))
+        toks = []
+        for _ in range(n_ivals):
+            a, b = struct.unpack("<QQ", buf.read(16))
+            toks.append(f"{a}-{b - 1}" if b - 1 != a else str(a))
+        parts.append(uuid_str + ":" + ":".join(toks))
+    return ",".join(parts)
+
+
+def build_binlog_dump_gtid(server_id: int, gtid_set: str,
+                           log_file: str = "", log_pos: int = 4) -> bytes:
+    """COM_BINLOG_DUMP_GTID (0x1E): u8 cmd, u16 flags
+    (BINLOG_THROUGH_GTID), u32 server_id, u32 name_len + name, u64 pos,
+    u32 data_len + SID block — how a real client resumes from a
+    @@gtid_executed snapshot (the reference's
+    ``scan.startup.mode=specific-offset`` with a GTID set,
+    MySqlDataSourceOptions.java:123)."""
+    data = encode_gtid_set(gtid_set)
+    name = log_file.encode("utf-8")
+    return (bytes([COM_BINLOG_DUMP_GTID])
+            + struct.pack("<H", BINLOG_THROUGH_GTID)
+            + struct.pack("<I", server_id)
+            + struct.pack("<I", len(name)) + name
+            + struct.pack("<Q", log_pos)
+            + struct.pack("<I", len(data)) + data)
+
+
 def build_register_slave(server_id: int) -> bytes:
     """u8 cmd, u32 server_id, length-prefixed empty hostname/user/
     password, u16 port, u32 replication rank, u32 master id."""
@@ -313,13 +403,27 @@ class BinlogClient:
                     self.password.encode("utf-8") + b"\x00", seq + 1)
                 ok, seq = read_packet(self.sock)
                 _check_not_err(ok, "authentication (full, over TLS)")
+            elif ok[1:2] == b"\x04":
+                # cleartext channel: RSA key exchange — request the
+                # server's public key (0x02), then send the
+                # scramble-XORed password encrypted under OAEP(SHA-1)
+                seq = write_packet(self.sock, b"\x02", seq + 1)
+                more, seq = read_packet(self.sock)
+                _check_not_err(more, "authentication (public key)")
+                if more[:1] != b"\x01":
+                    raise WireFormatError(
+                        "expected AuthMoreData with the server public "
+                        f"key, got {more[:1].hex()}")
+                seq = write_packet(
+                    self.sock,
+                    rsa_encrypt_password(self.password,
+                                         self.handshake["scramble"],
+                                         more[1:]), seq + 1)
+                ok, seq = read_packet(self.sock)
+                _check_not_err(ok, "authentication (full, RSA)")
             else:
                 raise WireFormatError(
-                    "caching_sha2_password requested FULL auth (no "
-                    "cached entry): needs TLS (this client sends the "
-                    "password over the encrypted channel) or RSA key "
-                    "exchange — enable tls=True or prime the server "
-                    "cache with a TLS-capable client first")
+                    f"unexpected AuthMoreData marker {ok[1:2].hex()}")
         if ok[:1] != b"\x00":
             raise WireFormatError(
                 f"unexpected auth reply {ok[:1].hex()} (auth-switch to a "
@@ -373,7 +477,8 @@ class BinlogClient:
                             f"0x{n:02x} in row value")
                     value = buf.read(n).decode("utf-8")
 
-    def dump(self, log_file: str = "", log_pos: int = 4):
+    def dump(self, log_file: str = "", log_pos: int = 4,
+             gtid_set: str | None = None):
         """Start the dump and yield raw binlog EVENT byte strings (one
         event per network packet, per the protocol). Negotiates the
         checksum algorithm first (CHECKSUM_NEGOTIATION_QUERY) and READS
@@ -395,9 +500,16 @@ class BinlogClient:
         write_packet(self.sock, build_register_slave(self.server_id), 0)
         ok, _ = read_packet(self.sock)
         _check_not_err(ok, "register slave")
-        write_packet(self.sock,
-                     build_binlog_dump(self.server_id, log_file, log_pos),
-                     0)
+        if gtid_set is not None:
+            # resume from a @@gtid_executed snapshot: the server skips
+            # every transaction whose GTID the set already contains
+            write_packet(self.sock,
+                         build_binlog_dump_gtid(self.server_id, gtid_set,
+                                                log_file, log_pos), 0)
+        else:
+            write_packet(
+                self.sock,
+                build_binlog_dump(self.server_id, log_file, log_pos), 0)
         while True:
             payload, _ = read_packet(self.sock)
             marker = payload[:1]
@@ -409,7 +521,8 @@ class BinlogClient:
                     f"unexpected dump packet marker {marker.hex()}")
             yield payload[1:]
 
-    def events(self, log_file: str = "", log_pos: int = 4):
+    def events(self, log_file: str = "", log_pos: int = 4,
+               gtid_set: str | None = None):
         """Decoded event dicts, yielded one at a time: each network
         packet is fed through a stateful :class:`.binlog.BinlogParser`
         as it arrives, so memory stays bounded by one event — never the
@@ -420,7 +533,7 @@ class BinlogClient:
         correctly (dump() performs the readback before its first
         yield)."""
         parser = None
-        for ev in self.dump(log_file, log_pos):
+        for ev in self.dump(log_file, log_pos, gtid_set=gtid_set):
             if parser is None:
                 # created lazily: dump()'s readback has run by the time
                 # its first event arrives

@@ -504,6 +504,46 @@ def self_signed_server_context():
     return ctx
 
 
+_FAKE_RSA_KEYPAIR = None
+
+
+def _gtid_members(gtid_set: str) -> set:
+    """GTID-set string → {(uuid, gno)} membership (test-scale sets)."""
+    out = set()
+    for part in gtid_set.split(","):
+        if not part.strip():
+            continue
+        toks = part.strip().split(":")
+        sid = toks[0].lower()
+        for t in toks[1:]:
+            a, _, b = t.partition("-")
+            for g in range(int(a), int(b or a) + 1):
+                out.add((sid, g))
+    return out
+
+
+def _filter_gtid_events(events: list[bytes], gtid_set: str) -> list[bytes]:
+    """Server-side GTID auto-positioning: skip every transaction whose
+    GTID the client's set already contains (a transaction = its
+    GTID_LOG_EVENT through the next one); preamble events before the
+    first GTID — FDE, format state — always flow, like a real dump."""
+    import struct as _struct
+
+    done = _gtid_members(gtid_set)
+    out: list[bytes] = []
+    skipping = False
+    for ev in events:
+        if ev[4] == 33:  # GTID_LOG_EVENT
+            sid = ev[19 + 1:19 + 17].hex()
+            uuid_str = (f"{sid[0:8]}-{sid[8:12]}-{sid[12:16]}-"
+                        f"{sid[16:20]}-{sid[20:32]}")
+            (gno,) = _struct.unpack("<q", ev[19 + 17:19 + 25])
+            skipping = (uuid_str, gno) in done
+        if not skipping:
+            out.append(ev)
+    return out
+
+
 class FakeMySQLReplicaServer:
     """In-process MySQL replication server speaking the real wire bytes
     (HandshakeV10 → mysql_native_password verification → COM_QUERY
@@ -545,6 +585,8 @@ class FakeMySQLReplicaServer:
         # that the client completed it.
         self.auth_cache_primed = auth_cache_primed
         self.full_auth_used = False
+        self.rsa_exchange_used = False
+        self.gtid_dump_set: str | None = None
         # when set, reply to the handshake response with an
         # AuthSwitchRequest to this plugin (fresh nonce) — the flow a
         # server takes when the ACCOUNT's plugin differs from the
@@ -566,6 +608,24 @@ class FakeMySQLReplicaServer:
         self.thread.join(timeout)
 
     SWITCH_NONCE = bytes(range(40, 60))
+
+    @staticmethod
+    def _rsa_keypair():
+        """One lazily generated module-level RSA keypair (PEM, key) —
+        the server's sha256_password key; 2048-bit generation once per
+        process, not per connection."""
+        global _FAKE_RSA_KEYPAIR
+        if _FAKE_RSA_KEYPAIR is None:
+            from cryptography.hazmat.primitives import serialization
+            from cryptography.hazmat.primitives.asymmetric import rsa
+
+            key = rsa.generate_private_key(public_exponent=65537,
+                                           key_size=2048)
+            pem = key.public_key().public_bytes(
+                serialization.Encoding.PEM,
+                serialization.PublicFormat.SubjectPublicKeyInfo)
+            _FAKE_RSA_KEYPAIR = (pem, key)
+        return _FAKE_RSA_KEYPAIR
 
     def _handshake_payload(self) -> bytes:
         import struct
@@ -626,16 +686,28 @@ class FakeMySQLReplicaServer:
                     and not self.auth_cache_primed):
                 # cache miss: a real server cannot check the scramble
                 # (it stores only the two-round SHA256 digest), so it
-                # demands full auth — cleartext password + NUL over the
-                # encrypted channel, verified directly
-                if not self.tls_established:
-                    write_packet(conn, b"\xff" + struct.pack("<H", 1045)
-                                 + b"full auth requires a secure "
-                                   b"connection", seq)
-                    return
+                # demands full auth — cleartext password + NUL over TLS,
+                # or the RSA key exchange on a cleartext channel
                 seq = write_packet(conn, b"\x01\x04", seq)
                 pw, _ = read_packet(conn)
                 self.full_auth_used = True
+                if pw == b"\x02" and not self.tls_established:
+                    # public-key request → AuthMoreData(0x01 + PEM),
+                    # then decrypt the OAEP blob and un-XOR the nonce
+                    pem, private_key = self._rsa_keypair()
+                    seq = write_packet(conn, b"\x01" + pem, seq + 1)
+                    blob, _ = read_packet(conn)
+                    from cryptography.hazmat.primitives import hashes
+                    from cryptography.hazmat.primitives.asymmetric import (
+                        padding)
+
+                    xored = private_key.decrypt(blob, padding.OAEP(
+                        mgf=padding.MGF1(algorithm=hashes.SHA1()),
+                        algorithm=hashes.SHA1(), label=None))
+                    nonce = self.SCRAMBLE[:20]
+                    pw = bytes(b ^ nonce[i % len(nonce)]
+                               for i, b in enumerate(xored))
+                    self.rsa_exchange_used = True
                 self.auth_ok = (user.decode() == self.username and
                                 pw == self.password.encode() + b"\x00")
                 seq += 1
@@ -677,6 +749,18 @@ class FakeMySQLReplicaServer:
                     write_packet(conn, b"\x00\x00\x00\x02\x00\x00\x00", 1)
                 elif cmd[0] == 0x12:             # COM_BINLOG_DUMP
                     break
+                elif cmd[0] == 0x1E:             # COM_BINLOG_DUMP_GTID
+                    import io as _io
+
+                    from .binlog_client import decode_gtid_set
+
+                    b = _io.BytesIO(cmd[1:])
+                    b.read(6)                    # flags u16 + server_id
+                    (nlen,) = struct.unpack("<I", b.read(4))
+                    b.read(nlen + 8)             # name + pos u64
+                    (dlen,) = struct.unpack("<I", b.read(4))
+                    self.gtid_dump_set = decode_gtid_set(b.read(dlen))
+                    break
                 else:
                     write_packet(conn, b"\xff" + struct.pack("<H", 1047)
                                  + b"Unknown command", 1)
@@ -700,7 +784,13 @@ class FakeMySQLReplicaServer:
             rot = encode_rotate(4, "binlog.000001")
             if self.serve_checksummed:
                 rot = crc32_frame(rot)
-            stream = [rot] + list(self.events)
+            body_events = list(self.events)
+            if self.gtid_dump_set is not None:
+                # GTID auto-positioning: skip transactions the client's
+                # executed set already contains
+                body_events = _filter_gtid_events(body_events,
+                                                  self.gtid_dump_set)
+            stream = [rot] + body_events
             seq = 1
             for ev in stream:
                 seq = write_packet(conn, b"\x00" + ev, seq)

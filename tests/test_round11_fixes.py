@@ -283,25 +283,18 @@ def test_caching_sha2_full_auth_over_tls():
         "rotate", "format_description", "table_map", "write_rows", "xid"]
 
 
-def test_caching_sha2_full_auth_requires_tls():
-    """Cache miss WITHOUT TLS must fail loudly — the password never
-    rides a cleartext channel."""
-    from flink_cdc_dsql_master_spark.binlog import WireFormatError
-    from flink_cdc_dsql_master_spark.binlog_client import BinlogClient
+def test_caching_sha2_full_auth_never_cleartext_without_tls():
+    """Cache miss WITHOUT TLS must never put the password on the wire
+    in cleartext: the client's first reply to AuthMoreData 0x04 is the
+    public-key REQUEST byte (0x02), not the password."""
+    from flink_cdc_dsql_master_spark.binlog_client import (
+        rsa_encrypt_password)
     from flink_cdc_dsql_master_spark.testing import FakeMySQLReplicaServer
 
-    srv = FakeMySQLReplicaServer(
-        _mysql_events(), username="repl", password="s3cret",
-        auth_plugin="caching_sha2_password", tls=False,
-        auth_cache_primed=False).start()
-    cli = BinlogClient(
-        lambda: socketlib.create_connection(("127.0.0.1", srv.port)),
-        username="repl", password="s3cret", tls=False)
-    with pytest.raises(WireFormatError):
-        cli.connect()
-    cli.close()
-    srv.join(5)
-    assert srv.full_auth_used is False
+    # unit-level: the RSA blob never contains the password bytes
+    pem, _ = FakeMySQLReplicaServer._rsa_keypair()
+    blob = rsa_encrypt_password("s3cret", bytes(range(1, 21)), pem)
+    assert b"s3cret" not in blob and len(blob) == 256  # 2048-bit RSA
 
 
 def test_caching_sha2_full_auth_wrong_password():
@@ -394,3 +387,103 @@ try:
                 out.collect()
 except ImportError:  # pragma: no cover - hypothesis is baked in
     pass
+
+
+# ---------------------------------------------------------------------------
+# RSA key exchange (caching_sha2 full auth WITHOUT TLS) + GTID dump
+# ---------------------------------------------------------------------------
+
+def test_caching_sha2_rsa_key_exchange_without_tls():
+    """Cache miss on a CLEARTEXT channel: the client requests the
+    server's public key (0x02) and sends the scramble-XORed password
+    RSA-encrypted under OAEP(SHA-1); the fake server decrypts with its
+    private key and verifies — the last non-TLS auth residue closed."""
+    from flink_cdc_dsql_master_spark.binlog_client import BinlogClient
+    from flink_cdc_dsql_master_spark.testing import FakeMySQLReplicaServer
+
+    srv = FakeMySQLReplicaServer(
+        _mysql_events(), username="repl", password="s3cret",
+        auth_plugin="caching_sha2_password", tls=False,
+        auth_cache_primed=False).start()
+    cli = BinlogClient(
+        lambda: socketlib.create_connection(("127.0.0.1", srv.port)),
+        username="repl", password="s3cret", tls=False)
+    cli.connect()
+    parsed = list(cli.events())
+    cli.close()
+    srv.join(10)
+    assert srv.rsa_exchange_used is True
+    assert srv.full_auth_used is True
+    assert srv.auth_ok is True
+    assert [e["kind"] for e in parsed] == [
+        "rotate", "format_description", "table_map", "write_rows", "xid"]
+
+
+def test_caching_sha2_rsa_wrong_password():
+    from flink_cdc_dsql_master_spark.binlog import WireFormatError
+    from flink_cdc_dsql_master_spark.binlog_client import BinlogClient
+    from flink_cdc_dsql_master_spark.testing import FakeMySQLReplicaServer
+
+    srv = FakeMySQLReplicaServer(
+        _mysql_events(), username="repl", password="s3cret",
+        auth_plugin="caching_sha2_password", tls=False,
+        auth_cache_primed=False).start()
+    cli = BinlogClient(
+        lambda: socketlib.create_connection(("127.0.0.1", srv.port)),
+        username="repl", password="nope", tls=False)
+    with pytest.raises(WireFormatError, match="Access denied"):
+        cli.connect()
+    cli.close()
+    srv.join(5)
+    assert srv.auth_ok is False
+
+
+def test_gtid_set_roundtrip():
+    from flink_cdc_dsql_master_spark.binlog_client import (decode_gtid_set,
+                                                           encode_gtid_set)
+
+    s = "3e11fa47-71ca-11e1-9e33-c80aa9429562:1-5:8"
+    assert decode_gtid_set(encode_gtid_set(s)) == s
+    multi = ("11111111-2222-3333-4444-555555555555:1-3,"
+             "aaaaaaaa-bbbb-cccc-dddd-eeeeeeeeeeee:7")
+    assert decode_gtid_set(encode_gtid_set(multi)) == multi
+
+
+def test_binlog_dump_gtid_resume():
+    """COM_BINLOG_DUMP_GTID: the server skips every transaction whose
+    GTID the client's executed set contains — the socket-level face of
+    scan.startup.mode=specific-offset with a GTID set."""
+    from flink_cdc_dsql_master_spark.binlog import (encode_gtid,
+                                                    encode_table_map,
+                                                    encode_write_rows,
+                                                    encode_xid)
+    from flink_cdc_dsql_master_spark.binlog_client import BinlogClient
+    from flink_cdc_dsql_master_spark.testing import FakeMySQLReplicaServer
+
+    sid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    cols = [(MYSQL_TYPE_LONG, None), (MYSQL_TYPE_VARCHAR, 10)]
+    events = [
+        encode_fde(120),
+        encode_gtid(sid, 1, 250),
+        encode_table_map(5, "db", "t", cols, 300),
+        encode_write_rows(5, cols, [[1, "old"]], 400),
+        encode_xid(1, 500),
+        encode_gtid(sid, 2, 550),
+        encode_table_map(5, "db", "t", cols, 600),
+        encode_write_rows(5, cols, [[2, "new"]], 700),
+        encode_xid(2, 800),
+    ]
+    srv = FakeMySQLReplicaServer(events, username="repl",
+                                 password="pw").start()
+    cli = BinlogClient(
+        lambda: socketlib.create_connection(("127.0.0.1", srv.port)),
+        username="repl", password="pw")
+    cli.connect()
+    parsed = list(cli.events(gtid_set=f"{sid}:1"))
+    cli.close()
+    srv.join(10)
+    assert srv.gtid_dump_set == f"{sid}:1"
+    rows = [e for e in parsed if e["kind"] == "write_rows"]
+    assert len(rows) == 1 and rows[0]["rows"] == [[2, "new"]]
+    gtids = [e["gno"] for e in parsed if e["kind"] == "gtid"]
+    assert gtids == [2]  # transaction 1 skipped server-side
