@@ -4836,6 +4836,103 @@ def cdc_binlog_client_full_auth(spark, sf_dir):
 
 
 @_q(
+    "cdc_binlog_client_gtid_resume",
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 4 = 0 THEN o_totalprice + 125.0
+                ELSE o_totalprice END AS price
+    FROM orders WHERE o_orderkey % 9 <> 0
+    """,
+)
+def cdc_binlog_client_gtid_resume(spark, sf_dir):
+    """GTID auto-positioned resume over the SOCKET
+    (COM_BINLOG_DUMP_GTID — the wire face of the reference's
+    ``scan.startup.mode=specific-offset`` with a GTID set,
+    MySqlDataSourceOptions.java:123): session 1 dumps from the start,
+    consumes TRANSACTION 1 (the insert load), folds its GTID events
+    into an executed-set string (gtid_set_from_events — the checkpoint
+    a real consumer persists), then "crashes". Session 2 reconnects
+    with that set in the dump request; the server skips transaction 1
+    entirely and ships only transaction 2 (updates + deletes). The
+    final state — txn-1 decode + txn-2 decode under LWW — must be
+    hash-exact, proving the resume neither replays nor loses a
+    transaction."""
+    import socket as socketlib
+
+    from .binlog import (GTID_LOG_EVENT, MYSQL_TYPE_DOUBLE,
+                         MYSQL_TYPE_LONGLONG, decode_binlog, encode_fde,
+                         encode_gtid, encode_table_map,
+                         encode_delete_rows, encode_update_rows,
+                         encode_write_rows, encode_xid,
+                         gtid_set_from_events, parse_binlog)
+    from .binlog_client import BinlogClient
+    from .testing import FakeMySQLReplicaServer
+
+    rows = (_t(spark, sf_dir, "orders")
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price"))
+            .collect())  # fixture construction, not operator work
+    sid = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_DOUBLE, None)]
+    tid = 21
+    upd = [([r["k"], r["price"]], [r["k"], r["price"] + 125.0])
+           for r in rows if r["k"] % 4 == 0]
+    dels = [[r["k"], r["price"] + (125.0 if r["k"] % 4 == 0 else 0.0)]
+            for r in rows if r["k"] % 9 == 0]
+    events = [
+        encode_fde(120),
+        encode_gtid(sid, 1, 250),
+        encode_table_map(tid, "tpch", "orders", cols, 300),
+        encode_write_rows(tid, cols,
+                          [[r["k"], r["price"]] for r in rows], 1000),
+        encode_xid(1, 1500),
+        encode_gtid(sid, 2, 1550),
+        encode_table_map(tid, "tpch", "orders", cols, 1600),
+        encode_update_rows(tid, cols, upd, 2000),
+        encode_delete_rows(tid, cols, dels, 3000),
+        encode_xid(2, 3500),
+    ]
+
+    def dump_events(gtid_set=None):
+        srv = FakeMySQLReplicaServer(events, username="repl",
+                                     password="pw").start()
+        cli = BinlogClient(
+            lambda p=srv.port: socketlib.create_connection(
+                ("127.0.0.1", p)),
+            username="repl", password="pw", server_id=9)
+        cli.connect()
+        wire = list(cli.dump(log_file="binlog.000001", log_pos=4,
+                             gtid_set=gtid_set))
+        cli.close()
+        srv.join()
+        return wire[1:]  # drop the artificial ROTATE
+
+    # session 1: full dump; the consumer checkpoints after txn 1 —
+    # keep events up to the SECOND GTID (exclusive)
+    wire1 = dump_events()
+    second_gtid = [i for i, ev in enumerate(wire1)
+                   if ev[4] == GTID_LOG_EVENT][1]
+    seg1 = b"".join(wire1[:second_gtid])
+    executed = gtid_set_from_events(parse_binlog(seg1))
+    assert executed == f"{sid}:1", executed
+
+    # session 2: reconnect with the executed set — the server must
+    # auto-position PAST transaction 1
+    wire2 = dump_events(gtid_set=executed)
+    seg2 = wire2[0] + b"".join(wire2[1:])  # FDE + the rest
+    assert not any(ev[4] == GTID_LOG_EVENT and ev[19 + 17] == 1
+                   for ev in wire2), "transaction 1 was re-shipped"
+
+    payload = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("price", T.DoubleType()),
+    ])
+    raw = spark.createDataFrame([(seg1,), (seg2,)], "value binary")
+    cl = decode_binlog(raw, payload, table="orders")
+    return apply_changelog(cl, ["k"])
+
+
+@_q(
     "cdc_binlog_type_zoo",
     """
     SELECT o_orderkey AS k,
