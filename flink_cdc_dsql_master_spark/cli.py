@@ -103,7 +103,7 @@ def _cmd_run(args) -> int:
     pipe = _load(args.pipeline_yaml)
     if pipe is None:
         return 2
-    from .compose import BatchComposer, compose_changelog_stream
+    from .compose import BatchComposer, compose_stream
     from .session import get_spark
 
     spark = get_spark(pipe.name)
@@ -115,7 +115,7 @@ def _cmd_run(args) -> int:
                     f"{tid.namespace}.{tid.schema_name}.{tid.table}")
             merge_into_parquet(path, df, schema)
 
-        q = compose_changelog_stream(
+        q = compose_stream(
             spark, pipe,
             args.checkpoint or f"{args.output_dir}/_checkpoint",
             stream_writer)

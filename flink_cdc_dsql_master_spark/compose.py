@@ -736,6 +736,37 @@ def compose_pgoutput_ddl_changelog_stream(spark: SparkSession,
     return w.start()
 
 
+def compose_stream(spark: SparkSession, pipeline: PipelineDef,
+                   checkpoint: str, sink_writer,
+                   on_schema_change=None, evolver=None,
+                   available_now: bool = True):
+    """Source-type-aware streaming composer dispatch — the YAML surface
+    (`python -m flink_cdc_dsql_master_spark run --streaming`). A source
+    with ``in-band-ddl: true`` selects the schema-change-aware variant
+    for its wire format (QUERY_EVENT DDL for file-binlog, Relation
+    diffs for file-pgoutput, schema-change envelopes for
+    file-debezium); everything else takes the plain changelog path
+    whose drift-diff evolution still covers additive changes."""
+    if pipeline.source.config.get("in-band-ddl"):
+        composer = {
+            "file-binlog": compose_binlog_ddl_changelog_stream,
+            "file-pgoutput": compose_pgoutput_ddl_changelog_stream,
+            "file-debezium": compose_ddl_changelog_stream,
+        }.get(pipeline.source.type)
+        if composer is None:
+            raise ValueError(
+                f"in-band-ddl is not supported for source type "
+                f"{pipeline.source.type!r}")
+        return composer(spark, pipeline, checkpoint, sink_writer,
+                        on_schema_change=on_schema_change,
+                        evolver=evolver, available_now=available_now)
+    return compose_changelog_stream(spark, pipeline, checkpoint,
+                                    sink_writer,
+                                    on_schema_change=on_schema_change,
+                                    evolver=evolver,
+                                    available_now=available_now)
+
+
 def make_scd2_sink_writer(base_path: str):
     """Sink-writer for :func:`compose_changelog_stream` maintaining an
     SCD2 parquet history per sink table (the streaming face of the

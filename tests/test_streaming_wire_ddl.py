@@ -422,3 +422,67 @@ def test_pgoutput_relation_diff_in_streamed_txn(spark):
     assert len(rows) == 1
     assert rows[0]["oid"] == 9 and rows[0]["name"] == "t"
     assert json.loads(rows[0]["columns_json"])[0]["name"] == "id"
+
+
+def test_compose_stream_yaml_dispatch(spark, tmp_path):
+    """The YAML surface reaches the DDL-aware composers: a file-binlog
+    source with ``in-band-ddl: true`` parsed from pipeline YAML runs
+    the QUERY_EVENT path end-to-end via compose_stream (the CLI's
+    streaming entry)."""
+    from flink_cdc_dsql_master_spark.compose import compose_stream
+    from flink_cdc_dsql_master_spark.pipeline import parse_pipeline_yaml
+
+    src = tmp_path / "seg"
+    src.mkdir()
+    db = str(tmp_path / "sink.duckdb")
+    cols2 = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 20)]
+    cols3 = cols2 + [(MYSQL_TYPE_DOUBLE, None)]
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(42, "db", "t", cols2, 200)
+            + encode_write_rows(42, cols2, [[1, "a"]], 300)
+            + encode_query("db", "ALTER TABLE t ADD COLUMN score DOUBLE",
+                           400)
+            + encode_table_map(42, "db", "t", cols3, 500)
+            + encode_write_rows(42, cols3, [[2, "b", 2.5]], 600))
+    (src / "seg1.binlog").write_bytes(blob)
+
+    pipe = parse_pipeline_yaml(f"""
+source:
+  type: file-binlog
+  path: {src}
+  schema: "id bigint, v string"
+  table: db.s.yaml_t
+  mysql-table: t
+  in-band-ddl: true
+  primary-keys: [id]
+sink:
+  type: duckdb
+route:
+  - source-table: db.s.yaml_t
+    sink-table: out.db.yaml_ddl_sink
+pipeline:
+  schema.change.behavior: LENIENT
+""")
+    q = compose_stream(spark, pipe, str(tmp_path / "ckpt"),
+                       _duck_writer(db), on_schema_change=_duck_ddl(db))
+    q.awaitTermination(120)
+
+    con = duckdb.connect(db)
+    got = con.execute("SELECT id, v, score FROM yaml_ddl_sink "
+                      "ORDER BY id").fetchall()
+    con.close()
+    assert got == [(1, "a", None), (2, "b", 2.5)]
+
+
+def test_compose_stream_rejects_unsupported_in_band_ddl(spark, tmp_path):
+    from flink_cdc_dsql_master_spark.compose import compose_stream
+    from flink_cdc_dsql_master_spark.pipeline import (PipelineDef, SinkDef,
+                                                      SourceDef)
+
+    pipe = PipelineDef(
+        source=SourceDef("file-maxwell", {"in-band-ddl": True,
+                                          "path": str(tmp_path),
+                                          "schema": "id bigint"}),
+        sink=SinkDef("duckdb"))
+    with pytest.raises(ValueError, match="in-band-ddl"):
+        compose_stream(spark, pipe, str(tmp_path / "c"), lambda *a: None)
