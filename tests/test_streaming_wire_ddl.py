@@ -486,3 +486,45 @@ def test_compose_stream_rejects_unsupported_in_band_ddl(spark, tmp_path):
         sink=SinkDef("duckdb"))
     with pytest.raises(ValueError, match="in-band-ddl"):
         compose_stream(spark, pipe, str(tmp_path / "c"), lambda *a: None)
+
+
+def test_lsn_range_with_streamed_txn_spanning_boundary(spark):
+    """A protocol-v2 streamed transaction whose tuples span a mid-txn
+    Relation change: each epoch decode processes the FULL stream state
+    (buffer-until-commit, control messages unbounded) and emits only
+    its in-range rows, so the segmented composer neither double-emits
+    nor trips the width guard on the other epoch's tuples."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_dsql_master_spark.pgoutput import (
+        decode_pgoutput_segments, encode_frames, encode_insert,
+        encode_relation, encode_stream_commit, encode_stream_start,
+        encode_stream_stop, with_stream_xid)
+
+    oid, xid = 7, 99
+    rel2 = encode_relation(oid, "public", "t",
+                           [("id", True, 20), ("v", False, 25)])
+    rel3 = encode_relation(oid, "public", "t",
+                           [("id", True, 20), ("v", False, 25),
+                            ("s", False, 701)])
+    msgs = [
+        (100, rel2),
+        (110, encode_stream_start(xid)),
+        (120, with_stream_xid(encode_insert(oid, ["1", "a"]), xid)),
+        (130, with_stream_xid(rel3, xid)),  # DDL inside the txn
+        (140, with_stream_xid(encode_insert(oid, ["2", "b", "2.5"]),
+                              xid)),
+        (150, encode_stream_stop()),
+        (160, encode_stream_commit(xid, 200, 201)),
+    ]
+    df = spark.createDataFrame([(encode_frames(msgs),)], "value binary")
+    p2 = T.StructType([T.StructField("id", T.LongType()),
+                       T.StructField("v", T.StringType())])
+    p3 = T.StructType([T.StructField("id", T.LongType()),
+                       T.StructField("v", T.StringType()),
+                       T.StructField("s", T.DoubleType())])
+    ep1 = decode_pgoutput_segments(df, p2, lsn_range=(None, 130))
+    assert [(r["id"], r["v"]) for r in ep1.collect()] == [(1, "a")]
+    ep2 = decode_pgoutput_segments(df, p3, lsn_range=(130, None))
+    assert [(r["id"], r["v"], r["s"]) for r in ep2.collect()] == [
+        (2, "b", 2.5)]
