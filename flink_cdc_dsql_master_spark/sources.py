@@ -608,6 +608,8 @@ _DDL_RES = [
     ("add", re.compile(
         r"ALTER\s+TABLE\s+\S+\s+ADD\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+"
         r"([A-Za-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+        r"(?:\s+(NOT\s+NULL)|\s+NULL)?"
+        r"(?:\s+DEFAULT\s+('[^']*'|[\w.+-]+))?"
         r"(?:\s+(FIRST)|\s+AFTER\s+[`\"]?(\w+)[`\"]?)?\s*;?\s*$",
         re.IGNORECASE)),
     ("rename", re.compile(
@@ -635,6 +637,56 @@ _DDL_RES = [
 ]
 
 
+_ALTER_PREFIX_RE = re.compile(r"(ALTER\s+TABLE\s+\S+)\s+(.*)$",
+                              re.IGNORECASE | re.DOTALL)
+_SPEC_SPLIT_RE = re.compile(
+    r",\s*(?=(?:ADD|DROP|MODIFY|CHANGE|RENAME|ALTER)\b)", re.IGNORECASE)
+_ADD_GROUP_RE = re.compile(r"ADD\s+(?:COLUMN\s+)?\((.*)\)\s*$",
+                           re.IGNORECASE | re.DOTALL)
+
+
+def _split_toplevel_commas(s: str) -> list[str]:
+    """Split on commas outside parentheses and single quotes."""
+    parts, depth, start, in_q = [], 0, 0, False
+    for i, ch in enumerate(s):
+        if ch == "'":
+            in_q = not in_q
+        elif in_q:
+            continue
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return parts
+
+
+def _expand_alter_specs(stmt: str) -> list[str]:
+    """One ALTER TABLE with several comma-separated alter specs →
+    one single-spec statement per spec (what the per-spec regexes
+    match). Handles both ``ADD a INT, DROP b`` and the parenthesized
+    multi-add ``ADD COLUMN (a INT, b TEXT)`` MySQL accepts — the
+    shapes real migrations bundle (the reference's ANTLR grammar walks
+    alterSpecification* the same way)."""
+    m = _ALTER_PREFIX_RE.match(stmt)
+    if not m:
+        return [stmt]
+    prefix, body = m.groups()
+    out = []
+    for spec in _SPEC_SPLIT_RE.split(body.rstrip(";").strip()):
+        spec = spec.strip()
+        g = _ADD_GROUP_RE.match(spec)
+        if g:
+            out.extend(f"{prefix} ADD COLUMN {col.strip()}"
+                       for col in _split_toplevel_commas(g.group(1)))
+        else:
+            out.append(f"{prefix} {spec}")
+    return out
+
+
 def parse_debezium_ddl(ddl: str, tid) -> list:
     """Parse the DDL string of a Debezium schema-change message into
     SchemaChangeEvents (reference event kinds, SURVEY §1.1; the
@@ -645,47 +697,60 @@ def parse_debezium_ddl(ddl: str, tid) -> list:
     This is the piece drift-diffing can NEVER recover: a RENAME looks
     like drop+add to a schema diff, so only the explicit in-band event
     preserves column identity (and therefore old rows' data) at the
-    sink. Statements split on ';' are handled independently; unknown
-    statements are skipped (Debezium also emits CREATE/GRANT noise).
+    sink. Statements split on ';' are handled independently; an ALTER
+    with several comma-separated alter specs (or the parenthesized
+    multi-add) expands to one event per spec; unknown statements are
+    skipped (Debezium also emits CREATE/GRANT noise).
     """
+    events = []
+    for raw_stmt in ddl.split(";"):
+        raw_stmt = raw_stmt.strip()
+        if not raw_stmt:
+            continue
+        for stmt in _expand_alter_specs(raw_stmt):
+            events.extend(_parse_one_ddl(stmt, tid))
+    return events
+
+
+def _parse_one_ddl(stmt: str, tid) -> list:
     from .events import (AddColumnEvent, AlterColumnTypeEvent,
                          ColumnPosition, DropColumnEvent, DropTableEvent,
                          RenameColumnEvent, TruncateTableEvent)
 
     events = []
-    for stmt in ddl.split(";"):
-        stmt = stmt.strip()
-        if not stmt:
+    for kind, rx in _DDL_RES:
+        m = rx.match(stmt)
+        if not m:
             continue
-        for kind, rx in _DDL_RES:
-            m = rx.match(stmt)
-            if not m:
-                continue
-            if kind == "add":
-                name, typ, first, anchor = m.groups()
-                pos = (ColumnPosition.FIRST if first
-                       else ColumnPosition.AFTER if anchor
-                       else ColumnPosition.LAST)
-                events.append(AddColumnEvent(tid, name, typ.upper(),
-                                             position=pos, anchor=anchor))
-            elif kind == "rename":
-                events.append(RenameColumnEvent(tid, m.group(1), m.group(2)))
-            elif kind == "change":
-                old_name, new_name, typ = m.groups()
-                if old_name != new_name:
-                    events.append(RenameColumnEvent(tid, old_name, new_name))
-                events.append(AlterColumnTypeEvent(tid, new_name,
-                                                   typ.upper()))
-            elif kind == "drop":
-                events.append(DropColumnEvent(tid, m.group(1)))
-            elif kind == "modify":
-                events.append(AlterColumnTypeEvent(tid, m.group(1),
-                                                   m.group(2).upper()))
-            elif kind == "truncate":
-                events.append(TruncateTableEvent(tid))
-            elif kind == "drop_table":
-                events.append(DropTableEvent(tid))
-            break
+        if kind == "add":
+            name, typ, notnull, default, first, anchor = m.groups()
+            pos = (ColumnPosition.FIRST if first
+                   else ColumnPosition.AFTER if anchor
+                   else ColumnPosition.LAST)
+            ts = typ.upper() + (" NOT NULL" if notnull else "")
+            if default is not None and default.startswith("'"):
+                default = default[1:-1]
+            events.append(AddColumnEvent(tid, name, ts,
+                                         position=pos, anchor=anchor,
+                                         default=default))
+        elif kind == "rename":
+            events.append(RenameColumnEvent(tid, m.group(1), m.group(2)))
+        elif kind == "change":
+            old_name, new_name, typ = m.groups()
+            if old_name != new_name:
+                events.append(RenameColumnEvent(tid, old_name, new_name))
+            events.append(AlterColumnTypeEvent(tid, new_name,
+                                               typ.upper()))
+        elif kind == "drop":
+            events.append(DropColumnEvent(tid, m.group(1)))
+        elif kind == "modify":
+            events.append(AlterColumnTypeEvent(tid, m.group(1),
+                                               m.group(2).upper()))
+        elif kind == "truncate":
+            events.append(TruncateTableEvent(tid))
+        elif kind == "drop_table":
+            events.append(DropTableEvent(tid))
+        break
     return events
 
 

@@ -528,3 +528,37 @@ def test_lsn_range_with_streamed_txn_spanning_boundary(spark):
     ep2 = decode_pgoutput_segments(df, p3, lsn_range=(130, None))
     assert [(r["id"], r["v"], r["s"]) for r in ep2.collect()] == [
         (2, "b", 2.5)]
+
+
+def test_parse_ddl_multi_spec_and_defaults():
+    """Real migrations bundle alter specs: comma-separated lists, the
+    parenthesized multi-add, NOT NULL and DEFAULT tails — each expands
+    to its own event, with the default captured (AddColumnEvent.default
+    rides into schema metadata)."""
+    from flink_cdc_dsql_master_spark.events import (AddColumnEvent,
+                                                    AlterColumnTypeEvent,
+                                                    ColumnPosition,
+                                                    DropColumnEvent,
+                                                    RenameColumnEvent)
+    from flink_cdc_dsql_master_spark.sources import parse_debezium_ddl
+
+    evs = parse_debezium_ddl(
+        "ALTER TABLE t ADD COLUMN a INT NOT NULL DEFAULT 7 AFTER x, "
+        "DROP COLUMN b, CHANGE c c2 BIGINT", TID)
+    assert evs == [
+        AddColumnEvent(TID, "a", "INT NOT NULL",
+                       position=ColumnPosition.AFTER, anchor="x",
+                       default="7"),
+        DropColumnEvent(TID, "b"),
+        RenameColumnEvent(TID, "c", "c2"),
+        AlterColumnTypeEvent(TID, "c2", "BIGINT"),
+    ]
+    evs = parse_debezium_ddl(
+        "ALTER TABLE t ADD COLUMN (p DOUBLE, q VARCHAR(12) "
+        "DEFAULT 'x,y')", TID)
+    assert [(e.name, e.type_string, e.default) for e in evs] == [
+        ("p", "DOUBLE", None), ("q", "VARCHAR(12)", "x,y")]
+    # single-spec statements are unchanged by the expansion
+    assert parse_debezium_ddl(
+        "ALTER TABLE t RENAME COLUMN v TO val", TID) == [
+        RenameColumnEvent(TID, "v", "val")]
