@@ -525,7 +525,7 @@ def binlog_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
     from pyspark.sql import types as T
 
     from .binlog import decode_binlog, extract_binlog_ddl
-    from .sources import parse_debezium_ddl
+    from .sources import ddl_target_table, parse_debezium_ddl
 
     src_cfg = pipeline.source.config
     table = TableId.parse(src_cfg.get("table", "default.default.stream"))
@@ -550,6 +550,12 @@ def binlog_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
         boundaries = []
         for r in sorted(extract_binlog_ddl(df).collect(),
                         key=lambda r: r["pos"]):
+            # a multi-table stream carries DDL for OTHER tables too —
+            # only statements targeting THIS pipeline's table may
+            # segment it and evolve its schema
+            if mysql_table is not None and \
+                    ddl_target_table(r["statement"]) != mysql_table.lower():
+                continue
             evs = parse_debezium_ddl(r["statement"], table)
             if evs:  # CREATE/GRANT noise parses to nothing — no split
                 boundaries.append((r["pos"], evs))
@@ -645,6 +651,9 @@ def pgoutput_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
     src_cfg = pipeline.source.config
     table = TableId.parse(src_cfg.get("table", "default.default.stream"))
     pks = list(src_cfg.get("primary-keys", []))
+    # a slot publishing several tables re-sends Relations for each —
+    # only THIS pipeline's relation may drive its evolution
+    pg_table = src_cfg.get("pg-table")
     evolver = evolver or SchemaEvolver(
         behavior=SchemaChangeBehavior(pipeline.schema_change_behavior))
     data_handle = foreach_batch_writer(pipeline, sink_writer, spark,
@@ -662,7 +671,9 @@ def pgoutput_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             [f for f in cur.struct.fields if f.name not in aux])
 
     def handle(df: DataFrame, batch_id: int) -> None:
-        rels = sorted(extract_pgoutput_relations(df).collect(),
+        rels = sorted((r for r in extract_pgoutput_relations(df).collect()
+                       if pg_table is None
+                       or r["name"].lower() == pg_table.lower()),
                       key=lambda r: r["lsn"])
         # simulate the schema progression driver-side to place the
         # boundaries; the REAL application happens interleaved with the

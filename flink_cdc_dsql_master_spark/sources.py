@@ -664,6 +664,24 @@ def _split_toplevel_commas(s: str) -> list[str]:
     return parts
 
 
+_DDL_TARGET_RE = re.compile(
+    r"(?:ALTER\s+TABLE\s+|TRUNCATE\s+(?:TABLE\s+)?|DROP\s+TABLE\s+)"
+    r"([`\"\w.]+)", re.IGNORECASE)
+
+
+def ddl_target_table(stmt: str) -> str | None:
+    """The unqualified, unquoted table a DDL statement targets (None
+    for non-DDL) — how the wire composers keep a multi-table stream's
+    OTHER tables' DDL from segmenting and evolving THIS pipeline's
+    table (the reference filters the same way: its schema-change events
+    carry the tableId parsed from the statement)."""
+    m = _DDL_TARGET_RE.match(stmt.strip())
+    if not m:
+        return None
+    name = m.group(1).split(".")[-1]
+    return name.strip("`\"").lower()
+
+
 def _expand_alter_specs(stmt: str) -> list[str]:
     """One ALTER TABLE with several comma-separated alter specs →
     one single-spec statement per spec (what the per-spec regexes

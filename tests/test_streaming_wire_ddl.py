@@ -562,3 +562,60 @@ def test_parse_ddl_multi_spec_and_defaults():
     assert parse_debezium_ddl(
         "ALTER TABLE t RENAME COLUMN v TO val", TID) == [
         RenameColumnEvent(TID, "v", "val")]
+
+
+def test_other_tables_ddl_does_not_segment(spark):
+    """A multi-table stream's DDL for ANOTHER table must neither
+    segment this pipeline nor evolve its schema."""
+    from flink_cdc_dsql_master_spark.compose import (
+        compose_binlog_ddl_changelog_stream)
+    from flink_cdc_dsql_master_spark.sources import ddl_target_table
+
+    assert ddl_target_table("ALTER TABLE db.`other` ADD c INT") == "other"
+    assert ddl_target_table('TRUNCATE TABLE "Big"') == "big"
+    assert ddl_target_table("DROP TABLE x") == "x"
+    assert ddl_target_table("BEGIN") is None
+
+    base = tempfile.mkdtemp(prefix="binlog_other_ddl_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+    cols2 = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 20)]
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(42, "db", "t", cols2, 200)
+            + encode_write_rows(42, cols2, [[1, "a"]], 300)
+            # DDL for a DIFFERENT table mid-stream
+            + encode_query("db", "ALTER TABLE other ADD COLUMN z INT",
+                           400)
+            + encode_table_map(42, "db", "t", cols2, 500)
+            + encode_write_rows(42, cols2, [[2, "b"]], 600))
+    with open(f"{src}/seg1.binlog", "wb") as f:
+        f.write(blob)
+
+    pipe = PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": src, "schema": "id bigint, v string",
+            "table": "db.s.t3", "mysql-table": "t",
+            "primary-keys": ["id"]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.s.t3", "out.db.other_ddl_sink"),),
+        config={"schema.change.behavior": "LENIENT"},
+    )
+    seen_events = []
+    q = compose_binlog_ddl_changelog_stream(
+        spark, pipe, ckpt, _duck_writer(db),
+        on_schema_change=lambda t, evs, s: seen_events.extend(evs))
+    q.awaitTermination(120)
+
+    # only the drift path's initial CreateTableEvent may appear — the
+    # other table's ALTER never reaches the evolver
+    from flink_cdc_dsql_master_spark.events import CreateTableEvent
+    assert all(isinstance(e, CreateTableEvent) for e in seen_events)
+    con = duckdb.connect(db)
+    cols = [d[0] for d in con.execute(
+        "SELECT * FROM other_ddl_sink LIMIT 0").description]
+    got = con.execute("SELECT id, v FROM other_ddl_sink "
+                      "ORDER BY id").fetchall()
+    con.close()
+    assert cols == ["id", "v"]  # no 'z' column leaked in
+    assert got == [(1, "a"), (2, "b")]
