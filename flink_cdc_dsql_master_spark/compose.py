@@ -456,8 +456,9 @@ def ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
                     # rewrites; [] for a lenient DROP), never the raw
                     # upstream one — the sink's DDL must agree with the
                     # evolved schema (SchemaDerivator parity)
+                    # fire even when the table was dropped (schema
+                    # None) — the sink must see DropTableEvent
                     if (on_schema_change is not None
-                            and schema is not None
                             and evolver.last_applied):
                         for sink_tid in router.route(table):
                             on_schema_change(sink_tid,
@@ -575,8 +576,9 @@ def binlog_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
                     # policy-applied events only (see
                     # ddl_foreach_batch_writer) — a lenient DROP/RENAME
                     # must not issue the raw DDL at the sink
+                    # fire even when the table was dropped (schema
+                    # None) — the sink must see DropTableEvent
                     if (on_schema_change is not None
-                            and schema is not None
                             and evolver.last_applied):
                         for sink_tid in router.route(table):
                             on_schema_change(sink_tid,
@@ -700,8 +702,9 @@ def pgoutput_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
                     # policy-applied events only (see
                     # ddl_foreach_batch_writer) — a lenient DROP/RENAME
                     # must not issue the raw DDL at the sink
+                    # fire even when the table was dropped (schema
+                    # None) — the sink must see DropTableEvent
                     if (on_schema_change is not None
-                            and schema is not None
                             and evolver.last_applied):
                         for sink_tid in router.route(table):
                             on_schema_change(sink_tid,

@@ -66,13 +66,23 @@ def schema_change_ddl(table: str, events, schema: Schema) -> list[str]:
         AlterColumnTypeEvent,
         CreateTableEvent,
         DropColumnEvent,
+        DropTableEvent,
         RenameColumnEvent,
+        TruncateTableEvent,
     )
 
     out = []
     for e in events:
         if isinstance(e, CreateTableEvent):
             out.append(create_table_sql(table, schema))
+        elif isinstance(e, TruncateTableEvent):
+            # a binlog TRUNCATE statement carries no row events, so the
+            # data effect must land as sink DDL (MetadataApplier's
+            # TRUNCATE_TABLE capability); DELETE FROM is the portable
+            # spelling (DuckDB has no TRUNCATE)
+            out.append(f'DELETE FROM {table}')
+        elif isinstance(e, DropTableEvent):
+            out.append(f'DROP TABLE IF EXISTS {table}')
         elif isinstance(e, AddColumnEvent):
             f = schema.field(e.name)
             out.append(f'ALTER TABLE {table} ADD COLUMN IF NOT EXISTS '

@@ -619,3 +619,44 @@ def test_other_tables_ddl_does_not_segment(spark):
     con.close()
     assert cols == ["id", "v"]  # no 'z' column leaked in
     assert got == [(1, "a"), (2, "b")]
+
+
+def test_binlog_truncate_statement_reaches_sink(spark):
+    """A binlog TRUNCATE TABLE statement carries no row events — its
+    data effect must land as sink DDL (DELETE FROM): pre-truncate rows
+    vanish, post-truncate inserts land."""
+    from flink_cdc_dsql_master_spark.compose import (
+        compose_binlog_ddl_changelog_stream)
+
+    base = tempfile.mkdtemp(prefix="binlog_truncate_ddl_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 20)]
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(42, "db", "t", cols, 200)
+            + encode_write_rows(42, cols, [[1, "gone"], [2, "gone"]], 300)
+            + encode_query("db", "TRUNCATE TABLE t", 400)
+            + encode_table_map(42, "db", "t", cols, 500)
+            + encode_write_rows(42, cols, [[3, "kept"]], 600))
+    with open(f"{src}/seg1.binlog", "wb") as f:
+        f.write(blob)
+
+    pipe = PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": src, "schema": "id bigint, v string",
+            "table": "db.s.t4", "mysql-table": "t",
+            "primary-keys": ["id"]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.s.t4", "out.db.trunc_sink"),),
+        config={"schema.change.behavior": "LENIENT"},
+    )
+    q = compose_binlog_ddl_changelog_stream(
+        spark, pipe, ckpt, _duck_writer(db),
+        on_schema_change=_duck_ddl(db))
+    q.awaitTermination(120)
+
+    con = duckdb.connect(db)
+    got = con.execute("SELECT id, v FROM trunc_sink ORDER BY id").fetchall()
+    con.close()
+    assert got == [(3, "kept")]
