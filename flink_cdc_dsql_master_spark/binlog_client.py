@@ -366,6 +366,10 @@ class BinlogClient:
             seq + 1)
         ok, seq = read_packet(self.sock)
         _check_not_err(ok, "authentication")
+        # the scramble the SERVER considers current — replaced by an
+        # AuthSwitchRequest's fresh nonce (the RSA full-auth XOR must
+        # use this one, not the stale handshake scramble)
+        current_scramble = self.handshake["scramble"]
         if ok[:1] == b"\xfe":
             # AuthSwitchRequest: plugin cstr + new nonce — re-scramble
             # with the requested plugin (a server whose account uses a
@@ -379,6 +383,7 @@ class BinlogClient:
             if nonce.endswith(b"\x00"):
                 nonce = nonce[:-1]
             nonce = nonce[:20]
+            current_scramble = nonce
             write_packet(self.sock,
                          auth_response_for(new_plugin, self.password,
                                            nonce), seq + 1)
@@ -392,8 +397,8 @@ class BinlogClient:
             # already-encrypted channel (the server hashes and caches
             # it) — the path the FIRST connection of a freshly
             # provisioned replica user takes (VERDICT r10 ask #3).
-            # Without TLS it would need the RSA public-key exchange —
-            # out of in-sandbox reach, fail loudly.
+            # Without TLS the RSA public-key exchange keeps the
+            # password off the cleartext channel.
             if ok[1:2] == b"\x03":
                 ok, seq = read_packet(self.sock)
                 _check_not_err(ok, "authentication (post fast-auth)")
@@ -417,7 +422,7 @@ class BinlogClient:
                 seq = write_packet(
                     self.sock,
                     rsa_encrypt_password(self.password,
-                                         self.handshake["scramble"],
+                                         current_scramble,
                                          more[1:]), seq + 1)
                 ok, seq = read_packet(self.sock)
                 _check_not_err(ok, "authentication (full, RSA)")

@@ -452,18 +452,10 @@ def ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             if r is not None:
                 for ev in parse_debezium_ddl(r["ddl"], table):
                     schema = evolver.on_event(ev)
-                    # surface the POLICY-APPLIED events (LENIENT
-                    # rewrites; [] for a lenient DROP), never the raw
-                    # upstream one — the sink's DDL must agree with the
-                    # evolved schema (SchemaDerivator parity)
-                    # fire even when the table was dropped (schema
-                    # None) — the sink must see DropTableEvent
-                    if (on_schema_change is not None
-                            and evolver.last_applied):
-                        for sink_tid in router.route(table):
-                            on_schema_change(sink_tid,
-                                             list(evolver.last_applied),
-                                             schema)
+                    _fire_applied(on_schema_change, evolver, router,
+                                  table, schema)
+                if evolver.manager.latest_original(table) is None:
+                    break  # table dropped mid-batch (see wire twins)
             lo = hi
 
     return handle
@@ -491,6 +483,17 @@ def compose_ddl_changelog_stream(spark: SparkSession, pipeline: PipelineDef,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def _fire_applied(on_schema_change, evolver, router, table, schema):
+    """Surface the POLICY-APPLIED events of the evolver's last on_event
+    to the sink callback (LENIENT rewrites; [] for a lenient DROP) —
+    never the raw upstream event, so sink DDL always agrees with the
+    evolved schema (SchemaDerivator parity). Fires even when the table
+    was dropped (schema None): the sink must see DropTableEvent."""
+    if on_schema_change is not None and evolver.last_applied:
+        for sink_tid in router.route(table):
+            on_schema_change(sink_tid, list(evolver.last_applied), schema)
 
 
 def binlog_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
@@ -573,17 +576,14 @@ def binlog_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             if item is not None:
                 for ev in item[1]:
                     schema = evolver.on_event(ev)
-                    # policy-applied events only (see
-                    # ddl_foreach_batch_writer) — a lenient DROP/RENAME
-                    # must not issue the raw DDL at the sink
-                    # fire even when the table was dropped (schema
-                    # None) — the sink must see DropTableEvent
-                    if (on_schema_change is not None
-                            and evolver.last_applied):
-                        for sink_tid in router.route(table):
-                            on_schema_change(sink_tid,
-                                             list(evolver.last_applied),
-                                             schema)
+                    _fire_applied(on_schema_change, evolver, router,
+                                  table, schema)
+                if evolver.manager.latest_original(table) is None:
+                    # table dropped mid-batch: later segments have
+                    # nothing to decode, and flushing an empty frame
+                    # would let a create-if-missing writer resurrect
+                    # the just-dropped sink table
+                    break
             lo = hi
 
     return handle
@@ -608,7 +608,15 @@ def compose_binlog_ddl_changelog_stream(spark: SparkSession,
             f"in-stream DDL needs a file-binlog source, got {src.type!r}")
     reader = (spark.readStream.format("binaryFile")
               .schema(_BINARY_FILE_SCHEMA))
-    for k, v in (src.config.get("reader-options") or {}).items():
+    # DEFAULT one segment file per micro-batch: the pos_range
+    # segmentation needs log_pos monotone WITHIN a batch, and rotated
+    # binlog files each restart near pos 4 — batching several files
+    # together (availableNow's default) would interleave their pos
+    # spaces. A user who knows their files share one monotone pos
+    # space may raise it explicitly.
+    opts = {"maxFilesPerTrigger": "1",
+            **(src.config.get("reader-options") or {})}
+    for k, v in opts.items():
         reader = reader.option(k, v)
     raw = reader.load(src.config["path"]).select(
         F.col("content").alias("value"))
@@ -648,7 +656,8 @@ def pgoutput_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
     from .evolve import apply_schema_change
     from .pgoutput import (decode_pgoutput_segments,
                            extract_pgoutput_relations,
-                           relation_drift_events)
+                           relation_drift_events,
+                           resolve_and_cast_pgoutput)
 
     src_cfg = pipeline.source.config
     table = TableId.parse(src_cfg.get("table", "default.default.stream"))
@@ -690,26 +699,33 @@ def pgoutput_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
                 for ev in evs:
                     sim = apply_schema_change(sim, ev)
         lo = None
+        ctx = None  # prior epochs' raw frames: TOAST-resolution context
         for seg_idx, item in enumerate(boundaries + [None]):
             hi = item[0] if item is not None else None
-            decoded = decode_pgoutput_segments(
-                df, payload_struct(),
-                primary_keys=pks or None, lsn_range=(lo, hi))
+            ps = payload_struct()
+            raw = decode_pgoutput_segments(
+                df, ps, primary_keys=pks or None,
+                lsn_range=(lo, hi), raw_only=True)
+            # resolve unchanged-TOAST against prior epochs too: a 'u'
+            # whose last full image landed before the mid-batch ALTER
+            # must not become a hard error (review #5)
+            decoded = resolve_and_cast_pgoutput(
+                raw, ps, pks or None, toast_context=ctx, epoch_lo=lo)
             data_handle(decoded, f"{batch_id}s{seg_idx}")
+            if boundaries:
+                ctx = raw if ctx is None else \
+                    ctx.unionByName(raw, allowMissingColumns=True)
             if item is not None:
                 for ev in item[1]:
                     schema = evolver.on_event(ev)
-                    # policy-applied events only (see
-                    # ddl_foreach_batch_writer) — a lenient DROP/RENAME
-                    # must not issue the raw DDL at the sink
-                    # fire even when the table was dropped (schema
-                    # None) — the sink must see DropTableEvent
-                    if (on_schema_change is not None
-                            and evolver.last_applied):
-                        for sink_tid in router.route(table):
-                            on_schema_change(sink_tid,
-                                             list(evolver.last_applied),
-                                             schema)
+                    _fire_applied(on_schema_change, evolver, router,
+                                  table, schema)
+                if evolver.manager.latest_original(table) is None:
+                    # table dropped mid-batch: later segments have
+                    # nothing to decode, and flushing an empty frame
+                    # would let a create-if-missing writer resurrect
+                    # the just-dropped sink table
+                    break
             lo = hi
 
     return handle

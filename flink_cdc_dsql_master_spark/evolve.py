@@ -210,7 +210,19 @@ class SchemaEvolver:
         orig = self.manager.latest_original(tid)
         new_orig = apply_schema_change(orig, event)
         if new_orig is None:
+            if self.behavior == SchemaChangeBehavior.EXCEPTION:
+                raise SchemaEvolveError(
+                    "Unexpected schema change events occurred in "
+                    "EXCEPTION mode. Job will fail now. "
+                    f"(event: {type(event).__name__} on {tid})")
             self.manager.drop(tid)
+            # the drop IS the applied event — leaving the previous
+            # call's last_applied in place made the composers fire
+            # stale events (or nothing) instead of DropTableEvent
+            # (round-11 review #1)
+            self.last_applied = (
+                [] if self.behavior == SchemaChangeBehavior.IGNORE
+                else [event])
             return None
         self.manager.register_original(tid, new_orig)
 

@@ -529,8 +529,9 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
                     msg_col: str = "value",
                     lsn_col: str = "lsn",
                     primary_keys: list[str] | None = None,
-                    lsn_range: tuple[int | None, int | None] | None = None
-                    ) -> DataFrame:
+                    lsn_range: tuple[int | None, int | None] | None = None,
+                    toast_context: DataFrame | None = None,
+                    raw_only: bool = False) -> DataFrame:
     """(lsn, message-bytes) frame → +I/-U/+U/-D changelog with the
     payload columns CAST from pgoutput's text format into
     ``payload_schema``'s types, ``__seq`` = LSN·2 (+1 for after-images,
@@ -555,10 +556,12 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
     WireFormatError — never silently NULL (ADVICE r9).
 
     ``lsn_range=(lo, hi)`` emits only data messages with
-    ``lo < lsn < hi`` (None = open bound) — how the Relation-diff-aware
-    composer decodes each schema epoch with the schema current at those
-    LSNs; Relation / stream-control messages are always processed so the
-    per-OID registry and the v2 stream-block state stay correct. A tuple
+    ``lo <= lsn < hi`` (None = open bound; lo inclusive because a real
+    walsender emits a re-sent Relation and the first post-ALTER DML at
+    the same wal_start) — how the Relation-diff-aware composer decodes
+    each schema epoch with the schema current at those LSNs; Relation /
+    stream-control messages are always processed so the per-OID
+    registry and the v2 stream-block state stay correct. A tuple
     whose width differs from ``payload_schema`` raises WireFormatError
     naming both counts (a re-sent Relation with a changed column set is
     a schema change, not a shape accident; VERDICT r10 ask #5)."""
@@ -617,7 +620,14 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
             rows = []
 
             def data_rows(m, lsn):
-                if (lo_lsn is not None and lsn <= lo_lsn) or \
+                # lo INCLUSIVE, hi EXCLUSIVE: a real walsender emits the
+                # re-sent Relation and the first post-ALTER DML at the
+                # SAME wal_start, so the boundary LSN's data belongs to
+                # the NEW epoch — strict bounds on both sides would
+                # silently drop the first row after every ALTER
+                # (round-11 review #2; binlog differs: a QUERY_EVENT's
+                # log_pos can never equal a row event's)
+                if (lo_lsn is not None and lsn < lo_lsn) or \
                         (hi_lsn is not None and lsn >= hi_lsn):
                     return []
                 oid = m.get("oid")
@@ -690,8 +700,39 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
                 "Stream Commit/Abort boundaries")
 
     raw = df.mapInPandas(decode, out_schema)
-    if resolve_toast:
-        raw = _resolve_unchanged(raw, names, primary_keys)
+    if raw_only:
+        return raw
+    return resolve_and_cast_pgoutput(raw, payload_schema, primary_keys,
+                                     toast_context=toast_context,
+                                     epoch_lo=lo_lsn)
+
+
+def resolve_and_cast_pgoutput(raw: DataFrame,
+                              payload_schema: T.StructType,
+                              primary_keys: list[str] | None = None,
+                              toast_context: DataFrame | None = None,
+                              epoch_lo: int | None = None) -> DataFrame:
+    """Finish a raw string changelog frame: resolve unchanged-TOAST
+    sentinels, cast into ``payload_schema``, derive ``__seq``.
+
+    ``toast_context`` carries the PRIOR schema epochs' raw frames (all
+    rows with ``__lsn < epoch_lo``) so a 'u' datum whose last full image
+    landed before a mid-batch ALTER still resolves — the epoch split
+    must not turn a same-micro-batch prior image into a hard error
+    (round-11 review #5). Context rows join the resolution window
+    (narrower epochs align by name, missing columns NULL) and are
+    dropped again before the cast."""
+    from pyspark.sql import functions as F
+
+    names = [f.name for f in payload_schema.fields]
+    if primary_keys is not None:
+        if toast_context is not None and epoch_lo is not None:
+            both = toast_context.unionByName(raw,
+                                             allowMissingColumns=True)
+            raw = (_resolve_unchanged(both, names, primary_keys)
+                   .where(F.col("__lsn") >= epoch_lo))
+        else:
+            raw = _resolve_unchanged(raw, names, primary_keys)
     casted = [F.col(f.name).cast(f.dataType).alias(f.name)
               for f in payload_schema.fields]
     return raw.select(
@@ -775,6 +816,9 @@ _OID_TYPE_STRINGS = {
     16: "BOOLEAN", 21: "SMALLINT", 23: "INT", 20: "BIGINT",
     700: "FLOAT", 701: "DOUBLE", 25: "STRING",
     1082: "DATE", 1114: "TIMESTAMP", 1184: "TIMESTAMP_LTZ",
+    17: "BYTES", 2950: "CHAR(36)",  # bytea, uuid
+    114: "STRING", 3802: "STRING",  # json, jsonb (text form)
+    1083: "TIME",
 }
 
 
@@ -822,26 +866,45 @@ def relation_drift_events(table_id, columns, current_struct) -> list:
     from .merging import merge_fields
     from .types import parse_type, to_struct_field
 
+    from .evolve import _spark_field_type_string
+
     cur = {f.name: f for f in current_struct.fields}
     new_names = set()
     events = []
     anchor = None
     for c in columns:
-        ts = oid_type_string(c["type_oid"], c.get("typmod", -1))
         new_names.add(c["name"])
         if c["name"] not in cur:
+            # a NEW column genuinely needs the OID mapping — unknown
+            # OIDs fail loudly here (and only here)
+            ts = oid_type_string(c["type_oid"], c.get("typmod", -1))
             events.append(AddColumnEvent(
                 table_id, c["name"], ts,
                 position=(ColumnPosition.AFTER if anchor
                           else ColumnPosition.FIRST),
                 anchor=anchor))
         else:
+            # an UNCHANGED column must not require an OID mapping at
+            # all (the plain decode path never consults OIDs for
+            # text-format datums — bytea/uuid/json pipelines work
+            # there and must keep working here; round-11 review #4):
+            # unknown OID → skip the type comparison
+            try:
+                ts = oid_type_string(c["type_oid"], c.get("typmod", -1))
+            except WireFormatError:
+                anchor = c["name"]
+                continue
             incoming = to_struct_field(c["name"], parse_type(ts))
             if incoming.dataType != cur[c["name"]].dataType:
                 widened = merge_fields(cur[c["name"]], incoming)
                 if widened.dataType != cur[c["name"]].dataType:
+                    # carry the WIDENED lattice type, not the raw wire
+                    # type — DECIMAL(5,2) meeting NUMERIC(10,0) must
+                    # become DECIMAL(12,2), never narrow to (10,0)
+                    # (infer_drift_events does the same; review #3)
                     events.append(AlterColumnTypeEvent(
-                        table_id, c["name"], ts))
+                        table_id, c["name"],
+                        _spark_field_type_string(widened)))
         anchor = c["name"]
     for f in current_struct.fields:
         if f.name not in new_names:
@@ -896,7 +959,9 @@ def decode_pgoutput_segments(df: DataFrame,
                              blob_col: str = "value",
                              primary_keys: list[str] | None = None,
                              lsn_range: tuple[int | None, int | None]
-                             | None = None) -> DataFrame:
+                             | None = None,
+                             toast_context: DataFrame | None = None,
+                             raw_only: bool = False) -> DataFrame:
     """Like :func:`decode_pgoutput` but over FRAMED segment blobs (one
     [LSN][len][message] run per input row) — the shape the file-backed
     stream delivers. ``primary_keys`` enables unchanged-TOAST resolution
@@ -920,7 +985,9 @@ def decode_pgoutput_segments(df: DataFrame,
 
     return decode_pgoutput(df.mapInPandas(unframe, frames_schema),
                            payload_schema, primary_keys=primary_keys,
-                           lsn_range=lsn_range)
+                           lsn_range=lsn_range,
+                           toast_context=toast_context,
+                           raw_only=raw_only)
 
 
 _BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "

@@ -620,7 +620,9 @@ _DDL_RES = [
     ("change", re.compile(
         r"ALTER\s+TABLE\s+\S+\s+CHANGE\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?"
         r"\s+[`\"]?(\w+)[`\"]?\s+"
-        r"([A-Za-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*$",
+        r"([A-Za-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+        r"(?:\s+(NOT\s+NULL)|\s+NULL)?"
+        r"(?:\s+DEFAULT\s+(?:'[^']*'|[\w.+-]+))?\s*;?\s*$",
         re.IGNORECASE)),
     ("drop", re.compile(
         r"ALTER\s+TABLE\s+\S+\s+DROP\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?"
@@ -639,8 +641,8 @@ _DDL_RES = [
 
 _ALTER_PREFIX_RE = re.compile(r"(ALTER\s+TABLE\s+\S+)\s+(.*)$",
                               re.IGNORECASE | re.DOTALL)
-_SPEC_SPLIT_RE = re.compile(
-    r",\s*(?=(?:ADD|DROP|MODIFY|CHANGE|RENAME|ALTER)\b)", re.IGNORECASE)
+_SPEC_KEYWORD_RE = re.compile(r"(?:ADD|DROP|MODIFY|CHANGE|RENAME|ALTER)\b",
+                              re.IGNORECASE)
 _ADD_GROUP_RE = re.compile(r"ADD\s+(?:COLUMN\s+)?\((.*)\)\s*$",
                            re.IGNORECASE | re.DOTALL)
 
@@ -693,9 +695,18 @@ def _expand_alter_specs(stmt: str) -> list[str]:
     if not m:
         return [stmt]
     prefix, body = m.groups()
+    # quote/paren-aware comma split first (a DEFAULT literal may
+    # contain ', ADD'; DECIMAL(10,2) may not split), THEN re-join
+    # fragments that don't open with a spec keyword to their spec
+    specs: list[str] = []
+    for piece in _split_toplevel_commas(body.rstrip(";").strip()):
+        piece = piece.strip()
+        if specs and not _SPEC_KEYWORD_RE.match(piece):
+            specs[-1] += ", " + piece
+        else:
+            specs.append(piece)
     out = []
-    for spec in _SPEC_SPLIT_RE.split(body.rstrip(";").strip()):
-        spec = spec.strip()
+    for spec in specs:
         g = _ADD_GROUP_RE.match(spec)
         if g:
             out.extend(f"{prefix} ADD COLUMN {col.strip()}"
@@ -754,11 +765,11 @@ def _parse_one_ddl(stmt: str, tid) -> list:
         elif kind == "rename":
             events.append(RenameColumnEvent(tid, m.group(1), m.group(2)))
         elif kind == "change":
-            old_name, new_name, typ = m.groups()
+            old_name, new_name, typ, notnull = m.groups()
             if old_name != new_name:
                 events.append(RenameColumnEvent(tid, old_name, new_name))
-            events.append(AlterColumnTypeEvent(tid, new_name,
-                                               typ.upper()))
+            ts = typ.upper() + (" NOT NULL" if notnull else "")
+            events.append(AlterColumnTypeEvent(tid, new_name, ts))
         elif kind == "drop":
             events.append(DropColumnEvent(tid, m.group(1)))
         elif kind == "modify":

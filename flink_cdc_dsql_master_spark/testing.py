@@ -704,8 +704,12 @@ class FakeMySQLReplicaServer:
                     xored = private_key.decrypt(blob, padding.OAEP(
                         mgf=padding.MGF1(algorithm=hashes.SHA1()),
                         algorithm=hashes.SHA1(), label=None))
-                    nonce = self.SCRAMBLE[:20]
-                    pw = bytes(b ^ nonce[i % len(nonce)]
+                    # un-XOR with the nonce THIS flow issued — after an
+                    # AuthSwitchRequest that is the fresh switch nonce,
+                    # not the handshake scramble (a real server reads
+                    # back what it last sent; round-11 review #9)
+                    xn = nonce[:20]
+                    pw = bytes(b ^ xn[i % len(xn)]
                                for i, b in enumerate(xored))
                     self.rsa_exchange_used = True
                 self.auth_ok = (user.decode() == self.username and

@@ -1,0 +1,314 @@
+"""Round-11 second-pass review fixes: stale last_applied on DROP TABLE,
+pgoutput boundary-LSN inclusivity, widened AlterColumnType types,
+unknown-OID tolerance for unchanged columns, TOAST resolution across
+schema epochs, CHANGE-COLUMN tails, quote-aware spec splitting, and the
+RSA nonce after an AuthSwitchRequest."""
+
+import json
+import os
+import socket as socketlib
+import tempfile
+
+import duckdb
+import pytest
+from pyspark.sql import types as T
+
+from flink_cdc_dsql_master_spark.binlog import (
+    MAGIC,
+    MYSQL_TYPE_LONGLONG,
+    MYSQL_TYPE_VARCHAR,
+    encode_fde,
+    encode_query,
+    encode_table_map,
+    encode_write_rows,
+)
+from flink_cdc_dsql_master_spark.pipeline import (PipelineDef, SinkDef,
+                                                  SourceDef)
+from flink_cdc_dsql_master_spark.route import RouteRule
+from flink_cdc_dsql_master_spark.schema import TableId
+from flink_cdc_dsql_master_spark.sinks import (JdbcUpsertSink,
+                                               schema_change_ddl)
+
+TID = TableId.parse("db.s.t")
+
+
+def _duck_writer(db):
+    def writer(tid, df, schema):
+        sink = JdbcUpsertSink(lambda p=db: duckdb.connect(p), tid.table,
+                              schema, parallel=False, dialect="duckdb")
+        sink.ensure_table()
+        sink.write_batch(df)
+    return writer
+
+
+def _duck_ddl(db):
+    def on_ddl(tid, events, schema):
+        con = duckdb.connect(db)
+        try:
+            for sql in schema_change_ddl(tid.table, events, schema):
+                con.execute(sql)
+            con.commit()
+        finally:
+            con.close()
+    return on_ddl
+
+
+# ---------------------------------------------------------------------------
+# review #1: DropTableEvent must reach the sink, never stale events
+# ---------------------------------------------------------------------------
+
+def test_evolver_last_applied_on_drop_table():
+    from flink_cdc_dsql_master_spark.events import (AddColumnEvent,
+                                                    CreateTableEvent,
+                                                    DropTableEvent)
+    from flink_cdc_dsql_master_spark.evolve import (SchemaChangeBehavior,
+                                                    SchemaEvolver)
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    ev = SchemaEvolver(behavior=SchemaChangeBehavior.LENIENT)
+    ev.on_event(CreateTableEvent(TID, Schema.of([("id", "BIGINT")],
+                                                primary_keys=["id"])))
+    ev.on_event(AddColumnEvent(TID, "v", "STRING"))
+    assert [type(e).__name__ for e in ev.last_applied] == [
+        "AddColumnEvent"]
+    out = ev.on_event(DropTableEvent(TID))
+    assert out is None
+    assert [type(e).__name__ for e in ev.last_applied] == [
+        "DropTableEvent"]
+
+
+def test_binlog_drop_table_statement_reaches_sink(spark):
+    from flink_cdc_dsql_master_spark.compose import (
+        compose_binlog_ddl_changelog_stream)
+
+    base = tempfile.mkdtemp(prefix="binlog_drop_tbl_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 20)]
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(42, "db", "t", cols, 200)
+            + encode_write_rows(42, cols, [[1, "a"]], 300)
+            + encode_query("db", "DROP TABLE t", 400))
+    with open(f"{src}/seg1.binlog", "wb") as f:
+        f.write(blob)
+
+    pipe = PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": src, "schema": "id bigint, v string",
+            "table": "db.s.dropt", "mysql-table": "t",
+            "primary-keys": ["id"]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.s.dropt", "out.db.drop_tbl_sink"),),
+        config={"schema.change.behavior": "LENIENT"},
+    )
+    q = compose_binlog_ddl_changelog_stream(
+        spark, pipe, ckpt, _duck_writer(db),
+        on_schema_change=_duck_ddl(db))
+    q.awaitTermination(120)
+
+    con = duckdb.connect(db)
+    tables = {r[0] for r in con.execute("SHOW TABLES").fetchall()}
+    con.close()
+    assert "drop_tbl_sink" not in tables  # the DROP landed
+
+
+# ---------------------------------------------------------------------------
+# review #2: the first DML at the Relation boundary LSN must not be lost
+# ---------------------------------------------------------------------------
+
+def test_pgoutput_boundary_lsn_row_lands(spark):
+    """A real walsender emits the re-sent Relation and the first
+    post-ALTER DML at the SAME wal_start — that row belongs to the new
+    epoch and must land."""
+    from flink_cdc_dsql_master_spark.compose import (
+        compose_pgoutput_ddl_changelog_stream)
+    from flink_cdc_dsql_master_spark.pgoutput import (encode_frames,
+                                                      encode_insert,
+                                                      encode_relation)
+
+    base = tempfile.mkdtemp(prefix="pg_boundary_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+    oid = 77
+    msgs = [
+        (100, encode_relation(oid, "public", "t",
+                              [("id", True, 20), ("v", False, 25)])),
+        (110, encode_insert(oid, ["1", "a"])),
+        # ALTER upstream: Relation AND the first new-shape insert share
+        # LSN 120
+        (120, encode_relation(oid, "public", "t",
+                              [("id", True, 20), ("v", False, 25),
+                               ("s", False, 701)])),
+        (120, encode_insert(oid, ["2", "b", "2.5"])),
+    ]
+    with open(f"{src}/seg1.pgout", "wb") as f:
+        f.write(encode_frames(msgs))
+
+    pipe = PipelineDef(
+        source=SourceDef("file-pgoutput", {
+            "path": src, "schema": "id bigint, v string",
+            "table": "db.public.bdy", "primary-keys": ["id"]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.public.bdy", "out.db.bdy_sink"),),
+        config={"schema.change.behavior": "LENIENT"},
+    )
+    q = compose_pgoutput_ddl_changelog_stream(
+        spark, pipe, ckpt, _duck_writer(db),
+        on_schema_change=_duck_ddl(db))
+    q.awaitTermination(120)
+
+    con = duckdb.connect(db)
+    got = con.execute("SELECT id, v, s FROM bdy_sink ORDER BY id"
+                      ).fetchall()
+    con.close()
+    assert got == [(1, "a", None), (2, "b", 2.5)]
+
+
+# ---------------------------------------------------------------------------
+# review #5: unchanged-TOAST image in the PREVIOUS epoch must resolve
+# ---------------------------------------------------------------------------
+
+def test_toast_image_across_epoch_boundary(spark):
+    """INSERT a TOASTed value, ALTER (epoch boundary), then an UPDATE
+    sending 'u' for that column — the prior image is in the SAME
+    micro-batch, one epoch earlier, and must resolve instead of
+    erroring."""
+    from flink_cdc_dsql_master_spark.compose import (
+        compose_pgoutput_ddl_changelog_stream)
+    from flink_cdc_dsql_master_spark.pgoutput import (UNCHANGED,
+                                                      encode_frames,
+                                                      encode_insert,
+                                                      encode_relation,
+                                                      encode_update)
+
+    base = tempfile.mkdtemp(prefix="pg_toast_epoch_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+    oid = 77
+    big = "x" * 64  # stands in for a TOASTed datum
+    msgs = [
+        (100, encode_relation(oid, "public", "t",
+                              [("id", True, 20), ("doc", False, 25)])),
+        (110, encode_insert(oid, ["1", big])),
+        (200, encode_relation(oid, "public", "t",
+                              [("id", True, 20), ("doc", False, 25),
+                               ("s", False, 701)])),
+        # update not touching the TOASTed column: 'u' + new col value
+        (210, encode_update(oid, ["1", UNCHANGED, "9.5"])),
+    ]
+    with open(f"{src}/seg1.pgout", "wb") as f:
+        f.write(encode_frames(msgs))
+
+    pipe = PipelineDef(
+        source=SourceDef("file-pgoutput", {
+            "path": src, "schema": "id bigint, doc string",
+            "table": "db.public.toastx", "primary-keys": ["id"]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.public.toastx", "out.db.toastx_sink"),),
+        config={"schema.change.behavior": "LENIENT"},
+    )
+    q = compose_pgoutput_ddl_changelog_stream(
+        spark, pipe, ckpt, _duck_writer(db),
+        on_schema_change=_duck_ddl(db))
+    q.awaitTermination(120)
+
+    con = duckdb.connect(db)
+    got = con.execute("SELECT id, doc, s FROM toastx_sink").fetchall()
+    con.close()
+    assert got == [(1, big, 9.5)]  # TOAST value carried across the epoch
+
+
+# ---------------------------------------------------------------------------
+# reviews #3/#4: widened alter types; unknown OIDs on unchanged columns
+# ---------------------------------------------------------------------------
+
+def test_relation_drift_widens_not_narrows():
+    from flink_cdc_dsql_master_spark.events import AlterColumnTypeEvent
+    from flink_cdc_dsql_master_spark.pgoutput import relation_drift_events
+
+    cur = T.StructType([T.StructField("d", T.DecimalType(5, 2))])
+    evs = relation_drift_events(
+        TID, [{"name": "d", "key": False, "type_oid": 1700,
+               "typmod": ((10 << 16) | 0) + 4}], cur)
+    # lattice: DECIMAL(5,2) ∨ DECIMAL(10,0) = DECIMAL(12,2) — never the
+    # raw wire type, which would truncate existing 2-decimal values
+    assert evs == [AlterColumnTypeEvent(TID, "d", "DECIMAL(12,2)")]
+
+
+def test_relation_drift_tolerates_unknown_oid_on_unchanged_column():
+    from flink_cdc_dsql_master_spark.pgoutput import relation_drift_events
+
+    cur = T.StructType([T.StructField("id", T.LongType()),
+                        T.StructField("payload", T.StringType())])
+    # OID 600 (point) has no mapping — but the column is unchanged, so
+    # the diff must not crash the stream (text datums never need OIDs)
+    cols = [{"name": "id", "key": True, "type_oid": 20, "typmod": -1},
+            {"name": "payload", "key": False, "type_oid": 600,
+             "typmod": -1}]
+    assert relation_drift_events(TID, cols, cur) == []
+    # bytea/uuid/json now map for genuinely NEW columns
+    from flink_cdc_dsql_master_spark.pgoutput import oid_type_string
+    assert oid_type_string(17) == "BYTES"
+    assert oid_type_string(2950) == "CHAR(36)"
+    assert oid_type_string(3802) == "STRING"
+
+
+# ---------------------------------------------------------------------------
+# reviews #6/#8: CHANGE tails; quoted commas in DEFAULT literals
+# ---------------------------------------------------------------------------
+
+def test_change_column_with_tails_and_quoted_commas():
+    from flink_cdc_dsql_master_spark.events import (AddColumnEvent,
+                                                    AlterColumnTypeEvent,
+                                                    RenameColumnEvent)
+    from flink_cdc_dsql_master_spark.sources import parse_debezium_ddl
+
+    evs = parse_debezium_ddl(
+        "ALTER TABLE t CHANGE COLUMN v val VARCHAR(64) NOT NULL", TID)
+    assert evs == [RenameColumnEvent(TID, "v", "val"),
+                   AlterColumnTypeEvent(TID, "val",
+                                        "VARCHAR(64) NOT NULL")]
+    evs = parse_debezium_ddl(
+        "ALTER TABLE t CHANGE c c INT DEFAULT 3", TID)
+    assert evs == [AlterColumnTypeEvent(TID, "c", "INT")]
+    # a DEFAULT literal containing ', DROP' must not split the spec
+    evs = parse_debezium_ddl(
+        "ALTER TABLE t ADD c VARCHAR(40) DEFAULT 'x, DROP y', "
+        "ADD d INT", TID)
+    assert [(type(e).__name__, e.name) for e in evs] == [
+        ("AddColumnEvent", "c"), ("AddColumnEvent", "d")]
+    assert evs[0].default == "x, DROP y"
+
+
+# ---------------------------------------------------------------------------
+# review #9: RSA full auth after an AuthSwitchRequest uses the fresh nonce
+# ---------------------------------------------------------------------------
+
+def test_rsa_full_auth_after_auth_switch():
+    from flink_cdc_dsql_master_spark.binlog import (encode_table_map as etm,
+                                                    encode_write_rows as ewr,
+                                                    encode_xid)
+    from flink_cdc_dsql_master_spark.binlog_client import BinlogClient
+    from flink_cdc_dsql_master_spark.testing import FakeMySQLReplicaServer
+
+    cols = [(MYSQL_TYPE_LONGLONG, None)]
+    events = [encode_fde(120), etm(5, "db", "t", cols, 200),
+              ewr(5, cols, [[1]], 300), encode_xid(1, 400)]
+    srv = FakeMySQLReplicaServer(
+        events, username="repl", password="s3cret",
+        auth_plugin="mysql_native_password",
+        switch_to="caching_sha2_password",
+        auth_cache_primed=False).start()
+    cli = BinlogClient(
+        lambda: socketlib.create_connection(("127.0.0.1", srv.port)),
+        username="repl", password="s3cret")
+    cli.connect()
+    parsed = list(cli.events())
+    cli.close()
+    srv.join(10)
+    assert srv.rsa_exchange_used is True
+    assert srv.auth_ok is True  # XORed with the SWITCH nonce, not stale
+    assert parsed[-1]["kind"] == "xid"
