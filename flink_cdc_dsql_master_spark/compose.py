@@ -523,9 +523,10 @@ def binlog_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
     truncation or a hard error.
 
     Ordering contract: log_pos must be monotone across the micro-batch
-    (true of a single server's tail between rotations — pass
-    ``maxFilesPerTrigger=1`` or cut segment files on ROTATE boundaries,
-    exactly how a real per-connection consumer delivers)."""
+    (true of a single server's tail between rotations) —
+    :func:`compose_binlog_ddl_changelog_stream` therefore DEFAULTS to
+    ``maxFilesPerTrigger=1``, one segment file per micro-batch, since
+    rotated binlog files each restart log_pos near 4."""
     from pyspark.sql import types as T
 
     from .binlog import decode_binlog, extract_binlog_ddl
