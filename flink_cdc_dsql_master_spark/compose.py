@@ -29,7 +29,7 @@ from .events import CreateTableEvent
 from .evolve import SchemaChangeBehavior, SchemaEvolver
 from .merging import coerce_dataframe
 from .partitioning import repartition_by_key
-from .pipeline import PipelineDef
+from .pipeline import PipelineDef, SourceDef
 from .route import TableIdRouter, fan_in
 from .schema import Schema, TableId
 from .testing import CollectSink, EventScript
@@ -285,7 +285,8 @@ def compose_changelog_stream(spark: SparkSession, pipeline: PipelineDef,
 
         stream = pgoutput_file_stream(
             spark, src.config["path"], payload,
-            reader_options=src.config.get("reader-options"))
+            reader_options=src.config.get("reader-options"),
+            pg_table=src.config.get("pg-table"))
     elif src.type == "kafka-debezium":
         stream = kafka_changelog_stream(
             spark, src.config["servers"], src.config["topics"], payload)
@@ -767,6 +768,106 @@ def compose_pgoutput_ddl_changelog_stream(spark: SparkSession,
     return w.start()
 
 
+def multitable_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
+                                    spark: SparkSession,
+                                    on_schema_change=None,
+                                    evolver: SchemaEvolver | None = None):
+    """``foreachBatch`` handler capturing SEVERAL tables from ONE wire
+    stream — the reference's ``tables: db.\\.*`` capture (one MySQL
+    source feeding N routed tables; FlinkPipelineComposer wires one
+    source to a table-id-routing DAG the same way).
+
+    Source config: ``table-list`` — a list of per-table dicts, each
+    with the single-table source keys (``table`` logical id,
+    ``schema``, ``primary-keys``, and ``mysql-table`` / ``pg-table``
+    naming the wire table). Each micro-batch decodes the SHARED blob
+    frame once per table (the byte parse is per-blob Arrow-batched
+    work; tables are decoded independently so their payload schemas
+    never collide positionally — pgoutput filters by the Relation
+    OID→name registry, binlog by TABLE_MAP name) and runs the same
+    composed per-table flow as :func:`foreach_batch_writer`: transform
+    rules and routes match per table id, one shared evolver keyed by
+    table id carries every table's schema history.
+
+    Fan-out (one table → several sinks) composes through routes as
+    usual; fan-in of DIFFERENT tables into one sink table relies on the
+    sink's upsert semantics with compatible schemas (cross-table schema
+    merging stays the batch composer's domain)."""
+    src_cfg = pipeline.source.config
+    stype = pipeline.source.type
+    evolver = evolver or SchemaEvolver(
+        behavior=SchemaChangeBehavior(pipeline.schema_change_behavior))
+    handles = []
+    for tcfg in src_cfg["table-list"]:
+        sub = PipelineDef(
+            source=SourceDef(stype, dict(tcfg)),
+            sink=pipeline.sink, routes=pipeline.routes,
+            transforms=pipeline.transforms, udfs=pipeline.udfs,
+            models=pipeline.models, config=pipeline.config)
+        handles.append((tcfg, foreach_batch_writer(
+            sub, sink_writer, spark, on_schema_change=on_schema_change,
+            evolver=evolver)))
+
+    def handle(df: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import types as T
+
+        for tcfg, table_handle in handles:
+            payload = spark.createDataFrame([], tcfg["schema"]).schema
+            if stype == "file-binlog":
+                from .binlog import decode_binlog
+
+                decoded = decode_binlog(df, payload,
+                                        table=tcfg.get("mysql-table"))
+            elif stype == "file-pgoutput":
+                from .pgoutput import decode_pgoutput_segments
+
+                decoded = decode_pgoutput_segments(
+                    df, payload,
+                    primary_keys=list(tcfg.get("primary-keys", []))
+                    or None,
+                    pg_table=tcfg.get("pg-table"))
+            else:
+                raise ValueError(
+                    f"multi-table capture unsupported for {stype!r}")
+            table_handle(decoded, batch_id)
+
+    return handle
+
+
+def compose_multitable_stream(spark: SparkSession, pipeline: PipelineDef,
+                              checkpoint: str, sink_writer,
+                              on_schema_change=None, evolver=None,
+                              available_now: bool = True):
+    """Streaming composer for a MULTI-TABLE wire source (``table-list``
+    in the source config): one binaryFile stream, every captured table
+    decoded and routed per micro-batch — see
+    :func:`multitable_foreach_batch_writer`."""
+    from pyspark.sql import functions as F
+
+    src = pipeline.source
+    if src.type == "file-binlog":
+        from .binlog import _BINARY_FILE_SCHEMA
+    elif src.type == "file-pgoutput":
+        from .pgoutput import _BINARY_FILE_SCHEMA
+    else:
+        raise ValueError(
+            f"multi-table capture unsupported for {src.type!r}")
+    reader = (spark.readStream.format("binaryFile")
+              .schema(_BINARY_FILE_SCHEMA))
+    for k, v in (src.config.get("reader-options") or {}).items():
+        reader = reader.option(k, v)
+    raw = reader.load(src.config["path"]).select(
+        F.col("content").alias("value"))
+    handle = multitable_foreach_batch_writer(
+        pipeline, sink_writer, spark,
+        on_schema_change=on_schema_change, evolver=evolver)
+    w = (raw.writeStream.foreachBatch(handle)
+         .option("checkpointLocation", checkpoint))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()
+
+
 def compose_stream(spark: SparkSession, pipeline: PipelineDef,
                    checkpoint: str, sink_writer,
                    on_schema_change=None, evolver=None,
@@ -777,7 +878,18 @@ def compose_stream(spark: SparkSession, pipeline: PipelineDef,
     for its wire format (QUERY_EVENT DDL for file-binlog, Relation
     diffs for file-pgoutput, schema-change envelopes for
     file-debezium); everything else takes the plain changelog path
-    whose drift-diff evolution still covers additive changes."""
+    whose drift-diff evolution still covers additive changes. A
+    source with ``table-list`` (multi-table capture) dispatches to
+    :func:`compose_multitable_stream`."""
+    if pipeline.source.config.get("table-list"):
+        if pipeline.source.config.get("in-band-ddl"):
+            raise ValueError(
+                "in-band-ddl with table-list is not supported yet — "
+                "run one DDL-aware pipeline per evolving table")
+        return compose_multitable_stream(
+            spark, pipeline, checkpoint, sink_writer,
+            on_schema_change=on_schema_change, evolver=evolver,
+            available_now=available_now)
     if pipeline.source.config.get("in-band-ddl"):
         composer = {
             "file-binlog": compose_binlog_ddl_changelog_stream,

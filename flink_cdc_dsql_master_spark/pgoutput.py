@@ -531,7 +531,8 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
                     primary_keys: list[str] | None = None,
                     lsn_range: tuple[int | None, int | None] | None = None,
                     toast_context: DataFrame | None = None,
-                    raw_only: bool = False) -> DataFrame:
+                    raw_only: bool = False,
+                    pg_table: str | None = None) -> DataFrame:
     """(lsn, message-bytes) frame → +I/-U/+U/-D changelog with the
     payload columns CAST from pgoutput's text format into
     ``payload_schema``'s types, ``__seq`` = LSN·2 (+1 for after-images,
@@ -564,7 +565,15 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
     registry and the v2 stream-block state stay correct. A tuple
     whose width differs from ``payload_schema`` raises WireFormatError
     naming both counts (a re-sent Relation with a changed column set is
-    a schema change, not a shape accident; VERDICT r10 ask #5)."""
+    a schema change, not a shape accident; VERDICT r10 ask #5).
+
+    ``pg_table`` selects ONE table out of a slot publishing several:
+    data messages are filtered by their relation OID's registered name
+    (Relation messages bind OID → name in-stream), so a multi-table
+    publication decodes per table without positional collisions — the
+    multi-table stream composer runs one such decode per captured
+    table. Truncates apply only when the target table's OID is among
+    the truncated relations."""
     from pyspark.sql import functions as F
 
     names = [f.name for f in payload_schema.fields]
@@ -611,8 +620,10 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
         # Relation/stream-block state must survive those splits —
         # partition boundaries, unlike batch boundaries, always align
         # with segment boundaries): relation registry for binary
-        # datums, protocol-v2 stream block + per-xid buffers
+        # datums + OID→name for the multi-table filter, protocol-v2
+        # stream block + per-xid buffers
         rel_types: dict[int, list[int]] = {}
+        rel_names: dict[int, str] = {}
         stream_xid: int | None = None
         buffers: dict[int, list] = {}
 
@@ -631,6 +642,15 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
                         (hi_lsn is not None and lsn >= hi_lsn):
                     return []
                 oid = m.get("oid")
+                if pg_table is not None:
+                    if m["kind"] == "truncate":
+                        # truncate lists OIDs; apply only when OURS is
+                        # among them
+                        if not any(rel_names.get(o) == pg_table
+                                   for o in m["oids"]):
+                            return []
+                    elif rel_names.get(oid) != pg_table:
+                        return []  # another table's change
                 oids = rel_types.get(oid)
                 if m["kind"] == "insert":
                     return [[*vals(m["new"], oids, oid), "+I",
@@ -657,6 +677,7 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
                 if kind == "relation":
                     rel_types[m["oid"]] = [c["type_oid"]
                                            for c in m["columns"]]
+                    rel_names[m["oid"]] = m["name"]
                 elif kind == "stream_start":
                     stream_xid = m["xid"]
                     buffers.setdefault(stream_xid, [])
@@ -961,7 +982,8 @@ def decode_pgoutput_segments(df: DataFrame,
                              lsn_range: tuple[int | None, int | None]
                              | None = None,
                              toast_context: DataFrame | None = None,
-                             raw_only: bool = False) -> DataFrame:
+                             raw_only: bool = False,
+                             pg_table: str | None = None) -> DataFrame:
     """Like :func:`decode_pgoutput` but over FRAMED segment blobs (one
     [LSN][len][message] run per input row) — the shape the file-backed
     stream delivers. ``primary_keys`` enables unchanged-TOAST resolution
@@ -987,7 +1009,7 @@ def decode_pgoutput_segments(df: DataFrame,
                            payload_schema, primary_keys=primary_keys,
                            lsn_range=lsn_range,
                            toast_context=toast_context,
-                           raw_only=raw_only)
+                           raw_only=raw_only, pg_table=pg_table)
 
 
 _BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
@@ -996,7 +1018,8 @@ _BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "
 
 def pgoutput_file_stream(spark, path: str,
                          payload_schema: T.StructType,
-                         reader_options: dict | None = None) -> DataFrame:
+                         reader_options: dict | None = None,
+                         pg_table: str | None = None) -> DataFrame:
     """File-backed pgoutput STREAM — the hermetic stand-in for a live
     START_REPLICATION connection: each binary file under ``path`` is one
     framed segment of (LSN, message) pairs, decoded by the same
@@ -1008,4 +1031,5 @@ def pgoutput_file_stream(spark, path: str,
     for k, v in (reader_options or {}).items():
         reader = reader.option(k, v)  # e.g. maxFilesPerTrigger=1
     raw = reader.load(path).select(F.col("content").alias("value"))
-    return decode_pgoutput_segments(raw, payload_schema)
+    return decode_pgoutput_segments(raw, payload_schema,
+                                    pg_table=pg_table)

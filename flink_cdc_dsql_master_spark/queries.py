@@ -4933,6 +4933,102 @@ def cdc_binlog_client_gtid_resume(spark, sf_dir):
 
 
 @_q(
+    "changelog_multitable_stream_pipeline",
+    """
+    SELECT 'n' AS src, n_nationkey AS k,
+           CASE WHEN n_nationkey % 5 = 0 THEN n_name || '_U'
+                ELSE n_name END AS name
+    FROM nation
+    UNION ALL
+    SELECT 'r' AS src, r_regionkey AS k, r_name AS name FROM region
+    """,
+)
+def changelog_multitable_stream_pipeline(spark, sf_dir):
+    """MULTI-TABLE capture from ONE binlog stream (the reference's
+    ``tables: db.\\.*`` pipeline shape — one MySQL source feeding N
+    routed tables through FlinkPipelineComposer's table-id routing):
+    a single segment interleaves nation and region events (separate
+    TABLE_MAPs, separate widths), ``compose_stream`` with a
+    ``table-list`` source decodes each table against its own schema
+    and upserts into its own routed DuckDB table; the union of both
+    sinks is hash-checked. Updates to one table must leave the other
+    byte-identical."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .binlog import (MAGIC, MYSQL_TYPE_LONGLONG, MYSQL_TYPE_VARCHAR,
+                         encode_fde, encode_table_map,
+                         encode_update_rows, encode_write_rows,
+                         encode_xid)
+    from .compose import compose_stream
+    from .pipeline import PipelineDef, SinkDef, SourceDef
+    from .route import RouteRule
+    from .sinks import JdbcUpsertSink
+
+    nations = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name").collect()
+    regions = _t(spark, sf_dir, "region").select(
+        "r_regionkey", "r_name").collect()
+
+    base = tempfile.mkdtemp(prefix="multitable_stream_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 30)]
+    upd = [([r["n_nationkey"], r["n_name"]],
+            [r["n_nationkey"], r["n_name"] + "_U"])
+           for r in nations if r["n_nationkey"] % 5 == 0]
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(1, "tpch", "nation", cols, 200)
+            + encode_table_map(2, "tpch", "region", cols, 250)
+            + encode_write_rows(
+                1, cols, [[r["n_nationkey"], r["n_name"]]
+                          for r in nations], 1000)
+            + encode_write_rows(
+                2, cols, [[r["r_regionkey"], r["r_name"]]
+                          for r in regions], 2000)
+            + encode_update_rows(1, cols, upd, 3000)
+            + encode_xid(1, 3500))
+    with open(f"{src}/seg1.binlog", "wb") as f:
+        f.write(blob)
+
+    pipe = PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": src,
+            "table-list": [
+                {"table": "tpch.s.nation_mt", "mysql-table": "nation",
+                 "schema": "k bigint, name string",
+                 "primary-keys": ["k"]},
+                {"table": "tpch.s.region_mt", "mysql-table": "region",
+                 "schema": "k bigint, name string",
+                 "primary-keys": ["k"]},
+            ]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"tpch.s.nation_mt", "out.db.nation_mt_sink"),
+                RouteRule(r"tpch.s.region_mt", "out.db.region_mt_sink")),
+    )
+
+    def writer(tid_, df, schema):
+        sink = JdbcUpsertSink(lambda p=db: duckdb.connect(p), tid_.table,
+                              schema, parallel=False, dialect="duckdb")
+        sink.ensure_table()
+        sink.write_batch(df)
+
+    q = compose_stream(spark, pipe, ckpt, writer)
+    q.awaitTermination(300)
+
+    con = duckdb.connect(db)
+    pdf = con.execute(
+        "SELECT 'n' AS src, k, name FROM nation_mt_sink "
+        "UNION ALL SELECT 'r', k, name FROM region_mt_sink").df()
+    con.close()
+    return spark.createDataFrame(pdf)
+
+
+@_q(
     "cdc_binlog_type_zoo",
     """
     SELECT o_orderkey AS k,
