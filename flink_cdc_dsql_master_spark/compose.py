@@ -795,6 +795,7 @@ def multitable_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
     merging stays the batch composer's domain)."""
     src_cfg = pipeline.source.config
     stype = pipeline.source.type
+    in_band = bool(src_cfg.get("in-band-ddl"))
     evolver = evolver or SchemaEvolver(
         behavior=SchemaChangeBehavior(pipeline.schema_change_behavior))
     handles = []
@@ -804,14 +805,33 @@ def multitable_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             sink=pipeline.sink, routes=pipeline.routes,
             transforms=pipeline.transforms, udfs=pipeline.udfs,
             models=pipeline.models, config=pipeline.config)
-        handles.append((tcfg, foreach_batch_writer(
-            sub, sink_writer, spark, on_schema_change=on_schema_change,
-            evolver=evolver)))
+        if in_band:
+            # the DDL-aware per-table handlers already filter DDL /
+            # Relation diffs to THEIR OWN table and consume the RAW
+            # blob frame, so multi-table in-band evolution is plain
+            # composition: each table segments the shared batch at its
+            # own boundaries (one control-plane scan per table — a
+            # handful of collected rows each)
+            builder = {"file-binlog": binlog_ddl_foreach_batch_writer,
+                       "file-pgoutput": pgoutput_ddl_foreach_batch_writer
+                       }.get(stype)
+            if builder is None:
+                raise ValueError(
+                    f"in-band-ddl multi-table capture unsupported for "
+                    f"{stype!r}")
+            handles.append((tcfg, builder(
+                sub, sink_writer, spark,
+                on_schema_change=on_schema_change, evolver=evolver)))
+        else:
+            handles.append((tcfg, foreach_batch_writer(
+                sub, sink_writer, spark,
+                on_schema_change=on_schema_change, evolver=evolver)))
 
     def handle(df: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import types as T
-
         for tcfg, table_handle in handles:
+            if in_band:
+                table_handle(df, batch_id)  # raw frame; decodes itself
+                continue
             payload = spark.createDataFrame([], tcfg["schema"]).schema
             if stype == "file-binlog":
                 from .binlog import decode_binlog
@@ -854,7 +874,12 @@ def compose_multitable_stream(spark: SparkSession, pipeline: PipelineDef,
             f"multi-table capture unsupported for {src.type!r}")
     reader = (spark.readStream.format("binaryFile")
               .schema(_BINARY_FILE_SCHEMA))
-    for k, v in (src.config.get("reader-options") or {}).items():
+    opts = dict(src.config.get("reader-options") or {})
+    if src.config.get("in-band-ddl") and src.type == "file-binlog":
+        # same monotone-log_pos contract as the single-table DDL
+        # composer: one segment file per micro-batch by default
+        opts.setdefault("maxFilesPerTrigger", "1")
+    for k, v in opts.items():
         reader = reader.option(k, v)
     raw = reader.load(src.config["path"]).select(
         F.col("content").alias("value"))
@@ -882,10 +907,6 @@ def compose_stream(spark: SparkSession, pipeline: PipelineDef,
     source with ``table-list`` (multi-table capture) dispatches to
     :func:`compose_multitable_stream`."""
     if pipeline.source.config.get("table-list"):
-        if pipeline.source.config.get("in-band-ddl"):
-            raise ValueError(
-                "in-band-ddl with table-list is not supported yet — "
-                "run one DDL-aware pipeline per evolving table")
         return compose_multitable_stream(
             spark, pipeline, checkpoint, sink_writer,
             on_schema_change=on_schema_change, evolver=evolver,

@@ -157,3 +157,75 @@ def test_pgoutput_multitable_capture(spark):
     con.close()
     assert cust == [(1, "alice"), (2, "bob")]  # untouched by truncate
     assert orders == [(12, 7.75)]  # truncated, then one new row
+
+
+def test_binlog_multitable_with_in_band_ddl(spark):
+    """in-band-ddl composes with table-list: an ALTER on ONE captured
+    table evolves only that table's flow; the other decodes untouched.
+    Each per-table DDL handler filters statements to its own table and
+    segments the shared batch at its own boundaries."""
+    from flink_cdc_dsql_master_spark.binlog import encode_query
+    from flink_cdc_dsql_master_spark.sinks import schema_change_ddl
+
+    base = tempfile.mkdtemp(prefix="binlog_multi_ddl_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    cust2 = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 20)]
+    cust3 = cust2 + [(MYSQL_TYPE_DOUBLE, None)]
+    ord_cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_DOUBLE, None)]
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(1, "db", "cust", cust2, 200)
+            + encode_table_map(2, "db", "ord", ord_cols, 250)
+            + encode_write_rows(1, cust2, [[1, "a"]], 300)
+            + encode_write_rows(2, ord_cols, [[10, 5.5]], 400)
+            + encode_query("db", "ALTER TABLE cust ADD COLUMN score "
+                           "DOUBLE", 500)
+            + encode_table_map(1, "db", "cust", cust3, 600)
+            + encode_write_rows(1, cust3, [[2, "b", 2.5]], 700)
+            + encode_write_rows(2, ord_cols, [[11, 6.5]], 800))
+    with open(f"{src}/seg1.binlog", "wb") as f:
+        f.write(blob)
+
+    pipe = PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": src, "in-band-ddl": True,
+            "table-list": [
+                {"table": "db.s.custd", "mysql-table": "cust",
+                 "schema": "id bigint, v string",
+                 "primary-keys": ["id"]},
+                {"table": "db.s.ordd", "mysql-table": "ord",
+                 "schema": "id bigint, total double",
+                 "primary-keys": ["id"]},
+            ]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.s.custd", "out.db.mtd_cust"),
+                RouteRule(r"db.s.ordd", "out.db.mtd_ord")),
+        config={"schema.change.behavior": "LENIENT"},
+    )
+
+    def on_ddl(tid, events, schema):
+        con = duckdb.connect(db)
+        try:
+            for sql in schema_change_ddl(tid.table, events, schema):
+                con.execute(sql)
+            con.commit()
+        finally:
+            con.close()
+
+    q = compose_stream(spark, pipe, ckpt, _duck_writer(db),
+                       on_schema_change=on_ddl)
+    q.awaitTermination(120)
+
+    con = duckdb.connect(db)
+    cust = con.execute("SELECT id, v, score FROM mtd_cust ORDER BY id"
+                       ).fetchall()
+    ord_cols_names = [d[0] for d in con.execute(
+        "SELECT * FROM mtd_ord LIMIT 0").description]
+    orders = con.execute("SELECT id, total FROM mtd_ord ORDER BY id"
+                         ).fetchall()
+    con.close()
+    assert cust == [(1, "a", None), (2, "b", 2.5)]
+    assert ord_cols_names == ["id", "total"]  # no score leaked
+    assert orders == [(10, 5.5), (11, 6.5)]
