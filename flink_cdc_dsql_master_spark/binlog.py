@@ -1283,6 +1283,10 @@ def decode_binlog(df: DataFrame, payload_schema: T.StructType,
     int_ranges = [_INT_RANGES.get(type(f.dataType))
                   for f in payload_schema.fields]
     lo_pos, hi_pos = pos_range if pos_range is not None else (None, None)
+    # case-insensitive like every other table comparison in the engine
+    # (MySQL name case-sensitivity is platform-dependent; an exact
+    # compare here vs .lower() in the composer silently dropped rows)
+    table_l = table.lower() if table is not None else None
     out_schema = T.StructType(
         [T.StructField(n, T.BinaryType() if b else T.StringType())
          for n, b in zip(names, is_binary)]
@@ -1338,8 +1342,8 @@ def decode_binlog(df: DataFrame, payload_schema: T.StructType,
             rows = []
             for blob in pdf[blob_col]:
                 for e in parse_binlog(bytes(blob)):
-                    if table is not None and e.get("table") not in (
-                            None, table):
+                    if table_l is not None and (
+                            e.get("table") or table_l).lower() != table_l:
                         continue
                     pos = e["log_pos"]
                     if (lo_pos is not None and pos <= lo_pos) or \

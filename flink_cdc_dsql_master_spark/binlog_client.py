@@ -263,7 +263,8 @@ def decode_gtid_set(data: bytes) -> str:
 
 
 def build_binlog_dump_gtid(server_id: int, gtid_set: str,
-                           log_file: str = "", log_pos: int = 4) -> bytes:
+                           log_file: str = "", log_pos: int = 4,
+                           non_block: bool = True) -> bytes:
     """COM_BINLOG_DUMP_GTID (0x1E): u8 cmd, u16 flags
     (BINLOG_THROUGH_GTID), u32 server_id, u32 name_len + name, u64 pos,
     u32 data_len + SID block — how a real client resumes from a
@@ -272,8 +273,12 @@ def build_binlog_dump_gtid(server_id: int, gtid_set: str,
     MySqlDataSourceOptions.java:123)."""
     data = encode_gtid_set(gtid_set)
     name = log_file.encode("utf-8")
+    # NON_BLOCK matches build_binlog_dump's default: without it a real
+    # server blocks at end-of-log and dump() iteration never terminates
+    flags = BINLOG_THROUGH_GTID | (BINLOG_DUMP_NON_BLOCK
+                                   if non_block else 0)
     return (bytes([COM_BINLOG_DUMP_GTID])
-            + struct.pack("<H", BINLOG_THROUGH_GTID)
+            + struct.pack("<H", flags)
             + struct.pack("<I", server_id)
             + struct.pack("<I", len(name)) + name
             + struct.pack("<Q", log_pos)

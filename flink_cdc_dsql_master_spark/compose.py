@@ -436,27 +436,33 @@ def ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             key=lambda r: r["offset"])
         data = marked.where(F.col("__sc.ddl").isNull()).drop("__sc")
         lo = None
+        table_dropped = False
         for seg_idx, r in enumerate(ddl_rows + [None]):
             hi = r["offset"] if r is not None else None
-            seg = data
-            if lo is not None:
-                seg = seg.where(F.col("offset") > lo)
-            if hi is not None:
-                seg = seg.where(F.col("offset") < hi)
-            decoded = decode_debezium_json(seg, "value", payload_struct(),
-                                           seq_col="offset")
-            # flush before apply; the epoch is SEGMENT-qualified: all
-            # segments of one micro-batch share batch_id, and an
-            # epoch-deduping sink (make_versioned_sink_writer) must not
-            # mistake segment 2 for a replay of segment 1
-            data_handle(decoded, f"{batch_id}s{seg_idx}")
+            if not table_dropped:
+                seg = data
+                if lo is not None:
+                    seg = seg.where(F.col("offset") > lo)
+                if hi is not None:
+                    seg = seg.where(F.col("offset") < hi)
+                decoded = decode_debezium_json(seg, "value",
+                                               payload_struct(),
+                                               seq_col="offset")
+                # flush before apply; the epoch is SEGMENT-qualified:
+                # all segments of one micro-batch share batch_id, and
+                # an epoch-deduping sink (make_versioned_sink_writer)
+                # must not mistake segment 2 for a replay of segment 1
+                data_handle(decoded, f"{batch_id}s{seg_idx}")
+            # while dropped, skip segments but keep applying events so
+            # a CREATE TABLE in the same batch resumes decoding (see
+            # the binlog twin)
             if r is not None:
                 for ev in parse_debezium_ddl(r["ddl"], table):
                     schema = evolver.on_event(ev)
                     _fire_applied(on_schema_change, evolver, router,
                                   table, schema)
-                if evolver.manager.latest_original(table) is None:
-                    break  # table dropped mid-batch (see wire twins)
+                table_dropped = (
+                    evolver.manager.latest_original(table) is None)
             lo = hi
 
     return handle
@@ -566,26 +572,31 @@ def binlog_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             if evs:  # CREATE/GRANT noise parses to nothing — no split
                 boundaries.append((r["pos"], evs))
         lo = None
+        table_dropped = False
         for seg_idx, item in enumerate(boundaries + [None]):
             hi = item[0] if item is not None else None
-            decoded = decode_binlog(df, payload_struct(),
-                                    table=mysql_table,
-                                    pos_range=(lo, hi))
-            # flush before apply; SEGMENT-qualified epoch (an
-            # epoch-deduping sink must not mistake segment 2 for a
-            # replay of segment 1)
-            data_handle(decoded, f"{batch_id}s{seg_idx}")
+            if not table_dropped:
+                decoded = decode_binlog(df, payload_struct(),
+                                        table=mysql_table,
+                                        pos_range=(lo, hi))
+                # flush before apply; SEGMENT-qualified epoch (an
+                # epoch-deduping sink must not mistake segment 2 for
+                # a replay of segment 1)
+                data_handle(decoded, f"{batch_id}s{seg_idx}")
+            # while dropped, segments are SKIPPED (not flushed: an
+            # empty flush would let a create-if-missing writer
+            # resurrect the dropped sink table) — but boundary events
+            # keep applying, so a CREATE TABLE later in the SAME batch
+            # re-registers the schema and decoding resumes (a
+            # drop-and-recreate migration must not lose the recreated
+            # rows; round-11 review-2 #2)
             if item is not None:
                 for ev in item[1]:
                     schema = evolver.on_event(ev)
                     _fire_applied(on_schema_change, evolver, router,
                                   table, schema)
-                if evolver.manager.latest_original(table) is None:
-                    # table dropped mid-batch: later segments have
-                    # nothing to decode, and flushing an empty frame
-                    # would let a create-if-missing writer resurrect
-                    # the just-dropped sink table
-                    break
+                table_dropped = (
+                    evolver.manager.latest_original(table) is None)
             lo = hi
 
     return handle
@@ -702,12 +713,21 @@ def pgoutput_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
                     sim = apply_schema_change(sim, ev)
         lo = None
         ctx = None  # prior epochs' raw frames: TOAST-resolution context
+        persisted = []
         for seg_idx, item in enumerate(boundaries + [None]):
             hi = item[0] if item is not None else None
             ps = payload_struct()
             raw = decode_pgoutput_segments(
                 df, ps, primary_keys=pks or None,
-                lsn_range=(lo, hi), raw_only=True)
+                lsn_range=(lo, hi), raw_only=True,
+                pg_table=pg_table)
+            if boundaries:
+                # cache each epoch's raw frame BEFORE it joins later
+                # epochs' resolution windows — without this, epoch k's
+                # resolution re-parses every prior epoch's blobs
+                # (O(B²) full decodes per DDL-dense batch)
+                raw = raw.persist()
+                persisted.append(raw)
             # resolve unchanged-TOAST against prior epochs too: a 'u'
             # whose last full image landed before the mid-batch ALTER
             # must not become a hard error (review #5)
@@ -722,13 +742,9 @@ def pgoutput_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
                     schema = evolver.on_event(ev)
                     _fire_applied(on_schema_change, evolver, router,
                                   table, schema)
-                if evolver.manager.latest_original(table) is None:
-                    # table dropped mid-batch: later segments have
-                    # nothing to decode, and flushing an empty frame
-                    # would let a create-if-missing writer resurrect
-                    # the just-dropped sink table
-                    break
             lo = hi
+        for fr in persisted:
+            fr.unpersist()
 
     return handle
 
@@ -826,13 +842,16 @@ def multitable_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             handles.append((tcfg, foreach_batch_writer(
                 sub, sink_writer, spark,
                 on_schema_change=on_schema_change, evolver=evolver)))
+    # static payload structs hoisted out of the per-batch hot path
+    payloads = {id(tcfg): spark.createDataFrame([], tcfg["schema"]).schema
+                for tcfg, _ in handles}
 
     def handle(df: DataFrame, batch_id: int) -> None:
         for tcfg, table_handle in handles:
             if in_band:
                 table_handle(df, batch_id)  # raw frame; decodes itself
                 continue
-            payload = spark.createDataFrame([], tcfg["schema"]).schema
+            payload = payloads[id(tcfg)]
             if stype == "file-binlog":
                 from .binlog import decode_binlog
 

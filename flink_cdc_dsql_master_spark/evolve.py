@@ -166,6 +166,11 @@ def _lenientize(old: Schema | None,
                 event.table_id, event.new_name,
                 _spark_field_type_string(f), ColumnPosition.LAST))
         return new_events
+    if isinstance(event, TruncateTableEvent):
+        # reference parity: LENIENT ignores table-level truncates (and
+        # drops — handled in on_event) at the sink; the data-plane -T
+        # changelog path is a separate, behavior-independent mechanism
+        return []
     return [event]
 
 
@@ -215,14 +220,23 @@ class SchemaEvolver:
                     "Unexpected schema change events occurred in "
                     "EXCEPTION mode. Job will fail now. "
                     f"(event: {type(event).__name__} on {tid})")
+            if self.behavior in (SchemaChangeBehavior.LENIENT,
+                                 SchemaChangeBehavior.IGNORE):
+                # the reference's LENIENT/IGNORE modes ignore
+                # table-level drops at the sink (the same tolerance
+                # that keeps a dropped COLUMN): upstream truth forgets
+                # the table, the evolved (sink) side keeps its data —
+                # forwarding the raw DROP would destroy the sink's
+                # history in the mode built to preserve it
+                self.manager.original.pop(tid, None)
+                self.last_applied = []
+                return self.manager.latest_evolved(tid)
+            # EVOLVE/TRY_EVOLVE: the drop IS the applied event —
+            # leaving the previous call's last_applied in place made
+            # the composers fire stale events instead of
+            # DropTableEvent (round-11 review #1)
             self.manager.drop(tid)
-            # the drop IS the applied event — leaving the previous
-            # call's last_applied in place made the composers fire
-            # stale events (or nothing) instead of DropTableEvent
-            # (round-11 review #1)
-            self.last_applied = (
-                [] if self.behavior == SchemaChangeBehavior.IGNORE
-                else [event])
+            self.last_applied = [event]
             return None
         self.manager.register_original(tid, new_orig)
 

@@ -584,6 +584,10 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
            T.StructField("__after", T.IntegerType())])
     resolve_toast = primary_keys is not None
     lo_lsn, hi_lsn = lsn_range if lsn_range is not None else (None, None)
+    # case-insensitive, matching the composer's Relation filter — a
+    # config case mismatch must not silently drop every row while
+    # evolution still fires
+    pg_table_l = pg_table.lower() if pg_table is not None else None
 
     def vals(tup, type_oids, oid=None):
         if len(tup) != len(names):
@@ -642,14 +646,14 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
                         (hi_lsn is not None and lsn >= hi_lsn):
                     return []
                 oid = m.get("oid")
-                if pg_table is not None:
+                if pg_table_l is not None:
                     if m["kind"] == "truncate":
                         # truncate lists OIDs; apply only when OURS is
                         # among them
-                        if not any(rel_names.get(o) == pg_table
-                                   for o in m["oids"]):
+                        if not any((rel_names.get(o) or "").lower()
+                                   == pg_table_l for o in m["oids"]):
                             return []
-                    elif rel_names.get(oid) != pg_table:
+                    elif (rel_names.get(oid) or "").lower() != pg_table_l:
                         return []  # another table's change
                 oids = rel_types.get(oid)
                 if m["kind"] == "insert":

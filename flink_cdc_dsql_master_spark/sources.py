@@ -630,8 +630,13 @@ _DDL_RES = [
     ("modify", re.compile(
         r"ALTER\s+TABLE\s+\S+\s+(?:MODIFY\s+(?:COLUMN\s+)?|ALTER\s+"
         r"(?:COLUMN\s+)?)[`\"]?(\w+)[`\"]?\s+(?:SET\s+DATA\s+TYPE\s+)?"
-        r"([A-Za-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*;?\s*$",
+        r"([A-Za-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+        r"(?:\s+(NOT\s+NULL)|\s+NULL)?"
+        r"(?:\s+DEFAULT\s+(?:'[^']*'|[\w.+-]+))?\s*;?\s*$",
         re.IGNORECASE)),
+    ("create_table", re.compile(
+        r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?\S+\s*\((.*)\)"
+        r"\s*[^)]*;?\s*$", re.IGNORECASE | re.DOTALL)),
     ("truncate", re.compile(
         r"TRUNCATE\s+(?:TABLE\s+)?\S+\s*;?\s*$", re.IGNORECASE)),
     ("drop_table", re.compile(
@@ -667,7 +672,8 @@ def _split_toplevel_commas(s: str) -> list[str]:
 
 
 _DDL_TARGET_RE = re.compile(
-    r"(?:ALTER\s+TABLE\s+|TRUNCATE\s+(?:TABLE\s+)?|DROP\s+TABLE\s+)"
+    r"(?:ALTER\s+TABLE\s+|TRUNCATE\s+(?:TABLE\s+)?|DROP\s+TABLE\s+"
+    r"|CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?)"
     r"([`\"\w.]+)", re.IGNORECASE)
 
 
@@ -701,6 +707,8 @@ def _expand_alter_specs(stmt: str) -> list[str]:
     specs: list[str] = []
     for piece in _split_toplevel_commas(body.rstrip(";").strip()):
         piece = piece.strip()
+        if re.match(r"(?:ALGORITHM|LOCK)\s*=", piece, re.IGNORECASE):
+            continue  # online-DDL no-op clauses (gh-ost/pt-osc era)
         if specs and not _SPEC_KEYWORD_RE.match(piece):
             specs[-1] += ", " + piece
         else:
@@ -714,6 +722,39 @@ def _expand_alter_specs(stmt: str) -> list[str]:
         else:
             out.append(f"{prefix} {spec}")
     return out
+
+
+_CREATE_COL_RE = re.compile(
+    r"[`\"]?(\w+)[`\"]?\s+"
+    r"([A-Za-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+    r"(\s+NOT\s+NULL)?", re.IGNORECASE)
+_CREATE_PK_RE = re.compile(r"PRIMARY\s+KEY\s*\(([^)]*)\)", re.IGNORECASE)
+
+
+def _parse_create_columns(body: str):
+    """CREATE TABLE column-list body → ([(name, type_string)], [pks]),
+    or None when nothing parseable. Constraint entries (KEY/INDEX/
+    UNIQUE/CONSTRAINT/FOREIGN) are skipped; an inline or table-level
+    PRIMARY KEY feeds the schema's key list."""
+    cols: list[tuple[str, str]] = []
+    pks: list[str] = []
+    for piece in _split_toplevel_commas(body):
+        p = piece.strip()
+        pk = _CREATE_PK_RE.match(p)
+        if pk:
+            pks = [c.strip(" `\"") for c in pk.group(1).split(",")]
+            continue
+        if p.upper().startswith(("KEY", "INDEX", "UNIQUE", "CONSTRAINT",
+                                 "FOREIGN", "CHECK")):
+            continue
+        cm = _CREATE_COL_RE.match(p)
+        if not cm:
+            continue
+        name, typ, notnull = cm.groups()
+        cols.append((name, typ.upper() + (" NOT NULL" if notnull else "")))
+        if re.search(r"PRIMARY\s+KEY", p, re.IGNORECASE):
+            pks.append(name)
+    return (cols, pks) if cols else None
 
 
 def parse_debezium_ddl(ddl: str, tid) -> list:
@@ -743,8 +784,9 @@ def parse_debezium_ddl(ddl: str, tid) -> list:
 
 def _parse_one_ddl(stmt: str, tid) -> list:
     from .events import (AddColumnEvent, AlterColumnTypeEvent,
-                         ColumnPosition, DropColumnEvent, DropTableEvent,
-                         RenameColumnEvent, TruncateTableEvent)
+                         ColumnPosition, CreateTableEvent, DropColumnEvent,
+                         DropTableEvent, RenameColumnEvent,
+                         TruncateTableEvent)
 
     events = []
     for kind, rx in _DDL_RES:
@@ -757,8 +799,11 @@ def _parse_one_ddl(stmt: str, tid) -> list:
                    else ColumnPosition.AFTER if anchor
                    else ColumnPosition.LAST)
             ts = typ.upper() + (" NOT NULL" if notnull else "")
-            if default is not None and default.startswith("'"):
-                default = default[1:-1]
+            if default is not None:
+                if default.startswith("'"):
+                    default = default[1:-1]
+                elif default.upper() == "NULL":
+                    default = None  # DEFAULT NULL = no default
             events.append(AddColumnEvent(tid, name, ts,
                                          position=pos, anchor=anchor,
                                          default=default))
@@ -773,8 +818,19 @@ def _parse_one_ddl(stmt: str, tid) -> list:
         elif kind == "drop":
             events.append(DropColumnEvent(tid, m.group(1)))
         elif kind == "modify":
-            events.append(AlterColumnTypeEvent(tid, m.group(1),
-                                               m.group(2).upper()))
+            ts = m.group(2).upper() + (" NOT NULL" if m.group(3) else "")
+            events.append(AlterColumnTypeEvent(tid, m.group(1), ts))
+        elif kind == "create_table":
+            parsed = _parse_create_columns(m.group(1))
+            if parsed is not None:
+                from .schema import Schema
+
+                cols, pks = parsed
+                try:
+                    events.append(CreateTableEvent(
+                        tid, Schema.of(cols, primary_keys=pks)))
+                except ValueError:
+                    pass  # unmappable type → skip, like other noise
         elif kind == "truncate":
             events.append(TruncateTableEvent(tid))
         elif kind == "drop_table":

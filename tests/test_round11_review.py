@@ -58,16 +58,21 @@ def _duck_ddl(db):
 # ---------------------------------------------------------------------------
 
 def test_evolver_last_applied_on_drop_table():
+    """EVOLVE forwards the drop (never stale prior events); LENIENT
+    ignores table-level drops at the sink — the same tolerance that
+    keeps a dropped COLUMN — so the evolved side survives while the
+    original side forgets the table."""
     from flink_cdc_dsql_master_spark.events import (AddColumnEvent,
                                                     CreateTableEvent,
-                                                    DropTableEvent)
+                                                    DropTableEvent,
+                                                    TruncateTableEvent)
     from flink_cdc_dsql_master_spark.evolve import (SchemaChangeBehavior,
                                                     SchemaEvolver)
     from flink_cdc_dsql_master_spark.schema import Schema
 
-    ev = SchemaEvolver(behavior=SchemaChangeBehavior.LENIENT)
-    ev.on_event(CreateTableEvent(TID, Schema.of([("id", "BIGINT")],
-                                                primary_keys=["id"])))
+    schema = Schema.of([("id", "BIGINT")], primary_keys=["id"])
+    ev = SchemaEvolver(behavior=SchemaChangeBehavior.EVOLVE)
+    ev.on_event(CreateTableEvent(TID, schema))
     ev.on_event(AddColumnEvent(TID, "v", "STRING"))
     assert [type(e).__name__ for e in ev.last_applied] == [
         "AddColumnEvent"]
@@ -75,6 +80,15 @@ def test_evolver_last_applied_on_drop_table():
     assert out is None
     assert [type(e).__name__ for e in ev.last_applied] == [
         "DropTableEvent"]
+
+    lev = SchemaEvolver(behavior=SchemaChangeBehavior.LENIENT)
+    lev.on_event(CreateTableEvent(TID, schema))
+    lev.on_event(TruncateTableEvent(TID))
+    assert lev.last_applied == []  # lenient ignores table truncates
+    out = lev.on_event(DropTableEvent(TID))
+    assert out is not None  # sink side survives a lenient drop
+    assert lev.last_applied == []
+    assert lev.manager.latest_original(TID) is None  # upstream truth
 
 
 def test_binlog_drop_table_statement_reaches_sink(spark):
@@ -100,7 +114,9 @@ def test_binlog_drop_table_statement_reaches_sink(spark):
             "primary-keys": ["id"]}),
         sink=SinkDef("duckdb"),
         routes=(RouteRule(r"db.s.dropt", "out.db.drop_tbl_sink"),),
-        config={"schema.change.behavior": "LENIENT"},
+        # EVOLVE: table-level drops forward to the sink (LENIENT
+        # ignores them — pinned in test_evolver_last_applied_...)
+        config={"schema.change.behavior": "EVOLVE"},
     )
     q = compose_binlog_ddl_changelog_stream(
         spark, pipe, ckpt, _duck_writer(db),
@@ -312,3 +328,179 @@ def test_rsa_full_auth_after_auth_switch():
     assert srv.rsa_exchange_used is True
     assert srv.auth_ok is True  # XORed with the SWITCH nonce, not stale
     assert parsed[-1]["kind"] == "xid"
+
+
+# ---------------------------------------------------------------------------
+# review round 2: pg multi-table in-band, drop-and-recreate, parser gaps
+# ---------------------------------------------------------------------------
+
+def test_pgoutput_multitable_with_in_band_ddl(spark):
+    """in-band-ddl + table-list on the PG side: the per-table handler's
+    DATA decode must carry the pg_table filter too — a second relation
+    with a different width must neither crash the width guard nor merge
+    into the first table's sink."""
+    from flink_cdc_dsql_master_spark.compose import compose_stream
+    from flink_cdc_dsql_master_spark.pgoutput import (encode_frames,
+                                                      encode_insert,
+                                                      encode_relation)
+
+    base = tempfile.mkdtemp(prefix="pg_multi_ddl_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+    msgs = [
+        (100, encode_relation(7, "public", "cust",
+                              [("id", True, 20), ("v", False, 25)])),
+        (110, encode_relation(8, "public", "ord",
+                              [("id", True, 20), ("total", False, 701),
+                               ("st", False, 25)])),
+        (120, encode_insert(7, ["1", "a"])),
+        (130, encode_insert(8, ["10", "9.5", "O"])),
+        # ALTER upstream on cust only: re-sent 3-wide relation
+        (140, encode_relation(7, "public", "cust",
+                              [("id", True, 20), ("v", False, 25),
+                               ("score", False, 701)])),
+        (150, encode_insert(7, ["2", "b", "2.5"])),
+        (160, encode_insert(8, ["11", "8.5", "F"])),
+    ]
+    with open(f"{src}/seg1.pgout", "wb") as f:
+        f.write(encode_frames(msgs))
+
+    pipe = PipelineDef(
+        source=SourceDef("file-pgoutput", {
+            "path": src, "in-band-ddl": True,
+            "table-list": [
+                {"table": "db.public.pcust", "pg-table": "cust",
+                 "schema": "id bigint, v string",
+                 "primary-keys": ["id"]},
+                {"table": "db.public.pord", "pg-table": "ord",
+                 "schema": "id bigint, total double, st string",
+                 "primary-keys": ["id"]},
+            ]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.public.pcust", "out.db.pmt_cust"),
+                RouteRule(r"db.public.pord", "out.db.pmt_ord")),
+        config={"schema.change.behavior": "LENIENT"},
+    )
+    q = compose_stream(spark, pipe, ckpt, _duck_writer(db),
+                       on_schema_change=_duck_ddl(db))
+    q.awaitTermination(120)
+
+    con = duckdb.connect(db)
+    cust = con.execute("SELECT id, v, score FROM pmt_cust ORDER BY id"
+                       ).fetchall()
+    orders = con.execute("SELECT id, total, st FROM pmt_ord ORDER BY id"
+                         ).fetchall()
+    con.close()
+    assert cust == [(1, "a", None), (2, "b", 2.5)]
+    assert orders == [(10, 9.5, "O"), (11, 8.5, "F")]
+
+
+def test_binlog_drop_and_recreate_in_one_batch(spark):
+    """DROP TABLE followed by CREATE TABLE in the SAME micro-batch: the
+    recreated table's inserts must land (the earlier break-on-drop
+    permanently lost them because the checkpoint commits past the
+    file)."""
+    from flink_cdc_dsql_master_spark.compose import (
+        compose_binlog_ddl_changelog_stream)
+
+    base = tempfile.mkdtemp(prefix="binlog_recreate_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 20)]
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(42, "db", "t", cols, 200)
+            + encode_write_rows(42, cols, [[1, "old"]], 300)
+            + encode_query("db", "DROP TABLE t", 400)
+            + encode_query("db", "CREATE TABLE t (id BIGINT PRIMARY KEY,"
+                           " v VARCHAR(20))", 500)
+            + encode_table_map(43, "db", "t", cols, 600)
+            + encode_write_rows(43, cols, [[7, "new"]], 700))
+    with open(f"{src}/seg1.binlog", "wb") as f:
+        f.write(blob)
+
+    pipe = PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": src, "schema": "id bigint, v string",
+            "table": "db.s.recr", "mysql-table": "t",
+            "primary-keys": ["id"]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.s.recr", "out.db.recreate_sink"),),
+        config={"schema.change.behavior": "EVOLVE"},
+    )
+    q = compose_binlog_ddl_changelog_stream(
+        spark, pipe, ckpt, _duck_writer(db),
+        on_schema_change=_duck_ddl(db))
+    q.awaitTermination(120)
+
+    con = duckdb.connect(db)
+    got = con.execute("SELECT id, v FROM recreate_sink").fetchall()
+    con.close()
+    assert got == [(7, "new")]  # dropped history gone, recreated rows in
+
+
+def test_table_filters_are_case_insensitive(spark):
+    from pyspark.sql import types as T
+
+    from flink_cdc_dsql_master_spark.binlog import decode_binlog
+    from flink_cdc_dsql_master_spark.pgoutput import (decode_pgoutput,
+                                                      encode_insert,
+                                                      encode_relation)
+
+    cols = [(MYSQL_TYPE_LONGLONG, None)]
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(5, "db", "Orders", cols, 200)
+            + encode_write_rows(5, cols, [[1]], 300))
+    df = spark.createDataFrame([(blob,)], "value binary")
+    payload = T.StructType([T.StructField("id", T.LongType())])
+    assert decode_binlog(df, payload, table="orders").count() == 1
+
+    pg = spark.createDataFrame(
+        [(10, encode_relation(7, "public", "Cust",
+                              [("id", True, 20)])),
+         (20, encode_insert(7, ["1"]))],
+        "lsn long, value binary").coalesce(1)  # one self-contained seg
+    assert decode_pgoutput(pg, payload, pg_table="cust").count() == 1
+
+
+def test_parser_gaps_round2():
+    from flink_cdc_dsql_master_spark.events import (AlterColumnTypeEvent,
+                                                    CreateTableEvent)
+    from flink_cdc_dsql_master_spark.sources import parse_debezium_ddl
+
+    # DEFAULT NULL is NO default, not the string "NULL"
+    [ev] = parse_debezium_ddl(
+        "ALTER TABLE t ADD COLUMN c INT DEFAULT NULL", TID)
+    assert ev.default is None
+    # MODIFY with NOT NULL tail parses (was silently skipped)
+    [ev] = parse_debezium_ddl(
+        "ALTER TABLE t MODIFY COLUMN c BIGINT NOT NULL", TID)
+    assert ev == AlterColumnTypeEvent(TID, "c", "BIGINT NOT NULL")
+    # online-DDL clauses are no-ops, not spec-corrupting suffixes
+    evs = parse_debezium_ddl(
+        "ALTER TABLE t ADD COLUMN c INT, ALGORITHM=INPLACE, LOCK=NONE",
+        TID)
+    assert [type(e).__name__ for e in evs] == ["AddColumnEvent"]
+    # CREATE TABLE parses into a CreateTableEvent with keys
+    [ev] = parse_debezium_ddl(
+        "CREATE TABLE t (id BIGINT NOT NULL, v VARCHAR(20), "
+        "score DOUBLE, PRIMARY KEY (id)) ENGINE=InnoDB", TID)
+    assert isinstance(ev, CreateTableEvent)
+    assert [f.name for f in ev.schema.struct.fields] == [
+        "id", "v", "score"]
+    assert ev.schema.primary_keys == ("id",)
+
+
+def test_gtid_dump_sets_non_block():
+    import struct as _struct
+
+    from flink_cdc_dsql_master_spark.binlog_client import (
+        BINLOG_DUMP_NON_BLOCK, BINLOG_THROUGH_GTID,
+        build_binlog_dump_gtid)
+
+    pkt = build_binlog_dump_gtid(7, "11111111-2222-3333-4444-"
+                                 "555555555555:1")
+    (flags,) = _struct.unpack("<H", pkt[1:3])
+    assert flags & BINLOG_DUMP_NON_BLOCK  # dump terminates at log end
+    assert flags & BINLOG_THROUGH_GTID

@@ -157,6 +157,10 @@ def test_parse_debezium_ddl_kinds():
     assert parse_debezium_ddl("TRUNCATE TABLE t", tid) == [
         TruncateTableEvent(tid)]
     assert parse_debezium_ddl("DROP TABLE t", tid) == [DropTableEvent(tid)]
-    # Debezium noise statements are skipped, not errors
-    assert parse_debezium_ddl(
-        "CREATE TABLE t (x INT); GRANT ALL ON t TO app", tid) == []
+    # CREATE TABLE parses (round-11: drop-and-recreate support);
+    # GRANT and other Debezium noise statements are skipped, not errors
+    evs = parse_debezium_ddl(
+        "CREATE TABLE t (x INT); GRANT ALL ON t TO app", tid)
+    assert [type(e).__name__ for e in evs] == ["CreateTableEvent"]
+    assert parse_debezium_ddl("GRANT ALL ON t TO app; SET foo=1",
+                              tid) == []

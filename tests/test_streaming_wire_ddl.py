@@ -649,7 +649,9 @@ def test_binlog_truncate_statement_reaches_sink(spark):
             "primary-keys": ["id"]}),
         sink=SinkDef("duckdb"),
         routes=(RouteRule(r"db.s.t4", "out.db.trunc_sink"),),
-        config={"schema.change.behavior": "LENIENT"},
+        # EVOLVE: table truncates forward to the sink (LENIENT
+        # ignores them, reference parity)
+        config={"schema.change.behavior": "EVOLVE"},
     )
     q = compose_binlog_ddl_changelog_stream(
         spark, pipe, ckpt, _duck_writer(db),
