@@ -196,6 +196,21 @@ def pg_binary_to_text(type_oid: int, raw: bytes) -> str:
             return s
         if type_oid == 1700:  # numeric: base-10000 digit groups
             return _pg_numeric_text(raw)
+        if type_oid == 17:  # bytea: text form is hex (bytea_output=hex)
+            return "\\x" + raw.hex()
+        if type_oid == 2950:  # uuid: 16 raw bytes → canonical text
+            h = raw.hex()
+            return (f"{h[0:8]}-{h[8:12]}-{h[12:16]}-"
+                    f"{h[16:20]}-{h[20:32]}")
+        if type_oid == 1083:  # time: int8 µs since midnight
+            (us,) = struct.unpack(">q", raw)
+            s, us = divmod(us, 1_000_000)
+            h, rem = divmod(s, 3600)
+            m, sec = divmod(rem, 60)
+            out = f"{h:02d}:{m:02d}:{sec:02d}"
+            if us:
+                out += f".{us:06d}".rstrip("0")
+            return out
     except (struct.error, IndexError, UnicodeDecodeError) as e:
         raise WireFormatError(
             f"malformed binary datum for type OID {type_oid}: {e}") from e
@@ -264,6 +279,18 @@ def encode_binary_datum(type_oid: int, value) -> "BinaryDatum":
         delta = dt - _dt.datetime(2000, 1, 1)
         us = (delta.days * 86_400 + delta.seconds) * 1_000_000 \
             + delta.microseconds
+        return BinaryDatum(struct.pack(">q", us))
+    if type_oid == 17:  # bytea: raw bytes on the wire
+        if isinstance(value, str) and value.startswith("\\x"):
+            return BinaryDatum(bytes.fromhex(value[2:]))
+        return BinaryDatum(bytes(value))
+    if type_oid == 2950:  # uuid: 16 raw bytes
+        return BinaryDatum(bytes.fromhex(str(value).replace("-", "")))
+    if type_oid == 1083:  # time: µs since midnight
+        t = (_dt.time.fromisoformat(value)
+             if isinstance(value, str) else value)
+        us = ((t.hour * 3600 + t.minute * 60 + t.second) * 1_000_000
+              + t.microsecond)
         return BinaryDatum(struct.pack(">q", us))
     raise WireFormatError(
         f"no binary encoder for type OID {type_oid}")
@@ -758,8 +785,25 @@ def resolve_and_cast_pgoutput(raw: DataFrame,
                    .where(F.col("__lsn") >= epoch_lo))
         else:
             raw = _resolve_unchanged(raw, names, primary_keys)
-    casted = [F.col(f.name).cast(f.dataType).alias(f.name)
-              for f in payload_schema.fields]
+    casted = []
+    for f in payload_schema.fields:
+        c = F.col(f.name)
+        if isinstance(f.dataType, T.BinaryType):
+            # bytea rides as PG's hex text form ('\x…',
+            # bytea_output = hex, the modern default) — a plain
+            # string→binary cast would keep the LITERAL text bytes.
+            # Decode the hex; non-hex input (legacy escape format)
+            # fails loudly rather than silently corrupting.
+            casted.append(
+                F.when(c.isNull(), F.lit(None).cast("binary"))
+                .when(c.startswith("\\x"),
+                      F.unhex(F.substring(c, 3, 2_147_483_000)))
+                .otherwise(F.raise_error(F.concat(
+                    F.lit(f"bytea column {f.name!r} not in hex text "
+                          "form (bytea_output = hex required): "), c)))
+                .alias(f.name))
+        else:
+            casted.append(c.cast(f.dataType).alias(f.name))
     return raw.select(
         *casted,
         F.col(OP_COLUMN),

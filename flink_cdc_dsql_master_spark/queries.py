@@ -5029,6 +5029,63 @@ def changelog_multitable_stream_pipeline(spark, sf_dir):
 
 
 @_q(
+    "cdc_pgoutput_bytea_uuid_time",
+    """
+    SELECT n_nationkey AS k,
+           '00000000-0000-0000-0000-' ||
+               lpad(lower(format('{:x}', n_nationkey)), 12, '0') AS u,
+           printf('%02d:%02d:%02d', n_nationkey % 24, n_nationkey % 60,
+                  (n_nationkey * 7) % 60)
+             || CASE WHEN n_nationkey % 4 = 0 THEN '.5' ELSE '' END AS tm,
+           n_name AS doc_text
+    FROM nation
+    """,
+)
+def cdc_pgoutput_bytea_uuid_time(spark, sf_dir):
+    """Binary-format TupleData for the REMAINING common OIDs — bytea
+    (raw bytes → '\\x' hex text, bytea_output=hex), uuid (16 raw bytes
+    → canonical text) and time (µs since midnight) — decoded through
+    the Relation type registry like the other binary-mode types, plus
+    the BinaryType payload path: a bytea column declared BYTES is
+    hex-decoded into REAL bytes (a plain string cast would keep the
+    literal '\\x…' text; legacy escape-format input fails loudly). The
+    result re-texts the bytes so the oracle compares content."""
+    from .pgoutput import (decode_pgoutput, encode_binary_datum,
+                           encode_insert, encode_relation)
+
+    rows = _t(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name").collect()
+    oid = 55
+    msgs = [(1, encode_relation(oid, "public", "zoo",
+                                [("k", True, 20), ("u", False, 2950),
+                                 ("tm", False, 1083),
+                                 ("doc", False, 17)]))]
+    lsn = 10
+    for r in rows:
+        k = r["n_nationkey"]
+        u = f"00000000-0000-0000-0000-{k:012x}"
+        tm = (f"{k % 24:02d}:{k % 60:02d}:{(k * 7) % 60:02d}"
+              + (".500000" if k % 4 == 0 else ""))
+        msgs.append((lsn, encode_insert(oid, [
+            encode_binary_datum(20, k),
+            encode_binary_datum(2950, u),
+            encode_binary_datum(1083, tm),
+            encode_binary_datum(17, r["n_name"].encode("utf-8")),
+        ])))
+        lsn += 10
+    raw = spark.createDataFrame(msgs, "lsn long, value binary").coalesce(1)
+    payload = T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("u", T.StringType()),
+        T.StructField("tm", T.StringType()),
+        T.StructField("doc", T.BinaryType()),
+    ])
+    cl = decode_pgoutput(raw, payload)
+    return cl.select("k", "u", "tm",
+                     F.col("doc").cast("string").alias("doc_text"))
+
+
+@_q(
     "cdc_binlog_type_zoo",
     """
     SELECT o_orderkey AS k,

@@ -504,3 +504,40 @@ def test_gtid_dump_sets_non_block():
     (flags,) = _struct.unpack("<H", pkt[1:3])
     assert flags & BINLOG_DUMP_NON_BLOCK  # dump terminates at log end
     assert flags & BINLOG_THROUGH_GTID
+
+
+def test_pg_binary_bytea_uuid_time_units():
+    from flink_cdc_dsql_master_spark.pgoutput import (encode_binary_datum,
+                                                      pg_binary_to_text)
+
+    assert pg_binary_to_text(17, b"\x01\xab") == "\\x01ab"
+    assert encode_binary_datum(17, "\\x01ab").raw == b"\x01\xab"
+    u = "3e11fa47-71ca-11e1-9e33-c80aa9429562"
+    assert pg_binary_to_text(2950, encode_binary_datum(2950, u).raw) == u
+    import struct as _struct
+    assert pg_binary_to_text(
+        1083, _struct.pack(">q", 3_723_000_500)) == "01:02:03.0005"
+    assert pg_binary_to_text(1083, _struct.pack(">q", 0)) == "00:00:00"
+    rt = encode_binary_datum(1083, "01:02:03.000500").raw
+    assert pg_binary_to_text(1083, rt) == "01:02:03.0005"
+
+
+def test_binary_payload_field_decodes_hex(spark):
+    """A BYTES payload column carries REAL bytes after the cast — and
+    non-hex text (legacy escape format) fails loudly."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_dsql_master_spark.pgoutput import (decode_pgoutput,
+                                                      encode_insert)
+
+    payload = T.StructType([T.StructField("id", T.StringType()),
+                            T.StructField("doc", T.BinaryType())])
+    df = spark.createDataFrame(
+        [(10, encode_insert(5, ["1", "\\x68690021"]))],
+        "lsn long, value binary")
+    [r] = decode_pgoutput(df, payload).collect()
+    assert bytes(r["doc"]) == b"hi\x00!"
+    bad = spark.createDataFrame(
+        [(10, encode_insert(5, ["1", "not-hex"]))], "lsn long, value binary")
+    with pytest.raises(Exception, match="hex text form"):
+        decode_pgoutput(bad, payload).collect()
