@@ -41,13 +41,33 @@ SSL_REQUEST_CODE = 80877103  # magic "SSLRequest" protocol version
 
 def default_tls_context():
     """Client TLS context equivalent to libpq ``sslmode=require``:
-    encrypt, no CA verification (pass your own context to pin a CA —
-    the verify-full analog)."""
+    encrypt, no CA verification (use :func:`verifying_tls_context` for
+    the verify-ca / verify-full analogs)."""
     import ssl
 
     ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_CLIENT)
     ctx.check_hostname = False
     ctx.verify_mode = ssl.CERT_NONE
+    return ctx
+
+
+def verifying_tls_context(ca_file: str, check_hostname: bool = True):
+    """Client TLS context that VALIDATES the server's certificate chain
+    against ``ca_file`` — libpq ``sslmode=verify-full`` (or MySQL
+    ``--ssl-mode=VERIFY_IDENTITY``) when ``check_hostname`` is true,
+    ``verify-ca`` / ``VERIFY_CA`` when false. Pass the result as either
+    client's ``ssl_context`` together with ``tls_hostname`` set to the
+    name on the server's certificate; an untrusted chain or a hostname
+    mismatch fails the handshake loudly (``ssl.SSLCertVerificationError``)
+    — never a silent downgrade. This closes the "CA trust chains"
+    environment residue: with a real CA bundle the full stock-deployment
+    chains (TLS + SCRAM / caching_sha2 + CRC32) run verified
+    end-to-end."""
+    import ssl
+
+    ctx = ssl.create_default_context(cafile=ca_file)
+    ctx.check_hostname = check_hostname
+    ctx.verify_mode = ssl.CERT_REQUIRED
     return ctx
 
 

@@ -4292,8 +4292,9 @@ def cdc_pgoutput_client_e2e(spark, sf_dir):
 )
 def cdc_pgoutput_client_scram_e2e(spark, sf_dir):
     """The Postgres replication chain as a STOCK PG ≥ 14 deployment
-    runs it (VERDICT r9 next-round #5): SSLRequest → TLS upgrade over a
-    self-signed server cert (sslmode=require), then SCRAM-SHA-256 over
+    runs it (VERDICT r9 next-round #5): SSLRequest → TLS upgrade with the
+    server's CA-signed certificate VALIDATED chain-and-hostname by the
+    client (sslmode=verify-full), then SCRAM-SHA-256 over
     the encrypted channel (RFC 5802/7677 — SASL mechanism negotiation,
     PBKDF2-salted client proof verified server-side against the STORED
     key, never cleartext; proof pinned to the RFC 7677 §3 test vector
@@ -4333,12 +4334,19 @@ def cdc_pgoutput_client_scram_e2e(spark, sf_dir):
                 oid, [str(k), repr(float(price)), r["status"]],
                 old_kind="K")))
 
+    from .pgoutput_client import verifying_tls_context
+    from .testing import ca_signed_server_context
+
+    srv_ctx, ca_pem = ca_signed_server_context()
     srv = FakeWalsenderServer(msgs, username="repl",
                               password="s3cret", auth="scram",
-                              tls=True).start()
+                              tls=True,
+                              server_ssl_context=srv_ctx).start()
     cli = PgReplicationClient(
         lambda: socketlib.create_connection(("127.0.0.1", srv.port)),
-        user="repl", password="s3cret", tls=True)
+        user="repl", password="s3cret", tls=True,
+        ssl_context=verifying_tls_context(ca_pem),
+        tls_hostname="localhost")
     cli.connect()
     wire = list(cli.start_replication("cdc_slot", "pub1", start_lsn=0))
     cli.close()
@@ -4673,8 +4681,11 @@ def cdc_binlog_client_e2e(spark, sf_dir):
 def cdc_binlog_client_e2e_crc32(spark, sf_dir):
     """The replication chain against a STOCK MySQL-8-configured server,
     ALL defaults at once (VERDICT r9 "what's missing" #1/#4): TLS (the
-    short SSL request → in-connection upgrade over a self-signed server
-    cert), caching_sha2_password auth over the encrypted channel,
+    short SSL request → in-connection upgrade, the server's CA-signed
+    certificate validated chain-and-hostname — ssl-mode=VERIFY_IDENTITY;
+    untrusted/mismatched certs fail loudly, pinned in
+    tests/test_tls_verify.py), caching_sha2_password auth over the
+    encrypted channel,
     binlog_checksum=CRC32 — the fake server REFUSES the dump unless the
     client sends SET @master_binlog_checksum (exactly like a real
     source, ER 1236), every event on the wire carries its CRC32
@@ -4722,14 +4733,21 @@ def cdc_binlog_client_e2e_crc32(spark, sf_dir):
     events = [encode_fde(120, checksum_alg=1)] + \
         [crc32_frame(e) for e in plain]
 
+    from .pgoutput_client import verifying_tls_context
+    from .testing import ca_signed_server_context
+
+    srv_ctx, ca_pem = ca_signed_server_context()
     srv = FakeMySQLReplicaServer(events, username="repl",
                                  password="s3cret",
                                  serve_checksummed=True,
                                  auth_plugin="caching_sha2_password",
-                                 tls=True).start()
+                                 tls=True,
+                                 server_ssl_context=srv_ctx).start()
     cli = BinlogClient(
         lambda: socketlib.create_connection(("127.0.0.1", srv.port)),
-        username="repl", password="s3cret", server_id=7, tls=True)
+        username="repl", password="s3cret", server_id=7, tls=True,
+        ssl_context=verifying_tls_context(ca_pem),
+        tls_hostname="localhost")
     cli.connect()
     wire_events = list(cli.dump(log_file="binlog.000001", log_pos=4))
     cli.close()

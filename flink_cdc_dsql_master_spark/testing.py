@@ -504,6 +504,83 @@ def self_signed_server_context():
     return ctx
 
 
+def ca_signed_server_context() -> tuple:
+    """Server-side TLS context over a cert SIGNED BY A PRIVATE CA, plus
+    the CA-certificate PEM path a verifying client trusts — the trust
+    topology of a real deployment (the "CA trust chains" environment
+    residue from the round-10 review). Returns ``(server_ctx,
+    ca_pem_path)``. The server presents its leaf + the CA cert; a
+    client built with :func:`.pgoutput_client.verifying_tls_context`
+    over ``ca_pem_path`` validates the chain and (in verify-full mode)
+    the hostname against the leaf's ``localhost`` SAN. Cached per
+    process: two RSA keygens are the slow part."""
+    import ssl
+    import tempfile
+
+    if "ca" in _TLS_CERT_CACHE:
+        return _TLS_CERT_CACHE["ca"]
+
+    import datetime as _dt
+
+    from cryptography import x509
+    from cryptography.hazmat.primitives import hashes, serialization
+    from cryptography.hazmat.primitives.asymmetric import rsa
+    from cryptography.x509.oid import NameOID
+
+    now = _dt.datetime.now(_dt.timezone.utc)
+
+    def _name(cn):
+        return x509.Name([x509.NameAttribute(NameOID.COMMON_NAME, cn)])
+
+    ca_key = rsa.generate_private_key(public_exponent=65537,
+                                      key_size=2048)
+    ca_cert = (x509.CertificateBuilder()
+               .subject_name(_name("fake-cdc-test-ca"))
+               .issuer_name(_name("fake-cdc-test-ca"))
+               .public_key(ca_key.public_key())
+               .serial_number(x509.random_serial_number())
+               .not_valid_before(now - _dt.timedelta(days=1))
+               .not_valid_after(now + _dt.timedelta(days=365))
+               .add_extension(x509.BasicConstraints(
+                   ca=True, path_length=0), critical=True)
+               .sign(ca_key, hashes.SHA256()))
+
+    srv_key = rsa.generate_private_key(public_exponent=65537,
+                                       key_size=2048)
+    srv_cert = (x509.CertificateBuilder()
+                .subject_name(_name("localhost"))
+                .issuer_name(ca_cert.subject)
+                .public_key(srv_key.public_key())
+                .serial_number(x509.random_serial_number())
+                .not_valid_before(now - _dt.timedelta(days=1))
+                .not_valid_after(now + _dt.timedelta(days=365))
+                .add_extension(x509.BasicConstraints(
+                    ca=False, path_length=None), critical=True)
+                .add_extension(x509.SubjectAlternativeName(
+                    [x509.DNSName("localhost")]), critical=False)
+                .sign(ca_key, hashes.SHA256()))
+
+    with tempfile.NamedTemporaryFile("wb", suffix=".pem",
+                                     delete=False) as f:
+        f.write(srv_key.private_bytes(
+            serialization.Encoding.PEM,
+            serialization.PrivateFormat.TraditionalOpenSSL,
+            serialization.NoEncryption()))
+        f.write(srv_cert.public_bytes(serialization.Encoding.PEM))
+        # leaf + issuer: the chain a properly configured server sends
+        f.write(ca_cert.public_bytes(serialization.Encoding.PEM))
+        srv_pem = f.name
+    with tempfile.NamedTemporaryFile("wb", suffix=".pem",
+                                     delete=False) as f:
+        f.write(ca_cert.public_bytes(serialization.Encoding.PEM))
+        ca_pem = f.name
+
+    ctx = ssl.SSLContext(ssl.PROTOCOL_TLS_SERVER)
+    ctx.load_cert_chain(srv_pem)
+    _TLS_CERT_CACHE["ca"] = (ctx, ca_pem)
+    return ctx, ca_pem
+
+
 _FAKE_RSA_KEYPAIR = None
 
 
@@ -566,7 +643,8 @@ class FakeMySQLReplicaServer:
                  password: str = "", serve_checksummed: bool = False,
                  auth_plugin: str = "mysql_native_password",
                  switch_to: str | None = None, tls: bool = False,
-                 auth_cache_primed: bool = True):
+                 auth_cache_primed: bool = True,
+                 server_ssl_context=None):
         import socket
         import threading
 
@@ -577,6 +655,10 @@ class FakeMySQLReplicaServer:
         self.auth_plugin = auth_plugin
         self.tls = tls
         self.tls_established = False
+        # a CA-signed context (ca_signed_server_context()[0]) here puts
+        # the fake behind a verifiable trust chain; default stays the
+        # self-signed cert (sslmode=require-equivalent tests)
+        self.server_ssl_context = server_ssl_context
         # auth_cache_primed=False models a caching_sha2_password account
         # whose hash cache is EMPTY (a freshly provisioned replica
         # user): the scramble alone cannot be verified, so the server
@@ -663,8 +745,13 @@ class FakeMySQLReplicaServer:
                 # 32-byte SSL Connection Request with CLIENT_SSL set →
                 # TLS handshake on the same connection; the REAL
                 # handshake response follows encrypted
-                conn = self_signed_server_context().wrap_socket(
-                    conn, server_side=True)
+                import ssl as _ssl
+                srv_ctx = (self.server_ssl_context
+                           or self_signed_server_context())
+                try:
+                    conn = srv_ctx.wrap_socket(conn, server_side=True)
+                except _ssl.SSLError:
+                    return  # client rejected our certificate
                 self.tls_established = True
                 resp, _ = read_packet(conn)
             body = resp[32:]
@@ -825,7 +912,8 @@ class FakeWalsenderServer:
 
     def __init__(self, msgs: list[tuple[int, bytes]],
                  username: str = "repl", password: str = "",
-                 auth: str = "md5", tls: bool = False):
+                 auth: str = "md5", tls: bool = False,
+                 server_ssl_context=None):
         import socket
         import threading
 
@@ -835,6 +923,9 @@ class FakeWalsenderServer:
         self.auth = auth
         self.tls = tls
         self.tls_established = False
+        # see FakeMySQLReplicaServer: CA-signed context for verifying-
+        # client tests, self-signed default otherwise
+        self.server_ssl_context = server_ssl_context
         self.auth_ok = None
         self.saw_keepalive_reply = False
         self.query = None
@@ -871,8 +962,13 @@ class FakeWalsenderServer:
                         ">i", len(send_err) + 4) + send_err)
                     return
                 conn.sendall(b"S")
-                conn = self_signed_server_context().wrap_socket(
-                    conn, server_side=True)
+                import ssl as _ssl
+                srv_ctx = (self.server_ssl_context
+                           or self_signed_server_context())
+                try:
+                    conn = srv_ctx.wrap_socket(conn, server_side=True)
+                except _ssl.SSLError:
+                    return  # client rejected our certificate
                 self.tls_established = True
                 # the real StartupMessage follows over TLS
                 (ln,) = struct.unpack(">i", conn.recv(4))
