@@ -436,7 +436,11 @@ def ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             key=lambda r: r["offset"])
         data = marked.where(F.col("__sc.ddl").isNull()).drop("__sc")
         lo = None
-        table_dropped = False
+        # persists ACROSS micro-batches via the registry tombstone:
+        # a table dropped in batch N must not be flushed (and
+        # resurrected by a create-if-missing sink) by batch N+1's
+        # empty frames — only a CREATE TABLE clears it (wave-3 #3)
+        table_dropped = evolver.manager.is_dropped(table)
         for seg_idx, r in enumerate(ddl_rows + [None]):
             hi = r["offset"] if r is not None else None
             if not table_dropped:
@@ -572,7 +576,11 @@ def binlog_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             if evs:  # CREATE/GRANT noise parses to nothing — no split
                 boundaries.append((r["pos"], evs))
         lo = None
-        table_dropped = False
+        # persists ACROSS micro-batches via the registry tombstone:
+        # a table dropped in batch N must not be flushed (and
+        # resurrected by a create-if-missing sink) by batch N+1's
+        # empty frames — only a CREATE TABLE clears it (wave-3 #3)
+        table_dropped = evolver.manager.is_dropped(table)
         for seg_idx, item in enumerate(boundaries + [None]):
             hi = item[0] if item is not None else None
             if not table_dropped:
@@ -714,37 +722,43 @@ def pgoutput_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
         lo = None
         ctx = None  # prior epochs' raw frames: TOAST-resolution context
         persisted = []
-        for seg_idx, item in enumerate(boundaries + [None]):
-            hi = item[0] if item is not None else None
-            ps = payload_struct()
-            raw = decode_pgoutput_segments(
-                df, ps, primary_keys=pks or None,
-                lsn_range=(lo, hi), raw_only=True,
-                pg_table=pg_table)
-            if boundaries:
-                # cache each epoch's raw frame BEFORE it joins later
-                # epochs' resolution windows — without this, epoch k's
-                # resolution re-parses every prior epoch's blobs
-                # (O(B²) full decodes per DDL-dense batch)
-                raw = raw.persist()
-                persisted.append(raw)
-            # resolve unchanged-TOAST against prior epochs too: a 'u'
-            # whose last full image landed before the mid-batch ALTER
-            # must not become a hard error (review #5)
-            decoded = resolve_and_cast_pgoutput(
-                raw, ps, pks or None, toast_context=ctx, epoch_lo=lo)
-            data_handle(decoded, f"{batch_id}s{seg_idx}")
-            if boundaries:
-                ctx = raw if ctx is None else \
-                    ctx.unionByName(raw, allowMissingColumns=True)
-            if item is not None:
-                for ev in item[1]:
-                    schema = evolver.on_event(ev)
-                    _fire_applied(on_schema_change, evolver, router,
-                                  table, schema)
-            lo = hi
-        for fr in persisted:
-            fr.unpersist()
+        try:
+            for seg_idx, item in enumerate(boundaries + [None]):
+                hi = item[0] if item is not None else None
+                ps = payload_struct()
+                raw = decode_pgoutput_segments(
+                    df, ps, primary_keys=pks or None,
+                    lsn_range=(lo, hi), raw_only=True,
+                    pg_table=pg_table)
+                if boundaries:
+                    # cache each epoch's raw frame BEFORE it joins
+                    # later epochs' resolution windows — without this,
+                    # epoch k's resolution re-parses every prior
+                    # epoch's blobs (O(B²) full decodes per DDL-dense
+                    # batch)
+                    raw = raw.persist()
+                    persisted.append(raw)
+                # resolve unchanged-TOAST against prior epochs too: a
+                # 'u' whose last full image landed before the mid-batch
+                # ALTER must not become a hard error (review #5)
+                decoded = resolve_and_cast_pgoutput(
+                    raw, ps, pks or None, toast_context=ctx,
+                    epoch_lo=lo)
+                data_handle(decoded, f"{batch_id}s{seg_idx}")
+                if boundaries:
+                    ctx = raw if ctx is None else \
+                        ctx.unionByName(raw, allowMissingColumns=True)
+                if item is not None:
+                    for ev in item[1]:
+                        schema = evolver.on_event(ev)
+                        _fire_applied(on_schema_change, evolver,
+                                      router, table, schema)
+                lo = hi
+        finally:
+            # also on a failing batch — a retried micro-batch must not
+            # accrete stale cached frames in the block manager
+            for fr in persisted:
+                fr.unpersist()
 
     return handle
 

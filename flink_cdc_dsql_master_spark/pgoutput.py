@@ -792,12 +792,17 @@ def resolve_and_cast_pgoutput(raw: DataFrame,
             # bytea rides as PG's hex text form ('\x…',
             # bytea_output = hex, the modern default) — a plain
             # string→binary cast would keep the LITERAL text bytes.
-            # Decode the hex; non-hex input (legacy escape format)
-            # fails loudly rather than silently corrupting.
+            # Decode the hex; anything else fails loudly rather than
+            # silently corrupting: a missing '\x' prefix (legacy escape
+            # format), non-hex characters (unhex → NULL), or an odd
+            # digit count (unhex silently ZERO-PADS '\xabc' → 0x0ABC).
+            hx = F.substring(c, 3, 2_147_483_000)
             casted.append(
                 F.when(c.isNull(), F.lit(None).cast("binary"))
-                .when(c.startswith("\\x"),
-                      F.unhex(F.substring(c, 3, 2_147_483_000)))
+                .when(c.startswith("\\x")
+                      & (F.length(hx) % 2 == 0)
+                      & F.unhex(hx).isNotNull(),
+                      F.unhex(hx))
                 .otherwise(F.raise_error(F.concat(
                     F.lit(f"bytea column {f.name!r} not in hex text "
                           "form (bytea_output = hex required): "), c)))

@@ -182,12 +182,19 @@ class SchemaManager:
     def __init__(self) -> None:
         self.original: dict[TableId, dict[int, Schema]] = {}
         self.evolved: dict[TableId, dict[int, Schema]] = {}
+        # tombstones: DROP TABLE pops both stores, so without this a
+        # dropped table is indistinguishable from a never-seen one —
+        # and the DDL composers must keep SKIPPING (not flushing) a
+        # dropped table's segments in LATER micro-batches too, or a
+        # create-if-missing sink writer resurrects it (wave-3 #3)
+        self.dropped: set[TableId] = set()
 
     @staticmethod
     def _latest(m: dict[int, Schema]) -> Schema:
         return m[max(m)]
 
     def register_original(self, tid: TableId, schema: Schema) -> int:
+        self.dropped.discard(tid)  # re-create clears the tombstone
         return self._register(self.original, tid, schema)
 
     def register_evolved(self, tid: TableId, schema: Schema) -> int:
@@ -212,6 +219,10 @@ class SchemaManager:
     def drop(self, tid: TableId) -> None:
         self.original.pop(tid, None)
         self.evolved.pop(tid, None)
+        self.dropped.add(tid)
+
+    def is_dropped(self, tid: TableId) -> bool:
+        return tid in self.dropped
 
     def to_json(self) -> str:
         def ser(store: dict[TableId, dict[int, Schema]]):
@@ -219,7 +230,10 @@ class SchemaManager:
                 tid.identifier(): {str(v): s.to_json() for v, s in m.items()}
                 for tid, m in store.items()
             }
-        return json.dumps({"original": ser(self.original), "evolved": ser(self.evolved)})
+        return json.dumps({"original": ser(self.original),
+                           "evolved": ser(self.evolved),
+                           "dropped": sorted(t.identifier()
+                                             for t in self.dropped)})
 
     @staticmethod
     def from_json(s: str) -> "SchemaManager":
@@ -230,6 +244,8 @@ class SchemaManager:
                 store[TableId.parse(tid_s)] = {
                     int(v): Schema.from_json(sj) for v, sj in versions.items()
                 }
+        # absent in pre-tombstone checkpoints — default to no drops
+        mgr.dropped = {TableId.parse(t) for t in d.get("dropped", [])}
         return mgr
 
 

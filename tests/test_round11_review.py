@@ -541,3 +541,102 @@ def test_binary_payload_field_decodes_hex(spark):
         [(10, encode_insert(5, ["1", "not-hex"]))], "lsn long, value binary")
     with pytest.raises(Exception, match="hex text form"):
         decode_pgoutput(bad, payload).collect()
+
+
+def test_binary_payload_malformed_hex_fails_loudly(spark):
+    """unhex() is quietly lenient — NULL on non-hex digits and SILENT
+    ZERO-PADDING on an odd digit count ('\\xabc' → 0x0ABC) — so the
+    bytea cast must reject both, not just a missing '\\x' prefix
+    (round-11 wave-3 review #1). Empty bytea ('\\x') stays valid."""
+    from pyspark.sql import types as T
+
+    from flink_cdc_dsql_master_spark.pgoutput import (decode_pgoutput,
+                                                      encode_insert)
+
+    payload = T.StructType([T.StructField("id", T.StringType()),
+                            T.StructField("doc", T.BinaryType())])
+
+    for bad_text in ["\\xZZ", "\\xabc"]:
+        bad = spark.createDataFrame(
+            [(10, encode_insert(5, ["1", bad_text]))],
+            "lsn long, value binary")
+        with pytest.raises(Exception, match="hex text form"):
+            decode_pgoutput(bad, payload).collect()
+
+    empty = spark.createDataFrame(
+        [(10, encode_insert(5, ["1", "\\x"]))], "lsn long, value binary")
+    [r] = decode_pgoutput(empty, payload).collect()
+    assert bytes(r["doc"]) == b""
+
+
+def test_drop_tombstone_blocks_later_batches(spark):
+    """A table dropped in batch N must stay dropped in batch N+1: the
+    skip-while-dropped flag was re-initialized to False per batch, so
+    the next micro-batch's (empty) flush re-created the sink table via
+    the create-if-missing writer (wave-3 #3). The tombstone also rides
+    SchemaManager.to_json, so a checkpoint-resumed stream keeps
+    skipping — until a CREATE TABLE clears it and decoding resumes."""
+    from flink_cdc_dsql_master_spark.compose import (
+        compose_binlog_ddl_changelog_stream)
+    from flink_cdc_dsql_master_spark.evolve import (SchemaChangeBehavior,
+                                                    SchemaEvolver)
+    from flink_cdc_dsql_master_spark.schema import SchemaManager
+
+    base = tempfile.mkdtemp(prefix="binlog_tombstone_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 20)]
+    with open(f"{src}/seg1.binlog", "wb") as f:
+        f.write(MAGIC + encode_fde(120)
+                + encode_table_map(42, "db", "t", cols, 200)
+                + encode_write_rows(42, cols, [[1, "old"]], 300)
+                + encode_query("db", "DROP TABLE t", 400))
+    with open(f"{src}/seg2.binlog", "wb") as f:
+        # a LATER batch carrying only another table's traffic
+        f.write(MAGIC + encode_fde(120)
+                + encode_table_map(9, "db", "other", cols, 200)
+                + encode_write_rows(9, cols, [[5, "x"]], 300))
+
+    pipe = PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": src, "schema": "id bigint, v string",
+            "table": "db.s.tomb", "mysql-table": "t",
+            "primary-keys": ["id"]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.s.tomb", "out.db.tombstone_sink"),),
+        config={"schema.change.behavior": "EVOLVE"},
+    )
+    ev1 = SchemaEvolver(behavior=SchemaChangeBehavior.EVOLVE)
+    q = compose_binlog_ddl_changelog_stream(
+        spark, pipe, ckpt, _duck_writer(db),
+        on_schema_change=_duck_ddl(db), evolver=ev1)
+    q.awaitTermination(120)
+
+    con = duckdb.connect(db)
+    names = {r[0] for r in con.execute("SHOW TABLES").fetchall()}
+    con.close()
+    assert "tombstone_sink" not in names, \
+        "batch after the drop resurrected the dropped sink table"
+
+    # checkpoint-restart with a re-hydrated registry: tombstone holds,
+    # then a CREATE TABLE clears it and the recreated rows land
+    with open(f"{src}/seg3.binlog", "wb") as f:
+        f.write(MAGIC + encode_fde(120)
+                + encode_query("db", "CREATE TABLE t (id BIGINT PRIMARY "
+                               "KEY, v VARCHAR(20))", 200)
+                + encode_table_map(43, "db", "t", cols, 300)
+                + encode_write_rows(43, cols, [[7, "new"]], 400))
+    mgr2 = SchemaManager.from_json(ev1.manager.to_json())
+    assert mgr2.is_dropped(TableId.parse("db.s.tomb"))
+    ev2 = SchemaEvolver(manager=mgr2,
+                        behavior=SchemaChangeBehavior.EVOLVE)
+    q2 = compose_binlog_ddl_changelog_stream(
+        spark, pipe, ckpt, _duck_writer(db),
+        on_schema_change=_duck_ddl(db), evolver=ev2)
+    q2.awaitTermination(120)
+
+    con = duckdb.connect(db)
+    got = con.execute("SELECT id, v FROM tombstone_sink").fetchall()
+    con.close()
+    assert got == [(7, "new")]
