@@ -8684,6 +8684,64 @@ def lakehouse_export_iceberg(spark, sf_dir):
 
 
 @_q(
+    "lakehouse_export_paimon",
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 500.0
+                ELSE o_totalprice END AS price,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 13 <> 0
+    """,
+)
+def lakehouse_export_paimon(spark, sf_dir):
+    """Paimon external-format export (the reference's other lake
+    connector, flink-cdc-pipeline-connector-paimon/ —
+    PaimonMetadataApplier creates the table, PaimonWriter/Committer
+    write files and commit the snapshot): a two-merge versioned table
+    is exported as a Paimon APPEND-TABLE layout per the public spec
+    (schema-0 + snapshot-1 JSON, empty-base + delta Avro manifest
+    lists, relative file names under bucket-0/) and read back STRICTLY
+    through that layout — LATEST hint → snapshot → manifest lists →
+    manifests → ADD/DELETE fold → bucket-relative parquet. The oracle
+    recomputes the expected snapshot from pristine parquet, so a wrong
+    manifest entry, a mis-encoded Avro record or a missed tombstone
+    hash-fails."""
+    import os
+    import tempfile
+
+    from .lakehouse import (merge_into_versioned_parquet,
+                            with_bucket_partition)
+    from .paimon_export import export_paimon, read_paimon
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"),
+        F.col("o_orderstatus").alias("status"))
+    k = F.col("k")
+    b1 = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    upd = (orders.where(k % 9 == 0)
+           .withColumn("price", F.col("price") + 500.0)
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    dele = (orders.where(k % 13 == 0)
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    b2 = upd.unionByName(dele)
+
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    base = tempfile.mkdtemp(prefix="paimon_exp_")
+    path = os.path.join(base, "orders_ver")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 8), schema)
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b2, "k", 8), schema)
+    export_paimon(spark, path, os.path.join(base, "orders_paimon"))
+    return (read_paimon(spark, os.path.join(base, "orders_paimon"))
+            .select("k", "price", "status"))
+
+
+@_q(
     "lakehouse_export_iceberg_inplace",
     """
     SELECT o_orderkey AS k,

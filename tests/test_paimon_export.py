@@ -1,0 +1,138 @@
+"""Paimon export face (reference capability
+flink-cdc-pipeline-connector-paimon/): layout conformance to the public
+Paimon spec pages (snapshot/schema JSON shapes, Avro manifest chain,
+relative file-name resolution) plus the strict on-disk round-trip."""
+
+import json
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+from flink_cdc_dsql_master_spark.lakehouse import (
+    merge_into_versioned_parquet, with_bucket_partition)
+from flink_cdc_dsql_master_spark.paimon_export import (
+    MANIFEST_ENTRY_SCHEMA, MANIFEST_FILE_META_SCHEMA, export_paimon,
+    read_paimon)
+from flink_cdc_dsql_master_spark.schema import Schema
+
+
+def _versioned_table(spark, base):
+    df = spark.range(1, 201).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 1.5).alias("price"),
+        F.concat(F.lit("s"), (F.col("id") % 5).cast("string"))
+        .alias("status"))
+    b1 = (df.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    b2 = (df.where(F.col("k") % 4 == 0)
+          .withColumn("price", F.col("price") + 100.0)
+          .withColumn(OP_COLUMN, F.lit("+U"))
+          .withColumn(SEQ_COLUMN, F.lit(2).cast("long"))
+          .unionByName(df.where(F.col("k") % 9 == 0)
+                       .withColumn(OP_COLUMN, F.lit("-D"))
+                       .withColumn(SEQ_COLUMN, F.lit(2).cast("long"))))
+    schema = Schema.of(df.schema, primary_keys=["k"])
+    path = os.path.join(base, "t_ver")
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b1, "k", 4), schema)
+    merge_into_versioned_parquet(
+        path, with_bucket_partition(b2, "k", 4), schema)
+    return path, df
+
+
+def test_export_roundtrip_and_layout(spark):
+    base = tempfile.mkdtemp(prefix="paimon_exp_")
+    path, df = _versioned_table(spark, base)
+    dest = os.path.join(base, "t_paimon")
+    info = export_paimon(spark, path, dest)
+    assert info["rows"] > 0 and info["files"] > 0
+
+    # layout: spec directories + hints + relative names
+    assert open(os.path.join(dest, "snapshot", "LATEST")).read() == "1"
+    snap = json.load(open(os.path.join(dest, "snapshot", "snapshot-1")))
+    assert snap["commitKind"] == "APPEND" and snap["schemaId"] == 0
+    assert "/" not in snap["baseManifestList"]  # bare file names
+    assert snap["totalRecordCount"] == info["rows"]
+    sch = json.load(open(os.path.join(dest, "schema", "schema-0")))
+    assert [f["name"] for f in sch["fields"]] == ["k", "price", "status"]
+    assert sch["fields"][0]["id"] == 0
+    assert sch["primaryKeys"] == [] and sch["options"]["bucket"] == "-1"
+    assert all(n.startswith("data-") and n.endswith(".parquet")
+               for n in os.listdir(os.path.join(dest, "bucket-0")))
+    # no staging residue; data files live ONLY under bucket-0
+    assert sorted(os.listdir(dest)) == ["bucket-0", "manifest",
+                                        "schema", "snapshot"]
+
+    # strict on-disk round-trip vs the source snapshot
+    back = read_paimon(spark, dest).select("k", "price", "status")
+    from flink_cdc_dsql_master_spark.lakehouse import read_versioned
+    want = read_versioned(spark, path).select("k", "price", "status")
+    assert back.exceptAll(want).count() == 0
+    assert want.exceptAll(back).count() == 0
+    assert back.schema["k"].dataType.simpleString() == "bigint"
+
+
+def test_manifest_delete_entries_fold(spark):
+    """A DELETE manifest entry (compaction rewrite) removes its file
+    from the live set — the manifest-chain fold a real reader does."""
+    from flink_cdc_dsql_master_spark.avro_io import (read_container,
+                                                     write_container)
+
+    base = tempfile.mkdtemp(prefix="paimon_fold_")
+    path, _ = _versioned_table(spark, base)
+    dest = os.path.join(base, "t_paimon")
+    export_paimon(spark, path, dest)
+    man_dir = os.path.join(dest, "manifest")
+    snap = json.load(open(os.path.join(dest, "snapshot", "snapshot-1")))
+    _, metas = read_container(
+        os.path.join(man_dir, snap["deltaManifestList"]))
+    _, entries = read_container(
+        os.path.join(man_dir, metas[0]["_FILE_NAME"]))
+    victim = entries[0]["_FILE"]["_FILE_NAME"]
+
+    before = read_paimon(spark, dest).count()
+    victim_rows = entries[0]["_FILE"]["_ROW_COUNT"]
+
+    # append a second manifest deleting the first file, referenced by a
+    # second delta in a snapshot-2
+    delete_entry = dict(entries[0], _KIND=1)
+    mlen = write_container(os.path.join(man_dir, "manifest-del-0"),
+                           MANIFEST_ENTRY_SCHEMA, [delete_entry])
+    write_container(
+        os.path.join(man_dir, "manifest-list-del-1"),
+        MANIFEST_FILE_META_SCHEMA,
+        [{"_VERSION": 2, "_FILE_NAME": "manifest-del-0",
+          "_FILE_SIZE": mlen, "_NUM_ADDED_FILES": 0,
+          "_NUM_DELETED_FILES": 1,
+          "_PARTITION_STATS": {"_MIN_VALUES": b"", "_MAX_VALUES": b"",
+                               "_NULL_COUNTS": None},
+          "_SCHEMA_ID": 0}])
+    snap2 = dict(snap, id=2,
+                 baseManifestList=snap["deltaManifestList"],
+                 deltaManifestList="manifest-list-del-1",
+                 commitKind="COMPACT")
+    with open(os.path.join(dest, "snapshot", "snapshot-2"), "w") as f:
+        json.dump(snap2, f)
+    with open(os.path.join(dest, "snapshot", "LATEST"), "w") as f:
+        f.write("2")
+
+    after = read_paimon(spark, dest)
+    assert after.count() == before - victim_rows
+    files = [os.path.basename(p) for p in
+             after.select(F.input_file_name()).distinct().collect()
+             for p in [p[0]]]
+    assert victim not in files
+
+
+def test_unmappable_type_fails_loudly(spark):
+    from flink_cdc_dsql_master_spark.paimon_export import _paimon_field
+    from pyspark.sql import types as T
+
+    with pytest.raises(ValueError, match="no paimon mapping"):
+        _paimon_field(0, T.StructField(
+            "m", T.MapType(T.StringType(), T.LongType())))
+    f = _paimon_field(3, T.StructField("d", T.DecimalType(12, 2), False))
+    assert f == {"id": 3, "name": "d", "type": "DECIMAL(12, 2) NOT NULL"}
