@@ -373,3 +373,26 @@ def read_paimon(spark, dest: str) -> DataFrame:
             return spark.createDataFrame(
                 [], _schema_from_paimon(json.load(f)))
     return spark.read.parquet(*sorted(live.values()))
+
+
+def import_paimon(spark, src: str, path: str, schema,
+                  part_col: str = "part", n_buckets: int = 16) -> dict:
+    """Bootstrap a versioned-lakehouse table from a Paimon append
+    table's current snapshot — the inverse face of
+    :func:`export_paimon` and the migration path for a user with an
+    existing Paimon warehouse (the mirror of
+    :func:`.iceberg_export.import_iceberg`): rows land as one +I
+    changelog batch through the normal merge, so stats/blooms/manifest
+    discipline apply from version 1."""
+    from pyspark.sql import functions as F
+
+    from .events import OP_COLUMN, SEQ_COLUMN
+    from .lakehouse import (merge_into_versioned_parquet,
+                            with_bucket_partition)
+
+    df = read_paimon(spark, src)
+    b = (df.withColumn(OP_COLUMN, F.lit("+I"))
+         .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    b = with_bucket_partition(b, schema.primary_keys[0], n_buckets,
+                              part_col)
+    return merge_into_versioned_parquet(path, b, schema, part_col)

@@ -136,3 +136,24 @@ def test_unmappable_type_fails_loudly(spark):
             "m", T.MapType(T.StringType(), T.LongType())))
     f = _paimon_field(3, T.StructField("d", T.DecimalType(12, 2), False))
     assert f == {"id": 3, "name": "d", "type": "DECIMAL(12, 2) NOT NULL"}
+
+
+def test_import_paimon_bootstraps_versioned_table(spark):
+    """Paimon warehouse → versioned lakehouse migration: the imported
+    table time-travels and merges like a native one."""
+    from flink_cdc_dsql_master_spark.lakehouse import read_versioned
+    from flink_cdc_dsql_master_spark.paimon_export import import_paimon
+
+    base = tempfile.mkdtemp(prefix="paimon_imp_")
+    path, df = _versioned_table(spark, base)
+    dest = os.path.join(base, "t_paimon")
+    export_paimon(spark, path, dest)
+
+    schema = Schema.of(df.schema, primary_keys=["k"])
+    newpath = os.path.join(base, "t_reborn")
+    info = import_paimon(spark, dest, newpath, schema, n_buckets=4)
+    assert info["version"] == 1
+    want = read_versioned(spark, path).select("k", "price", "status")
+    got = read_versioned(spark, newpath).select("k", "price", "status")
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
