@@ -5386,6 +5386,47 @@ def envelope_debezium_roundtrip(spark, sf_dir):
 
 
 @_q(
+    "envelope_kafka_key_formats",
+    """
+    SELECT '"tpch.public.customer",' || CAST(c_custkey AS VARCHAR)
+               AS csv_key,
+           '{"TableId":"tpch.public.customer","c_custkey":'
+               || CAST(c_custkey AS VARCHAR) || '}' AS json_key,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM customer
+    GROUP BY 1, 2
+    """,
+)
+def envelope_kafka_key_formats(spark, sf_dir):
+    """Kafka record-KEY serialization (KeyFormat.java json/csv via
+    KeySerializationFactory.java — the key is {TableId, pk columns},
+    the DELETE's before image; byte shapes pinned to the reference's
+    JsonSerializationSchemaTest/CsvSerializationSchemaTest vectors in
+    tests/test_kafka_key_formats.py): both formats emitted over the
+    customer changelog; every op of one PK must produce the identical
+    key (that is what HASH_BY_KEY co-location and log compaction key
+    on), so grouping by (csv_key, json_key) must yield exactly the
+    oracle's per-key row."""
+    from .sinks import kafka_key, kafka_records
+
+    cl = _customer_changelog(spark, sf_dir)
+    tid = TableId.parse("tpch.public.customer")
+    recs = kafka_records(cl, tid, primary_keys=["c_custkey"],
+                         key_format="csv")
+    per_key = (recs.groupBy(F.col("key").alias("csv_key"))
+               .agg(F.count("*").alias("n")))
+    # both formats are pure functions of the pk — map csv → json once
+    # and join (broadcast-sized); a drifted byte in either format
+    # breaks the join or the hash
+    key_map = (cl.select(
+        kafka_key(tid, ["c_custkey"], "csv").alias("csv_key"),
+        kafka_key(tid, ["c_custkey"], "json").alias("json_key"))
+        .distinct())
+    return per_key.join(F.broadcast(key_map), "csv_key").select(
+        "csv_key", "json_key", "n")
+
+
+@_q(
     "envelope_canal_structure",
     f"""
     SELECT {_CUST_OP_SQL.replace("'D'", "'DELETE'")

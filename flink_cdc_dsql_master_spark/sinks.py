@@ -427,10 +427,43 @@ PARTITION_ALL_TO_ZERO = "ALL_TO_ZERO"
 PARTITION_HASH_BY_KEY = "HASH_BY_KEY"
 
 
+def kafka_key(table_id: TableId, primary_keys: list[str],
+              key_format: str = "json"):
+    """The reference's record-KEY serialization
+    (KeySerializationFactory.java builds {TableId, pk columns...} and
+    serializes it as json or csv — KeyFormat.java). The key carries the
+    DELETE's before image; in this changelog representation a ``-D``
+    row's payload columns ARE that image, so the same projection serves
+    every op. Byte shapes pinned to the reference's own test vectors
+    (JsonSerializationSchemaTest.java:82-84,
+    CsvSerializationSchemaTest.java:81-83): json =
+    ``{"TableId":"ns.schema.table","pk":...}``; csv = the TableId
+    always quoted, pk values CSV-escaped (quoted iff they contain a
+    quote/comma/CR/LF, inner quotes doubled)."""
+    tid = F.lit(table_id.identifier())
+    if key_format == "json":
+        return F.to_json(F.struct(
+            tid.alias("TableId"),
+            *[F.col(c) for c in primary_keys]))
+    if key_format == "csv":
+        def esc(c):
+            s = F.col(c).cast("string")
+            quoted = F.concat(F.lit('"'),
+                              F.regexp_replace(s, '"', '""'),
+                              F.lit('"'))
+            return F.when(s.rlike('[",\r\n]'), quoted).otherwise(s)
+
+        return F.concat_ws(",", F.concat(F.lit('"'), tid, F.lit('"')),
+                           *[esc(c) for c in primary_keys])
+    raise ValueError(f"unsupported key format {key_format!r}")
+
+
 def kafka_records(df: DataFrame, table_id: TableId,
                   serialization: str = "debezium-json",
                   partition_strategy: str = PARTITION_ALL_TO_ZERO,
-                  num_partitions: int = 1) -> DataFrame:
+                  num_partitions: int = 1,
+                  primary_keys: list[str] | None = None,
+                  key_format: str = "json") -> DataFrame:
     """Changelog → (key, value, partition) records for Spark's Kafka sink.
 
     PartitionStrategy parity: ALL_TO_ZERO routes every record to partition
@@ -439,11 +472,18 @@ def kafka_records(df: DataFrame, table_id: TableId,
     strategy that scales). Spark's Kafka writer honors an explicit
     ``partition`` column, so this composes directly with
     ``writeStream.format("kafka")``.
+
+    With ``primary_keys`` the key is the reference's
+    {TableId, pk columns} record in ``key_format`` (json/csv — see
+    :func:`kafka_key`); without it the key stays the envelope's legacy
+    full-payload JSON.
     """
+    key_expr = (kafka_key(table_id, primary_keys, key_format)
+                if primary_keys else None)
     if serialization == "debezium-json":
-        enc = debezium_json(df, table_id)
+        enc = debezium_json(df, table_id, key_expr=key_expr)
     elif serialization == "canal-json":
-        enc = canal_json(df, table_id)
+        enc = canal_json(df, table_id, key_expr=key_expr)
     else:
         raise ValueError(f"unsupported serialization {serialization!r}")
     if partition_strategy == PARTITION_ALL_TO_ZERO:
@@ -467,11 +507,13 @@ def kafka_sink_stream(records: DataFrame, bootstrap_servers: str,
             .option("topic", topic)
             .option("checkpointLocation", checkpoint))
 
-def debezium_json(df: DataFrame, table_id: TableId) -> DataFrame:
+def debezium_json(df: DataFrame, table_id: TableId,
+                  key_expr=None) -> DataFrame:
     """Changelog → (key, value) debezium-json strings.
 
     value = {"before":..., "after":..., "op": c|u|d, "source": {db, table}}
-    — the shape DebeziumJsonSerializationSchema emits.
+    — the shape DebeziumJsonSerializationSchema emits. ``key_expr``
+    overrides the legacy full-payload key (see :func:`kafka_key`).
     """
     data_cols = [c for c in df.columns if c not in INTERNAL_COLUMNS]
     payload = F.struct(*[F.col(c) for c in data_cols])
@@ -487,11 +529,12 @@ def debezium_json(df: DataFrame, table_id: TableId) -> DataFrame:
             F.lit(table_id.table).alias("table"),
         ).alias("source"),
     ), {"ignoreNullFields": "false"})
-    key = F.to_json(payload)
+    key = key_expr if key_expr is not None else F.to_json(payload)
     return df.select(key.alias("key"), value.alias("value"))
 
 
-def canal_json(df: DataFrame, table_id: TableId) -> DataFrame:
+def canal_json(df: DataFrame, table_id: TableId,
+               key_expr=None) -> DataFrame:
     """Changelog → canal-json: {"old": [...], "data": [...], "type": ...}."""
     data_cols = [c for c in df.columns if c not in INTERNAL_COLUMNS]
     payload = F.struct(*[F.col(c) for c in data_cols])
@@ -505,7 +548,8 @@ def canal_json(df: DataFrame, table_id: TableId) -> DataFrame:
         F.lit(table_id.schema_name).alias("database"),
         F.lit(table_id.table).alias("table"),
     ), {"ignoreNullFields": "false"})
-    return df.select(F.to_json(payload).alias("key"), value.alias("value"))
+    key = key_expr if key_expr is not None else F.to_json(payload)
+    return df.select(key.alias("key"), value.alias("value"))
 
 
 def maxwell_json(df: DataFrame, table_id: TableId) -> DataFrame:
