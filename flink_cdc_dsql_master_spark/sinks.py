@@ -458,12 +458,63 @@ def kafka_key(table_id: TableId, primary_keys: list[str],
     raise ValueError(f"unsupported key format {key_format!r}")
 
 
+def kafka_topic(table_id: TableId, topic: str | None = None,
+                topic_mapping: list[tuple[str, str]] | None = None) -> str:
+    """``inferTopicName`` parity
+    (PipelineKafkaRecordSerializationSchema.java:142-158): a unified
+    ``topic`` option wins; else the FIRST matching selector of
+    ``sink.tableId-to-topic.mapping`` (pairs of selector-pattern →
+    topic, KafkaSinkUtils.parseSelectorsToTopicMap); else the table id
+    itself."""
+    from .schema import Selectors
+
+    if topic:
+        return topic
+    for pattern, t in (topic_mapping or []):
+        if Selectors(pattern).matches(table_id):
+            return t
+    return table_id.identifier()
+
+
+def kafka_headers(table_id: TableId, add_tableid: bool = False,
+                  custom_headers: str = ""):
+    """Record-header column for Spark's Kafka writer
+    (``includeHeaders`` contract: array<struct<key string, value
+    binary>>). ``add_tableid`` adds the reference's namespace /
+    schemaName / tableName headers
+    (PipelineKafkaRecordSerializationSchema.java:69-73, null parts as
+    empty strings); ``custom_headers`` is the ``sink.custom-header``
+    string — pairs split on ';', key:value on ':' (the reference's
+    CODE splits on ';' though its option doc says ',';
+    PipelineKafkaRecordSerializationSchema.java:89). Returns None when
+    nothing is configured."""
+    pairs: list[tuple[str, str]] = []
+    if add_tableid:
+        pairs += [("namespace", table_id.namespace or ""),
+                  ("schemaName", table_id.schema_name or ""),
+                  ("tableName", table_id.table)]
+    for item in (custom_headers or "").split(";"):
+        if ":" in item:
+            k, _, v = item.partition(":")
+            pairs.append((k.strip(), v.strip()))
+    if not pairs:
+        return None
+    return F.array(*[
+        F.struct(F.lit(k).alias("key"),
+                 F.lit(v.encode("utf-8")).alias("value"))
+        for k, v in pairs])
+
+
 def kafka_records(df: DataFrame, table_id: TableId,
                   serialization: str = "debezium-json",
                   partition_strategy: str = PARTITION_ALL_TO_ZERO,
                   num_partitions: int = 1,
                   primary_keys: list[str] | None = None,
-                  key_format: str = "json") -> DataFrame:
+                  key_format: str = "json",
+                  topic: str | None = None,
+                  topic_mapping: list[tuple[str, str]] | None = None,
+                  add_tableid_headers: bool = False,
+                  custom_headers: str = "") -> DataFrame:
     """Changelog → (key, value, partition) records for Spark's Kafka sink.
 
     PartitionStrategy parity: ALL_TO_ZERO routes every record to partition
@@ -476,7 +527,12 @@ def kafka_records(df: DataFrame, table_id: TableId,
     With ``primary_keys`` the key is the reference's
     {TableId, pk columns} record in ``key_format`` (json/csv — see
     :func:`kafka_key`); without it the key stays the envelope's legacy
-    full-payload JSON.
+    full-payload JSON. A ``topic`` column is always attached (unified
+    topic / selector mapping / table id — :func:`kafka_topic`; Spark's
+    writer uses it unless the ``topic`` option overrides), and
+    ``add_tableid_headers`` / ``custom_headers`` attach the reference's
+    record headers (:func:`kafka_headers`, requires the writer's
+    ``includeHeaders``).
     """
     key_expr = (kafka_key(table_id, primary_keys, key_format)
                 if primary_keys else None)
@@ -495,7 +551,13 @@ def kafka_records(df: DataFrame, table_id: TableId,
     else:
         raise ValueError(
             f"unsupported partition strategy {partition_strategy!r}")
-    return enc.withColumn("partition", part.cast("int"))
+    out = (enc.withColumn("partition", part.cast("int"))
+           .withColumn("topic", F.lit(
+               kafka_topic(table_id, topic, topic_mapping))))
+    hdrs = kafka_headers(table_id, add_tableid_headers, custom_headers)
+    if hdrs is not None:
+        out = out.withColumn("headers", hdrs)
+    return out
 
 
 def kafka_sink_stream(records: DataFrame, bootstrap_servers: str,

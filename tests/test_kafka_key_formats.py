@@ -78,3 +78,36 @@ def test_legacy_key_unchanged_without_primary_keys(spark):
     [k] = [r["key"] for r in recs.where(F.col("value")
                                         .contains('"op":"d"')).collect()]
     assert json.loads(k) == {"col1": "2", "col2": "2"}
+
+
+def test_topic_inference_and_headers(spark):
+    """inferTopicName precedence (unified > selector mapping > table
+    id) and the namespace/schemaName/tableName + custom record headers
+    (PipelineKafkaRecordSerializationSchema.java:69-73,117-138)."""
+    from flink_cdc_dsql_master_spark.sinks import kafka_records, kafka_topic
+
+    assert kafka_topic(TID, topic="all") == "all"
+    assert kafka_topic(TID, topic_mapping=[
+        (r"default_namespace.default_schema.\.*", "routed"),
+        (r".*", "fallback")]) == "routed"
+    assert kafka_topic(TID) == \
+        "default_namespace.default_schema.table1"
+
+    recs = kafka_records(_changelog(spark), TID,
+                         add_tableid_headers=True,
+                         custom_headers="env: prod; team:cdc")
+    [r] = recs.limit(1).collect()
+    assert r["topic"] == "default_namespace.default_schema.table1"
+    hs = {h["key"]: bytes(h["value"]).decode() for h in r["headers"]}
+    assert hs == {"namespace": "default_namespace",
+                  "schemaName": "default_schema",
+                  "tableName": "table1",
+                  "env": "prod", "team": "cdc"}
+
+
+def test_no_headers_column_when_unconfigured(spark):
+    from flink_cdc_dsql_master_spark.sinks import kafka_records
+
+    recs = kafka_records(_changelog(spark), TID)
+    assert "headers" not in recs.columns
+    assert set(recs.columns) == {"key", "value", "partition", "topic"}
