@@ -208,6 +208,13 @@ def export_paimon(spark, path: str, dest: str,
         df = df.drop(part_col)
 
     local = _local(dest)
+    # fresh-export semantics (like export_iceberg's overwrite): a
+    # re-export to the same dest must not leave the previous run's
+    # data files orphaned next to a snapshot that no longer lists them
+    import shutil
+    for sub in ("bucket-0", "manifest", "snapshot", "schema",
+                "_staging"):
+        shutil.rmtree(os.path.join(local, sub), ignore_errors=True)
     bucket_dir = os.path.join(local, "bucket-0")
     os.makedirs(bucket_dir, exist_ok=True)
     tmp = os.path.join(local, "_staging")

@@ -157,3 +157,19 @@ def test_import_paimon_bootstraps_versioned_table(spark):
     got = read_versioned(spark, newpath).select("k", "price", "status")
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_reexport_leaves_no_orphans(spark):
+    """Re-exporting to the same dest is a fresh export: no data file
+    from the previous run survives unreferenced next to the new
+    snapshot."""
+    base = tempfile.mkdtemp(prefix="paimon_re_")
+    path, _ = _versioned_table(spark, base)
+    dest = os.path.join(base, "t_paimon")
+    export_paimon(spark, path, dest)
+    first = set(os.listdir(os.path.join(dest, "bucket-0")))
+    export_paimon(spark, path, dest)
+    second = set(os.listdir(os.path.join(dest, "bucket-0")))
+    assert not (first & second)  # old files gone, only the new run's
+    back = read_paimon(spark, dest)
+    assert back.count() > 0
