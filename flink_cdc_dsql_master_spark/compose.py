@@ -181,6 +181,24 @@ class BatchComposer:
                 parallel=False)  # duckdb: single writer
             writer.ensure_table()
             writer.write_batch(df)
+        elif sink.type == "paimon":
+            # the reference pipeline's `sink: type: paimon`
+            # (PaimonDataSink): the routed changelog applies (keyed
+            # LWW) and the final state lands as a Paimon append-table
+            # layout an external Paimon reader can open
+            from .paimon_export import write_paimon
+            from .partitioning import apply_changelog
+
+            base = sink.config["path"]
+            if schema.primary_keys:
+                final = apply_changelog(df, list(schema.primary_keys))
+            else:  # keyless append: keep inserts, strip internals
+                from .events import OP_COLUMN, SEQ_COLUMN
+                final = df.drop(*[c for c in
+                                  (OP_COLUMN, SEQ_COLUMN, "__table_id",
+                                   "__op_ts") if c in df.columns])
+            write_paimon(self.spark, final,
+                         f"{base}/{sink_tid.table}")
         elif sink.type == "scd2-parquet":
             from .partitioning import scd2_apply_increment
             from .sinks import read_parquet_state, swap_parquet_dir

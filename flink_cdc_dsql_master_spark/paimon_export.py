@@ -190,22 +190,14 @@ def _write_schema(local: str, schema: T.StructType) -> None:
         }, f, indent=2)
 
 
-def export_paimon(spark, path: str, dest: str,
-                  version: int | None = None) -> dict:
-    """Export a pinned versioned-lakehouse snapshot as a Paimon append
-    table at ``dest`` (materialized copy — tombstones/DVs applied; see
-    the module docstring for why Paimon has no zero-copy variant).
-    Returns {version, snapshot_id, rows, files, dest}."""
+def write_paimon(spark, df: DataFrame, dest: str) -> dict:
+    """Write a plain DataFrame as a complete single-snapshot Paimon
+    append table at ``dest`` — the layout writer behind
+    :func:`export_paimon`, and the ``sink: type: paimon`` face of the
+    batch composer (the reference pipeline's PaimonDataSink writes the
+    same shape through the Paimon catalog). Returns
+    {snapshot_id, rows, files, dest}."""
     import pyarrow.parquet as pq
-
-    df: DataFrame = read_versioned(spark, path, version)
-    # the in-family bucket-partition column is manifest plumbing, not
-    # table data — an external engine must not see it
-    part_col = _load_manifest(_local(path),
-                              list_versions(path)[-1]
-                              if version is None else version)["part_col"]
-    if part_col in df.columns:
-        df = df.drop(part_col)
 
     local = _local(dest)
     # fresh-export semantics (like export_iceberg's overwrite): a
@@ -314,10 +306,28 @@ def export_paimon(spark, path: str, dest: str,
         with open(os.path.join(snap_dir, hint), "w") as f:
             f.write("1")
 
-    src_versions = list_versions(path)
-    v = src_versions[-1] if version is None else version
-    return {"version": v, "snapshot_id": 1, "rows": total_rows,
+    return {"snapshot_id": 1, "rows": total_rows,
             "files": len(files), "dest": local}
+
+
+def export_paimon(spark, path: str, dest: str,
+                  version: int | None = None) -> dict:
+    """Export a pinned versioned-lakehouse snapshot as a Paimon append
+    table at ``dest`` (materialized copy — tombstones/DVs applied; see
+    the module docstring for why Paimon has no zero-copy variant).
+    Returns {version, snapshot_id, rows, files, dest}."""
+    df: DataFrame = read_versioned(spark, path, version)
+    # the in-family bucket-partition column is manifest plumbing, not
+    # table data — an external engine must not see it
+    part_col = _load_manifest(_local(path),
+                              list_versions(path)[-1]
+                              if version is None else version)["part_col"]
+    if part_col in df.columns:
+        df = df.drop(part_col)
+    out = write_paimon(spark, df, dest)
+    src_versions = list_versions(path)
+    out["version"] = src_versions[-1] if version is None else version
+    return out
 
 
 def _schema_from_paimon(schema_json: dict) -> T.StructType:

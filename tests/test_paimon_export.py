@@ -173,3 +173,36 @@ def test_reexport_leaves_no_orphans(spark):
     assert not (first & second)  # old files gone, only the new run's
     back = read_paimon(spark, dest)
     assert back.count() > 0
+
+
+def test_yaml_paimon_sink_e2e(spark, tmp_path):
+    """The reference pipeline's `sink: type: paimon` shape: values
+    source → transform → route → keyed LWW apply → Paimon append-table
+    layout, read back strictly through the on-disk chain."""
+    from tests.test_pipeline_compose import transform_table
+
+    from flink_cdc_dsql_master_spark.compose import BatchComposer
+    from flink_cdc_dsql_master_spark.pipeline import parse_pipeline_yaml
+
+    base = str(tmp_path / "warehouse")
+    pipe = parse_pipeline_yaml(f"""
+source:
+  type: values
+sink:
+  type: paimon
+  path: "{base}"
+transform:
+  - source-table: default_namespace.default_schema.\\.*
+    projection: "id, UPPER(name) AS name, age"
+route:
+  - source-table: default_namespace.default_schema.\\.*
+    sink-table: warehouse.db.people
+pipeline:
+  name: to-paimon
+""")
+    pipe.source.config["script"] = transform_table()
+    BatchComposer(spark, pipe).run()
+    back = read_paimon(spark, f"{base}/people")
+    got = sorted((r["id"], r["name"], r["age"]) for r in back.collect())
+    assert got == [(1, "ALICE", 18), (2, "BOB", 30)]
+    assert os.path.exists(f"{base}/people/snapshot/LATEST")
