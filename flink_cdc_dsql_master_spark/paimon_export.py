@@ -336,12 +336,25 @@ def _schema_from_paimon(schema_json: dict) -> T.StructType:
         t = f["type"]
         nullable = not t.endswith(" NOT NULL")
         base = t[: -len(" NOT NULL")] if not nullable else t
-        if base.startswith("DECIMAL"):
+        if base.startswith(("DECIMAL", "NUMERIC")):
             p, s = base[base.index("(") + 1:base.index(")")].split(",")
             dt: T.DataType = T.DecimalType(int(p), int(s))
+        # spellings an external paimon-core table may use beyond our
+        # writer's canon (spec "Data Types")
+        elif base.startswith(("VARCHAR", "CHAR", "STRING")):
+            dt = T.StringType()
+        elif base.startswith("TIMESTAMP"):  # TIMESTAMP(p) [WITH ...]
+            dt = T.TimestampType()
+        elif base.startswith(("BYTES", "VARBINARY", "BINARY")):
+            dt = T.BinaryType()
         else:
             inv = {v: k for k, v in _SPARK_TO_PAIMON.items()}
-            dt = inv[base]()
+            try:
+                dt = inv[base]()
+            except KeyError:
+                raise ValueError(
+                    f"unsupported paimon type {t!r} for column "
+                    f"{f['name']!r}") from None
         fields.append(T.StructField(f["name"], dt, nullable))
     return T.StructType(fields)
 

@@ -206,3 +206,23 @@ pipeline:
     got = sorted((r["id"], r["name"], r["age"]) for r in back.collect())
     assert got == [(1, "ALICE", 18), (2, "BOB", 30)]
     assert os.path.exists(f"{base}/people/snapshot/LATEST")
+
+
+def test_schema_parser_accepts_external_spellings():
+    from flink_cdc_dsql_master_spark.paimon_export import \
+        _schema_from_paimon
+    from pyspark.sql import types as T
+
+    st = _schema_from_paimon({"fields": [
+        {"id": 0, "name": "a", "type": "VARCHAR(32) NOT NULL"},
+        {"id": 1, "name": "b", "type": "TIMESTAMP(3)"},
+        {"id": 2, "name": "c", "type": "NUMERIC(8, 3)"},
+        {"id": 3, "name": "d", "type": "VARBINARY(16)"}]})
+    assert [f.dataType for f in st.fields] == [
+        T.StringType(), T.TimestampType(), T.DecimalType(8, 3),
+        T.BinaryType()]
+    assert st.fields[0].nullable is False
+
+    with pytest.raises(ValueError, match="unsupported paimon type"):
+        _schema_from_paimon({"fields": [
+            {"id": 0, "name": "m", "type": "MAP<INT, INT>"}]})
