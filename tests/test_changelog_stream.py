@@ -107,7 +107,8 @@ def test_kafka_records_partition_strategies(spark):
 
     zero = kafka_records(df, tid, partition_strategy=PARTITION_ALL_TO_ZERO)
     assert set(r["partition"] for r in zero.collect()) == {0}
-    assert zero.columns == ["key", "value", "partition"]
+    assert zero.columns == ["key", "value", "partition", "topic"]
+    assert zero.head()["topic"] == "db.s.t"
 
     hashed = kafka_records(df, tid, partition_strategy=PARTITION_HASH_BY_KEY,
                            num_partitions=4)
@@ -135,7 +136,7 @@ def test_kafka_sink_stream_plan(spark, tmp_path):
     recs = kafka_records(
         df, TableId.parse("db.s.t"), serialization="canal-json",
         partition_strategy=PARTITION_HASH_BY_KEY, num_partitions=8)
-    assert recs.columns == ["key", "value", "partition"]
+    assert recs.columns == ["key", "value", "partition", "topic"]
     w = kafka_sink_stream(rate.selectExpr("CAST(value AS STRING) AS value"),
                           "broker:9092", "topic-a", str(tmp_path / "ck"))
     assert w is not None  # DataStreamWriter built lazily; start() needs a jar
