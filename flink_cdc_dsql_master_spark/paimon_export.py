@@ -397,12 +397,22 @@ def read_paimon(spark, dest: str) -> DataFrame:
                 raise ValueError(
                     f"{mname}: unknown manifest-entry kind "
                     f"{e['_KIND']}")
+    with open(os.path.join(local, "schema",
+                           f"schema-{snap['schemaId']}")) as f:
+        declared = _schema_from_paimon(json.load(f))
     if not live:
-        with open(os.path.join(local, "schema",
-                               f"schema-{snap['schemaId']}")) as f:
-            return spark.createDataFrame(
-                [], _schema_from_paimon(json.load(f)))
-    return spark.read.parquet(*sorted(live.values()))
+        return spark.createDataFrame([], declared)
+    df = spark.read.parquet(*sorted(live.values()))
+    # fail loudly if the data files drifted from schema-N — silently
+    # returning whatever the parquet says would mask a corrupt export
+    if [f.name for f in df.schema.fields] != \
+            [f.name for f in declared.fields]:
+        raise ValueError(
+            f"{dest}: data-file columns "
+            f"{[f.name for f in df.schema.fields]} do not match "
+            f"schema-{snap['schemaId']} "
+            f"{[f.name for f in declared.fields]}")
+    return df
 
 
 def import_paimon(spark, src: str, path: str, schema,
