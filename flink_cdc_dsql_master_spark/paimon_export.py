@@ -190,6 +190,105 @@ def _write_schema(local: str, schema: T.StructType) -> None:
         }, f, indent=2)
 
 
+def _write_snapshot(local: str, snap_id: int, base_list: str,
+                    delta_list: str, total: int, delta: int,
+                    earliest: bool = False) -> None:
+    snap_dir = os.path.join(local, "snapshot")
+    os.makedirs(snap_dir, exist_ok=True)
+    with open(os.path.join(snap_dir, f"snapshot-{snap_id}"), "w") as f:
+        json.dump({
+            "version": 3,
+            "id": snap_id,
+            "schemaId": 0,
+            "baseManifestList": base_list,
+            "deltaManifestList": delta_list,
+            "changelogManifestList": None,
+            "indexManifest": None,
+            "commitUser": str(uuid.uuid4()),
+            "commitIdentifier": _BATCH_COMMIT_IDENTIFIER,
+            "commitKind": "APPEND",
+            "timeMillis": int(time.time() * 1000),
+            "logOffsets": {},
+            "totalRecordCount": total,
+            "deltaRecordCount": delta,
+            "changelogRecordCount": 0,
+            "watermark": None,
+        }, f, indent=2)
+    with open(os.path.join(snap_dir, "LATEST"), "w") as f:
+        f.write(str(snap_id))
+    if earliest:
+        with open(os.path.join(snap_dir, "EARLIEST"), "w") as f:
+            f.write(str(snap_id))
+
+
+def _stage_data_files(df: DataFrame, local: str):
+    """Write ``df`` as parquet into ``local/bucket-0`` under fresh
+    paimon data-file names. Returns (run_id, [(name, rows, size)],
+    total_rows)."""
+    import pyarrow.parquet as pq
+
+    bucket_dir = os.path.join(local, "bucket-0")
+    os.makedirs(bucket_dir, exist_ok=True)
+    tmp = os.path.join(local, "_staging")
+    df.write.mode("overwrite").parquet(tmp)
+
+    run = uuid.uuid4().hex
+    files = []  # (paimon_name, rows, size)
+    total_rows = 0
+    idx = 0
+    for name in sorted(os.listdir(tmp)):
+        if not name.endswith(".parquet"):
+            continue
+        pname = f"data-{run}-{idx}.parquet"
+        os.replace(os.path.join(tmp, name),
+                   os.path.join(bucket_dir, pname))
+        fp = os.path.join(bucket_dir, pname)
+        n = pq.read_metadata(fp).num_rows
+        files.append((pname, n, os.path.getsize(fp)))
+        total_rows += n
+        idx += 1
+    for leftover in os.listdir(tmp):
+        os.remove(os.path.join(tmp, leftover))
+    os.rmdir(tmp)
+    return run, files, total_rows
+
+
+def _write_add_manifest(man_dir: str, run: str, files, seq_base: int):
+    """One manifest of ADD entries over ``files``; sequence numbers
+    continue from ``seq_base`` (a later snapshot's rows sequence after
+    every earlier one, like Paimon's per-commit sequence ranges).
+    Returns (manifest_name, byte_length)."""
+    now_ms = int(time.time() * 1000)
+    manifest_name = f"manifest-{run}-0"
+    entries = []
+    seq = seq_base
+    for pname, n, sz in files:
+        entries.append({
+            "_VERSION": 2, "_KIND": _KIND_ADD,
+            "_PARTITION": _EMPTY_BINARY_ROW,
+            "_BUCKET": 0, "_TOTAL_BUCKETS": -1,
+            "_FILE": {
+                "_FILE_NAME": pname, "_FILE_SIZE": sz, "_ROW_COUNT": n,
+                # append table: no keys — empty rows, level 0
+                "_MIN_KEY": _EMPTY_BINARY_ROW,
+                "_MAX_KEY": _EMPTY_BINARY_ROW,
+                "_KEY_STATS": dict(_EMPTY_STATS),
+                "_VALUE_STATS": dict(_EMPTY_STATS),
+                "_MIN_SEQUENCE_NUMBER": seq,
+                "_MAX_SEQUENCE_NUMBER": seq + max(n - 1, 0),
+                "_SCHEMA_ID": 0, "_LEVEL": 0, "_EXTRA_FILES": [],
+                "_CREATION_TIME": now_ms,
+                "_DELETE_ROW_COUNT": 0,
+                "_EMBEDDED_FILE_INDEX": None,
+                "_FILE_SOURCE": 0,  # APPEND
+            },
+        })
+        seq += n
+    mlen = write_container(os.path.join(man_dir, manifest_name),
+                           MANIFEST_ENTRY_SCHEMA, entries)
+    return manifest_name, mlen
+
+
 def write_paimon(spark, df: DataFrame, dest: str) -> dict:
     """Write a plain DataFrame as a complete single-snapshot Paimon
     append table at ``dest`` — the layout writer behind
@@ -209,61 +308,14 @@ def write_paimon(spark, df: DataFrame, dest: str) -> dict:
         shutil.rmtree(os.path.join(local, sub), ignore_errors=True)
     bucket_dir = os.path.join(local, "bucket-0")
     os.makedirs(bucket_dir, exist_ok=True)
-    tmp = os.path.join(local, "_staging")
-    df.write.mode("overwrite").parquet(tmp)
-
-    run = uuid.uuid4().hex
-    now_ms = int(time.time() * 1000)
-    files = []  # (paimon_name, rows, size)
-    total_rows = 0
-    idx = 0
-    for name in sorted(os.listdir(tmp)):
-        if not name.endswith(".parquet"):
-            continue
-        pname = f"data-{run}-{idx}.parquet"
-        os.replace(os.path.join(tmp, name),
-                   os.path.join(bucket_dir, pname))
-        fp = os.path.join(bucket_dir, pname)
-        n = pq.read_metadata(fp).num_rows
-        files.append((pname, n, os.path.getsize(fp)))
-        total_rows += n
-        idx += 1
-    for leftover in os.listdir(tmp):
-        os.remove(os.path.join(tmp, leftover))
-    os.rmdir(tmp)
+    run, files, total_rows = _stage_data_files(df, local)
 
     _write_schema(local, df.schema)
 
-    # one manifest carrying every ADD entry
     man_dir = os.path.join(local, "manifest")
     os.makedirs(man_dir, exist_ok=True)
-    manifest_name = f"manifest-{run}-0"
-    entries = []
-    seq = 0
-    for pname, n, sz in files:
-        entries.append({
-            "_VERSION": 2, "_KIND": _KIND_ADD,
-            "_PARTITION": _EMPTY_BINARY_ROW,
-            "_BUCKET": 0, "_TOTAL_BUCKETS": -1,
-            "_FILE": {
-                "_FILE_NAME": pname, "_FILE_SIZE": sz, "_ROW_COUNT": n,
-                # append table: no keys — empty rows, level 0
-                "_MIN_KEY": _EMPTY_BINARY_ROW,
-                "_MAX_KEY": _EMPTY_BINARY_ROW,
-                "_KEY_STATS": dict(_EMPTY_STATS),
-                "_VALUE_STATS": dict(_EMPTY_STATS),
-                "_MIN_SEQUENCE_NUMBER": seq,
-                "_MAX_SEQUENCE_NUMBER": seq + n - 1,
-                "_SCHEMA_ID": 0, "_LEVEL": 0, "_EXTRA_FILES": [],
-                "_CREATION_TIME": now_ms,
-                "_DELETE_ROW_COUNT": 0,
-                "_EMBEDDED_FILE_INDEX": None,
-                "_FILE_SOURCE": 0,  # APPEND
-            },
-        })
-        seq += n
-    mlen = write_container(os.path.join(man_dir, manifest_name),
-                           MANIFEST_ENTRY_SCHEMA, entries)
+    manifest_name, mlen = _write_add_manifest(man_dir, run, files,
+                                              seq_base=0)
 
     # snapshot-1: base list is EMPTY (nothing before this commit),
     # delta list carries the new manifest — Paimon's first-commit shape
@@ -281,30 +333,8 @@ def write_paimon(spark, df: DataFrame, dest: str) -> dict:
                         "_SCHEMA_ID": 0,
                     }])
 
-    snap_dir = os.path.join(local, "snapshot")
-    os.makedirs(snap_dir, exist_ok=True)
-    with open(os.path.join(snap_dir, "snapshot-1"), "w") as f:
-        json.dump({
-            "version": 3,
-            "id": 1,
-            "schemaId": 0,
-            "baseManifestList": base_list,
-            "deltaManifestList": delta_list,
-            "changelogManifestList": None,
-            "indexManifest": None,
-            "commitUser": str(uuid.uuid4()),
-            "commitIdentifier": _BATCH_COMMIT_IDENTIFIER,
-            "commitKind": "APPEND",
-            "timeMillis": now_ms,
-            "logOffsets": {},
-            "totalRecordCount": total_rows,
-            "deltaRecordCount": total_rows,
-            "changelogRecordCount": 0,
-            "watermark": None,
-        }, f, indent=2)
-    for hint in ("LATEST", "EARLIEST"):
-        with open(os.path.join(snap_dir, hint), "w") as f:
-            f.write("1")
+    _write_snapshot(local, 1, base_list, delta_list,
+                    total=total_rows, delta=total_rows, earliest=True)
 
     return {"snapshot_id": 1, "rows": total_rows,
             "files": len(files), "dest": local}
@@ -359,16 +389,22 @@ def _schema_from_paimon(schema_json: dict) -> T.StructType:
     return T.StructType(fields)
 
 
-def read_paimon(spark, dest: str) -> DataFrame:
+def read_paimon(spark, dest: str,
+                snapshot_id: int | None = None) -> DataFrame:
     """Read a Paimon append table strictly through its on-disk layout —
     the independent verification path for :func:`export_paimon`:
     LATEST hint → snapshot JSON → base + delta manifest lists →
     manifests → fold ADD/DELETE entries → bucket-relative parquet.
     DELETE entries (compaction rewrites) remove their file from the
-    live set, exactly how Paimon folds a manifest chain."""
+    live set, exactly how Paimon folds a manifest chain.
+    ``snapshot_id`` pins a historical snapshot (Paimon's
+    ``scan.snapshot-id`` time travel) instead of LATEST."""
     local = _local(dest)
-    with open(os.path.join(local, "snapshot", "LATEST")) as f:
-        snap_id = int(f.read().strip())
+    if snapshot_id is not None:
+        snap_id = snapshot_id
+    else:
+        with open(os.path.join(local, "snapshot", "LATEST")) as f:
+            snap_id = int(f.read().strip())
     with open(os.path.join(local, "snapshot",
                            f"snapshot-{snap_id}")) as f:
         snap = json.load(f)
@@ -436,3 +472,97 @@ def import_paimon(spark, src: str, path: str, schema,
     b = with_bucket_partition(b, schema.primary_keys[0], n_buckets,
                               part_col)
     return merge_into_versioned_parquet(path, b, schema, part_col)
+
+
+def append_paimon(spark, df: DataFrame, dest: str) -> dict:
+    """Commit one more APPEND snapshot to an existing Paimon append
+    table — the per-checkpoint commit shape of the reference's
+    streaming PaimonSink (PaimonWriter.java prepares data files,
+    PaimonCommitter.java commits one snapshot per checkpoint). The new
+    snapshot's BASE manifest list is the previous snapshot's base +
+    delta manifests re-listed (the full live view), its DELTA is the
+    one new manifest; sequence numbers continue after every earlier
+    row's. LATEST advances, EARLIEST stays — so
+    ``read_paimon(dest, snapshot_id=N)`` time-travels the chain."""
+    local = _local(dest)
+    with open(os.path.join(local, "snapshot", "LATEST")) as f:
+        prev_id = int(f.read().strip())
+    with open(os.path.join(local, "snapshot",
+                           f"snapshot-{prev_id}")) as f:
+        prev = json.load(f)
+    declared = _schema_from_paimon(json.load(open(os.path.join(
+        local, "schema", f"schema-{prev['schemaId']}"))))
+    if [f.name for f in df.schema.fields] != \
+            [f.name for f in declared.fields]:
+        raise ValueError(
+            f"append columns {[f.name for f in df.schema.fields]} do "
+            f"not match schema-{prev['schemaId']} "
+            f"{[f.name for f in declared.fields]}")
+
+    run, files, new_rows = _stage_data_files(df, local)
+    man_dir = os.path.join(local, "manifest")
+    manifest_name, mlen = _write_add_manifest(
+        man_dir, run, files, seq_base=prev["totalRecordCount"])
+
+    # base = previous base + delta manifests, re-listed
+    prev_metas = []
+    for list_name in (prev["baseManifestList"],
+                      prev["deltaManifestList"]):
+        if not list_name:
+            continue
+        _, metas = read_container(os.path.join(man_dir, list_name))
+        prev_metas.extend(metas)
+    base_list = f"manifest-list-{run}-0"
+    delta_list = f"manifest-list-{run}-1"
+    write_container(os.path.join(man_dir, base_list),
+                    MANIFEST_FILE_META_SCHEMA, prev_metas)
+    write_container(os.path.join(man_dir, delta_list),
+                    MANIFEST_FILE_META_SCHEMA, [{
+                        "_VERSION": 2, "_FILE_NAME": manifest_name,
+                        "_FILE_SIZE": mlen,
+                        "_NUM_ADDED_FILES": len(files),
+                        "_NUM_DELETED_FILES": 0,
+                        "_PARTITION_STATS": dict(_EMPTY_STATS),
+                        "_SCHEMA_ID": 0,
+                    }])
+    snap_id = prev_id + 1
+    _write_snapshot(local, snap_id, base_list, delta_list,
+                    total=prev["totalRecordCount"] + new_rows,
+                    delta=new_rows)
+    return {"snapshot_id": snap_id, "rows": new_rows,
+            "files": len(files), "dest": local}
+
+
+def make_paimon_append_sink_writer(base: str):
+    """``sink_writer(table_id, df, schema)`` callable for the streaming
+    composers: each micro-batch commits one APPEND snapshot per routed
+    table (first batch creates the table) — the reference streaming
+    PaimonSink's per-checkpoint commit cadence for INSERT-ONLY streams
+    (an append table cannot express updates/deletes; retraction ops
+    fail loudly rather than silently appending stale images — route
+    keyed changelogs to the versioned lakehouse or the batch `paimon`
+    sink instead)."""
+    from pyspark.sql import functions as F
+
+    from .events import OP_COLUMN, SEQ_COLUMN
+
+    def writer(table_id, df: DataFrame, schema) -> None:
+        spark = df.sparkSession
+        if OP_COLUMN in df.columns:
+            bad = df.where(~F.col(OP_COLUMN).isin("+I")).limit(1).count()
+            if bad:
+                raise ValueError(
+                    "paimon append sink is insert-only; got a "
+                    "retraction/update op — use the keyed batch "
+                    "paimon sink or the versioned lakehouse")
+        data = df.drop(*[c for c in (OP_COLUMN, SEQ_COLUMN,
+                                     "__table_id", "__op_ts")
+                         if c in df.columns])
+        dest = f"{base}/{table_id.table}"
+        if os.path.exists(os.path.join(_local(dest), "snapshot",
+                                       "LATEST")):
+            append_paimon(spark, data, dest)
+        else:
+            write_paimon(spark, data, dest)
+
+    return writer

@@ -8783,6 +8783,45 @@ def lakehouse_export_paimon(spark, sf_dir):
 
 
 @_q(
+    "lakehouse_paimon_append_stream",
+    """
+    SELECT 1 AS snap, o_orderkey AS k, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 3 = 0
+    UNION ALL
+    SELECT 2 AS snap, o_orderkey AS k, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 3 IN (0, 1)
+    """,
+)
+def lakehouse_paimon_append_stream(spark, sf_dir):
+    """Multi-snapshot Paimon appends — the reference streaming
+    PaimonSink's per-checkpoint commit cadence (PaimonWriter prepares
+    data files, PaimonCommitter commits one snapshot per checkpoint):
+    batch 1 creates the table (snapshot-1), batch 2 appends
+    (snapshot-2 whose BASE re-lists snapshot-1's manifests), and both
+    the pinned snapshot-1 read (scan.snapshot-id time travel) and the
+    LATEST read must hash-match the oracle's two states."""
+    import os
+    import tempfile
+
+    from .paimon_export import append_paimon, read_paimon, write_paimon
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"))
+    b1 = orders.where(F.col("k") % 3 == 0)
+    b2 = orders.where(F.col("k") % 3 == 1)
+
+    dest = os.path.join(tempfile.mkdtemp(prefix="paimon_app_"), "logs")
+    write_paimon(spark, b1, dest)
+    append_paimon(spark, b2, dest)
+
+    v1 = (read_paimon(spark, dest, snapshot_id=1)
+          .withColumn("snap", F.lit(1)))
+    v2 = read_paimon(spark, dest).withColumn("snap", F.lit(2))
+    return v1.unionByName(v2).select("snap", "k", "price")
+
+
+@_q(
     "lakehouse_export_iceberg_inplace",
     """
     SELECT o_orderkey AS k,

@@ -226,3 +226,66 @@ def test_schema_parser_accepts_external_spellings():
     with pytest.raises(ValueError, match="unsupported paimon type"):
         _schema_from_paimon({"fields": [
             {"id": 0, "name": "m", "type": "MAP<INT, INT>"}]})
+
+
+def test_append_snapshot_chain_and_time_travel(spark, tmp_path):
+    """Multi-snapshot appends (the reference streaming PaimonSink's
+    per-checkpoint commit cadence): snapshot-2's base re-lists
+    snapshot-1's manifests, LATEST advances while EARLIEST stays, and
+    snapshot_id= pins a historical read (scan.snapshot-id)."""
+    from flink_cdc_dsql_master_spark.paimon_export import (append_paimon,
+                                                           write_paimon)
+
+    dest = str(tmp_path / "t")
+    df1 = spark.range(0, 100).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    df2 = spark.range(100, 150).select(
+        F.col("id").alias("k"), (F.col("id") * 2.0).alias("v"))
+    write_paimon(spark, df1, dest)
+    info = append_paimon(spark, df2, dest)
+    assert info["snapshot_id"] == 2
+
+    assert open(os.path.join(dest, "snapshot", "LATEST")).read() == "2"
+    assert open(os.path.join(dest, "snapshot", "EARLIEST")).read() == "1"
+    snap2 = json.load(open(os.path.join(dest, "snapshot", "snapshot-2")))
+    assert snap2["totalRecordCount"] == 150
+    assert snap2["deltaRecordCount"] == 50
+
+    assert read_paimon(spark, dest).count() == 150
+    assert read_paimon(spark, dest, snapshot_id=1).count() == 100
+
+    # schema drift on append fails loudly
+    bad = spark.range(3).select(F.col("id").alias("other"))
+    with pytest.raises(ValueError, match="do not match schema-0"):
+        append_paimon(spark, bad, dest)
+
+
+def test_paimon_append_sink_writer(spark, tmp_path):
+    """The streaming sink_writer face: per-batch snapshots for
+    insert-only streams; retractions fail loudly."""
+    from flink_cdc_dsql_master_spark.paimon_export import \
+        make_paimon_append_sink_writer
+    from flink_cdc_dsql_master_spark.schema import TableId
+
+    base = str(tmp_path / "wh")
+    writer = make_paimon_append_sink_writer(base)
+    tid = TableId.parse("wh.db.logs")
+    b1 = spark.createDataFrame([(1, "a", "+I", 1), (2, "b", "+I", 2)],
+                               f"id long, v string, {OP_COLUMN} string, "
+                               f"{SEQ_COLUMN} long")
+    b2 = spark.createDataFrame([(3, "c", "+I", 3)],
+                               f"id long, v string, {OP_COLUMN} string, "
+                               f"{SEQ_COLUMN} long")
+    writer(tid, b1, None)
+    writer(tid, b2, None)
+    got = read_paimon(spark, f"{base}/logs")
+    assert sorted((r["id"], r["v"]) for r in got.collect()) == \
+        [(1, "a"), (2, "b"), (3, "c")]
+    assert read_paimon(spark, f"{base}/logs",
+                       snapshot_id=1).count() == 2
+
+    upd = spark.createDataFrame([(1, "x", "+U", 4)],
+                                f"id long, v string, {OP_COLUMN} string, "
+                                f"{SEQ_COLUMN} long")
+    with pytest.raises(ValueError, match="insert-only"):
+        writer(tid, upd, None)
