@@ -566,3 +566,108 @@ def make_paimon_append_sink_writer(base: str):
             write_paimon(spark, data, dest)
 
     return writer
+
+
+def compact_paimon(spark, dest: str) -> dict:
+    """Full compaction: rewrite the live file set into fresh data files
+    and commit a COMPACT snapshot whose one manifest carries DELETE
+    entries for every old file plus ADD entries for the rewritten ones
+    — the manifest shape Paimon's compaction commits, and the real
+    writer for the DELETE-fold path :func:`read_paimon` implements. At
+    scale this is the small-files remedy for a long append chain: the
+    next read folds to the compacted files only."""
+    local = _local(dest)
+    with open(os.path.join(local, "snapshot", "LATEST")) as f:
+        prev_id = int(f.read().strip())
+    with open(os.path.join(local, "snapshot",
+                           f"snapshot-{prev_id}")) as f:
+        prev = json.load(f)
+    man_dir = os.path.join(local, "manifest")
+
+    # fold the current chain to the live set (same walk as read_paimon)
+    live: dict[tuple, dict] = {}
+    for list_name in (prev["baseManifestList"],
+                      prev["deltaManifestList"]):
+        if not list_name:
+            continue
+        _, metas = read_container(os.path.join(man_dir, list_name))
+        for m in metas:
+            _, entries = read_container(
+                os.path.join(man_dir, m["_FILE_NAME"]))
+            for e in entries:
+                key = (e["_BUCKET"], e["_FILE"]["_FILE_NAME"])
+                if e["_KIND"] == _KIND_ADD:
+                    live[key] = e
+                else:
+                    live.pop(key, None)
+    if not live:
+        return {"snapshot_id": prev_id, "rows": 0, "files": 0,
+                "dest": local, "compacted": 0}
+
+    paths = [os.path.join(local, f"bucket-{b}", n)
+             for b, n in sorted(live)]
+    df = spark.read.parquet(*paths)
+    run, files, total_rows = _stage_data_files(df, local)
+    now_entries = [dict(e, _KIND=_KIND_DELETE) for e in live.values()]
+    seq = 0
+    now_ms = int(time.time() * 1000)
+    for pname, n, sz in files:
+        now_entries.append({
+            "_VERSION": 2, "_KIND": _KIND_ADD,
+            "_PARTITION": _EMPTY_BINARY_ROW,
+            "_BUCKET": 0, "_TOTAL_BUCKETS": -1,
+            "_FILE": {
+                "_FILE_NAME": pname, "_FILE_SIZE": sz, "_ROW_COUNT": n,
+                "_MIN_KEY": _EMPTY_BINARY_ROW,
+                "_MAX_KEY": _EMPTY_BINARY_ROW,
+                "_KEY_STATS": dict(_EMPTY_STATS),
+                "_VALUE_STATS": dict(_EMPTY_STATS),
+                "_MIN_SEQUENCE_NUMBER": seq,
+                "_MAX_SEQUENCE_NUMBER": seq + max(n - 1, 0),
+                "_SCHEMA_ID": 0,
+                "_LEVEL": 5,  # compaction output: max level
+                "_EXTRA_FILES": [],
+                "_CREATION_TIME": now_ms,
+                "_DELETE_ROW_COUNT": 0,
+                "_EMBEDDED_FILE_INDEX": None,
+                "_FILE_SOURCE": 1,  # COMPACT
+            },
+        })
+        seq += n
+    manifest_name = f"manifest-{run}-0"
+    mlen = write_container(os.path.join(man_dir, manifest_name),
+                           MANIFEST_ENTRY_SCHEMA, now_entries)
+
+    # base = the previous full view; delta = the rewrite manifest
+    prev_metas = []
+    for list_name in (prev["baseManifestList"],
+                      prev["deltaManifestList"]):
+        if not list_name:
+            continue
+        _, metas = read_container(os.path.join(man_dir, list_name))
+        prev_metas.extend(metas)
+    base_list = f"manifest-list-{run}-0"
+    delta_list = f"manifest-list-{run}-1"
+    write_container(os.path.join(man_dir, base_list),
+                    MANIFEST_FILE_META_SCHEMA, prev_metas)
+    write_container(os.path.join(man_dir, delta_list),
+                    MANIFEST_FILE_META_SCHEMA, [{
+                        "_VERSION": 2, "_FILE_NAME": manifest_name,
+                        "_FILE_SIZE": mlen,
+                        "_NUM_ADDED_FILES": len(files),
+                        "_NUM_DELETED_FILES": len(live),
+                        "_PARTITION_STATS": dict(_EMPTY_STATS),
+                        "_SCHEMA_ID": 0,
+                    }])
+    snap_id = prev_id + 1
+    _write_snapshot(local, snap_id, base_list, delta_list,
+                    total=total_rows, delta=0)
+    # mark the commit kind honestly (COMPACT, not APPEND)
+    sp = os.path.join(local, "snapshot", f"snapshot-{snap_id}")
+    snap = json.load(open(sp))
+    snap["commitKind"] = "COMPACT"
+    with open(sp, "w") as f:
+        json.dump(snap, f, indent=2)
+    return {"snapshot_id": snap_id, "rows": total_rows,
+            "files": len(files), "dest": local,
+            "compacted": len(live)}

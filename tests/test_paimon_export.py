@@ -289,3 +289,40 @@ def test_paimon_append_sink_writer(spark, tmp_path):
                                 f"{SEQ_COLUMN} long")
     with pytest.raises(ValueError, match="insert-only"):
         writer(tid, upd, None)
+
+
+def test_compact_paimon_rewrites_live_set(spark, tmp_path):
+    """COMPACT snapshot: DELETE entries retire every pre-compaction
+    file, the rewritten files carry the rows, time travel still reads
+    the pre-compaction snapshots, and a post-compaction append chains
+    on normally."""
+    from flink_cdc_dsql_master_spark.paimon_export import (append_paimon,
+                                                           compact_paimon,
+                                                           write_paimon)
+
+    dest = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    write_paimon(spark, mk(0, 60), dest)
+    append_paimon(spark, mk(60, 100), dest)
+    before_files = set(os.listdir(os.path.join(dest, "bucket-0")))
+
+    info = compact_paimon(spark, dest)
+    assert info["snapshot_id"] == 3 and info["rows"] == 100
+    assert info["compacted"] == len(before_files)
+
+    snap3 = json.load(open(os.path.join(dest, "snapshot", "snapshot-3")))
+    assert snap3["commitKind"] == "COMPACT"
+    assert snap3["deltaRecordCount"] == 0  # rewrite adds no rows
+
+    after = read_paimon(spark, dest)
+    assert after.count() == 100
+    used = {os.path.basename(p[0]) for p in
+            after.select(F.input_file_name()).distinct().collect()}
+    assert not (used & before_files)  # only rewritten files are read
+    # history intact
+    assert read_paimon(spark, dest, snapshot_id=2).count() == 100
+    assert read_paimon(spark, dest, snapshot_id=1).count() == 60
+
+    append_paimon(spark, mk(100, 110), dest)
+    assert read_paimon(spark, dest).count() == 110
