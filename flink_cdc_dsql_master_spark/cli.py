@@ -108,12 +108,25 @@ def _cmd_run(args) -> int:
 
     spark = get_spark(pipe.name)
     if args.streaming:
-        from .sinks import merge_into_parquet
+        # honor the YAML sink type (previously always parquet-merge)
+        stype = pipe.sink.type
+        base = pipe.sink.config.get("path", args.output_dir)
+        if stype in ("paimon", "paimon-append"):
+            from .paimon_export import make_paimon_append_sink_writer
+            stream_writer = make_paimon_append_sink_writer(base)
+        elif stype == "scd2-parquet":
+            from .compose import make_scd2_sink_writer
+            stream_writer = make_scd2_sink_writer(base)
+        elif stype == "cow-parquet":
+            from .compose import make_cow_sink_writer
+            stream_writer = make_cow_sink_writer(base)
+        else:
+            from .sinks import merge_into_parquet
 
-        def stream_writer(tid, df, schema):
-            path = (f"{args.output_dir}/"
-                    f"{tid.namespace}.{tid.schema_name}.{tid.table}")
-            merge_into_parquet(path, df, schema)
+            def stream_writer(tid, df, schema):
+                path = (f"{args.output_dir}/"
+                        f"{tid.namespace}.{tid.schema_name}.{tid.table}")
+                merge_into_parquet(path, df, schema)
 
         q = compose_stream(
             spark, pipe,

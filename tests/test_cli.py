@@ -110,3 +110,48 @@ def test_lint_clean_and_unknown(spark, capsys):
                  "--sf-dir", "/root/testdata/sf0.001"]) == 0
     assert "plan clean" in capsys.readouterr().out
     assert main(["lint", "no_such_query"]) == 2
+
+
+def test_run_streaming_honors_paimon_sink(spark, tmp_path, capsys):
+    """`run --streaming` dispatches the YAML sink type (previously the
+    declared sink was ignored and everything landed as parquet-merge):
+    a paimon sink commits per-batch append snapshots readable through
+    the strict layout walk."""
+    import json as _json
+
+    from flink_cdc_dsql_master_spark.cli import main
+    from flink_cdc_dsql_master_spark.paimon_export import read_paimon
+
+    src = tmp_path / "topic"
+    src.mkdir()
+    with open(src / "b1.jsonl", "w") as f:
+        for i in range(1, 6):
+            env = {"before": None, "after": {"id": i, "v": f"n{i}"},
+                   "op": "c"}
+            f.write(_json.dumps({"value": _json.dumps(env),
+                                 "offset": i}) + "\n")
+
+    wh = tmp_path / "wh"
+    yml = tmp_path / "p.yaml"
+    yml.write_text(f"""
+source:
+  type: file-debezium
+  path: "{src}"
+  schema: "id int, v string"
+  table: db.s.t
+  primary-keys: [id]
+sink:
+  type: paimon
+  path: "{wh}"
+route:
+  - source-table: db.s.t
+    sink-table: wh.db.logs
+pipeline:
+  name: stream-to-paimon
+""")
+    rc = main(["run", str(yml), "--streaming",
+               "--output-dir", str(tmp_path / "out"),
+               "--checkpoint", str(tmp_path / "ckpt")])
+    assert rc == 0
+    got = read_paimon(spark, str(wh / "logs"))
+    assert sorted(r["id"] for r in got.collect()) == [1, 2, 3, 4, 5]
