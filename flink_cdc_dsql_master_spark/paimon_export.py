@@ -671,3 +671,84 @@ def compact_paimon(spark, dest: str) -> dict:
     return {"snapshot_id": snap_id, "rows": total_rows,
             "files": len(files), "dest": local,
             "compacted": len(live)}
+
+
+def _fold_snapshot(local: str, snap_id: int):
+    """(live data-file paths, referenced manifest/list names) of one
+    snapshot — the same walk read_paimon does, kept for GC math."""
+    with open(os.path.join(local, "snapshot",
+                           f"snapshot-{snap_id}")) as f:
+        snap = json.load(f)
+    man_dir = os.path.join(local, "manifest")
+    lists, manifests = [], []
+    live: dict[tuple, str] = {}
+    for list_name in (snap["baseManifestList"],
+                      snap["deltaManifestList"]):
+        if not list_name:
+            continue
+        lists.append(list_name)
+        _, metas = read_container(os.path.join(man_dir, list_name))
+        for m in metas:
+            manifests.append(m["_FILE_NAME"])
+            _, entries = read_container(
+                os.path.join(man_dir, m["_FILE_NAME"]))
+            for e in entries:
+                key = (e["_BUCKET"], e["_FILE"]["_FILE_NAME"])
+                if e["_KIND"] == _KIND_ADD:
+                    live[key] = os.path.join(
+                        local, f"bucket-{e['_BUCKET']}",
+                        e["_FILE"]["_FILE_NAME"])
+                else:
+                    live.pop(key, None)
+    return set(live.values()), set(lists), set(manifests)
+
+
+def expire_paimon_snapshots(spark, dest: str,
+                            keep_last: int = 1) -> dict:
+    """Expire all but the newest ``keep_last`` snapshots (Paimon's
+    ``snapshot.num-retained`` retention): EARLIEST advances, expired
+    snapshot files are removed, and data files / manifests / manifest
+    lists referenced by NO remaining snapshot's fold are deleted —
+    after a compaction this is what actually reclaims the
+    pre-compaction files. Liveness is exact (union of the remaining
+    snapshots' folds), so a file still visible to any retained
+    snapshot — time travel included — is never touched."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    local = _local(dest)
+    snap_dir = os.path.join(local, "snapshot")
+    with open(os.path.join(snap_dir, "LATEST")) as f:
+        latest = int(f.read().strip())
+    with open(os.path.join(snap_dir, "EARLIEST")) as f:
+        earliest = int(f.read().strip())
+    cutoff = max(latest - keep_last + 1, earliest)
+    if cutoff <= earliest:
+        return {"expired": 0, "data_files_deleted": 0,
+                "earliest": earliest}
+
+    keep_files: set = set()
+    keep_lists: set = set()
+    keep_manifests: set = set()
+    for sid in range(cutoff, latest + 1):
+        fls, lsts, mans = _fold_snapshot(local, sid)
+        keep_files |= fls
+        keep_lists |= lsts
+        keep_manifests |= mans
+
+    dropped_files = 0
+    for sid in range(earliest, cutoff):
+        fls, lsts, mans = _fold_snapshot(local, sid)
+        for fp in fls - keep_files:
+            if os.path.exists(fp):
+                os.remove(fp)
+                dropped_files += 1
+        man_dir = os.path.join(local, "manifest")
+        for name in (lsts | mans) - keep_lists - keep_manifests:
+            p = os.path.join(man_dir, name)
+            if os.path.exists(p):
+                os.remove(p)
+        os.remove(os.path.join(snap_dir, f"snapshot-{sid}"))
+    with open(os.path.join(snap_dir, "EARLIEST"), "w") as f:
+        f.write(str(cutoff))
+    return {"expired": cutoff - earliest,
+            "data_files_deleted": dropped_files, "earliest": cutoff}

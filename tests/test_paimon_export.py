@@ -326,3 +326,38 @@ def test_compact_paimon_rewrites_live_set(spark, tmp_path):
 
     append_paimon(spark, mk(100, 110), dest)
     assert read_paimon(spark, dest).count() == 110
+
+
+def test_expire_snapshots_reclaims_compacted_files(spark, tmp_path):
+    """snapshot.num-retained retention: expiring the pre-compaction
+    snapshots reclaims exactly the files no retained snapshot can see;
+    the retained chain keeps reading, and time travel to an expired id
+    fails cleanly (its snapshot file is gone)."""
+    from flink_cdc_dsql_master_spark.paimon_export import (
+        append_paimon, compact_paimon, expire_paimon_snapshots,
+        write_paimon)
+
+    dest = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    write_paimon(spark, mk(0, 60), dest)
+    append_paimon(spark, mk(60, 100), dest)
+    pre_compact = set(os.listdir(os.path.join(dest, "bucket-0")))
+    compact_paimon(spark, dest)
+
+    # keep_last=2 retains snapshots 2 and 3 — snapshot 2 still sees the
+    # pre-compaction files, so nothing may be reclaimed yet
+    info = expire_paimon_snapshots(spark, dest, keep_last=2)
+    assert info["expired"] == 1 and info["data_files_deleted"] == 0
+    assert read_paimon(spark, dest, snapshot_id=2).count() == 100
+
+    info = expire_paimon_snapshots(spark, dest, keep_last=1)
+    assert info["expired"] == 1
+    assert info["data_files_deleted"] == len(pre_compact)
+    left = set(os.listdir(os.path.join(dest, "bucket-0")))
+    assert not (left & pre_compact)
+
+    assert read_paimon(spark, dest).count() == 100
+    assert open(os.path.join(dest, "snapshot", "EARLIEST")).read() == "3"
+    with pytest.raises(FileNotFoundError):
+        read_paimon(spark, dest, snapshot_id=1)
