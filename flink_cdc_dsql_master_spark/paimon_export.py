@@ -492,12 +492,14 @@ def append_paimon(spark, df: DataFrame, dest: str) -> dict:
         prev = json.load(f)
     declared = _schema_from_paimon(json.load(open(os.path.join(
         local, "schema", f"schema-{prev['schemaId']}"))))
-    if [f.name for f in df.schema.fields] != \
-            [f.name for f in declared.fields]:
+    got = [(f.name, f.dataType) for f in df.schema.fields]
+    want = [(f.name, f.dataType) for f in declared.fields]
+    if got != want:
         raise ValueError(
-            f"append columns {[f.name for f in df.schema.fields]} do "
-            f"not match schema-{prev['schemaId']} "
-            f"{[f.name for f in declared.fields]}")
+            f"append columns {[(n, t.simpleString()) for n, t in got]} "
+            f"do not match schema-{prev['schemaId']} "
+            f"{[(n, t.simpleString()) for n, t in want]} — evolve the "
+            "table (new schema-N) before appending a drifted batch")
 
     run, files, new_rows = _stage_data_files(df, local)
     man_dir = os.path.join(local, "manifest")
