@@ -37,6 +37,12 @@ def _unzigzag(n: int) -> int:
 
 
 def write_long(buf: io.BytesIO, n: int) -> None:
+    if not -(1 << 63) <= n < (1 << 63):
+        # Python ints are unbounded; an out-of-range value would
+        # otherwise zigzag into garbage a reader decodes as some OTHER
+        # number — fail loudly instead (found by the paimon manifest
+        # round-trip property test)
+        raise ValueError(f"avro long out of range: {n}")
     z = _zigzag(n)
     while True:
         b = z & 0x7F
