@@ -505,6 +505,10 @@ def import_iceberg(spark, src: str, path: str, schema,
     df = read_iceberg(spark, src)
     b = (df.withColumn(OP_COLUMN, F.lit("+I"))
          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    if not schema.primary_keys:
+        raise ValueError(
+            "import requires a schema with primary keys — the "
+            "versioned lakehouse buckets and merges by key")
     b = with_bucket_partition(b, schema.primary_keys[0], n_buckets,
                               part_col)
     return merge_into_versioned_parquet(path, b, schema, part_col)
