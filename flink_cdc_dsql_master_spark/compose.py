@@ -559,7 +559,7 @@ def binlog_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
     from pyspark.sql import types as T
 
     from .binlog import decode_binlog, extract_binlog_ddl
-    from .sources import ddl_target_table, parse_debezium_ddl
+    from .sources import ddl_target_tables, parse_debezium_ddl
 
     src_cfg = pipeline.source.config
     table = TableId.parse(src_cfg.get("table", "default.default.stream"))
@@ -587,9 +587,9 @@ def binlog_ddl_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
             # a multi-table stream carries DDL for OTHER tables too —
             # only statements targeting THIS pipeline's table may
             # segment it and evolve its schema
-            if mysql_table is not None and \
-                    ddl_target_table(r["statement"]) != mysql_table.lower():
-                continue
+            if mysql_table is not None and mysql_table.lower() \
+                    not in ddl_target_tables(r["statement"]):
+                continue  # membership: DROP TABLE a, b names several
             evs = parse_debezium_ddl(r["statement"], table)
             if evs:  # CREATE/GRANT noise parses to nothing — no split
                 boundaries.append((r["pos"], evs))

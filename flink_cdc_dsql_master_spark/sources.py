@@ -640,7 +640,8 @@ _DDL_RES = [
     ("truncate", re.compile(
         r"TRUNCATE\s+(?:TABLE\s+)?\S+\s*;?\s*$", re.IGNORECASE)),
     ("drop_table", re.compile(
-        r"DROP\s+TABLE\s+\S+\s*;?\s*$", re.IGNORECASE)),
+        r"DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
+        r"[`\"\w.]+(?:\s*,\s*[`\"\w.]+)*\s*;?\s*$", re.IGNORECASE)),
 ]
 
 
@@ -672,9 +673,24 @@ def _split_toplevel_commas(s: str) -> list[str]:
 
 
 _DDL_TARGET_RE = re.compile(
-    r"(?:ALTER\s+TABLE\s+|TRUNCATE\s+(?:TABLE\s+)?|DROP\s+TABLE\s+"
+    r"(?:ALTER\s+TABLE\s+|TRUNCATE\s+(?:TABLE\s+)?"
+    r"|DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?"
     r"|CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?)"
-    r"([`\"\w.]+)", re.IGNORECASE)
+    r"([`\"\w.]+(?:\s*,\s*[`\"\w.]+)*)", re.IGNORECASE)
+
+_LEADING_COMMENT_RE = re.compile(
+    r"^(?:\s*(?:/\*.*?\*/|--[^\n]*(?:\n|$)|#[^\n]*(?:\n|$)))*\s*",
+    re.S)
+
+
+def strip_leading_comments(stmt: str) -> str:
+    """Remove the comment prefix real migration tools stamp on DDL
+    (gh-ost/pt-osc ``/* ... */``, ``-- line``, MySQL ``# line``) so
+    the statement underneath still parses — a comment-prefixed ALTER
+    silently skipping evolution is exactly the mid-stream drift
+    decode_binlog's width guard exists to CATCH, but it should be
+    APPLIED (wave-4 review #1)."""
+    return _LEADING_COMMENT_RE.sub("", stmt)
 
 
 def ddl_target_table(stmt: str) -> str | None:
@@ -682,12 +698,22 @@ def ddl_target_table(stmt: str) -> str | None:
     for non-DDL) — how the wire composers keep a multi-table stream's
     OTHER tables' DDL from segmenting and evolving THIS pipeline's
     table (the reference filters the same way: its schema-change events
-    carry the tableId parsed from the statement)."""
-    m = _DDL_TARGET_RE.match(stmt.strip())
+    carry the tableId parsed from the statement). A multi-table DROP
+    targets several — use :func:`ddl_target_tables` to match them
+    all."""
+    targets = ddl_target_tables(stmt)
+    return sorted(targets)[0] if targets else None
+
+
+def ddl_target_tables(stmt: str) -> set[str]:
+    """Every table a DDL statement targets, unqualified / unquoted /
+    lowercased (``DROP TABLE a, b`` names two); empty set for non-DDL.
+    Leading migration-tool comments are stripped first."""
+    m = _DDL_TARGET_RE.match(strip_leading_comments(stmt).strip())
     if not m:
-        return None
-    name = m.group(1).split(".")[-1]
-    return name.strip("`\"").lower()
+        return set()
+    return {part.strip().split(".")[-1].strip("`\"").lower()
+            for part in m.group(1).split(",")}
 
 
 def _expand_alter_specs(stmt: str) -> list[str]:
@@ -774,7 +800,9 @@ def parse_debezium_ddl(ddl: str, tid) -> list:
     """
     events = []
     for raw_stmt in ddl.split(";"):
-        raw_stmt = raw_stmt.strip()
+        # strip migration-tool comment prefixes BEFORE spec expansion
+        # so a commented multi-spec ALTER still expands (wave-4 #1)
+        raw_stmt = strip_leading_comments(raw_stmt).strip()
         if not raw_stmt:
             continue
         for stmt in _expand_alter_specs(raw_stmt):
@@ -789,6 +817,7 @@ def _parse_one_ddl(stmt: str, tid) -> list:
                          TruncateTableEvent)
 
     events = []
+    stmt = strip_leading_comments(stmt)
     for kind, rx in _DDL_RES:
         m = rx.match(stmt)
         if not m:

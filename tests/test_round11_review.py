@@ -640,3 +640,35 @@ def test_drop_tombstone_blocks_later_batches(spark):
     got = con.execute("SELECT id, v FROM tombstone_sink").fetchall()
     con.close()
     assert got == [(7, "new")]
+
+
+def test_ddl_parser_handles_migration_tool_statements():
+    """Wave-4 review: real migrations stamp comment prefixes on DDL
+    (gh-ost/pt-osc block comments, '--' and '#' line comments) and use
+    DROP TABLE IF EXISTS / multi-table drops — all previously parsed
+    to NOTHING (the ALTER was skipped, evolution missed; IF EXISTS
+    even extracted 'if' as the target table)."""
+    from flink_cdc_dsql_master_spark.events import (AddColumnEvent,
+                                                    DropColumnEvent,
+                                                    DropTableEvent)
+    from flink_cdc_dsql_master_spark.sources import (ddl_target_table,
+                                                     ddl_target_tables,
+                                                     parse_debezium_ddl)
+
+    [ev] = parse_debezium_ddl(
+        "/* gh-ost */ ALTER TABLE t ADD COLUMN c INT", TID)
+    assert isinstance(ev, AddColumnEvent) and ev.name == "c"
+    [ev] = parse_debezium_ddl(
+        "-- migration 42\nALTER TABLE t ADD COLUMN c INT", TID)
+    assert isinstance(ev, AddColumnEvent)
+    evs = parse_debezium_ddl(
+        "/* c1 */ /* c2 */ ALTER TABLE t ADD a INT, DROP b", TID)
+    assert [type(e) for e in evs] == [AddColumnEvent, DropColumnEvent]
+
+    [ev] = parse_debezium_ddl("# comment\nDROP TABLE IF EXISTS t", TID)
+    assert isinstance(ev, DropTableEvent)
+    assert ddl_target_table("DROP TABLE IF EXISTS `db`.`t`") == "t"
+    # multi-table drop names BOTH targets — the composers' membership
+    # filter must see this pipeline's table in 'DROP TABLE a, t'
+    assert ddl_target_tables("DROP TABLE a, t") == {"a", "t"}
+    assert ddl_target_tables("SELECT 1") == set()
