@@ -442,9 +442,14 @@ def kafka_key(table_id: TableId, primary_keys: list[str],
     quote/comma/CR/LF, inner quotes doubled)."""
     tid = F.lit(table_id.identifier())
     if key_format == "json":
+        # ignoreNullFields=false: a (pathological) null pk serializes
+        # as an explicit "col":null like the reference's Jackson
+        # writer, keeping key bytes — and HASH_BY_KEY placement —
+        # deterministic
         return F.to_json(F.struct(
             tid.alias("TableId"),
-            *[F.col(c) for c in primary_keys]))
+            *[F.col(c) for c in primary_keys]),
+            {"ignoreNullFields": "false"})
     if key_format == "csv":
         def esc(c):
             s = F.col(c).cast("string")
