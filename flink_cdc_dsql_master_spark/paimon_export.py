@@ -296,8 +296,6 @@ def write_paimon(spark, df: DataFrame, dest: str) -> dict:
     batch composer (the reference pipeline's PaimonDataSink writes the
     same shape through the Paimon catalog). Returns
     {snapshot_id, rows, files, dest}."""
-    import pyarrow.parquet as pq
-
     local = _local(dest)
     # fresh-export semantics (like export_iceberg's overwrite): a
     # re-export to the same dest must not leave the previous run's
