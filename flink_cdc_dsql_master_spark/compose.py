@@ -192,8 +192,22 @@ class BatchComposer:
             base = sink.config["path"]
             if schema.primary_keys:
                 final = apply_changelog(df, list(schema.primary_keys))
-            else:  # keyless append: keep inserts, strip internals
+            else:
+                # keyless append: insert-only, like the streaming
+                # make_paimon_append_sink_writer — a retraction in a
+                # keyless changelog cannot be applied, so fail loudly
+                # instead of appending it as an ordinary data row
+                from pyspark.sql import functions as F
+
                 from .events import OP_COLUMN, SEQ_COLUMN
+                if OP_COLUMN in df.columns:
+                    bad = (df.where(~F.col(OP_COLUMN).isin("+I"))
+                           .limit(1).count())
+                    if bad:
+                        raise ValueError(
+                            "keyless paimon sink is insert-only; got "
+                            "a retraction/update op — declare primary "
+                            "keys or route to the versioned lakehouse")
                 final = df.drop(*[c for c in
                                   (OP_COLUMN, SEQ_COLUMN, "__table_id",
                                    "__op_ts") if c in df.columns])

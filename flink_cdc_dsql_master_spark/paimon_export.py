@@ -613,7 +613,12 @@ def compact_paimon(spark, dest: str) -> dict:
     df = spark.read.parquet(*paths)
     run, files, total_rows = _stage_data_files(df, local)
     now_entries = [dict(e, _KIND=_KIND_DELETE) for e in live.values()]
-    seq = 0
+    # A real Paimon compaction preserves the inputs' sequence ranges on
+    # the rewritten output; restarting at 0 would let an external
+    # reader using _MIN/_MAX_SEQUENCE_NUMBER mis-order the compacted
+    # rows against a later append (whose seq_base continues from
+    # totalRecordCount). Span exactly the consumed entries' range.
+    seq = min(e["_FILE"]["_MIN_SEQUENCE_NUMBER"] for e in live.values())
     now_ms = int(time.time() * 1000)
     for pname, n, sz in files:
         now_entries.append({

@@ -456,7 +456,13 @@ def kafka_key(table_id: TableId, primary_keys: list[str],
             quoted = F.concat(F.lit('"'),
                               F.regexp_replace(s, '"', '""'),
                               F.lit('"'))
-            return F.when(s.rlike('[",\r\n]'), quoted).otherwise(s)
+            # a null pk keeps its (empty) comma slot like Jackson CSV's
+            # empty-field output — concat_ws would otherwise drop the
+            # field AND its comma, colliding distinct keys such as
+            # (null,'x') vs ('x',null) under HASH_BY_KEY / compaction
+            return F.coalesce(
+                F.when(s.rlike('[",\r\n]'), quoted).otherwise(s),
+                F.lit(""))
 
         return F.concat_ws(",", F.concat(F.lit('"'), tid, F.lit('"')),
                            *[esc(c) for c in primary_keys])

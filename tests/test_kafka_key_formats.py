@@ -111,3 +111,19 @@ def test_no_headers_column_when_unconfigured(spark):
     recs = kafka_records(_changelog(spark), TID)
     assert "headers" not in recs.columns
     assert set(recs.columns) == {"key", "value", "partition", "topic"}
+
+
+def test_csv_key_null_pk_keeps_empty_slot(spark):
+    """ADVICE r11: concat_ws drops null arguments, so a null pk used to
+    lose the field AND its comma — (null,'x') and ('x',null) collided.
+    A null pk now serializes as an empty field (Jackson CSV parity),
+    keeping distinct keys distinct under HASH_BY_KEY / log compaction."""
+    df = spark.createDataFrame(
+        [(None, "x", "+I", 1), ("x", None, "+I", 2)],
+        f"col1 string, col2 string, {OP_COLUMN} string, "
+        f"{SEQ_COLUMN} long")
+    recs = kafka_records(df, TID, primary_keys=["col1", "col2"],
+                         key_format="csv")
+    keys = {r["key"] for r in recs.collect()}
+    assert keys == {'"default_namespace.default_schema.table1",,x',
+                    '"default_namespace.default_schema.table1",x,'}

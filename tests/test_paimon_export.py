@@ -422,3 +422,87 @@ def test_manifest_entry_avro_roundtrip_property(tmp_path):
         assert schema == MANIFEST_ENTRY_SCHEMA
 
     roundtrip()
+
+
+def test_compact_preserves_sequence_ranges(spark, tmp_path):
+    """ADVICE r11: compaction used to restart sequence numbers at 0
+    while the consumed chain occupied 0..N-1, so an external reader
+    ordering on _MIN/_MAX_SEQUENCE_NUMBER could mis-order, and a later
+    append (seq_base = totalRecordCount) overlapped the compacted
+    range. The rewritten files now span exactly the consumed entries'
+    sequence range, and a post-compaction append stays disjoint."""
+    from flink_cdc_dsql_master_spark.avro_io import read_container
+    from flink_cdc_dsql_master_spark.paimon_export import (append_paimon,
+                                                           compact_paimon,
+                                                           write_paimon)
+
+    dest = str(tmp_path / "t")
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("k"), (F.col("id") * 1.0).alias("v"))
+    write_paimon(spark, mk(0, 60), dest)
+    append_paimon(spark, mk(60, 100), dest)
+    compact_paimon(spark, dest)
+    append_paimon(spark, mk(100, 110), dest)
+
+    def entries(snap_id):
+        snap = json.load(open(os.path.join(
+            dest, "snapshot", f"snapshot-{snap_id}")))
+        out = []
+        for lst in (snap["baseManifestList"], snap["deltaManifestList"]):
+            if not lst:
+                continue
+            _, metas = read_container(os.path.join(dest, "manifest", lst))
+            for m in metas:
+                _, es = read_container(
+                    os.path.join(dest, "manifest", m["_FILE_NAME"]))
+                out.extend(es)
+        return out
+
+    from flink_cdc_dsql_master_spark.paimon_export import (_KIND_ADD,
+                                                           _KIND_DELETE)
+    compacted = [e["_FILE"] for e in entries(3)
+                 if e["_KIND"] == _KIND_ADD and e["_FILE"].get(
+                     "_FILE_SOURCE") == 1]
+    consumed = [e["_FILE"] for e in entries(3)
+                if e["_KIND"] == _KIND_DELETE]
+    assert compacted and consumed
+    assert (min(f["_MIN_SEQUENCE_NUMBER"] for f in compacted)
+            == min(f["_MIN_SEQUENCE_NUMBER"] for f in consumed))
+    assert (max(f["_MAX_SEQUENCE_NUMBER"] for f in compacted)
+            == max(f["_MAX_SEQUENCE_NUMBER"] for f in consumed) == 99)
+    # the post-compaction append's range is disjoint above the rewrite
+    appended = [e["_FILE"] for e in entries(4) if e["_KIND"] == _KIND_ADD
+                and e["_FILE"].get("_FILE_SOURCE") != 1
+                and e["_FILE"]["_MIN_SEQUENCE_NUMBER"] >= 100]
+    assert appended
+    assert min(f["_MIN_SEQUENCE_NUMBER"] for f in appended) == 100
+
+
+def test_batch_keyless_paimon_rejects_retractions(spark, tmp_path):
+    """ADVICE r11: the batch composer's keyless paimon branch silently
+    appended -U/-D rows as ordinary data (the streaming face raised).
+    Both faces now fail loudly on a retraction in a keyless changelog."""
+    from flink_cdc_dsql_master_spark.compose import BatchComposer
+    from flink_cdc_dsql_master_spark.pipeline import parse_pipeline_yaml
+    from flink_cdc_dsql_master_spark.testing import EventScript
+
+    t1 = "default_namespace.default_schema.table1"
+    script = EventScript()
+    script.create_table(t1, Schema.of(
+        [("id", "INT NOT NULL"), ("name", "STRING")], primary_keys=[]))
+    script.insert(t1, (1, "Alice"), (2, "Bob"))
+    script.delete(t1, (2, "Bob"))
+
+    base = str(tmp_path / "warehouse")
+    pipe = parse_pipeline_yaml(f"""
+source:
+  type: values
+sink:
+  type: paimon
+  path: "{base}"
+pipeline:
+  name: keyless-retraction
+""")
+    pipe.source.config["script"] = script
+    with pytest.raises(ValueError, match="insert-only"):
+        BatchComposer(spark, pipe).run()
