@@ -120,6 +120,9 @@ def _cmd_run(args) -> int:
         elif stype == "cow-parquet":
             from .compose import make_cow_sink_writer
             stream_writer = make_cow_sink_writer(base)
+        elif stype == "dsql":
+            from .compose import make_dsql_sink_writer
+            stream_writer = make_dsql_sink_writer(pipe.sink.config)
         else:
             from .sinks import merge_into_parquet
 

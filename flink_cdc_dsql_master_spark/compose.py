@@ -181,6 +181,34 @@ class BatchComposer:
                 parallel=False)  # duckdb: single writer
             writer.ensure_table()
             writer.write_batch(df)
+        elif sink.type == "dsql":
+            # the fork's flagship sink (DsqlDataSinkFactory): a
+            # Postgres-wire endpoint authenticated via IAM DbConnect
+            # tokens by default (use-iam-auth: true), with the
+            # refresh-cache + expired-token retry of
+            # iam_auth.DsqlAuthenticator. `connect` in the config
+            # injects the DB-API connect callable (tests use the
+            # FakeDsqlTokenGate + duckdb); absent that, PostgresConnect
+            # dials host/port/database over TLS.
+            from .iam_auth import (PostgresConnect,
+                                   authenticator_from_config,
+                                   iam_conn_factory)
+            from .sinks import JdbcUpsertSink
+
+            base_connect = sink.config.get("connect") or PostgresConnect(
+                host=sink.config["host"],
+                port=int(sink.config.get("port", 5432)),
+                database=sink.config.get("database", "postgres"),
+                sslrootcert=sink.config.get("ssl-ca"))
+            auth = sink.config.get("authenticator") or \
+                authenticator_from_config(sink.config)
+            writer = JdbcUpsertSink(
+                iam_conn_factory(base_connect, auth), sink_tid.table,
+                schema,
+                batch_size=int(sink.config.get("batch-size", 1000)),
+                parallel=bool(sink.config.get("parallel", False)))
+            writer.ensure_table()
+            writer.write_batch(df)
         elif sink.type == "paimon":
             # the reference pipeline's `sink: type: paimon`
             # (PaimonDataSink): the routed changelog applies (keyed
@@ -1091,6 +1119,40 @@ def make_sketch_sink_writer(base_path: str, key_col: str,
         hll = read_parquet_state(spark, f"{base}__hll")
         swap_parquet_dir(
             hll_apply_batch(hll, src, key_col, g), f"{base}__hll")
+
+    return writer
+
+
+def make_dsql_sink_writer(config: dict):
+    """Sink-writer for the streaming face of ``sink: type: dsql``: each
+    micro-batch upserts its changelog through an IAM-authenticated
+    connection (``DsqlBatchSinkFunction`` cadence — one effectively-once
+    apply per checkpoint). The token cache means a long-running stream
+    re-presigns at most every 20 minutes; an expired-token rejection
+    mid-stream heals via the factory's refresh-and-retry
+    (``getConnectionWithRetry`` parity). Tables are created on first
+    sight via the FullLoadCoordinator's idempotence cache."""
+    from .iam_auth import (PostgresConnect, authenticator_from_config,
+                           iam_conn_factory)
+    from .sinks import FullLoadCoordinator, JdbcUpsertSink
+
+    base_connect = config.get("connect") or PostgresConnect(
+        host=config["host"], port=int(config.get("port", 5432)),
+        database=config.get("database", "postgres"),
+        sslrootcert=config.get("ssl-ca"))
+    auth = config.get("authenticator") or authenticator_from_config(config)
+    factory = iam_conn_factory(base_connect, auth)
+    coordinator = FullLoadCoordinator(factory)
+    batch_size = int(config.get("batch-size", 1000))
+    parallel = bool(config.get("parallel", False))
+
+    def writer(sink_tid, df, schema, batch_id=None):
+        sink = JdbcUpsertSink(factory, sink_tid.table, schema,
+                              batch_size=batch_size, parallel=parallel)
+        if not coordinator.is_table_created(sink_tid):
+            sink.ensure_table()
+            coordinator.mark_table_as_created(sink_tid)
+        sink.write_batch(df)
 
     return writer
 

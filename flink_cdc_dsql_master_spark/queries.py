@@ -2946,6 +2946,86 @@ def sink_upsert_replay(spark, sf_dir):
         ["o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority"]])
 
 
+@_q(
+    "sink_upsert_iam_auth",
+    """
+    SELECT o_orderkey, o_custkey,
+           CASE WHEN o_orderkey % 7 = 0
+                THEN o_totalprice + 500.0
+                ELSE o_totalprice END AS o_totalprice
+    FROM orders WHERE o_orderkey % 10 <> 4
+    """,
+)
+def sink_upsert_iam_auth(spark, sf_dir):
+    """JdbcUpsertSink through IAM token authentication — the fork's
+    flagship auth mode (DsqlAuthenticator.java:47-60 +
+    DsqlBatchSinkFunction.getConnectionWithRetry:574-634): SigV4
+    DbConnect tokens (byte shape pinned to the AWS SDK in
+    tests/test_iam_auth.py), a 20-minute refresh cache, and a conn
+    factory that detects a token-expiration rejection, forces a
+    refresh, and retries. A FakeDsqlTokenGate VERIFIES every presented
+    token (recomputed signature + expiry window against a fake clock);
+    the clock jumps past the token's presign window mid-replay so the
+    second write must survive a real expired-token rejection via the
+    refresh-and-retry path."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .iam_auth import (Credentials, DsqlAuthenticator,
+                           iam_conn_factory)
+    from .sinks import JdbcUpsertSink
+    from .testing import FakeDsqlTokenGate
+
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    schema = Schema.of(orders.schema, primary_keys=["o_orderkey"])
+    k = F.col("o_orderkey")
+    ins = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+           .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    upd = (orders.where(k % 7 == 0)
+           .withColumn("o_totalprice", F.col("o_totalprice") + 500.0)
+           .withColumn(OP_COLUMN, F.lit("+U"))
+           .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    dele = (orders.where(k % 10 == 4)
+            .withColumn(OP_COLUMN, F.lit("-D"))
+            .withColumn(SEQ_COLUMN, F.lit(3).cast("long")))
+    cl = ins.unionByName(upd).unionByName(dele)
+
+    clock_t = [1_768_478_400.0]  # deterministic fake epoch
+    clock = lambda: clock_t[0]
+    host, region = "q.dsql.us-east-1.on.aws", "us-east-1"
+    secret = "oracle/Secret+Key"
+    auth = DsqlAuthenticator(
+        host=host, region=region,
+        credentials_provider=lambda: Credentials("AKIDORACLE", secret),
+        clock=clock, sleep=lambda s: None)
+    gate = FakeDsqlTokenGate(clock, secret, host, region)
+    tmpdir = tempfile.mkdtemp(prefix="iam_sink_")
+    path = os.path.join(tmpdir, "sink.duckdb")
+
+    def connect(user, password, _p=path, _g=gate):
+        _g.check(user, password)  # raises on bad/expired token
+        return duckdb.connect(_p)
+
+    auth.clear_token_cache()  # hermetic across registry runs
+    sink = JdbcUpsertSink(iam_conn_factory(connect, auth), "orders_sink",
+                          schema, parallel=False)
+    sink.ensure_table()
+    sink.write_batch(cl)
+    clock_t[0] += 16 * 60  # past the 900s presign window, before the
+    sink.write_batch(cl)   # 20-min cache refresh: forces the gate to
+    #                        reject and the factory to refresh-and-retry
+    assert gate.attempts > gate.accepted >= 3, \
+        "expired-token rejection path was not exercised"
+    con = duckdb.connect(path)
+    pdf = con.execute("SELECT o_orderkey, o_custkey, o_totalprice "
+                      "FROM orders_sink").df()
+    con.close()
+    return spark.createDataFrame(pdf)
+
+
 _BIGDEC_CONST39 = "123456789012345678901234567890123456789"
 
 

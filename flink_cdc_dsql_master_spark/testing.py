@@ -1067,3 +1067,52 @@ class FakeWalsenderServer:
             send_message(conn, b"d", b"w"
                          + struct.pack(">qqq", lsn, lsn, 0) + m)
         send_message(conn, b"c", b"")
+
+
+class FakeDsqlTokenGate:
+    """Fake DSQL front door for IAM-auth tests (the fake-server
+    discipline of :class:`FakeMySQLReplicaServer` applied to the DSQL
+    sink, reference ``DsqlAuthenticator.java``): VERIFIES a presented
+    DbConnect token the way the service would — recomputes its SigV4
+    signature from the known secret over the token's own parameters,
+    checks the hostname, and enforces the X-Amz-Date + X-Amz-Expires
+    window against an injected clock. ``connect(user, password)``
+    raises a token-expiration-shaped error on any failure, so
+    :func:`..iam_auth.iam_conn_factory`'s refresh-and-retry path is
+    exercised for real."""
+
+    def __init__(self, clock, secret: str, host: str, region: str):
+        self.clock = clock
+        self.secret = secret
+        self.host = host
+        self.region = region
+        self.attempts = 0
+        self.accepted = 0
+
+    def check(self, user: str, password: str) -> None:
+        from datetime import datetime, timezone
+        from urllib.parse import parse_qsl, urlsplit
+
+        from .iam_auth import Credentials, generate_db_connect_auth_token
+
+        self.attempts += 1
+        host, _, _ = password.partition("/?")
+        params = dict(parse_qsl(urlsplit("https://" + password).query,
+                                keep_blank_values=True))
+        sig = params.pop("X-Amz-Signature", "")
+        issued_dt = datetime.strptime(
+            params["X-Amz-Date"], "%Y%m%dT%H%M%SZ").replace(
+            tzinfo=timezone.utc)
+        expect = generate_db_connect_auth_token(
+            host, self.region,
+            Credentials(params["X-Amz-Credential"].split("/")[0],
+                        self.secret,
+                        params.get("X-Amz-Security-Token")),
+            admin=params["Action"] == "DbConnectAdmin",
+            expires_in=int(params["X-Amz-Expires"]), now=issued_dt)
+        if host != self.host or not sig or not expect.endswith(sig):
+            raise ConnectionError("access denied: bad signature")
+        if self.clock() > issued_dt.timestamp() + int(
+                params["X-Amz-Expires"]):
+            raise ConnectionError("access denied: signature expired")
+        self.accepted += 1
