@@ -113,7 +113,22 @@ def _cmd_run(args) -> int:
         base = pipe.sink.config.get("path", args.output_dir)
         if stype in ("paimon", "paimon-append"):
             from .paimon_export import make_paimon_append_sink_writer
-            stream_writer = make_paimon_append_sink_writer(base)
+            from .paimon_pk import make_paimon_pk_sink_writer
+
+            append_w = make_paimon_append_sink_writer(base)
+            pk_w = make_paimon_pk_sink_writer(
+                base, buckets=int(pipe.sink.config.get("buckets", 4)))
+            if stype == "paimon-append":
+                stream_writer = append_w
+            else:
+                # PaimonDataSink parity: keyed tables stream as
+                # merge-on-read PK commits, keyless as insert-only
+                def stream_writer(tid, df, schema, batch_id=None,
+                                  _pk=pk_w, _ap=append_w):
+                    if schema.primary_keys:
+                        _pk(tid, df, schema, batch_id)
+                    else:
+                        _ap(tid, df, schema)
         elif stype == "scd2-parquet":
             from .compose import make_scd2_sink_writer
             stream_writer = make_scd2_sink_writer(base)

@@ -211,15 +211,19 @@ class BatchComposer:
             writer.write_batch(df)
         elif sink.type == "paimon":
             # the reference pipeline's `sink: type: paimon`
-            # (PaimonDataSink): the routed changelog applies (keyed
-            # LWW) and the final state lands as a Paimon append-table
-            # layout an external Paimon reader can open
+            # (PaimonDataSink): a keyed changelog lands as a Paimon
+            # PRIMARY-KEY table (PaimonMetadataApplier builds
+            # .primaryKey(...) — merge-on-read KeyValue commits); a
+            # keyless one as an insert-only append table
             from .paimon_export import write_paimon
-            from .partitioning import apply_changelog
+            from .paimon_pk import write_paimon_pk
 
             base = sink.config["path"]
             if schema.primary_keys:
-                final = apply_changelog(df, list(schema.primary_keys))
+                write_paimon_pk(
+                    self.spark, df, f"{base}/{sink_tid.table}", schema,
+                    buckets=int(sink.config.get("buckets", 4)))
+                return
             else:
                 # keyless append: insert-only, like the streaming
                 # make_paimon_append_sink_writer — a retraction in a

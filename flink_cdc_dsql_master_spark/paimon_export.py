@@ -396,8 +396,15 @@ def read_paimon(spark, dest: str,
     DELETE entries (compaction rewrites) remove their file from the
     live set, exactly how Paimon folds a manifest chain.
     ``snapshot_id`` pins a historical snapshot (Paimon's
-    ``scan.snapshot-id`` time travel) instead of LATEST."""
+    ``scan.snapshot-id`` time travel) instead of LATEST. A table whose
+    schema declares ``primaryKeys`` routes to the merge-on-read PK
+    reader (:func:`.paimon_pk.read_paimon_pk`)."""
     local = _local(dest)
+    with open(os.path.join(local, "schema", "schema-0")) as f:
+        if json.load(f).get("primaryKeys"):
+            from .paimon_pk import read_paimon_pk
+
+            return read_paimon_pk(spark, dest, snapshot_id)
     if snapshot_id is not None:
         snap_id = snapshot_id
     else:
@@ -579,8 +586,14 @@ def compact_paimon(spark, dest: str) -> dict:
     — the manifest shape Paimon's compaction commits, and the real
     writer for the DELETE-fold path :func:`read_paimon` implements. At
     scale this is the small-files remedy for a long append chain: the
-    next read folds to the compacted files only."""
+    next read folds to the compacted files only. PK tables compact
+    through :func:`.paimon_pk.compact_paimon_pk` (merge-aware)."""
     local = _local(dest)
+    with open(os.path.join(local, "schema", "schema-0")) as f:
+        if json.load(f).get("primaryKeys"):
+            from .paimon_pk import compact_paimon_pk
+
+            return compact_paimon_pk(spark, dest)
     with open(os.path.join(local, "snapshot", "LATEST")) as f:
         prev_id = int(f.read().strip())
     with open(os.path.join(local, "snapshot",

@@ -1,0 +1,659 @@
+"""Paimon PRIMARY-KEY table face: CDC upserts as merge-on-read commits.
+
+Reference capability: the Paimon pipeline connector creates primary-key
+tables (``PaimonMetadataApplier.java:181-193`` builds
+``.primaryKey(...)`` from the CDC schema) and streams changelogs into
+them as upserts (``PaimonWriter.java`` / ``PaimonCommitter.java`` —
+one commit per checkpoint, merge-on-read with the ``deduplicate``
+merge engine). The sibling :mod:`.paimon_export` module covers the
+APPEND-table layout; this module adds the PK-table layout the
+reference's CDC path actually uses, following the public Paimon table
+spec (paimon.apache.org, "Concepts → Spec" + "Primary Key Table"):
+
+- ``schema/schema-0`` declares ``primaryKeys`` and a fixed
+  ``bucket: N`` option.
+- Data files live under ``bucket-<k>/`` where ``k = hash(pk) % N``;
+  each file is a level-0 sorted run of **KeyValue** rows — parquet
+  columns ``_KEY_<pk-col>...``, ``_SEQUENCE_NUMBER`` (BIGINT),
+  ``_VALUE_KIND`` (TINYINT RowKind: 0=INSERT, 1=UPDATE_BEFORE,
+  2=UPDATE_AFTER, 3=DELETE), then every value column — sorted by key
+  within the file (the per-file sorted-run invariant level-0 readers
+  rely on).
+- Manifest entries carry the file's REAL key min/max as serialized
+  BinaryRow bytes (:func:`serialize_binary_row` — the published
+  BinaryRow fixed/variable-part layout, length-prefixed the way
+  Paimon's ``SerializationUtils.serializeBinaryRow`` frames it),
+  the bucket number, ``_TOTAL_BUCKETS = N`` and level 0.
+- Every commit is one APPEND snapshot whose ``commitIdentifier`` is
+  the streaming checkpoint/batch id: replaying an already-committed
+  micro-batch after a crash is a NO-OP (the reference committer
+  filters committables by identifier the same way), which makes the
+  streaming writer effectively-once.
+- Reading merges per key: highest ``_SEQUENCE_NUMBER`` wins and a
+  final DELETE/UPDATE_BEFORE kind drops the key — Paimon's
+  ``deduplicate`` merge engine. :func:`.paimon_export.read_paimon`
+  detects ``primaryKeys`` in the schema JSON and routes here.
+
+Documented divergences (both safe for external READERS, called out
+for the cross-engine smoke test a deployment should run first):
+
+- Bucket assignment uses Spark's ``hash(pk) % N`` rather than
+  Paimon's own BinaryRow hash. A key always lands in one bucket and
+  readers merge per bucket, so scans and merges are correct; only a
+  *foreign writer* appending into the same table with Paimon's hash
+  could split a key across buckets — don't mix writers, same as any
+  bucketed-table contract.
+- All files are level 0 (every file its own sorted run). Real Paimon
+  compacts L0 into deeper levels; readers treat our chain exactly as
+  an uncompacted LSM. :func:`compact_paimon_pk` rewrites the merged
+  state to a single max-level run per bucket when the chain grows.
+
+Scale design: the changelog is reduced to one final event per key
+(map-side combine + single shuffle, :func:`..partitioning.
+last_write_wins`), bucketed by the same hash the layout uses (one
+shuffle, reused by the per-bucket sequence window and the
+``partitionBy`` write), and data files are written executor-parallel —
+the driver only stages manifest/snapshot JSON, like the append face.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import struct
+import time
+import uuid
+
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from .avro_io import read_container, write_container
+from .events import OP_COLUMN, SEQ_COLUMN
+from .lakehouse import _local
+from .paimon_export import (
+    _EMPTY_BINARY_ROW,
+    _EMPTY_STATS,
+    _KIND_ADD,
+    MANIFEST_ENTRY_SCHEMA,
+    MANIFEST_FILE_META_SCHEMA,
+    _paimon_field,
+    _schema_from_paimon,
+    _write_snapshot,
+)
+
+# RowKind byte values (public org.apache.paimon.types.RowKind)
+ROWKIND_INSERT = 0
+ROWKIND_UPDATE_BEFORE = 1
+ROWKIND_UPDATE_AFTER = 2
+ROWKIND_DELETE = 3
+
+_OP_TO_ROWKIND = {"+I": ROWKIND_INSERT, "-U": ROWKIND_UPDATE_BEFORE,
+                  "+U": ROWKIND_UPDATE_AFTER, "-D": ROWKIND_DELETE}
+
+KEY_PREFIX = "_KEY_"
+SEQ_FIELD = "_SEQUENCE_NUMBER"
+KIND_FIELD = "_VALUE_KIND"
+
+
+# ---------------------------------------------------------------------------
+# BinaryRow serialization (spec layout; used for _MIN_KEY/_MAX_KEY)
+# ---------------------------------------------------------------------------
+
+def _null_bits_bytes(arity: int) -> int:
+    """Fixed null-bits width: 8 header bits (row kind) + one bit per
+    field, rounded up to 8-byte words — the published
+    ``calculateBitSetWidthInBytes`` formula."""
+    return ((arity + 63 + 8) // 64) * 8
+
+
+def serialize_binary_row(values: list, fields: list[T.StructField]) -> bytes:
+    """Serialize one row of key values as Paimon frames a BinaryRow on
+    disk: 4-byte big-endian length + the row's fixed part (row-kind
+    byte, null bits, one 8-byte little-endian slot per field) +
+    variable part (8-byte-aligned bytes for long strings). Supports the
+    key types CDC primary keys actually take — integral types, strings
+    and binary; anything else falls back to the documented EMPTY row
+    (no pruning information, never wrong)."""
+    arity = len(values)
+    nb = _null_bits_bytes(arity)
+    header = bytearray(nb)  # row kind INSERT (0) + null bits clear
+    slots = bytearray(8 * arity)
+    var = bytearray()
+
+    for i, (v, f) in enumerate(zip(values, fields)):
+        off = 8 * i
+        if v is None:
+            bit = i + 8
+            header[bit >> 3] |= 1 << (bit & 7)
+            continue
+        dt = f.dataType
+        if isinstance(dt, (T.LongType,)):
+            slots[off:off + 8] = struct.pack("<q", int(v))
+        elif isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType,
+                             T.DateType)):
+            slots[off:off + 4] = struct.pack("<i", int(v))
+        elif isinstance(dt, T.BooleanType):
+            slots[off] = 1 if v else 0
+        elif isinstance(dt, (T.StringType, T.BinaryType)):
+            raw = v.encode("utf-8") if isinstance(v, str) else bytes(v)
+            if len(raw) <= 7:
+                # compact form: bytes in the low 7 slot bytes, the
+                # high byte carries len with the 0x80 mark
+                slots[off:off + len(raw)] = raw
+                slots[off + 7] = 0x80 | len(raw)
+            else:
+                # long form: slot = (offset-from-row-start << 32) | len,
+                # bytes appended 8-byte-aligned to the variable part
+                cursor = nb + 8 * arity + len(var)
+                slots[off:off + 8] = struct.pack("<q",
+                                                 (cursor << 32) | len(raw))
+                var += raw
+                if len(raw) % 8:
+                    var += b"\x00" * (8 - len(raw) % 8)
+        else:
+            return _EMPTY_BINARY_ROW  # unsupported key type: no stats
+    row = bytes(header) + bytes(slots) + bytes(var)
+    return struct.pack(">i", len(row)) + row
+
+
+def parse_binary_row(data: bytes, fields: list[T.StructField]) -> list:
+    """Inverse of :func:`serialize_binary_row` for the supported types —
+    the independent readback used by tests and by stats display."""
+    (length,) = struct.unpack(">i", data[:4])
+    row = data[4:4 + length]
+    arity = len(fields)
+    nb = _null_bits_bytes(arity)
+    out = []
+    for i, f in enumerate(fields):
+        bit = i + 8
+        if row[bit >> 3] & (1 << (bit & 7)):
+            out.append(None)
+            continue
+        slot = row[nb + 8 * i: nb + 8 * i + 8]
+        dt = f.dataType
+        if isinstance(dt, T.LongType):
+            out.append(struct.unpack("<q", slot)[0])
+        elif isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType,
+                             T.DateType)):
+            out.append(struct.unpack("<i", slot[:4])[0])
+        elif isinstance(dt, T.BooleanType):
+            out.append(bool(slot[0]))
+        elif isinstance(dt, (T.StringType, T.BinaryType)):
+            if slot[7] & 0x80:
+                n = slot[7] & 0x7F
+                raw = bytes(slot[:n])
+            else:
+                (packed,) = struct.unpack("<q", slot)
+                cursor, n = packed >> 32, packed & 0xFFFFFFFF
+                raw = row[cursor:cursor + n]
+            out.append(raw.decode("utf-8")
+                       if isinstance(dt, T.StringType) else raw)
+        else:
+            raise ValueError(f"unsupported type {dt}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# schema + KeyValue staging
+# ---------------------------------------------------------------------------
+
+def _write_pk_schema(local: str, struct_type: T.StructType,
+                     primary_keys: list[str], buckets: int) -> None:
+    fields = [_paimon_field(i, f)
+              for i, f in enumerate(struct_type.fields)]
+    os.makedirs(os.path.join(local, "schema"), exist_ok=True)
+    with open(os.path.join(local, "schema", "schema-0"), "w") as f:
+        json.dump({
+            "version": 3,
+            "id": 0,
+            "fields": fields,
+            "highestFieldId": len(fields) - 1,
+            "partitionKeys": [],
+            "primaryKeys": list(primary_keys),
+            "options": {"bucket": str(buckets),
+                        "merge-engine": "deduplicate"},
+            "timeMillis": int(time.time() * 1000),
+        }, f, indent=2)
+
+
+def _read_pk_meta(local: str):
+    """(value StructType, primary_keys, buckets) from schema-0."""
+    with open(os.path.join(local, "schema", "schema-0")) as f:
+        sj = json.load(f)
+    return (_schema_from_paimon(sj), list(sj["primaryKeys"]),
+            int(sj["options"]["bucket"]))
+
+
+def _kv_frame(changelog: DataFrame, primary_keys: list[str],
+              value_cols: list[str], buckets: int,
+              seq_base: int) -> DataFrame:
+    """Changelog → bucketed KeyValue rows: keyed LWW within the batch
+    (one final event per key — the same end state the reference
+    writer's in-order apply reaches), RowKind from the surviving op,
+    per-bucket monotone sequence numbers from ``seq_base``. ONE shuffle
+    (by bucket) feeds the sequence window AND the partitioned write."""
+    from pyspark.sql import Window
+
+    from .partitioning import last_write_wins
+
+    final = last_write_wins(changelog, primary_keys) \
+        if OP_COLUMN in changelog.columns else \
+        changelog.withColumn(OP_COLUMN, F.lit("+I"))
+
+    kind = F.when(F.col(OP_COLUMN) == "+I", F.lit(ROWKIND_INSERT)) \
+        .when(F.col(OP_COLUMN) == "+U", F.lit(ROWKIND_UPDATE_AFTER)) \
+        .when(F.col(OP_COLUMN) == "-D", F.lit(ROWKIND_DELETE)) \
+        .otherwise(F.lit(ROWKIND_UPDATE_BEFORE)).cast("tinyint")
+    bucket = F.pmod(F.hash(*[F.col(k) for k in primary_keys]),
+                    F.lit(buckets))
+    w = Window.partitionBy("__bucket").orderBy(
+        *[F.col(KEY_PREFIX + k) for k in primary_keys])
+    kv = (final
+          .withColumn("__bucket", bucket)
+          .select("__bucket",
+                  *[F.col(k).alias(KEY_PREFIX + k) for k in primary_keys],
+                  kind.alias(KIND_FIELD),
+                  *[F.col(c) for c in value_cols])
+          .repartition("__bucket")
+          .withColumn(SEQ_FIELD,
+                      (F.row_number().over(w) + F.lit(seq_base - 1))
+                      .cast("long")))
+    order = ([KEY_PREFIX + k for k in primary_keys]
+             + [SEQ_FIELD, KIND_FIELD] + value_cols)
+    return kv.select("__bucket", *order)
+
+
+def _stage_pk_files(kv: DataFrame, local: str, primary_keys: list[str],
+                    key_fields: list[T.StructField]):
+    """Write KeyValue rows into ``bucket-<k>/`` (executor-parallel,
+    sorted by key within each file) and return manifest-entry material:
+    [(bucket, name, rows, size, min_key_row, max_key_row, min_seq,
+    max_seq)]."""
+    import pyarrow.parquet as pq
+
+    tmp = os.path.join(local, "_staging")
+    (kv.sortWithinPartitions(*[KEY_PREFIX + k for k in primary_keys])
+       .write.mode("overwrite").partitionBy("__bucket").parquet(tmp))
+
+    run = uuid.uuid4().hex
+    files = []
+    idx = 0
+    key_names = [KEY_PREFIX + k for k in primary_keys]
+    for sub in sorted(os.listdir(tmp)):
+        if not sub.startswith("__bucket="):
+            continue
+        b = int(sub.split("=", 1)[1])
+        bucket_dir = os.path.join(local, f"bucket-{b}")
+        os.makedirs(bucket_dir, exist_ok=True)
+        for name in sorted(os.listdir(os.path.join(tmp, sub))):
+            if not name.endswith(".parquet"):
+                continue
+            pname = f"data-{run}-{idx}.parquet"
+            idx += 1
+            fp = os.path.join(bucket_dir, pname)
+            os.replace(os.path.join(tmp, sub, name), fp)
+            meta = pq.read_metadata(fp)
+            n = meta.num_rows
+            if n == 0:
+                os.remove(fp)
+                continue
+            # key min/max + sequence range from the parquet footer
+            # stats (no data re-read); None stats → empty-row fallback
+            schema_names = meta.schema.to_arrow_schema().names
+            mins: dict = {}
+            maxs: dict = {}
+            for rg in range(meta.num_row_groups):
+                g = meta.row_group(rg)
+                for ci in range(g.num_columns):
+                    col = g.column(ci)
+                    st = col.statistics
+                    cname = schema_names[ci]
+                    if st is None or not st.has_min_max:
+                        continue
+                    if cname in mins:
+                        mins[cname] = min(mins[cname], st.min)
+                        maxs[cname] = max(maxs[cname], st.max)
+                    else:
+                        mins[cname], maxs[cname] = st.min, st.max
+            if all(k in mins for k in key_names):
+                min_key = serialize_binary_row(
+                    [mins[k] for k in key_names], key_fields)
+                max_key = serialize_binary_row(
+                    [maxs[k] for k in key_names], key_fields)
+            else:
+                min_key = max_key = _EMPTY_BINARY_ROW
+            min_seq = int(mins.get(SEQ_FIELD, 0))
+            max_seq = int(maxs.get(SEQ_FIELD, 0))
+            files.append((b, pname, n, os.path.getsize(fp),
+                          min_key, max_key, min_seq, max_seq))
+    import shutil
+    shutil.rmtree(tmp, ignore_errors=True)
+    return run, files
+
+
+def _pk_manifest_entries(files, buckets: int) -> list[dict]:
+    now_ms = int(time.time() * 1000)
+    out = []
+    for b, pname, n, sz, min_key, max_key, min_seq, max_seq in files:
+        out.append({
+            "_VERSION": 2, "_KIND": _KIND_ADD,
+            "_PARTITION": _EMPTY_BINARY_ROW,
+            "_BUCKET": b, "_TOTAL_BUCKETS": buckets,
+            "_FILE": {
+                "_FILE_NAME": pname, "_FILE_SIZE": sz, "_ROW_COUNT": n,
+                "_MIN_KEY": min_key, "_MAX_KEY": max_key,
+                "_KEY_STATS": dict(_EMPTY_STATS),
+                "_VALUE_STATS": dict(_EMPTY_STATS),
+                "_MIN_SEQUENCE_NUMBER": min_seq,
+                "_MAX_SEQUENCE_NUMBER": max_seq,
+                "_SCHEMA_ID": 0,
+                "_LEVEL": 0,  # fresh commit: level-0 sorted run
+                "_EXTRA_FILES": [],
+                "_CREATION_TIME": now_ms,
+                "_DELETE_ROW_COUNT": 0,
+                "_EMBEDDED_FILE_INDEX": None,
+                "_FILE_SOURCE": 0,  # APPEND
+            },
+        })
+    return out
+
+
+def _chain_state(local: str):
+    """(latest snapshot dict | None, max sequence over live entries,
+    committed identifiers) — the metadata walk commits build on."""
+    snap_dir = os.path.join(local, "snapshot")
+    latest_p = os.path.join(snap_dir, "LATEST")
+    if not os.path.exists(latest_p):
+        return None, -1, set()
+    with open(latest_p) as f:
+        latest = int(f.read().strip())
+    with open(os.path.join(snap_dir, "EARLIEST")) as f:
+        earliest = int(f.read().strip())
+    identifiers = set()
+    for sid in range(earliest, latest + 1):
+        with open(os.path.join(snap_dir, f"snapshot-{sid}")) as f:
+            identifiers.add(json.load(f)["commitIdentifier"])
+    with open(os.path.join(snap_dir, f"snapshot-{latest}")) as f:
+        prev = json.load(f)
+    man_dir = os.path.join(local, "manifest")
+    max_seq = -1
+    for list_name in (prev["baseManifestList"],
+                      prev["deltaManifestList"]):
+        if not list_name:
+            continue
+        _, metas = read_container(os.path.join(man_dir, list_name))
+        for m in metas:
+            _, entries = read_container(
+                os.path.join(man_dir, m["_FILE_NAME"]))
+            for e in entries:
+                if e["_KIND"] == _KIND_ADD:
+                    max_seq = max(max_seq,
+                                  e["_FILE"]["_MAX_SEQUENCE_NUMBER"])
+    return prev, max_seq, identifiers
+
+
+# ---------------------------------------------------------------------------
+# public writer surface
+# ---------------------------------------------------------------------------
+
+def write_paimon_pk(spark, changelog: DataFrame, dest: str, schema,
+                    buckets: int = 4, commit_identifier=None) -> dict:
+    """Create a Paimon PRIMARY-KEY table at ``dest`` and commit the
+    changelog as snapshot 1 (PaimonMetadataApplier.applyCreateTable +
+    the first PaimonCommitter commit). ``schema`` is the repo
+    :class:`..schema.Schema` (must have primary keys)."""
+    if not schema.primary_keys:
+        raise ValueError("paimon primary-key table requires primary keys "
+                         "— use write_paimon for append tables")
+    local = _local(dest)
+    import shutil
+    if os.path.exists(local):
+        shutil.rmtree(local, ignore_errors=True)
+    os.makedirs(local, exist_ok=True)
+    value_struct = T.StructType([
+        f for f in schema.struct.fields])
+    _write_pk_schema(local, value_struct, list(schema.primary_keys),
+                     buckets)
+    return _commit_pk(spark, changelog, local, seq_base=0,
+                      prev=None,
+                      commit_identifier=commit_identifier)
+
+
+def append_paimon_pk(spark, changelog: DataFrame, dest: str,
+                     commit_identifier=None) -> dict:
+    """Commit one more changelog micro-batch into an existing PK table.
+    ``commit_identifier`` (the streaming batch/checkpoint id) makes
+    replays idempotent: an identifier the chain already carries is
+    skipped — the committer-side filtering the reference does."""
+    local = _local(dest)
+    prev, max_seq, identifiers = _chain_state(local)
+    if prev is None:
+        raise ValueError(f"{dest}: no Paimon table to append to")
+    if commit_identifier is not None and commit_identifier in identifiers:
+        with open(os.path.join(local, "snapshot", "LATEST")) as f:
+            return {"snapshot_id": int(f.read().strip()), "rows": 0,
+                    "files": 0, "dest": local, "skipped": True}
+    return _commit_pk(spark, changelog, local, seq_base=max_seq + 1,
+                      prev=prev, commit_identifier=commit_identifier)
+
+
+def _commit_pk(spark, changelog: DataFrame, local: str, seq_base: int,
+               prev: dict | None, commit_identifier=None) -> dict:
+    value_struct, primary_keys, buckets = _read_pk_meta(local)
+    value_cols = [f.name for f in value_struct.fields]
+    got = [c for c in changelog.columns
+           if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id", "__op_ts")]
+    if got != value_cols:
+        raise ValueError(
+            f"changelog columns {got} do not match schema-0 "
+            f"{value_cols} — evolve the table before writing a "
+            "drifted batch")
+    key_fields = [value_struct[k] for k in primary_keys]
+
+    kv = _kv_frame(changelog, primary_keys, value_cols, buckets,
+                   seq_base)
+    run, files = _stage_pk_files(kv, local, primary_keys, key_fields)
+
+    man_dir = os.path.join(local, "manifest")
+    os.makedirs(man_dir, exist_ok=True)
+    entries = _pk_manifest_entries(files, buckets)
+    manifest_name = f"manifest-{run}-0"
+    mlen = write_container(os.path.join(man_dir, manifest_name),
+                           MANIFEST_ENTRY_SCHEMA, entries)
+
+    prev_metas = []
+    if prev is not None:
+        for list_name in (prev["baseManifestList"],
+                          prev["deltaManifestList"]):
+            if not list_name:
+                continue
+            _, metas = read_container(os.path.join(man_dir, list_name))
+            prev_metas.extend(metas)
+    base_list = f"manifest-list-{run}-0"
+    delta_list = f"manifest-list-{run}-1"
+    write_container(os.path.join(man_dir, base_list),
+                    MANIFEST_FILE_META_SCHEMA, prev_metas)
+    write_container(os.path.join(man_dir, delta_list),
+                    MANIFEST_FILE_META_SCHEMA, [{
+                        "_VERSION": 2, "_FILE_NAME": manifest_name,
+                        "_FILE_SIZE": mlen,
+                        "_NUM_ADDED_FILES": len(files),
+                        "_NUM_DELETED_FILES": 0,
+                        "_PARTITION_STATS": dict(_EMPTY_STATS),
+                        "_SCHEMA_ID": 0,
+                    }])
+    new_rows = sum(f[2] for f in files)
+    prev_total = prev["totalRecordCount"] if prev else 0
+    snap_id = (prev["id"] + 1) if prev else 1
+    _write_snapshot(local, snap_id, base_list, delta_list,
+                    total=prev_total + new_rows, delta=new_rows,
+                    earliest=prev is None)
+    if commit_identifier is not None:
+        sp = os.path.join(local, "snapshot", f"snapshot-{snap_id}")
+        snap = json.load(open(sp))
+        snap["commitIdentifier"] = commit_identifier
+        with open(sp, "w") as f:
+            json.dump(snap, f, indent=2)
+    return {"snapshot_id": snap_id, "rows": new_rows,
+            "files": len(files), "dest": local}
+
+
+# ---------------------------------------------------------------------------
+# merge-on-read + compaction
+# ---------------------------------------------------------------------------
+
+def read_paimon_pk(spark, dest: str,
+                   snapshot_id: int | None = None) -> DataFrame:
+    """Merge-on-read over the PK-table chain — Paimon's ``deduplicate``
+    merge engine: per key, the highest-sequence KeyValue row wins; a
+    winning DELETE (or UPDATE_BEFORE) drops the key. Distributed as a
+    per-key window over the live file union (keys are high-cardinality;
+    no single-partition stage)."""
+    from pyspark.sql import Window
+
+    local = _local(dest)
+    value_struct, primary_keys, _ = _read_pk_meta(local)
+    live = _live_paths(local, snapshot_id)
+    if not live:
+        return spark.createDataFrame([], value_struct)
+    df = spark.read.parquet(*sorted(live))
+    w = Window.partitionBy(
+        *[KEY_PREFIX + k for k in primary_keys]).orderBy(
+        F.desc(SEQ_FIELD))
+    value_cols = [f.name for f in value_struct.fields]
+    return (df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .where(~F.col(KIND_FIELD).isin(ROWKIND_DELETE,
+                                           ROWKIND_UPDATE_BEFORE))
+            .select(*value_cols))
+
+
+def _live_paths(local: str, snapshot_id: int | None = None) -> list[str]:
+    snap_dir = os.path.join(local, "snapshot")
+    if snapshot_id is None:
+        with open(os.path.join(snap_dir, "LATEST")) as f:
+            snapshot_id = int(f.read().strip())
+    with open(os.path.join(snap_dir, f"snapshot-{snapshot_id}")) as f:
+        snap = json.load(f)
+    man_dir = os.path.join(local, "manifest")
+    live: dict[tuple, str] = {}
+    for list_name in (snap["baseManifestList"],
+                      snap["deltaManifestList"]):
+        if not list_name:
+            continue
+        _, metas = read_container(os.path.join(man_dir, list_name))
+        for m in metas:
+            _, entries = read_container(
+                os.path.join(man_dir, m["_FILE_NAME"]))
+            for e in entries:
+                key = (e["_BUCKET"], e["_FILE"]["_FILE_NAME"])
+                if e["_KIND"] == _KIND_ADD:
+                    live[key] = os.path.join(
+                        local, f"bucket-{e['_BUCKET']}",
+                        e["_FILE"]["_FILE_NAME"])
+                else:
+                    live.pop(key, None)
+    return list(live.values())
+
+
+def compact_paimon_pk(spark, dest: str) -> dict:
+    """Full compaction of a PK table: merge-on-read collapses the chain
+    to its final state, which is rewritten as ONE max-level sorted run
+    per bucket (INSERT kind, sequence ranges spanning the consumed
+    chain); the COMPACT snapshot's manifest retires every old file with
+    DELETE entries — the PK twin of
+    :func:`.paimon_export.compact_paimon`."""
+    from .paimon_export import _KIND_DELETE
+
+    local = _local(dest)
+    prev, max_seq, _ = _chain_state(local)
+    if prev is None:
+        raise ValueError(f"{dest}: no Paimon table to compact")
+    value_struct, primary_keys, buckets = _read_pk_meta(local)
+    merged = read_paimon_pk(spark, dest)
+    cl = (merged.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    key_fields = [value_struct[k] for k in primary_keys]
+    value_cols = [f.name for f in value_struct.fields]
+    kv = _kv_frame(cl, primary_keys, value_cols, buckets, seq_base=0)
+    run, files = _stage_pk_files(kv, local, primary_keys, key_fields)
+
+    # retire the whole previous live set
+    man_dir = os.path.join(local, "manifest")
+    old_live: dict[tuple, dict] = {}
+    for list_name in (prev["baseManifestList"],
+                      prev["deltaManifestList"]):
+        if not list_name:
+            continue
+        _, metas = read_container(os.path.join(man_dir, list_name))
+        for m in metas:
+            _, entries = read_container(
+                os.path.join(man_dir, m["_FILE_NAME"]))
+            for e in entries:
+                key = (e["_BUCKET"], e["_FILE"]["_FILE_NAME"])
+                if e["_KIND"] == _KIND_ADD:
+                    old_live[key] = e
+                else:
+                    old_live.pop(key, None)
+
+    now_entries = [dict(e, _KIND=_KIND_DELETE) for e in old_live.values()]
+    for entry in _pk_manifest_entries(files, buckets):
+        entry["_FILE"]["_LEVEL"] = 5  # compaction output: max level
+        entry["_FILE"]["_FILE_SOURCE"] = 1  # COMPACT
+        now_entries.append(entry)
+    manifest_name = f"manifest-{run}-0"
+    mlen = write_container(os.path.join(man_dir, manifest_name),
+                           MANIFEST_ENTRY_SCHEMA, now_entries)
+    prev_metas = []
+    for list_name in (prev["baseManifestList"],
+                      prev["deltaManifestList"]):
+        if not list_name:
+            continue
+        _, metas = read_container(os.path.join(man_dir, list_name))
+        prev_metas.extend(metas)
+    base_list = f"manifest-list-{run}-0"
+    delta_list = f"manifest-list-{run}-1"
+    write_container(os.path.join(man_dir, base_list),
+                    MANIFEST_FILE_META_SCHEMA, prev_metas)
+    write_container(os.path.join(man_dir, delta_list),
+                    MANIFEST_FILE_META_SCHEMA, [{
+                        "_VERSION": 2, "_FILE_NAME": manifest_name,
+                        "_FILE_SIZE": mlen,
+                        "_NUM_ADDED_FILES": len(files),
+                        "_NUM_DELETED_FILES": len(old_live),
+                        "_PARTITION_STATS": dict(_EMPTY_STATS),
+                        "_SCHEMA_ID": 0,
+                    }])
+    total = sum(f[2] for f in files)
+    snap_id = prev["id"] + 1
+    _write_snapshot(local, snap_id, base_list, delta_list,
+                    total=total, delta=0)
+    sp = os.path.join(local, "snapshot", f"snapshot-{snap_id}")
+    snap = json.load(open(sp))
+    snap["commitKind"] = "COMPACT"
+    with open(sp, "w") as f:
+        json.dump(snap, f, indent=2)
+    return {"snapshot_id": snap_id, "rows": total, "files": len(files),
+            "dest": local, "compacted": len(old_live)}
+
+
+def make_paimon_pk_sink_writer(base: str, buckets: int = 4):
+    """``sink_writer(table_id, df, schema, batch_id)`` for the streaming
+    composers: CDC changelogs — retractions included — stream into a
+    Paimon PK table as per-checkpoint merge-on-read commits, and the
+    Structured-Streaming batchId rides as the commitIdentifier so a
+    replayed micro-batch after a crash commits NOTHING (the reference
+    committer's identifier filtering). The keyless/insert-only twin is
+    :func:`.paimon_export.make_paimon_append_sink_writer`."""
+
+    def writer(table_id, df: DataFrame, schema, batch_id=None) -> None:
+        spark = df.sparkSession
+        dest = f"{base}/{table_id.table}"
+        if os.path.exists(os.path.join(_local(dest), "snapshot",
+                                       "LATEST")):
+            append_paimon_pk(spark, df, dest,
+                             commit_identifier=batch_id)
+        else:
+            write_paimon_pk(spark, df, dest, schema, buckets=buckets,
+                            commit_identifier=batch_id)
+
+    return writer

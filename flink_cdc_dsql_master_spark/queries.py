@@ -8902,6 +8902,81 @@ def lakehouse_paimon_append_stream(spark, sf_dir):
 
 
 @_q(
+    "lakehouse_paimon_pk_stream",
+    """
+    WITH s2 AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 100.0
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 3 = 0 AND o_orderkey % 15 <> 0)
+    SELECT 2 AS snap, k, price FROM s2
+    UNION ALL
+    SELECT 3 AS snap, k, price FROM s2
+    UNION ALL
+    SELECT 3 AS snap, o_orderkey AS k, o_totalprice AS price
+    FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def lakehouse_paimon_pk_stream(spark, sf_dir):
+    """Paimon PRIMARY-KEY table streaming — the reference CDC path
+    (PaimonMetadataApplier.java:181-193 .primaryKey(...) +
+    PaimonWriter/PaimonCommitter merge-on-read commits): inserts,
+    updates AND deletes stream as per-checkpoint KeyValue commits into
+    a bucket-hashed PK table; a crash-replayed micro-batch (same
+    commitIdentifier) commits NOTHING (the committer's identifier
+    filtering); and both the mid-chain snapshot (scan.snapshot-id time
+    travel) and LATEST are read back STRICTLY through the on-disk
+    layout with the deduplicate merge engine — hash-checked against
+    the oracle's LWW recomputation. A wrong bucket fold, broken
+    sequence range, or a replay that double-applied hash-fails."""
+    import os
+    import tempfile
+
+    from .paimon_pk import make_paimon_pk_sink_writer
+    from .paimon_export import read_paimon
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"))
+    k = F.col("k")
+    b0 = (orders.where(k % 3 == 0)
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    b1 = (orders.where((k % 3 == 0) & (k % 9 == 0))
+          .withColumn("price", F.col("price") + 100.0)
+          .withColumn(OP_COLUMN, F.lit("+U"))
+          .withColumn(SEQ_COLUMN, F.lit(2).cast("long"))
+          .unionByName(orders.where(k % 15 == 0)
+                       .withColumn(OP_COLUMN, F.lit("-D"))
+                       .withColumn(SEQ_COLUMN, F.lit(3).cast("long"))))
+    b2 = (orders.where(k % 3 == 1)
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(4).cast("long")))
+
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    base = tempfile.mkdtemp(prefix="paimon_pk_")
+    writer = make_paimon_pk_sink_writer(base, buckets=4)
+    tid = TableId.parse("ns.sch.orders_pk")
+    writer(tid, b0, schema, 0)
+    writer(tid, b1, schema, 1)
+    # crash + restart: batch 1 re-delivered from the checkpoint — the
+    # commitIdentifier filter must make it a no-op
+    writer2 = make_paimon_pk_sink_writer(base, buckets=4)
+    writer2(tid, b1, schema, 1)
+    writer2(tid, b2, schema, 2)
+    dest = os.path.join(base, "orders_pk")
+    snaps = [f for f in os.listdir(os.path.join(dest, "snapshot"))
+             if f.startswith("snapshot-")]
+    assert len(snaps) == 3, "replayed micro-batch must commit nothing"
+
+    v2 = (read_paimon(spark, dest, snapshot_id=2)
+          .withColumn("snap", F.lit(2)))
+    v3 = read_paimon(spark, dest).withColumn("snap", F.lit(3))
+    return v2.unionByName(v3).select("snap", "k", "price")
+
+
+@_q(
     "lakehouse_export_iceberg_inplace",
     """
     SELECT o_orderkey AS k,
