@@ -440,6 +440,100 @@ def _binlog_ddl_segmented_decode_throughput(spark, sf_dir):
     return ep1.unionByName(ep2)
 
 
+def _binlog_ddl_dense_segments_dir(spark, sf_dir: str) -> str:
+    """DDL-DENSE segments (VERDICT r11 done-criterion: K>=10 ALTERs in
+    ONE micro-batch): each file interleaves 12 QUERY_EVENT DDLs with
+    row chunks, alternating ADD/DROP COLUMN price so the 13 schema
+    epochs alternate 3-col/2-col TABLE_MAPs — the migration-replay
+    shape that made the per-epoch re-parse O(K*B)."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.binlog import (
+        MAGIC, MYSQL_TYPE_DOUBLE, MYSQL_TYPE_LONGLONG, MYSQL_TYPE_VARCHAR,
+        encode_fde, encode_query, encode_table_map, encode_write_rows)
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    d = os.path.join(REPO, ".scale_data", f"binlog_ddl_dense_{tag}")
+    marker = os.path.join(d, "_DONE")
+    if os.path.exists(marker):
+        return d
+    os.makedirs(d, exist_ok=True)
+    rows = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+            .select(F.col("o_orderkey").alias("k"),
+                    F.col("o_totalprice").alias("price"),
+                    F.col("o_orderstatus").alias("status"))
+            .collect())
+    cols2 = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 10)]
+    cols3 = cols2 + [(MYSQL_TYPE_DOUBLE, None)]
+    n_ddl = 12
+    for b in range(32):
+        mine = [r for r in rows if r["k"] % 32 == b]
+        chunks = [mine[i::n_ddl + 1] for i in range(n_ddl + 1)]
+        blob = MAGIC + encode_fde(120)
+        ts = 1000
+        for i, chunk in enumerate(chunks):
+            wide = i % 2 == 0  # epoch 0 starts 2-col, ALTER widens
+            cols = cols2 if wide else cols3
+            blob += encode_table_map(7, "tpch", "orders", cols, ts)
+            blob += encode_write_rows(
+                7, cols,
+                [[r["k"], r["status"]] if wide
+                 else [r["k"], r["status"], r["price"]]
+                 for r in chunk], ts + 100)
+            ts += 1000
+            if i < n_ddl:
+                stmt = ("ALTER TABLE orders ADD COLUMN price DOUBLE"
+                        if wide else
+                        "ALTER TABLE orders DROP COLUMN price")
+                blob += encode_query("tpch", stmt, ts)
+                ts += 1000
+        with open(os.path.join(d, f"seg{b:02d}.binlog"), "wb") as f:
+            f.write(blob)
+    with open(marker, "w") as f:
+        f.write("ok")
+    return d
+
+
+def _binlog_ddl_dense_decode_throughput(spark, sf_dir):
+    """13-epoch decode of the DDL-dense batch — exactly the composer's
+    per-epoch decode_binlog(pos_range=...) loop. With the executor-side
+    parse memo (binlog._parse_binlog_cached) the byte parse is O(B) per
+    batch instead of O(K*B): the expected exponent stays ~1.0 and the
+    1x time stays comparable to the single-DDL target rather than ~6x
+    it."""
+    from functools import reduce
+
+    from pyspark.sql import functions as F, types as T
+
+    from flink_cdc_dsql_master_spark.binlog import (decode_binlog,
+                                                    extract_binlog_ddl)
+
+    d = _binlog_ddl_dense_segments_dir(spark, sf_dir)
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.binlog").load(d)
+           .select(F.col("content").alias("value"))
+           .repartition(32))
+    # control plane, measured; every file carries the same explicit
+    # DDL positions, so the distinct set is the epoch boundary list
+    positions = sorted({r["pos"]
+                        for r in extract_binlog_ddl(raw).collect()})
+    p2 = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("status", T.StringType())])
+    p3 = T.StructType([T.StructField("k", T.LongType()),
+                       T.StructField("status", T.StringType()),
+                       T.StructField("price", T.DoubleType())])
+    bounds = [None] + positions + [None]
+    parts = []
+    for i in range(len(bounds) - 1):
+        struct = p2 if i % 2 == 0 else p3
+        ep = decode_binlog(raw, struct,
+                           pos_range=(bounds[i], bounds[i + 1]))
+        if i % 2 == 0:
+            ep = ep.withColumn("price", F.lit(None).cast("double"))
+        parts.append(ep.select("k", "status", "price"))
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def _pgoutput_streamed_segments_dir(spark, sf_dir: str) -> str:
     """Protocol-v2 streamed-transaction twin of the pgoutput segments:
     every segment is one committed stream block (xid-prefixed inserts),
@@ -574,6 +668,8 @@ EXTRA_TARGETS = {"similarity_knn_join_auto": _knn_join_auto,
                      _binlog_crc32_decode_throughput,
                  "cdc_binlog_ddl_segmented_decode_throughput":
                      _binlog_ddl_segmented_decode_throughput,
+                 "cdc_binlog_ddl_dense_decode_throughput":
+                     _binlog_ddl_dense_decode_throughput,
                  "cdc_pgoutput_streamed_decode_throughput":
                      _pgoutput_streamed_decode_throughput,
                  "lakehouse_export_paimon_throughput":
