@@ -884,14 +884,39 @@ def multitable_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
     table id carries every table's schema history.
 
     Fan-out (one table → several sinks) composes through routes as
-    usual; fan-in of DIFFERENT tables into one sink table relies on the
-    sink's upsert semantics with compatible schemas (cross-table schema
-    merging stays the batch composer's domain)."""
+    usual. Fan-in of DIFFERENT tables into ONE sink table (several
+    ``route:`` rules naming the same sink — the reference's sharded-
+    table merge, TableIdRouter fan-in +
+    SchemaDerivator.deduceMergedCreateTableEvent) merges the member
+    schemas through the type-widening lattice per micro-batch under the
+    SHARED registry: each member is transformed and drift-evolved
+    against its OWN history, coerced, then union-by-name'd into the
+    widened sink schema (columns one shard lacks NULL-fill — a narrow
+    union, no extra shuffle) and written ONCE per batch. In-band-DDL
+    capture composes per-table segment loops whose flush cadence is
+    table-local, so fan-in there is rejected loudly — use drift-diff
+    evolution for sharded merges."""
     src_cfg = pipeline.source.config
     stype = pipeline.source.type
     in_band = bool(src_cfg.get("in-band-ddl"))
     evolver = evolver or SchemaEvolver(
         behavior=SchemaChangeBehavior(pipeline.schema_change_behavior))
+
+    src_tids = [TableId.parse(t.get("table", "default.default.stream"))
+                for t in src_cfg["table-list"]]
+    router = TableIdRouter(list(pipeline.routes))
+    groups = router.group_sources_by_sink(src_tids)
+    if any(len(srcs) > 1 for srcs in groups.values()):
+        if in_band:
+            raise ValueError(
+                "fan-in of several tables into one sink is not "
+                "supported with in-band-ddl capture — per-table DDL "
+                "segmentation has table-local flush cadence; use "
+                "drift-diff evolution (omit in-band-ddl)")
+        return _multitable_fanin_batch_writer(
+            pipeline, sink_writer, spark, groups, evolver,
+            on_schema_change)
+
     handles = []
     for tcfg in src_cfg["table-list"]:
         sub = PipelineDef(
@@ -947,6 +972,77 @@ def multitable_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
                 raise ValueError(
                     f"multi-table capture unsupported for {stype!r}")
             table_handle(decoded, batch_id)
+
+    return handle
+
+
+def _multitable_fanin_batch_writer(pipeline: PipelineDef, sink_writer,
+                                   spark: SparkSession, groups,
+                                   evolver: SchemaEvolver,
+                                   on_schema_change=None):
+    """Fan-in-aware multi-table ``foreachBatch`` handler (split out of
+    :func:`multitable_foreach_batch_writer`): decode + transform +
+    drift-evolve each member table once per batch, then write each sink
+    group — solo sinks get their member's frame, fan-in sinks the
+    lattice-merged union (:func:`..route.fan_in`). The merged schema is
+    registered for the sink tid so downstream readers of the registry
+    see what the sink actually received (BatchComposer parity)."""
+    src_cfg = pipeline.source.config
+    stype = pipeline.source.type
+    engine = TransformEngine(list(pipeline.transforms))
+    members = {}
+    for tcfg in src_cfg["table-list"]:
+        tid = TableId.parse(tcfg.get("table", "default.default.stream"))
+        members[tid] = (tcfg,
+                        spark.createDataFrame([], tcfg["schema"]).schema)
+
+    def handle(df: DataFrame, batch_id: int) -> None:
+        frames = {}
+        for tid, (tcfg, payload) in members.items():
+            if stype == "file-binlog":
+                from .binlog import decode_binlog
+
+                decoded = decode_binlog(df, payload,
+                                        table=tcfg.get("mysql-table"))
+            elif stype == "file-pgoutput":
+                from .pgoutput import decode_pgoutput_segments
+
+                decoded = decode_pgoutput_segments(
+                    df, payload,
+                    primary_keys=list(tcfg.get("primary-keys", []))
+                    or None,
+                    pg_table=tcfg.get("pg-table"))
+            else:
+                raise ValueError(
+                    f"multi-table capture unsupported for {stype!r}")
+            xdf = engine.apply(engine.prune(decoded, tid), tid)
+            incoming = Schema.of(
+                _data_struct(xdf),
+                primary_keys=list(tcfg.get("primary-keys", [])))
+            applied = list(evolver.infer_drift_events(tid, incoming))
+            evolved = evolver.manager.latest_evolved(tid)
+            for e in applied:
+                evolved = evolver.on_event(e)
+            schema = evolved if evolved is not None else incoming
+            frames[tid] = (coerce_dataframe(xdf, schema), schema,
+                           applied)
+        for sink_tid, srcs in groups.items():
+            if len(srcs) == 1:
+                out, schema, applied = frames[srcs[0]]
+            else:
+                out, schema = fan_in([frames[s][0] for s in srcs],
+                                     [frames[s][1] for s in srcs])
+                applied = [e for s in srcs for e in frames[s][2]]
+                evolver.manager.register_evolved(sink_tid, schema)
+            if applied and on_schema_change is not None:
+                on_schema_change(sink_tid, applied, schema)
+            if schema.primary_keys:
+                out = repartition_by_key(out,
+                                         list(schema.primary_keys))
+            if _accepts_batch_id(sink_writer):
+                sink_writer(sink_tid, out, schema, batch_id=batch_id)
+            else:
+                sink_writer(sink_tid, out, schema)
 
     return handle
 

@@ -229,3 +229,97 @@ def test_binlog_multitable_with_in_band_ddl(spark):
     assert cust == [(1, "a", None), (2, "b", 2.5)]
     assert ord_cols_names == ["id", "total"]  # no score leaked
     assert orders == [(10, 5.5), (11, 6.5)]
+
+
+def test_binlog_fanin_two_tables_one_sink(spark):
+    """Fan-in (VERDICT r11 #4): two shard tables with drifted schemas
+    route to ONE sink; the composer widens through the lattice per
+    batch, NULL-fills the narrow shard, and a second micro-batch's
+    update to one shard leaves the other shard's rows untouched."""
+    base = tempfile.mkdtemp(prefix="binlog_fanin_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    cols2 = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 20)]
+    cols3 = cols2 + [(MYSQL_TYPE_DOUBLE, None)]
+    blob1 = (MAGIC + encode_fde(120)
+             + encode_table_map(1, "db", "sh_a", cols2, 200)
+             + encode_table_map(2, "db", "sh_b", cols3, 250)
+             + encode_write_rows(1, cols2,
+                                 [[1, "a1"], [2, "a2"]], 1000)
+             + encode_write_rows(2, cols3,
+                                 [[11, "b1", 1.5], [12, "b2", 2.5]],
+                                 2000))
+    with open(f"{src}/seg1.binlog", "wb") as f:
+        f.write(blob1)
+
+    def pipe():
+        return PipelineDef(
+            source=SourceDef("file-binlog", {
+                "path": src,
+                "table-list": [
+                    {"table": "db.s.sh_a", "mysql-table": "sh_a",
+                     "schema": "k bigint, name string",
+                     "primary-keys": ["k"]},
+                    {"table": "db.s.sh_b", "mysql-table": "sh_b",
+                     "schema": "k bigint, name string, w double",
+                     "primary-keys": ["k"]},
+                ]}),
+            sink=SinkDef("duckdb"),
+            routes=(RouteRule(r"db.s.sh_a", "out.db.merged"),
+                    RouteRule(r"db.s.sh_b", "out.db.merged")),
+        )
+
+    q = compose_stream(spark, pipe(), ckpt, _duck_writer(db))
+    q.awaitTermination(300)
+
+    con = duckdb.connect(db)
+    tables = [r[0] for r in con.execute(
+        "SELECT table_name FROM information_schema.tables").fetchall()]
+    assert tables == ["merged"]
+    got = con.execute("SELECT k, name, w FROM merged ORDER BY k") \
+        .fetchall()
+    con.close()
+    assert got == [(1, "a1", None), (2, "a2", None),
+                   (11, "b1", 1.5), (12, "b2", 2.5)]
+
+    # second micro-batch: update one shard only
+    blob2 = (MAGIC + encode_fde(120)
+             + encode_table_map(1, "db", "sh_a", cols2, 200)
+             + encode_update_rows(1, cols2,
+                                  [([2, "a2"], [2, "a2x"])], 1000))
+    with open(f"{src}/seg2.binlog", "wb") as f:
+        f.write(blob2)
+    q = compose_stream(spark, pipe(), ckpt, _duck_writer(db))
+    q.awaitTermination(300)
+    con = duckdb.connect(db)
+    got = con.execute("SELECT k, name, w FROM merged ORDER BY k") \
+        .fetchall()
+    con.close()
+    assert got == [(1, "a1", None), (2, "a2x", None),
+                   (11, "b1", 1.5), (12, "b2", 2.5)]
+
+
+def test_fanin_with_in_band_ddl_rejected(spark):
+    import pytest
+
+    pipe = PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": "/nonexistent", "in-band-ddl": True,
+            "table-list": [
+                {"table": "db.s.a", "mysql-table": "a",
+                 "schema": "k bigint", "primary-keys": ["k"]},
+                {"table": "db.s.b", "mysql-table": "b",
+                 "schema": "k bigint", "primary-keys": ["k"]},
+            ]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.s.a", "out.db.m"),
+                RouteRule(r"db.s.b", "out.db.m")),
+    )
+    from flink_cdc_dsql_master_spark.compose import (
+        multitable_foreach_batch_writer)
+
+    with pytest.raises(ValueError, match="fan-in.*in-band-ddl"):
+        multitable_foreach_batch_writer(pipe, lambda *a, **k: None,
+                                        spark)
