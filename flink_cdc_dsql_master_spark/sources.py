@@ -604,10 +604,20 @@ def split_malformed_envelopes(df: DataFrame, value_col: str,
 # In-band Debezium schema-change (DDL) messages
 # ---------------------------------------------------------------------------
 
+# type capture: base word + optional arg list (numeric, or the quoted
+# value lists ENUM/SET take) + MySQL suffix keywords (UNSIGNED/
+# ZEROFILL display modifiers, DOUBLE PRECISION, CHARACTER VARYING) —
+# a fixed allowlist so NOT NULL / DEFAULT / FIRST / AFTER never get
+# swallowed. Normalized to the reference canon by _normalize_ddl_type.
+_TYPE_PAT = (r"([A-Za-z_]+"
+             r"(?:\s+(?:PRECISION|VARYING))?"  # DOUBLE PRECISION, CHARACTER VARYING(n)
+             r"(?:\s*\(\s*(?:'[^']*'|\d+)\s*(?:,\s*(?:'[^']*'|\d+)\s*)*\))?"
+             r"(?:\s+(?:UNSIGNED|ZEROFILL))*)")
+
 _DDL_RES = [
     ("add", re.compile(
         r"ALTER\s+TABLE\s+\S+\s+ADD\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+"
-        r"([A-Za-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+        + _TYPE_PAT +
         r"(?:\s+(NOT\s+NULL)|\s+NULL)?"
         r"(?:\s+DEFAULT\s+('[^']*'|[\w.+-]+))?"
         r"(?:\s+(FIRST)|\s+AFTER\s+[`\"]?(\w+)[`\"]?)?\s*;?\s*$",
@@ -620,7 +630,7 @@ _DDL_RES = [
     ("change", re.compile(
         r"ALTER\s+TABLE\s+\S+\s+CHANGE\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?"
         r"\s+[`\"]?(\w+)[`\"]?\s+"
-        r"([A-Za-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+        + _TYPE_PAT +
         r"(?:\s+(NOT\s+NULL)|\s+NULL)?"
         r"(?:\s+DEFAULT\s+(?:'[^']*'|[\w.+-]+))?\s*;?\s*$",
         re.IGNORECASE)),
@@ -630,7 +640,7 @@ _DDL_RES = [
     ("modify", re.compile(
         r"ALTER\s+TABLE\s+\S+\s+(?:MODIFY\s+(?:COLUMN\s+)?|ALTER\s+"
         r"(?:COLUMN\s+)?)[`\"]?(\w+)[`\"]?\s+(?:SET\s+DATA\s+TYPE\s+)?"
-        r"([A-Za-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)"
+        + _TYPE_PAT +
         r"(?:\s+(NOT\s+NULL)|\s+NULL)?"
         r"(?:\s+DEFAULT\s+(?:'[^']*'|[\w.+-]+))?\s*;?\s*$",
         re.IGNORECASE)),
@@ -681,6 +691,93 @@ _DDL_TARGET_RE = re.compile(
 _LEADING_COMMENT_RE = re.compile(
     r"^(?:\s*(?:/\*.*?\*/|--[^\n]*(?:\n|$)|#[^\n]*(?:\n|$)))*\s*",
     re.S)
+
+
+_UNSIGNED_WIDEN = {
+    # Debezium's unsigned mapping: one integral step up so the full
+    # unsigned range fits (io.debezium MySqlValueConverters)
+    "TINYINT": "SMALLINT", "SMALLINT": "INT", "MEDIUMINT": "INT",
+    "INT": "BIGINT", "INTEGER": "BIGINT", "BIGINT": "DECIMAL(20,0)",
+}
+
+
+def _normalize_ddl_type(ts: str) -> str:
+    """MySQL dialect type spelling → the reference canon
+    (types.parse_type's vocabulary): ENUM/SET value lists → STRING,
+    DOUBLE PRECISION → DOUBLE, CHARACTER VARYING → VARCHAR, UNSIGNED
+    integrals widened one step (Debezium's mapping — the binlog decode
+    carries the widened range), ZEROFILL/display widths dropped."""
+    s = re.sub(r"\s+", " ", ts.strip().upper())
+    s = s.replace(" ZEROFILL", "")
+    unsigned = s.endswith(" UNSIGNED") or " UNSIGNED " in s + " "
+    s = s.replace(" UNSIGNED", "")
+    base = s.split("(", 1)[0].strip()
+    if base in ("ENUM", "SET"):
+        return "STRING"
+    if s == "DOUBLE PRECISION":
+        s = "DOUBLE"
+    if s.startswith("CHARACTER VARYING"):
+        s = "VARCHAR" + s[len("CHARACTER VARYING"):]
+    if unsigned and base in _UNSIGNED_WIDEN:
+        return _UNSIGNED_WIDEN[base]  # display width dropped
+    if base in ("TINYINT", "SMALLINT", "MEDIUMINT", "INT", "INTEGER",
+                "BIGINT"):
+        # INT(11) display width is not a type parameter
+        s = "INT" if base == "MEDIUMINT" else base
+    return s
+
+
+def strip_inline_comments(stmt: str) -> str:
+    """Remove ``/* .. */`` blocks and ``-- ``/``#`` line comments
+    ANYWHERE in a statement, respecting single-quoted literals (a
+    DEFAULT value may contain '--'). MySQL's rule: ``--`` starts a
+    comment only when followed by whitespace/EOL; ``#`` always does.
+    A mid-spec or trailing comment used to make JUST that spec's regex
+    fail — silent PARTIAL application of a multi-spec ALTER (round-12
+    fuzz finding)."""
+    out = []
+    i, n = 0, len(stmt)
+    in_q = False
+    while i < n:
+        ch = stmt[i]
+        if in_q:
+            out.append(ch)
+            if ch == "'":
+                in_q = False
+            i += 1
+            continue
+        if ch == "'":
+            in_q = True
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "/" and stmt.startswith("/*", i):
+            end = stmt.find("*/", i + 2)
+            i = n if end < 0 else end + 2
+            out.append(" ")
+            continue
+        if ch == "#" or (stmt.startswith("--", i)
+                         and (i + 2 >= n or stmt[i + 2] in " \t\n")):
+            nl = stmt.find("\n", i)
+            i = n if nl < 0 else nl
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def split_sql_statements(ddl: str) -> list[str]:
+    """Split a DDL blob on ``;`` outside single-quoted literals — a
+    quoted DEFAULT may contain ';' (round-12 fuzz hardening)."""
+    parts, start, in_q = [], 0, False
+    for i, ch in enumerate(ddl):
+        if ch == "'":
+            in_q = not in_q
+        elif ch == ";" and not in_q:
+            parts.append(ddl[start:i])
+            start = i + 1
+    parts.append(ddl[start:])
+    return parts
 
 
 def strip_leading_comments(stmt: str) -> str:
@@ -799,10 +896,13 @@ def parse_debezium_ddl(ddl: str, tid) -> list:
     skipped (Debezium also emits CREATE/GRANT noise).
     """
     events = []
-    for raw_stmt in ddl.split(";"):
-        # strip migration-tool comment prefixes BEFORE spec expansion
-        # so a commented multi-spec ALTER still expands (wave-4 #1)
-        raw_stmt = strip_leading_comments(raw_stmt).strip()
+    for raw_stmt in split_sql_statements(ddl):
+        # strip comments — leading migration-tool prefixes AND mid/
+        # trailing ones — BEFORE spec expansion, so a commented
+        # multi-spec ALTER still expands and no single spec silently
+        # drops (wave-4 #1 + round-12 fuzz finding)
+        raw_stmt = strip_inline_comments(
+            strip_leading_comments(raw_stmt)).strip()
         if not raw_stmt:
             continue
         for stmt in _expand_alter_specs(raw_stmt):
@@ -827,7 +927,8 @@ def _parse_one_ddl(stmt: str, tid) -> list:
             pos = (ColumnPosition.FIRST if first
                    else ColumnPosition.AFTER if anchor
                    else ColumnPosition.LAST)
-            ts = typ.upper() + (" NOT NULL" if notnull else "")
+            ts = _normalize_ddl_type(typ) + \
+                (" NOT NULL" if notnull else "")
             if default is not None:
                 if default.startswith("'"):
                     default = default[1:-1]
@@ -842,12 +943,14 @@ def _parse_one_ddl(stmt: str, tid) -> list:
             old_name, new_name, typ, notnull = m.groups()
             if old_name != new_name:
                 events.append(RenameColumnEvent(tid, old_name, new_name))
-            ts = typ.upper() + (" NOT NULL" if notnull else "")
+            ts = _normalize_ddl_type(typ) + \
+                (" NOT NULL" if notnull else "")
             events.append(AlterColumnTypeEvent(tid, new_name, ts))
         elif kind == "drop":
             events.append(DropColumnEvent(tid, m.group(1)))
         elif kind == "modify":
-            ts = m.group(2).upper() + (" NOT NULL" if m.group(3) else "")
+            ts = _normalize_ddl_type(m.group(2)) + \
+                (" NOT NULL" if m.group(3) else "")
             events.append(AlterColumnTypeEvent(tid, m.group(1), ts))
         elif kind == "create_table":
             parsed = _parse_create_columns(m.group(1))
