@@ -192,14 +192,14 @@ def _write_schema(local: str, schema: T.StructType) -> None:
 
 def _write_snapshot(local: str, snap_id: int, base_list: str,
                     delta_list: str, total: int, delta: int,
-                    earliest: bool = False) -> None:
+                    earliest: bool = False, schema_id: int = 0) -> None:
     snap_dir = os.path.join(local, "snapshot")
     os.makedirs(snap_dir, exist_ok=True)
     with open(os.path.join(snap_dir, f"snapshot-{snap_id}"), "w") as f:
         json.dump({
             "version": 3,
             "id": snap_id,
-            "schemaId": 0,
+            "schemaId": schema_id,
             "baseManifestList": base_list,
             "deltaManifestList": delta_list,
             "changelogManifestList": None,

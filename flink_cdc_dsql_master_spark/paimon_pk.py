@@ -215,12 +215,94 @@ def _write_pk_schema(local: str, struct_type: T.StructType,
         }, f, indent=2)
 
 
-def _read_pk_meta(local: str):
-    """(value StructType, primary_keys, buckets) from schema-0."""
-    with open(os.path.join(local, "schema", "schema-0")) as f:
-        sj = json.load(f)
+def _latest_schema_id(local: str) -> int:
+    return max(int(n.split("-", 1)[1])
+               for n in os.listdir(os.path.join(local, "schema"))
+               if n.startswith("schema-"))
+
+
+def _schema_json(local: str, schema_id: int) -> dict:
+    with open(os.path.join(local, "schema",
+                           f"schema-{schema_id}")) as f:
+        return json.load(f)
+
+
+def _read_pk_meta(local: str, schema_id: int | None = None):
+    """(value StructType, primary_keys, buckets) from schema-N
+    (latest when unpinned)."""
+    if schema_id is None:
+        schema_id = _latest_schema_id(local)
+    sj = _schema_json(local, schema_id)
     return (_schema_from_paimon(sj), list(sj["primaryKeys"]),
             int(sj["options"]["bucket"]))
+
+
+def evolve_paimon_pk(dest: str, events) -> dict:
+    """Apply schema-change events to a Paimon PK table — the analog of
+    ``PaimonMetadataApplier.applyAddColumn/applyDropColumn/
+    applyRenameColumn/applyAlterColumnType`` (each ``catalog.
+    alterTable`` call the reference makes writes the next schema-N
+    file). Field-id continuity follows the Paimon schema spec: a
+    surviving column keeps its id across renames and type changes, a
+    new column takes ``highestFieldId + 1`` (ids are how readers map a
+    file written under schema-M into schema-N). Primary-key columns may
+    not be renamed or dropped (the bucket layout hashes them). Returns
+    {schema_id, fields}."""
+    from .evolve import apply_schema_change
+    from .schema import Schema
+
+    local = _local(dest)
+    prev_id = _latest_schema_id(local)
+    sj = _schema_json(local, prev_id)
+    ids = {f["name"]: f["id"] for f in sj["fields"]}
+    highest = sj["highestFieldId"]
+    struct = _schema_from_paimon(sj)
+    schema = Schema.of(struct, primary_keys=list(sj["primaryKeys"]))
+    pks = set(sj["primaryKeys"])
+    for ev in events:
+        from .events import DropColumnEvent, RenameColumnEvent
+
+        if isinstance(ev, RenameColumnEvent):
+            if ev.old_name in pks:
+                raise ValueError(
+                    f"cannot rename primary-key column {ev.old_name!r} "
+                    "of a bucketed PK table")
+            ids[ev.new_name] = ids.pop(ev.old_name)
+        elif isinstance(ev, DropColumnEvent):
+            if ev.name in pks:
+                raise ValueError(
+                    f"cannot drop primary-key column {ev.name!r} of a "
+                    "bucketed PK table")
+            ids.pop(ev.name, None)
+        schema = apply_schema_change(schema, ev)
+        if schema is None:
+            raise ValueError("DropTableEvent cannot evolve a PK table "
+                             "in place — remove the directory instead")
+    fields = []
+    for f in schema.struct.fields:
+        fid = ids.get(f.name)
+        if fid is None:
+            highest += 1
+            fid = highest
+            ids[f.name] = fid
+        pf = _paimon_field(0, f)
+        pf["id"] = fid
+        fields.append(pf)
+    new_id = prev_id + 1
+    with open(os.path.join(local, "schema", f"schema-{new_id}"),
+              "w") as f:
+        json.dump({
+            "version": 3,
+            "id": new_id,
+            "fields": fields,
+            "highestFieldId": highest,
+            "partitionKeys": sj["partitionKeys"],
+            "primaryKeys": sj["primaryKeys"],
+            "options": sj["options"],
+            "timeMillis": int(time.time() * 1000),
+        }, f, indent=2)
+    return {"schema_id": new_id,
+            "fields": [f["name"] for f in fields]}
 
 
 def _kv_frame(changelog: DataFrame, primary_keys: list[str],
@@ -330,7 +412,8 @@ def _stage_pk_files(kv: DataFrame, local: str, primary_keys: list[str],
     return run, files
 
 
-def _pk_manifest_entries(files, buckets: int) -> list[dict]:
+def _pk_manifest_entries(files, buckets: int,
+                         schema_id: int = 0) -> list[dict]:
     now_ms = int(time.time() * 1000)
     out = []
     for b, pname, n, sz, min_key, max_key, min_seq, max_seq in files:
@@ -345,7 +428,7 @@ def _pk_manifest_entries(files, buckets: int) -> list[dict]:
                 "_VALUE_STATS": dict(_EMPTY_STATS),
                 "_MIN_SEQUENCE_NUMBER": min_seq,
                 "_MAX_SEQUENCE_NUMBER": max_seq,
-                "_SCHEMA_ID": 0,
+                "_SCHEMA_ID": schema_id,
                 "_LEVEL": 0,  # fresh commit: level-0 sorted run
                 "_EXTRA_FILES": [],
                 "_CREATION_TIME": now_ms,
@@ -438,15 +521,16 @@ def append_paimon_pk(spark, changelog: DataFrame, dest: str,
 
 def _commit_pk(spark, changelog: DataFrame, local: str, seq_base: int,
                prev: dict | None, commit_identifier=None) -> dict:
-    value_struct, primary_keys, buckets = _read_pk_meta(local)
+    schema_id = _latest_schema_id(local)
+    value_struct, primary_keys, buckets = _read_pk_meta(local, schema_id)
     value_cols = [f.name for f in value_struct.fields]
     got = [c for c in changelog.columns
            if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id", "__op_ts")]
     if got != value_cols:
         raise ValueError(
-            f"changelog columns {got} do not match schema-0 "
-            f"{value_cols} — evolve the table before writing a "
-            "drifted batch")
+            f"changelog columns {got} do not match schema-{schema_id} "
+            f"{value_cols} — evolve the table (evolve_paimon_pk) "
+            "before writing a drifted batch")
     key_fields = [value_struct[k] for k in primary_keys]
 
     kv = _kv_frame(changelog, primary_keys, value_cols, buckets,
@@ -455,7 +539,7 @@ def _commit_pk(spark, changelog: DataFrame, local: str, seq_base: int,
 
     man_dir = os.path.join(local, "manifest")
     os.makedirs(man_dir, exist_ok=True)
-    entries = _pk_manifest_entries(files, buckets)
+    entries = _pk_manifest_entries(files, buckets, schema_id)
     manifest_name = f"manifest-{run}-0"
     mlen = write_container(os.path.join(man_dir, manifest_name),
                            MANIFEST_ENTRY_SCHEMA, entries)
@@ -486,7 +570,7 @@ def _commit_pk(spark, changelog: DataFrame, local: str, seq_base: int,
     snap_id = (prev["id"] + 1) if prev else 1
     _write_snapshot(local, snap_id, base_list, delta_list,
                     total=prev_total + new_rows, delta=new_rows,
-                    earliest=prev is None)
+                    earliest=prev is None, schema_id=schema_id)
     if commit_identifier is not None:
         sp = os.path.join(local, "snapshot", f"snapshot-{snap_id}")
         snap = json.load(open(sp))
@@ -507,27 +591,75 @@ def read_paimon_pk(spark, dest: str,
     merge engine: per key, the highest-sequence KeyValue row wins; a
     winning DELETE (or UPDATE_BEFORE) drops the key. Distributed as a
     per-key window over the live file union (keys are high-cardinality;
-    no single-partition stage)."""
+    no single-partition stage). Files written under an OLDER schema map
+    into the snapshot's schema by FIELD ID (the Paimon evolution
+    contract): renamed columns resolve through their id, added columns
+    NULL-fill, widened types cast — all Catalyst projections."""
     from pyspark.sql import Window
 
     local = _local(dest)
-    value_struct, primary_keys, _ = _read_pk_meta(local)
+    snap_dir = os.path.join(local, "snapshot")
+    sid = snapshot_id
+    if sid is None:
+        with open(os.path.join(snap_dir, "LATEST")) as f:
+            sid = int(f.read().strip())
+    with open(os.path.join(snap_dir, f"snapshot-{sid}")) as f:
+        target_schema_id = json.load(f)["schemaId"]
+    value_struct, primary_keys, _ = _read_pk_meta(local,
+                                                  target_schema_id)
     live = _live_paths(local, snapshot_id)
     if not live:
         return spark.createDataFrame([], value_struct)
-    df = spark.read.parquet(*sorted(live))
+
+    target_json = _schema_json(local, target_schema_id)
+    target_ids = {f["id"]: f["name"] for f in target_json["fields"]}
+    sys_cols = ([KEY_PREFIX + k for k in primary_keys]
+                + [SEQ_FIELD, KIND_FIELD])
+
+    parts = []
+    by_schema: dict[int, list[str]] = {}
+    for path, file_schema_id in live:
+        by_schema.setdefault(file_schema_id, []).append(path)
+    for file_schema_id, paths in sorted(by_schema.items()):
+        df = spark.read.parquet(*sorted(paths))
+        if file_schema_id == target_schema_id:
+            sel = [F.col(c) for c in sys_cols] + \
+                  [F.col(f.name).cast(f.dataType).alias(f.name)
+                   for f in value_struct.fields]
+        else:
+            old_json = _schema_json(local, file_schema_id)
+            old_by_id = {f["id"]: f["name"] for f in old_json["fields"]}
+            sel = [F.col(c) for c in sys_cols]
+            for f in value_struct.fields:
+                fid = next(i for i, n in target_ids.items()
+                           if n == f.name)
+                old_name = old_by_id.get(fid)
+                if old_name is None:
+                    sel.append(F.lit(None).cast(f.dataType)
+                               .alias(f.name))
+                else:
+                    sel.append(F.col(old_name).cast(f.dataType)
+                               .alias(f.name))
+        parts.append(df.select(*sel))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+
     w = Window.partitionBy(
         *[KEY_PREFIX + k for k in primary_keys]).orderBy(
         F.desc(SEQ_FIELD))
     value_cols = [f.name for f in value_struct.fields]
-    return (df.withColumn("__rn", F.row_number().over(w))
+    return (out.withColumn("__rn", F.row_number().over(w))
             .where(F.col("__rn") == 1)
             .where(~F.col(KIND_FIELD).isin(ROWKIND_DELETE,
                                            ROWKIND_UPDATE_BEFORE))
             .select(*value_cols))
 
 
-def _live_paths(local: str, snapshot_id: int | None = None) -> list[str]:
+def _live_paths(local: str,
+                snapshot_id: int | None = None) -> list[tuple]:
+    """[(data-file path, schema id it was written under)] for one
+    snapshot's fold."""
     snap_dir = os.path.join(local, "snapshot")
     if snapshot_id is None:
         with open(os.path.join(snap_dir, "LATEST")) as f:
@@ -535,7 +667,7 @@ def _live_paths(local: str, snapshot_id: int | None = None) -> list[str]:
     with open(os.path.join(snap_dir, f"snapshot-{snapshot_id}")) as f:
         snap = json.load(f)
     man_dir = os.path.join(local, "manifest")
-    live: dict[tuple, str] = {}
+    live: dict[tuple, tuple] = {}
     for list_name in (snap["baseManifestList"],
                       snap["deltaManifestList"]):
         if not list_name:
@@ -547,9 +679,10 @@ def _live_paths(local: str, snapshot_id: int | None = None) -> list[str]:
             for e in entries:
                 key = (e["_BUCKET"], e["_FILE"]["_FILE_NAME"])
                 if e["_KIND"] == _KIND_ADD:
-                    live[key] = os.path.join(
+                    live[key] = (os.path.join(
                         local, f"bucket-{e['_BUCKET']}",
-                        e["_FILE"]["_FILE_NAME"])
+                        e["_FILE"]["_FILE_NAME"]),
+                        e["_FILE"]["_SCHEMA_ID"])
                 else:
                     live.pop(key, None)
     return list(live.values())
@@ -568,7 +701,8 @@ def compact_paimon_pk(spark, dest: str) -> dict:
     prev, max_seq, _ = _chain_state(local)
     if prev is None:
         raise ValueError(f"{dest}: no Paimon table to compact")
-    value_struct, primary_keys, buckets = _read_pk_meta(local)
+    schema_id = _latest_schema_id(local)
+    value_struct, primary_keys, buckets = _read_pk_meta(local, schema_id)
     merged = read_paimon_pk(spark, dest)
     cl = (merged.withColumn(OP_COLUMN, F.lit("+I"))
           .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
@@ -596,7 +730,7 @@ def compact_paimon_pk(spark, dest: str) -> dict:
                     old_live.pop(key, None)
 
     now_entries = [dict(e, _KIND=_KIND_DELETE) for e in old_live.values()]
-    for entry in _pk_manifest_entries(files, buckets):
+    for entry in _pk_manifest_entries(files, buckets, schema_id):
         entry["_FILE"]["_LEVEL"] = 5  # compaction output: max level
         entry["_FILE"]["_FILE_SOURCE"] = 1  # COMPACT
         now_entries.append(entry)
@@ -626,7 +760,7 @@ def compact_paimon_pk(spark, dest: str) -> dict:
     total = sum(f[2] for f in files)
     snap_id = prev["id"] + 1
     _write_snapshot(local, snap_id, base_list, delta_list,
-                    total=total, delta=0)
+                    total=total, delta=0, schema_id=schema_id)
     sp = os.path.join(local, "snapshot", f"snapshot-{snap_id}")
     snap = json.load(open(sp))
     snap["commitKind"] = "COMPACT"
@@ -650,6 +784,7 @@ def make_paimon_pk_sink_writer(base: str, buckets: int = 4):
         dest = f"{base}/{table_id.table}"
         if os.path.exists(os.path.join(_local(dest), "snapshot",
                                        "LATEST")):
+            df = _drift_evolve(df, schema, dest, table_id)
             append_paimon_pk(spark, df, dest,
                              commit_identifier=batch_id)
         else:
@@ -657,3 +792,40 @@ def make_paimon_pk_sink_writer(base: str, buckets: int = 4):
                             commit_identifier=batch_id)
 
     return writer
+
+
+def _drift_evolve(df: DataFrame, schema, dest: str,
+                  table_id) -> DataFrame:
+    """Schema drift between the stream's evolved schema and the Paimon
+    table → schema-N evolution (PaimonMetadataApplier's
+    applyAddColumn/applyAlterColumnType parity for the drift-diff
+    path): new columns append, type changes widen through the merge
+    lattice; columns the batch lacks NULL-fill via coercion. Renames
+    only arrive as explicit events — call :func:`evolve_paimon_pk`
+    directly for those (a diff cannot distinguish rename from
+    drop+add; same contract as the drift-diff composer)."""
+    from .events import AddColumnEvent, AlterColumnTypeEvent
+    from .evolve import _spark_field_type_string
+    from .merging import coerce_dataframe, merge_fields
+    from .schema import Schema
+
+    local = _local(dest)
+    value_struct, pks, _ = _read_pk_meta(local)
+    have = {f.name: f for f in value_struct.fields}
+    events = []
+    for f in schema.struct.fields:
+        cur = have.get(f.name)
+        if cur is None:
+            events.append(AddColumnEvent(
+                table_id, f.name, _spark_field_type_string(f)))
+        elif cur.dataType != f.dataType:
+            merged = merge_fields(cur, f)
+            if merged.dataType != cur.dataType:
+                events.append(AlterColumnTypeEvent(
+                    table_id, f.name,
+                    _spark_field_type_string(merged)))
+    if events:
+        evolve_paimon_pk(dest, events)
+        value_struct, pks, _ = _read_pk_meta(local)
+    return coerce_dataframe(df, Schema.of(value_struct,
+                                          primary_keys=pks))

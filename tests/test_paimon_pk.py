@@ -228,7 +228,7 @@ def test_compact_pk_collapses_chain(spark, tmp_path):
     assert after == expect
     # compacted files are the only live set; all max level, all INSERT
     from flink_cdc_dsql_master_spark.paimon_pk import _live_paths
-    live = _live_paths(dest)
+    live = [p for p, _sid in _live_paths(dest)]
     kinds = (spark.read.parquet(*live).select(KIND_FIELD).distinct()
              .collect())
     assert [r[0] for r in kinds] == [ROWKIND_INSERT]
@@ -283,3 +283,108 @@ pipeline:
                  read_paimon(spark, dest).collect())
     # script: insert 1,2,3; update 2→x; delete 3
     assert got == [("1", "1"), ("2", "x")]
+
+
+def test_schema_evolution_add_widen_rename(spark, tmp_path):
+    """PaimonMetadataApplier parity: schema-N evolution with field-id
+    continuity — files written under schema-0 read back through
+    schema-2 by FIELD ID (renamed column resolves, added column
+    NULL-fills, widened type casts); time travel to a pre-evolution
+    snapshot still reads with the OLD schema."""
+    from flink_cdc_dsql_master_spark.events import (AddColumnEvent,
+                                                    AlterColumnTypeEvent,
+                                                    RenameColumnEvent)
+    from flink_cdc_dsql_master_spark.paimon_pk import evolve_paimon_pk
+
+    dest = str(tmp_path / "t")
+    write_paimon_pk(spark, _cl(spark, [
+        (1, "a", 1.0, "+I", 1), (2, "b", 2.0, "+I", 2)]), dest, SCHEMA,
+        buckets=2)
+
+    out = evolve_paimon_pk(dest, [
+        AddColumnEvent(TableId.parse("x.y.t"), "tag", "STRING"),
+        RenameColumnEvent(TableId.parse("x.y.t"), "name", "label"),
+    ])
+    assert out["schema_id"] == 1
+    sj = json.load(open(os.path.join(dest, "schema", "schema-1")))
+    by_name = {f["name"]: f["id"] for f in sj["fields"]}
+    assert by_name["label"] == 1  # rename kept the field id
+    assert by_name["tag"] == sj["highestFieldId"]  # fresh id
+
+    # a batch under the evolved schema
+    cl2 = spark.createDataFrame(
+        [(2, "b2", 2.5, "t2", "+U", 3), (3, "c", 3.0, "t3", "+I", 4)],
+        f"k int, label string, v double, tag string, "
+        f"{OP_COLUMN} string, {SEQ_COLUMN} long")
+    append_paimon_pk(spark, cl2, dest)
+
+    got = sorted((r["k"], r["label"], r["v"], r["tag"]) for r in
+                 read_paimon_pk(spark, dest).collect())
+    # schema-0 files: 'name' resolves to 'label' via id 1, tag NULL
+    assert got == [(1, "a", 1.0, None), (2, "b2", 2.5, "t2"),
+                   (3, "c", 3.0, "t3")]
+    # pre-evolution time travel keeps the OLD column names
+    s1 = read_paimon_pk(spark, dest, snapshot_id=1)
+    assert [f.name for f in s1.schema.fields] == ["k", "name", "v"]
+
+    # widen v — the evolution takes effect at the NEXT commit: an
+    # existing snapshot keeps reading through ITS schemaId (Paimon's
+    # snapshot-pinned schema contract)
+    evolve_paimon_pk(dest, [
+        AlterColumnTypeEvent(TableId.parse("x.y.t"), "v",
+                             "DECIMAL(20,4)")])
+    assert dict(read_paimon_pk(spark, dest).dtypes)["v"] == "double"
+    cl3 = spark.createDataFrame(
+        [(4, "d", "4.4444", "t4", "+I", 5)],
+        f"k int, label string, v string, tag string, "
+        f"{OP_COLUMN} string, {SEQ_COLUMN} long")
+    from flink_cdc_dsql_master_spark.merging import coerce_dataframe
+    evolved_schema = Schema.of(
+        [("k", "INT NOT NULL"), ("label", "STRING"),
+         ("v", "DECIMAL(20,4)"), ("tag", "STRING")],
+        primary_keys=["k"])
+    append_paimon_pk(spark, coerce_dataframe(cl3, evolved_schema), dest)
+    merged = read_paimon_pk(spark, dest)
+    assert dict(merged.dtypes)["v"] == "decimal(20,4)"
+    assert merged.count() == 4  # old DOUBLE files cast through id map
+
+
+def test_evolution_guards_primary_keys(spark, tmp_path):
+    from flink_cdc_dsql_master_spark.events import (DropColumnEvent,
+                                                    RenameColumnEvent)
+    from flink_cdc_dsql_master_spark.paimon_pk import evolve_paimon_pk
+
+    dest = str(tmp_path / "t")
+    write_paimon_pk(spark, _cl(spark, [(1, "a", 1.0, "+I", 1)]),
+                    dest, SCHEMA)
+    with pytest.raises(ValueError, match="rename primary-key"):
+        evolve_paimon_pk(dest, [RenameColumnEvent(
+            TableId.parse("x.y.t"), "k", "kk")])
+    with pytest.raises(ValueError, match="drop primary-key"):
+        evolve_paimon_pk(dest, [DropColumnEvent(
+            TableId.parse("x.y.t"), "k")])
+
+
+def test_streaming_writer_drift_evolves(spark, tmp_path):
+    """The streaming PK writer evolves the table on drifted batches
+    (new column appended; missing column NULL-fills) instead of
+    failing — the drift-diff path of the reference metadata applier."""
+    base = str(tmp_path / "wh")
+    writer = make_paimon_pk_sink_writer(base, buckets=2)
+    tid = TableId.parse("ns.sch.t")
+    writer(tid, _cl(spark, [(1, "a", 1.0, "+I", 1)]), SCHEMA, 0)
+
+    wider = Schema.of([("k", "INT NOT NULL"), ("name", "STRING"),
+                       ("v", "DOUBLE"), ("tag", "STRING")],
+                      primary_keys=["k"])
+    cl2 = spark.createDataFrame(
+        [(2, "b", 2.0, "t2", "+I", 2)],
+        f"k int, name string, v double, tag string, "
+        f"{OP_COLUMN} string, {SEQ_COLUMN} long")
+    writer(tid, cl2, wider, 1)
+
+    dest = f"{base}/t"
+    got = sorted((r["k"], r["name"], r["v"], r["tag"]) for r in
+                 read_paimon(spark, dest).collect())
+    assert got == [(1, "a", 1.0, None), (2, "b", 2.0, "t2")]
+    assert os.path.exists(os.path.join(dest, "schema", "schema-1"))
