@@ -727,6 +727,79 @@ def _normalize_ddl_type(ts: str) -> str:
     return s
 
 
+_COMMENT_ATTR_RE = re.compile(r"\bCOMMENT\s+'(?:[^']|'')*'", re.IGNORECASE)
+_CT_PARENS_RE = re.compile(r"\b(DEFAULT\s+CURRENT_TIMESTAMP)\s*\(\d*\)",
+                           re.IGNORECASE)
+_COL_ATTR_RE = re.compile(
+    r"\b(?:CHARACTER\s+SET\s+\w+|COLLATE\s+\w+"
+    r"|ON\s+UPDATE\s+CURRENT_TIMESTAMP(?:\s*\(\d*\))?"
+    r"|AUTO_INCREMENT|UNIQUE(?:\s+KEY)?|PRIMARY\s+KEY)\b",
+    re.IGNORECASE)
+_GENERATED_AS_RE = re.compile(r"(?:\bGENERATED\s+ALWAYS\s+)?\bAS\s*\(",
+                              re.IGNORECASE)
+
+
+def _sub_outside_quotes(rx: re.Pattern, repl: str, s: str) -> str:
+    """Apply a regex substitution only to the segments of ``s`` outside
+    single-quoted literals."""
+    out, seg_start, in_q = [], 0, False
+    for i, ch in enumerate(s):
+        if ch == "'":
+            seg = s[seg_start:i]
+            out.append(seg if in_q else rx.sub(repl, seg))
+            out.append("'")
+            seg_start = i + 1
+            in_q = not in_q
+    seg = s[seg_start:]
+    out.append(seg if in_q else rx.sub(repl, seg))
+    return "".join(out)
+
+
+def _scrub_column_attributes(stmt: str) -> str:
+    """Remove MySQL column attributes that carry no engine-schema
+    meaning so the per-spec regexes still match the column underneath
+    (round-12 probe findings — each of these used to make the whole
+    spec parse to NOTHING, silently skipping evolution): COMMENT
+    strings, CHARACTER SET / COLLATE, ON UPDATE CURRENT_TIMESTAMP,
+    AUTO_INCREMENT, inline UNIQUE / PRIMARY KEY markers, and
+    ``[GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]`` generated-column
+    clauses (a STORED generated column IS present in binlog row images,
+    so its ADD must apply as an ordinary column). Quote-aware
+    throughout; DEFAULT CURRENT_TIMESTAMP(p) loses only its precision
+    parens."""
+    # generated-column expressions first: balanced parens, quote-aware
+    # (both the search — an 'AS (' inside a quoted DEFAULT is literal
+    # text — and the balance walk)
+    pos = 0
+    while True:
+        m = _GENERATED_AS_RE.search(stmt, pos)
+        if not m:
+            break
+        if stmt.count("'", 0, m.start()) % 2:  # inside a literal
+            pos = m.end()
+            continue
+        depth, in_q, i = 1, False, m.end()
+        while i < len(stmt) and depth:
+            ch = stmt[i]
+            if ch == "'":
+                in_q = not in_q
+            elif not in_q and ch == "(":
+                depth += 1
+            elif not in_q and ch == ")":
+                depth -= 1
+            i += 1
+        tail = re.match(r"\s*(?:VIRTUAL|STORED)\b", stmt[i:],
+                        re.IGNORECASE)
+        if tail:
+            i += tail.end()
+        stmt = stmt[:m.start()] + " " + stmt[i:]
+        pos = m.start() + 1
+    stmt = _COMMENT_ATTR_RE.sub(" ", stmt)
+    stmt = _sub_outside_quotes(_CT_PARENS_RE, r"\1", stmt)
+    stmt = _sub_outside_quotes(_COL_ATTR_RE, " ", stmt)
+    return re.sub(r"[ \t]{2,}", " ", stmt).strip()
+
+
 def strip_inline_comments(stmt: str) -> str:
     """Remove ``/* .. */`` blocks and ``-- ``/``#`` line comments
     ANYWHERE in a statement, respecting single-quoted literals (a
@@ -915,6 +988,12 @@ def _parse_one_ddl(stmt: str, tid) -> list:
                          ColumnPosition, CreateTableEvent, DropColumnEvent,
                          DropTableEvent, RenameColumnEvent,
                          TruncateTableEvent)
+
+    if re.match(r"\s*ALTER\s+TABLE\b",
+                strip_leading_comments(stmt), re.IGNORECASE):
+        # ALTER specs only — CREATE TABLE bodies keep inline PRIMARY
+        # KEY markers for _parse_create_columns
+        stmt = _scrub_column_attributes(stmt)
 
     events = []
     stmt = strip_leading_comments(stmt)

@@ -265,3 +265,44 @@ def test_dialect_type_fuzz(data):
     assert len(got) == want, f"stmt={stmt!r} got={got}"
     assert got[0] == AddColumnEvent(TID, name, _NORMALIZED[typ]), \
         f"stmt={stmt!r}"
+
+
+def test_column_attributes_do_not_skip_specs():
+    """Round-12 probe findings #2: COMMENT strings, CHARACTER
+    SET/COLLATE, ON UPDATE CURRENT_TIMESTAMP, AUTO_INCREMENT, inline
+    UNIQUE/PRIMARY KEY, and generated columns all made the whole spec
+    parse to NOTHING. A STORED generated column IS in binlog row
+    images, so its ADD must apply as an ordinary column."""
+    cases = {
+        "ALTER TABLE t ADD c INT GENERATED ALWAYS AS (a+1) STORED":
+            ("c", "INT", None),
+        "ALTER TABLE t ADD c VARCHAR(20) AS (concat(a, ',', b)) "
+        "STORED NOT NULL": ("c", "VARCHAR(20) NOT NULL", None),
+        "ALTER TABLE t ADD c INT COMMENT 'a column'": ("c", "INT", None),
+        "ALTER TABLE t ADD c INT CHARACTER SET utf8mb4 "
+        "COLLATE utf8mb4_bin": ("c", "INT", None),
+        "ALTER TABLE t ADD c TIMESTAMP DEFAULT CURRENT_TIMESTAMP "
+        "ON UPDATE CURRENT_TIMESTAMP":
+            ("c", "TIMESTAMP", "CURRENT_TIMESTAMP"),
+        "ALTER TABLE t ADD c TIMESTAMP(3) DEFAULT CURRENT_TIMESTAMP(3)":
+            ("c", "TIMESTAMP(3)", "CURRENT_TIMESTAMP"),
+        "ALTER TABLE t ADD c INT AUTO_INCREMENT": ("c", "INT", None),
+        # the scrubber is quote-aware: an 'AS (' inside a DEFAULT is
+        # literal text, not a generated-column clause
+        "ALTER TABLE t ADD c VARCHAR(5) DEFAULT 'AS (x)'":
+            ("c", "VARCHAR(5)", "AS (x)"),
+    }
+    for stmt, (name, ts, default) in cases.items():
+        [e] = parse_debezium_ddl(stmt, TID)
+        assert (e.name, e.type_string, e.default) == (name, ts, default), \
+            stmt
+    # constraint-only ADDs still contribute nothing
+    assert parse_debezium_ddl("ALTER TABLE t ADD PRIMARY KEY (k)",
+                              TID) == []
+    assert parse_debezium_ddl("ALTER TABLE t ADD INDEX idx (k)",
+                              TID) == []
+    # attribute on one spec never hides its multi-spec siblings
+    got = parse_debezium_ddl(
+        "ALTER TABLE t ADD c INT COMMENT 'has, comma', DROP d", TID)
+    assert [type(e).__name__ for e in got] == ["AddColumnEvent",
+                                               "DropColumnEvent"]
