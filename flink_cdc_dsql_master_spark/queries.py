@@ -9085,6 +9085,80 @@ def lakehouse_paimon_pk_stream(spark, sf_dir):
 
 
 @_q(
+    "lakehouse_paimon_pk_evolve",
+    """
+    WITH base AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 9 = 0 THEN o_totalprice + 50.0
+                  ELSE o_totalprice END AS price,
+             CASE WHEN o_orderkey % 9 = 0 THEN o_orderpriority
+                  ELSE NULL END AS clerk
+      FROM orders WHERE o_orderkey % 3 = 0)
+    SELECT k, price, clerk FROM base
+    UNION ALL
+    SELECT o_orderkey AS k, o_totalprice AS price,
+           o_orderpriority AS clerk
+    FROM orders WHERE o_orderkey % 3 = 1
+    """,
+)
+def lakehouse_paimon_pk_evolve(spark, sf_dir):
+    """Paimon PK-table SCHEMA EVOLUTION end-to-end (PaimonMetadataApplier
+    applyAddColumn/applyRenameColumn parity): the streaming writer
+    drift-ADDS a column mid-stream (schema-1), an explicit rename lands
+    as schema-2 with field-id continuity, and a post-rename batch
+    commits under the new name. Merge-on-read maps every file through
+    ITS schema id into the final schema — schema-0 files' renamed
+    column resolves by id, their missing column NULL-fills — and the
+    result must hash-match the oracle's LWW recomputation."""
+    import os
+    import tempfile
+
+    from .events import RenameColumnEvent
+    from .paimon_export import read_paimon
+    from .paimon_pk import evolve_paimon_pk, make_paimon_pk_sink_writer
+
+    orders = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    b0 = (orders.where(k % 3 == 0)
+          .select(k.alias("k"), F.col("o_totalprice").alias("p"))
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    b1 = (orders.where(k % 9 == 0)
+          .select(k.alias("k"),
+                  (F.col("o_totalprice") + 50.0).alias("p"),
+                  F.col("o_orderpriority").alias("clerk"))
+          .withColumn(OP_COLUMN, F.lit("+U"))
+          .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    b2 = (orders.where(k % 3 == 1)
+          .select(k.alias("k"), F.col("o_totalprice").alias("price"),
+                  F.col("o_orderpriority").alias("clerk"))
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(3).cast("long")))
+
+    s0 = Schema.of([("k", "BIGINT NOT NULL"), ("p", "DOUBLE")],
+                   primary_keys=["k"])
+    s1 = Schema.of([("k", "BIGINT NOT NULL"), ("p", "DOUBLE"),
+                    ("clerk", "STRING")], primary_keys=["k"])
+    s2 = Schema.of([("k", "BIGINT NOT NULL"), ("price", "DOUBLE"),
+                    ("clerk", "STRING")], primary_keys=["k"])
+
+    base = tempfile.mkdtemp(prefix="paimon_pk_ev_")
+    writer = make_paimon_pk_sink_writer(base, buckets=4)
+    tid = TableId.parse("ns.sch.orders_ev")
+    writer(tid, b0, s0, 0)
+    writer(tid, b1, s1, 1)  # drift-adds `clerk` → schema-1
+    dest = os.path.join(base, "orders_ev")
+    evolve_paimon_pk(dest, [RenameColumnEvent(tid, "p", "price")])
+    writer(tid, b2, s2, 2)  # commits under schema-2
+
+    import json as _json
+    sj = _json.load(open(os.path.join(dest, "schema", "schema-2")))
+    names = {f["name"]: f["id"] for f in sj["fields"]}
+    assert names["price"] == 1, "rename must keep the field id"
+    return read_paimon(spark, dest).select("k", "price", "clerk")
+
+
+@_q(
     "lakehouse_export_iceberg_inplace",
     """
     SELECT o_orderkey AS k,
