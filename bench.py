@@ -192,8 +192,11 @@ def main() -> int:
     # durable copy of the same line (VERDICT r9 "what's wrong" #4: the
     # driver's tail capture once truncated its own mid-map record) —
     # BENCH_LOCAL.json is always complete and machine-readable
+    # the sf1 tier mirrors to its OWN file — it must never clobber the
+    # sf0.1 mirror the driver/judge recover truncated artifacts from
+    mirror = "BENCH_LOCAL_SF1.json" if sf1_tier else "BENCH_LOCAL.json"
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                           "BENCH_LOCAL.json"), "w") as f:
+                           mirror), "w") as f:
         f.write(line + "\n")
     spark.stop()
 
