@@ -383,6 +383,7 @@ def _stage_pk_files(kv: DataFrame, local: str, primary_keys: list[str],
             schema_names = meta.schema.to_arrow_schema().names
             mins: dict = {}
             maxs: dict = {}
+            inexact: set = set()
             for rg in range(meta.num_row_groups):
                 g = meta.row_group(rg)
                 for ci in range(g.num_columns):
@@ -391,11 +392,23 @@ def _stage_pk_files(kv: DataFrame, local: str, primary_keys: list[str],
                     cname = schema_names[ci]
                     if st is None or not st.has_min_max:
                         continue
+                    # long string bounds may be TRUNCATED in the
+                    # footer; a truncated MAX could understate the real
+                    # max and let a pruning reader skip live keys —
+                    # only exact bounds feed the manifest (empty stats
+                    # are always safe, never wrong)
+                    if (getattr(st, "is_min_value_exact", True)
+                            is False or
+                            getattr(st, "is_max_value_exact", True)
+                            is False):
+                        inexact.add(cname)
+                        continue
                     if cname in mins:
                         mins[cname] = min(mins[cname], st.min)
                         maxs[cname] = max(maxs[cname], st.max)
                     else:
                         mins[cname], maxs[cname] = st.min, st.max
+            mins = {k: v for k, v in mins.items() if k not in inexact}
             if all(k in mins for k in key_names):
                 min_key = serialize_binary_row(
                     [mins[k] for k in key_names], key_fields)
@@ -440,21 +453,39 @@ def _pk_manifest_entries(files, buckets: int,
     return out
 
 
+def _committed_identifiers(local: str, latest: int,
+                           new_identifier) -> bool:
+    """Has ``new_identifier`` already been committed? Fast path for
+    monotone integer identifiers (the streaming batchId): commits are
+    ordered, so a replayed committable has identifier <= the LATEST
+    snapshot's — one metadata read, exactly how the reference committer
+    filters (Paimon's filterCommitted compares against latestSnapshot).
+    Non-integer identifiers (the DDL composers' segment-qualified
+    epochs) fall back to the full chain scan."""
+    snap_dir = os.path.join(local, "snapshot")
+    with open(os.path.join(snap_dir, f"snapshot-{latest}")) as f:
+        latest_ident = json.load(f)["commitIdentifier"]
+    if isinstance(new_identifier, int) and isinstance(latest_ident, int) \
+            and latest_ident != (1 << 63) - 1:
+        return new_identifier <= latest_ident
+    with open(os.path.join(snap_dir, "EARLIEST")) as f:
+        earliest = int(f.read().strip())
+    for sid in range(earliest, latest + 1):
+        with open(os.path.join(snap_dir, f"snapshot-{sid}")) as f:
+            if json.load(f)["commitIdentifier"] == new_identifier:
+                return True
+    return False
+
+
 def _chain_state(local: str):
     """(latest snapshot dict | None, max sequence over live entries,
-    committed identifiers) — the metadata walk commits build on."""
+    latest snapshot id) — the metadata walk commits build on."""
     snap_dir = os.path.join(local, "snapshot")
     latest_p = os.path.join(snap_dir, "LATEST")
     if not os.path.exists(latest_p):
-        return None, -1, set()
+        return None, -1, None
     with open(latest_p) as f:
         latest = int(f.read().strip())
-    with open(os.path.join(snap_dir, "EARLIEST")) as f:
-        earliest = int(f.read().strip())
-    identifiers = set()
-    for sid in range(earliest, latest + 1):
-        with open(os.path.join(snap_dir, f"snapshot-{sid}")) as f:
-            identifiers.add(json.load(f)["commitIdentifier"])
     with open(os.path.join(snap_dir, f"snapshot-{latest}")) as f:
         prev = json.load(f)
     man_dir = os.path.join(local, "manifest")
@@ -471,7 +502,7 @@ def _chain_state(local: str):
                 if e["_KIND"] == _KIND_ADD:
                     max_seq = max(max_seq,
                                   e["_FILE"]["_MAX_SEQUENCE_NUMBER"])
-    return prev, max_seq, identifiers
+    return prev, max_seq, latest
 
 
 # ---------------------------------------------------------------------------
@@ -508,13 +539,13 @@ def append_paimon_pk(spark, changelog: DataFrame, dest: str,
     replays idempotent: an identifier the chain already carries is
     skipped — the committer-side filtering the reference does."""
     local = _local(dest)
-    prev, max_seq, identifiers = _chain_state(local)
+    prev, max_seq, latest = _chain_state(local)
     if prev is None:
         raise ValueError(f"{dest}: no Paimon table to append to")
-    if commit_identifier is not None and commit_identifier in identifiers:
-        with open(os.path.join(local, "snapshot", "LATEST")) as f:
-            return {"snapshot_id": int(f.read().strip()), "rows": 0,
-                    "files": 0, "dest": local, "skipped": True}
+    if commit_identifier is not None and _committed_identifiers(
+            local, latest, commit_identifier):
+        return {"snapshot_id": latest, "rows": 0,
+                "files": 0, "dest": local, "skipped": True}
     return _commit_pk(spark, changelog, local, seq_base=max_seq + 1,
                       prev=prev, commit_identifier=commit_identifier)
 

@@ -388,3 +388,43 @@ def test_streaming_writer_drift_evolves(spark, tmp_path):
                  read_paimon(spark, dest).collect())
     assert got == [(1, "a", 1.0, None), (2, "b", 2.0, "t2")]
     assert os.path.exists(os.path.join(dest, "schema", "schema-1"))
+
+
+def test_replay_filter_fast_path_single_read(spark, tmp_path,
+                                             monkeypatch):
+    """Review-wave fix: the replay filter used to read EVERY snapshot's
+    commitIdentifier per commit — O(chain²) over a long stream. With
+    monotone int identifiers it now compares against the LATEST
+    snapshot only (Paimon's filterCommitted shape); non-int segment
+    identifiers keep the exact full scan."""
+    from flink_cdc_dsql_master_spark import paimon_pk as pk
+
+    dest = str(tmp_path / "t")
+    write_paimon_pk(spark, _cl(spark, [(1, "a", 1.0, "+I", 1)]),
+                    dest, SCHEMA, commit_identifier=0)
+    for i in range(1, 4):
+        append_paimon_pk(spark, _cl(spark, [(1 + i, "x", 1.0, "+I", i)]),
+                         dest, commit_identifier=i)
+
+    opened = []
+    real_open = open
+
+    def counting_open(path, *a, **kw):
+        if "snapshot-" in str(path):
+            opened.append(str(path))
+        return real_open(path, *a, **kw)
+
+    monkeypatch.setattr("builtins.open", counting_open)
+    assert pk._committed_identifiers(dest, 4, 2) is True  # replay
+    assert len(opened) == 1  # latest only
+    opened.clear()
+    assert pk._committed_identifiers(dest, 4, "4s0") is False
+    assert len(opened) > 1  # string ids: exact full scan
+    monkeypatch.undo()
+    # end-to-end: replay of batch 2 still a no-op, batch 4 commits
+    out = append_paimon_pk(spark, _cl(spark, [(3, "x", 1.0, "+I", 9)]),
+                           dest, commit_identifier=2)
+    assert out.get("skipped") is True
+    append_paimon_pk(spark, _cl(spark, [(9, "z", 9.0, "+I", 10)]),
+                     dest, commit_identifier=4)
+    assert read_paimon_pk(spark, dest).count() == 5
