@@ -438,7 +438,11 @@ class iam_conn_factory:  # noqa: N801 — callable factory, lower-case like a fn
                                          password=props["password"])
             except Exception as e:  # noqa: BLE001 — classified below
                 last = e
-                if not is_token_expiration_error(e):
+                # a static-password failure is permanent — refreshing
+                # cannot help and the password authenticator has no
+                # token generator to refresh with
+                if not self.authenticator.use_iam_auth \
+                        or not is_token_expiration_error(e):
                     raise
                 self.authenticator.force_token_refresh()
                 if attempt < self.max_retries:

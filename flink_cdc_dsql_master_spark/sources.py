@@ -730,10 +730,12 @@ def _normalize_ddl_type(ts: str) -> str:
 _COMMENT_ATTR_RE = re.compile(r"\bCOMMENT\s+'(?:[^']|'')*'", re.IGNORECASE)
 _CT_PARENS_RE = re.compile(r"\b(DEFAULT\s+CURRENT_TIMESTAMP)\s*\(\d*\)",
                            re.IGNORECASE)
+# lookarounds instead of \b: a backtick/double-quoted identifier that
+# IS one of these keywords (`unique`, "comment") must stay a name
 _COL_ATTR_RE = re.compile(
-    r"\b(?:CHARACTER\s+SET\s+\w+|COLLATE\s+\w+"
+    r"(?<![\w`\"])(?:CHARACTER\s+SET\s+\w+|COLLATE\s+\w+"
     r"|ON\s+UPDATE\s+CURRENT_TIMESTAMP(?:\s*\(\d*\))?"
-    r"|AUTO_INCREMENT|UNIQUE(?:\s+KEY)?|PRIMARY\s+KEY)\b",
+    r"|AUTO_INCREMENT|UNIQUE(?:\s+KEY)?|PRIMARY\s+KEY)(?![\w`\"])",
     re.IGNORECASE)
 _GENERATED_AS_RE = re.compile(r"(?:\bGENERATED\s+ALWAYS\s+)?\bAS\s*\(",
                               re.IGNORECASE)
@@ -807,20 +809,21 @@ def strip_inline_comments(stmt: str) -> str:
     comment only when followed by whitespace/EOL; ``#`` always does.
     A mid-spec or trailing comment used to make JUST that spec's regex
     fail — silent PARTIAL application of a multi-spec ALTER (round-12
-    fuzz finding)."""
+    fuzz finding). Backtick-quoted identifiers are literal too — a
+    column named ``\`col#1\``` must keep its '#'."""
     out = []
     i, n = 0, len(stmt)
-    in_q = False
+    in_q = None  # the active quote char: ' or `
     while i < n:
         ch = stmt[i]
         if in_q:
             out.append(ch)
-            if ch == "'":
-                in_q = False
+            if ch == in_q:
+                in_q = None
             i += 1
             continue
-        if ch == "'":
-            in_q = True
+        if ch in ("'", "`"):
+            in_q = ch
             out.append(ch)
             i += 1
             continue

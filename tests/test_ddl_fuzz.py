@@ -306,3 +306,16 @@ def test_column_attributes_do_not_skip_specs():
         "ALTER TABLE t ADD c INT COMMENT 'has, comma', DROP d", TID)
     assert [type(e).__name__ for e in got] == ["AddColumnEvent",
                                                "DropColumnEvent"]
+
+
+def test_quoted_keyword_identifiers_survive_scrub():
+    """Review-wave fix: a backtick/double-quoted identifier that IS an
+    attribute keyword (`unique`, `comment`) must stay a column name,
+    and a '#' inside backticks must not truncate the statement."""
+    [e] = parse_debezium_ddl("ALTER TABLE t ADD `unique` INT", TID)
+    assert e.name == "unique"
+    [e] = parse_debezium_ddl("ALTER TABLE t DROP `comment`", TID)
+    assert e.name == "comment"
+    got = parse_debezium_ddl("ALTER TABLE t ADD `col#1` INT, DROP b",
+                             TID)
+    assert [type(e).__name__ for e in got] == ["DropColumnEvent"]
