@@ -659,6 +659,47 @@ def _paimon_export_throughput(spark, sf_dir):
     return read_paimon(spark, dest)
 
 
+def _paimon_pk_throughput(spark, sf_dir):
+    """Paimon PRIMARY-KEY table scale (round-12 face): the measured
+    work is a two-commit CDC chain — full insert commit, then an
+    update+delete commit — through the bucketed KeyValue writer
+    (LWW shuffle + per-bucket sequence window + partitioned write +
+    footer-stats manifest), plus the merge-on-read re-read (per-key
+    window over the live union). Every stage is one shuffle wide;
+    the exponent should stay ~linear."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.paimon_pk import (append_paimon_pk,
+                                                       read_paimon_pk,
+                                                       write_paimon_pk)
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    orders = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .select(F.col("o_orderkey").alias("k"),
+                      F.col("o_totalprice").alias("price"),
+                      F.col("o_orderstatus").alias("status")))
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    k = F.col("k")
+    b1 = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    b2 = (orders.where(k % 7 == 0)
+          .withColumn("price", F.col("price") + 100.0)
+          .withColumn(OP_COLUMN, F.lit("+U"))
+          .withColumn(SEQ_COLUMN, F.lit(2).cast("long"))
+          .unionByName(orders.where(k % 11 == 0)
+                       .withColumn(OP_COLUMN, F.lit("-D"))
+                       .withColumn(SEQ_COLUMN, F.lit(3).cast("long"))))
+    dest = tempfile.mkdtemp(prefix="paimon_pk_stress_")
+    shutil.rmtree(dest)
+    write_paimon_pk(spark, b1, dest, schema, buckets=16)
+    append_paimon_pk(spark, b2, dest)
+    return read_paimon_pk(spark, dest)
+
+
 EXTRA_TARGETS = {"similarity_knn_join_auto": _knn_join_auto,
                  "similarity_range_search_auto": _range_search_auto,
                  "cdc_binlog_decode_throughput": _binlog_decode_throughput,
@@ -673,7 +714,9 @@ EXTRA_TARGETS = {"similarity_knn_join_auto": _knn_join_auto,
                  "cdc_pgoutput_streamed_decode_throughput":
                      _pgoutput_streamed_decode_throughput,
                  "lakehouse_export_paimon_throughput":
-                     _paimon_export_throughput}
+                     _paimon_export_throughput,
+                 "lakehouse_paimon_pk_throughput":
+                     _paimon_pk_throughput}
 
 # ---------------------------------------------------------------------
 # planted-duplicate stress (VERDICT r7 #1 done-criterion): 30% of each
