@@ -209,16 +209,26 @@ class BatchComposer:
                 parallel=bool(sink.config.get("parallel", False)))
             writer.ensure_table()
             writer.write_batch(df)
-        elif sink.type == "paimon":
+        elif sink.type in ("paimon", "paimon-append"):
             # the reference pipeline's `sink: type: paimon`
             # (PaimonDataSink): a keyed changelog lands as a Paimon
             # PRIMARY-KEY table (PaimonMetadataApplier builds
             # .primaryKey(...) — merge-on-read KeyValue commits); a
-            # keyless one as an insert-only append table
+            # keyless one as an insert-only append table.
+            # `paimon-append` forces the append face: keyed changelogs
+            # LWW-apply FIRST and the final state lands append-only
+            # (the pre-PK behavior, kept for append-table consumers)
             from .paimon_export import write_paimon
             from .paimon_pk import write_paimon_pk
 
             base = sink.config["path"]
+            if sink.type == "paimon-append" and schema.primary_keys:
+                from .partitioning import apply_changelog
+
+                final = apply_changelog(df, list(schema.primary_keys))
+                write_paimon(self.spark, final,
+                             f"{base}/{sink_tid.table}")
+                return
             if schema.primary_keys:
                 write_paimon_pk(
                     self.spark, df, f"{base}/{sink_tid.table}", schema,

@@ -371,7 +371,13 @@ def authenticator_from_config(config: dict, *, credentials_provider=None,
     use_iam = config.get("use-iam-auth", True)
     if isinstance(use_iam, str):
         use_iam = use_iam.strip().lower() not in ("false", "0", "no")
+    username = config.get("username")
+    # the admin user presents DbConnectAdmin tokens (the reference's
+    # hardcoded mode); any other IAM database user needs the plain
+    # DbConnect action per the public DSQL auth contract
+    admin = username in (None, "admin")
     return DsqlAuthenticator(
+        admin=admin,
         host=config.get("host"),
         region=config.get("region"),
         iam_role=config.get("iam-role"),

@@ -428,3 +428,33 @@ def test_replay_filter_fast_path_single_read(spark, tmp_path,
     append_paimon_pk(spark, _cl(spark, [(9, "z", 9.0, "+I", 10)]),
                      dest, commit_identifier=4)
     assert read_paimon_pk(spark, dest).count() == 5
+
+
+def test_batch_paimon_append_alias_forces_append_face(spark, tmp_path):
+    """`sink: type: paimon-append` in BATCH mode keeps the pre-PK
+    behavior: keyed LWW apply first, append-table layout (no
+    primaryKeys in schema JSON) — for consumers that read append
+    tables."""
+    from flink_cdc_dsql_master_spark.compose import BatchComposer
+    from flink_cdc_dsql_master_spark.pipeline import parse_pipeline_yaml
+    from flink_cdc_dsql_master_spark.testing import (
+        single_split_single_table)
+
+    base = str(tmp_path / "warehouse")
+    pipe = parse_pipeline_yaml(f"""
+source:
+  type: values
+sink:
+  type: paimon-append
+  path: "{base}"
+pipeline:
+  name: to-paimon-append
+""")
+    pipe.source.config["script"] = single_split_single_table()
+    BatchComposer(spark, pipe).run()
+    dest = f"{base}/table1"
+    sj = json.load(open(os.path.join(dest, "schema", "schema-0")))
+    assert sj["primaryKeys"] == []  # append face
+    got = sorted((r["col1"], r["col2"]) for r in
+                 read_paimon(spark, dest).collect())
+    assert got == [("1", "1"), ("2", "x")]
