@@ -349,7 +349,11 @@ def _stage_pk_files(kv: DataFrame, local: str, primary_keys: list[str],
     """Write KeyValue rows into ``bucket-<k>/`` (executor-parallel,
     sorted by key within each file) and return manifest-entry material:
     [(bucket, name, rows, size, min_key_row, max_key_row, min_seq,
-    max_seq)]."""
+    max_seq)]. For a COMPOSITE key the bounds are built from
+    per-column footer mins/maxes — a conservative lexicographic box
+    ((min_a, min_b_overall) <= true lex-min and the max dual), so a
+    range-pruning reader can only over-include, never skip live
+    keys."""
     import pyarrow.parquet as pq
 
     tmp = os.path.join(local, "_staging")
