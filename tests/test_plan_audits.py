@@ -737,3 +737,53 @@ def test_bounded_frame_windows_measured_at_10x(spark, qname, bound):
 
 def test_frame_bounds_cover_whole_whitelist():
     assert {n for n, _ in _FRAME_BOUNDS} == _BOUNDED_FRAME_WINDOWS
+
+
+def test_paimon_pk_kv_frame_two_exchanges(spark, sf_dir):
+    """The PK writer's data plane is exactly TWO wide stages per commit
+    (SCALE.md round-12): the LWW key shuffle and the bucket
+    repartition; the per-bucket sequence window rides the bucket
+    exchange instead of adding a third."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.paimon_pk import _kv_frame
+
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select(F.col("o_orderkey").alias("k"),
+                      F.col("o_totalprice").alias("v"))
+              .withColumn(OP_COLUMN, F.lit("+I"))
+              .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    kv = _kv_frame(orders, ["k"], ["k", "v"], buckets=8, seq_base=0)
+    tree = tree_of(plan_of(kv))
+    assert tree.count("Exchange") == 2, tree
+    assert "CartesianProduct" not in tree
+
+
+def test_paimon_pk_merge_read_single_key_window(spark, tmp_path):
+    """Merge-on-read is one per-key window over the live union — no
+    global (empty-partition-spec) window, no extra shuffle beyond the
+    key exchange."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.paimon_pk import (read_paimon_pk,
+                                                       write_paimon_pk)
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    cl = (spark.range(1, 2001)
+          .select(F.col("id").cast("int").alias("k"),
+                  (F.col("id") * 1.0).alias("v"))
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    schema = Schema.of([("k", "INT NOT NULL"), ("v", "DOUBLE")],
+                       primary_keys=["k"])
+    dest = str(tmp_path / "t")
+    write_paimon_pk(spark, cl, dest, schema, buckets=4)
+    tree = tree_of(plan_of(read_paimon_pk(spark, dest)))
+    assert "windowspecdefinition()" not in tree.lower()  # never global
+    assert tree.count("Window (") == 1, tree
+    # bonus: the rank-limit pushdown keeps a MAP-SIDE top-1 per key
+    # before the exchange (partial WindowGroupLimit) — the merge ships
+    # at most one candidate row per key per input partition
+    assert tree.count("WindowGroupLimit") >= 1, tree
