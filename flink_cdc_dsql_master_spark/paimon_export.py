@@ -697,10 +697,21 @@ def compact_paimon(spark, dest: str) -> dict:
 
 def _fold_snapshot(local: str, snap_id: int):
     """(live data-file paths, referenced manifest/list names) of one
-    snapshot — the same walk read_paimon does, kept for GC math."""
+    snapshot — the same walk read_paimon does, kept for GC math.
+    Partitioned PK tables resolve each entry's hive partition directory
+    from its ``_PARTITION`` BinaryRow."""
     with open(os.path.join(local, "snapshot",
                            f"snapshot-{snap_id}")) as f:
         snap = json.load(f)
+    with open(os.path.join(local, "schema", "schema-0")) as f:
+        sj0 = json.load(f)
+    pkeys = list(sj0.get("partitionKeys") or [])
+    pfields = []
+    if pkeys:
+        from .paimon_pk import parse_binary_row, partition_dir_of
+
+        struct0 = _schema_from_paimon(sj0)
+        pfields = [struct0[k] for k in pkeys]
     man_dir = os.path.join(local, "manifest")
     lists, manifests = [], []
     live: dict[tuple, str] = {}
@@ -715,10 +726,16 @@ def _fold_snapshot(local: str, snap_id: int):
             _, entries = read_container(
                 os.path.join(man_dir, m["_FILE_NAME"]))
             for e in entries:
-                key = (e["_BUCKET"], e["_FILE"]["_FILE_NAME"])
+                key = (bytes(e["_PARTITION"]), e["_BUCKET"],
+                       e["_FILE"]["_FILE_NAME"])
                 if e["_KIND"] == _KIND_ADD:
+                    base = local
+                    if pkeys and e["_PARTITION"] != _EMPTY_BINARY_ROW:
+                        base = os.path.join(local, partition_dir_of(
+                            pkeys, parse_binary_row(e["_PARTITION"],
+                                                    pfields)))
                     live[key] = os.path.join(
-                        local, f"bucket-{e['_BUCKET']}",
+                        base, f"bucket-{e['_BUCKET']}",
                         e["_FILE"]["_FILE_NAME"])
                 else:
                     live.pop(key, None)

@@ -197,7 +197,8 @@ def parse_binary_row(data: bytes, fields: list[T.StructField]) -> list:
 # ---------------------------------------------------------------------------
 
 def _write_pk_schema(local: str, struct_type: T.StructType,
-                     primary_keys: list[str], buckets: int) -> None:
+                     primary_keys: list[str], buckets: int,
+                     partition_keys: list[str] | tuple = ()) -> None:
     fields = [_paimon_field(i, f)
               for i, f in enumerate(struct_type.fields)]
     os.makedirs(os.path.join(local, "schema"), exist_ok=True)
@@ -207,12 +208,51 @@ def _write_pk_schema(local: str, struct_type: T.StructType,
             "id": 0,
             "fields": fields,
             "highestFieldId": len(fields) - 1,
-            "partitionKeys": [],
+            "partitionKeys": list(partition_keys),
             "primaryKeys": list(primary_keys),
             "options": {"bucket": str(buckets),
                         "merge-engine": "deduplicate"},
             "timeMillis": int(time.time() * 1000),
         }, f, indent=2)
+
+
+_SAFE_PARTITION_RE = __import__("re").compile(r"^[-A-Za-z0-9_.]+$")
+
+
+def partition_dir_of(partition_keys, values) -> str:
+    """Hive-style partition path (``dt=20240101/region=eu``) for a
+    partition-value tuple; '' for unpartitioned. Values must be
+    filesystem-safe (fail-loud rather than silently escaping — the
+    cross-engine contract is the literal hive layout)."""
+    parts = []
+    for c, v in zip(partition_keys, values):
+        s = "__HIVE_DEFAULT_PARTITION__" if v is None else str(v)
+        if v is not None and not _SAFE_PARTITION_RE.match(s):
+            raise ValueError(
+                f"partition value {v!r} for {c!r} is not "
+                "filesystem-safe ([-A-Za-z0-9_.] only)")
+        parts.append(f"{c}={s}")
+    return "/".join(parts)
+
+
+def _parse_partition_dir(rel: str, partition_fields) -> list:
+    """Inverse of :func:`partition_dir_of`: typed partition values from
+    the hive-style path components."""
+    if not rel:
+        return []
+    out = []
+    for comp, f in zip(rel.split("/"), partition_fields):
+        _, _, raw = comp.partition("=")
+        if raw == "__HIVE_DEFAULT_PARTITION__":
+            out.append(None)
+        elif isinstance(f.dataType, (T.IntegerType, T.LongType,
+                                     T.ShortType, T.ByteType)):
+            out.append(int(raw))
+        elif isinstance(f.dataType, T.BooleanType):
+            out.append(raw.lower() == "true")
+        else:
+            out.append(raw)
+    return out
 
 
 def _latest_schema_id(local: str) -> int:
@@ -228,13 +268,14 @@ def _schema_json(local: str, schema_id: int) -> dict:
 
 
 def _read_pk_meta(local: str, schema_id: int | None = None):
-    """(value StructType, primary_keys, buckets) from schema-N
-    (latest when unpinned)."""
+    """(value StructType, primary_keys, buckets, partition_keys) from
+    schema-N (latest when unpinned)."""
     if schema_id is None:
         schema_id = _latest_schema_id(local)
     sj = _schema_json(local, schema_id)
     return (_schema_from_paimon(sj), list(sj["primaryKeys"]),
-            int(sj["options"]["bucket"]))
+            int(sj["options"]["bucket"]),
+            list(sj.get("partitionKeys") or []))
 
 
 def evolve_paimon_pk(dest: str, events) -> dict:
@@ -307,12 +348,16 @@ def evolve_paimon_pk(dest: str, events) -> dict:
 
 def _kv_frame(changelog: DataFrame, primary_keys: list[str],
               value_cols: list[str], buckets: int,
-              seq_base: int) -> DataFrame:
+              seq_base: int,
+              partition_keys: list[str] | tuple = ()) -> DataFrame:
     """Changelog → bucketed KeyValue rows: keyed LWW within the batch
     (one final event per key — the same end state the reference
     writer's in-order apply reaches), RowKind from the surviving op,
-    per-bucket monotone sequence numbers from ``seq_base``. ONE shuffle
-    (by bucket) feeds the sequence window AND the partitioned write."""
+    per-(partition, bucket) monotone sequence numbers from
+    ``seq_base``. ONE shuffle (by partition+bucket) feeds the sequence
+    window AND the partitioned write. The bucket hash covers the
+    BUCKET KEY — primary key minus partition keys, Paimon's default —
+    so a key's rows land in one bucket of its partition."""
     from pyspark.sql import Window
 
     from .partitioning import last_write_wins
@@ -321,62 +366,89 @@ def _kv_frame(changelog: DataFrame, primary_keys: list[str],
         if OP_COLUMN in changelog.columns else \
         changelog.withColumn(OP_COLUMN, F.lit("+I"))
 
+    # Paimon's trimmed primary key: file _KEY_ fields and the bucket
+    # hash exclude partition columns (a key lives inside its partition)
+    trimmed = [k for k in primary_keys if k not in partition_keys]
+    if not trimmed:
+        raise ValueError("primary key must extend the partition key "
+                         "(no bucket-key columns left after trimming)")
     kind = F.when(F.col(OP_COLUMN) == "+I", F.lit(ROWKIND_INSERT)) \
         .when(F.col(OP_COLUMN) == "+U", F.lit(ROWKIND_UPDATE_AFTER)) \
         .when(F.col(OP_COLUMN) == "-D", F.lit(ROWKIND_DELETE)) \
         .otherwise(F.lit(ROWKIND_UPDATE_BEFORE)).cast("tinyint")
-    bucket = F.pmod(F.hash(*[F.col(k) for k in primary_keys]),
+    bucket = F.pmod(F.hash(*[F.col(k) for k in trimmed]),
                     F.lit(buckets))
-    w = Window.partitionBy("__bucket").orderBy(
-        *[F.col(KEY_PREFIX + k) for k in primary_keys])
+    part_cols = list(partition_keys)
+    w = Window.partitionBy(*part_cols, "__bucket").orderBy(
+        *[F.col(KEY_PREFIX + k) for k in trimmed])
     kv = (final
           .withColumn("__bucket", bucket)
-          .select("__bucket",
-                  *[F.col(k).alias(KEY_PREFIX + k) for k in primary_keys],
+          .select(*part_cols, "__bucket",
+                  *[F.col(k).alias(KEY_PREFIX + k) for k in trimmed],
                   kind.alias(KIND_FIELD),
-                  *[F.col(c) for c in value_cols])
-          .repartition("__bucket")
+                  *[F.col(c) for c in value_cols
+                    if c not in partition_keys])
+          .repartition(*part_cols, "__bucket")
           .withColumn(SEQ_FIELD,
                       (F.row_number().over(w) + F.lit(seq_base - 1))
                       .cast("long")))
-    order = ([KEY_PREFIX + k for k in primary_keys]
-             + [SEQ_FIELD, KIND_FIELD] + value_cols)
-    return kv.select("__bucket", *order)
+    order = ([KEY_PREFIX + k for k in trimmed]
+             + [SEQ_FIELD, KIND_FIELD]
+             + [c for c in value_cols if c not in partition_keys])
+    return kv.select(*part_cols, "__bucket", *order)
 
 
 def _stage_pk_files(kv: DataFrame, local: str, primary_keys: list[str],
-                    key_fields: list[T.StructField]):
-    """Write KeyValue rows into ``bucket-<k>/`` (executor-parallel,
-    sorted by key within each file) and return manifest-entry material:
-    [(bucket, name, rows, size, min_key_row, max_key_row, min_seq,
-    max_seq)]. For a COMPOSITE key the bounds are built from
-    per-column footer mins/maxes — a conservative lexicographic box
-    ((min_a, min_b_overall) <= true lex-min and the max dual), so a
+                    key_fields: list[T.StructField],
+                    partition_keys: list[str] | tuple = (),
+                    partition_fields: list | None = None):
+    """Write KeyValue rows into ``[<p>=<v>/...]bucket-<k>/``
+    (executor-parallel, sorted by key within each file) and return
+    manifest-entry material: [(partition_values, bucket, name, rows,
+    size, min_key_row, max_key_row, min_seq, max_seq)]. For a
+    COMPOSITE key the bounds are built from per-column footer
+    mins/maxes — a conservative lexicographic box ((min_a,
+    min_b_overall) <= true lex-min and the max dual), so a
     range-pruning reader can only over-include, never skip live
     keys."""
     import pyarrow.parquet as pq
 
+    trimmed = [k for k in primary_keys if k not in partition_keys] \
+        or list(primary_keys)
     tmp = os.path.join(local, "_staging")
-    (kv.sortWithinPartitions(*[KEY_PREFIX + k for k in primary_keys])
-       .write.mode("overwrite").partitionBy("__bucket").parquet(tmp))
+    (kv.sortWithinPartitions(*[KEY_PREFIX + k for k in trimmed])
+       .write.mode("overwrite")
+       .partitionBy(*partition_keys, "__bucket").parquet(tmp))
 
     run = uuid.uuid4().hex
     files = []
     idx = 0
-    key_names = [KEY_PREFIX + k for k in primary_keys]
-    for sub in sorted(os.listdir(tmp)):
-        if not sub.startswith("__bucket="):
+    key_names = [KEY_PREFIX + k for k in trimmed]
+    leaves = []  # (partition_values, bucket, tmp_dir)
+    for dirpath, _dirs, names in os.walk(tmp):
+        if not any(n.endswith(".parquet") for n in names):
             continue
-        b = int(sub.split("=", 1)[1])
-        bucket_dir = os.path.join(local, f"bucket-{b}")
+        rel = os.path.relpath(dirpath, tmp)
+        comps = [] if rel == "." else rel.split(os.sep)
+        if not comps or not comps[-1].startswith("__bucket="):
+            continue
+        b = int(comps[-1].split("=", 1)[1])
+        pvals = _parse_partition_dir("/".join(comps[:-1]),
+                                     partition_fields or [])
+        leaves.append((pvals, b, dirpath))
+    for pvals, b, dirpath in sorted(
+            leaves, key=lambda t: (str(t[0]), t[1])):
+        pdir = partition_dir_of(partition_keys, pvals)
+        bucket_dir = os.path.join(local, pdir, f"bucket-{b}") \
+            if pdir else os.path.join(local, f"bucket-{b}")
         os.makedirs(bucket_dir, exist_ok=True)
-        for name in sorted(os.listdir(os.path.join(tmp, sub))):
+        for name in sorted(os.listdir(dirpath)):
             if not name.endswith(".parquet"):
                 continue
             pname = f"data-{run}-{idx}.parquet"
             idx += 1
             fp = os.path.join(bucket_dir, pname)
-            os.replace(os.path.join(tmp, sub, name), fp)
+            os.replace(os.path.join(dirpath, name), fp)
             meta = pq.read_metadata(fp)
             n = meta.num_rows
             if n == 0:
@@ -422,7 +494,8 @@ def _stage_pk_files(kv: DataFrame, local: str, primary_keys: list[str],
                 min_key = max_key = _EMPTY_BINARY_ROW
             min_seq = int(mins.get(SEQ_FIELD, 0))
             max_seq = int(maxs.get(SEQ_FIELD, 0))
-            files.append((b, pname, n, os.path.getsize(fp),
+            files.append((tuple(pvals), b, pname, n,
+                          os.path.getsize(fp),
                           min_key, max_key, min_seq, max_seq))
     import shutil
     shutil.rmtree(tmp, ignore_errors=True)
@@ -430,13 +503,18 @@ def _stage_pk_files(kv: DataFrame, local: str, primary_keys: list[str],
 
 
 def _pk_manifest_entries(files, buckets: int,
-                         schema_id: int = 0) -> list[dict]:
+                         schema_id: int = 0,
+                         partition_fields: list | None = None
+                         ) -> list[dict]:
     now_ms = int(time.time() * 1000)
     out = []
-    for b, pname, n, sz, min_key, max_key, min_seq, max_seq in files:
+    for pvals, b, pname, n, sz, min_key, max_key, min_seq, max_seq \
+            in files:
+        pbytes = serialize_binary_row(list(pvals), partition_fields) \
+            if pvals else _EMPTY_BINARY_ROW
         out.append({
             "_VERSION": 2, "_KIND": _KIND_ADD,
-            "_PARTITION": _EMPTY_BINARY_ROW,
+            "_PARTITION": pbytes,
             "_BUCKET": b, "_TOTAL_BUCKETS": buckets,
             "_FILE": {
                 "_FILE_NAME": pname, "_FILE_SIZE": sz, "_ROW_COUNT": n,
@@ -529,8 +607,15 @@ def write_paimon_pk(spark, changelog: DataFrame, dest: str, schema,
     os.makedirs(local, exist_ok=True)
     value_struct = T.StructType([
         f for f in schema.struct.fields])
-    _write_pk_schema(local, value_struct, list(schema.primary_keys),
-                     buckets)
+    # PaimonMetadataApplier.applyCreateTable appends partition columns
+    # to the primary key when absent (:186-191) — mirror it so the
+    # declared key always extends the partition
+    pks = list(schema.primary_keys)
+    for p in schema.partition_keys:
+        if p not in pks:
+            pks.append(p)
+    _write_pk_schema(local, value_struct, pks, buckets,
+                     list(schema.partition_keys))
     return _commit_pk(spark, changelog, local, seq_base=0,
                       prev=None,
                       commit_identifier=commit_identifier)
@@ -557,7 +642,8 @@ def append_paimon_pk(spark, changelog: DataFrame, dest: str,
 def _commit_pk(spark, changelog: DataFrame, local: str, seq_base: int,
                prev: dict | None, commit_identifier=None) -> dict:
     schema_id = _latest_schema_id(local)
-    value_struct, primary_keys, buckets = _read_pk_meta(local, schema_id)
+    value_struct, primary_keys, buckets, partition_keys = \
+        _read_pk_meta(local, schema_id)
     value_cols = [f.name for f in value_struct.fields]
     got = [c for c in changelog.columns
            if c not in (OP_COLUMN, SEQ_COLUMN, "__table_id", "__op_ts")]
@@ -566,15 +652,20 @@ def _commit_pk(spark, changelog: DataFrame, local: str, seq_base: int,
             f"changelog columns {got} do not match schema-{schema_id} "
             f"{value_cols} — evolve the table (evolve_paimon_pk) "
             "before writing a drifted batch")
-    key_fields = [value_struct[k] for k in primary_keys]
+    trimmed = [k for k in primary_keys if k not in partition_keys] \
+        or list(primary_keys)
+    key_fields = [value_struct[k] for k in trimmed]
+    partition_fields = [value_struct[k] for k in partition_keys]
 
     kv = _kv_frame(changelog, primary_keys, value_cols, buckets,
-                   seq_base)
-    run, files = _stage_pk_files(kv, local, primary_keys, key_fields)
+                   seq_base, partition_keys)
+    run, files = _stage_pk_files(kv, local, primary_keys, key_fields,
+                                 partition_keys, partition_fields)
 
     man_dir = os.path.join(local, "manifest")
     os.makedirs(man_dir, exist_ok=True)
-    entries = _pk_manifest_entries(files, buckets, schema_id)
+    entries = _pk_manifest_entries(files, buckets, schema_id,
+                                   partition_fields)
     manifest_name = f"manifest-{run}-0"
     mlen = write_container(os.path.join(man_dir, manifest_name),
                            MANIFEST_ENTRY_SCHEMA, entries)
@@ -600,7 +691,7 @@ def _commit_pk(spark, changelog: DataFrame, local: str, seq_base: int,
                         "_PARTITION_STATS": dict(_EMPTY_STATS),
                         "_SCHEMA_ID": 0,
                     }])
-    new_rows = sum(f[2] for f in files)
+    new_rows = sum(f[3] for f in files)
     prev_total = prev["totalRecordCount"] if prev else 0
     snap_id = (prev["id"] + 1) if prev else 1
     _write_snapshot(local, snap_id, base_list, delta_list,
@@ -640,32 +731,45 @@ def read_paimon_pk(spark, dest: str,
             sid = int(f.read().strip())
     with open(os.path.join(snap_dir, f"snapshot-{sid}")) as f:
         target_schema_id = json.load(f)["schemaId"]
-    value_struct, primary_keys, _ = _read_pk_meta(local,
-                                                  target_schema_id)
+    value_struct, primary_keys, _, partition_keys = _read_pk_meta(
+        local, target_schema_id)
     live = _live_paths(local, snapshot_id)
     if not live:
         return spark.createDataFrame([], value_struct)
 
     target_json = _schema_json(local, target_schema_id)
     target_ids = {f["id"]: f["name"] for f in target_json["fields"]}
-    sys_cols = ([KEY_PREFIX + k for k in primary_keys]
+    trimmed = [k for k in primary_keys if k not in partition_keys] \
+        or list(primary_keys)
+    partition_fields = [value_struct[k] for k in partition_keys]
+    sys_cols = ([KEY_PREFIX + k for k in trimmed]
                 + [SEQ_FIELD, KIND_FIELD])
 
     parts = []
-    by_schema: dict[int, list[str]] = {}
-    for path, file_schema_id in live:
-        by_schema.setdefault(file_schema_id, []).append(path)
-    for file_schema_id, paths in sorted(by_schema.items()):
+    # group by (schema id, partition values): partition columns are
+    # NOT in the data files (hive layout) — re-attached as literals
+    groups: dict[tuple, list[str]] = {}
+    for path, file_schema_id, pbytes in live:
+        pvals = tuple(parse_binary_row(pbytes, partition_fields)) \
+            if partition_keys else ()
+        groups.setdefault((file_schema_id, pvals), []).append(path)
+    for (file_schema_id, pvals), paths in sorted(
+            groups.items(), key=lambda kv: (kv[0][0], str(kv[0][1]))):
         df = spark.read.parquet(*sorted(paths))
+        plits = {k: F.lit(v).cast(value_struct[k].dataType).alias(k)
+                 for k, v in zip(partition_keys, pvals)}
+        sel = [F.col(c) for c in sys_cols]
         if file_schema_id == target_schema_id:
-            sel = [F.col(c) for c in sys_cols] + \
-                  [F.col(f.name).cast(f.dataType).alias(f.name)
-                   for f in value_struct.fields]
+            for f in value_struct.fields:
+                sel.append(plits[f.name] if f.name in plits else
+                           F.col(f.name).cast(f.dataType).alias(f.name))
         else:
             old_json = _schema_json(local, file_schema_id)
             old_by_id = {f["id"]: f["name"] for f in old_json["fields"]}
-            sel = [F.col(c) for c in sys_cols]
             for f in value_struct.fields:
+                if f.name in plits:
+                    sel.append(plits[f.name])
+                    continue
                 fid = next(i for i, n in target_ids.items()
                            if n == f.name)
                 old_name = old_by_id.get(fid)
@@ -680,8 +784,11 @@ def read_paimon_pk(spark, dest: str,
     for p in parts[1:]:
         out = out.unionByName(p)
 
+    # merge per LOGICAL key: partition columns + trimmed key (a
+    # trimmed key exists within its partition only)
     w = Window.partitionBy(
-        *[KEY_PREFIX + k for k in primary_keys]).orderBy(
+        *list(partition_keys),
+        *[KEY_PREFIX + k for k in trimmed]).orderBy(
         F.desc(SEQ_FIELD))
     value_cols = [f.name for f in value_struct.fields]
     return (out.withColumn("__rn", F.row_number().over(w))
@@ -693,14 +800,19 @@ def read_paimon_pk(spark, dest: str,
 
 def _live_paths(local: str,
                 snapshot_id: int | None = None) -> list[tuple]:
-    """[(data-file path, schema id it was written under)] for one
-    snapshot's fold."""
+    """[(data-file path, schema id it was written under, partition
+    BinaryRow bytes)] for one snapshot's fold."""
     snap_dir = os.path.join(local, "snapshot")
     if snapshot_id is None:
         with open(os.path.join(snap_dir, "LATEST")) as f:
             snapshot_id = int(f.read().strip())
     with open(os.path.join(snap_dir, f"snapshot-{snapshot_id}")) as f:
         snap = json.load(f)
+    # partition fields come from schema-0 (partition spec is immutable)
+    sj0 = _schema_json(local, 0)
+    pkeys = list(sj0.get("partitionKeys") or [])
+    struct0 = _schema_from_paimon(sj0)
+    pfields = [struct0[k] for k in pkeys]
     man_dir = os.path.join(local, "manifest")
     live: dict[tuple, tuple] = {}
     for list_name in (snap["baseManifestList"],
@@ -712,12 +824,20 @@ def _live_paths(local: str,
             _, entries = read_container(
                 os.path.join(man_dir, m["_FILE_NAME"]))
             for e in entries:
-                key = (e["_BUCKET"], e["_FILE"]["_FILE_NAME"])
+                key = (bytes(e["_PARTITION"]), e["_BUCKET"],
+                       e["_FILE"]["_FILE_NAME"])
                 if e["_KIND"] == _KIND_ADD:
+                    pdir = partition_dir_of(
+                        pkeys, parse_binary_row(e["_PARTITION"],
+                                                pfields)) \
+                        if pkeys and e["_PARTITION"] != \
+                        _EMPTY_BINARY_ROW else ""
+                    base = os.path.join(local, pdir) if pdir else local
                     live[key] = (os.path.join(
-                        local, f"bucket-{e['_BUCKET']}",
+                        base, f"bucket-{e['_BUCKET']}",
                         e["_FILE"]["_FILE_NAME"]),
-                        e["_FILE"]["_SCHEMA_ID"])
+                        e["_FILE"]["_SCHEMA_ID"],
+                        bytes(e["_PARTITION"]))
                 else:
                     live.pop(key, None)
     return list(live.values())
@@ -737,14 +857,20 @@ def compact_paimon_pk(spark, dest: str) -> dict:
     if prev is None:
         raise ValueError(f"{dest}: no Paimon table to compact")
     schema_id = _latest_schema_id(local)
-    value_struct, primary_keys, buckets = _read_pk_meta(local, schema_id)
+    value_struct, primary_keys, buckets, partition_keys = \
+        _read_pk_meta(local, schema_id)
     merged = read_paimon_pk(spark, dest)
     cl = (merged.withColumn(OP_COLUMN, F.lit("+I"))
           .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
-    key_fields = [value_struct[k] for k in primary_keys]
+    trimmed = [k for k in primary_keys if k not in partition_keys] \
+        or list(primary_keys)
+    key_fields = [value_struct[k] for k in trimmed]
+    partition_fields = [value_struct[k] for k in partition_keys]
     value_cols = [f.name for f in value_struct.fields]
-    kv = _kv_frame(cl, primary_keys, value_cols, buckets, seq_base=0)
-    run, files = _stage_pk_files(kv, local, primary_keys, key_fields)
+    kv = _kv_frame(cl, primary_keys, value_cols, buckets, seq_base=0,
+                   partition_keys=partition_keys)
+    run, files = _stage_pk_files(kv, local, primary_keys, key_fields,
+                                 partition_keys, partition_fields)
 
     # retire the whole previous live set
     man_dir = os.path.join(local, "manifest")
@@ -765,7 +891,8 @@ def compact_paimon_pk(spark, dest: str) -> dict:
                     old_live.pop(key, None)
 
     now_entries = [dict(e, _KIND=_KIND_DELETE) for e in old_live.values()]
-    for entry in _pk_manifest_entries(files, buckets, schema_id):
+    for entry in _pk_manifest_entries(files, buckets, schema_id,
+                                      partition_fields):
         entry["_FILE"]["_LEVEL"] = 5  # compaction output: max level
         entry["_FILE"]["_FILE_SOURCE"] = 1  # COMPACT
         now_entries.append(entry)
@@ -792,7 +919,7 @@ def compact_paimon_pk(spark, dest: str) -> dict:
                         "_PARTITION_STATS": dict(_EMPTY_STATS),
                         "_SCHEMA_ID": 0,
                     }])
-    total = sum(f[2] for f in files)
+    total = sum(f[3] for f in files)
     snap_id = prev["id"] + 1
     _write_snapshot(local, snap_id, base_list, delta_list,
                     total=total, delta=0, schema_id=schema_id)
@@ -845,7 +972,7 @@ def _drift_evolve(df: DataFrame, schema, dest: str,
     from .schema import Schema
 
     local = _local(dest)
-    value_struct, pks, _ = _read_pk_meta(local)
+    value_struct, pks, _, _pkeys = _read_pk_meta(local)
     have = {f.name: f for f in value_struct.fields}
     events = []
     for f in schema.struct.fields:
@@ -861,6 +988,6 @@ def _drift_evolve(df: DataFrame, schema, dest: str,
                     _spark_field_type_string(merged)))
     if events:
         evolve_paimon_pk(dest, events)
-        value_struct, pks, _ = _read_pk_meta(local)
+        value_struct, pks, _, _pkeys = _read_pk_meta(local)
     return coerce_dataframe(df, Schema.of(value_struct,
                                           primary_keys=pks))

@@ -9159,6 +9159,54 @@ def lakehouse_paimon_pk_evolve(spark, sf_dir):
 
 
 @_q(
+    "lakehouse_paimon_pk_partitioned",
+    """
+    SELECT CAST(o_orderkey % 4 AS INT) AS dt,
+           o_orderkey AS k,
+           CASE WHEN o_orderkey % 8 = 0 THEN o_totalprice + 77.0
+                ELSE o_totalprice END AS price
+    FROM orders WHERE o_orderkey % 16 <> 2
+    """,
+)
+def lakehouse_paimon_pk_partitioned(spark, sf_dir):
+    """PARTITIONED Paimon PK table (PaimonMetadataApplier partition
+    keys): the hive `dt=<v>/bucket-<k>/` layout with partition values
+    riding manifest _PARTITION BinaryRows (not the data files), trimmed
+    _KEY_ fields, per-partition bucket hashing, and updates + deletes
+    merged per (partition, key) on read with partition literals
+    re-attached — the full state hash-checked against the oracle's LWW
+    recomputation."""
+    import os
+    import tempfile
+
+    from .paimon_pk import (append_paimon_pk, read_paimon_pk,
+                            write_paimon_pk)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        (F.col("o_orderkey") % 4).cast("int").alias("dt"),
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"))
+    k = F.col("k")
+    b1 = (orders.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    b2 = (orders.where(k % 8 == 0)
+          .withColumn("price", F.col("price") + 77.0)
+          .withColumn(OP_COLUMN, F.lit("+U"))
+          .withColumn(SEQ_COLUMN, F.lit(2).cast("long"))
+          .unionByName(orders.where(k % 16 == 2)
+                       .withColumn(OP_COLUMN, F.lit("-D"))
+                       .withColumn(SEQ_COLUMN, F.lit(3).cast("long"))))
+    schema = Schema.of(orders.schema, primary_keys=["k"],
+                       partition_keys=["dt"])
+    dest = os.path.join(tempfile.mkdtemp(prefix="paimon_pk_part_"), "t")
+    write_paimon_pk(spark, b1, dest, schema, buckets=4)
+    append_paimon_pk(spark, b2, dest)
+    assert os.path.isdir(os.path.join(dest, "dt=0")), \
+        "hive partition dirs must exist"
+    return read_paimon_pk(spark, dest).select("dt", "k", "price")
+
+
+@_q(
     "lakehouse_export_iceberg_inplace",
     """
     SELECT o_orderkey AS k,

@@ -228,7 +228,7 @@ def test_compact_pk_collapses_chain(spark, tmp_path):
     assert after == expect
     # compacted files are the only live set; all max level, all INSERT
     from flink_cdc_dsql_master_spark.paimon_pk import _live_paths
-    live = [p for p, _sid in _live_paths(dest)]
+    live = [t[0] for t in _live_paths(dest)]
     kinds = (spark.read.parquet(*live).select(KIND_FIELD).distinct()
              .collect())
     assert [r[0] for r in kinds] == [ROWKIND_INSERT]
@@ -540,3 +540,81 @@ def test_binary_row_hypothesis_roundtrip():
         assert got == values
 
     check()
+
+
+def test_partitioned_pk_table_end_to_end(spark, tmp_path):
+    """Partitioned PK table (PaimonMetadataApplier partition keys,
+    appended to the primary key): hive-style `dt=<v>/bucket-<k>/`
+    layout, partition values in manifest _PARTITION BinaryRows (NOT in
+    the data files), trimmed _KEY_ fields, per-partition merge-on-read
+    with re-attached partition literals, retractions, compaction, and
+    exact-liveness expiry GC."""
+    from flink_cdc_dsql_master_spark.paimon_export import (
+        expire_paimon_snapshots)
+
+    schema = Schema.of(
+        [("dt", "INT NOT NULL"), ("k", "INT NOT NULL"),
+         ("v", "DOUBLE")],
+        primary_keys=["k"], partition_keys=["dt"])
+    mk = lambda rows: spark.createDataFrame(
+        rows, f"dt int, k int, v double, {OP_COLUMN} string, "
+              f"{SEQ_COLUMN} long")
+    dest = str(tmp_path / "t")
+    b1 = mk([(d, d * 100 + i, float(i), "+I", d * 100 + i)
+             for d in (1, 2) for i in range(1, 11)])
+    write_paimon_pk(spark, b1, dest, schema, buckets=2)
+
+    # layout: hive partition dirs, buckets inside, no partition col in
+    # the data files, _KEY_ fields are the TRIMMED key
+    sj = json.load(open(os.path.join(dest, "schema", "schema-0")))
+    assert sj["partitionKeys"] == ["dt"]
+    assert sj["primaryKeys"] == ["k", "dt"]  # partition appended to pk
+    assert os.path.isdir(os.path.join(dest, "dt=1", "bucket-0")) or \
+        os.path.isdir(os.path.join(dest, "dt=1", "bucket-1"))
+    pdir = os.path.join(dest, "dt=1")
+    some = [os.path.join(pdir, b, f) for b in os.listdir(pdir)
+            for f in os.listdir(os.path.join(pdir, b))][0]
+    cols = spark.read.parquet(some).columns
+    assert "dt" not in cols and "_KEY_dt" not in cols
+    assert cols[:3] == ["_KEY_k", SEQ_FIELD, KIND_FIELD]
+
+    # retractions + update in one partition only
+    b2 = mk([(1, 101, 99.0, "+U", 1000), (2, 205, 0.0, "-D", 1001)])
+    append_paimon_pk(spark, b2, dest)
+    got = {(r["dt"], r["k"]): r["v"]
+           for r in read_paimon_pk(spark, dest).collect()}
+    assert len(got) == 19  # 20 inserted, 1 deleted
+    assert got[(1, 101)] == 99.0 and (2, 205) not in got
+    # partition values re-attach exactly
+    assert {d for d, _ in got} == {1, 2}
+
+    # manifest _PARTITION parses back to the dt value
+    snap = json.load(open(os.path.join(dest, "snapshot", "snapshot-1")))
+    man_dir = os.path.join(dest, "manifest")
+    _, metas = read_container(
+        os.path.join(man_dir, snap["deltaManifestList"]))
+    _, entries = read_container(
+        os.path.join(man_dir, metas[0]["_FILE_NAME"]))
+    pf = [T.StructField("dt", T.IntegerType(), False)]
+    assert {parse_binary_row(e["_PARTITION"], pf)[0]
+            for e in entries} == {1, 2}
+
+    # compaction rewrites per partition; merged state identical
+    expect = dict(got)
+    compact_paimon_pk(spark, dest)
+    after = {(r["dt"], r["k"]): r["v"]
+             for r in read_paimon_pk(spark, dest).collect()}
+    assert after == expect
+    # expiry reclaims the pre-compaction partitioned files
+    out = expire_paimon_snapshots(spark, dest, keep_last=1)
+    assert out["data_files_deleted"] > 0
+    final = {(r["dt"], r["k"]): r["v"]
+             for r in read_paimon_pk(spark, dest).collect()}
+    assert final == expect
+
+
+def test_partitioned_pk_unsafe_partition_value_raises(spark, tmp_path):
+    from flink_cdc_dsql_master_spark.paimon_pk import partition_dir_of
+
+    with pytest.raises(ValueError, match="filesystem-safe"):
+        partition_dir_of(["dt"], ["a/b"])
