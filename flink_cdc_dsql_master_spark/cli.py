@@ -116,8 +116,11 @@ def _cmd_run(args) -> int:
             from .paimon_pk import make_paimon_pk_sink_writer
 
             append_w = make_paimon_append_sink_writer(base)
+            from .paimon_pk import parse_partition_key_option
             pk_w = make_paimon_pk_sink_writer(
-                base, buckets=int(pipe.sink.config.get("buckets", 4)))
+                base, buckets=int(pipe.sink.config.get("buckets", 4)),
+                partition_map=parse_partition_key_option(
+                    pipe.sink.config.get("partition.key")))
             if stype == "paimon-append":
                 stream_writer = append_w
             else:

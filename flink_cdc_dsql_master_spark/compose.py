@@ -230,6 +230,16 @@ class BatchComposer:
                              f"{base}/{sink_tid.table}")
                 return
             if schema.primary_keys:
+                from .paimon_pk import (_partition_keys_for,
+                                        parse_partition_key_option)
+
+                pmap = parse_partition_key_option(
+                    sink.config.get("partition.key"))
+                pkeys = _partition_keys_for(sink_tid, pmap)
+                if pkeys and not schema.partition_keys:
+                    schema = Schema(schema.struct, schema.primary_keys,
+                                    tuple(pkeys), schema.options,
+                                    schema.comment)
                 write_paimon_pk(
                     self.spark, df, f"{base}/{sink_tid.table}", schema,
                     buckets=int(sink.config.get("buckets", 4)))

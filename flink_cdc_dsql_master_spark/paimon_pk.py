@@ -932,7 +932,38 @@ def compact_paimon_pk(spark, dest: str) -> dict:
             "dest": local, "compacted": len(old_live)}
 
 
-def make_paimon_pk_sink_writer(base: str, buckets: int = 4):
+def parse_partition_key_option(spec: str | None) -> dict:
+    """``partition.key`` sink option parity
+    (PaimonDataSinkFactory.java:84-96): tables separated by ';',
+    ``tableId:col1,col2`` per table — malformed entries raise like the
+    reference."""
+    out: dict[str, list[str]] = {}
+    if not spec:
+        return out
+    for tables in spec.split(";"):
+        splits = tables.split(":")
+        if len(splits) != 2:
+            raise ValueError(
+                f"partition.key is malformed near {tables!r} — expected "
+                "'db.table:col1,col2;...'")
+        out[splits[0].strip()] = [c.strip()
+                                  for c in splits[1].split(",")]
+    return out
+
+
+def _partition_keys_for(table_id, partition_map: dict) -> list[str]:
+    """Partition columns for a table id: exact id match first, then the
+    bare table name (the YAML face routes by sink table)."""
+    if not partition_map:
+        return []
+    tid = getattr(table_id, "identifier", lambda: str(table_id))()
+    return (partition_map.get(tid)
+            or partition_map.get(getattr(table_id, "table", tid))
+            or [])
+
+
+def make_paimon_pk_sink_writer(base: str, buckets: int = 4,
+                               partition_map: dict | None = None):
     """``sink_writer(table_id, df, schema, batch_id)`` for the streaming
     composers: CDC changelogs — retractions included — stream into a
     Paimon PK table as per-checkpoint merge-on-read commits, and the
@@ -950,6 +981,13 @@ def make_paimon_pk_sink_writer(base: str, buckets: int = 4):
             append_paimon_pk(spark, df, dest,
                              commit_identifier=batch_id)
         else:
+            pkeys = _partition_keys_for(table_id, partition_map or {})
+            if pkeys and not schema.partition_keys:
+                from .schema import Schema as _S
+
+                schema = _S(schema.struct, schema.primary_keys,
+                            tuple(pkeys), schema.options,
+                            schema.comment)
             write_paimon_pk(spark, df, dest, schema, buckets=buckets,
                             commit_identifier=batch_id)
 

@@ -618,3 +618,51 @@ def test_partitioned_pk_unsafe_partition_value_raises(spark, tmp_path):
 
     with pytest.raises(ValueError, match="filesystem-safe"):
         partition_dir_of(["dt"], ["a/b"])
+
+
+def test_partition_key_option_yaml_face(spark, tmp_path):
+    """`partition.key` sink option parity
+    (PaimonDataSinkFactory.java:84-96): 'db.table:col1,col2;...' maps
+    partition columns per sink table — the batch composer creates a
+    PARTITIONED PK table for the matched table."""
+    from flink_cdc_dsql_master_spark.compose import BatchComposer
+    from flink_cdc_dsql_master_spark.pipeline import parse_pipeline_yaml
+    from flink_cdc_dsql_master_spark.testing import EventScript
+
+    t1 = "default_namespace.default_schema.table1"
+    script = EventScript()
+    script.create_table(t1, Schema.of(
+        [("id", "INT NOT NULL"), ("dt", "INT NOT NULL"),
+         ("name", "STRING")], primary_keys=["id"]))
+    script.insert(t1, (1, 7, "a"), (2, 7, "b"), (3, 8, "c"))
+    script.update(t1, (2, 7, "b"), (2, 7, "b2"))
+
+    base = str(tmp_path / "warehouse")
+    pipe = parse_pipeline_yaml(f"""
+source:
+  type: values
+sink:
+  type: paimon
+  path: "{base}"
+  partition.key: "warehouse.db.people:dt"
+route:
+  - source-table: default_namespace.default_schema.\\.*
+    sink-table: warehouse.db.people
+pipeline:
+  name: to-partitioned-paimon
+""")
+    pipe.source.config["script"] = script
+    BatchComposer(spark, pipe).run()
+
+    dest = f"{base}/people"
+    sj = json.load(open(os.path.join(dest, "schema", "schema-0")))
+    assert sj["partitionKeys"] == ["dt"]
+    assert os.path.isdir(os.path.join(dest, "dt=7"))
+    got = sorted((r["id"], r["dt"], r["name"]) for r in
+                 read_paimon(spark, dest).collect())
+    assert got == [(1, 7, "a"), (2, 7, "b2"), (3, 8, "c")]
+
+    from flink_cdc_dsql_master_spark.paimon_pk import (
+        parse_partition_key_option)
+    with pytest.raises(ValueError, match="malformed"):
+        parse_partition_key_option("oops-no-colon")
