@@ -10,9 +10,15 @@ APPEND-table layout; this module adds the PK-table layout the
 reference's CDC path actually uses, following the public Paimon table
 spec (paimon.apache.org, "Concepts → Spec" + "Primary Key Table"):
 
-- ``schema/schema-0`` declares ``primaryKeys`` and a fixed
-  ``bucket: N`` option.
-- Data files live under ``bucket-<k>/`` where ``k = hash(pk) % N``;
+- ``schema/schema-0`` declares ``primaryKeys``, optional
+  ``partitionKeys`` (partition columns append to the primary key at
+  create, PaimonMetadataApplier :186-191) and a fixed ``bucket: N``
+  option.
+- Data files live under ``[<col>=<v>/...]bucket-<k>/`` — hive-style
+  partition directories, then ``k = hash(trimmed pk) % N`` where the
+  TRIMMED key is the primary key minus partition columns (Paimon's
+  bucket-key default); partition values ride the manifest entries'
+  ``_PARTITION`` BinaryRows, NOT the data files;
   each file is a level-0 sorted run of **KeyValue** rows — parquet
   columns ``_KEY_<pk-col>...``, ``_SEQUENCE_NUMBER`` (BIGINT),
   ``_VALUE_KIND`` (TINYINT RowKind: 0=INSERT, 1=UPDATE_BEFORE,
@@ -29,10 +35,16 @@ spec (paimon.apache.org, "Concepts → Spec" + "Primary Key Table"):
   micro-batch after a crash is a NO-OP (the reference committer
   filters committables by identifier the same way), which makes the
   streaming writer effectively-once.
-- Reading merges per key: highest ``_SEQUENCE_NUMBER`` wins and a
-  final DELETE/UPDATE_BEFORE kind drops the key — Paimon's
-  ``deduplicate`` merge engine. :func:`.paimon_export.read_paimon`
-  detects ``primaryKeys`` in the schema JSON and routes here.
+- Reading merges per (partition, trimmed key): highest
+  ``_SEQUENCE_NUMBER`` wins and a final DELETE/UPDATE_BEFORE kind
+  drops the key — Paimon's ``deduplicate`` merge engine.
+  :func:`.paimon_export.read_paimon` detects ``primaryKeys`` in the
+  schema JSON and routes here.
+- Schema evolution writes ``schema-N`` files with FIELD-ID continuity
+  (:func:`evolve_paimon_pk`); commits stamp their schema id, and
+  reads map each file through ITS schema id into the snapshot's
+  schema — snapshot-pinned schema semantics, renames resolving by id,
+  added columns NULL-filling, widened types casting.
 
 Documented divergences (both safe for external READERS, called out
 for the cross-engine smoke test a deployment should run first):
@@ -60,6 +72,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import struct
 import time
 import uuid
@@ -85,9 +98,6 @@ ROWKIND_INSERT = 0
 ROWKIND_UPDATE_BEFORE = 1
 ROWKIND_UPDATE_AFTER = 2
 ROWKIND_DELETE = 3
-
-_OP_TO_ROWKIND = {"+I": ROWKIND_INSERT, "-U": ROWKIND_UPDATE_BEFORE,
-                  "+U": ROWKIND_UPDATE_AFTER, "-D": ROWKIND_DELETE}
 
 KEY_PREFIX = "_KEY_"
 SEQ_FIELD = "_SEQUENCE_NUMBER"
@@ -216,7 +226,7 @@ def _write_pk_schema(local: str, struct_type: T.StructType,
         }, f, indent=2)
 
 
-_SAFE_PARTITION_RE = __import__("re").compile(r"^[-A-Za-z0-9_.]+$")
+_SAFE_PARTITION_RE = re.compile(r"^[-A-Za-z0-9_.]+$")
 
 
 def partition_dir_of(partition_keys, values) -> str:
