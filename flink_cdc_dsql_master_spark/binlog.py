@@ -967,29 +967,40 @@ def parse_binlog(data: bytes) -> list[dict]:
 # DDL-aware composer decodes a DDL-dense micro-batch as K+1 segment
 # epochs, and each decode_binlog/extract_binlog_ddl call re-parsed the
 # SAME blob bytes — O(K·B) parse work per batch. parse_binlog is a pure
-# function, so a small content-keyed LRU in the (reused) Python worker
-# makes the byte parse O(B) per batch while keeping pos_range semantics
+# function, so a content-keyed memo in the (reused) Python worker makes
+# the byte parse O(B) per batch while keeping pos_range semantics
 # byte-identical: epoch conversion still walks the full event list with
-# accrued TABLE_MAP state. Bounded at a few blobs — micro-batch
-# working-set sized, never a leak.
-import collections as _collections
+# accrued TABLE_MAP state.
+#
+# Sizing: the composer's access pattern is K+1 SEQUENTIAL decodes of
+# ONE blob, so a single most-recent-blob slot captures every hit an
+# LRU would — and unlike an entry-count LRU it cannot pin multiple
+# fully-parsed gigabyte segments per worker (a 16-entry cache of 1 GB
+# rotated segments is a multi-GB leak). The memo additionally drops
+# blobs past a byte ceiling outright: parsing a huge blob twice is
+# cheaper than holding its event list resident between batches.
+#
+# MUTATION CONTRACT: callers receive the CACHED list and its event
+# dicts — they must treat both as frozen. Every current caller
+# (decode_binlog epoch walk, extract_binlog_ddl) is read-only; a future
+# caller that needs to mutate must copy.deepcopy first.
 import hashlib as _hashlib
 
-_PARSE_CACHE: "_collections.OrderedDict[bytes, list]" = \
-    _collections.OrderedDict()
-_PARSE_CACHE_MAX = 16
+_PARSE_CACHE_KEY: bytes | None = None
+_PARSE_CACHE_EVENTS: list | None = None
+_PARSE_CACHE_MAX_BYTES = 256 * 1024 * 1024  # don't pin huge segments
 
 
 def _parse_binlog_cached(data: bytes) -> list[dict]:
+    global _PARSE_CACHE_KEY, _PARSE_CACHE_EVENTS
     key = _hashlib.blake2b(data, digest_size=16).digest()
-    events = _PARSE_CACHE.get(key)
-    if events is None:
-        events = parse_binlog(data)
-        _PARSE_CACHE[key] = events
-        while len(_PARSE_CACHE) > _PARSE_CACHE_MAX:
-            _PARSE_CACHE.popitem(last=False)
+    if key == _PARSE_CACHE_KEY:
+        return _PARSE_CACHE_EVENTS
+    events = parse_binlog(data)
+    if len(data) <= _PARSE_CACHE_MAX_BYTES:
+        _PARSE_CACHE_KEY, _PARSE_CACHE_EVENTS = key, events
     else:
-        _PARSE_CACHE.move_to_end(key)
+        _PARSE_CACHE_KEY = _PARSE_CACHE_EVENTS = None
     return events
 
 

@@ -253,7 +253,10 @@ class BatchComposer:
 
                 from .events import OP_COLUMN, SEQ_COLUMN
                 if OP_COLUMN in df.columns:
-                    bad = (df.where(~F.col(OP_COLUMN).isin("+I"))
+                    # NULL-safe: a NULL op must ALSO trip the guard
+                    # (plain `!= "+I"` drops NULLs under 3VL)
+                    bad = (df.where(~F.coalesce(
+                               F.col(OP_COLUMN) == "+I", F.lit(False)))
                            .limit(1).count())
                     if bad:
                         raise ValueError(

@@ -192,7 +192,15 @@ def _write_schema(local: str, schema: T.StructType) -> None:
 
 def _write_snapshot(local: str, snap_id: int, base_list: str,
                     delta_list: str, total: int, delta: int,
-                    earliest: bool = False, schema_id: int = 0) -> None:
+                    earliest: bool = False, schema_id: int = 0,
+                    commit_identifier=None,
+                    changelog_list: str | None = None,
+                    changelog_rows: int = 0) -> None:
+    """Write ``snapshot-<id>`` then advance LATEST. The snapshot JSON is
+    written ONCE with its real ``commitIdentifier`` (default: the batch
+    sentinel) — never rewritten after LATEST moves, so a crash can't
+    leave a committed snapshot carrying the sentinel and let a replayed
+    micro-batch slip past the idempotence filter."""
     snap_dir = os.path.join(local, "snapshot")
     os.makedirs(snap_dir, exist_ok=True)
     with open(os.path.join(snap_dir, f"snapshot-{snap_id}"), "w") as f:
@@ -202,16 +210,18 @@ def _write_snapshot(local: str, snap_id: int, base_list: str,
             "schemaId": schema_id,
             "baseManifestList": base_list,
             "deltaManifestList": delta_list,
-            "changelogManifestList": None,
+            "changelogManifestList": changelog_list,
             "indexManifest": None,
             "commitUser": str(uuid.uuid4()),
-            "commitIdentifier": _BATCH_COMMIT_IDENTIFIER,
+            "commitIdentifier": (_BATCH_COMMIT_IDENTIFIER
+                                 if commit_identifier is None
+                                 else commit_identifier),
             "commitKind": "APPEND",
             "timeMillis": int(time.time() * 1000),
             "logOffsets": {},
             "totalRecordCount": total,
             "deltaRecordCount": delta,
-            "changelogRecordCount": 0,
+            "changelogRecordCount": changelog_rows,
             "watermark": None,
         }, f, indent=2)
     with open(os.path.join(snap_dir, "LATEST"), "w") as f:

@@ -70,6 +70,7 @@ the driver only stages manifest/snapshot JSON, like the append face.
 
 from __future__ import annotations
 
+import datetime
 import json
 import os
 import re
@@ -138,8 +139,16 @@ def serialize_binary_row(values: list, fields: list[T.StructField]) -> bytes:
         dt = f.dataType
         if isinstance(dt, (T.LongType,)):
             slots[off:off + 8] = struct.pack("<q", int(v))
-        elif isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType,
-                             T.DateType)):
+        elif isinstance(dt, T.DateType):
+            # Paimon DATE = days since epoch (int slot). Footer stats
+            # and partition-path parsing hand back datetime.date /
+            # 'YYYY-MM-DD' strings — normalize both here.
+            if isinstance(v, str):
+                v = datetime.date.fromisoformat(v)
+            if isinstance(v, datetime.date):
+                v = (v - datetime.date(1970, 1, 1)).days
+            slots[off:off + 4] = struct.pack("<i", int(v))
+        elif isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
             slots[off:off + 4] = struct.pack("<i", int(v))
         elif isinstance(dt, T.BooleanType):
             slots[off] = 1 if v else 0
@@ -182,8 +191,11 @@ def parse_binary_row(data: bytes, fields: list[T.StructField]) -> list:
         dt = f.dataType
         if isinstance(dt, T.LongType):
             out.append(struct.unpack("<q", slot)[0])
-        elif isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType,
-                             T.DateType)):
+        elif isinstance(dt, T.DateType):
+            days = struct.unpack("<i", slot[:4])[0]
+            out.append(datetime.date(1970, 1, 1)
+                       + datetime.timedelta(days=days))
+        elif isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
             out.append(struct.unpack("<i", slot[:4])[0])
         elif isinstance(dt, T.BooleanType):
             out.append(bool(slot[0]))
@@ -209,6 +221,7 @@ def parse_binary_row(data: bytes, fields: list[T.StructField]) -> list:
 def _write_pk_schema(local: str, struct_type: T.StructType,
                      primary_keys: list[str], buckets: int,
                      partition_keys: list[str] | tuple = ()) -> None:
+    _check_partition_key_types(struct_type, partition_keys)
     fields = [_paimon_field(i, f)
               for i, f in enumerate(struct_type.fields)]
     os.makedirs(os.path.join(local, "schema"), exist_ok=True)
@@ -260,9 +273,33 @@ def _parse_partition_dir(rel: str, partition_fields) -> list:
             out.append(int(raw))
         elif isinstance(f.dataType, T.BooleanType):
             out.append(raw.lower() == "true")
+        elif isinstance(f.dataType, T.DateType):
+            # typed date value: str() round-trips to the same hive
+            # path component, serialize_binary_row packs epoch days
+            out.append(datetime.date.fromisoformat(raw))
         else:
             out.append(raw)
     return out
+
+
+#: partition-key types the BinaryRow serializer (and the hive-path
+#: round trip) supports — enforced at table create, so a manifest
+#: `_PARTITION` can never silently degrade to the EMPTY row and make a
+#: partitioned file look unpartitioned to the reader.
+_PARTITIONABLE_TYPES = (T.IntegerType, T.LongType, T.ShortType,
+                        T.ByteType, T.BooleanType, T.StringType,
+                        T.DateType)
+
+
+def _check_partition_key_types(struct_type: T.StructType,
+                               partition_keys) -> None:
+    for k in partition_keys:
+        f = struct_type[k]
+        if not isinstance(f.dataType, _PARTITIONABLE_TYPES):
+            raise ValueError(
+                f"partition key {k!r} has unsupported type "
+                f"{f.dataType.simpleString()}; supported: int/long/"
+                "short/byte/boolean/string/date")
 
 
 def _latest_schema_id(local: str) -> int:
@@ -520,8 +557,16 @@ def _pk_manifest_entries(files, buckets: int,
     out = []
     for pvals, b, pname, n, sz, min_key, max_key, min_seq, max_seq \
             in files:
-        pbytes = serialize_binary_row(list(pvals), partition_fields) \
-            if pvals else _EMPTY_BINARY_ROW
+        if pvals:
+            pbytes = serialize_binary_row(list(pvals), partition_fields)
+            if pbytes == _EMPTY_BINARY_ROW:
+                # an EMPTY `_PARTITION` reads back as "unpartitioned"
+                # and resolves the wrong file paths — never degrade
+                raise ValueError(
+                    f"cannot serialize partition values {pvals!r} "
+                    f"({[f.dataType.simpleString() for f in partition_fields]})")
+        else:
+            pbytes = _EMPTY_BINARY_ROW
         out.append({
             "_VERSION": 2, "_KIND": _KIND_ADD,
             "_PARTITION": pbytes,
@@ -706,13 +751,8 @@ def _commit_pk(spark, changelog: DataFrame, local: str, seq_base: int,
     snap_id = (prev["id"] + 1) if prev else 1
     _write_snapshot(local, snap_id, base_list, delta_list,
                     total=prev_total + new_rows, delta=new_rows,
-                    earliest=prev is None, schema_id=schema_id)
-    if commit_identifier is not None:
-        sp = os.path.join(local, "snapshot", f"snapshot-{snap_id}")
-        snap = json.load(open(sp))
-        snap["commitIdentifier"] = commit_identifier
-        with open(sp, "w") as f:
-            json.dump(snap, f, indent=2)
+                    earliest=prev is None, schema_id=schema_id,
+                    commit_identifier=commit_identifier)
     return {"snapshot_id": snap_id, "rows": new_rows,
             "files": len(files), "dest": local}
 

@@ -604,6 +604,11 @@ def split_malformed_envelopes(df: DataFrame, value_col: str,
 # In-band Debezium schema-change (DDL) messages
 # ---------------------------------------------------------------------------
 
+# single-quoted literal with MySQL escapes: backslash-escaped chars
+# (default sql_mode) and doubled quotes — `'[^']*'` would stop at the
+# escaped quote in DEFAULT 'it\'s' and silently fail the whole spec
+_SQ_LIT = r"'(?:\\.|''|[^'\\])*'"
+
 # type capture: base word + optional arg list (numeric, or the quoted
 # value lists ENUM/SET take) + MySQL suffix keywords (UNSIGNED/
 # ZEROFILL display modifiers, DOUBLE PRECISION, CHARACTER VARYING) —
@@ -611,7 +616,8 @@ def split_malformed_envelopes(df: DataFrame, value_col: str,
 # swallowed. Normalized to the reference canon by _normalize_ddl_type.
 _TYPE_PAT = (r"([A-Za-z_]+"
              r"(?:\s+(?:PRECISION|VARYING))?"  # DOUBLE PRECISION, CHARACTER VARYING(n)
-             r"(?:\s*\(\s*(?:'[^']*'|\d+)\s*(?:,\s*(?:'[^']*'|\d+)\s*)*\))?"
+             r"(?:\s*\(\s*(?:" + _SQ_LIT + r"|\d+)\s*(?:,\s*(?:"
+             + _SQ_LIT + r"|\d+)\s*)*\))?"
              r"(?:\s+(?:UNSIGNED|ZEROFILL))*)")
 
 _DDL_RES = [
@@ -619,7 +625,7 @@ _DDL_RES = [
         r"ALTER\s+TABLE\s+\S+\s+ADD\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?\s+"
         + _TYPE_PAT +
         r"(?:\s+(NOT\s+NULL)|\s+NULL)?"
-        r"(?:\s+DEFAULT\s+('[^']*'|[\w.+-]+))?"
+        r"(?:\s+DEFAULT\s+('(?:\\.|''|[^'\\])*'|[\w.+-]+))?"
         r"(?:\s+(FIRST)|\s+AFTER\s+[`\"]?(\w+)[`\"]?)?\s*;?\s*$",
         re.IGNORECASE)),
     ("rename", re.compile(
@@ -632,7 +638,7 @@ _DDL_RES = [
         r"\s+[`\"]?(\w+)[`\"]?\s+"
         + _TYPE_PAT +
         r"(?:\s+(NOT\s+NULL)|\s+NULL)?"
-        r"(?:\s+DEFAULT\s+(?:'[^']*'|[\w.+-]+))?\s*;?\s*$",
+        r"(?:\s+DEFAULT\s+(?:'(?:\\.|''|[^'\\])*'|[\w.+-]+))?\s*;?\s*$",
         re.IGNORECASE)),
     ("drop", re.compile(
         r"ALTER\s+TABLE\s+\S+\s+DROP\s+(?:COLUMN\s+)?[`\"]?(\w+)[`\"]?"
@@ -642,7 +648,7 @@ _DDL_RES = [
         r"(?:COLUMN\s+)?)[`\"]?(\w+)[`\"]?\s+(?:SET\s+DATA\s+TYPE\s+)?"
         + _TYPE_PAT +
         r"(?:\s+(NOT\s+NULL)|\s+NULL)?"
-        r"(?:\s+DEFAULT\s+(?:'[^']*'|[\w.+-]+))?\s*;?\s*$",
+        r"(?:\s+DEFAULT\s+(?:'(?:\\.|''|[^'\\])*'|[\w.+-]+))?\s*;?\s*$",
         re.IGNORECASE)),
     ("create_table", re.compile(
         r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?\S+\s*\((.*)\)"
@@ -663,21 +669,79 @@ _ADD_GROUP_RE = re.compile(r"ADD\s+(?:COLUMN\s+)?\((.*)\)\s*$",
                            re.IGNORECASE | re.DOTALL)
 
 
-def _split_toplevel_commas(s: str) -> list[str]:
-    """Split on commas outside parentheses and single quotes."""
-    parts, depth, start, in_q = [], 0, 0, False
-    for i, ch in enumerate(s):
-        if ch == "'":
-            in_q = not in_q
-        elif in_q:
+_QUOTE_CHARS = "'\"`"
+
+# MySQL string-literal escape sequences (default sql_mode; the
+# published mysql_real_escape_string table). Unknown \x → x.
+_MYSQL_ESCAPES = {"0": "\0", "n": "\n", "r": "\r", "t": "\t",
+                  "b": "\b", "Z": "\x1a", "\\": "\\", "'": "'",
+                  '"': '"', "%": "\\%", "_": "\\_"}
+
+
+def _unescape_sql_literal(inner: str) -> str:
+    """The INNER text of a single-quoted MySQL literal → its value:
+    ``\\'`` and ``''`` become ``'``, backslash sequences resolve per the
+    published escape table."""
+    out, i, n = [], 0, len(inner)
+    while i < n:
+        ch = inner[i]
+        if ch == "\\" and i + 1 < n:
+            nxt = inner[i + 1]
+            out.append(_MYSQL_ESCAPES.get(nxt, nxt))
+            i += 2
             continue
-        elif ch == "(":
+        if ch == "'" and i + 1 < n and inner[i + 1] == "'":
+            out.append("'")
+            i += 2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+def _skip_quoted(s: str, i: int) -> int:
+    """``s[i]`` opens a quoted region (``'``, ``"`` or a backtick
+    identifier); return the index just past its close, honoring MySQL's
+    default escaping rules: backslash escapes inside string literals
+    (default sql_mode — ``'it\\'s'`` is ONE literal), doubled-quote
+    escaping in all three (``'it''s'``, ```a``b```), and NO backslash
+    escape inside backticks. Unterminated → end of string (never
+    raises — the scrubbers must stay total on malformed DDL)."""
+    q = s[i]
+    i += 1
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "\\" and q != "`":
+            i += 2
+            continue
+        if ch == q:
+            if i + 1 < n and s[i + 1] == q:  # doubled quote = escaped
+                i += 2
+                continue
+            return i + 1
+        i += 1
+    return n
+
+
+def _split_toplevel_commas(s: str) -> list[str]:
+    """Split on commas outside parentheses and quoted regions
+    (single/double-quoted literals with backslash escapes, backtick
+    identifiers)."""
+    parts, depth, start, i, n = [], 0, 0, 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch in _QUOTE_CHARS:
+            i = _skip_quoted(s, i)
+            continue
+        if ch == "(":
             depth += 1
         elif ch == ")":
             depth -= 1
         elif ch == "," and depth == 0:
             parts.append(s[start:i])
             start = i + 1
+        i += 1
     parts.append(s[start:])
     return parts
 
@@ -743,18 +807,36 @@ _GENERATED_AS_RE = re.compile(r"(?:\bGENERATED\s+ALWAYS\s+)?\bAS\s*\(",
 
 def _sub_outside_quotes(rx: re.Pattern, repl: str, s: str) -> str:
     """Apply a regex substitution only to the segments of ``s`` outside
-    single-quoted literals."""
-    out, seg_start, in_q = [], 0, False
-    for i, ch in enumerate(s):
-        if ch == "'":
-            seg = s[seg_start:i]
-            out.append(seg if in_q else rx.sub(repl, seg))
-            out.append("'")
-            seg_start = i + 1
-            in_q = not in_q
-    seg = s[seg_start:]
-    out.append(seg if in_q else rx.sub(repl, seg))
+    quoted regions (string literals with MySQL backslash/doubled-quote
+    escapes, backtick identifiers — a column NAMED ``auto_increment``
+    must not be scrubbed)."""
+    out, seg_start, i, n = [], 0, 0, len(s)
+    while i < n:
+        if s[i] in _QUOTE_CHARS:
+            out.append(rx.sub(repl, s[seg_start:i]))
+            j = _skip_quoted(s, i)
+            out.append(s[i:j])
+            seg_start = i = j
+            continue
+        i += 1
+    out.append(rx.sub(repl, s[seg_start:]))
     return "".join(out)
+
+
+def _in_quoted_region(s: str, pos: int) -> bool:
+    """Is ``pos`` inside a quoted region of ``s`` (escape-aware)?"""
+    i = 0
+    while i < len(s):
+        if s[i] in _QUOTE_CHARS:
+            j = _skip_quoted(s, i)
+            if i < pos < j:
+                return True
+            i = j
+            continue
+        if i >= pos:
+            return False
+        i += 1
+    return False
 
 
 def _scrub_column_attributes(stmt: str) -> str:
@@ -777,17 +859,18 @@ def _scrub_column_attributes(stmt: str) -> str:
         m = _GENERATED_AS_RE.search(stmt, pos)
         if not m:
             break
-        if stmt.count("'", 0, m.start()) % 2:  # inside a literal
+        if _in_quoted_region(stmt, m.start()):  # inside a literal
             pos = m.end()
             continue
-        depth, in_q, i = 1, False, m.end()
+        depth, i = 1, m.end()
         while i < len(stmt) and depth:
             ch = stmt[i]
-            if ch == "'":
-                in_q = not in_q
-            elif not in_q and ch == "(":
+            if ch in _QUOTE_CHARS:
+                i = _skip_quoted(stmt, i)
+                continue
+            if ch == "(":
                 depth += 1
-            elif not in_q and ch == ")":
+            elif ch == ")":
                 depth -= 1
             i += 1
         tail = re.match(r"\s*(?:VIRTUAL|STORED)\b", stmt[i:],
@@ -803,7 +886,7 @@ def _scrub_column_attributes(stmt: str) -> str:
 
 
 def strip_inline_comments(stmt: str) -> str:
-    """Remove ``/* .. */`` blocks and ``-- ``/``#`` line comments
+    r"""Remove ``/* .. */`` blocks and ``-- ``/``#`` line comments
     ANYWHERE in a statement, respecting single-quoted literals (a
     DEFAULT value may contain '--'). MySQL's rule: ``--`` starts a
     comment only when followed by whitespace/EOL; ``#`` always does.
@@ -813,19 +896,12 @@ def strip_inline_comments(stmt: str) -> str:
     column named ``\`col#1\``` must keep its '#'."""
     out = []
     i, n = 0, len(stmt)
-    in_q = None  # the active quote char: ' or `
     while i < n:
         ch = stmt[i]
-        if in_q:
-            out.append(ch)
-            if ch == in_q:
-                in_q = None
-            i += 1
-            continue
-        if ch in ("'", "`"):
-            in_q = ch
-            out.append(ch)
-            i += 1
+        if ch in _QUOTE_CHARS:
+            j = _skip_quoted(stmt, i)
+            out.append(stmt[i:j])
+            i = j
             continue
         if ch == "/" and stmt.startswith("/*", i):
             end = stmt.find("*/", i + 2)
@@ -843,15 +919,20 @@ def strip_inline_comments(stmt: str) -> str:
 
 
 def split_sql_statements(ddl: str) -> list[str]:
-    """Split a DDL blob on ``;`` outside single-quoted literals — a
-    quoted DEFAULT may contain ';' (round-12 fuzz hardening)."""
-    parts, start, in_q = [], 0, False
-    for i, ch in enumerate(ddl):
-        if ch == "'":
-            in_q = not in_q
-        elif ch == ";" and not in_q:
+    """Split a DDL blob on ``;`` outside quoted regions — a quoted
+    DEFAULT may contain ';' (round-12 fuzz hardening), including via a
+    backslash-escaped quote (``DEFAULT 'it\\'s; x'``), and a backtick
+    identifier may contain ';' too (round-13, ADVICE r12)."""
+    parts, start, i, n = [], 0, 0, len(ddl)
+    while i < n:
+        ch = ddl[i]
+        if ch in _QUOTE_CHARS:
+            i = _skip_quoted(ddl, i)
+            continue
+        if ch == ";":
             parts.append(ddl[start:i])
             start = i + 1
+        i += 1
     parts.append(ddl[start:])
     return parts
 
@@ -1013,7 +1094,7 @@ def _parse_one_ddl(stmt: str, tid) -> list:
                 (" NOT NULL" if notnull else "")
             if default is not None:
                 if default.startswith("'"):
-                    default = default[1:-1]
+                    default = _unescape_sql_literal(default[1:-1])
                 elif default.upper() == "NULL":
                     default = None  # DEFAULT NULL = no default
             events.append(AddColumnEvent(tid, name, ts,

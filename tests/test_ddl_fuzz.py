@@ -37,7 +37,12 @@ default_s = st.one_of(
     st.none(),
     st.sampled_from(["0", "42.5", "-7", "abc", "NULL"]),
     st.sampled_from(["'x'", "'a, DROP c1'", "'ADD, MODIFY'",
-                     "'hello world'", "''"]),
+                     "'hello world'", "''",
+                     # escaped quotes (round-13, ADVICE r12): MySQL
+                     # backslash escape and doubled-quote forms, with
+                     # adversarial '; '/', DROP' payloads behind them
+                     r"'it\'s; x'", "'a''b, DROP c1'",
+                     r"'back\\slash'"]),
 )
 
 add_spec = st.tuples(st.just("add"), name_s, type_s, st.booleans(),
@@ -61,7 +66,9 @@ def _expected(spec) -> list:
         ts = typ + (" NOT NULL" if notnull else "")
         if default is not None:
             if default.startswith("'"):
-                default = default[1:-1]
+                from flink_cdc_dsql_master_spark.sources import \
+                    _unescape_sql_literal
+                default = _unescape_sql_literal(default[1:-1])
             elif default == "NULL":
                 default = None
         position, anchor = ColumnPosition.LAST, None

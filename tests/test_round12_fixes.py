@@ -58,7 +58,7 @@ def test_parse_cache_memoizes_pure_parse(monkeypatch):
         return real(data)
 
     monkeypatch.setattr(bl, "parse_binlog", counting)
-    bl._PARSE_CACHE.clear()
+    bl._PARSE_CACHE_KEY = bl._PARSE_CACHE_EVENTS = None
     blob = _dense_blob(n_ddl=2)
     e1 = _parse_binlog_cached(blob)
     for _ in range(12):  # the K+1 epoch decodes of one micro-batch
@@ -68,7 +68,30 @@ def test_parse_cache_memoizes_pure_parse(monkeypatch):
     other = _dense_blob(n_ddl=2, rows_per_epoch=3)
     e2 = _parse_binlog_cached(other)
     assert e2 is not e1 and len(calls) == 2
-    bl._PARSE_CACHE.clear()
+    bl._PARSE_CACHE_KEY = bl._PARSE_CACHE_EVENTS = None
+
+
+def test_parse_cache_is_byte_bounded(monkeypatch):
+    """The memo holds at most ONE blob's parse (the composer's access
+    pattern is K+1 sequential decodes of one blob) and refuses to pin
+    blobs past the byte ceiling — no multi-GB per-worker residue from
+    rotated 1 GB segments."""
+    import flink_cdc_dsql_master_spark.binlog as bl
+
+    bl._PARSE_CACHE_KEY = bl._PARSE_CACHE_EVENTS = None
+    a = _dense_blob(n_ddl=1)
+    b = _dense_blob(n_ddl=1, rows_per_epoch=3)
+    _parse_binlog_cached(a)
+    _parse_binlog_cached(b)
+    # single slot: only b is resident now
+    ev_b = bl._PARSE_CACHE_EVENTS
+    assert ev_b is not None and _parse_binlog_cached(b) is ev_b
+
+    # an over-ceiling blob parses fine but is NOT retained
+    monkeypatch.setattr(bl, "_PARSE_CACHE_MAX_BYTES", len(a) - 1)
+    out = _parse_binlog_cached(a)
+    assert out and bl._PARSE_CACHE_EVENTS is None
+    bl._PARSE_CACHE_KEY = bl._PARSE_CACHE_EVENTS = None
 
 
 def test_ddl_dense_multi_epoch_decode_exact(spark):
