@@ -15,6 +15,9 @@ Commands:
       prints sources, transform rules, routes, sink; exit 2 on a
       malformed definition. The cheap pre-flight a 100 TB submission
       deserves before it asks the cluster for executors.
+  report METRICS.json — render a metrics snapshot dumped by
+      ``run --metrics-json`` (the reference's documented monitoring
+      contract: throughput, latency, auth, errors-by-category).
 """
 
 from __future__ import annotations
@@ -38,6 +41,16 @@ def _build_parser() -> argparse.ArgumentParser:
                            "(readStream + foreachBatch upsert)")
     runp.add_argument("--checkpoint", default=None,
                       help="streaming checkpoint location")
+    runp.add_argument("--metrics-json", default=None,
+                      help="dump the pipeline metrics registry "
+                           "(counters/timers/errors-by-category) to "
+                           "this path when the run finishes")
+
+    repp = sub.add_parser(
+        "report", help="render a metrics snapshot dumped by "
+                       "`run --metrics-json` (the reference's "
+                       "documented monitoring contract)")
+    repp.add_argument("metrics_json")
 
     valp = sub.add_parser("validate",
                           help="parse + plan a pipeline, run nothing")
@@ -149,11 +162,18 @@ def _cmd_run(args) -> int:
                         f"{tid.namespace}.{tid.schema_name}.{tid.table}")
                 merge_into_parquet(path, df, schema)
 
-        q = compose_stream(
-            spark, pipe,
-            args.checkpoint or f"{args.output_dir}/_checkpoint",
-            stream_writer)
-        q.awaitTermination()
+        from .metrics import make_streaming_listener, registry
+        listener = make_streaming_listener(registry(pipe.name))
+        spark.streams.addListener(listener)
+        try:
+            q = compose_stream(
+                spark, pipe,
+                args.checkpoint or f"{args.output_dir}/_checkpoint",
+                stream_writer)
+            q.awaitTermination()
+        finally:
+            spark.streams.removeListener(listener)
+            _dump_metrics(pipe.name, args.metrics_json)
         return 0
 
     def write_parquet(tid, df, schema):
@@ -164,6 +184,50 @@ def _cmd_run(args) -> int:
         print(f"{tid}: {n} rows -> {path}")
 
     BatchComposer(spark, pipe, sink_writer=write_parquet).run()
+    _dump_metrics(pipe.name, args.metrics_json)
+    return 0
+
+
+def _dump_metrics(pipeline_name: str, path: str | None) -> None:
+    if not path:
+        return
+    from .metrics import registry
+
+    with open(path, "w") as f:
+        f.write(registry(pipeline_name).report())
+    print(f"metrics -> {path}")
+
+
+def _cmd_report(args) -> int:
+    """Human rendering of a dumped metrics snapshot — per-table
+    throughput, latency timers, auth counters, errors by category."""
+    import json
+
+    with open(args.metrics_json) as f:
+        snap = json.load(f)
+    print(f"registry: {snap.get('registry', '?')}")
+    counters = snap.get("counters", {})
+    if counters:
+        print("counters:")
+        for k in sorted(counters):
+            print(f"  {k} = {counters[k]}")
+    timers = snap.get("timers", {})
+    if timers:
+        print("timers:")
+        for k in sorted(timers):
+            t = timers[k]
+            print(f"  {k}: n={t['count']} avg={t['avg_s']*1000:.1f}ms "
+                  f"max={t['max_s']*1000:.1f}ms")
+    gauges = snap.get("gauges", {})
+    if gauges:
+        print("gauges:")
+        for k in sorted(gauges):
+            print(f"  {k} = {gauges[k]}")
+    errs = snap.get("errors_by_category", {})
+    if errs:
+        print("errors by category:")
+        for k in sorted(errs):
+            print(f"  {k} = {errs[k]}")
     return 0
 
 
@@ -228,6 +292,8 @@ def main(argv: list[str] | None = None) -> int:
         return _cmd_validate(args)
     if args.cmd == "table":
         return _cmd_table(args)
+    if args.cmd == "report":
+        return _cmd_report(args)
     if args.cmd == "lint":
         return _cmd_lint(args)
     return _cmd_run(args)

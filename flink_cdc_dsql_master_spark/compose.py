@@ -22,6 +22,7 @@ repartition — no extra shuffles are introduced by composition.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from time import monotonic as _monotonic
 
 from pyspark.sql import DataFrame, SparkSession
 
@@ -200,13 +201,19 @@ class BatchComposer:
                 port=int(sink.config.get("port", 5432)),
                 database=sink.config.get("database", "postgres"),
                 sslrootcert=sink.config.get("ssl-ca"))
+            from .metrics import registry
+            reg = sink.config.get("metrics") or \
+                registry(self.pipeline.name)
             auth = sink.config.get("authenticator") or \
-                authenticator_from_config(sink.config)
+                authenticator_from_config(sink.config, metrics=reg)
+            if auth.metrics is None:
+                auth.metrics = reg
             writer = JdbcUpsertSink(
                 iam_conn_factory(base_connect, auth), sink_tid.table,
                 schema,
                 batch_size=int(sink.config.get("batch-size", 1000)),
-                parallel=bool(sink.config.get("parallel", False)))
+                parallel=bool(sink.config.get("parallel", False)),
+                metrics=reg)
             writer.ensure_table()
             writer.write_batch(df)
         elif sink.type in ("paimon", "paimon-append"):
@@ -329,7 +336,8 @@ def _data_struct(df: DataFrame):
 def compose_changelog_stream(spark: SparkSession, pipeline: PipelineDef,
                              checkpoint: str, sink_writer,
                              on_schema_change=None, evolver=None,
-                             available_now: bool = True):
+                             available_now: bool = True,
+                             metrics=None):
     """Compose the full streaming pipeline over a Debezium changelog source:
 
         readStream → decode_debezium_json → [prune → transform → evolve →
@@ -381,7 +389,7 @@ def compose_changelog_stream(spark: SparkSession, pipeline: PipelineDef,
         raise ValueError(f"unsupported stream source type {src.type!r}")
     handle = foreach_batch_writer(pipeline, sink_writer, spark,
                                   on_schema_change=on_schema_change,
-                                  evolver=evolver)
+                                  evolver=evolver, metrics=metrics)
     w = (stream.writeStream.foreachBatch(handle)
          .option("checkpointLocation", checkpoint))
     if available_now:
@@ -391,7 +399,8 @@ def compose_changelog_stream(spark: SparkSession, pipeline: PipelineDef,
 
 def foreach_batch_writer(pipeline: PipelineDef, sink_writer,
                          spark: SparkSession, on_schema_change=None,
-                         evolver: SchemaEvolver | None = None):
+                         evolver: SchemaEvolver | None = None,
+                         metrics=None):
     """Build a ``foreachBatch`` function running the composed pipeline on
     each micro-batch of a single-table changelog stream.
 
@@ -426,8 +435,12 @@ def foreach_batch_writer(pipeline: PipelineDef, sink_writer,
     # SchemaCoordinator's checkpoint story (SchemaCoordinator snapshot).
     evolver = evolver or SchemaEvolver(
         behavior=SchemaChangeBehavior(pipeline.schema_change_behavior))
+    from .metrics import (PROCESSING_LATENCY, SCHEMA_CHANGES_APPLIED,
+                          registry)
+    reg = metrics if metrics is not None else registry(pipeline.name)
 
     def handle(df: DataFrame, batch_id: int) -> None:
+        t0 = _monotonic()
         xdf = engine.apply(engine.prune(df, table), table)
         incoming = Schema.of(_data_struct(xdf), primary_keys=pks)
         applied = list(evolver.infer_drift_events(table, incoming))
@@ -439,6 +452,9 @@ def foreach_batch_writer(pipeline: PipelineDef, sink_writer,
         for sink_tid in router.route(table):
             if applied and on_schema_change is not None:
                 on_schema_change(sink_tid, applied, schema)
+            if applied:
+                reg.inc(SCHEMA_CHANGES_APPLIED, len(applied),
+                        table=str(sink_tid))
             out = out0
             if schema.primary_keys:
                 out = repartition_by_key(out, list(schema.primary_keys))
@@ -449,6 +465,8 @@ def foreach_batch_writer(pipeline: PipelineDef, sink_writer,
                 sink_writer(sink_tid, out, schema, batch_id=batch_id)
             else:
                 sink_writer(sink_tid, out, schema)
+            reg.observe(PROCESSING_LATENCY, _monotonic() - t0,
+                        table=str(sink_tid))
 
     return handle
 
@@ -1246,7 +1264,7 @@ def make_sketch_sink_writer(base_path: str, key_col: str,
     return writer
 
 
-def make_dsql_sink_writer(config: dict):
+def make_dsql_sink_writer(config: dict, metrics=None):
     """Sink-writer for the streaming face of ``sink: type: dsql``: each
     micro-batch upserts its changelog through an IAM-authenticated
     connection (``DsqlBatchSinkFunction`` cadence — one effectively-once
@@ -1254,16 +1272,28 @@ def make_dsql_sink_writer(config: dict):
     re-presigns at most every 20 minutes; an expired-token rejection
     mid-stream heals via the factory's refresh-and-retry
     (``getConnectionWithRetry`` parity). Tables are created on first
-    sight via the FullLoadCoordinator's idempotence cache."""
+    sight via the FullLoadCoordinator's idempotence cache.
+
+    ``metrics`` (or ``config['metrics']``) is a
+    :class:`..metrics.MetricsRegistry` — when present the writer feeds
+    the reference's documented monitoring contract: token refresh /
+    auth-failure counters ride the authenticator, per-table events
+    processed + commit latency ride the upsert sink, categorized
+    errors + retry attempts ride the connection factory and the
+    executemany retry loop."""
     from .iam_auth import (PostgresConnect, authenticator_from_config,
                            iam_conn_factory)
     from .sinks import FullLoadCoordinator, JdbcUpsertSink
 
+    reg = metrics if metrics is not None else config.get("metrics")
     base_connect = config.get("connect") or PostgresConnect(
         host=config["host"], port=int(config.get("port", 5432)),
         database=config.get("database", "postgres"),
         sslrootcert=config.get("ssl-ca"))
-    auth = config.get("authenticator") or authenticator_from_config(config)
+    auth = config.get("authenticator") or \
+        authenticator_from_config(config, metrics=reg)
+    if reg is not None and auth.metrics is None:
+        auth.metrics = reg
     factory = iam_conn_factory(base_connect, auth)
     coordinator = FullLoadCoordinator(factory)
     batch_size = int(config.get("batch-size", 1000))
@@ -1271,7 +1301,8 @@ def make_dsql_sink_writer(config: dict):
 
     def writer(sink_tid, df, schema, batch_id=None):
         sink = JdbcUpsertSink(factory, sink_tid.table, schema,
-                              batch_size=batch_size, parallel=parallel)
+                              batch_size=batch_size, parallel=parallel,
+                              metrics=reg)
         if not coordinator.is_table_created(sink_tid):
             sink.ensure_table()
             coordinator.mark_table_as_created(sink_tid)

@@ -241,7 +241,8 @@ class DsqlAuthenticator:
                  admin: bool = True,
                  expires_in: int = DEFAULT_EXPIRES_IN_S,
                  credentials_provider=None,
-                 clock=_time.time, sleep=_time.sleep):
+                 clock=_time.time, sleep=_time.sleep,
+                 metrics=None):
         self.host = host
         self.region = region
         self.iam_role = iam_role
@@ -253,6 +254,11 @@ class DsqlAuthenticator:
         self.credentials_provider = credentials_provider
         self.clock = clock
         self.sleep = sleep
+        # metrics face (dsql.md "Authentication Metrics"): token refresh
+        # count + authentication failures. Either a driver-side
+        # MetricsRegistry or the picklable ExecutorMetrics handle —
+        # anything with .inc(metric, value).
+        self.metrics = metrics
 
     # -- public surface (configureAuthentication parity) -----------------
 
@@ -333,6 +339,9 @@ class DsqlAuthenticator:
             generation=(prev.generation if prev else 0) + 1)
         with self._CACHE_LOCK:
             self._TOKEN_CACHE[self.cache_key] = entry
+        if self.metrics is not None:
+            from .metrics import TOKEN_REFRESH_COUNT
+            self.metrics.inc(TOKEN_REFRESH_COUNT)
         return token
 
     def _generate_with_retry(self, max_retries: int = 3) -> str:
@@ -344,6 +353,9 @@ class DsqlAuthenticator:
                 return self._generate()
             except Exception as e:  # noqa: BLE001 — parity: retry any
                 last = e
+                if self.metrics is not None:
+                    from .metrics import AUTH_FAILURES
+                    self.metrics.inc(AUTH_FAILURES)
                 if attempt < max_retries:
                     self.sleep(1.0 * (1 << (attempt - 1)))
         raise RuntimeError(
@@ -364,7 +376,8 @@ class DsqlAuthenticator:
 
 def authenticator_from_config(config: dict, *, credentials_provider=None,
                               clock=_time.time,
-                              sleep=_time.sleep) -> DsqlAuthenticator:
+                              sleep=_time.sleep,
+                              metrics=None) -> DsqlAuthenticator:
     """YAML sink options → authenticator (``DsqlSinkOptions.java``
     parity: ``use-iam-auth`` defaults to TRUE — IAM is the recommended
     DSQL auth mode, password the explicit fallback)."""
@@ -387,7 +400,8 @@ def authenticator_from_config(config: dict, *, credentials_provider=None,
         credentials_provider=(credentials_provider
                               or config.get("credentials-provider")
                               or default_credentials_provider),
-        clock=clock, sleep=sleep)
+        clock=clock, sleep=sleep,
+        metrics=metrics or config.get("metrics"))
 
 
 @dataclass
@@ -435,6 +449,7 @@ class iam_conn_factory:  # noqa: N801 — callable factory, lower-case like a fn
     max_retries: int = 3
 
     def __call__(self):
+        metrics = self.authenticator.metrics
         last = None
         for attempt in range(1, self.max_retries + 1):
             props: dict = {}
@@ -447,8 +462,11 @@ class iam_conn_factory:  # noqa: N801 — callable factory, lower-case like a fn
                 # a static-password failure is permanent — refreshing
                 # cannot help and the password authenticator has no
                 # token generator to refresh with
-                if not self.authenticator.use_iam_auth \
-                        or not is_token_expiration_error(e):
+                retriable = (self.authenticator.use_iam_auth
+                             and is_token_expiration_error(e))
+                if metrics is not None:
+                    metrics.record_error(e, retried=retriable)
+                if not retriable:
                     raise
                 self.authenticator.force_token_refresh()
                 if attempt < self.max_retries:
@@ -478,15 +496,22 @@ class RotatingConnectionPool:
         self._lock = threading.Lock()
 
     def acquire(self):
+        metrics = self.authenticator.metrics
+        t0 = _time.monotonic()
         gen = self.authenticator.token_generation()
         now = self.authenticator.clock()
         with self._lock:
             while self._idle:
                 conn, born, conn_gen = self._idle.pop()
                 if conn_gen == gen and now - born < self.max_lifetime_s:
+                    self._note_acquire(metrics, t0)
                     return conn, born, conn_gen
-                self._close_quietly(conn)
+                self._retire(conn, metrics)
         conn = self.conn_factory()
+        if metrics is not None:
+            from .metrics import POOL_CREATED
+            metrics.inc(POOL_CREATED)
+        self._note_acquire(metrics, t0)
         return conn, now, self.authenticator.token_generation()
 
     def release(self, handle) -> None:
@@ -500,6 +525,18 @@ class RotatingConnectionPool:
             if fresh:
                 self._idle.append((conn, born, conn_gen))
                 return
+        self._retire(conn, self.authenticator.metrics)
+
+    def _note_acquire(self, metrics, t0: float) -> None:
+        if metrics is not None:
+            from .metrics import POOL_ACQUIRE_LATENCY
+            metrics.observe(POOL_ACQUIRE_LATENCY,
+                            _time.monotonic() - t0)
+
+    def _retire(self, conn, metrics) -> None:
+        if metrics is not None:
+            from .metrics import POOL_RETIRED
+            metrics.inc(POOL_RETIRED)
         self._close_quietly(conn)
 
     def close(self) -> None:

@@ -3026,6 +3026,119 @@ def sink_upsert_iam_auth(spark, sf_dir):
     return spark.createDataFrame(pdf)
 
 
+@_q(
+    "metrics_pipeline_report",
+    """
+    SELECT 'auth.token.refresh.count' AS metric,
+           CAST(1 AS BIGINT) AS value
+    UNION ALL
+    SELECT 'cdc.commit.count', 2
+    UNION ALL
+    SELECT 'cdc.events.processed',
+           (SELECT COUNT(*) FROM orders WHERE o_orderkey % 3 = 0)
+    UNION ALL
+    SELECT 'fullload.progress_complete', 1
+    UNION ALL
+    SELECT 'fullload.records', (SELECT COUNT(*) FROM orders)
+    """)
+def metrics_pipeline_report(spark, sf_dir):
+    """The metrics/observability face (reference monitoring contract,
+    dsql.md:271-279 + DsqlErrorReporter.java categories): one registry
+    fed by the full-load reader (records + chunk progress), the
+    IAM-authenticated upsert sink (per-table events processed + commit
+    count), and the authenticator (token refresh count). The counters
+    are DETERMINISTIC functions of the data, so the registry itself is
+    oracle-checked: events processed = post-LWW final images = distinct
+    changelog keys; full-load records = table count; progress complete
+    = chunks.done == chunks.total."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .iam_auth import (Credentials, DsqlAuthenticator,
+                           iam_conn_factory)
+    from .metrics import (COMMIT_LATENCY, EVENTS_PROCESSED,
+                          FULL_LOAD_CHUNKS_DONE, FULL_LOAD_CHUNKS_TOTAL,
+                          FULL_LOAD_RECORDS, TOKEN_REFRESH_COUNT,
+                          MetricsRegistry)
+    from .sinks import JdbcUpsertSink
+    from .sources import DuckDBConnFactory, chunked_dbapi_read
+    from .testing import FakeDsqlTokenGate
+
+    reg = MetricsRegistry("metrics-oracle")
+    tmpdir = tempfile.mkdtemp(prefix="metrics_report_")
+
+    # 1) full load: orders parquet → a live duckdb → chunked parallel
+    #    snapshot read with full-load metrics
+    src_db = os.path.join(tmpdir, "src.duckdb")
+    con = duckdb.connect(src_db)
+    con.execute("CREATE TABLE orders AS SELECT o_orderkey, o_custkey, "
+                f"o_totalprice FROM read_parquet("
+                f"'{sf_dir}/orders.parquet')")
+    con.close()
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice")
+    loaded = chunked_dbapi_read(spark, DuckDBConnFactory(src_db),
+                                "orders", "o_orderkey", base.schema,
+                                chunk_size=4096, metrics=reg)
+    # drive the load exactly ONCE: executor metrics ride an accumulator,
+    # and re-executing a lazy plan re-counts (the standard Spark
+    # accumulator caveat) — downstream stages reuse the parquet scan
+    loaded.count()
+
+    # 2) CDC apply through the IAM-authenticated sink: changelog over
+    #    the k%3==0 keys (an insert + an update per key; LWW applies
+    #    one final image each), two micro-batches = two commits
+    clock_t = [1_768_478_400.0]
+    host, region = "m.dsql.us-east-1.on.aws", "us-east-1"
+    secret = "metrics/Secret+Key"
+    DsqlAuthenticator.clear_token_cache()
+    auth = DsqlAuthenticator(
+        host=host, region=region,
+        credentials_provider=lambda: Credentials("AKIDMETRIC", secret),
+        clock=lambda: clock_t[0], sleep=lambda s: None, metrics=reg)
+    gate = FakeDsqlTokenGate(lambda: clock_t[0], secret, host, region)
+    sink_db = os.path.join(tmpdir, "sink.duckdb")
+
+    def connect(user, password, _p=sink_db, _g=gate):
+        _g.check(user, password)
+        return duckdb.connect(_p)
+
+    sub = base.where(F.col("o_orderkey") % 3 == 0)
+    schema = Schema.of(sub.schema, primary_keys=["o_orderkey"])
+    sink = JdbcUpsertSink(iam_conn_factory(connect, auth),
+                          "orders_sink", schema, parallel=False,
+                          metrics=reg)
+    sink.ensure_table()
+    b1 = (sub.withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    b2 = (sub.withColumn("o_totalprice", F.col("o_totalprice") + 1.0)
+          .withColumn(OP_COLUMN, F.lit("+U"))
+          .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    sink.write_batch(b1)
+    sink.write_batch(b2)
+
+    # 3) the registry IS the result — deterministic counters only
+    #    (latency timers are real but not oracle-able; commit COUNT is)
+    total = reg.get(FULL_LOAD_CHUNKS_TOTAL, table="orders")
+    done = reg.get(FULL_LOAD_CHUNKS_DONE, table="orders")
+    rows = [
+        ("auth.token.refresh.count",
+         int(reg.get(TOKEN_REFRESH_COUNT))),
+        ("cdc.commit.count",
+         reg.timer_stats(COMMIT_LATENCY, table="orders_sink")["count"]),
+        ("cdc.events.processed",
+         # two batches of the same key set: one final image each
+         int(reg.get(EVENTS_PROCESSED, table="orders_sink")) // 2),
+        ("fullload.progress_complete",
+         1 if total and done == total else 0),
+        ("fullload.records",
+         int(reg.get(FULL_LOAD_RECORDS, table="orders"))),
+    ]
+    return spark.createDataFrame(rows, "metric string, value long")
+
+
 _BIGDEC_CONST39 = "123456789012345678901234567890123456789"
 
 

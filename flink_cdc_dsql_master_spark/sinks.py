@@ -279,7 +279,8 @@ class JdbcUpsertSink:
 
     def __init__(self, conn_factory, table: str, schema: Schema,
                  batch_size: int = 1000, retry: RetryPolicy | None = None,
-                 parallel: bool = True, dialect: str = "dsql"):
+                 parallel: bool = True, dialect: str = "dsql",
+                 metrics=None):
         if not schema.primary_keys:
             raise ValueError("upsert sink requires primary keys")
         self.conn_factory = conn_factory
@@ -289,6 +290,11 @@ class JdbcUpsertSink:
         self.retry = retry or RetryPolicy()
         self.parallel = parallel
         self.dialect = dialect
+        # metrics face (dsql.md "CDC Metrics" + "Error Metrics"):
+        # per-table events processed, commit latency, retry attempts
+        # and categorized errors. A MetricsRegistry; executor-side
+        # partition writers capture its picklable handle.
+        self.metrics = metrics
 
     def ensure_table(self) -> None:
         conn = self.conn_factory()
@@ -330,6 +336,10 @@ class JdbcUpsertSink:
         retry = self.retry
         pk_idx = [cols.index(k) for k in pks]
         has_op = OP_COLUMN in df.columns
+        handle = None
+        if self.metrics is not None:
+            handle = self.metrics.executor_handle(
+                df.sparkSession if self.parallel else None)
 
         def write_partition(rows):
             rows = list(rows)
@@ -341,6 +351,21 @@ class JdbcUpsertSink:
             style = dbapi_paramstyle(conn)
             up_sql = upsert_sql(table, cols, pks, style)
             del_sql = delete_sql(table, pks, style)
+            def run_with_metrics(fn):
+                """retry.run, with each FAILED attempt categorized and
+                counted (errors-by-category + retry attempts) — the
+                reference's DsqlErrorReporter reporting hook."""
+                if handle is None:
+                    return retry.run(fn)
+
+                def attempt():
+                    try:
+                        return fn()
+                    except Exception as e:
+                        handle.record_error(e, retried=True)
+                        raise
+                return retry.run(attempt)
+
             try:
                 ups, dels = [], []
                 for r in rows:
@@ -351,19 +376,30 @@ class JdbcUpsertSink:
                         ups.append(vals)
                 for i in range(0, len(ups), batch_size):
                     chunk = _bind_rows(style, ups[i : i + batch_size])
-                    retry.run(lambda: conn.executemany(up_sql, chunk))
+                    run_with_metrics(
+                        lambda: conn.executemany(up_sql, chunk))
                 for i in range(0, len(dels), batch_size):
                     chunk = _bind_rows(style, dels[i : i + batch_size])
-                    retry.run(lambda: conn.executemany(del_sql, chunk))
+                    run_with_metrics(
+                        lambda: conn.executemany(del_sql, chunk))
                 if hasattr(conn, "commit"):
                     conn.commit()
+                if handle is not None:
+                    from .metrics import EVENTS_PROCESSED
+                    handle.inc(EVENTS_PROCESSED, len(ups) + len(dels),
+                               table=table)
             finally:
                 conn.close()
 
+        t0 = time.monotonic()
         if self.parallel:
             final.foreachPartition(write_partition)
         else:  # single-writer targets (e.g. duckdb file in tests)
             write_partition(final.toLocalIterator())
+        if self.metrics is not None:
+            from .metrics import COMMIT_LATENCY
+            self.metrics.observe(COMMIT_LATENCY,
+                                 time.monotonic() - t0, table=table)
 
 
 # ---------------------------------------------------------------------------

@@ -130,7 +130,8 @@ class DuckDBConnFactory:
 
 def chunked_dbapi_read(spark: SparkSession, conn_factory, table: str,
                        key: str, schema: T.StructType,
-                       chunk_size: int = DEFAULT_CHUNK_SIZE) -> DataFrame:
+                       chunk_size: int = DEFAULT_CHUNK_SIZE,
+                       metrics=None) -> DataFrame:
     """Parallel snapshot read against a LIVE database over DB-API — the
     executor-side half of the chunked snapshot that ``chunked_jdbc_read``
     delegates to Spark's JDBC source (which needs a driver jar this
@@ -172,6 +173,16 @@ def chunked_dbapi_read(spark: SparkSession, conn_factory, table: str,
 
     col_list = ", ".join(cols)
 
+    # full-load metrics (dsql.md "Full Load Metrics"): total chunk
+    # count driver-side; records loaded + chunks done ride the
+    # executor handle so progress = chunks.done / chunks.total and
+    # throughput = records / elapsed are readable mid-load
+    handle = None
+    if metrics is not None:
+        from .metrics import FULL_LOAD_CHUNKS_TOTAL
+        metrics.inc(FULL_LOAD_CHUNKS_TOTAL, len(splits), table=table)
+        handle = metrics.executor_handle(spark)
+
     def read_chunk(batches):
         import pandas as pd
 
@@ -184,6 +195,12 @@ def chunked_dbapi_read(spark: SparkSession, conn_factory, table: str,
                     rows = cur.fetchall()
                 finally:
                     c.close()
+                if handle is not None:
+                    from .metrics import (FULL_LOAD_CHUNKS_DONE,
+                                          FULL_LOAD_RECORDS)
+                    handle.inc(FULL_LOAD_CHUNKS_DONE, table=table)
+                    handle.inc(FULL_LOAD_RECORDS, len(rows),
+                               table=table)
                 yield pd.DataFrame(rows, columns=cols)
 
     return specs.mapInPandas(read_chunk, schema)
