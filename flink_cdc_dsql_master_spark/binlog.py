@@ -674,25 +674,44 @@ def _pack_string_meta(real_type: int, length: int) -> bytes:
     return bytes([real_type ^ ((length & 0x300) >> 4), length & 0xFF])
 
 
+class _Absent:
+    """Singleton marking a column EXCLUDED from a row image by the
+    present-columns bitmap. The byte parse is schema-agnostic, so it
+    cannot know WHY a column is absent — a VIRTUAL generated column
+    (which MySQL never writes to row images; the TABLE_MAP width still
+    counts it) or a partial image (binlog_row_image = MINIMAL/NOBLOB).
+    :func:`decode_binlog` resolves the sentinel against the declared
+    payload schema: generated-VIRTUAL fields map to NULL (the Debezium
+    behavior — values are not in the binlog), anything else fails
+    loudly (mapping an omitted REAL column to NULL would corrupt the
+    sink under LWW, the unchanged-TOAST failure class)."""
+
+    _instance = None
+
+    def __new__(cls):
+        if cls._instance is None:
+            cls._instance = super().__new__(cls)
+        return cls._instance
+
+    def __repr__(self):
+        return "<ABSENT>"
+
+
+ABSENT = _Absent()
+
+
 def _read_row(buf: io.BytesIO, cols: list[tuple], present: bytes) -> list:
     n_present = sum(1 for i in range(len(cols))
                     if _bitmap_get(present, i))
     null_bm = buf.read((n_present + 7) // 8)
     vals = []
-    j = 0
+    j = 0  # null-bitmap index: counts PRESENT columns only
     for i, col in enumerate(cols):
         ctype, meta = col[0], col[1]
         unsigned = col[2] if len(col) > 2 else False
         if not _bitmap_get(present, i):
-            # a partial row image (binlog_row_image = MINIMAL/NOBLOB)
-            # omits columns the changelog cannot reconstruct — mapping
-            # them to NULL would corrupt the sink under LWW (the TOAST
-            # failure class). Fail loudly exactly like the reference:
-            # Debezium requires binlog_row_image = FULL.
-            raise WireFormatError(
-                f"column {i} absent from the row image "
-                "(binlog_row_image != FULL) — set binlog_row_image = "
-                "FULL on the source, as the reference requires")
+            vals.append(ABSENT)
+            continue
         if _bitmap_get(null_bm, j):
             vals.append(None)
         else:
@@ -1170,47 +1189,63 @@ def _encode_value(v, col: tuple[int, object],
     raise ValueError(f"unsupported column type {ctype}")
 
 
-def _encode_row(vals, cols, unsigned=None) -> bytes:
-    nbm = bytearray((len(cols) + 7) // 8)
+def _encode_row(vals, cols, unsigned=None, absent=frozenset()) -> bytes:
+    """Encode one row image: null bitmap over PRESENT columns only
+    (MySQL's layout), then present non-null values. ``absent`` columns
+    (by index) contribute no bitmap bit and no bytes — how real
+    servers omit VIRTUAL generated columns under binlog_row_image=FULL
+    (the values are never stored, so never logged)."""
+    n_present = len(cols) - len(absent)
+    nbm = bytearray((n_present + 7) // 8)
     out = b""
+    j = 0
     for i, (v, c) in enumerate(zip(vals, cols)):
+        if i in absent:
+            continue
         if v is None:
-            nbm[i // 8] |= 1 << (i % 8)
+            nbm[j // 8] |= 1 << (j % 8)
         else:
             out += _encode_value(v, c, unsigned[i] if unsigned else False)
+        j += 1
     return bytes(nbm) + out
 
 
 def _rows_event(etype: int, table_id: int, cols, rows_blob: bytes,
-                log_pos: int, n_images: int = 1) -> bytes:
+                log_pos: int, n_images: int = 1,
+                absent=frozenset()) -> bytes:
     body = table_id.to_bytes(6, "little") + struct.pack("<H", 0)
     body += struct.pack("<H", 2)  # extra_data_len (self-inclusive)
     body += _lenenc(len(cols))
-    present = bytes([0xFF] * ((len(cols) + 7) // 8))
-    body += present * n_images
+    present = bytearray([0xFF] * ((len(cols) + 7) // 8))
+    for i in absent:
+        present[i // 8] &= ~(1 << (i % 8))
+    body += bytes(present) * n_images
     return _event(etype, body + rows_blob, log_pos)
 
 
 def encode_write_rows(table_id: int, cols, rows, log_pos: int,
-                      unsigned=None) -> bytes:
-    blob = b"".join(_encode_row(r, cols, unsigned) for r in rows)
-    return _rows_event(WRITE_ROWS_EVENT_V2, table_id, cols, blob, log_pos)
+                      unsigned=None, absent=frozenset()) -> bytes:
+    blob = b"".join(_encode_row(r, cols, unsigned, absent)
+                    for r in rows)
+    return _rows_event(WRITE_ROWS_EVENT_V2, table_id, cols, blob,
+                       log_pos, absent=absent)
 
 
 def encode_delete_rows(table_id: int, cols, rows, log_pos: int,
-                       unsigned=None) -> bytes:
-    blob = b"".join(_encode_row(r, cols, unsigned) for r in rows)
+                       unsigned=None, absent=frozenset()) -> bytes:
+    blob = b"".join(_encode_row(r, cols, unsigned, absent)
+                    for r in rows)
     return _rows_event(DELETE_ROWS_EVENT_V2, table_id, cols, blob,
-                       log_pos)
+                       log_pos, absent=absent)
 
 
 def encode_update_rows(table_id: int, cols, pairs, log_pos: int,
-                       unsigned=None) -> bytes:
-    blob = b"".join(_encode_row(b, cols, unsigned)
-                    + _encode_row(a, cols, unsigned)
+                       unsigned=None, absent=frozenset()) -> bytes:
+    blob = b"".join(_encode_row(b, cols, unsigned, absent)
+                    + _encode_row(a, cols, unsigned, absent)
                     for b, a in pairs)
     return _rows_event(UPDATE_ROWS_EVENT_V2, table_id, cols, blob,
-                       log_pos, n_images=2)
+                       log_pos, n_images=2, absent=absent)
 
 
 def encode_rotate(position: int, next_log: str,
@@ -1323,6 +1358,18 @@ def decode_binlog(df: DataFrame, payload_schema: T.StructType,
                  for f in payload_schema.fields]
     int_ranges = [_INT_RANGES.get(type(f.dataType))
                   for f in payload_schema.fields]
+    # VIRTUAL generated columns (StructField metadata
+    # cdc.generated == "VIRTUAL", stamped by the DDL parser via
+    # AddColumnEvent.generated): MySQL counts them in the TABLE_MAP
+    # width but never writes them to row images — the present bitmap
+    # excludes them, and the decode maps the ABSENT sentinel to NULL
+    # (Debezium's documented behavior). Any OTHER absent column still
+    # fails loudly below (binlog_row_image != FULL).
+    from .types import CDC_META_KEY
+    absent_ok = [bool(((f.metadata or {}).get(CDC_META_KEY, {})
+                       if f.metadata else {}).get("generated")
+                      == "VIRTUAL")
+                 for f in payload_schema.fields]
     lo_pos, hi_pos = pos_range if pos_range is not None else (None, None)
     # case-insensitive like every other table comparison in the engine
     # (MySQL name case-sensitivity is platform-dependent; an exact
@@ -1335,7 +1382,19 @@ def decode_binlog(df: DataFrame, payload_schema: T.StructType,
            T.StructField("__pos", T.LongType()),
            T.StructField("__after", T.IntegerType())])
 
-    def fmt(v, binary: bool, rng, name: str):
+    def fmt(v, binary: bool, rng, name: str, gen_ok: bool = False):
+        if v is ABSENT:
+            if gen_ok:
+                return None  # VIRTUAL generated: value never logged
+            # a partial row image (binlog_row_image = MINIMAL/NOBLOB)
+            # omits columns the changelog cannot reconstruct — mapping
+            # them to NULL would corrupt the sink under LWW (the TOAST
+            # failure class). Fail loudly exactly like the reference:
+            # Debezium requires binlog_row_image = FULL.
+            raise WireFormatError(
+                f"column {name!r} absent from the row image "
+                "(binlog_row_image != FULL) — set binlog_row_image = "
+                "FULL on the source, as the reference requires")
         if v is None:
             return None
         if rng is not None and isinstance(v, int) and not (
@@ -1376,8 +1435,9 @@ def decode_binlog(df: DataFrame, payload_schema: T.StructType,
                     "declared schema (mid-stream ALTER TABLE?); apply "
                     "schema changes through the DDL-aware stream "
                     "composer before decoding subsequent rows")
-            return [fmt(v, b, g, n)
-                    for v, b, g, n in zip(r, is_binary, int_ranges, names)]
+            return [fmt(v, b, g, n, gen_ok=a)
+                    for v, b, g, n, a in zip(r, is_binary, int_ranges,
+                                             names, absent_ok)]
 
         for pdf in batches:
             rows = []

@@ -73,13 +73,19 @@ class CreateTableEvent(SchemaChangeEvent):
 
 @dataclass(frozen=True)
 class AddColumnEvent(SchemaChangeEvent):
-    """Add one column. `type_string` is a reference type (types.parse_type)."""
+    """Add one column. `type_string` is a reference type (types.parse_type).
+
+    ``generated`` marks a MySQL generated column: ``"VIRTUAL"`` values
+    are never written to binlog row images (the present bitmap excludes
+    them; the decode yields NULL — the Debezium behavior), ``"STORED"``
+    values ARE logged and the column behaves like an ordinary one."""
 
     name: str
     type_string: str
     position: ColumnPosition = ColumnPosition.LAST
     anchor: str | None = None  # existing column for BEFORE/AFTER
     default: str | None = None
+    generated: str | None = None  # None | "VIRTUAL" | "STORED"
 
 
 @dataclass(frozen=True)

@@ -67,7 +67,9 @@ def apply_schema_change(schema: Schema | None,
             f"no schema for {event.table_id}; CreateTableEvent must come first")
     if isinstance(event, AddColumnEvent):
         new_field = to_struct_field(
-            event.name, parse_type(event.type_string), default=event.default)
+            event.name, parse_type(event.type_string),
+            default=event.default,
+            generated=getattr(event, "generated", None))
         fields = list(schema.struct.fields)
         if any(f.name == event.name for f in fields):
             raise SchemaEvolveError(f"column {event.name!r} already exists")

@@ -856,7 +856,15 @@ def _in_quoted_region(s: str, pos: int) -> bool:
     return False
 
 
-def _scrub_column_attributes(stmt: str) -> str:
+#: the column name + type immediately preceding a generated-column
+#: ``AS (`` clause — how the scrubber recovers WHICH column the clause
+#: belonged to (the clause itself is removed so the per-spec regexes
+#: match the plain column underneath)
+_GEN_COL_NAME_RE = re.compile(
+    r"[`\"]?(\w+)[`\"]?\s+[A-Za-z_]+(?:\s*\([^)]*\))?\s*$")
+
+
+def _scrub_column_attributes(stmt: str) -> tuple[str, dict]:
     """Remove MySQL column attributes that carry no engine-schema
     meaning so the per-spec regexes still match the column underneath
     (round-12 probe findings — each of these used to make the whole
@@ -864,13 +872,22 @@ def _scrub_column_attributes(stmt: str) -> str:
     strings, CHARACTER SET / COLLATE, ON UPDATE CURRENT_TIMESTAMP,
     AUTO_INCREMENT, inline UNIQUE / PRIMARY KEY markers, and
     ``[GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]`` generated-column
-    clauses (a STORED generated column IS present in binlog row images,
-    so its ADD must apply as an ordinary column). Quote-aware
-    throughout; DEFAULT CURRENT_TIMESTAMP(p) loses only its precision
-    parens."""
+    clauses. Quote-aware throughout; DEFAULT CURRENT_TIMESTAMP(p)
+    loses only its precision parens.
+
+    Returns ``(scrubbed_stmt, generated)`` where ``generated`` maps
+    lower-cased column name → "VIRTUAL" | "STORED" for every scrubbed
+    generated-column clause. The distinction is WIRE-relevant (r13,
+    pinned in tests/test_binlog_virtual.py): a STORED generated column
+    IS written to binlog row images, so its ADD applies as an ordinary
+    column; a VIRTUAL one is counted in the TABLE_MAP width but
+    EXCLUDED from row images by the present bitmap — its AddColumnEvent
+    carries generated="VIRTUAL" so the decode NULL-fills instead of
+    raising the partial-image error."""
     # generated-column expressions first: balanced parens, quote-aware
     # (both the search — an 'AS (' inside a quoted DEFAULT is literal
     # text — and the balance walk)
+    generated: dict[str, str] = {}
     pos = 0
     while True:
         m = _GENERATED_AS_RE.search(stmt, pos)
@@ -890,16 +907,21 @@ def _scrub_column_attributes(stmt: str) -> str:
             elif ch == ")":
                 depth -= 1
             i += 1
-        tail = re.match(r"\s*(?:VIRTUAL|STORED)\b", stmt[i:],
+        tail = re.match(r"\s*(VIRTUAL|STORED)\b", stmt[i:],
                         re.IGNORECASE)
+        kind = "VIRTUAL"  # MySQL default when neither keyword given
         if tail:
+            kind = tail.group(1).upper()
             i += tail.end()
+        nm = _GEN_COL_NAME_RE.search(stmt[:m.start()])
+        if nm:
+            generated[nm.group(1).lower()] = kind
         stmt = stmt[:m.start()] + " " + stmt[i:]
         pos = m.start() + 1
     stmt = _COMMENT_ATTR_RE.sub(" ", stmt)
     stmt = _sub_outside_quotes(_CT_PARENS_RE, r"\1", stmt)
     stmt = _sub_outside_quotes(_COL_ATTR_RE, " ", stmt)
-    return re.sub(r"[ \t]{2,}", " ", stmt).strip()
+    return re.sub(r"[ \t]{2,}", " ", stmt).strip(), generated
 
 
 def strip_inline_comments(stmt: str) -> str:
@@ -1090,11 +1112,12 @@ def _parse_one_ddl(stmt: str, tid) -> list:
                          DropTableEvent, RenameColumnEvent,
                          TruncateTableEvent)
 
+    generated: dict[str, str] = {}
     if re.match(r"\s*ALTER\s+TABLE\b",
                 strip_leading_comments(stmt), re.IGNORECASE):
         # ALTER specs only — CREATE TABLE bodies keep inline PRIMARY
         # KEY markers for _parse_create_columns
-        stmt = _scrub_column_attributes(stmt)
+        stmt, generated = _scrub_column_attributes(stmt)
 
     events = []
     stmt = strip_leading_comments(stmt)
@@ -1114,9 +1137,13 @@ def _parse_one_ddl(stmt: str, tid) -> list:
                     default = _unescape_sql_literal(default[1:-1])
                 elif default.upper() == "NULL":
                     default = None  # DEFAULT NULL = no default
-            events.append(AddColumnEvent(tid, name, ts,
-                                         position=pos, anchor=anchor,
-                                         default=default))
+            gen = generated.get(name.lower())
+            events.append(AddColumnEvent(
+                tid, name, ts, position=pos, anchor=anchor,
+                default=default,
+                # only VIRTUAL changes decode behavior; STORED columns
+                # are in row images like ordinary ones
+                generated="VIRTUAL" if gen == "VIRTUAL" else None))
         elif kind == "rename":
             events.append(RenameColumnEvent(tid, m.group(1), m.group(2)))
         elif kind == "change":

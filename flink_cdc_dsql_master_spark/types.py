@@ -200,7 +200,8 @@ def to_spark_type(t: CdcType) -> tuple[T.DataType, dict]:
 
 
 def to_struct_field(name: str, t: CdcType, comment: str | None = None,
-                    default: str | None = None) -> T.StructField:
+                    default: str | None = None,
+                    generated: str | None = None) -> T.StructField:
     spark_t, meta = to_spark_type(t)
     md: dict = {}
     if meta:
@@ -209,6 +210,9 @@ def to_struct_field(name: str, t: CdcType, comment: str | None = None,
         md["comment"] = comment
     if default is not None:
         md.setdefault(CDC_META_KEY, {})["default"] = default
+    if generated is not None:
+        # "VIRTUAL": never in binlog row images → decode yields NULL
+        md.setdefault(CDC_META_KEY, {})["generated"] = generated
     return T.StructField(name, spark_t, t.nullable, md or None)
 
 

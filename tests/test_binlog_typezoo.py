@@ -205,17 +205,23 @@ def test_fuzz_checksummed_stream_mutations():
     check()
 
 
-def test_partial_row_image_fails_loudly():
+def test_partial_row_image_fails_loudly(spark):
     """binlog_row_image = MINIMAL omits unchanged columns from the row
     image; reconstructing them as NULL would corrupt the sink under
-    LWW (the unchanged-TOAST failure class), so the decode fails
+    LWW (the unchanged-TOAST failure class), so the DECODE fails
     loudly — the reference behaves the same (Debezium requires
-    binlog_row_image = FULL)."""
+    binlog_row_image = FULL). The schema-agnostic byte parse marks the
+    column ABSENT (it cannot know virtual-generated from partial-image;
+    r13); decode_binlog raises unless the declared field is a VIRTUAL
+    generated column."""
     import struct
 
-    from flink_cdc_dsql_master_spark.binlog import (WireFormatError,
-                                                    _lenenc, HEADER_LEN,
-                                                    WRITE_ROWS_EVENT_V2)
+    from pyspark.sql import types as T
+
+    from flink_cdc_dsql_master_spark.binlog import (ABSENT, HEADER_LEN,
+                                                    WRITE_ROWS_EVENT_V2,
+                                                    _lenenc,
+                                                    decode_binlog)
 
     cols = [(MYSQL_TYPE_LONG, None), (MYSQL_TYPE_LONG, None)]
     # hand-build a WRITE_ROWS whose present bitmap marks only column 0
@@ -227,8 +233,14 @@ def test_partial_row_image_fails_loudly():
     ev = struct.pack("<IBIIIH", 0, WRITE_ROWS_EVENT_V2, 1,
                      HEADER_LEN + len(body), 300, 0) + body
     blob = encode_table_map(5, "db", "t", cols, 120) + ev
-    with pytest.raises(WireFormatError, match="binlog_row_image"):
-        parse_binlog(blob)
+    rows = [e for e in parse_binlog(blob) if e["kind"] == "write_rows"]
+    assert rows[0]["rows"] == [[42, ABSENT]]
+
+    payload = T.StructType([T.StructField("a", T.IntegerType()),
+                            T.StructField("b", T.IntegerType())])
+    df = spark.createDataFrame([(blob,)], "value binary")
+    with pytest.raises(Exception, match="binlog_row_image"):
+        decode_binlog(df, payload).collect()
 
 
 def test_blob_binary_payload_field_roundtrips(spark):
