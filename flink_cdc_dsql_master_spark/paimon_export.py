@@ -195,7 +195,8 @@ def _write_snapshot(local: str, snap_id: int, base_list: str,
                     earliest: bool = False, schema_id: int = 0,
                     commit_identifier=None,
                     changelog_list: str | None = None,
-                    changelog_rows: int = 0) -> None:
+                    changelog_rows: int = 0,
+                    index_manifest: str | None = None) -> None:
     """Write ``snapshot-<id>`` then advance LATEST. The snapshot JSON is
     written ONCE with its real ``commitIdentifier`` (default: the batch
     sentinel) — never rewritten after LATEST moves, so a crash can't
@@ -211,7 +212,7 @@ def _write_snapshot(local: str, snap_id: int, base_list: str,
             "baseManifestList": base_list,
             "deltaManifestList": delta_list,
             "changelogManifestList": changelog_list,
-            "indexManifest": None,
+            "indexManifest": index_manifest,
             "commitUser": str(uuid.uuid4()),
             "commitIdentifier": (_BATCH_COMMIT_IDENTIFIER
                                  if commit_identifier is None
@@ -749,7 +750,36 @@ def _fold_snapshot(local: str, snap_id: int):
                         e["_FILE"]["_FILE_NAME"])
                 else:
                     live.pop(key, None)
-    return set(live.values()), set(lists), set(manifests)
+    files = set(live.values())
+    # changelog-producer files: owned by exactly this snapshot (never
+    # folded forward), so expiring the snapshot reclaims them
+    cl_list = snap.get("changelogManifestList")
+    if cl_list:
+        lists.append(cl_list)
+        _, metas = read_container(os.path.join(man_dir, cl_list))
+        for m in metas:
+            manifests.append(m["_FILE_NAME"])
+            _, entries = read_container(
+                os.path.join(man_dir, m["_FILE_NAME"]))
+            for e in entries:
+                base = local
+                if pkeys and e["_PARTITION"] != _EMPTY_BINARY_ROW:
+                    base = os.path.join(local, partition_dir_of(
+                        pkeys, parse_binary_row(e["_PARTITION"],
+                                                pfields)))
+                files.add(os.path.join(base, f"bucket-{e['_BUCKET']}",
+                                       e["_FILE"]["_FILE_NAME"]))
+    # dynamic-bucket hash index: manifest + hash files (hash files are
+    # usually shared forward — the keep-set of retained snapshots
+    # protects them; a superseded manifest is reclaimed)
+    idx_manifest = snap.get("indexManifest")
+    if idx_manifest:
+        idx_dir = os.path.join(local, "index")
+        files.add(os.path.join(idx_dir, idx_manifest))
+        _, entries = read_container(os.path.join(idx_dir, idx_manifest))
+        for e in entries:
+            files.add(os.path.join(idx_dir, str(e["_FILE_NAME"])))
+    return files, set(lists), set(manifests)
 
 
 def expire_paimon_snapshots(spark, dest: str,

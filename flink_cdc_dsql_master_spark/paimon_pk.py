@@ -220,10 +220,13 @@ def parse_binary_row(data: bytes, fields: list[T.StructField]) -> list:
 
 def _write_pk_schema(local: str, struct_type: T.StructType,
                      primary_keys: list[str], buckets: int,
-                     partition_keys: list[str] | tuple = ()) -> None:
+                     partition_keys: list[str] | tuple = (),
+                     extra_options: dict | None = None) -> None:
     _check_partition_key_types(struct_type, partition_keys)
     fields = [_paimon_field(i, f)
               for i, f in enumerate(struct_type.fields)]
+    options = {"bucket": str(buckets), "merge-engine": "deduplicate"}
+    options.update(extra_options or {})
     os.makedirs(os.path.join(local, "schema"), exist_ok=True)
     with open(os.path.join(local, "schema", "schema-0"), "w") as f:
         json.dump({
@@ -233,8 +236,7 @@ def _write_pk_schema(local: str, struct_type: T.StructType,
             "highestFieldId": len(fields) - 1,
             "partitionKeys": list(partition_keys),
             "primaryKeys": list(primary_keys),
-            "options": {"bucket": str(buckets),
-                        "merge-engine": "deduplicate"},
+            "options": options,
             "timeMillis": int(time.time() * 1000),
         }, f, indent=2)
 
@@ -302,6 +304,261 @@ def _check_partition_key_types(struct_type: T.StructType,
                 "short/byte/boolean/string/date")
 
 
+# ---------------------------------------------------------------------------
+# dynamic-bucket (bucket = -1) hash index
+# ---------------------------------------------------------------------------
+#
+# The reference's Paimon sink supports dynamic-bucket PK tables through a
+# dedicated BucketAssignOperator
+# (paimon/flink/sink/.../bucket/BucketAssignOperator.java:63): a stable
+# key→bucket assignment held as a hash index, buckets filling to
+# `dynamic-bucket.target-row-num` before a new one opens. The published
+# table-format shape: per-(partition, bucket) HASH index files (a raw
+# sequence of big-endian int32 key hashes) listed in an avro index
+# manifest the snapshot points at via `indexManifest`.
+#
+# Spark shape here: the incoming batch LEFT-JOINs the expanded index
+# (hash files decoded executor-side via mapInPandas over a file-spec
+# frame) on (partition, key-hash); unmatched hashes are NEW keys,
+# assigned by a per-partition row_number windowed over sorted hash,
+# mapped through driver-computed fill ranges (existing buckets up to
+# target in bucket order, then fresh buckets in target-sized chunks) —
+# deterministic, stable, and the per-commit driver state is O(buckets),
+# not O(keys). New index files are written by the EXECUTORS
+# (applyInPandas per touched bucket, like the data files); the driver
+# stages only the manifest. Divergence from the Java implementation
+# (documented like the fixed-bucket face): the key hash is Spark's
+# HASH(cols) rather than BinaryRow.hashCode — readers don't need the
+# index, but don't mix foreign WRITERS into one table.
+
+INDEX_MANIFEST_ENTRY_SCHEMA = {
+    "type": "record", "name": "org.apache.paimon.avro.generated.record",
+    "fields": [
+        {"name": "_KIND", "type": "int"},          # 0 = ADD, 1 = DELETE
+        {"name": "_PARTITION", "type": "bytes"},   # BinaryRow
+        {"name": "_BUCKET", "type": "int"},
+        {"name": "_INDEX_TYPE", "type": "string"},  # "HASH"
+        {"name": "_FILE_NAME", "type": "string"},
+        {"name": "_FILE_SIZE", "type": "long"},
+        {"name": "_ROW_COUNT", "type": "long"},
+    ],
+}
+
+#: paimon `dynamic-bucket.target-row-num` default
+DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS = 2_000_000
+
+DYNAMIC_BUCKET = -1
+
+
+def _write_hash_file(path: str, hashes) -> int:
+    """Raw big-endian int32 sequence (the published HASH index file
+    layout). Returns the byte size."""
+    with open(path, "wb") as f:
+        for h in hashes:
+            f.write(struct.pack(">i", int(h)))
+    return 4 * len(hashes)
+
+
+def _read_hash_file(path: str) -> list[int]:
+    with open(path, "rb") as f:
+        data = f.read()
+    return [struct.unpack(">i", data[i:i + 4])[0]
+            for i in range(0, len(data), 4)]
+
+
+def _index_entries(local: str, prev: dict | None) -> list[dict]:
+    """Live hash-index entries of the previous snapshot."""
+    name = (prev or {}).get("indexManifest")
+    if not name:
+        return []
+    _, entries = read_container(os.path.join(local, "index", name))
+    return [e for e in entries if e["_KIND"] == _KIND_ADD]
+
+
+def _index_lookup_df(spark, local: str, entries: list[dict],
+                     partition_keys, partition_fields) -> DataFrame:
+    """Expand index files into a (partition cols..., __khash, __ibucket)
+    DataFrame — decoded executor-side, one task per index file."""
+    spec_rows = []
+    for e in entries:
+        pvals = tuple(parse_binary_row(bytes(e["_PARTITION"]),
+                                       partition_fields)) \
+            if partition_keys else ()
+        spec_rows.append((os.path.join(local, "index",
+                                       str(e["_FILE_NAME"])),
+                          int(e["_BUCKET"]), *pvals))
+    spec_schema = T.StructType(
+        [T.StructField("ifile", T.StringType()),
+         T.StructField("ibucket", T.IntegerType())]
+        + [T.StructField(f.name, f.dataType) for f in partition_fields])
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType) for f in partition_fields]
+        + [T.StructField("__khash", T.IntegerType()),
+           T.StructField("__ibucket", T.IntegerType())])
+    if not spec_rows:
+        return spark.createDataFrame([], out_schema)
+    spec = spark.createDataFrame(spec_rows, spec_schema) \
+        .repartition(min(len(spec_rows), 32))
+
+    pnames = [f.name for f in partition_fields]
+
+    def expand(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for i in range(len(pdf)):
+                hashes = _read_hash_file(pdf["ifile"].iloc[i])
+                b = int(pdf["ibucket"].iloc[i])
+                pv = [pdf[n].iloc[i] for n in pnames]
+                out.extend([(*pv, h, b) for h in hashes])
+            yield pd.DataFrame(out, columns=pnames
+                               + ["__khash", "__ibucket"])
+
+    return spec.mapInPandas(expand, out_schema)
+
+
+def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
+                            prev: dict | None, trimmed: list[str],
+                            partition_keys, partition_fields,
+                            target_rows: int):
+    """Stable dynamic-bucket assignment (BucketAssignOperator parity).
+
+    Returns ``(changelog + __assigned_bucket, commit_index)`` where
+    ``commit_index(run)`` writes the new hash files (executor-side) +
+    the next index manifest and returns its name for the snapshot."""
+    pnames = list(partition_keys)
+    entries = _index_entries(local, prev)
+    khash = F.hash(*[F.col(k) for k in trimmed]).alias("__khash")
+
+    keys = changelog.select(*pnames, khash).distinct()
+    idx = _index_lookup_df(spark, local, entries, partition_keys,
+                           partition_fields)
+    # one shuffled hash join on (partition, key-hash); AQE picks
+    # broadcast when the expanded index is small enough
+    joined = keys.join(idx, on=[*pnames, "__khash"], how="left")
+    known = joined.where(F.col("__ibucket").isNotNull()) \
+        .withColumnRenamed("__ibucket", "__assigned_bucket")
+    fresh = joined.where(F.col("__ibucket").isNull()).drop("__ibucket")
+
+    # per-partition fill ranges: O(partitions × buckets) driver state
+    counts: dict[tuple, dict[int, int]] = {}
+    for e in entries:
+        pv = tuple(parse_binary_row(bytes(e["_PARTITION"]),
+                                    partition_fields)) \
+            if pnames else ()
+        counts.setdefault(pv, {})
+        counts[pv][int(e["_BUCKET"])] = \
+            counts[pv].get(int(e["_BUCKET"]), 0) + int(e["_ROW_COUNT"])
+    new_per_part = {tuple(r[n] for n in pnames): r["cnt"]
+                    for r in fresh.groupBy(*pnames)
+                    .agg(F.count("*").alias("cnt")).collect()}
+    range_rows = []
+    for pv, n_new in new_per_part.items():
+        buckets_of = counts.get(pv, {})
+        lo = 1
+        for b in sorted(buckets_of):
+            free = target_rows - buckets_of[b]
+            if free > 0 and n_new >= lo:
+                hi = min(lo + free - 1, n_new)
+                range_rows.append((*pv, lo, hi, b))
+                lo = hi + 1
+        nxt = max(buckets_of) + 1 if buckets_of else 0
+        while lo <= n_new:
+            hi = min(lo + target_rows - 1, n_new)
+            range_rows.append((*pv, lo, hi, nxt))
+            lo = hi + 1
+            nxt += 1
+    range_schema = T.StructType(
+        [T.StructField(f.name, f.dataType) for f in partition_fields]
+        + [T.StructField("__lo", T.LongType()),
+           T.StructField("__hi", T.LongType()),
+           T.StructField("__assigned_bucket", T.IntegerType())])
+    ranges = spark.createDataFrame(range_rows, range_schema)
+
+    if pnames:
+        from pyspark.sql import Window
+        w = Window.partitionBy(*pnames).orderBy("__khash")
+        fresh_rn = fresh.withColumn(
+            "__rn", F.row_number().over(w).cast("long"))
+    else:
+        # unpartitioned: a bare Window.orderBy would move every new
+        # key through ONE task (the classic scale-killer) — use the
+        # two-pass partition-offset rank over a monotone hash-prefix
+        # bucket instead (fully parallel, exact same ordering)
+        from .operators.sampling import distributed_rank
+        mono = F.floor((F.col("__khash").cast("long") + F.lit(2 ** 31))
+                       / F.lit(1 << 24)).cast("long")
+        fresh_rn = distributed_rank(fresh, [F.col("__khash")], mono,
+                                    out="__rn")
+    on = [F.col(f"l.{n}").eqNullSafe(F.col(f"r.{n}")) for n in pnames]
+    on.append(F.col("l.__rn").between(F.col("r.__lo"),
+                                      F.col("r.__hi")))
+    cond = on[0]
+    for c in on[1:]:
+        cond = cond & c
+    assigned_fresh = (fresh_rn.alias("l")
+                      .join(F.broadcast(ranges).alias("r"), on=cond,
+                            how="inner")
+                      .select(*[F.col(f"l.{n}") for n in pnames],
+                              F.col("l.__khash"),
+                              F.col("r.__assigned_bucket")))
+    assignment = known.select(*pnames, "__khash", "__assigned_bucket") \
+        .unionByName(assigned_fresh)
+
+    out = changelog.withColumn("__khash", F.hash(
+        *[F.col(k) for k in trimmed])) \
+        .join(assignment, on=[*pnames, "__khash"], how="inner") \
+        .drop("__khash")
+
+    def commit_index(run: str) -> str:
+        """Write NEW hash files (executors, one per touched bucket) +
+        the next index manifest; returns the manifest name."""
+        idx_dir = os.path.join(local, "index")
+        os.makedirs(idx_dir, exist_ok=True)
+        meta_schema = ("bucket int, file_name string, file_size long, "
+                       "row_count long"
+                       + "".join(f", {f.name} {f.dataType.simpleString()}"
+                                 for f in partition_fields))
+
+        def write_group(pdf):
+            import pandas as pd
+
+            b = int(pdf["__assigned_bucket"].iloc[0])
+            name = f"index-{uuid.uuid4().hex}-0"
+            size = _write_hash_file(os.path.join(idx_dir, name),
+                                    sorted(pdf["__khash"].tolist()))
+            row = {"bucket": b, "file_name": name, "file_size": size,
+                   "row_count": len(pdf)}
+            for f in partition_fields:
+                row[f.name] = pdf[f.name].iloc[0]
+            return pd.DataFrame([row])
+
+        new_meta = (assigned_fresh
+                    .groupBy(*pnames, "__assigned_bucket")
+                    .applyInPandas(write_group, meta_schema).collect())
+        all_entries = [dict(e) for e in entries]
+        for r in new_meta:
+            pvals = [r[n] for n in pnames]
+            all_entries.append({
+                "_KIND": _KIND_ADD,
+                "_PARTITION": serialize_binary_row(
+                    pvals, partition_fields) if pnames
+                else _EMPTY_BINARY_ROW,
+                "_BUCKET": int(r["bucket"]),
+                "_INDEX_TYPE": "HASH",
+                "_FILE_NAME": r["file_name"],
+                "_FILE_SIZE": int(r["file_size"]),
+                "_ROW_COUNT": int(r["row_count"]),
+            })
+        manifest = f"index-manifest-{run}"
+        write_container(os.path.join(idx_dir, manifest),
+                        INDEX_MANIFEST_ENTRY_SCHEMA, all_entries)
+        return manifest
+
+    return out, commit_index
+
+
 def _latest_schema_id(local: str) -> int:
     return max(int(n.split("-", 1)[1])
                for n in os.listdir(os.path.join(local, "schema"))
@@ -316,13 +573,18 @@ def _schema_json(local: str, schema_id: int) -> dict:
 
 def _read_pk_meta(local: str, schema_id: int | None = None):
     """(value StructType, primary_keys, buckets, partition_keys) from
-    schema-N (latest when unpinned)."""
+    schema-N (latest when unpinned). ``buckets == -1`` = dynamic."""
     if schema_id is None:
         schema_id = _latest_schema_id(local)
     sj = _schema_json(local, schema_id)
     return (_schema_from_paimon(sj), list(sj["primaryKeys"]),
             int(sj["options"]["bucket"]),
             list(sj.get("partitionKeys") or []))
+
+
+def _pk_options(local: str) -> dict:
+    return dict(_schema_json(local, _latest_schema_id(local))
+                .get("options") or {})
 
 
 def evolve_paimon_pk(dest: str, events) -> dict:
@@ -396,7 +658,8 @@ def evolve_paimon_pk(dest: str, events) -> dict:
 def _kv_frame(changelog: DataFrame, primary_keys: list[str],
               value_cols: list[str], buckets: int,
               seq_base: int,
-              partition_keys: list[str] | tuple = ()) -> DataFrame:
+              partition_keys: list[str] | tuple = (),
+              bucket_col: str | None = None) -> DataFrame:
     """Changelog → bucketed KeyValue rows: keyed LWW within the batch
     (one final event per key — the same end state the reference
     writer's in-order apply reaches), RowKind from the surviving op,
@@ -423,8 +686,10 @@ def _kv_frame(changelog: DataFrame, primary_keys: list[str],
         .when(F.col(OP_COLUMN) == "+U", F.lit(ROWKIND_UPDATE_AFTER)) \
         .when(F.col(OP_COLUMN) == "-D", F.lit(ROWKIND_DELETE)) \
         .otherwise(F.lit(ROWKIND_UPDATE_BEFORE)).cast("tinyint")
-    bucket = F.pmod(F.hash(*[F.col(k) for k in trimmed]),
-                    F.lit(buckets))
+    # dynamic-bucket tables pre-assign via the hash index; fixed-bucket
+    # tables hash-mod here
+    bucket = F.col(bucket_col) if bucket_col is not None else \
+        F.pmod(F.hash(*[F.col(k) for k in trimmed]), F.lit(buckets))
     part_cols = list(partition_keys)
     w = Window.partitionBy(*part_cols, "__bucket").orderBy(
         *[F.col(KEY_PREFIX + k) for k in trimmed])
@@ -647,14 +912,31 @@ def _chain_state(local: str):
 # ---------------------------------------------------------------------------
 
 def write_paimon_pk(spark, changelog: DataFrame, dest: str, schema,
-                    buckets: int = 4, commit_identifier=None) -> dict:
+                    buckets: int = 4, commit_identifier=None,
+                    changelog_producer: str | None = None,
+                    dynamic_bucket_target_rows: int =
+                    DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS) -> dict:
     """Create a Paimon PRIMARY-KEY table at ``dest`` and commit the
     changelog as snapshot 1 (PaimonMetadataApplier.applyCreateTable +
     the first PaimonCommitter commit). ``schema`` is the repo
-    :class:`..schema.Schema` (must have primary keys)."""
+    :class:`..schema.Schema` (must have primary keys).
+
+    ``buckets = -1`` selects DYNAMIC bucket mode: keys are assigned to
+    buckets through the persisted hash index (stable across commits
+    and restarts), each bucket filling to
+    ``dynamic_bucket_target_rows`` (paimon
+    ``dynamic-bucket.target-row-num``, default 2,000,000) before a new
+    bucket opens. ``changelog_producer="input"`` additionally stages
+    each commit's input KeyValue rows as changelog files referenced by
+    the snapshot's ``changelogManifestList`` — an external Paimon
+    consumer can stream changes OUT of the table
+    (read them back with :func:`read_paimon_pk_changelog`)."""
     if not schema.primary_keys:
         raise ValueError("paimon primary-key table requires primary keys "
                          "— use write_paimon for append tables")
+    if changelog_producer not in (None, "input"):
+        raise ValueError("changelog-producer: only 'input' is "
+                         f"supported, got {changelog_producer!r}")
     local = _local(dest)
     import shutil
     if os.path.exists(local):
@@ -669,8 +951,14 @@ def write_paimon_pk(spark, changelog: DataFrame, dest: str, schema,
     for p in schema.partition_keys:
         if p not in pks:
             pks.append(p)
+    extra: dict = {}
+    if buckets == DYNAMIC_BUCKET:
+        extra["dynamic-bucket.target-row-num"] = \
+            str(dynamic_bucket_target_rows)
+    if changelog_producer:
+        extra["changelog-producer"] = changelog_producer
     _write_pk_schema(local, value_struct, pks, buckets,
-                     list(schema.partition_keys))
+                     list(schema.partition_keys), extra_options=extra)
     return _commit_pk(spark, changelog, local, seq_base=0,
                       prev=None,
                       commit_identifier=commit_identifier)
@@ -711,9 +999,21 @@ def _commit_pk(spark, changelog: DataFrame, local: str, seq_base: int,
         or list(primary_keys)
     key_fields = [value_struct[k] for k in trimmed]
     partition_fields = [value_struct[k] for k in partition_keys]
+    options = _pk_options(local)
 
-    kv = _kv_frame(changelog, primary_keys, value_cols, buckets,
-                   seq_base, partition_keys)
+    commit_index = None
+    if buckets == DYNAMIC_BUCKET:
+        target = int(options.get("dynamic-bucket.target-row-num",
+                                 DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS))
+        changelog, commit_index = _assign_dynamic_buckets(
+            spark, changelog, local, prev, trimmed, partition_keys,
+            partition_fields, target)
+        kv = _kv_frame(changelog, primary_keys, value_cols, buckets,
+                       seq_base, partition_keys,
+                       bucket_col="__assigned_bucket")
+    else:
+        kv = _kv_frame(changelog, primary_keys, value_cols, buckets,
+                       seq_base, partition_keys)
     run, files = _stage_pk_files(kv, local, primary_keys, key_fields,
                                  partition_keys, partition_fields)
 
@@ -724,6 +1024,47 @@ def _commit_pk(spark, changelog: DataFrame, local: str, seq_base: int,
     manifest_name = f"manifest-{run}-0"
     mlen = write_container(os.path.join(man_dir, manifest_name),
                            MANIFEST_ENTRY_SCHEMA, entries)
+
+    # changelog-producer: input — the commit's input KeyValue rows,
+    # staged as changelog files so external consumers can stream
+    # changes OUT of the table. The staged data files ARE the input
+    # (post in-batch LWW, documented), so changelog files are
+    # hard-links of them — zero extra compute or storage
+    changelog_list = None
+    changelog_rows = 0
+    if options.get("changelog-producer") == "input" and files:
+        cl_entries = []
+        for entry, (pvals, b, pname, n, sz, *_rest) in zip(
+                _pk_manifest_entries(files, buckets, schema_id,
+                                     partition_fields), files):
+            pdir = partition_dir_of(partition_keys, list(pvals)) \
+                if partition_keys else ""
+            bdir = os.path.join(local, pdir, f"bucket-{b}") if pdir \
+                else os.path.join(local, f"bucket-{b}")
+            cname = f"changelog-{pname[len('data-'):]}"
+            try:
+                os.link(os.path.join(bdir, pname),
+                        os.path.join(bdir, cname))
+            except OSError:
+                import shutil as _sh
+                _sh.copy2(os.path.join(bdir, pname),
+                          os.path.join(bdir, cname))
+            entry["_FILE"]["_FILE_NAME"] = cname
+            cl_entries.append(entry)
+            changelog_rows += n
+        cl_manifest = f"manifest-{run}-2"
+        cl_len = write_container(os.path.join(man_dir, cl_manifest),
+                                 MANIFEST_ENTRY_SCHEMA, cl_entries)
+        changelog_list = f"manifest-list-{run}-2"
+        write_container(os.path.join(man_dir, changelog_list),
+                        MANIFEST_FILE_META_SCHEMA, [{
+                            "_VERSION": 2, "_FILE_NAME": cl_manifest,
+                            "_FILE_SIZE": cl_len,
+                            "_NUM_ADDED_FILES": len(cl_entries),
+                            "_NUM_DELETED_FILES": 0,
+                            "_PARTITION_STATS": dict(_EMPTY_STATS),
+                            "_SCHEMA_ID": 0,
+                        }])
 
     prev_metas = []
     if prev is not None:
@@ -749,10 +1090,15 @@ def _commit_pk(spark, changelog: DataFrame, local: str, seq_base: int,
     new_rows = sum(f[3] for f in files)
     prev_total = prev["totalRecordCount"] if prev else 0
     snap_id = (prev["id"] + 1) if prev else 1
+    index_manifest = commit_index(run) if commit_index else \
+        (prev or {}).get("indexManifest")
     _write_snapshot(local, snap_id, base_list, delta_list,
                     total=prev_total + new_rows, delta=new_rows,
                     earliest=prev is None, schema_id=schema_id,
-                    commit_identifier=commit_identifier)
+                    commit_identifier=commit_identifier,
+                    changelog_list=changelog_list,
+                    changelog_rows=changelog_rows,
+                    index_manifest=index_manifest)
     return {"snapshot_id": snap_id, "rows": new_rows,
             "files": len(files), "dest": local}
 
@@ -848,6 +1194,85 @@ def read_paimon_pk(spark, dest: str,
             .select(*value_cols))
 
 
+def read_paimon_pk_changelog(spark, dest: str,
+                             start: int | None = None,
+                             end: int | None = None) -> DataFrame:
+    """Stream changes OUT of a ``changelog-producer: input`` PK table:
+    the per-commit changelog files of snapshots ``start..end``
+    (inclusive; defaults EARLIEST..LATEST) as one changelog DataFrame —
+    value columns + ``__op`` (+I/+U/-D/-U from the KeyValue RowKind) +
+    ``__seq`` (the table's own sequence numbers, LWW-safe). Reapplying
+    the full changelog reproduces merge-on-read state exactly (pinned
+    in tests). Snapshots written without the option (or compactions,
+    which emit no changelog) contribute nothing."""
+    local = _local(dest)
+    snap_dir = os.path.join(local, "snapshot")
+    if end is None:
+        with open(os.path.join(snap_dir, "LATEST")) as f:
+            end = int(f.read().strip())
+    if start is None:
+        ep = os.path.join(snap_dir, "EARLIEST")
+        start = int(open(ep).read().strip()) if os.path.exists(ep) else 1
+    man_dir = os.path.join(local, "manifest")
+    schema_id = _latest_schema_id(local)
+    value_struct, _pks, _, partition_keys = _read_pk_meta(
+        local, schema_id)
+    partition_fields = [value_struct[k] for k in partition_keys]
+    value_cols = [f.name for f in value_struct.fields]
+
+    groups: dict[tuple, list[str]] = {}
+    for sid in range(start, end + 1):
+        sp = os.path.join(snap_dir, f"snapshot-{sid}")
+        if not os.path.exists(sp):
+            continue
+        with open(sp) as f:
+            snap = json.load(f)
+        cl_list = snap.get("changelogManifestList")
+        if not cl_list:
+            continue
+        _, metas = read_container(os.path.join(man_dir, cl_list))
+        for m in metas:
+            _, entries = read_container(
+                os.path.join(man_dir, m["_FILE_NAME"]))
+            for e in entries:
+                if e["_FILE"]["_SCHEMA_ID"] != schema_id:
+                    raise ValueError(
+                        "changelog read across schema evolution is "
+                        "not supported — compact or read per-epoch")
+                pvals = tuple(parse_binary_row(
+                    bytes(e["_PARTITION"]), partition_fields)) \
+                    if partition_keys else ()
+                pdir = partition_dir_of(partition_keys, list(pvals)) \
+                    if partition_keys else ""
+                base = os.path.join(local, pdir) if pdir else local
+                groups.setdefault(pvals, []).append(os.path.join(
+                    base, f"bucket-{e['_BUCKET']}",
+                    e["_FILE"]["_FILE_NAME"]))
+
+    op = F.when(F.col(KIND_FIELD) == ROWKIND_INSERT, "+I") \
+        .when(F.col(KIND_FIELD) == ROWKIND_UPDATE_AFTER, "+U") \
+        .when(F.col(KIND_FIELD) == ROWKIND_DELETE, "-D") \
+        .otherwise("-U")
+    parts = []
+    for pvals, paths in sorted(groups.items(), key=lambda kv: str(kv[0])):
+        df = spark.read.parquet(*sorted(set(paths)))
+        plits = {k: F.lit(v).cast(value_struct[k].dataType).alias(k)
+                 for k, v in zip(partition_keys, pvals)}
+        sel = [plits[c] if c in plits else F.col(c) for c in value_cols]
+        parts.append(df.select(*sel, op.alias(OP_COLUMN),
+                               F.col(SEQ_FIELD).alias(SEQ_COLUMN)))
+    if not parts:
+        empty = T.StructType(
+            list(value_struct.fields)
+            + [T.StructField(OP_COLUMN, T.StringType()),
+               T.StructField(SEQ_COLUMN, T.LongType())])
+        return spark.createDataFrame([], empty)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
 def _live_paths(local: str,
                 snapshot_id: int | None = None) -> list[tuple]:
     """[(data-file path, schema id it was written under, partition
@@ -917,8 +1342,21 @@ def compact_paimon_pk(spark, dest: str) -> dict:
     key_fields = [value_struct[k] for k in trimmed]
     partition_fields = [value_struct[k] for k in partition_keys]
     value_cols = [f.name for f in value_struct.fields]
-    kv = _kv_frame(cl, primary_keys, value_cols, buckets, seq_base=0,
-                   partition_keys=partition_keys)
+    if buckets == DYNAMIC_BUCKET:
+        # compaction must PRESERVE the index assignment — every live
+        # key is in the index, so the join resolves all of them
+        options = _pk_options(local)
+        target = int(options.get("dynamic-bucket.target-row-num",
+                                 DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS))
+        cl, _ = _assign_dynamic_buckets(
+            spark, cl, local, prev, trimmed, partition_keys,
+            partition_fields, target)
+        kv = _kv_frame(cl, primary_keys, value_cols, buckets,
+                       seq_base=0, partition_keys=partition_keys,
+                       bucket_col="__assigned_bucket")
+    else:
+        kv = _kv_frame(cl, primary_keys, value_cols, buckets,
+                       seq_base=0, partition_keys=partition_keys)
     run, files = _stage_pk_files(kv, local, primary_keys, key_fields,
                                  partition_keys, partition_fields)
 
@@ -972,7 +1410,8 @@ def compact_paimon_pk(spark, dest: str) -> dict:
     total = sum(f[3] for f in files)
     snap_id = prev["id"] + 1
     _write_snapshot(local, snap_id, base_list, delta_list,
-                    total=total, delta=0, schema_id=schema_id)
+                    total=total, delta=0, schema_id=schema_id,
+                    index_manifest=prev.get("indexManifest"))
     sp = os.path.join(local, "snapshot", f"snapshot-{snap_id}")
     snap = json.load(open(sp))
     snap["commitKind"] = "COMPACT"
@@ -1013,7 +1452,10 @@ def _partition_keys_for(table_id, partition_map: dict) -> list[str]:
 
 
 def make_paimon_pk_sink_writer(base: str, buckets: int = 4,
-                               partition_map: dict | None = None):
+                               partition_map: dict | None = None,
+                               changelog_producer: str | None = None,
+                               dynamic_bucket_target_rows: int =
+                               DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS):
     """``sink_writer(table_id, df, schema, batch_id)`` for the streaming
     composers: CDC changelogs — retractions included — stream into a
     Paimon PK table as per-checkpoint merge-on-read commits, and the
@@ -1039,7 +1481,10 @@ def make_paimon_pk_sink_writer(base: str, buckets: int = 4,
                             tuple(pkeys), schema.options,
                             schema.comment)
             write_paimon_pk(spark, df, dest, schema, buckets=buckets,
-                            commit_identifier=batch_id)
+                            commit_identifier=batch_id,
+                            changelog_producer=changelog_producer,
+                            dynamic_bucket_target_rows=
+                            dynamic_bucket_target_rows)
 
     return writer
 

@@ -9320,6 +9320,139 @@ def lakehouse_paimon_pk_partitioned(spark, sf_dir):
 
 
 @_q(
+    "lakehouse_paimon_pk_dynamic",
+    """
+    SELECT o_orderkey AS k,
+           CASE WHEN o_orderkey % 10 = 0 THEN o_totalprice + 99.0
+                ELSE o_totalprice END AS price
+    FROM orders
+    WHERE NOT (o_orderkey % 20 = 5)
+    """,
+)
+def lakehouse_paimon_pk_dynamic(spark, sf_dir):
+    """DYNAMIC-BUCKET Paimon PK table (`bucket: -1`, reference
+    BucketAssignOperator.java:63 parity): a growing keyspace streams in
+    over three commits; keys are bucket-assigned through the persisted
+    hash index (spec layout: big-endian int32 HASH files + avro index
+    manifest via snapshot.indexManifest), buckets filling to
+    dynamic-bucket.target-row-num before new ones open. Assignment is
+    STABLE across commits and writer restarts (asserted below — a
+    moved key would also hash-fail: its old-bucket rows would survive
+    the per-bucket merge), and merge-on-read must reproduce the
+    oracle's LWW state exactly."""
+    import os
+    import tempfile
+
+    from .avro_io import read_container
+    from .paimon_pk import (DYNAMIC_BUCKET, _read_hash_file,
+                            append_paimon_pk, read_paimon_pk,
+                            write_paimon_pk)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"))
+    k = F.col("k")
+    b1 = (orders.where(k % 3 == 0)
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    b2 = (orders.where(k % 3 != 0)
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(2).cast("long")))
+    b3 = (orders.where(k % 10 == 0)
+          .withColumn("price", F.col("price") + 99.0)
+          .withColumn(OP_COLUMN, F.lit("+U"))
+          .withColumn(SEQ_COLUMN, F.lit(3).cast("long"))
+          .unionByName(orders.where(k % 20 == 5)
+                       .withColumn(OP_COLUMN, F.lit("-D"))
+                       .withColumn(SEQ_COLUMN,
+                                   F.lit(4).cast("long"))))
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    dest = os.path.join(tempfile.mkdtemp(prefix="paimon_dyn_"), "t")
+    write_paimon_pk(spark, b1, dest, schema, buckets=DYNAMIC_BUCKET,
+                    dynamic_bucket_target_rows=2000)
+
+    def index_map():
+        snap_dir = os.path.join(dest, "snapshot")
+        sid = int(open(os.path.join(snap_dir, "LATEST")).read())
+        snap_name = open(os.path.join(snap_dir,
+                                      f"snapshot-{sid}")).read()
+        import json as _json
+        name = _json.loads(snap_name)["indexManifest"]
+        _, entries = read_container(os.path.join(dest, "index", name))
+        return {h: int(e["_BUCKET"]) for e in entries
+                for h in _read_hash_file(
+                    os.path.join(dest, "index", str(e["_FILE_NAME"])))}
+
+    idx1 = index_map()
+    append_paimon_pk(spark, b2, dest)  # keyspace triples: buckets grow
+    append_paimon_pk(spark, b3, dest)
+    idx3 = index_map()
+    assert len(idx3) > len(idx1) and len(set(idx3.values())) > \
+        len(set(idx1.values())), "bucket count must grow with keys"
+    assert all(idx3[h] == b for h, b in idx1.items()), \
+        "dynamic-bucket assignment must be stable"
+    return read_paimon_pk(spark, dest).select("k", "price")
+
+
+@_q(
+    "lakehouse_paimon_changelog_producer",
+    """
+    WITH final AS (
+      SELECT o_orderkey AS k,
+             CASE WHEN o_orderkey % 6 = 0 THEN o_totalprice + 11.0
+                  ELSE o_totalprice END AS price
+      FROM orders
+      WHERE o_orderkey % 2 = 0 AND NOT (o_orderkey % 12 = 4))
+    SELECT k, price FROM final
+    """,
+)
+def lakehouse_paimon_changelog_producer(spark, sf_dir):
+    """`changelog-producer: input` (reference Paimon sink option): each
+    PK-table commit also stages its input KeyValue rows as changelog
+    files referenced by the snapshot's changelogManifestList, so an
+    EXTERNAL consumer can stream changes OUT of the table. The round
+    trip is the oracle: read the full changelog back
+    (read_paimon_pk_changelog), reapply it as an ordinary changelog,
+    and the result must hash-match the oracle's direct LWW state —
+    which also equals merge-on-read (asserted)."""
+    import os
+    import tempfile
+
+    from .paimon_pk import (append_paimon_pk, read_paimon_pk,
+                            read_paimon_pk_changelog, write_paimon_pk)
+    from .partitioning import apply_changelog
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.col("o_totalprice").alias("price"))
+    k = F.col("k")
+    b1 = (orders.where(k % 2 == 0)
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    b2 = (orders.where(k % 6 == 0)
+          .withColumn("price", F.col("price") + 11.0)
+          .withColumn(OP_COLUMN, F.lit("+U"))
+          .withColumn(SEQ_COLUMN, F.lit(2).cast("long"))
+          .unionByName(orders.where(k % 12 == 4)
+                       .withColumn(OP_COLUMN, F.lit("-D"))
+                       .withColumn(SEQ_COLUMN,
+                                   F.lit(3).cast("long"))))
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    dest = os.path.join(tempfile.mkdtemp(prefix="paimon_clp_"), "t")
+    write_paimon_pk(spark, b1, dest, schema, buckets=3,
+                    changelog_producer="input")
+    append_paimon_pk(spark, b2, dest)
+
+    cl = read_paimon_pk_changelog(spark, dest)
+    replayed = apply_changelog(cl, ["k"]).select("k", "price")
+    direct = read_paimon_pk(spark, dest).select("k", "price")
+    a = sorted(map(tuple, replayed.collect()))
+    b = sorted(map(tuple, direct.collect()))
+    assert a == b, "changelog replay must equal merge-on-read state"
+    return replayed
+
+
+@_q(
     "lakehouse_export_iceberg_inplace",
     """
     SELECT o_orderkey AS k,
