@@ -955,11 +955,17 @@ def multitable_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
     groups = router.group_sources_by_sink(src_tids)
     if any(len(srcs) > 1 for srcs in groups.values()):
         if in_band:
-            raise ValueError(
-                "fan-in of several tables into one sink is not "
-                "supported with in-band-ddl capture — per-table DDL "
-                "segmentation has table-local flush cadence; use "
-                "drift-diff evolution (omit in-band-ddl)")
+            if stype != "file-binlog":
+                # pgoutput Relation diffs arrive per-connection with no
+                # total order across tables' re-sends — drift-diff
+                # evolution covers the sharded-merge case there
+                raise ValueError(
+                    "fan-in with in-band-ddl capture is supported for "
+                    f"file-binlog only, not {stype!r} — use drift-diff "
+                    "evolution (omit in-band-ddl)")
+            return _multitable_fanin_inband_binlog_writer(
+                pipeline, sink_writer, spark, groups, evolver,
+                on_schema_change)
         return _multitable_fanin_batch_writer(
             pipeline, sink_writer, spark, groups, evolver,
             on_schema_change)
@@ -1090,6 +1096,157 @@ def _multitable_fanin_batch_writer(pipeline: PipelineDef, sink_writer,
                 sink_writer(sink_tid, out, schema, batch_id=batch_id)
             else:
                 sink_writer(sink_tid, out, schema)
+
+    return handle
+
+
+def _multitable_fanin_inband_binlog_writer(pipeline: PipelineDef,
+                                           sink_writer,
+                                           spark: SparkSession, groups,
+                                           evolver: SchemaEvolver,
+                                           on_schema_change=None):
+    """Fan-in of several wire tables into one sink WITH in-band
+    QUERY_EVENT DDL (closes the r12 rejection): global flush sequencing
+    by LOG POSITION.
+
+    The single-table DDL composer segments a micro-batch at its own
+    table's DDL positions; with fan-in the SINK schema is the lattice
+    merge of all members, so a DDL in member A re-shapes what member
+    B's subsequent rows must be coerced into. The fix is to interleave
+    ALL members' DDL boundaries into ONE position-ordered epoch
+    sequence: within an epoch every live member decodes its rows under
+    its schema current AT those positions, the members fan-in through
+    the widening lattice, and the merged frame flushes BEFORE the
+    boundary's events apply (the same flush-before-apply ordering as
+    the single-table path, now globally sequenced). Requires the same
+    monotone-log_pos contract (one segment file per micro-batch —
+    compose_multitable_stream already defaults maxFilesPerTrigger=1
+    for in-band binlog).
+
+    A DROP TABLE of one member removes it from the union until a
+    CREATE re-registers it; the sink keeps receiving the surviving
+    members (sharded-migration semantics: shards retire one at a
+    time)."""
+    from pyspark.sql import types as T
+
+    from .binlog import decode_binlog, extract_binlog_ddl
+    from .sources import ddl_target_tables, parse_debezium_ddl
+
+    src_cfg = pipeline.source.config
+    engine = TransformEngine(list(pipeline.transforms))
+    members: dict[TableId, dict] = {}
+    wire_of: dict[str, TableId] = {}
+    base_structs: dict[TableId, T.StructType] = {}
+    for tcfg in src_cfg["table-list"]:
+        tid = TableId.parse(tcfg.get("table", "default.default.stream"))
+        members[tid] = tcfg
+        wire_of[(tcfg.get("mysql-table") or tid.table).lower()] = tid
+        base_structs[tid] = spark.createDataFrame(
+            [], tcfg["schema"]).schema
+
+    # seed each member's declared schema (BatchComposer parity) so the
+    # first in-band ALTER has a base to apply to; a checkpointed-resume
+    # evolver or an in-band drop tombstone is left untouched
+    for tid, tcfg in members.items():
+        if evolver.manager.latest_original(tid) is None \
+                and not evolver.manager.is_dropped(tid):
+            evolver.on_event(CreateTableEvent(tid, Schema.of(
+                base_structs[tid],
+                primary_keys=list(tcfg.get("primary-keys", [])))))
+
+    aux = ("__op", "__seq", "__table_id")
+
+    def payload_struct(tid: TableId) -> T.StructType:
+        cur = evolver.manager.latest_original(tid)
+        if cur is None:
+            return base_structs[tid]
+        return T.StructType(
+            [f for f in cur.struct.fields if f.name not in aux])
+
+    def member_schema(tid: TableId) -> Schema:
+        cur = evolver.manager.latest_evolved(tid) \
+            or evolver.manager.latest_original(tid)
+        if cur is not None:
+            return cur
+        tcfg = members[tid]
+        return Schema.of(base_structs[tid],
+                         primary_keys=list(tcfg.get("primary-keys",
+                                                    [])))
+
+    def handle(df: DataFrame, batch_id: int) -> None:
+        # ONE position-ordered boundary sequence over ALL members
+        boundaries = []
+        for r in sorted(extract_binlog_ddl(df).collect(),
+                        key=lambda r: r["pos"]):
+            targets = ddl_target_tables(r["statement"])
+            hit = [(tid, parse_debezium_ddl(r["statement"], tid))
+                   for w, tid in wire_of.items() if w in targets]
+            hit = [(tid, evs) for tid, evs in hit if evs]
+            if hit:
+                boundaries.append((r["pos"], hit))
+        lo = None
+        dropped = {tid: evolver.manager.is_dropped(tid)
+                   for tid in members}
+        for seg_idx, item in enumerate(boundaries + [None]):
+            hi = item[0] if item is not None else None
+            frames: dict[TableId, tuple] = {}
+            for tid, tcfg in members.items():
+                if dropped[tid]:
+                    continue  # retired shard: skip until re-created
+                decoded = decode_binlog(df, payload_struct(tid),
+                                        table=tcfg.get("mysql-table"),
+                                        pos_range=(lo, hi))
+                xdf = engine.apply(engine.prune(decoded, tid), tid)
+                schema = member_schema(tid)
+                frames[tid] = (coerce_dataframe(xdf, schema), schema)
+            for sink_tid, srcs in groups.items():
+                live = [s for s in srcs if s in frames]
+                if not live:
+                    continue
+                if len(live) == 1:
+                    out, schema = frames[live[0]]
+                else:
+                    out, schema = fan_in(
+                        [frames[s][0] for s in live],
+                        [frames[s][1] for s in live])
+                    evolver.manager.register_evolved(sink_tid, schema)
+                if schema.primary_keys:
+                    out = repartition_by_key(
+                        out, list(schema.primary_keys))
+                # flush BEFORE the boundary applies; segment-qualified
+                # epoch id (an epoch-deduping sink must not mistake
+                # segment 2 for a replay of segment 1)
+                if _accepts_batch_id(sink_writer):
+                    sink_writer(sink_tid, out, schema,
+                                batch_id=f"{batch_id}s{seg_idx}")
+                else:
+                    sink_writer(sink_tid, out, schema)
+            if item is not None:
+                touched = set()
+                applied_events = []
+                for tid, evs in item[1]:
+                    for ev in evs:
+                        evolver.on_event(ev)
+                        applied_events.extend(evolver.last_applied)
+                    dropped[tid] = (
+                        evolver.manager.latest_original(tid) is None)
+                    touched.add(tid)
+                if on_schema_change is not None and applied_events:
+                    for sink_tid, srcs in groups.items():
+                        if not (touched & set(srcs)):
+                            continue
+                        live = [member_schema(s) for s in srcs
+                                if not dropped[s]]
+                        if not live:
+                            continue
+                        from .route import merged_sink_schema
+                        merged = merged_sink_schema(live) \
+                            if len(live) > 1 else live[0]
+                        evolver.manager.register_evolved(sink_tid,
+                                                         merged)
+                        on_schema_change(sink_tid, applied_events,
+                                         merged)
+            lo = hi
 
     return handle
 

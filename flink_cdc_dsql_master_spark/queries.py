@@ -5348,6 +5348,130 @@ def changelog_multitable_fanin_stream(spark, sf_dir):
 
 
 @_q(
+    "changelog_multitable_fanin_inband",
+    """
+    SELECT c_custkey AS k, c_name AS name,
+           CASE WHEN c_custkey % 10 = 0 THEN c_mktsegment
+                ELSE NULL END AS seg
+    FROM customer
+    """,
+)
+def changelog_multitable_fanin_inband(spark, sf_dir):
+    """Fan-in of several wire tables into one sink WITH IN-BAND
+    QUERY_EVENT DDL (VERDICT r12 next-round #6 — the previously
+    rejected combination): one binlog segment carries two customer
+    shards; shard EVEN gains a column via an in-stream ALTER midway.
+    The composer interleaves BOTH members' DDL boundaries into one
+    log-position-ordered epoch sequence — pre-DDL rows of both shards
+    flush under the narrow merged schema, the ALTER applies (firing
+    sink DDL with the WIDENED merged schema), and post-DDL epochs
+    fan-in shard EVEN's 3-column rows with shard ODD's unevolved rows
+    NULL-filled. The single sink table read back must hash-match the
+    oracle's direct recomputation."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .binlog import (MAGIC, MYSQL_TYPE_LONGLONG, MYSQL_TYPE_VARCHAR,
+                         encode_fde, encode_query, encode_table_map,
+                         encode_write_rows, encode_xid)
+    from .compose import compose_stream
+    from .pipeline import PipelineDef, SinkDef, SourceDef
+    from .route import RouteRule
+    from .sinks import JdbcUpsertSink, schema_change_ddl
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment").collect()
+    even = [r for r in cust if r["c_custkey"] % 2 == 0]
+    odd = [r for r in cust if r["c_custkey"] % 2 == 1]
+
+    base = tempfile.mkdtemp(prefix="fanin_inband_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    cols2 = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 40)]
+    cols3 = cols2 + [(MYSQL_TYPE_VARCHAR, 12)]
+    blob = (MAGIC + encode_fde(120)
+            # epoch 0: both shards, 2-column shape
+            + encode_table_map(1, "tpch", "cust_even", cols2, 200)
+            + encode_table_map(2, "tpch", "cust_odd", cols2, 250)
+            + encode_write_rows(
+                1, cols2, [[r["c_custkey"], r["c_name"]]
+                           for r in even], 1000)
+            + encode_write_rows(
+                2, cols2, [[r["c_custkey"], r["c_name"]]
+                           for r in odd[: len(odd) // 2]], 2000)
+            + encode_xid(1, 2500)
+            # shard EVEN evolves mid-segment
+            + encode_query("tpch",
+                           "ALTER TABLE cust_even ADD COLUMN seg "
+                           "VARCHAR(12)", 3000)
+            + encode_table_map(1, "tpch", "cust_even", cols3, 3100)
+            + encode_write_rows(
+                1, cols3, [[r["c_custkey"], r["c_name"],
+                            r["c_mktsegment"]]
+                           for r in even if r["c_custkey"] % 10 == 0],
+                4000)
+            # shard ODD keeps streaming its 2-column rows AFTER the
+            # other shard's DDL — they must coerce into the widened
+            # merged schema (seg NULL)
+            + encode_write_rows(
+                2, cols2, [[r["c_custkey"], r["c_name"]]
+                           for r in odd[len(odd) // 2:]], 5000)
+            + encode_xid(2, 6000))
+    with open(f"{src}/seg1.binlog", "wb") as f:
+        f.write(blob)
+
+    pipe = PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": src, "in-band-ddl": True,
+            "table-list": [
+                {"table": "tpch.s.cust_even",
+                 "mysql-table": "cust_even",
+                 "schema": "k bigint, name string",
+                 "primary-keys": ["k"]},
+                {"table": "tpch.s.cust_odd",
+                 "mysql-table": "cust_odd",
+                 "schema": "k bigint, name string",
+                 "primary-keys": ["k"]},
+            ]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"tpch.s.cust_even", "out.db.cust_all"),
+                RouteRule(r"tpch.s.cust_odd", "out.db.cust_all")),
+        config={"schema.change.behavior": "LENIENT"},
+    )
+
+    def writer(tid_, df, schema):
+        sink = JdbcUpsertSink(lambda p=db: duckdb.connect(p), tid_.table,
+                              schema, parallel=False, dialect="duckdb")
+        sink.ensure_table()
+        sink.write_batch(df)
+
+    def on_ddl(tid_, events, schema):
+        con = duckdb.connect(db)
+        try:
+            for sql in schema_change_ddl(tid_.table, events, schema):
+                con.execute(sql)
+            con.commit()
+        finally:
+            con.close()
+
+    q = compose_stream(spark, pipe, ckpt, writer, on_schema_change=on_ddl)
+    q.awaitTermination(300)
+
+    con = duckdb.connect(db)
+    tables = [r[0] for r in con.execute(
+        "SELECT table_name FROM information_schema.tables").fetchall()]
+    assert tables == ["cust_all"], \
+        f"in-band fan-in must land in ONE sink table, got {tables}"
+    pdf = con.execute("SELECT k, name, seg FROM cust_all").df()
+    con.close()
+    return spark.createDataFrame(pdf, "k bigint, name string, seg string")
+
+
+@_q(
     "cdc_pgoutput_bytea_uuid_time",
     """
     SELECT n_nationkey AS k,

@@ -301,16 +301,97 @@ def test_binlog_fanin_two_tables_one_sink(spark):
                    (11, "b1", 1.5), (12, "b2", 2.5)]
 
 
-def test_fanin_with_in_band_ddl_rejected(spark):
+def _fanin_inband_pipe(src):
+    return PipelineDef(
+        source=SourceDef("file-binlog", {
+            "path": src, "in-band-ddl": True,
+            "table-list": [
+                {"table": "db.s.sh_a", "mysql-table": "sh_a",
+                 "schema": "k bigint, name string",
+                 "primary-keys": ["k"]},
+                {"table": "db.s.sh_b", "mysql-table": "sh_b",
+                 "schema": "k bigint, name string",
+                 "primary-keys": ["k"]},
+            ]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"db.s.sh_a", "out.db.merged_ddl"),
+                RouteRule(r"db.s.sh_b", "out.db.merged_ddl")),
+        config={"schema.change.behavior": "LENIENT"},
+    )
+
+
+def test_fanin_with_in_band_ddl_globally_sequenced(spark):
+    """Fan-in WITH in-band QUERY_EVENT DDL (r13 — previously rejected):
+    two shards merge into one sink while shard A gains a column
+    mid-stream. Epochs are interleaved by LOG POSITION across both
+    members: shard B rows logged AFTER shard A's ALTER land under the
+    widened merged schema; pre-DDL rows of both shards flush before
+    the DDL applies (flush-before-apply, globally sequenced)."""
+    from flink_cdc_dsql_master_spark.binlog import (encode_query,
+                                                    encode_xid)
+
+    base = tempfile.mkdtemp(prefix="binlog_fanin_ddl_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    cols2 = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 20)]
+    cols3 = cols2 + [(MYSQL_TYPE_DOUBLE, None)]
+    blob = (MAGIC + encode_fde(120)
+            # epoch 0: both shards in the 2-column shape
+            + encode_table_map(1, "db", "sh_a", cols2, 200)
+            + encode_table_map(2, "db", "sh_b", cols2, 250)
+            + encode_write_rows(1, cols2, [[1, "a1"]], 300)
+            + encode_write_rows(2, cols2, [[11, "b1"]], 400)
+            + encode_xid(1, 450)
+            # shard A evolves; B is untouched but its later rows must
+            # still coerce into the WIDENED merged sink schema
+            + encode_query("db", "ALTER TABLE sh_a ADD COLUMN w DOUBLE",
+                           500)
+            + encode_table_map(1, "db", "sh_a", cols3, 600)
+            + encode_write_rows(1, cols3, [[2, "a2", 2.5]], 700)
+            + encode_write_rows(2, cols2, [[12, "b2"]], 800)
+            + encode_xid(2, 900))
+    with open(f"{src}/seg1.binlog", "wb") as f:
+        f.write(blob)
+
+    def on_ddl(tid, events, schema):
+        from flink_cdc_dsql_master_spark.sinks import schema_change_ddl
+
+        con = duckdb.connect(db)
+        try:
+            for sql in schema_change_ddl(tid.table, events, schema):
+                con.execute(sql)
+            con.commit()
+        finally:
+            con.close()
+
+    q = compose_stream(spark, _fanin_inband_pipe(src), ckpt,
+                       _duck_writer(db), on_schema_change=on_ddl)
+    q.awaitTermination(300)
+
+    con = duckdb.connect(db)
+    assert [t[0] for t in con.execute("SHOW TABLES").fetchall()] == \
+        ["merged_ddl"]
+    got = con.execute("SELECT k, name, w FROM merged_ddl "
+                      "ORDER BY k").fetchall()
+    con.close()
+    assert got == [(1, "a1", None), (2, "a2", 2.5),
+                   (11, "b1", None), (12, "b2", None)]
+
+
+def test_fanin_with_in_band_ddl_rejected_for_pgoutput(spark):
+    """pgoutput Relation diffs have no total order across tables —
+    fan-in there stays rejected (drift-diff evolution covers it)."""
     import pytest
 
     pipe = PipelineDef(
-        source=SourceDef("file-binlog", {
+        source=SourceDef("file-pgoutput", {
             "path": "/nonexistent", "in-band-ddl": True,
             "table-list": [
-                {"table": "db.s.a", "mysql-table": "a",
+                {"table": "db.s.a", "pg-table": "a",
                  "schema": "k bigint", "primary-keys": ["k"]},
-                {"table": "db.s.b", "mysql-table": "b",
+                {"table": "db.s.b", "pg-table": "b",
                  "schema": "k bigint", "primary-keys": ["k"]},
             ]}),
         sink=SinkDef("duckdb"),
