@@ -150,6 +150,11 @@ def main() -> int:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
+        # ambient contention marker (VERDICT r12 what's-wrong #4): the
+        # driver's shared box sometimes inflates every query uniformly
+        # ~1.25x — load average at measurement time lets a contended
+        # artifact self-identify instead of reading as a regression
+        "loadavg": list(os.getloadavg()),
     }
     # streaming latency tier (VERDICT r7 #7): p50/p95 micro-batch latency
     # of the composed changelog pipeline at 10x events, 1 file/trigger.

@@ -559,6 +559,40 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
     return out, commit_index
 
 
+def _compact_index(local: str, prev: dict | None,
+                   partition_fields) -> str | None:
+    """Merge each (partition, bucket)'s per-commit hash files into ONE
+    sorted file and write a fresh manifest (one entry per bucket).
+    Old files stay on disk for retained snapshots' manifests; expiry
+    reclaims them once those expire. Driver-side by design: index
+    bytes are 4/key — metadata-scale, like the manifests."""
+    entries = _index_entries(local, prev)
+    if not entries:
+        return (prev or {}).get("indexManifest")
+    idx_dir = os.path.join(local, "index")
+    by_bucket: dict[tuple, list] = {}
+    for e in entries:
+        by_bucket.setdefault(
+            (bytes(e["_PARTITION"]), int(e["_BUCKET"])), []).append(e)
+    run = uuid.uuid4().hex
+    out = []
+    for i, ((pbytes, b), es) in enumerate(sorted(
+            by_bucket.items(), key=lambda kv: (str(kv[0][0]),
+                                               kv[0][1]))):
+        hashes = sorted(h for e in es for h in _read_hash_file(
+            os.path.join(idx_dir, str(e["_FILE_NAME"]))))
+        name = f"index-{run}-{i}"
+        size = _write_hash_file(os.path.join(idx_dir, name), hashes)
+        out.append({"_KIND": _KIND_ADD, "_PARTITION": pbytes,
+                    "_BUCKET": b, "_INDEX_TYPE": "HASH",
+                    "_FILE_NAME": name, "_FILE_SIZE": size,
+                    "_ROW_COUNT": len(hashes)})
+    manifest = f"index-manifest-{run}"
+    write_container(os.path.join(idx_dir, manifest),
+                    INDEX_MANIFEST_ENTRY_SCHEMA, out)
+    return manifest
+
+
 def _latest_schema_id(local: str) -> int:
     return max(int(n.split("-", 1)[1])
                for n in os.listdir(os.path.join(local, "schema"))
@@ -1342,6 +1376,7 @@ def compact_paimon_pk(spark, dest: str) -> dict:
     key_fields = [value_struct[k] for k in trimmed]
     partition_fields = [value_struct[k] for k in partition_keys]
     value_cols = [f.name for f in value_struct.fields]
+    index_manifest = prev.get("indexManifest")
     if buckets == DYNAMIC_BUCKET:
         # compaction must PRESERVE the index assignment — every live
         # key is in the index, so the join resolves all of them
@@ -1354,6 +1389,10 @@ def compact_paimon_pk(spark, dest: str) -> dict:
         kv = _kv_frame(cl, primary_keys, value_cols, buckets,
                        seq_base=0, partition_keys=partition_keys,
                        bucket_col="__assigned_bucket")
+        # index-file compaction: per-commit files accumulate one per
+        # touched bucket — merge each (partition, bucket)'s chain into
+        # ONE sorted hash file so lookup stays one task per bucket
+        index_manifest = _compact_index(local, prev, partition_fields)
     else:
         kv = _kv_frame(cl, primary_keys, value_cols, buckets,
                        seq_base=0, partition_keys=partition_keys)
@@ -1411,7 +1450,7 @@ def compact_paimon_pk(spark, dest: str) -> dict:
     snap_id = prev["id"] + 1
     _write_snapshot(local, snap_id, base_list, delta_list,
                     total=total, delta=0, schema_id=schema_id,
-                    index_manifest=prev.get("indexManifest"))
+                    index_manifest=index_manifest)
     sp = os.path.join(local, "snapshot", f"snapshot-{snap_id}")
     snap = json.load(open(sp))
     snap["commitKind"] = "COMPACT"

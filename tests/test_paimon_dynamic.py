@@ -167,6 +167,37 @@ def test_dynamic_bucket_compaction_preserves_assignment(spark,
     assert _snapshot(dest)["indexManifest"] is not None
 
 
+def test_compaction_merges_index_files(spark, tmp_path):
+    """Per-commit index files accumulate one per touched bucket;
+    compaction rewrites each bucket's chain as ONE sorted hash file
+    with an identical hash→bucket mapping."""
+    dest = str(tmp_path / "t")
+    write_paimon_pk(spark, _cl(spark, [(1, "a", 1.0, "+I", 1)]),
+                    dest, SCHEMA, buckets=DYNAMIC_BUCKET,
+                    dynamic_bucket_target_rows=100)
+    for i in range(2, 6):  # 4 more commits touching bucket 0
+        append_paimon_pk(spark, _cl(spark,
+                                    [(i, f"n{i}", float(i), "+I", i)]),
+                         dest)
+    idx_before = _index_map(dest)
+    snap = _snapshot(dest)
+    _, entries = read_container(
+        os.path.join(dest, "index", snap["indexManifest"]))
+    assert len(entries) == 5  # one file per commit
+
+    compact_paimon_pk(spark, dest)
+    idx_after = _index_map(dest)
+    assert idx_after == idx_before
+    snap2 = _snapshot(dest)
+    _, entries2 = read_container(
+        os.path.join(dest, "index", snap2["indexManifest"]))
+    assert len(entries2) == 1  # merged to one file per bucket
+    # merged file is sorted (binary-search-friendly)
+    hs = _read_hash_file(os.path.join(
+        dest, "index", str(entries2[0]["_FILE_NAME"])))
+    assert hs == sorted(hs) and len(hs) == 5
+
+
 def test_changelog_producer_roundtrip(spark, tmp_path):
     """write upserts/deletes over three commits → read the changelog →
     reapply → hash-equal to merge-on-read state; snapshots carry

@@ -700,6 +700,50 @@ def _paimon_pk_throughput(spark, sf_dir):
     return read_paimon_pk(spark, dest)
 
 
+def _paimon_pk_dynamic_throughput(spark, sf_dir):
+    """Dynamic-bucket PK table scale (round-13): a growing keyspace
+    over two commits through the hash-index assigner — index expand
+    (one task per index file) + one (partition, key-hash) join + the
+    partition-offset rank for new keys + executor-written index files,
+    then merge-on-read. Target sized so the keyspace spans several
+    buckets at 1x and ~10x more at 10x; assignment work is linear in
+    new keys, so the exponent should stay ~linear."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.paimon_pk import (DYNAMIC_BUCKET,
+                                                       append_paimon_pk,
+                                                       read_paimon_pk,
+                                                       write_paimon_pk)
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    orders = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .select(F.col("o_orderkey").alias("k"),
+                      F.col("o_totalprice").alias("price")))
+    schema = Schema.of(orders.schema, primary_keys=["k"])
+    k = F.col("k")
+    b1 = (orders.where(k % 2 == 0)
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    b2 = (orders.where(k % 2 == 1)  # all-new keys: worst assignment
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(2).cast("long"))
+          .unionByName(orders.where(k % 10 == 0)
+                       .withColumn("price", F.col("price") + 1.0)
+                       .withColumn(OP_COLUMN, F.lit("+U"))
+                       .withColumn(SEQ_COLUMN,
+                                   F.lit(3).cast("long"))))
+    dest = tempfile.mkdtemp(prefix="paimon_dyn_stress_")
+    shutil.rmtree(dest)
+    write_paimon_pk(spark, b1, dest, schema, buckets=DYNAMIC_BUCKET,
+                    dynamic_bucket_target_rows=25_000)
+    append_paimon_pk(spark, b2, dest)
+    return read_paimon_pk(spark, dest)
+
+
 EXTRA_TARGETS = {"similarity_knn_join_auto": _knn_join_auto,
                  "similarity_range_search_auto": _range_search_auto,
                  "cdc_binlog_decode_throughput": _binlog_decode_throughput,
@@ -716,7 +760,9 @@ EXTRA_TARGETS = {"similarity_knn_join_auto": _knn_join_auto,
                  "lakehouse_export_paimon_throughput":
                      _paimon_export_throughput,
                  "lakehouse_paimon_pk_throughput":
-                     _paimon_pk_throughput}
+                     _paimon_pk_throughput,
+                 "lakehouse_paimon_pk_dynamic_throughput":
+                     _paimon_pk_dynamic_throughput}
 
 # ---------------------------------------------------------------------
 # planted-duplicate stress (VERDICT r7 #1 done-criterion): 30% of each
