@@ -410,7 +410,10 @@ def _index_lookup_df(spark, local: str, entries: list[dict],
             for i in range(len(pdf)):
                 hashes = _read_hash_file(pdf["ifile"].iloc[i])
                 b = int(pdf["ibucket"].iloc[i])
-                pv = [pdf[n].iloc[i] for n in pnames]
+                # NaN/NaT (pandas' NULL rendering) → None so typed
+                # partition columns convert cleanly
+                pv = [None if pd.isna(v) else v
+                      for v in (pdf[n].iloc[i] for n in pnames)]
                 out.extend([(*pv, h, b) for h in hashes])
             yield pd.DataFrame(out, columns=pnames
                                + ["__khash", "__ibucket"])
@@ -434,9 +437,23 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
     keys = changelog.select(*pnames, khash).distinct()
     idx = _index_lookup_df(spark, local, entries, partition_keys,
                            partition_fields)
+
+    def _ns_cond(l_alias: str, r_alias: str):
+        """NULL-SAFE join condition over (partition cols, __khash) —
+        a NULL partition value (__HIVE_DEFAULT_PARTITION__) must MATCH
+        its index entries, not silently drop its rows."""
+        cond = F.col(f"{l_alias}.__khash") == F.col(f"{r_alias}.__khash")
+        for n in pnames:
+            cond = cond & F.col(f"{l_alias}.{n}").eqNullSafe(
+                F.col(f"{r_alias}.{n}"))
+        return cond
+
     # one shuffled hash join on (partition, key-hash); AQE picks
     # broadcast when the expanded index is small enough
-    joined = keys.join(idx, on=[*pnames, "__khash"], how="left")
+    joined = (keys.alias("k")
+              .join(idx.alias("i"), on=_ns_cond("k", "i"), how="left")
+              .select(*[F.col(f"k.{n}") for n in pnames],
+                      F.col("k.__khash"), F.col("i.__ibucket")))
     known = joined.where(F.col("__ibucket").isNotNull()) \
         .withColumnRenamed("__ibucket", "__assigned_bucket")
     fresh = joined.where(F.col("__ibucket").isNull()).drop("__ibucket")
@@ -506,10 +523,12 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
     assignment = known.select(*pnames, "__khash", "__assigned_bucket") \
         .unionByName(assigned_fresh)
 
-    out = changelog.withColumn("__khash", F.hash(
-        *[F.col(k) for k in trimmed])) \
-        .join(assignment, on=[*pnames, "__khash"], how="inner") \
-        .drop("__khash")
+    out = (changelog.withColumn("__khash", F.hash(
+               *[F.col(k) for k in trimmed])).alias("c")
+           .join(assignment.alias("a"), on=_ns_cond("c", "a"),
+                 how="inner")
+           .select(*[F.col(f"c.{c}") for c in changelog.columns],
+                   F.col("a.__assigned_bucket")))
 
     def commit_index(run: str) -> str:
         """Write NEW hash files (executors, one per touched bucket) +
@@ -531,7 +550,11 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
             row = {"bucket": b, "file_name": name, "file_size": size,
                    "row_count": len(pdf)}
             for f in partition_fields:
-                row[f.name] = pdf[f.name].iloc[0]
+                v = pdf[f.name].iloc[0]
+                # pandas renders a NULL partition value as NaN/NaT —
+                # normalize back to None so the typed meta frame (and
+                # the BinaryRow null bit downstream) stay correct
+                row[f.name] = None if pd.isna(v) else v
             return pd.DataFrame([row])
 
         new_meta = (assigned_fresh

@@ -167,6 +167,43 @@ def test_dynamic_bucket_compaction_preserves_assignment(spark,
     assert _snapshot(dest)["indexManifest"] is not None
 
 
+def test_dynamic_bucket_partitioned_with_null_partition(spark,
+                                                        tmp_path):
+    """Dynamic buckets + hive partitions, INCLUDING a NULL partition
+    value (__HIVE_DEFAULT_PARTITION__): the assignment joins must be
+    null-safe — a plain column-equality join would silently DROP the
+    null partition's rows (inner join) instead of assigning them."""
+    from flink_cdc_dsql_master_spark.paimon_pk import append_paimon_pk
+
+    dest = str(tmp_path / "t")
+    schema = Schema.of([("k", "INT NOT NULL"), ("dt", "INT"),
+                        ("v", "DOUBLE")],
+                       primary_keys=["k"], partition_keys=["dt"])
+
+    def cl(rows):
+        return spark.createDataFrame(
+            rows, f"k int, dt int, v double, {OP_COLUMN} string, "
+                  f"{SEQ_COLUMN} long")
+
+    write_paimon_pk(spark, cl([
+        (1, 0, 1.0, "+I", 1), (2, 1, 2.0, "+I", 2),
+        (3, None, 3.0, "+I", 3),      # NULL partition value
+        (4, None, 4.0, "+I", 4),
+    ]), dest, schema, buckets=DYNAMIC_BUCKET,
+        dynamic_bucket_target_rows=2)
+    # stability for the null partition across a second commit
+    append_paimon_pk(spark, cl([
+        (3, None, 3.5, "+U", 5), (5, None, 5.0, "+I", 6),
+    ]), dest)
+
+    got = sorted((r["k"], r["dt"], r["v"])
+                 for r in read_paimon_pk(spark, dest).collect())
+    assert got == [(1, 0, 1.0), (2, 1, 2.0), (3, None, 3.5),
+                   (4, None, 4.0), (5, None, 5.0)]
+    assert os.path.isdir(
+        os.path.join(dest, "dt=__HIVE_DEFAULT_PARTITION__"))
+
+
 def test_compaction_merges_index_files(spark, tmp_path):
     """Per-commit index files accumulate one per touched bucket;
     compaction rewrites each bucket's chain as ONE sorted hash file
