@@ -861,7 +861,10 @@ def _in_quoted_region(s: str, pos: int) -> bool:
 #: belonged to (the clause itself is removed so the per-spec regexes
 #: match the plain column underneath)
 _GEN_COL_NAME_RE = re.compile(
-    r"[`\"]?(\w+)[`\"]?\s+[A-Za-z_]+(?:\s*\([^)]*\))?\s*$")
+    r"[`\"]?(\w+)[`\"]?\s+[A-Za-z_]+"
+    r"(?:\s+(?:PRECISION|VARYING))?"   # DOUBLE PRECISION / CHAR VARYING
+    r"(?:\s*\([^)]*\))?"
+    r"(?:\s+(?:UNSIGNED|ZEROFILL))*\s*$", re.IGNORECASE)
 
 
 def _scrub_column_attributes(stmt: str) -> tuple[str, dict]:
