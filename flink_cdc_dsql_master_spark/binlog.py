@@ -696,6 +696,11 @@ class _Absent:
     def __repr__(self):
         return "<ABSENT>"
 
+    def __reduce__(self):
+        # identity survives pickling (the `v is ABSENT` checks must
+        # hold even if an event list ever crosses a process boundary)
+        return (_Absent, ())
+
 
 ABSENT = _Absent()
 
