@@ -493,6 +493,7 @@ class RotatingConnectionPool:
         self.max_size = max_size
         self.max_lifetime_s = max_lifetime_s
         self._idle: list[tuple[object, float, int]] = []
+        self._active = 0  # outstanding acquires (gauge source)
         self._lock = threading.Lock()
 
     def acquire(self):
@@ -504,6 +505,7 @@ class RotatingConnectionPool:
             while self._idle:
                 conn, born, conn_gen = self._idle.pop()
                 if conn_gen == gen and now - born < self.max_lifetime_s:
+                    self._active += 1
                     self._note_acquire(metrics, t0)
                     return conn, born, conn_gen
                 self._retire(conn, metrics)
@@ -511,6 +513,8 @@ class RotatingConnectionPool:
         if metrics is not None:
             from .metrics import POOL_CREATED
             metrics.inc(POOL_CREATED)
+        with self._lock:
+            self._active += 1
         self._note_acquire(metrics, t0)
         return conn, now, self.authenticator.token_generation()
 
@@ -519,11 +523,13 @@ class RotatingConnectionPool:
         gen = self.authenticator.token_generation()
         now = self.authenticator.clock()
         with self._lock:
+            self._active = max(0, self._active - 1)
             fresh = (conn_gen == gen
                      and now - born < self.max_lifetime_s
                      and len(self._idle) < self.max_size)
             if fresh:
                 self._idle.append((conn, born, conn_gen))
+                self._set_gauges(self.authenticator.metrics)
                 return
         self._retire(conn, self.authenticator.metrics)
 
@@ -532,6 +538,16 @@ class RotatingConnectionPool:
             from .metrics import POOL_ACQUIRE_LATENCY
             metrics.observe(POOL_ACQUIRE_LATENCY,
                             _time.monotonic() - t0)
+        self._set_gauges(metrics)
+
+    def _set_gauges(self, metrics) -> None:
+        # active/idle gauges (dsql.md "Connection Pool Metrics") —
+        # driver registries only; the picklable executor handle is
+        # additive-merge and carries no gauge face
+        if metrics is not None and hasattr(metrics, "set_gauge"):
+            from .metrics import POOL_ACTIVE
+            metrics.set_gauge(POOL_ACTIVE, self._active)
+            metrics.set_gauge("pool.connections.idle", len(self._idle))
 
     def _retire(self, conn, metrics) -> None:
         if metrics is not None:

@@ -169,10 +169,13 @@ def test_pool_metrics_created_retired_acquire_latency():
     pool.release(h1)
     h2 = pool.acquire()          # reused, not re-created
     assert reg.get(M.POOL_CREATED) == 1
+    assert reg.snapshot()["gauges"][M.POOL_ACTIVE] == 1
     auth.force_token_refresh()   # generation advances
     pool.release(h2)             # stale generation → retired
     assert reg.get(M.POOL_RETIRED) == 1
     assert reg.timer_stats(M.POOL_ACQUIRE_LATENCY)["count"] == 2
+    g = reg.snapshot()["gauges"]
+    assert g[M.POOL_ACTIVE] == 0 and g["pool.connections.idle"] == 0
 
 
 # -- the full multi-batch streaming run ----------------------------------------
