@@ -532,6 +532,7 @@ class RotatingConnectionPool:
                 self._set_gauges(self.authenticator.metrics)
                 return
         self._retire(conn, self.authenticator.metrics)
+        self._set_gauges(self.authenticator.metrics)
 
     def _note_acquire(self, metrics, t0: float) -> None:
         if metrics is not None:
