@@ -9492,8 +9492,11 @@ def lakehouse_paimon_pk_dynamic(spark, sf_dir):
                                    F.lit(4).cast("long"))))
     schema = Schema.of(orders.schema, primary_keys=["k"])
     dest = os.path.join(tempfile.mkdtemp(prefix="paimon_dyn_"), "t")
+    # target sized to the data so the keyspace spans >1 bucket at EVERY
+    # test SF (the growth assertion below must hold at sf0.001 too)
+    target = max(10, int(orders.count()) // 5)
     write_paimon_pk(spark, b1, dest, schema, buckets=DYNAMIC_BUCKET,
-                    dynamic_bucket_target_rows=2000)
+                    dynamic_bucket_target_rows=target)
 
     def index_map():
         snap_dir = os.path.join(dest, "snapshot")

@@ -787,3 +787,34 @@ def test_paimon_pk_merge_read_single_key_window(spark, tmp_path):
     # before the exchange (partial WindowGroupLimit) — the merge ships
     # at most one candidate row per key per input partition
     assert tree.count("WindowGroupLimit") >= 1, tree
+
+
+def test_dynamic_bucket_assignment_no_single_partition_window(spark,
+                                                              sf_dir):
+    """The dynamic-bucket assigner's new-key ranking must NOT funnel
+    all new keys through one task: unpartitioned tables take the
+    two-pass partition-offset rank (distributed_rank), so the lint
+    finds no single-partition window and no cartesian product in the
+    assignment plan."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.paimon_pk import (
+        _assign_dynamic_buckets)
+    from flink_cdc_dsql_master_spark.plans import lint_plan
+
+    orders = (spark.read.parquet(os.path.join(sf_dir, "orders.parquet"))
+              .select(F.col("o_orderkey").alias("k"),
+                      F.col("o_totalprice").alias("price"))
+              .withColumn(OP_COLUMN, F.lit("+I"))
+              .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    local = tempfile.mkdtemp(prefix="dyn_audit_")
+    assigned, _commit = _assign_dynamic_buckets(
+        spark, orders, local, None, ["k"], [], [], target_rows=500)
+    finds = [f for f in lint_plan(assigned)
+             if f["check"] in ("single_partition_window",
+                               "cartesian_product")]
+    assert finds == [], finds
