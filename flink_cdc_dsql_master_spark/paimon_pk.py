@@ -424,7 +424,8 @@ def _index_lookup_df(spark, local: str, entries: list[dict],
 def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
                             prev: dict | None, trimmed: list[str],
                             partition_keys, partition_fields,
-                            target_rows: int):
+                            target_rows: int,
+                            persist_fresh: bool = True):
     """Stable dynamic-bucket assignment (BucketAssignOperator parity).
 
     Returns ``(changelog + __assigned_bucket, commit_index)`` where
@@ -514,12 +515,17 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
     cond = on[0]
     for c in on[1:]:
         cond = cond & c
+    # persisted: consumed TWICE (the data-plane assignment join below,
+    # then commit_index's executor-side index write) — keys-sized, not
+    # row-sized; commit_index unpersists when done
     assigned_fresh = (fresh_rn.alias("l")
                       .join(F.broadcast(ranges).alias("r"), on=cond,
                             how="inner")
                       .select(*[F.col(f"l.{n}") for n in pnames],
                               F.col("l.__khash"),
                               F.col("r.__assigned_bucket")))
+    if persist_fresh:
+        assigned_fresh = assigned_fresh.persist()
     assignment = known.select(*pnames, "__khash", "__assigned_bucket") \
         .unionByName(assigned_fresh)
 
@@ -557,9 +563,14 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
                 row[f.name] = None if pd.isna(v) else v
             return pd.DataFrame([row])
 
-        new_meta = (assigned_fresh
-                    .groupBy(*pnames, "__assigned_bucket")
-                    .applyInPandas(write_group, meta_schema).collect())
+        try:
+            new_meta = (assigned_fresh
+                        .groupBy(*pnames, "__assigned_bucket")
+                        .applyInPandas(write_group,
+                                       meta_schema).collect())
+        finally:
+            if persist_fresh:
+                assigned_fresh.unpersist()
         all_entries = [dict(e) for e in entries]
         for r in new_meta:
             pvals = [r[n] for n in pnames]
@@ -1408,7 +1419,7 @@ def compact_paimon_pk(spark, dest: str) -> dict:
                                  DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS))
         cl, _ = _assign_dynamic_buckets(
             spark, cl, local, prev, trimmed, partition_keys,
-            partition_fields, target)
+            partition_fields, target, persist_fresh=False)
         kv = _kv_frame(cl, primary_keys, value_cols, buckets,
                        seq_base=0, partition_keys=partition_keys,
                        bucket_col="__assigned_bucket")
