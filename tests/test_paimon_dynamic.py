@@ -314,3 +314,58 @@ def test_changelog_producer_rejects_unknown_mode(spark, tmp_path):
         write_paimon_pk(spark, _cl(spark, [(1, "a", 1.0, "+I", 1)]),
                         str(tmp_path / "t"), SCHEMA,
                         changelog_producer="lookup")
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture,
+                                 HealthCheck.too_slow])
+@given(st.lists(st.sets(st.integers(min_value=0, max_value=60),
+                        min_size=1, max_size=25),
+                min_size=1, max_size=3),
+       st.integers(min_value=2, max_value=7))
+def test_assignment_matches_reference_model(spark, tmp_path_factory,
+                                            batches, target):
+    """Property: for ANY commit sequence and target size, the
+    distributed assigner equals the slow sequential reference —
+    sorted-by-hash fill of existing buckets to target, then new
+    buckets — and never moves a key."""
+    from pyspark.sql import functions as F
+
+    dest = str(tmp_path_factory.mktemp("dynprop") / "t")
+
+    # reference model, keyed by the SAME hash the engine uses
+    keys = sorted({k for b in batches for k in b})
+    hrows = spark.createDataFrame([(k,) for k in keys], "k int") \
+        .select("k", F.hash("k").alias("h")).collect()
+    h_of = {r["k"]: r["h"] for r in hrows}
+    ref: dict[int, int] = {}
+    counts: dict[int, int] = {}
+    for batch in batches:
+        for h in sorted(h_of[k] for k in batch):
+            if h in ref:
+                continue
+            for b in sorted(counts) + [max(counts, default=-1) + 1]:
+                if counts.get(b, 0) < target:
+                    ref[h] = b
+                    counts[b] = counts.get(b, 0) + 1
+                    break
+
+    first = True
+    for i, batch in enumerate(batches):
+        cl = _cl(spark, [(k, f"n{k}", float(k), "+I", i + 1)
+                         for k in sorted(batch)])
+        if first:
+            write_paimon_pk(spark, cl, dest, SCHEMA,
+                            buckets=DYNAMIC_BUCKET,
+                            dynamic_bucket_target_rows=target)
+            first = False
+        else:
+            append_paimon_pk(spark, cl, dest)
+
+    assert _index_map(dest) == ref
+    got = sorted(r["k"] for r in read_paimon_pk(spark, dest).collect())
+    assert got == keys
