@@ -1049,7 +1049,11 @@ def _multitable_fanin_batch_writer(pipeline: PipelineDef, sink_writer,
         members[tid] = (tcfg,
                         spark.createDataFrame([], tcfg["schema"]).schema)
 
+    from .metrics import PROCESSING_LATENCY, registry
+    reg = registry(pipeline.name)
+
     def handle(df: DataFrame, batch_id: int) -> None:
+        t0 = _monotonic()
         frames = {}
         for tid, (tcfg, payload) in members.items():
             if stype == "file-binlog":
@@ -1096,6 +1100,8 @@ def _multitable_fanin_batch_writer(pipeline: PipelineDef, sink_writer,
                 sink_writer(sink_tid, out, schema, batch_id=batch_id)
             else:
                 sink_writer(sink_tid, out, schema)
+            reg.observe(PROCESSING_LATENCY, _monotonic() - t0,
+                        table=str(sink_tid))
 
     return handle
 
@@ -1173,7 +1179,11 @@ def _multitable_fanin_inband_binlog_writer(pipeline: PipelineDef,
                          primary_keys=list(tcfg.get("primary-keys",
                                                     [])))
 
+    from .metrics import PROCESSING_LATENCY, registry
+    reg = registry(pipeline.name)
+
     def handle(df: DataFrame, batch_id: int) -> None:
+        t0 = _monotonic()
         # ONE position-ordered boundary sequence over ALL members
         boundaries = []
         for r in sorted(extract_binlog_ddl(df).collect(),
@@ -1221,6 +1231,8 @@ def _multitable_fanin_inband_binlog_writer(pipeline: PipelineDef,
                                 batch_id=f"{batch_id}s{seg_idx}")
                 else:
                     sink_writer(sink_tid, out, schema)
+                reg.observe(PROCESSING_LATENCY, _monotonic() - t0,
+                            table=str(sink_tid))
             if item is not None:
                 touched = set()
                 applied_events = []
