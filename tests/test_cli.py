@@ -155,3 +155,77 @@ pipeline:
     assert rc == 0
     got = read_paimon(spark, str(wh / "logs"))
     assert sorted(r["id"] for r in got.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_run_streaming_paimon_dynamic_changelog_and_metrics(
+        spark, tmp_path, capsys):
+    """CLI streaming dispatch of the round-13 PK sink options:
+    `buckets: -1` (dynamic hash-index assignment), `changelog-producer:
+    input`, and `--metrics-json` dumping the run's registry (readable
+    back through the `report` subcommand)."""
+    import json as _json
+    import os
+
+    from flink_cdc_dsql_master_spark.cli import main
+    from flink_cdc_dsql_master_spark.paimon_pk import (
+        read_paimon_pk, read_paimon_pk_changelog)
+
+    src = tmp_path / "topic"
+    src.mkdir()
+    with open(src / "b1.jsonl", "w") as f:
+        for i in range(1, 7):
+            env = {"before": None, "after": {"id": i, "v": f"n{i}"},
+                   "op": "c"}
+            f.write(_json.dumps({"value": _json.dumps(env),
+                                 "offset": i}) + "\n")
+
+    wh = tmp_path / "wh"
+    yml = tmp_path / "p.yaml"
+    yml.write_text(f"""
+source:
+  type: file-debezium
+  path: "{src}"
+  schema: "id int, v string"
+  table: db.s.t
+  primary-keys: [id]
+sink:
+  type: paimon
+  path: "{wh}"
+  buckets: -1
+  dynamic-bucket.target-row-num: 3
+  changelog-producer: input
+route:
+  - source-table: db.s.t
+    sink-table: wh.db.logs
+pipeline:
+  name: stream-dyn-clp
+""")
+    mjson = tmp_path / "metrics.json"
+    rc = main(["run", str(yml), "--streaming",
+               "--output-dir", str(tmp_path / "out"),
+               "--checkpoint", str(tmp_path / "ckpt"),
+               "--metrics-json", str(mjson)])
+    assert rc == 0
+    dest = str(wh / "logs")
+
+    # dynamic table created with the options threaded through
+    sj = _json.load(open(os.path.join(dest, "schema", "schema-0")))
+    assert sj["options"]["bucket"] == "-1"
+    assert sj["options"]["dynamic-bucket.target-row-num"] == "3"
+    assert sj["options"]["changelog-producer"] == "input"
+    # 6 keys / target 3 → 2 buckets; all rows readable
+    got = sorted(r["id"] for r in read_paimon_pk(spark, dest).collect())
+    assert got == [1, 2, 3, 4, 5, 6]
+    assert os.path.isdir(os.path.join(dest, "bucket-1"))
+    cl = read_paimon_pk_changelog(spark, dest)
+    assert cl.count() == 6
+
+    # metrics dumped + renderable
+    snap = _json.loads(mjson.read_text())
+    assert snap["registry"] == "stream-dyn-clp"
+    lat = [k for k in snap["timers"]
+           if k.startswith("cdc.processing.latency")]
+    assert lat, snap["timers"].keys()
+    capsys.readouterr()
+    assert main(["report", str(mjson)]) == 0
+    assert "cdc.processing.latency" in capsys.readouterr().out
