@@ -955,17 +955,18 @@ def multitable_foreach_batch_writer(pipeline: PipelineDef, sink_writer,
     groups = router.group_sources_by_sink(src_tids)
     if any(len(srcs) > 1 for srcs in groups.values()):
         if in_band:
-            if stype != "file-binlog":
-                # pgoutput Relation diffs arrive per-connection with no
-                # total order across tables' re-sends — drift-diff
-                # evolution covers the sharded-merge case there
+            builder = {
+                "file-binlog": _multitable_fanin_inband_binlog_writer,
+                "file-pgoutput":
+                    _multitable_fanin_inband_pgoutput_writer,
+            }.get(stype)
+            if builder is None:
                 raise ValueError(
                     "fan-in with in-band-ddl capture is supported for "
-                    f"file-binlog only, not {stype!r} — use drift-diff "
-                    "evolution (omit in-band-ddl)")
-            return _multitable_fanin_inband_binlog_writer(
-                pipeline, sink_writer, spark, groups, evolver,
-                on_schema_change)
+                    f"file-binlog / file-pgoutput, not {stype!r} — "
+                    "use drift-diff evolution (omit in-band-ddl)")
+            return builder(pipeline, sink_writer, spark, groups,
+                           evolver, on_schema_change)
         return _multitable_fanin_batch_writer(
             pipeline, sink_writer, spark, groups, evolver,
             on_schema_change)
@@ -1263,6 +1264,176 @@ def _multitable_fanin_inband_binlog_writer(pipeline: PipelineDef,
     return handle
 
 
+def _multitable_fanin_inband_pgoutput_writer(pipeline: PipelineDef,
+                                             sink_writer,
+                                             spark: SparkSession,
+                                             groups,
+                                             evolver: SchemaEvolver,
+                                             on_schema_change=None):
+    """pgoutput twin of
+    :func:`_multitable_fanin_inband_binlog_writer` (r13 — the initial
+    rejection argued 'no cross-table total order', but Relation
+    messages carry WAL LSNs, which ARE one): interleave ALL members'
+    Relation-drift boundaries into one LSN-ordered epoch sequence,
+    decode every member per epoch with ``lsn_range`` under its schema
+    current AT those LSNs, fan-in through the widening lattice, flush,
+    THEN apply the boundary's drift events. Per-member TOAST-resolution
+    context accumulates across epochs exactly like the single-table
+    path (an unchanged-TOAST 'u' whose full image landed before another
+    member's boundary must still resolve). Relation re-sends that diff
+    to nothing place no boundary, so reconnect noise costs nothing."""
+    import json as _json
+
+    from pyspark.sql import types as T
+
+    from .evolve import apply_schema_change
+    from .pgoutput import (decode_pgoutput_segments,
+                           extract_pgoutput_relations,
+                           relation_drift_events,
+                           resolve_and_cast_pgoutput)
+
+    src_cfg = pipeline.source.config
+    engine = TransformEngine(list(pipeline.transforms))
+    members: dict[TableId, dict] = {}
+    rel_of: dict[str, TableId] = {}
+    base_structs: dict[TableId, T.StructType] = {}
+    for tcfg in src_cfg["table-list"]:
+        tid = TableId.parse(tcfg.get("table", "default.default.stream"))
+        members[tid] = tcfg
+        rel_of[(tcfg.get("pg-table") or tid.table).lower()] = tid
+        base_structs[tid] = spark.createDataFrame(
+            [], tcfg["schema"]).schema
+
+    for tid, tcfg in members.items():
+        if evolver.manager.latest_original(tid) is None \
+                and not evolver.manager.is_dropped(tid):
+            evolver.on_event(CreateTableEvent(tid, Schema.of(
+                base_structs[tid],
+                primary_keys=list(tcfg.get("primary-keys", [])))))
+
+    aux = ("__op", "__seq", "__table_id")
+
+    def payload_struct(tid: TableId) -> T.StructType:
+        cur = evolver.manager.latest_original(tid)
+        if cur is None:
+            return base_structs[tid]
+        return T.StructType(
+            [f for f in cur.struct.fields if f.name not in aux])
+
+    def member_schema(tid: TableId) -> Schema:
+        cur = evolver.manager.latest_evolved(tid) \
+            or evolver.manager.latest_original(tid)
+        if cur is not None:
+            return cur
+        return Schema.of(base_structs[tid], primary_keys=list(
+            members[tid].get("primary-keys", [])))
+
+    from .metrics import PROCESSING_LATENCY, registry
+    reg = registry(pipeline.name)
+
+    def handle(df: DataFrame, batch_id: int) -> None:
+        t0 = _monotonic()
+        rels = sorted(extract_pgoutput_relations(df).collect(),
+                      key=lambda r: r["lsn"])
+        # simulate each member's progression driver-side to PLACE the
+        # boundaries; real application interleaves with flushes below
+        sims = {tid: Schema.of(payload_struct(tid),
+                               primary_keys=list(
+                                   members[tid].get("primary-keys",
+                                                    [])))
+                for tid in members}
+        boundaries = []
+        for r in rels:
+            tid = rel_of.get(r["name"].lower())
+            if tid is None:
+                continue
+            evs = relation_drift_events(
+                tid, _json.loads(r["columns_json"]), sims[tid].struct)
+            if evs:
+                boundaries.append((r["lsn"], tid, evs))
+                for ev in evs:
+                    sims[tid] = apply_schema_change(sims[tid], ev)
+        lo = None
+        ctx: dict[TableId, DataFrame | None] = \
+            {tid: None for tid in members}
+        persisted = []
+        try:
+            for seg_idx, item in enumerate(boundaries + [None]):
+                hi = item[0] if item is not None else None
+                frames: dict[TableId, tuple] = {}
+                for tid, tcfg in members.items():
+                    ps = payload_struct(tid)
+                    pks = list(tcfg.get("primary-keys", []))
+                    raw = decode_pgoutput_segments(
+                        df, ps, primary_keys=pks or None,
+                        lsn_range=(lo, hi), raw_only=True,
+                        pg_table=tcfg.get("pg-table"))
+                    if boundaries:
+                        raw = raw.persist()
+                        persisted.append(raw)
+                    decoded = resolve_and_cast_pgoutput(
+                        raw, ps, pks or None, toast_context=ctx[tid],
+                        epoch_lo=lo)
+                    xdf = engine.apply(engine.prune(decoded, tid), tid)
+                    schema = member_schema(tid)
+                    frames[tid] = (coerce_dataframe(xdf, schema),
+                                   schema)
+                    if boundaries:
+                        ctx[tid] = raw if ctx[tid] is None else \
+                            ctx[tid].unionByName(
+                                raw, allowMissingColumns=True)
+                for sink_tid, srcs in groups.items():
+                    live = [s for s in srcs if s in frames]
+                    if not live:
+                        continue
+                    if len(live) == 1:
+                        out, schema = frames[live[0]]
+                    else:
+                        out, schema = fan_in(
+                            [frames[s][0] for s in live],
+                            [frames[s][1] for s in live])
+                        evolver.manager.register_evolved(sink_tid,
+                                                         schema)
+                    if schema.primary_keys:
+                        out = repartition_by_key(
+                            out, list(schema.primary_keys))
+                    if _accepts_batch_id(sink_writer):
+                        sink_writer(sink_tid, out, schema,
+                                    batch_id=f"{batch_id}s{seg_idx}")
+                    else:
+                        sink_writer(sink_tid, out, schema)
+                    reg.observe(PROCESSING_LATENCY,
+                                _monotonic() - t0,
+                                table=str(sink_tid))
+                if item is not None:
+                    _lsn, tid, evs = item
+                    applied_events = []
+                    for ev in evs:
+                        evolver.on_event(ev)
+                        applied_events.extend(evolver.last_applied)
+                    if on_schema_change is not None and applied_events:
+                        for sink_tid, srcs in groups.items():
+                            if tid not in srcs:
+                                continue
+                            merged_members = [member_schema(s)
+                                              for s in srcs]
+                            from .route import merged_sink_schema
+                            merged = merged_sink_schema(
+                                merged_members) \
+                                if len(merged_members) > 1 else \
+                                merged_members[0]
+                            evolver.manager.register_evolved(sink_tid,
+                                                             merged)
+                            on_schema_change(sink_tid, applied_events,
+                                             merged)
+                lo = hi
+        finally:
+            for fr in persisted:
+                fr.unpersist()
+
+    return handle
+
+
 def compose_multitable_stream(spark: SparkSession, pipeline: PipelineDef,
                               checkpoint: str, sink_writer,
                               on_schema_change=None, evolver=None,
@@ -1284,9 +1455,10 @@ def compose_multitable_stream(spark: SparkSession, pipeline: PipelineDef,
     reader = (spark.readStream.format("binaryFile")
               .schema(_BINARY_FILE_SCHEMA))
     opts = dict(src.config.get("reader-options") or {})
-    if src.config.get("in-band-ddl") and src.type == "file-binlog":
-        # same monotone-log_pos contract as the single-table DDL
-        # composer: one segment file per micro-batch by default
+    if src.config.get("in-band-ddl"):
+        # same monotone-position contract as the single-table DDL
+        # composers (log_pos for binlog, LSN for pgoutput): one segment
+        # file per micro-batch by default
         opts.setdefault("maxFilesPerTrigger", "1")
     for k, v in opts.items():
         reader = reader.option(k, v)

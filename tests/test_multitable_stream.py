@@ -380,27 +380,75 @@ def test_fanin_with_in_band_ddl_globally_sequenced(spark):
                    (11, "b1", None), (12, "b2", None)]
 
 
-def test_fanin_with_in_band_ddl_rejected_for_pgoutput(spark):
-    """pgoutput Relation diffs have no total order across tables —
-    fan-in there stays rejected (drift-diff evolution covers it)."""
-    import pytest
+def test_fanin_with_in_band_relation_drift_pgoutput(spark):
+    """pgoutput fan-in WITH in-band Relation drift (r13 — the initial
+    rejection argued 'no cross-table total order', but Relation
+    messages carry WAL LSNs, which ARE one): shard A's re-sent
+    Relation adds a column mid-segment; epochs interleave by LSN across
+    both members, so shard B rows logged AFTER A's drift land under
+    the widened merged schema, NULL-filled."""
+    from flink_cdc_dsql_master_spark.pgoutput import (encode_frames,
+                                                      encode_insert,
+                                                      encode_relation)
+    from flink_cdc_dsql_master_spark.sinks import schema_change_ddl
+
+    base = tempfile.mkdtemp(prefix="pg_fanin_ddl_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    cols2 = [("id", True, 20), ("name", False, 25)]
+    cols3 = cols2 + [("w", False, 701)]
+    msgs = [
+        (100, encode_relation(7, "public", "sh_a", cols2)),
+        (110, encode_relation(8, "public", "sh_b", cols2)),
+        (120, encode_insert(7, ["1", "a1"])),
+        (130, encode_insert(8, ["11", "b1"])),
+        # shard A drifts: re-sent Relation with an added column
+        (200, encode_relation(7, "public", "sh_a", cols3)),
+        (210, encode_insert(7, ["2", "a2", "2.5"])),
+        # shard B keeps its old shape AFTER A's drift — must coerce
+        # into the widened merged sink schema (w NULL)
+        (220, encode_insert(8, ["12", "b2"])),
+    ]
+    with open(f"{src}/seg1.pgout", "wb") as f:
+        f.write(encode_frames(msgs))
 
     pipe = PipelineDef(
         source=SourceDef("file-pgoutput", {
-            "path": "/nonexistent", "in-band-ddl": True,
+            "path": src, "in-band-ddl": True,
             "table-list": [
-                {"table": "db.s.a", "pg-table": "a",
-                 "schema": "k bigint", "primary-keys": ["k"]},
-                {"table": "db.s.b", "pg-table": "b",
-                 "schema": "k bigint", "primary-keys": ["k"]},
+                {"table": "db.public.sh_a", "pg-table": "sh_a",
+                 "schema": "id bigint, name string",
+                 "primary-keys": ["id"]},
+                {"table": "db.public.sh_b", "pg-table": "sh_b",
+                 "schema": "id bigint, name string",
+                 "primary-keys": ["id"]},
             ]}),
         sink=SinkDef("duckdb"),
-        routes=(RouteRule(r"db.s.a", "out.db.m"),
-                RouteRule(r"db.s.b", "out.db.m")),
+        routes=(RouteRule(r"db.public.sh_a", "out.db.pg_merged_ddl"),
+                RouteRule(r"db.public.sh_b", "out.db.pg_merged_ddl")),
+        config={"schema.change.behavior": "LENIENT"},
     )
-    from flink_cdc_dsql_master_spark.compose import (
-        multitable_foreach_batch_writer)
 
-    with pytest.raises(ValueError, match="fan-in.*in-band-ddl"):
-        multitable_foreach_batch_writer(pipe, lambda *a, **k: None,
-                                        spark)
+    def on_ddl(tid, events, schema):
+        con = duckdb.connect(db)
+        try:
+            for sql in schema_change_ddl(tid.table, events, schema):
+                con.execute(sql)
+            con.commit()
+        finally:
+            con.close()
+
+    q = compose_stream(spark, pipe, ckpt, _duck_writer(db),
+                       on_schema_change=on_ddl)
+    q.awaitTermination(300)
+
+    con = duckdb.connect(db)
+    assert [t[0] for t in con.execute("SHOW TABLES").fetchall()] == \
+        ["pg_merged_ddl"]
+    got = con.execute("SELECT id, name, w FROM pg_merged_ddl "
+                      "ORDER BY id").fetchall()
+    con.close()
+    assert got == [(1, "a1", None), (2, "a2", 2.5),
+                   (11, "b1", None), (12, "b2", None)]
