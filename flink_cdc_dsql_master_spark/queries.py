@@ -5472,6 +5472,123 @@ def changelog_multitable_fanin_inband(spark, sf_dir):
 
 
 @_q(
+    "changelog_multitable_fanin_pgoutput",
+    """
+    SELECT c_custkey AS k, c_name AS name,
+           CASE WHEN c_custkey % 2 = 0 AND c_custkey % 10 = 0
+                THEN c_mktsegment ELSE NULL END AS seg
+    FROM customer
+    """,
+)
+def changelog_multitable_fanin_pgoutput(spark, sf_dir):
+    """pgoutput fan-in with in-band Relation drift (r13 second wave —
+    the binlog row's postgres twin): one framed pgoutput segment
+    carries two customer shards; shard EVEN's re-sent Relation ADDS a
+    column mid-segment (the wire's only schema-change signal —
+    Debezium/SchemaDerivator parity). Epochs interleave by WAL LSN
+    across both members: pre-drift rows of both shards flush under the
+    narrow merged schema, the drift applies (sink DDL with the WIDENED
+    schema), and shard ODD's unevolved rows logged AFTER the drift
+    NULL-fill into it. One sink table, hash-checked."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from .compose import compose_stream
+    from .pgoutput import encode_frames, encode_insert, encode_relation
+    from .pipeline import PipelineDef, SinkDef, SourceDef
+    from .route import RouteRule
+    from .sinks import JdbcUpsertSink, schema_change_ddl
+
+    cust = _t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment").collect()
+    even = [r for r in cust if r["c_custkey"] % 2 == 0]
+    odd = [r for r in cust if r["c_custkey"] % 2 == 1]
+
+    base = tempfile.mkdtemp(prefix="pg_fanin_oracle_")
+    src, ckpt = os.path.join(base, "seg"), os.path.join(base, "ckpt")
+    db = os.path.join(base, "sink.duckdb")
+    os.mkdir(src)
+
+    cols2 = [("k", True, 20), ("name", False, 25)]
+    cols3 = cols2 + [("seg", False, 25)]
+    lsn = [100]
+
+    def nxt():
+        lsn[0] += 10
+        return lsn[0]
+
+    msgs = [(nxt(), encode_relation(7, "public", "cust_even", cols2)),
+            (nxt(), encode_relation(8, "public", "cust_odd", cols2))]
+    msgs += [(nxt(), encode_insert(7, [str(r["c_custkey"]),
+                                       r["c_name"]])) for r in even]
+    msgs += [(nxt(), encode_insert(8, [str(r["c_custkey"]),
+                                       r["c_name"]]))
+             for r in odd[: len(odd) // 2]]
+    # shard EVEN drifts mid-segment: re-sent Relation with `seg`
+    msgs.append((nxt(), encode_relation(7, "public", "cust_even",
+                                        cols3)))
+    msgs += [(nxt(), encode_insert(7, [str(r["c_custkey"]), r["c_name"],
+                                       r["c_mktsegment"]]))
+             for r in even if r["c_custkey"] % 10 == 0]
+    # shard ODD keeps its 2-column shape AFTER the drift
+    msgs += [(nxt(), encode_insert(8, [str(r["c_custkey"]),
+                                       r["c_name"]]))
+             for r in odd[len(odd) // 2:]]
+    with open(f"{src}/seg1.pgout", "wb") as f:
+        f.write(encode_frames(msgs))
+
+    pipe = PipelineDef(
+        source=SourceDef("file-pgoutput", {
+            "path": src, "in-band-ddl": True,
+            "table-list": [
+                {"table": "tpch.public.cust_even",
+                 "pg-table": "cust_even",
+                 "schema": "k bigint, name string",
+                 "primary-keys": ["k"]},
+                {"table": "tpch.public.cust_odd",
+                 "pg-table": "cust_odd",
+                 "schema": "k bigint, name string",
+                 "primary-keys": ["k"]},
+            ]}),
+        sink=SinkDef("duckdb"),
+        routes=(RouteRule(r"tpch.public.cust_even",
+                          "out.db.pg_cust_all"),
+                RouteRule(r"tpch.public.cust_odd",
+                          "out.db.pg_cust_all")),
+        config={"schema.change.behavior": "LENIENT"},
+    )
+
+    def writer(tid_, df, schema):
+        sink = JdbcUpsertSink(lambda p=db: duckdb.connect(p), tid_.table,
+                              schema, parallel=False, dialect="duckdb")
+        sink.ensure_table()
+        sink.write_batch(df)
+
+    def on_ddl(tid_, events, schema):
+        con = duckdb.connect(db)
+        try:
+            for sql in schema_change_ddl(tid_.table, events, schema):
+                con.execute(sql)
+            con.commit()
+        finally:
+            con.close()
+
+    q = compose_stream(spark, pipe, ckpt, writer, on_schema_change=on_ddl)
+    q.awaitTermination(300)
+
+    con = duckdb.connect(db)
+    tables = [r[0] for r in con.execute(
+        "SELECT table_name FROM information_schema.tables").fetchall()]
+    assert tables == ["pg_cust_all"], \
+        f"pg in-band fan-in must land in ONE sink table, got {tables}"
+    pdf = con.execute("SELECT k, name, seg FROM pg_cust_all").df()
+    con.close()
+    return spark.createDataFrame(pdf, "k bigint, name string, seg string")
+
+
+@_q(
     "cdc_pgoutput_bytea_uuid_time",
     """
     SELECT n_nationkey AS k,
