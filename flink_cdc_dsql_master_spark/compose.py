@@ -471,8 +471,12 @@ def foreach_batch_writer(pipeline: PipelineDef, sink_writer,
                 sink_writer(sink_tid, out, schema, batch_id=batch_id)
             else:
                 sink_writer(sink_tid, out, schema)
-            reg.observe(PROCESSING_LATENCY, _monotonic() - t0,
-                        table=str(sink_tid))
+        # batch processing latency, attributed to each routed sink
+        # (observed AFTER the loop so fan-out sinks report the same
+        # end-to-end batch time rather than cumulative prefixes)
+        dur = _monotonic() - t0
+        for sink_tid in router.route(table):
+            reg.observe(PROCESSING_LATENCY, dur, table=str(sink_tid))
 
     return handle
 
@@ -1101,8 +1105,9 @@ def _multitable_fanin_batch_writer(pipeline: PipelineDef, sink_writer,
                 sink_writer(sink_tid, out, schema, batch_id=batch_id)
             else:
                 sink_writer(sink_tid, out, schema)
-            reg.observe(PROCESSING_LATENCY, _monotonic() - t0,
-                        table=str(sink_tid))
+        dur = _monotonic() - t0
+        for sink_tid in groups:
+            reg.observe(PROCESSING_LATENCY, dur, table=str(sink_tid))
 
     return handle
 
