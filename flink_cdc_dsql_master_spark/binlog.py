@@ -996,12 +996,16 @@ def parse_binlog(data: bytes) -> list[dict]:
 # byte-identical: epoch conversion still walks the full event list with
 # accrued TABLE_MAP state.
 #
-# Sizing: the composer's access pattern is K+1 SEQUENTIAL decodes of
-# ONE blob, so a single most-recent-blob slot captures every hit an
-# LRU would — and unlike an entry-count LRU it cannot pin multiple
-# fully-parsed gigabyte segments per worker (a 16-entry cache of 1 GB
-# rotated segments is a multi-GB leak). The memo additionally drops
-# blobs past a byte ceiling outright: parsing a huge blob twice is
+# Sizing: a BYTE-bounded LRU (not an entry-count one). The composer's
+# common pattern is K+1 SEQUENTIAL decodes of ONE blob, but the
+# non-in-band multitable fan-in decodes the same DataFrame once per
+# member table, and a partition holding >1 binlog file then ALTERNATES
+# blobs A/B per pass — a single slot misses every access there,
+# restoring the O(K·B) reparse cost the memo exists to remove. Bounding
+# by TOTAL CACHED SOURCE BYTES (256 MB) keeps interleaved multi-blob
+# access hot while still fixing the r12 leak (a 16-ENTRY cache of 1 GB
+# rotated segments could pin multi-GB event lists per worker); a blob
+# larger than the whole budget is never cached — parsing it twice is
 # cheaper than holding its event list resident between batches.
 #
 # MUTATION CONTRACT: callers receive the CACHED list and its event
@@ -1009,22 +1013,26 @@ def parse_binlog(data: bytes) -> list[dict]:
 # (decode_binlog epoch walk, extract_binlog_ddl) is read-only; a future
 # caller that needs to mutate must copy.deepcopy first.
 import hashlib as _hashlib
+from collections import OrderedDict as _OrderedDict
 
-_PARSE_CACHE_KEY: bytes | None = None
-_PARSE_CACHE_EVENTS: list | None = None
-_PARSE_CACHE_MAX_BYTES = 256 * 1024 * 1024  # don't pin huge segments
+# key -> (source_len_bytes, parsed events); insertion order = LRU order
+_PARSE_CACHE: "_OrderedDict[bytes, tuple[int, list]]" = _OrderedDict()
+_PARSE_CACHE_MAX_BYTES = 256 * 1024 * 1024  # total SOURCE bytes cached
 
 
 def _parse_binlog_cached(data: bytes) -> list[dict]:
-    global _PARSE_CACHE_KEY, _PARSE_CACHE_EVENTS
     key = _hashlib.blake2b(data, digest_size=16).digest()
-    if key == _PARSE_CACHE_KEY:
-        return _PARSE_CACHE_EVENTS
+    hit = _PARSE_CACHE.get(key)
+    if hit is not None:
+        _PARSE_CACHE.move_to_end(key)
+        return hit[1]
     events = parse_binlog(data)
     if len(data) <= _PARSE_CACHE_MAX_BYTES:
-        _PARSE_CACHE_KEY, _PARSE_CACHE_EVENTS = key, events
-    else:
-        _PARSE_CACHE_KEY = _PARSE_CACHE_EVENTS = None
+        _PARSE_CACHE[key] = (len(data), events)
+        total = sum(sz for sz, _ in _PARSE_CACHE.values())
+        while total > _PARSE_CACHE_MAX_BYTES:
+            _, (sz, _ev) = _PARSE_CACHE.popitem(last=False)
+            total -= sz
     return events
 
 

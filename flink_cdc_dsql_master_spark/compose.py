@@ -1190,6 +1190,7 @@ def _multitable_fanin_inband_binlog_writer(pipeline: PipelineDef,
 
     def handle(df: DataFrame, batch_id: int) -> None:
         t0 = _monotonic()
+        written_sinks: set = set()
         # ONE position-ordered boundary sequence over ALL members
         boundaries = []
         for r in sorted(extract_binlog_ddl(df).collect(),
@@ -1237,8 +1238,7 @@ def _multitable_fanin_inband_binlog_writer(pipeline: PipelineDef,
                                 batch_id=f"{batch_id}s{seg_idx}")
                 else:
                     sink_writer(sink_tid, out, schema)
-                reg.observe(PROCESSING_LATENCY, _monotonic() - t0,
-                            table=str(sink_tid))
+                written_sinks.add(sink_tid)
             if item is not None:
                 touched = set()
                 applied_events = []
@@ -1265,6 +1265,12 @@ def _multitable_fanin_inband_binlog_writer(pipeline: PipelineDef,
                         on_schema_change(sink_tid, applied_events,
                                          merged)
             lo = hi
+        # batch processing latency: ONE end-to-end observation per sink
+        # that flushed this batch (d9d267e semantics — never cumulative
+        # per-segment prefixes, never segments×sinks observations)
+        dur = _monotonic() - t0
+        for sink_tid in written_sinks:
+            reg.observe(PROCESSING_LATENCY, dur, table=str(sink_tid))
 
     return handle
 
@@ -1338,6 +1344,7 @@ def _multitable_fanin_inband_pgoutput_writer(pipeline: PipelineDef,
 
     def handle(df: DataFrame, batch_id: int) -> None:
         t0 = _monotonic()
+        written_sinks: set = set()
         rels = sorted(extract_pgoutput_relations(df).collect(),
                       key=lambda r: r["lsn"])
         # simulate each member's progression driver-side to PLACE the
@@ -1407,9 +1414,7 @@ def _multitable_fanin_inband_pgoutput_writer(pipeline: PipelineDef,
                                     batch_id=f"{batch_id}s{seg_idx}")
                     else:
                         sink_writer(sink_tid, out, schema)
-                    reg.observe(PROCESSING_LATENCY,
-                                _monotonic() - t0,
-                                table=str(sink_tid))
+                    written_sinks.add(sink_tid)
                 if item is not None:
                     _lsn, tid, evs = item
                     applied_events = []
@@ -1432,6 +1437,12 @@ def _multitable_fanin_inband_pgoutput_writer(pipeline: PipelineDef,
                             on_schema_change(sink_tid, applied_events,
                                              merged)
                 lo = hi
+            # ONE end-to-end observation per flushed sink (d9d267e
+            # semantics — never cumulative per-segment prefixes)
+            dur = _monotonic() - t0
+            for sink_tid in written_sinks:
+                reg.observe(PROCESSING_LATENCY, dur,
+                            table=str(sink_tid))
         finally:
             for fr in persisted:
                 fr.unpersist()

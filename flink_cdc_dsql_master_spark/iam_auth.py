@@ -465,7 +465,11 @@ class iam_conn_factory:  # noqa: N801 — callable factory, lower-case like a fn
                 retriable = (self.authenticator.use_iam_auth
                              and is_token_expiration_error(e))
                 if metrics is not None:
-                    metrics.record_error(e, retried=retriable)
+                    # retried only when another attempt actually follows:
+                    # the final retriable failure exhausts the budget and
+                    # propagates, so it is not a retry ATTEMPT
+                    metrics.record_error(
+                        e, retried=retriable and attempt < self.max_retries)
                 if not retriable:
                     raise
                 self.authenticator.force_token_refresh()

@@ -260,13 +260,30 @@ class MetricsRegistry:
         plan (a second action over the same un-cached DataFrame, or a
         recomputed evicted partition) re-counts. Instrumented readers
         should be driven once and their results reused."""
-        if self._handle is None:
-            acc = None
-            if spark is not None:
+        with self._lock:
+            if self._handle is None:
+                acc = None
+                if spark is not None:
+                    acc = spark.sparkContext.accumulator(
+                        {}, _DictAccumulatorParam())
+                self._handle = ExecutorMetrics(acc)
+            elif self._handle._acc is None and spark is not None:
+                # Upgrade a driver-local handle in place the first time a
+                # SparkSession is available: if the registry was first
+                # touched by a driver-only caller (JdbcUpsertSink with
+                # parallel=False passes spark=None) the cached handle is
+                # dict-backed, and shipping THAT to executors would lose
+                # every increment (per-process copies). Attaching the
+                # accumulator to the same object means all driver-held
+                # references upgrade too; counts accrued locally so far
+                # are migrated so nothing is dropped.
                 acc = spark.sparkContext.accumulator(
                     {}, _DictAccumulatorParam())
-            self._handle = ExecutorMetrics(acc)
-        return self._handle
+                if self._handle._local:
+                    acc.add(dict(self._handle._local))
+                self._handle._acc = acc
+                self._handle._local = None
+            return self._handle
 
     # -- reads --------------------------------------------------------------
 

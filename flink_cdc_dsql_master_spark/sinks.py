@@ -168,14 +168,21 @@ class RetryPolicy:
     base_delay_s: float = 0.2
     factor: float = 2.0
 
-    def run(self, fn):
+    def run(self, fn, on_error=None):
+        """Run ``fn`` with backoff. ``on_error(exc, will_retry)`` (if
+        given) fires per failed attempt — ``will_retry=False`` on the
+        final attempt whose exception propagates, so metrics hooks can
+        count retry ATTEMPTS without overcounting exhausted budgets."""
         attempt = 0
         while True:
             try:
                 return fn()
-            except Exception:
+            except Exception as e:
                 attempt += 1
-                if attempt > self.max_retries:
+                will_retry = attempt <= self.max_retries
+                if on_error is not None:
+                    on_error(e, will_retry)
+                if not will_retry:
                     raise
                 time.sleep(self.base_delay_s * self.factor ** (attempt - 1))
 
@@ -357,14 +364,10 @@ class JdbcUpsertSink:
                 reference's DsqlErrorReporter reporting hook."""
                 if handle is None:
                     return retry.run(fn)
-
-                def attempt():
-                    try:
-                        return fn()
-                    except Exception as e:
-                        handle.record_error(e, retried=True)
-                        raise
-                return retry.run(attempt)
+                return retry.run(
+                    fn,
+                    on_error=lambda e, will_retry:
+                        handle.record_error(e, retried=will_retry))
 
             try:
                 ups, dels = [], []

@@ -58,7 +58,7 @@ def test_parse_cache_memoizes_pure_parse(monkeypatch):
         return real(data)
 
     monkeypatch.setattr(bl, "parse_binlog", counting)
-    bl._PARSE_CACHE_KEY = bl._PARSE_CACHE_EVENTS = None
+    bl._PARSE_CACHE.clear()
     blob = _dense_blob(n_ddl=2)
     e1 = _parse_binlog_cached(blob)
     for _ in range(12):  # the K+1 epoch decodes of one micro-batch
@@ -68,30 +68,58 @@ def test_parse_cache_memoizes_pure_parse(monkeypatch):
     other = _dense_blob(n_ddl=2, rows_per_epoch=3)
     e2 = _parse_binlog_cached(other)
     assert e2 is not e1 and len(calls) == 2
-    bl._PARSE_CACHE_KEY = bl._PARSE_CACHE_EVENTS = None
+    bl._PARSE_CACHE.clear()
+
+
+def test_parse_cache_interleaved_blobs_stay_hot(monkeypatch):
+    """The multitable fan-in decodes the same DataFrame once per member
+    table, so a partition holding two binlog files ALTERNATES blobs A/B
+    per pass — both must stay resident (ADVICE r13: a single-slot memo
+    missed every one of these accesses)."""
+    import flink_cdc_dsql_master_spark.binlog as bl
+
+    calls = []
+    real = bl.parse_binlog
+
+    def counting(data):
+        calls.append(len(data))
+        return real(data)
+
+    monkeypatch.setattr(bl, "parse_binlog", counting)
+    bl._PARSE_CACHE.clear()
+    a = _dense_blob(n_ddl=1)
+    b = _dense_blob(n_ddl=1, rows_per_epoch=3)
+    for _ in range(6):  # per-member-table passes alternating blobs
+        _parse_binlog_cached(a)
+        _parse_binlog_cached(b)
+    assert len(calls) == 2  # each blob parsed exactly once
+    bl._PARSE_CACHE.clear()
 
 
 def test_parse_cache_is_byte_bounded(monkeypatch):
-    """The memo holds at most ONE blob's parse (the composer's access
-    pattern is K+1 sequential decodes of one blob) and refuses to pin
-    blobs past the byte ceiling — no multi-GB per-worker residue from
-    rotated 1 GB segments."""
+    """The memo is bounded by TOTAL cached source bytes: inserting past
+    the ceiling evicts least-recently-used entries, and a blob larger
+    than the whole budget is never retained — no multi-GB per-worker
+    residue from rotated 1 GB segments."""
     import flink_cdc_dsql_master_spark.binlog as bl
 
-    bl._PARSE_CACHE_KEY = bl._PARSE_CACHE_EVENTS = None
+    bl._PARSE_CACHE.clear()
     a = _dense_blob(n_ddl=1)
     b = _dense_blob(n_ddl=1, rows_per_epoch=3)
+    # budget fits exactly one of the two: inserting b evicts a (LRU)
+    monkeypatch.setattr(bl, "_PARSE_CACHE_MAX_BYTES",
+                        max(len(a), len(b)))
     _parse_binlog_cached(a)
-    _parse_binlog_cached(b)
-    # single slot: only b is resident now
-    ev_b = bl._PARSE_CACHE_EVENTS
-    assert ev_b is not None and _parse_binlog_cached(b) is ev_b
+    ev_b = _parse_binlog_cached(b)
+    assert len(bl._PARSE_CACHE) == 1
+    assert _parse_binlog_cached(b) is ev_b
 
     # an over-ceiling blob parses fine but is NOT retained
     monkeypatch.setattr(bl, "_PARSE_CACHE_MAX_BYTES", len(a) - 1)
+    bl._PARSE_CACHE.clear()
     out = _parse_binlog_cached(a)
-    assert out and bl._PARSE_CACHE_EVENTS is None
-    bl._PARSE_CACHE_KEY = bl._PARSE_CACHE_EVENTS = None
+    assert out and len(bl._PARSE_CACHE) == 0
+    bl._PARSE_CACHE.clear()
 
 
 def test_ddl_dense_multi_epoch_decode_exact(spark):
