@@ -102,6 +102,11 @@ BENCH_QUERIES = [
     "similarity_range_search",
     # round 9
     "lakehouse_export_iceberg",
+    # round 13 heavyweights, gated per VERDICT r13 #3 (they previously
+    # ran ungated outside the one stress target)
+    "lakehouse_paimon_pk_dynamic",
+    "lakehouse_paimon_changelog_producer",
+    "changelog_multitable_fanin_inband",
     # graph_connected_components is registry+stress only: its wall time
     # is fixpoint-round latency (diameter rounds of ~1s scheduling), not
     # data cost — the 1x/10x stress exponent (0.06) is the honest

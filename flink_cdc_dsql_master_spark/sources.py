@@ -867,29 +867,16 @@ _GEN_COL_NAME_RE = re.compile(
     r"(?:\s+(?:UNSIGNED|ZEROFILL))*\s*$", re.IGNORECASE)
 
 
-def _scrub_column_attributes(stmt: str) -> tuple[str, dict]:
-    """Remove MySQL column attributes that carry no engine-schema
-    meaning so the per-spec regexes still match the column underneath
-    (round-12 probe findings — each of these used to make the whole
-    spec parse to NOTHING, silently skipping evolution): COMMENT
-    strings, CHARACTER SET / COLLATE, ON UPDATE CURRENT_TIMESTAMP,
-    AUTO_INCREMENT, inline UNIQUE / PRIMARY KEY markers, and
-    ``[GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]`` generated-column
-    clauses. Quote-aware throughout; DEFAULT CURRENT_TIMESTAMP(p)
-    loses only its precision parens.
-
-    Returns ``(scrubbed_stmt, generated)`` where ``generated`` maps
-    lower-cased column name → "VIRTUAL" | "STORED" for every scrubbed
-    generated-column clause. The distinction is WIRE-relevant (r13,
-    pinned in tests/test_binlog_virtual.py): a STORED generated column
-    IS written to binlog row images, so its ADD applies as an ordinary
-    column; a VIRTUAL one is counted in the TABLE_MAP width but
-    EXCLUDED from row images by the present bitmap — its AddColumnEvent
-    carries generated="VIRTUAL" so the decode NULL-fills instead of
-    raising the partial-image error."""
-    # generated-column expressions first: balanced parens, quote-aware
-    # (both the search — an 'AS (' inside a quoted DEFAULT is literal
-    # text — and the balance walk)
+def _scrub_generated_clauses(stmt: str) -> tuple[str, dict]:
+    """Remove ``[GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]``
+    generated-column clauses (balanced parens, quote-aware — both the
+    search, since an 'AS (' inside a quoted DEFAULT is literal text,
+    and the balance walk) and return ``(scrubbed, {column → kind})``.
+    Shared by the ALTER-spec scrubber and the CREATE TABLE body parse
+    (r14 — previously CREATE bodies skipped this, so an in-band CREATE
+    declaring a VIRTUAL column produced a schema without the
+    generated="VIRTUAL" marker and its rows' ABSENT values raised the
+    misleading binlog_row_image!=FULL error at decode)."""
     generated: dict[str, str] = {}
     pos = 0
     while True:
@@ -921,6 +908,30 @@ def _scrub_column_attributes(stmt: str) -> tuple[str, dict]:
             generated[nm.group(1).lower()] = kind
         stmt = stmt[:m.start()] + " " + stmt[i:]
         pos = m.start() + 1
+    return stmt, generated
+
+
+def _scrub_column_attributes(stmt: str) -> tuple[str, dict]:
+    """Remove MySQL column attributes that carry no engine-schema
+    meaning so the per-spec regexes still match the column underneath
+    (round-12 probe findings — each of these used to make the whole
+    spec parse to NOTHING, silently skipping evolution): COMMENT
+    strings, CHARACTER SET / COLLATE, ON UPDATE CURRENT_TIMESTAMP,
+    AUTO_INCREMENT, inline UNIQUE / PRIMARY KEY markers, and
+    ``[GENERATED ALWAYS] AS (expr) [VIRTUAL|STORED]`` generated-column
+    clauses. Quote-aware throughout; DEFAULT CURRENT_TIMESTAMP(p)
+    loses only its precision parens.
+
+    Returns ``(scrubbed_stmt, generated)`` where ``generated`` maps
+    lower-cased column name → "VIRTUAL" | "STORED" for every scrubbed
+    generated-column clause. The distinction is WIRE-relevant (r13,
+    pinned in tests/test_binlog_virtual.py): a STORED generated column
+    IS written to binlog row images, so its ADD applies as an ordinary
+    column; a VIRTUAL one is counted in the TABLE_MAP width but
+    EXCLUDED from row images by the present bitmap — its AddColumnEvent
+    carries generated="VIRTUAL" so the decode NULL-fills instead of
+    raising the partial-image error."""
+    stmt, generated = _scrub_generated_clauses(stmt)
     stmt = _COMMENT_ATTR_RE.sub(" ", stmt)
     stmt = _sub_outside_quotes(_CT_PARENS_RE, r"\1", stmt)
     stmt = _sub_outside_quotes(_COL_ATTR_RE, " ", stmt)
@@ -1121,6 +1132,13 @@ def _parse_one_ddl(stmt: str, tid) -> list:
         # ALTER specs only — CREATE TABLE bodies keep inline PRIMARY
         # KEY markers for _parse_create_columns
         stmt, generated = _scrub_column_attributes(stmt)
+    elif re.match(r"\s*CREATE\s+TABLE\b",
+                  strip_leading_comments(stmt), re.IGNORECASE):
+        # CREATE bodies get ONLY the generated-clause scrub (the full
+        # attribute scrub would strip the inline PRIMARY KEY markers
+        # _parse_create_columns needs) — so a declared VIRTUAL column
+        # still lands in the schema with its generated marker
+        stmt, generated = _scrub_generated_clauses(stmt)
 
     events = []
     stmt = strip_leading_comments(stmt)
@@ -1166,11 +1184,21 @@ def _parse_one_ddl(stmt: str, tid) -> list:
             parsed = _parse_create_columns(m.group(1))
             if parsed is not None:
                 from .schema import Schema
+                from .types import parse_type, to_struct_field
 
                 cols, pks = parsed
                 try:
+                    struct = T.StructType([
+                        to_struct_field(
+                            n, parse_type(t),
+                            # only VIRTUAL changes decode behavior;
+                            # STORED values ARE in row images
+                            generated="VIRTUAL"
+                            if generated.get(n.lower()) == "VIRTUAL"
+                            else None)
+                        for n, t in cols])
                     events.append(CreateTableEvent(
-                        tid, Schema.of(cols, primary_keys=pks)))
+                        tid, Schema.of(struct, primary_keys=pks)))
                 except ValueError:
                     pass  # unmappable type → skip, like other noise
         elif kind == "truncate":

@@ -211,3 +211,44 @@ def test_binlog_stream_across_virtual_add_end_to_end(spark):
     # the virtual column exists at the sink and is NULL everywhere —
     # its values are never on the wire (Debezium parity)
     assert got == [(1, "a", None), (2, "b2", None), (4, "d", None)]
+
+
+def test_create_table_virtual_column_carries_generated_marker(spark):
+    """In-band CREATE TABLE declaring a VIRTUAL generated column (r14,
+    ADVICE r13 #4): the CreateTableEvent schema carries
+    generated="VIRTUAL", so rows whose present bitmap excludes the
+    column NULL-fill at decode instead of raising the misleading
+    binlog_row_image!=FULL error; a STORED declaration stays an
+    ordinary column."""
+    from flink_cdc_dsql_master_spark.evolve import apply_schema_change
+    from flink_cdc_dsql_master_spark.events import CreateTableEvent
+    from flink_cdc_dsql_master_spark.sources import parse_debezium_ddl
+
+    tid = TableId.parse("db.s.t")
+    (ev,) = parse_debezium_ddl(
+        "CREATE TABLE t (id BIGINT NOT NULL PRIMARY KEY, "
+        "v VARCHAR(20), "
+        "g INT GENERATED ALWAYS AS (id + 1) VIRTUAL, "
+        "s INT AS (id * 2) STORED)", tid)
+    assert isinstance(ev, CreateTableEvent)
+    schema = apply_schema_change(None, ev)
+    assert schema.struct["g"].metadata[CDC_META_KEY]["generated"] == \
+        "VIRTUAL"
+    assert not (schema.struct["s"].metadata or {}).get(
+        CDC_META_KEY, {}).get("generated")
+    assert list(schema.primary_keys) == ["id"]
+
+    # and the decode honors it: TABLE_MAP counts all 4 columns, row
+    # images exclude ONLY the virtual one (STORED values are logged)
+    cols = [(MYSQL_TYPE_LONGLONG, None), (MYSQL_TYPE_VARCHAR, 20),
+            (MYSQL_TYPE_LONG, None), (MYSQL_TYPE_LONG, None)]
+    blob = (MAGIC + encode_fde(120)
+            + encode_table_map(5, "db", "t", cols, 200)
+            + encode_write_rows(5, cols, [[1, "a", None, 2],
+                                          [2, "b", None, 4]], 300,
+                                absent={2}))
+    df = spark.createDataFrame([(blob,)], "value binary")
+    payload = T.StructType([f for f in schema.struct.fields])
+    got = sorted((r["id"], r["v"], r["g"], r["s"])
+                 for r in decode_binlog(df, payload).collect())
+    assert got == [(1, "a", None, 2), (2, "b", None, 4)]

@@ -1,0 +1,179 @@
+"""Resident dynamic-bucket index cache (VERDICT r13 next-round #1).
+
+The r13 `weak`: the streaming writer re-expanded the FULL hash index
+(O(table keys)) every micro-batch commit via _index_lookup_df, where
+the reference's BucketAssignOperator holds the index in operator state
+and updates it incrementally. Now the expanded index DataFrame persists
+across commits and each commit appends only its own delta (read from
+the durable hash files it just wrote); compaction / restart / foreign
+commits invalidate via the index-manifest token.
+
+Reference: flink-cdc-pipeline-connector-paimon/.../sink/v2/bucket/
+BucketAssignOperator.java:63 (resident HashBucketAssigner state).
+"""
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+
+import flink_cdc_dsql_master_spark.paimon_pk as P
+from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+from flink_cdc_dsql_master_spark.paimon_pk import (
+    DYNAMIC_BUCKET,
+    append_paimon_pk,
+    clear_index_cache,
+    compact_paimon_pk,
+    read_paimon_pk,
+    write_paimon_pk,
+)
+from flink_cdc_dsql_master_spark.schema import Schema
+
+
+def _mkdest(prefix):
+    d = tempfile.mkdtemp(prefix=prefix)
+    shutil.rmtree(d)
+    return d
+
+
+def _batch(spark, lo, hi, seq, op="+I"):
+    return (spark.range(lo, hi).select(
+        F.col("id").alias("k"),
+        (F.col("id") * 2).cast("double").alias("v"))
+        .withColumn(OP_COLUMN, F.lit(op))
+        .withColumn(SEQ_COLUMN, F.lit(seq).cast("long")))
+
+
+def test_commits_expand_delta_only_not_full_index(spark):
+    """Per-commit index expansion is DELTA-sized, not table-sized: after
+    the first commit primes the cache, each subsequent commit expands
+    only the hash files IT wrote — the expansion counter's per-commit
+    increment stays flat while the table's total index grows 6x."""
+    clear_index_cache()
+    dest = _mkdest("idx_cache_flat_")
+    schema = Schema.of(_batch(spark, 0, 1, 1).drop(
+        OP_COLUMN, SEQ_COLUMN).schema, primary_keys=["k"])
+
+    write_paimon_pk(spark, _batch(spark, 0, 5000, 1), dest, schema,
+                    buckets=DYNAMIC_BUCKET,
+                    dynamic_bucket_target_rows=1000)
+    expansions = []
+    for i in range(5):
+        before = P._INDEX_ENTRIES_EXPANDED
+        lo = 5000 + i * 1000
+        append_paimon_pk(spark, _batch(spark, lo, lo + 1000, 2 + i),
+                         dest)
+        expansions.append(P._INDEX_ENTRIES_EXPANDED - before)
+
+    local = P._local(dest)
+    prev, _, _ = P._chain_state(local)
+    total_entries = len(P._index_entries(local, prev))
+    # every commit of 1000 rows at target 1000 touches ~1-2 buckets →
+    # writes ~1-2 hash files; the per-commit expansion must be that
+    # delta, never the accumulated index (which is 6x larger by now)
+    assert total_entries >= 6
+    assert max(expansions) <= 4, (expansions, total_entries)
+    # and FLAT: the last commit expands no more than the first + slack,
+    # despite the index having grown 5 commits bigger
+    assert expansions[-1] <= expansions[0] + 2, expansions
+
+    got = read_paimon_pk(spark, dest)
+    assert got.count() == 10_000
+
+
+def test_cache_results_match_cold_assignments(spark):
+    """Warm-cache assignment is byte-identical to cold (re-expanded)
+    assignment: existing keys keep their bucket, updates collapse, and
+    a cache cleared mid-stream (= process restart) changes nothing."""
+    clear_index_cache()
+    dest = _mkdest("idx_cache_eq_")
+    schema = Schema.of(_batch(spark, 0, 1, 1).drop(
+        OP_COLUMN, SEQ_COLUMN).schema, primary_keys=["k"])
+    write_paimon_pk(spark, _batch(spark, 0, 3000, 1), dest, schema,
+                    buckets=DYNAMIC_BUCKET,
+                    dynamic_bucket_target_rows=500)
+    # warm path: update half the keys, add new ones
+    upd = _batch(spark, 0, 1500, 2, op="+U") \
+        .withColumn("v", F.col("v") + 0.5)
+    append_paimon_pk(spark, upd.unionByName(
+        _batch(spark, 3000, 4000, 2)), dest)
+
+    # simulate restart: drop resident state, next commit re-expands
+    clear_index_cache(P._local(dest))
+    append_paimon_pk(spark, _batch(spark, 4000, 5000, 3), dest)
+
+    got = {r["k"]: r["v"] for r in read_paimon_pk(spark, dest).collect()}
+    assert len(got) == 5000
+    assert got[0] == 0.5 and got[1499] == 1499 * 2 + 0.5
+    assert got[2000] == 4000.0 and got[4999] == 9998.0
+
+    # bucket-stability invariant: every key hash appears in exactly ONE
+    # bucket across the whole index chain
+    local = P._local(dest)
+    prev, _, _ = P._chain_state(local)
+    seen: dict[int, int] = {}
+    for e in P._index_entries(local, prev):
+        for h in P._read_hash_file(
+                os.path.join(local, "index", str(e["_FILE_NAME"]))):
+            assert seen.setdefault(h, int(e["_BUCKET"])) == \
+                int(e["_BUCKET"])
+
+
+def test_compaction_invalidates_cache_token(spark):
+    """_compact_index writes a manifest the cache did not append → the
+    token mismatches and the next commit re-expands from the compacted
+    manifest (assignments stay consistent, nothing stale survives)."""
+    clear_index_cache()
+    dest = _mkdest("idx_cache_compact_")
+    schema = Schema.of(_batch(spark, 0, 1, 1).drop(
+        OP_COLUMN, SEQ_COLUMN).schema, primary_keys=["k"])
+    write_paimon_pk(spark, _batch(spark, 0, 2000, 1), dest, schema,
+                    buckets=DYNAMIC_BUCKET,
+                    dynamic_bucket_target_rows=500)
+    append_paimon_pk(spark, _batch(spark, 2000, 3000, 2), dest)
+    compact_paimon_pk(spark, dest)
+
+    before = P._INDEX_ENTRIES_EXPANDED
+    append_paimon_pk(spark, _batch(spark, 3000, 4000, 3), dest)
+    # the invalidated cache re-expanded the FULL (compacted) index once
+    local = P._local(dest)
+    assert P._INDEX_ENTRIES_EXPANDED - before > 2
+    # and the commit after that is delta-sized again
+    before = P._INDEX_ENTRIES_EXPANDED
+    append_paimon_pk(spark, _batch(spark, 4000, 5000, 4), dest)
+    assert P._INDEX_ENTRIES_EXPANDED - before <= 4
+
+    got = read_paimon_pk(spark, dest)
+    assert got.count() == 5000
+    # post-compaction bucket stability: one bucket per hash
+    prev, _, _ = P._chain_state(local)
+    seen: dict[int, int] = {}
+    for e in P._index_entries(local, prev):
+        for h in P._read_hash_file(
+                os.path.join(local, "index", str(e["_FILE_NAME"]))):
+            assert seen.setdefault(h, int(e["_BUCKET"])) == \
+                int(e["_BUCKET"])
+
+
+def test_cache_collapse_depth_bounds_plan(spark):
+    """More commits than the collapse threshold: the union-chain is
+    collapsed into one persisted part (bounded plan depth), and
+    assignments stay correct afterwards."""
+    clear_index_cache()
+    import unittest.mock as mock
+
+    dest = _mkdest("idx_cache_collapse_")
+    schema = Schema.of(_batch(spark, 0, 1, 1).drop(
+        OP_COLUMN, SEQ_COLUMN).schema, primary_keys=["k"])
+    with mock.patch.object(P, "_INDEX_CACHE_COLLAPSE_DEPTH", 3):
+        write_paimon_pk(spark, _batch(spark, 0, 1000, 1), dest, schema,
+                        buckets=DYNAMIC_BUCKET,
+                        dynamic_bucket_target_rows=500)
+        for i in range(5):
+            lo = 1000 + i * 500
+            append_paimon_pk(spark,
+                             _batch(spark, lo, lo + 500, 2 + i), dest)
+        ent = P._INDEX_CACHE[P._local(dest)]
+        assert len(ent["parts"]) <= 3 + 1
+    assert read_paimon_pk(spark, dest).count() == 3500

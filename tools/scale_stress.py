@@ -1085,6 +1085,87 @@ def run(passes: int, out_path: str,
     return 0
 
 
+def commit_flatness(out_path: str, n_keys: int = 1_000_000,
+                    batch_rows: int = 1_000, commits: int = 6) -> int:
+    """VERDICT r13 next-round #1 done-criterion: TABLE keys large
+    (default 1M) while per-commit batches stay small (~1k rows) —
+    per-commit dynamic-bucket assignment cost must stay FLAT across
+    >= 5 commits now that the expanded hash index is resident across
+    commits (it re-expanded O(table keys) from files every commit
+    before). Contrast column: the same commits with the resident index
+    dropped before each one (= the old per-commit re-expansion path).
+    Merges a 'paimon_dynamic_commit_flatness' record into out_path."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.paimon_pk import (
+        DYNAMIC_BUCKET, append_paimon_pk, clear_index_cache,
+        write_paimon_pk)
+    from flink_cdc_dsql_master_spark.schema import Schema
+    from flink_cdc_dsql_master_spark.session import get_spark
+
+    spark = get_spark("scale_stress_commit_flatness")
+
+    def batch(lo, hi, seq):
+        return (spark.range(lo, hi).select(
+            F.col("id").alias("k"),
+            (F.col("id") * 2).cast("double").alias("v"))
+            .withColumn(OP_COLUMN, F.lit("+I"))
+            .withColumn(SEQ_COLUMN, F.lit(seq).cast("long")))
+
+    def run_commits(invalidate: bool) -> list[float]:
+        dest = tempfile.mkdtemp(prefix="commit_flatness_")
+        shutil.rmtree(dest)
+        schema = Schema.of(batch(0, 1, 1).drop(
+            OP_COLUMN, SEQ_COLUMN).schema, primary_keys=["k"])
+        write_paimon_pk(spark, batch(0, n_keys, 1), dest, schema,
+                        buckets=DYNAMIC_BUCKET,
+                        dynamic_bucket_target_rows=8192)
+        times = []
+        for i in range(commits):
+            if invalidate:
+                clear_index_cache()
+            lo = n_keys + i * batch_rows
+            t0 = time.perf_counter()
+            append_paimon_pk(spark, batch(lo, lo + batch_rows, 2 + i),
+                             dest)
+            times.append(round(time.perf_counter() - t0, 3))
+        shutil.rmtree(dest, ignore_errors=True)
+        return times
+
+    resident = run_commits(invalidate=False)
+    cold = run_commits(invalidate=True)
+    # warm steady-state flatness: last commit vs the 2nd (the 1st pays
+    # the one-time index expansion the reference also pays on recovery)
+    steady = resident[1:]
+    rec = {
+        "kind": "flatness",
+        "index_keys": n_keys, "batch_rows": batch_rows,
+        "commit_times_resident": resident,
+        "commit_times_reexpand": cold,
+        "flat_ratio": round(max(steady) / min(steady), 3),
+        "resident_vs_reexpand": round(
+            (sum(cold[1:]) / len(cold[1:]))
+            / (sum(steady) / len(steady)), 3),
+        "loadavg": list(os.getloadavg()),
+    }
+    print(f"# commit flatness: resident={resident} reexpand={cold} "
+          f"flat_ratio={rec['flat_ratio']} "
+          f"speedup={rec['resident_vs_reexpand']}x", file=sys.stderr)
+    doc = {}
+    if os.path.exists(out_path):
+        with open(out_path) as f:
+            doc = json.load(f)
+    doc.setdefault("results", {})["paimon_dynamic_commit_flatness"] = rec
+    with open(out_path, "w") as f:
+        json.dump(doc, f, indent=2)
+    spark.stop()
+    return 0
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=2)
@@ -1093,7 +1174,13 @@ def main() -> int:
     ap.add_argument("--only", nargs="*", default=None,
                     help="re-measure just these targets, merging into "
                          "the existing out file")
+    ap.add_argument("--commit-flatness", action="store_true",
+                    help="measure per-commit dynamic-bucket assignment "
+                         "cost (1M-key index, 1k-row batches) and merge "
+                         "the record into --out")
     args = ap.parse_args()
+    if args.commit_flatness:
+        return commit_flatness(args.out)
     marker = os.path.join(SF10_DIR, ".gen_version")
     current = (open(marker).read().strip()
                if os.path.exists(marker) else None)
