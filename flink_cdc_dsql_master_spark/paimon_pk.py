@@ -70,11 +70,13 @@ the driver only stages manifest/snapshot JSON, like the append face.
 
 from __future__ import annotations
 
+import array as _array
 import datetime
 import json
 import os
 import re
 import struct
+import sys as _sys
 import time
 import uuid
 
@@ -352,18 +354,23 @@ DYNAMIC_BUCKET = -1
 
 def _write_hash_file(path: str, hashes) -> int:
     """Raw big-endian int32 sequence (the published HASH index file
-    layout). Returns the byte size."""
+    layout). Returns the byte size. Bulk array codec, not a per-int
+    struct loop — a million-key bucket is one frombytes/byteswap."""
+    a = _array.array("i", (int(h) for h in hashes))
+    if _sys.byteorder == "little":
+        a.byteswap()
     with open(path, "wb") as f:
-        for h in hashes:
-            f.write(struct.pack(">i", int(h)))
-    return 4 * len(hashes)
+        f.write(a.tobytes())
+    return 4 * len(a)
 
 
 def _read_hash_file(path: str) -> list[int]:
+    a = _array.array("i")
     with open(path, "rb") as f:
-        data = f.read()
-    return [struct.unpack(">i", data[i:i + 4])[0]
-            for i in range(0, len(data), 4)]
+        a.frombytes(f.read())
+    if _sys.byteorder == "little":
+        a.byteswap()
+    return a.tolist()
 
 
 def _index_entries(local: str, prev: dict | None) -> list[dict]:
@@ -442,7 +449,11 @@ def _index_lookup_df(spark, local: str, entries: list[dict],
 # load-state-on-recovery path the reference uses.
 _INDEX_CACHE: dict[str, dict] = {}
 _INDEX_CACHE_MAX_TABLES = 8      # LRU over tables; evicted = unpersist
-_INDEX_CACHE_COLLAPSE_DEPTH = 24  # union-chain cap: collapse + persist
+# local-delta fold threshold: driver-held fresh assignments fold into
+# the persisted base once they exceed this many keys — one amortized
+# O(table) union+persist per ~64k new keys, constant plan depth
+# otherwise (cache entry = ONE persisted base + ONE local relation)
+_INDEX_LOCAL_ROWS_MAX = 65_536
 # diagnostic: total index ENTRIES expanded from files (tests assert the
 # cache makes this delta-sized per commit, not table-sized)
 _INDEX_ENTRIES_EXPANDED = 0
@@ -454,24 +465,36 @@ def clear_index_cache(local: str | None = None) -> None:
     for k in ([local] if local is not None else list(_INDEX_CACHE)):
         ent = _INDEX_CACHE.pop(k, None)
         if ent:
-            for df in ent["parts"]:
-                try:
-                    df.unpersist()
-                except Exception:  # session already stopped
-                    pass
+            try:
+                ent["base"].unpersist()
+            except Exception:  # session already stopped
+                pass
 
 
-def _index_union(parts: list[DataFrame]) -> DataFrame:
-    idx = parts[0]
-    for p in parts[1:]:
-        idx = idx.unionByName(p)
-    return idx
+def _local_delta_df(spark, ent) -> DataFrame | None:
+    """The driver-held fresh-assignment rows as a TRUE LocalRelation,
+    built once per mutation and memoized on the entry. The pandas/Arrow
+    path matters: createDataFrame over a plain Python list plans a
+    PythonRDD scan that spins Python workers on EVERY downstream
+    action (~0.5-1.7s each, measured), while the Arrow path embeds the
+    rows JVM-side (~free)."""
+    if not ent["local_rows"]:
+        return None
+    if ent["local_df"] is None:
+        import pandas as pd
+
+        pdf = pd.DataFrame(ent["local_rows"],
+                           columns=[f.name for f in ent["schema"]],
+                           dtype=object)
+        ent["local_df"] = spark.createDataFrame(pdf, ent["schema"])
+    return ent["local_df"]
 
 
 def _cached_index_df(spark, local: str, token, entries: list[dict],
                      partition_keys, partition_fields) -> DataFrame:
-    """The resident expansion of the live hash index: persisted base +
-    per-commit persisted deltas, valid while ``token`` (the snapshot's
+    """The resident expansion of the live hash index: ONE persisted
+    base DataFrame + ONE driver-held local delta (the keys assigned
+    since the base was built), valid while ``token`` (the snapshot's
     index-manifest name) matches what the cache last appended."""
     out_schema = T.StructType(
         [T.StructField(f.name, f.dataType) for f in partition_fields]
@@ -481,48 +504,79 @@ def _cached_index_df(spark, local: str, token, entries: list[dict],
     if ent is not None and (
             ent["token"] != token
             or ent["schema"] != out_schema
-            or ent["parts"][0].sparkSession is not spark):
+            or ent["base"].sparkSession is not spark):
         clear_index_cache(local)
         ent = None
     if ent is None:
         base = _index_lookup_df(spark, local, entries, partition_keys,
                                 partition_fields).persist()
-        ent = {"token": token, "parts": [base], "schema": out_schema}
+        ent = {"token": token, "base": base, "schema": out_schema,
+               "local_rows": [], "local_df": None}
         _INDEX_CACHE[local] = ent
         while len(_INDEX_CACHE) > _INDEX_CACHE_MAX_TABLES:
             clear_index_cache(next(iter(_INDEX_CACHE)))
     else:  # refresh LRU position
         _INDEX_CACHE[local] = _INDEX_CACHE.pop(local)
-    return _index_union(ent["parts"])
+    delta = _local_delta_df(spark, ent)
+    return ent["base"] if delta is None \
+        else ent["base"].unionByName(delta)
 
 
 def _index_cache_append(spark, local: str, old_token, new_token,
+                        prev_entries: list[dict],
                         delta_entries: list[dict], partition_keys,
                         partition_fields) -> None:
-    """Advance the resident index past a commit THIS process made: the
-    delta expands only the hash files the commit just wrote (durable —
-    lazily re-readable, independent of the batch's lineage)."""
+    """Advance the resident index past a commit THIS process made.
+    Small deltas are read DRIVER-side from the hash files the commit
+    just wrote (batch-keys x 4 bytes — the same metadata-scale I/O the
+    manifest write already does) into the entry's local rows; once the
+    local rows pass the fold threshold the base is REBUILT from the
+    new manifest's full entry set (prev + delta — every accumulated
+    hash file) and the local rows reset: one amortized O(table)
+    expansion per ~64k new keys, like the reference compacting its
+    assigner state. The rebuilt base's lineage is INDEPENDENT of the
+    old one — a fold built as old-base ∪ delta would make unpersisting
+    the old base cascade-invalidate the new cache entry (Spark drops
+    and re-registers dependent caches against the raw plan), after
+    which substitution never matches again and every action silently
+    re-expands all files (caught by the flatness harness: 8-9s commits
+    vs 4s)."""
     ent = _INDEX_CACHE.get(local)
     if ent is None or ent["token"] != old_token:
         return  # cache wasn't used for this commit; next use re-expands
-    delta = _index_lookup_df(spark, local, delta_entries,
-                             partition_keys,
-                             partition_fields).persist()
-    ent["parts"].append(delta)
-    ent["token"] = new_token
-    if len(ent["parts"]) > _INDEX_CACHE_COLLAPSE_DEPTH:
-        collapsed = _index_union(ent["parts"]).persist()
-        collapsed.count()  # materialize BEFORE dropping parents
-        for p in ent["parts"]:
-            p.unpersist()
-        ent["parts"] = [collapsed]
+    delta_rows = sum(int(e["_ROW_COUNT"]) for e in delta_entries)
+    if delta_rows <= _INDEX_LOCAL_ROWS_MAX:
+        pnames = [f.name for f in partition_fields]
+        for e in delta_entries:
+            pvals = tuple(parse_binary_row(bytes(e["_PARTITION"]),
+                                           partition_fields)) \
+                if pnames else ()
+            b = int(e["_BUCKET"])
+            ent["local_rows"].extend(
+                (*pvals, h, b) for h in _read_hash_file(
+                    os.path.join(local, "index",
+                                 str(e["_FILE_NAME"]))))
+        ent["local_df"] = None  # rebuilt lazily from the new rows
+        ent["token"] = new_token
+        if len(ent["local_rows"]) <= _INDEX_LOCAL_ROWS_MAX:
+            return
+    new_base = _index_lookup_df(spark, local,
+                                prev_entries + delta_entries,
+                                partition_keys,
+                                partition_fields).persist()
+    new_base.count()  # materialize BEFORE dropping the old base
+    old = ent["base"]
+    ent.update(base=new_base, token=new_token, local_rows=[],
+               local_df=None)
+    old.unpersist()
 
 
 def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
                             prev: dict | None, trimmed: list[str],
                             partition_keys, partition_fields,
                             target_rows: int,
-                            persist_fresh: bool = True):
+                            persist_fresh: bool = True,
+                            broadcast_keys: bool = True):
     """Stable dynamic-bucket assignment (BucketAssignOperator parity).
 
     Returns ``(changelog + __assigned_bucket, commit_index)`` where
@@ -547,12 +601,34 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
                 F.col(f"{r_alias}.{n}"))
         return cond
 
-    # one shuffled hash join on (partition, key-hash); AQE picks
-    # broadcast when the expanded index is small enough
-    joined = (keys.alias("k")
-              .join(idx.alias("i"), on=_ns_cond("k", "i"), how="left")
-              .select(*[F.col(f"k.{n}") for n in pnames],
-                      F.col("k.__khash"), F.col("i.__ibucket")))
+    # The lookup join's orientation is the scale decision. The batch's
+    # distinct keys are micro-batch-scale; the index is TABLE-scale
+    # (resident, persisted). The reference routes the BATCH to resident
+    # state (HashBucketAssigner) — the Spark analog is a right-outer
+    # join that BROADCASTS the keys and STREAMS the index: no index
+    # shuffle, no index broadcast, one scan of memory-resident blocks.
+    # Left to its stats, Catalyst does the opposite here: a persisted
+    # 1M-key index measures ~8 MB < autoBroadcastJoinThreshold, so a
+    # keys-LEFT-JOIN-idx plan collects and broadcasts the whole INDEX
+    # side every commit — O(table) driver traffic per micro-batch that
+    # the measured flatness harness caught (8-9s vs 4.5s commits).
+    # When the index is empty (first commit) the plain left join is
+    # trivially right. Callers whose "batch" is TABLE-scale (full
+    # compaction reassigns every live key) pass broadcast_keys=False —
+    # broadcasting a billion keys is the one thing worse than shuffling
+    # them — and fall back to the stats-driven join.
+    if entries and broadcast_keys:
+        joined = (idx.alias("i")
+                  .join(F.broadcast(keys).alias("k"),
+                        on=_ns_cond("k", "i"), how="right")
+                  .select(*[F.col(f"k.{n}") for n in pnames],
+                          F.col("k.__khash"), F.col("i.__ibucket")))
+    else:
+        joined = (keys.alias("k")
+                  .join(idx.alias("i"), on=_ns_cond("k", "i"),
+                        how="left")
+                  .select(*[F.col(f"k.{n}") for n in pnames],
+                          F.col("k.__khash"), F.col("i.__ibucket")))
     known = joined.where(F.col("__ibucket").isNotNull()) \
         .withColumnRenamed("__ibucket", "__assigned_bucket")
     fresh = joined.where(F.col("__ibucket").isNull()).drop("__ibucket")
@@ -689,7 +765,7 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
                         INDEX_MANIFEST_ENTRY_SCHEMA, all_entries)
         # advance the resident index: append ONLY the new files' delta
         _index_cache_append(spark, local, index_token, manifest,
-                            delta_entries, partition_keys,
+                            entries, delta_entries, partition_keys,
                             partition_fields)
         return manifest
 
@@ -1568,7 +1644,8 @@ def compact_paimon_pk(spark, dest: str) -> dict:
                                  DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS))
         cl, _ = _assign_dynamic_buckets(
             spark, cl, local, prev, trimmed, partition_keys,
-            partition_fields, target, persist_fresh=False)
+            partition_fields, target, persist_fresh=False,
+            broadcast_keys=False)  # "batch" here = EVERY live key
         kv = _kv_frame(cl, primary_keys, value_cols, buckets,
                        seq_base=0, partition_keys=partition_keys,
                        bucket_col="__assigned_bucket")

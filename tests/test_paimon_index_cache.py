@@ -156,17 +156,18 @@ def test_compaction_invalidates_cache_token(spark):
                 int(e["_BUCKET"])
 
 
-def test_cache_collapse_depth_bounds_plan(spark):
-    """More commits than the collapse threshold: the union-chain is
-    collapsed into one persisted part (bounded plan depth), and
-    assignments stay correct afterwards."""
+def test_cache_fold_bounds_local_delta(spark):
+    """Local-delta rows fold into the persisted base once past the
+    threshold: the driver-held delta stays bounded across many commits
+    and assignments stay correct afterwards (large over-threshold
+    deltas take the executor-expansion fold path directly)."""
     clear_index_cache()
     import unittest.mock as mock
 
-    dest = _mkdest("idx_cache_collapse_")
+    dest = _mkdest("idx_cache_fold_")
     schema = Schema.of(_batch(spark, 0, 1, 1).drop(
         OP_COLUMN, SEQ_COLUMN).schema, primary_keys=["k"])
-    with mock.patch.object(P, "_INDEX_CACHE_COLLAPSE_DEPTH", 3):
+    with mock.patch.object(P, "_INDEX_LOCAL_ROWS_MAX", 800):
         write_paimon_pk(spark, _batch(spark, 0, 1000, 1), dest, schema,
                         buckets=DYNAMIC_BUCKET,
                         dynamic_bucket_target_rows=500)
@@ -174,6 +175,15 @@ def test_cache_collapse_depth_bounds_plan(spark):
             lo = 1000 + i * 500
             append_paimon_pk(spark,
                              _batch(spark, lo, lo + 500, 2 + i), dest)
-        ent = P._INDEX_CACHE[P._local(dest)]
-        assert len(ent["parts"]) <= 3 + 1
+            ent = P._INDEX_CACHE[P._local(dest)]
+            assert len(ent["local_rows"]) <= 800
     assert read_paimon_pk(spark, dest).count() == 3500
+    # one bucket per hash still holds across folds
+    local = P._local(dest)
+    prev, _, _ = P._chain_state(local)
+    seen: dict[int, int] = {}
+    for e in P._index_entries(local, prev):
+        for h in P._read_hash_file(
+                os.path.join(local, "index", str(e["_FILE_NAME"]))):
+            assert seen.setdefault(h, int(e["_BUCKET"])) == \
+                int(e["_BUCKET"])

@@ -1098,6 +1098,7 @@ def commit_flatness(out_path: str, n_keys: int = 1_000_000,
     import shutil
     import tempfile
 
+    sys.path.insert(0, REPO)
     from pyspark.sql import functions as F
 
     from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
@@ -1116,29 +1117,43 @@ def commit_flatness(out_path: str, n_keys: int = 1_000_000,
             .withColumn(OP_COLUMN, F.lit("+I"))
             .withColumn(SEQ_COLUMN, F.lit(seq).cast("long")))
 
-    def run_commits(invalidate: bool) -> list[float]:
+    def make_table(n: int) -> str:
         dest = tempfile.mkdtemp(prefix="commit_flatness_")
         shutil.rmtree(dest)
         schema = Schema.of(batch(0, 1, 1).drop(
             OP_COLUMN, SEQ_COLUMN).schema, primary_keys=["k"])
-        write_paimon_pk(spark, batch(0, n_keys, 1), dest, schema,
+        write_paimon_pk(spark, batch(0, n, 1), dest, schema,
                         buckets=DYNAMIC_BUCKET,
                         dynamic_bucket_target_rows=8192)
-        times = []
-        for i in range(commits):
-            if invalidate:
-                clear_index_cache()
-            lo = n_keys + i * batch_rows
-            t0 = time.perf_counter()
-            append_paimon_pk(spark, batch(lo, lo + batch_rows, 2 + i),
-                             dest)
-            times.append(round(time.perf_counter() - t0, 3))
-        shutil.rmtree(dest, ignore_errors=True)
-        return times
+        return dest
 
-    resident = run_commits(invalidate=False)
-    cold = run_commits(invalidate=True)
-    # warm steady-state flatness: last commit vs the 2nd (the 1st pays
+    # warmup table first (JIT/codegen/Python-worker spin-up), then the
+    # two measured tables run INTERLEAVED commit-by-commit so both
+    # modes see the same JVM warmth profile (the first draft of this
+    # harness ran the modes back-to-back and the ordering alone decided
+    # the comparison)
+    warm = make_table(max(n_keys // 10, 10_000))
+    append_paimon_pk(spark, batch(n_keys, n_keys + batch_rows, 2), warm)
+    import shutil as _sh
+    _sh.rmtree(warm, ignore_errors=True)
+
+    dest_res = make_table(n_keys)
+    dest_cold = make_table(n_keys)
+    resident, cold = [], []
+    for i in range(commits):
+        lo = n_keys + i * batch_rows
+        t0 = time.perf_counter()
+        append_paimon_pk(spark, batch(lo, lo + batch_rows, 2 + i),
+                         dest_res)
+        resident.append(round(time.perf_counter() - t0, 3))
+        clear_index_cache(dest_cold)  # = the old re-expand-every-commit
+        t0 = time.perf_counter()
+        append_paimon_pk(spark, batch(lo, lo + batch_rows, 2 + i),
+                         dest_cold)
+        cold.append(round(time.perf_counter() - t0, 3))
+    for d in (dest_res, dest_cold):
+        shutil.rmtree(d, ignore_errors=True)
+    # warm steady-state flatness: commits after the 1st (which pays
     # the one-time index expansion the reference also pays on recovery)
     steady = resident[1:]
     rec = {
