@@ -504,7 +504,14 @@ def _cached_index_df(spark, local: str, token, entries: list[dict],
     if ent is not None and (
             ent["token"] != token
             or ent["schema"] != out_schema
-            or ent["base"].sparkSession is not spark):
+            # compare CONTEXTS, not session objects: foreachBatch hands
+            # a fresh cloned SparkSession every micro-batch (measured —
+            # distinct Python wrappers, same SparkContext, shared
+            # CacheManager), and a session-identity check here would
+            # silently clear the cache every batch in exactly the
+            # streaming path this cache exists for
+            or ent["base"].sparkSession.sparkContext
+            is not spark.sparkContext):
         clear_index_cache(local)
         ent = None
     if ent is None:

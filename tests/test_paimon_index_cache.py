@@ -187,3 +187,64 @@ def test_cache_fold_bounds_local_delta(spark):
                 os.path.join(local, "index", str(e["_FILE_NAME"]))):
             assert seen.setdefault(h, int(e["_BUCKET"])) == \
                 int(e["_BUCKET"])
+
+
+def test_cache_survives_real_foreachbatch_cloned_sessions(spark,
+                                                          tmp_path):
+    """THE streaming path: foreachBatch hands a fresh CLONED
+    SparkSession every micro-batch (distinct Python wrappers, same
+    SparkContext). The cache must key on the context, not session
+    identity — a session-identity check silently cleared it every
+    batch, re-expanding the full index per commit in exactly the path
+    the cache exists for. Asserts delta-sized expansion across real
+    micro-batches through make_paimon_pk_sink_writer."""
+    import os as _os
+
+    from pyspark.sql import functions as F, types as T
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.paimon_pk import (
+        DYNAMIC_BUCKET, make_paimon_pk_sink_writer)
+    from flink_cdc_dsql_master_spark.schema import TableId
+
+    clear_index_cache()
+    base = str(tmp_path / "wh")
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    _os.makedirs(src)
+    writer = make_paimon_pk_sink_writer(base, buckets=DYNAMIC_BUCKET,
+                                        dynamic_bucket_target_rows=500)
+    tid = TableId.parse("ns.s.t_fb")
+    schema = Schema.of(T.StructType([
+        T.StructField("k", T.LongType()),
+        T.StructField("v", T.DoubleType())]), primary_keys=["k"])
+    expansions = []
+
+    def handle(df, bid):
+        # changelog derived FROM the batch df → bound to the CLONED
+        # per-batch session, like every real composed pipeline
+        cl = (df.select(F.col("value").cast("long").alias("k"))
+              .withColumn("v", F.col("k") * 2.0)
+              .withColumn(OP_COLUMN, F.lit("+I"))
+              .withColumn(SEQ_COLUMN, F.lit(bid + 1).cast("long")))
+        before = P._INDEX_ENTRIES_EXPANDED
+        writer(tid, cl, schema, bid)
+        expansions.append(P._INDEX_ENTRIES_EXPANDED - before)
+
+    for i in range(4):
+        with open(_os.path.join(src, f"f{i}.txt"), "w") as f:
+            f.write("\n".join(str(i * 1000 + j)
+                              for j in range(1000)) + "\n")
+        q = (spark.readStream.format("text").load(src)
+             .writeStream.foreachBatch(handle)
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    # batch 0 creates the table (no index yet → 0); batches 1-3 must be
+    # delta-sized (cloned sessions MUST NOT clear the resident cache)
+    assert len(expansions) == 4 and expansions[0] == 0
+    assert max(expansions[1:]) <= 4, expansions
+
+    got = read_paimon_pk(spark, f"{base}/t_fb")
+    assert got.count() == 4000
