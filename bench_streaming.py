@@ -262,7 +262,12 @@ def run(spark, warm: bool = True, scenario: str = "debezium") -> dict:
 
     from flink_cdc_dsql_master_spark.compose import compose_changelog_stream
 
-    if scenario == "binlog":
+    if scenario in ("binlog", "paimon-dynamic"):
+        # paimon-dynamic: same binlog wire decode upstream, but the sink
+        # is a DYNAMIC-bucket Paimon PK table — every micro-batch is a
+        # full merge-on-read commit through the resident hash-index
+        # assigner (the r14 steady-state path: delta-sized index work
+        # per commit across foreachBatch's cloned sessions)
         src_all = build_fixture_binlog(spark)
         pipeline_of = _pipeline_binlog
         suffix = ".binlog"
@@ -289,8 +294,23 @@ def run(spark, warm: bool = True, scenario: str = "debezium") -> dict:
         ckpt = os.path.join(base, "ckpt")
         sink_dir = os.path.join(base, "sink")
 
-        def writer(tid, df, schema):
-            df.write.mode("append").parquet(sink_dir)
+        if scenario == "paimon-dynamic":
+            from flink_cdc_dsql_master_spark.paimon_pk import (
+                DYNAMIC_BUCKET, make_paimon_pk_sink_writer,
+                read_paimon_pk)
+
+            pk_writer = make_paimon_pk_sink_writer(
+                sink_dir, buckets=DYNAMIC_BUCKET,
+                dynamic_bucket_target_rows=100_000)
+            seen_tables: list[str] = []
+
+            def writer(tid, df, schema, batch_id=None):
+                if tid.table not in seen_tables:
+                    seen_tables.append(tid.table)
+                pk_writer(tid, df, schema, batch_id)
+        else:
+            def writer(tid, df, schema):
+                df.write.mode("append").parquet(sink_dir)
 
         q = compose_changelog_stream(spark, pipeline_of(src_dir), ckpt,
                                      writer, metrics=reg)
@@ -300,7 +320,14 @@ def run(spark, warm: bool = True, scenario: str = "debezium") -> dict:
                 for p in q.recentProgress]
         # numInputRows counts source ROWS — for binaryFile that is one
         # per segment FILE, so the honest row count is the sink's
-        sink_rows = spark.read.parquet(sink_dir).count()
+        if scenario == "paimon-dynamic":
+            from flink_cdc_dsql_master_spark.paimon_pk import \
+                read_paimon_pk
+
+            sink_rows = read_paimon_pk(
+                spark, os.path.join(sink_dir, seen_tables[0])).count()
+        else:
+            sink_rows = spark.read.parquet(sink_dir).count()
         shutil.rmtree(base, ignore_errors=True)
         return prog, sink_rows
 
