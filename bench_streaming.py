@@ -267,10 +267,23 @@ def run(spark, warm: bool = True, scenario: str = "debezium") -> dict:
         # is a DYNAMIC-bucket Paimon PK table — every micro-batch is a
         # full merge-on-read commit through the resident hash-index
         # assigner (the r14 steady-state path: delta-sized index work
-        # per commit across foreachBatch's cloned sessions)
+        # per commit across foreachBatch's cloned sessions). Commits
+        # are ~6s each (real table commits, not parquet appends), so
+        # this scenario drives a 12-file subset to bound bench wall.
         src_all = build_fixture_binlog(spark)
         pipeline_of = _pipeline_binlog
         suffix = ".binlog"
+        if scenario == "paimon-dynamic":
+            sub = os.path.join(os.path.dirname(src_all),
+                               "paimon_dyn_subset")
+            if not os.path.exists(os.path.join(sub, "_DONE")):
+                os.makedirs(sub, exist_ok=True)
+                segs = sorted(f for f in os.listdir(src_all)
+                              if f.endswith(suffix))
+                for f in segs[:12]:
+                    shutil.copy(os.path.join(src_all, f), sub)
+                open(os.path.join(sub, "_DONE"), "w").close()
+            src_all = sub
     elif scenario == "pgoutput":
         src_all = build_fixture_pgoutput(spark)
         pipeline_of = _pipeline_pgoutput
