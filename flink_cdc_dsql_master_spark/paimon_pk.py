@@ -1251,7 +1251,13 @@ def write_paimon_pk(spark, changelog: DataFrame, dest: str, schema,
     for p in schema.partition_keys:
         if p not in pks:
             pks.append(p)
-    extra: dict = {}
+    # Schema-carried options pass through into the table's paimon
+    # options (e.g. 'dynamic-bucket.assign-broadcast: false' for
+    # backfill-scale appends); the structural keys the writer owns are
+    # excluded, and explicit kwargs win
+    extra: dict = {str(k): str(v) for k, v in dict(
+        schema.options or {}).items()
+        if str(k) not in ("bucket", "merge-engine")}
     if buckets == DYNAMIC_BUCKET:
         extra["dynamic-bucket.target-row-num"] = \
             str(dynamic_bucket_target_rows)
@@ -1305,9 +1311,17 @@ def _commit_pk(spark, changelog: DataFrame, local: str, seq_base: int,
     if buckets == DYNAMIC_BUCKET:
         target = int(options.get("dynamic-bucket.target-row-num",
                                  DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS))
+        # table-level opt-out of the broadcast-batch-keys lookup join:
+        # streaming micro-batches are small by construction (broadcast
+        # is the route-batch-to-state shape), but a TABLE-scale backfill
+        # appended through this path should set
+        # 'dynamic-bucket.assign-broadcast: false' and let the
+        # stats-driven join shuffle both sides instead
+        bkeys = str(options.get("dynamic-bucket.assign-broadcast",
+                                "true")).lower() != "false"
         changelog, commit_index = _assign_dynamic_buckets(
             spark, changelog, local, prev, trimmed, partition_keys,
-            partition_fields, target)
+            partition_fields, target, broadcast_keys=bkeys)
         kv = _kv_frame(changelog, primary_keys, value_cols, buckets,
                        seq_base, partition_keys,
                        bucket_col="__assigned_bucket")

@@ -248,3 +248,38 @@ def test_cache_survives_real_foreachbatch_cloned_sessions(spark,
 
     got = read_paimon_pk(spark, f"{base}/t_fb")
     assert got.count() == 4000
+
+
+def test_assign_broadcast_opt_out_matches_default(spark):
+    """'dynamic-bucket.assign-broadcast: false' (a Schema-carried table
+    option for backfill-scale appends) takes the stats-driven join
+    instead of broadcast-batch-keys — assignments identical."""
+    clear_index_cache()
+    dest = _mkdest("idx_bcast_opt_")
+    base_schema = Schema.of(_batch(spark, 0, 1, 1).drop(
+        OP_COLUMN, SEQ_COLUMN).schema, primary_keys=["k"])
+    schema = Schema(base_schema.struct, base_schema.primary_keys,
+                    base_schema.partition_keys,
+                    (("dynamic-bucket.assign-broadcast", "false"),),
+                    None)
+    write_paimon_pk(spark, _batch(spark, 0, 2000, 1), dest, schema,
+                    buckets=DYNAMIC_BUCKET,
+                    dynamic_bucket_target_rows=500)
+    assert P._pk_options(P._local(dest))[
+        "dynamic-bucket.assign-broadcast"] == "false"
+    append_paimon_pk(spark, _batch(spark, 0, 1000, 2, op="+U")
+                     .withColumn("v", F.col("v") + 0.5), dest)
+    append_paimon_pk(spark, _batch(spark, 2000, 3000, 3), dest)
+    got = {r["k"]: r["v"] for r in
+           read_paimon_pk(spark, dest).collect()}
+    assert len(got) == 3000
+    assert got[0] == 0.5 and got[1500] == 3000.0 and got[2500] == 5000.0
+    # stability invariant unchanged under the opt-out
+    local = P._local(dest)
+    prev, _, _ = P._chain_state(local)
+    seen: dict[int, int] = {}
+    for e in P._index_entries(local, prev):
+        for h in P._read_hash_file(
+                os.path.join(local, "index", str(e["_FILE_NAME"]))):
+            assert seen.setdefault(h, int(e["_BUCKET"])) == \
+                int(e["_BUCKET"])
