@@ -93,7 +93,11 @@ def _reference_apply(ops):
             seq.append(("ddl", m, col))
         else:
             t += 1
-            key = mi * 1000 + slot
+            # keys OVERLAP across members on purpose: two shards
+            # writing the same PK into one fan-in sink must resolve
+            # last-write-wins by GLOBAL log order (__seq = pos·2 /
+            # LSN·2 is comparable across members), not per-member
+            key = slot
             vals = [key, f"{m}{slot}t{t}"] + [
                 float(t * 10 + j)
                 for j in range(len(colnames[m]) - 2)]
