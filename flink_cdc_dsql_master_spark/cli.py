@@ -130,16 +130,17 @@ def _cmd_run(args) -> int:
 
             append_w = make_paimon_append_sink_writer(base)
             from .paimon_pk import parse_partition_key_option
-            from .paimon_pk import DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS
             pk_w = make_paimon_pk_sink_writer(
                 base, buckets=int(pipe.sink.config.get("buckets", 4)),
                 partition_map=parse_partition_key_option(
                     pipe.sink.config.get("partition.key")),
                 changelog_producer=pipe.sink.config.get(
                     "changelog-producer"),
-                dynamic_bucket_target_rows=int(pipe.sink.config.get(
-                    "dynamic-bucket.target-row-num",
-                    DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS)))
+                dynamic_bucket_target_rows=(
+                    int(pipe.sink.config[
+                        "dynamic-bucket.target-row-num"])
+                    if "dynamic-bucket.target-row-num"
+                    in pipe.sink.config else None))
             if stype == "paimon-append":
                 stream_writer = append_w
             else:

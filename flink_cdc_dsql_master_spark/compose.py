@@ -247,15 +247,16 @@ class BatchComposer:
                     schema = Schema(schema.struct, schema.primary_keys,
                                     tuple(pkeys), schema.options,
                                     schema.comment)
-                from .paimon_pk import DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS
                 write_paimon_pk(
                     self.spark, df, f"{base}/{sink_tid.table}", schema,
                     buckets=int(sink.config.get("buckets", 4)),
                     changelog_producer=sink.config.get(
                         "changelog-producer"),
-                    dynamic_bucket_target_rows=int(sink.config.get(
-                        "dynamic-bucket.target-row-num",
-                        DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS)))
+                    dynamic_bucket_target_rows=(
+                        int(sink.config[
+                            "dynamic-bucket.target-row-num"])
+                        if "dynamic-bucket.target-row-num"
+                        in sink.config else None))
                 return
             else:
                 # keyless append: insert-only, like the streaming

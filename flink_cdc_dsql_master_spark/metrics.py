@@ -164,11 +164,17 @@ class ExecutorMetrics:
 
     def __init__(self, acc=None):
         self._acc = acc
-        self._local: dict | None = None if acc is not None else {}
+        # _local is ALWAYS a dict, even once an accumulator is
+        # attached: the in-place upgrade (executor_handle) races with
+        # an unlocked concurrent _add that already read _acc as None —
+        # that thread's merge lands here, and snapshot reads fold BOTH
+        # stores, so nothing is lost and nothing is ever None
+        self._local: dict = {}
 
     def _add(self, delta: dict) -> None:
-        if self._acc is not None:
-            self._acc.add(delta)
+        acc = self._acc  # one read: upgrade may land mid-call
+        if acc is not None:
+            acc.add(delta)
         else:
             for k, v in delta.items():
                 _merge_entry(self._local, k, v)
@@ -275,14 +281,16 @@ class MetricsRegistry:
                 # dict-backed, and shipping THAT to executors would lose
                 # every increment (per-process copies). Attaching the
                 # accumulator to the same object means all driver-held
-                # references upgrade too; counts accrued locally so far
-                # are migrated so nothing is dropped.
-                acc = spark.sparkContext.accumulator(
+                # references upgrade too. The pre-upgrade local dict is
+                # NOT copied into the accumulator — a concurrent _add
+                # that read _acc as None can still be merging into it
+                # (the registry is documented thread-safe), and a copy
+                # would either drop that merge or double-count it;
+                # instead _merged folds the local dict alongside the
+                # accumulator forever, so late-racing increments land
+                # and count exactly once.
+                self._handle._acc = spark.sparkContext.accumulator(
                     {}, _DictAccumulatorParam())
-                if self._handle._local:
-                    acc.add(dict(self._handle._local))
-                self._handle._acc = acc
-                self._handle._local = None
             return self._handle
 
     # -- reads --------------------------------------------------------------
@@ -291,11 +299,16 @@ class MetricsRegistry:
         with self._lock:
             out = dict(self._store)
         if self._handle is not None:
-            ext = (self._handle._acc.value
-                   if self._handle._acc is not None
-                   else self._handle._local)
-            for k, v in dict(ext).items():
-                _merge_entry(out, k, v)
+            # fold BOTH stores: the accumulator (post-upgrade adds)
+            # and the local dict (pre-upgrade adds + any _add that
+            # raced the upgrade). Disjoint in time per thread, so no
+            # increment is counted twice.
+            for ext in (self._handle._acc.value
+                        if self._handle._acc is not None else None,
+                        self._handle._local):
+                if ext:
+                    for k, v in dict(ext).items():
+                        _merge_entry(out, k, v)
         return out
 
     def get(self, metric: str, table: str | None = None) -> float:

@@ -1282,8 +1282,8 @@ def _chain_state(local: str):
 def write_paimon_pk(spark, changelog: DataFrame, dest: str, schema,
                     buckets: int = 4, commit_identifier=None,
                     changelog_producer: str | None = None,
-                    dynamic_bucket_target_rows: int =
-                    DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS) -> dict:
+                    dynamic_bucket_target_rows: int | None =
+                    None) -> dict:
     """Create a Paimon PRIMARY-KEY table at ``dest`` and commit the
     changelog as snapshot 1 (PaimonMetadataApplier.applyCreateTable +
     the first PaimonCommitter commit). ``schema`` is the repo
@@ -1294,7 +1294,9 @@ def write_paimon_pk(spark, changelog: DataFrame, dest: str, schema,
     and restarts), each bucket filling to
     ``dynamic_bucket_target_rows`` (paimon
     ``dynamic-bucket.target-row-num``, default 2,000,000) before a new
-    bucket opens. ``changelog_producer="input"`` additionally stages
+    bucket opens. Left at ``None``, a schema-carried
+    ``dynamic-bucket.target-row-num`` option wins over the default —
+    the kwarg overrides only when explicitly passed. ``changelog_producer="input"`` additionally stages
     each commit's input KeyValue rows as changelog files referenced by
     the snapshot's ``changelogManifestList`` — an external Paimon
     consumer can stream changes OUT of the table
@@ -1327,8 +1329,12 @@ def write_paimon_pk(spark, changelog: DataFrame, dest: str, schema,
         schema.options or {}).items()
         if str(k) not in ("bucket", "merge-engine")}
     if buckets == DYNAMIC_BUCKET:
-        extra["dynamic-bucket.target-row-num"] = \
-            str(dynamic_bucket_target_rows)
+        if dynamic_bucket_target_rows is not None:
+            extra["dynamic-bucket.target-row-num"] = \
+                str(dynamic_bucket_target_rows)
+        else:
+            extra.setdefault("dynamic-bucket.target-row-num",
+                             str(DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS))
     if changelog_producer:
         extra["changelog-producer"] = changelog_producer
     _write_pk_schema(local, value_struct, pks, buckets,
@@ -1843,8 +1849,8 @@ def _partition_keys_for(table_id, partition_map: dict) -> list[str]:
 def make_paimon_pk_sink_writer(base: str, buckets: int = 4,
                                partition_map: dict | None = None,
                                changelog_producer: str | None = None,
-                               dynamic_bucket_target_rows: int =
-                               DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS):
+                               dynamic_bucket_target_rows: int | None =
+                               None):
     """``sink_writer(table_id, df, schema, batch_id)`` for the streaming
     composers: CDC changelogs — retractions included — stream into a
     Paimon PK table as per-checkpoint merge-on-read commits, and the

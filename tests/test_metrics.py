@@ -334,3 +334,44 @@ def test_cli_report_renders_snapshot(tmp_path, capsys):
     assert f"{M.EVENTS_PROCESSED}#users = 7" in out
     assert "CONNECTION_ERROR = 1" in out
     assert "avg=250.0ms" in out
+
+
+def test_upgrade_race_loses_no_increments(spark):
+    """ADVICE r14: a thread that read _acc as None can merge into the
+    handle's local dict WHILE (or after) the driver upgrades it to an
+    accumulator. The old upgrade copied the local dict into the
+    accumulator and set it to None — the racing merge was either lost
+    or a TypeError. Now the local dict stays live and snapshot folds
+    both stores, so every increment lands exactly once."""
+    import threading
+
+    reg = M.MetricsRegistry()
+    h = reg.executor_handle()          # driver-local (no spark yet)
+    h.inc("pre")                       # accrued before the upgrade
+
+    # hammer: 4 threads increment while the main thread upgrades
+    # mid-flight — the interleave the registry documents as safe
+    start = threading.Barrier(5)
+
+    def worker():
+        start.wait()
+        for _ in range(500):
+            h.inc("raced")
+
+    ts = [threading.Thread(target=worker) for _ in range(4)]
+    for t in ts:
+        t.start()
+    start.wait()
+    reg.executor_handle(spark)         # in-place upgrade, concurrent
+    for t in ts:
+        t.join()
+
+    # the exact ADVICE interleave, deterministically: a merge into the
+    # local dict AFTER the upgrade (old code: _local is None → crash)
+    M._merge_entry(h._local, "late", 1)
+    h.inc("post")                      # post-upgrade → accumulator
+
+    assert reg.get("pre") == 1
+    assert reg.get("raced") == 2000
+    assert reg.get("late") == 1
+    assert reg.get("post") == 1

@@ -369,3 +369,48 @@ def test_assignment_matches_reference_model(spark, tmp_path_factory,
     assert _index_map(dest) == ref
     got = sorted(r["k"] for r in read_paimon_pk(spark, dest).collect())
     assert got == keys
+
+
+def test_schema_carried_target_rows_wins_unless_kwarg_passed(spark):
+    """ADVICE r14: a schema-carried 'dynamic-bucket.target-row-num'
+    passes through unless the caller EXPLICITLY passes the kwarg —
+    the default no longer silently overwrites it."""
+    import shutil
+    import tempfile
+
+    import flink_cdc_dsql_master_spark.paimon_pk as P
+
+    def mkdest():
+        d = tempfile.mkdtemp(prefix="tr_opt_")
+        shutil.rmtree(d)
+        return d
+
+    cl = (spark.range(0, 10)
+          .select(F.col("id").cast("int").alias("k"),
+                  (F.col("id") * 1.0).alias("v"))
+          .withColumn(OP_COLUMN, F.lit("+I"))
+          .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
+    base_schema = Schema.of([("k", "INT NOT NULL"), ("v", "DOUBLE")],
+                            primary_keys=["k"])
+    carried = Schema(base_schema.struct, base_schema.primary_keys,
+                     base_schema.partition_keys,
+                     {"dynamic-bucket.target-row-num": "7"},
+                     base_schema.comment)
+
+    dest = mkdest()
+    write_paimon_pk(spark, cl, dest, carried, buckets=DYNAMIC_BUCKET)
+    assert P._pk_options(P._local(dest))[
+        "dynamic-bucket.target-row-num"] == "7"
+
+    dest = mkdest()
+    write_paimon_pk(spark, cl, dest, carried, buckets=DYNAMIC_BUCKET,
+                    dynamic_bucket_target_rows=3)
+    assert P._pk_options(P._local(dest))[
+        "dynamic-bucket.target-row-num"] == "3"
+
+    dest = mkdest()  # neither carried nor passed → documented default
+    write_paimon_pk(spark, cl, dest, base_schema,
+                    buckets=DYNAMIC_BUCKET)
+    assert P._pk_options(P._local(dest))[
+        "dynamic-bucket.target-row-num"] == \
+        str(P.DEFAULT_DYNAMIC_BUCKET_TARGET_ROWS)
