@@ -1,7 +1,8 @@
 """Property-fuzz of the in-band fan-in epoch sequencing (VERDICT r13
-next-round #4): random interleavings of DDL boundaries + row events
-across 2 members, both wire dialects, against a sequential
-single-threaded reference applier.
+next-round #4, widened per VERDICT r14 #4): random interleavings of
+DDL boundaries + INSERT/UPDATE/DELETE row events across 3 members,
+both wire dialects, against a sequential single-threaded reference
+applier.
 
 The subsystem under test is the globally-sequenced flush-before-apply
 in _multitable_fanin_inband_binlog_writer / _pgoutput_writer
@@ -9,9 +10,14 @@ in _multitable_fanin_inband_binlog_writer / _pgoutput_writer
 members, every member flushed per epoch under its schema current AT
 those positions, boundary events applied only after the flush. The
 reference model is trivial: walk the log once, in order, applying DDL
-to per-member schemas and upserting rows under the schema current at
-their position — whatever interleaving hypothesis generates, the sink
-must equal that.
+to per-member schemas, upserting inserts/updates (after-image) and
+deleting deletes under the schema current at their position — whatever
+interleaving hypothesis generates, the sink must equal that. Keys
+OVERLAP across members and across op kinds on purpose: last-write-wins
+must resolve by GLOBAL log order (__seq = pos·2 / LSN·2 comparable
+across members), which is exactly where a sequencing counterexample
+would hide — e.g. member a deleting a key member b re-inserts one
+event later, or an update racing a DDL boundary on another member.
 """
 
 import os
@@ -26,9 +32,11 @@ from flink_cdc_dsql_master_spark.binlog import (
     MYSQL_TYPE_DOUBLE,
     MYSQL_TYPE_LONGLONG,
     MYSQL_TYPE_VARCHAR,
+    encode_delete_rows,
     encode_fde,
     encode_query,
     encode_table_map,
+    encode_update_rows,
     encode_write_rows,
     encode_xid,
 )
@@ -39,16 +47,18 @@ from flink_cdc_dsql_master_spark.route import RouteRule
 from flink_cdc_dsql_master_spark.sinks import (JdbcUpsertSink,
                                                schema_change_ddl)
 
-MEMBERS = ("a", "b")
+MEMBERS = ("a", "b", "c")
 MAX_DDL_PER_MEMBER = 2
 
 # an op is (kind, member_index, key_slot); "ddl" past the per-member
-# cap degrades to a row op so interleavings stay dense
+# cap degrades to an insert so interleavings stay dense; updates and
+# deletes target the same 4 key slots as inserts so cross-member,
+# cross-kind collisions are the common case, not the rare one
 OPS = st.lists(
-    st.tuples(st.sampled_from(["row", "row", "ddl"]),
-              st.integers(min_value=0, max_value=1),
+    st.tuples(st.sampled_from(["ins", "ins", "upd", "del", "ddl"]),
+              st.integers(min_value=0, max_value=2),
               st.integers(min_value=0, max_value=3)),
-    min_size=3, max_size=12)
+    min_size=3, max_size=14)
 
 
 def _duck_writer(db):
@@ -74,9 +84,10 @@ def _duck_ddl(db):
 
 def _reference_apply(ops):
     """Sequential single-threaded applier: per-member schemas evolve in
-    log order; each row upserts its member's CURRENT column set. Returns
-    (events, colnames_per_member_final, all added cols in log order,
-    final key->{col: val} state)."""
+    log order; inserts AND updates upsert the after-image under the
+    member's CURRENT column set (CDC +I/+U are both upserts into a PK
+    sink); deletes remove the key. Returns (events, all added cols in
+    log order, final key->{col: val} state)."""
     colnames = {m: ["k", "name"] for m in MEMBERS}
     ddl_count = {m: 0 for m in MEMBERS}
     added = []
@@ -91,18 +102,21 @@ def _reference_apply(ops):
             colnames[m].append(col)
             added.append(col)
             seq.append(("ddl", m, col))
-        else:
+        elif kind == "del":
             t += 1
-            # keys OVERLAP across members on purpose: two shards
-            # writing the same PK into one fan-in sink must resolve
-            # last-write-wins by GLOBAL log order (__seq = pos·2 /
-            # LSN·2 is comparable across members), not per-member
-            key = slot
-            vals = [key, f"{m}{slot}t{t}"] + [
+            state.pop(slot, None)
+            # the wire before-image carries the member's current arity;
+            # only the PK matters to the applier
+            vals = [slot, f"{m}{slot}d{t}"] + [
+                0.0 for _ in range(len(colnames[m]) - 2)]
+            seq.append(("del", m, vals))
+        else:  # ins, upd, or ddl past the cap
+            t += 1
+            vals = [slot, f"{m}{slot}t{t}"] + [
                 float(t * 10 + j)
                 for j in range(len(colnames[m]) - 2)]
-            state[key] = dict(zip(colnames[m], vals))
-            seq.append(("row", m, list(colnames[m]), vals))
+            state[slot] = dict(zip(colnames[m], vals))
+            seq.append(("row", m, kind == "upd", vals))
     return seq, added, state
 
 
@@ -137,15 +151,26 @@ def test_binlog_inband_fanin_matches_sequential_reference(spark, ops):
                 pos))
             pos += 100
             cols_of[m].append((MYSQL_TYPE_DOUBLE, None))
+            continue
+        m = ev[1]
+        tno = MEMBERS.index(m) + 1
+        parts.append(encode_table_map(tno, "db", f"sh_{m}",
+                                      cols_of[m], pos))
+        pos += 50
+        if ev[0] == "del":
+            parts.append(encode_delete_rows(tno, cols_of[m], [ev[2]],
+                                            pos))
         else:
-            _, m, _cnames, vals = ev
-            tno = MEMBERS.index(m) + 1
-            parts.append(encode_table_map(tno, "db", f"sh_{m}",
-                                          cols_of[m], pos))
-            pos += 50
-            parts.append(encode_write_rows(tno, cols_of[m], [vals],
-                                           pos))
-            pos += 50
+            _, _, is_update, vals = ev
+            if is_update:
+                # synthetic before-image: same key, stale values
+                before = [vals[0], "old"] + [0.0] * (len(vals) - 2)
+                parts.append(encode_update_rows(
+                    tno, cols_of[m], [(before, vals)], pos))
+            else:
+                parts.append(encode_write_rows(tno, cols_of[m], [vals],
+                                               pos))
+        pos += 50
     parts.append(encode_xid(9, pos))
     with open(f"{src}/seg1.binlog", "wb") as f:
         f.write(b"".join(parts))
@@ -179,9 +204,11 @@ def test_binlog_inband_fanin_matches_sequential_reference(spark, ops):
                                  HealthCheck.too_slow])
 @given(OPS)
 def test_pgoutput_inband_fanin_matches_sequential_reference(spark, ops):
-    from flink_cdc_dsql_master_spark.pgoutput import (encode_frames,
+    from flink_cdc_dsql_master_spark.pgoutput import (encode_delete,
+                                                      encode_frames,
                                                       encode_insert,
-                                                      encode_relation)
+                                                      encode_relation,
+                                                      encode_update)
 
     seq, added, state = _reference_apply(ops)
     assume(state)
@@ -200,19 +227,31 @@ def test_pgoutput_inband_fanin_matches_sequential_reference(spark, ops):
         msgs.append((lsn, encode_relation(rel_of[m], "public",
                                           f"sh_{m}", cols_of[m])))
         lsn += 10
+
+    def as_text(vals):
+        return [str(vals[0]), vals[1]] + [repr(v) for v in vals[2:]]
+
     for ev in seq:
         if ev[0] == "ddl":
             _, m, col = ev
             cols_of[m].append((col, False, 701))
             msgs.append((lsn, encode_relation(rel_of[m], "public",
                                               f"sh_{m}", cols_of[m])))
-            lsn += 10
+        elif ev[0] == "del":
+            _, m, vals = ev
+            msgs.append((lsn, encode_delete(rel_of[m], as_text(vals),
+                                            old_kind="K")))
         else:
-            _, m, _cnames, vals = ev
-            text_vals = [str(vals[0]), vals[1]] + [
-                repr(v) for v in vals[2:]]
-            msgs.append((lsn, encode_insert(rel_of[m], text_vals)))
-            lsn += 10
+            _, m, is_update, vals = ev
+            if is_update:
+                before = [vals[0], "old"] + [0.0] * (len(vals) - 2)
+                msgs.append((lsn, encode_update(rel_of[m],
+                                                as_text(vals),
+                                                as_text(before))))
+            else:
+                msgs.append((lsn, encode_insert(rel_of[m],
+                                                as_text(vals))))
+        lsn += 10
     with open(f"{src}/seg1.pgout", "wb") as f:
         f.write(encode_frames(msgs))
 
