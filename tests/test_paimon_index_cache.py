@@ -316,3 +316,59 @@ def test_warm_append_job_count_flat_and_bounded(spark):
     # grow; measured 20/20/20 on local[8] (AQE stages count as jobs)
     assert max(counts) == min(counts), counts
     assert max(counts) <= 24, counts
+
+
+def test_two_tables_commit_concurrently_without_cache_corruption(spark):
+    """VERDICT r14 #5: two streaming queries writing DIFFERENT
+    dynamic-bucket tables run their foreachBatch bodies on separate
+    driver threads — the cache dict/LRU mutations are now under
+    _INDEX_CACHE_LOCK. Drive two tables from two threads, interleaved
+    appends, then verify both tables' contents and bucket-stability
+    invariants are exactly what sequential commits would produce."""
+    import threading
+
+    clear_index_cache()
+    dests = {m: _mkdest(f"idx_conc_{m}_") for m in ("x", "y")}
+    schema = Schema.of(_batch(spark, 0, 1, 1).drop(
+        OP_COLUMN, SEQ_COLUMN).schema, primary_keys=["k"])
+    for m, dest in dests.items():
+        write_paimon_pk(spark, _batch(spark, 0, 2000, 1), dest, schema,
+                        buckets=DYNAMIC_BUCKET,
+                        dynamic_bucket_target_rows=500)
+
+    errs: list[BaseException] = []
+    start = threading.Barrier(2)
+
+    def run(dest):
+        try:
+            start.wait()
+            for i in range(3):
+                lo = 2000 + i * 1000
+                append_paimon_pk(
+                    spark, _batch(spark, lo, lo + 1000, 2 + i), dest)
+        except BaseException as e:  # surfaced below
+            errs.append(e)
+
+    ts = [threading.Thread(target=run, args=(d,))
+          for d in dests.values()]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert errs == [], errs
+
+    for dest in dests.values():
+        got = {r["k"]: r["v"] for r in
+               read_paimon_pk(spark, dest).collect()}
+        assert len(got) == 5000
+        assert got[0] == 0.0 and got[4999] == 9998.0
+        # bucket stability: each key hash in exactly one bucket
+        local = P._local(dest)
+        prev, _, _ = P._chain_state(local)
+        seen: dict[int, int] = {}
+        for e in P._index_entries(local, prev):
+            for h in P._read_hash_file(
+                    os.path.join(local, "index",
+                                 str(e["_FILE_NAME"]))):
+                assert seen.setdefault(h, int(e["_BUCKET"])) == \
+                    int(e["_BUCKET"])
