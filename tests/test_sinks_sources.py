@@ -74,6 +74,54 @@ def test_jdbc_upsert_into_duckdb(tmp_path, changelog):
     assert rows2 == rows
 
 
+def test_duckdb_relational_write_matches_bind_loop(tmp_path):
+    """The vectorized DuckDB flush (one INSERT..SELECT / DELETE..USING
+    over a registered Arrow table) must land the exact state the
+    row-bind executemany loop produced — including keep-LAST overwrite
+    order for duplicate keys WITHOUT a changelog op column (sequential
+    binds let the last occurrence win) and delete-by-equality NULL
+    semantics."""
+    from flink_cdc_dsql_master_spark.sinks import _duckdb_relational_write
+
+    cols, pks = ["id", "name", "balance"], ["id"]
+    ups = [(1, "a", 1.0), (2, "b", 2.0), (1, "a2", 1.5), (3, None, None)]
+    dels = [(2,), (99,), (None,)]
+
+    def run_table(vectorized: bool):
+        con = duckdb.connect(str(tmp_path / f"v{vectorized}.duckdb"))
+        con.execute('CREATE TABLE t ("id" INTEGER PRIMARY KEY, '
+                    '"name" VARCHAR, "balance" DOUBLE)')
+        if vectorized:
+            assert _duckdb_relational_write(
+                con, lambda fn: fn(), "t", cols, pks, ups, dels)
+        else:
+            up = upsert_sql("t", cols, pks)
+            for r in ups:
+                con.execute(up, r)
+            for r in dels:
+                con.execute('DELETE FROM t WHERE "id" = ?', r)
+        out = con.execute(
+            "SELECT * FROM t ORDER BY id").fetchall()
+        con.close()
+        return out
+
+    assert run_table(True) == run_table(False) == [
+        (1, "a2", 1.5), (3, None, None)]
+
+
+def test_duckdb_relational_write_declines_non_duckdb(tmp_path):
+    """A non-DuckDB DB-API connection must be declined (return False)
+    so the generic bind loop runs — sqlite3 stands in for psycopg."""
+    import sqlite3
+
+    from flink_cdc_dsql_master_spark.sinks import _duckdb_relational_write
+
+    con = sqlite3.connect(str(tmp_path / "t.sqlite"))
+    assert not _duckdb_relational_write(
+        con, lambda fn: fn(), "t", ["id"], ["id"], [(1,)], [])
+    con.close()
+
+
 def test_merge_into_parquet(tmp_path, spark, changelog):
     path = str(tmp_path / "tbl")
     base = spark.createDataFrame(
