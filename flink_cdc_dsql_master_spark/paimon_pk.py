@@ -776,10 +776,22 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
     assignment = known.select(*pnames, "__khash", "__assigned_bucket") \
         .unionByName(assigned_fresh)
 
+    # data-plane re-attach: the assignment is DISTINCT-KEYS-scale (one
+    # row per batch key, proven <= _ASSIGN_BROADCAST_MAX_KEYS by the
+    # guard above) while the changelog is full batch scale — broadcast
+    # the assignment DELIBERATELY so the batch is never shuffled by
+    # join key here (stats would pick a side from estimates and can
+    # degrade to a sort-merge join that exchanges the whole batch
+    # twice; guide §3.1). Table-scale callers (broadcast_keys=False)
+    # keep the stats-driven join.
+    a_side = assignment.alias("a")
+    if entries and broadcast_keys:
+        # only on the counted path — a FIRST commit (no index yet) can
+        # be a table-scale backfill whose key count was never probed
+        a_side = F.broadcast(a_side)
     out = (changelog.withColumn("__khash", F.hash(
                *[F.col(k) for k in trimmed])).alias("c")
-           .join(assignment.alias("a"), on=_ns_cond("c", "a"),
-                 how="inner")
+           .join(a_side, on=_ns_cond("c", "a"), how="inner")
            .select(*[F.col(f"c.{c}") for c in changelog.columns],
                    F.col("a.__assigned_bucket")))
 
@@ -1038,11 +1050,11 @@ def _kv_frame(changelog: DataFrame, primary_keys: list[str],
     so a key's rows land in one bucket of its partition."""
     from pyspark.sql import Window
 
-    from .partitioning import last_write_wins
-
-    final = last_write_wins(changelog, primary_keys) \
-        if OP_COLUMN in changelog.columns else \
+    has_op = OP_COLUMN in changelog.columns
+    final = changelog if has_op else \
         changelog.withColumn(OP_COLUMN, F.lit("+I"))
+    seq_src = SEQ_COLUMN if has_op and SEQ_COLUMN in final.columns \
+        else None
 
     # Paimon's trimmed primary key: file _KEY_ fields and the bucket
     # hash exclude partition columns (a key lives inside its partition)
@@ -1059,19 +1071,48 @@ def _kv_frame(changelog: DataFrame, primary_keys: list[str],
     bucket = F.col(bucket_col) if bucket_col is not None else \
         F.pmod(F.hash(*[F.col(k) for k in trimmed]), F.lit(buckets))
     part_cols = list(partition_keys)
-    w = Window.partitionBy(*part_cols, "__bucket").orderBy(
-        *[F.col(KEY_PREFIX + k) for k in trimmed])
+    key_cols = [F.col(KEY_PREFIX + k) for k in trimmed]
     kv = (final
           .withColumn("__bucket", bucket)
           .select(*part_cols, "__bucket",
                   *[F.col(k).alias(KEY_PREFIX + k) for k in trimmed],
                   kind.alias(KIND_FIELD),
+                  *([F.col(seq_src).alias("__lww_seq")]
+                    if seq_src else []),
                   *[F.col(c) for c in value_cols
                     if c not in partition_keys])
-          .repartition(*part_cols, "__bucket")
-          .withColumn(SEQ_FIELD,
-                      (F.row_number().over(w) + F.lit(seq_base - 1))
-                      .cast("long")))
+          .repartition(*part_cols, "__bucket"))
+    if has_op:
+        # in-batch LWW dedup FUSED into the bucket exchange: the bucket
+        # is a pure function of the key, so one (partition, bucket)
+        # exchange already co-locates every event of a key — sorting the
+        # window by (key, seq DESC, op-rank DESC) and keeping each key's
+        # FIRST row is exactly last_write_wins without its second
+        # full-batch shuffle on the pk (one Exchange of the changelog
+        # per commit instead of two). Op-rank tie-break for equal seq
+        # matches partitioning.last_write_wins: -D (2) > upsert images
+        # (1) > -U before-image (0).
+        rank = (F.when(F.col(KIND_FIELD) == ROWKIND_DELETE, 2)
+                .when(F.col(KIND_FIELD).isin(ROWKIND_INSERT,
+                                             ROWKIND_UPDATE_AFTER), 1)
+                .otherwise(0))
+        order = list(key_cols)
+        if seq_src:
+            order.append(F.col("__lww_seq").desc())
+        order.append(rank.desc())
+        wl = Window.partitionBy(*part_cols, "__bucket").orderBy(*order)
+        # a key's first row = window head, or any key column null-safely
+        # differing from the previous row's
+        first = F.lag(F.lit(1)).over(wl).isNull()
+        for kc in key_cols:
+            first = first | ~kc.eqNullSafe(F.lag(kc).over(wl))
+        kv = (kv.withColumn("__lww_first", first)
+              .where(F.col("__lww_first"))
+              .drop("__lww_first", "__lww_seq"))
+    w = Window.partitionBy(*part_cols, "__bucket").orderBy(*key_cols)
+    kv = kv.withColumn(SEQ_FIELD,
+                       (F.row_number().over(w) + F.lit(seq_base - 1))
+                       .cast("long"))
     order = ([KEY_PREFIX + k for k in trimmed]
              + [SEQ_FIELD, KIND_FIELD]
              + [c for c in value_cols if c not in partition_keys])
@@ -1096,7 +1137,13 @@ def _stage_pk_files(kv: DataFrame, local: str, primary_keys: list[str],
     trimmed = [k for k in primary_keys if k not in partition_keys] \
         or list(primary_keys)
     tmp = os.path.join(local, "_staging")
-    (kv.sortWithinPartitions(*[KEY_PREFIX + k for k in trimmed])
+    # prefix the sort with the write's partition columns: partition/
+    # bucket are constant within each output file, so the within-file
+    # key order is identical — but this ordering matches what the kv
+    # frame's seq window already established, letting Catalyst elide
+    # the Sort instead of re-sorting every partition
+    (kv.sortWithinPartitions(*partition_keys, "__bucket",
+                             *[KEY_PREFIX + k for k in trimmed])
        .write.mode("overwrite")
        .partitionBy(*partition_keys, "__bucket").parquet(tmp))
 

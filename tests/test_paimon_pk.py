@@ -79,6 +79,38 @@ def test_write_and_merge_on_read(spark, tmp_path):
     assert via_router == got
 
 
+def test_kv_frame_fused_lww_matches_last_write_wins(spark):
+    """The r15 in-bucket LWW fusion (dedup riding the bucket exchange)
+    must pick exactly the rows ``last_write_wins`` picks — adversarial
+    batch: equal-seq -D vs +U ties (delete wins), -U before-images at
+    the top seq (kept, never shadowing their after-image at equal
+    seq), multi-update keys, and a key seen only as -D."""
+    from flink_cdc_dsql_master_spark.paimon_pk import _kv_frame
+    from flink_cdc_dsql_master_spark.partitioning import last_write_wins
+
+    rows = [
+        # k, v, op, seq
+        (1, 10.0, "+I", 1), (1, 11.0, "+U", 2), (1, 12.0, "+U", 3),
+        (2, 20.0, "+I", 1), (2, 21.0, "+U", 5), (2, 0.0, "-D", 5),
+        (3, 30.0, "+I", 2), (3, 30.0, "-U", 4), (3, 31.0, "+U", 4),
+        (4, 0.0, "-D", 9),
+        (5, 50.0, "+I", 1),
+    ]
+    cl = spark.createDataFrame(
+        rows, f"k int, v double, {OP_COLUMN} string, {SEQ_COLUMN} long")
+    kv = _kv_frame(cl, ["k"], ["k", "v"], buckets=4, seq_base=0)
+    got = {(r["_KEY_k"], r["v"], r[KIND_FIELD])
+           for r in kv.collect()}
+    kind_of = {"+I": ROWKIND_INSERT, "+U": 2, "-D": ROWKIND_DELETE,
+               "-U": 1}
+    want = {(r["k"], r["v"], kind_of[r[OP_COLUMN]])
+            for r in last_write_wins(cl, ["k"]).collect()}
+    assert got == want
+    # one surviving row per key, and the equal-seq tie went to -D
+    assert len(got) == 5
+    assert (2, 0.0, ROWKIND_DELETE) in got
+
+
 def test_layout_conformance(spark, tmp_path):
     """Spec shapes: schema primaryKeys + bucket option; KeyValue
     columns in the data files; bucket-N dirs; manifest entries with

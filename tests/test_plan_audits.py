@@ -740,10 +740,12 @@ def test_frame_bounds_cover_whole_whitelist():
 
 
 def test_paimon_pk_kv_frame_two_exchanges(spark, sf_dir):
-    """The PK writer's data plane is exactly TWO wide stages per commit
-    (SCALE.md round-12): the LWW key shuffle and the bucket
-    repartition; the per-bucket sequence window rides the bucket
-    exchange instead of adding a third."""
+    """The PK writer's data plane is exactly ONE wide stage per commit
+    (SCALE.md round-12, tightened r15): the bucket repartition. The
+    bucket is a pure function of the key, so the in-batch LWW dedup
+    AND the per-bucket sequence window both ride the bucket exchange —
+    the former two-exchange shape (a separate LWW key shuffle) is
+    pinned gone."""
     from pyspark.sql import functions as F
 
     from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
@@ -756,7 +758,7 @@ def test_paimon_pk_kv_frame_two_exchanges(spark, sf_dir):
               .withColumn(SEQ_COLUMN, F.lit(1).cast("long")))
     kv = _kv_frame(orders, ["k"], ["k", "v"], buckets=8, seq_base=0)
     tree = tree_of(plan_of(kv))
-    assert tree.count("Exchange") == 2, tree
+    assert tree.count("Exchange") == 1, tree
     assert "CartesianProduct" not in tree
 
 
