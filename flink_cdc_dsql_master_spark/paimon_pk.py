@@ -715,9 +715,23 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
         counts.setdefault(pv, {})
         counts[pv][int(e["_BUCKET"])] = \
             counts[pv].get(int(e["_BUCKET"]), 0) + int(e["_ROW_COUNT"])
-    new_per_part = {tuple(r[n] for n in pnames): r["cnt"]
-                    for r in fresh.groupBy(*pnames)
-                    .agg(F.count("*").alias("cnt")).collect()}
+    if pnames:
+        new_per_part = {tuple(r[n] for n in pnames): r["cnt"]
+                        for r in fresh.groupBy(*pnames)
+                        .agg(F.count("*").alias("cnt")).collect()}
+        mono_cnts = None
+    else:
+        # unpartitioned: ONE aggregation serves BOTH the fill-range
+        # sizing and the global-rank bucket offsets below (previously
+        # two separate driver actions per commit — this collect and
+        # distributed_rank's own bucket-count collect)
+        mono = F.floor((F.col("__khash").cast("long") + F.lit(2 ** 31))
+                       / F.lit(1 << 24)).cast("long")
+        mono_cnts = sorted(
+            (r["__bkt"], r["cnt"]) for r in fresh
+            .groupBy(mono.alias("__bkt"))
+            .agg(F.count("*").alias("cnt")).collect())
+        new_per_part = {(): sum(c for _, c in mono_cnts)}
     range_rows = []
     for pv, n_new in new_per_part.items():
         buckets_of = counts.get(pv, {})
@@ -748,14 +762,26 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
             "__rn", F.row_number().over(w).cast("long"))
     else:
         # unpartitioned: a bare Window.orderBy would move every new
-        # key through ONE task (the classic scale-killer) — use the
+        # key through ONE task (the classic scale-killer) — the
         # two-pass partition-offset rank over a monotone hash-prefix
-        # bucket instead (fully parallel, exact same ordering)
-        from .operators.sampling import distributed_rank
-        mono = F.floor((F.col("__khash").cast("long") + F.lit(2 ** 31))
-                       / F.lit(1 << 24)).cast("long")
-        fresh_rn = distributed_rank(fresh, [F.col("__khash")], mono,
-                                    out="__rn")
+        # bucket instead (fully parallel, exact same ordering as
+        # operators.sampling.distributed_rank), reusing the bucket
+        # counts already collected above instead of a second action
+        offs, acc_off = [], 0
+        for bk, c in mono_cnts:
+            offs.append((int(bk), acc_off))
+            acc_off += int(c)
+        off_df = spark.createDataFrame(offs or [(0, 0)],
+                                       "__bkt long, __off long")
+        from pyspark.sql import Window
+        wloc = Window.partitionBy("__bkt").orderBy("__khash")
+        fresh_rn = (fresh.withColumn("__bkt", mono)
+                    .join(F.broadcast(off_df), "__bkt")
+                    .withColumn("__rn",
+                                (F.col("__off")
+                                 + F.row_number().over(wloc))
+                                .cast("long"))
+                    .drop("__bkt", "__off"))
     on = [F.col(f"l.{n}").eqNullSafe(F.col(f"r.{n}")) for n in pnames]
     on.append(F.col("l.__rn").between(F.col("r.__lo"),
                                       F.col("r.__hi")))
