@@ -95,10 +95,26 @@ def main() -> int:
         BENCH_QUERIES = SF1_QUERIES  # noqa: N806
 
     spark = get_spark("bench")
+    # effective-parallelism echo (VERDICT r15 #2b): the bench output
+    # must PROVE the $SPARK_GRAFT_CPUS contract is honored — the driver
+    # cannot otherwise distinguish "env var ignored" from "fixed
+    # per-job overhead dominates at this SF"
+    par_info = {
+        "cpus_env": os.environ.get("SPARK_GRAFT_CPUS"),
+        "default_parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")),
+    }
     # warmup pass: every query once at sf0.001 (same plans, tiny data).
     # This JITs the generated code, spawns the Python/Arrow worker pool,
     # and warms parquet/shuffle paths -- one-time JVM costs, not any
     # query's cost. Falls back to the target dir if sf0.001 is absent.
+    # Warmup queries run CONCURRENTLY from a small driver thread pool
+    # (guide §2.6 — independent jobs back-fill each other's stragglers;
+    # at sf0.001 every query is fixed-overhead-bound, so overlap cuts
+    # the untimed warmup wall ~3x without touching any measurement:
+    # the timed passes below stay strictly serial). A warmup failure is
+    # non-fatal by design — the serial timed pass still surfaces it.
     if sf1_tier:
         warm_dir = "/root/testdata/sf0.01"  # same plans, 1% the volume
     else:
@@ -107,9 +123,25 @@ def main() -> int:
     if not os.path.isdir(warm_dir):
         warm_dir = sf_dir
     t0 = time.perf_counter()
-    for name in BENCH_QUERIES:
-        materialize(QUERIES[name](spark, warm_dir))
-    print(f"# warmup pass ({warm_dir}): "
+    from concurrent.futures import ThreadPoolExecutor
+
+    def warm(name: str) -> str | None:
+        try:
+            spark.sparkContext.setJobDescription(f"warmup: {name}")
+            materialize(QUERIES[name](spark, warm_dir))
+            return None
+        except Exception as e:  # noqa: BLE001 — warmup only
+            return f"{name}: {e}"
+
+    n_threads = int(os.environ.get("SPARK_GRAFT_WARM_THREADS", "4"))
+    with ThreadPoolExecutor(max_workers=max(1, n_threads)) as pool:
+        for err in pool.map(warm, BENCH_QUERIES):
+            if err:
+                print(f"# warmup error (non-fatal): {err}",
+                      file=sys.stderr)
+    spark.sparkContext.setJobDescription(None)
+    spark.catalog.clearCache()
+    print(f"# warmup pass ({warm_dir}, {n_threads} threads): "
           f"{time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     timings: dict[str, float] = {}
@@ -155,6 +187,10 @@ def main() -> int:
         # ~1.25x — load average at measurement time lets a contended
         # artifact self-identify instead of reading as a regression
         "loadavg": list(os.getloadavg()),
+        # effective parallelism proof (VERDICT r15 #2b): decidable
+        # suspect_cpus_ignored — the session is local[cpus_env] and
+        # these are the live values the queries actually ran with
+        **par_info,
     }
     # streaming latency tier (VERDICT r7 #7): p50/p95 micro-batch latency
     # of the composed changelog pipeline at 10x events, 1 file/trigger.
@@ -202,6 +238,18 @@ def main() -> int:
             section="paimon_dynamic_") or streaming_rc
     line = json.dumps(out)
     print(line, flush=True)
+    # compact FINAL stdout line (VERDICT r15 #2a): the driver keeps
+    # only the LAST 2000 chars of stdout, and the full line above (with
+    # four embedded streaming sections) exceeds that — six rounds of
+    # BENCH_r*.json `parsed: null`. This line carries the same contract
+    # keys (metric/value/unit/queries/sf) plus the parallelism echo,
+    # compact-separated (~1.9 KB for 60 queries), and is printed LAST
+    # so the tail always contains one complete parseable JSON object.
+    # The full line and the BENCH_LOCAL.json mirror are unchanged.
+    compact = {"metric": out["metric"], "value": out["value"],
+               "unit": "sec", "queries": out["queries"],
+               "sf": out["sf"], **par_info}
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
     # durable copy of the same line (VERDICT r9 "what's wrong" #4: the
     # driver's tail capture once truncated its own mid-map record) —
     # BENCH_LOCAL.json is always complete and machine-readable

@@ -486,6 +486,18 @@ _INDEX_LOCAL_ROWS_MAX = 65_536
 # driver (or trip Spark's broadcast-size ceiling) where the shuffle
 # join succeeds. ~1M keys ≈ tens of MB broadcast, safely under both.
 _ASSIGN_BROADCAST_MAX_KEYS = 1_000_000
+# driver-side control-plane guard (guide §5 read at micro-batch scale:
+# per-commit FIXED costs — AQE exchange materializations, window/join
+# planning over kilobyte frames — dominate a small commit, and the
+# control-plane payload here is batch-keys x ~16 bytes, the same
+# metadata-scale data _index_cache_append already reads back on the
+# driver). At or below this many distinct batch keys the whole
+# assignment control plane runs driver-side: ONE distributed probe of
+# the resident index, pure-Python fresh-key ranking + fill ranges,
+# hash-index files written by the driver — zero Spark jobs beyond the
+# probe. Above it, the distributed broadcast/stats-driven joins below
+# take over unchanged.
+_ASSIGN_DRIVER_MAX_KEYS = 200_000
 # diagnostic: total index ENTRIES expanded from files (tests assert the
 # cache makes this delta-sized per commit, not table-sized)
 _INDEX_ENTRIES_EXPANDED = 0
@@ -619,6 +631,172 @@ def _index_cache_append(spark, local: str, old_token, new_token,
         old.unpersist()
 
 
+def _entry_fill_counts(entries, pnames, partition_fields) -> dict:
+    """Per-partition per-bucket live row counts from the index entries —
+    the O(partitions × buckets) driver state fill ranges derive from."""
+    counts: dict[tuple, dict[int, int]] = {}
+    for e in entries:
+        pv = tuple(parse_binary_row(bytes(e["_PARTITION"]),
+                                    partition_fields)) \
+            if pnames else ()
+        counts.setdefault(pv, {})
+        counts[pv][int(e["_BUCKET"])] = \
+            counts[pv].get(int(e["_BUCKET"]), 0) + int(e["_ROW_COUNT"])
+    return counts
+
+
+def _fill_ranges(counts: dict, new_per_part: dict,
+                 target_rows: int) -> list[tuple]:
+    """Fresh-key rank → bucket ranges [(partition..., lo, hi, bucket)]:
+    fill existing buckets (ascending bucket id) to ``target_rows``,
+    then open new buckets in target-sized chunks — the reference
+    BucketAssignOperator's fill discipline. Pure driver logic shared by
+    the distributed and driver-side assignment paths (rank 1 = the
+    partition's lowest fresh key hash, ascending)."""
+    range_rows = []
+    for pv, n_new in new_per_part.items():
+        buckets_of = counts.get(pv, {})
+        lo = 1
+        for b in sorted(buckets_of):
+            free = target_rows - buckets_of[b]
+            if free > 0 and n_new >= lo:
+                hi = min(lo + free - 1, n_new)
+                range_rows.append((*pv, lo, hi, b))
+                lo = hi + 1
+        nxt = max(buckets_of) + 1 if buckets_of else 0
+        while lo <= n_new:
+            hi = min(lo + target_rows - 1, n_new)
+            range_rows.append((*pv, lo, hi, nxt))
+            lo = hi + 1
+            nxt += 1
+    return range_rows
+
+
+def _assign_buckets_driver_side(spark, changelog: DataFrame, local: str,
+                                idx: DataFrame, index_token, entries,
+                                key_rows, counts, trimmed, pnames,
+                                partition_fields, target_rows: int,
+                                ns_cond):
+    """Micro-batch-scale assignment control plane on the DRIVER
+    (guarded by ``_ASSIGN_DRIVER_MAX_KEYS``): the batch's distinct keys
+    are already collected (``key_rows``); ONE distributed probe — the
+    resident index inner-joined against the broadcast batch keys —
+    resolves the known keys, and everything else (fresh-key ranking by
+    ascending hash per partition, fill ranges, the new hash-index
+    files) is plain Python + driver file I/O, zero Spark jobs. The
+    data plane re-attaches through ONE broadcast local relation, so
+    the changelog is never shuffled by key. Assignment-order parity
+    with the distributed path: fresh keys rank by hash ascending
+    within their partition — exactly ``distributed_rank``'s (and the
+    reference model's) ordering — mapped through the same
+    :func:`_fill_ranges` output."""
+    import pandas as pd
+
+    keys_schema = T.StructType(
+        [T.StructField(f.name, f.dataType) for f in partition_fields]
+        + [T.StructField("__khash", T.IntegerType())])
+    known_rows = []
+    if entries:
+        kpdf = pd.DataFrame(
+            [tuple(r[n] for n in pnames) + (r["__khash"],)
+             for r in key_rows],
+            columns=pnames + ["__khash"], dtype=object)
+        keys_local = spark.createDataFrame(kpdf, keys_schema)
+        known_rows = (idx.alias("i")
+                      .join(F.broadcast(keys_local).alias("k"),
+                            on=ns_cond("k", "i"), how="inner")
+                      .select(*[F.col(f"k.{n}") for n in pnames],
+                              F.col("k.__khash"),
+                              F.col("i.__ibucket")).collect())
+    known: dict[tuple, int] = {}
+    for r in known_rows:
+        known[(tuple(r[n] for n in pnames), r["__khash"])] = \
+            int(r["__ibucket"])
+    fresh: dict[tuple, list[int]] = {}
+    for r in key_rows:
+        pv = tuple(r[n] for n in pnames)
+        h = r["__khash"]
+        if (pv, h) not in known:
+            fresh.setdefault(pv, []).append(h)
+    for hs in fresh.values():
+        hs.sort()
+    range_rows = _fill_ranges(
+        counts, {pv: len(hs) for pv, hs in fresh.items()}, target_rows)
+    ranges_of: dict[tuple, list] = {}
+    for row in range_rows:
+        ranges_of.setdefault(tuple(row[:-3]), []).append(row[-3:])
+    assignment_rows = []
+    fresh_assigned: dict[tuple, dict[int, list[int]]] = {}
+    for pv, hs in fresh.items():
+        rs = ranges_of.get(pv, [])
+        ri = 0
+        by_bucket = fresh_assigned.setdefault(pv, {})
+        for rn, h in enumerate(hs, start=1):
+            while ri < len(rs) and rn > rs[ri][1]:
+                ri += 1
+            if ri >= len(rs) or not rs[ri][0] <= rn <= rs[ri][1]:
+                raise AssertionError(
+                    f"fill ranges do not cover rank {rn} of {len(hs)} "
+                    f"fresh keys in partition {pv!r}")
+            b = int(rs[ri][2])
+            by_bucket.setdefault(b, []).append(h)
+            assignment_rows.append((*pv, h, b))
+    for (pv, h), b in known.items():
+        assignment_rows.append((*pv, h, b))
+
+    assign_schema = T.StructType(
+        [T.StructField(f.name, f.dataType) for f in partition_fields]
+        + [T.StructField("__khash", T.IntegerType()),
+           T.StructField("__assigned_bucket", T.IntegerType())])
+    apdf = pd.DataFrame(assignment_rows,
+                        columns=pnames + ["__khash",
+                                          "__assigned_bucket"],
+                        dtype=object)
+    assignment = spark.createDataFrame(apdf, assign_schema)
+    out = (changelog.withColumn("__khash", F.hash(
+               *[F.col(k) for k in trimmed])).alias("c")
+           .join(F.broadcast(assignment.alias("a")),
+                 on=ns_cond("c", "a"), how="inner")
+           .select(*[F.col(f"c.{c}") for c in changelog.columns],
+                   F.col("a.__assigned_bucket")))
+
+    def commit_index(run: str) -> str:
+        """Write the NEW hash files + the next index manifest entirely
+        on the driver (batch-keys × 4 bytes of file I/O — the same
+        metadata-scale work ``_index_cache_append`` already does);
+        returns the manifest name. Zero Spark jobs."""
+        idx_dir = os.path.join(local, "index")
+        os.makedirs(idx_dir, exist_ok=True)
+        delta_entries = []
+        for pv in sorted(fresh_assigned, key=str):
+            for b in sorted(fresh_assigned[pv]):
+                hashes = sorted(fresh_assigned[pv][b])
+                name = f"index-{uuid.uuid4().hex}-0"
+                size = _write_hash_file(
+                    os.path.join(idx_dir, name), hashes)
+                delta_entries.append({
+                    "_KIND": _KIND_ADD,
+                    "_PARTITION": serialize_binary_row(
+                        list(pv), partition_fields) if pnames
+                    else _EMPTY_BINARY_ROW,
+                    "_BUCKET": b,
+                    "_INDEX_TYPE": "HASH",
+                    "_FILE_NAME": name,
+                    "_FILE_SIZE": int(size),
+                    "_ROW_COUNT": len(hashes),
+                })
+        all_entries = [dict(e) for e in entries] + delta_entries
+        manifest = f"index-manifest-{run}"
+        write_container(os.path.join(idx_dir, manifest),
+                        INDEX_MANIFEST_ENTRY_SCHEMA, all_entries)
+        _index_cache_append(spark, local, index_token, manifest,
+                            entries, delta_entries, pnames,
+                            partition_fields)
+        return manifest
+
+    return out, commit_index
+
+
 def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
                             prev: dict | None, trimmed: list[str],
                             partition_keys, partition_fields,
@@ -675,11 +853,24 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
     # exact key-count guard (the count doubles as the cache
     # materialization) downgrades oversized batches (backfills through
     # append_paimon_pk) to the same stats-driven join.
+    # per-partition fill state — O(partitions × buckets), driver-side
+    counts = _entry_fill_counts(entries, pnames, partition_fields)
+
     persisted: list[DataFrame] = []
-    if entries and broadcast_keys:
+    if broadcast_keys:
         keys = keys.persist()
         persisted.append(keys)
-        if keys.count() > _ASSIGN_BROADCAST_MAX_KEYS:
+        n_keys = keys.count()
+        if n_keys <= _ASSIGN_DRIVER_MAX_KEYS:
+            # micro-batch scale: the whole control plane moves to the
+            # driver (one index probe, zero further control-plane jobs)
+            key_rows = keys.collect()
+            keys.unpersist()
+            return _assign_buckets_driver_side(
+                spark, changelog, local, idx, index_token, entries,
+                key_rows, counts, trimmed, pnames, partition_fields,
+                target_rows, _ns_cond)
+        if entries and n_keys > _ASSIGN_BROADCAST_MAX_KEYS:
             broadcast_keys = False
     if entries and broadcast_keys:
         known = (idx.alias("i")
@@ -706,15 +897,6 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
         fresh = joined.where(F.col("__ibucket").isNull()) \
             .drop("__ibucket")
 
-    # per-partition fill ranges: O(partitions × buckets) driver state
-    counts: dict[tuple, dict[int, int]] = {}
-    for e in entries:
-        pv = tuple(parse_binary_row(bytes(e["_PARTITION"]),
-                                    partition_fields)) \
-            if pnames else ()
-        counts.setdefault(pv, {})
-        counts[pv][int(e["_BUCKET"])] = \
-            counts[pv].get(int(e["_BUCKET"]), 0) + int(e["_ROW_COUNT"])
     if pnames:
         new_per_part = {tuple(r[n] for n in pnames): r["cnt"]
                         for r in fresh.groupBy(*pnames)
@@ -732,22 +914,7 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
             .groupBy(mono.alias("__bkt"))
             .agg(F.count("*").alias("cnt")).collect())
         new_per_part = {(): sum(c for _, c in mono_cnts)}
-    range_rows = []
-    for pv, n_new in new_per_part.items():
-        buckets_of = counts.get(pv, {})
-        lo = 1
-        for b in sorted(buckets_of):
-            free = target_rows - buckets_of[b]
-            if free > 0 and n_new >= lo:
-                hi = min(lo + free - 1, n_new)
-                range_rows.append((*pv, lo, hi, b))
-                lo = hi + 1
-        nxt = max(buckets_of) + 1 if buckets_of else 0
-        while lo <= n_new:
-            hi = min(lo + target_rows - 1, n_new)
-            range_rows.append((*pv, lo, hi, nxt))
-            lo = hi + 1
-            nxt += 1
+    range_rows = _fill_ranges(counts, new_per_part, target_rows)
     range_schema = T.StructType(
         [T.StructField(f.name, f.dataType) for f in partition_fields]
         + [T.StructField("__lo", T.LongType()),

@@ -563,7 +563,8 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
                     lsn_range: tuple[int | None, int | None] | None = None,
                     toast_context: DataFrame | None = None,
                     raw_only: bool = False,
-                    pg_table: str | None = None) -> DataFrame:
+                    pg_table: str | None = None,
+                    _framed_blob_col: str | None = None) -> DataFrame:
     """(lsn, message-bytes) frame → +I/-U/+U/-D changelog with the
     payload columns CAST from pgoutput's text format into
     ``payload_schema``'s types, ``__seq`` = LSN·2 (+1 for after-images,
@@ -619,6 +620,25 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
     # config case mismatch must not silently drop every row while
     # evolution still fires
     pg_table_l = pg_table.lower() if pg_table is not None else None
+
+    # ``_framed_blob_col`` fuses the segment UNFRAME into this same
+    # Arrow crossing (guide §4.1 — one JVM→Python round-trip instead of
+    # two): the per-batch (lsn, message) pairs come straight from
+    # :func:`decode_frames` over the blob column rather than from a
+    # separately materialized frames DataFrame. State/ordering are
+    # identical — blobs arrive in partition order either way. Project
+    # to exactly the columns the decode touches so the scan prunes.
+    if _framed_blob_col is None:
+        df = df.select(lsn_col, msg_col)
+
+        def pairs(pdf):
+            return zip(pdf[lsn_col], pdf[msg_col])
+    else:
+        df = df.select(_framed_blob_col)
+
+        def pairs(pdf):
+            for blob in pdf[_framed_blob_col]:
+                yield from decode_frames(bytes(blob))
 
     def vals(tup, type_oids, oid=None):
         if len(tup) != len(names):
@@ -705,7 +725,7 @@ def decode_pgoutput(df: DataFrame, payload_schema: T.StructType,
                     return [[*([None] * len(names)), "-T", int(lsn), 1]]
                 return []
 
-            for lsn, msg in zip(pdf[lsn_col], pdf[msg_col]):
+            for lsn, msg in pairs(pdf):
                 m = parse_message(bytes(msg),
                                   streamed=stream_xid is not None)
                 kind = m["kind"]
@@ -1046,27 +1066,16 @@ def decode_pgoutput_segments(df: DataFrame,
     stream delivers. ``primary_keys`` enables unchanged-TOAST resolution
     exactly as in :func:`decode_pgoutput` (batch mode only: the window it
     needs is not available in a streaming plan, where a 'u' fails loudly
-    instead)."""
-    frames_schema = T.StructType([
-        T.StructField("lsn", T.LongType()),
-        T.StructField("value", T.BinaryType()),
-    ])
-
-    def unframe(batches):
-        import pandas as pd
-
-        for pdf in batches:
-            rows = []
-            for blob in pdf[blob_col]:
-                for lsn, m in decode_frames(bytes(blob)):
-                    rows.append((lsn, m))
-            yield pd.DataFrame(rows, columns=["lsn", "value"])
-
-    return decode_pgoutput(df.mapInPandas(unframe, frames_schema),
-                           payload_schema, primary_keys=primary_keys,
+    instead). Unframe + parse run in ONE fused Arrow crossing (guide
+    §4.1): the former two-``mapInPandas`` shape round-tripped ~50k tiny
+    (lsn, message) rows through a second JVM→Python serialization per
+    micro-batch for no semantic gain."""
+    return decode_pgoutput(df, payload_schema,
+                           primary_keys=primary_keys,
                            lsn_range=lsn_range,
                            toast_context=toast_context,
-                           raw_only=raw_only, pg_table=pg_table)
+                           raw_only=raw_only, pg_table=pg_table,
+                           _framed_blob_col=blob_col)
 
 
 _BINARY_FILE_SCHEMA = ("path string, modificationTime timestamp, "

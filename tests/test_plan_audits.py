@@ -823,20 +823,25 @@ def test_dynamic_bucket_assignment_no_single_partition_window(spark,
 
 def test_dynamic_bucket_lookup_streams_index_broadcasts_keys(
         spark, tmp_path, capfd):
-    """The warm-index lookup join orientation (VERDICT r14 #1): the
-    batch's distinct KEYS broadcast and the TABLE-scale resident index
-    streams in place. The one-join spelling (idx RIGHT OUTER
-    broadcast(keys)) is illegal — Spark cannot build the preserved
-    side of an outer join, silently drops the hint (HintErrorLogger),
-    and stats then broadcast the whole INDEX per commit (or
-    SortMergeJoin it once it outgrows autoBroadcastJoinThreshold).
-    The shipped plan is the legal decomposition
+    """The warm-index lookup join orientation (VERDICT r14 #1) for the
+    DISTRIBUTED regime (batch keys above _ASSIGN_DRIVER_MAX_KEYS —
+    forced here by patching the guard to 0): the batch's distinct KEYS
+    broadcast and the TABLE-scale resident index streams in place. The
+    one-join spelling (idx RIGHT OUTER broadcast(keys)) is illegal —
+    Spark cannot build the preserved side of an outer join, silently
+    drops the hint (HintErrorLogger), and stats then broadcast the
+    whole INDEX per commit (or SortMergeJoin it once it outgrows
+    autoBroadcastJoinThreshold). The shipped plan is the legal
+    decomposition
     known = idx ⋈ broadcast(keys) INNER + fresh = keys ▷ anti(known):
     every BroadcastExchange carries batch-scale rows, the index's
     __ibucket column never sits under one, and no SortMergeJoin /
     RightOuter / dropped-hint warning appears."""
+    import unittest.mock as mock
+
     from pyspark.sql import functions as F
 
+    import flink_cdc_dsql_master_spark.paimon_pk as P
     from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
     from flink_cdc_dsql_master_spark.paimon_pk import (
         DYNAMIC_BUCKET, _assign_dynamic_buckets, _chain_state, _local,
@@ -864,9 +869,10 @@ def test_dynamic_bucket_lookup_streams_index_broadcasts_keys(
     spark.sparkContext.setLogLevel("WARN")
     try:
         capfd.readouterr()  # drain anything buffered before the audit
-        assigned, _commit = _assign_dynamic_buckets(
-            spark, batch(6000, 7000, 3), local, prev, ["k"], [], [],
-            target_rows=1000)
+        with mock.patch.object(P, "_ASSIGN_DRIVER_MAX_KEYS", 0):
+            assigned, _commit = _assign_dynamic_buckets(
+                spark, batch(6000, 7000, 3), local, prev, ["k"], [], [],
+                target_rows=1000)
         assigned.count()  # plan + execution both under WARN capture
         err = capfd.readouterr().err
     finally:
@@ -889,3 +895,50 @@ def test_dynamic_bucket_lookup_streams_index_broadcasts_keys(
     # and the dropped-hint warning never fires (the JVM shares our
     # stderr in local mode, so fd capture sees log4j output)
     assert "Hint (strategy=broadcast) is not supported" not in err, err
+
+
+def test_dynamic_bucket_driver_path_data_plane_is_local_broadcast(
+        spark, tmp_path):
+    """Micro-batch regime (keys ≤ _ASSIGN_DRIVER_MAX_KEYS, the
+    streaming steady state): the assignment control plane runs on the
+    driver and the data plane is ONE broadcast of a LOCAL relation —
+    the executed plan has no SortMergeJoin, no index-side scan, no
+    window, and exactly one join (changelog ⋈ broadcast(assignment)).
+    At 100 TB this is the route-batch-to-state shape: per-commit work
+    scales with the BATCH, never the table."""
+    from pyspark.sql import functions as F
+
+    from flink_cdc_dsql_master_spark.events import OP_COLUMN, SEQ_COLUMN
+    from flink_cdc_dsql_master_spark.paimon_pk import (
+        DYNAMIC_BUCKET, _assign_dynamic_buckets, _chain_state, _local,
+        append_paimon_pk, clear_index_cache, write_paimon_pk)
+    from flink_cdc_dsql_master_spark.schema import Schema
+
+    def batch(lo, hi, seq):
+        return (spark.range(lo, hi)
+                .select(F.col("id").alias("k"),
+                        (F.col("id") * 2.0).alias("v"))
+                .withColumn(OP_COLUMN, F.lit("+I"))
+                .withColumn(SEQ_COLUMN, F.lit(seq).cast("long")))
+
+    clear_index_cache()
+    dest = str(tmp_path / "t")
+    schema = Schema.of([("k", "BIGINT NOT NULL"), ("v", "DOUBLE")],
+                       primary_keys=["k"])
+    write_paimon_pk(spark, batch(0, 5000, 1), dest, schema,
+                    buckets=DYNAMIC_BUCKET,
+                    dynamic_bucket_target_rows=1000)
+    append_paimon_pk(spark, batch(5000, 6000, 2), dest)  # warm cache
+
+    local = _local(dest)
+    prev, _, _ = _chain_state(local)
+    assigned, _commit = _assign_dynamic_buckets(
+        spark, batch(6000, 7000, 3), local, prev, ["k"], [], [],
+        target_rows=1000)
+    assigned.count()
+    tree = assigned._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" not in tree, tree
+    assert "Window" not in tree, tree          # ranking ran driver-side
+    assert tree.count("Join") == 1, tree       # the one re-attach join
+    assert "LocalTableScan" in tree, tree      # assignment is local
+    assert "__ibucket#" not in tree, tree      # index never in data plane
