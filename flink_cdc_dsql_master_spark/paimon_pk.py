@@ -477,9 +477,17 @@ _INDEX_CACHE_MAX_TABLES = 8      # LRU over tables; evicted = unpersist
 _INDEX_CACHE_LOCK = threading.RLock()
 # local-delta fold threshold: driver-held fresh assignments fold into
 # the persisted base once they exceed this many keys — one amortized
-# O(table) union+persist per ~64k new keys, constant plan depth
-# otherwise (cache entry = ONE persisted base + ONE local relation)
-_INDEX_LOCAL_ROWS_MAX = 65_536
+# O(table) rebuild+persist per ~512k new keys (cache entry = ONE
+# persisted base + ONE driver-held delta). The rebuild's cost lands on
+# the NEXT commit's first index action, so the threshold directly sets
+# how often a streaming commit pays an O(table) re-expansion: at the
+# old 64k a 50k-keys/batch stream folded every other commit (measured
+# as alternating 0.9s/3.3s assignment phases); 512k keys ≈ 30 MB of
+# driver tuples, well inside the driver budget, and the DRIVER
+# assignment path resolves the delta from a dict without ever shipping
+# it into a plan (only the rare distributed mid-scale path embeds the
+# delta as a local relation).
+_INDEX_LOCAL_ROWS_MAX = 524_288
 # broadcast-batch-keys guard (ADVICE r14): above this many distinct
 # batch keys the assignment falls back to the stats-driven shuffle
 # join — force-broadcasting a backfill-scale key set would OOM the
@@ -535,12 +543,17 @@ def _local_delta_df(spark, ent) -> DataFrame | None:
     return ent["local_df"]
 
 
-def _cached_index_df(spark, local: str, token, entries: list[dict],
-                     partition_keys, partition_fields) -> DataFrame:
-    """The resident expansion of the live hash index: ONE persisted
-    base DataFrame + ONE driver-held local delta (the keys assigned
-    since the base was built), valid while ``token`` (the snapshot's
-    index-manifest name) matches what the cache last appended."""
+def _cached_index_entry(spark, local: str, token, entries: list[dict],
+                        partition_keys, partition_fields) -> dict:
+    """The live resident-index cache entry for one table (validated,
+    LRU-refreshed, created on a miss): ``base`` is the persisted
+    distributed expansion; ``local_rows``/``local_map`` are the SAME
+    driver-held fresh assignments since the base was built, as ordered
+    tuples (for the distributed path's local relation) and as a
+    ``(partition..., hash) → bucket`` dict (for the driver-side
+    assignment path, which must never ship the delta into a plan).
+    Valid while ``token`` (the snapshot's index-manifest name) matches
+    what the cache last appended."""
     out_schema = T.StructType(
         [T.StructField(f.name, f.dataType) for f in partition_fields]
         + [T.StructField("__khash", T.IntegerType()),
@@ -566,12 +579,23 @@ def _cached_index_df(spark, local: str, token, entries: list[dict],
                                     partition_keys,
                                     partition_fields).persist()
             ent = {"token": token, "base": base, "schema": out_schema,
-                   "local_rows": [], "local_df": None}
+                   "local_rows": [], "local_df": None, "local_map": {}}
             _INDEX_CACHE[local] = ent
             while len(_INDEX_CACHE) > _INDEX_CACHE_MAX_TABLES:
                 clear_index_cache(next(iter(_INDEX_CACHE)))
         else:  # refresh LRU position
             _INDEX_CACHE[local] = _INDEX_CACHE.pop(local)
+        return ent
+
+
+def _cached_index_df(spark, local: str, token, entries: list[dict],
+                     partition_keys, partition_fields) -> DataFrame:
+    """The resident expansion of the live hash index as ONE DataFrame:
+    persisted base ∪ the driver-held local delta — the distributed
+    assignment path's view."""
+    with _INDEX_CACHE_LOCK:
+        ent = _cached_index_entry(spark, local, token, entries,
+                                  partition_keys, partition_fields)
         delta = _local_delta_df(spark, ent)
         return ent["base"] if delta is None \
             else ent["base"].unionByName(delta)
@@ -613,10 +637,11 @@ def _index_cache_append(spark, local: str, old_token, new_token,
                                                partition_fields)) \
                     if pnames else ()
                 b = int(e["_BUCKET"])
-                ent["local_rows"].extend(
-                    (*pvals, h, b) for h in _read_hash_file(
+                for h in _read_hash_file(
                         os.path.join(local, "index",
-                                     str(e["_FILE_NAME"]))))
+                                     str(e["_FILE_NAME"]))):
+                    ent["local_rows"].append((*pvals, h, b))
+                    ent["local_map"][(*pvals, h)] = b
             ent["local_df"] = None  # rebuilt lazily from the new rows
             ent["token"] = new_token
             if len(ent["local_rows"]) <= _INDEX_LOCAL_ROWS_MAX:
@@ -627,7 +652,7 @@ def _index_cache_append(spark, local: str, old_token, new_token,
                                     partition_fields).persist()
         old = ent["base"]
         ent.update(base=new_base, token=new_token, local_rows=[],
-                   local_df=None)
+                   local_df=None, local_map={})
         old.unpersist()
 
 
@@ -672,50 +697,89 @@ def _fill_ranges(counts: dict, new_per_part: dict,
     return range_rows
 
 
+def _key_tuples_of(kpdf, partition_fields) -> list[tuple]:
+    """Arrow-collected distinct keys → plain Python tuples
+    ``(*partition_values, khash)`` with types matching
+    :func:`parse_binary_row`'s output (dict-key compatible with the
+    resident ``local_map``): pandas renders NULL as NaN/NaT and may
+    widen ints to float or dates to Timestamp — normalize all of it."""
+    import pandas as pd
+
+    hs = [int(h) for h in kpdf["__khash"].tolist()]
+    if not partition_fields:
+        return [(h,) for h in hs]
+    cols = []
+    for f in partition_fields:
+        dt = f.dataType
+        out = []
+        for v in kpdf[f.name].tolist():
+            if v is None or pd.isna(v):
+                out.append(None)
+            elif isinstance(dt, (T.IntegerType, T.LongType,
+                                 T.ShortType, T.ByteType)):
+                out.append(int(v))
+            elif isinstance(dt, T.BooleanType):
+                out.append(bool(v))
+            elif isinstance(dt, T.DateType) and isinstance(
+                    v, datetime.datetime):  # Timestamp ⊂ datetime
+                out.append(v.date())
+            else:
+                out.append(v)
+        cols.append(out)
+    return list(zip(*cols, hs))
+
+
 def _assign_buckets_driver_side(spark, changelog: DataFrame, local: str,
-                                idx: DataFrame, index_token, entries,
-                                key_rows, counts, trimmed, pnames,
+                                ent: dict, index_token, entries,
+                                key_tuples, counts, trimmed, pnames,
                                 partition_fields, target_rows: int,
                                 ns_cond):
     """Micro-batch-scale assignment control plane on the DRIVER
     (guarded by ``_ASSIGN_DRIVER_MAX_KEYS``): the batch's distinct keys
-    are already collected (``key_rows``); ONE distributed probe — the
-    resident index inner-joined against the broadcast batch keys —
-    resolves the known keys, and everything else (fresh-key ranking by
-    ascending hash per partition, fill ranges, the new hash-index
-    files) is plain Python + driver file I/O, zero Spark jobs. The
-    data plane re-attaches through ONE broadcast local relation, so
-    the changelog is never shuffled by key. Assignment-order parity
-    with the distributed path: fresh keys rank by hash ascending
-    within their partition — exactly ``distributed_rank``'s (and the
-    reference model's) ordering — mapped through the same
-    :func:`_fill_ranges` output."""
+    are already collected (``key_tuples``); keys assigned since the
+    resident base was built resolve from the cache entry's driver-held
+    ``local_map`` (a dict get — the delta is never shipped into a
+    plan), the remainder through ONE distributed probe — the persisted
+    index base inner-joined against the broadcast remaining keys — and
+    everything else (fresh-key ranking by ascending hash per
+    partition, fill ranges, the new hash-index files) is plain Python
+    + driver file I/O, zero Spark jobs. The data plane re-attaches
+    through ONE broadcast local relation, so the changelog is never
+    shuffled by key. Assignment-order parity with the distributed
+    path: fresh keys rank by hash ascending within their partition —
+    exactly ``distributed_rank``'s (and the reference model's)
+    ordering — mapped through the same :func:`_fill_ranges` output."""
     import pandas as pd
 
-    keys_schema = T.StructType(
-        [T.StructField(f.name, f.dataType) for f in partition_fields]
-        + [T.StructField("__khash", T.IntegerType())])
-    known_rows = []
-    if entries:
-        kpdf = pd.DataFrame(
-            [tuple(r[n] for n in pnames) + (r["__khash"],)
-             for r in key_rows],
-            columns=pnames + ["__khash"], dtype=object)
+    local_map = ent["local_map"]
+    known: dict[tuple, int] = {}
+    rest = []
+    for t in key_tuples:
+        b = local_map.get(t)  # t == (*pvals, khash), the map's key shape
+        if b is not None:
+            known[(t[:-1], t[-1])] = int(b)
+        else:
+            rest.append(t)
+    if entries and rest:
+        keys_schema = T.StructType(
+            [T.StructField(f.name, f.dataType)
+             for f in partition_fields]
+            + [T.StructField("__khash", T.IntegerType())])
+        kpdf = pd.DataFrame(rest, columns=pnames + ["__khash"],
+                            dtype=object)
         keys_local = spark.createDataFrame(kpdf, keys_schema)
-        known_rows = (idx.alias("i")
+        known_rows = (ent["base"].alias("i")
                       .join(F.broadcast(keys_local).alias("k"),
                             on=ns_cond("k", "i"), how="inner")
                       .select(*[F.col(f"k.{n}") for n in pnames],
                               F.col("k.__khash"),
                               F.col("i.__ibucket")).collect())
-    known: dict[tuple, int] = {}
-    for r in known_rows:
-        known[(tuple(r[n] for n in pnames), r["__khash"])] = \
-            int(r["__ibucket"])
+        for r in known_rows:
+            known[(tuple(r[n] for n in pnames), r["__khash"])] = \
+                int(r["__ibucket"])
     fresh: dict[tuple, list[int]] = {}
-    for r in key_rows:
-        pv = tuple(r[n] for n in pnames)
-        h = r["__khash"]
+    for t in key_tuples:
+        pv, h = t[:-1], t[-1]
         if (pv, h) not in known:
             fresh.setdefault(pv, []).append(h)
     for hs in fresh.values():
@@ -814,8 +878,12 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
 
     keys = changelog.select(*pnames, khash).distinct()
     index_token = (prev or {}).get("indexManifest")
-    idx = _cached_index_df(spark, local, index_token, entries,
-                           partition_keys, partition_fields)
+    # the resident index pieces: persisted base + driver-held delta.
+    # The driver-side path consumes them separately (dict lookup for
+    # the delta, one probe of the base); only the distributed paths
+    # below materialize the union DataFrame.
+    ent = _cached_index_entry(spark, local, index_token, entries,
+                              partition_keys, partition_fields)
 
     def _ns_cond(l_alias: str, r_alias: str):
         """NULL-SAFE join condition over (partition cols, __khash) —
@@ -858,20 +926,34 @@ def _assign_dynamic_buckets(spark, changelog: DataFrame, local: str,
 
     persisted: list[DataFrame] = []
     if broadcast_keys:
-        keys = keys.persist()
-        persisted.append(keys)
-        n_keys = keys.count()
-        if n_keys <= _ASSIGN_DRIVER_MAX_KEYS:
+        # ONE action both SIZES and FETCHES the batch's distinct keys:
+        # Arrow-collect them (replacing the former separate count guard
+        # + row-pickled collect — one distinct job instead of two, and
+        # Arrow instead of per-row pickling). spark.driver.maxResultSize
+        # (default 1g ≈ tens of millions of keys) bounds the damage of
+        # an unexpectedly table-scale batch routed through the guarded
+        # path: the aborted collect downgrades to the distributed join
+        # below, and known-backfill tables should carry
+        # 'dynamic-bucket.assign-broadcast: false' regardless.
+        try:
+            kpdf = keys.toPandas()
+        except Exception:  # noqa: BLE001 — oversized/aborted collect
+            kpdf = None
+        if kpdf is not None and len(kpdf) <= _ASSIGN_DRIVER_MAX_KEYS:
             # micro-batch scale: the whole control plane moves to the
             # driver (one index probe, zero further control-plane jobs)
-            key_rows = keys.collect()
-            keys.unpersist()
             return _assign_buckets_driver_side(
-                spark, changelog, local, idx, index_token, entries,
-                key_rows, counts, trimmed, pnames, partition_fields,
-                target_rows, _ns_cond)
-        if entries and n_keys > _ASSIGN_BROADCAST_MAX_KEYS:
+                spark, changelog, local, ent, index_token, entries,
+                _key_tuples_of(kpdf, partition_fields), counts,
+                trimmed, pnames, partition_fields, target_rows,
+                _ns_cond)
+        if entries and (kpdf is None
+                        or len(kpdf) > _ASSIGN_BROADCAST_MAX_KEYS):
             broadcast_keys = False
+        keys = keys.persist()
+        persisted.append(keys)
+    idx = _cached_index_df(spark, local, index_token, entries,
+                           partition_keys, partition_fields)
     if entries and broadcast_keys:
         known = (idx.alias("i")
                  .join(F.broadcast(keys).alias("k"),
