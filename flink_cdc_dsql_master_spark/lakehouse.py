@@ -613,12 +613,17 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
         final = last_write_wins(changelog, pks)
         affected: list[str] = []  # derived from the staging dirs below
     else:
-        # checkpointed: the LWW-collapsed batch is consumed several
-        # times (affected-partition collect, changed-key anti-join,
-        # upsert union) — without this each consumer re-runs the PK
-        # shuffle. Batch-proportional storage, GC-reclaimed after the
-        # commit returns.
-        final = last_write_wins(changelog, pks).transform(pin)
+        final = last_write_wins(changelog, pks)
+        # pin (eager localCheckpoint — a full materialization pass of
+        # the batch) ONLY when several ACTIONS consume the LWW output:
+        # the constraint counts. In the default merge `final` has
+        # exactly ONE consumer — the staged write's upsert side — and
+        # both the affected-partition set and the changed-key set are
+        # collected from the RAW batch instead (the partition value and
+        # the key set are invariant under LWW collapse), so the
+        # checkpoint pass was pure per-commit overhead (guide §1.2).
+        if constraints:
+            final = final.transform(pin)
     if constraints:
         imgs = final.where(F.col(OP_COLUMN).isin(*UPSERT_OPS))
         for cname, cexpr in constraints:
@@ -630,9 +635,18 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
                     f"constraint '{cname}' violated by {n_bad} rows, "
                     f"e.g. keys {[tuple(r) for r in sample]}")
     if not initial_load:
+        # collected from the RAW changelog, not the LWW output: the
+        # partition value is a pure function of the primary key (the
+        # stable-partition contract), so every key's events share one
+        # partition and the two distinct sets are equal — but the raw
+        # distinct is a map-side partial aggregate over the batch scan,
+        # not a consumer of the full PK window. (Under a MUTABLE
+        # transform a multi-moved key can make this a superset — the
+        # extra partitions rewrite to identical content, and the
+        # move probe below still extends the set with current homes.)
         affected = sorted(
             str(r[0])
-            for r in final.select(part_col).distinct().collect())
+            for r in changelog.select(part_col).distinct().collect())
     if track_partition_moves and prev_files:
         # mutable partition transform: a changed key may currently live
         # in a partition the batch's own images don't touch — probe the
@@ -644,7 +658,7 @@ def merge_into_versioned_parquet(path: str, changelog: DataFrame,
         if all_paths:
             tbl = (spark.read.option("mergeSchema", "true")
                    .option("basePath", local).parquet(*all_paths))
-            moved = (tbl.join(final.select(*pks).distinct(), on=pks,
+            moved = (tbl.join(changelog.select(*pks).distinct(), on=pks,
                               how="leftsemi")
                      .select(part_col).distinct().collect())
             affected = sorted(set(affected)
